@@ -1,13 +1,1079 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.{DDF, DDFManager}
+import graft.operators._
+import graft.stats.Stats
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY §2 (plus the training-data-pipeline
+  * extensions) is exposed as a named query over the driver's parquet
+  * tables, with a DuckDB-equivalent oracle SQL where the semantics are
+  * SQL-expressible.
+  *
+  * Oracle-determinism rules used throughout (both sides identically):
+  *  - money/quantity columns are exact 2-decimal doubles → sums go through
+  *    `decimal(18,2)` (exact in Spark AND DuckDB) then cast back to double;
+  *  - derived means/variances are computed FROM those exact sums with
+  *    identical double arithmetic instead of engine-internal aggregates;
+  *  - engine-internal approximate/iterative aggregates (percentile,
+  *    stddev) are rounded;
+  *  - every query ends in a total ORDER BY; nullable sort keys say
+  *    NULLS FIRST explicitly in the oracle (Spark's asc default).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val tableNames = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "documents", "embeddings")
+
+  private val mgrCache = scala.collection.concurrent.TrieMap.empty[String, DDFManager]
+
+  private def mgr(spark: SparkSession, dir: String): DDFManager =
+    mgrCache.getOrElseUpdate(s"${spark.hashCode}|$dir", {
+      // events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects by
+      // default; read nanos as long and rebuild a (µs) TimestampType col.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val m = DDFManager(spark)
+      tableNames.foreach(t => m.loadParquet(s"$dir/$t.parquet", t))
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      m.register(ev, "events")
+      m
+    })
+
+  /** Exact 2-decimal sum, identical in Spark and DuckDB. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+  private def dsumSql(c: String): String = s"cast(sum(cast($c as decimal(18,2))) as double)"
+  /** Exact 4-decimal sum of a product of two 2-decimal columns. */
+  private def dsum2(a: Column, b: Column): Column =
+    sum((a.cast("decimal(18,2)") * b.cast("decimal(18,2)")).cast("decimal(38,4)")).cast("double")
+  private def dsum2Sql(a: String, b: String): String =
+    s"cast(sum(cast(cast($a as decimal(18,2)) * cast($b as decimal(18,2)) as decimal(38,4))) as double)"
+
+  private final case class Q(
+      name: String,
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  // =====================================================================
+  // §2.2 Projection / filter / row ops
+  // =====================================================================
+
+  private val relational: Seq[Q] = Seq(
+    Q("q01_project",
+      (s, d) => {
+        val m = mgr(s, d)
+        Views.project(m.getDDFByName("lineitem"),
+          Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"))
+          .df.orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    Q("q02_filter",
+      (s, d) => {
+        val m = mgr(s, d)
+        Views.subset(m.getDDFByName("lineitem"),
+          Seq("l_orderkey", "l_linenumber", "l_quantity", "l_discount"),
+          "l_quantity > 30 AND l_discount < 0.05")
+          .df.orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+             |FROM lineitem WHERE l_quantity > 30 AND l_discount < 0.05
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    Q("q03_scalar_fns",
+      (s, d) => {
+        val m = mgr(s, d)
+        m.sql2ddf(
+          """select p_partkey,
+            |  substring(p_name, 1, 8) as name8,
+            |  upper(p_brand) as brand_u,
+            |  lower(p_type) as type_l,
+            |  abs(p_size - 25) as size_dev,
+            |  cast(floor(p_retailprice) as bigint) as price_floor,
+            |  round(sqrt(p_retailprice), 6) as price_sqrt,
+            |  coalesce(nullif(p_brand, 'Brand#1'), 'OTHER') as brand_o
+            |from part order by p_partkey""".stripMargin).df
+      },
+      Some("""SELECT p_partkey,
+             |  substring(p_name, 1, 8) AS name8,
+             |  upper(p_brand) AS brand_u,
+             |  lower(p_type) AS type_l,
+             |  abs(p_size - 25) AS size_dev,
+             |  cast(floor(p_retailprice) AS bigint) AS price_floor,
+             |  round(sqrt(p_retailprice), 6) AS price_sqrt,
+             |  coalesce(nullif(p_brand, 'Brand#1'), 'OTHER') AS brand_o
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    Q("q04_top",
+      (s, d) => {
+        val m = mgr(s, d)
+        Views.top(m.getDDFByName("orders"), 50, "o_totalprice", ascending = false)
+          .df.select("o_orderkey", "o_custkey", "o_totalprice")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin)),
+
+    Q("q05_remove_columns",
+      (s, d) => {
+        val m = mgr(s, d)
+        Views.removeColumns(m.getDDFByName("nation"), Seq("n_regionkey"))
+          .df.orderBy("n_nationkey")
+      },
+      Some("SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey")),
+
+    Q("q06_sample",
+      (s, d) => {
+        val m = mgr(s, d)
+        // Seeded Bernoulli sample — not oracle-able (engine-specific RNG);
+        // the driver's rows-only check pins non-emptiness/shape.
+        Views.sample(m.getDDFByName("lineitem"), 0.1, withReplacement = false, seed = 42)
+          .df.select("l_orderkey", "l_linenumber").orderBy("l_orderkey", "l_linenumber")
+      },
+      None)
+  )
+
+  // =====================================================================
+  // §2.9 SQL front-end (dialect, @this) + flagship aggregation
+  // =====================================================================
+
+  private val sqlFrontend: Seq[Q] = Seq(
+    Q("q10_tpch_q1",
+      (s, d) => {
+        val m = mgr(s, d)
+        m.sql2ddf(
+          s"""select l_returnflag, l_linestatus,
+             |  count(*) as n,
+             |  ${dsumSql("l_quantity")} as sum_qty,
+             |  ${dsumSql("l_extendedprice")} as sum_base,
+             |  ${dsum2Sql("l_extendedprice", "1 - l_discount")} as sum_disc,
+             |  round(${dsumSql("l_quantity")} / count(*), 4) as avg_qty
+             |from lineitem
+             |where l_shipdate <= timestamp '1998-09-02 00:00:00'
+             |group by l_returnflag, l_linestatus
+             |order by l_returnflag, l_linestatus""".stripMargin).df
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |  count(*) AS n,
+              |  ${dsumSql("l_quantity")} AS sum_qty,
+              |  ${dsumSql("l_extendedprice")} AS sum_base,
+              |  ${dsum2Sql("l_extendedprice", "1 - l_discount")} AS sum_disc,
+              |  round(${dsumSql("l_quantity")} / count(*), 4) AS avg_qty
+              |FROM lineitem
+              |WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+              |GROUP BY l_returnflag, l_linestatus
+              |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    Q("q11_sql_this",
+      (s, d) => {
+        val m = mgr(s, d)
+        val li = m.getDDFByName("lineitem")
+        m.sql2ddf(
+          """select l_returnflag, count(*) as n from @this
+            |where l_quantity >= 25 group by l_returnflag
+            |order by l_returnflag""".stripMargin, li).df
+      },
+      Some("""SELECT l_returnflag, count(*) AS n FROM lineitem
+             |WHERE l_quantity >= 25 GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin))
+  )
+
+  // =====================================================================
+  // §2.3 Joins + §2.8 set ops
+  // =====================================================================
+
+  /** Orders with o_totalprice above this are the "high value" fixture used
+    * to create unmatched rows for the outer-join oracles.
+    */
+  private val HI = 400000.0
+
+  private def highOrders(m: DDFManager): DDF =
+    m.register(m.getDDFByName("orders").df
+      .filter(col("o_totalprice") > HI)
+      .select("o_orderkey", "o_custkey", "o_totalprice"))
+
+  private val joins: Seq[Q] = Seq(
+    Q("q20_join_inner",
+      (s, d) => {
+        val m = mgr(s, d)
+        // dimension chain: customer→nation→region, both dims broadcast-able
+        val c = m.getDDFByName("customer")
+        val n = m.getDDFByName("nation")
+        val r = m.getDDFByName("region")
+        val cn = Joins.join(c, n, "inner", byLeft = Seq("c_nationkey"),
+          byRight = Seq("n_nationkey"), broadcastRight = true)
+        val cnr = Joins.join(cn, r, "inner", byLeft = Seq("n_regionkey"),
+          byRight = Seq("r_regionkey"), broadcastRight = true)
+        cnr.df.select("c_custkey", "c_name", "n_name", "r_name").orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, n_name, r_name
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |ORDER BY c_custkey""".stripMargin)),
+
+    Q("q21_join_multikey",
+      (s, d) => {
+        val m = mgr(s, d)
+        val li = m.getDDFByName("lineitem")
+        val agg = m.register(li.df.groupBy("l_orderkey", "l_linenumber")
+          .agg(count(lit(1)).as("n_parts")))
+        Joins.join(li, agg, "inner",
+          byLeft = Seq("l_orderkey", "l_linenumber"),
+          byRight = Seq("l_orderkey", "l_linenumber"))
+          .df.select(col("l.l_orderkey"), col("l.l_linenumber"), col("r.n_parts"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT a.l_orderkey, a.l_linenumber, b.n_parts
+             |FROM lineitem a
+             |JOIN (SELECT l_orderkey, l_linenumber, count(*) AS n_parts
+             |      FROM lineitem GROUP BY l_orderkey, l_linenumber) b
+             |ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = b.l_linenumber
+             |ORDER BY a.l_orderkey, a.l_linenumber""".stripMargin)),
+
+    Q("q22_join_left",
+      (s, d) => {
+        val m = mgr(s, d)
+        Joins.join(m.getDDFByName("customer"), highOrders(m), "left",
+          byLeft = Seq("c_custkey"), byRight = Seq("o_custkey"))
+          .df.select(col("l.c_custkey"), col("r.o_orderkey"), col("r.o_totalprice"))
+          .orderBy(col("c_custkey"), col("o_orderkey"))
+      },
+      Some(s"""SELECT c_custkey, o_orderkey, o_totalprice
+              |FROM customer LEFT JOIN
+              |  (SELECT * FROM orders WHERE o_totalprice > $HI) o
+              |ON c_custkey = o_custkey
+              |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin)),
+
+    Q("q23_join_right",
+      (s, d) => {
+        val m = mgr(s, d)
+        Joins.join(highOrders(m), m.getDDFByName("customer"), "right",
+          byLeft = Seq("o_custkey"), byRight = Seq("c_custkey"))
+          .df.select(col("r.c_custkey"), col("l.o_orderkey"), col("l.o_totalprice"))
+          .orderBy(col("c_custkey"), col("o_orderkey"))
+      },
+      Some(s"""SELECT c_custkey, o_orderkey, o_totalprice
+              |FROM (SELECT * FROM orders WHERE o_totalprice > $HI) o
+              |RIGHT JOIN customer ON o_custkey = c_custkey
+              |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin)),
+
+    Q("q24_join_full",
+      (s, d) => {
+        val m = mgr(s, d)
+        val evenCust = m.register(m.getDDFByName("customer").df
+          .filter(col("c_custkey") % 2 === 0).select("c_custkey", "c_name"))
+        Joins.join(evenCust, highOrders(m), "full",
+          byLeft = Seq("c_custkey"), byRight = Seq("o_custkey"))
+          .df.select(col("l.c_custkey"), col("l.c_name"), col("r.o_orderkey"))
+          .orderBy(col("c_custkey"), col("o_orderkey"))
+      },
+      Some(s"""SELECT c_custkey, c_name, o_orderkey
+              |FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 0) c
+              |FULL JOIN (SELECT * FROM orders WHERE o_totalprice > $HI) o
+              |ON c_custkey = o_custkey
+              |ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin)),
+
+    Q("q25_join_semi",
+      (s, d) => {
+        val m = mgr(s, d)
+        Joins.join(m.getDDFByName("customer"), highOrders(m), "semi",
+          byLeft = Seq("c_custkey"), byRight = Seq("o_custkey"))
+          .df.select("c_custkey", "c_name").orderBy("c_custkey")
+      },
+      Some(s"""SELECT c_custkey, c_name FROM customer
+              |WHERE EXISTS (SELECT 1 FROM orders
+              |  WHERE o_totalprice > $HI AND o_custkey = c_custkey)
+              |ORDER BY c_custkey""".stripMargin)),
+
+    Q("q26_join_anti",
+      (s, d) => {
+        val m = mgr(s, d)
+        Joins.join(m.getDDFByName("customer"), highOrders(m), "anti",
+          byLeft = Seq("c_custkey"), byRight = Seq("o_custkey"))
+          .df.select("c_custkey", "c_name").orderBy("c_custkey")
+      },
+      Some(s"""SELECT c_custkey, c_name FROM customer
+              |WHERE NOT EXISTS (SELECT 1 FROM orders
+              |  WHERE o_totalprice > $HI AND o_custkey = c_custkey)
+              |ORDER BY c_custkey""".stripMargin)),
+
+    Q("q27_union_all",
+      (s, d) => {
+        val m = mgr(s, d)
+        val lo = m.register(m.getDDFByName("orders").df
+          .filter(col("o_totalprice") < 100000).select("o_orderkey", "o_totalprice"))
+        val hi = m.register(m.getDDFByName("orders").df
+          .filter(col("o_totalprice") > HI).select("o_orderkey", "o_totalprice"))
+        Joins.merge(lo, hi).df.orderBy("o_orderkey")
+      },
+      Some(s"""SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice < 100000
+              |UNION ALL
+              |SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > $HI
+              |ORDER BY o_orderkey""".stripMargin)),
+
+    Q("q28_distinct",
+      (s, d) => {
+        val m = mgr(s, d)
+        Joins.distinctRows(m.register(
+          m.getDDFByName("lineitem").df.select("l_returnflag", "l_linestatus")))
+          .df.orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin))
+  )
+
+  // =====================================================================
+  // §2.4 Aggregation API
+  // =====================================================================
+
+  private val aggregation: Seq[Q] = Seq(
+    Q("q30_aggregate_api",
+      (s, d) => {
+        val m = mgr(s, d)
+        Aggregations.aggregate(m.getDDFByName("lineitem"),
+          "l_returnflag, n=count(*), mx=max(l_quantity), mn=min(l_quantity)")
+          .df.orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n, max(l_quantity) AS mx,
+             |  min(l_quantity) AS mn
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    Q("q31_groupby_2step",
+      (s, d) => {
+        val m = mgr(s, d)
+        val g = Aggregations.groupByStep1(m.getDDFByName("orders"), Seq("o_orderstatus"))
+        Aggregations.groupByStep2(g, Seq("n=count(*)", "mx=max(o_totalprice)"))
+          .df.orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n, max(o_totalprice) AS mx
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    Q("q32_agg_on_column",
+      (s, d) => {
+        val m = mgr(s, d)
+        val li = m.getDDFByName("lineitem")
+        val mx = Aggregations.aggregateOnColumn(li, "max", "l_quantity")
+        val cnt = Aggregations.aggregateOnColumn(li, "count", "*")
+        import s.implicits._
+        Seq((mx.asInstanceOf[Double], cnt.asInstanceOf[Long])).toDF("max_qty", "n_rows")
+      },
+      Some("SELECT max(l_quantity) AS max_qty, count(*) AS n_rows FROM lineitem")),
+
+    Q("q33_xtabs",
+      (s, d) => {
+        val m = mgr(s, d)
+        Aggregations.xtabs(m.getDDFByName("orders"),
+          "o_orderstatus, o_orderpriority, n=count(*)")
+          .df.orderBy("o_orderstatus", "o_orderpriority")
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n
+             |FROM orders GROUP BY o_orderstatus, o_orderpriority
+             |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)),
+
+    // corr/covar from exact 2-decimal sufficient statistics — identical
+    // double arithmetic in both engines, no iterative-aggregate drift.
+    // A ScalaTest pins library corr()/covariance() against these values.
+    Q("q34_corr",
+      (s, d) => {
+        val m = mgr(s, d)
+        m.getDDFByName("lineitem").df.agg(
+          count(lit(1)).as("n"),
+          dsum(col("l_quantity")).as("sx"),
+          dsum(col("l_extendedprice")).as("sy"),
+          dsum2(col("l_quantity"), col("l_extendedprice")).as("sxy"),
+          dsum2(col("l_quantity"), col("l_quantity")).as("sxx"),
+          dsum2(col("l_extendedprice"), col("l_extendedprice")).as("syy"))
+          .select(round(
+            (col("sxy") - col("sx") * col("sy") / col("n")) /
+              sqrt((col("sxx") - col("sx") * col("sx") / col("n")) *
+                   (col("syy") - col("sy") * col("sy") / col("n"))), 6).as("corr_qty_price"))
+      },
+      Some(s"""WITH t AS (SELECT count(*) AS n,
+              |  ${dsumSql("l_quantity")} AS sx, ${dsumSql("l_extendedprice")} AS sy,
+              |  ${dsum2Sql("l_quantity", "l_extendedprice")} AS sxy,
+              |  ${dsum2Sql("l_quantity", "l_quantity")} AS sxx,
+              |  ${dsum2Sql("l_extendedprice", "l_extendedprice")} AS syy
+              |  FROM lineitem)
+              |SELECT round((sxy - sx*sy/n) / sqrt((sxx - sx*sx/n)*(syy - sy*sy/n)), 6)
+              |  AS corr_qty_price FROM t""".stripMargin)),
+
+    Q("q35_covar",
+      (s, d) => {
+        val m = mgr(s, d)
+        m.getDDFByName("lineitem").df.agg(
+          count(lit(1)).as("n"),
+          dsum(col("l_quantity")).as("sx"),
+          dsum(col("l_extendedprice")).as("sy"),
+          dsum2(col("l_quantity"), col("l_extendedprice")).as("sxy"))
+          .select(round(
+            (col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1), 4)
+            .as("covar_qty_price"))
+      },
+      Some(s"""WITH t AS (SELECT count(*) AS n,
+              |  ${dsumSql("l_quantity")} AS sx, ${dsumSql("l_extendedprice")} AS sy,
+              |  ${dsum2Sql("l_quantity", "l_extendedprice")} AS sxy
+              |  FROM lineitem)
+              |SELECT round((sxy - sx*sy/n) / (n - 1), 4) AS covar_qty_price FROM t""".stripMargin))
+  )
+
+  // =====================================================================
+  // §2.5 Statistics
+  // =====================================================================
+
+  private val statsQ: Seq[Q] = Seq(
+    Q("q40_summary",
+      (s, d) => {
+        val m = mgr(s, d)
+        // one-pass per-column summary; mean/variance derived from exact
+        // decimal sums so the oracle matches bit-for-bit
+        val li = m.getDDFByName("lineitem").df
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val parts = cols.map { c =>
+          li.agg(
+            count(col(c)).as("n"),
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as("na_count"),
+            dsum(col(c)).as("sx"),
+            dsum2(col(c), col(c)).as("sxx"),
+            min(col(c)).cast("double").as("mn"),
+            max(col(c)).cast("double").as("mx"))
+            .select(lit(c).as("col_name"), col("n"), col("na_count"),
+              round(col("sx") / col("n"), 6).as("mean"),
+              round((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1), 6).as("variance"),
+              col("mn"), col("mx"))
+        }
+        parts.reduce(_ unionAll _).orderBy("col_name")
+      },
+      Some {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        cols.map { c =>
+          s"""SELECT '$c' AS col_name, count($c) AS n,
+             |  cast(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS bigint) AS na_count,
+             |  round(${dsumSql(c)} / count($c), 6) AS mean,
+             |  round((${dsum2Sql(c, c)} - ${dsumSql(c)} * ${dsumSql(c)} / count($c))
+             |        / (count($c) - 1), 6) AS variance,
+             |  cast(min($c) AS double) AS mn, cast(max($c) AS double) AS mx
+             |FROM lineitem""".stripMargin
+        }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+      }),
+
+    Q("q41_quantiles",
+      (s, d) => {
+        val m = mgr(s, d)
+        val li = m.getDDFByName("lineitem").df
+        val ps = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+        val cols = Seq("l_quantity", "l_extendedprice")
+        import s.implicits._
+        val rows = for (c <- cols; (p, v) <- ps.zip(Stats.quantiles(li, c, ps, exact = true)))
+          yield (c, p, BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        rows.toDF("col_name", "p", "q").orderBy("col_name", "p")
+      },
+      Some {
+        val ps = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+        val qs = for (c <- Seq("l_quantity", "l_extendedprice"); p <- ps)
+          yield s"SELECT '$c' AS col_name, cast($p AS double) AS p, round(quantile_cont($c, $p), 4) AS q FROM lineitem"
+        qs.mkString("", "\nUNION ALL\n", "\nORDER BY col_name, p")
+      }),
+
+    Q("q42_quantiles_integral",
+      (s, d) => {
+        // integral columns floor the quantile (reference quirk, SURVEY T3)
+        val m = mgr(s, d)
+        val li = m.getDDFByName("lineitem").df
+        val ps = Seq(0.25, 0.5, 0.75)
+        import s.implicits._
+        val vs = Stats.quantiles(li, "l_orderkey", ps, exact = true)
+        ps.zip(vs).map { case (p, v) => (p, v.toLong) }.toDF("p", "q")
+          .orderBy("p")
+      },
+      Some("""SELECT p, cast(floor(q) AS bigint) AS q FROM (
+             |  SELECT 0.25 AS p, quantile_cont(l_orderkey, 0.25) AS q FROM lineitem
+             |  UNION ALL SELECT 0.5, quantile_cont(l_orderkey, 0.5) FROM lineitem
+             |  UNION ALL SELECT 0.75, quantile_cont(l_orderkey, 0.75) FROM lineitem)
+             |ORDER BY p""".stripMargin)),
+
+    Q("q43_histogram",
+      (s, d) => {
+        val m = mgr(s, d)
+        Stats.histogramDF(m.getDDFByName("lineitem").df, "l_extendedprice", 20)
+          .select(col("bucket"), round(col("bin_start"), 4).as("bin_start"),
+            round(col("bin_end"), 4).as("bin_end"), col("bin_count"))
+          .orderBy("bucket")
+      },
+      Some("""WITH mm AS (SELECT cast(min(l_extendedprice) AS double) AS mn,
+             |                    cast(max(l_extendedprice) AS double) AS mx
+             |             FROM lineitem),
+             |b AS (SELECT cast(least(floor((l_extendedprice - mn) / ((mx - mn) / 20)), 19) AS int) AS bucket,
+             |             mn, mx
+             |      FROM lineitem, mm)
+             |SELECT bucket, round(mn + bucket * ((mx - mn) / 20), 4) AS bin_start,
+             |       round(mn + (bucket + 1) * ((mx - mn) / 20), 4) AS bin_end,
+             |       count(*) AS bin_count
+             |FROM b GROUP BY bucket, mn, mx ORDER BY bucket""".stripMargin)),
+
+    Q("q44_factor_levels",
+      (s, d) => {
+        val m = mgr(s, d)
+        val df = m.getDDFByName("customer").df
+        val pairs = Seq("c_mktsegment", "c_nationkey").map(c =>
+          struct(lit(c).as("col_name"), col(c).cast("string").as("level")))
+        df.select(explode(array(pairs: _*)).as("p"))
+          .select(col("p.col_name"), col("p.level"))
+          .groupBy("col_name", "level").agg(count(lit(1)).as("n"))
+          .orderBy("col_name", "level")
+      },
+      Some("""SELECT col_name, level, count(*) AS n FROM (
+             |  SELECT 'c_mktsegment' AS col_name, c_mktsegment AS level FROM customer
+             |  UNION ALL
+             |  SELECT 'c_nationkey', cast(c_nationkey AS varchar) FROM customer)
+             |GROUP BY col_name, level ORDER BY col_name, level""".stripMargin)),
+
+    Q("q45_simple_summary",
+      (s, d) => {
+        val m = mgr(s, d)
+        val df = m.getDDFByName("part").df
+        val numeric = df.agg(
+          min(col("p_size")).cast("double").as("mn_size"),
+          max(col("p_size")).cast("double").as("mx_size"),
+          min(col("p_retailprice")).as("mn_price"),
+          max(col("p_retailprice")).as("mx_price"))
+        val brands = df.select(col("p_brand")).distinct()
+          .agg(sort_array(collect_list("p_brand")).as("levels"))
+        numeric.crossJoin(brands)
+      },
+      Some("""SELECT cast(min(p_size) AS double) AS mn_size,
+             |  cast(max(p_size) AS double) AS mx_size,
+             |  min(p_retailprice) AS mn_price, max(p_retailprice) AS mx_price,
+             |  (SELECT list(DISTINCT p_brand ORDER BY p_brand) FROM part) AS levels
+             |FROM part""".stripMargin))
+  )
+
+  // =====================================================================
+  // §2.6 Binning  +  §2.7 Missing data
+  // =====================================================================
+
+  /** Static custom breaks over l_quantity (1..50): labels are compile-time
+    * constants shared by the Spark path and the oracle CASE expression.
+    */
+  private val qBreaks = Seq(1.0, 10.0, 25.0, 40.0, 50.0)
+
+  private def binOracleCase(c: String, breaks: Seq[Double],
+                            includeLowest: Boolean, right: Boolean): String = {
+    val n = breaks.length - 1
+    val whens = (0 until n).map { i =>
+      val lo = breaks(i); val hi = breaks(i + 1)
+      val cond =
+        if (right) {
+          val lower = if (i == 0) (if (includeLowest) s"$c >= $lo" else s"$c > $lo") else s"$c > $lo"
+          s"$lower AND $c <= $hi"
+        } else {
+          val upper = if (i == n - 1) (if (includeLowest) s"$c <= $hi" else s"$c < $hi") else s"$c < $hi"
+          s"$c >= $lo AND $upper"
+        }
+      val lbl = Binning.label(lo, hi, i == 0, i == n - 1, includeLowest, right)
+      s"WHEN $cond THEN '$lbl'"
+    }
+    s"CASE ${whens.mkString(" ")} END"
+  }
+
+  private val binningMissing: Seq[Q] = Seq(
+    Q("q50_binning_custom",
+      (s, d) => {
+        val m = mgr(s, d)
+        Binning.binningCustom(m.getDDFByName("lineitem"), "l_quantity",
+          qBreaks, includeLowest = true, right = true)
+          .df.groupBy("l_quantity").agg(count(lit(1)).as("n"))
+          .withColumnRenamed("l_quantity", "bin").orderBy("bin")
+      },
+      Some {
+        val c = binOracleCase("l_quantity", qBreaks, includeLowest = true, right = true)
+        s"""SELECT bin, count(*) AS n FROM
+           |  (SELECT $c AS bin FROM lineitem) WHERE bin IS NOT NULL
+           |GROUP BY bin ORDER BY bin""".stripMargin
+      }),
+
+    Q("q51_binning_left",
+      (s, d) => {
+        val m = mgr(s, d)
+        // right=false, includeLowest=false: [a,b) intervals, x==max dropped
+        Binning.binningCustom(m.getDDFByName("lineitem"), "l_quantity",
+          qBreaks, includeLowest = false, right = false)
+          .df.groupBy("l_quantity").agg(count(lit(1)).as("n"))
+          .withColumnRenamed("l_quantity", "bin").orderBy("bin")
+      },
+      Some {
+        val c = binOracleCase("l_quantity", qBreaks, includeLowest = false, right = false)
+        s"""SELECT bin, count(*) AS n FROM
+           |  (SELECT $c AS bin FROM lineitem) WHERE bin IS NOT NULL
+           |GROUP BY bin ORDER BY bin""".stripMargin
+      }),
+
+    Q("q52_binning_eqfreq",
+      (s, d) => {
+        val m = mgr(s, d)
+        // bin INDEX output: quantile breaks can't be string-formatted
+        // statically; index semantics are engine-independent
+        val df = m.getDDFByName("orders").df
+        val breaks = Stats.quantiles(df, "o_totalprice", Seq(0.0, 0.25, 0.5, 0.75, 1.0), exact = true)
+        val c = col("o_totalprice")
+        val idx = when(c >= breaks(0) && c <= breaks(1), 0)
+          .when(c > breaks(1) && c <= breaks(2), 1)
+          .when(c > breaks(2) && c <= breaks(3), 2)
+          .when(c > breaks(3) && c <= breaks(4), 3)
+        df.select(idx.as("bin"), col("o_orderkey"))
+          .filter(col("bin").isNotNull)
+          .groupBy("bin").agg(count(lit(1)).as("n"))
+          .orderBy("bin")
+      },
+      Some("""WITH q AS (SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+             |  quantile_cont(o_totalprice, 0.5) AS q2,
+             |  quantile_cont(o_totalprice, 0.75) AS q3,
+             |  min(o_totalprice) AS q0, max(o_totalprice) AS q4 FROM orders)
+             |SELECT CASE
+             |  WHEN o_totalprice >= q0 AND o_totalprice <= q1 THEN 0
+             |  WHEN o_totalprice > q1 AND o_totalprice <= q2 THEN 1
+             |  WHEN o_totalprice > q2 AND o_totalprice <= q3 THEN 2
+             |  WHEN o_totalprice > q3 AND o_totalprice <= q4 THEN 3 END AS bin,
+             |  count(*) AS n
+             |FROM orders, q GROUP BY bin ORDER BY bin""".stripMargin)),
+
+    Q("q55_dropna_rows",
+      (s, d) => {
+        val m = mgr(s, d)
+        // tables ship null-free: synthesize nulls via nullif, identically
+        // in the oracle (SURVEY M1)
+        val li = m.getDDFByName("lineitem").df.select(
+          col("l_orderkey"), col("l_linenumber"),
+          nullif(col("l_returnflag"), lit("N")).as("rf"),
+          nullif(col("l_linestatus"), lit("F")).as("ls"))
+        val ddf = m.register(li)
+        MissingData.dropNARows(ddf, how = "any", cols = Seq("rf", "ls"))
+          .df.orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, nullif(l_returnflag, 'N') AS rf,
+             |  nullif(l_linestatus, 'F') AS ls
+             |FROM lineitem
+             |WHERE nullif(l_returnflag, 'N') IS NOT NULL
+             |  AND nullif(l_linestatus, 'F') IS NOT NULL
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    Q("q56_dropna_thresh",
+      (s, d) => {
+        val m = mgr(s, d)
+        val li = m.getDDFByName("lineitem").df.select(
+          col("l_orderkey"), col("l_linenumber"),
+          nullif(col("l_returnflag"), lit("N")).as("rf"),
+          nullif(col("l_linestatus"), lit("F")).as("ls"))
+        val ddf = m.register(li)
+        // thresh=1 → keep rows with ≥1 non-null among (rf, ls)
+        MissingData.dropNARows(ddf, thresh = Some(1), cols = Seq("rf", "ls"))
+          .df.orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, nullif(l_returnflag, 'N') AS rf,
+             |  nullif(l_linestatus, 'F') AS ls
+             |FROM lineitem
+             |WHERE nullif(l_returnflag, 'N') IS NOT NULL
+             |   OR nullif(l_linestatus, 'F') IS NOT NULL
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    Q("q57_dropna_cols",
+      (s, d) => {
+        val m = mgr(s, d)
+        val li = m.getDDFByName("lineitem").df.select(
+          col("l_orderkey"), col("l_linenumber"),
+          nullif(col("l_returnflag"), lit("N")).as("rf"),
+          col("l_quantity"))
+        // rf contains nulls → dropped by the ANY policy; the oracle states
+        // the statically-known survivor set (deterministic fixture)
+        MissingData.dropNAColumns(m.register(li), how = "any")
+          .df.orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    Q("q58_fillna",
+      (s, d) => {
+        val m = mgr(s, d)
+        val li = m.getDDFByName("lineitem").df.select(
+          col("l_orderkey"), col("l_linenumber"),
+          nullif(col("l_quantity"), lit(1.0)).as("qty"))
+        MissingData.fillNAValue(m.register(li), 0.0, Seq("qty"))
+          .df.orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  coalesce(nullif(l_quantity, 1.0), 0.0) AS qty
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    Q("q59_fillna_mean",
+      (s, d) => {
+        val m = mgr(s, d)
+        val li = m.getDDFByName("lineitem").df.select(
+          col("l_orderkey"), col("l_linenumber"),
+          nullif(col("l_quantity"), lit(1.0)).as("qty"))
+        MissingData.fillNAWithAggregate(m.register(li), "mean", Seq("qty"))
+          .df.select(col("l_orderkey"), col("l_linenumber"), round(col("qty"), 4).as("qty"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      // mean over 2-decimal values: exact decimal sum / count on both sides
+      Some(s"""WITH m AS (SELECT ${dsumSql("nullif(l_quantity, 1.0)")}
+              |  / count(nullif(l_quantity, 1.0)) AS fill FROM lineitem)
+              |SELECT l_orderkey, l_linenumber,
+              |  round(coalesce(nullif(l_quantity, 1.0), fill), 4) AS qty
+              |FROM lineitem, m ORDER BY l_orderkey, l_linenumber""".stripMargin))
+  )
+
+  // =====================================================================
+  // §2.11 Transforms + window extensions
+  // =====================================================================
+
+  private val transforms: Seq[Q] = Seq(
+    Q("q60_transform_udf",
+      (s, d) => {
+        val m = mgr(s, d)
+        // all factors are exact 2-decimal → 6-decimal exact product in
+        // decimal arithmetic; double round() would tie-break differently
+        // per engine
+        Transforms.transformUDF(m.getDDFByName("lineitem"), "profit",
+          """cast(cast(l_extendedprice as decimal(10,2))
+            | * cast(1 - l_discount as decimal(4,2))
+            | * cast(1 + l_tax as decimal(4,2)) as double)""".stripMargin)
+          .df.select("l_orderkey", "l_linenumber", "profit")
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  cast(cast(l_extendedprice AS decimal(10,2))
+             |   * cast(1 - l_discount AS decimal(4,2))
+             |   * cast(1 + l_tax AS decimal(4,2)) AS double) AS profit
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    Q("q61_scale_minmax",
+      (s, d) => {
+        val m = mgr(s, d)
+        val li = m.register(m.getDDFByName("lineitem").df
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"))
+        Transforms.scaleMinMax(li, Seq("l_quantity", "l_extendedprice"))
+          .df.select(col("l_orderkey"), col("l_linenumber"),
+            round(col("l_quantity"), 6).as("qty_s"),
+            round(col("l_extendedprice"), 6).as("price_s"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""WITH mm AS (SELECT cast(min(l_quantity) AS double) AS qmn,
+             |  cast(max(l_quantity) AS double) AS qmx,
+             |  cast(min(l_extendedprice) AS double) AS pmn,
+             |  cast(max(l_extendedprice) AS double) AS pmx FROM lineitem)
+             |SELECT l_orderkey, l_linenumber,
+             |  round((l_quantity - qmn) / (qmx - qmn), 6) AS qty_s,
+             |  round((l_extendedprice - pmn) / (pmx - pmn), 6) AS price_s
+             |FROM lineitem, mm ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    Q("q62_window_rank",
+      (s, d) => {
+        val m = mgr(s, d)
+        m.sql2ddf(
+          """select o_orderstatus, o_orderkey, o_totalprice, rk from (
+            |  select o_orderstatus, o_orderkey, o_totalprice,
+            |    row_number() over (partition by o_orderstatus
+            |                       order by o_totalprice desc, o_orderkey) as rk
+            |  from orders) where rk <= 3
+            |order by o_orderstatus, rk""".stripMargin).df
+      },
+      Some("""SELECT o_orderstatus, o_orderkey, o_totalprice, rk FROM (
+             |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_orderstatus
+             |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+             |  FROM orders) WHERE rk <= 3
+             |ORDER BY o_orderstatus, rk""".stripMargin)),
+
+    Q("q63_window_runsum",
+      (s, d) => {
+        val m = mgr(s, d)
+        // running sum over exact decimals → deterministic in both engines
+        m.sql2ddf(
+          """select o_custkey, o_orderkey,
+            |  cast(sum(cast(o_totalprice as decimal(18,2)))
+            |    over (partition by o_custkey order by o_orderkey) as double) as run_total
+            |from orders order by o_custkey, o_orderkey""".stripMargin).df
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  cast(sum(cast(o_totalprice AS decimal(18,2)))
+             |    OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS double) AS run_total
+             |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    Q("q64_events_hourly",
+      (s, d) => {
+        val m = mgr(s, d)
+        m.getDDFByName("events").df
+          .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .orderBy("hour_epoch", "event_type")
+      },
+      Some(s"""SELECT cast(epoch(date_trunc('hour', ts)) AS bigint) AS hour_epoch,
+              |  event_type, count(*) AS n, ${dsumSql("value")} AS sum_value
+              |FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type""".stripMargin))
+  )
+
+  // =====================================================================
+  // Training-data pipeline extensions: dedup / similarity / text /
+  // multimodal / streaming / ML (SURVEY §7.2 step 9)
+  // =====================================================================
+
+  /** DuckDB expression for whitespace tokens of lower(text) ('' removed) —
+    * mirrors TextAnalysis.tokensExpr.
+    */
+  private def duckToks(t: String) =
+    s"list_filter(string_split_regex(lower($t), '\\s+'), x -> x != '')"
+  /** DuckDB expression mirroring Dedup.normText. */
+  private def duckNorm(t: String) =
+    s"trim(regexp_replace(lower($t), '\\s+', ' ', 'g'))"
+  /** DuckDB 3-gram shingles mirroring Dedup.shingleExpr(n=3). */
+  private def duckShingles(t: String) = {
+    val toks = s"list_filter(string_split(${duckNorm(t)}, ' '), x -> x != '')"
+    s"""(CASE WHEN len($toks) < 3 THEN [array_to_string($toks, ' ')]
+       | ELSE list_distinct(list_transform(range(1, len($toks) - 1),
+       |        i -> array_to_string(($toks)[i:i+2], ' '))) END)""".stripMargin
+  }
+  private val duckCos =
+    "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+
+  private val pipelineQ: Seq[Q] = Seq(
+    Q("d01_dedup_exact",
+      (s, d) => {
+        val m = mgr(s, d)
+        pipeline.Dedup.exact(m.getDDFByName("documents").df, "text", "doc_id")
+          .orderBy("fingerprint")
+      },
+      Some(s"""SELECT md5(${duckNorm("text")}) AS fingerprint,
+              |  min(doc_id) AS keep_id, count(*) AS n_dups
+              |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin)),
+
+    Q("d02_dedup_minhash",
+      (s, d) => {
+        val m = mgr(s, d)
+        // candidate generation via banded MinHash (engine-specific hashes →
+        // rows-only check); candidates verified with exact Jaccard
+        pipeline.Dedup.minhashDedup(m.getDDFByName("documents").df, "text", "doc_id",
+          threshold = 0.5)
+          .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("id1", "id2")
+      },
+      None),
+
+    Q("d03_dedup_simhash",
+      (s, d) => {
+        val m = mgr(s, d)
+        pipeline.Dedup.simhashDedup(m.getDDFByName("documents").df, "text", "doc_id",
+          maxHamming = 12)
+          .orderBy("id1", "id2")
+      },
+      None),
+
+    Q("d04_jaccard_pairs",
+      (s, d) => {
+        val m = mgr(s, d)
+        val docs = m.getDDFByName("documents").df
+        val pairs = docs.filter(col("doc_id") < 29)
+          .select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2"))
+        pipeline.Dedup.jaccardOnPairs(pairs, docs, "text", "doc_id")
+          .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("id1")
+      },
+      Some(s"""WITH sh AS (SELECT doc_id, ${duckShingles("text")} AS s FROM documents)
+              |SELECT a.doc_id AS id1, b.doc_id AS id2,
+              |  round(len(list_intersect(a.s, b.s))::DOUBLE
+              |        / len(list_distinct(a.s || b.s)), 6) AS jaccard
+              |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+              |WHERE a.doc_id < 29 ORDER BY id1""".stripMargin)),
+
+    Q("d05_embedding_dedup",
+      (s, d) => {
+        val m = mgr(s, d)
+        // exact-double cosine (cast floats up) so the oracle math is
+        // bit-identical; brute-force restricted to a bounded id range —
+        // the full-scale path is Dedup.embeddingDedup (LSH-bucketed)
+        val vecs = m.getDDFByName("embeddings").df.filter(col("vec_id") < 200)
+          .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+        val l = vecs.alias("l"); val r = vecs.alias("r")
+        l.join(r, col("l.vec_id") < col("r.vec_id"))
+          .select(col("l.vec_id").as("id1"), col("r.vec_id").as("id2"),
+            pipeline.Similarity.cosine(col("l.v"), col("r.v")).as("c"))
+          .filter(col("c") >= 0.3)
+          .select(col("id1"), col("id2"), round(col("c"), 6).as("cosine"))
+          .orderBy("id1", "id2")
+      },
+      Some(s"""WITH dv AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              |           FROM embeddings WHERE vec_id < 200)
+              |SELECT a.vec_id AS id1, b.vec_id AS id2, round($duckCos, 6) AS cosine
+              |FROM dv a JOIN dv b ON a.vec_id < b.vec_id
+              |WHERE $duckCos >= 0.3 ORDER BY id1, id2""".stripMargin)),
+
+    Q("a01_ann_brute",
+      (s, d) => {
+        val m = mgr(s, d)
+        val all = m.getDDFByName("embeddings").df
+          .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("embedding"))
+        val queries = all.filter(col("vec_id") < 3)
+          .withColumnRenamed("vec_id", "qid")
+        pipeline.Similarity.bruteForceTopK(all, queries, "embedding", "vec_id", "qid", 10)
+          .select(col("query_id"), col("id"), round(col("cosine"), 6).as("cosine"), col("rk"))
+          .orderBy("query_id", "rk")
+      },
+      Some(s"""WITH dv AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              |            FROM embeddings),
+              |scored AS (SELECT a.vec_id AS query_id, b.vec_id AS id, $duckCos AS c,
+              |    row_number() OVER (PARTITION BY a.vec_id ORDER BY $duckCos DESC, b.vec_id) AS rk
+              |  FROM (SELECT * FROM dv WHERE vec_id < 3) a CROSS JOIN dv b)
+              |SELECT query_id, id, round(c, 6) AS cosine, rk FROM scored
+              |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+
+    Q("a02_ann_lsh",
+      (s, d) => {
+        val m = mgr(s, d)
+        val all = m.getDDFByName("embeddings").df
+        val queries = all.filter(col("vec_id") < 3).withColumnRenamed("vec_id", "qid")
+        pipeline.Similarity.lshTopK(all, queries, "embedding", "vec_id", "qid", 10,
+          planes = 8)
+          .select(col("query_id"), col("id"), round(col("cosine"), 6).as("cosine"), col("rk"))
+          .orderBy("query_id", "rk")
+      },
+      None),
+
+    Q("t01_text_enrich",
+      (s, d) => {
+        val m = mgr(s, d)
+        pipeline.TextAnalysis.enrich(m.getDDFByName("documents").df, "text")
+          .select(col("doc_id"), col("token_count"), col("subword_count"),
+            col("lang_pred"), round(col("quality"), 6).as("quality"), col("fingerprint"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val langs = Seq("de", "en", "es", "fr")
+        val scoreExprs = langs.map { l =>
+          val set = pipeline.TextAnalysis.stopwords(l).map(w => s"'$w'").mkString("[", ",", "]")
+          s"len(list_filter(${duckToks("text")}, t -> list_contains($set, t)))" +
+            s" / greatest(len(${duckToks("text")}), 1)::DOUBLE AS s_$l"
+        }
+        s"""WITH sc AS (SELECT doc_id, text, ${scoreExprs.mkString(",\n  ")} FROM documents)
+           |SELECT doc_id,
+           |  len(${duckToks("text")})::BIGINT AS token_count,
+           |  list_sum(list_transform(${duckToks("text")},
+           |    t -> greatest(1, ceil(length(t) / 6.0)::BIGINT)))::BIGINT AS subword_count,
+           |  CASE WHEN greatest(s_de, s_en, s_es, s_fr) < 0.02 THEN 'und'
+           |       WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+           |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+           |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+           |       ELSE 'fr' END AS lang_pred,
+           |  round(0.4 * least(len(${duckToks("text")}) / 100.0, 1.0)
+           |    + 0.3 * (CASE WHEN len(${duckToks("text")}) = 0 THEN 0.0
+           |             ELSE len(list_distinct(${duckToks("text")}))
+           |                  / len(${duckToks("text")})::DOUBLE END)
+           |    + 0.3 * (1.0 - length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+           |             / greatest(length(text), 1)::DOUBLE), 6) AS quality,
+           |  md5(${duckNorm("text")}) AS fingerprint
+           |FROM sc ORDER BY doc_id""".stripMargin
+      }),
+
+    Q("t02_rolling_hash",
+      (s, d) => {
+        val m = mgr(s, d)
+        m.getDDFByName("documents").df
+          .select(col("doc_id"), pipeline.TextAnalysis.rollingHash("text").as("rhash"))
+          .orderBy("doc_id")
+      },
+      None),
+
+    Q("m01_multimodal_meta",
+      (s, d) => {
+        val m = mgr(s, d)
+        val docs = m.getDDFByName("documents").df.filter(col("doc_id") < 100)
+        pipeline.Multimodal.withBinaryPayload(docs, "text", "text/plain")
+          .select(col("doc_id"), col("meta.byte_len"), col("meta.content_hash"),
+            col("meta.modality"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, octet_length(encode(text))::BIGINT AS byte_len,
+             |  md5(text) AS content_hash, 'text/plain' AS modality
+             |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)),
+
+    Q("e01_tumbling_30m",
+      (s, d) => {
+        val m = mgr(s, d)
+        // same transform serves readStream sources (see StreamingSpec)
+        streaming.EventStreams.tumblingCounts(m.getDDFByName("events").df, "30 minutes")
+          .select(unix_timestamp(col("window_start")).as("bucket"),
+            col("event_type"), col("n"), col("sum_value"))
+          .orderBy("bucket", "event_type")
+      },
+      Some(s"""SELECT (floor(epoch(ts))::BIGINT // 1800) * 1800 AS bucket, event_type,
+              |  count(*) AS n, ${dsumSql("value")} AS sum_value
+              |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin)),
+
+    Q("s01_sessionize",
+      (s, d) => {
+        val m = mgr(s, d)
+        import s.implicits._
+        val ev = m.getDDFByName("events").df
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+          .as[streaming.EventStreams.EventRow]
+        streaming.EventStreams.sessionize(ev, gapMs = 30 * 60 * 1000L)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("total_events"))
+          .orderBy("user_id")
+      },
+      Some("""WITH g AS (SELECT user_id, ts,
+             |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events)
+             |SELECT user_id,
+             |  count(CASE WHEN prev IS NULL
+             |             OR epoch_ms(ts) - epoch_ms(prev) > 1800000 THEN 1 END) AS n_sessions,
+             |  count(*) AS total_events
+             |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    Q("ml01_kmeans",
+      (s, d) => {
+        val m = mgr(s, d)
+        import org.apache.spark.ml.functions.array_to_vector
+        val emb = m.register(m.getDDFByName("embeddings").df
+          .withColumn("features", array_to_vector(col("embedding"))))
+        val model = ml.MLSupport.train(emb, "kmeans", Seq("features"), params = Map("k" -> 5))
+        val scored = ml.MLSupport.applyModel(emb, model)
+        scored.df.groupBy("yPredict").agg(count(lit(1)).as("n")).orderBy("yPredict")
+      },
+      None),
+
+    Q("ml02_linreg",
+      (s, d) => {
+        val m = mgr(s, d)
+        import s.implicits._
+        val li = m.getDDFByName("lineitem")
+        val model = ml.MLSupport.train(li, "mlr", Seq("l_quantity"), "l_extendedprice")
+        val scored = ml.MLSupport.applyModel(li, model)
+        val r2 = ml.MLSupport.r2Score(scored.df, "l_extendedprice")
+        val lm = model.model.asInstanceOf[org.apache.spark.ml.regression.LinearRegressionModel]
+        Seq((math.round(lm.coefficients(0)), math.round(lm.intercept),
+          math.round(r2 * 100) / 100.0)).toDF("slope", "intercept", "r2")
+      },
+      None)
+  )
+
+  private val allQueries: Seq[Q] =
+    relational ++ sqlFrontend ++ joins ++ aggregation ++ statsQ ++
+      binningMissing ++ transforms ++ pipelineQ
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    allQueries.find(_.name == "q10_tpch_q1").get.fn(spark, "/root/testdata/sf0.001")
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allQueries.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops →
+    * driver records a weaker rows-only check. */
+  def oracleSql: Map[String, String] =
+    allQueries.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

@@ -1,0 +1,123 @@
+package graft.ml
+
+import graft.core.DDF
+import org.apache.spark.ml.{Pipeline, PipelineModel, Transformer}
+import org.apache.spark.ml.classification.LinearSVC
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.evaluation.{BinaryClassificationEvaluator, RegressionEvaluator}
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.recommendation.ALS
+import org.apache.spark.ml.regression.LinearRegression
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** ML capability parity (SURVEY §2.12; reference:
+  * flink/src/main/scala/io/ddf/flink/ml/FlinkMLSupporter.scala +
+  * ReflectHelper.scala — 110 LoC of reflection plumbing that disappears
+  * on Spark: `spark.ml` has a uniform fit/transform API).
+  *
+  * `train(name, …)` keys mirror the reference's config-driven algorithm
+  * table (ddf-conf/ddf.ini:74-77): svm / mlr / als / kmeans. `applyModel`
+  * appends the reference's `yPredict` column. The reference's declared-
+  * but-unimplemented metrics (r2score, rmse, roc — README.md:80) are
+  * provided via Spark evaluators.
+  */
+object MLSupport {
+
+  final case class TrainedModel(name: String, model: Transformer,
+                                featureCols: Seq[String], labelCol: Option[String])
+
+  private def assemble(df: DataFrame, featureCols: Seq[String]): DataFrame =
+    featureCols match {
+      // a single column that already IS an ml Vector (e.g. from
+      // array_to_vector over an embedding array) passes straight through
+      case Seq(c) if df.schema(c).dataType == org.apache.spark.ml.linalg.SQLDataTypes.VectorType =>
+        if (c == "features") df else df.withColumn("features", col(c))
+      case _ =>
+        new VectorAssembler().setInputCols(featureCols.toArray).setOutputCol("features")
+          .transform(df)
+    }
+
+  /** Algorithm lookup table (reference: FlinkMLSupporter.scala:26-36). */
+  def train(ddf: DDF, name: String, featureCols: Seq[String],
+            labelCol: String = "", params: Map[String, Any] = Map.empty): TrainedModel = {
+    val df = ddf.df
+    name.toLowerCase match {
+      case "kmeans" =>
+        val k = params.getOrElse("k", 3).toString.toInt
+        val est = new KMeans().setK(k)
+          .setSeed(params.getOrElse("seed", 42L).toString.toLong)
+          .setInitMode(params.getOrElse("initMode", "k-means||").toString)
+          .setFeaturesCol("features")
+        TrainedModel(name, est.fit(assemble(df, featureCols)), featureCols, None)
+      case "svm" =>
+        val est = new LinearSVC().setFeaturesCol("features").setLabelCol(labelCol)
+          .setMaxIter(params.getOrElse("maxIter", 20).toString.toInt)
+        TrainedModel(name, est.fit(assemble(df, featureCols)), featureCols, Some(labelCol))
+      case "mlr" | "linear_regression" =>
+        val est = new LinearRegression().setFeaturesCol("features").setLabelCol(labelCol)
+        TrainedModel(name, est.fit(assemble(df, featureCols)), featureCols, Some(labelCol))
+      case "als" =>
+        val est = new ALS()
+          .setUserCol(params.getOrElse("userCol", "user").toString)
+          .setItemCol(params.getOrElse("itemCol", "item").toString)
+          .setRatingCol(params.getOrElse("ratingCol", "rating").toString)
+          .setRank(params.getOrElse("rank", 10).toString.toInt)
+          .setSeed(params.getOrElse("seed", 42L).toString.toLong)
+        TrainedModel(name, est.fit(df), Nil, None)
+      case other => throw new IllegalArgumentException(s"Unknown algorithm '$other'")
+    }
+  }
+
+  /** `applyModel` → DDF with `yPredict` (reference: FlinkMLSupporter.scala:
+    * 42-56 appends the prediction column).
+    */
+  def applyModel(ddf: DDF, m: TrainedModel, includeFeatures: Boolean = true): DDF = {
+    val assembled = if (m.featureCols.nonEmpty) assemble(ddf.df, m.featureCols) else ddf.df
+    val out = m.model.transform(assembled)
+      .withColumnRenamed("prediction", "yPredict")
+      .drop("features", "rawPrediction")
+    val pruned = if (includeFeatures) out else out.drop(m.featureCols: _*)
+    ddf.derive(pruned)
+  }
+
+  /** Binary confusion matrix at a threshold (reference:
+    * FlinkMLSupporter.scala:71-96): counts of (label≥t, pred≥t) pairs via
+    * one groupBy — no driver loop.
+    */
+  def confusionMatrix(scored: DataFrame, labelCol: String, predCol: String,
+                      threshold: Double): Map[(Boolean, Boolean), Long] =
+    scored.groupBy((col(labelCol) >= threshold).as("t"), (col(predCol) >= threshold).as("p"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+
+  /** Random-split CV folds (reference: CrossValidation.scala:39-65). */
+  def cvRandom(ddf: DDF, k: Int, trainFraction: Double, seed: Long): Seq[(DataFrame, DataFrame)] =
+    (0 until k).map { i =>
+      val Array(train, test) = ddf.df.randomSplit(Array(trainFraction, 1 - trainFraction), seed + i)
+      (train, test)
+    }
+
+  /** K-fold CV via seeded rand() probability bands — the reference's
+    * disjoint-band strategy (CrossValidation.scala:56-65) exactly.
+    */
+  def cvKFold(ddf: DDF, k: Int, seed: Long): Seq[(DataFrame, DataFrame)] = {
+    val withR = ddf.df.withColumn("__r", rand(seed))
+    (0 until k).map { i =>
+      val lo = i.toDouble / k; val hi = (i + 1).toDouble / k
+      val test = withR.filter(col("__r") >= lo && col("__r") < hi).drop("__r")
+      val train = withR.filter(col("__r") < lo || col("__r") >= hi).drop("__r")
+      (train, test)
+    }
+  }
+
+  def r2Score(scored: DataFrame, labelCol: String): Double =
+    new RegressionEvaluator().setLabelCol(labelCol).setPredictionCol("yPredict")
+      .setMetricName("r2").evaluate(scored)
+  def rmse(scored: DataFrame, labelCol: String): Double =
+    new RegressionEvaluator().setLabelCol(labelCol).setPredictionCol("yPredict")
+      .setMetricName("rmse").evaluate(scored)
+  def rocAuc(scored: DataFrame, labelCol: String, rawCol: String): Double =
+    new BinaryClassificationEvaluator().setLabelCol(labelCol).setRawPredictionCol(rawCol)
+      .setMetricName("areaUnderROC").evaluate(scored)
+}

@@ -1,0 +1,148 @@
+package graft.operators
+
+import graft.core.DDF
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Aggregation surface (SURVEY §2.4; reference:
+  * flink/src/main/scala/io/ddf/flink/analytics/AggregationHandler.scala).
+  *
+  * Reference semantics preserved: rows with a null in ANY referenced
+  * column are dropped before aggregating (AggregationHandler.scala:96-102
+  * `getCleanTable`); supported functions are MEAN/AVG, MAX, MIN, SUM,
+  * COUNT (others throw, :55-64); `alias=fn(col)` spec grammar with
+  * default alias `FN_col` (:139-150). Implementation is a single
+  * `groupBy().agg()` — partial (map-side) aggregation, codegen, and AQE
+  * partition coalescing come from Catalyst.
+  */
+object Aggregations {
+
+  /** One parsed aggregate spec: either a plain (grouping) column or
+    * `alias=fn(col)` / `fn(col)`.
+    */
+  sealed trait FieldSpec { def referenced: Seq[String] }
+  final case class GroupCol(name: String) extends FieldSpec {
+    def referenced: Seq[String] = Seq(name)
+  }
+  final case class AggSpec(fn: String, colName: String, alias: String) extends FieldSpec {
+    def referenced: Seq[String] = if (colName == "*") Nil else Seq(colName)
+  }
+
+  private val AggRe = """(?i)\s*(?:(\w+)\s*=\s*)?(\w+)\s*\(\s*(\*|[\w.]+)\s*\)\s*""".r
+
+  /** Parse `"a, b, sum(c), m=min(d)"` (reference: AggregationHandler.scala:
+    * 139-150). Default alias is `fn_col` because parenthesised names can't
+    * be column identifiers (same concession as the reference :144).
+    */
+  def parseSpecs(specs: String): Seq[FieldSpec] =
+    specs.split(",").toIndexedSeq.map(_.trim).filter(_.nonEmpty).map {
+      case AggRe(alias, fn, c) =>
+        val a = Option(alias).getOrElse(
+          if (c == "*") s"${fn.toLowerCase}_all" else s"${fn.toLowerCase}_$c")
+        AggSpec(fn.toLowerCase, c, a)
+      case plain => GroupCol(plain)
+    }
+
+  /** Supported aggregate functions (reference: AggregationHandler.scala:
+    * 55-64 — anything else throws).
+    */
+  def aggColumn(spec: AggSpec): Column = {
+    val c = spec.fn match {
+      case "mean" | "avg" => avg(spec.colName)
+      case "max"          => max(spec.colName)
+      case "min"          => min(spec.colName)
+      case "sum"          => sum(spec.colName)
+      // COUNT(*) is count of literal 1 in the reference grammar
+      // (SqlSupport.scala:248); count(lit(1)) matches that exactly.
+      case "count"        => if (spec.colName == "*") count(lit(1)) else count(col(spec.colName))
+      // superset beyond the reference (documented extensions):
+      case "stddev"       => stddev_samp(spec.colName)
+      case "var" | "variance" => var_samp(spec.colName)
+      case "median"       => expr(s"percentile(${spec.colName}, 0.5)")
+      case other => throw new IllegalArgumentException(s"Unsupported aggregate '$other'")
+    }
+    c.as(spec.alias)
+  }
+
+  /** Null-clean on every referenced column (reference `getCleanTable`,
+    * AggregationHandler.scala:96-102).
+    */
+  private def cleaned(df: DataFrame, specs: Seq[FieldSpec]): DataFrame = {
+    val cols = specs.flatMap(_.referenced).distinct
+    if (cols.isEmpty) df else df.na.drop("any", cols)
+  }
+
+  /** `aggregate("a, b, sum(c), min(d)")` (SURVEY A2; reference:
+    * AggregationHandler.scala:104-130).
+    */
+  def aggregate(ddf: DDF, specs: String): DDF = {
+    val parsed = parseSpecs(specs)
+    val groups = parsed.collect { case GroupCol(n) => n }
+    val aggs = parsed.collect { case a: AggSpec => aggColumn(a) }
+    require(aggs.nonEmpty, "aggregate() needs at least one aggregate function")
+    val clean = cleaned(ddf.df, parsed)
+    val out =
+      if (groups.isEmpty) clean.agg(aggs.head, aggs.tail: _*)
+      else clean.groupBy(groups.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    ddf.derive(out)
+  }
+
+  /** Driver-side map keyed by comma-joined group values (reference
+    * `AggregationResult`; SURVEY A2).
+    */
+  def aggregateToMap(ddf: DDF, specs: String): Map[String, Seq[Any]] = {
+    val parsed = parseSpecs(specs)
+    val nGroups = parsed.count(_.isInstanceOf[GroupCol])
+    aggregate(ddf, specs).df.collect().map { row =>
+      val key = (0 until nGroups).map(i => String.valueOf(row.get(i))).mkString(",")
+      key -> (nGroups until row.length).map(row.get)
+    }.toMap
+  }
+
+  /** Single scalar over the whole (null-cleaned) table (SURVEY A4;
+    * reference: AggregationHandler.scala:132-137).
+    */
+  def aggregateOnColumn(ddf: DDF, fn: String, colName: String): Any = {
+    val spec = AggSpec(fn.toLowerCase, colName, "v")
+    ddf.df.na.drop("any", if (colName == "*") Nil else Seq(colName))
+      .agg(aggColumn(spec)).first().get(0)
+  }
+
+  /** `groupBy(cols, Seq("alias=fn(col)"))` — one-step (SURVEY A5;
+    * reference: AggregationHandler.scala:173-184).
+    */
+  def groupBy(ddf: DDF, groupCols: Seq[String], aggSpecs: Seq[String]): DDF =
+    aggregate(ddf, (groupCols ++ aggSpecs).mkString(","))
+
+  /** Two-step groupBy: stash the grouping columns, aggregate later
+    * (SURVEY A6; reference: AggregationHandler.scala:203-226 — `agg`
+    * without a prior groupBy throws).
+    */
+  def groupByStep1(ddf: DDF, groupCols: Seq[String]): DDF = {
+    val out = ddf.copy()
+    out.pendingGroupCols = groupCols
+    out
+  }
+  def groupByStep2(ddf: DDF, aggSpecs: Seq[String]): DDF = {
+    require(ddf.pendingGroupCols.nonEmpty, "agg() without a prior groupBy()")
+    groupBy(ddf, ddf.pendingGroupCols, aggSpecs)
+  }
+
+  /** xtabs = alias of aggregate (SURVEY A7; reference:
+    * AggregationHandler.scala:163-165).
+    */
+  def xtabs(ddf: DDF, specs: String): DDF = aggregate(ddf, specs)
+
+  /** Pearson correlation (SURVEY A8). The reference hand-rolls sufficient
+    * stats (AggregationHandler.scala:19-43); Spark's `corr` aggregate is
+    * the same one-pass co-moment computation, codegen'd.
+    */
+  def correlation(ddf: DDF, a: String, b: String): Double =
+    ddf.df.na.drop("any", Seq(a, b)).agg(corr(a, b)).first().getDouble(0)
+
+  /** Sample covariance (SURVEY A9; reference: Welford-style merge in
+    * utils/package.scala:34-119).
+    */
+  def covariance(ddf: DDF, a: String, b: String): Double =
+    ddf.df.na.drop("any", Seq(a, b)).agg(covar_samp(a, b)).first().getDouble(0)
+}

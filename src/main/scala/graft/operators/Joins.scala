@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.core.DDF
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Join + set operators (SURVEY §2.3/§2.8; reference:
+  * flink/src/main/scala/io/ddf/flink/etl/JoinHandler.scala and the coGroup
+  * machinery in utils/package.scala:232-364).
+  *
+  * The reference implements every join as a sort-merge coGroup with
+  * hand-built null padding; here the join is declared and Catalyst picks
+  * the physical strategy (broadcast-hash for small sides, sort-merge for
+  * large, AQE skew-splitting at runtime). LEFT SEMI is a true semi-join —
+  * the reference's per-match duplicate emission (utils/package.scala:
+  * 296-305) is an acknowledged bug its own tests never pin (SURVEY J5).
+  */
+object Joins {
+
+  val supportedTypes: Set[String] =
+    Set("inner", "left_outer", "right_outer", "full_outer", "left_semi", "left_anti")
+
+  private def normalize(joinType: String): String =
+    joinType.trim.toLowerCase.replace(' ', '_') match {
+      case "left" | "leftouter" | "left_outer"    => "left_outer"
+      case "right" | "rightouter" | "right_outer" => "right_outer"
+      case "full" | "fullouter" | "full_outer" | "outer" => "full_outer"
+      case "semi" | "leftsemi" | "left_semi"      => "left_semi"
+      case "anti" | "leftanti" | "left_anti"      => "left_anti"
+      case "inner" | ""                           => "inner"
+      case other => throw new IllegalArgumentException(s"Unsupported join type '$other'")
+    }
+
+  /** API join (reference: JoinHandler.scala:19-40): join on common columns
+    * or explicit left/right key lists. Duplicate right-side key columns are
+    * really deduplicated (the reference's dedup was a no-op,
+    * utils/package.scala:253).
+    */
+  def join(
+      left: DDF,
+      right: DDF,
+      joinType: String = "inner",
+      byColumns: Seq[String] = Nil,
+      byLeft: Seq[String] = Nil,
+      byRight: Seq[String] = Nil,
+      broadcastRight: Boolean = false
+  ): DDF = {
+    val jt = normalize(joinType)
+    val r0 = if (broadcastRight) broadcast(right.df) else right.df
+    val out =
+      if (byColumns.nonEmpty) left.df.join(r0, byColumns, jt)
+      else if (byLeft.nonEmpty) {
+        require(byLeft.length == byRight.length, "byLeft/byRight arity mismatch")
+        val l = left.df.alias("l")
+        val r = r0.alias("r")
+        val cond = byLeft.zip(byRight).map { case (a, b) => col(s"l.$a") === col(s"r.$b") }.reduce(_ && _)
+        l.join(r, cond, jt)
+      } else {
+        val common = left.df.columns.toSeq.intersect(right.df.columns.toSeq)
+        require(common.nonEmpty, "No common columns to join on")
+        left.df.join(r0, common, jt)
+      }
+    left.derive(out)
+  }
+
+  /** UNION ALL with exact-schema check (reference: JoinHandler.scala:42-61
+    * `merge` — throws on schema mismatch, keeps duplicates).
+    */
+  def merge(left: DDF, right: DDF): DDF = {
+    require(
+      left.schema.fields.map(f => (f.name, f.dataType)).sameElements(
+        right.schema.fields.map(f => (f.name, f.dataType))),
+      s"Schema mismatch: ${left.schema.simpleString} vs ${right.schema.simpleString}")
+    left.derive(left.df.unionAll(right.df))
+  }
+
+  /** Extensions beyond the reference (it has no distinct/intersect/except —
+    * SURVEY §2.8 "No INTERSECT / EXCEPT / DISTINCT-rows operator exists").
+    */
+  def distinctRows(ddf: DDF): DDF = ddf.derive(ddf.df.distinct())
+  def intersect(left: DDF, right: DDF): DDF = left.derive(left.df.intersect(right.df))
+  def except(left: DDF, right: DDF): DDF = left.derive(left.df.except(right.df))
+}

@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.core.DDF
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
+
+/** Missing-data operators (SURVEY §2.7; reference:
+  * flink/src/main/scala/io/ddf/flink/etl/MissingDataHandler.scala).
+  */
+object MissingData {
+
+  sealed trait Axis
+  case object RowAxis extends Axis
+  case object ColumnAxis extends Axis
+
+  /** Reference threshold formula (MissingDataHandler.scala:80-88):
+    * ANY → drop when ≥1 null; ALL → drop when all null; thresh t>0 →
+    * drop when nullCount ≥ numCols−t+1. Spark's `na.drop(minNonNulls)`
+    * uses min non-nulls: minNonNulls = numCols − nullThreshold + 1, which
+    * algebraically matches (SURVEY M1).
+    */
+  def dropNARows(ddf: DDF, how: String = "any", thresh: Option[Int] = None,
+                 cols: Seq[String] = Nil): DDF = {
+    val target = if (cols.isEmpty) ddf.df.columns.toSeq else cols
+    require(thresh.forall(_ <= target.length),
+      s"threshold ${thresh.get} > ${target.length} columns")
+    val out = thresh match {
+      case Some(t) => ddf.df.na.drop(t, target) // t = min non-null count
+      case None    => ddf.df.na.drop(how, target)
+    }
+    ddf.updateOrDerive(out)
+  }
+
+  /** Per-column null counts in ONE aggregate pass (the reference does a
+    * flatMap→groupBy(colIdx)→reduceGroup shuffle, MissingDataHandler.scala:
+    * 35-61; here it's a single partial-aggregated job with no shuffle of
+    * data rows).
+    */
+  def nullCounts(df: DataFrame, cols: Seq[String]): Map[String, Long] = {
+    if (cols.isEmpty) return Map.empty
+    val aggs = cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(c))
+    val row = df.agg(aggs.head, aggs.tail: _*).first()
+    cols.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }.toMap
+  }
+
+  /** Drop columns whose null count crosses the threshold (SURVEY M2). */
+  def dropNAColumns(ddf: DDF, how: String = "any", thresh: Option[Int] = None): DDF = {
+    val numRows = ddf.df.count()
+    val counts = nullCounts(ddf.df, ddf.df.columns.toSeq)
+    val threshold: Long = thresh match {
+      case Some(t) => numRows - t + 1
+      case None    => if (how.equalsIgnoreCase("all")) numRows else 1L
+    }
+    val keep = ddf.df.columns.filter(c => counts(c) < threshold || numRows == 0)
+    ddf.updateOrDerive(ddf.df.select(keep.map(col).toIndexedSeq: _*))
+  }
+
+  /** fillNA by single value / per-column map / per-column aggregate
+    * (SURVEY M3; reference: MissingDataHandler.scala:119-193). The
+    * aggregate mode computes e.g. each column's MEAN in one pass then
+    * fills. ffill/bfill — unimplemented in the reference (it throws) —
+    * are provided here as an extension via window `last(ignoreNulls)`.
+    */
+  def fillNAValue(ddf: DDF, value: Any, cols: Seq[String] = Nil): DDF = {
+    val target = if (cols.isEmpty) ddf.df.columns.toSeq else cols
+    val out = value match {
+      case d: Double => ddf.df.na.fill(d, target)
+      case l: Long   => ddf.df.na.fill(l, target)
+      case i: Int    => ddf.df.na.fill(i.toLong, target)
+      case s: String => ddf.df.na.fill(s, target)
+      case b: Boolean => ddf.df.na.fill(b, target)
+      case other => throw new IllegalArgumentException(s"Unsupported fill value $other")
+    }
+    ddf.updateOrDerive(out)
+  }
+
+  def fillNAMap(ddf: DDF, values: Map[String, Any]): DDF =
+    ddf.updateOrDerive(ddf.df.na.fill(values))
+
+  /** Fill numeric columns with an aggregate of the column (e.g. MEAN). */
+  def fillNAWithAggregate(ddf: DDF, fn: String, cols: Seq[String] = Nil): DDF = {
+    val numericCols = ddf.schema.fields
+      .filter(f => f.dataType.isInstanceOf[NumericType]).map(_.name).toSeq
+    val target = if (cols.isEmpty) numericCols else cols.filter(numericCols.contains)
+    if (target.isEmpty) return ddf
+    val aggs = target.map { c =>
+      (fn.toLowerCase match {
+        case "mean" | "avg" => avg(col(c))
+        case "min"          => min(col(c))
+        case "max"          => max(col(c))
+        case "sum"          => sum(col(c))
+        case other => throw new IllegalArgumentException(s"Unsupported fill aggregate '$other'")
+      }).as(c)
+    }
+    val row = ddf.df.agg(aggs.head, aggs.tail: _*).first()
+    val fills = target.zipWithIndex.collect {
+      case (c, i) if !row.isNullAt(i) => c -> row.getDouble(i)
+    }.toMap
+    ddf.updateOrDerive(ddf.df.na.fill(fills))
+  }
+
+  /** Extension: forward/backward fill over an ordering column via
+    * `last/first(ignoreNulls) OVER` — the reference declares FillMethod
+    * but throws (MissingDataHandler.scala:122-127).
+    */
+  def fillDirectional(ddf: DDF, method: String, orderCol: String, cols: Seq[String]): DDF = {
+    import org.apache.spark.sql.expressions.Window
+    val out = cols.foldLeft(ddf.df) { (df, c) =>
+      val w = method.toLowerCase match {
+        case "ffill" => Window.orderBy(col(orderCol)).rowsBetween(Window.unboundedPreceding, 0)
+        case "bfill" => Window.orderBy(col(orderCol)).rowsBetween(0, Window.unboundedFollowing)
+        case other => throw new IllegalArgumentException(s"Unsupported fill method '$other'")
+      }
+      val filled = method.toLowerCase match {
+        case "ffill" => last(col(c), ignoreNulls = true).over(w)
+        case _       => first(col(c), ignoreNulls = true).over(w)
+      }
+      df.withColumn(c, filled)
+    }
+    ddf.updateOrDerive(out)
+  }
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.core.DDF
+import org.apache.spark.sql.{DataFrame, Encoder, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, NumericType}
+
+/** Transformation operators (SURVEY §2.11; reference:
+  * flink/src/main/scala/io/ddf/flink/etl/TransformationHandler.scala).
+  *
+  * The reference's R-bridge (Rserve per-partition data.frame transforms)
+  * is replaced Spark-first: expression transforms are `withColumn(expr)`
+  * (codegen'd — no serialization boundary at all), and the generic
+  * escape hatch is typed `mapPartitions` / `mapGroups` over Datasets.
+  */
+object Transforms {
+
+  /** `SELECT *, expr AS col` column-add (SURVEY P9; reference: core
+    * TransformationHandler builds that SQL over `@this`).
+    */
+  def transformUDF(ddf: DDF, colName: String, sqlExpr: String): DDF =
+    ddf.updateOrDerive(ddf.df.withColumn(colName, expr(sqlExpr)))
+
+  /** Min-max scale every numeric column to [0,1] (SURVEY U3; golden
+    * behavior: max→1.0, TransformationHandlerSpec.scala:35-49). All
+    * min/max pairs come from ONE aggregate pass; the rewrite itself is a
+    * single codegen'd projection.
+    */
+  def scaleMinMax(ddf: DDF, cols: Seq[String] = Nil): DDF =
+    scaleWith(ddf, cols) { (c, stats) =>
+      val (mn, mx) = (stats(s"${c}__a"), stats(s"${c}__b"))
+      if (mx == mn) lit(0.5) else (col(c).cast(DoubleType) - mn) / (mx - mn)
+    }(c => Seq(min(col(c)).cast(DoubleType).as(s"${c}__a"), max(col(c)).cast(DoubleType).as(s"${c}__b")))
+
+  /** Standard (z-score) scale (SURVEY U3). */
+  def scaleStandard(ddf: DDF, cols: Seq[String] = Nil): DDF =
+    scaleWith(ddf, cols) { (c, stats) =>
+      val (mu, sd) = (stats(s"${c}__a"), stats(s"${c}__b"))
+      if (sd == 0.0 || sd.isNaN) lit(0.0) else (col(c).cast(DoubleType) - mu) / sd
+    }(c => Seq(avg(col(c)).cast(DoubleType).as(s"${c}__a"), stddev_samp(col(c)).as(s"${c}__b")))
+
+  private def scaleWith(ddf: DDF, cols: Seq[String])(
+      rewrite: (String, Map[String, Double]) => org.apache.spark.sql.Column)(
+      aggsFor: String => Seq[org.apache.spark.sql.Column]): DDF = {
+    val numeric = ddf.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[NumericType] => f.name
+    }.toSeq
+    val target = if (cols.isEmpty) numeric else cols.filter(numeric.contains)
+    if (target.isEmpty) return ddf
+    val names = target.flatMap(c => Seq(s"${c}__a", s"${c}__b"))
+    val aggs = target.flatMap(aggsFor)
+    val row = ddf.df.agg(aggs.head, aggs.tail: _*).first()
+    val stats = names.zipWithIndex.map { case (n, i) =>
+      n -> (if (row.isNullAt(i)) Double.NaN else row.getDouble(i))
+    }.toMap
+    val out = target.foldLeft(ddf.df)((df, c) => df.withColumn(c, rewrite(c, stats)))
+    ddf.updateOrDerive(out)
+  }
+
+  /** Typed map-reduce analog of the reference's R `map_reduce_native`
+    * (SURVEY U2; reference: TransformationHandler.scala:16-66 — R map →
+    * shuffle by string key → R reduce). Spark-first: `groupByKey` +
+    * `mapGroups` on a Dataset — partial serialization only at the typed
+    * boundary, shuffle on the extracted key.
+    */
+  def mapReduce[K: Encoder, OUT: Encoder](ddf: DDF)(keyFn: Row => K)(
+      reduceFn: (K, Iterator[Row]) => OUT)(implicit tup: Encoder[(K, Row)]): DDF = {
+    val ds = ddf.df.groupByKey(keyFn)(implicitly[Encoder[K]])
+    val spark = ddf.spark
+    val out = ds.mapGroups(reduceFn)(implicitly[Encoder[OUT]]).toDF()
+    ddf.derive(out)
+  }
+
+  /** Per-partition escape hatch (replaces Rserve partition transforms). */
+  def mapPartitionsRows(ddf: DDF, schema: org.apache.spark.sql.types.StructType)(
+      fn: Iterator[Row] => Iterator[Row]): DDF = {
+    val rdd = ddf.df.rdd.mapPartitions(fn)
+    ddf.derive(ddf.spark.createDataFrame(rdd, schema))
+  }
+}

@@ -1,0 +1,214 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Deduplication operators for large-scale training-data pipelines —
+  * extensions beyond the reference (SURVEY §7.2 step 9), designed for the
+  * 100 TB path:
+  *
+  *  - everything is expression-level (`functions._` + higher-order array
+  *    functions) so it stays inside codegen / Tungsten rows;
+  *  - candidate generation always goes through banding/bucketing so the
+  *    only shuffles are key-partitioned joins on short band signatures —
+  *    never an all-pairs cartesian;
+  *  - representative selection is a single hash-partitioned groupBy.
+  */
+object Dedup {
+
+  /** Normalize text for fingerprinting: lowercase, collapse whitespace. */
+  def normText(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Exact dedup: one representative (min id) per identical normalized
+    * text. Single hash-partitioned aggregate; at 100 TB the md5 group key
+    * (16 bytes) shuffles instead of the document bodies.
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(normText(col(textCol))).as("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Rows surviving exact dedup (the kept representatives). */
+  def exactSurvivors(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val reps = exact(df, textCol, idCol).select(col("keep_id").as(idCol))
+    df.join(reps, idCol) // broadcast-able when the dup rate is high
+  }
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(c: Column): Column = split(normText(c), " ")
+
+  /** Word n-gram shingles as a per-row array (no explode — the shingle
+    * set stays per-row until banding).
+    *
+    * PERFORMANCE CONTRACT: higher-order-function lambdas are interpreted,
+    * and any captured OUTER expression is re-evaluated per element — a
+    * lambda body containing `slice(toks, i, n)` re-runs the whole
+    * regexp+split once per shingle (measured: ~34 ms/doc, 30+ s for 500
+    * docs). So the lambda bodies below touch ONLY lambda variables: the
+    * token array is shifted at projection level and folded with zip_with
+    * (concat null-propagates past the end, nulls filtered after).
+    */
+  def shingleExpr(textCol: String, n: Int): Column = {
+    val t = s"split(trim(regexp_replace(lower($textCol), '\\\\s+', ' ')), ' ')"
+    if (n <= 1) return expr(s"array_distinct($t)")
+    val folded = (2 to n).foldLeft(t) { (acc, i) =>
+      s"zip_with($acc, slice($t, $i, size($t)), (x, y) -> concat(x, ' ', y))"
+    }
+    expr(
+      s"""CASE WHEN size($t) < $n THEN array(array_join($t, ' '))
+         |ELSE array_distinct(filter($folded, s -> s IS NOT NULL))
+         |END""".stripMargin)
+  }
+
+  /** Spread a small-partition-count frame across the cluster before
+    * CPU-heavy per-row work (a single small parquet file arrives as ONE
+    * task otherwise — measured single-core bottleneck).
+    */
+  private[pipeline] def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /** k MinHash values per document as columns h0..h{k-1}.
+    *
+    * Implementation note (measured, not theoretical): composing this as
+    * one nested array expression (array of k array_min(transform(...)))
+    * re-evaluates the shingle tree once per reference — higher-order
+    * functions are interpreted and outside common-subexpression
+    * elimination, which blew a 500-doc run up to 10+ minutes. The
+    * explode → hash-once → partial-aggregated min shape below evaluates
+    * every heavy expression exactly once per (doc, shingle); the only
+    * shuffle is the groupBy(id) whose map-side-combined rows are one per
+    * doc (k longs).
+    */
+  def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
+                        shingleN: Int = 3, k: Int = 32): DataFrame = {
+    val sh = spread(df.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"), explode(shingleExpr(textCol, shingleN)).as("s"))
+    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    sh.groupBy("id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash-LSH candidate pairs (id1 < id2), deduplicated across bands.
+    * Shuffle profile at scale: signature groupBy (1 row/doc out), one
+    * join keyed on (band, sig) — a short key — then a distinct on
+    * (id1, id2). No cartesian anywhere; band-bucket skew is AQE-split.
+    */
+  def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
+                        shingleN: Int = 3, k: Int = 32, bands: Int = 8): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val r = k / bands
+    val sig = minhashSignatures(df, textCol, idCol, shingleN, k)
+    // each h_i column is referenced exactly once across all band hashes
+    val bandCols = (0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(",", (0 until r).map(i => col(s"h${b * r + i}")): _*)).as("sig")))
+    // persist: the self-join would otherwise recompute the whole
+    // shingle→hash→aggregate subtree on BOTH sides (plus AQE re-planning
+    // each copy). One (id, band, sig) row per doc-band — compact.
+    val withBands = sig.select(col("id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("id"), col("b.band"), col("b.sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val l = withBands.alias("l")
+    val rr = withBands.alias("r")
+    l.join(rr, col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for given candidate pairs: one join
+    * to attach shingle sets, then per-row array intersection — use AFTER
+    * banding, never on all pairs.
+    */
+  def jaccardOnPairs(pairs: DataFrame, docs: DataFrame, textCol: String,
+                     idCol: String, shingleN: Int = 3): DataFrame = {
+    val sh = spread(docs.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"), shingleExpr(textCol, shingleN).as("sh"))
+    pairs
+      .join(sh.withColumnRenamed("sh", "sh1").withColumnRenamed("id", "id1"), "id1")
+      .join(sh.withColumnRenamed("sh", "sh2").withColumnRenamed("id", "id2"), "id2")
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("uni", size(array_union(col("sh1"), col("sh2"))))
+      .select(col("id1"), col("id2"),
+        (col("inter").cast("double") / col("uni")).as("jaccard"))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: candidates → exact Jaccard →
+    * threshold filter.
+    */
+  def minhashDedup(df: DataFrame, textCol: String, idCol: String,
+                   threshold: Double = 0.8, shingleN: Int = 3,
+                   k: Int = 32, bands: Int = 8): DataFrame = {
+    val cand = minhashCandidates(df, textCol, idCol, shingleN, k, bands)
+    jaccardOnPairs(cand, df, textCol, idCol, shingleN)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash fingerprints (id, fp): per bit, sum +1/−1 token
+    * votes; sign per bit → fingerprint. Same explode-then-aggregate shape
+    * as minhashSignatures — each token hashed once, 64 codegen'd
+    * conditional sums, one partial-aggregated shuffle of 64 longs per
+    * doc. (A single nested-HOF expression re-splits the text per bit —
+    * 64× the work — so don't "simplify" this back.)
+    */
+  def simhashFingerprints(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tok = spread(df.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"), explode(tokens(col(textCol))).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val bitSums = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$b"))
+    val sums = tok.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 64).map(b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    sums.select(col("id"), fp.as("fp"))
+  }
+
+  /** SimHash near-dup candidates: band the 64-bit fingerprint into four
+    * 16-bit chunks (any pair within Hamming distance 3 shares ≥1 chunk),
+    * join per chunk, verify with bit_count(xor) ≤ maxHamming.
+    */
+  def simhashDedup(df: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val fp = simhashFingerprints(df, textCol, idCol)
+    val chunked = fp.select(col("id"), col("fp"), explode(array(
+      (0 until 4).map(i => struct(lit(i).as("chunk"),
+        (shiftright(col("fp"), i * 16) bitwiseAND lit(0xFFFFL)).as("ck"))): _*)).as("c"))
+      .select(col("id"), col("fp"), col("c.chunk"), col("c.ck"))
+    val l = chunked.alias("l"); val r = chunked.alias("r")
+    l.join(r, col("l.chunk") === col("r.chunk") && col("l.ck") === col("r.ck") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"),
+        bit_count(col("l.fp").bitwiseXOR(col("r.fp"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding cosine near-dup via BANDED sign-LSH: `bands` independent
+    * bucket groups of `planesPerBand` hyperplanes each; a pair is a
+    * candidate if it collides in ANY band (union across bands drives the
+    * miss probability to (1−p^r)^b — a single bucket group would miss a
+    * large fraction of true near-dups). Candidates verified with exact
+    * cosine. Shuffle profile: one join keyed on (band, bucket) — short
+    * keys, AQE-splittable.
+    */
+  def embeddingDedup(df: DataFrame, vecCol: String, idCol: String,
+                     threshold: Double, planesPerBand: Int = 8, bands: Int = 4,
+                     seed: Long = 7L): DataFrame = {
+    val dim = Similarity.dimOf(df, vecCol)
+    val bandCols = (0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        Similarity.hyperplaneBucket(col(vecCol), dim, planesPerBand, seed + b).as("bucket")))
+    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("v"), col("bb.band"), col("bb.bucket"))
+    val l = bucketed.alias("l"); val r = bucketed.alias("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"),
+        Similarity.cosine(col("l.v"), col("r.v")).as("cosine"))
+      .distinct()
+      .filter(col("cosine") >= threshold)
+  }
+}

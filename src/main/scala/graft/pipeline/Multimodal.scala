@@ -1,0 +1,81 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads are opaque
+  * `binary` columns with typed metadata. The Spark-side contract — schema,
+  * partitioning, batch shape — is real and tested; the actual media decode
+  * is STUBBED (no image/audio libraries in this container) behind
+  * `decodeStub`, clearly marked. On a real cluster the stub body is
+  * replaced by the codec call; nothing else changes.
+  */
+object Multimodal {
+
+  /** Typed metadata carried alongside every binary payload. */
+  val metaSchema: StructType = StructType(Seq(
+    StructField("byte_len", LongType, nullable = false),
+    StructField("content_hash", StringType, nullable = false),
+    StructField("modality", StringType, nullable = false)))
+
+  /** Attach a binary payload column + metadata struct. For the synthetic
+    * fixtures the payload is the UTF-8 encoding of a text column; in
+    * production it is the raw media bytes read via
+    * `spark.read.format("binaryFile")`.
+    */
+  def withBinaryPayload(df: DataFrame, srcCol: String, modality: String): DataFrame =
+    df.withColumn("payload", encode(col(srcCol), "UTF-8"))
+      .withColumn("meta", struct(
+        octet_length(col("payload")).cast("long").as("byte_len"),
+        md5(col("payload")).as("content_hash"),
+        lit(modality).as("modality")))
+
+  /** Deterministic fake "decode": 8 pseudo-features derived from payload
+    * bytes. ==== STUB ==== — replace with the real codec (e.g. JPEG
+    * decode + CNN features) on a cluster with media libraries. The
+    * signature, schema, and per-partition batch shape are the production
+    * contract.
+    */
+  def decodeStub(payload: Array[Byte]): Array[Float] = {
+    val h = java.util.Arrays.hashCode(payload)
+    Array.tabulate(8)(i => ((h >>> (i * 4)) & 0xF).toFloat / 15.0f)
+  }
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("features", ArrayType(FloatType, containsNull = false), nullable = false),
+    StructField("byte_len", LongType, nullable = false)))
+
+  /** Batched feature extraction over partitions — the Scala analog of a
+    * `mapInPandas` batch UDF: one decoder init per partition, rows
+    * streamed through it. Repartition first so decode work spreads across
+    * executors even when the source is few large files.
+    */
+  def extractFeatures(df: DataFrame, idCol: String, payloadCol: String,
+                      partitions: Int = 0): DataFrame = {
+    val in = if (partitions > 0) df.repartition(partitions) else df
+    val spark = df.sparkSession
+    val rdd = in.select(col(idCol).cast("long"), col(payloadCol)).rdd.mapPartitions { rows =>
+      // per-partition decoder init would go here (codec handles, model…)
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](1)
+        Row(r.getLong(0), decodeStub(payload).toSeq, payload.length.toLong)
+      }
+    }
+    spark.createDataFrame(rdd, featureSchema)
+  }
+
+  /** Frame-sampling plumbing for video-like payloads: emit every k-th
+    * chunk of `chunkBytes` as its own row (id, frame_no, frame_bytes).
+    * The chunking stands in for real frame extraction.
+    */
+  def sampleFrames(df: DataFrame, idCol: String, payloadCol: String,
+                   chunkBytes: Int, everyK: Int): DataFrame =
+    df.select(col(idCol).as("id"), col(payloadCol).as("p"))
+      .withColumn("n_chunks",
+        greatest(lit(1), ceil(octet_length(col("p")) / lit(chunkBytes.toDouble))).cast("int"))
+      .withColumn("frame_no", explode(expr(s"filter(sequence(0, n_chunks - 1), i -> i % $everyK = 0)")))
+      .select(col("id"), col("frame_no"),
+        expr(s"substring(p, frame_no * $chunkBytes + 1, $chunkBytes)").as("frame_bytes"))
+}

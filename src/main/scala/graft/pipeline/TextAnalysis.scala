@@ -1,0 +1,95 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: language ID, quality
+  * scoring, token counting, document fingerprinting. Every operator is a
+  * pure per-row expression (codegen'd, shuffle-free); the heuristics are
+  * deliberately simple and SQL-expressible so the DuckDB oracle can mirror
+  * them exactly.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of the lowercased text (empty strings removed). */
+  def tokensExpr(textCol: String): String =
+    s"filter(split(lower($textCol), '\\\\s+'), t -> t != '')"
+
+  def tokenCount(textCol: String): Column =
+    expr(s"size(${tokensExpr(textCol)})").cast("bigint")
+
+  /** BPE-ish subword count estimate: whitespace tokens plus an extra unit
+    * per 6 characters of long tokens (a cheap stand-in for a real
+    * tokenizer's subword splits — deterministic, mirrorable in SQL).
+    */
+  def subwordCountEstimate(textCol: String): Column =
+    expr(
+      s"""aggregate(${tokensExpr(textCol)}, 0L,
+         |  (acc, t) -> acc + greatest(1L, cast(ceil(length(t) / 6.0) as long)))"""
+        .stripMargin).cast("bigint")
+
+  /** Stopword-ratio language ID. Per language, score = fraction of tokens
+    * in that language's small function-word set; argmax with 'und'
+    * (undetermined) when the best score is below `minScore`.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "est"),
+    "es" -> Seq("el", "la", "de", "y", "los", "las", "un", "una", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "eine", "ist", "von"))
+
+  def langScore(textCol: String, lang: String): Column = {
+    val set = stopwords(lang).map(s => s"'$s'").mkString("array(", ",", ")")
+    expr(
+      s"""size(filter(${tokensExpr(textCol)}, t -> array_contains($set, t)))
+         | / cast(greatest(size(${tokensExpr(textCol)}), 1) as double)""".stripMargin)
+  }
+
+  def langId(textCol: String, minScore: Double = 0.02): Column = {
+    val scored = stopwords.keys.toSeq.sorted.map(l => (l, langScore(textCol, l)))
+    // argmax with deterministic tie-break on language code order
+    val best = scored.tail.foldLeft(struct(lit(scored.head._1).as("lang"), scored.head._2.as("s"))) {
+      case (acc, (l, s)) =>
+        when(s > acc.getField("s"), struct(lit(l).as("lang"), s.as("s"))).otherwise(acc)
+    }
+    when(best.getField("s") >= minScore, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Quality score in [0,1]: length saturation, lexical diversity, and
+    * (1 − punctuation ratio), weighted 0.4/0.3/0.3.
+    */
+  def qualityScore(textCol: String): Column = {
+    val nTok = s"cast(size(${tokensExpr(textCol)}) as double)"
+    val nDistinct = s"cast(size(array_distinct(${tokensExpr(textCol)})) as double)"
+    val punct = s"cast(length(regexp_replace($textCol, '[^.,;:!?]', '')) as double)"
+    val chars = s"cast(greatest(length($textCol), 1) as double)"
+    expr(
+      s"""0.4 * least($nTok / 100.0, 1.0)
+         | + 0.3 * (CASE WHEN $nTok = 0 THEN 0.0 ELSE $nDistinct / $nTok END)
+         | + 0.3 * (1.0 - $punct / $chars)""".stripMargin)
+  }
+
+  /** Stable content fingerprint: md5 of the normalized text (lowercase,
+    * collapsed whitespace) — identical in any engine with md5.
+    */
+  def fingerprintMd5(textCol: String): Column =
+    md5(Dedup.normText(col(textCol)))
+
+  /** Rolling polynomial hash (base 31, mod 1e9+7) of the normalized
+    * text — the cheap streaming-friendly fingerprint variant. Modular to
+    * stay ANSI-overflow-safe.
+    */
+  def rollingHash(textCol: String): Column =
+    expr(
+      s"""aggregate(split(trim(regexp_replace(lower($textCol), '\\\\s+', ' ')), ''),
+         |  0L, (acc, ch) -> pmod(acc * 31L + coalesce(ascii(ch), 0), 1000000007L))"""
+        .stripMargin)
+
+  /** One-call enrichment producing all text-analysis columns. */
+  def enrich(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("token_count", tokenCount(textCol))
+      .withColumn("subword_count", subwordCountEstimate(textCol))
+      .withColumn("lang_pred", langId(textCol))
+      .withColumn("quality", qualityScore(textCol))
+      .withColumn("fingerprint", fingerprintMd5(textCol))
+}

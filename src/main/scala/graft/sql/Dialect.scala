@@ -1,0 +1,117 @@
+package graft.sql
+
+import graft.core.{DDF, DDFManager}
+import org.apache.spark.sql.types._
+
+/** Front-end for the reference's SQL dialect (reference: flink
+  * SqlSupport.scala grammar; SqlHandler.scala:29-31 dispatch). Three
+  * statement forms:
+  *
+  *   CREATE TABLE t (col type, …)            — empty schema-only DDF
+  *   LOAD '<path>' [DELIMITED BY '<c>'] [WITH NULL '<s>']
+  *        [WITH EMPTY '<s>'] [NO DEFAULTS] INTO t
+  *   SELECT …                                — any Spark-SQL SELECT
+  *
+  * Design stance (SURVEY §4.3): no hand-rolled expression grammar — the
+  * reference's whole parse→validate→plan pipeline (SqlHandler.scala:64-104)
+  * collapses into `spark.sql`, which gives correct AND/OR precedence
+  * (the reference left-folds without precedence, SqlSupport.scala:372-387 —
+  * a bug we deliberately do not reproduce, SURVEY §7.1), subqueries,
+  * HAVING, DISTINCT and the full function library as a superset.
+  */
+object Dialect {
+
+  private val CreateRe =
+    """(?is)\s*create\s+table\s+(\w+)\s*\((.*)\)\s*;?\s*""".r
+  private val LoadRe =
+    ("""(?is)\s*load\s+'([^']+)'""" +
+      """(?:\s+delimited\s+by\s+'([^']*)')?""" +
+      """(?:\s+with\s+null\s+'([^']*)')?""" +
+      """(?:\s+with\s+empty\s+'([^']*)')?""" +
+      """(\s+no\s+defaults)?""" +
+      """\s+into\s+(\w+)\s*;?\s*""").r
+
+  def run(manager: DDFManager, command: String): DDF = command match {
+    case CreateRe(name, colsSpec) =>
+      manager.createTable(name, parseSchema(colsSpec))
+    case LoadRe(path, delim, nullStr, emptyStr, noDefaults, table) =>
+      load(manager, path, Option(delim), Option(nullStr), Option(emptyStr),
+        noDefaults != null, table)
+    case select =>
+      manager.register(manager.spark.sql(select))
+  }
+
+  /** DDL column types accepted by the reference grammar
+    * (SqlSupport.scala:212-213). BIGINT maps to a true LongType — the
+    * reference collapsed it to Double (Column2RowTypeInfo.scala:29), a
+    * quirk we fix (SURVEY §1.3).
+    */
+  def sqlType(t: String): DataType = t.trim.toLowerCase match {
+    case "varchar" | "string"        => StringType
+    case "int" | "integer"           => IntegerType
+    case "long" | "bigint"           => LongType
+    case "float"                     => FloatType
+    case "double"                    => DoubleType
+    case "date"                      => DateType
+    case "timestamp"                 => TimestampType
+    case "boolean" | "bool"          => BooleanType
+    case other => throw new IllegalArgumentException(s"Unsupported column type '$other'")
+  }
+
+  def parseSchema(colsSpec: String): StructType =
+    StructType(colsSpec.split(",").toIndexedSeq.map { c =>
+      val parts = c.trim.split("\\s+", 2)
+      require(parts.length == 2, s"Bad column spec '$c'")
+      StructField(parts(0), sqlType(parts(1)))
+    })
+
+  /** Per-type fill defaults used when a LOAD runs without NO DEFAULTS
+    * (reference: RepresentationHandler.scala:115-137 substitutes typed
+    * defaults for unparseable/null cells).
+    */
+  private def defaultFor(dt: DataType): Option[Any] = dt match {
+    case IntegerType | LongType   => Some(0L)
+    case FloatType | DoubleType   => Some(0.0)
+    case BooleanType              => Some(false)
+    case StringType               => Some("")
+    case _                        => None // timestamps/dates stay null
+  }
+
+  private def load(
+      manager: DDFManager,
+      path: String,
+      delim: Option[String],
+      nullStr: Option[String],
+      emptyStr: Option[String],
+      noDefaults: Boolean,
+      table: String
+  ): DDF = {
+    val target = manager.getDDFByName(table)
+    val reader = manager.spark.read
+      .schema(target.schema)
+      .option("sep", delim.getOrElse(","))
+      .option("nullValue", nullStr.getOrElse("NA"))
+      .option("emptyValue", emptyStr.getOrElse(""))
+      .option("mode", "PERMISSIVE")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+    val raw = reader.csv(path)
+    val filled =
+      if (noDefaults) raw
+      else {
+        val fills = target.schema.fields.flatMap(f => defaultFor(f.dataType).map(f.name -> _)).toMap
+        val numeric = fills.collect { case (k, v: Double) => k -> v }
+        val longs = fills.collect { case (k, v: Long) => k -> v }
+        val strings = fills.collect { case (k, v: String) => k -> v }
+        val bools = fills.collect { case (k, v: Boolean) => k -> v }
+        var out = raw
+        if (numeric.nonEmpty) out = out.na.fill(numeric)
+        if (longs.nonEmpty) out = out.na.fill(longs)
+        if (strings.nonEmpty) out = out.na.fill(strings)
+        if (bools.nonEmpty) out = out.na.fill(bools)
+        out
+      }
+    filled.createOrReplaceTempView(table)
+    val loaded = manager.register(filled, table)
+    loaded
+  }
+}

@@ -1,0 +1,186 @@
+package graft.stats
+
+import graft.core.DDF
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Statistics operators (SURVEY §2.5; reference:
+  * flink/src/main/scala/io/ddf/flink/analytics/StatisticsHandler.scala and
+  * BinningHandler.scala histogram path).
+  *
+  * Everything here is ONE `agg(...)` job per call — the reference's
+  * accumulator side-channels (StatisticsHandler.scala:46-54) and
+  * mapPartition+merge sketches become partial-aggregated Catalyst plans:
+  * no driver-side merging, no extra shuffle of data rows, scales by
+  * executor count.
+  */
+object Stats {
+
+  /** Per-column one-pass summary (SURVEY T1). Mirrors the reference's
+    * Summary fields: count (non-null), mean, variance (sample), stdev,
+    * min, max, NA count.
+    */
+  final case class ColumnSummary(column: String, count: Long, naCount: Long,
+                                 mean: Double, variance: Double, stdev: Double,
+                                 min: Double, max: Double)
+
+  def numericColumns(df: DataFrame): Seq[String] =
+    df.schema.fields.collect { case f if f.dataType.isInstanceOf[NumericType] => f.name }.toSeq
+
+  /** All columns' summaries in a single aggregate pass. */
+  def summary(ddf: DDF): Seq[ColumnSummary] = summaryOf(ddf.df, numericColumns(ddf.df))
+
+  def summaryOf(df: DataFrame, cols: Seq[String]): Seq[ColumnSummary] = {
+    if (cols.isEmpty) return Nil
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}__n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__na"),
+        avg(col(c)).cast(DoubleType).as(s"${c}__mean"),
+        var_samp(col(c)).as(s"${c}__var"),
+        stddev_samp(col(c)).as(s"${c}__sd"),
+        min(col(c)).cast(DoubleType).as(s"${c}__min"),
+        max(col(c)).cast(DoubleType).as(s"${c}__max"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).first()
+    cols.zipWithIndex.map { case (c, i) =>
+      val b = i * 7
+      def d(o: Int): Double = if (row.isNullAt(b + o)) Double.NaN else row.getDouble(b + o)
+      ColumnSummary(c, row.getLong(b), row.getLong(b + 1), d(2), d(3), d(4), d(5), d(6))
+    }
+  }
+
+  /** Summary as a DataFrame (column, count, na_count, mean, variance,
+    * stdev, min, max) — the oracle-checkable shape.
+    */
+  def summaryDF(ddf: DDF, cols: Seq[String] = Nil): DataFrame = {
+    val spark = ddf.spark
+    import spark.implicits._
+    val target = if (cols.isEmpty) numericColumns(ddf.df) else cols
+    summaryOf(ddf.df, target).toDF()
+  }
+
+  private def isIntegral(df: DataFrame, c: String): Boolean =
+    df.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+
+  /** Quantiles for one column. `exact=false` → `percentile_approx`
+    * (t-digest, the at-scale default — same sketch family as the
+    * reference's clearspring T-Digest, StatisticsHandler.scala:60-84);
+    * `exact=true` → Spark's exact `percentile` (for golden tests/oracles).
+    * Integral columns floor the result (reference quirk kept:
+    * StatisticsHandler.scala:150-155).
+    */
+  def quantiles(df: DataFrame, c: String, ps: Seq[Double], exact: Boolean = false): Seq[Double] = {
+    val pArr = s"array(${ps.mkString(",")})"
+    val fn = if (exact) "percentile" else "percentile_approx"
+    val row = df.na.drop(Seq(c)).agg(expr(s"$fn($c, $pArr)").as("q")).first()
+    val raw = row.getSeq[Double](0)
+    if (isIntegral(df, c)) raw.map(math.floor) else raw
+  }
+
+  def vectorQuantiles(ddf: DDF, c: String, ps: Seq[Double], exact: Boolean = false): Seq[Double] =
+    quantiles(ddf.df, c, ps, exact)
+
+  /** Five-number summary (SURVEY T2): min/max as the 1e-5/0.99999
+    * pseudo-quantiles plus Q1/median/Q3 — one sketch pass per call.
+    */
+  final case class FiveNum(min: Double, q1: Double, median: Double, q3: Double, max: Double)
+  def fiveNum(ddf: DDF, c: String, exact: Boolean = false): FiveNum = {
+    val Seq(mn, q1, md, q3, mx) =
+      quantiles(ddf.df, c, Seq(0.00001, 0.25, 0.5, 0.75, 0.99999), exact)
+    FiveNum(mn, q1, md, q3, mx)
+  }
+
+  def vectorMean(ddf: DDF, c: String): Double =
+    ddf.df.agg(avg(col(c)).cast(DoubleType)).first().getDouble(0)
+
+  /** [variance, stdev] (SURVEY T5). */
+  def vectorVariance(ddf: DDF, c: String): (Double, Double) = {
+    val r = ddf.df.agg(var_samp(col(c)), stddev_samp(col(c))).first()
+    (r.getDouble(0), r.getDouble(1))
+  }
+
+  /** Equal-width histogram (SURVEY T7; reference: BinningHandler.scala:
+    * 184-225 + HistogramForDouble accumulator). Computed as two jobs:
+    * min/max, then a codegen'd bucket-index groupBy — exact counts, no
+    * accumulator side-channel, no driver merging.
+    */
+  def histogramDF(df: DataFrame, c: String, numBins: Int): DataFrame = {
+    val r = df.na.drop(Seq(c)).agg(min(col(c)).cast(DoubleType), max(col(c)).cast(DoubleType)).first()
+    val (mn, mx) = (r.getDouble(0), r.getDouble(1))
+    histogramFixed(df, c, numBins, mn, mx)
+  }
+
+  /** Histogram over a known [mn,mx] span — single job. The top edge is
+    * closed (x == mx lands in the last bucket), matching the reference's
+    * TreeMap floorKey bucketing.
+    */
+  def histogramFixed(df: DataFrame, c: String, numBins: Int, mn: Double, mx: Double): DataFrame = {
+    val width = (mx - mn) / numBins
+    val bucket =
+      if (width == 0.0) lit(0)
+      else least(floor((col(c).cast(DoubleType) - mn) / width), lit(numBins - 1)).cast(IntegerType)
+    df.na.drop(Seq(c))
+      .filter(col(c) >= mn && col(c) <= mx)
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("bin_count"))
+      .withColumn("bin_start", lit(mn) + col("bucket") * lit(width))
+      .withColumn("bin_end", lit(mn) + (col("bucket") + 1) * lit(width))
+      .select("bucket", "bin_start", "bin_end", "bin_count")
+      .orderBy("bucket")
+  }
+
+  def histogram(ddf: DDF, c: String, numBins: Int): Seq[(Double, Double, Long)] =
+    histogramDF(ddf.df, c, numBins).collect().toSeq
+      .map(r => (r.getDouble(1), r.getDouble(2), r.getLong(3)))
+
+  /** Simple summary (SURVEY T8): factor columns → distinct level list;
+    * numeric columns → (min, max). One pass for all numerics; one
+    * `groupBy` per factor column.
+    */
+  final case class SimpleSummary(numericRanges: Map[String, (Double, Double)],
+                                 factorLevels: Map[String, Seq[String]])
+  def simpleSummary(ddf: DDF): SimpleSummary = {
+    val nums = numericColumns(ddf.df).filterNot(ddf.isFactor)
+    val ranges: Map[String, (Double, Double)] =
+      if (nums.isEmpty) Map.empty
+      else {
+        val aggs = nums.flatMap(c =>
+          Seq(min(col(c)).cast(DoubleType).as(s"${c}__mn"), max(col(c)).cast(DoubleType).as(s"${c}__mx")))
+        val row = ddf.df.agg(aggs.head, aggs.tail: _*).first()
+        nums.zipWithIndex.map { case (c, i) => c -> (row.getDouble(2 * i), row.getDouble(2 * i + 1)) }.toMap
+      }
+    val levels = ddf.factorColumns.map { c =>
+      c -> ddf.df.select(col(c).cast(StringType)).na.drop().distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+    }.toMap
+    SimpleSummary(ranges, levels)
+  }
+
+  /** Factor level counts for many columns in ONE pass (SURVEY T9;
+    * reference: GetMultiFactor mapPartition+HashMap merge,
+    * SchemaHandler.scala:90-185): explode (column, value) pairs then a
+    * single groupBy — one shuffle for all factor columns together.
+    */
+  def multiFactorCounts(df: DataFrame, cols: Seq[String]): Map[String, Map[String, Long]] = {
+    if (cols.isEmpty) return Map.empty
+    val pairs = cols.map(c => struct(lit(c).as("col"), col(c).cast(StringType).as("value")))
+    val exploded = df.select(explode(array(pairs: _*)).as("p"))
+      .select(col("p.col"), col("p.value"))
+      .na.drop(Seq("value"))
+    exploded.groupBy("col", "value").count().collect()
+      .groupBy(_.getString(0))
+      .map { case (c, rows) => c -> rows.map(r => r.getString(1) -> r.getLong(2)).toMap }
+  }
+
+  def setFactorsAndCompute(ddf: DDF, cols: Seq[String]): Unit = {
+    val counts = multiFactorCounts(ddf.df, cols)
+    cols.foreach { c =>
+      val m = counts.getOrElse(c, Map.empty)
+      ddf.setFactorInfo(c, graft.core.FactorInfo(m.keys.toSeq.sorted, m))
+    }
+  }
+}

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming extension (SURVEY §2.10 — the reference has NO
+  * streaming at all; this is the Spark-first capability the `events`
+  * fixture exists for). Transform functions are written against plain
+  * DataFrames so the exact same code path serves batch (`spark.read`) and
+  * streaming (`spark.readStream`) inputs — the Structured Streaming
+  * contract.
+  */
+object EventStreams {
+
+  /** Tumbling-window counts+sums per event type with a watermark for
+    * state cleanup. Works on batch and streaming frames alike.
+    */
+  def tumblingCounts(events: DataFrame, windowLen: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    src.groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      // decimal sum: `value` is an exact 2-decimal metric — decimal keeps
+      // the aggregate order-independent (and oracle-matchable)
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+  }
+
+  /** Sliding-window per-user activity rate. */
+  def slidingUserActivity(events: DataFrame, windowLen: String = "1 hour",
+                          slide: String = "15 minutes"): DataFrame =
+    events.groupBy(window(col("ts"), windowLen, slide).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("user_id"), col("n_events"))
+
+  final case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                            event_type: String, value: Double)
+  final case class SessionState(start: Long, lastSeen: Long, nEvents: Long)
+  final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                              session_end: java.sql.Timestamp, n_events: Long)
+
+  /** Session window via custom state (`flatMapGroupsWithState`): a session
+    * closes after `gapMs` of inactivity per user. Demonstrates the
+    * KeyValueGroupedDataset stateful path (the reference has nothing
+    * comparable).
+    */
+  def sessionize(events: Dataset[EventRow], gapMs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[SessionState]) =>
+          // batch-style arrival: process rows in time order, emitting a
+          // session whenever the gap is exceeded
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            st match {
+              case null => st = SessionState(t, t, 1)
+              case s if t - s.lastSeen > gapMs =>
+                out += SessionOut(uid, new java.sql.Timestamp(s.start),
+                  new java.sql.Timestamp(s.lastSeen), s.nEvents)
+                st = SessionState(t, t, 1)
+              case s => st = SessionState(s.start, t, s.nEvents + 1)
+            }
+          }
+          if (st != null) {
+            // flush the trailing session too (batch semantics; a streaming
+            // deployment would keep it in state until timeout)
+            out += SessionOut(uid, new java.sql.Timestamp(st.start),
+              new java.sql.Timestamp(st.lastSeen), st.nEvents)
+            state.remove()
+          }
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import graft.core.DDFManager
+import java.nio.file.{Files, Paths}
+
+/** Core DDF/DDFManager/dialect behavior (SURVEY §1, §3.1). */
+class CoreSpec extends SparkTestBase {
+
+  private def freshManager = DDFManager(spark)
+
+  test("create table registers an empty schema-only DDF") {
+    val m = freshManager
+    val ddf = m.sql2ddf("CREATE TABLE t1 (a int, b string, c double, d bigint)")
+    assert(ddf.name == "t1")
+    assert(ddf.numRows == 0)
+    assert(ddf.schema.fields.map(_.dataType.simpleString).toSeq ==
+      Seq("int", "string", "double", "bigint"))
+    assert(m.listDDFs().contains("t1"))
+  }
+
+  test("LOAD csv into declared table with defaults and NO DEFAULTS") {
+    val dir = Files.createDirectories(Paths.get("target/test-fixtures"))
+    val csv = dir.resolve("load1.csv")
+    Files.writeString(csv, "1,x,2.5\nNA,y,NA\n3,,1.0\n")
+    val m = freshManager
+    m.sql2ddf("create table lt (a int, b string, c double)")
+    val loaded = m.sql2ddf(s"load '${csv.toAbsolutePath}' into lt")
+    assert(loaded.numRows == 3)
+    // defaults mode: unparseable/NA numeric → 0
+    val rows = loaded.df.orderBy("b").collect()
+    assert(rows.map(_.getInt(0)).toSeq.contains(0))
+    val m2 = freshManager
+    m2.sql2ddf("create table lt2 (a int, b string, c double)")
+    val loaded2 = m2.sql2ddf(s"load '${csv.toAbsolutePath}' no defaults into lt2")
+    assert(loaded2.df.filter("a is null").count() == 1)
+  }
+
+  test("select with @this substitution") {
+    val m = freshManager
+    import spark.implicits._
+    val ddf = m.register(Seq((1, "a"), (2, "b"), (3, "a")).toDF("k", "v"))
+    val out = m.sql2ddf("select v, count(*) as n from @this group by v", ddf)
+    assert(out.df.collect().map(r => (r.getString(0), r.getLong(1))).toMap ==
+      Map("a" -> 2L, "b" -> 1L))
+  }
+
+  test("sql returns tab-joined strings (SqlResult)") {
+    val m = freshManager
+    import spark.implicits._
+    m.register(Seq((1, "x")).toDF("a", "b"), "sq1")
+    val res = m.sql("select a, b from sq1")
+    assert(res.rows == Seq("1\tx"))
+  }
+
+  test("copy preserves data and factor metadata") {
+    val m = freshManager
+    import spark.implicits._
+    val ddf = m.register(Seq(("a", 1), ("b", 2), ("a", 3)).toDF("f", "x"))
+    ddf.setAsFactor("f")
+    val c = ddf.copy()
+    assert(c.name != ddf.name)
+    assert(c.numRows == 3)
+    assert(c.factorInfo("f").get.counts == Map("a" -> 2L, "b" -> 1L))
+  }
+
+  test("setName re-registers; mutability updates in place") {
+    val m = freshManager
+    import spark.implicits._
+    val ddf = m.register(Seq((1, 2)).toDF("a", "b"))
+    ddf.setName("renamed_1")
+    assert(m.getDDFByName("renamed_1").eq(ddf))
+    ddf.isMutable = true
+    val out = graft.operators.Views.removeColumns(ddf, Seq("b"))
+    assert(out.eq(ddf) && ddf.columnNames == Seq("a"))
+  }
+
+  test("persist/unpersist round-trip") {
+    val m = freshManager
+    import spark.implicits._
+    val ddf = m.register(Seq((1, "x"), (2, "y")).toDF("a", "b"))
+    val path = m.persist(ddf, "target/test-fixtures/persist")
+    val back = m.unpersist(path, "restored_1")
+    assert(back.numRows == 2)
+  }
+
+  test("loadFile infers schema and names columns V1..Vn") {
+    val dir = Files.createDirectories(Paths.get("target/test-fixtures"))
+    val csv = dir.resolve("infer1.csv")
+    Files.writeString(csv, "1,a,2.5,true\n2,b,3.5,false\n3,c,1.0,true\n")
+    val m = freshManager
+    val ddf = m.loadFile(csv.toAbsolutePath.toString)
+    assert(ddf.columnNames == Seq("V1", "V2", "V3", "V4"))
+    assert(ddf.schema("V1").dataType.simpleString == "int")
+    assert(ddf.schema("V3").dataType.simpleString == "double")
+    assert(ddf.schema("V4").dataType.simpleString == "boolean")
+  }
+}

@@ -1,0 +1,171 @@
+package graft
+
+import graft.core.DDFManager
+import graft.operators._
+
+/** Operator semantics pinned against reference behavior (SURVEY §2.2-2.8),
+  * re-derived on tiny fixtures in the reference's golden-value style.
+  */
+class OperatorsSpec extends SparkTestBase {
+
+  private lazy val m = DDFManager(spark)
+
+  private def left() = {
+    import spark.implicits._
+    m.register(Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "lv"))
+  }
+  private def right() = {
+    import spark.implicits._
+    m.register(Seq((2, "x"), (3, "y"), (3, "y2"), (4, "z")).toDF("k", "rv"))
+  }
+
+  test("join cardinalities per type (reference JoinHandlerSpec style)") {
+    val l = left(); val r = right()
+    assert(Joins.join(l, r, "inner", byColumns = Seq("k")).numRows == 3)
+    assert(Joins.join(l, r, "left", byColumns = Seq("k")).numRows == 4)  // 1 unmatched + 3
+    assert(Joins.join(l, r, "right", byColumns = Seq("k")).numRows == 4)
+    assert(Joins.join(l, r, "full", byColumns = Seq("k")).numRows == 5)
+    // true semi: one row per matching LEFT row (no per-match dups, SURVEY J5)
+    assert(Joins.join(l, r, "semi", byColumns = Seq("k")).numRows == 2)
+    assert(Joins.join(l, r, "anti", byColumns = Seq("k")).numRows == 1)
+  }
+
+  test("semi join output keeps left columns only") {
+    val out = Joins.join(left(), right(), "semi", byColumns = Seq("k"))
+    assert(out.columnNames == Seq("k", "lv"))
+  }
+
+  test("merge requires identical schema and preserves duplicates") {
+    val l = left()
+    assert(Joins.merge(l, l).numRows == 6)
+    import spark.implicits._
+    val other = m.register(Seq(("a", 1)).toDF("x", "y"))
+    intercept[IllegalArgumentException] { Joins.merge(l, other) }
+  }
+
+  test("aggregate spec parser: alias, default alias, count(*)") {
+    import Aggregations._
+    val specs = parseSpecs("a, b, s=sum(x), min(y), count(*)")
+    assert(specs(0) == GroupCol("a"))
+    assert(specs(2) == AggSpec("sum", "x", "s"))
+    assert(specs(3) == AggSpec("min", "y", "min_y"))
+    assert(specs(4) == AggSpec("count", "*", "count_all"))
+    intercept[IllegalArgumentException] {
+      aggColumn(AggSpec("bogus", "x", "x"))
+    }
+  }
+
+  test("aggregate null-cleans referenced columns first (reference A2)") {
+    import spark.implicits._
+    val ddf = m.register(Seq(
+      (Some(1), Some("g1")), (None, Some("g1")), (Some(5), None), (Some(3), Some("g2"))
+    ).toDF("x", "g"))
+    // null x row AND null g row both dropped before aggregation
+    val res = Aggregations.aggregateToMap(ddf, "g, sum(x)")
+    assert(res == Map("g1" -> Seq(1L), "g2" -> Seq(3L)))
+  }
+
+  test("2-step groupBy carries grouping cols; agg without groupBy throws") {
+    import spark.implicits._
+    val ddf = m.register(Seq(("a", 1), ("a", 2), ("b", 3)).toDF("g", "x"))
+    val g = Aggregations.groupByStep1(ddf, Seq("g"))
+    val out = Aggregations.groupByStep2(g, Seq("t=sum(x)"))
+    assert(out.df.collect().map(r => (r.getString(0), r.getLong(1))).toMap ==
+      Map("a" -> 3L, "b" -> 3L))
+    intercept[IllegalArgumentException] { Aggregations.groupByStep2(ddf, Seq("t=sum(x)")) }
+  }
+
+  test("dropNA row threshold formula (reference M1)") {
+    import spark.implicits._
+    val ddf = m.register(Seq(
+      (Some(1), Some(1), Some(1)),
+      (None, Some(2), Some(2)),
+      (None, None, Some(3)),
+      (None, None, None)
+    ).toDF("a", "b", "c"))
+    assert(MissingData.dropNARows(ddf, how = "any").numRows == 1)
+    assert(MissingData.dropNARows(ddf, how = "all").numRows == 3)
+    // thresh = min non-nulls
+    assert(MissingData.dropNARows(ddf, thresh = Some(2)).numRows == 2)
+    intercept[IllegalArgumentException] { MissingData.dropNARows(ddf, thresh = Some(4)) }
+  }
+
+  test("dropNA column axis drops columns with nulls (reference M2)") {
+    import spark.implicits._
+    val ddf = m.register(Seq(
+      (Some(1), Some(1), Option.empty[Int]),
+      (Some(2), None, None)
+    ).toDF("a", "b", "c"))
+    assert(MissingData.dropNAColumns(ddf, how = "any").columnNames == Seq("a"))
+    assert(MissingData.dropNAColumns(ddf, how = "all").columnNames == Seq("a", "b"))
+  }
+
+  test("fillNA by value, map, and column mean (reference M3)") {
+    import spark.implicits._
+    val ddf = m.register(Seq(
+      (Some(2.0), Some("x")), (None, None), (Some(4.0), Some("y"))
+    ).toDF("x", "s"))
+    val filled = MissingData.fillNAValue(ddf, 0.0, Seq("x"))
+    assert(filled.df.agg(org.apache.spark.sql.functions.sum("x")).first().getDouble(0) == 6.0)
+    val filledMean = MissingData.fillNAWithAggregate(
+      m.register(ddf.df.select("x")), "mean")
+    assert(filledMean.df.collect().map(_.getDouble(0)).sorted.toSeq == Seq(2.0, 3.0, 4.0))
+    val filledMap = MissingData.fillNAMap(ddf, Map("s" -> "zz"))
+    assert(filledMap.df.filter("s = 'zz'").count() == 1)
+  }
+
+  test("binning custom breaks: drops out-of-range, labels, factor levels (reference B1/B4)") {
+    import spark.implicits._
+    val ddf = m.register(Seq(0.5, 1.0, 2.0, 5.0, 7.5, 10.0, 12.0).toDF("v"))
+    val binned = Binning.binningCustom(ddf, "v", Seq(1.0, 5.0, 10.0),
+      includeLowest = true, right = true)
+    // 0.5 and 12.0 dropped; labels [1,5] and (5,10]
+    assert(binned.numRows == 5)
+    val counts = binned.df.groupBy("v").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("[1,5]" -> 3L, "(5,10]" -> 2L))
+    assert(binned.factorInfo("v").get.levels == Seq("[1,5]", "(5,10]"))
+    // right=false excludeLowest: [1,5) [5,10); 1.0 in, 10 dropped, 12 dropped
+    val b2 = Binning.binningCustom(m.register(Seq(0.5, 1.0, 2.0, 5.0, 7.5, 10.0, 12.0).toDF("v")),
+      "v", Seq(1.0, 5.0, 10.0), includeLowest = false, right = false)
+    val c2 = b2.df.groupBy("v").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(c2 == Map("[1,5)" -> 2L, "[5,10)" -> 2L)) // 0.5, 10.0, 12.0 dropped
+  }
+
+  test("binning equal-freq produces balanced bins") {
+    import spark.implicits._
+    val ddf = m.register((1 to 100).map(_.toDouble).toDF("v"))
+    val binned = Binning.binningEqualFreq(ddf, "v", 4, includeLowest = true, exact = true)
+    val sizes = binned.df.groupBy("v").count().collect().map(_.getLong(1))
+    assert(sizes.length == 4 && sizes.forall(s => s >= 24 && s <= 26))
+  }
+
+  test("scaleMinMax maps max→1 min→0; scaleStandard zero-means (reference U3)") {
+    import spark.implicits._
+    val ddf = m.register(Seq(0.0, 5.0, 10.0).toDF("x"))
+    val mm = Transforms.scaleMinMax(ddf).df.collect().map(_.getDouble(0)).sorted
+    assert(mm.toSeq == Seq(0.0, 0.5, 1.0))
+    val st = Transforms.scaleStandard(m.register(Seq(0.0, 5.0, 10.0).toDF("x")))
+      .df.agg(org.apache.spark.sql.functions.avg("x")).first().getDouble(0)
+    assert(math.abs(st) < 1e-12)
+  }
+
+  test("transformUDF adds computed column (reference P9)") {
+    import spark.implicits._
+    val ddf = m.register(Seq((2, 3)).toDF("a", "b"))
+    val out = Transforms.transformUDF(ddf, "c", "a * b + 1")
+    assert(out.df.select("c").first().getInt(0) == 7)
+  }
+
+  test("views: project, head, top, sample") {
+    import spark.implicits._
+    val ddf = m.register((1 to 50).map(i => (i, s"s$i")).toDF("k", "s"))
+    assert(Views.project(ddf, Seq("k")).columnNames == Seq("k"))
+    assert(Views.head(ddf, 5).size == 5)
+    val top3 = Views.top(ddf, 3, "k", ascending = false).df.collect().map(_.getInt(0))
+    assert(top3.toSeq == Seq(50, 49, 48))
+    assert(Views.sampleExact(ddf, 10).numRows == 10)
+    val s = Views.sample(ddf, 0.5, withReplacement = false, seed = 1).numRows
+    assert(s > 5 && s < 45)
+  }
+}

@@ -1,0 +1,127 @@
+package graft
+
+import graft.pipeline._
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators: dedup, similarity, text analysis,
+  * multimodal plumbing.
+  */
+class PipelineSpec extends SparkTestBase {
+
+  private def docs() = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+      (3L, "completely different text about spark query engines and distributed joins"),
+      (4L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+      (5L, "another unrelated document mentioning columnar storage formats parquet orc")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps one representative per identical text") {
+    val d = Dedup.exact(docs(), "text", "doc_id")
+    assert(d.count() == 4) // 1&4 merged
+    val dupGroup = d.filter(col("n_dups") === 2).collect()
+    assert(dupGroup.length == 1 && dupGroup.head.getAs[Long]("keep_id") == 1L)
+    assert(Dedup.exactSurvivors(docs(), "text", "doc_id").count() == 4)
+  }
+
+  test("minhash-LSH finds the planted near-duplicate pair") {
+    val pairs = Dedup.minhashDedup(docs(), "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) || pairs.contains((1L, 4L))) // near/exact dups surface
+    assert(pairs.contains((1L, 4L))) // exact dup always jaccard 1.0
+    assert(!pairs.exists { case (a, b) => Set(a, b) == Set(3L, 5L) })
+  }
+
+  test("jaccard on pairs: identical docs = 1.0") {
+    import spark.implicits._
+    val pairs = Seq((1L, 4L), (1L, 3L)).toDF("id1", "id2")
+    val j = Dedup.jaccardOnPairs(pairs, docs(), "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 4L)) == 1.0)
+    assert(j((1L, 3L)) < 0.2)
+  }
+
+  test("simhash: identical → distance 0; near-dup within small hamming") {
+    val d = Dedup.simhashDedup(docs(), "text", "doc_id", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(d((1L, 4L)) == 0)
+    assert(d.contains((1L, 2L)))
+  }
+
+  test("embedding cosine dedup + similarity primitives") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.1f, 0.0f)),  // near 1
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingDedup(vecs, "embedding", "vec_id", threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("brute-force ANN: top-1 neighbor of a vector is itself") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)), (3L, Array(0.7f, 0.7f))
+    ).toDF("vec_id", "embedding")
+    val queries = corpus.withColumnRenamed("vec_id", "qid")
+    val top = Similarity.bruteForceTopK(corpus, queries, "embedding", "vec_id", "qid", 2)
+    val top1 = top.filter(col("rk") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(top1 == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
+  test("LSH ANN returns subset of brute-force candidates with sane scores") {
+    import spark.implicits._
+    val rng = new scala.util.Random(3)
+    val corpus = (1L to 200L).map(i => (i, Array.fill(8)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.limit(3).withColumnRenamed("vec_id", "qid")
+    val lsh = Similarity.lshTopK(corpus, queries, "embedding", "vec_id", "qid", 5, planes = 4)
+    assert(lsh.count() > 0)
+    // self always lands in its own bucket → top hit cosine == 1
+    val self = lsh.filter(col("rk") === 1).collect()
+    assert(self.forall(r => r.getDouble(2) > 0.99))
+  }
+
+  test("text analysis: tokens, lang, quality, fingerprints") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "le chat de la maison et le chien est grand"),
+      (3L, "xyzzy qwerty")
+    ).toDF("id", "text")
+    val e = TextAnalysis.enrich(df, "text")
+    val byId = e.collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(byId(1L).getAs[Long]("token_count") == 8)
+    assert(byId(1L).getAs[String]("lang_pred") == "en")
+    assert(byId(2L).getAs[String]("lang_pred") == "fr")
+    assert(byId(3L).getAs[String]("lang_pred") == "und")
+    val q = byId(1L).getAs[Double]("quality")
+    assert(q > 0.0 && q <= 1.0)
+    // fingerprint is whitespace/case-insensitive
+    val f2 = TextAnalysis.fingerprintMd5("text")
+    val a = Seq((1L, "Hello  World"), (2L, "hello world")).toDF("id", "text")
+      .select(f2).distinct().count()
+    assert(a == 1)
+  }
+
+  test("multimodal: payload metadata + batched feature extraction shape") {
+    import spark.implicits._
+    val df = Seq((1L, "some text payload"), (2L, "other payload")).toDF("id", "text")
+    val withBin = Multimodal.withBinaryPayload(df, "text", "text/plain")
+    val meta = withBin.select("meta.byte_len", "meta.modality").collect()
+    assert(meta.forall(_.getString(1) == "text/plain"))
+    assert(meta.map(_.getLong(0)).toSet == Set(17L, 13L))
+    val feats = Multimodal.extractFeatures(withBin, "id", "payload", partitions = 2)
+    val rows = feats.collect()
+    assert(rows.length == 2 && rows.forall(_.getAs[Seq[Float]]("features").length == 8))
+    val frames = Multimodal.sampleFrames(withBin, "id", "payload", chunkBytes = 5, everyK = 2)
+    assert(frames.count() > 2)
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import graft.core.DDFManager
+import graft.stats.Stats
+
+class StatsSpec extends SparkTestBase {
+
+  private lazy val m = DDFManager(spark)
+
+  test("one-pass summary: count/na/mean/variance/min/max") {
+    import spark.implicits._
+    val ddf = m.register(Seq(Some(1.0), Some(2.0), Some(3.0), None).toDF("x"))
+    val s = Stats.summary(ddf).head
+    assert(s.count == 3 && s.naCount == 1)
+    assert(s.mean == 2.0 && s.variance == 1.0 && s.min == 1.0 && s.max == 3.0)
+  }
+
+  test("exact quantiles with linear interpolation; integral floor quirk (T3)") {
+    import spark.implicits._
+    val ddf = m.register((1 to 100).map(_.toDouble).toDF("x"))
+    val qs = Stats.quantiles(ddf.df, "x", Seq(0.25, 0.5, 0.75), exact = true)
+    assert(qs == Seq(25.75, 50.5, 75.25))
+    val ints = m.register((1 to 100).toDF("i"))
+    val qi = Stats.quantiles(ints.df, "i", Seq(0.5), exact = true)
+    assert(qi == Seq(50.0)) // floor(50.5)
+  }
+
+  test("fiveNum spans the distribution") {
+    import spark.implicits._
+    val ddf = m.register((1 to 1000).map(_.toDouble).toDF("x"))
+    val fn = Stats.fiveNum(ddf, "x", exact = true)
+    assert(fn.min <= 2 && fn.max >= 999 && fn.median == 500.5)
+  }
+
+  test("histogram: exact counts, closed top edge (T7)") {
+    import spark.implicits._
+    val ddf = m.register((1 to 100).map(_.toDouble).toDF("x"))
+    val h = Stats.histogram(ddf, "x", 4)
+    assert(h.map(_._3).sum == 100)
+    assert(h.size == 4)
+    // max value lands in last bucket, not beyond
+    assert(h.last._3 == 25)
+  }
+
+  test("multi-factor counts in one pass (T9)") {
+    import spark.implicits._
+    val ddf = m.register(Seq(("a", "x"), ("a", "y"), ("b", "x")).toDF("f1", "f2"))
+    val counts = Stats.multiFactorCounts(ddf.df, Seq("f1", "f2"))
+    assert(counts("f1") == Map("a" -> 2L, "b" -> 1L))
+    assert(counts("f2") == Map("x" -> 2L, "y" -> 1L))
+  }
+
+  test("simple summary: numeric ranges + factor levels (T8)") {
+    import spark.implicits._
+    val ddf = m.register(Seq((1.0, "u"), (9.0, "v"), (5.0, "u")).toDF("n", "f"))
+    ddf.setAsFactor("f")
+    val ss = Stats.simpleSummary(ddf)
+    assert(ss.numericRanges("n") == (1.0, 9.0))
+    assert(ss.factorLevels("f") == Seq("u", "v"))
+  }
+
+  test("correlation and covariance agree with closed form") {
+    import spark.implicits._
+    val ddf = m.register(Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0)).toDF("x", "y"))
+    assert(math.abs(graft.operators.Aggregations.correlation(ddf, "x", "y") - 1.0) < 1e-12)
+    assert(math.abs(graft.operators.Aggregations.covariance(ddf, "x", "y") - 2.0) < 1e-12)
+  }
+}
