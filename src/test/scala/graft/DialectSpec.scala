@@ -1,0 +1,91 @@
+package graft
+
+import graft.core.DDFManager
+import graft.operators._
+import graft.stats.Stats
+import java.nio.file.{Files, Paths}
+
+/** End-to-end chain in the reference's DemoSpec style (reference:
+  * flink/src/test/scala/io/ddf/flink/DemoSpec.scala:12-63):
+  * create → load → project → sql-filter → groupBy → top → summary →
+  * fiveNum → binning → scale → dropNA → kmeans → rename.
+  */
+class DialectSpec extends SparkTestBase {
+
+  private def fixtureCsv: String = {
+    val dir = Files.createDirectories(Paths.get("target/test-fixtures"))
+    val p = dir.resolve("airline_like.csv")
+    val rng = new scala.util.Random(7)
+    val rows = (1 to 60).map { i =>
+      val year = 2008 + (i % 3)
+      val month = 1 + (i % 12)
+      val delay = if (i % 10 == 0) "NA" else (rng.nextInt(120) - 20).toString
+      val dist = 100 + rng.nextInt(2000)
+      s"$year,$month,$delay,$dist"
+    }
+    Files.writeString(p, rows.mkString("\n"))
+    p.toAbsolutePath.toString
+  }
+
+  test("demo chain: create→load→sql→groupBy→top→summary→binning→scale→dropNA→rename") {
+    val m = DDFManager(spark)
+    m.sql2ddf("create table flights (year int, month int, delay int, distance int)")
+    val ddf = m.sql2ddf(s"load '$fixtureCsv' no defaults into flights")
+    assert(ddf.numRows == 60)
+
+    // SQL over the catalog name and @this
+    val filtered = m.sql2ddf("select year, month, delay, distance from flights where distance > 500")
+    assert(filtered.numRows > 0 && filtered.numColumns == 4)
+
+    val grouped = Aggregations.groupBy(ddf, Seq("year"), Seq("n=count(*)", "avg_delay=avg(delay)"))
+    assert(grouped.numRows == 3)
+
+    val top2 = Views.top(grouped, 2, "n", ascending = false)
+    assert(top2.numRows == 2)
+
+    val summ = Stats.summary(m.sql2ddf("select delay, distance from @this", ddf))
+    val delaySumm = summ.find(_.column == "delay").get
+    assert(delaySumm.naCount == 6 && delaySumm.count == 54)
+
+    val fn = Stats.fiveNum(ddf, "distance", exact = true)
+    assert(fn.min >= 100 && fn.max <= 2100 && fn.q1 <= fn.median && fn.median <= fn.q3)
+
+    val binned = Binning.binningEqualFreq(ddf.copy(), "distance", 3,
+      includeLowest = true, exact = true)
+    assert(binned.factorInfo("distance").get.levels.size == 3)
+
+    val scaled = Transforms.scaleMinMax(ddf.copy(), Seq("distance"))
+    val mx = scaled.df.agg(org.apache.spark.sql.functions.max("distance")).first().getDouble(0)
+    assert(mx == 1.0)
+
+    val clean = MissingData.dropNARows(ddf.copy(), how = "any")
+    assert(clean.numRows == 54)
+
+    clean.setName("flights_clean")
+    assert(m.getDDFByName("flights_clean").numRows == 54)
+  }
+
+  test("scalar function surface: substr 2-arg to end, cast, abs (reference §2.9)") {
+    val m = DDFManager(spark)
+    import spark.implicits._
+    m.register(Seq(("hello world", -5, "123")).toDF("s", "i", "n"), "scalar_t")
+    val r = m.sql("select substring(s, 7) as tail, abs(i) as ai, cast(n as int) as ni from scalar_t")
+    assert(r.rows.head == "world\t5\t123")
+  }
+
+  test("sql limit and order by (reference O1/O2)") {
+    val m = DDFManager(spark)
+    import spark.implicits._
+    m.register((1 to 20).map(i => (i, 20 - i)).toDF("a", "b"), "lim_t")
+    val r = m.sql2ddf("select a, b from lim_t order by b desc limit 3")
+    assert(r.df.collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+  }
+
+  test("aggregateOnColumn golden (reference AggregationHandlerSpec: max == 2010)") {
+    val m = DDFManager(spark)
+    m.sql2ddf("create table years (V1 int)")
+    import spark.implicits._
+    val ddf = m.register(Seq(2008, 2009, 2010, 2008).toDF("V1"), "years")
+    assert(Aggregations.aggregateOnColumn(ddf, "max", "V1").asInstanceOf[Int] == 2010)
+  }
+}

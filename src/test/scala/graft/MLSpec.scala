@@ -1,0 +1,81 @@
+package graft
+
+import graft.core.DDFManager
+import graft.ml.MLSupport
+import org.apache.spark.sql.functions._
+
+/** ML capability parity (SURVEY §2.12): train/applyModel/yPredict,
+  * kmeans, linear models, ALS, CV splits, confusion matrix, metrics.
+  */
+class MLSpec extends SparkTestBase {
+
+  private lazy val m = DDFManager(spark)
+
+  test("kmeans: k clusters, applyModel appends yPredict") {
+    import spark.implicits._
+    val pts = (1 to 60).map { i =>
+      val c = i % 3
+      (i.toLong, c * 10.0 + (i % 5) * 0.1, c * 10.0 - (i % 7) * 0.1)
+    }
+    val ddf = m.register(pts.toDF("id", "x", "y"))
+    val model = MLSupport.train(ddf, "kmeans", Seq("x", "y"), params = Map("k" -> 3))
+    val scored = MLSupport.applyModel(ddf, model)
+    assert(scored.columnNames.contains("yPredict"))
+    val clusters = scored.df.select("yPredict").distinct().count()
+    assert(clusters == 3)
+    // points from one generator cluster land together
+    val purity = scored.df.groupBy((col("id") % 3).as("truth"), col("yPredict"))
+      .count().groupBy("truth").agg(max("count").as("m"))
+      .agg(sum("m")).first().getLong(0)
+    assert(purity == 60)
+  }
+
+  test("linear regression recovers a linear relationship; r2/rmse") {
+    import spark.implicits._
+    val rows = (1 to 100).map(i => (i.toDouble, 3.0 * i + 7.0))
+    val ddf = m.register(rows.toDF("x", "y"))
+    val model = MLSupport.train(ddf, "mlr", Seq("x"), "y")
+    val scored = MLSupport.applyModel(ddf, model)
+    val r2 = MLSupport.r2Score(scored.df, "y")
+    assert(r2 > 0.999)
+    assert(MLSupport.rmse(scored.df, "y") < 1.0)
+  }
+
+  test("svm separates linearly separable classes; confusion matrix") {
+    import spark.implicits._
+    val rows = (1 to 100).map { i =>
+      val label = if (i % 2 == 0) 1.0 else 0.0
+      (label, label * 10 + (i % 5) * 0.1, label * 8 - (i % 3) * 0.1)
+    }
+    val ddf = m.register(rows.toDF("label", "f1", "f2"))
+    val model = MLSupport.train(ddf, "svm", Seq("f1", "f2"), "label")
+    val scored = MLSupport.applyModel(ddf, model)
+    val cm = MLSupport.confusionMatrix(scored.df, "label", "yPredict", 0.5)
+    assert(cm.getOrElse((true, true), 0L) == 50L)
+    assert(cm.getOrElse((false, false), 0L) == 50L)
+    assert(!cm.contains((true, false)) && !cm.contains((false, true)))
+  }
+
+  test("als fits and predicts ratings") {
+    import spark.implicits._
+    val ratings = for (u <- 0 until 8; i <- 0 until 8 if (u + i) % 2 == 0)
+      yield (u, i, ((u * i) % 5 + 1).toFloat)
+    val ddf = m.register(ratings.toDF("user", "item", "rating"))
+    val model = MLSupport.train(ddf, "als", Nil,
+      params = Map("userCol" -> "user", "itemCol" -> "item", "ratingCol" -> "rating", "rank" -> 4))
+    val scored = MLSupport.applyModel(ddf, model)
+    assert(scored.df.filter(col("yPredict").isNotNull).count() > 0)
+  }
+
+  test("cv splits: kfold bands are disjoint and cover") {
+    import spark.implicits._
+    val ddf = m.register((1 to 200).toDF("v"))
+    val folds = MLSupport.cvKFold(ddf, 4, seed = 11)
+    assert(folds.size == 4)
+    val testTotal = folds.map(_._2.count()).sum
+    assert(testTotal == 200) // bands partition the data
+    folds.foreach { case (tr, te) => assert(tr.count() + te.count() == 200) }
+    val (tr, te) = MLSupport.cvRandom(ddf, 2, 0.75, seed = 5).head
+    assert(tr.count() + te.count() == 200)
+  }
+}

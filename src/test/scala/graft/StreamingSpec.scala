@@ -1,0 +1,62 @@
+package graft
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Structured Streaming extension: the SAME transform must produce
+  * identical results on a batch frame and on a streaming source.
+  */
+class StreamingSpec extends SparkTestBase {
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  private def sampleRows: Seq[EventStreams.EventRow] = Seq(
+    EventStreams.EventRow(1, ts(0), 10, "click", 1.0),
+    EventStreams.EventRow(2, ts(5), 10, "click", 2.0),
+    EventStreams.EventRow(3, ts(20), 11, "view", 3.0),
+    EventStreams.EventRow(4, ts(40), 10, "click", 4.0),
+    EventStreams.EventRow(5, ts(55), 11, "view", 5.0))
+
+  test("tumblingCounts: streaming result equals batch result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val batchDf = sampleRows.toDF()
+    val expected = EventStreams.tumblingCounts(batchDf, "30 minutes")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+
+    val stream = MemoryStream[EventStreams.EventRow]
+    stream.addData(sampleRows: _*)
+    val q = EventStreams.tumblingCounts(stream.toDF(), "30 minutes")
+      .writeStream.format("memory").queryName("tumbling_test")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("tumbling_test")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got == expected)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("sessionize: gap splits sessions per user") {
+    import spark.implicits._
+    val ev = sampleRows.toDS()
+    val sessions = EventStreams.sessionize(ev, gapMs = 30 * 60 * 1000L).collect()
+    // user 10: events at :00 :05 :40 → gap 35min splits → 2 sessions
+    // user 11: events at :20 :55 → gap 35min splits → 2 sessions
+    assert(sessions.count(_.user_id == 10) == 2)
+    assert(sessions.count(_.user_id == 11) == 2)
+    val first10 = sessions.filter(_.user_id == 10).minBy(_.session_start.getTime)
+    assert(first10.n_events == 2)
+  }
+
+  test("slidingUserActivity emits overlapping windows") {
+    import spark.implicits._
+    val out = EventStreams.slidingUserActivity(sampleRows.toDF(), "1 hour", "30 minutes")
+    // each event belongs to 2 sliding windows
+    assert(out.agg(sum("n_events")).first().getLong(0) == sampleRows.size * 2)
+  }
+}
