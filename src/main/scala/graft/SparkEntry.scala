@@ -1032,6 +1032,23 @@ object SparkEntry {
              |  count(*) AS total_events
              |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    Q("u02_mapreduce",
+      (s, d) => {
+        val m = mgr(s, d)
+        import s.implicits._
+        // typed map-reduce (reference U2): key by lang, reduce to
+        // (n_docs, max_chars) — deterministic, SQL-mirrorable
+        val docs = m.getDDFByName("documents")
+        Transforms.mapReduce[String, (String, Long, Long)](docs)(_.getAs[String]("lang")) {
+          case (k, rows) =>
+            var n = 0L; var mx = 0L
+            rows.foreach { r => n += 1; val c = r.getAs[Long]("n_chars"); if (c > mx) mx = c }
+            (k, n, mx)
+        }.df.toDF("lang", "n_docs", "max_chars").orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n_docs, max(n_chars) AS max_chars
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
     Q("ml01_kmeans",
       (s, d) => {
         val m = mgr(s, d)

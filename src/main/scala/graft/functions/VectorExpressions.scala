@@ -1,0 +1,146 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for embedding math.
+  *
+  * Rationale (SURVEY §4.3, measured): the composable alternative —
+  * `aggregate(zip_with(u, v, (a,b) -> a*b), 0D, (acc,x) -> acc+x)` — is a
+  * higher-order function chain that is interpreted (CodegenFallback) and
+  * allocates an intermediate array per row. For ANN scoring the dot
+  * product runs once per (query, corpus-row) pair, so it must be a tight
+  * codegen'd loop over the unsafe array data: no allocation, no lambda
+  * dispatch. Accumulation order is sequential (index 0..n-1), matching
+  * the reference oracle's arithmetic exactly.
+  */
+abstract class VectorBinaryExpression extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  protected def leftIsFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  protected def rightIsFloat: Boolean = right.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(a, _), ArrayType(b, _))
+        if (a == FloatType || a == DoubleType) && (b == FloatType || b == DoubleType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects two float/double arrays, got " +
+            s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+    }
+  }
+
+  @inline protected final def get(a: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+}
+
+/** dot(u, v) = Σ u_i · v_i over min(len) elements. */
+case class VectorDot(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override def prettyName: String = "vector_dot"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val (lf, rf) = (leftIsFloat, rightIsFloat)
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) { s += get(a, i, lf) * get(b, i, rf); i += 1 }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGet = if (leftIsFloat) "getFloat" else "getDouble"
+    val rGet = if (rightIsFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n"); val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (double) $a.$lGet($i) * (double) $b.$rGet($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VectorDot =
+    copy(left = l, right = r)
+}
+
+/** cosine(u, v) in ONE pass: Σuv / (√Σuu · √Σvv); 0.0 for zero vectors.
+  * Same formula shape (and therefore bitwise-identical doubles) as the
+  * dot-product composition used by the DuckDB oracles.
+  */
+case class VectorCosine(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override def prettyName: String = "vector_cosine"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val (lf, rf) = (leftIsFloat, rightIsFloat)
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = get(a, i, lf); val y = get(b, i, rf)
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGet = if (leftIsFloat) "getFloat" else "getDouble"
+    val rGet = if (rightIsFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = (double) $a.$lGet($i);
+         |  double $y = (double) $b.$rGet($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0
+         |  : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VectorCosine =
+    copy(left = l, right = r)
+}
+
+/** Session registration so `expr("vector_dot(a,b)")` / SQL can use the
+  * native expressions (idempotent per session).
+  */
+object GraftFunctions {
+  private val registered = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+
+  def ensureRegistered(spark: SparkSession): Unit = {
+    if (!registered.add(spark.sessionState.toString)) return
+    val reg = spark.sessionState.functionRegistry
+    reg.registerFunction(
+      FunctionIdentifier("vector_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
+      (exprs: Seq[Expression]) => VectorDot(exprs(0), exprs(1)))
+    reg.registerFunction(
+      FunctionIdentifier("vector_cosine"),
+      new ExpressionInfo(classOf[VectorCosine].getName, "vector_cosine"),
+      (exprs: Seq[Expression]) => VectorCosine(exprs(0), exprs(1)))
+  }
+}

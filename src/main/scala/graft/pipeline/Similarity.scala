@@ -12,16 +12,27 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** dot(u, v) with double accumulation. */
-  def dot(u: Column, v: Column): Column =
-    aggregate(zip_with(u, v, (a, b) => a * b), lit(0.0), (acc, x) => acc + x)
+  /** dot(u, v): native codegen'd expression (graft.functions.VectorDot).
+    * The composable `aggregate(zip_with(...))` form is interpreted and
+    * allocates per row — measurably slower in the ANN scoring loop.
+    */
+  def dot(u: Column, v: Column): Column = graft.functions.VectorFunctions.dot(u, v)
 
   def norm(u: Column): Column = sqrt(dot(u, u))
 
-  /** Cosine similarity; 0 for zero vectors. */
-  def cosine(u: Column, v: Column): Column = {
-    val d = dot(u, v); val nu = norm(u); val nv = norm(v)
-    when(nu === 0.0 || nv === 0.0, 0.0).otherwise(d / (nu * nv))
+  /** Cosine similarity in one array pass; 0 for zero vectors. Identical
+    * arithmetic order to the dot/sqrt composition (oracle-exact).
+    */
+  def cosine(u: Column, v: Column): Column = graft.functions.VectorFunctions.cosine(u, v)
+
+  /** Interpreted HOF formulation, kept for cross-checking the native
+    * expressions in tests.
+    */
+  def cosineHof(u: Column, v: Column): Column = {
+    def d(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val dd = d(u, v); val nu = sqrt(d(u, u)); val nv = sqrt(d(v, v))
+    when(nu === 0.0 || nv === 0.0, 0.0).otherwise(dd / (nu * nv))
   }
 
   def dimOf(df: DataFrame, vecCol: String): Int =

@@ -157,6 +157,46 @@ class OperatorsSpec extends SparkTestBase {
     assert(out.df.select("c").first().getInt(0) == 7)
   }
 
+  test("subset supports regex filtering via rlike (reference rejects grep)") {
+    import spark.implicits._
+    val ddf = m.register(Seq("apple", "banana", "cherry").toDF("s"))
+    val out = Views.subset(ddf, Seq("s"), "s rlike '^.a'")
+    assert(out.df.collect().map(_.getString(0)).toSet == Set("banana"))
+  }
+
+  test("fillDirectional ffill/bfill over an ordering column (extension of M3)") {
+    import spark.implicits._
+    val ddf = m.register(Seq(
+      (1, Some(10.0)), (2, None), (3, None), (4, Some(40.0)), (5, None)
+    ).toDF("t", "x"))
+    val ff = MissingData.fillDirectional(ddf.copy(), "ffill", "t", Seq("x"))
+      .df.orderBy("t").collect().map(r => Option(r.get(1)))
+    assert(ff.toSeq == Seq(Some(10.0), Some(10.0), Some(10.0), Some(40.0), Some(40.0)))
+    val bf = MissingData.fillDirectional(ddf.copy(), "bfill", "t", Seq("x"))
+      .df.orderBy("t").collect().map(r => Option(r.get(1)))
+    assert(bf.toSeq == Seq(Some(10.0), Some(40.0), Some(40.0), Some(40.0), None))
+  }
+
+  test("mapReduce: typed groupByKey + mapGroups (reference U2)") {
+    import spark.implicits._
+    val ddf = m.register(Seq(("a", 1), ("a", 2), ("b", 5)).toDF("g", "x"))
+    val out = Transforms.mapReduce[String, (String, Long)](ddf)(_.getString(0)) {
+      case (k, rows) => (k, rows.map(_.getInt(1).toLong).sum)
+    }
+    assert(out.df.collect().map(r => (r.getString(0), r.getLong(1))).toMap ==
+      Map("a" -> 3L, "b" -> 5L))
+  }
+
+  test("mapPartitionsRows escape hatch preserves schema contract") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val ddf = m.register(Seq(1, 2, 3).toDF("v"))
+    val schema = StructType(Seq(StructField("v2", IntegerType)))
+    val out = Transforms.mapPartitionsRows(ddf, schema)(rows =>
+      rows.map(r => org.apache.spark.sql.Row(r.getInt(0) * 2)))
+    assert(out.df.collect().map(_.getInt(0)).sorted.toSeq == Seq(2, 4, 6))
+  }
+
   test("views: project, head, top, sample") {
     import spark.implicits._
     val ddf = m.register((1 to 50).map(i => (i, s"s$i")).toDF("k", "s"))

@@ -1,0 +1,72 @@
+package graft
+
+import graft.functions.{GraftFunctions, VectorFunctions}
+import graft.pipeline.Similarity
+import org.apache.spark.sql.functions._
+
+/** Native VectorDot/VectorCosine Catalyst expressions: parity with the
+  * interpreted HOF formulation, null handling, mixed element types, SQL
+  * registration.
+  */
+class VectorExprSpec extends SparkTestBase {
+
+  test("native cosine/dot match the HOF formulation bit-for-bit") {
+    import spark.implicits._
+    val rng = new scala.util.Random(1)
+    val df = (1 to 50).map(i => (i, Array.fill(16)(rng.nextGaussian().toFloat),
+      Array.fill(16)(rng.nextGaussian().toFloat))).toDF("id", "u", "v")
+    val both = df.select(
+      Similarity.cosine(col("u"), col("v")).as("native"),
+      Similarity.cosineHof(
+        expr("transform(u, x -> cast(x as double))"),
+        expr("transform(v, x -> cast(x as double))")).as("hof"),
+      VectorFunctions.dot(col("u"), col("v")).as("ndot"),
+      expr("aggregate(zip_with(transform(u, x -> cast(x as double)), transform(v, x -> cast(x as double)), (a, b) -> a * b), 0D, (acc, x) -> acc + x)").as("hdot"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), "cosine mismatch")
+      assert(r.getDouble(2) == r.getDouble(3), "dot mismatch")
+    }
+  }
+
+  test("null vector propagates null; zero vector gives cosine 0") {
+    import spark.implicits._
+    val df = Seq(
+      (1, Some(Array(1.0f, 2.0f)), Some(Array(3.0f, 4.0f))),
+      (2, None, Some(Array(1.0f, 1.0f))),
+      (3, Some(Array(0.0f, 0.0f)), Some(Array(1.0f, 1.0f)))
+    ).toDF("id", "u", "v")
+    val rows = df.select(col("id"), VectorFunctions.cosine(col("u"), col("v")).as("c"))
+      .orderBy("id").collect()
+    assert(rows(0).getDouble(1) > 0.9)
+    assert(rows(1).isNullAt(1))
+    assert(rows(2).getDouble(1) == 0.0)
+  }
+
+  test("mixed float/double arrays work (bucket hyperplanes path)") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 0.0f), Array(1.0, 0.0))).toDF("f", "d")
+    val v = df.select(VectorFunctions.dot(col("f"), col("d"))).first().getDouble(0)
+    assert(v == 1.0)
+  }
+
+  test("SQL registration: vector_cosine usable from spark.sql") {
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f))).toDF("u", "v")
+      .createOrReplaceTempView("vec_t")
+    val v = spark.sql("select vector_cosine(u, v) as c from vec_t").first().getDouble(0)
+    assert(v == 1.0)
+  }
+
+  test("codegen path active (no fallback) in a projection") {
+    val df = spark.range(10).select(
+      array((0 to 3).map(i => (col("id") + i).cast("float")): _*).as("u"),
+      array((0 to 3).map(i => (col("id") * i).cast("float")): _*).as("v"))
+    val q = df.select(VectorFunctions.dot(col("u"), col("v")).as("d"))
+    // the starred `*(n) Project` marks the operator as inside a
+    // WholeStageCodegen stage — vector_dot did not force a fallback
+    assert(q.queryExecution.executedPlan.toString.contains("*(1) Project [vector_dot"))
+    assert(q.count() == 10)
+  }
+}
