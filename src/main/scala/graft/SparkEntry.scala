@@ -942,6 +942,29 @@ object SparkEntry {
       },
       None),
 
+    Q("a03_ann_ivf",
+      (s, d) => {
+        val m = mgr(s, d)
+        val all = m.getDDFByName("embeddings").df
+        val queries = all.filter(col("vec_id") < 3).withColumnRenamed("vec_id", "qid")
+        val idx = pipeline.IvfIndex.build(all, "embedding", "vec_id", nCells = 16)
+        pipeline.IvfIndex.topK(idx, queries, "embedding", "qid", k = 10, nprobe = 4)
+          .select(col("query_id"), col("id"), round(col("cosine"), 6).as("cosine"), col("rk"))
+          .orderBy("query_id", "rk")
+      },
+      None),
+
+    Q("d06_dup_clusters",
+      (s, d) => {
+        val m = mgr(s, d)
+        val docs = m.getDDFByName("documents").df
+        val pairs = pipeline.Dedup.minhashDedup(docs, "text", "doc_id", threshold = 0.5)
+        pipeline.Dedup.dupClusters(pairs)
+          .groupBy("cluster_id").agg(count(lit(1)).as("size"))
+          .orderBy("cluster_id")
+      },
+      None),
+
     Q("t01_text_enrich",
       (s, d) => {
         val m = mgr(s, d)

@@ -185,6 +185,51 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over near-dup candidate pairs → duplicate
+    * clusters, labeled by the minimum member id. Iterative min-label
+    * propagation: each round is one shuffle (join + groupBy); rounds are
+    * bounded by the component diameter — near-dup graphs are shallow
+    * (dups of dups), so this converges in a handful of rounds. For
+    * adversarially deep graphs switch to large-star/small-star; the API
+    * stays the same.
+    */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionAll(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min("label").as("nlabel"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.alias("n").join(labels.alias("o"), "id")
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.withColumnRenamed("label", "cluster_id")
+  }
+
+  /** One representative (min id) per duplicate cluster; singletons (no
+    * candidate pair) survive untouched.
+    */
+  def clusterSurvivors(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val clusters = dupClusters(pairs)
+    val losers = clusters.filter(col("id") =!= col("cluster_id")).select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Embedding cosine near-dup via BANDED sign-LSH: `bands` independent
     * bucket groups of `planesPerBand` hyperplanes each; a pair is a
     * candidate if it collides in ANY band (union across bands drives the

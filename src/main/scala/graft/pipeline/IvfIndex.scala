@@ -1,0 +1,93 @@
+package graft.pipeline
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) ANN index: corpus vectors are assigned to k-means
+  * cells; a query scores only the `nprobe` nearest cells' vectors.
+  *
+  * The 100 TB shape: the indexed corpus is partitioned (and on disk,
+  * bucketed) by `cell`, so a query touches nprobe/nCells of the data;
+  * centroids are tiny and broadcast. Compare `Similarity.lshTopK`
+  * (stateless, no training) — IVF trades a one-off k-means for much
+  * better recall at the same probe budget.
+  */
+object IvfIndex {
+
+  final case class Index(centroids: Array[Array[Double]], corpus: DataFrame)
+
+  /** Build the index: k-means over (a sample of) the corpus, then assign
+    * every vector to its nearest centroid. `corpus` output columns:
+    * (id, v, cell), repartitioned by cell.
+    */
+  def build(df: DataFrame, vecCol: String, idCol: String, nCells: Int,
+            seed: Long = 42L, sampleFraction: Double = 1.0): Index = {
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val trainSet = (if (sampleFraction < 1.0) vecs.sample(sampleFraction, seed) else vecs)
+      .withColumn("features", array_to_vector(col("v")))
+    val model = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("features")
+      .fit(trainSet)
+    val centroids = model.clusterCenters.map(_.toArray)
+    val assigned = vecs.withColumn("cell", nearestCell(col("v"), centroids))
+      .repartition(col("cell"))
+    Index(centroids, assigned)
+  }
+
+  /** Nearest-centroid expression: argmin over squared L2 distance, i.e.
+    * argmax(dot − ‖c‖²/2) — one native vector_dot per centroid, centroids
+    * inlined as literals (broadcast-by-constant).
+    *
+    * argmax is `array_max` over (score, cell) structs, NOT a when/otherwise
+    * fold: a fold references each accumulated subtree ~3× per level, so
+    * the Column tree grows 3^k — at k=16 the ColumnNode→Expression
+    * conversion alone ran for minutes. array_max keeps it linear.
+    */
+  def nearestCell(v: Column, centroids: Array[Array[Double]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val cLit = array(c.map(lit): _*)
+      val halfNorm = c.map(x => x * x).sum / 2.0
+      struct((graft.functions.VectorFunctions.dot(v, cLit) - halfNorm).as("s"),
+        lit(i).as("cell"))
+    }
+    array_max(array(scored: _*)).getField("cell")
+  }
+
+  /** Rank each query's `nprobe` nearest cells then score only vectors in
+    * those cells. Returns (query_id, id, cosine, rk) top-k per query.
+    */
+  def topK(index: Index, queries: DataFrame, vecCol: String, queryIdCol: String,
+           k: Int, nprobe: Int): DataFrame = {
+    val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"))
+    val centroidRows = index.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cents = spark.createDataset(centroidRows.toSeq).toDF("cell", "cv")
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qv"), col("cell"),
+        graft.functions.VectorFunctions.cosine(col("qv"), col("cv")).as("cs"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cs").desc, col("cell"))))
+      .filter(col("crk") <= nprobe)
+      .select("query_id", "qv", "cell")
+    val scored = index.corpus.join(broadcast(probes), "cell")
+      .select(col("query_id"), col("id"),
+        graft.functions.VectorFunctions.cosine(col("qv"), col("v")).as("cosine"))
+    scored.withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("id"))))
+      .filter(col("rk") <= k)
+      .select("query_id", "id", "cosine", "rk")
+  }
+
+  /** Recall@k of an ANN result against the brute-force truth (fraction of
+    * true top-k ids recovered per query, averaged).
+    */
+  def recallAt(ann: DataFrame, truth: DataFrame, k: Int): Double = {
+    val a = ann.filter(col("rk") <= k).select("query_id", "id")
+    val t = truth.filter(col("rk") <= k).select("query_id", "id")
+    val hit = a.join(t, Seq("query_id", "id")).count().toDouble
+    hit / t.count()
+  }
+}

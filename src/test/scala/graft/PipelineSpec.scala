@@ -89,6 +89,41 @@ class PipelineSpec extends SparkTestBase {
     assert(self.forall(r => r.getDouble(2) > 0.99))
   }
 
+  test("dupClusters: connected components label by min id; survivors") {
+    import spark.implicits._
+    // components: {1,2,3} (chain), {7,8}, singleton 9 not in pairs
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id1", "id2")
+    val cl = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+    val all = Seq((1L, "a"), (2L, "b"), (3L, "c"), (7L, "d"), (8L, "e"), (9L, "f"))
+      .toDF("doc_id", "text")
+    val surv = Dedup.clusterSurvivors(all, pairs, "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(surv == Set(1L, 7L, 9L))
+  }
+
+  test("IVF ANN: self is top-1, recall@5 vs brute force is high") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    // 8 well-separated cluster centers, 25 points each
+    val centers = Array.fill(8)(Array.fill(16)(rng.nextGaussian() * 5))
+    val pts = for (c <- centers.indices; j <- 0 until 25) yield {
+      val id = c * 25L + j
+      (id, centers(c).map(x => (x + rng.nextGaussian() * 0.3).toFloat))
+    }
+    val corpus = pts.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") % 25 === 0)
+      .withColumnRenamed("vec_id", "qid")
+    val idx = IvfIndex.build(corpus, "embedding", "vec_id", nCells = 8)
+    val ann = IvfIndex.topK(idx, queries, "embedding", "qid", k = 5, nprobe = 2)
+    val self = ann.filter(col("rk") === 1).collect()
+    assert(self.forall(r => r.getLong(0) == r.getLong(1))) // top-1 = itself
+    val truth = Similarity.bruteForceTopK(corpus, queries, "embedding", "vec_id", "qid", 5)
+    val recall = IvfIndex.recallAt(ann, truth, 5)
+    assert(recall > 0.9, s"recall@5 = $recall")
+  }
+
   test("text analysis: tokens, lang, quality, fingerprints") {
     import spark.implicits._
     val df = Seq(
