@@ -39,7 +39,8 @@ object MissingData {
     */
   def nullCounts(df: DataFrame, cols: Seq[String]): Map[String, Long] = {
     if (cols.isEmpty) return Map.empty
-    val aggs = cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(c))
+    // coalesce: sum over ZERO rows is NULL (empty-frame input)
+    val aggs = cols.map(c => coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(c))
     val row = df.agg(aggs.head, aggs.tail: _*).first()
     cols.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }.toMap
   }

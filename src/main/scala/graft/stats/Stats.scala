@@ -34,8 +34,9 @@ object Stats {
   def summaryOf(df: DataFrame, cols: Seq[String]): Seq[ColumnSummary] = {
     if (cols.isEmpty) return Nil
     val aggs = cols.flatMap { c =>
+      // coalesce: sum over ZERO rows is NULL (empty-frame summary)
       Seq(count(col(c)).as(s"${c}__n"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__na"),
+        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(s"${c}__na"),
         avg(col(c)).cast(DoubleType).as(s"${c}__mean"),
         var_samp(col(c)).as(s"${c}__var"),
         stddev_samp(col(c)).as(s"${c}__sd"),

@@ -1,0 +1,46 @@
+package graft
+
+/** Driver-contract invariants: entry() smoke, query/oracle key hygiene. */
+class EntrySpec extends SparkTestBase {
+
+  test("entry() returns rows on sf0.001 (driver t1 smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key has a queries entry; names are unique") {
+    val qk = SparkEntry.queries.keySet
+    val ok = SparkEntry.oracleSql.keySet
+    assert(ok.subsetOf(qk), s"orphan oracles: ${ok.diff(qk)}")
+    assert(qk.size >= 55, s"expected full inventory, got ${qk.size}")
+  }
+
+  test("oracle SQL strings are DuckDB-dialect safe (no spark-only syntax)") {
+    SparkEntry.oracleSql.values.foreach { sql =>
+      assert(!sql.contains("percentile_approx"), "approx fn in oracle")
+      assert(!sql.toLowerCase.contains("lateral view"), "spark-only syntax")
+    }
+  }
+
+  test("dialect LOAD honors DELIMITED BY") {
+    val dir = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get("target/test-fixtures"))
+    val p = dir.resolve("pipe.csv")
+    java.nio.file.Files.writeString(p, "1|x\n2|y\n")
+    val m = graft.core.DDFManager(spark)
+    m.sql2ddf("create table piped (a int, b string)")
+    val loaded = m.sql2ddf(s"load '${p.toAbsolutePath}' delimited by '|' into piped")
+    assert(loaded.df.collect().map(r => (r.getInt(0), r.getString(1))).toSet ==
+      Set((1, "x"), (2, "y")))
+  }
+
+  test("empty-input robustness: summary/join/aggregate on empty frames") {
+    val m = graft.core.DDFManager(spark)
+    val empty = m.sql2ddf("create table empty_t (a int, b double)")
+    val s = graft.stats.Stats.summary(empty)
+    assert(s.forall(c => c.count == 0))
+    assert(graft.operators.Aggregations.aggregate(empty, "a, n=count(*)").numRows == 0)
+    import spark.implicits._
+    val other = m.register(Seq((1, "x")).toDF("a", "c"))
+    assert(graft.operators.Joins.join(other, empty, "left", byColumns = Seq("a")).numRows == 1)
+  }
+}
