@@ -89,4 +89,73 @@ final class DDF(
 
   private def rowToTabString(r: Row): String =
     (0 until r.length).map(i => Option(r.get(i)).map(_.toString).getOrElse("null")).mkString("\t")
+
+  // ---- reference-style convenience API (delegates to operator modules) —
+  // a ddf-flink user's call sites port 1:1 ----
+
+  def sql2ddf(command: String): DDF = manager.sql2ddf(command, this)
+  def sql(command: String): SqlResult = manager.sql(command, this)
+
+  def project(cols: String*): DDF = graft.operators.Views.project(this, cols)
+  def removeColumn(c: String): DDF = graft.operators.Views.removeColumns(this, Seq(c))
+  def head(n: Int): Seq[Row] = graft.operators.Views.head(this, n)
+  def top(n: Int, byCol: String, ascending: Boolean = false): DDF =
+    graft.operators.Views.top(this, n, byCol, ascending)
+  def getRandomSample(n: Int): DDF = graft.operators.Views.sampleExact(this, n)
+  def getRandomSample(fraction: Double, withReplacement: Boolean, seed: Long): DDF =
+    graft.operators.Views.sample(this, fraction, withReplacement, seed)
+
+  def join(other: DDF, joinType: String = "inner", byColumns: Seq[String] = Nil,
+           byLeft: Seq[String] = Nil, byRight: Seq[String] = Nil): DDF =
+    graft.operators.Joins.join(this, other, joinType, byColumns, byLeft, byRight)
+  def merge(other: DDF): DDF = graft.operators.Joins.merge(this, other)
+
+  def aggregate(specs: String): Map[String, Seq[Any]] =
+    graft.operators.Aggregations.aggregateToMap(this, specs)
+  def aggregateOnColumn(fn: String, c: String): Any =
+    graft.operators.Aggregations.aggregateOnColumn(this, fn, c)
+  def groupBy(cols: Seq[String], aggSpecs: Seq[String]): DDF =
+    graft.operators.Aggregations.groupBy(this, cols, aggSpecs)
+  def groupBy(cols: Seq[String]): DDF =
+    graft.operators.Aggregations.groupByStep1(this, cols)
+  def agg(aggSpecs: Seq[String]): DDF =
+    graft.operators.Aggregations.groupByStep2(this, aggSpecs)
+  def xtabs(specs: String): DDF = graft.operators.Aggregations.xtabs(this, specs)
+  def correlation(a: String, b: String): Double =
+    graft.operators.Aggregations.correlation(this, a, b)
+
+  def getSummary: Seq[graft.stats.Stats.ColumnSummary] = graft.stats.Stats.summary(this)
+  def getFiveNumSummary(c: String): graft.stats.Stats.FiveNum = graft.stats.Stats.fiveNum(this, c)
+  def getVectorQuantiles(c: String, ps: Seq[Double]): Seq[Double] =
+    graft.stats.Stats.vectorQuantiles(this, c, ps)
+  def getVectorMean(c: String): Double = graft.stats.Stats.vectorMean(this, c)
+  def getVectorVariance(c: String): (Double, Double) = graft.stats.Stats.vectorVariance(this, c)
+  def getVectorCor(a: String, b: String): Double = correlation(a, b)
+  def getVectorCovariance(a: String, b: String): Double =
+    graft.operators.Aggregations.covariance(this, a, b)
+  def getVectorHistogram(c: String, numBins: Int): Seq[(Double, Double, Long)] =
+    graft.stats.Stats.histogram(this, c, numBins)
+
+  def binning(c: String, binningType: String, numBins: Int = 0,
+              breaks: Seq[Double] = Nil, includeLowest: Boolean = false,
+              right: Boolean = true): DDF = binningType.toUpperCase match {
+    case "CUSTOM" => graft.operators.Binning.binningCustom(this, c, breaks, includeLowest, right)
+    case "EQUALINTERVAL" =>
+      graft.operators.Binning.binningEqualInterval(this, c, numBins, includeLowest, right)
+    case "EQUALFREQ" | "EQUAlFREQ" => // reference spells it EQUAlFREQ (sic)
+      graft.operators.Binning.binningEqualFreq(this, c, numBins, includeLowest, right)
+    case other => throw new IllegalArgumentException(s"Unknown binning type '$other'")
+  }
+
+  def dropNA(how: String = "any", thresh: Option[Int] = None, cols: Seq[String] = Nil): DDF =
+    graft.operators.MissingData.dropNARows(this, how, thresh, cols)
+  def fillNA(value: Any, cols: Seq[String] = Nil): DDF =
+    graft.operators.MissingData.fillNAValue(this, value, cols)
+
+  def transformUDF(colName: String, sqlExpr: String): DDF =
+    graft.operators.Transforms.transformUDF(this, colName, sqlExpr)
+  def transformScaleMinMax(cols: Seq[String] = Nil): DDF =
+    graft.operators.Transforms.scaleMinMax(this, cols)
+  def transformScaleStandard(cols: Seq[String] = Nil): DDF =
+    graft.operators.Transforms.scaleStandard(this, cols)
 }

@@ -124,7 +124,13 @@ object Dedup {
     */
   def jaccardOnPairs(pairs: DataFrame, docs: DataFrame, textCol: String,
                      idCol: String, shingleN: Int = 3): DataFrame = {
-    val sh = spread(docs.select(col(idCol).as("id"), col(textCol)))
+    // shingle ONLY candidate-pair members (semi-join prefilter): after
+    // banding, candidates are a tiny fraction of the corpus — at scale
+    // this skips shingling ~everything
+    val members = pairs.select(col("id1").as("id"))
+      .unionAll(pairs.select(col("id2").as("id"))).distinct()
+    val sh = spread(docs.select(col(idCol).as("id"), col(textCol))
+        .join(members, Seq("id"), "left_semi"))
       .select(col("id"), shingleExpr(textCol, shingleN).as("sh"))
     pairs
       .join(sh.withColumnRenamed("sh", "sh1").withColumnRenamed("id", "id1"), "id1")

@@ -1,0 +1,64 @@
+package graft
+
+import graft.core.DDFManager
+
+/** Reference-style call-site parity: the convenience methods on DDF mirror
+  * ddf-flink's DDF surface, so a reference user's code ports 1:1.
+  */
+class DdfApiSpec extends SparkTestBase {
+
+  private lazy val m = DDFManager(spark)
+
+  private def fixture() = {
+    import spark.implicits._
+    m.register(Seq(
+      (2008, 1, 10.0, "WN"), (2008, 2, -3.0, "AA"), (2009, 1, 25.0, "WN"),
+      (2009, 2, 7.0, "DL"), (2010, 1, 55.0, "WN")
+    ).toDF("year", "month", "delay", "carrier"))
+  }
+
+  test("reference-style chain through DDF methods") {
+    val ddf = fixture()
+    assert(ddf.project("year", "delay").numColumns == 2)
+    assert(ddf.removeColumn("month").numColumns == 3)
+    assert(ddf.head(2).size == 2)
+    assert(ddf.top(2, "delay").df.collect().head.getDouble(2) == 55.0)
+
+    val agg = ddf.aggregate("year, count(*)")
+    assert(agg("2008") == Seq(2L))
+    assert(ddf.aggregateOnColumn("max", "year") == 2010)
+    assert(ddf.groupBy(Seq("carrier")).agg(Seq("n=count(*)")).numRows == 3)
+    assert(ddf.xtabs("carrier, n=count(*)").numRows == 3)
+
+    val s = ddf.getSummary.find(_.column == "delay").get
+    assert(s.count == 5 && s.max == 55.0)
+    assert(ddf.getVectorMean("delay") == 18.8)
+    assert(ddf.getVectorQuantiles("delay", Seq(0.5)).head == 10.0)
+    assert(ddf.getVectorHistogram("delay", 2).map(_._3).sum == 5)
+    assert(ddf.getVectorCor("year", "delay") > 0)
+
+    val binned = ddf.copy().binning("delay", "CUSTOM", breaks = Seq(0.0, 20.0, 60.0),
+      includeLowest = true)
+    assert(binned.numRows == 4) // -3.0 dropped
+    assert(binned.isFactor("delay"))
+
+    assert(ddf.copy().transformUDF("dbl", "delay * 2").numColumns == 5)
+    val scaled = ddf.copy().transformScaleMinMax(Seq("delay"))
+    assert(scaled.df.agg(org.apache.spark.sql.functions.max("delay"))
+      .first().getDouble(0) == 1.0)
+
+    val j = ddf.join(fixture(), "inner", byColumns = Seq("year", "month"))
+    assert(j.numRows == 5)
+    assert(ddf.merge(fixture()).numRows == 10)
+
+    val res = ddf.sql("select carrier, count(*) as n from @this group by carrier order by carrier")
+    assert(res.rows == Seq("AA\t1", "DL\t1", "WN\t3"))
+  }
+
+  test("dropNA/fillNA via DDF methods") {
+    import spark.implicits._
+    val ddf = m.register(Seq(Some(1.0), None, Some(3.0)).toDF("x"))
+    assert(ddf.dropNA().numRows == 2)
+    assert(ddf.fillNA(0.0).df.filter("x = 0.0").count() == 1)
+  }
+}
