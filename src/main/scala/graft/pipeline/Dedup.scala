@@ -94,6 +94,12 @@ object Dedup {
     * Shuffle profile at scale: signature groupBy (1 row/doc out), one
     * join keyed on (band, sig) — a short key — then a distinct on
     * (id1, id2). No cartesian anywhere; band-bucket skew is AQE-split.
+    *
+    * Recall tuning: P(candidate | J) = 1 − (1 − J^r)^bands with
+    * r = k/bands. Defaults (k=32, bands=8, r=4): J=0.9→0.9996, 0.8→0.985,
+    * 0.7→0.89, 0.5→0.40 — sized for near-dup thresholds ≥0.7. For lower
+    * thresholds use more/narrower bands (bands=16, r=2 → 0.99 at J=0.5)
+    * at the price of more false-positive candidates to verify.
     */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
                         shingleN: Int = 3, k: Int = 32, bands: Int = 8): DataFrame = {
