@@ -561,21 +561,22 @@ object SparkEntry {
     */
   private val qBreaks = Seq(1.0, 10.0, 25.0, 40.0, 50.0)
 
+  /** Mirrors Binning.binLabelExpr's reference-exact interval semantics. */
   private def binOracleCase(c: String, breaks: Seq[Double],
                             includeLowest: Boolean, right: Boolean): String = {
     val n = breaks.length - 1
+    val ls = Binning.labels(breaks, includeLowest, right)
     val whens = (0 until n).map { i =>
       val lo = breaks(i); val hi = breaks(i + 1)
       val cond =
         if (right) {
-          val lower = if (i == 0) (if (includeLowest) s"$c >= $lo" else s"$c > $lo") else s"$c > $lo"
+          val lower = if (i == 0 && includeLowest) s"$c >= $lo" else s"$c > $lo"
           s"$lower AND $c <= $hi"
         } else {
-          val upper = if (i == n - 1) (if (includeLowest) s"$c <= $hi" else s"$c < $hi") else s"$c < $hi"
-          s"$c >= $lo AND $upper"
+          val lower = if (includeLowest) s"$c >= $lo" else s"$c > $lo"
+          s"$lower AND $c < $hi"
         }
-      val lbl = Binning.label(lo, hi, i == 0, i == n - 1, includeLowest, right)
-      s"WHEN $cond THEN '$lbl'"
+      s"WHEN $cond THEN '${ls(i)}'"
     }
     s"CASE ${whens.mkString(" ")} END"
   }

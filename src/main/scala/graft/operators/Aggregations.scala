@@ -31,14 +31,15 @@ object Aggregations {
   private val AggRe = """(?i)\s*(?:(\w+)\s*=\s*)?(\w+)\s*\(\s*(\*|[\w.]+)\s*\)\s*""".r
 
   /** Parse `"a, b, sum(c), m=min(d)"` (reference: AggregationHandler.scala:
-    * 139-150). Default alias is `fn_col` because parenthesised names can't
-    * be column identifiers (same concession as the reference :144).
+    * 139-150). Default alias is `FN_col` (uppercase function name), the
+    * reference's convention — parenthesised names can't be column
+    * identifiers (same concession as the reference :144).
     */
   def parseSpecs(specs: String): Seq[FieldSpec] =
     specs.split(",").toIndexedSeq.map(_.trim).filter(_.nonEmpty).map {
       case AggRe(alias, fn, c) =>
         val a = Option(alias).getOrElse(
-          if (c == "*") s"${fn.toLowerCase}_all" else s"${fn.toLowerCase}_$c")
+          if (c == "*") s"${fn.toUpperCase}_all" else s"${fn.toUpperCase}_$c")
         AggSpec(fn.toLowerCase, c, a)
       case plain => GroupCol(plain)
     }

@@ -48,6 +48,7 @@ object MissingData {
   /** Drop columns whose null count crosses the threshold (SURVEY M2). */
   def dropNAColumns(ddf: DDF, how: String = "any", thresh: Option[Int] = None): DDF = {
     val numRows = ddf.df.count()
+    require(thresh.forall(_ <= numRows), s"threshold ${thresh.getOrElse(0)} > $numRows rows")
     val counts = nullCounts(ddf.df, ddf.df.columns.toSeq)
     val threshold: Long = thresh match {
       case Some(t) => numRows - t + 1
@@ -69,8 +70,25 @@ object MissingData {
       case d: Double => ddf.df.na.fill(d, target)
       case l: Long   => ddf.df.na.fill(l, target)
       case i: Int    => ddf.df.na.fill(i.toLong, target)
-      case s: String => ddf.df.na.fill(s, target)
       case b: Boolean => ddf.df.na.fill(b, target)
+      // string fill value: typed coercion per column (the reference's
+      // fillNA("0") fills NUMERIC columns too — MissingDataHandler.scala:
+      // 119-193 coerces the fill string to each column's type)
+      case s: String =>
+        import org.apache.spark.sql.types._
+        val fills: Map[String, Any] = target.flatMap { c =>
+          ddf.schema(c).dataType match {
+            case ByteType | ShortType | IntegerType | LongType =>
+              scala.util.Try(s.trim.toLong).toOption.map(c -> _)
+            case FloatType | DoubleType =>
+              scala.util.Try(s.trim.toDouble).toOption.map(c -> _)
+            case BooleanType =>
+              scala.util.Try(s.trim.toBoolean).toOption.map(c -> _)
+            case StringType => Some(c -> s)
+            case _ => None
+          }
+        }.toMap
+        ddf.df.na.fill(fills)
       case other => throw new IllegalArgumentException(s"Unsupported fill value $other")
     }
     ddf.updateOrDerive(out)

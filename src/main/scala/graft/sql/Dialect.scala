@@ -77,6 +77,14 @@ object Dialect {
     case _                        => None // timestamps/dates stay null
   }
 
+  /** Cell semantics are reference-exact (RepresentationHandler.scala:
+    * 115-137 `parser`): STRING columns take the raw cell VERBATIM (an
+    * empty cell is "" — never null, never the null string); other types
+    * null-match against the null/empty strings then parse, yielding null
+    * (NO DEFAULTS) or a typed default on failure. Implemented by reading
+    * every column as a raw string and projecting per-column `try_cast`s —
+    * one codegen'd projection, no row-level parser.
+    */
   private def load(
       manager: DDFManager,
       path: String,
@@ -86,32 +94,36 @@ object Dialect {
       noDefaults: Boolean,
       table: String
   ): DDF = {
+    import org.apache.spark.sql.functions._
     val target = manager.getDDFByName(table)
-    val reader = manager.spark.read
-      .schema(target.schema)
+    val rawSchema = StructType(target.schema.fields.map(f => StructField(f.name, StringType)))
+    val raw = manager.spark.read
+      .schema(rawSchema)
       .option("sep", delim.getOrElse(","))
-      .option("nullValue", nullStr.getOrElse("NA"))
-      .option("emptyValue", emptyStr.getOrElse(""))
-      .option("mode", "PERMISSIVE")
-      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
-    val raw = reader.csv(path)
-    val filled =
-      if (noDefaults) raw
-      else {
-        val fills = target.schema.fields.flatMap(f => defaultFor(f.dataType).map(f.name -> _)).toMap
-        val numeric = fills.collect { case (k, v: Double) => k -> v }
-        val longs = fills.collect { case (k, v: Long) => k -> v }
-        val strings = fills.collect { case (k, v: String) => k -> v }
-        val bools = fills.collect { case (k, v: Boolean) => k -> v }
-        var out = raw
-        if (numeric.nonEmpty) out = out.na.fill(numeric)
-        if (longs.nonEmpty) out = out.na.fill(longs)
-        if (strings.nonEmpty) out = out.na.fill(strings)
-        if (bools.nonEmpty) out = out.na.fill(bools)
-        out
+      // sentinel that never appears in data: keeps Spark from nulling
+      // empty cells before our per-column semantics run
+      .option("nullValue", "")
+      .csv(path)
+    val nullLit = nullStr.getOrElse("NA")
+    val cols = target.schema.fields.map { f =>
+      val c = col(f.name)
+      f.dataType match {
+        case StringType => coalesce(c, lit("")).as(f.name)
+        case dt =>
+          val cleaned = when(c === nullLit || c === emptyStr.getOrElse("") || c.isNull, lit(null))
+            .otherwise(trim(c))
+          val parsed = dt match {
+            case TimestampType => try_to_timestamp(cleaned, lit("yyyy-MM-dd HH:mm:ss"))
+            case DateType      => cleaned.try_cast(DateType)
+            case other         => cleaned.try_cast(other)
+          }
+          val withDefault =
+            if (noDefaults) parsed
+            else defaultFor(dt).map(d => coalesce(parsed, lit(d).cast(dt))).getOrElse(parsed)
+          withDefault.as(f.name)
       }
-    filled.createOrReplaceTempView(table)
-    val loaded = manager.register(filled, table)
-    loaded
+    }
+    val typed = raw.select(cols.toIndexedSeq: _*)
+    manager.register(typed, table)
   }
 }

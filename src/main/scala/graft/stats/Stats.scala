@@ -28,26 +28,40 @@ object Stats {
   def numericColumns(df: DataFrame): Seq[String] =
     df.schema.fields.collect { case f if f.dataType.isInstanceOf[NumericType] => f.name }.toSeq
 
-  /** All columns' summaries in a single aggregate pass. */
-  def summary(ddf: DDF): Seq[ColumnSummary] = summaryOf(ddf.df, numericColumns(ddf.df))
+  /** Summaries for ALL columns (reference getSummary indexes over the
+    * full schema — StatisticsHandlerSpec:15 `summaries(9)`): numeric
+    * columns get the full stats; other columns get count/NA with NaN
+    * numeric fields. One aggregate pass for everything.
+    */
+  def summary(ddf: DDF): Seq[ColumnSummary] = summaryOf(ddf.df, ddf.df.columns.toSeq)
 
   def summaryOf(df: DataFrame, cols: Seq[String]): Seq[ColumnSummary] = {
     if (cols.isEmpty) return Nil
-    val aggs = cols.flatMap { c =>
+    val numeric = numericColumns(df).toSet
+    val aggsAndArity = cols.map { c =>
       // coalesce: sum over ZERO rows is NULL (empty-frame summary)
-      Seq(count(col(c)).as(s"${c}__n"),
-        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(s"${c}__na"),
-        avg(col(c)).cast(DoubleType).as(s"${c}__mean"),
-        var_samp(col(c)).as(s"${c}__var"),
-        stddev_samp(col(c)).as(s"${c}__sd"),
-        min(col(c)).cast(DoubleType).as(s"${c}__min"),
-        max(col(c)).cast(DoubleType).as(s"${c}__max"))
+      val base = Seq(count(col(c)).as(s"${c}__n"),
+        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(s"${c}__na"))
+      if (numeric(c))
+        base ++ Seq(
+          avg(col(c)).cast(DoubleType).as(s"${c}__mean"),
+          var_samp(col(c)).as(s"${c}__var"),
+          stddev_samp(col(c)).as(s"${c}__sd"),
+          min(col(c)).cast(DoubleType).as(s"${c}__min"),
+          max(col(c)).cast(DoubleType).as(s"${c}__max"))
+      else base
     }
+    val aggs = aggsAndArity.flatten
     val row = df.agg(aggs.head, aggs.tail: _*).first()
+    val offsets = aggsAndArity.map(_.size).scanLeft(0)(_ + _)
     cols.zipWithIndex.map { case (c, i) =>
-      val b = i * 7
+      val b = offsets(i)
       def d(o: Int): Double = if (row.isNullAt(b + o)) Double.NaN else row.getDouble(b + o)
-      ColumnSummary(c, row.getLong(b), row.getLong(b + 1), d(2), d(3), d(4), d(5), d(6))
+      if (numeric(c))
+        ColumnSummary(c, row.getLong(b), row.getLong(b + 1), d(2), d(3), d(4), d(5), d(6))
+      else
+        ColumnSummary(c, row.getLong(b), row.getLong(b + 1),
+          Double.NaN, Double.NaN, Double.NaN, Double.NaN, Double.NaN)
     }
   }
 
@@ -77,7 +91,10 @@ object Stats {
   def quantiles(df: DataFrame, c: String, ps: Seq[Double], exact: Boolean = false): Seq[Double] = {
     val pArr = s"array(${ps.mkString(",")})"
     val fn = if (exact) "percentile" else "percentile_approx"
-    val row = df.na.drop(Seq(c)).agg(expr(s"$fn($c, $pArr)").as("q")).first()
+    // cast input to double: percentile_approx returns the INPUT type, so
+    // an integral column would hand back ints
+    val row = df.na.drop(Seq(c))
+      .agg(expr(s"$fn(cast($c as double), $pArr)").as("q")).first()
     val raw = row.getSeq[Double](0)
     if (isIntegral(df, c)) raw.map(math.floor) else raw
   }

@@ -48,8 +48,8 @@ class OperatorsSpec extends SparkTestBase {
     val specs = parseSpecs("a, b, s=sum(x), min(y), count(*)")
     assert(specs(0) == GroupCol("a"))
     assert(specs(2) == AggSpec("sum", "x", "s"))
-    assert(specs(3) == AggSpec("min", "y", "min_y"))
-    assert(specs(4) == AggSpec("count", "*", "count_all"))
+    assert(specs(3) == AggSpec("min", "y", "MIN_y"))
+    assert(specs(4) == AggSpec("count", "*", "COUNT_all"))
     intercept[IllegalArgumentException] {
       aggColumn(AggSpec("bogus", "x", "x"))
     }
@@ -125,11 +125,12 @@ class OperatorsSpec extends SparkTestBase {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(counts == Map("[1,5]" -> 3L, "(5,10]" -> 2L))
     assert(binned.factorInfo("v").get.levels == Seq("[1,5]", "(5,10]"))
-    // right=false excludeLowest: [1,5) [5,10); 1.0 in, 10 dropped, 12 dropped
+    // right=false, excludeLowest (reference-exact): open-open intervals,
+    // ALL boundary values dropped → (1,5)={2.0}, (5,10)={7.5}
     val b2 = Binning.binningCustom(m.register(Seq(0.5, 1.0, 2.0, 5.0, 7.5, 10.0, 12.0).toDF("v")),
       "v", Seq(1.0, 5.0, 10.0), includeLowest = false, right = false)
     val c2 = b2.df.groupBy("v").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(c2 == Map("[1,5)" -> 2L, "[5,10)" -> 2L)) // 0.5, 10.0, 12.0 dropped
+    assert(c2 == Map("(1,5)" -> 1L, "(5,10)" -> 1L))
   }
 
   test("binning equal-freq produces balanced bins") {

@@ -1,0 +1,187 @@
+package graft
+
+import graft.core.{DDF, DDFManager}
+import graft.operators._
+import graft.stats.Stats
+import java.nio.file.{Files, Paths}
+
+/** The reference's own golden values, re-derived on its fixture CSVs
+  * (FIXTURES.md: "Our spec suite should recreate the same tables … so the
+  * reference's golden values carry over"). Fixtures are read from the
+  * read-only reference checkout at test time; tests are skipped if absent.
+  *
+  * Reference sources for each golden are cited inline. Join goldens are
+  * NOT ported: the reference's JoinHandlerSpec pins an iterator-exhaustion
+  * bug (utils/package.scala:300 — `for (left <- leftTuples; right <-
+  * rightTuples)` over ITERATORS: rightTuples is consumed by the first left
+  * row, so joins emit one left row per key). Spark-correct counts are
+  * asserted instead, derived from the same fixture data.
+  */
+class ReferenceGoldenSpec extends SparkTestBase {
+
+  private val res = "/root/reference/flink/src/test/resources"
+  private def available: Boolean = Files.exists(Paths.get(s"$res/airline.csv"))
+
+  private val airlineCols = Seq(
+    "Year int", "Month int", "DayofMonth int", "DayOfWeek int", "DepTime int",
+    "CRSDepTime int", "ArrTime int", "CRSArrTime int", "UniqueCarrier string",
+    "FlightNum int", "TailNum string", "ActualElapsedTime int", "CRSElapsedTime int",
+    "AirTime int", "ArrDelay int", "DepDelay int", "Origin string", "Dest string",
+    "Distance int", "TaxiIn int", "TaxiOut int", "Cancelled int",
+    "CancellationCode string", "Diverted string", "CarrierDelay int",
+    "WeatherDelay int", "NASDelay int", "SecurityDelay int", "LateAircraftDelay int")
+
+  private def mgr() = DDFManager(spark)
+
+  /** CREATE + LOAD like the reference's BaseSpec.loadAirlineNADDF
+    * (WITH NULL '' NO DEFAULTS). */
+  private def loadNA(m: DDFManager, table: String, file: String): DDF = {
+    m.sql2ddf(s"create table $table (${airlineCols.mkString(",")})")
+    m.sql2ddf(s"load '$res/$file' with null '' no defaults into $table")
+  }
+
+  /** Schema-inferred load with V1..Vn names (reference loadDDF()). */
+  private def loadInferred(m: DDFManager): DDF = m.loadFile(s"$res/airline.csv")
+
+  test("airline loads 31 rows / 29 cols; summary goldens (StatisticsHandlerSpec:11-18)") {
+    assume(available)
+    val ddf = loadInferred(mgr())
+    assert(ddf.numRows == 31 && ddf.numColumns == 29)
+    val summ = ddf.getSummary
+    assert(summ.head.max == 2010) // summaries.head.max == 2010 (Year)
+    // summaries(9) = FlightNum: variance 998284.8 ± 1
+    assert(math.abs(summ(9).variance - 998284.8) <= 1.0)
+  }
+
+  test("vector quantiles goldens (StatisticsHandlerSpec:42-61)") {
+    assume(available)
+    val m = mgr()
+    val ddf = loadInferred(m)
+    // V5 = DepTime; reference tolerance ±20.01 (t-digest vs exact)
+    val q5 = ddf.getVectorQuantiles("V5", Seq(0.3, 0.5, 0.7))
+    val expected = Seq(801.0, 1416.0, 1644.0)
+    q5.zip(expected).foreach { case (got, e) => assert(math.abs(got - e) <= 20.01, s"$got vs $e") }
+    // mtcars mpg double column: ±0.01 (R type-7 interpolation)
+    m.sql2ddf("""create table mtcars (mpg double, cyl int, disp double, hp int,
+                | drat double, wt double, qsec double, vs int, am int, gear int,
+                | carb int)""".stripMargin.replaceAll("\n", ""))
+    val cars = m.sql2ddf(s"load '$res/mtcars' delimited by ' ' into mtcars")
+    // NOTE: the reference spec's expected values (15.68, 18.95) are never
+    // actually enforced — its `quantiles(i) === expected(i)` discards the
+    // Boolean (no `should`). True R type-7 interpolation on mtcars mpg:
+    // p=0.3 → x[9] + 0.3·(x[10]−x[9]) = 15.8 + 0.3·0.6 = 15.98; median
+    // 19.2 (the well-known mtcars median); endpoints min/max.
+    val qm = Stats.quantiles(cars.df, "mpg", Seq(0.0, 0.3, 0.5, 0.3, 1.0), exact = true)
+    val em = Seq(10.4, 15.98, 19.2, 15.98, 33.9)
+    qm.zip(em).foreach { case (got, e) => assert(math.abs(got - e) <= 0.01, s"$got vs $e") }
+  }
+
+  test("histogram golden: V15 5 bins, first bin x=-24 y=10 (StatisticsHandlerSpec:63-69)") {
+    assume(available)
+    val ddf = loadInferred(mgr())
+    val bins = ddf.getVectorHistogram("V15", 5)
+    assert(bins.size == 5)
+    assert(bins.head._1 == -24.0)
+    assert(bins.head._3 == 10L)
+  }
+
+  test("simple summary goldens (StatisticsHandlerSpec:71-104)") {
+    assume(available)
+    val m = mgr()
+    val ddf = loadNA(m, "airline_ss", "airline.csv")
+    Seq("Year", "Month", "DayofMonth", "UniqueCarrier").foreach(ddf.setAsFactor)
+    val ss = Stats.simpleSummary(ddf)
+    assert(ss.factorLevels("Year").toSet == Set("2008", "2009", "2010"))
+    assert(ss.factorLevels("UniqueCarrier") == Seq("WN"))
+    assert(ss.numericRanges("LateAircraftDelay") == (7.0, 72.0))
+    assert(ss.numericRanges("ActualElapsedTime") == (49.0, 324.0))
+    assert(ss.numericRanges("DepDelay") == (-4.0, 94.0))
+  }
+
+  test("missing-data goldens (MissingDataHandlerSpec:16-87)") {
+    assume(available)
+    val m = mgr()
+    val na = loadNA(m, "airline_na", "airlineWithNA.csv")
+    assert(na.numRows == 31)
+    assert(MissingData.dropNARows(na, "any").numRows == 9)
+    assert(MissingData.dropNARows(na, "all").numRows == 31)
+    assert(MissingData.dropNAColumns(na, "any").numColumns == 22)
+    assert(MissingData.dropNAColumns(na, "all").numColumns == 29)
+    // COLUMN axis, thresh 20 → drop cols with ≥ 31−20+1 = 12 nulls → 24 survive
+    assert(MissingData.dropNAColumns(na, "all", thresh = Some(20)).numColumns == 24)
+    intercept[IllegalArgumentException] {
+      MissingData.dropNARows(na, "any", thresh = Some(31))
+    }
+    intercept[IllegalArgumentException] {
+      MissingData.dropNAColumns(na, "any", thresh = Some(40))
+    }
+    // fill by value "0": sum(V29) for Year 2008 == 282.0 (spec :64-70)
+    val inf = loadInferred(m)
+    val proj = Views.project(inf, Seq("V1", "V29"))
+    val filled = MissingData.fillNAValue(proj, "0")
+    val annualDelay = Aggregations.aggregateToMap(filled, "V1, sum(V29)")("2008").head
+    assert(math.abs(annualDelay.toString.toDouble - 282.0) <= 0.1)
+  }
+
+  test("binning goldens: all 6 flag combinations (BinningHandlerSpec:16-98)") {
+    assume(available)
+    val m = mgr()
+    def airline = loadNA(m, s"airline_bin_${System.nanoTime}", "airline.csv")
+    def counts(d: DDF) = d.factorInfo("Month").get.counts
+
+    val eq = Binning.binningEqualInterval(airline, "Month", 2, includeLowest = true, right = true)
+    assert(counts(eq) == Map("[1,6]" -> 26L, "(6,11]" -> 5L) && eq.numRows == 31)
+
+    val ef = Binning.binningEqualFreq(airline, "Month", 2, includeLowest = true, right = true, exact = true)
+    assert(counts(ef)("[1,1]") == 17L && counts(ef).values.sum == 31L && ef.numRows == 31)
+
+    val cu = Binning.binningCustom(airline, "Month", Seq(2, 4, 6, 8), includeLowest = true, right = true)
+    assert(counts(cu) == Map("[2,4]" -> 6L, "(4,6]" -> 3L, "(6,8]" -> 2L) && cu.numRows == 11)
+
+    val exHigh = Binning.binningEqualInterval(airline, "Month", 2, includeLowest = true, right = false)
+    assert(counts(exHigh) == Map("[1,6)" -> 24L, "[6,11)" -> 6L) && exHigh.numRows == 30)
+
+    val exLow = Binning.binningEqualInterval(airline, "Month", 2, includeLowest = false, right = true)
+    assert(counts(exLow) == Map("(1,6]" -> 9L, "(6,11]" -> 5L) && exLow.numRows == 14)
+
+    val exBoth = Binning.binningEqualInterval(airline, "Month", 2, includeLowest = false, right = false)
+    assert(counts(exBoth) == Map("(1,6)" -> 7L, "(6,11)" -> 4L) && exBoth.numRows == 11)
+  }
+
+  test("aggregation goldens (AggregationHandlerSpec:11-36)") {
+    assume(available)
+    val ddf = loadInferred(mgr())
+    val agg = Aggregations.aggregateToMap(ddf, "V1, V2, min(V15), max(V16)")
+    assert(agg("2010,3").length == 2)
+    assert(Aggregations.aggregateOnColumn(ddf, "max", "V1") == 2010)
+    val grouped = Aggregations.groupBy(ddf, Seq("V3"), Seq("mean(V16)"))
+    assert(grouped.columnNames.toSet == Set("V3", "MEAN_V16"))
+    val g2 = Aggregations.groupByStep2(
+      Aggregations.groupByStep1(ddf, Seq("V3")), Seq("mean=avg(V15)"))
+    assert(g2.columnNames.toSet == Set("V3", "mean"))
+  }
+
+  test("joins on airline × year_names: Spark-correct counts (JoinHandlerSpec semantics, bug-corrected)") {
+    assume(available)
+    val m = mgr()
+    val airline = loadNA(m, "airline_j", "airline.csv")
+    m.sql2ddf("create table year_names (Year_num int, Name string)")
+    val yn = m.sql2ddf(s"load '$res/year_names.csv' into year_names")
+    assert(yn.numRows == 4)
+    val byYear = airline.df.groupBy("Year").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap // {2008, 2009, 2010}
+    val inner = Joins.join(airline, yn, "inner", byLeft = Seq("Year"), byRight = Seq("Year_num"))
+    // standard SQL: every matching LEFT ROW appears (reference emitted one
+    // row per key due to its iterator bug)
+    assert(inner.numRows == byYear(2008) + byYear(2010))
+    assert(inner.numColumns == 31)
+    val semi = Joins.join(airline, yn, "semi", byLeft = Seq("Year"), byRight = Seq("Year_num"))
+    assert(semi.numRows == byYear(2008) + byYear(2010) && semi.numColumns == 29)
+    val left = Joins.join(airline, yn, "left", byLeft = Seq("Year"), byRight = Seq("Year_num"))
+    assert(left.numRows == 31)
+    val right = Joins.join(airline, yn, "right", byLeft = Seq("Year"), byRight = Seq("Year_num"))
+    assert(right.numRows == byYear(2008) + byYear(2010) + 2) // 2007, 2011 unmatched
+    val full = Joins.join(airline, yn, "full", byLeft = Seq("Year"), byRight = Seq("Year_num"))
+    assert(full.numRows == 31 + 2)
+  }
+}
