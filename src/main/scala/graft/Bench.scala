@@ -30,8 +30,10 @@ object Bench {
     // JVM/codegen warmup outside the timed region
     qs("q10_tpch_q1")(spark, sfDir).count()
 
-    // min of two runs: this host shows intermittent multi-second CPU
-    // starvation (identical jobs vary 2s ↔ 30s); min damps the noise
+    // min of three runs: this host shows intermittent multi-second CPU
+    // starvation (identical jobs vary 2s ↔ 250s, project memory + round-2
+    // verdict); min-of-2 demonstrably couldn't separate noise from
+    // regressions, so take the best of three
     def timed(name: String): Double = {
       val t0 = System.nanoTime()
       try { qs(name)(spark, sfDir).count() }
@@ -39,7 +41,7 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val results = headline.filter(qs.contains).map { name =>
-      name -> math.min(timed(name), timed(name))
+      name -> Seq(timed(name), timed(name), timed(name)).min
     }
     val qJson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

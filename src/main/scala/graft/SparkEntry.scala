@@ -541,14 +541,17 @@ object SparkEntry {
           max(col("p_size")).cast("double").as("mx_size"),
           min(col("p_retailprice")).as("mn_price"),
           max(col("p_retailprice")).as("mx_price"))
+        // levels as a sorted joined STRING, not an array: array cells are
+        // unhashable in the pandas-based correctness gates (r01/r02 q45 err)
         val brands = df.select(col("p_brand")).distinct()
-          .agg(sort_array(collect_list("p_brand")).as("levels"))
+          .agg(array_join(sort_array(collect_list("p_brand")), ",").as("levels"))
         numeric.crossJoin(brands)
       },
       Some("""SELECT cast(min(p_size) AS double) AS mn_size,
              |  cast(max(p_size) AS double) AS mx_size,
              |  min(p_retailprice) AS mn_price, max(p_retailprice) AS mx_price,
-             |  (SELECT list(DISTINCT p_brand ORDER BY p_brand) FROM part) AS levels
+             |  (SELECT array_to_string(list(DISTINCT p_brand ORDER BY p_brand), ',')
+             |   FROM part) AS levels
              |FROM part""".stripMargin))
   )
 
@@ -958,13 +961,37 @@ object SparkEntry {
     Q("d06_dup_clusters",
       (s, d) => {
         val m = mgr(s, d)
-        val docs = m.getDDFByName("documents").df
-        val pairs = pipeline.Dedup.minhashDedup(docs, "text", "doc_id", threshold = 0.5)
+        // deterministic, oracle-able edge set: the d05 embedding near-dup
+        // pairs (hash-exact vs DuckDB since r01), so connected components
+        // gets a recursive-CTE oracle instead of a rows-only check. The
+        // minhash-edges variant stays covered by PipelineSpec.
+        val vecs = m.getDDFByName("embeddings").df.filter(col("vec_id") < 200)
+          .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+        val l = vecs.alias("l"); val r = vecs.alias("r")
+        val pairs = l.join(r, col("l.vec_id") < col("r.vec_id"))
+          .select(col("l.vec_id").as("id1"), col("r.vec_id").as("id2"),
+            pipeline.Similarity.cosine(col("l.v"), col("r.v")).as("c"))
+          .filter(col("c") >= 0.3)
+          .select("id1", "id2")
         pipeline.Dedup.dupClusters(pairs)
-          .groupBy("cluster_id").agg(count(lit(1)).as("size"))
+          .groupBy("cluster_id").agg(count(lit(1)).as("csize"))
           .orderBy("cluster_id")
       },
-      None),
+      Some(s"""WITH RECURSIVE
+              |dv AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              |       FROM embeddings WHERE vec_id < 200),
+              |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2
+              |      FROM dv a JOIN dv b ON a.vec_id < b.vec_id
+              |      WHERE $duckCos >= 0.3),
+              |e AS (SELECT id1 AS src, id2 AS dst FROM p
+              |      UNION SELECT id2, id1 FROM p),
+              |n AS (SELECT DISTINCT src AS id FROM e),
+              |r AS (SELECT id, id AS lab FROM n
+              |      UNION
+              |      SELECT r.id, e.dst AS lab FROM r JOIN e ON e.src = r.lab)
+              |SELECT cluster_id, count(*) AS csize FROM (
+              |  SELECT id, min(lab) AS cluster_id FROM r GROUP BY id)
+              |GROUP BY cluster_id ORDER BY cluster_id""".stripMargin)),
 
     Q("t01_text_enrich",
       (s, d) => {

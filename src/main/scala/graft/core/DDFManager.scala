@@ -72,21 +72,62 @@ final class DDFManager(val spark: SparkSession) {
 
   // ---- ingestion ----
 
-  /** Read a delimited text file, inferring the schema from a 5-row sample
-    * and auto-naming columns V1..Vn (reference: FlinkDDFManager.scala:
-    * 30-92; inference regexes utils/Utils.java:97-150). Spark-first: the
-    * sampling + per-column vote is delegated to Spark's CSV reader; the
-    * V1..Vn naming and all-null→string defaulting match the reference.
+  /** Read a delimited text file with auto-named columns V1..Vn
+    * (reference: FlinkDDFManager.scala:30-92).
+    *
+    * `sampleInference = false` (default): Spark's full-scan CSV inference —
+    * more robust (it sees every row), kept as the Spark-first default.
+    * `sampleInference = true`: reference-exact 5-row voting — sample the
+    * first 5 lines and vote each column's type with the reference's
+    * regexes (utils/Utils.java:97-150; getColumnInfo FlinkDDFManager.scala:
+    * 62-91). The two diverge when a column's type changes after row 5:
+    * the reference (and this mode) keeps the 5-row vote and nulls
+    * unparseable later cells.
     */
-  def loadFile(path: String, sep: String = ","): DDF = {
-    val inferred = spark.read
+  def loadFile(path: String, sep: String = ",", sampleInference: Boolean = false): DDF = {
+    val reader = spark.read
       .option("sep", sep)
-      .option("inferSchema", "true")
       .option("nullValue", "NA")
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
-      .csv(path)
-    val renamed = inferred.toDF(inferred.columns.indices.map(i => s"V${i + 1}"): _*)
-    register(renamed)
+    val df =
+      if (!sampleInference) {
+        val inferred = reader.option("inferSchema", "true").csv(path)
+        inferred.toDF(inferred.columns.indices.map(i => s"V${i + 1}"): _*)
+      } else {
+        // first 5 lines in file order (reference sampleSize = 5,
+        // FlinkDDFManager.scala:36-40)
+        val sample = spark.read.textFile(path).limit(5).collect().toSeq
+        require(sample.nonEmpty, s"cannot infer schema of empty file $path")
+        // java String.split semantics (drops trailing empties) — same call
+        // the reference makes on its sample rows
+        val cells = sample.map(_.split(sep))
+        val n = cells.head.length
+        val fields = (0 until n).map { i =>
+          StructField(s"V${i + 1}",
+            DDFManager.voteType(cells.map(r => if (i < r.length) r(i) else null)))
+        }
+        // read everything as string, then cast per voted type: Spark's CSV
+        // boolean parser accepts only true/false, but the reference's vote
+        // admits T/F cells — cast explicitly so those survive; cells that
+        // fail the cast (e.g. a type change after row 5) become null
+        import org.apache.spark.sql.functions.{col, expr}
+        val raw = reader
+          .schema(StructType(fields.map(f => StructField(f.name, StringType))))
+          .csv(path)
+        raw.select(fields.map { f =>
+          f.dataType match {
+            case BooleanType => expr(
+              s"""CASE WHEN lower(${f.name}) IN ('t', 'true') THEN true
+                 |WHEN lower(${f.name}) IN ('f', 'false') THEN false END""".stripMargin)
+              .as(f.name)
+            case StringType => col(f.name)
+            // try_cast: ANSI mode (Spark 4 default) makes a plain cast
+            // THROW on malformed cells; the reference nulls them instead
+            case dt => expr(s"try_cast(${f.name} AS ${dt.sql})").as(f.name)
+          }
+        }: _*)
+      }
+    register(df)
   }
 
   /** Read a parquet table and register it under `name`. */
@@ -109,6 +150,33 @@ final class DDFManager(val spark: SparkSession) {
 }
 
 object DDFManager {
+
+  /** Reference-exact per-column type vote over a sample
+    * (reference: flink/src/main/java/io/ddf/flink/utils/Utils.java:97-150
+    * `determineType`, doPreferDouble = true): null/"NA"/"Na"/blank cells
+    * are ignored; all-ignored → string; digits (with ','-grouping) →
+    * int, with a '.' → double; t/f/true/false (any case) → boolean;
+    * anything else → string.
+    */
+  private[core] def voteType(vector: Seq[String]): DataType = {
+    var isNumber = true; var isInteger = true; var isLogical = true; var allNA = true
+    vector.foreach { s =>
+      if (s == null || s.startsWith("NA") || s.startsWith("Na") || s.matches("^\\s*$")) {
+        // ignore — doesn't vote
+      } else {
+        allNA = false
+        if (isNumber) {
+          if (!s.matches("(^|^-)((\\d+(,\\d+)*)|(\\d*))\\.?\\d+$")) isNumber = false
+          else if (isInteger && s.matches("(^|^-)\\d*\\.{1}\\d+$")) isInteger = false
+        }
+        if (isLogical && !s.toLowerCase.matches("^t|f|true|false$")) isLogical = false
+      }
+    }
+    if (allNA) StringType
+    else if (isNumber) { if (isInteger) IntegerType else DoubleType }
+    else if (isLogical) BooleanType
+    else StringType
+  }
   /** Build a scale-ready local session: AQE on, 32 shuffle partitions for
     * local[32] (the cluster deployment overrides via spark-submit conf).
     */

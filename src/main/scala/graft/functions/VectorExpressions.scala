@@ -20,7 +20,14 @@ import org.apache.spark.sql.types._
   */
 abstract class VectorBinaryExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = left.nullable || right.nullable
+
+  /** A null ELEMENT null-propagates to the whole result — identical to the
+    * `aggregate(zip_with(...))` HOF formulation, where null·x and null+acc
+    * are null. So the result is nullable whenever either input array may
+    * contain nulls, not only when an input itself may be null.
+    */
+  override def nullable: Boolean =
+    left.nullable || right.nullable || leftContainsNull || rightContainsNull
 
   protected def leftIsFloat: Boolean = left.dataType match {
     case ArrayType(FloatType, _) => true
@@ -30,6 +37,24 @@ abstract class VectorBinaryExpression extends BinaryExpression {
     case ArrayType(FloatType, _) => true
     case _ => false
   }
+  protected def leftContainsNull: Boolean = left.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  }
+  protected def rightContainsNull: Boolean = right.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  }
+  /** Per-element null guard for codegen, empty when the schema rules nulls
+    * out (the guard would be dead code inside the hot loop).
+    */
+  protected final def elemNullCheck(a: String, b: String, i: String, ev: ExprCode): String =
+    if (leftContainsNull || rightContainsNull)
+      s"""if (${if (leftContainsNull) s"$a.isNullAt($i)" else "false"} ||
+         |    ${if (rightContainsNull) s"$b.isNullAt($i)" else "false"}) {
+         |  ${ev.isNull} = true; break;
+         |}""".stripMargin
+    else ""
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     (left.dataType, right.dataType) match {
@@ -54,9 +79,13 @@ case class VectorDot(left: Expression, right: Expression) extends VectorBinaryEx
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
     val (lf, rf) = (leftIsFloat, rightIsFloat)
+    val checkNulls = leftContainsNull || rightContainsNull
     val n = math.min(a.numElements(), b.numElements())
     var s = 0.0; var i = 0
-    while (i < n) { s += get(a, i, lf) * get(b, i, rf); i += 1 }
+    while (i < n) {
+      if (checkNulls && (a.isNullAt(i) || b.isNullAt(i))) return null
+      s += get(a, i, lf) * get(b, i, rf); i += 1
+    }
     s
   }
 
@@ -69,9 +98,10 @@ case class VectorDot(left: Expression, right: Expression) extends VectorBinaryEx
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  ${elemNullCheck(a, b, i, ev)}
          |  $s += (double) $a.$lGet($i) * (double) $b.$rGet($i);
          |}
-         |${ev.value} = $s;
+         |if (!${ev.isNull}) { ${ev.value} = $s; }
        """.stripMargin
     })
   }
@@ -90,9 +120,11 @@ case class VectorCosine(left: Expression, right: Expression) extends VectorBinar
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
     val (lf, rf) = (leftIsFloat, rightIsFloat)
+    val checkNulls = leftContainsNull || rightContainsNull
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
+      if (checkNulls && (a.isNullAt(i) || b.isNullAt(i))) return null
       val x = get(a, i, lf); val y = get(b, i, rf)
       dot += x * y; na += x * x; nb += y * y; i += 1
     }
@@ -110,12 +142,15 @@ case class VectorCosine(left: Expression, right: Expression) extends VectorBinar
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  ${elemNullCheck(a, b, i, ev)}
          |  double $x = (double) $a.$lGet($i);
          |  double $y = (double) $b.$rGet($i);
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
-         |${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0
-         |  : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0
+         |    : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |}
        """.stripMargin
     })
   }

@@ -103,6 +103,8 @@ object MissingData {
       .filter(f => f.dataType.isInstanceOf[NumericType]).map(_.name).toSeq
     val target = if (cols.isEmpty) numericCols else cols.filter(numericCols.contains)
     if (target.isEmpty) return ddf
+    // cast to double: min/max return the INPUT type and sum over integrals
+    // returns Long — getDouble below would CCE on integral columns otherwise
     val aggs = target.map { c =>
       (fn.toLowerCase match {
         case "mean" | "avg" => avg(col(c))
@@ -110,7 +112,7 @@ object MissingData {
         case "max"          => max(col(c))
         case "sum"          => sum(col(c))
         case other => throw new IllegalArgumentException(s"Unsupported fill aggregate '$other'")
-      }).as(c)
+      }).cast("double").as(c)
     }
     val row = ddf.df.agg(aggs.head, aggs.tail: _*).first()
     val fills = target.zipWithIndex.collect {

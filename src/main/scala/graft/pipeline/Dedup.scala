@@ -61,14 +61,27 @@ object Dedup {
          |END""".stripMargin)
   }
 
-  /** Spread a small-partition-count frame across the cluster before
-    * CPU-heavy per-row work (a single small parquet file arrives as ONE
-    * task otherwise — measured single-core bottleneck).
+  /** Spread a small frame across the cluster before CPU-heavy per-row
+    * work (a single small parquet file arrives as ONE task otherwise —
+    * measured single-core bottleneck). Decided from plan STATISTICS only:
+    * `.rdd.getNumPartitions` would force physical planning and — with AQE
+    * on — materialize query stages just to read a partition count.
     */
   private[pipeline] def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // below ~16 MB/slot the scan under-parallelizes the per-row CPU work;
+    // larger inputs already fan out via spark.sql.files.maxPartitionBytes
+    if (bytes < BigInt(target) * 16L * 1024 * 1024) df.repartition(target) else df
   }
+
+  /** Per-document shingle sets as one (id, sh) frame — the shared input of
+    * the signature stage AND the Jaccard verify stage (shingling is the
+    * most expensive expression in the pipeline; compute it once).
+    */
+  def shingled(df: DataFrame, textCol: String, idCol: String, shingleN: Int = 3): DataFrame =
+    spread(df.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"), shingleExpr(textCol, shingleN).as("sh"))
 
   /** k MinHash values per document as columns h0..h{k-1}.
     *
@@ -83,11 +96,16 @@ object Dedup {
     * doc (k longs).
     */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
-                        shingleN: Int = 3, k: Int = 32): DataFrame = {
-    val sh = spread(df.select(col(idCol).as("id"), col(textCol)))
-      .select(col("id"), explode(shingleExpr(textCol, shingleN)).as("s"))
+                        shingleN: Int = 3, k: Int = 32): DataFrame =
+    minhashSignaturesFromShingles(shingled(df, textCol, idCol, shingleN), k)
+
+  /** Signatures from a precomputed (id, sh) frame — see minhashSignatures
+    * for the explode→hash-once→partial-agg rationale.
+    */
+  def minhashSignaturesFromShingles(sh: DataFrame, k: Int = 32): DataFrame = {
+    val exploded = sh.select(col("id"), explode(col("sh")).as("s"))
     val mins = (0 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
-    sh.groupBy("id").agg(mins.head, mins.tail: _*)
+    exploded.groupBy("id").agg(mins.head, mins.tail: _*)
   }
 
   /** MinHash-LSH candidate pairs (id1 < id2), deduplicated across bands.
@@ -102,10 +120,19 @@ object Dedup {
     * at the price of more false-positive candidates to verify.
     */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
-                        shingleN: Int = 3, k: Int = 32, bands: Int = 8): DataFrame = {
+                        shingleN: Int = 3, k: Int = 32, bands: Int = 8): DataFrame =
+    minhashCandidatesFromSignatures(minhashSignatures(df, textCol, idCol, shingleN, k), k, bands)
+
+  /** Candidate pairs from a precomputed signature frame. EAGER: the result
+    * is `localCheckpoint`ed — this (a) lets the temporary band table be
+    * unpersisted HERE instead of leaking into the caller's session
+    * (round-1/2 advice), and (b) means the caller's multiple references to
+    * the candidate set (members union + two verify joins) read materialized
+    * rows instead of re-running the LSH join per reference.
+    */
+  def minhashCandidatesFromSignatures(sig: DataFrame, k: Int = 32, bands: Int = 8): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
-    val sig = minhashSignatures(df, textCol, idCol, shingleN, k)
     // each h_i column is referenced exactly once across all band hashes
     val bandCols = (0 until bands).map(b =>
       struct(lit(b).as("band"),
@@ -116,46 +143,65 @@ object Dedup {
     val withBands = sig.select(col("id"), explode(array(bandCols: _*)).as("b"))
       .select(col("id"), col("b.band"), col("b.sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val l = withBands.alias("l")
-    val rr = withBands.alias("r")
-    l.join(rr, col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
-        col("l.id") < col("r.id"))
-      .select(col("l.id").as("id1"), col("r.id").as("id2"))
-      .distinct()
+    try {
+      val l = withBands.alias("l")
+      val rr = withBands.alias("r")
+      l.join(rr, col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
+          col("l.id") < col("r.id"))
+        .select(col("l.id").as("id1"), col("r.id").as("id2"))
+        .distinct()
+        .localCheckpoint() // eager; cleaned by the ContextCleaner on GC
+    } finally withBands.unpersist(blocking = false)
   }
 
-  /** Exact n-gram Jaccard similarity for given candidate pairs: one join
-    * to attach shingle sets, then per-row array intersection — use AFTER
-    * banding, never on all pairs.
+  /** Exact n-gram Jaccard for candidate pairs given precomputed (id, sh)
+    * shingle sets: two key joins, then per-row array intersection — use
+    * AFTER banding, never on all pairs.
     */
-  def jaccardOnPairs(pairs: DataFrame, docs: DataFrame, textCol: String,
-                     idCol: String, shingleN: Int = 3): DataFrame = {
-    // shingle ONLY candidate-pair members (semi-join prefilter): after
-    // banding, candidates are a tiny fraction of the corpus — at scale
-    // this skips shingling ~everything
-    val members = pairs.select(col("id1").as("id"))
-      .unionAll(pairs.select(col("id2").as("id"))).distinct()
-    val sh = spread(docs.select(col(idCol).as("id"), col(textCol))
-        .join(members, Seq("id"), "left_semi"))
-      .select(col("id"), shingleExpr(textCol, shingleN).as("sh"))
+  def jaccardOnShingledPairs(pairs: DataFrame, sh: DataFrame): DataFrame =
     pairs
-      .join(sh.withColumnRenamed("sh", "sh1").withColumnRenamed("id", "id1"), "id1")
-      .join(sh.withColumnRenamed("sh", "sh2").withColumnRenamed("id", "id2"), "id2")
+      .join(sh.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
+      .join(sh.select(col("id").as("id2"), col("sh").as("sh2")), "id2")
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
       .withColumn("uni", size(array_union(col("sh1"), col("sh2"))))
       .select(col("id1"), col("id2"),
         (col("inter").cast("double") / col("uni")).as("jaccard"))
+
+  /** Jaccard for candidate pairs from raw documents: shingles ONLY the
+    * pair members (semi-join prefilter) — after banding, candidates are a
+    * tiny fraction of the corpus, so this skips shingling ~everything.
+    * Callers that already hold a shingled frame (minhashDedup) should use
+    * jaccardOnShingledPairs instead of re-shingling.
+    */
+  def jaccardOnPairs(pairs: DataFrame, docs: DataFrame, textCol: String,
+                     idCol: String, shingleN: Int = 3): DataFrame = {
+    val members = pairs.select(col("id1").as(idCol))
+      .unionAll(pairs.select(col("id2").as(idCol))).distinct()
+    val filtered = docs.select(col(idCol), col(textCol)).join(members, Seq(idCol), "left_semi")
+    jaccardOnShingledPairs(pairs, shingled(filtered, textCol, idCol, shingleN))
   }
 
-  /** Full MinHash-LSH near-dup pipeline: candidates → exact Jaccard →
-    * threshold filter.
+  /** Full MinHash-LSH near-dup pipeline: shingle ONCE (persisted; shared
+    * by the signature stage and the verify stage), candidates → exact
+    * Jaccard → threshold filter. EAGER (localCheckpoint) so the shingle
+    * cache can be released before returning — no persist leaks across
+    * invocations. At extreme corpus scale where persisting shingle sets is
+    * too much storage, compose minhashCandidates + jaccardOnPairs instead
+    * (re-shingles candidate members only).
     */
   def minhashDedup(df: DataFrame, textCol: String, idCol: String,
                    threshold: Double = 0.8, shingleN: Int = 3,
                    k: Int = 32, bands: Int = 8): DataFrame = {
-    val cand = minhashCandidates(df, textCol, idCol, shingleN, k, bands)
-    jaccardOnPairs(cand, df, textCol, idCol, shingleN)
-      .filter(col("jaccard") >= threshold)
+    val sh = shingled(df, textCol, idCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cand = minhashCandidatesFromSignatures(minhashSignaturesFromShingles(sh, k), k, bands)
+      val members = cand.select(col("id1").as("id"))
+        .unionAll(cand.select(col("id2").as("id"))).distinct()
+      jaccardOnShingledPairs(cand, sh.join(members, Seq("id"), "left_semi"))
+        .filter(col("jaccard") >= threshold)
+        .localCheckpoint()
+    } finally sh.unpersist(blocking = false)
   }
 
   /** 64-bit SimHash fingerprints (id, fp): per bit, sum +1/−1 token
@@ -177,16 +223,38 @@ object Dedup {
     sums.select(col("id"), fp.as("fp"))
   }
 
-  /** SimHash near-dup candidates: band the 64-bit fingerprint into four
-    * 16-bit chunks (any pair within Hamming distance 3 shares ≥1 chunk),
+  /** SimHash near-dup pairs: band the 64-bit fingerprint into
+    * maxHamming+1 contiguous bit chunks — by pigeonhole, any pair within
+    * Hamming distance maxHamming shares ≥1 identical chunk (with only 4
+    * fixed chunks, the old shape silently missed pairs at distance ≥4) —
     * join per chunk, verify with bit_count(xor) ≤ maxHamming.
     */
   def simhashDedup(df: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    val fp = simhashFingerprints(df, textCol, idCol)
-    val chunked = fp.select(col("id"), col("fp"), explode(array(
-      (0 until 4).map(i => struct(lit(i).as("chunk"),
-        (shiftright(col("fp"), i * 16) bitwiseAND lit(0xFFFFL)).as("ck"))): _*)).as("c"))
+                   maxHamming: Int = 3): DataFrame =
+    simhashCandidatesFromFingerprints(
+      simhashFingerprints(df, textCol, idCol), maxHamming)
+
+  /** Banded candidate join over a precomputed (id, fp) fingerprint frame.
+    * Recall contract: nChunks = maxHamming+1 ⇒ every true pair is found
+    * (pigeonhole), so the bit_count verify makes the output EXACT.
+    * Scale note: chunk width shrinks as maxHamming grows (64/(maxHamming+1)
+    * bits), so buckets get coarser and the candidate set grows — large
+    * maxHamming is inherently expensive for any LSH scheme; prefer ≤ 16.
+    */
+  def simhashCandidatesFromFingerprints(fp: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 63], got $maxHamming")
+    val nChunks = maxHamming + 1
+    val base = 64 / nChunks; val rem = 64 % nChunks
+    // first `rem` chunks are one bit wider; offsets are cumulative
+    val widths = (0 until nChunks).map(i => if (i < rem) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
+    val chunkCols = (0 until nChunks).map { i =>
+      val mask = if (widths(i) >= 64) -1L else (1L << widths(i)) - 1
+      struct(lit(i).as("chunk"),
+        (shiftright(col("fp"), offsets(i)) bitwiseAND lit(mask)).as("ck"))
+    }
+    val chunked = fp.select(col("id"), col("fp"), explode(array(chunkCols: _*)).as("c"))
       .select(col("id"), col("fp"), col("c.chunk"), col("c.ck"))
     val l = chunked.alias("l"); val r = chunked.alias("r")
     l.join(r, col("l.chunk") === col("r.chunk") && col("l.ck") === col("r.ck") &&
@@ -198,38 +266,51 @@ object Dedup {
   }
 
   /** Connected components over near-dup candidate pairs → duplicate
-    * clusters, labeled by the minimum member id. Iterative min-label
-    * propagation: each round is one shuffle (join + groupBy); rounds are
-    * bounded by the component diameter — near-dup graphs are shallow
-    * (dups of dups), so this converges in a handful of rounds. For
-    * adversarially deep graphs switch to large-star/small-star; the API
-    * stays the same.
+    * clusters, labeled by the minimum member id.
+    *
+    * Each round does (a) one-hop min-label propagation over the edges and
+    * (b) pointer doubling (label ← label of the label), so convergence is
+    * O(log diameter) rounds, not O(diameter) — a 100-node chain converges
+    * in ~7 rounds instead of 99. Every round's frame is `localCheckpoint`ed:
+    * an iterative plan that is only persisted still GROWS its logical tree
+    * ~2× per round (persist caches data, not lineage), and by round 10
+    * Catalyst analysis/plan-stringification is minutes of driver CPU
+    * (measured on the r3 d06 graph). Checkpointing flattens each round to
+    * a scan. Each round is two shuffles (join+groupBy, join) plus a count.
     */
-  def dupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .unionAll(pairs.select(col("id2").as("src"), col("id1").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint() // eager + FLAT lineage for the loop below
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(min("label").as("nlabel"))
-      val next = labels.join(viaNeighbors, Seq("id"), "left")
+      val hop = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // pointer doubling: labels are node ids, so follow the label's own
+      // label — halves the remaining distance to the component minimum
+      val next = hop.alias("a")
+        .join(hop.select(col("id").as("lid"), col("label").as("llabel")).alias("b"),
+          col("a.label") === col("b.lid"), "left")
+        .select(col("a.id").as("id"),
+          least(col("a.label"), coalesce(col("llabel"), col("a.label"))).as("label"))
+        .localCheckpoint()
       val changed = next.alias("n").join(labels.alias("o"), "id")
         .filter(col("n.label") =!= col("o.label")).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
     }
-    edges.unpersist()
+    edges.unpersist(blocking = false)
+    // already materialized (localCheckpoint) — no persisted frame leaks to
+    // the caller; checkpoint blocks are GC-cleaned by the ContextCleaner
     labels.withColumnRenamed("label", "cluster_id")
   }
 

@@ -31,9 +31,45 @@ object IvfIndex {
     val model = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("features")
       .fit(trainSet)
     val centroids = model.clusterCenters.map(_.toArray)
-    val assigned = vecs.withColumn("cell", nearestCell(col("v"), centroids))
-      .repartition(col("cell"))
+    // two assignment shapes: inlined-literal argmax is the fastest up to a
+    // few hundred centroids (zero shuffle, pure codegen), but the
+    // expression tree grows linearly with nCells and chokes planning in
+    // the thousands — there, switch to a broadcast centroid join
+    val assigned =
+      (if (centroids.length <= maxInlineCentroids)
+        vecs.withColumn("cell", nearestCell(col("v"), centroids))
+      else nearestCellByJoin(vecs, centroids))
+        .repartition(col("cell"))
     Index(centroids, assigned)
+  }
+
+  /** Centroid-count threshold above which assignment switches from the
+    * inlined-literal expression to a broadcast join (round-2 advice:
+    * literals are fine ≤ a few hundred cells).
+    */
+  val maxInlineCentroids: Int = 512
+
+  /** Assignment via broadcast centroid join: score every (vector,
+    * centroid) pair against the broadcast table, keep the argmax cell per
+    * id with `max_by`. One map-side join + one partial-aggregated groupBy
+    * on id — no literal blowup, scales to tens of thousands of cells.
+    */
+  private[pipeline] def nearestCellByJoin(vecs: DataFrame,
+                                          centroids: Array[Array[Double]]): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val cents = spark.createDataset(
+      centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq, c.map(x => x * x).sum / 2.0) }.toSeq)
+      .toDF("cell", "cv", "half_norm")
+    vecs.crossJoin(broadcast(cents))
+      .select(col("id"), col("v"),
+        struct((graft.functions.VectorFunctions.dot(col("v"), col("cv")) - col("half_norm")).as("s"),
+          col("cell").as("cell")).as("sc"),
+        col("cell"))
+      // max_by on the (score, cell) struct: ties break toward the highest
+      // cell id — the SAME order array_max gives the inlined path, so the
+      // two assignment shapes are bit-identical
+      .groupBy("id").agg(first(col("v")).as("v"), max_by(col("cell"), col("sc")).as("cell"))
   }
 
   /** Nearest-centroid expression: argmin over squared L2 distance, i.e.

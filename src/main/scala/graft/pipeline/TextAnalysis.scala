@@ -8,6 +8,11 @@ import org.apache.spark.sql.functions._
   * pure per-row expression (codegen'd, shuffle-free); the heuristics are
   * deliberately simple and SQL-expressible so the DuckDB oracle can mirror
   * them exactly.
+  *
+  * Every metric is parameterized on a token-array SQL fragment so `enrich`
+  * can project the tokenization ONCE and evaluate all metrics over the
+  * materialized column — inlining `tokensExpr` into each metric re-ran the
+  * interpreted regex-split ~13× per row (round-2 verdict, t01).
   */
 object TextAnalysis {
 
@@ -15,18 +20,26 @@ object TextAnalysis {
   def tokensExpr(textCol: String): String =
     s"filter(split(lower($textCol), '\\\\s+'), t -> t != '')"
 
-  def tokenCount(textCol: String): Column =
-    expr(s"size(${tokensExpr(textCol)})").cast("bigint")
+  /** `size(toks)` — `toks` is any SQL fragment yielding the token array
+    * (the raw tokenizer or a projected column reference).
+    */
+  def tokenCountOf(toks: String): Column =
+    expr(s"size($toks)").cast("bigint")
+
+  def tokenCount(textCol: String): Column = tokenCountOf(tokensExpr(textCol))
 
   /** BPE-ish subword count estimate: whitespace tokens plus an extra unit
     * per 6 characters of long tokens (a cheap stand-in for a real
     * tokenizer's subword splits — deterministic, mirrorable in SQL).
     */
-  def subwordCountEstimate(textCol: String): Column =
+  def subwordCountEstimateOf(toks: String): Column =
     expr(
-      s"""aggregate(${tokensExpr(textCol)}, 0L,
+      s"""aggregate($toks, 0L,
          |  (acc, t) -> acc + greatest(1L, cast(ceil(length(t) / 6.0) as long)))"""
         .stripMargin).cast("bigint")
+
+  def subwordCountEstimate(textCol: String): Column =
+    subwordCountEstimateOf(tokensExpr(textCol))
 
   /** Stopword-ratio language ID. Per language, score = fraction of tokens
     * in that language's small function-word set; argmax with 'und'
@@ -38,15 +51,18 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "de", "y", "los", "las", "un", "una", "es"),
     "de" -> Seq("der", "die", "das", "und", "ein", "eine", "ist", "von"))
 
-  def langScore(textCol: String, lang: String): Column = {
+  def langScoreOf(toks: String, lang: String): Column = {
     val set = stopwords(lang).map(s => s"'$s'").mkString("array(", ",", ")")
     expr(
-      s"""size(filter(${tokensExpr(textCol)}, t -> array_contains($set, t)))
-         | / cast(greatest(size(${tokensExpr(textCol)}), 1) as double)""".stripMargin)
+      s"""size(filter($toks, t -> array_contains($set, t)))
+         | / cast(greatest(size($toks), 1) as double)""".stripMargin)
   }
 
-  def langId(textCol: String, minScore: Double = 0.02): Column = {
-    val scored = stopwords.keys.toSeq.sorted.map(l => (l, langScore(textCol, l)))
+  def langScore(textCol: String, lang: String): Column =
+    langScoreOf(tokensExpr(textCol), lang)
+
+  def langIdOf(toks: String, minScore: Double = 0.02): Column = {
+    val scored = stopwords.keys.toSeq.sorted.map(l => (l, langScoreOf(toks, l)))
     // argmax with deterministic tie-break on language code order
     val best = scored.tail.foldLeft(struct(lit(scored.head._1).as("lang"), scored.head._2.as("s"))) {
       case (acc, (l, s)) =>
@@ -55,12 +71,15 @@ object TextAnalysis {
     when(best.getField("s") >= minScore, best.getField("lang")).otherwise(lit("und"))
   }
 
+  def langId(textCol: String, minScore: Double = 0.02): Column =
+    langIdOf(tokensExpr(textCol), minScore)
+
   /** Quality score in [0,1]: length saturation, lexical diversity, and
     * (1 − punctuation ratio), weighted 0.4/0.3/0.3.
     */
-  def qualityScore(textCol: String): Column = {
-    val nTok = s"cast(size(${tokensExpr(textCol)}) as double)"
-    val nDistinct = s"cast(size(array_distinct(${tokensExpr(textCol)})) as double)"
+  def qualityScoreOf(textCol: String, toks: String): Column = {
+    val nTok = s"cast(size($toks) as double)"
+    val nDistinct = s"cast(size(array_distinct($toks)) as double)"
     val punct = s"cast(length(regexp_replace($textCol, '[^.,;:!?]', '')) as double)"
     val chars = s"cast(greatest(length($textCol), 1) as double)"
     expr(
@@ -68,6 +87,9 @@ object TextAnalysis {
          | + 0.3 * (CASE WHEN $nTok = 0 THEN 0.0 ELSE $nDistinct / $nTok END)
          | + 0.3 * (1.0 - $punct / $chars)""".stripMargin)
   }
+
+  def qualityScore(textCol: String): Column =
+    qualityScoreOf(textCol, tokensExpr(textCol))
 
   /** Stable content fingerprint: md5 of the normalized text (lowercase,
     * collapsed whitespace) — identical in any engine with md5.
@@ -85,11 +107,20 @@ object TextAnalysis {
          |  0L, (acc, ch) -> pmod(acc * 31L + coalesce(ascii(ch), 0), 1000000007L))"""
         .stripMargin)
 
-  /** One-call enrichment producing all text-analysis columns. */
-  def enrich(df: DataFrame, textCol: String): DataFrame =
-    df.withColumn("token_count", tokenCount(textCol))
-      .withColumn("subword_count", subwordCountEstimate(textCol))
-      .withColumn("lang_pred", langId(textCol))
-      .withColumn("quality", qualityScore(textCol))
+  /** One-call enrichment producing all text-analysis columns. The token
+    * array is projected ONCE (`__toks`); every metric then references the
+    * materialized column — CollapseProject keeps the projection because the
+    * producing expression is non-cheap and multiply-referenced, so the
+    * regex tokenizer runs exactly once per row.
+    */
+  def enrich(df: DataFrame, textCol: String): DataFrame = {
+    val toks = "__toks"
+    df.withColumn(toks, expr(tokensExpr(textCol)))
+      .withColumn("token_count", tokenCountOf(toks))
+      .withColumn("subword_count", subwordCountEstimateOf(toks))
+      .withColumn("lang_pred", langIdOf(toks))
+      .withColumn("quality", qualityScoreOf(textCol, toks))
       .withColumn("fingerprint", fingerprintMd5(textCol))
+      .drop(toks)
+  }
 }

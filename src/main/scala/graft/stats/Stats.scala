@@ -169,7 +169,9 @@ object Stats {
         val aggs = nums.flatMap(c =>
           Seq(min(col(c)).cast(DoubleType).as(s"${c}__mn"), max(col(c)).cast(DoubleType).as(s"${c}__mx")))
         val row = ddf.df.agg(aggs.head, aggs.tail: _*).first()
-        nums.zipWithIndex.map { case (c, i) => c -> (row.getDouble(2 * i), row.getDouble(2 * i + 1)) }.toMap
+        // all-null column → min/max are NULL → NaN range (not an NPE)
+        def d(i: Int): Double = if (row.isNullAt(i)) Double.NaN else row.getDouble(i)
+        nums.zipWithIndex.map { case (c, i) => c -> (d(2 * i), d(2 * i + 1)) }.toMap
       }
     val levels = ddf.factorColumns.map { c =>
       c -> ddf.df.select(col(c).cast(StringType)).na.drop().distinct()

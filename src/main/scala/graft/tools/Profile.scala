@@ -1,12 +1,13 @@
 package graft.tools
 
-import graft.pipeline.Dedup
+import graft.pipeline.{Dedup, Similarity, TextAnalysis}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scratch profiler for the d02 minhash pipeline — times each stage
-  * separately so regressions are attributable. Not part of the driver
-  * contract.
+/** Scratch profiler for the heavy pipeline queries (d02 minhash, a01
+  * brute ANN, t01 text enrich) — times each stage separately (3 runs
+  * each; min + all samples printed) so regressions are attributable and
+  * host-noise spikes are visible. Not part of the driver contract.
   */
 object Profile {
   def main(args: Array[String]): Unit = {
@@ -20,29 +21,44 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
 
     def timed[T](name: String)(f: => T): T = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
-      r
+      val samples = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        f
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[profile] $name%-28s min ${samples.min}%8.2f s   " +
+        samples.map(s => f"$s%.2f").mkString("(", ", ", ")"))
+      f
     }
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    timed("read+count")(docs.count())
+    timed("docs read+count")(docs.count())
 
-    val sig = Dedup.minhashSignatures(docs, "text", "doc_id")
-    timed("signatures")(sig.count())
-    timed("signatures(2nd)")(sig.count())
+    // --- d02 minhash stages ---
+    timed("shingled")(Dedup.shingled(docs, "text", "doc_id").count())
+    timed("signatures")(Dedup.minhashSignatures(docs, "text", "doc_id").count())
+    // candidates/full are EAGER (localCheckpoint inside) — time construction
+    timed("candidates")(Dedup.minhashCandidates(docs, "text", "doc_id").count())
+    timed("full_dedup")(Dedup.minhashDedup(docs, "text", "doc_id", threshold = 0.5).count())
+    spark.sharedState.cacheManager.clearCache()
 
-    val cand = Dedup.minhashCandidates(docs, "text", "doc_id")
-    val nc = timed("candidates")(cand.count())
-    println(s"[profile] n_candidates = $nc")
+    // --- t01 text-enrich stages ---
+    timed("enrich(all)")(TextAnalysis.enrich(docs, "text").count())
+    timed("tokens only")(docs.select(expr(TextAnalysis.tokensExpr("text"))).count())
+    timed("fingerprint only")(docs.select(TextAnalysis.fingerprintMd5("text")).count())
 
-    val jac = Dedup.jaccardOnPairs(cand, docs, "text", "doc_id")
-    timed("jaccard_on_pairs")(jac.count())
+    // --- a01 brute ANN stages ---
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("embedding"))
+    timed("emb cast+count")(emb.count())
+    val queries = emb.filter(col("vec_id") < 3).withColumnRenamed("vec_id", "qid")
+    timed("ann_brute")(
+      Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", "qid", 10).count())
+    val embF = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queriesF = embF.filter(col("vec_id") < 3).withColumnRenamed("vec_id", "qid")
+    timed("ann_brute(float,no-cast)")(
+      Similarity.bruteForceTopK(embF, queriesF, "embedding", "vec_id", "qid", 10).count())
 
-    val full = Dedup.minhashDedup(docs, "text", "doc_id", threshold = 0.5)
-    val nf = timed("full_dedup_fresh")(full.count())
-    println(s"[profile] n_final = $nf")
     spark.stop()
   }
 }

@@ -94,4 +94,25 @@ class CoreSpec extends SparkTestBase {
     assert(ddf.schema("V3").dataType.simpleString == "double")
     assert(ddf.schema("V4").dataType.simpleString == "boolean")
   }
+
+  test("loadFile 5-row sample inference matches the reference vote (Utils.java:97-150)") {
+    val dir = Files.createDirectories(Paths.get("target/test-fixtures"))
+    val csv = dir.resolve("infer5.csv")
+    // V1 integral for the first 5 rows, fractional at row 6: full-scan
+    // inference says double; the reference's 5-row vote says int.
+    // V2: T/F logicals (Spark CSV alone can't parse these as boolean).
+    // V3: all NA in the sample → string.
+    Files.writeString(csv,
+      "1,T,NA\n2,F,NA\n3,T,NA\n4,F,NA\n5,T,NA\n6.5,T,x\n")
+    val m = freshManager
+    val five = m.loadFile(csv.toAbsolutePath.toString, sampleInference = true)
+    assert(five.schema("V1").dataType.simpleString == "int")
+    assert(five.schema("V2").dataType.simpleString == "boolean")
+    assert(five.schema("V3").dataType.simpleString == "string")
+    // row 6's 6.5 fails the int cast → null; the T/F cells survive
+    assert(five.df.filter("V1 IS NULL").count() == 1)
+    assert(five.df.filter("V2 = true").count() == 4)
+    val full = m.loadFile(csv.toAbsolutePath.toString)
+    assert(full.schema("V1").dataType.simpleString == "double")
+  }
 }

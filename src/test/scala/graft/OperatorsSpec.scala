@@ -114,6 +114,20 @@ class OperatorsSpec extends SparkTestBase {
     assert(filledMap.df.filter("s = 'zz'").count() == 1)
   }
 
+  test("fillNA aggregate on INTEGRAL columns: min/max/sum don't CCE (round-1 advice)") {
+    import spark.implicits._
+    def ints = m.register(Seq(Some(2), None, Some(6)).toDF("i"))
+    val mx = MissingData.fillNAWithAggregate(ints, "max")
+    assert(mx.df.collect().map(_.getInt(0)).sorted.toSeq == Seq(2, 6, 6))
+    val mn = MissingData.fillNAWithAggregate(ints, "min")
+    assert(mn.df.collect().map(_.getInt(0)).sorted.toSeq == Seq(2, 2, 6))
+    val sm = MissingData.fillNAWithAggregate(ints, "sum")
+    assert(sm.df.collect().map(_.getInt(0)).sorted.toSeq == Seq(2, 6, 8))
+    def longs = m.register(Seq(Some(3L), None).toDF("l"))
+    assert(MissingData.fillNAWithAggregate(longs, "max")
+      .df.collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 3L))
+  }
+
   test("binning custom breaks: drops out-of-range, labels, factor levels (reference B1/B4)") {
     import spark.implicits._
     val ddf = m.register(Seq(0.5, 1.0, 2.0, 5.0, 7.5, 10.0, 12.0).toDF("v"))

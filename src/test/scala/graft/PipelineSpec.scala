@@ -51,6 +51,20 @@ class PipelineSpec extends SparkTestBase {
     assert(d.contains((1L, 2L)))
   }
 
+  test("simhash banding honors maxHamming via pigeonhole chunking (round-2 verdict)") {
+    import spark.implicits._
+    // 10 differing bits spread across all four of the OLD fixed 16-bit
+    // chunks — the old banding could only see pairs at Hamming ≤ 3
+    val bits = Seq(0, 7, 17, 23, 33, 39, 49, 55, 60, 63)
+    val fps = Seq((1L, 0L), (2L, bits.map(1L << _).reduce(_ | _))).toDF("id", "fp")
+    val found = Dedup.simhashCandidatesFromFingerprints(fps, maxHamming = 12).collect()
+    assert(found.length == 1, "pair at Hamming 10 must be found when maxHamming = 12")
+    assert(found.head.getLong(0) == 1L && found.head.getLong(1) == 2L)
+    assert(found.head.getInt(2) == 10)
+    // at maxHamming = 3 the same pair is (correctly) not a near-dup
+    assert(Dedup.simhashCandidatesFromFingerprints(fps, maxHamming = 3).collect().isEmpty)
+  }
+
   test("embedding cosine dedup + similarity primitives") {
     import spark.implicits._
     val vecs = Seq(

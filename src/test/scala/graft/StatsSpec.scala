@@ -59,6 +59,16 @@ class StatsSpec extends SparkTestBase {
     assert(ss.factorLevels("f") == Seq("u", "v"))
   }
 
+  test("simple summary survives an all-null numeric column (round-1 advice: no NPE)") {
+    import spark.implicits._
+    val ddf = m.register(Seq(
+      (Option.empty[Double], 1.0), (None, 3.0)).toDF("allnull", "ok"))
+    val ss = Stats.simpleSummary(ddf)
+    assert(ss.numericRanges("ok") == (1.0, 3.0))
+    val (mn, mx) = ss.numericRanges("allnull")
+    assert(mn.isNaN && mx.isNaN)
+  }
+
   test("correlation and covariance agree with closed form") {
     import spark.implicits._
     val ddf = m.register(Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0)).toDF("x", "y"))

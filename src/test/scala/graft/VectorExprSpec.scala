@@ -43,6 +43,21 @@ class VectorExprSpec extends SparkTestBase {
     assert(rows(2).getDouble(1) == 0.0)
   }
 
+  test("null ELEMENT null-propagates like the HOF formulation (round-1 advice)") {
+    val df = spark.range(1).select(
+      expr("array(1.0d, cast(null as double), 3.0d)").as("u"),
+      expr("array(1.0d, 1.0d, 1.0d)").as("v"),
+      // containsNull=true schema but no actual nulls: guard must not fire
+      expr("slice(array(2.0d, 4.0d, cast(null as double)), 1, 2)").as("w"))
+    val r = df.select(
+      VectorFunctions.dot(col("u"), col("v")).as("d"),
+      VectorFunctions.cosine(col("u"), col("v")).as("c"),
+      expr("aggregate(zip_with(u, v, (a, b) -> a * b), 0D, (acc, x) -> acc + x)").as("hof"),
+      VectorFunctions.dot(col("w"), col("v")).as("dw")).first()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2), "null element must null-propagate")
+    assert(r.getDouble(3) == 6.0)
+  }
+
   test("mixed float/double arrays work (bucket hyperplanes path)") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 0.0f), Array(1.0, 0.0))).toDF("f", "d")

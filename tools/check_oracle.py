@@ -23,7 +23,15 @@ def normalize(df):
         elif pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
         else:
-            df[c] = df[c].apply(lambda v: str(v) if v is not None and not (isinstance(v, float) and np.isnan(v)) else None)
+            def _s(v):
+                if v is None or (isinstance(v, float) and np.isnan(v)):
+                    return None
+                # array cells (ndarray/list) are unhashable for sort_values and
+                # stringify differently per engine — canonicalize to a joined string
+                if isinstance(v, (np.ndarray, list, tuple)):
+                    return ",".join(str(x) for x in v)
+                return str(v)
+            df[c] = df[c].apply(_s)
     df = df.sort_values(by=list(df.columns), na_position="first").reset_index(drop=True)
     return df
 
