@@ -896,11 +896,13 @@ object SparkEntry {
     Q("d05_embedding_dedup",
       (s, d) => {
         val m = mgr(s, d)
-        // exact-double cosine (cast floats up) so the oracle math is
-        // bit-identical; brute-force restricted to a bounded id range —
-        // the full-scale path is Dedup.embeddingDedup (LSH-bucketed)
+        // native VectorCosine widens each float element to double inside
+        // its loop — bit-identical to the oracle's list_transform(::DOUBLE)
+        // with no interpreted per-row cast/allocation; brute-force is
+        // restricted to a bounded id range — the full-scale path is
+        // Dedup.embeddingDedup (LSH-bucketed)
         val vecs = m.getDDFByName("embeddings").df.filter(col("vec_id") < 200)
-          .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+          .select(col("vec_id"), col("embedding").as("v"))
         val l = vecs.alias("l"); val r = vecs.alias("r")
         l.join(r, col("l.vec_id") < col("r.vec_id"))
           .select(col("l.vec_id").as("id1"), col("r.vec_id").as("id2"),
@@ -918,8 +920,10 @@ object SparkEntry {
     Q("a01_ann_brute",
       (s, d) => {
         val m = mgr(s, d)
-        val all = m.getDDFByName("embeddings").df
-          .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("embedding"))
+        // raw float arrays: VectorCosine's loop widens losslessly, so the
+        // result is bit-identical to the previous transform(cast) pre-pass
+        // (removed — it was an interpreted per-row allocation)
+        val all = m.getDDFByName("embeddings").df.select(col("vec_id"), col("embedding"))
         val queries = all.filter(col("vec_id") < 3)
           .withColumnRenamed("vec_id", "qid")
         pipeline.Similarity.bruteForceTopK(all, queries, "embedding", "vec_id", "qid", 10)
@@ -966,7 +970,7 @@ object SparkEntry {
         // gets a recursive-CTE oracle instead of a rows-only check. The
         // minhash-edges variant stays covered by PipelineSpec.
         val vecs = m.getDDFByName("embeddings").df.filter(col("vec_id") < 200)
-          .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+          .select(col("vec_id"), col("embedding").as("v"))
         val l = vecs.alias("l"); val r = vecs.alias("r")
         val pairs = l.join(r, col("l.vec_id") < col("r.vec_id"))
           .select(col("l.vec_id").as("id1"), col("r.vec_id").as("id2"),

@@ -72,6 +72,18 @@ object MLSupport {
   /** `applyModel` → DDF with `yPredict` (reference: FlinkMLSupporter.scala:
     * 42-56 appends the prediction column).
     */
+  /** Reference 3-arg signature (FlinkMLSupporter.scala:42-56):
+    * `hasLabels` declares whether the scoring frame still carries the
+    * training label column — validated here (spark.ml's transform doesn't
+    * need the label, so the flag is a contract check, not a code path).
+    */
+  def applyModel(ddf: DDF, m: TrainedModel, hasLabels: Boolean,
+                 includeFeatures: Boolean): DDF = {
+    if (hasLabels) m.labelCol.foreach(l => require(ddf.df.columns.contains(l),
+      s"hasLabels=true but column '$l' is absent"))
+    applyModel(ddf, m, includeFeatures)
+  }
+
   def applyModel(ddf: DDF, m: TrainedModel, includeFeatures: Boolean = true): DDF = {
     val assembled = if (m.featureCols.nonEmpty) assemble(ddf.df, m.featureCols) else ddf.df
     val out = m.model.transform(assembled)

@@ -23,6 +23,53 @@ object Views {
   def subset(ddf: DDF, cols: Seq[String], filterExpr: String): DDF =
     ddf.derive(ddf.df.filter(expr(filterExpr)).select(cols.map(col): _*))
 
+  /** Structured filter AST mirroring ddf-core's Expression tree (the shape
+    * `ViewHandler.subset(List[Column], Expression)` callers hand the
+    * reference, ViewHandler.scala:43-50; op vocabulary = ddf-core
+    * OperationName: lt/le/gt/ge/eq/ne/and/or/neg/grep/grep_ic). Compiled
+    * to a Catalyst `Column`, so Catalyst still sees a plain predicate —
+    * pushdown/pruning unaffected. Grep — which the reference THROWS on —
+    * is supported here via `rlike`.
+    */
+  sealed trait Filter
+  object Filter {
+    final case class ColRef(name: String) extends Filter
+    final case class Lit(value: Any) extends Filter
+    /** op ∈ lt, le, gt, ge, eq, ne */
+    final case class Cmp(op: String, left: Filter, right: Filter) extends Filter
+    final case class And(left: Filter, right: Filter) extends Filter
+    final case class Or(left: Filter, right: Filter) extends Filter
+    final case class Not(f: Filter) extends Filter
+    /** regex match on a column (grep / grep_ic). */
+    final case class Grep(colName: String, pattern: String,
+                          ignoreCase: Boolean = false) extends Filter
+
+    def compile(f: Filter): org.apache.spark.sql.Column = f match {
+      case ColRef(n) => col(n)
+      case Lit(v)    => lit(v)
+      case Cmp(op, l, r) =>
+        val (a, b) = (compile(l), compile(r))
+        op.toLowerCase match {
+          case "lt" => a < b
+          case "le" => a <= b
+          case "gt" => a > b
+          case "ge" => a >= b
+          case "eq" => a === b
+          case "ne" => a =!= b
+          case other => throw new IllegalArgumentException(s"Unknown comparison '$other'")
+        }
+      case And(l, r) => compile(l) && compile(r)
+      case Or(l, r)  => compile(l) || compile(r)
+      case Not(g)    => !compile(g)
+      case Grep(c, p, ic) =>
+        if (ic) upper(col(c)).rlike(p.toUpperCase) else col(c).rlike(p)
+    }
+  }
+
+  /** AST-based subset — the signature a ddf-core caller ports to. */
+  def subset(ddf: DDF, cols: Seq[String], filter: Filter): DDF =
+    ddf.derive(ddf.df.filter(Filter.compile(filter)).select(cols.map(col): _*))
+
   /** First n rows (reference: ViewHandlerSpec.scala:39-48). */
   def head(ddf: DDF, n: Int): Seq[Row] = ddf.df.limit(n).collect().toSeq
 

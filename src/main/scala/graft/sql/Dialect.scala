@@ -28,15 +28,16 @@ object Dialect {
       """(?:\s+delimited\s+by\s+'([^']*)')?""" +
       """(?:\s+with\s+null\s+'([^']*)')?""" +
       """(?:\s+with\s+empty\s+'([^']*)')?""" +
+      """(?:\s+with\s+timestamp\s+format\s+'([^']*)')?""" +
       """(\s+no\s+defaults)?""" +
       """\s+into\s+(\w+)\s*;?\s*""").r
 
   def run(manager: DDFManager, command: String): DDF = command match {
     case CreateRe(name, colsSpec) =>
       manager.createTable(name, parseSchema(colsSpec))
-    case LoadRe(path, delim, nullStr, emptyStr, noDefaults, table) =>
+    case LoadRe(path, delim, nullStr, emptyStr, tsFmt, noDefaults, table) =>
       load(manager, path, Option(delim), Option(nullStr), Option(emptyStr),
-        noDefaults != null, table)
+        Option(tsFmt), noDefaults != null, table)
     case select =>
       manager.register(manager.spark.sql(select))
   }
@@ -91,6 +92,7 @@ object Dialect {
       delim: Option[String],
       nullStr: Option[String],
       emptyStr: Option[String],
+      tsFmt: Option[String],
       noDefaults: Boolean,
       table: String
   ): DDF = {
@@ -113,7 +115,17 @@ object Dialect {
           val cleaned = when(c === nullLit || c === emptyStr.getOrElse("") || c.isNull, lit(null))
             .otherwise(trim(c))
           val parsed = dt match {
-            case TimestampType => try_to_timestamp(cleaned, lit("yyyy-MM-dd HH:mm:ss"))
+            // WITH TIMESTAMP FORMAT '<fmt>' overrides; otherwise try the
+            // pinned reference format, then Spark's generic parse — the
+            // reference used default-locale SimpleDateFormat()
+            // (RepresentationHandler.scala:132), so a non-pinned format
+            // should degrade to a best-effort parse, not a silent null
+            case TimestampType => tsFmt match {
+              case Some(f) => try_to_timestamp(cleaned, lit(f))
+              case None => coalesce(
+                try_to_timestamp(cleaned, lit("yyyy-MM-dd HH:mm:ss")),
+                cleaned.try_cast(TimestampType))
+            }
             case DateType      => cleaned.try_cast(DateType)
             case other         => cleaned.try_cast(other)
           }

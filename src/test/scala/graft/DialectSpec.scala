@@ -81,6 +81,25 @@ class DialectSpec extends SparkTestBase {
     assert(r.df.collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3))
   }
 
+  test("LOAD timestamp: pinned format, generic fallback, WITH TIMESTAMP FORMAT") {
+    val m = DDFManager(spark)
+    val dir = Files.createDirectories(Paths.get("target/test-fixtures"))
+    val p = dir.resolve("ts_load.csv")
+    // row 1: pinned reference format; row 2: ISO-8601 'T' (generic parse
+    // fallback); row 3: custom format only WITH TIMESTAMP FORMAT can read
+    Files.writeString(p,
+      "1,2020-01-02 03:04:05\n2,2020-01-02T03:04:06\n3,02/01/2020 03:04\n")
+    m.sql2ddf("create table ts_t (id int, ts timestamp)")
+    val d1 = m.sql2ddf(s"load '${p.toAbsolutePath}' no defaults into ts_t")
+    val parsed = d1.df.orderBy("id").collect().map(r => r.isNullAt(1))
+    assert(parsed.toSeq == Seq(false, false, true)) // custom format nulls without override
+    m.sql2ddf("create table ts_t2 (id int, ts timestamp)")
+    val d2 = m.sql2ddf(
+      s"load '${p.toAbsolutePath}' with timestamp format 'dd/MM/yyyy HH:mm' no defaults into ts_t2")
+    val p2 = d2.df.orderBy("id").collect().map(r => r.isNullAt(1))
+    assert(p2.toSeq == Seq(true, true, false)) // only the custom-format row parses
+  }
+
   test("aggregateOnColumn golden (reference AggregationHandlerSpec: max == 2010)") {
     val m = DDFManager(spark)
     m.sql2ddf("create table years (V1 int)")

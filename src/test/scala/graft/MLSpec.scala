@@ -39,6 +39,14 @@ class MLSpec extends SparkTestBase {
     val r2 = MLSupport.r2Score(scored.df, "y")
     assert(r2 > 0.999)
     assert(MLSupport.rmse(scored.df, "y") < 1.0)
+    // reference 3-arg applyModel(hasLabels, includeFeatures): flag is a
+    // contract check — true requires the label column to be present
+    val s2 = MLSupport.applyModel(ddf, model, hasLabels = true, includeFeatures = false)
+    assert(s2.df.columns.contains("yPredict") && !s2.df.columns.contains("x"))
+    val noLabel = m.register(ddf.df.drop("y"))
+    intercept[IllegalArgumentException] {
+      MLSupport.applyModel(noLabel, model, hasLabels = true, includeFeatures = true)
+    }
   }
 
   test("svm separates linearly separable classes; confusion matrix") {

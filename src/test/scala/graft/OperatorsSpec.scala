@@ -179,6 +179,19 @@ class OperatorsSpec extends SparkTestBase {
     assert(out.df.collect().map(_.getString(0)).toSet == Set("banana"))
   }
 
+  test("subset structured filter AST compiles to a Catalyst predicate (ddf-core parity)") {
+    import spark.implicits._
+    import Views.Filter._
+    val ddf = m.register(Seq(
+      ("apple", 1), ("banana", 7), ("cherry", 9)).toDF("s", "n"))
+    // (n > 5 AND NOT n = 9) OR grep_ic '^AP' → banana, apple
+    val f = Or(
+      And(Cmp("gt", ColRef("n"), Lit(5)), Not(Cmp("eq", ColRef("n"), Lit(9)))),
+      Grep("s", "^ap.*", ignoreCase = true))
+    val out = Views.subset(ddf, Seq("s"), f)
+    assert(out.df.collect().map(_.getString(0)).toSet == Set("apple", "banana"))
+  }
+
   test("fillDirectional ffill/bfill over an ordering column (extension of M3)") {
     import spark.implicits._
     val ddf = m.register(Seq(
