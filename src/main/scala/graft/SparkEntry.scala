@@ -1039,7 +1039,15 @@ object SparkEntry {
           .select(col("doc_id"), pipeline.TextAnalysis.rollingHash("text").as("rhash"))
           .orderBy("doc_id")
       },
-      None),
+      // same char fold in DuckDB: list_reduce with a prepended 0 seed;
+      // % == pmod here because every operand is non-negative
+      Some(s"""WITH n AS (SELECT doc_id, ${duckNorm("text")} AS t FROM documents)
+              |SELECT doc_id,
+              |  list_reduce(
+              |    list_prepend(0::BIGINT, list_transform(regexp_split_to_array(t, ''),
+              |      c -> coalesce(ascii(c), 0)::BIGINT)),
+              |    (acc, x) -> (acc * 31 + x) % 1000000007) AS rhash
+              |FROM n ORDER BY doc_id""".stripMargin)),
 
     Q("m01_multimodal_meta",
       (s, d) => {
