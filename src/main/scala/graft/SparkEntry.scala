@@ -870,11 +870,38 @@ object SparkEntry {
     Q("d03_dedup_simhash",
       (s, d) => {
         val m = mgr(s, d)
+        // Portable 60-bit fingerprint so the result is cross-engine
+        // checkable. The pigeonhole banding (nChunks = maxHamming+1) has
+        // EXACT recall, so the output is a pure function of the
+        // fingerprints — the oracle can use a brute-force pairwise join
+        // while we exercise the banded path.
         pipeline.Dedup.simhashDedup(m.getDDFByName("documents").df, "text", "doc_id",
-          maxHamming = 12)
+          maxHamming = 12, tokenHash = pipeline.Dedup.portableHash60, nBits = 60)
+          .select(col("id1"), col("id2"), col("hamming").cast("long").as("hamming"))
           .orderBy("id1", "id2")
       },
-      None),
+      // Same 60-bit simhash in DuckDB: two mod-prime char folds per token
+      // (31/1e9+7 → bits 0–29, 131/998244353 → bits 30–59), ±1 bit votes,
+      // sign → fingerprint, then brute-force hamming ≤ 12 over all pairs.
+      Some(s"""WITH n AS (SELECT doc_id, ${duckNorm("text")} AS t FROM documents),
+              |tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tk FROM n),
+              |hh AS (SELECT doc_id,
+              |  list_reduce(list_prepend(0::BIGINT,
+              |      list_transform(regexp_split_to_array(tk, ''), c -> coalesce(ascii(c), 0)::BIGINT)),
+              |    (acc, x) -> (acc * 31 + x) % 1000000007)
+              |  + list_reduce(list_prepend(0::BIGINT,
+              |      list_transform(regexp_split_to_array(tk, ''), c -> coalesce(ascii(c), 0)::BIGINT)),
+              |    (acc, x) -> (acc * 131 + x) % 998244353) * 1073741824 AS h
+              |  FROM tok),
+              |bits AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              |  FROM hh, (SELECT unnest(range(60)) AS b) GROUP BY doc_id, b),
+              |fp AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS fp
+              |  FROM bits GROUP BY doc_id)
+              |SELECT a.doc_id AS id1, b.doc_id AS id2,
+              |  bit_count(xor(a.fp, b.fp))::BIGINT AS hamming
+              |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+              |WHERE bit_count(xor(a.fp, b.fp)) <= 12
+              |ORDER BY id1, id2""".stripMargin)),
 
     Q("d04_jaccard_pairs",
       (s, d) => {
@@ -1136,7 +1163,14 @@ object SparkEntry {
         Seq((math.round(lm.coefficients(0)), math.round(lm.intercept),
           math.round(r2 * 100) / 100.0)).toDF("slope", "intercept", "r2")
       },
-      None)
+      // Spark's LinearRegression with defaults (regParam=0, fitIntercept,
+      // normal solver for 1 feature) IS ordinary least squares, so the
+      // closed-form regr_* aggregates are an exact oracle; rounding absorbs
+      // solver fp noise (checked margins: ≥0.016 abs / 3e-7 rel at sf0.01).
+      Some("""SELECT round(regr_slope(l_extendedprice, l_quantity))::BIGINT AS slope,
+             |  round(regr_intercept(l_extendedprice, l_quantity))::BIGINT AS intercept,
+             |  round(regr_r2(l_extendedprice, l_quantity) * 100) / 100 AS r2
+             |FROM lineitem""".stripMargin))
   )
 
   private val allQueries: Seq[Q] =

@@ -204,21 +204,43 @@ object Dedup {
     } finally sh.unpersist(blocking = false)
   }
 
-  /** 64-bit SimHash fingerprints (id, fp): per bit, sum +1/−1 token
+  /** Cross-engine deterministic 60-bit token hash: two independent
+    * mod-prime char folds (31/1e9+7 and 131/998244353, each < 2^30)
+    * packed as h1 + h2·2^30. Reproducible in any SQL engine with a list
+    * fold (see the d03 DuckDB oracle; same pattern as
+    * TextAnalysis.rollingHash, which hash-matches DuckDB at sf0.01).
+    * Interpreted HOF — prefer the default xxhash64 path at scale; lambda
+    * bodies touch only lambda vars (see shingleExpr's contract).
+    */
+  def portableHash60(c: Column): Column = {
+    def fold(mult: Long, prime: Long): Column =
+      aggregate(split(c, ""), lit(0L),
+        (acc, ch) => pmod(acc * mult + coalesce(ascii(ch), lit(0)), lit(prime)))
+    fold(31L, 1000000007L) + fold(131L, 998244353L) * lit(1L << 30)
+  }
+
+  /** nBits-wide SimHash fingerprints (id, fp): per bit, sum +1/−1 token
     * votes; sign per bit → fingerprint. Same explode-then-aggregate shape
-    * as minhashSignatures — each token hashed once, 64 codegen'd
-    * conditional sums, one partial-aggregated shuffle of 64 longs per
+    * as minhashSignatures — each token hashed once, nBits codegen'd
+    * conditional sums, one partial-aggregated shuffle of nBits longs per
     * doc. (A single nested-HOF expression re-splits the text per bit —
     * 64× the work — so don't "simplify" this back.)
+    *
+    * `tokenHash` defaults to xxhash64 (codegen'd, the 100 TB path);
+    * pass [[portableHash60]] with nBits=60 for a cross-engine-checkable
+    * fingerprint.
     */
-  def simhashFingerprints(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def simhashFingerprints(df: DataFrame, textCol: String, idCol: String,
+                          tokenHash: Column => Column = xxhash64(_),
+                          nBits: Int = 64): DataFrame = {
+    require(nBits >= 1 && nBits <= 64, s"nBits must be in [1, 64], got $nBits")
     val tok = spread(df.select(col(idCol).as("id"), col(textCol)))
       .select(col("id"), explode(tokens(col(textCol))).as("t"))
-      .select(col("id"), xxhash64(col("t")).as("h"))
-    val bitSums = (0 until 64).map(b =>
+      .select(col("id"), tokenHash(col("t")).as("h"))
+    val bitSums = (0 until nBits).map(b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$b"))
     val sums = tok.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until 64).map(b =>
+    val fp = (0 until nBits).map(b =>
       when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
     sums.select(col("id"), fp.as("fp"))
   }
@@ -230,9 +252,11 @@ object Dedup {
     * join per chunk, verify with bit_count(xor) ≤ maxHamming.
     */
   def simhashDedup(df: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 3): DataFrame =
+                   maxHamming: Int = 3,
+                   tokenHash: Column => Column = xxhash64(_),
+                   nBits: Int = 64): DataFrame =
     simhashCandidatesFromFingerprints(
-      simhashFingerprints(df, textCol, idCol), maxHamming)
+      simhashFingerprints(df, textCol, idCol, tokenHash, nBits), maxHamming, nBits)
 
   /** Banded candidate join over a precomputed (id, fp) fingerprint frame.
     * Recall contract: nChunks = maxHamming+1 ⇒ every true pair is found
@@ -241,11 +265,12 @@ object Dedup {
     * bits), so buckets get coarser and the candidate set grows — large
     * maxHamming is inherently expensive for any LSH scheme; prefer ≤ 16.
     */
-  def simhashCandidatesFromFingerprints(fp: DataFrame, maxHamming: Int): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 64,
-      s"maxHamming must be in [0, 63], got $maxHamming")
+  def simhashCandidatesFromFingerprints(fp: DataFrame, maxHamming: Int,
+                                        nBits: Int = 64): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < nBits,
+      s"maxHamming must be in [0, ${nBits - 1}], got $maxHamming")
     val nChunks = maxHamming + 1
-    val base = 64 / nChunks; val rem = 64 % nChunks
+    val base = nBits / nChunks; val rem = nBits % nChunks
     // first `rem` chunks are one bit wider; offsets are cumulative
     val widths = (0 until nChunks).map(i => if (i < rem) base + 1 else base)
     val offsets = widths.scanLeft(0)(_ + _)

@@ -64,6 +64,26 @@ class PipelineSpec extends SparkTestBase {
     // at maxHamming = 3 the same pair is (correctly) not a near-dup
     assert(Dedup.simhashCandidatesFromFingerprints(fps, maxHamming = 3).collect().isEmpty)
   }
+  test("portableHash60 is the documented pair of mod-prime char folds") {
+    import spark.implicits._
+    // "ab": fold31 = (0·31+97)·31+98 = 3105; fold131 = (0·131+97)·131+98
+    // = 12805; packed = 3105 + 12805·2^30 (both folds far below their
+    // primes, so the mod never fires here)
+    val got = Seq("ab").toDF("t")
+      .select(Dedup.portableHash60(org.apache.spark.sql.functions.col("t")))
+      .head().getLong(0)
+    assert(got == 3105L + 12805L * (1L << 30))
+  }
+  test("simhash portable 60-bit path finds the planted near-duplicate") {
+    val d = Dedup.simhashDedup(docs(), "text", "doc_id", maxHamming = 8,
+      tokenHash = Dedup.portableHash60, nBits = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(d((1L, 4L)) == 0, "identical docs at distance 0 under portable hash")
+    // fingerprints stay within 60 bits
+    val fps = Dedup.simhashFingerprints(docs(), "text", "doc_id",
+      Dedup.portableHash60, nBits = 60).collect()
+    assert(fps.forall(r => (r.getLong(1) >>> 60) == 0L))
+  }
 
   test("embedding cosine dedup + similarity primitives") {
     import spark.implicits._
