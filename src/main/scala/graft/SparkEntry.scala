@@ -867,6 +867,42 @@ object SparkEntry {
       },
       None),
 
+    Q("d07_minhash_portable",
+      (s, d) => {
+        val m = mgr(s, d)
+        // Same MinHash-LSH pipeline as d02 instantiated with the portable
+        // mod-prime shingle hash + string band signatures, so the WHOLE
+        // pipeline (shingles → k affine minhashes → banding → candidate
+        // join → exact-Jaccard verify) is replicated in DuckDB below.
+        // d02 stays on xxhash64 — the codegen'd 100 TB path, benched.
+        pipeline.Dedup.minhashDedup(m.getDDFByName("documents").df, "text", "doc_id",
+          threshold = 0.5, portable = true)
+          .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("id1", "id2")
+      },
+      // mirror: fold31 per shingle, h_i = ((2i+1)·H + (i·1000003+12345) mod p) mod p,
+      // bands of 4 joined as "m0,m1,m2,m3", candidates share a band,
+      // verify exact jaccard ≥ 0.5 on the UNROUNDED ratio (like Spark)
+      Some(s"""WITH sh AS (SELECT doc_id, ${duckShingles("text")} AS sh FROM documents),
+              |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+              |hh AS (SELECT doc_id,
+              |  list_reduce(list_prepend(0::BIGINT,
+              |      list_transform(regexp_split_to_array(s, ''), c -> coalesce(ascii(c), 0)::BIGINT)),
+              |    (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+              |  FROM ex),
+              |mins AS (SELECT doc_id, i,
+              |    min((h * (2*i + 1) + (i*1000003 + 12345) % 1000000007) % 1000000007) AS m
+              |  FROM hh, (SELECT unnest(range(32)) AS i) GROUP BY doc_id, i),
+              |sig AS (SELECT doc_id, i // 4 AS band, string_agg(m::VARCHAR, ',' ORDER BY i) AS sig
+              |  FROM mins GROUP BY doc_id, i // 4),
+              |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+              |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+              |j AS (SELECT id1, id2,
+              |    len(list_intersect(s1.sh, s2.sh))::DOUBLE / len(list_distinct(s1.sh || s2.sh)) AS jr
+              |  FROM cand JOIN sh s1 ON s1.doc_id = id1 JOIN sh s2 ON s2.doc_id = id2)
+              |SELECT id1, id2, round(jr, 6) AS jaccard FROM j
+              |WHERE jr >= 0.5 ORDER BY id1, id2""".stripMargin)),
+
     Q("d03_dedup_simhash",
       (s, d) => {
         val m = mgr(s, d)

@@ -108,6 +108,22 @@ object Dedup {
     exploded.groupBy("id").agg(mins.head, mins.tail: _*)
   }
 
+  /** Cross-engine-deterministic signatures: one [[portableFold]] base
+    * hash per shingle (the only interpreted expression — projected ONCE,
+    * per the hash-once contract above), then k affine permutations
+    * (2i+1)·H + c_i mod p — pure codegen'd arithmetic, products < 2^40.
+    * Slower than the xxhash64 default (interpreted fold) and 30-bit —
+    * use for oracle-checked instantiations, not the 100 TB path.
+    */
+  def minhashSignaturesPortable(sh: DataFrame, k: Int = 32): DataFrame = {
+    val p = 1000000007L
+    val exploded = sh.select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"), portableFold(col("s")).as("H"))
+    val mins = (0 until k).map(i =>
+      min(pmod(col("H") * (2L * i + 1) + lit((i * 1000003L + 12345L) % p), lit(p))).as(s"h$i"))
+    exploded.groupBy("id").agg(mins.head, mins.tail: _*)
+  }
+
   /** MinHash-LSH candidate pairs (id1 < id2), deduplicated across bands.
     * Shuffle profile at scale: signature groupBy (1 row/doc out), one
     * join keyed on (band, sig) — a short key — then a distinct on
@@ -130,13 +146,14 @@ object Dedup {
     * the candidate set (members union + two verify joins) read materialized
     * rows instead of re-running the LSH join per reference.
     */
-  def minhashCandidatesFromSignatures(sig: DataFrame, k: Int = 32, bands: Int = 8): DataFrame = {
+  def minhashCandidatesFromSignatures(sig: DataFrame, k: Int = 32, bands: Int = 8,
+      bandSig: Seq[Column] => Column = cs => xxhash64(concat_ws(",", cs: _*))): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
     // each h_i column is referenced exactly once across all band hashes
     val bandCols = (0 until bands).map(b =>
       struct(lit(b).as("band"),
-        xxhash64(concat_ws(",", (0 until r).map(i => col(s"h${b * r + i}")): _*)).as("sig")))
+        bandSig((0 until r).map(i => col(s"h${b * r + i}"))).as("sig")))
     // persist: the self-join would otherwise recompute the whole
     // shingle→hash→aggregate subtree on BOTH sides (plus AQE re-planning
     // each copy). One (id, band, sig) row per doc-band — compact.
@@ -191,11 +208,17 @@ object Dedup {
     */
   def minhashDedup(df: DataFrame, textCol: String, idCol: String,
                    threshold: Double = 0.8, shingleN: Int = 3,
-                   k: Int = 32, bands: Int = 8): DataFrame = {
+                   k: Int = 32, bands: Int = 8,
+                   portable: Boolean = false): DataFrame = {
     val sh = shingled(df, textCol, idCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val cand = minhashCandidatesFromSignatures(minhashSignaturesFromShingles(sh, k), k, bands)
+      val sigs = if (portable) minhashSignaturesPortable(sh, k)
+                 else minhashSignaturesFromShingles(sh, k)
+      val cand =
+        if (portable)
+          minhashCandidatesFromSignatures(sigs, k, bands, cs => concat_ws(",", cs: _*))
+        else minhashCandidatesFromSignatures(sigs, k, bands)
       val members = cand.select(col("id1").as("id"))
         .unionAll(cand.select(col("id2").as("id"))).distinct()
       jaccardOnShingledPairs(cand, sh.join(members, Seq("id"), "left_semi"))
@@ -212,12 +235,16 @@ object Dedup {
     * Interpreted HOF — prefer the default xxhash64 path at scale; lambda
     * bodies touch only lambda vars (see shingleExpr's contract).
     */
-  def portableHash60(c: Column): Column = {
-    def fold(mult: Long, prime: Long): Column =
-      aggregate(split(c, ""), lit(0L),
-        (acc, ch) => pmod(acc * mult + coalesce(ascii(ch), lit(0)), lit(prime)))
-    fold(31L, 1000000007L) + fold(131L, 998244353L) * lit(1L << 30)
-  }
+  def portableHash60(c: Column): Column =
+    portableFold(c, 31L, 1000000007L) +
+      portableFold(c, 131L, 998244353L) * lit(1L << 30)
+
+  /** Single mod-prime char fold (< 2^30) — the cross-engine primitive
+    * behind [[portableHash60]] and the portable MinHash path.
+    */
+  def portableFold(c: Column, mult: Long = 31L, prime: Long = 1000000007L): Column =
+    aggregate(split(c, ""), lit(0L),
+      (acc, ch) => pmod(acc * mult + coalesce(ascii(ch), lit(0)), lit(prime)))
 
   /** nBits-wide SimHash fingerprints (id, fp): per bit, sum +1/−1 token
     * votes; sign per bit → fingerprint. Same explode-then-aggregate shape

@@ -34,6 +34,19 @@ class PipelineSpec extends SparkTestBase {
     assert(pairs.contains((1L, 4L))) // exact dup always jaccard 1.0
     assert(!pairs.exists { case (a, b) => Set(a, b) == Set(3L, 5L) })
   }
+  test("portable minhash path finds the planted near-duplicate pair") {
+    val pairs = Dedup.minhashDedup(docs(), "text", "doc_id", threshold = 0.5,
+      portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // exact dup always jaccard 1.0
+    assert(!pairs.exists { case (a, b) => Set(a, b) == Set(3L, 5L) })
+    // portable affine minhashes stay inside the prime's range
+    val sig = Dedup.minhashSignaturesPortable(
+      Dedup.shingled(docs(), "text", "doc_id"), k = 8).collect()
+    assert(sig.forall(r => (1 to 8).forall { i =>
+      val v = r.getLong(i); v >= 0L && v < 1000000007L
+    }))
+  }
 
   test("jaccard on pairs: identical docs = 1.0") {
     import spark.implicits._
