@@ -1011,7 +1011,27 @@ object SparkEntry {
           .select(col("query_id"), col("id"), round(col("cosine"), 6).as("cosine"), col("rk"))
           .orderBy("query_id", "rk")
       },
-      None),
+      // The hyperplanes are seeded pseudo-randoms fixed at plan-build
+      // time, so the SAME literals are inlined here (Double.toString
+      // round-trips exactly; DuckDB's decimal→double cast preserves the
+      // value) — bucketing, candidate join, scoring, and ranking are all
+      // replicated. Embeddings fixture is 64-dim at every sf.
+      Some {
+        val hp = pipeline.Similarity.hyperplanes(dim = 64, planes = 8, seed = 7L)
+        val bucketExpr = hp.zipWithIndex.map { case (p, i) =>
+          val lits = p.map(_.toString).mkString("[", ", ", "]")
+          s"(CASE WHEN list_dot_product(v, $lits::DOUBLE[]) >= 0 THEN ${1L << i} ELSE 0 END)"
+        }.mkString(" + ")
+        val cos = "list_dot_product(a.v, c.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v)))"
+        s"""WITH dv AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           |            FROM embeddings),
+           |bk AS (SELECT vec_id, v, $bucketExpr AS bucket FROM dv),
+           |scored AS (SELECT a.vec_id AS query_id, c.vec_id AS id, $cos AS c,
+           |    row_number() OVER (PARTITION BY a.vec_id ORDER BY $cos DESC, c.vec_id) AS rk
+           |  FROM (SELECT * FROM bk WHERE vec_id < 3) a JOIN bk c ON a.bucket = c.bucket)
+           |SELECT query_id, id, round(c, 6) AS cosine, rk FROM scored
+           |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+      }),
 
     Q("a03_ann_ivf",
       (s, d) => {
