@@ -1038,12 +1038,48 @@ object SparkEntry {
         val m = mgr(s, d)
         val all = m.getDDFByName("embeddings").df
         val queries = all.filter(col("vec_id") < 3).withColumnRenamed("vec_id", "qid")
-        val idx = pipeline.IvfIndex.build(all, "embedding", "vec_id", nCells = 16)
+        // Deterministic centroids (the first 16 corpus vectors) instead of
+        // the k-means|| build: the k-means path's init is engine-specific
+        // RNG (spec-checked for recall instead), while fixed centroids
+        // make assign→probe→score exactly replicable by the oracle below.
+        // 16×64 doubles — config-size driver collect, not data-scale.
+        val centroids = all.filter(col("vec_id") < 16).orderBy("vec_id")
+          .select("embedding").collect()
+          .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+        val idx = pipeline.IvfIndex.buildFromCentroids(all, "embedding", "vec_id", centroids)
         pipeline.IvfIndex.topK(idx, queries, "embedding", "qid", k = 10, nprobe = 4)
           .select(col("query_id"), col("id"), round(col("cosine"), 6).as("cosine"), col("rk"))
           .orderBy("query_id", "rk")
       },
-      None),
+      // Mirror of the whole IVF pipeline: cell = argmax(dot − ‖c‖²/2)
+      // (ties → HIGHER cell, as array_max/max_by break them), probe the 4
+      // cosine-nearest cells per query (ties → lower cell, as the window
+      // orders), score only vectors in probed cells, rank (cosine DESC, id).
+      Some {
+        val cos = (a: String, b: String) =>
+          s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+        s"""WITH dv AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           |            FROM embeddings),
+           |cents AS (SELECT vec_id AS cell, v AS cv FROM dv WHERE vec_id < 16),
+           |assigned AS (SELECT id, v, cell FROM (
+           |    SELECT d.vec_id AS id, d.v, c.cell,
+           |      row_number() OVER (PARTITION BY d.vec_id ORDER BY
+           |        list_dot_product(d.v, c.cv) - list_dot_product(c.cv, c.cv) / 2.0 DESC,
+           |        c.cell DESC) AS rn
+           |    FROM dv d CROSS JOIN cents c) WHERE rn = 1),
+           |probes AS (SELECT query_id, qv, cell FROM (
+           |    SELECT q.vec_id AS query_id, q.v AS qv, c.cell,
+           |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           |        ${cos("q.v", "c.cv")} DESC, c.cell) AS crk
+           |    FROM (SELECT * FROM dv WHERE vec_id < 3) q CROSS JOIN cents c)
+           |  WHERE crk <= 4),
+           |scored AS (SELECT p.query_id, a.id, ${cos("p.qv", "a.v")} AS cs
+           |  FROM probes p JOIN assigned a ON a.cell = p.cell)
+           |SELECT query_id, id, round(cs, 6) AS cosine, rk FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |    ORDER BY cs DESC, id) AS rk FROM scored)
+           |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+      }),
 
     Q("d06_dup_clusters",
       (s, d) => {

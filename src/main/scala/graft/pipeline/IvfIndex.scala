@@ -30,7 +30,18 @@ object IvfIndex {
       .withColumn("features", array_to_vector(col("v")))
     val model = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("features")
       .fit(trainSet)
-    val centroids = model.clusterCenters.map(_.toArray)
+    buildFromCentroids(df, vecCol, idCol, model.clusterCenters.map(_.toArray))
+  }
+
+  /** Index from explicit centroids — no training pass. Use for
+    * warm-started / externally-trained indexes, and for deterministic
+    * builds (k-means|| init is engine-specific RNG; fixed centroids make
+    * the whole assign→probe→score pipeline cross-engine reproducible —
+    * see the a03 oracle).
+    */
+  def buildFromCentroids(df: DataFrame, vecCol: String, idCol: String,
+                         centroids: Array[Array[Double]]): Index = {
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     // two assignment shapes: inlined-literal argmax is the fastest up to a
     // few hundred centroids (zero shuffle, pure codegen), but the
     // expression tree grows linearly with nCells and chokes planning in

@@ -170,6 +170,19 @@ class PipelineSpec extends SparkTestBase {
     val recall = IvfIndex.recallAt(ann, truth, 5)
     assert(recall > 0.9, s"recall@5 = $recall")
   }
+  test("IVF from fixed centroids: each seed vector assigns to its own cell") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val pts = (0L until 60L).map(i => (i, Array.fill(16)(rng.nextGaussian().toFloat)))
+    val corpus = pts.toDF("vec_id", "embedding")
+    // centroid j = vector j: s_self − s_c = ‖v−c‖²/2 ≥ 0, so with distinct
+    // vectors every seed must land in its own cell
+    val centroids = pts.take(8).map(_._2.map(_.toDouble)).toArray
+    val idx = IvfIndex.buildFromCentroids(corpus, "embedding", "vec_id", centroids)
+    val seedCells = idx.corpus.filter(col("id") < 8).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert((0L until 8L).forall(i => seedCells(i) == i.toInt))
+  }
 
   test("text analysis: tokens, lang, quality, fingerprints") {
     import spark.implicits._
