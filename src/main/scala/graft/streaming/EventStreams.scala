@@ -40,6 +40,55 @@ object EventStreams {
   final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
                               session_end: java.sql.Timestamp, n_events: Long)
 
+  /** STREAMING session window: event-time state with a watermark. Open
+    * sessions live in GroupState between micro-batches; a session is
+    * emitted when a later event exceeds the gap, or when the watermark
+    * passes lastSeen+gap (EventTimeTimeout) — the production shape for
+    * unbounded sources, where [[sessionize]]'s trailing flush would be
+    * wrong (the "trailing" session may still grow).
+    *
+    * At scale this is one hash-shuffle on user_id per micro-batch and
+    * O(open sessions) state, bounded by the watermark's state eviction.
+    */
+  def sessionizeStreaming(events: Dataset[EventRow], gapMs: Long,
+                          watermarkDelay: String = "0 seconds"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(uid, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.lastSeen), s.nEvents))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var st = state.getOption.orNull
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              st match {
+                case null => st = SessionState(t, t, 1)
+                case s if t - s.lastSeen > gapMs =>
+                  out += SessionOut(uid, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.lastSeen), s.nEvents)
+                  st = SessionState(t, t, 1)
+                case s => st = SessionState(s.start, t, s.nEvents + 1)
+              }
+            }
+            if (st != null) {
+              // keep the open session in state; the timeout (or a later
+              // batch) will close it
+              state.update(st)
+              state.setTimeoutTimestamp(st.lastSeen + gapMs + 1)
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Session window via custom state (`flatMapGroupsWithState`): a session
     * closes after `gapMs` of inactivity per user. Demonstrates the
     * KeyValueGroupedDataset stateful path (the reference has nothing

@@ -53,6 +53,34 @@ class StreamingSpec extends SparkTestBase {
     assert(first10.n_events == 2)
   }
 
+  test("sessionizeStreaming: sessions close across micro-batches via event-time timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventStreams.EventRow]
+    val q = EventStreams.sessionizeStreaming(stream.toDS(), gapMs = 30 * 60 * 1000L)
+      .writeStream.format("memory").queryName("sessionize_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: two events 5 min apart — one OPEN session, nothing emitted
+      stream.addData(
+        EventStreams.EventRow(1, ts(0), 10, "click", 1.0),
+        EventStreams.EventRow(2, ts(5), 10, "click", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sessionize_stream").isEmpty,
+        "open session must stay in state, not flush")
+      // batch 2: an event 35 min later — exceeds the gap, so the first
+      // session closes; the watermark also moves past its timeout
+      stream.addData(EventStreams.EventRow(4, ts(40), 10, "click", 4.0))
+      q.processAllAvailable()
+      // one more batch so the watermark (now at :40) fires the timeout for
+      // nothing yet; the closed first session must be emitted already
+      val got = spark.table("sessionize_stream").as[EventStreams.SessionOut].collect()
+      assert(got.length == 1)
+      assert(got.head.n_events == 2 && got.head.session_start == ts(0) &&
+        got.head.session_end == ts(5))
+    } finally q.stop()
+  }
+
   test("slidingUserActivity emits overlapping windows") {
     import spark.implicits._
     val out = EventStreams.slidingUserActivity(sampleRows.toDF(), "1 hour", "30 minutes")
