@@ -324,7 +324,27 @@ object SparkEntry {
           .df.orderBy("l_returnflag", "l_linestatus")
       },
       Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
-             |ORDER BY l_returnflag, l_linestatus""".stripMargin))
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    Q("q29_salted_join",
+      (s, d) => {
+        val m = mgr(s, d)
+        // salting only changes the shuffle distribution — the oracle is
+        // the PLAIN join, proving output-equivalence through the gate
+        operators.Joins.saltedJoin(
+          m.getDDFByName("lineitem").df.select("l_orderkey", "l_partkey", "l_quantity"),
+          m.getDDFByName("part").df.select("p_partkey", "p_brand")
+            .withColumnRenamed("p_partkey", "l_partkey"),
+          Seq("l_partkey"), saltFactor = 8)
+          .groupBy("p_brand").agg(
+            count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+          .orderBy("p_brand")
+      },
+      Some("""SELECT p_brand, count(*) AS n,
+             |  (sum(l_quantity::DECIMAL(18,2)))::DOUBLE AS sum_qty
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin))
   )
 
   // =====================================================================

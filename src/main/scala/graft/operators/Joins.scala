@@ -80,4 +80,31 @@ object Joins {
   def distinctRows(ddf: DDF): DDF = ddf.derive(ddf.df.distinct())
   def intersect(left: DDF, right: DDF): DDF = left.derive(left.df.intersect(right.df))
   def except(left: DDF, right: DDF): DDF = left.derive(left.df.except(right.df))
+
+  /** Skew-mitigating equi-join: spread each (possibly hot) left key over
+    * `saltFactor` sub-keys and replicate the right side once per salt
+    * value, so one dominant key's rows land on saltFactor reducers
+    * instead of one. Output is identical to the unsalted join (the salt
+    * only changes the shuffle distribution — every left row still meets
+    * every matching right row exactly once).
+    *
+    * Scale notes: the right side grows ×saltFactor — use with a
+    * dimension-sized right side (a broadcastable right side needs no
+    * salting at all). AQE's skew-split covers sort-merge joins
+    * automatically; salting is the explicit tool for when AQE can't help
+    * (hash aggregations, pre-shuffle stages, or a single key too large
+    * for one split). Right-preserving joins are rejected: replication
+    * would duplicate unmatched right rows.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    require(saltFactor >= 1, s"saltFactor must be >= 1, got $saltFactor")
+    val jt = normalize(joinType)
+    require(Set("inner", "left_outer", "left_semi", "left_anti")(jt),
+      s"saltedJoin supports left-preserving joins only, got '$joinType'")
+    val salt = "__graft_salt"
+    val sl = left.withColumn(salt, (rand(42) * saltFactor).cast("int"))
+    val sr = right.withColumn(salt, explode(array((0 until saltFactor).map(lit): _*)))
+    sl.join(sr, keys :+ salt, jt).drop(salt)
+  }
 }

@@ -1,0 +1,36 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed parquet sink — the on-disk layout for repeat co-located
+  * joins/aggregations at scale. Writing both sides of a recurring join
+  * bucketed (and sorted) by the join key lets every later join run
+  * WITHOUT a shuffle: the scan's output partitioning already satisfies
+  * the join's requirement, so Exchange nodes vanish from the plan
+  * (ScaleSpec pins this). At 100 TB that turns the nightly fact-dim join
+  * from a full-cluster shuffle into a local sort-merge per bucket.
+  *
+  * Rules of thumb: bucket count ≈ target parallelism at the LARGEST
+  * consumer (both sides must use the SAME count for co-location);
+  * sortBy the bucket key so the merge phase needs no per-bucket sort.
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed, sorted parquet table registered in the
+    * session catalog.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    nBuckets: Int): Unit = {
+    require(bucketCols.nonEmpty, "bucketCols must be non-empty")
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
+  }
+
+  /** Read a bucketed table back (bucket metadata comes from the catalog,
+    * so joins on the bucket key can skip their Exchange).
+    */
+  def readBucketed(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+}

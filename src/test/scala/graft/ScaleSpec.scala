@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.Joins
+import graft.sources.Bucketing
+import org.apache.spark.sql.functions._
+
+/** Scale-path machinery: shuffle-free bucketed joins and skew salting.
+  * These specs pin PLAN SHAPE (where the win lives), not just results.
+  */
+class ScaleSpec extends SparkTestBase {
+
+  private def withConf[T](pairs: (String, String)*)(body: => T): T = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("bucketed co-located join runs without any Exchange") {
+    import spark.implicits._
+    val facts = (1L to 1000L).map(i => (i % 50, s"f$i")).toDF("k", "payload")
+    val dims = (0L until 50L).map(i => (i, s"d$i")).toDF("k", "attr")
+    Bucketing.writeBucketed(facts, "graft_facts_b", Seq("k"), 8)
+    Bucketing.writeBucketed(dims, "graft_dims_b", Seq("k"), 8)
+    try {
+      // broadcast off so the shuffle-free-ness comes from bucketing, not
+      // a broadcast; AQE off so the initial plan is what we assert on
+      withConf(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false") {
+        val j = Bucketing.readBucketed(spark, "graft_facts_b")
+          .join(Bucketing.readBucketed(spark, "graft_dims_b"), "k")
+        val plan = j.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"),
+          s"bucketed join must not shuffle, got:\n$plan")
+        assert(j.count() == 1000L)
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_facts_b")
+      spark.sql("DROP TABLE IF EXISTS graft_dims_b")
+    }
+  }
+
+  test("saltedJoin equals the unsalted join and spreads the hot key") {
+    import spark.implicits._
+    // one hot key (900 of 1000 rows) + a tail
+    val left = ((1 to 900).map(i => (7L, s"v$i")) ++ (1 to 100).map(i => (i.toLong, s"t$i")))
+      .toDF("k", "lv")
+    val right = (1L to 100L).map(i => (i, s"r$i")).toDF("k", "rv")
+    for (jt <- Seq("inner", "left_outer", "left_semi")) {
+      val plain = (if (jt == "left_semi") left.join(right, Seq("k"), jt)
+                   else left.join(right, Seq("k"), jt))
+        .collect().map(_.toSeq).sortBy(_.mkString(",")).toSeq
+      val salted = Joins.saltedJoin(left, right, Seq("k"), saltFactor = 8, jt)
+        .collect().map(_.toSeq).sortBy(_.mkString(",")).toSeq
+      assert(salted == plain, s"salted $jt must match plain join")
+    }
+    // the hot key's rows really get distinct salts (distribution spread)
+    val salts = left.withColumn("__graft_salt", (rand(42) * 8).cast("int"))
+      .filter(col("k") === 7L).select("__graft_salt").distinct().count()
+    assert(salts > 1, "hot key must spread over multiple salt values")
+    // right-preserving joins are rejected
+    intercept[IllegalArgumentException] {
+      Joins.saltedJoin(left, right, Seq("k"), 4, "full_outer")
+    }
+  }
+}
