@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   private val headline = Seq(
-    "q10_tpch_q1", "q20_join_inner", "q21_join_multikey", "q27_union_all",
+    "q10_tpch_q1", "q12_tpch_q3", "q20_join_inner", "q21_join_multikey", "q27_union_all",
     "q40_summary", "q43_histogram", "q62_window_rank", "q63_window_runsum",
     "q64_events_hourly", "d01_dedup_exact", "d02_dedup_minhash",
     "a01_ann_brute", "t01_text_enrich", "s01_sessionize")

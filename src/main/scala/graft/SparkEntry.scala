@@ -53,6 +53,20 @@ object SparkEntry {
   private def dsum2Sql(a: String, b: String): String =
     s"cast(sum(cast(cast($a as decimal(18,2)) * cast($b as decimal(18,2)) as decimal(38,4))) as double)"
 
+  /** TPC-H Q3 shape — ONE string run by both Spark and DuckDB. */
+  private val tpchQ3Sql: String =
+    s"""select l_orderkey, ${dsum2Sql("l_extendedprice", "1 - l_discount")} as revenue,
+       |  o_orderdate, o_orderpriority
+       |from customer
+       |join orders on c_custkey = o_custkey
+       |join lineitem on l_orderkey = o_orderkey
+       |where c_mktsegment = 'BUILDING'
+       |  and o_orderdate < timestamp '1997-06-01 00:00:00'
+       |  and l_shipdate > timestamp '1997-06-01 00:00:00'
+       |group by l_orderkey, o_orderdate, o_orderpriority
+       |order by revenue desc, o_orderdate, l_orderkey
+       |limit 10""".stripMargin
+
   private final case class Q(
       name: String,
       fn: (SparkSession, String) => DataFrame,
@@ -168,6 +182,16 @@ object SparkEntry {
               |WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
               |GROUP BY l_returnflag, l_linestatus
               |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    Q("q12_tpch_q3",
+      (s, d) => {
+        val m = mgr(s, d)
+        // TPC-H Q3 shape (dates shifted into the fixture's 1995–2001
+        // range): 3-way join, selective dim filter, decimal-exact revenue,
+        // total order incl. l_orderkey so LIMIT is deterministic
+        m.sql2ddf(tpchQ3Sql).df
+      },
+      Some(tpchQ3Sql)),
 
     Q("q11_sql_this",
       (s, d) => {
