@@ -885,6 +885,44 @@ object SparkEntry {
        | ELSE list_distinct(list_transform(range(1, len($toks) - 1),
        |        i -> array_to_string(($toks)[i:i+2], ' '))) END)""".stripMargin
   }
+  /** DuckDB expressions mirroring TextAnalysis.tokenCountOf/qualityScoreOf
+    * (shared by the t01 oracle and the end-to-end pipeline oracle).
+    */
+  private def duckTokenCount(t: String) =
+    s"len(${duckToks(t)})::BIGINT"
+  private def duckQuality(t: String) =
+    s"""(0.4 * least(len(${duckToks(t)}) / 100.0, 1.0)
+       |    + 0.3 * (CASE WHEN len(${duckToks(t)}) = 0 THEN 0.0
+       |             ELSE len(list_distinct(${duckToks(t)}))
+       |                  / len(${duckToks(t)})::DOUBLE END)
+       |    + 0.3 * (1.0 - length(regexp_replace($t, '[^.,;:!?]', '', 'g'))
+       |             / greatest(length($t), 1)::DOUBLE))""".stripMargin
+
+  /** DuckDB CTE chain mirroring the portable MinHash-LSH pipeline over
+    * source relation `src` (must expose doc_id + text): shingles,
+    * fold31 per shingle, 32 affine minhashes, 8 string band signatures,
+    * banded candidates, exact-Jaccard verify (UNROUNDED ratio `jr`).
+    * Shared by the d07 oracle and the end-to-end pipeline oracle.
+    */
+  private def duckMinhashCtes(src: String) =
+    s"""msh AS (SELECT doc_id, ${duckShingles("text")} AS sh FROM $src),
+       |mex AS (SELECT doc_id, unnest(sh) AS s FROM msh),
+       |mhh AS (SELECT doc_id,
+       |  list_reduce(list_prepend(0::BIGINT,
+       |      list_transform(regexp_split_to_array(s, ''), c -> coalesce(ascii(c), 0)::BIGINT)),
+       |    (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+       |  FROM mex),
+       |mmins AS (SELECT doc_id, i,
+       |    min((h * (2*i + 1) + (i*1000003 + 12345) % 1000000007) % 1000000007) AS m
+       |  FROM mhh, (SELECT unnest(range(32)) AS i) GROUP BY doc_id, i),
+       |msig AS (SELECT doc_id, i // 4 AS band, string_agg(m::VARCHAR, ',' ORDER BY i) AS sig
+       |  FROM mmins GROUP BY doc_id, i // 4),
+       |mcand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM msig a JOIN msig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |mpairs AS (SELECT id1, id2,
+       |    len(list_intersect(s1.sh, s2.sh))::DOUBLE / len(list_distinct(s1.sh || s2.sh)) AS jr
+       |  FROM mcand JOIN msh s1 ON s1.doc_id = id1 JOIN msh s2 ON s2.doc_id = id2)""".stripMargin
+
   private val duckCos =
     "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
 
@@ -927,24 +965,8 @@ object SparkEntry {
       // mirror: fold31 per shingle, h_i = ((2i+1)·H + (i·1000003+12345) mod p) mod p,
       // bands of 4 joined as "m0,m1,m2,m3", candidates share a band,
       // verify exact jaccard ≥ 0.5 on the UNROUNDED ratio (like Spark)
-      Some(s"""WITH sh AS (SELECT doc_id, ${duckShingles("text")} AS sh FROM documents),
-              |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-              |hh AS (SELECT doc_id,
-              |  list_reduce(list_prepend(0::BIGINT,
-              |      list_transform(regexp_split_to_array(s, ''), c -> coalesce(ascii(c), 0)::BIGINT)),
-              |    (acc, x) -> (acc * 31 + x) % 1000000007) AS h
-              |  FROM ex),
-              |mins AS (SELECT doc_id, i,
-              |    min((h * (2*i + 1) + (i*1000003 + 12345) % 1000000007) % 1000000007) AS m
-              |  FROM hh, (SELECT unnest(range(32)) AS i) GROUP BY doc_id, i),
-              |sig AS (SELECT doc_id, i // 4 AS band, string_agg(m::VARCHAR, ',' ORDER BY i) AS sig
-              |  FROM mins GROUP BY doc_id, i // 4),
-              |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-              |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-              |j AS (SELECT id1, id2,
-              |    len(list_intersect(s1.sh, s2.sh))::DOUBLE / len(list_distinct(s1.sh || s2.sh)) AS jr
-              |  FROM cand JOIN sh s1 ON s1.doc_id = id1 JOIN sh s2 ON s2.doc_id = id2)
-              |SELECT id1, id2, round(jr, 6) AS jaccard FROM j
+      Some(s"""WITH ${duckMinhashCtes("documents")}
+              |SELECT id1, id2, round(jr, 6) AS jaccard FROM mpairs
               |WHERE jr >= 0.5 ORDER BY id1, id2""".stripMargin)),
 
     Q("d03_dedup_simhash",
@@ -1177,7 +1199,7 @@ object SparkEntry {
         }
         s"""WITH sc AS (SELECT doc_id, text, ${scoreExprs.mkString(",\n  ")} FROM documents)
            |SELECT doc_id,
-           |  len(${duckToks("text")})::BIGINT AS token_count,
+           |  ${duckTokenCount("text")} AS token_count,
            |  list_sum(list_transform(${duckToks("text")},
            |    t -> greatest(1, ceil(length(t) / 6.0)::BIGINT)))::BIGINT AS subword_count,
            |  CASE WHEN greatest(s_de, s_en, s_es, s_fr) < 0.02 THEN 'und'
@@ -1185,12 +1207,7 @@ object SparkEntry {
            |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
            |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
            |       ELSE 'fr' END AS lang_pred,
-           |  round(0.4 * least(len(${duckToks("text")}) / 100.0, 1.0)
-           |    + 0.3 * (CASE WHEN len(${duckToks("text")}) = 0 THEN 0.0
-           |             ELSE len(list_distinct(${duckToks("text")}))
-           |                  / len(${duckToks("text")})::DOUBLE END)
-           |    + 0.3 * (1.0 - length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
-           |             / greatest(length(text), 1)::DOUBLE), 6) AS quality,
+           |  round(${duckQuality("text")}, 6) AS quality,
            |  md5(${duckNorm("text")}) AS fingerprint
            |FROM sc ORDER BY doc_id""".stripMargin
       }),
@@ -1274,6 +1291,46 @@ object SparkEntry {
       },
       Some("""SELECT lang, count(*) AS n_docs, max(n_chars) AS max_chars
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    Q("p01_pipeline_e2e",
+      (s, d) => {
+        val m = mgr(s, d)
+        // End-to-end training-data curation: quality gate → exact dedup
+        // (keep min id per normalized-text fingerprint) → near-dup
+        // removal (portable MinHash-LSH pairs at J ≥ 0.7; drop the
+        // higher id of each pair) → per-language doc/token stats.
+        // Every stage is deterministic, so the WHOLE pipeline is
+        // replicated in DuckDB below. Quality threshold 0.55 has 0.0085
+        // margin to the nearest doc at sf0.01 — far above cross-engine
+        // fp noise on the unrounded score.
+        val docs = m.getDDFByName("documents").df
+        val enr = pipeline.TextAnalysis.enrich(docs, "text")
+          .select("doc_id", "lang", "text", "token_count", "quality")
+        val qual = enr.filter(col("quality") >= 0.55)
+        val reps = pipeline.Dedup.exact(qual, "text", "doc_id")
+          .select(col("keep_id").as("doc_id"))
+        val surv = qual.join(reps, "doc_id")
+        val pairs = pipeline.Dedup.minhashDedup(surv, "text", "doc_id",
+          threshold = 0.7, portable = true)
+        val dups = pairs.select(col("id2").as("doc_id")).distinct()
+        surv.join(dups, Seq("doc_id"), "left_anti")
+          .groupBy("lang").agg(count(lit(1)).as("n_docs"),
+            sum("token_count").as("sum_tokens"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH enr AS (SELECT doc_id, lang, text,
+              |    ${duckTokenCount("text")} AS token_count,
+              |    ${duckQuality("text")} AS quality
+              |  FROM documents),
+              |qual AS (SELECT * FROM enr WHERE quality >= 0.55),
+              |reps AS (SELECT min(doc_id) AS doc_id FROM qual
+              |  GROUP BY md5(${duckNorm("text")})),
+              |surv AS (SELECT q.* FROM qual q JOIN reps USING (doc_id)),
+              |${duckMinhashCtes("surv")},
+              |dups AS (SELECT DISTINCT id2 AS doc_id FROM mpairs WHERE jr >= 0.7)
+              |SELECT lang, count(*) AS n_docs, sum(token_count)::BIGINT AS sum_tokens
+              |FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM dups)
+              |GROUP BY lang ORDER BY lang""".stripMargin)),
 
     Q("ml01_kmeans",
       (s, d) => {
