@@ -149,7 +149,19 @@ object SparkEntry {
         Views.sample(m.getDDFByName("lineitem"), 0.1, withReplacement = false, seed = 42)
           .df.select("l_orderkey", "l_linenumber").orderBy("l_orderkey", "l_linenumber")
       },
-      None)
+      None),
+
+    Q("q07_hash_sample",
+      (s, d) => {
+        val m = mgr(s, d)
+        // Reproducible sampling: a pure function of the key, so the
+        // oracle can select the exact same rows — contrast q06's RNG
+        Views.hashSample(m.getDDFByName("orders"), "o_orderkey", perMille = 50)
+          .df.select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |WHERE ((o_orderkey % 1000000000) * 2654435761) % 1000 < 50
+             |ORDER BY o_orderkey""".stripMargin))
   )
 
   // =====================================================================

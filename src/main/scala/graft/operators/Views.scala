@@ -102,4 +102,19 @@ object Views {
     */
   def sample(ddf: DDF, fraction: Double, withReplacement: Boolean, seed: Long): DDF =
     ddf.derive(ddf.df.sample(withReplacement, fraction, seed))
+
+  /** Reproducible hash sample: keep rows whose key hashes into the first
+    * `percent` of 1000 buckets. Unlike `sample` (engine RNG), the result
+    * is a pure function of the data — re-runs, different engines, and
+    * incremental reprocessing all select the SAME rows, which is what a
+    * production pipeline wants for holdout/debug splits. Knuth
+    * multiplicative hash on the key, pure int64 arithmetic (no overflow:
+    * key is first reduced mod 1e9).
+    */
+  def hashSample(ddf: DDF, keyCol: String, perMille: Int): DDF = {
+    require(perMille >= 0 && perMille <= 1000, s"perMille must be 0..1000, got $perMille")
+    ddf.derive(ddf.df.filter(
+      pmod(pmod(col(keyCol).cast("long"), lit(1000000000L)) * lit(2654435761L), lit(1000L))
+        < lit(perMille.toLong)))
+  }
 }

@@ -236,4 +236,16 @@ class OperatorsSpec extends SparkTestBase {
     val s = Views.sample(ddf, 0.5, withReplacement = false, seed = 1).numRows
     assert(s > 5 && s < 45)
   }
+
+  test("views: hashSample is deterministic, monotone in rate, and key-pure") {
+    import spark.implicits._
+    val ddf = m.register((1L to 2000L).map(i => (i, s"v$i")).toDF("k", "v"))
+    val a = Views.hashSample(ddf, "k", 100).df.collect().map(_.getLong(0)).toSet
+    val b = Views.hashSample(ddf, "k", 100).df.collect().map(_.getLong(0)).toSet
+    assert(a == b, "same data + rate → same rows")
+    assert(math.abs(a.size - 200) < 80, s"~10% of 2000 expected, got ${a.size}")
+    val wider = Views.hashSample(ddf, "k", 300).df.collect().map(_.getLong(0)).toSet
+    assert(a.subsetOf(wider), "raising the rate only ADDS rows (stable holdouts)")
+    intercept[IllegalArgumentException](Views.hashSample(ddf, "k", 1001))
+  }
 }
