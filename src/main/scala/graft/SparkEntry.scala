@@ -1304,6 +1304,32 @@ object SparkEntry {
       Some("""SELECT lang, count(*) AS n_docs, max(n_chars) AS max_chars
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    Q("j01_asof_join",
+      (s, d) => {
+        val m = mgr(s, d)
+        // every click gets the user's latest view at-or-before it —
+        // checked against DuckDB's NATIVE ASOF JOIN (same <= semantics;
+        // the fixture has no (user, ts) right-side ties). Times emitted
+        // as epoch micros: exact integers in both engines.
+        val ev = m.getDDFByName("events").df
+        val clicks = ev.filter(col("event_type") === "click")
+        val views = ev.filter(col("event_type") === "view")
+        operators.Joins.asofJoin(clicks, views, Seq("user_id"),
+            leftTime = "ts", rightTime = "ts",
+            rightPayload = Seq("ts", "value"), rightOrder = "event_id")
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+            unix_micros(col("asof.ts")).as("matched_ts_us"),
+            col("asof.value").as("matched_value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH l AS (SELECT * FROM events WHERE event_type = 'click'),
+             |r AS (SELECT * FROM events WHERE event_type = 'view')
+             |SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+             |  epoch_us(r.ts) AS matched_ts_us, r.value AS matched_value
+             |FROM l ASOF LEFT JOIN r
+             |  ON l.user_id = r.user_id AND r.ts <= l.ts
+             |ORDER BY l.event_id""".stripMargin)),
+
     Q("p01_pipeline_e2e",
       (s, d) => {
         val m = mgr(s, d)

@@ -2,7 +2,9 @@ package graft.operators
 
 import graft.core.DDF
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Join + set operators (SURVEY §2.3/§2.8; reference:
   * flink/src/main/scala/io/ddf/flink/etl/JoinHandler.scala and the coGroup
@@ -106,5 +108,48 @@ object Joins {
     val sl = left.withColumn(salt, (rand(42) * saltFactor).cast("int"))
     val sr = right.withColumn(salt, explode(array((0 until saltFactor).map(lit): _*)))
     sl.join(sr, keys :+ salt, jt).drop(salt)
+  }
+
+  /** As-of join — Spark has no native one. Every left row gets the
+    * payload of the LATEST right row with rightTime ≤ leftTime sharing
+    * the partition keys (null struct when no such row exists).
+    *
+    * Implemented with the union + running-last window shape: tag both
+    * sides, union, one window ordered by (time, right-before-left,
+    * rightOrder) carrying `last(payload, ignoreNulls)` — so the cost is
+    * ONE hash shuffle on the partition keys and a per-partition sort.
+    * The alternative range-join rewrite (join on key + time band, then
+    * argmax) fans out to |left|×|band| intermediate rows and needs a
+    * second aggregation; at 100 TB the window shape wins and never
+    * explodes. Ties: a right row at exactly leftTime matches (≤); among
+    * right rows at the same instant the greatest `rightOrder` wins —
+    * pass a unique id to make results fully deterministic.
+    *
+    * Returns all left columns plus `asof` (struct of `rightPayload`).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, partitionCols: Seq[String],
+               leftTime: String, rightTime: String,
+               rightPayload: Seq[String], rightOrder: String): DataFrame = {
+    val payType = right.select(struct(rightPayload.map(col): _*).as("p")).schema("p").dataType
+    val lrowType = left.select(struct(left.columns.map(col): _*).as("r")).schema("r").dataType
+    val lu = left.select(
+      partitionCols.map(col) ++ Seq(
+        col(leftTime).as("__t"), lit(1).as("__isl"),
+        lit(null).cast(LongType).as("__ord"),
+        struct(left.columns.map(col): _*).as("__lrow"),
+        lit(null).cast(payType).as("__pay")): _*)
+    val ru = right.select(
+      partitionCols.map(col) ++ Seq(
+        col(rightTime).as("__t"), lit(0).as("__isl"),
+        col(rightOrder).cast(LongType).as("__ord"),
+        lit(null).cast(lrowType).as("__lrow"),
+        struct(rightPayload.map(col): _*).as("__pay")): _*)
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(col("__t").asc, col("__isl").asc, col("__ord").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lu.unionByName(ru)
+      .withColumn("__m", last(col("__pay"), ignoreNulls = true).over(w))
+      .filter(col("__isl") === 1)
+      .select(col("__lrow.*"), col("__m").as("asof"))
   }
 }

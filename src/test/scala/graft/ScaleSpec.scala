@@ -67,4 +67,26 @@ class ScaleSpec extends SparkTestBase {
       Joins.saltedJoin(left, right, Seq("k"), 4, "full_outer")
     }
   }
+
+  test("asofJoin: latest right at-or-before left, ties by rightOrder, null when none") {
+    import spark.implicits._
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val left = Seq((1L, 10L, t(5)), (2L, 10L, t(20)), (3L, 11L, t(1)), (4L, 10L, t(10)))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((100L, 10L, t(5), 1.0), (101L, 10L, t(5), 2.0), (102L, 10L, t(15), 3.0),
+        (103L, 12L, t(0), 9.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val out = Joins.asofJoin(left, right, Seq("user_id"), "ts", "ts",
+        Seq("ts", "value"), "event_id")
+      .select(col("event_id"), col("asof.value").as("v"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(out(1L) == 2.0, "equal-ts right matches; tie broken by max rightOrder")
+    assert(out(2L) == 3.0, "latest right before left wins")
+    assert(out(3L) == null, "no right row for that user → null payload")
+    assert(out(4L) == 2.0, "carries forward past unmatched gaps")
+    // plan shape: exactly one shuffle (the window), no range explosion
+    val plan = Joins.asofJoin(left, right, Seq("user_id"), "ts", "ts",
+      Seq("value"), "event_id").queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
 }
