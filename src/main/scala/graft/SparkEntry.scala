@@ -1330,6 +1330,30 @@ object SparkEntry {
              |  ON l.user_id = r.user_id AND r.ts <= l.ts
              |ORDER BY l.event_id""".stripMargin)),
 
+    Q("j02_range_join",
+      (s, d) => {
+        val m = mgr(s, d)
+        // attribution: clicks within [purchase − 30 min, purchase] per
+        // user — the bucketized equi-join vs DuckDB's inequality join
+        val ev = m.getDDFByName("events").df
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            (col("ts") - expr("INTERVAL 30 MINUTES")).as("w_start"), col("ts").as("w_end"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
+        operators.Joins.rangeJoin(clicks, purchases, Seq("user_id"),
+            pointTime = "c_ts", startCol = "w_start", endCol = "w_end",
+            bucketMs = 30 * 60 * 1000L)
+          .select(col("purchase_id"), col("click_id"))
+          .orderBy("purchase_id", "click_id")
+      },
+      Some("""SELECT p.event_id AS purchase_id, c.event_id AS click_id
+             |FROM events p JOIN events c
+             |  ON c.user_id = p.user_id
+             | AND p.event_type = 'purchase' AND c.event_type = 'click'
+             | AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+             |ORDER BY purchase_id, click_id""".stripMargin)),
+
     Q("p01_pipeline_e2e",
       (s, d) => {
         val m = mgr(s, d)

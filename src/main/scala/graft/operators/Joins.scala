@@ -152,4 +152,33 @@ object Joins {
       .filter(col("__isl") === 1)
       .select(col("__lrow.*"), col("__m").as("asof"))
   }
+
+  /** Interval–point range join: every (point, interval) pair with
+    * start ≤ t ≤ end (closed interval), equal partition keys.
+    *
+    * Spark plans a raw inequality join as BroadcastNestedLoop/cartesian —
+    * quadratic. Here time is quantized into `bucketMs` buckets: each
+    * interval explodes into the buckets it spans, points carry their one
+    * bucket, and the join is a plain EQUI-join on (keys, bucket) with an
+    * exact containment filter after — hash-partitioned, skew handled by
+    * AQE like any other equi-join. A point meets an interval in exactly
+    * one bucket, so no dedup pass is needed. Interval fan-out is
+    * span/bucketMs rows: pick bucketMs near the typical interval length
+    * (fan-out ~2×) — at 100 TB that's the knob between shuffle volume
+    * and filter selectivity. Column names (besides `keys`) must be
+    * disjoint between the two sides.
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, keys: Seq[String],
+                pointTime: String, startCol: String, endCol: String,
+                bucketMs: Long): DataFrame = {
+    require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")
+    val bUs = lit(bucketMs * 1000L)
+    def bucketOf(c: Column) = floor(unix_micros(c) / bUs).cast(LongType)
+    val p = points.withColumn("__b", bucketOf(col(pointTime)))
+    val iv = intervals
+      .withColumn("__b", explode(sequence(bucketOf(col(startCol)), bucketOf(col(endCol)))))
+    p.join(iv, keys :+ "__b")
+      .filter(col(startCol) <= col(pointTime) && col(pointTime) <= col(endCol))
+      .drop("__b")
+  }
 }

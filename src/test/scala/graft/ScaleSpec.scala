@@ -89,4 +89,22 @@ class ScaleSpec extends SparkTestBase {
       Seq("value"), "event_id").queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("rangeJoin: closed-interval containment as an equi-join, no nested loop") {
+    import spark.implicits._
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val points = Seq((1L, 10L, t(0)), (2L, 10L, t(10)), (3L, 10L, t(31)), (4L, 11L, t(10)))
+      .toDF("pid", "user_id", "pt")
+    val ivs = Seq((100L, 10L, t(0), t(10)), (101L, 10L, t(30), t(45)))
+      .toDF("iid", "user_id", "s", "e")
+    val got = Joins.rangeJoin(points, ivs, Seq("user_id"), "pt", "s", "e",
+        bucketMs = 7 * 60 * 1000L) // deliberately unaligned bucket width
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 1: at interval start (inclusive); 2: at end (inclusive); 3: inside
+    // the second interval; 4: same time as 2 but wrong user
+    assert(got == Set((1L, 100L), (2L, 100L), (3L, 101L)))
+    val plan = Joins.rangeJoin(points, ivs, Seq("user_id"), "pt", "s", "e", 60000L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
 }
