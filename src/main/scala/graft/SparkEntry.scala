@@ -362,6 +362,23 @@ object SparkEntry {
       Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
              |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
 
+    Q("q36_rollup",
+      (s, d) => {
+        val m = mgr(s, d)
+        // OLAP rollup (subtotals + grand total) — extension the reference
+        // lacks; NULL grouping markers compare exactly via the gate's
+        // NULLS-FIRST ordering
+        m.getDDFByName("lineitem").df
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |  (sum(l_quantity::DECIMAL(18,2)))::DOUBLE AS sum_qty
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
     Q("q29_salted_join",
       (s, d) => {
         val m = mgr(s, d)
