@@ -33,4 +33,17 @@ object Bucketing {
     */
   def readBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Hive-style partitioned parquet sink: one directory per distinct
+    * partition-column tuple. Readers filtering on those columns scan ONLY
+    * the matching directories (`PartitionFilters` in the plan — pinned by
+    * ScaleSpec), which is THE first-order 100 TB lever: a day-partitioned
+    * store turns a one-day query into a 1/365 scan before a single row is
+    * read. Partition by low-cardinality columns only (date, type, region);
+    * high-cardinality partitioning explodes the file count.
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "partitionCols must be non-empty")
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+  }
 }

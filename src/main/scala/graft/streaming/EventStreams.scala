@@ -40,6 +40,19 @@ object EventStreams {
   final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
                               session_end: java.sql.Timestamp, n_events: Long)
 
+  /** Exact dedup for event streams: drop re-deliveries of the same key.
+    * On a streaming frame, state is scoped to the watermark horizon
+    * (`dropDuplicatesWithinWatermark`) — a plain `dropDuplicates` would
+    * grow its state forever on an unbounded source. The batch path is the
+    * semantically-matching `dropDuplicates`. At-least-once sources
+    * (Kafka, replayed logs) get exactly-once row semantics downstream.
+    */
+  def dedupEvents(events: DataFrame, idCols: Seq[String],
+                  watermark: String = "1 hour"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(idCols)
+    else events.dropDuplicates(idCols)
+
   /** STREAMING session window: event-time state with a watermark. Open
     * sessions live in GroupState between micro-batches; a session is
     * emitted when a later event exceeds the gap, or when the watermark

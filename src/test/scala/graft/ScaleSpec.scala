@@ -44,6 +44,22 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("partitioned write prunes directories at scan time") {
+    import spark.implicits._
+    val rows = (1 to 400).map(i => (i.toLong, Seq("click", "view", "purchase", "error")(i % 4)))
+      .toDF("id", "etype")
+    val path = "target/tmp-partitioned-events"
+    Bucketing.writePartitioned(rows, path, Seq("etype"))
+    val back = spark.read.parquet(path).filter(col("etype") === "click")
+    assert(back.count() == 100)
+    // the filter must land in PartitionFilters (directory pruning), not
+    // just PushedFilters (row-group pruning)
+    val scan = back.queryExecution.executedPlan.collectLeaves().head
+      .asInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "etype")),
+      s"partition filter must reach the scan, got: ${scan.partitionFilters}")
+  }
+
   test("saltedJoin equals the unsalted join and spreads the hot key") {
     import spark.implicits._
     // one hot key (900 of 1000 rows) + a tail

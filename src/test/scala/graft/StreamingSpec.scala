@@ -81,6 +81,28 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("dedupEvents: streaming re-deliveries dropped; batch path matches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventStreams.EventRow]
+    val q = EventStreams.dedupEvents(stream.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData(sampleRows.head, sampleRows(1))
+      q.processAllAvailable()
+      // re-deliver event 1 (same id, later batch, inside the watermark)
+      stream.addData(sampleRows.head.copy(value = 99.0), sampleRows(2))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L), "duplicate delivery of id 1 dropped")
+    } finally q.stop()
+    val batch = EventStreams.dedupEvents(
+      (sampleRows ++ Seq(sampleRows.head.copy(value = 99.0))).toDF(), Seq("event_id"))
+    assert(batch.count() == sampleRows.size)
+  }
+
   test("slidingUserActivity emits overlapping windows") {
     import spark.implicits._
     val out = EventStreams.slidingUserActivity(sampleRows.toDF(), "1 hour", "30 minutes")
