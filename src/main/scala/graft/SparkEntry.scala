@@ -21,7 +21,16 @@ import org.apache.spark.sql.functions._
   *  - engine-internal approximate/iterative aggregates (percentile,
   *    stddev) are rounded;
   *  - every query ends in a total ORDER BY; nullable sort keys say
-  *    NULLS FIRST explicitly in the oracle (Spark's asc default).
+  *    NULLS FIRST explicitly in the oracle (Spark's asc default);
+  *  - engine-specific hashing is replaced by PORTABLE hashes where a
+  *    query should be oracle-checked: mod-prime char folds
+  *    (Dedup.portableFold — DuckDB list_reduce mirrors it), affine
+  *    permutations for minhash, plan-time literals (LSH hyperplanes, IVF
+  *    centroids) inlined into BOTH sides. The xxhash64 scale paths keep
+  *    rows-only twins (d02, q06, ml01);
+  *  - any float threshold crossing engines (quality gates, LSH signs,
+  *    IVF argmax) gets its data-to-threshold margin measured first —
+  *    documented at each use; margins here are ≥1e-4 vs fp noise ~1e-15.
   */
 object SparkEntry {
 
@@ -378,6 +387,42 @@ object SparkEntry {
              |  (sum(l_quantity::DECIMAL(18,2)))::DOUBLE AS sum_qty
              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
+    Q("q37_unpivot",
+      (s, d) => {
+        val m = mgr(s, d)
+        // wide→long reshape (melt) — both engines name the value columns
+        // identically, so values AND the metric label column hash-match
+        m.getDDFByName("lineitem").df.filter(col("l_orderkey") < 100)
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+          .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+            Array(col("l_quantity"), col("l_discount")), "metric", "val")
+          .orderBy("l_orderkey", "l_linenumber", "metric")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, metric, val FROM (
+             |  UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+             |           FROM lineitem WHERE l_orderkey < 100)
+             |  ON l_quantity, l_discount INTO NAME metric VALUE val)
+             |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin)),
+
+    Q("q65_lag_delta",
+      (s, d) => {
+        val m = mgr(s, d)
+        // lead/lag family: per-user value delta over event time (ts,
+        // event_id is a unique total order; subtraction of identical
+        // operands is fp-exact cross-engine)
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        m.getDDFByName("events").df
+          .withColumn("prev_value", lag("value", 1).over(w))
+          .select(col("event_id"), col("user_id"), col("value"),
+            col("prev_value"), (col("value") - col("prev_value")).as("delta"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, value,
+             |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+             |  value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+             |FROM events ORDER BY event_id""".stripMargin)),
 
     Q("q29_salted_join",
       (s, d) => {
