@@ -169,7 +169,8 @@ object SparkEntry {
           .df.select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
       },
       Some("""SELECT o_orderkey, o_totalprice FROM orders
-             |WHERE ((o_orderkey % 1000000000) * 2654435761) % 1000 < 50
+             |WHERE xor((o_orderkey % 1000000000) * 2654435761,
+             |          ((o_orderkey % 1000000000) * 2654435761) >> 31) % 1000 < 50
              |ORDER BY o_orderkey""".stripMargin))
   )
 
@@ -1431,9 +1432,7 @@ object SparkEntry {
         val enr = pipeline.TextAnalysis.enrich(docs, "text")
           .select("doc_id", "lang", "text", "token_count", "quality")
         val qual = enr.filter(col("quality") >= 0.55)
-        val reps = pipeline.Dedup.exact(qual, "text", "doc_id")
-          .select(col("keep_id").as("doc_id"))
-        val surv = qual.join(reps, "doc_id")
+        val surv = pipeline.Dedup.exactSurvivors(qual, "text", "doc_id")
         val pairs = pipeline.Dedup.minhashDedup(surv, "text", "doc_id",
           threshold = 0.7, portable = true)
         val dups = pairs.select(col("id2").as("doc_id")).distinct()

@@ -105,7 +105,14 @@ object Joins {
     require(Set("inner", "left_outer", "left_semi", "left_anti")(jt),
       s"saltedJoin supports left-preserving joins only, got '$joinType'")
     val salt = "__graft_salt"
-    val sl = left.withColumn(salt, (rand(42) * saltFactor).cast("int"))
+    // salt must be DETERMINISTIC per row: rand() re-draws on task retry,
+    // and after a shuffle-fetch failure the recomputed salts can route a
+    // row to a reducer that already consumed the original output (the
+    // SPARK-23207 indeterminate-shuffle hazard — rows duplicated/lost or
+    // the job aborted). Hashing every left column is retry-stable; only
+    // byte-identical duplicate rows share a salt.
+    val sl = left.withColumn(salt,
+      pmod(xxhash64(left.columns.map(col): _*), lit(saltFactor.toLong)).cast("int"))
     val sr = right.withColumn(salt, explode(array((0 until saltFactor).map(lit): _*)))
     sl.join(sr, keys :+ salt, jt).drop(salt)
   }
@@ -170,13 +177,20 @@ object Joins {
     */
   def rangeJoin(points: DataFrame, intervals: DataFrame, keys: Seq[String],
                 pointTime: String, startCol: String, endCol: String,
-                bucketMs: Long): DataFrame = {
+                bucketMs: Long, maxFanout: Int = 100000): DataFrame = {
     require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")
     val bUs = lit(bucketMs * 1000L)
     def bucketOf(c: Column) = floor(unix_micros(c) / bUs).cast(LongType)
     val p = points.withColumn("__b", bucketOf(col(pointTime)))
-    val iv = intervals
-      .withColumn("__b", explode(sequence(bucketOf(col(startCol)), bucketOf(col(endCol)))))
+    // fail FAST with the offending span rather than letting one dirty
+    // interval (sentinel end date, swapped bounds) build a giant
+    // sequence() array and OOM an executor deep into a 100 TB job
+    val bs = bucketOf(col(startCol)); val be = bucketOf(col(endCol))
+    val guarded = when(be - bs > maxFanout, raise_error(concat(
+        lit(s"rangeJoin: interval spans more than $maxFanout buckets of ${bucketMs}ms ("),
+        (be - bs).cast("string"), lit(") — raise bucketMs/maxFanout or filter the row"))))
+      .otherwise(sequence(bs, be))
+    val iv = intervals.withColumn("__b", explode(guarded))
     p.join(iv, keys :+ "__b")
       .filter(col(startCol) <= col(pointTime) && col(pointTime) <= col(endCol))
       .drop("__b")

@@ -113,8 +113,13 @@ object Views {
     */
   def hashSample(ddf: DDF, keyCol: String, perMille: Int): DDF = {
     require(perMille >= 0 && perMille <= 1000, s"perMille must be 0..1000, got $perMille")
+    // xor-fold the product's high bits into its low bits before the mod:
+    // raw low bits of k·A are a bijection of k mod 1000 (stride-allocated
+    // keys would land in ONE bucket), while high bits alone wrap unevenly
+    // for small dense keys — the fold spreads both. Overflow-safe:
+    // (k mod 1e9)·A < 2^62, xor of non-negatives stays non-negative.
+    val prod = pmod(col(keyCol).cast("long"), lit(1000000000L)) * lit(2654435761L)
     ddf.derive(ddf.df.filter(
-      pmod(pmod(col(keyCol).cast("long"), lit(1000000000L)) * lit(2654435761L), lit(1000L))
-        < lit(perMille.toLong)))
+      pmod(prod.bitwiseXOR(shiftright(prod, 31)), lit(1000L)) < lit(perMille.toLong)))
   }
 }

@@ -88,7 +88,13 @@ object EventStreams {
                   out += SessionOut(uid, new java.sql.Timestamp(s.start),
                     new java.sql.Timestamp(s.lastSeen), s.nEvents)
                   st = SessionState(t, t, 1)
-                case s => st = SessionState(s.start, t, s.nEvents + 1)
+                case s =>
+                  // min/max, NOT assignment: with watermarkDelay > 0 a
+                  // later micro-batch may deliver an event older than
+                  // lastSeen (or before start) — moving lastSeen backward
+                  // would shrink the timeout and corrupt session_end
+                  st = SessionState(math.min(s.start, t), math.max(s.lastSeen, t),
+                    s.nEvents + 1)
               }
             }
             if (st != null) {

@@ -247,5 +247,11 @@ class OperatorsSpec extends SparkTestBase {
     val wider = Views.hashSample(ddf, "k", 300).df.collect().map(_.getLong(0)).toSet
     assert(a.subsetOf(wider), "raising the rate only ADDS rows (stable holdouts)")
     intercept[IllegalArgumentException](Views.hashSample(ddf, "k", 1001))
+    // stride-allocated keys (all ≡ 0 mod 1000) must still sample ~rate —
+    // the low bits of k·A are a bijection of k mod 1000, so a low-bit
+    // bucket would select 0% or 100% here (code-review regression)
+    val strided = m.register((1L to 2000L).map(_ * 1000L).toDF("k"))
+    val sn = Views.hashSample(strided, "k", 100).df.count()
+    assert(sn > 100 && sn < 320, s"~10% of 2000 stride-1000 keys expected, got $sn")
   }
 }

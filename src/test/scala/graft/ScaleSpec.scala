@@ -67,15 +67,16 @@ class ScaleSpec extends SparkTestBase {
       .toDF("k", "lv")
     val right = (1L to 100L).map(i => (i, s"r$i")).toDF("k", "rv")
     for (jt <- Seq("inner", "left_outer", "left_semi")) {
-      val plain = (if (jt == "left_semi") left.join(right, Seq("k"), jt)
-                   else left.join(right, Seq("k"), jt))
+      val plain = left.join(right, Seq("k"), jt)
         .collect().map(_.toSeq).sortBy(_.mkString(",")).toSeq
       val salted = Joins.saltedJoin(left, right, Seq("k"), saltFactor = 8, jt)
         .collect().map(_.toSeq).sortBy(_.mkString(",")).toSeq
       assert(salted == plain, s"salted $jt must match plain join")
     }
-    // the hot key's rows really get distinct salts (distribution spread)
-    val salts = left.withColumn("__graft_salt", (rand(42) * 8).cast("int"))
+    // the hot key's rows really get distinct salts (distribution spread);
+    // same deterministic expression the operator uses
+    val salts = left
+      .withColumn("__graft_salt", pmod(xxhash64(left.columns.map(col): _*), lit(8L)))
       .filter(col("k") === 7L).select("__graft_salt").distinct().count()
     assert(salts > 1, "hot key must spread over multiple salt values")
     // right-preserving joins are rejected
@@ -122,5 +123,13 @@ class ScaleSpec extends SparkTestBase {
     val plan = Joins.rangeJoin(points, ivs, Seq("user_id"), "pt", "s", "e", 60000L)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    // a dirty interval (sentinel end date) fails fast with a clear error
+    // instead of materializing a giant sequence() array
+    val dirty = Seq((200L, 10L, t(0), java.sql.Timestamp.valueOf("9999-12-31 00:00:00")))
+      .toDF("iid", "user_id", "s", "e")
+    val ex = intercept[Exception] {
+      Joins.rangeJoin(points, dirty, Seq("user_id"), "pt", "s", "e", 60000L).collect()
+    }
+    assert(ex.getMessage != null)
   }
 }

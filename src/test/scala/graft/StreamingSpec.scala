@@ -81,6 +81,33 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sessionizeStreaming: a late out-of-order event cannot shrink the session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventStreams.EventRow]
+    val q = EventStreams.sessionizeStreaming(stream.toDS(), gapMs = 30 * 60 * 1000L,
+        watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("sessionize_late")
+      .outputMode("append").start()
+    try {
+      stream.addData(
+        EventStreams.EventRow(1, ts(0), 10, "click", 1.0),
+        EventStreams.EventRow(2, ts(10), 10, "click", 2.0))
+      q.processAllAvailable()
+      // late event at :05 (inside the 10-min watermark slack): must merge
+      // WITHOUT moving lastSeen backward from :10
+      stream.addData(EventStreams.EventRow(3, ts(5), 10, "click", 3.0))
+      q.processAllAvailable()
+      // event at :55 closes the session (gap > 30 min from :10, not :05)
+      stream.addData(EventStreams.EventRow(4, ts(55), 10, "click", 4.0))
+      q.processAllAvailable()
+      val got = spark.table("sessionize_late").as[EventStreams.SessionOut].collect()
+      assert(got.length == 1)
+      assert(got.head.session_start == ts(0) && got.head.session_end == ts(10) &&
+        got.head.n_events == 3, s"got ${got.head}")
+    } finally q.stop()
+  }
+
   test("dedupEvents: streaming re-deliveries dropped; batch path matches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
