@@ -62,6 +62,30 @@ object SparkEntry {
   private def dsum2Sql(a: String, b: String): String =
     s"cast(sum(cast(cast($a as decimal(18,2)) * cast($b as decimal(18,2)) as decimal(38,4))) as double)"
 
+  /** Higher moments derived from EXACT integer power sums — engine
+    * skewness/kurtosis aggregates disagree on correction factors, so
+    * both sides run this ONE string: quantity → exact centi-units
+    * (k ≤ 5000, k⁴ ≤ 6.25e14 — no bigint overflow), decimal(38,0) sums,
+    * then identical double arithmetic. Population moments; skew/kurt are
+    * scale-invariant so centi-units need no rescale.
+    */
+  private val momentsSql: String =
+    """WITH kk AS (SELECT CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS k
+      |           FROM lineitem),
+      |s AS (SELECT count(*) AS n,
+      |  CAST(sum(CAST(k AS DECIMAL(38,0))) AS DOUBLE) / count(*) AS m1,
+      |  CAST(sum(CAST(k*k AS DECIMAL(38,0))) AS DOUBLE) / count(*) AS m2,
+      |  CAST(sum(CAST(k*k*k AS DECIMAL(38,0))) AS DOUBLE) / count(*) AS m3,
+      |  CAST(sum(CAST(k*k*k*k AS DECIMAL(38,0))) AS DOUBLE) / count(*) AS m4
+      |  FROM kk)
+      |SELECT n, round(m1 / 100, 6) AS mean,
+      |  round((m2 - m1*m1) / 10000, 6) AS variance,
+      |  round((m3 - 3*m1*m2 + 2*m1*m1*m1)
+      |        / sqrt((m2 - m1*m1)*(m2 - m1*m1)*(m2 - m1*m1)), 6) AS skewness,
+      |  round((m4 - 4*m1*m3 + 6*m1*m1*m2 - 3*m1*m1*m1*m1)
+      |        / ((m2 - m1*m1)*(m2 - m1*m1)) - 3, 6) AS excess_kurtosis
+      |FROM s""".stripMargin
+
   /** TPC-H Q3 shape — ONE string run by both Spark and DuckDB. */
   private val tpchQ3Sql: String =
     s"""select l_orderkey, ${dsum2Sql("l_extendedprice", "1 - l_discount")} as revenue,
@@ -388,6 +412,10 @@ object SparkEntry {
              |  (sum(l_quantity::DECIMAL(18,2)))::DOUBLE AS sum_qty
              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
+    Q("q46_moments",
+      (s, d) => mgr(s, d).sql2ddf(momentsSql).df,
+      Some(momentsSql)),
 
     Q("q37_unpivot",
       (s, d) => {
