@@ -396,6 +396,36 @@ object SparkEntry {
       Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
              |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
 
+    Q("q18_intersect",
+      (s, d) => {
+        val m = mgr(s, d)
+        // customers appearing in BOTH halves of the order book
+        val o = m.getDDFByName("orders").df
+        Joins.intersect(
+            m.register(o.filter(col("o_orderkey") % 2 === 0).select("o_custkey")),
+            m.register(o.filter(col("o_orderkey") % 2 === 1).select("o_custkey")))
+          .df.orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 0
+             |INTERSECT
+             |SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 1
+             |ORDER BY o_custkey""".stripMargin)),
+
+    Q("q19_except",
+      (s, d) => {
+        val m = mgr(s, d)
+        // customers with orders but never a high-priority one
+        val o = m.getDDFByName("orders").df
+        Joins.except(
+            m.register(o.select("o_custkey")),
+            m.register(o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")))
+          .df.orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey FROM orders
+             |EXCEPT
+             |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+             |ORDER BY o_custkey""".stripMargin)),
+
     Q("q36_rollup",
       (s, d) => {
         val m = mgr(s, d)
