@@ -36,8 +36,13 @@ object Bench {
     // regressions, so take the best of three
     def timed(name: String): Double = {
       val t0 = System.nanoTime()
-      try { qs(name)(spark, sfDir).count() }
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
+      // fail FAST: swallowing the error would report the (often very
+      // fast) failure path as a legitimate best-of-three time — a broken
+      // query must break the bench, not improve it
+      try qs(name)(spark, sfDir).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: $e"); throw e
+      }
       (System.nanoTime() - t0) / 1e9
     }
     val results = headline.filter(qs.contains).map { name =>

@@ -39,19 +39,34 @@ object SparkEntry {
     "orders", "lineitem", "documents", "embeddings")
 
   private val mgrCache = scala.collection.concurrent.TrieMap.empty[String, DDFManager]
+  // Temp views are SESSION-global while managers are per-(session, dir):
+  // a manager built for another dir repoints the shared view names, so
+  // every sql2ddf query would silently read the other dir's parquet.
+  // Track the session's active dir and re-register (cheap — lazy plans,
+  // no data read) whenever it changes.
+  private val activeDir = scala.collection.concurrent.TrieMap.empty[Int, String]
 
-  private def mgr(spark: SparkSession, dir: String): DDFManager =
-    mgrCache.getOrElseUpdate(s"${spark.hashCode}|$dir", {
+  private def registerTables(spark: SparkSession, m: DDFManager, dir: String): Unit = {
+    tableNames.foreach(t => m.loadParquet(s"$dir/$t.parquet", t))
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    m.register(ev, "events")
+  }
+
+  private def mgr(spark: SparkSession, dir: String): DDFManager = {
+    val m = mgrCache.getOrElseUpdate(s"${spark.hashCode}|$dir", {
       // events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects by
       // default; read nanos as long and rebuild a (µs) TimestampType col.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val m = DDFManager(spark)
-      tableNames.foreach(t => m.loadParquet(s"$dir/$t.parquet", t))
-      val ev = spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      m.register(ev, "events")
-      m
+      DDFManager(spark)
     })
+    // covers first use AND dir switches in one place
+    if (!activeDir.get(spark.hashCode).contains(dir)) {
+      registerTables(spark, m, dir)
+      activeDir(spark.hashCode) = dir
+    }
+    m
+  }
 
   /** Exact 2-decimal sum, identical in Spark and DuckDB. */
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
@@ -895,7 +910,8 @@ object SparkEntry {
         val li = m.getDDFByName("lineitem").df.select(
           col("l_orderkey"), col("l_linenumber"),
           nullif(col("l_quantity"), lit(1.0)).as("qty"))
-        MissingData.fillNAWithAggregate(m.register(li), "mean", Seq("qty"))
+        MissingData.fillNAWithAggregate(m.register(li), "mean", Seq("qty"),
+            exactDecimals = Some(2))
           .df.select(col("l_orderkey"), col("l_linenumber"), round(col("qty"), 4).as("qty"))
           .orderBy("l_orderkey", "l_linenumber")
       },
@@ -1333,8 +1349,8 @@ object SparkEntry {
         s"""WITH sc AS (SELECT doc_id, text, ${scoreExprs.mkString(",\n  ")} FROM documents)
            |SELECT doc_id,
            |  ${duckTokenCount("text")} AS token_count,
-           |  list_sum(list_transform(${duckToks("text")},
-           |    t -> greatest(1, ceil(length(t) / 6.0)::BIGINT)))::BIGINT AS subword_count,
+           |  coalesce(list_sum(list_transform(${duckToks("text")},
+           |    t -> greatest(1, ceil(length(t) / 6.0)::BIGINT))), 0)::BIGINT AS subword_count,
            |  CASE WHEN greatest(s_de, s_en, s_es, s_fr) < 0.02 THEN 'und'
            |       WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
            |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'

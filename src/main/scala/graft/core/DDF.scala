@@ -44,9 +44,13 @@ final class DDF(
 
   /** Re-register under a new name (reference: FlinkDDFManager.scala:112-115). */
   def setName(newName: String): this.type = {
-    manager.rename(_name, newName)
+    val old = _name
+    manager.rename(old, newName)
     _name = newName
     _df.createOrReplaceTempView(newName)
+    // drop the stale view: SQL against the old name must fail with
+    // "table not found", not silently read the pre-rename frame
+    if (old != newName) _df.sparkSession.catalog.dropTempView(old)
     this
   }
 

@@ -100,7 +100,7 @@ final class DDFManager(val spark: SparkSession) {
         require(sample.nonEmpty, s"cannot infer schema of empty file $path")
         // java String.split semantics (drops trailing empties) — same call
         // the reference makes on its sample rows
-        val cells = sample.map(_.split(sep))
+        val cells = sample.map(_.split(java.util.regex.Pattern.quote(sep)))
         val n = cells.head.length
         val fields = (0 until n).map { i =>
           StructField(s"V${i + 1}",

@@ -113,11 +113,14 @@ object Binning {
     * faithful (and cheaper) formulation.
     */
   def binningEqualInterval(ddf: DDF, colName: String, numBins: Int,
-                           includeLowest: Boolean = false, right: Boolean = true,
-                           exact: Boolean = false): DDF = {
+                           includeLowest: Boolean = false, right: Boolean = true): DDF = {
+    // (no `exact` flag here, unlike binningEqualFreq: min/max aggregates
+    // are always exact, so the distinction doesn't exist for this type)
     require(numBins >= 2, "numBins must be >= 2")
     val row = ddf.df.na.drop(Seq(colName))
       .agg(min(col(colName)).cast("double"), max(col(colName)).cast("double")).first()
+    require(!row.isNullAt(0) && !row.isNullAt(1),
+      s"binning: column '$colName' has no non-null values")
     val (lo, hi) = (row.getDouble(0), row.getDouble(1))
     val step = (hi - lo) / numBins
     val breaks = (0 to numBins).map(i => if (i == numBins) hi else lo + i * step)

@@ -184,9 +184,11 @@ object Joins {
     val p = points.withColumn("__b", bucketOf(col(pointTime)))
     // fail FAST with the offending span rather than letting one dirty
     // interval (sentinel end date, swapped bounds) build a giant
-    // sequence() array and OOM an executor deep into a 100 TB job
+    // sequence() array and OOM an executor deep into a 100 TB job.
+    // abs(): sequence(bs, be) with be < bs builds a DESCENDING array of
+    // |span| elements, so swapped bounds are just as explosive
     val bs = bucketOf(col(startCol)); val be = bucketOf(col(endCol))
-    val guarded = when(be - bs > maxFanout, raise_error(concat(
+    val guarded = when(abs(be - bs) > maxFanout, raise_error(concat(
         lit(s"rangeJoin: interval spans more than $maxFanout buckets of ${bucketMs}ms ("),
         (be - bs).cast("string"), lit(") — raise bucketMs/maxFanout or filter the row"))))
       .otherwise(sequence(bs, be))

@@ -98,19 +98,31 @@ object MissingData {
     ddf.updateOrDerive(ddf.df.na.fill(values))
 
   /** Fill numeric columns with an aggregate of the column (e.g. MEAN). */
-  def fillNAWithAggregate(ddf: DDF, fn: String, cols: Seq[String] = Nil): DDF = {
+  def fillNAWithAggregate(ddf: DDF, fn: String, cols: Seq[String] = Nil,
+                          exactDecimals: Option[Int] = None): DDF = {
     val numericCols = ddf.schema.fields
       .filter(f => f.dataType.isInstanceOf[NumericType]).map(_.name).toSeq
     val target = if (cols.isEmpty) numericCols else cols.filter(numericCols.contains)
     if (target.isEmpty) return ddf
+    // `exactDecimals = Some(d)`: the caller declares the column holds
+    // exact d-decimal values, so mean/sum go through an EXACT decimal sum
+    // (order-independent, reproducible across runs/engines) instead of
+    // double accumulation, whose partition-order-dependent rounding can
+    // flip a downstream round() (oracle-determinism rule)
+    def exactSum(c: String): org.apache.spark.sql.Column = exactDecimals match {
+      case Some(dd) => sum(col(c).cast(org.apache.spark.sql.types.DecimalType(38, dd)))
+      case None     => sum(col(c))
+    }
     // cast to double: min/max return the INPUT type and sum over integrals
     // returns Long — getDouble below would CCE on integral columns otherwise
     val aggs = target.map { c =>
       (fn.toLowerCase match {
+        case "mean" | "avg" if exactDecimals.isDefined =>
+          exactSum(c).cast("double") / count(col(c))
         case "mean" | "avg" => avg(col(c))
         case "min"          => min(col(c))
         case "max"          => max(col(c))
-        case "sum"          => sum(col(c))
+        case "sum"          => exactSum(c)
         case other => throw new IllegalArgumentException(s"Unsupported fill aggregate '$other'")
       }).cast("double").as(c)
     }

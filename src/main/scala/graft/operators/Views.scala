@@ -91,7 +91,10 @@ object Views {
     val total = ddf.df.count()
     if (n >= total) ddf.copy()
     else {
-      val frac = math.min(1.0, (n.toDouble / total) * 1.5 + 10.0 / total)
+      // oversample so P(fewer than n rows) is negligible for EVERY n:
+      // mean n + 10√n + 25 puts the shortfall ≥ 10σ + slack out
+      // (Chernoff ≈ e^-36 even at n = 1); limit(n) trims the excess
+      val frac = math.min(1.0, (n + 10.0 * math.sqrt(n.toDouble) + 25.0) / total)
       ddf.derive(ddf.df.sample(withReplacement = false, frac, seed).limit(n))
     }
   }

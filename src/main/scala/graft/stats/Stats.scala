@@ -95,6 +95,8 @@ object Stats {
     // an integral column would hand back ints
     val row = df.na.drop(Seq(c))
       .agg(expr(s"$fn(cast($c as double), $pArr)").as("q")).first()
+    require(!row.isNullAt(0),
+      s"quantiles: column '$c' has no non-null values")
     val raw = row.getSeq[Double](0)
     if (isIntegral(df, c)) raw.map(math.floor) else raw
   }
@@ -128,6 +130,8 @@ object Stats {
     */
   def histogramDF(df: DataFrame, c: String, numBins: Int): DataFrame = {
     val r = df.na.drop(Seq(c)).agg(min(col(c)).cast(DoubleType), max(col(c)).cast(DoubleType)).first()
+    require(!r.isNullAt(0) && !r.isNullAt(1),
+      s"histogram: column '$c' has no non-null values")
     val (mn, mx) = (r.getDouble(0), r.getDouble(1))
     histogramFixed(df, c, numBins, mn, mx)
   }
