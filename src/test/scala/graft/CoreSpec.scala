@@ -115,4 +115,31 @@ class CoreSpec extends SparkTestBase {
     val full = m.loadFile(csv.toAbsolutePath.toString)
     assert(full.schema("V1").dataType.simpleString == "double")
   }
+
+  test("setName drops the stale view: SQL on the old name fails, new name works") {
+    val m = freshManager
+    import spark.implicits._
+    val ddf = m.register(Seq((1, 2)).toDF("a", "b"), "pre_rename_x")
+    assert(spark.sql("SELECT * FROM pre_rename_x").count() == 1)
+    ddf.setName("post_rename_x")
+    assert(spark.sql("SELECT * FROM post_rename_x").count() == 1)
+    // the old name must be GONE — a query against it must not silently
+    // read the pre-rename frame
+    intercept[Exception] { spark.sql("SELECT * FROM pre_rename_x").count() }
+    assert(!m.listDDFs().contains("pre_rename_x"))
+  }
+
+  test("5-row inference with a regex-metachar separator ('|') splits per cell") {
+    val dir = Files.createDirectories(Paths.get("target/test-fixtures"))
+    val csv = dir.resolve("infer_pipe.csv")
+    // String.split takes a REGEX: an unquoted "|" matches the empty string
+    // and explodes every row into single characters
+    Files.writeString(csv, "1|a|2.5\n2|b|3.5\n3|c|1.0\n4|d|9.0\n5|e|0.5\n")
+    val m = freshManager
+    val ddf = m.loadFile(csv.toAbsolutePath.toString, sep = "|", sampleInference = true)
+    assert(ddf.columnNames == Seq("V1", "V2", "V3"))
+    assert(ddf.schema("V1").dataType.simpleString == "int")
+    assert(ddf.schema("V3").dataType.simpleString == "double")
+    assert(ddf.numRows == 5)
+  }
 }

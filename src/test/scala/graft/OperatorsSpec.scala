@@ -128,6 +128,29 @@ class OperatorsSpec extends SparkTestBase {
       .df.collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 3L))
   }
 
+  test("fillNA aggregate exactDecimals: decimal-exact mean/sum, no double drift") {
+    import spark.implicits._
+    // 0.1 + 0.2 in binary doubles is 0.30000000000000004; through a
+    // decimal(38,1) sum it is exactly 0.3, so the mean fill is exactly 0.15
+    def xs = m.register(Seq(Some(0.1), Some(0.2), None).toDF("x"))
+    val mean = MissingData.fillNAWithAggregate(xs, "mean", exactDecimals = Some(1))
+      .df.collect().map(_.getDouble(0)).sorted.toSeq
+    assert(mean == Seq(0.1, 0.15, 0.2), s"exact-decimal mean, got $mean")
+    val sm = MissingData.fillNAWithAggregate(xs, "sum", exactDecimals = Some(1))
+      .df.collect().map(_.getDouble(0)).sorted.toSeq
+    assert(sm == Seq(0.1, 0.2, 0.3), s"exact-decimal sum, got $sm")
+  }
+
+  test("sampleExact returns exactly n for small n out of a large frame") {
+    import spark.implicits._
+    val ddf = m.register((1 to 5000).map(i => (i, s"r$i")).toDF("k", "v"))
+    // small n is where naive fraction math (n/total * 1.5) under-samples
+    for (n <- Seq(1, 3, 7, 100))
+      assert(Views.sampleExact(ddf, n).numRows == n, s"n=$n must be exact")
+    // n >= total degenerates to a copy
+    assert(Views.sampleExact(ddf, 5000).numRows == 5000)
+  }
+
   test("binning custom breaks: drops out-of-range, labels, factor levels (reference B1/B4)") {
     import spark.implicits._
     val ddf = m.register(Seq(0.5, 1.0, 2.0, 5.0, 7.5, 10.0, 12.0).toDF("v"))

@@ -131,5 +131,14 @@ class ScaleSpec extends SparkTestBase {
       Joins.rangeJoin(points, dirty, Seq("user_id"), "pt", "s", "e", 60000L).collect()
     }
     assert(ex.getMessage != null)
+    // swapped bounds (end < start) are just as explosive: sequence(bs, be)
+    // with be < bs builds a DESCENDING |span|-element array — the guard
+    // must catch the absolute span, not just the positive direction
+    val swapped = Seq((201L, 10L, java.sql.Timestamp.valueOf("9999-12-31 00:00:00"), t(0)))
+      .toDF("iid", "user_id", "s", "e")
+    val ex2 = intercept[Exception] {
+      Joins.rangeJoin(points, swapped, Seq("user_id"), "pt", "s", "e", 60000L).collect()
+    }
+    assert(ex2.getMessage != null)
   }
 }

@@ -69,6 +69,23 @@ class StatsSpec extends SparkTestBase {
     assert(mn.isNaN && mx.isNaN)
   }
 
+  test("quantiles/histogram on an all-null column fail with a clear message") {
+    import spark.implicits._
+    val ddf = m.register(Seq(Option.empty[Double], None).toDF("allnull"))
+    val e1 = intercept[IllegalArgumentException] {
+      Stats.quantiles(ddf.df, "allnull", Seq(0.5))
+    }
+    assert(e1.getMessage.contains("allnull"))
+    val e2 = intercept[IllegalArgumentException] {
+      Stats.histogramDF(ddf.df, "allnull", 4)
+    }
+    assert(e2.getMessage.contains("allnull"))
+    val e3 = intercept[IllegalArgumentException] {
+      graft.operators.Binning.binningEqualInterval(ddf, "allnull", 4)
+    }
+    assert(e3.getMessage.contains("allnull"))
+  }
+
   test("correlation and covariance agree with closed form") {
     import spark.implicits._
     val ddf = m.register(Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0)).toDF("x", "y"))
