@@ -1034,6 +1034,15 @@ object SparkEntry {
        | ELSE list_distinct(list_transform(range(1, len($toks) - 1),
        |        i -> array_to_string(($toks)[i:i+2], ' '))) END)""".stripMargin
   }
+  /** DuckDB word n-gram multiset over a token-list fragment — mirrors
+    * TextAnalysis.ngramsOf (duplicates kept, < n tokens → empty).
+    * range(1, m) is end-exclusive; list slices are 1-based inclusive.
+    */
+  private def duckNgrams(tk: String, n: Int) =
+    s"""(CASE WHEN len($tk) >= $n
+       |  THEN list_transform(range(1, len($tk) - ${n - 2}),
+       |         i -> array_to_string(($tk)[i:i+${n - 1}], ' '))
+       |  ELSE [] END)""".stripMargin
   /** DuckDB expressions mirroring TextAnalysis.tokenCountOf/qualityScoreOf
     * (shared by the t01 oracle and the end-to-end pipeline oracle).
     */
@@ -1377,6 +1386,59 @@ object SparkEntry {
               |      c -> coalesce(ascii(c), 0)::BIGINT)),
               |    (acc, x) -> (acc * 31 + x) % 1000000007) AS rhash
               |FROM n ORDER BY doc_id""".stripMargin)),
+
+    Q("t03_repetition",
+      (s, d) => {
+        val m = mgr(s, d)
+        pipeline.TextAnalysis.repetitionMetrics(
+            m.getDDFByName("documents").df, "text", "doc_id")
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      // all fractions are small-int ratios — identical IEEE division on
+      // both engines, no rounding needed. top-bigram count via
+      // unnest+groupBy mirrors the explode+partial-agg shape.
+      Some(s"""WITH toks AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),
+              |ng AS (SELECT doc_id,
+              |  ${duckNgrams("tk", 2)} AS bgs,
+              |  ${duckNgrams("tk", 3)} AS tgs FROM toks),
+              |bgex AS (SELECT doc_id, unnest(bgs) AS b FROM ng),
+              |cnt AS (SELECT doc_id, b, count(*) AS c FROM bgex GROUP BY 1, 2),
+              |mx AS (SELECT doc_id, max(c) AS m FROM cnt GROUP BY 1)
+              |SELECT t.doc_id, len(tk)::BIGINT AS token_count,
+              |  CASE WHEN len(tk) = 0 THEN 0.0
+              |       ELSE 1.0 - len(list_distinct(tk)) / len(tk)::DOUBLE END AS dup_word_frac,
+              |  CASE WHEN len(bgs) = 0 THEN 0.0
+              |       ELSE coalesce(m, 0) / len(bgs)::DOUBLE END AS top_bigram_frac,
+              |  CASE WHEN len(tgs) = 0 THEN 0.0
+              |       ELSE 1.0 - len(list_distinct(tgs)) / len(tgs)::DOUBLE END AS dup_trigram_frac
+              |FROM toks t JOIN ng USING (doc_id) LEFT JOIN mx USING (doc_id)
+              |ORDER BY doc_id""".stripMargin)),
+
+    Q("t04_decontaminate",
+      (s, d) => {
+        val m = mgr(s, d)
+        val docs = m.getDDFByName("documents").df
+        // benchmark/eval corpus stand-in: every 37th document; 5-gram
+        // overlap flags its planted near-duplicates in the corpus
+        val bench = docs.filter(col("doc_id") % 37 === 0)
+        pipeline.TextAnalysis.decontaminate(
+            docs.filter(col("doc_id") % 37 =!= 0), bench, "text", "doc_id", n = 5)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      // oracle joins raw shingle STRINGS (the engine joins their 64-bit
+      // hashes — identical counts absent a collision in this data)
+      Some(s"""WITH toks AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),
+              |sh AS (SELECT doc_id, ${duckNgrams("tk", 5)} AS shs FROM toks),
+              |ex AS (SELECT DISTINCT doc_id, unnest(shs) AS s FROM sh),
+              |bench AS (SELECT DISTINCT s FROM ex WHERE doc_id % 37 = 0),
+              |hits AS (SELECT e.doc_id, count(*) AS n FROM ex e JOIN bench USING (s)
+              |  WHERE e.doc_id % 37 != 0 GROUP BY 1)
+              |SELECT t.doc_id, coalesce(n, 0)::BIGINT AS overlap_shingles,
+              |  coalesce(n, 0) > 0 AS contaminated
+              |FROM toks t LEFT JOIN hits USING (doc_id)
+              |WHERE t.doc_id % 37 != 0 ORDER BY doc_id""".stripMargin)),
 
     Q("m01_multimodal_meta",
       (s, d) => {

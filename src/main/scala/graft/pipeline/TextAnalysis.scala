@@ -107,6 +107,107 @@ object TextAnalysis {
          |  0L, (acc, ch) -> pmod(acc * 31L + coalesce(ascii(ch), 0), 1000000007L))"""
         .stripMargin)
 
+  /** Word n-gram MULTISET (order-preserving, duplicates kept — unlike
+    * Dedup.shingleExpr's distinct set) over a token-array fragment.
+    * Same zip_with-fold shape as shingleExpr: lambda bodies touch only
+    * lambda variables, so nothing is re-evaluated per element; `toks`
+    * itself appears ~n times at PROJECTION level (one regex split each
+    * when it's the raw tokenizer — pass a materialized column reference
+    * to make those free). Fewer than n tokens → empty array (zip_with
+    * pads with null → concat null-propagates → filtered).
+    */
+  def ngramsOf(toks: String, n: Int): String = {
+    require(n >= 2, s"ngramsOf needs n >= 2, got $n")
+    val folded = (2 to n).foldLeft(toks) { (acc, i) =>
+      s"zip_with($acc, slice($toks, $i, size($toks)), (x, y) -> concat(x, ' ', y))"
+    }
+    s"filter($folded, s -> s IS NOT NULL)"
+  }
+
+  /** Gopher-style repetition metrics per document — the standard
+    * training-data quality signals for boilerplate/spam:
+    *
+    *   - `dup_word_frac`     1 − distinct/total tokens
+    *   - `top_bigram_frac`   occurrences of the most frequent bigram /
+    *                         total bigrams
+    *   - `dup_trigram_frac`  1 − distinct/total trigrams
+    *
+    * Scale shape: the per-row fractions are pure expressions; the
+    * top-bigram count explodes bigrams, hashes each ONCE (64-bit — the
+    * shuffle carries (id, long) not strings), and partial-aggregates
+    * counts, so the only shuffles are map-side-combined groupBys on id.
+    * The tokenizer runs twice per row (per-row branch + explode branch)
+    * — per-row regex beats persisting the token arrays of a 100 TB
+    * corpus across stages.
+    */
+  def repetitionMetrics(df: DataFrame, textCol: String, idCol: String,
+                        ngramHash: Column => Column = xxhash64(_)): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(textCol))
+      .withColumn("__toks", expr(tokensExpr(textCol)))
+      .withColumn("__bg", expr(ngramsOf("__toks", 2)))
+      .withColumn("__tg", expr(ngramsOf("__toks", 3)))
+    val perRow = base.select(col("id"),
+      expr("size(__toks)").cast("bigint").as("token_count"),
+      expr("""CASE WHEN size(__toks) = 0 THEN 0.0
+             |ELSE 1.0 - size(array_distinct(__toks)) / cast(size(__toks) as double)
+             |END""".stripMargin).as("dup_word_frac"),
+      expr("""CASE WHEN size(__tg) = 0 THEN 0.0
+             |ELSE 1.0 - size(array_distinct(__tg)) / cast(size(__tg) as double)
+             |END""".stripMargin).as("dup_trigram_frac"),
+      expr("size(__bg)").cast("bigint").as("__nbg"))
+    val top = base.select(col("id"), explode(col("__bg")).as("b"))
+      .select(col("id"), ngramHash(col("b")).as("h"))
+      .groupBy("id", "h").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(max(col("c")).as("__mx"))
+    perRow.join(top, Seq("id"), "left")
+      .select(col("id"), col("token_count"), col("dup_word_frac"),
+        when(col("__nbg") === 0, lit(0.0))
+          .otherwise(coalesce(col("__mx"), lit(0L)).cast("double")
+            / col("__nbg").cast("double")).as("top_bigram_frac"),
+        col("dup_trigram_frac"))
+  }
+
+  /** Benchmark decontamination: flag every document sharing at least one
+    * word n-gram with the benchmark/eval corpus (the standard guard
+    * against test-set leakage into training data). Returns one row per
+    * document: (id, overlap_shingles, contaminated).
+    *
+    * Scale shape: both sides shingle → hash once (64-bit) → distinct, so
+    * the join carries (id, long) pairs, never text. The benchmark shingle
+    * set (eval suites are ~10⁴–10⁶ docs vs a 10⁹-doc corpus) is
+    * broadcast — the corpus side is a single map-side pass plus one
+    * partial-aggregated count per contaminated doc. Documents shorter
+    * than n tokens yield no shingles and are never flagged.
+    */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, textCol: String,
+                    idCol: String, n: Int = 8,
+                    ngramHash: Column => Column = xxhash64(_)): DataFrame = {
+    def shingleHashes(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("id"),
+          explode(expr(ngramsOf(tokensExpr(textCol), n))).as("s"))
+        .select(col("id"), ngramHash(col("s")).as("h"))
+        .distinct()
+    val hits = shingleHashes(docs)
+      .join(broadcast(shingleHashes(benchmark).select("h").distinct()), Seq("h"))
+      .groupBy("id").agg(count(lit(1)).as("overlap_shingles"))
+    docs.select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("overlap_shingles"), lit(0L)).as("overlap_shingles"),
+        (coalesce(col("overlap_shingles"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** The clean subset of `docs`: rows sharing no n-gram with the
+    * benchmark (anti join against the flagged ids).
+    */
+  def decontaminated(docs: DataFrame, benchmark: DataFrame, textCol: String,
+                     idCol: String, n: Int = 8,
+                     ngramHash: Column => Column = xxhash64(_)): DataFrame =
+    docs.join(
+      decontaminate(docs, benchmark, textCol, idCol, n, ngramHash)
+        .filter(col("contaminated")).select(col("id").as("__cid")),
+      docs(idCol) === col("__cid"), "left_anti")
+
   /** One-call enrichment producing all text-analysis columns. The token
     * array is projected ONCE (`__toks`); every metric then references the
     * materialized column — CollapseProject keeps the projection because the

@@ -206,6 +206,51 @@ class PipelineSpec extends SparkTestBase {
     assert(a == 1)
   }
 
+  test("repetition metrics: hand-computed Gopher-style fractions") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a a b"), // 4 toks 2 distinct; bigrams [aa,aa,ab] top 2/3; trigrams [aaa,aab] distinct
+      (2L, "x y"),     // 1 bigram → top 1.0; no trigrams
+      (3L, "z"),       // no bigrams at all
+      (4L, "")         // no tokens at all
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionMetrics(df, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(m(1L).getAs[Long]("token_count") == 4)
+    assert(m(1L).getAs[Double]("dup_word_frac") == 0.5)
+    assert(math.abs(m(1L).getAs[Double]("top_bigram_frac") - 2.0 / 3.0) < 1e-15)
+    assert(m(1L).getAs[Double]("dup_trigram_frac") == 0.0)
+    assert(m(2L).getAs[Double]("top_bigram_frac") == 1.0)
+    assert(m(2L).getAs[Double]("dup_trigram_frac") == 0.0)
+    assert(m(3L).getAs[Double]("top_bigram_frac") == 0.0)
+    assert(m(4L).getAs[Long]("token_count") == 0)
+    assert(m(4L).getAs[Double]("dup_word_frac") == 0.0)
+  }
+
+  test("decontaminate flags n-gram overlap with the benchmark set") {
+    import spark.implicits._
+    val bench = Seq((100L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "zzz one two three four five six seven eight yyy"), // carries one bench 8-gram
+      (2L, "totally unrelated words about storage engines and columnar formats kept"),
+      (3L, "too short to shingle") // < 8 tokens → no shingles, never flagged
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.decontaminate(corpus, bench, "text", "doc_id", n = 8)
+    val byId = out.collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(byId.size == 3)
+    assert(byId(1L).getAs[Boolean]("contaminated"))
+    assert(byId(1L).getAs[Long]("overlap_shingles") == 1L)
+    assert(!byId(2L).getAs[Boolean]("contaminated"))
+    assert(!byId(3L).getAs[Boolean]("contaminated"))
+    // clean-subset convenience drops exactly the flagged doc
+    val clean = TextAnalysis.decontaminated(corpus, bench, "text", "doc_id", n = 8)
+    assert(clean.select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+    // scale guard: the benchmark join must never be a cartesian product
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("multimodal: payload metadata + batched feature extraction shape") {
     import spark.implicits._
     val df = Seq((1L, "some text payload"), (2L, "other payload")).toDF("id", "text")
