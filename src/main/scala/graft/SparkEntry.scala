@@ -210,7 +210,24 @@ object SparkEntry {
       Some("""SELECT o_orderkey, o_totalprice FROM orders
              |WHERE xor((o_orderkey % 1000000000) * 2654435761,
              |          ((o_orderkey % 1000000000) * 2654435761) >> 31) % 1000 < 50
-             |ORDER BY o_orderkey""".stripMargin))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    Q("q08_stratified_sample",
+      (s, d) => {
+        val m = mgr(s, d)
+        // deterministic n-per-stratum: same xor-fold hash as q07 as the
+        // in-stratum ranking key, so the oracle ranks identically
+        Views.stratifiedSample(m.getDDFByName("orders"), "o_orderstatus",
+            n = 20, keyCol = "o_orderkey")
+          .df.select("o_orderkey", "o_orderstatus").orderBy("o_orderstatus", "o_orderkey")
+      },
+      Some("""WITH h AS (SELECT o_orderkey, o_orderstatus,
+             |    (o_orderkey % 1000000000) * 2654435761 AS p FROM orders),
+             |r AS (SELECT o_orderkey, o_orderstatus,
+             |    row_number() OVER (PARTITION BY o_orderstatus
+             |      ORDER BY xor(p, p >> 31) % 1000000007, o_orderkey) AS rn FROM h)
+             |SELECT o_orderkey, o_orderstatus FROM r WHERE rn <= 20
+             |ORDER BY o_orderstatus, o_orderkey""".stripMargin))
   )
 
   // =====================================================================
@@ -1439,6 +1456,55 @@ object SparkEntry {
               |  coalesce(n, 0) > 0 AS contaminated
               |FROM toks t LEFT JOIN hits USING (doc_id)
               |WHERE t.doc_id % 37 != 0 ORDER BY doc_id""".stripMargin)),
+
+    Q("t05_redact_pii",
+      (s, d) => {
+        val m = mgr(s, d)
+        // synthesize PII-bearing text from customer fields (a TPC-H-style
+        // phone, a derived email and IPv4), then redact all three
+        val phone = concat(
+          lpad((col("c_nationkey") + 10).cast("string"), 2, "0"), lit("-"),
+          lpad(pmod(col("c_custkey"), lit(1000)).cast("string"), 3, "0"), lit("-"),
+          lpad(pmod(col("c_custkey") * 7, lit(1000)).cast("string"), 3, "0"), lit("-"),
+          lpad(pmod(col("c_custkey") * 13, lit(10000)).cast("string"), 4, "0"))
+        val txt = concat(lit("contact "), col("c_name"), lit(" at "), phone,
+          lit(" or mail "),
+          lower(regexp_replace(col("c_name"), "[^A-Za-z0-9]", ".")),
+          lit("@example.com from host 10.1."),
+          pmod(col("c_custkey"), lit(200)).cast("string"), lit(".7"))
+        m.getDDFByName("customer").df
+          .select(col("c_custkey"), pipeline.TextAnalysis.redactPII(txt).as("redacted"))
+          .orderBy("c_custkey")
+      },
+      Some("""WITH t AS (SELECT c_custkey,
+             |  'contact ' || c_name || ' at '
+             |    || lpad((c_nationkey + 10)::VARCHAR, 2, '0') || '-'
+             |    || lpad((c_custkey % 1000)::VARCHAR, 3, '0') || '-'
+             |    || lpad((c_custkey * 7 % 1000)::VARCHAR, 3, '0') || '-'
+             |    || lpad((c_custkey * 13 % 10000)::VARCHAR, 4, '0') || ' or mail '
+             |    || lower(regexp_replace(c_name, '[^A-Za-z0-9]', '.', 'g'))
+             |    || '@example.com from host 10.1.'
+             |    || (c_custkey % 200)::VARCHAR || '.7' AS txt FROM customer)
+             |SELECT c_custkey, regexp_replace(regexp_replace(regexp_replace(txt,
+             |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |  '\d{2,3}[-. ]\d{3}[-. ]\d{3,4}[-. ]\d{4}', '<PHONE>', 'g'),
+             |  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+             |FROM t ORDER BY c_custkey""".stripMargin)),
+
+    Q("t06_vocabulary",
+      (s, d) => {
+        val m = mgr(s, d)
+        pipeline.TextAnalysis.vocabulary(
+            m.getDDFByName("documents").df, "text", "doc_id", minDocFreq = 5)
+          .orderBy("token")
+      },
+      Some(s"""WITH ex AS (SELECT doc_id, unnest(${duckToks("text")}) AS token
+              |  FROM documents),
+              |g AS (SELECT token, doc_id, count(*) AS c FROM ex GROUP BY 1, 2)
+              |SELECT token, count(*)::BIGINT AS doc_freq,
+              |  sum(c)::BIGINT AS term_count
+              |FROM g GROUP BY token HAVING count(*) >= 5
+              |ORDER BY token""".stripMargin)),
 
     Q("m01_multimodal_meta",
       (s, d) => {

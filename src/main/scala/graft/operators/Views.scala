@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.core.DDF
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Projection / row-view operators (SURVEY §2.2; reference:
@@ -124,5 +124,31 @@ object Views {
     val prod = pmod(col(keyCol).cast("long"), lit(1000000000L)) * lit(2654435761L)
     ddf.derive(ddf.df.filter(
       pmod(prod.bitwiseXOR(shiftright(prod, 31)), lit(1000L)) < lit(perMille.toLong)))
+  }
+
+  /** The hashSample xor-fold as a total ordering key (large modulus):
+    * pure int64 arithmetic any engine reproduces exactly.
+    */
+  private def spreadHash(c: Column): Column = {
+    val prod = pmod(c.cast("long"), lit(1000000000L)) * lit(2654435761L)
+    pmod(prod.bitwiseXOR(shiftright(prod, 31)), lit(1000000007L))
+  }
+
+  /** Exact-n-per-stratum sample, deterministic: rank rows inside each
+    * stratum by a pure hash of the key (ties broken by the key itself)
+    * and keep the first n — a data-defined sample that re-runs, engines,
+    * and incremental reprocessing all reproduce, unlike RNG sampling.
+    *
+    * Scale shape: ONE hash-partitioned window shuffle on the stratum
+    * column. Caveat: with very few very large strata the per-stratum sort
+    * serializes onto few tasks — pre-filter with [[hashSample]] at a rate
+    * comfortably above n/|stratum| first, then rank the survivors.
+    */
+  def stratifiedSample(ddf: DDF, strataCol: String, n: Int, keyCol: String): DDF = {
+    require(n > 0, s"n must be positive, got $n")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(spreadHash(col(keyCol)), col(keyCol))
+    ddf.derive(ddf.df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n).drop("__rn"))
   }
 }

@@ -208,6 +208,41 @@ object TextAnalysis {
         .filter(col("contaminated")).select(col("id").as("__cid")),
       docs(idCol) === col("__cid"), "left_anti")
 
+  /** PII redaction: replace emails, phone-shaped numbers, and IPv4
+    * addresses with typed placeholders. Pure per-row regexp chain
+    * (codegen'd, shuffle-free); patterns are (regex, replacement) pairs
+    * applied in order, so callers can extend or re-order. The defaults
+    * use only RE2-compatible syntax — portable to engines whose regex is
+    * RE2 (no lookbehind).
+    */
+  val defaultPiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\d{2,3}[-. ]\\d{3}[-. ]\\d{3,4}[-. ]\\d{4}" -> "<PHONE>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>")
+
+  def redactPII(textCol: Column,
+                patterns: Seq[(String, String)] = defaultPiiPatterns): Column =
+    patterns.foldLeft(textCol) { case (c, (re, repl)) => regexp_replace(c, re, repl) }
+
+  /** Corpus vocabulary with document and term frequencies: one row per
+    * token with `doc_freq` (documents containing it) and `term_count`
+    * (total occurrences), keeping tokens with doc_freq >= minDocFreq.
+    * The building block for IDF weighting, stopword discovery, and
+    * tokenizer-vocab induction.
+    *
+    * Scale shape: explode → two map-side-combined groupBys ((id, token)
+    * then token) — doc_freq without a count-distinct expand. The final
+    * frame is vocabulary-sized, not corpus-sized. (IDF itself is left to
+    * the caller: log() is the one step whose last-bit rounding differs
+    * across engines, so the exact-count contract stops here.)
+    */
+  def vocabulary(df: DataFrame, textCol: String, idCol: String,
+                 minDocFreq: Long = 1L): DataFrame =
+    df.select(col(idCol).as("id"), explode(expr(tokensExpr(textCol))).as("token"))
+      .groupBy("token", "id").agg(count(lit(1)).as("__c"))
+      .groupBy("token").agg(count(lit(1)).as("doc_freq"), sum("__c").as("term_count"))
+      .filter(col("doc_freq") >= minDocFreq)
+
   /** One-call enrichment producing all text-analysis columns. The token
     * array is projected ONCE (`__toks`); every metric then references the
     * materialized column — CollapseProject keeps the projection because the

@@ -260,6 +260,21 @@ class OperatorsSpec extends SparkTestBase {
     assert(s > 5 && s < 45)
   }
 
+  test("views: stratifiedSample is exact-n per stratum and deterministic") {
+    import spark.implicits._
+    val ddf = m.register((1L to 300L).map(i => (i, if (i % 3 == 0) "a" else "b"))
+      .toDF("k", "g"))
+    val s1 = Views.stratifiedSample(ddf, "g", 10, "k").df.collect()
+    assert(s1.length == 20, "10 per stratum × 2 strata")
+    assert(s1.count(_.getString(1) == "a") == 10 && s1.count(_.getString(1) == "b") == 10)
+    // pure function of the data: a second run picks the SAME rows
+    val s2 = Views.stratifiedSample(ddf, "g", 10, "k").df.collect()
+    assert(s1.map(_.getLong(0)).toSet == s2.map(_.getLong(0)).toSet)
+    // n larger than a stratum degenerates to the whole stratum
+    val all = Views.stratifiedSample(ddf, "g", 1000, "k").df.count()
+    assert(all == 300)
+  }
+
   test("views: hashSample is deterministic, monotone in rate, and key-pure") {
     import spark.implicits._
     val ddf = m.register((1L to 2000L).map(i => (i, s"v$i")).toDF("k", "v"))

@@ -251,6 +251,43 @@ class PipelineSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("redactPII masks emails, phones, and IPv4; leaves clean text alone") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "write to alice.smith+spam@sub.example.co.uk today"),
+      (2L, "call 25-989-741-2988 or 123 456 7890 1234"),
+      (3L, "server at 192.168.0.1 responded"),
+      (4L, "no pii here, just 42 words and 3.14"),
+      (5L, "version 1.2.3.4.5 is not an ip boundary case")
+    ).toDF("id", "text")
+    val out = df.select(col("id"), TextAnalysis.redactPII(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "write to <EMAIL> today")
+    assert(out(2L) == "call <PHONE> or <PHONE>")
+    assert(out(3L) == "server at <IP> responded")
+    assert(out(4L) == "no pii here, just 42 words and 3.14")
+    // 1.2.3.4.5: the first four octets match the IPv4 shape — the \b
+    // boundary is between '4' and '.', so the match is allowed; pin the
+    // actual behavior so a pattern change is a conscious decision
+    assert(out(5L) == "version <IP>.5 is not an ip boundary case")
+  }
+
+  test("vocabulary: document and term frequencies with minDocFreq floor") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spark spark flink"),
+      (2L, "spark beam"),
+      (3L, "flink beam beam")
+    ).toDF("doc_id", "text")
+    val v = TextAnalysis.vocabulary(df, "text", "doc_id")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(v("spark") == (2L, 3L), "2 docs, 3 occurrences")
+    assert(v("flink") == (2L, 2L))
+    assert(v("beam") == (2L, 3L))
+    val floored = TextAnalysis.vocabulary(df, "text", "doc_id", minDocFreq = 3)
+    assert(floored.count() == 0, "no token reaches 3 documents")
+  }
+
   test("multimodal: payload metadata + batched feature extraction shape") {
     import spark.implicits._
     val df = Seq((1L, "some text payload"), (2L, "other payload")).toDF("id", "text")
