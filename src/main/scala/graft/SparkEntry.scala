@@ -479,6 +479,24 @@ object SparkEntry {
       (s, d) => mgr(s, d).sql2ddf(momentsSql).df,
       Some(momentsSql)),
 
+    Q("q47_group_median",
+      (s, d) => {
+        val m = mgr(s, d)
+        // exact median by middle-rank selection — integer ranking +
+        // decimal mean, engine-independent (no double interpolation)
+        Stats.groupMedian(m.getDDFByName("orders").df, "o_orderstatus", "o_totalprice")
+          .orderBy("o_orderstatus")
+      },
+      Some("""WITH f AS (SELECT o_orderstatus, o_totalprice FROM orders
+             |  WHERE o_totalprice IS NOT NULL),
+             |r AS (SELECT o_orderstatus, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice) AS rn,
+             |    count(*) OVER (PARTITION BY o_orderstatus) AS n FROM f)
+             |SELECT o_orderstatus,
+             |  sum(o_totalprice::DECIMAL(38,2))::DOUBLE / count(*) AS median
+             |FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     Q("q37_unpivot",
       (s, d) => {
         val m = mgr(s, d)

@@ -200,6 +200,48 @@ object Stats {
       .map { case (c, rows) => c -> rows.map(r => r.getString(1) -> r.getLong(2)).toMap }
   }
 
+  /** Exact per-group median by middle-rank selection: rank inside each
+    * group, keep the middle row (odd n) or both middle rows (even n),
+    * average them through an exact decimal sum. Unlike interpolation-based
+    * `percentile`, every step is integer ranking + decimal arithmetic, so
+    * any engine reproduces it bit-for-bit (oracle-determinism rule: the
+    * result of interpolating in doubles is engine-rounding-dependent; the
+    * mean of two exact d-decimal values is not).
+    *
+    * `exactDecimals`: declared decimal precision of the value column.
+    * Scale shape: one window shuffle (sort within groups — the honest
+    * exact-median cost); use `percentile_approx` when an ε-approximation
+    * is acceptable.
+    */
+  def groupMedian(df: DataFrame, groupCol: String, valCol: String,
+                  exactDecimals: Int = 2): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col(valCol))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+    df.na.drop(Seq(valCol))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .filter(col("__rn") === floor((col("__n") + 1) / lit(2)) ||
+              col("__rn") === floor((col("__n") + 2) / lit(2)))
+      .groupBy(groupCol)
+      .agg((sum(col(valCol).cast(DecimalType(38, exactDecimals))).cast(DoubleType)
+        / count(lit(1))).as("median"))
+  }
+
+  /** Approximate distinct-value counts (HyperLogLog++) for many columns
+    * in ONE aggregate pass — the sketch twin of [[multiFactorCounts]] for
+    * columns whose cardinality is too high to enumerate. `rsd` is the
+    * relative standard deviation (Spark default 0.05). Mergeable partial
+    * sketches: one reduce, no shuffle of values.
+    */
+  def approxDistinctCounts(df: DataFrame, cols: Seq[String],
+                           rsd: Double = 0.05): Map[String, Long] = {
+    if (cols.isEmpty) return Map.empty
+    val aggs = cols.map(c => approx_count_distinct(col(c), rsd).as(c))
+    val row = df.agg(aggs.head, aggs.tail: _*).first()
+    cols.map(c => c -> row.getAs[Long](c)).toMap
+  }
+
   def setFactorsAndCompute(ddf: DDF, cols: Seq[String]): Unit = {
     val counts = multiFactorCounts(ddf.df, cols)
     cols.foreach { c =>

@@ -69,6 +69,33 @@ class StatsSpec extends SparkTestBase {
     assert(mn.isNaN && mx.isNaN)
   }
 
+  test("groupMedian: odd picks middle, even averages the two middles exactly") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1.0), ("a", 7.0), ("a", 3.0),                 // odd: median 3.0
+      ("b", 10.10), ("b", 10.15), ("b", 20.0), ("b", 30.0), // even: (10.15+20)/2
+      ("c", 5.0)                                           // singleton
+    ).toDF("g", "v")
+    val m = Stats.groupMedian(df, "g", "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("a") == 3.0)
+    assert(m("b") == (10.15 + 20.0) / 2)
+    assert(m("c") == 5.0)
+    // nulls are excluded before ranking
+    val withNull = Seq(("a", Some(1.0)), ("a", None), ("a", Some(9.0)))
+      .toDF("g", "v")
+    assert(Stats.groupMedian(withNull, "g", "v").first().getDouble(1) == 5.0)
+  }
+
+  test("approxDistinctCounts: one-pass HLL within rsd of exact") {
+    import spark.implicits._
+    val df = (1 to 10000).map(i => (i.toLong, (i % 97).toLong)).toDF("uniq", "mod97")
+    val approx = Stats.approxDistinctCounts(df, Seq("uniq", "mod97"), rsd = 0.02)
+    assert(math.abs(approx("uniq") - 10000.0) / 10000.0 < 0.06)
+    assert(math.abs(approx("mod97") - 97.0) / 97.0 < 0.06)
+    assert(Stats.approxDistinctCounts(df, Nil).isEmpty)
+  }
+
   test("quantiles/histogram on an all-null column fail with a clear message") {
     import spark.implicits._
     val ddf = m.register(Seq(Option.empty[Double], None).toDF("allnull"))

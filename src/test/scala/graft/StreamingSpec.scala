@@ -130,6 +130,29 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.count() == sampleRows.size)
   }
 
+  test("text enrichment is streaming-safe: stream result equals batch") {
+    // the curation path (enrich = per-row metrics only) must stay free of
+    // batch-only constructs so it can run inside a readStream pipeline
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq((1L, "the cat and the dog of the house"),
+      (2L, "le chat de la maison et le chien est grand"))
+    val expected = graft.pipeline.TextAnalysis.enrich(
+        rows.toDF("doc_id", "text"), "text")
+      .collect().map(_.toSeq).toSet
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(rows: _*)
+    val q = graft.pipeline.TextAnalysis.enrich(
+        stream.toDF().toDF("doc_id", "text"), "text")
+      .writeStream.format("memory").queryName("enrich_stream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("enrich_stream").collect().map(_.toSeq).toSet
+      assert(got == expected)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("slidingUserActivity emits overlapping windows") {
     import spark.implicits._
     val out = EventStreams.slidingUserActivity(sampleRows.toDF(), "1 hour", "30 minutes")
