@@ -1524,6 +1524,27 @@ object SparkEntry {
               |FROM g GROUP BY token HAVING count(*) >= 5
               |ORDER BY token""".stripMargin)),
 
+    Q("t07_chunking",
+      (s, d) => {
+        val m = mgr(s, d)
+        // context-window chunking: 16-token windows, 4-token overlap
+        pipeline.TextAnalysis.chunkByTokens(
+            m.getDDFByName("documents").df, "text", "doc_id",
+            maxTokens = 16, overlap = 4)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id", "chunk_id")
+      },
+      // step = 12; chunk i = tokens [i*12+1, i*12+16] (1-based inclusive)
+      Some(s"""WITH toks AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),
+              |nz AS (SELECT doc_id, tk,
+              |    ceil(greatest(len(tk) - 4, 1) / 12.0)::INT AS n
+              |  FROM toks WHERE len(tk) > 0),
+              |ex AS (SELECT doc_id, tk, unnest(range(0, n)) AS chunk_id FROM nz)
+              |SELECT doc_id, chunk_id,
+              |  len(tk[chunk_id*12+1 : chunk_id*12+16])::BIGINT AS n_tokens,
+              |  array_to_string(tk[chunk_id*12+1 : chunk_id*12+16], ' ') AS chunk
+              |FROM ex ORDER BY doc_id, chunk_id""".stripMargin)),
+
     Q("m01_multimodal_meta",
       (s, d) => {
         val m = mgr(s, d)

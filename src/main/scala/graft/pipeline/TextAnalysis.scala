@@ -243,6 +243,38 @@ object TextAnalysis {
       .groupBy("token").agg(count(lit(1)).as("doc_freq"), sum("__c").as("term_count"))
       .filter(col("doc_freq") >= minDocFreq)
 
+  /** Split documents into overlapping token windows — the
+    * context-window chunking step of a training pipeline. Emits one row
+    * per chunk: (id, chunk_id, n_tokens, chunk). Chunk i covers tokens
+    * [i·(maxTokens−overlap), …+maxTokens); the chunk count
+    * ceil(max(nTok−overlap, 1) / (maxTokens−overlap)) guarantees every
+    * token is covered and the last chunk still ends at the document tail.
+    * Empty documents produce no chunks.
+    *
+    * Pure per-row expression work (tokenize → arithmetic → slice), no
+    * shuffle: scales with scan throughput. The token array is a
+    * multiply-referenced projected column, so the tokenizer runs once
+    * per row, and the explode carries only (id, small int) alongside it.
+    */
+  def chunkByTokens(df: DataFrame, textCol: String, idCol: String,
+                    maxTokens: Int, overlap: Int = 0): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap must be in [0, maxTokens), got $overlap")
+    val step = maxTokens - overlap
+    df.select(col(idCol).as("id"), expr(tokensExpr(textCol)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .withColumn("__n",
+        expr(s"cast(ceil(greatest(size(__toks) - $overlap, 1) / $step.0) as int)"))
+      .select(col("id"), col("__toks"),
+        explode(expr("sequence(0, __n - 1)")).as("chunk_id"))
+      .select(col("id"), col("chunk_id").cast("bigint").as("chunk_id"),
+        expr(s"size(slice(__toks, chunk_id * $step + 1, $maxTokens))")
+          .cast("bigint").as("n_tokens"),
+        expr(s"array_join(slice(__toks, chunk_id * $step + 1, $maxTokens), ' ')")
+          .as("chunk"))
+  }
+
   /** One-call enrichment producing all text-analysis columns. The token
     * array is projected ONCE (`__toks`); every metric then references the
     * materialized column — CollapseProject keeps the projection because the

@@ -288,6 +288,30 @@ class PipelineSpec extends SparkTestBase {
     assert(floored.count() == 0, "no token reaches 3 documents")
   }
 
+  test("chunkByTokens: overlapping windows cover every token exactly") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), // 10 toks → 3 chunks (4, ov 1)
+      (2L, "a b"),                             // fits in one chunk
+      (3L, "")                                 // no tokens → no chunks
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkByTokens(df, "text", "doc_id", maxTokens = 4, overlap = 1)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("chunk_id"),
+        r.getAs[Long]("n_tokens"), r.getAs[String]("chunk")))
+    val doc1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(doc1.map(_._4).toSeq == Seq("t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    assert(doc1.map(_._3).toSeq == Seq(4L, 4L, 4L))
+    // reassembly property: drop the overlap prefix of every chunk after
+    // the first; concatenation must equal the original token stream
+    val reassembled = doc1.zipWithIndex.flatMap { case ((_, _, _, c), i) =>
+      val toks = c.split(" ").toSeq
+      if (i == 0) toks else toks.drop(1)
+    }
+    assert(reassembled.toSeq == (1 to 10).map(i => s"t$i"))
+    assert(out.count(_._1 == 2L) == 1 && out.filter(_._1 == 2L).head._4 == "a b")
+    assert(!out.exists(_._1 == 3L))
+  }
+
   test("multimodal: payload metadata + batched feature extraction shape") {
     import spark.implicits._
     val df = Seq((1L, "some text payload"), (2L, "other payload")).toDF("id", "text")
