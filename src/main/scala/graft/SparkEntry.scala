@@ -1422,6 +1422,27 @@ object SparkEntry {
               |    (acc, x) -> (acc * 31 + x) % 1000000007) AS rhash
               |FROM n ORDER BY doc_id""".stripMargin)),
 
+    Q("d08_incremental_dedup",
+      (s, d) => {
+        val m = mgr(s, d)
+        val docs = m.getDDFByName("documents").df
+        // ingest shape: first half of the corpus is the existing index,
+        // second half arrives as the new batch
+        val index = pipeline.Dedup.exact(docs.filter(col("doc_id") % 2 === 0),
+          "text", "doc_id").select("fingerprint")
+        pipeline.Dedup.incrementalExact(docs.filter(col("doc_id") % 2 === 1),
+            index, "text", "doc_id")
+          .orderBy("fingerprint")
+      },
+      Some(s"""WITH fp AS (SELECT doc_id, md5(${duckNorm("text")}) AS fingerprint
+              |  FROM documents),
+              |idx AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 2 = 0),
+              |batch AS (SELECT fingerprint, min(doc_id) AS keep_id FROM fp
+              |  WHERE doc_id % 2 = 1 GROUP BY 1)
+              |SELECT fingerprint, keep_id FROM batch
+              |WHERE fingerprint NOT IN (SELECT fingerprint FROM idx)
+              |ORDER BY fingerprint""".stripMargin)),
+
     Q("t03_repetition",
       (s, d) => {
         val m = mgr(s, d)

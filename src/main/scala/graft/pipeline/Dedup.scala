@@ -35,6 +35,28 @@ object Dedup {
     df.join(reps, idCol) // broadcast-able when the dup rate is high
   }
 
+  /** Incremental exact dedup: the production ingest shape — dedup a new
+    * batch against an existing fingerprint index WITHOUT rescanning the
+    * corpus. Returns the new batch's survivors: first occurrence (min id)
+    * of each fingerprint not already present in `knownFingerprints`
+    * (a single `fingerprint` string column, e.g. persisted from
+    * [[exact]]'s output).
+    *
+    * Scale shape: the batch is fingerprinted per-row, in-batch dups
+    * collapse via one partial-aggregated groupBy on the 16-byte md5 key,
+    * and the index probe is a left-anti equi-join on that key — the
+    * index side streams from its (bucketable) store; nothing rescans
+    * document bodies. Union the survivors' fingerprints back into the
+    * index for the next batch.
+    */
+  def incrementalExact(newDocs: DataFrame, knownFingerprints: DataFrame,
+                       textCol: String, idCol: String): DataFrame = {
+    val batch = newDocs
+      .select(col(idCol), md5(normText(col(textCol))).as("fingerprint"))
+      .groupBy("fingerprint").agg(min(col(idCol)).as("keep_id"))
+    batch.join(knownFingerprints.select("fingerprint"), Seq("fingerprint"), "left_anti")
+  }
+
   /** Whitespace tokens of the normalized text. */
   def tokens(c: Column): Column = split(normText(c), " ")
 

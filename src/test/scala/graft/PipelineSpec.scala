@@ -27,6 +27,20 @@ class PipelineSpec extends SparkTestBase {
     assert(Dedup.exactSurvivors(docs(), "text", "doc_id").count() == 4)
   }
 
+  test("incrementalExact: new batch dedups against the index without rescan") {
+    import spark.implicits._
+    val index = Dedup.exact(docs(), "text", "doc_id").select("fingerprint")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank today"), // already indexed (dup of 1)
+      (11L, "a genuinely new document about stream processing"),
+      (12L, "a genuinely new document about stream processing"), // in-batch dup of 11
+      (13L, "another new document entirely")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalExact(batch, index, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("keep_id")).toSet
+    assert(out == Set(11L, 13L), "known doc dropped; in-batch dup collapsed to min id")
+  }
+
   test("minhash-LSH finds the planted near-duplicate pair") {
     val pairs = Dedup.minhashDedup(docs(), "text", "doc_id", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
