@@ -116,22 +116,21 @@ object Views {
     */
   def hashSample(ddf: DDF, keyCol: String, perMille: Int): DDF = {
     require(perMille >= 0 && perMille <= 1000, s"perMille must be 0..1000, got $perMille")
-    // xor-fold the product's high bits into its low bits before the mod:
-    // raw low bits of k·A are a bijection of k mod 1000 (stride-allocated
-    // keys would land in ONE bucket), while high bits alone wrap unevenly
-    // for small dense keys — the fold spreads both. Overflow-safe:
-    // (k mod 1e9)·A < 2^62, xor of non-negatives stays non-negative.
-    val prod = pmod(col(keyCol).cast("long"), lit(1000000000L)) * lit(2654435761L)
-    ddf.derive(ddf.df.filter(
-      pmod(prod.bitwiseXOR(shiftright(prod, 31)), lit(1000L)) < lit(perMille.toLong)))
+    ddf.derive(ddf.df.filter(xorFold(col(keyCol), 1000L) < lit(perMille.toLong)))
   }
 
-  /** The hashSample xor-fold as a total ordering key (large modulus):
-    * pure int64 arithmetic any engine reproduces exactly.
+  /** Knuth-multiply + xor-fold bucket hash, shared by [[hashSample]] and
+    * [[stratifiedSample]] (the q07/q08 oracles replicate this arithmetic
+    * — keep the two operators in lockstep). Xor-folding the product's
+    * high bits into its low bits before the mod matters: raw low bits of
+    * k·A are a bijection of k mod m (stride-allocated keys would land in
+    * ONE bucket), while high bits alone wrap unevenly for small dense
+    * keys. Overflow-safe: (k mod 1e9)·A < 2^62, xor of non-negatives
+    * stays non-negative.
     */
-  private def spreadHash(c: Column): Column = {
+  private def xorFold(c: Column, modulus: Long): Column = {
     val prod = pmod(c.cast("long"), lit(1000000000L)) * lit(2654435761L)
-    pmod(prod.bitwiseXOR(shiftright(prod, 31)), lit(1000000007L))
+    pmod(prod.bitwiseXOR(shiftright(prod, 31)), lit(modulus))
   }
 
   /** Exact-n-per-stratum sample, deterministic: rank rows inside each
@@ -146,8 +145,14 @@ object Views {
     */
   def stratifiedSample(ddf: DDF, strataCol: String, n: Int, keyCol: String): DDF = {
     require(n > 0, s"n must be positive, got $n")
+    // numeric key required: cast(string as long) would be null per row
+    // (ANSI: a runtime error), degenerating the "sample" to first-n-by-key
+    require(ddf.schema(keyCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"stratifiedSample: key column '$keyCol' must be numeric " +
+        s"(got ${ddf.schema(keyCol).dataType.simpleString})")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(strataCol)).orderBy(spreadHash(col(keyCol)), col(keyCol))
+      .partitionBy(col(strataCol)).orderBy(xorFold(col(keyCol), 1000000007L), col(keyCol))
     ddf.derive(ddf.df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= n).drop("__rn"))
   }

@@ -179,17 +179,34 @@ object TextAnalysis {
     * partial-aggregated count per contaminated doc. Documents shorter
     * than n tokens yield no shingles and are never flagged.
     */
+  /** (id, h) shingle-hash pairs, NOT yet deduplicated — the token array
+    * is projected first so the tokenizer runs once per row (ngramsOf
+    * references the fragment ~2n−1 times; against a materialized column
+    * those references are free attribute reads).
+    */
+  private def shingleHashPairs(df: DataFrame, textCol: String, idCol: String,
+                               n: Int, ngramHash: Column => Column): DataFrame =
+    df.select(col(idCol).as("id"), expr(tokensExpr(textCol)).as("__toks"))
+      .select(col("id"), explode(expr(ngramsOf("__toks", n))).as("s"))
+      .select(col("id"), ngramHash(col("s")).as("h"))
+
+  /** Per-doc count of distinct shingles shared with the benchmark — only
+    * contaminated docs appear. The benchmark side dedups on h alone (one
+    * aggregation); the corpus side on (id, h).
+    */
+  private def contaminationHits(docs: DataFrame, benchmark: DataFrame,
+                                textCol: String, idCol: String, n: Int,
+                                ngramHash: Column => Column): DataFrame =
+    shingleHashPairs(docs, textCol, idCol, n, ngramHash).distinct()
+      .join(broadcast(
+        shingleHashPairs(benchmark, textCol, idCol, n, ngramHash)
+          .select("h").distinct()), Seq("h"))
+      .groupBy("id").agg(count(lit(1)).as("overlap_shingles"))
+
   def decontaminate(docs: DataFrame, benchmark: DataFrame, textCol: String,
                     idCol: String, n: Int = 8,
                     ngramHash: Column => Column = xxhash64(_)): DataFrame = {
-    def shingleHashes(df: DataFrame): DataFrame =
-      df.select(col(idCol).as("id"),
-          explode(expr(ngramsOf(tokensExpr(textCol), n))).as("s"))
-        .select(col("id"), ngramHash(col("s")).as("h"))
-        .distinct()
-    val hits = shingleHashes(docs)
-      .join(broadcast(shingleHashes(benchmark).select("h").distinct()), Seq("h"))
-      .groupBy("id").agg(count(lit(1)).as("overlap_shingles"))
+    val hits = contaminationHits(docs, benchmark, textCol, idCol, n, ngramHash)
     docs.select(col(idCol).as("id"))
       .join(hits, Seq("id"), "left")
       .select(col("id"),
@@ -198,14 +215,15 @@ object TextAnalysis {
   }
 
   /** The clean subset of `docs`: rows sharing no n-gram with the
-    * benchmark (anti join against the flagged ids).
+    * benchmark. Anti-joins the corpus directly against the contaminated
+    * ids — no corpus-wide left join for overlap counts nobody reads.
     */
   def decontaminated(docs: DataFrame, benchmark: DataFrame, textCol: String,
                      idCol: String, n: Int = 8,
                      ngramHash: Column => Column = xxhash64(_)): DataFrame =
     docs.join(
-      decontaminate(docs, benchmark, textCol, idCol, n, ngramHash)
-        .filter(col("contaminated")).select(col("id").as("__cid")),
+      contaminationHits(docs, benchmark, textCol, idCol, n, ngramHash)
+        .select(col("id").as("__cid")),
       docs(idCol) === col("__cid"), "left_anti")
 
   /** PII redaction: replace emails, phone-shaped numbers, and IPv4
