@@ -12,7 +12,8 @@ object Bench {
     "q10_tpch_q1", "q12_tpch_q3", "q20_join_inner", "q21_join_multikey", "q27_union_all",
     "q40_summary", "q43_histogram", "q62_window_rank", "q63_window_runsum",
     "q64_events_hourly", "d01_dedup_exact", "d02_dedup_minhash",
-    "a01_ann_brute", "t01_text_enrich", "s01_sessionize", "j01_asof_join")
+    "a01_ann_brute", "t01_text_enrich", "t03_repetition", "t04_decontaminate",
+    "s01_sessionize", "j01_asof_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
