@@ -1119,6 +1119,40 @@ object SparkEntry {
   private val duckCos =
     "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
 
+  /** Deterministic, oracle-able near-dup edge set shared by d06/d09: the
+    * d05-style embedding cosine pairs (hash-exact vs DuckDB since r01) so
+    * connected components gets a recursive-CTE oracle. The minhash-edges
+    * variant stays covered by PipelineSpec.
+    */
+  private def embeddingPairs(m: DDFManager): DataFrame = {
+    val vecs = m.getDDFByName("embeddings").df.filter(col("vec_id") < 200)
+      .select(col("vec_id"), col("embedding").as("v"))
+    val l = vecs.alias("l"); val r = vecs.alias("r")
+    l.join(r, col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("id1"), col("r.vec_id").as("id2"),
+        pipeline.Similarity.cosine(col("l.v"), col("r.v")).as("c"))
+      .filter(col("c") >= 0.3)
+      .select("id1", "id2")
+  }
+
+  /** DuckDB CTE chain mirroring [[embeddingPairs]] + dupClusters: ends in
+    * `c(id, cluster_id)` — the min-reachable-label connected components.
+    * Callers append their own SELECT (and must open WITH RECURSIVE).
+    */
+  private def duckClusterCtes =
+    s"""dv AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |       FROM embeddings WHERE vec_id < 200),
+       |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2
+       |      FROM dv a JOIN dv b ON a.vec_id < b.vec_id
+       |      WHERE $duckCos >= 0.3),
+       |e AS (SELECT id1 AS src, id2 AS dst FROM p
+       |      UNION SELECT id2, id1 FROM p),
+       |n AS (SELECT DISTINCT src AS id FROM e),
+       |r AS (SELECT id, id AS lab FROM n
+       |      UNION
+       |      SELECT r.id, e.dst AS lab FROM r JOIN e ON e.src = r.lab),
+       |c AS (SELECT id, min(lab) AS cluster_id FROM r GROUP BY id)""".stripMargin
+
   private val pipelineQ: Seq[Q] = Seq(
     Q("d01_dedup_exact",
       (s, d) => {
@@ -1343,37 +1377,40 @@ object SparkEntry {
     Q("d06_dup_clusters",
       (s, d) => {
         val m = mgr(s, d)
-        // deterministic, oracle-able edge set: the d05 embedding near-dup
-        // pairs (hash-exact vs DuckDB since r01), so connected components
-        // gets a recursive-CTE oracle instead of a rows-only check. The
-        // minhash-edges variant stays covered by PipelineSpec.
-        val vecs = m.getDDFByName("embeddings").df.filter(col("vec_id") < 200)
-          .select(col("vec_id"), col("embedding").as("v"))
-        val l = vecs.alias("l"); val r = vecs.alias("r")
-        val pairs = l.join(r, col("l.vec_id") < col("r.vec_id"))
-          .select(col("l.vec_id").as("id1"), col("r.vec_id").as("id2"),
-            pipeline.Similarity.cosine(col("l.v"), col("r.v")).as("c"))
-          .filter(col("c") >= 0.3)
-          .select("id1", "id2")
-        pipeline.Dedup.dupClusters(pairs)
+        pipeline.Dedup.dupClusters(embeddingPairs(m))
           .groupBy("cluster_id").agg(count(lit(1)).as("csize"))
           .orderBy("cluster_id")
       },
       Some(s"""WITH RECURSIVE
-              |dv AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-              |       FROM embeddings WHERE vec_id < 200),
-              |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2
-              |      FROM dv a JOIN dv b ON a.vec_id < b.vec_id
-              |      WHERE $duckCos >= 0.3),
-              |e AS (SELECT id1 AS src, id2 AS dst FROM p
-              |      UNION SELECT id2, id1 FROM p),
-              |n AS (SELECT DISTINCT src AS id FROM e),
-              |r AS (SELECT id, id AS lab FROM n
-              |      UNION
-              |      SELECT r.id, e.dst AS lab FROM r JOIN e ON e.src = r.lab)
-              |SELECT cluster_id, count(*) AS csize FROM (
-              |  SELECT id, min(lab) AS cluster_id FROM r GROUP BY id)
+              |$duckClusterCtes
+              |SELECT cluster_id, count(*) AS csize FROM c
               |GROUP BY cluster_id ORDER BY cluster_id""".stripMargin)),
+
+    Q("d09_cluster_reps",
+      (s, d) => {
+        val m = mgr(s, d)
+        // quality-aware survivor choice: keep the max-L2-norm member of
+        // each near-dup cluster (norm² via the codegen'd dot product —
+        // same left-to-right double summation as DuckDB's
+        // list_dot_product, so the ranking key is bit-identical)
+        val scores = m.getDDFByName("embeddings").df.filter(col("vec_id") < 200)
+          .select(col("vec_id"),
+            graft.functions.VectorFunctions.dot(
+              expr("transform(embedding, x -> cast(x as double))"),
+              expr("transform(embedding, x -> cast(x as double))")).as("norm2"))
+        pipeline.Dedup.clusterRepresentativesBy(
+            pipeline.Dedup.dupClusters(embeddingPairs(m)), scores, "vec_id", "norm2")
+          .orderBy("cluster_id")
+      },
+      Some(s"""WITH RECURSIVE
+              |$duckClusterCtes,
+              |sc AS (SELECT vec_id AS id, list_dot_product(v, v) AS norm2 FROM dv),
+              |rr AS (SELECT c.cluster_id, c.id,
+              |    row_number() OVER (PARTITION BY c.cluster_id
+              |      ORDER BY sc.norm2 DESC, c.id DESC) AS rn
+              |  FROM c JOIN sc ON sc.id = c.id)
+              |SELECT cluster_id, id AS keep_id FROM rr WHERE rn = 1
+              |ORDER BY cluster_id""".stripMargin)),
 
     Q("t01_text_enrich",
       (s, d) => {

@@ -397,6 +397,24 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Quality-aware representative per duplicate cluster: where
+    * [[clusterSurvivors]] keeps the min-id member, this keeps the member
+    * maximizing `scoreCol` (quality score, vector norm, recency…) with
+    * ties broken by highest id — what a curation pipeline actually wants
+    * ("keep the best copy", not "keep the first copy"). One join of the
+    * cluster labels to the score frame plus one window shuffle on
+    * cluster_id; both frames are cluster-member-sized, not corpus-sized.
+    */
+  def clusterRepresentativesBy(clusters: DataFrame, scores: DataFrame,
+                               idCol: String, scoreCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col(scoreCol).desc, col("id").desc)
+    clusters.join(scores.select(col(idCol).as("id"), col(scoreCol)), "id")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("cluster_id"), col("id").as("keep_id"))
+  }
+
   /** Embedding cosine near-dup via BANDED sign-LSH: `bands` independent
     * bucket groups of `planesPerBand` hyperplanes each; a pair is a
     * candidate if it collides in ANY band (union across bands drives the

@@ -27,6 +27,18 @@ class PipelineSpec extends SparkTestBase {
     assert(Dedup.exactSurvivors(docs(), "text", "doc_id").count() == 4)
   }
 
+  test("clusterRepresentativesBy keeps the max-score member, ties to max id") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id1", "id2")
+    val scores = Seq((1L, 0.1), (2L, 0.9), (3L, 0.5), (4L, 0.2), (5L, 0.2))
+      .toDF("doc_id", "score")
+    val reps = Dedup.clusterRepresentativesBy(
+        Dedup.dupClusters(pairs), scores, "doc_id", "score")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps == Map(1L -> 2L, 4L -> 5L),
+      "cluster {1,2,3}: best score 2; cluster {4,5}: tie -> higher id")
+  }
+
   test("incrementalExact: new batch dedups against the index without rescan") {
     import spark.implicits._
     val index = Dedup.exact(docs(), "text", "doc_id").select("fingerprint")
