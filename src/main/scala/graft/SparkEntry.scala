@@ -1442,6 +1442,39 @@ object SparkEntry {
            |FROM sc ORDER BY doc_id""".stripMargin
       }),
 
+    Q("t08_balanced_lang_sample",
+      (s, d) => {
+        val m = mgr(s, d)
+        // composition: language-ID the corpus, then a deterministic
+        // exact-n sample per language — the "balance the mixture" step
+        val tagged = m.getDDFByName("documents").df
+          .select(col("doc_id"), pipeline.TextAnalysis.langId("text").as("lang_pred"))
+        Views.stratifiedSample(m.register(tagged), "lang_pred", 25, "doc_id")
+          .df.orderBy("lang_pred", "doc_id")
+      },
+      Some {
+        val langs = Seq("de", "en", "es", "fr")
+        val scoreExprs = langs.map { l =>
+          val set = pipeline.TextAnalysis.stopwords(l).map(w => s"'$w'").mkString("[", ",", "]")
+          s"len(list_filter(${duckToks("text")}, t -> list_contains($set, t)))" +
+            s" / greatest(len(${duckToks("text")}), 1)::DOUBLE AS s_$l"
+        }
+        s"""WITH sc AS (SELECT doc_id, ${scoreExprs.mkString(",\n  ")} FROM documents),
+           |lang AS (SELECT doc_id,
+           |  CASE WHEN greatest(s_de, s_en, s_es, s_fr) < 0.02 THEN 'und'
+           |       WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+           |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+           |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+           |       ELSE 'fr' END AS lang_pred FROM sc),
+           |h AS (SELECT doc_id, lang_pred,
+           |    (doc_id % 1000000000) * 2654435761 AS p FROM lang),
+           |r AS (SELECT doc_id, lang_pred,
+           |    row_number() OVER (PARTITION BY lang_pred
+           |      ORDER BY xor(p, p >> 31) % 1000000007, doc_id) AS rn FROM h)
+           |SELECT doc_id, lang_pred FROM r WHERE rn <= 25
+           |ORDER BY lang_pred, doc_id""".stripMargin
+      }),
+
     Q("t02_rolling_hash",
       (s, d) => {
         val m = mgr(s, d)
