@@ -1749,6 +1749,22 @@ object SparkEntry {
              | AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
              |ORDER BY purchase_id, click_id""".stripMargin)),
 
+    Q("p02_sequence_pack",
+      (s, d) => {
+        val m = mgr(s, d)
+        // chunk → greedy-pack into 64-token training sequences; greedy is
+        // sequential (not SQL-expressible), so this is a rows-only check —
+        // PipelineSpec pins the packing invariants on a hand fixture
+        val chunks = pipeline.TextAnalysis.chunkByTokens(
+          m.getDDFByName("documents").df, "text", "doc_id",
+          maxTokens = 16, overlap = 0)
+        pipeline.TextAnalysis.packChunks(chunks, budgetTokens = 64, nBuckets = 32)
+          .groupBy("seq_id")
+          .agg(count(lit(1)).as("n_chunks"), sum("n_tokens").as("n_tokens"))
+          .orderBy("seq_id")
+      },
+      None),
+
     Q("p01_pipeline_e2e",
       (s, d) => {
         val m = mgr(s, d)

@@ -293,6 +293,47 @@ object TextAnalysis {
           .as("chunk"))
   }
 
+  /** Greedy sequence packing: assign chunks to token-budget bins — the
+    * step after [[chunkByTokens]] that fills fixed-length training
+    * contexts from variable-length pieces. Input must carry (id,
+    * chunk_id, n_tokens); output appends `seq_id`, unique per packed
+    * sequence.
+    *
+    * Packing is sequential by nature, so it runs greedy per BUCKET
+    * (id mod nBuckets): one deterministic hash repartition, a
+    * within-partition sort on (bucket, id, chunk_id), then a single
+    * mapPartitions pass — the legitimate per-partition-imperative case,
+    * no global order, no driver involvement. Deterministic: same input →
+    * same packing. A chunk larger than the budget gets its own bin.
+    * seq_id = bucket · 2²⁰ + bin (distinct while a bucket packs fewer
+    * than ~10⁶ sequences — at 2k tokens/sequence that is ~2G tokens per
+    * bucket; raise nBuckets before that).
+    */
+  def packChunks(chunks: DataFrame, budgetTokens: Long,
+                 nBuckets: Int = 1024): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val withBucket = chunks
+      .withColumn("bucket", pmod(col("id"), lit(nBuckets.toLong)))
+      .repartition(nBuckets, col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("id"), col("chunk_id"))
+    val outSchema = withBucket.schema
+      .add(org.apache.spark.sql.types.StructField("seq_id",
+        org.apache.spark.sql.types.LongType, nullable = false))
+    val bucketIdx = withBucket.schema.fieldIndex("bucket")
+    val tokIdx = withBucket.schema.fieldIndex("n_tokens")
+    withBucket.mapPartitions { it =>
+      var curBucket = -1L; var bin = 0L; var used = 0L
+      it.map { r =>
+        val b = r.getLong(bucketIdx); val n = r.getLong(tokIdx)
+        if (b != curBucket) { curBucket = b; bin = 0L; used = 0L }
+        else if (used + n > budgetTokens && used > 0) { bin += 1L; used = 0L }
+        used += n
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (b * (1L << 20) + bin))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** One-call enrichment producing all text-analysis columns. The token
     * array is projected ONCE (`__toks`); every metric then references the
     * materialized column — CollapseProject keeps the projection because the

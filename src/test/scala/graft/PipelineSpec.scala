@@ -338,6 +338,34 @@ class PipelineSpec extends SparkTestBase {
     assert(!out.exists(_._1 == 3L))
   }
 
+  test("packChunks: greedy token-budget packing, oversize isolated, deterministic") {
+    import spark.implicits._
+    val chunks = Seq(
+      (1L, 0L, 4L), (1L, 1L, 4L), (1L, 2L, 4L), (1L, 3L, 3L),
+      (1L, 4L, 9L), (1L, 5L, 2L), (1L, 6L, 15L),
+      (2L, 0L, 5L) // different doc → different bucket → different seq_id space
+    ).toDF("id", "chunk_id", "n_tokens")
+    val packed = TextAnalysis.packChunks(chunks, budgetTokens = 10, nBuckets = 4)
+      .collect().map(r => ((r.getAs[Long]("id"), r.getAs[Long]("chunk_id")),
+        r.getAs[Long]("seq_id"))).toMap
+    val d1 = (0L to 6L).map(c => packed((1L, c)))
+    // greedy over sizes 4,4,4,3,9,2,15 with budget 10:
+    // {4,4} | {4,3} | {9} | {2} | {15}
+    assert(d1(0) == d1(1) && d1(2) == d1(3))
+    assert(Seq(d1(0), d1(2), d1(4), d1(5), d1(6)).distinct.length == 5)
+    // every bin's total fits the budget unless it is a lone oversize chunk
+    val sums = chunks.collect().map(r => (packed((r.getLong(0), r.getLong(1))), r.getLong(2)))
+      .groupBy(_._1).map { case (_, g) => g.map(_._2).sum -> g.length }
+    assert(sums.forall { case (tot, cnt) => tot <= 10 || cnt == 1 })
+    // doc 2 lives in another bucket's seq_id space
+    assert(!d1.contains(packed((2L, 0L))))
+    // pure function of the data
+    val again = TextAnalysis.packChunks(chunks, budgetTokens = 10, nBuckets = 4)
+      .collect().map(r => ((r.getAs[Long]("id"), r.getAs[Long]("chunk_id")),
+        r.getAs[Long]("seq_id"))).toMap
+    assert(again == packed)
+  }
+
   test("multimodal: payload metadata + batched feature extraction shape") {
     import spark.implicits._
     val df = Seq((1L, "some text payload"), (2L, "other payload")).toDF("id", "text")
