@@ -62,5 +62,54 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("property: chunkByTokens covers every token; reassembly round-trips") {
+    import spark.implicits._
+    val docGen = Gen.chooseNum(0, 60).flatMap(k =>
+      Gen.listOfN(k, Gen.chooseNum(1, 30)).map(_.map(i => s"w$i").mkString(" ")))
+    for (seed <- 1L to 4L) {
+      val texts = (0 until 12).map(i => (i.toLong, draw(docGen, seed * 31 + i)))
+      val df = texts.toDF("doc_id", "text")
+      val maxT = draw(Gen.chooseNum(2, 12), seed + 50)
+      val ov = draw(Gen.chooseNum(0, maxT - 1), seed + 60)
+      val step = maxT - ov
+      val out = graft.pipeline.TextAnalysis.chunkByTokens(df, "text", "doc_id", maxT, ov)
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("chunk_id"),
+          r.getAs[String]("chunk"))).groupBy(_._1)
+      texts.foreach { case (id, text) =>
+        val toks = text.split("\\s+").filter(_.nonEmpty).toSeq
+        val chunks = out.getOrElse(id, Array.empty).sortBy(_._2).map(_._3.split(" ").toSeq)
+        if (toks.isEmpty) assert(chunks.isEmpty, s"seed=$seed id=$id")
+        else {
+          // expected chunk count and full reassembly (drop each successor's
+          // overlap prefix) — tail chunks may be shorter than maxT but the
+          // union must be exactly the token stream
+          val expN = math.ceil(math.max(toks.size - ov, 1).toDouble / step).toInt
+          assert(chunks.length == expN, s"seed=$seed id=$id maxT=$maxT ov=$ov")
+          val rebuilt = chunks.zipWithIndex.flatMap { case (c, i) =>
+            if (i == 0) c else c.drop(ov) }.toSeq
+          assert(rebuilt == toks, s"seed=$seed id=$id maxT=$maxT ov=$ov")
+        }
+      }
+    }
+  }
+
+  test("property: packChunks respects the budget except lone oversize chunks") {
+    import spark.implicits._
+    val sizeGen = Gen.listOfN(80, Gen.chooseNum(1L, 30L))
+    for (seed <- 1L to 3L) {
+      val sizes = draw(sizeGen, seed)
+      val chunks = sizes.zipWithIndex.map { case (n, i) => (i.toLong % 7, i.toLong, n) }
+        .toDF("id", "chunk_id", "n_tokens")
+      val budget = draw(Gen.chooseNum(10L, 40L), seed + 10)
+      val packed = graft.pipeline.TextAnalysis.packChunks(chunks, budget, nBuckets = 4)
+        .collect().map(r => (r.getAs[Long]("seq_id"), r.getAs[Long]("n_tokens")))
+      val byBin = packed.groupBy(_._1).map { case (_, g) => (g.map(_._2).sum, g.length) }
+      assert(byBin.forall { case (tot, cnt) => tot <= budget || cnt == 1 },
+        s"seed=$seed budget=$budget")
+      // every chunk survives packing exactly once
+      assert(packed.length == sizes.length)
+    }
+  }
+
   private lazy val m = graft.core.DDFManager(spark)
 }
