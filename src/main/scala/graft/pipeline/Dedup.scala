@@ -124,25 +124,39 @@ object Dedup {
   /** Signatures from a precomputed (id, sh) frame — see minhashSignatures
     * for the explode→hash-once→partial-agg rationale.
     */
-  def minhashSignaturesFromShingles(sh: DataFrame, k: Int = 32): DataFrame = {
-    val exploded = sh.select(col("id"), explode(col("sh")).as("s"))
-    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
-    exploded.groupBy("id").agg(mins.head, mins.tail: _*)
-  }
+  def minhashSignaturesFromShingles(sh: DataFrame, k: Int = 32): DataFrame =
+    affineMinhash(
+      sh.select(col("id"), explode(col("sh")).as("s"))
+        .select(col("id"), pmod(xxhash64(col("s")), lit(affineP)).as("H")),
+      k)
 
   /** Cross-engine-deterministic signatures: one [[portableFold]] base
     * hash per shingle (the only interpreted expression — projected ONCE,
-    * per the hash-once contract above), then k affine permutations
-    * (2i+1)·H + c_i mod p — pure codegen'd arithmetic, products < 2^40.
-    * Slower than the xxhash64 default (interpreted fold) and 30-bit —
-    * use for oracle-checked instantiations, not the 100 TB path.
+    * per the hash-once contract above); permutations as in
+    * [[affineMinhash]]. Use for oracle-checked instantiations — the
+    * xxhash64-seeded default is the 100 TB path.
     */
-  def minhashSignaturesPortable(sh: DataFrame, k: Int = 32): DataFrame = {
-    val p = 1000000007L
-    val exploded = sh.select(col("id"), explode(col("sh")).as("s"))
-      .select(col("id"), portableFold(col("s")).as("H"))
+  def minhashSignaturesPortable(sh: DataFrame, k: Int = 32): DataFrame =
+    affineMinhash(
+      sh.select(col("id"), explode(col("sh")).as("s"))
+        .select(col("id"), portableFold(col("s")).as("H")),
+      k)
+
+  private val affineP = 1000000007L
+
+  /** k MinHash values as columns h0..h{k-1} from a base-hashed shingle
+    * frame (id, H), H ∈ [0, p): the textbook affine family
+    * (2i+1)·H + c_i mod p — the base hash runs ONCE per shingle and each
+    * permutation is a codegen'd multiply-add (products < 2^60, no
+    * overflow), instead of k independent full-string hashes. p ≈ 2^30
+    * collides distinct shingles within a doc with probability
+    * ~n²/2p ≈ 10⁻⁴ at n = 500 shingles — noise far below the minhash
+    * estimator's own variance.
+    */
+  private def affineMinhash(exploded: DataFrame, k: Int): DataFrame = {
     val mins = (0 until k).map(i =>
-      min(pmod(col("H") * (2L * i + 1) + lit((i * 1000003L + 12345L) % p), lit(p))).as(s"h$i"))
+      min(pmod(col("H") * (2L * i + 1) + lit((i * 1000003L + 12345L) % affineP),
+        lit(affineP))).as(s"h$i"))
     exploded.groupBy("id").agg(mins.head, mins.tail: _*)
   }
 
