@@ -812,6 +812,26 @@ object SparkEntry {
   }
 
   private val binningMissing: Seq[Q] = Seq(
+    Q("q48_group_quantiles",
+      (s, d) => {
+        val m = mgr(s, d)
+        // nearest-rank (percentile_disc) per group: selected data values,
+        // engine-independent — no double interpolation
+        Stats.groupQuantiles(m.getDDFByName("lineitem").df, "l_returnflag",
+            "l_quantity", Seq(0.25, 0.5, 0.95))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH f AS (SELECT l_returnflag, l_quantity FROM lineitem
+             |  WHERE l_quantity IS NOT NULL),
+             |r AS (SELECT l_returnflag, l_quantity,
+             |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+             |    count(*) OVER (PARTITION BY l_returnflag) AS n FROM f)
+             |SELECT l_returnflag,
+             |  max(CASE WHEN rn = greatest(ceil(0.25 * n)::BIGINT, 1) THEN l_quantity END) AS q25,
+             |  max(CASE WHEN rn = greatest(ceil(0.5 * n)::BIGINT, 1) THEN l_quantity END) AS q50,
+             |  max(CASE WHEN rn = greatest(ceil(0.95 * n)::BIGINT, 1) THEN l_quantity END) AS q95
+             |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     Q("q50_binning_custom",
       (s, d) => {
         val m = mgr(s, d)

@@ -228,6 +228,31 @@ object Stats {
         / count(lit(1))).as("median"))
   }
 
+  /** Per-group nearest-rank quantiles (SQL percentile_disc semantics):
+    * the value at rank max(⌈p·n⌉, 1) inside each group, one column per
+    * requested p (named q<p·100>). Selection, not interpolation — every
+    * output is an actual data value, so results are engine-independent
+    * (same reasoning as [[groupMedian]]). One window shuffle + one
+    * grouped aggregate for ALL quantiles together.
+    */
+  def groupQuantiles(df: DataFrame, groupCol: String, valCol: String,
+                     ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+      s"quantile fractions must be in (0, 1], got $ps")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col(valCol))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+    val ranked = df.na.drop(Seq(valCol))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+    val aggs = ps.map { p =>
+      max(when(col("__rn") ===
+        greatest(ceil(lit(p) * col("__n")), lit(1L)), col(valCol)))
+        .as(s"q${math.round(p * 100)}")
+    }
+    ranked.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Approximate distinct-value counts (HyperLogLog++) for many columns
     * in ONE aggregate pass — the sketch twin of [[multiFactorCounts]] for
     * columns whose cardinality is too high to enumerate. `rsd` is the

@@ -87,6 +87,18 @@ class StatsSpec extends SparkTestBase {
     assert(Stats.groupMedian(withNull, "g", "v").first().getDouble(1) == 5.0)
   }
 
+  test("groupQuantiles: nearest-rank selection per group") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("b", 10.0)).toDF("g", "v")
+    val q = Stats.groupQuantiles(df, "g", "v", Seq(0.25, 0.5, 1.0))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    // n=4: ceil(.25*4)=1 → 1.0; ceil(.5*4)=2 → 2.0; ceil(1*4)=4 → 4.0
+    assert(q("a") == ((1.0, 2.0, 4.0)))
+    assert(q("b") == ((10.0, 10.0, 10.0)), "singleton group: every quantile is the value")
+    intercept[IllegalArgumentException] { Stats.groupQuantiles(df, "g", "v", Seq(0.0)) }
+  }
+
   test("approxDistinctCounts: one-pass HLL within rsd of exact") {
     import spark.implicits._
     val df = (1 to 10000).map(i => (i.toLong, (i % 97).toLong)).toDF("uniq", "mod97")
