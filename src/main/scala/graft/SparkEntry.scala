@@ -1098,6 +1098,25 @@ object SparkEntry {
        |  THEN list_transform(range(1, len($tk) - ${n - 2}),
        |         i -> array_to_string(($tk)[i:i+${n - 1}], ' '))
        |  ELSE [] END)""".stripMargin
+  /** DuckDB mirror of TextAnalysis.langId: stopword score columns
+    * (`s_de..s_fr`, to SELECT alongside other columns) and the argmax
+    * CASE over them — shared by the t01 and t08 oracles so a langId
+    * change cannot silently diverge one of them.
+    */
+  private def duckLangScores = {
+    val langs = Seq("de", "en", "es", "fr")
+    langs.map { l =>
+      val set = pipeline.TextAnalysis.stopwords(l).map(w => s"'$w'").mkString("[", ",", "]")
+      s"len(list_filter(${duckToks("text")}, t -> list_contains($set, t)))" +
+        s" / greatest(len(${duckToks("text")}), 1)::DOUBLE AS s_$l"
+    }.mkString(",\n  ")
+  }
+  private val duckLangCase =
+    """CASE WHEN greatest(s_de, s_en, s_es, s_fr) < 0.02 THEN 'und'
+      |     WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+      |     WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+      |     WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+      |     ELSE 'fr' END""".stripMargin
   /** DuckDB expressions mirroring TextAnalysis.tokenCountOf/qualityScoreOf
     * (shared by the t01 oracle and the end-to-end pipeline oracle).
     */
@@ -1410,14 +1429,14 @@ object SparkEntry {
       (s, d) => {
         val m = mgr(s, d)
         // quality-aware survivor choice: keep the max-L2-norm member of
-        // each near-dup cluster (norm² via the codegen'd dot product —
-        // same left-to-right double summation as DuckDB's
-        // list_dot_product, so the ranking key is bit-identical)
+        // each near-dup cluster (norm² via the codegen'd dot product on
+        // the raw array<double> column — same left-to-right double
+        // summation as DuckDB's list_dot_product, so the ranking key is
+        // bit-identical; d05 proves the raw column needs no cast)
         val scores = m.getDDFByName("embeddings").df.filter(col("vec_id") < 200)
           .select(col("vec_id"),
             graft.functions.VectorFunctions.dot(
-              expr("transform(embedding, x -> cast(x as double))"),
-              expr("transform(embedding, x -> cast(x as double))")).as("norm2"))
+              col("embedding"), col("embedding")).as("norm2"))
         pipeline.Dedup.clusterRepresentativesBy(
             pipeline.Dedup.dupClusters(embeddingPairs(m)), scores, "vec_id", "norm2")
           .orderBy("cluster_id")
@@ -1440,27 +1459,16 @@ object SparkEntry {
             col("lang_pred"), round(col("quality"), 6).as("quality"), col("fingerprint"))
           .orderBy("doc_id")
       },
-      Some {
-        val langs = Seq("de", "en", "es", "fr")
-        val scoreExprs = langs.map { l =>
-          val set = pipeline.TextAnalysis.stopwords(l).map(w => s"'$w'").mkString("[", ",", "]")
-          s"len(list_filter(${duckToks("text")}, t -> list_contains($set, t)))" +
-            s" / greatest(len(${duckToks("text")}), 1)::DOUBLE AS s_$l"
-        }
-        s"""WITH sc AS (SELECT doc_id, text, ${scoreExprs.mkString(",\n  ")} FROM documents)
+      Some(
+        s"""WITH sc AS (SELECT doc_id, text, $duckLangScores FROM documents)
            |SELECT doc_id,
            |  ${duckTokenCount("text")} AS token_count,
            |  coalesce(list_sum(list_transform(${duckToks("text")},
            |    t -> greatest(1, ceil(length(t) / 6.0)::BIGINT))), 0)::BIGINT AS subword_count,
-           |  CASE WHEN greatest(s_de, s_en, s_es, s_fr) < 0.02 THEN 'und'
-           |       WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
-           |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
-           |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
-           |       ELSE 'fr' END AS lang_pred,
+           |  $duckLangCase AS lang_pred,
            |  round(${duckQuality("text")}, 6) AS quality,
            |  md5(${duckNorm("text")}) AS fingerprint
-           |FROM sc ORDER BY doc_id""".stripMargin
-      }),
+           |FROM sc ORDER BY doc_id""".stripMargin)),
 
     Q("t08_balanced_lang_sample",
       (s, d) => {
@@ -1472,28 +1480,16 @@ object SparkEntry {
         Views.stratifiedSample(m.register(tagged), "lang_pred", 25, "doc_id")
           .df.orderBy("lang_pred", "doc_id")
       },
-      Some {
-        val langs = Seq("de", "en", "es", "fr")
-        val scoreExprs = langs.map { l =>
-          val set = pipeline.TextAnalysis.stopwords(l).map(w => s"'$w'").mkString("[", ",", "]")
-          s"len(list_filter(${duckToks("text")}, t -> list_contains($set, t)))" +
-            s" / greatest(len(${duckToks("text")}), 1)::DOUBLE AS s_$l"
-        }
-        s"""WITH sc AS (SELECT doc_id, ${scoreExprs.mkString(",\n  ")} FROM documents),
-           |lang AS (SELECT doc_id,
-           |  CASE WHEN greatest(s_de, s_en, s_es, s_fr) < 0.02 THEN 'und'
-           |       WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
-           |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
-           |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
-           |       ELSE 'fr' END AS lang_pred FROM sc),
+      Some(
+        s"""WITH sc AS (SELECT doc_id, $duckLangScores FROM documents),
+           |lang AS (SELECT doc_id, $duckLangCase AS lang_pred FROM sc),
            |h AS (SELECT doc_id, lang_pred,
            |    (doc_id % 1000000000) * 2654435761 AS p FROM lang),
            |r AS (SELECT doc_id, lang_pred,
            |    row_number() OVER (PARTITION BY lang_pred
            |      ORDER BY xor(p, p >> 31) % 1000000007, doc_id) AS rn FROM h)
            |SELECT doc_id, lang_pred FROM r WHERE rn <= 25
-           |ORDER BY lang_pred, doc_id""".stripMargin
-      }),
+           |ORDER BY lang_pred, doc_id""".stripMargin)),
 
     Q("t02_rolling_hash",
       (s, d) => {

@@ -305,33 +305,38 @@ object TextAnalysis {
     * mapPartitions pass — the legitimate per-partition-imperative case,
     * no global order, no driver involvement. Deterministic: same input →
     * same packing. A chunk larger than the budget gets its own bin.
-    * seq_id = bucket · 2²⁰ + bin (distinct while a bucket packs fewer
-    * than ~10⁶ sequences — at 2k tokens/sequence that is ~2G tokens per
-    * bucket; raise nBuckets before that).
+    * seq_id = bucket · 2³³ + bin — distinct while a bucket packs fewer
+    * than 2³³ sequences (~17T tokens/bucket at 2k tokens/sequence);
+    * exceeding that fails LOUDLY instead of silently colliding with the
+    * next bucket's ids.
     */
   def packChunks(chunks: DataFrame, budgetTokens: Long,
                  nBuckets: Int = 1024): DataFrame = {
     require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
-    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    require(nBuckets > 0 && nBuckets <= (1 << 30),
+      s"nBuckets must be in [1, 2^30], got $nBuckets")
     val withBucket = chunks
-      .withColumn("bucket", pmod(col("id"), lit(nBuckets.toLong)))
-      .repartition(nBuckets, col("bucket"))
-      .sortWithinPartitions(col("bucket"), col("id"), col("chunk_id"))
+      .withColumn("__bucket", pmod(col("id"), lit(nBuckets.toLong)))
+      .repartition(nBuckets, col("__bucket"))
+      .sortWithinPartitions(col("__bucket"), col("id"), col("chunk_id"))
     val outSchema = withBucket.schema
       .add(org.apache.spark.sql.types.StructField("seq_id",
         org.apache.spark.sql.types.LongType, nullable = false))
-    val bucketIdx = withBucket.schema.fieldIndex("bucket")
+    val bucketIdx = withBucket.schema.fieldIndex("__bucket")
     val tokIdx = withBucket.schema.fieldIndex("n_tokens")
-    withBucket.mapPartitions { it =>
+    val packed = withBucket.mapPartitions { it =>
       var curBucket = -1L; var bin = 0L; var used = 0L
       it.map { r =>
         val b = r.getLong(bucketIdx); val n = r.getLong(tokIdx)
         if (b != curBucket) { curBucket = b; bin = 0L; used = 0L }
         else if (used + n > budgetTokens && used > 0) { bin += 1L; used = 0L }
         used += n
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (b * (1L << 20) + bin))
+        if (bin >= (1L << 33)) throw new IllegalStateException(
+          s"packChunks: bucket $b exceeded 2^33 sequences — raise nBuckets")
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ ((b << 33) + bin))
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
+    packed.drop("__bucket")
   }
 
   /** One-call enrichment producing all text-analysis columns. The token

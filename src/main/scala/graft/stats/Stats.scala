@@ -239,16 +239,25 @@ object Stats {
                      ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
       s"quantile fractions must be in (0, 1], got $ps")
+    // whole-percent ps → q25/q50/…; finer ps → permille with a suffix
+    // (q125p = 12.5%), so 0.125 is never mislabeled as q13
+    def label(p: Double): String = {
+      val pct = p * 100
+      if (pct == math.floor(pct)) s"q${pct.toInt}" else s"q${math.round(p * 1000)}p"
+    }
+    val labels = ps.map(label)
+    require(labels.distinct.size == labels.size,
+      s"quantile fractions map to duplicate column names: $ps -> $labels")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol).orderBy(col(valCol))
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
     val ranked = df.na.drop(Seq(valCol))
       .withColumn("__rn", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(wAll))
-    val aggs = ps.map { p =>
+    val aggs = ps.zip(labels).map { case (p, lbl) =>
       max(when(col("__rn") ===
         greatest(ceil(lit(p) * col("__n")), lit(1L)), col(valCol)))
-        .as(s"q${math.round(p * 100)}")
+        .as(lbl)
     }
     ranked.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
   }
