@@ -832,6 +832,20 @@ object SparkEntry {
              |  max(CASE WHEN rn = greatest(ceil(0.95 * n)::BIGINT, 1) THEN l_quantity END) AS q95
              |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    Q("q49_group_mode",
+      (s, d) => {
+        val m = mgr(s, d)
+        Stats.groupMode(m.getDDFByName("lineitem").df, "l_returnflag", "l_quantity")
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS mode_count
+             |  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2),
+             |r AS (SELECT l_returnflag, l_quantity, mode_count,
+             |    row_number() OVER (PARTITION BY l_returnflag
+             |      ORDER BY mode_count DESC, l_quantity ASC) AS rn FROM c)
+             |SELECT l_returnflag, l_quantity AS mode, mode_count
+             |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin)),
+
     Q("q50_binning_custom",
       (s, d) => {
         val m = mgr(s, d)

@@ -262,6 +262,22 @@ object Stats {
     ranked.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Most frequent value per group (mode) with its count; ties break to
+    * the smallest value. One partial-aggregated groupBy on (group, value)
+    * — shuffled rows are O(distinct pairs) — then a window over the
+    * already-aggregated counts.
+    */
+  def groupMode(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val counts = df.na.drop(Seq(valCol))
+      .groupBy(col(groupCol), col(valCol))
+      .agg(count(lit(1)).as("mode_count"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("mode_count").desc, col(valCol).asc)
+    counts.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(groupCol), col(valCol).as("mode"), col("mode_count"))
+  }
+
   /** Approximate distinct-value counts (HyperLogLog++) for many columns
     * in ONE aggregate pass — the sketch twin of [[multiFactorCounts]] for
     * columns whose cardinality is too high to enumerate. `rsd` is the

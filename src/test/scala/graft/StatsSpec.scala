@@ -99,6 +99,18 @@ class StatsSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { Stats.groupQuantiles(df, "g", "v", Seq(0.0)) }
   }
 
+  test("groupMode: most frequent value per group, ties to smallest") {
+    import spark.implicits._
+    val df = Seq(("a", 2.0), ("a", 2.0), ("a", 1.0),
+      ("b", 5.0), ("b", 7.0), // tie at count 1 → smallest value wins
+      ("c", 9.0)).toDF("g", "v")
+    val m = Stats.groupMode(df, "g", "v")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(m("a") == ((2.0, 2L)))
+    assert(m("b") == ((5.0, 1L)))
+    assert(m("c") == ((9.0, 1L)))
+  }
+
   test("approxDistinctCounts: one-pass HLL within rsd of exact") {
     import spark.implicits._
     val df = (1 to 10000).map(i => (i.toLong, (i % 97).toLong)).toDF("uniq", "mod97")
