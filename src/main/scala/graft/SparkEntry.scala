@@ -846,6 +846,46 @@ object SparkEntry {
              |SELECT l_returnflag, l_quantity AS mode, mode_count
              |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin)),
 
+    Q("q53_drop_outliers",
+      (s, d) => {
+        val m = mgr(s, d)
+        // Tukey fence from nearest-rank quartiles (exact path — actual
+        // data values, so the fence is engine-independent)
+        Stats.dropOutliersIqr(
+            m.getDDFByName("events").df.select("event_id", "value"),
+            "value", k = 1.5, exact = true)
+          .orderBy("event_id")
+      },
+      Some(s"""WITH r AS (SELECT value AS v, row_number() OVER (ORDER BY value) AS rn,
+              |    count(*) OVER () AS n FROM events WHERE value IS NOT NULL),
+              |b AS (SELECT
+              |  max(CASE WHEN rn = greatest(ceil(0.25 * n)::BIGINT, 1) THEN v END) AS q1,
+              |  max(CASE WHEN rn = greatest(ceil(0.75 * n)::BIGINT, 1) THEN v END) AS q3 FROM r)
+              |SELECT event_id, value FROM events, b
+              |WHERE value >= q1 - 1.5 * (q3 - q1) AND value <= q3 + 1.5 * (q3 - q1)
+              |ORDER BY event_id""".stripMargin)),
+
+    Q("q54_clip_outliers",
+      (s, d) => {
+        val m = mgr(s, d)
+        // winsorize: clamp into the fence instead of dropping (k = 0.5
+        // so the fixture actually clips ~1.4k rows)
+        Stats.clipOutliersIqr(
+            m.getDDFByName("events").df.select("event_id", "value"),
+            "value", k = 0.5, exact = true)
+          .orderBy("event_id")
+      },
+      Some(s"""WITH r AS (SELECT value AS v, row_number() OVER (ORDER BY value) AS rn,
+              |    count(*) OVER () AS n FROM events WHERE value IS NOT NULL),
+              |b AS (SELECT
+              |  max(CASE WHEN rn = greatest(ceil(0.25 * n)::BIGINT, 1) THEN v END) AS q1,
+              |  max(CASE WHEN rn = greatest(ceil(0.75 * n)::BIGINT, 1) THEN v END) AS q3 FROM r)
+              |SELECT event_id,
+              |  CASE WHEN value < q1 - 0.5 * (q3 - q1) THEN q1 - 0.5 * (q3 - q1)
+              |       WHEN value > q3 + 0.5 * (q3 - q1) THEN q3 + 0.5 * (q3 - q1)
+              |       ELSE value END AS value
+              |FROM events, b ORDER BY event_id""".stripMargin)),
+
     Q("q50_binning_custom",
       (s, d) => {
         val m = mgr(s, d)

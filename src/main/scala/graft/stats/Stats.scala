@@ -262,6 +262,47 @@ object Stats {
     ranked.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Tukey IQR fence [q1 − k·iqr, q3 + k·iqr] from nearest-rank
+    * quartiles. `exact = true` ranks the full column (single-partition
+    * window sort — fine to ~10⁷ rows and required for oracle parity);
+    * the default approximate path uses the mergeable t-digest sketch and
+    * is the 100 TB choice. Nearest-rank quartiles are actual data
+    * values, so the exact fence is engine-independent.
+    */
+  def iqrBounds(df: DataFrame, c: String, k: Double = 1.5,
+                exact: Boolean = false): (Double, Double) = {
+    val Seq(q1, q3) =
+      if (exact) {
+        val row = groupQuantiles(df.select(col(c)).withColumn("__g", lit(1)),
+          "__g", c, Seq(0.25, 0.75)).first()
+        Seq(row.getAs[Any]("q25"), row.getAs[Any]("q75"))
+          .map(v => v.toString.toDouble)
+      } else {
+        val row = df.na.drop(Seq(c))
+          .agg(expr(s"approx_percentile(cast($c as double), array(0.25, 0.75))")).first()
+        row.getSeq[Double](0)
+      }
+    (q1 - k * (q3 - q1), q3 + k * (q3 - q1))
+  }
+
+  /** Drop rows whose `c` lies outside the IQR fence (null `c` rows are
+    * dropped too — they have no defined position).
+    */
+  def dropOutliersIqr(df: DataFrame, c: String, k: Double = 1.5,
+                      exact: Boolean = false): DataFrame = {
+    val (lo, hi) = iqrBounds(df, c, k, exact)
+    df.filter(col(c) >= lo && col(c) <= hi)
+  }
+
+  /** Winsorize: clamp `c` into the IQR fence instead of dropping rows
+    * (nulls pass through unchanged).
+    */
+  def clipOutliersIqr(df: DataFrame, c: String, k: Double = 1.5,
+                      exact: Boolean = false): DataFrame = {
+    val (lo, hi) = iqrBounds(df, c, k, exact)
+    df.withColumn(c, when(col(c) < lo, lo).when(col(c) > hi, hi).otherwise(col(c)))
+  }
+
   /** Most frequent value per group (mode) with its count; ties break to
     * the smallest value. One partial-aggregated groupBy on (group, value)
     * — shuffled rows are O(distinct pairs) — then a window over the

@@ -99,6 +99,22 @@ class StatsSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { Stats.groupQuantiles(df, "g", "v", Seq(0.0)) }
   }
 
+  test("IQR outliers: drop removes fence violations, clip clamps them") {
+    import spark.implicits._
+    // q1 = 2, q3 = 4 (nearest-rank over 1..4 plus the outlier 100):
+    // n=5 → ceil(.25*5)=2 → 2.0; ceil(.75*5)=4 → 4.0; fence = [-1, 7]
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 100.0).toDF("v")
+    val kept = Stats.dropOutliersIqr(df, "v", k = 1.5, exact = true)
+      .collect().map(_.getDouble(0)).sorted
+    assert(kept.toSeq == Seq(1.0, 2.0, 3.0, 4.0))
+    val clipped = Stats.clipOutliersIqr(df, "v", k = 1.5, exact = true)
+      .collect().map(_.getDouble(0)).sorted
+    assert(clipped.toSeq == Seq(1.0, 2.0, 3.0, 4.0, 7.0), "100 clamps to q3 + 1.5*iqr = 7")
+    // approximate path stays within the same ballpark on clean data
+    val approxKept = Stats.dropOutliersIqr(df, "v", k = 1.5).count()
+    assert(approxKept >= 3 && approxKept <= 5)
+  }
+
   test("groupMode: most frequent value per group, ties to smallest") {
     import spark.implicits._
     val df = Seq(("a", 2.0), ("a", 2.0), ("a", 1.0),
