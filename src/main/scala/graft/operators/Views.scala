@@ -62,7 +62,9 @@ object Views {
       case Or(l, r)  => compile(l) || compile(r)
       case Not(g)    => !compile(g)
       case Grep(c, p, ic) =>
-        if (ic) upper(col(c)).rlike(p.toUpperCase) else col(c).rlike(p)
+        // case-insensitivity via the regex flag, NOT by uppercasing the
+        // pattern (which would invert Perl classes: \d -> \D, \w -> \W, \b -> \B)
+        if (ic) col(c).rlike("(?iu)" + p) else col(c).rlike(p)
     }
   }
 

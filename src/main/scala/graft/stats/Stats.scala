@@ -273,13 +273,19 @@ object Stats {
                 exact: Boolean = false): (Double, Double) = {
     val Seq(q1, q3) =
       if (exact) {
-        val row = groupQuantiles(df.select(col(c)).withColumn("__g", lit(1)),
-          "__g", c, Seq(0.25, 0.75)).first()
-        Seq(row.getAs[Any]("q25"), row.getAs[Any]("q75"))
-          .map(v => v.toString.toDouble)
+        // cast first so the quartiles come back as doubles regardless of
+        // the column's input type (no toString round-trip)
+        val rows = groupQuantiles(
+          df.select(col(c).cast("double").as(c)).withColumn("__g", lit(1)),
+          "__g", c, Seq(0.25, 0.75)).take(1)
+        require(rows.nonEmpty,
+          s"iqrBounds: column '$c' has no non-null values")
+        Seq(rows.head.getAs[Double]("q25"), rows.head.getAs[Double]("q75"))
       } else {
         val row = df.na.drop(Seq(c))
           .agg(expr(s"approx_percentile(cast($c as double), array(0.25, 0.75))")).first()
+        require(!row.isNullAt(0),
+          s"iqrBounds: column '$c' has no non-null values")
         row.getSeq[Double](0)
       }
     (q1 - k * (q3 - q1), q3 + k * (q3 - q1))

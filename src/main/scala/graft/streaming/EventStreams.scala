@@ -101,7 +101,13 @@ object EventStreams {
               // keep the open session in state; the timeout (or a later
               // batch) will close it
               state.update(st)
-              state.setTimeoutTimestamp(st.lastSeen + gapMs + 1)
+              // FlatMapGroupsWithStateExec pre-filters rows behind the
+              // watermark, so surviving events have ts >= watermark and
+              // lastSeen+gap+1 is normally in the future — but a timeout
+              // in the past is an IllegalArgumentException that kills the
+              // whole query, so clamp defensively anyway
+              state.setTimeoutTimestamp(
+                math.max(st.lastSeen + gapMs + 1, state.getCurrentWatermarkMs + 1))
             }
             out.iterator
           }

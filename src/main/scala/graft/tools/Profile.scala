@@ -21,14 +21,15 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
 
     def timed[T](name: String)(f: => T): T = {
+      var last: Option[T] = None
       val samples = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        f
+        last = Some(f)
         (System.nanoTime() - t0) / 1e9
       }
       println(f"[profile] $name%-28s min ${samples.min}%8.2f s   " +
         samples.map(s => f"$s%.2f").mkString("(", ", ", ")"))
-      f
+      last.get
     }
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -215,6 +215,18 @@ class OperatorsSpec extends SparkTestBase {
     assert(out.df.collect().map(_.getString(0)).toSet == Set("apple", "banana"))
   }
 
+  test("Grep ignoreCase keeps Perl escape classes intact (\\d must match digits)") {
+    import spark.implicits._
+    import Views.Filter._
+    val ddf = m.register(Seq("room 12", "no digits here", "App42").toDF("s"))
+    // uppercasing the pattern would turn \d into \D (non-digit) and match
+    // the wrong rows; the (?iu) flag leaves the pattern untouched
+    val digits = Views.subset(ddf, Seq("s"), Grep("s", "\\d+", ignoreCase = true))
+    assert(digits.df.collect().map(_.getString(0)).toSet == Set("room 12", "App42"))
+    val ic = Views.subset(ddf, Seq("s"), Grep("s", "^app\\d+", ignoreCase = true))
+    assert(ic.df.collect().map(_.getString(0)).toSet == Set("App42"))
+  }
+
   test("fillDirectional ffill/bfill over an ordering column (extension of M3)") {
     import spark.implicits._
     val ddf = m.register(Seq(

@@ -115,6 +115,22 @@ class StatsSpec extends SparkTestBase {
     assert(approxKept >= 3 && approxKept <= 5)
   }
 
+  test("iqrBounds: integral column widens cleanly; all-null column fails loudly") {
+    import spark.implicits._
+    val ints = Seq(1, 2, 3, 4).toDF("v")
+    val (lo, hi) = Stats.iqrBounds(ints, "v", k = 1.5, exact = true)
+    // nearest-rank q1 = 1, q3 = 3 → fence [-2, 6]
+    assert(lo == -2.0 && hi == 6.0)
+    val empty = Seq.empty[Option[Double]].toDF("v")
+    val allNull = Seq[Option[Double]](None, None).toDF("v")
+    for (bad <- Seq(empty, allNull); ex <- Seq(true, false)) {
+      val e = intercept[IllegalArgumentException] {
+        Stats.iqrBounds(bad, "v", exact = ex)
+      }
+      assert(e.getMessage.contains("no non-null values"))
+    }
+  }
+
   test("groupMode: most frequent value per group, ties to smallest") {
     import spark.implicits._
     val df = Seq(("a", 2.0), ("a", 2.0), ("a", 1.0),

@@ -108,6 +108,39 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sessionizeStreaming: an event behind the watermark is dropped, never kills the query") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def at(hm: String): Timestamp = Timestamp.valueOf(s"2024-01-01 $hm:00")
+    val stream = MemoryStream[EventStreams.EventRow]
+    // small gap (5 min) + 10-min watermark slack: a re-delivery arriving
+    // BEHIND the watermark is pre-filtered by FlatMapGroupsWithStateExec
+    // (so it can never set a timeout in the past); the query must survive
+    // and close the open session via the event-time timeout
+    val q = EventStreams.sessionizeStreaming(stream.toDS(), gapMs = 5 * 60 * 1000L,
+        watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("sessionize_clamp")
+      .outputMode("append").start()
+    try {
+      // user 11's 11:00 event pushes the watermark to 10:50
+      stream.addData(
+        EventStreams.EventRow(1, at("10:00"), 10, "click", 1.0),
+        EventStreams.EventRow(2, at("11:00"), 11, "view", 2.0))
+      q.processAllAvailable()
+      // 10:30 for user 10 is behind the 10:50 watermark → dropped on input;
+      // in the same batch user 10's expired timeout closes session [10:00]
+      stream.addData(EventStreams.EventRow(3, at("10:30"), 10, "click", 3.0))
+      q.processAllAvailable()
+      stream.addData(EventStreams.EventRow(4, at("12:00"), 11, "view", 4.0))
+      q.processAllAvailable()
+      val got = spark.table("sessionize_clamp").as[EventStreams.SessionOut].collect()
+        .filter(_.user_id == 10)
+      assert(got.length == 1, s"late row dropped; only the timeout session, got ${got.toSeq}")
+      assert(got.head.session_start == at("10:00") && got.head.session_end == at("10:00")
+        && got.head.n_events == 1)
+    } finally q.stop()
+  }
+
   test("dedupEvents: streaming re-deliveries dropped; batch path matches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
