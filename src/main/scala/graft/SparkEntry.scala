@@ -1907,9 +1907,183 @@ object SparkEntry {
              |FROM lineitem""".stripMargin))
   )
 
+  // =====================================================================
+  // Round-4 curation operators: relevance scoring, mixture rebalancing,
+  // heuristic filtering, embedding quantization
+  // =====================================================================
+
+  private val curationQ: Seq[Q] = Seq(
+    Q("c01_tfidf_topterms",
+      (s, d) => {
+        val m = mgr(s, d)
+        // top-3 TF-IDF keyterms per document. Rank-boundary margin vs the
+        // oracle's ln(): measured at sf0.01 — min non-tie score gap at the
+        // rank-3/4 boundary is 2.6e-3 and min distance of score·1e6 to a
+        // rounding boundary is 1.1e-2, vs cross-engine ln() noise ~1e-16.
+        pipeline.Relevance.tfidfTopTerms(m.getDDFByName("documents").df,
+            "text", "doc_id", k = 3)
+          .select(col("id"), col("rk"), col("token"), col("tf"), col("doc_freq"),
+            round(col("score"), 6).as("score"))
+          .orderBy("id", "rk")
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(${duckToks("text")}) AS token
+              |  FROM documents),
+              |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+              |dfq AS (SELECT token, count(*) AS doc_freq FROM tf GROUP BY 1),
+              |n AS (SELECT count(*) AS n FROM documents),
+              |sc AS (SELECT doc_id, token, tf, doc_freq,
+              |    tf * (ln((n.n + 1.0) / (doc_freq + 1.0)) + 1.0) AS score
+              |  FROM tf JOIN dfq USING (token), n),
+              |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+              |    ORDER BY score DESC, token) AS rk FROM sc)
+              |SELECT doc_id AS id, rk, token, tf, doc_freq, round(score, 6) AS score
+              |FROM r WHERE rk <= 3 ORDER BY id, rk""".stripMargin)),
+
+    Q("c02_bm25",
+      (s, d) => {
+        val m = mgr(s, d)
+        // BM25 of every doc against a 3-term query; per-doc totals fold
+        // term scores in token order on BOTH sides (bit-stable float sum)
+        pipeline.Relevance.bm25(m.getDDFByName("documents").df, "text", "doc_id",
+            Seq("spark", "query", "join"))
+          .select(col("id"), col("terms_hit"), round(col("bm25"), 6).as("bm25"))
+          .orderBy("id")
+      },
+      // literals are spelled as the same ARITHMETIC both sides ((1.2+1.0),
+      // not 2.2) so each engine constant-folds the identical IEEE ops
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(${duckToks("text")}) AS token
+              |  FROM documents),
+              |dl AS (SELECT doc_id, ${duckTokenCount("text")} AS dl FROM documents),
+              |stats AS (SELECT count(*) AS n, (SELECT sum(dl) FROM dl)::DOUBLE / count(*) AS avgdl
+              |  FROM documents),
+              |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+              |  WHERE token IN ('spark', 'query', 'join') GROUP BY 1, 2),
+              |dfq AS (SELECT token, count(*) AS doc_freq FROM tf GROUP BY 1),
+              |ts AS (SELECT doc_id, token,
+              |    ln(1.0 + (n::DOUBLE - doc_freq + 0.5) / (doc_freq + 0.5))
+              |      * (tf * (1.2 + 1.0))
+              |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS sc
+              |  FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id), stats)
+              |SELECT doc_id AS id, count(*) AS terms_hit,
+              |  round(list_reduce(list_prepend(0.0, list(sc ORDER BY token)),
+              |    (acc, x) -> acc + x), 6) AS bm25
+              |FROM ts GROUP BY doc_id ORDER BY id""".stripMargin)),
+
+    Q("c03_temperature_sample",
+      (s, d) => {
+        val m = mgr(s, d)
+        // power=2 (T=0.5) mixture sharpening over the lang column —
+        // quotas are exact integer floor(200·c²/Σc²), selection is the
+        // q07/q08 xor-fold hash rank, so the oracle reproduces both
+        Views.temperatureResample(m.getDDFByName("documents"), "lang", "doc_id",
+            power = 2, targetTotal = 200)
+          .df.select("doc_id", "lang").orderBy("doc_id")
+      },
+      Some("""WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+             |tot AS (SELECT sum(c * c) AS t FROM c),
+             |q AS (SELECT lang, (200 * c * c) // t AS quota FROM c, tot),
+             |h AS (SELECT doc_id, lang,
+             |    (doc_id % 1000000000) * 2654435761 AS p FROM documents),
+             |r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+             |    ORDER BY xor(p, p >> 31) % 1000000007, doc_id) AS rn FROM h)
+             |SELECT doc_id, lang FROM r JOIN q USING (lang)
+             |WHERE rn <= quota ORDER BY doc_id""".stripMargin)),
+
+    Q("c04_c4_rules",
+      (s, d) => {
+        val m = mgr(s, d)
+        // bounds chosen to SPLIT this corpus (mean word length spans
+        // 3.7–5.3, token counts 20–90): every rule flips on real rows.
+        // The synthetic text has no sentence punctuation, so
+        // terminal_punct is reported but excluded from keep (the
+        // non-prose config). Rule boundaries are exact-integer ratios —
+        // no cross-engine float margin to measure.
+        pipeline.TextAnalysis.c4Rules(m.getDDFByName("documents").df, "text", "doc_id",
+            minWords = 30, minMeanLen = 3.0, maxMeanLen = 4.5, maxWordLen = 25,
+            requireTerminalPunct = false)
+          .orderBy("id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id AS id, text, ${duckToks("text")} AS tk
+              |  FROM documents)
+              |SELECT id,
+              |  len(tk) >= 30 AS enough_words,
+              |  (CASE WHEN len(tk) = 0 THEN 0.0
+              |   ELSE list_sum(list_transform(tk, x -> length(x))) / len(tk)::DOUBLE END)
+              |    BETWEEN 3.0 AND 4.5 AS mean_word_len_ok,
+              |  coalesce(list_max(list_transform(tk, x -> length(x))), 0) <= 25 AS no_long_word,
+              |  regexp_matches(rtrim(text), '[.!?"]$$') AS terminal_punct,
+              |  (NOT contains(lower(text), 'lorem ipsum')
+              |   AND NOT contains(lower(text), 'javascript')
+              |   AND NOT contains(lower(text), '{')) AS no_blacklist,
+              |  (len(tk) >= 30
+              |   AND (CASE WHEN len(tk) = 0 THEN 0.0
+              |        ELSE list_sum(list_transform(tk, x -> length(x))) / len(tk)::DOUBLE END)
+              |       BETWEEN 3.0 AND 4.5
+              |   AND coalesce(list_max(list_transform(tk, x -> length(x))), 0) <= 25
+              |   AND NOT contains(lower(text), 'lorem ipsum')
+              |   AND NOT contains(lower(text), 'javascript')
+              |   AND NOT contains(lower(text), '{')) AS keep
+              |FROM t ORDER BY id""".stripMargin)),
+
+    Q("c05_leakage_safe_split",
+      (s, d) => {
+        val m = mgr(s, d)
+        // cluster-aware train/val/test: members of a near-dup cluster
+        // (the d06 oracle-able edge set) get the SAME split; singletons
+        // hash on their own id. 8/1/1 weights out of 10 buckets.
+        val universe = m.getDDFByName("embeddings").df
+          .filter(col("vec_id") < 200).select(col("vec_id"))
+        pipeline.Dedup.leakageSafeSplit(universe, embeddingPairs(m), "vec_id",
+            Seq(("train", 8), ("val", 1), ("test", 1)))
+          .select(col("vec_id"), col("split")).orderBy("vec_id")
+      },
+      Some(s"""WITH RECURSIVE
+              |$duckClusterCtes,
+              |u AS (SELECT vec_id FROM embeddings WHERE vec_id < 200),
+              |lbl AS (SELECT u.vec_id, coalesce(c.cluster_id, u.vec_id) AS lab
+              |        FROM u LEFT JOIN c ON c.id = u.vec_id),
+              |hh AS (SELECT vec_id, (lab % 1000000000) * 2654435761 AS p FROM lbl),
+              |b AS (SELECT vec_id, xor(p, p >> 31) % 10 AS bucket FROM hh)
+              |SELECT vec_id, CASE WHEN bucket >= 9 THEN 'test'
+              |  WHEN bucket >= 8 THEN 'val' ELSE 'train' END AS split
+              |FROM b ORDER BY vec_id""".stripMargin)),
+
+    Q("a04_quantize_roundtrip",
+      (s, d) => {
+        val m = mgr(s, d)
+        // int8 round-trip fidelity per vector: scale + cosine(original,
+        // dequantized). Rounding is floor(x/scale + 0.5) on both sides —
+        // engine round() builtins disagree on ties
+        val q = pipeline.Similarity.quantizeInt8(col("embedding"))
+        m.getDDFByName("embeddings").df
+          .withColumn("__q", q)
+          .select(col("vec_id"),
+            round(col("__q.scale"), 9).as("scale"),
+            round(pipeline.Similarity.cosine(
+              expr("transform(embedding, x -> cast(x as double))"),
+              pipeline.Similarity.dequantize(col("__q"))), 6).as("cos_roundtrip"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id,
+             |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+             |s AS (SELECT vec_id, v,
+             |    greatest(coalesce(list_max(list_transform(v, x -> abs(x))), 0.0), 0.0)
+             |      / 127.0 AS scale FROM e),
+             |qq AS (SELECT vec_id, v, scale,
+             |    CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+             |    ELSE list_transform(v, x -> floor(x / scale + 0.5)) END AS codes FROM s),
+             |d AS (SELECT vec_id, v, scale,
+             |    list_transform(codes, c -> c * scale) AS dv FROM qq)
+             |SELECT vec_id, round(scale, 9) AS scale,
+             |  round(list_dot_product(v, dv)
+             |    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(dv, dv))), 6)
+             |    AS cos_roundtrip
+             |FROM d ORDER BY vec_id""".stripMargin))
+  )
+
   private val allQueries: Seq[Q] =
     relational ++ sqlFrontend ++ joins ++ aggregation ++ statsQ ++
-      binningMissing ++ transforms ++ pipelineQ
+      binningMissing ++ transforms ++ pipelineQ ++ curationQ
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

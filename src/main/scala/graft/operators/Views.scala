@@ -130,7 +130,7 @@ object Views {
     * keys. Overflow-safe: (k mod 1e9)·A < 2^62, xor of non-negatives
     * stays non-negative.
     */
-  private def xorFold(c: Column, modulus: Long): Column = {
+  private[graft] def xorFold(c: Column, modulus: Long): Column = {
     val prod = pmod(c.cast("long"), lit(1000000000L)) * lit(2654435761L)
     pmod(prod.bitwiseXOR(shiftright(prod, 31)), lit(modulus))
   }
@@ -145,6 +145,42 @@ object Views {
     * serializes onto few tasks — pre-filter with [[hashSample]] at a rate
     * comfortably above n/|stratum| first, then rank the survivors.
     */
+  /** Temperature-style corpus rebalancing (the mC4/multilingual-mixture
+    * step): group g gets quota ∝ count(g)^power out of `targetTotal`
+    * rows, selected deterministically by the same xor-fold hash rank as
+    * [[stratifiedSample]]. `power` is 1/T as an INTEGER (power=1 keeps
+    * natural proportions, power=2 ≈ T=0.5 sharpens toward big groups) so
+    * quotas are exact integer arithmetic — floor(target · c^p / Σc^p)
+    * computed in BigInt — reproducible in any engine, no float pow.
+    *
+    * Scale shape: one group-count aggregate (group-cardinality rows to
+    * the driver — languages/domains, not data), then one window shuffle
+    * partitioned by the group column; quotas ride along as a broadcast
+    * literal map. Same few-large-strata caveat as stratifiedSample.
+    */
+  def temperatureResample(ddf: DDF, groupCol: String, keyCol: String,
+                          power: Int, targetTotal: Long): DDF = {
+    require(power >= 1, s"power must be >= 1, got $power")
+    require(targetTotal > 0, s"targetTotal must be positive, got $targetTotal")
+    require(ddf.schema(keyCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"temperatureResample: key column '$keyCol' must be numeric")
+    val counts = ddf.df.groupBy(col(groupCol)).count().collect()
+      .map(r => r.get(0) -> BigInt(r.getLong(1))).toSeq
+    val total = counts.map { case (_, c) => c.pow(power) }.sum
+    val quota = counts.map { case (g, c) =>
+      g -> (BigInt(targetTotal) * c.pow(power) / total).toLong
+    }
+    val quotaCol = quota.foldLeft(lit(0L)) { case (acc, (g, q)) =>
+      when(col(groupCol) === lit(g), lit(q)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(xorFold(col(keyCol), 1000000007L), col(keyCol))
+    ddf.derive(ddf.df
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= quotaCol).drop("__rn"))
+  }
+
   def stratifiedSample(ddf: DDF, strataCol: String, n: Int, keyCol: String): DDF = {
     require(n > 0, s"n must be positive, got $n")
     // numeric key required: cast(string as long) would be null per row

@@ -429,6 +429,37 @@ object Dedup {
       .select(col("cluster_id"), col("id").as("keep_id"))
   }
 
+  /** Leakage-safe train/val/test assignment: every member of a duplicate
+    * cluster lands in the SAME split, so near-duplicates can never
+    * straddle a train/eval boundary (the classic contamination bug that
+    * per-row random splits cannot avoid). Split is a pure function of the
+    * cluster label — the min member id from [[dupClusters]], own id for
+    * singletons — via the same xor-fold hash as `Views.hashSample`, so
+    * re-runs, engines, and later incremental batches agree.
+    *
+    * `weights` are integer parts out of their sum, e.g.
+    * ("train",8),("val",1),("test",1). Scale shape: one left join of the
+    * corpus to the (cluster-member-sized) label frame plus per-row hash
+    * arithmetic — no extra shuffle beyond the join.
+    */
+  def leakageSafeSplit(df: DataFrame, pairs: DataFrame, idCol: String,
+                       weights: Seq[(String, Int)]): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      s"weights must be positive, got $weights")
+    val totalW = weights.map(_._2).sum
+    val labels = dupClusters(pairs)
+      .select(col("id").as(idCol), col("cluster_id"))
+    val bucket = graft.operators.Views.xorFold(
+      coalesce(col("cluster_id"), col(idCol)), totalW.toLong)
+    val splitCol = weights.tail.foldLeft(
+      (lit(weights.head._1), weights.head._2)) { case ((acc, cum), (name, w)) =>
+        (when(bucket >= cum, lit(name)).otherwise(acc), cum + w)
+      }._1
+    df.join(labels, Seq(idCol), "left")
+      .withColumn("split", splitCol)
+      .drop("cluster_id")
+  }
+
   /** Embedding cosine near-dup via BANDED sign-LSH: `bands` independent
     * bucket groups of `planesPerBand` hyperplanes each; a pair is a
     * candidate if it collides in ANY band (union across bands drives the

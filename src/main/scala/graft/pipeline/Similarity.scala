@@ -74,6 +74,29 @@ object Similarity {
       .select("query_id", "id", "cosine", "rk")
   }
 
+  /** Symmetric per-vector int8 quantization: scale = max|x|/127, codes =
+    * round-half-up(x/scale) ∈ [−127, 127]. 4× memory/shuffle reduction
+    * for ANN indexes; pair with [[dequantize]] + [[cosine]] to measure
+    * the recall cost. Rounding is floor(x/scale + 0.5) explicitly —
+    * "round" builtins disagree across engines on ties (half-up vs
+    * half-away-from-zero), floor(+0.5) is the same everywhere. Zero
+    * vectors get scale 0 and all-zero codes.
+    */
+  def quantizeInt8(v: Column): Column = {
+    val scale = greatest(aggregate(v, lit(0.0d),
+      (acc, x) => greatest(acc, abs(x.cast("double")))), lit(0.0d)) / lit(127.0d)
+    struct(
+      scale.as("scale"),
+      when(scale === 0.0d, transform(v, _ => lit(0)))
+        .otherwise(transform(v,
+          x => floor(x.cast("double") / scale + lit(0.5d)).cast("int")))
+        .as("codes"))
+  }
+
+  /** Reconstruct the (lossy) double vector from a [[quantizeInt8]] struct. */
+  def dequantize(q: Column): Column =
+    transform(q.getField("codes"), c => c.cast("double") * q.getField("scale"))
+
   /** LSH-bucketed ANN: restrict scoring to corpus vectors whose bucket
     * matches any query bucket (multi-probe = 0: exact bucket only).
     * Trades recall for a bucket-selective scan — the 100 TB path; measure

@@ -339,6 +339,56 @@ object TextAnalysis {
     packed.drop("__bucket")
   }
 
+  /** C4-style heuristic quality rules per document — the standard cheap
+    * pre-filter before model-based scoring. One boolean column per rule
+    * plus the conjunction `keep`:
+    *
+    *   - `enough_words`       ≥ minWords whitespace tokens
+    *   - `mean_word_len_ok`   mean token length in [minMeanLen, maxMeanLen]
+    *   - `no_long_word`       longest token ≤ maxWordLen chars
+    *   - `terminal_punct`     trimmed text ends in . ! ? or "
+    *   - `no_blacklist`       contains none of `blacklist` (case-insensitive
+    *                          substring match — C4 drops lorem ipsum /
+    *                          javascript / curly braces)
+    *
+    * `keep` is the conjunction; `requireTerminalPunct = false` reports the
+    * punctuation flag but excludes it from `keep` (the standard config for
+    * non-prose corpora: code, tables, transcripts).
+    *
+    * Pure per-row expressions (codegen'd, shuffle-free — scan-throughput
+    * work at any scale). Cross-engine exactness: mean word length is an
+    * exact-integer sum divided once (IEEE division of identical operands
+    * is bit-identical everywhere), so every rule boundary is exact — no
+    * float-margin caveat.
+    */
+  def c4Rules(df: DataFrame, textCol: String, idCol: String,
+              minWords: Int = 5, minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+              maxWordLen: Int = 25,
+              blacklist: Seq[String] = Seq("lorem ipsum", "javascript", "{"),
+              requireTerminalPunct: Boolean = true): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(textCol),
+      expr(tokensExpr(textCol)).as("__toks"))
+    val meanLen = expr(
+      """CASE WHEN size(__toks) = 0 THEN 0.0
+        |ELSE aggregate(__toks, 0L, (acc, t) -> acc + length(t))
+        |     / cast(size(__toks) as double) END""".stripMargin)
+    val maxLen = expr("coalesce(array_max(transform(__toks, t -> length(t))), 0)")
+    val noBlack = blacklist
+      .map(s => !contains(lower(col(textCol)), lit(s.toLowerCase)))
+      .reduce(_ && _)
+    base.select(
+        col("id"),
+        (size(col("__toks")) >= minWords).as("enough_words"),
+        (meanLen >= minMeanLen && meanLen <= maxMeanLen).as("mean_word_len_ok"),
+        (maxLen <= maxWordLen).as("no_long_word"),
+        expr(s"rtrim($textCol)").rlike("[.!?\"]$").as("terminal_punct"),
+        noBlack.as("no_blacklist"))
+      .withColumn("keep",
+        col("enough_words") && col("mean_word_len_ok") && col("no_long_word") &&
+          (if (requireTerminalPunct) col("terminal_punct") else lit(true)) &&
+          col("no_blacklist"))
+  }
+
   /** One-call enrichment producing all text-analysis columns. The token
     * array is projected ONCE (`__toks`); every metric then references the
     * materialized column — CollapseProject keeps the projection because the

@@ -1,0 +1,140 @@
+package graft
+
+import graft.operators.Views
+import graft.pipeline.{Relevance, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Round-4 curation operators: TF-IDF / BM25 relevance, temperature
+  * mixture rebalancing, C4-style heuristic rules, int8 quantization.
+  */
+class CurationSpec extends SparkTestBase {
+
+  private lazy val m = new graft.core.DDFManager(spark)
+
+  private def corpus() = {
+    import spark.implicits._
+    Seq(
+      (1L, "apple banana apple cherry"),
+      (2L, "apple banana banana durian"),
+      (3L, "apple cherry elderberry elderberry"),
+      (4L, "fig fig fig fig")
+    ).toDF("doc_id", "text")
+  }
+
+  test("tfidfTopTerms: corpus-wide terms rank below distinctive ones; token tie-break") {
+    val top = Relevance.tfidfTopTerms(corpus(), "text", "doc_id", k = 2)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("rk")) -> r.getAs[String]("token"))
+      .toMap
+    // 'apple' is in 3/4 docs (idf low); doc 3's doubled 'elderberry' (df=1) wins
+    assert(top((3L, 1)) == "elderberry")
+    // doc 4 has a single term; rank 1 is fig, no rank 2 row
+    assert(top((4L, 1)) == "fig" && !top.contains((4L, 2)))
+    // doc 1: apple tf=2 but df=3; cherry tf=1 df=2 → apple score 2*(ln(5/4)+1)
+    // = 2.446 > cherry 1*(ln(5/3)+1) = 1.51 → apple first
+    assert(top((1L, 1)) == "apple")
+  }
+
+  test("tfidfTopTerms: minDocFreq prunes hapax terms before ranking") {
+    val top = Relevance.tfidfTopTerms(corpus(), "text", "doc_id", k = 1, minDocFreq = 2L)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("token")).toMap
+    // elderberry/durian/fig all have doc_freq 1 → pruned; doc 4 vanishes
+    assert(!top.contains(4L))
+    assert(top(3L) == "apple" || top(3L) == "cherry")
+  }
+
+  test("bm25: rarer query term scores higher; non-matching docs absent") {
+    val scores = Relevance.bm25(corpus(), "text", "doc_id", Seq("durian", "apple"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("bm25")).toMap
+    // doc 4 contains neither term
+    assert(!scores.contains(4L))
+    // doc 2 holds the corpus-unique 'durian' plus 'apple' → strictly above
+    // docs 1/3 which only match the common 'apple'
+    assert(scores(2L) > scores(1L) && scores(2L) > scores(3L))
+    val hits = Relevance.bm25(corpus(), "text", "doc_id", Seq("durian", "apple"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("terms_hit")).toMap
+    assert(hits(2L) == 2L && hits(1L) == 1L)
+  }
+
+  test("temperatureResample: integer-exact quotas, deterministic selection") {
+    import spark.implicits._
+    val df = (1 to 90).map(i => (i.toLong, if (i <= 60) "en" else "fr")).toDF("doc_id", "lang")
+    // power=2: quotas = floor(30·c²/Σc²): en 60²=3600, fr 30²=900, Σ=4500
+    // → en floor(30·3600/4500)=24, fr floor(30·900/4500)=6
+    val out = Views.temperatureResample(m.register(df), "lang", "doc_id",
+      power = 2, targetTotal = 30).df
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang == Map("en" -> 24L, "fr" -> 6L))
+    // re-run selects the SAME rows (hash-rank, not RNG)
+    val ids1 = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Views.temperatureResample(m.register(df), "lang", "doc_id",
+      power = 2, targetTotal = 30).df.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    // power=1 keeps natural proportions: en 20, fr 10
+    val p1 = Views.temperatureResample(m.register(df), "lang", "doc_id",
+      power = 1, targetTotal = 30).df.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(p1 == Map("en" -> 20L, "fr" -> 10L))
+  }
+
+  test("c4Rules: each rule flips on its violating row") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "A perfectly normal sentence with enough reasonable words inside it."),
+      (2L, "too short."),                                     // enough_words fails
+      (3L, "aa bb cc dd ee ff gg hh ii jj kk ll"),            // mean len 2 < 3
+      (4L, "this row has one verylongtokenthatkeepsgoingandgoingwaypasttwentyfive chars ok."),
+      (5L, "embedded javascript should trip the blacklist filter right here today."),
+      (6L, "no terminal punctuation on this otherwise acceptable sentence here today")
+    ).toDF("doc_id", "text")
+    val rules = TextAnalysis.c4Rules(df, "text", "doc_id", minWords = 5)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(rules(1L).getAs[Boolean]("keep"))
+    assert(!rules(2L).getAs[Boolean]("enough_words") && !rules(2L).getAs[Boolean]("keep"))
+    assert(!rules(3L).getAs[Boolean]("mean_word_len_ok"))
+    assert(!rules(4L).getAs[Boolean]("no_long_word"))
+    assert(!rules(5L).getAs[Boolean]("no_blacklist"))
+    assert(!rules(6L).getAs[Boolean]("terminal_punct") && !rules(6L).getAs[Boolean]("keep"))
+    // non-prose config: punctuation reported but not required
+    val lax = TextAnalysis.c4Rules(df, "text", "doc_id", minWords = 5,
+      requireTerminalPunct = false).collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(lax(6L).getAs[Boolean]("keep"))
+  }
+
+  test("leakageSafeSplit: cluster members share a split; weights partition buckets") {
+    import spark.implicits._
+    val universe = Seq(1L, 2L, 3L, 5L, 6L, 9L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id1", "id2")
+    val out = graft.pipeline.Dedup.leakageSafeSplit(universe, pairs, "id",
+        Seq(("train", 8), ("val", 1), ("test", 1)))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("split")).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 5L, 6L, 9L))
+    assert(out(1L) == out(2L) && out(2L) == out(3L), "cluster {1,2,3} must not straddle")
+    assert(out(5L) == out(6L), "cluster {5,6} must not straddle")
+    assert(Set("train", "val", "test").contains(out(9L)))
+    // deterministic: a re-run assigns identical splits
+    val again = graft.pipeline.Dedup.leakageSafeSplit(universe, pairs, "id",
+        Seq(("train", 8), ("val", 1), ("test", 1)))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("split")).toMap
+    assert(again == out)
+  }
+
+  test("quantizeInt8: codes bounded, round-trip cosine near 1, zero vector safe") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = df.select(col("vec_id"), Similarity.quantizeInt8(col("embedding")).as("q"))
+    val codes = q.select(col("vec_id"), col("q.codes")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes(1L) == Seq(64, -127, 32, 0), s"got ${codes(1L)}")
+    assert(codes(2L).forall(_ == 0))
+    val cos = df.filter(col("vec_id") === 1L)
+      .select(Similarity.cosine(
+        expr("transform(embedding, x -> cast(x as double))"),
+        Similarity.dequantize(Similarity.quantizeInt8(col("embedding")))))
+      .first().getDouble(0)
+    assert(cos > 0.9999, s"round-trip cosine $cos")
+  }
+}
