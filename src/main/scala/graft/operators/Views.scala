@@ -155,8 +155,11 @@ object Views {
     *
     * Scale shape: one group-count aggregate (group-cardinality rows to
     * the driver — languages/domains, not data), then one window shuffle
-    * partitioned by the group column; quotas ride along as a broadcast
-    * literal map. Same few-large-strata caveat as stratifiedSample.
+    * partitioned by the group column; quotas join back via a broadcast
+    * (null-safe, so NULL groups keep their quota). Same few-large-strata
+    * caveat as stratifiedSample. Groups whose quota exceeds their size
+    * contribute everything they have — the output can land short of
+    * targetTotal (documented below).
     */
   def temperatureResample(ddf: DDF, groupCol: String, keyCol: String,
                           power: Int, targetTotal: Long): DDF = {
@@ -165,20 +168,35 @@ object Views {
     require(ddf.schema(keyCol).dataType
         .isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"temperatureResample: key column '$keyCol' must be numeric")
+    // NULL groups participate like any other group (they're a real
+    // mixture component in curation data) — the quota join below is on
+    // a null-safe key, so their rows aren't silently dropped
     val counts = ddf.df.groupBy(col(groupCol)).count().collect()
       .map(r => r.get(0) -> BigInt(r.getLong(1))).toSeq
     val total = counts.map { case (_, c) => c.pow(power) }.sum
-    val quota = counts.map { case (g, c) =>
-      g -> (BigInt(targetTotal) * c.pow(power) / total).toLong
+    // a group whose quota exceeds its row count contributes all its rows
+    // and the output lands SHORT of targetTotal (no redistribution) —
+    // inherent to sharpening (power >= 2): the target leans on big groups
+    // harder than they can supply. Size targetTotal accordingly.
+    val quotaRows = counts.map { case (g, c) =>
+      org.apache.spark.sql.Row(g, (BigInt(targetTotal) * c.pow(power) / total).toLong)
     }
-    val quotaCol = quota.foldLeft(lit(0L)) { case (acc, (g, q)) =>
-      when(col(groupCol) === lit(g), lit(q)).otherwise(acc)
-    }
+    val spark = ddf.df.sparkSession
+    // broadcast quota frame, not a when-chain: a per-row O(#groups)
+    // when() scan breaks codegen and the driver at domain cardinalities
+    val quotaDf = spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(quotaRows).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        ddf.schema(groupCol).copy(name = "__g"),
+        org.apache.spark.sql.types.StructField("__quota",
+          org.apache.spark.sql.types.LongType, nullable = false))))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(xorFold(col(keyCol), 1000000007L), col(keyCol))
     ddf.derive(ddf.df
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= quotaCol).drop("__rn"))
+      .join(broadcast(quotaDf), col(groupCol) <=> col("__g"))
+      .filter(col("__rn") <= col("__quota"))
+      .drop("__rn", "__g", "__quota"))
   }
 
   def stratifiedSample(ddf: DDF, strataCol: String, n: Int, keyCol: String): DDF = {

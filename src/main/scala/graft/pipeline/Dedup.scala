@@ -446,6 +446,13 @@ object Dedup {
                        weights: Seq[(String, Int)]): DataFrame = {
     require(weights.nonEmpty && weights.forall(_._2 > 0),
       s"weights must be positive, got $weights")
+    // numeric id required: cast(string as long) in the bucket hash would
+    // be null per row, silently sending EVERY row to the first split
+    // (same guard as Views.stratifiedSample)
+    require(df.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"leakageSafeSplit: id column '$idCol' must be numeric " +
+        s"(got ${df.schema(idCol).dataType.simpleString})")
     val totalW = weights.map(_._2).sum
     val labels = dupClusters(pairs)
       .select(col("id").as(idCol), col("cluster_id"))

@@ -41,8 +41,11 @@ object Relevance {
     require(k > 0, s"k must be positive, got $k")
     val n = df.count()
     val tf = termFrequencies(df, textCol, idCol)
-    val dfq = TextAnalysis.vocabulary(df, textCol, idCol, minDocFreq)
-      .select(col("token"), col("doc_freq"))
+    // doc_freq derives from tf (exactly one row per (id, token)) — a
+    // second corpus tokenize+explode via vocabulary() would double the
+    // most expensive pass; Catalyst reuses the tf exchange for both
+    val dfq = tf.groupBy("token").agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") >= minDocFreq)
     val scored = tf.join(dfq, "token")
       .withColumn("score",
         col("tf") * (log((lit(n) + lit(1.0)) / (col("doc_freq") + lit(1.0))) + lit(1.0)))

@@ -381,7 +381,10 @@ object TextAnalysis {
         (size(col("__toks")) >= minWords).as("enough_words"),
         (meanLen >= minMeanLen && meanLen <= maxMeanLen).as("mean_word_len_ok"),
         (maxLen <= maxWordLen).as("no_long_word"),
-        expr(s"rtrim($textCol)").rlike("[.!?\"]$").as("terminal_punct"),
+        // \z (absolute end), not $: Java's $ also matches BEFORE a final
+        // newline, which RE2-based engines (the oracle) don't — a doc
+        // ending ".\n" would flag true here and false there
+        expr(s"rtrim($textCol)").rlike("[.!?\"]\\z").as("terminal_punct"),
         noBlack.as("no_blacklist"))
       .withColumn("keep",
         col("enough_words") && col("mean_word_len_ok") && col("no_long_word") &&

@@ -77,6 +77,46 @@ class CurationSpec extends SparkTestBase {
     assert(p1 == Map("en" -> 20L, "fr" -> 10L))
   }
 
+  test("temperatureResample: NULL group keeps its quota instead of vanishing") {
+    import spark.implicits._
+    val df = (1 to 60).map { i =>
+      (i.toLong, if (i <= 30) Some("en") else None)
+    }.toDF("doc_id", "lang")
+    // power=1: en and null each hold 30 rows → 10 rows each of target 20
+    val out = Views.temperatureResample(m.register(df), "lang", "doc_id",
+      power = 1, targetTotal = 20).df
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(byLang == Map(Some("en") -> 10L, None -> 10L), s"got $byLang")
+  }
+
+  test("leakageSafeSplit: string id column fails loudly, not silently all-train") {
+    import spark.implicits._
+    val universe = Seq("a", "b").toDF("id")
+    val pairs = Seq(("a", "b")).toDF("id1", "id2")
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.Dedup.leakageSafeSplit(universe, pairs, "id",
+        Seq(("train", 9), ("test", 1)))
+    }
+    assert(e.getMessage.contains("must be numeric"))
+  }
+
+  test("c4Rules: terminal punctuation anchors at absolute end (trailing newline)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "ends with a period."),
+      (2L, "ends with period then newline.\n"),
+      (3L, "ends with newline then nothing\n")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.c4Rules(df, "text", "doc_id", minWords = 1)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("terminal_punct")).toMap
+    assert(out(1L))
+    // rtrim strips spaces but NOT \n; \z must not match before the newline
+    // (Java's $ would — the RE2 oracle disagrees)
+    assert(!out(2L))
+    assert(!out(3L))
+  }
+
   test("c4Rules: each rule flips on its violating row") {
     import spark.implicits._
     val df = Seq(
