@@ -60,6 +60,35 @@ class ScaleSpec extends SparkTestBase {
       s"partition filter must reach the scan, got: ${scan.partitionFilters}")
   }
 
+  test("temperatureResample plans ONE window shuffle plus a broadcast quota join") {
+    import spark.implicits._
+    val m = new graft.core.DDFManager(spark)
+    val df = (1 to 300).map(i => (i.toLong, s"g${i % 3}")).toDF("doc_id", "lang")
+    val out = graft.operators.Views.temperatureResample(
+      m.register(df), "lang", "doc_id", power = 2, targetTotal = 50).df
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"quota join must broadcast, got:\n$plan")
+    // exactly one hash-partitioned exchange (the window on the group col);
+    // the quota side contributes only a broadcast exchange
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected 1 window shuffle, got $shuffles:\n$plan")
+    assert(out.count() > 0)
+  }
+
+  test("tfidfTopTerms reuses the tf aggregation for doc_freq (no second corpus scan)") {
+    import spark.implicits._
+    val df = (1 to 50).map(i => (i.toLong, s"alpha beta w$i gamma")).toDF("doc_id", "text")
+    val out = graft.pipeline.Relevance.tfidfTopTerms(df, "text", "doc_id", k = 2)
+    // the tokenizer (regexp split) must appear in exactly one scan branch:
+    // doc_freq is derived from the tf frame, not a re-tokenized corpus
+    val plan = out.queryExecution.optimizedPlan.toString
+    val tokenizations = "split".r.findAllIn(plan).size
+    assert(tokenizations <= 2, // one Generate(explode(split...)) can print split twice
+      s"doc_freq must not re-tokenize the corpus, got $tokenizations split()s:\n$plan")
+    assert(out.count() > 0)
+  }
+
   test("saltedJoin equals the unsalted join and spreads the hot key") {
     import spark.implicits._
     // one hot key (900 of 1000 rows) + a tail
