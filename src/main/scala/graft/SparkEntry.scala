@@ -2025,6 +2025,38 @@ object SparkEntry {
               |   AND NOT contains(lower(text), '{')) AS keep
               |FROM t ORDER BY id""".stripMargin)),
 
+    Q("d10_incremental_minhash",
+      (s, d) => {
+        val m = mgr(s, d)
+        // production ingest shape: docs < 250 are the "existing corpus"
+        // (their band rows are the persisted index); docs >= 250 arrive
+        // as a new batch — in-batch verify + index probe, no corpus
+        // rescan. Portable hashes so DuckDB replicates every stage
+        // (signatures are per-doc, so banding the batch alone equals
+        // banding everything and filtering — the oracle exploits that).
+        val docs = m.getDDFByName("documents").df
+        val old = docs.filter(col("doc_id") < 250)
+        val batch = docs.filter(col("doc_id") >= 250)
+        val index = pipeline.Dedup.bandRows(
+          pipeline.Dedup.minhashSignaturesPortable(
+            pipeline.Dedup.shingled(old, "text", "doc_id")),
+          32, 8, cs => concat_ws(",", cs: _*))
+        val (kept, _) = pipeline.Dedup.incrementalMinhash(batch, index,
+          "text", "doc_id", threshold = 0.5, portable = true)
+        kept.select(col("doc_id")).orderBy("doc_id")
+      },
+      Some(s"""WITH ${duckMinhashCtes("documents")},
+              |losers AS (SELECT DISTINCT id2 FROM mpairs
+              |  WHERE jr >= 0.5 AND id1 >= 250 AND id2 >= 250),
+              |surv AS (SELECT doc_id FROM documents WHERE doc_id >= 250
+              |  AND doc_id NOT IN (SELECT id2 FROM losers)),
+              |xdup AS (SELECT DISTINCT s.doc_id FROM msig s
+              |  JOIN msig i ON s.band = i.band AND s.sig = i.sig
+              |  WHERE s.doc_id IN (SELECT doc_id FROM surv) AND i.doc_id < 250)
+              |SELECT doc_id FROM surv
+              |WHERE doc_id NOT IN (SELECT doc_id FROM xdup)
+              |ORDER BY doc_id""".stripMargin)),
+
     Q("c05_leakage_safe_split",
       (s, d) => {
         val m = mgr(s, d)

@@ -182,7 +182,12 @@ object Dedup {
     * the candidate set (members union + two verify joins) read materialized
     * rows instead of re-running the LSH join per reference.
     */
-  def minhashCandidatesFromSignatures(sig: DataFrame, k: Int = 32, bands: Int = 8,
+  /** (id, band, sig) band rows of a signature frame — the unit the LSH
+    * self-join keys on, and the PERSISTED INDEX SHAPE for incremental
+    * dedup (see [[incrementalMinhash]]): compact (bands rows per doc,
+    * short sig), appendable, and probe-able with one equi-join.
+    */
+  def bandRows(sig: DataFrame, k: Int = 32, bands: Int = 8,
       bandSig: Seq[Column] => Column = cs => xxhash64(concat_ws(",", cs: _*))): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
@@ -190,11 +195,16 @@ object Dedup {
     val bandCols = (0 until bands).map(b =>
       struct(lit(b).as("band"),
         bandSig((0 until r).map(i => col(s"h${b * r + i}"))).as("sig")))
+    sig.select(col("id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("id"), col("b.band"), col("b.sig"))
+  }
+
+  def minhashCandidatesFromSignatures(sig: DataFrame, k: Int = 32, bands: Int = 8,
+      bandSig: Seq[Column] => Column = cs => xxhash64(concat_ws(",", cs: _*))): DataFrame = {
     // persist: the self-join would otherwise recompute the whole
     // shingle→hash→aggregate subtree on BOTH sides (plus AQE re-planning
     // each copy). One (id, band, sig) row per doc-band — compact.
-    val withBands = sig.select(col("id"), explode(array(bandCols: _*)).as("b"))
-      .select(col("id"), col("b.band"), col("b.sig"))
+    val withBands = bandRows(sig, k, bands, bandSig)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val l = withBands.alias("l")
@@ -261,6 +271,55 @@ object Dedup {
         .filter(col("jaccard") >= threshold)
         .localCheckpoint()
     } finally sh.unpersist(blocking = false)
+  }
+
+  /** Incremental near-dup dedup: process a NEW batch against a persisted
+    * band index ([[bandRows]] shape: (id, band, sig)) WITHOUT rescanning
+    * the corpus — the production ingest loop for MinHash-LSH.
+    *
+    * Two stages: (1) in-batch near-dups are removed with the FULL
+    * verify pipeline (we hold the batch text, so exact Jaccard is
+    * available — drop every id2 of a verified pair); (2) the survivors'
+    * band rows probe the index with one semi-join on (band, sig) —
+    * any shared band marks the doc a near-dup of an existing corpus doc
+    * and drops it. Stage 2 is CANDIDATE-level by design: the index
+    * stores signatures, not shingles (storing corpus shingles would be
+    * corpus-sized), so cross-batch decisions carry LSH's false-positive
+    * rate — P(collision | J) = 1 − (1 − J^r)^bands, the same curve the
+    * caller tuned k/bands for (see [[minhashCandidates]]).
+    *
+    * Returns (survivors of the batch, their band rows) — append the
+    * band rows to the index for the next batch. Scale shape: the batch
+    * is shingled once; the index side streams through one equi-join on
+    * the short (band, sig) key; nothing touches corpus text.
+    */
+  def incrementalMinhash(newDocs: DataFrame, bandIndex: DataFrame,
+                         textCol: String, idCol: String,
+                         threshold: Double = 0.8, shingleN: Int = 3,
+                         k: Int = 32, bands: Int = 8,
+                         portable: Boolean = false): (DataFrame, DataFrame) = {
+    val inBatchPairs = minhashDedup(newDocs, textCol, idCol, threshold, shingleN,
+      k, bands, portable)
+    val losers = inBatchPairs.select(col("id2").as(idCol)).distinct()
+    val survivors = newDocs.join(losers, Seq(idCol), "left_anti")
+    val sigs =
+      if (portable) minhashSignaturesPortable(shingled(survivors, textCol, idCol, shingleN), k)
+      else minhashSignaturesFromShingles(shingled(survivors, textCol, idCol, shingleN), k)
+    val bandSigFn: Seq[Column] => Column =
+      if (portable) cs => concat_ws(",", cs: _*)
+      else cs => xxhash64(concat_ws(",", cs: _*))
+    val rows = bandRows(sigs, k, bands, bandSigFn)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dupIds = rows.join(bandIndex.select(col("band"), col("sig")), Seq("band", "sig"),
+          "left_semi")
+        .select(col("id")).distinct()
+      val kept = survivors.join(dupIds.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+        .localCheckpoint()
+      val keptRows = rows.join(kept.select(col(idCol).as("id")), Seq("id"), "left_semi")
+        .localCheckpoint()
+      (kept, keptRows)
+    } finally rows.unpersist(blocking = false)
   }
 
   /** Cross-engine deterministic 60-bit token hash: two independent

@@ -159,6 +159,34 @@ class CurationSpec extends SparkTestBase {
     assert(again == out)
   }
 
+  test("incrementalMinhash: in-batch verify + index probe, no corpus rescan") {
+    import spark.implicits._
+    import graft.pipeline.Dedup
+    val oldDocs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "columnar storage formats parquet orc arrow feather and friends explained")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      // near-dup of corpus doc 1 (one word changed) → dropped by index probe
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      // in-batch near-dup pair → 12 dropped by the verified in-batch stage
+      (11L, "spark query engines and distributed join strategies for analytics at scale"),
+      (12L, "spark query engines and distributed join strategies for analytics at speed"),
+      // clean
+      (13L, "a completely unrelated treatise on sourdough fermentation timing and hydration")
+    ).toDF("doc_id", "text")
+    val index = Dedup.bandRows(
+      Dedup.minhashSignaturesFromShingles(Dedup.shingled(oldDocs, "text", "doc_id")))
+    val (kept, keptRows) = Dedup.incrementalMinhash(batch, index, "text", "doc_id",
+      threshold = 0.5)
+    val ids = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(11L, 13L), s"got $ids")
+    // returned band rows cover exactly the survivors (appendable index delta)
+    val rowIds = keptRows.select("id").distinct().collect().map(_.getLong(0)).toSet
+    assert(rowIds == Set(11L, 13L))
+    assert(keptRows.count() == 2 * 8, "bands rows per surviving doc")
+  }
+
   test("quantizeInt8: codes bounded, round-trip cosine near 1, zero vector safe") {
     import spark.implicits._
     val df = Seq(
