@@ -2057,6 +2057,23 @@ object SparkEntry {
               |WHERE doc_id NOT IN (SELECT doc_id FROM xdup)
               |ORDER BY doc_id""".stripMargin)),
 
+    Q("d11_incremental_minhash_fast",
+      (s, d) => {
+        val m = mgr(s, d)
+        // d10's xxhash64 twin — the codegen'd 100 TB path, benched;
+        // engine-specific hashes → rows-only (same split as d02/d07)
+        val docs = m.getDDFByName("documents").df
+        val old = docs.filter(col("doc_id") < 250)
+        val batch = docs.filter(col("doc_id") >= 250)
+        val index = pipeline.Dedup.bandRows(
+          pipeline.Dedup.minhashSignaturesFromShingles(
+            pipeline.Dedup.shingled(old, "text", "doc_id")))
+        val (kept, _) = pipeline.Dedup.incrementalMinhash(batch, index,
+          "text", "doc_id", threshold = 0.5)
+        kept.select(col("doc_id")).orderBy("doc_id")
+      },
+      None),
+
     Q("c05_leakage_safe_split",
       (s, d) => {
         val m = mgr(s, d)

@@ -298,28 +298,44 @@ object Dedup {
                          threshold: Double = 0.8, shingleN: Int = 3,
                          k: Int = 32, bands: Int = 8,
                          portable: Boolean = false): (DataFrame, DataFrame) = {
-    val inBatchPairs = minhashDedup(newDocs, textCol, idCol, threshold, shingleN,
-      k, bands, portable)
-    val losers = inBatchPairs.select(col("id2").as(idCol)).distinct()
-    val survivors = newDocs.join(losers, Seq(idCol), "left_anti")
-    val sigs =
-      if (portable) minhashSignaturesPortable(shingled(survivors, textCol, idCol, shingleN), k)
-      else minhashSignaturesFromShingles(shingled(survivors, textCol, idCol, shingleN), k)
-    val bandSigFn: Seq[Column] => Column =
-      if (portable) cs => concat_ws(",", cs: _*)
-      else cs => xxhash64(concat_ws(",", cs: _*))
-    val rows = bandRows(sigs, k, bands, bandSigFn)
+    // the batch is shingled ONCE and banded ONCE: the same band-row frame
+    // drives the in-batch candidate self-join AND the index probe
+    // (composing minhashDedup + a second signature pass would shingle the
+    // batch twice — measured ~2× the wall time of this shape).
+    // kept = batch \ (in-batch verified losers ∪ index band collisions);
+    // dropping losers before or after the probe yields the same set.
+    val sh = shingled(newDocs, textCol, idCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val dupIds = rows.join(bandIndex.select(col("band"), col("sig")), Seq("band", "sig"),
-          "left_semi")
-        .select(col("id")).distinct()
-      val kept = survivors.join(dupIds.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
-        .localCheckpoint()
-      val keptRows = rows.join(kept.select(col(idCol).as("id")), Seq("id"), "left_semi")
-        .localCheckpoint()
-      (kept, keptRows)
-    } finally rows.unpersist(blocking = false)
+      val sigs = if (portable) minhashSignaturesPortable(sh, k)
+                 else minhashSignaturesFromShingles(sh, k)
+      val bandSigFn: Seq[Column] => Column =
+        if (portable) cs => concat_ws(",", cs: _*)
+        else cs => xxhash64(concat_ws(",", cs: _*))
+      val rows = bandRows(sigs, k, bands, bandSigFn)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val l = rows.alias("l"); val r = rows.alias("r")
+        val cand = l.join(r, col("l.band") === col("r.band") &&
+            col("l.sig") === col("r.sig") && col("l.id") < col("r.id"))
+          .select(col("l.id").as("id1"), col("r.id").as("id2"))
+          .distinct()
+        val members = cand.select(col("id1").as("id"))
+          .unionAll(cand.select(col("id2").as("id"))).distinct()
+        val losers = jaccardOnShingledPairs(cand, sh.join(members, Seq("id"), "left_semi"))
+          .filter(col("jaccard") >= threshold)
+          .select(col("id2").as(idCol)).distinct()
+        val dupIds = rows
+          .join(bandIndex.select(col("band"), col("sig")), Seq("band", "sig"), "left_semi")
+          .select(col("id").as(idCol)).distinct()
+        val kept = newDocs
+          .join(losers.unionAll(dupIds).distinct(), Seq(idCol), "left_anti")
+          .localCheckpoint()
+        val keptRows = rows.join(kept.select(col(idCol).as("id")), Seq("id"), "left_semi")
+          .localCheckpoint()
+        (kept, keptRows)
+      } finally rows.unpersist(blocking = false)
+    } finally sh.unpersist(blocking = false)
   }
 
   /** Cross-engine deterministic 60-bit token hash: two independent
