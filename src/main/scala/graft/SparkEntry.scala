@@ -1439,8 +1439,10 @@ object SparkEntry {
       },
       // Mirror of the whole IVF pipeline: cell = argmax(dot − ‖c‖²/2)
       // (ties → HIGHER cell, as array_max/max_by break them), probe the 4
-      // cosine-nearest cells per query (ties → lower cell, as the window
-      // orders), score only vectors in probed cells, rank (cosine DESC, id).
+      // cells nearest by the SAME L2 score (ties → lower cell, as the
+      // window orders), score only vectors in probed cells, rank
+      // (cosine DESC, id). Probe-by-assignment-metric keeps the index
+      // geometry consistent (review fix).
       Some {
         val cos = (a: String, b: String) =>
           s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
@@ -1456,7 +1458,8 @@ object SparkEntry {
            |probes AS (SELECT query_id, qv, cell FROM (
            |    SELECT q.vec_id AS query_id, q.v AS qv, c.cell,
            |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-           |        ${cos("q.v", "c.cv")} DESC, c.cell) AS crk
+           |        list_dot_product(q.v, c.cv) - list_dot_product(c.cv, c.cv) / 2.0 DESC,
+           |        c.cell) AS crk
            |    FROM (SELECT * FROM dv WHERE vec_id < 3) q CROSS JOIN cents c)
            |  WHERE crk <= 4),
            |scored AS (SELECT p.query_id, a.id, ${cos("p.qv", "a.v")} AS cs

@@ -175,13 +175,6 @@ object Dedup {
                         shingleN: Int = 3, k: Int = 32, bands: Int = 8): DataFrame =
     minhashCandidatesFromSignatures(minhashSignatures(df, textCol, idCol, shingleN, k), k, bands)
 
-  /** Candidate pairs from a precomputed signature frame. EAGER: the result
-    * is `localCheckpoint`ed — this (a) lets the temporary band table be
-    * unpersisted HERE instead of leaking into the caller's session
-    * (round-1/2 advice), and (b) means the caller's multiple references to
-    * the candidate set (members union + two verify joins) read materialized
-    * rows instead of re-running the LSH join per reference.
-    */
   /** (id, band, sig) band rows of a signature frame — the unit the LSH
     * self-join keys on, and the PERSISTED INDEX SHAPE for incremental
     * dedup (see [[incrementalMinhash]]): compact (bands rows per doc,
@@ -199,6 +192,25 @@ object Dedup {
       .select(col("id"), col("b.band"), col("b.sig"))
   }
 
+  /** Distinct (id1 < id2) pairs sharing any (band, sig) — the one LSH
+    * candidate join, shared by the batch and incremental paths so a
+    * future tie-break/skew fix lands in both.
+    */
+  private[pipeline] def candidatePairsFromBandRows(rows: DataFrame): DataFrame = {
+    val l = rows.alias("l"); val r = rows.alias("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"))
+      .distinct()
+  }
+
+  /** Candidate pairs from a precomputed signature frame. EAGER: the result
+    * is `localCheckpoint`ed — this (a) lets the temporary band table be
+    * unpersisted HERE instead of leaking into the caller's session
+    * (round-1/2 advice), and (b) means the caller's multiple references to
+    * the candidate set (members union + two verify joins) read materialized
+    * rows instead of re-running the LSH join per reference.
+    */
   def minhashCandidatesFromSignatures(sig: DataFrame, k: Int = 32, bands: Int = 8,
       bandSig: Seq[Column] => Column = cs => xxhash64(concat_ws(",", cs: _*))): DataFrame = {
     // persist: the self-join would otherwise recompute the whole
@@ -207,12 +219,7 @@ object Dedup {
     val withBands = bandRows(sig, k, bands, bandSig)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val l = withBands.alias("l")
-      val rr = withBands.alias("r")
-      l.join(rr, col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
-          col("l.id") < col("r.id"))
-        .select(col("l.id").as("id1"), col("r.id").as("id2"))
-        .distinct()
+      candidatePairsFromBandRows(withBands)
         .localCheckpoint() // eager; cleaned by the ContextCleaner on GC
     } finally withBands.unpersist(blocking = false)
   }
@@ -315,11 +322,7 @@ object Dedup {
       val rows = bandRows(sigs, k, bands, bandSigFn)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val l = rows.alias("l"); val r = rows.alias("r")
-        val cand = l.join(r, col("l.band") === col("r.band") &&
-            col("l.sig") === col("r.sig") && col("l.id") < col("r.id"))
-          .select(col("l.id").as("id1"), col("r.id").as("id2"))
-          .distinct()
+        val cand = candidatePairsFromBandRows(rows)
         val members = cand.select(col("id1").as("id"))
           .unionAll(cand.select(col("id2").as("id"))).distinct()
         val losers = jaccardOnShingledPairs(cand, sh.join(members, Seq("id"), "left_semi"))
@@ -441,7 +444,15 @@ object Dedup {
     * (measured on the r3 d06 graph). Checkpointing flattens each round to
     * a scan. Each round is two shuffles (join+groupBy, join) plus a count.
     */
-  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  /** `strict = true` (default) throws if labels haven't converged after
+    * `maxIter` rounds: silently-partial labels would let near-dups
+    * straddle a [[leakageSafeSplit]] boundary — the exact bug the split
+    * exists to prevent. Pointer doubling converges in ~log2(diameter)
+    * rounds, so 20 covers diameters to ~10⁶; raise maxIter rather than
+    * disabling strict.
+    */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20,
+                  strict: Boolean = true): DataFrame = {
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .unionAll(pairs.select(col("id2").as("src"), col("id1").as("dst")))
       .distinct()
@@ -472,6 +483,10 @@ object Dedup {
       iter += 1
     }
     edges.unpersist(blocking = false)
+    if (strict && !converged) throw new IllegalStateException(
+      s"dupClusters: labels not converged after $maxIter rounds — component " +
+        s"diameter exceeds ~2^$maxIter; raise maxIter (or pass strict = false " +
+        s"to accept partial labels)")
     // already materialized (localCheckpoint) — no persisted frame leaks to
     // the caller; checkpoint blocks are GC-cleaned by the ContextCleaner
     labels.withColumnRenamed("label", "cluster_id")

@@ -104,17 +104,26 @@ object IvfIndex {
 
   /** Rank each query's `nprobe` nearest cells then score only vectors in
     * those cells. Returns (query_id, id, cosine, rk) top-k per query.
+    *
+    * Probe ranking uses the SAME score as assignment (dot − ‖c‖²/2 =
+    * L2 argmin): cells are L2-Voronoi regions, so probing by a different
+    * metric (cosine) would systematically miss the cells that actually
+    * hold a query's neighbors when vector norms vary. For cosine search
+    * L2-normalize the vectors first — then the two metrics coincide and
+    * the final cosine ranking is exact within the probed cells.
     */
   def topK(index: Index, queries: DataFrame, vecCol: String, queryIdCol: String,
            k: Int, nprobe: Int): DataFrame = {
     val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"))
-    val centroidRows = index.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+    val centroidRows = index.centroids.zipWithIndex.map { case (c, i) =>
+      (i, c.toSeq, c.map(x => x * x).sum / 2.0)
+    }
     val spark = queries.sparkSession
     import spark.implicits._
-    val cents = spark.createDataset(centroidRows.toSeq).toDF("cell", "cv")
+    val cents = spark.createDataset(centroidRows.toSeq).toDF("cell", "cv", "half_norm")
     val probes = q.crossJoin(broadcast(cents))
       .select(col("query_id"), col("qv"), col("cell"),
-        graft.functions.VectorFunctions.cosine(col("qv"), col("cv")).as("cs"))
+        (graft.functions.VectorFunctions.dot(col("qv"), col("cv")) - col("half_norm")).as("cs"))
       .withColumn("crk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cs").desc, col("cell"))))
       .filter(col("crk") <= nprobe)
@@ -128,13 +137,18 @@ object IvfIndex {
       .select("query_id", "id", "cosine", "rk")
   }
 
-  /** Recall@k of an ANN result against the brute-force truth (fraction of
-    * true top-k ids recovered per query, averaged).
+  /** Recall@k of an ANN result against the brute-force truth: fraction of
+    * true top-k ids recovered PER QUERY, then averaged (macro — a query
+    * with fewer than k truth rows weighs the same as any other).
     */
   def recallAt(ann: DataFrame, truth: DataFrame, k: Int): Double = {
     val a = ann.filter(col("rk") <= k).select("query_id", "id")
     val t = truth.filter(col("rk") <= k).select("query_id", "id")
-    val hit = a.join(t, Seq("query_id", "id")).count().toDouble
-    hit / t.count()
+    val perQuery = t.join(a.withColumn("__hit", lit(1)), Seq("query_id", "id"), "left")
+      .groupBy("query_id")
+      .agg((sum(coalesce(col("__hit"), lit(0))).cast("double") / count(lit(1))).as("r"))
+      .agg(avg("r")).first()
+    require(!perQuery.isNullAt(0), "recallAt: empty truth frame")
+    perQuery.getDouble(0)
   }
 }

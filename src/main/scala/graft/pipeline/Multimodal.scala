@@ -54,12 +54,22 @@ object Multimodal {
     */
   def extractFeatures(df: DataFrame, idCol: String, payloadCol: String,
                       partitions: Int = 0): DataFrame = {
+    // numeric id required up front: cast('long') on a string id nulls per
+    // row and the executor-side getLong would NPE deep inside the job
+    require(df.schema(idCol).dataType.isInstanceOf[NumericType],
+      s"extractFeatures: id column '$idCol' must be numeric " +
+        s"(got ${df.schema(idCol).dataType.simpleString})")
     val in = if (partitions > 0) df.repartition(partitions) else df
     val spark = df.sparkSession
     val rdd = in.select(col(idCol).cast("long"), col(payloadCol)).rdd.mapPartitions { rows =>
       // per-partition decoder init would go here (codec handles, model…)
       rows.map { r =>
+        // fail with the offending id, not a bare NPE three frames deep
+        if (r.isNullAt(0)) throw new IllegalArgumentException(
+          s"extractFeatures: null id in payload row")
         val payload = r.getAs[Array[Byte]](1)
+        if (payload == null) throw new IllegalArgumentException(
+          s"extractFeatures: null payload for id ${r.getLong(0)}")
         Row(r.getLong(0), decodeStub(payload).toSeq, payload.length.toLong)
       }
     }
@@ -71,11 +81,16 @@ object Multimodal {
     * The chunking stands in for real frame extraction.
     */
   def sampleFrames(df: DataFrame, idCol: String, payloadCol: String,
-                   chunkBytes: Int, everyK: Int): DataFrame =
+                   chunkBytes: Int, everyK: Int): DataFrame = {
+    require(chunkBytes > 0, s"chunkBytes must be positive, got $chunkBytes")
+    // everyK = 0 would make `i % 0 = 0` null under non-ANSI eval and
+    // silently drop EVERY frame of every document
+    require(everyK > 0, s"everyK must be positive, got $everyK")
     df.select(col(idCol).as("id"), col(payloadCol).as("p"))
       .withColumn("n_chunks",
         greatest(lit(1), ceil(octet_length(col("p")) / lit(chunkBytes.toDouble))).cast("int"))
       .withColumn("frame_no", explode(expr(s"filter(sequence(0, n_chunks - 1), i -> i % $everyK = 0)")))
       .select(col("id"), col("frame_no"),
         expr(s"substring(p, frame_no * $chunkBytes + 1, $chunkBytes)").as("frame_bytes"))
+  }
 }

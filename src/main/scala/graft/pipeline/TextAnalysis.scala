@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Text analysis for training-data pipelines: language ID, quality
   * scoring, token counting, document fingerprinting. Every operator is a
@@ -315,6 +316,13 @@ object TextAnalysis {
     require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
     require(nBuckets > 0 && nBuckets <= (1 << 30),
       s"nBuckets must be in [1, 2^30], got $nBuckets")
+    // integral id required: pmod on a string/double id would promote
+    // __bucket to double and the mapPartitions getLong would CCE after
+    // the shuffle already ran
+    require(Seq(ByteType, ShortType, IntegerType, LongType)
+        .contains(chunks.schema("id").dataType),
+      s"packChunks: id column must be integral " +
+        s"(got ${chunks.schema("id").dataType.simpleString})")
     val withBucket = chunks
       .withColumn("__bucket", pmod(col("id"), lit(nBuckets.toLong)))
       .repartition(nBuckets, col("__bucket"))
@@ -373,9 +381,11 @@ object TextAnalysis {
         |ELSE aggregate(__toks, 0L, (acc, t) -> acc + length(t))
         |     / cast(size(__toks) as double) END""".stripMargin)
     val maxLen = expr("coalesce(array_max(transform(__toks, t -> length(t))), 0)")
+    // foldLeft, not reduce: an empty blacklist legitimately disables the
+    // rule (always-true) instead of crashing at plan-build time
     val noBlack = blacklist
       .map(s => !contains(lower(col(textCol)), lit(s.toLowerCase)))
-      .reduce(_ && _)
+      .foldLeft(lit(true))(_ && _)
     base.select(
         col("id"),
         (size(col("__toks")) >= minWords).as("enough_words"),

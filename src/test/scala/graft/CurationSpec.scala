@@ -187,6 +187,48 @@ class CurationSpec extends SparkTestBase {
     assert(keptRows.count() == 2 * 8, "bands rows per surviving doc")
   }
 
+  test("review-fix guards: c4Rules empty blacklist, packChunks id type, sampleFrames everyK, dupClusters strict") {
+    import spark.implicits._
+    // empty blacklist disables the rule instead of crashing at plan build
+    val df = Seq((1L, "a perfectly ordinary sentence with several words here.")).toDF("doc_id", "text")
+    val ok = TextAnalysis.c4Rules(df, "text", "doc_id", minWords = 3, blacklist = Seq.empty)
+      .first()
+    assert(ok.getAs[Boolean]("no_blacklist") && ok.getAs[Boolean]("keep"))
+    // packChunks rejects a non-integral id before the shuffle runs
+    val sChunks = Seq(("doc-1", 0L, 5L)).toDF("id", "chunk_id", "n_tokens")
+    val e1 = intercept[IllegalArgumentException] {
+      TextAnalysis.packChunks(sChunks, budgetTokens = 10)
+    }
+    assert(e1.getMessage.contains("integral"))
+    // sampleFrames rejects everyK = 0 (would silently drop every frame)
+    val pay = graft.pipeline.Multimodal.withBinaryPayload(df, "text", "text")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.pipeline.Multimodal.sampleFrames(pay, "doc_id", "payload", chunkBytes = 8, everyK = 0)
+    }
+    assert(e2.getMessage.contains("everyK"))
+    // dupClusters strict: maxIter = 0 cannot converge → loud failure
+    val pairs = Seq((1L, 2L)).toDF("id1", "id2")
+    val e3 = intercept[IllegalStateException] {
+      graft.pipeline.Dedup.dupClusters(pairs, maxIter = 0)
+    }
+    assert(e3.getMessage.contains("not converged"))
+    assert(graft.pipeline.Dedup.dupClusters(pairs, maxIter = 0, strict = false).count() == 2)
+  }
+
+  test("recallAt is a macro average over queries and rejects empty truth") {
+    import spark.implicits._
+    // q1 truth {1,2} with one hit; q2 truth {7} fully hit:
+    // macro = (0.5 + 1.0)/2 = 0.75 (micro would be 2/3)
+    val truth = Seq((1L, 1L, 1), (1L, 2L, 2), (2L, 7L, 1)).toDF("query_id", "id", "rk")
+    val ann = Seq((1L, 1L, 1), (1L, 99L, 2), (2L, 7L, 1)).toDF("query_id", "id", "rk")
+    val r = graft.pipeline.IvfIndex.recallAt(ann, truth, k = 2)
+    assert(math.abs(r - 0.75) < 1e-12, s"got $r")
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.IvfIndex.recallAt(ann, truth.filter(col("rk") > 99), k = 2)
+    }
+    assert(e.getMessage.contains("empty truth"))
+  }
+
   test("quantizeInt8: codes bounded, round-trip cosine near 1, zero vector safe") {
     import spark.implicits._
     val df = Seq(
