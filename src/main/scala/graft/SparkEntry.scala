@@ -2130,7 +2130,102 @@ object SparkEntry {
              |  round(list_dot_product(v, dv)
              |    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(dv, dv))), 6)
              |    AS cos_roundtrip
-             |FROM d ORDER BY vec_id""".stripMargin))
+             |FROM d ORDER BY vec_id""".stripMargin)),
+
+    Q("d12_incremental_bloom",
+      (s, d) => {
+        val m = mgr(s, d)
+        val docs = m.getDDFByName("documents").df
+        // same ingest shape as d08 on a different split; the Bloom
+        // prefilter is result-invariant (no false negatives; false
+        // positives resolved by the exact anti-join), so the oracle is
+        // the plain incremental-dedup SQL
+        val index = pipeline.Dedup.exact(docs.filter(col("doc_id") % 3 === 0),
+          "text", "doc_id").select("fingerprint")
+        pipeline.Dedup.incrementalExactBloom(docs.filter(col("doc_id") % 3 =!= 0),
+            index, "text", "doc_id", fpp = 0.01)
+          .orderBy("fingerprint")
+      },
+      Some(s"""WITH fp AS (SELECT doc_id, md5(${duckNorm("text")}) AS fingerprint
+              |  FROM documents),
+              |idx AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 3 = 0),
+              |batch AS (SELECT fingerprint, min(doc_id) AS keep_id FROM fp
+              |  WHERE doc_id % 3 != 0 GROUP BY 1)
+              |SELECT fingerprint, keep_id FROM batch
+              |WHERE fingerprint NOT IN (SELECT fingerprint FROM idx)
+              |ORDER BY fingerprint""".stripMargin)),
+
+    Q("a05_semantic_dedup",
+      (s, d) => {
+        val m = mgr(s, d)
+        val all = m.getDDFByName("embeddings").df
+        // fixed centroids (first 16 vectors) as in a03 — assignment,
+        // within-cell pairing, and the cosine threshold are then exactly
+        // replicable in the oracle. Margins measured at sf0.01: min
+        // |cosine − 0.35| over the 7,781 within-cell pairs = 3.6e-4;
+        // min assignment gap best→2nd cell = 2.3e-4 (fp noise ~1e-15)
+        val centroids = all.filter(col("vec_id") < 16).orderBy("vec_id")
+          .select("embedding").collect()
+          .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+        val idx = pipeline.IvfIndex.buildFromCentroids(all, "embedding", "vec_id", centroids)
+        pipeline.Dedup.semanticPairs(idx, threshold = 0.35)
+          .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
+          .orderBy("id1", "id2")
+      },
+      Some(s"""WITH dv AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              |            FROM embeddings),
+              |cents AS (SELECT vec_id AS cell, v AS cv FROM dv WHERE vec_id < 16),
+              |assigned AS (SELECT id, v, cell FROM (
+              |    SELECT d.vec_id AS id, d.v, c.cell,
+              |      row_number() OVER (PARTITION BY d.vec_id ORDER BY
+              |        list_dot_product(d.v, c.cv) - list_dot_product(c.cv, c.cv) / 2.0 DESC,
+              |        c.cell DESC) AS rn
+              |    FROM dv d CROSS JOIN cents c) WHERE rn = 1)
+              |SELECT a.id AS id1, b.id AS id2, round($duckCos, 6) AS cosine
+              |FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.id < b.id
+              |WHERE $duckCos >= 0.35
+              |ORDER BY id1, id2""".stripMargin)),
+
+    Q("c06_bm25_retrieve",
+      (s, d) => {
+        val m = mgr(s, d)
+        import s.implicits._
+        // batch retrieval: top-5 docs per query for a 3-query table; the
+        // per-(query, doc) totals fold term scores in token order on both
+        // sides (bit-stable), ranks break float ties by id
+        val queries = Seq((1L, "spark join"), (2L, "window stream"),
+          (3L, "hash filter scan")).toDF("query_id", "qtext")
+        pipeline.Relevance.bm25Retrieve(m.getDDFByName("documents").df,
+            "text", "doc_id", queries, "query_id", "qtext", k = 5)
+          .select(col("query_id"), col("id"), round(col("bm25"), 6).as("bm25"),
+            col("terms_hit"), col("rk"))
+          .orderBy("query_id", "rk")
+      },
+      Some(s"""WITH q(query_id, qtext) AS (VALUES (1, 'spark join'),
+              |    (2, 'window stream'), (3, 'hash filter scan')),
+              |qt AS (SELECT query_id, unnest(list_distinct(${duckToks("qtext")})) AS token
+              |  FROM q),
+              |tok AS (SELECT doc_id, unnest(${duckToks("text")}) AS token FROM documents),
+              |dl AS (SELECT doc_id, ${duckTokenCount("text")} AS dl FROM documents),
+              |stats AS (SELECT count(*) AS n, (SELECT sum(dl) FROM dl)::DOUBLE / count(*) AS avgdl
+              |  FROM documents),
+              |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+              |  WHERE token IN (SELECT token FROM qt) GROUP BY 1, 2),
+              |dfq AS (SELECT token, count(*) AS doc_freq FROM tf GROUP BY 1),
+              |ts AS (SELECT qt.query_id, tf.doc_id, tf.token,
+              |    ln(1.0 + (n::DOUBLE - doc_freq + 0.5) / (doc_freq + 0.5))
+              |      * (tf * (1.2 + 1.0))
+              |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS sc
+              |  FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id)
+              |  JOIN qt ON qt.token = tf.token, stats),
+              |sc AS (SELECT query_id, doc_id AS id, count(*) AS terms_hit,
+              |    list_reduce(list_prepend(0.0, list(sc ORDER BY token)),
+              |      (acc, x) -> acc + x) AS bm25
+              |  FROM ts GROUP BY 1, 2)
+              |SELECT query_id, id, round(bm25, 6) AS bm25, terms_hit, rk FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY query_id
+              |    ORDER BY bm25 DESC, id) AS rk FROM sc)
+              |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin))
   )
 
   private val allQueries: Seq[Q] =

@@ -57,6 +57,72 @@ object Dedup {
     batch.join(knownFingerprints.select("fingerprint"), Seq("fingerprint"), "left_anti")
   }
 
+  /** `might_contain(bloom, value)` — the probe twin of Spark's
+    * `bloom_filter_agg`. Registered only as an internal expression (the
+    * optimizer's runtime-filter machinery), so it is constructed directly
+    * — same technique as the native vector expressions. The bloom side
+    * must be a LITERAL (the expression contract: constant or scalar
+    * subquery); the value side must be the SAME hash the aggregate was
+    * fed.
+    */
+  private def mightContain(bloomBytes: Array[Byte], value: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(bloomBytes),
+        org.apache.spark.sql.graftbridge.Bridge.expression(value)))
+
+  /** [[incrementalExact]] with a Bloom prefilter on the index — same
+    * result (bit-identical: Bloom filters have no false negatives, and
+    * false positives are resolved by the exact anti-join), different
+    * 100 TB shape. The index's fingerprints are folded into ONE
+    * driver-side sketch (`bloom_filter_agg` over `xxhash64(fingerprint)`;
+    * ~1.2 GB per 10⁹ index entries at fpp=0.01 — a sketch, not data);
+    * batch rows whose probe says "definitely new" skip the index join
+    * entirely. Only the `maybe` rows — true dups + an fpp-sized sliver —
+    * reach the anti-join, which typically shrinks it from
+    * |batch| ⋈ |index| to a broadcast-able probe side. The sketch is
+    * embedded as a plan literal (broadcast-by-constant).
+    *
+    * `expectedItems` sizes the sketch; pass the index's row count from
+    * its store's metadata when known — 0 (default) counts the index
+    * (one cheap column scan). Production loops amortize the build by
+    * persisting the sketch bytes alongside the index and unioning new
+    * fingerprints in.
+    */
+  def incrementalExactBloom(newDocs: DataFrame, knownFingerprints: DataFrame,
+                            textCol: String, idCol: String,
+                            expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0, 1), got $fpp")
+    val batch = newDocs
+      .select(col(idCol), md5(normText(col(textCol))).as("fingerprint"))
+      .groupBy("fingerprint").agg(min(col(idCol)).as("keep_id"))
+    val n = if (expectedItems > 0) expectedItems else knownFingerprints.count()
+    if (n == 0) return batch // empty index: everything is new
+    // optimal bits m = n·ln(1/fpp)/ln²2, clamped to the session's
+    // runtime-bloom ceiling (the aggregate enforces the same cap)
+    val maxBits = knownFingerprints.sparkSession.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    val bits = math.min(maxBits,
+      math.max(64L, math.ceil(n * math.log(1.0 / fpp) / (math.log(2) * math.log(2))).toLong))
+    // bloom_filter_agg lives in the INTERNAL registry only (Spark 4.1's
+    // runtime-filter machinery) — constructed directly, like the probe
+    val bloomAgg = org.apache.spark.sql.graftbridge.Bridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        org.apache.spark.sql.graftbridge.Bridge.expression(xxhash64(col("h"))),
+        org.apache.spark.sql.catalyst.expressions.Literal(n),
+        org.apache.spark.sql.catalyst.expressions.Literal(bits))
+        .toAggregateExpression())
+    val bf = knownFingerprints
+      .select(col("fingerprint").as("h"))
+      .agg(bloomAgg.as("bf"))
+      .first().getAs[Array[Byte]](0)
+    if (bf == null) return batch // index had only null fingerprints
+    val probe = mightContain(bf, xxhash64(col("fingerprint")))
+    batch.filter(!probe).unionAll(
+      batch.filter(probe)
+        .join(knownFingerprints.select("fingerprint"), Seq("fingerprint"), "left_anti"))
+  }
+
   /** Whitespace tokens of the normalized text. */
   def tokens(c: Column): Column = split(normText(c), " ")
 
@@ -555,6 +621,41 @@ object Dedup {
     df.join(labels, Seq(idCol), "left")
       .withColumn("split", splitCol)
       .drop("cluster_id")
+  }
+
+  /** SemDeDup-style semantic near-dup pairs: embeddings assigned to
+    * k-means cells ([[IvfIndex]]), exact cosine scored WITHIN cells only
+    * — the cell structure bounds the pair explosion to Σ|cell|², the
+    * semantic-dedup trick for web-scale corpora (vs [[embeddingDedup]]'s
+    * stateless LSH bands: IVF cells follow the data's own cluster
+    * structure, so at equal candidate budget they catch more true
+    * semantic dups — at the price of the one-off k-means).
+    *
+    * Scale shape: `index.corpus` is already hash-partitioned by cell, so
+    * the self-join shuffles nothing new; a skewed mega-cell is AQE-split.
+    * Cell granularity is the recall/cost dial: SemDeDup's published
+    * config is ~10⁴–10⁵ vectors/cell at 10⁹ scale.
+    */
+  def semanticPairs(index: IvfIndex.Index, threshold: Double): DataFrame = {
+    val c = index.corpus
+    val l = c.alias("l"); val r = c.alias("r")
+    l.join(r, col("l.cell") === col("r.cell") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"),
+        Similarity.cosine(col("l.v"), col("r.v")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Semantic dedup end-to-end: build the cell index (k-means or a
+    * sampled train set via `sampleFraction`), find within-cell pairs at
+    * `threshold`, and keep one representative per connected dup cluster
+    * (min id; compose [[semanticPairs]] + [[clusterRepresentativesBy]]
+    * yourself for quality-aware representatives).
+    */
+  def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
+                    nCells: Int, threshold: Double, seed: Long = 42L,
+                    sampleFraction: Double = 1.0): DataFrame = {
+    val idx = IvfIndex.build(df, vecCol, idCol, nCells, seed, sampleFraction)
+    clusterSurvivors(df, semanticPairs(idx, threshold), idCol)
   }
 
   /** Embedding cosine near-dup via BANDED sign-LSH: `bands` independent

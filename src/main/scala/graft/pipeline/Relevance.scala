@@ -95,4 +95,55 @@ object Relevance {
           lit(0.0), (acc, x) => acc + x.getField("__term_score")).as("bm25"),
         count(lit(1)).as("terms_hit"))
   }
+
+  /** Batch BM25 retrieval: top-k documents PER QUERY for a whole query
+    * table — the RAG/eval-harness shape, where [[bm25]] is the one-query
+    * primitive. Query terms are the distinct whitespace tokens of
+    * `queryTextCol` (set semantics, the standard short-query treatment).
+    *
+    * Scale shape: ONE corpus tokenize pass, semi-joined down to tokens
+    * any query uses (query tables are ≪ corpus — the broadcast prunes
+    * the explode before the tf aggregate); doc_freq per term derives from
+    * those same rows; per-(query, doc) scores fold in token order (the
+    * bit-stable sum [[bm25]] uses); one window takes k per query. Corpus
+    * text is touched exactly once regardless of query count — running
+    * [[bm25]] per query would scan it |queries| times.
+    */
+  def bm25Retrieve(df: DataFrame, textCol: String, idCol: String,
+                   queries: DataFrame, queryIdCol: String, queryTextCol: String,
+                   k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val head = df
+      .select(count(lit(1)), coalesce(sum(TextAnalysis.tokenCount(textCol)), lit(0L)))
+      .first()
+    val n = head.getLong(0); val totTok = head.getLong(1)
+    val avgdl = totTok.toDouble / n
+    val dl = df.select(col(idCol).as("id"),
+      TextAnalysis.tokenCount(textCol).as("dl"))
+    val qTerms = queries.select(col(queryIdCol).as("query_id"),
+        explode(array_distinct(expr(TextAnalysis.tokensExpr(queryTextCol)))).as("token"))
+    val tf = df
+      .select(col(idCol).as("id"),
+        explode(expr(TextAnalysis.tokensExpr(textCol))).as("token"))
+      .join(broadcast(qTerms.select("token").distinct()), Seq("token"), "left_semi")
+      .groupBy("id", "token").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("token").agg(count(lit(1)).as("doc_freq"))
+    val idf = log(lit(1.0) +
+      (lit(n.toDouble) - col("doc_freq") + lit(0.5)) / (col("doc_freq") + lit(0.5)))
+    val scored = tf.join(dfq, "token")
+      .join(dl, "id")
+      .join(broadcast(qTerms), "token") // fan out per query AFTER scoring inputs are doc-sized
+      .withColumn("__term_score",
+        idf * (col("tf") * (lit(k1) + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl))))
+      .groupBy("query_id", "id")
+      .agg(
+        aggregate(
+          sort_array(collect_list(struct(col("token"), col("__term_score")))),
+          lit(0.0), (acc, x) => acc + x.getField("__term_score")).as("bm25"),
+        count(lit(1)).as("terms_hit"))
+    val w = Window.partitionBy("query_id").orderBy(col("bm25").desc, col("id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("query_id", "id", "bm25", "terms_hit", "rk")
+  }
 }

@@ -55,6 +55,24 @@ class CurationSpec extends SparkTestBase {
     assert(hits(2L) == 2L && hits(1L) == 1L)
   }
 
+  test("bm25Retrieve: per-query rows match single-query bm25; k bounds each query") {
+    import spark.implicits._
+    val queries = Seq((1L, "durian apple"), (2L, "fig")).toDF("qid", "qtext")
+    val got = Relevance.bm25Retrieve(corpus(), "text", "doc_id",
+        queries, "qid", "qtext", k = 2)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("id")) ->
+        (r.getAs[Double]("bm25"), r.getAs[Int]("rk"))).toMap
+    val single = Relevance.bm25(corpus(), "text", "doc_id", Seq("durian", "apple"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("bm25")).toMap
+    // query 1's winner is doc 2 (unique 'durian' + 'apple'), scored
+    // identically to the single-query primitive
+    assert(got((1L, 2L))._2 == 1 && got((1L, 2L))._1 == single(2L))
+    // k=2 bounds output though 3 docs match 'apple'
+    assert(got.keys.count(_._1 == 1L) == 2)
+    // query 2 matches only doc 4
+    assert(got.keys.filter(_._1 == 2L).map(_._2).toSet == Set(4L))
+  }
+
   test("temperatureResample: integer-exact quotas, deterministic selection") {
     import spark.implicits._
     val df = (1 to 90).map(i => (i.toLong, if (i <= 60) "en" else "fr")).toDF("doc_id", "lang")

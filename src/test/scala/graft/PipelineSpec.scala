@@ -53,6 +53,50 @@ class PipelineSpec extends SparkTestBase {
     assert(out == Set(11L, 13L), "known doc dropped; in-batch dup collapsed to min id")
   }
 
+  test("incrementalExactBloom: identical result to incrementalExact; empty index passes all") {
+    import spark.implicits._
+    val index = Dedup.exact(docs(), "text", "doc_id").select("fingerprint")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank today"), // indexed dup
+      (11L, "a genuinely new document about stream processing"),
+      (12L, "a genuinely new document about stream processing"), // in-batch dup of 11
+      (13L, "another new document entirely")
+    ).toDF("doc_id", "text")
+    val plain = Dedup.incrementalExact(batch, index, "text", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val bloom = Dedup.incrementalExactBloom(batch, index, "text", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(bloom == plain, "Bloom prefilter must be result-invariant")
+    assert(bloom.map(_._2) == Set(11L, 13L))
+    // empty index: every batch fingerprint survives (after in-batch collapse)
+    val empty = index.limit(0)
+    assert(Dedup.incrementalExactBloom(batch, empty, "text", "doc_id")
+      .collect().map(_.getLong(1)).toSet == Set(10L, 11L, 13L))
+  }
+
+  test("semanticPairs/semanticDedup: within-cell near-dups found, cross-cell ignored") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.999f, 0.02f)),   // near-dup of 1, same cell
+      (3L, Array(0.0f, 1.0f)),
+      (4L, Array(0.02f, 0.999f)),   // near-dup of 3, same cell
+      (5L, Array(-1.0f, 0.0f))      // isolated
+    ).toDF("vec_id", "embedding")
+    val idx = IvfIndex.buildFromCentroids(vecs, "embedding", "vec_id",
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)))
+    val pairs = Dedup.semanticPairs(idx, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (3L, 4L)),
+      "one verified pair per cell; nothing across cells")
+    // end-to-end: k-means build over the same data, keep min-id reps
+    val kept = Dedup.semanticDedup(vecs, "embedding", "vec_id",
+        nCells = 2, threshold = 0.95)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.contains(5L) && kept.size == 3,
+      "one rep per near-dup group plus the singleton")
+  }
+
   test("minhash-LSH finds the planted near-duplicate pair") {
     val pairs = Dedup.minhashDedup(docs(), "text", "doc_id", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
