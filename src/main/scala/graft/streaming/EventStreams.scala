@@ -114,12 +114,43 @@ object EventStreams {
       }
   }
 
-  /** Session window via custom state (`flatMapGroupsWithState`): a session
-    * closes after `gapMs` of inactivity per user. Demonstrates the
-    * KeyValueGroupedDataset stateful path (the reference has nothing
-    * comparable).
+  /** BATCH session window: gap-based sessions as two window passes —
+    * lag() marks session starts, a running sum numbers them, one grouped
+    * aggregate emits (start, end, n). Same semantics as
+    * [[sessionizeTyped]] (every session emitted, trailing one included),
+    * but the whole plan is codegen'd Tungsten rows: no object
+    * ser/deser per row, and a hot user key SPILLS through the window
+    * sort instead of buffering the group in memory the way
+    * `flatMapGroupsWithState` must. The window and the aggregate share
+    * one hash partitioning on user_id — a single shuffle end to end.
     */
   def sessionize(events: Dataset[EventRow], gapMs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val numbered = events.toDF()
+      .withColumn("__prev", lag(col("ts"), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+          unix_millis(col("ts")) - unix_millis(col("__prev")) > gapMs, 1L)
+          .otherwise(0L))
+      .withColumn("__sess", sum(col("__new")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    numbered.groupBy(col("user_id"), col("__sess"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+      .as[SessionOut]
+  }
+
+  /** The typed stateful formulation of [[sessionize]] (per-group fold via
+    * `flatMapGroupsWithState`, NoTimeout, trailing flush) — kept as the
+    * semantic cross-check for the window version and the single-group
+    * reference for [[sessionizeStreaming]]'s state logic. Prefer
+    * [[sessionize]] for batch work: this path deserializes every row and
+    * holds each user's events in memory.
+    */
+  def sessionizeTyped(events: Dataset[EventRow], gapMs: Long): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)

@@ -53,6 +53,16 @@ class StreamingSpec extends SparkTestBase {
     assert(first10.n_events == 2)
   }
 
+  test("sessionize (window) == sessionizeTyped (stateful fold) on every field") {
+    import spark.implicits._
+    val ev = sampleRows.toDS()
+    val key = (s: EventStreams.SessionOut) =>
+      (s.user_id, s.session_start.getTime, s.session_end.getTime, s.n_events)
+    val win = EventStreams.sessionize(ev, gapMs = 30 * 60 * 1000L).collect().map(key).toSet
+    val typed = EventStreams.sessionizeTyped(ev, gapMs = 30 * 60 * 1000L).collect().map(key).toSet
+    assert(win == typed && win.nonEmpty)
+  }
+
   test("sessionizeStreaming: sessions close across micro-batches via event-time timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
