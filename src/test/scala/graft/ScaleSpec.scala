@@ -89,6 +89,51 @@ class ScaleSpec extends SparkTestBase {
     assert(out.count() > 0)
   }
 
+  test("semanticPairs: within-cell join is equi-keyed (no cartesian), cells bound pairs") {
+    import spark.implicits._
+    val vecs = (1 to 60).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.0f) else Array(0.0f, 1.0f)
+      (i.toLong, base.map(_ + i / 1000.0f))
+    }.toDF("vec_id", "embedding")
+    val idx = graft.pipeline.IvfIndex.buildFromCentroids(vecs, "embedding", "vec_id",
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)))
+    val pairs = graft.pipeline.Dedup.semanticPairs(idx, threshold = 0.99)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"pair generation must be keyed on cell, got:\n$plan")
+    // 30 per cell → 2 * C(30,2) within-cell pairs scored, none across cells
+    assert(pairs.count() == 2L * 30 * 29 / 2)
+  }
+
+  test("bm25Retrieve: query-token semi-join broadcasts and prunes before the tf aggregate") {
+    import spark.implicits._
+    val docs = (1 to 100).map(i => (i.toLong, s"alpha beta w$i gamma")).toDF("doc_id", "text")
+    val queries = Seq((1L, "alpha"), (2L, "gamma beta")).toDF("qid", "qtext")
+    val out = graft.pipeline.Relevance.bm25Retrieve(docs, "text", "doc_id",
+      queries, "qid", "qtext", k = 3)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"corpus explode must be pruned by a broadcast semi-join, got:\n$plan")
+    assert(out.filter(col("rk") > 3).isEmpty && out.count() == 6)
+  }
+
+  test("incrementalExactBloom: one anti-join; bloom probe gates both branches") {
+    import spark.implicits._
+    val index = (1 to 50).map(i => (i.toLong, s"indexed doc $i")).toDF("doc_id", "text")
+    val known = graft.pipeline.Dedup.exact(index, "text", "doc_id").select("fingerprint")
+    val batch = (40 to 60).map(i => (100L + i, s"indexed doc $i")).toDF("doc_id", "text")
+    val out = graft.pipeline.Dedup.incrementalExactBloom(batch, known, "text", "doc_id")
+    val plan = out.queryExecution.executedPlan.toString
+    assert("LeftAnti".r.findAllIn(plan).size == 1,
+      s"only the maybe-branch may join the index, got:\n$plan")
+    // the probe filter is visible pre-optimization (on a local-relation
+    // test input ConvertToLocalRelation folds it into the scan)
+    val analyzed = out.queryExecution.analyzed.toString
+    assert(analyzed.contains("might_contain"),
+      s"bloom probe missing from the analyzed plan:\n$analyzed")
+    assert(out.collect().map(_.getAs[Long]("keep_id")).toSet == (151L to 160L).toSet)
+  }
+
   test("saltedJoin equals the unsalted join and spreads the hot key") {
     import spark.implicits._
     // one hot key (900 of 1000 rows) + a tail

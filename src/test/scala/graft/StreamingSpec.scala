@@ -63,6 +63,33 @@ class StreamingSpec extends SparkTestBase {
     assert(win == typed && win.nonEmpty)
   }
 
+  test("dedupedIngest: cross-batch content dedup against an epoch-partitioned index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString + "/idx"
+    val stream = MemoryStream[(Long, String)]
+    val sunk = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = graft.streaming.CurationStreams.dedupedIngest(
+        stream.toDF().toDF("doc_id", "text"), "text", "doc_id", dir,
+        (df, epoch) => sunk.synchronized {
+          sunk ++= df.select("doc_id").collect().map(r => epoch -> r.getLong(0))
+        })
+      .start()
+    try {
+      stream.addData((1L, "alpha document"), (2L, "beta document"), (3L, "alpha document"))
+      q.processAllAvailable()
+      stream.addData((4L, "alpha document"), (5L, "gamma document"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // in-batch dup (3) collapses to min id; cross-batch dup (4) dropped
+    assert(sunk.map(_._2).toSet == Set(1L, 2L, 5L), s"got $sunk")
+    // index holds exactly one fingerprint per distinct content
+    val idx = spark.read.parquet(dir)
+    assert(idx.select("fingerprint").distinct().count() == 3)
+    // epoch partitioning survives (replay-overwrite unit)
+    assert(idx.columns.contains("epoch"))
+  }
+
   test("sessionizeStreaming: sessions close across micro-batches via event-time timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
