@@ -24,8 +24,8 @@ object Bench {
     "q40_summary", "q43_histogram", "q62_window_rank", "q63_window_runsum",
     "q64_events_hourly", "d01_dedup_exact", "d02_dedup_minhash",
     "d11_incremental_minhash_fast", "a01_ann_brute", "t01_text_enrich",
-    "t03_repetition", "t04_decontaminate", "c01_tfidf_topterms",
-    "s01_sessionize", "j01_asof_join")
+    "t03_repetition", "t04_decontaminate", "t09_span_dedup",
+    "c01_tfidf_topterms", "s01_sessionize", "j01_asof_join")
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     .asInstanceOf[com.sun.management.OperatingSystemMXBean]

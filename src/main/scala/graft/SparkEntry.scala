@@ -2225,7 +2225,59 @@ object SparkEntry {
               |SELECT query_id, id, round(bm25, 6) AS bm25, terms_hit, rk FROM (
               |  SELECT *, row_number() OVER (PARTITION BY query_id
               |    ORDER BY bm25 DESC, id) AS rk FROM sc)
-              |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin))
+              |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin)),
+
+    Q("t09_span_dedup",
+      (s, d) => {
+        val m = mgr(s, d)
+        // sub-document dedup at 6-token span granularity (the fixture has
+        // no paragraph markup); winner selection and reassembly are exact
+        // string/int work — hash-exact oracle
+        pipeline.Dedup.spanDedup(m.getDDFByName("documents").df,
+            "text", "doc_id", w = 6)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),
+              |spans AS (SELECT doc_id, i - 1 AS idx,
+              |    array_to_string(tk[(i-1)*6+1:i*6], ' ') AS seg
+              |  FROM toks, unnest(range(1, cast(ceil(len(tk) / 6.0) AS INT) + 1)) AS t(i)
+              |  WHERE len(tk) > 0),
+              |fp AS (SELECT doc_id, idx, seg, md5(seg) AS f FROM spans),
+              |w1 AS (SELECT f, min(doc_id) AS wid FROM fp GROUP BY f),
+              |w2 AS (SELECT fp.f, w1.wid, min(fp.idx) AS widx
+              |  FROM fp JOIN w1 ON fp.f = w1.f AND fp.doc_id = w1.wid GROUP BY 1, 2),
+              |kept AS (SELECT fp.doc_id, fp.idx, fp.seg
+              |  FROM fp JOIN w2 ON fp.f = w2.f AND fp.doc_id = w2.wid AND fp.idx = w2.widx),
+              |tot AS (SELECT doc_id, count(*) AS n_total FROM spans GROUP BY 1)
+              |SELECT k.doc_id, string_agg(k.seg, ' ' ORDER BY k.idx) AS text,
+              |  count(*) AS n_kept, any_value(t.n_total) AS n_total
+              |FROM kept k JOIN tot t USING (doc_id)
+              |GROUP BY k.doc_id ORDER BY k.doc_id""".stripMargin)),
+
+    Q("t10_unigram_logprob",
+      (s, d) => {
+        val m = mgr(s, d)
+        // corpus-unigram LM quality signal; per-doc totals fold term
+        // contributions in token order (bit-stable float sum, as c02)
+        pipeline.TextAnalysis.unigramLogProb(m.getDDFByName("documents").df,
+            "text", "doc_id")
+          .select(col("id").as("doc_id"), col("n_tokens"),
+            round(col("avg_logp"), 6).as("avg_logp"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(${duckToks("text")}) AS token
+              |  FROM documents),
+              |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+              |vocab AS (SELECT token, sum(tf) AS cnt FROM tf GROUP BY 1),
+              |n AS (SELECT sum(cnt) AS n FROM vocab),
+              |lp AS (SELECT doc_id, token,
+              |    tf, tf * ln(cnt::DOUBLE / n::DOUBLE) AS lp
+              |  FROM tf JOIN vocab USING (token), n)
+              |SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+              |  round(list_reduce(list_prepend(0.0, list(lp ORDER BY token)),
+              |    (acc, x) -> acc + x) / sum(tf), 6) AS avg_logp
+              |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 
   private val allQueries: Seq[Q] =

@@ -623,6 +623,78 @@ object Dedup {
       .drop("cluster_id")
   }
 
+  /** Segment rows (id, idx, seg) from fixed non-overlapping token spans
+    * of `w` tokens — the C4-style granularity for sub-document dedup
+    * when the text has no paragraph markup. Token array is projected to
+    * a concrete column BEFORE the slicing lambda (shingleExpr's contract:
+    * interpreted HOF lambdas re-evaluate captured outer EXPRESSIONS per
+    * element; a column reference is a cheap read). Empty/whitespace-only
+    * docs produce no segments.
+    */
+  def spanSegments(df: DataFrame, textCol: String, idCol: String, w: Int): DataFrame = {
+    require(w > 0, s"span width must be positive, got $w")
+    df.select(col(idCol).as("id"),
+        expr(graft.pipeline.TextAnalysis.tokensExpr(textCol)).as("__tk"))
+      .filter(size(col("__tk")) > 0)
+      .select(col("id"), posexplode(expr(
+        s"transform(sequence(0, cast(ceil(size(__tk) / ${w}.0) as int) - 1)," +
+          s" i -> array_join(slice(__tk, i * $w + 1, $w), ' '))")).as(Seq("idx", "seg")))
+  }
+
+  /** Segment rows from splitting on a separator (paragraphs on "\n\n",
+    * lines on "\n"). Blank segments are dropped, positions kept.
+    */
+  def paragraphSegments(df: DataFrame, textCol: String, idCol: String,
+                        sep: String = "\n\n"): DataFrame =
+    df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))).as(Seq("idx", "seg")))
+      .filter(trim(col("seg")) =!= "")
+
+  /** Sub-document exact dedup (the C4/Dolma move: duplicated PARAGRAPHS/
+    * SPANS are removed corpus-wide even when whole documents differ).
+    * Every occurrence of a normalized segment except the FIRST — smallest
+    * (id, idx) lexicographically — is dropped, and documents are
+    * reassembled from their surviving segments in order. Docs whose
+    * segments are all dropped disappear (C4 behavior).
+    *
+    * Scale shape: winners come from ONE groupBy on the 16-byte md5 key
+    * shuffling only (fp, id, idx); the survivor join is keyed on the same
+    * fp, and reassembly is one partial-aggregated groupBy(id). The
+    * segment frame is persisted for its two consumers and released before
+    * returning (localCheckpoint), following minhashDedup.
+    *
+    * Output: (id, text, n_kept, n_total) — n_* count this doc's segments.
+    */
+  def segmentDedup(segments: DataFrame, sep: String = " "): DataFrame = {
+    val segs = segments
+      .withColumn("fp", md5(normText(col("seg"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val winners = segs.groupBy("fp")
+        .agg(min(struct(col("id"), col("idx"))).as("w"))
+        .select(col("fp"), col("w.id").as("wid"), col("w.idx").as("widx"))
+      val totals = segs.groupBy("id").agg(count(lit(1)).as("n_total"))
+      segs.join(winners, Seq("fp"))
+        .filter(col("id") === col("wid") && col("idx") === col("widx"))
+        .groupBy("id")
+        .agg(
+          array_join(transform(array_sort(collect_list(struct(col("idx"), col("seg")))),
+            x => x.getField("seg")), sep).as("text"),
+          count(lit(1)).as("n_kept"))
+        .join(totals, Seq("id"))
+        .localCheckpoint()
+    } finally segs.unpersist(blocking = false)
+  }
+
+  /** [[segmentDedup]] over fixed token spans of `w`. */
+  def spanDedup(df: DataFrame, textCol: String, idCol: String, w: Int): DataFrame =
+    segmentDedup(spanSegments(df, textCol, idCol, w))
+
+  /** [[segmentDedup]] over separator-delimited paragraphs. */
+  def paragraphDedup(df: DataFrame, textCol: String, idCol: String,
+                     sep: String = "\n\n"): DataFrame =
+    segmentDedup(paragraphSegments(df, textCol, idCol, sep), sep)
+
   /** SemDeDup-style semantic near-dup pairs: embeddings assigned to
     * k-means cells ([[IvfIndex]]), exact cosine scored WITHIN cells only
     * — the cell structure bounds the pair explosion to Σ|cell|², the

@@ -262,6 +262,40 @@ object TextAnalysis {
       .groupBy("token").agg(count(lit(1)).as("doc_freq"), sum("__c").as("term_count"))
       .filter(col("doc_freq") >= minDocFreq)
 
+  /** Per-document mean unigram log-probability under the corpus's own
+    * unigram model — the in-engine stand-in for the LM-perplexity quality
+    * signal (CCNet/Dolma bucket documents by perplexity; a corpus unigram
+    * LM is the deterministic, dependency-free analog: repetitive
+    * common-word soup scores HIGH, rare-token noise scores LOW).
+    *
+    * avg_logp = Σ_t tf_t·ln(count_t / N) / Σ_t tf_t over the doc's
+    * distinct tokens t; counts come from one [[vocabulary]]-style pass.
+    * Scale shape: two explode+partial-agg groupBys (corpus counts, per-doc
+    * tfs) plus one token-keyed join of the doc-term frame to the
+    * vocabulary (vocabulary-sized — AQE broadcasts when it fits). The
+    * per-doc fold sums in token order (sorted few-element list) so the
+    * float total is bit-stable across engines and run topologies; every
+    * token is in the vocabulary by construction (N ≥ count_t ≥ tf_t ≥ 1).
+    *
+    * Output: (id, n_tokens, avg_logp).
+    */
+  def unigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tf = df.select(col(idCol).as("id"), explode(expr(tokensExpr(textCol))).as("token"))
+      .groupBy("id", "token").agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy("token").agg(sum("tf").as("cnt"))
+    val n = df.select(coalesce(sum(tokenCount(textCol)), lit(0L))).first().getLong(0)
+    require(n > 0, "unigramLogProb: corpus has no tokens")
+    tf.join(vocab, "token")
+      .withColumn("__lp", col("tf") * log(col("cnt").cast("double") / lit(n.toDouble)))
+      .groupBy("id")
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        (aggregate(
+          sort_array(collect_list(struct(col("token"), col("__lp")))),
+          lit(0.0), (acc, x) => acc + x.getField("__lp"))
+          / sum(col("tf"))).as("avg_logp"))
+  }
+
   /** Split documents into overlapping token windows — the
     * context-window chunking step of a training pipeline. Emits one row
     * per chunk: (id, chunk_id, n_tokens, chunk). Chunk i covers tokens

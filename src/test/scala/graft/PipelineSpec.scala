@@ -53,6 +53,41 @@ class PipelineSpec extends SparkTestBase {
     assert(out == Set(11L, 13L), "known doc dropped; in-batch dup collapsed to min id")
   }
 
+  test("paragraph/span dedup: first occurrence wins, docs reassemble in order") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "shared paragraph text\n\nunique to one"),
+      (2L, "unique to two\n\nshared paragraph text"),   // loses the shared para
+      (3L, "shared paragraph text")                      // fully duplicated -> vanishes
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(df, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("text"), r.getAs[Long]("n_kept"), r.getAs[Long]("n_total"))).toMap
+    assert(out(1L) == ("shared paragraph text\n\nunique to one", 2L, 2L))
+    assert(out(2L) == ("unique to two", 1L, 2L))
+    assert(!out.contains(3L), "doc with all segments duplicated disappears")
+    // span flavor: 2-token spans, dup span of doc 1 dropped from doc 2
+    val sp = Dedup.spanDedup(Seq(
+        (1L, "alpha beta gamma delta"),
+        (2L, "alpha beta epsilon zeta")).toDF("doc_id", "text"),
+      "text", "doc_id", w = 2)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("text")).toMap
+    assert(sp(1L) == "alpha beta gamma delta")
+    assert(sp(2L) == "epsilon zeta")
+  }
+
+  test("unigramLogProb: hand-computed corpus-unigram means") {
+    import spark.implicits._
+    val df = Seq((1L, "a a b"), (2L, "c")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProb(df, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("avg_logp"))).toMap
+    // vocab: a=2, b=1, c=1, N=4
+    val d1 = (2 * math.log(2.0 / 4) + math.log(1.0 / 4)) / 3
+    assert(got(1L)._1 == 3L && math.abs(got(1L)._2 - d1) < 1e-12)
+    assert(got(2L)._1 == 1L && math.abs(got(2L)._2 - math.log(1.0 / 4)) < 1e-12)
+  }
+
   test("incrementalExactBloom: identical result to incrementalExact; empty index passes all") {
     import spark.implicits._
     val index = Dedup.exact(docs(), "text", "doc_id").select("fingerprint")
