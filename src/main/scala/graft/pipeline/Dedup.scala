@@ -54,7 +54,12 @@ object Dedup {
     val batch = newDocs
       .select(col(idCol), md5(normText(col(textCol))).as("fingerprint"))
       .groupBy("fingerprint").agg(min(col(idCol)).as("keep_id"))
-    batch.join(knownFingerprints.select("fingerprint"), Seq("fingerprint"), "left_anti")
+    // null-safe key: NULL text is ONE content value (groupBy already
+    // collapses it in-batch; `exact` gives it one representative) — a
+    // plain anti-join would re-deliver every all-null batch forever
+    // because NULL never equi-matches the indexed NULL
+    batch.join(knownFingerprints.select(col("fingerprint").as("__kfp")),
+        col("fingerprint") <=> col("__kfp"), "left_anti")
   }
 
   /** `might_contain(bloom, value)` — the probe twin of Spark's
@@ -88,6 +93,13 @@ object Dedup {
     * (one cheap column scan). Production loops amortize the build by
     * persisting the sketch bytes alongside the index and unioning new
     * fingerprints in.
+    *
+    * The session confs `spark.sql.optimizer.runtime.bloomFilter
+    * .maxNumItems/.maxNumBits` cap the aggregate (defaults 4M items /
+    * 8 MB); past them the sketch would silently saturate (fpp → 1, every
+    * row flows to the anti-join — correct but pure overhead), so this
+    * REQUIRES the caps cover `n` — raise both confs for billion-entry
+    * indexes (the 10⁹ @ fpp 0.01 sizing needs ~1.2 GB of bits).
     */
   def incrementalExactBloom(newDocs: DataFrame, knownFingerprints: DataFrame,
                             textCol: String, idCol: String,
@@ -98,12 +110,19 @@ object Dedup {
       .groupBy("fingerprint").agg(min(col(idCol)).as("keep_id"))
     val n = if (expectedItems > 0) expectedItems else knownFingerprints.count()
     if (n == 0) return batch // empty index: everything is new
-    // optimal bits m = n·ln(1/fpp)/ln²2, clamped to the session's
-    // runtime-bloom ceiling (the aggregate enforces the same cap)
-    val maxBits = knownFingerprints.sparkSession.conf
+    val conf = knownFingerprints.sparkSession.conf
+    val maxItems = conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = conf
       .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
-    val bits = math.min(maxBits,
-      math.max(64L, math.ceil(n * math.log(1.0 / fpp) / (math.log(2) * math.log(2))).toLong))
+    // optimal bits m = n·ln(1/fpp)/ln²2
+    val bits =
+      math.max(64L, math.ceil(n * math.log(1.0 / fpp) / (math.log(2) * math.log(2))).toLong)
+    require(n <= maxItems && bits <= maxBits,
+      s"incrementalExactBloom: index size $n needs $bits bloom bits, but the " +
+        s"session caps are maxNumItems=$maxItems / maxNumBits=$maxBits — the " +
+        s"sketch would saturate into a no-op prefilter. Raise spark.sql.optimizer" +
+        s".runtime.bloomFilter.{maxNumItems,maxNumBits} or use incrementalExact")
     // bloom_filter_agg lives in the INTERNAL registry only (Spark 4.1's
     // runtime-filter machinery) — constructed directly, like the probe
     val bloomAgg = org.apache.spark.sql.graftbridge.Bridge.column(
@@ -117,10 +136,14 @@ object Dedup {
       .agg(bloomAgg.as("bf"))
       .first().getAs[Array[Byte]](0)
     if (bf == null) return batch // index had only null fingerprints
-    val probe = mightContain(bf, xxhash64(col("fingerprint")))
+    // a NULL batch fingerprint can't be bloom-probed (xxhash64(null) is
+    // null) — route it to the maybe-branch, whose NULL-SAFE anti-join
+    // decides against the indexed NULL exactly as incrementalExact does
+    val probe = coalesce(mightContain(bf, xxhash64(col("fingerprint"))), lit(true))
     batch.filter(!probe).unionAll(
       batch.filter(probe)
-        .join(knownFingerprints.select("fingerprint"), Seq("fingerprint"), "left_anti"))
+        .join(knownFingerprints.select(col("fingerprint").as("__kfp")),
+          col("fingerprint") <=> col("__kfp"), "left_anti"))
   }
 
   /** Whitespace tokens of the normalized text. */

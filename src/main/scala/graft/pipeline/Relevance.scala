@@ -54,19 +54,23 @@ object Relevance {
       .select(col("id"), col("rk"), col("token"), col("tf"), col("doc_freq"), col("score"))
   }
 
-  /** BM25 scores of every document containing at least one query term.
-    * Standard Robertson/Sparck-Jones idf = ln(1 + (N − df + 0.5)/(df + 0.5))
-    * with the usual k1/b length normalization; `dl` is the whitespace
-    * token count and `avgdl` the corpus mean.
+  /** Shared BM25 scorer over a (query_id, token) term frame: Robertson/
+    * Sparck-Jones idf = ln(1 + (N − df + 0.5)/(df + 0.5)) with the usual
+    * k1/b length normalization; `dl` is the whitespace token count and
+    * `avgdl` the corpus mean. ONE implementation serves the single-query
+    * API and the batch retrieval path so the scoring math (and the c02/
+    * c06 oracles that mirror it) cannot desynchronize.
     *
-    * The query-term seq is tiny and becomes an `isin` filter pushed into
-    * the tf aggregation — the corpus pass only materializes matching
-    * (id, token) rows. Per-term doc_freq is derived from those same rows
-    * (a second tiny aggregate), so no full vocabulary pass is needed.
+    * Scale shape: one corpus tokenize pass, semi-joined down to tokens
+    * any query uses (query-term frames are tiny — the broadcast prunes
+    * the explode before the tf aggregate); per-term doc_freq derives from
+    * those same rows. Per-(query, doc) totals fold term scores IN TOKEN
+    * ORDER: float addition isn't associative, so an engine-parallel sum()
+    * would be run- and engine-dependent in the last bits; the ordered
+    * fold over the few-element collected list is bit-stable.
     */
-  def bm25(df: DataFrame, textCol: String, idCol: String,
-           queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+  private def bm25Scores(df: DataFrame, textCol: String, idCol: String,
+                         qTerms: DataFrame, k1: Double, b: Double): DataFrame = {
     val head = df
       .select(count(lit(1)), coalesce(sum(TextAnalysis.tokenCount(textCol)), lit(0L)))
       .first()
@@ -74,54 +78,6 @@ object Relevance {
     val avgdl = totTok.toDouble / n
     val dl = df.select(col(idCol).as("id"),
       TextAnalysis.tokenCount(textCol).as("dl"))
-    val tf = termFrequencies(df, textCol, idCol)
-      .filter(col("token").isin(queryTerms: _*))
-    val dfq = tf.groupBy("token").agg(count(lit(1)).as("doc_freq"))
-    val idf = log(lit(1.0) +
-      (lit(n.toDouble) - col("doc_freq") + lit(0.5)) / (col("doc_freq") + lit(0.5)))
-    // per-doc total folds the term scores IN TOKEN ORDER: float addition
-    // isn't associative, so an engine-parallel sum() would be run- and
-    // engine-dependent in the last bits; the ordered fold is bit-stable
-    // (queryTerms is small, so the collected list is too)
-    tf.join(dfq, "token")
-      .join(dl, "id")
-      .withColumn("__term_score",
-        idf * (col("tf") * (lit(k1) + 1.0)) /
-          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl))))
-      .groupBy("id")
-      .agg(
-        aggregate(
-          sort_array(collect_list(struct(col("token"), col("__term_score")))),
-          lit(0.0), (acc, x) => acc + x.getField("__term_score")).as("bm25"),
-        count(lit(1)).as("terms_hit"))
-  }
-
-  /** Batch BM25 retrieval: top-k documents PER QUERY for a whole query
-    * table — the RAG/eval-harness shape, where [[bm25]] is the one-query
-    * primitive. Query terms are the distinct whitespace tokens of
-    * `queryTextCol` (set semantics, the standard short-query treatment).
-    *
-    * Scale shape: ONE corpus tokenize pass, semi-joined down to tokens
-    * any query uses (query tables are ≪ corpus — the broadcast prunes
-    * the explode before the tf aggregate); doc_freq per term derives from
-    * those same rows; per-(query, doc) scores fold in token order (the
-    * bit-stable sum [[bm25]] uses); one window takes k per query. Corpus
-    * text is touched exactly once regardless of query count — running
-    * [[bm25]] per query would scan it |queries| times.
-    */
-  def bm25Retrieve(df: DataFrame, textCol: String, idCol: String,
-                   queries: DataFrame, queryIdCol: String, queryTextCol: String,
-                   k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(k > 0, s"k must be positive, got $k")
-    val head = df
-      .select(count(lit(1)), coalesce(sum(TextAnalysis.tokenCount(textCol)), lit(0L)))
-      .first()
-    val n = head.getLong(0); val totTok = head.getLong(1)
-    val avgdl = totTok.toDouble / n
-    val dl = df.select(col(idCol).as("id"),
-      TextAnalysis.tokenCount(textCol).as("dl"))
-    val qTerms = queries.select(col(queryIdCol).as("query_id"),
-        explode(array_distinct(expr(TextAnalysis.tokensExpr(queryTextCol)))).as("token"))
     val tf = df
       .select(col(idCol).as("id"),
         explode(expr(TextAnalysis.tokensExpr(textCol))).as("token"))
@@ -130,7 +86,7 @@ object Relevance {
     val dfq = tf.groupBy("token").agg(count(lit(1)).as("doc_freq"))
     val idf = log(lit(1.0) +
       (lit(n.toDouble) - col("doc_freq") + lit(0.5)) / (col("doc_freq") + lit(0.5)))
-    val scored = tf.join(dfq, "token")
+    tf.join(dfq, "token")
       .join(dl, "id")
       .join(broadcast(qTerms), "token") // fan out per query AFTER scoring inputs are doc-sized
       .withColumn("__term_score",
@@ -142,6 +98,35 @@ object Relevance {
           sort_array(collect_list(struct(col("token"), col("__term_score")))),
           lit(0.0), (acc, x) => acc + x.getField("__term_score")).as("bm25"),
         count(lit(1)).as("terms_hit"))
+  }
+
+  /** BM25 scores of every document containing at least one query term —
+    * the single-query primitive; delegates to [[bm25Scores]] (see there
+    * for semantics and the determinism contract).
+    */
+  def bm25(df: DataFrame, textCol: String, idCol: String,
+           queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qTerms = queryTerms.distinct.map(t => (0L, t)).toDF("query_id", "token")
+    bm25Scores(df, textCol, idCol, qTerms, k1, b).drop("query_id")
+  }
+
+  /** Batch BM25 retrieval: top-k documents PER QUERY for a whole query
+    * table — the RAG/eval-harness shape, where [[bm25]] is the one-query
+    * primitive. Query terms are the distinct whitespace tokens of
+    * `queryTextCol` (set semantics, the standard short-query treatment).
+    * Corpus text is touched exactly once regardless of query count —
+    * running [[bm25]] per query would scan it |queries| times.
+    */
+  def bm25Retrieve(df: DataFrame, textCol: String, idCol: String,
+                   queries: DataFrame, queryIdCol: String, queryTextCol: String,
+                   k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val qTerms = queries.select(col(queryIdCol).as("query_id"),
+      explode(array_distinct(expr(TextAnalysis.tokensExpr(queryTextCol)))).as("token"))
+    val scored = bm25Scores(df, textCol, idCol, qTerms, k1, b)
     val w = Window.partitionBy("query_id").orderBy(col("bm25").desc, col("id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select("query_id", "id", "bm25", "terms_hit", "rk")

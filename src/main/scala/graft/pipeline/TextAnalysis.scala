@@ -280,8 +280,8 @@ object TextAnalysis {
     * Output: (id, n_tokens, avg_logp).
     */
   def unigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val tf = df.select(col(idCol).as("id"), explode(expr(tokensExpr(textCol))).as("token"))
-      .groupBy("id", "token").agg(count(lit(1)).as("tf"))
+    // the SAME term frequencies the relevance operators score with
+    val tf = Relevance.termFrequencies(df, textCol, idCol)
     val vocab = tf.groupBy("token").agg(sum("tf").as("cnt"))
     val n = df.select(coalesce(sum(tokenCount(textCol)), lit(0L))).first().getLong(0)
     require(n > 0, "unigramLogProb: corpus has no tokens")
@@ -397,39 +397,50 @@ object TextAnalysis {
     * punctuation flag but excludes it from `keep` (the standard config for
     * non-prose corpora: code, tables, transcripts).
     *
-    * Pure per-row expressions (codegen'd, shuffle-free — scan-throughput
-    * work at any scale). Cross-engine exactness: mean word length is an
-    * exact-integer sum divided once (IEEE division of identical operands
-    * is bit-identical everywhere), so every rule boundary is exact — no
-    * float-margin caveat.
+    * Per-row expression work, shuffle-free — scan-throughput at any scale
+    * (the token fold and length map are interpreted HOFs, each projected
+    * ONCE per the hash-once contract; everything else is codegen'd).
+    * Cross-engine exactness: mean word length is an exact-integer sum
+    * divided once (IEEE division of identical operands is bit-identical
+    * everywhere), so every rule boundary is exact — no float-margin
+    * caveat. NULL text classifies as all-false flags (keep = false), not
+    * NULL — a keep/reject partition must cover the whole corpus.
     */
   def c4Rules(df: DataFrame, textCol: String, idCol: String,
               minWords: Int = 5, minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
               maxWordLen: Int = 25,
               blacklist: Seq[String] = Seq("lorem ipsum", "javascript", "{"),
               requireTerminalPunct: Boolean = true): DataFrame = {
+    // __meanlen is projected as a COLUMN so the interpreted token fold
+    // runs once per row, not once per comparison referencing it
     val base = df.select(col(idCol).as("id"), col(textCol),
-      expr(tokensExpr(textCol)).as("__toks"))
-    val meanLen = expr(
-      """CASE WHEN size(__toks) = 0 THEN 0.0
-        |ELSE aggregate(__toks, 0L, (acc, t) -> acc + length(t))
-        |     / cast(size(__toks) as double) END""".stripMargin)
+        expr(tokensExpr(textCol)).as("__toks"))
+      .withColumn("__meanlen", expr(
+        """CASE WHEN size(__toks) = 0 THEN 0.0
+          |ELSE aggregate(__toks, 0L, (acc, t) -> acc + length(t))
+          |     / cast(size(__toks) as double) END""".stripMargin))
     val maxLen = expr("coalesce(array_max(transform(__toks, t -> length(t))), 0)")
     // foldLeft, not reduce: an empty blacklist legitimately disables the
     // rule (always-true) instead of crashing at plan-build time
     val noBlack = blacklist
       .map(s => !contains(lower(col(textCol)), lit(s.toLowerCase)))
       .foldLeft(lit(true))(_ && _)
+    // NULL text makes comparisons NULL (and some, like "no long word",
+    // vacuously true) — classify the whole row as all-false instead so
+    // keep/!keep partitions the corpus and no rule flags a missing doc
+    def flag(c: Column) =
+      coalesce(when(col(textCol).isNotNull, c), lit(false))
     base.select(
         col("id"),
-        (size(col("__toks")) >= minWords).as("enough_words"),
-        (meanLen >= minMeanLen && meanLen <= maxMeanLen).as("mean_word_len_ok"),
-        (maxLen <= maxWordLen).as("no_long_word"),
+        flag(size(col("__toks")) >= minWords).as("enough_words"),
+        flag(col("__meanlen") >= minMeanLen && col("__meanlen") <= maxMeanLen)
+          .as("mean_word_len_ok"),
+        flag(maxLen <= maxWordLen).as("no_long_word"),
         // \z (absolute end), not $: Java's $ also matches BEFORE a final
         // newline, which RE2-based engines (the oracle) don't — a doc
         // ending ".\n" would flag true here and false there
-        expr(s"rtrim($textCol)").rlike("[.!?\"]\\z").as("terminal_punct"),
-        noBlack.as("no_blacklist"))
+        flag(expr(s"rtrim($textCol)").rlike("[.!?\"]\\z")).as("terminal_punct"),
+        flag(noBlack).as("no_blacklist"))
       .withColumn("keep",
         col("enough_words") && col("mean_word_len_ok") && col("no_long_word") &&
           (if (requireTerminalPunct) col("terminal_punct") else lit(true)) &&

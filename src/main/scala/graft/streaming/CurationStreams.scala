@@ -64,6 +64,14 @@ object CurationStreams {
   private def indexExists(spark: org.apache.spark.sql.SparkSession, dir: String): Boolean = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(path) && fs.listStatus(path).nonEmpty
+    // only VISIBLE entries count: a crash during the first write can
+    // leave `_temporary`/`_SUCCESS` alone in the dir, and treating that
+    // as an index makes spark.read.parquet throw UNABLE_TO_INFER_SCHEMA
+    // on every replay — a permanent crash loop in the function that
+    // promises restart safety
+    fs.exists(path) && fs.listStatus(path).exists { s =>
+      val n = s.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
   }
 }

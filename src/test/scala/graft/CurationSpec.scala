@@ -73,6 +73,23 @@ class CurationSpec extends SparkTestBase {
     assert(got.keys.filter(_._1 == 2L).map(_._2).toSet == Set(4L))
   }
 
+  test("c4Rules: NULL text classifies as all-false flags, not NULL") {
+    import spark.implicits._
+    val df = Seq((1L, Some("A perfectly reasonable sentence appears right here.")),
+      (2L, Option.empty[String])).toDF("doc_id", "text")
+    val out = TextAnalysis.c4Rules(df, "text", "doc_id")
+    val byId = out.collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(byId(1L).getAs[Boolean]("keep"))
+    val nullRow = byId(2L)
+    Seq("enough_words", "mean_word_len_ok", "no_long_word", "terminal_punct",
+      "no_blacklist", "keep").foreach { c =>
+      assert(!nullRow.isNullAt(nullRow.fieldIndex(c)) && !nullRow.getAs[Boolean](c),
+        s"$c must be false (not NULL) on null text")
+    }
+    // keep/!keep must partition the corpus
+    assert(out.filter(col("keep")).count() + out.filter(!col("keep")).count() == 2)
+  }
+
   test("temperatureResample: integer-exact quotas, deterministic selection") {
     import spark.implicits._
     val df = (1 to 90).map(i => (i.toLong, if (i <= 60) "en" else "fr")).toDF("doc_id", "lang")

@@ -132,6 +132,45 @@ class PipelineSpec extends SparkTestBase {
       "one rep per near-dup group plus the singleton")
   }
 
+  test("incremental dedup: NULL text is one content value, not a forever-redelivered row") {
+    import spark.implicits._
+    val index = Dedup.exact(Seq((1L, Option.empty[String]), (2L, Some("real doc")))
+      .toDF("doc_id", "text"), "text", "doc_id").select("fingerprint")
+    val batch = Seq((10L, Option.empty[String]), (11L, Some("fresh doc")))
+      .toDF("doc_id", "text")
+    // the indexed NULL fingerprint must match the batch NULL (null-safe key)
+    val plain = Dedup.incrementalExact(batch, index, "text", "doc_id")
+      .collect().map(_.getAs[Long]("keep_id")).toSet
+    assert(plain == Set(11L), s"null-text batch row must dedup against the indexed null, got $plain")
+    val bloom = Dedup.incrementalExactBloom(batch, index, "text", "doc_id")
+      .collect().map(_.getAs[Long]("keep_id")).toSet
+    assert(bloom == plain)
+    // and with no NULL in the index, the null-text row is delivered once
+    val freshIdx = Dedup.exact(Seq((2L, "real doc")).toDF("doc_id", "text"),
+      "text", "doc_id").select("fingerprint")
+    assert(Dedup.incrementalExactBloom(batch, freshIdx, "text", "doc_id")
+      .collect().map(_.getAs[Long]("keep_id")).toSet == Set(10L, 11L))
+  }
+
+  test("incrementalExactBloom refuses to build a saturated sketch past the session caps") {
+    import spark.implicits._
+    val index = (1 to 100).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+    val known = Dedup.exact(index, "text", "doc_id").select("fingerprint")
+    val batch = Seq((200L, "new doc")).toDF("doc_id", "text")
+    val key = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "10")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Dedup.incrementalExactBloom(batch, known, "text", "doc_id")
+      }
+      assert(e.getMessage.contains("maxNumItems"))
+    } finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("minhash-LSH finds the planted near-duplicate pair") {
     val pairs = Dedup.minhashDedup(docs(), "text", "doc_id", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
