@@ -2227,6 +2227,31 @@ object SparkEntry {
               |    ORDER BY bm25 DESC, id) AS rk FROM sc)
               |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin)),
 
+    Q("a06_semantic_decontaminate",
+      (s, d) => {
+        val m = mgr(s, d)
+        val all = m.getDDFByName("embeddings").df
+        // eval suite = first 20 vectors, corpus = the rest. Threshold
+        // margin measured at sf0.01: min |max_cos − 0.4| = 1.3e-4 over
+        // 480 corpus rows (4 contaminated); max is order-independent,
+        // so no fold caveat
+        pipeline.Similarity.semanticDecontaminate(
+            all.filter(col("vec_id") >= 20), "embedding", "vec_id",
+            all.filter(col("vec_id") < 20), threshold = 0.4)
+          .select(col("id"), round(col("max_eval_cosine"), 6).as("max_eval_cosine"),
+            col("contaminated"))
+          .orderBy("id")
+      },
+      Some("""WITH dv AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+             |            FROM embeddings),
+             |ev AS (SELECT v AS evv FROM dv WHERE vec_id < 20),
+             |c AS (SELECT d.vec_id AS id,
+             |    max(list_dot_product(d.v, evv) /
+             |        (sqrt(list_dot_product(d.v, d.v)) * sqrt(list_dot_product(evv, evv)))) AS mc
+             |  FROM (SELECT * FROM dv WHERE vec_id >= 20) d CROSS JOIN ev GROUP BY 1)
+             |SELECT id, round(mc, 6) AS max_eval_cosine, mc >= 0.4 AS contaminated
+             |FROM c ORDER BY id""".stripMargin)),
+
     Q("t09_span_dedup",
       (s, d) => {
         val m = mgr(s, d)

@@ -162,4 +162,23 @@ final class DDF(
     graft.operators.Transforms.scaleMinMax(this, cols)
   def transformScaleStandard(cols: Seq[String] = Nil): DDF =
     graft.operators.Transforms.scaleStandard(this, cols)
+
+  // ===== Training-data curation facade (pipeline extensions, SURVEY §8) —
+  // the same fluent call-site style as the reference API, so a curation
+  // chain reads ddf.c4Filter(...).dedupExact(...).dedupNearDup(...).
+  // enrichText(...). Each delegates to the graft.pipeline operator that
+  // carries the scale contract.
+  def dedupExact(textCol: String, idCol: String): DDF =
+    derive(graft.pipeline.Dedup.exactSurvivors(df, textCol, idCol))
+  def dedupNearDup(textCol: String, idCol: String, threshold: Double = 0.8): DDF =
+    derive(graft.pipeline.Dedup.clusterSurvivors(df,
+      graft.pipeline.Dedup.minhashDedup(df, textCol, idCol, threshold), idCol))
+  def enrichText(textCol: String): DDF =
+    derive(graft.pipeline.TextAnalysis.enrich(df, textCol))
+  def c4Filter(textCol: String, idCol: String): DDF = {
+    val keep = graft.pipeline.TextAnalysis.c4Rules(df, textCol, idCol)
+      .filter(org.apache.spark.sql.functions.col("keep"))
+      .select(org.apache.spark.sql.functions.col("id").as(idCol))
+    derive(df.join(keep, Seq(idCol), "left_semi"))
+  }
 }

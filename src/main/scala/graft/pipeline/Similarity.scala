@@ -97,6 +97,27 @@ object Similarity {
   def dequantize(q: Column): Column =
     transform(q.getField("codes"), c => c.cast("double") * q.getField("scale"))
 
+  /** Embedding-space benchmark decontamination — the semantic twin of
+    * `TextAnalysis.decontaminate`'s n-gram overlap: flag corpus items
+    * whose MAX cosine against any eval-set embedding reaches `threshold`
+    * (catches paraphrased/reworded eval leakage that shingle overlap
+    * misses). Output: (id, max_eval_cosine, contaminated).
+    *
+    * Scale shape: eval suites are small — broadcast them, one pass over
+    * the corpus, partial-aggregated max per id (max is order-independent,
+    * so no float-fold caveat). Same plan family as [[bruteForceTopK]].
+    */
+  def semanticDecontaminate(corpus: DataFrame, vecCol: String, idCol: String,
+                            evalSet: DataFrame, threshold: Double): DataFrame = {
+    val scored = corpus.alias("c")
+      .join(broadcast(evalSet.select(col(vecCol).as("__ev"))))
+      .select(col(s"c.$idCol").as("id"),
+        cosine(col(s"c.$vecCol"), col("__ev")).as("__cos"))
+    scored.groupBy("id")
+      .agg(max(col("__cos")).as("max_eval_cosine"))
+      .withColumn("contaminated", col("max_eval_cosine") >= threshold)
+  }
+
   /** LSH-bucketed ANN: restrict scoring to corpus vectors whose bucket
     * matches any query bucket (multi-probe = 0: exact bucket only).
     * Trades recall for a bucket-selective scan — the 100 TB path; measure

@@ -33,6 +33,19 @@ object ScaleSmoke {
       val t1 = System.nanoTime()
       val v = graft.pipeline.Relevance.tfidfTopTerms(d, "text", "doc_id", k = 3).count()
       println(f"[smoke] factor=$f tfidf_rows=$v tfidf=${(System.nanoTime() - t1) / 1e9}%.2f s")
+      val t2 = System.nanoTime()
+      val sd = graft.pipeline.Dedup.spanDedup(d, "text", "doc_id", w = 6).count()
+      println(f"[smoke] factor=$f span_docs=$sd span_dedup=${(System.nanoTime() - t2) / 1e9}%.2f s")
+      val t3 = System.nanoTime()
+      import spark.implicits._
+      val queries = Seq((1L, "spark join"), (2L, "window stream"), (3L, "hash filter scan"))
+        .toDF("qid", "qtext")
+      val br = graft.pipeline.Relevance.bm25Retrieve(d, "text", "doc_id",
+        queries, "qid", "qtext", k = 10).count()
+      println(f"[smoke] factor=$f bm25_rows=$br bm25_retrieve=${(System.nanoTime() - t3) / 1e9}%.2f s")
+      val t4 = System.nanoTime()
+      val ul = graft.pipeline.TextAnalysis.unigramLogProb(d, "text", "doc_id").count()
+      println(f"[smoke] factor=$f unigram_rows=$ul unigram=${(System.nanoTime() - t4) / 1e9}%.2f s")
     }
     spark.stop()
   }

@@ -61,4 +61,22 @@ class DdfApiSpec extends SparkTestBase {
     assert(ddf.dropNA().numRows == 2)
     assert(ddf.fillNA(0.0).df.filter("x = 0.0").count() == 1)
   }
+
+  test("curation facade chains: c4Filter -> dedupExact -> dedupNearDup -> enrichText") {
+    import spark.implicits._
+    val docs = m.register(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank."),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank."), // exact dup
+      (3L, "the quick brown fox jumps over the lazy dog near the river tonight."), // near dup
+      (4L, "an entirely different sentence about distributed query engines runs here."),
+      (5L, "no punct so c4 drops this one entirely for missing terminal marks")
+    ).toDF("doc_id", "text"))
+    val out = docs.c4Filter("text", "doc_id")
+      .dedupExact("text", "doc_id")
+      .dedupNearDup("text", "doc_id", threshold = 0.5)
+      .enrichText("text")
+    val ids = out.df.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 4L), s"got $ids") // 5 fails c4, 2 exact-dups, 3 near-dups
+    assert(out.columnNames.contains("quality") && out.columnNames.contains("lang_pred"))
+  }
 }

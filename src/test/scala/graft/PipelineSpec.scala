@@ -76,6 +76,23 @@ class PipelineSpec extends SparkTestBase {
     assert(sp(2L) == "epsilon zeta")
   }
 
+  test("semanticDecontaminate: flags near-eval vectors, max is over the whole eval set") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f)),    // exact eval dup -> cosine 1
+      (11L, Array(0.9f, 0.44f)),   // near eval 2 -> ~0.9 vs (0.7,0.7)
+      (12L, Array(-1.0f, 0.0f))    // opposite -> clean
+    ).toDF("vec_id", "embedding")
+    val eval = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.7f, 0.7f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDecontaminate(corpus, "embedding", "vec_id", eval, 0.95)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Double]("max_eval_cosine"), r.getAs[Boolean]("contaminated"))).toMap
+    assert(out(10L)._2 && out(10L)._1 > 0.999)
+    assert(!out(11L)._2 && out(11L)._1 > 0.9)  // max picked the closer eval vector
+    assert(!out(12L)._2 && out(12L)._1 < 0.1)
+  }
+
   test("unigramLogProb: hand-computed corpus-unigram means") {
     import spark.implicits._
     val df = Seq((1L, "a a b"), (2L, "c")).toDF("doc_id", "text")
