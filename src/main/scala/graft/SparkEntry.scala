@@ -115,6 +115,36 @@ object SparkEntry {
        |order by revenue desc, o_orderdate, l_orderkey
        |limit 10""".stripMargin
 
+  /** TPC-H Q5 shape (local-supplier 6-way join): the one query pattern
+    * that exercises a two-condition join (l_suppkey = s_suppkey AND
+    * c_nationkey = s_nationkey) plus the full dim chain to region.
+    * Revenue through the exact decimal sum; n_name makes the order total.
+    */
+  private val tpchQ5Sql: String =
+    s"""select n_name, ${dsum2Sql("l_extendedprice", "1 - l_discount")} as revenue
+       |from customer
+       |join orders on c_custkey = o_custkey
+       |join lineitem on l_orderkey = o_orderkey
+       |join supplier on l_suppkey = s_suppkey and c_nationkey = s_nationkey
+       |join nation on s_nationkey = n_nationkey
+       |join region on n_regionkey = r_regionkey
+       |where r_name = 'ASIA'
+       |  and o_orderdate >= timestamp '1996-01-01 00:00:00'
+       |  and o_orderdate < timestamp '1997-01-01 00:00:00'
+       |group by n_name
+       |order by revenue desc, n_name""".stripMargin
+
+  /** TPC-H Q6 shape (pure filter + aggregate — the pushdown showcase:
+    * every predicate reaches the parquet scan, zero joins, one scalar).
+    */
+  private val tpchQ6Sql: String =
+    s"""select ${dsum2Sql("l_extendedprice", "l_discount")} as revenue
+       |from lineitem
+       |where l_shipdate >= timestamp '1996-01-01 00:00:00'
+       |  and l_shipdate < timestamp '1997-01-01 00:00:00'
+       |  and l_discount between 0.05 and 0.07
+       |  and l_quantity < 24""".stripMargin
+
   private final case class Q(
       name: String,
       fn: (SparkSession, String) => DataFrame,
@@ -282,7 +312,15 @@ object SparkEntry {
       },
       Some("""SELECT l_returnflag, count(*) AS n FROM lineitem
              |WHERE l_quantity >= 25 GROUP BY l_returnflag
-             |ORDER BY l_returnflag""".stripMargin))
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    Q("q13_tpch_q5",
+      (s, d) => mgr(s, d).sql2ddf(tpchQ5Sql).df,
+      Some(tpchQ5Sql)),
+
+    Q("q14_tpch_q6",
+      (s, d) => mgr(s, d).sql2ddf(tpchQ6Sql).df,
+      Some(tpchQ6Sql))
   )
 
   // =====================================================================
