@@ -93,6 +93,22 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("property: spanDedup on an all-unique corpus reassembles every doc verbatim") {
+    import spark.implicits._
+    // tokens are globally unique across docs -> no span collides, so
+    // dedup must be the identity (normalized text) for every width
+    val docs = (1L to 8L).map(i =>
+      (i, (1 to draw(Gen.choose(1, 17), i).toInt).map(j => s"w${i}_$j").mkString(" ")))
+    val df = docs.toDF("doc_id", "text")
+    for (w <- Seq(1, 3, 6)) {
+      val out = Dedup.spanDedup(df, "text", "doc_id", w)
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("text")).toMap
+      docs.foreach { case (id, text) =>
+        assert(out(id) == text, s"w=$w doc $id must round-trip")
+      }
+    }
+  }
+
   test("property: packChunks respects the budget except lone oversize chunks") {
     import spark.implicits._
     val sizeGen = Gen.listOfN(80, Gen.chooseNum(1L, 30L))
