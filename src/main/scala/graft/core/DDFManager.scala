@@ -134,6 +134,22 @@ final class DDFManager(val spark: SparkSession) {
   def loadParquet(path: String, name: String): DDF =
     register(spark.read.parquet(path), name)
 
+  /** Read a JSONL (newline-delimited JSON) table — the lingua franca of
+    * text-corpus distribution — and register it under `name`. Schema is
+    * inferred unless given; Spark's reader is distributed and
+    * column-pruning, so downstream projections prune at the scan.
+    */
+  def loadJson(path: String, name: String, schema: StructType = null): DDF = {
+    val reader = spark.read
+    register((if (schema != null) reader.schema(schema) else reader).json(path), name)
+  }
+
+  /** Read an ORC table and register it under `name` (same pushdown and
+    * pruning properties as parquet).
+    */
+  def loadOrc(path: String, name: String): DDF =
+    register(spark.read.orc(path), name)
+
   /** Declared-schema empty table (reference: SqlHandler.scala:54-61). */
   def createTable(name: String, schema: StructType): DDF =
     register(spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema), name)

@@ -83,6 +83,24 @@ class CoreSpec extends SparkTestBase {
     assert(back.numRows == 2)
   }
 
+  test("loadJson reads JSONL with inferred and declared schemas") {
+    val dir = Files.createDirectories(Paths.get("target/test-fixtures"))
+    val jsonl = dir.resolve("docs.jsonl")
+    Files.writeString(jsonl,
+      """{"doc_id": 1, "text": "alpha beta", "lang": "en"}
+        |{"doc_id": 2, "text": "gamma", "lang": "fr"}
+        |""".stripMargin)
+    val m = freshManager
+    val ddf = m.loadJson(jsonl.toAbsolutePath.toString, "jdocs")
+    assert(ddf.numRows == 2 && ddf.columnNames.toSet == Set("doc_id", "text", "lang"))
+    val declared = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", org.apache.spark.sql.types.LongType)
+      .add("text", org.apache.spark.sql.types.StringType)
+    val d2 = m.loadJson(jsonl.toAbsolutePath.toString, "jdocs2", declared)
+    assert(d2.columnNames == Seq("doc_id", "text")) // declared schema prunes
+    assert(m.sql("select text from @this where doc_id = 2", d2).rows == Seq("gamma"))
+  }
+
   test("loadFile infers schema and names columns V1..Vn") {
     val dir = Files.createDirectories(Paths.get("target/test-fixtures"))
     val csv = dir.resolve("infer1.csv")
