@@ -135,14 +135,18 @@ final class DDFManager(val spark: SparkSession) {
     register(spark.read.parquet(path), name)
 
   /** Read a JSONL (newline-delimited JSON) table — the lingua franca of
-    * text-corpus distribution — and register it under `name`. Schema is
-    * inferred unless given; Spark's reader is distributed and
-    * column-pruning, so downstream projections prune at the scan.
+    * text-corpus distribution — with inferred schema, registered under
+    * `name`. Spark's reader is distributed and column-pruning, so
+    * downstream projections prune at the scan.
     */
-  def loadJson(path: String, name: String, schema: StructType = null): DDF = {
-    val reader = spark.read
-    register((if (schema != null) reader.schema(schema) else reader).json(path), name)
-  }
+  def loadJson(path: String, name: String): DDF =
+    register(spark.read.json(path), name)
+
+  /** [[loadJson]] with a declared schema (skips inference; extra JSON
+    * fields are dropped, missing ones null).
+    */
+  def loadJson(path: String, name: String, schema: StructType): DDF =
+    register(spark.read.schema(schema).json(path), name)
 
   /** Read an ORC table and register it under `name` (same pushdown and
     * pruning properties as parquet).

@@ -135,11 +135,17 @@ object Dedup {
       .select(col("fingerprint").as("h"))
       .agg(bloomAgg.as("bf"))
       .first().getAs[Array[Byte]](0)
-    if (bf == null) return batch // index had only null fingerprints
-    // a NULL batch fingerprint can't be bloom-probed (xxhash64(null) is
-    // null) — route it to the maybe-branch, whose NULL-SAFE anti-join
-    // decides against the indexed NULL exactly as incrementalExact does
-    val probe = coalesce(mightContain(bf, xxhash64(col("fingerprint"))), lit(true))
+    // bf == null means the index had ONLY null fingerprints (the bloom
+    // aggregate skips unhashable NULLs) — no sketch to probe, but the
+    // null-safe anti-join below must still drop a null batch row against
+    // the indexed NULL, exactly as incrementalExact would. probe=true
+    // for every row degrades gracefully to the plain incremental join.
+    val probe =
+      if (bf == null) lit(true)
+      // a NULL batch fingerprint can't be bloom-probed (xxhash64(null)
+      // is null) — route it to the maybe-branch, whose NULL-SAFE
+      // anti-join decides against the indexed NULL
+      else coalesce(mightContain(bf, xxhash64(col("fingerprint"))), lit(true))
     batch.filter(!probe).unionAll(
       batch.filter(probe)
         .join(knownFingerprints.select(col("fingerprint").as("__kfp")),

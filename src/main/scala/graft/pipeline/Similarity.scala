@@ -109,13 +109,21 @@ object Similarity {
     */
   def semanticDecontaminate(corpus: DataFrame, vecCol: String, idCol: String,
                             evalSet: DataFrame, threshold: Double): DataFrame = {
+    // an empty eval set would cross-join to ZERO rows — a pipeline
+    // keeping `!contaminated` docs would silently drop the whole corpus
+    require(!evalSet.isEmpty, "semanticDecontaminate: eval set is empty")
     val scored = corpus.alias("c")
       .join(broadcast(evalSet.select(col(vecCol).as("__ev"))))
       .select(col(s"c.$idCol").as("id"),
         cosine(col(s"c.$vecCol"), col("__ev")).as("__cos"))
     scored.groupBy("id")
       .agg(max(col("__cos")).as("max_eval_cosine"))
-      .withColumn("contaminated", col("max_eval_cosine") >= threshold)
+      // NULL embeddings null-propagate to a NULL max — classify as NOT
+      // contaminated (max_eval_cosine stays NULL for visibility) so
+      // contaminated/!contaminated partitions the corpus (same contract
+      // as c4Rules.keep)
+      .withColumn("contaminated",
+        coalesce(col("max_eval_cosine") >= threshold, lit(false)))
   }
 
   /** LSH-bucketed ANN: restrict scoring to corpus vectors whose bucket

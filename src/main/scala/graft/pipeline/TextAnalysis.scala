@@ -277,7 +277,11 @@ object TextAnalysis {
     * float total is bit-stable across engines and run topologies; every
     * token is in the vocabulary by construction (N ≥ count_t ≥ tf_t ≥ 1).
     *
-    * Output: (id, n_tokens, avg_logp).
+    * Output: (id, n_tokens, avg_logp) — one row per corpus doc. Docs with
+    * no tokens (empty/whitespace/NULL text) get (id, 0, NULL): the score
+    * must COVER the corpus (the c4Rules partition contract), and NULL —
+    * not some sentinel — is the honest "no evidence" value for bucketing
+    * to route explicitly.
     */
   def unigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     // the SAME term frequencies the relevance operators score with
@@ -285,7 +289,7 @@ object TextAnalysis {
     val vocab = tf.groupBy("token").agg(sum("tf").as("cnt"))
     val n = df.select(coalesce(sum(tokenCount(textCol)), lit(0L))).first().getLong(0)
     require(n > 0, "unigramLogProb: corpus has no tokens")
-    tf.join(vocab, "token")
+    val scored = tf.join(vocab, "token")
       .withColumn("__lp", col("tf") * log(col("cnt").cast("double") / lit(n.toDouble)))
       .groupBy("id")
       .agg(
@@ -294,6 +298,8 @@ object TextAnalysis {
           sort_array(collect_list(struct(col("token"), col("__lp")))),
           lit(0.0), (acc, x) => acc + x.getField("__lp"))
           / sum(col("tf"))).as("avg_logp"))
+    df.select(col(idCol).as("id")).join(scored, Seq("id"), "left")
+      .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
   }
 
   /** Split documents into overlapping token windows — the

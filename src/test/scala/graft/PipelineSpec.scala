@@ -91,6 +91,16 @@ class PipelineSpec extends SparkTestBase {
     assert(out(10L)._2 && out(10L)._1 > 0.999)
     assert(!out(11L)._2 && out(11L)._1 > 0.9)  // max picked the closer eval vector
     assert(!out(12L)._2 && out(12L)._1 < 0.1)
+    // NULL embedding classifies as NOT contaminated (never vanishes from
+    // both partitions); empty eval set fails loudly
+    val withNull = corpus.unionAll(
+      Seq((13L, Option.empty[Array[Float]])).toDF("vec_id", "embedding"))
+    val nullRow = Similarity.semanticDecontaminate(withNull, "embedding", "vec_id", eval, 0.95)
+      .filter(col("id") === 13L).collect().head
+    assert(!nullRow.getAs[Boolean]("contaminated") && nullRow.isNullAt(1))
+    intercept[IllegalArgumentException] {
+      Similarity.semanticDecontaminate(corpus, "embedding", "vec_id", eval.limit(0), 0.95)
+    }
   }
 
   test("unigramLogProb: hand-computed corpus-unigram means") {
@@ -103,6 +113,14 @@ class PipelineSpec extends SparkTestBase {
     val d1 = (2 * math.log(2.0 / 4) + math.log(1.0 / 4)) / 3
     assert(got(1L)._1 == 3L && math.abs(got(1L)._2 - d1) < 1e-12)
     assert(got(2L)._1 == 1L && math.abs(got(2L)._2 - math.log(1.0 / 4)) < 1e-12)
+    // token-less docs stay in the output as (id, 0, NULL) — coverage
+    val withEmpty = df.unionAll(Seq((3L, ""), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text"))
+    val rows = TextAnalysis.unigramLogProb(withEmpty, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L, 4L))
+    assert(rows(3L).getAs[Long]("n_tokens") == 0L && rows(3L).isNullAt(2))
+    assert(rows(4L).getAs[Long]("n_tokens") == 0L && rows(4L).isNullAt(2))
   }
 
   test("incrementalExactBloom: identical result to incrementalExact; empty index passes all") {
@@ -167,6 +185,12 @@ class PipelineSpec extends SparkTestBase {
       "text", "doc_id").select("fingerprint")
     assert(Dedup.incrementalExactBloom(batch, freshIdx, "text", "doc_id")
       .collect().map(_.getAs[Long]("keep_id")).toSet == Set(10L, 11L))
+    // ALL-null index: the bloom aggregate returns no sketch, but the
+    // null-safe anti-join must still drop the null batch row
+    val nullIdx = Dedup.exact(Seq((3L, Option.empty[String])).toDF("doc_id", "text"),
+      "text", "doc_id").select("fingerprint")
+    assert(Dedup.incrementalExactBloom(batch, nullIdx, "text", "doc_id")
+      .collect().map(_.getAs[Long]("keep_id")).toSet == Set(11L))
   }
 
   test("incrementalExactBloom refuses to build a saturated sketch past the session caps") {
