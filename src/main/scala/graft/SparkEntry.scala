@@ -2265,6 +2265,28 @@ object SparkEntry {
               |    ORDER BY bm25 DESC, id) AS rk FROM sc)
               |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin)),
 
+    Q("d13_corpus_diff",
+      (s, d) => {
+        val m = mgr(s, d)
+        val docs = m.getDDFByName("documents").df
+        // two overlapping corpus versions: content-level added/removed/
+        // common audit (ids don't matter, fingerprints do)
+        pipeline.Dedup.corpusDiff(
+            docs.filter(col("doc_id") < 300), docs.filter(col("doc_id") >= 200),
+            "text", "doc_id")
+          .orderBy("fingerprint")
+      },
+      Some(s"""WITH fp AS (SELECT doc_id, md5(${duckNorm("text")}) AS f FROM documents),
+              |o AS (SELECT f, count(*) AS old_n FROM fp WHERE doc_id < 300 GROUP BY 1),
+              |n AS (SELECT f, count(*) AS new_n FROM fp WHERE doc_id >= 200 GROUP BY 1)
+              |SELECT coalesce(n.f, o.f) AS fingerprint,
+              |  CASE WHEN o.f IS NULL THEN 'added'
+              |       WHEN n.f IS NULL THEN 'removed' ELSE 'common' END AS status,
+              |  coalesce(old_n, 0)::BIGINT AS old_n,
+              |  coalesce(new_n, 0)::BIGINT AS new_n
+              |FROM n FULL OUTER JOIN o ON n.f = o.f
+              |ORDER BY fingerprint""".stripMargin)),
+
     Q("a06_semantic_decontaminate",
       (s, d) => {
         val m = mgr(s, d)

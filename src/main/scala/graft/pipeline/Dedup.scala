@@ -652,6 +652,33 @@ object Dedup {
       .drop("cluster_id")
   }
 
+  /** Content-level corpus diff — the ingest-audit shape: what did this
+    * batch/version ADD, what did it DROP, what is COMMON, by normalized
+    * content fingerprint (so renames/re-ids don't count as changes).
+    * Output: (fingerprint, status ∈ added|removed|common, old_n, new_n)
+    * with per-side duplicate counts.
+    *
+    * Scale shape: two [[exact]]-style 16-byte-key aggregates and one
+    * full-outer join on that key; document bodies never shuffle. NULL
+    * text is one content value on both sides (null-safe join key).
+    */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                 textCol: String, idCol: String): DataFrame = {
+    def fps(df: DataFrame, cnt: String) = df
+      .groupBy(md5(normText(col(textCol))).as("fingerprint"))
+      .agg(count(lit(1)).as(cnt))
+    val o = fps(oldDocs, "old_n").withColumnRenamed("fingerprint", "__ofp")
+    val n = fps(newDocs, "new_n")
+    n.join(o, col("fingerprint") <=> col("__ofp"), "full_outer")
+      .select(
+        coalesce(col("fingerprint"), col("__ofp")).as("fingerprint"),
+        when(col("old_n").isNull, "added")
+          .when(col("new_n").isNull, "removed")
+          .otherwise("common").as("status"),
+        coalesce(col("old_n"), lit(0L)).as("old_n"),
+        coalesce(col("new_n"), lit(0L)).as("new_n"))
+  }
+
   /** Segment rows (id, idx, seg) from fixed non-overlapping token spans
     * of `w` tokens — the C4-style granularity for sub-document dedup
     * when the text has no paragraph markup. Token array is projected to

@@ -53,6 +53,21 @@ class PipelineSpec extends SparkTestBase {
     assert(out == Set(11L, 13L), "known doc dropped; in-batch dup collapsed to min id")
   }
 
+  test("corpusDiff: added/removed/common by content, id-insensitive, null-safe") {
+    import spark.implicits._
+    val old = Seq((1L, Some("kept doc")), (2L, Some("dropped doc")),
+      (3L, Option.empty[String])).toDF("doc_id", "text")
+    val neu = Seq((10L, Some("kept doc")), (11L, Some("brand new doc")),
+      (12L, Option.empty[String]), (13L, Option.empty[String])).toDF("doc_id", "text")
+    val diff = Dedup.corpusDiff(old, neu, "text", "doc_id")
+      .collect().map(r => (Option(r.getString(0)),
+        (r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // re-id'd identical content is common; null text matches null text
+    assert(diff.values.toSeq.sorted ==
+      Seq(("added", 0L, 1L), ("common", 1L, 1L), ("common", 1L, 2L), ("removed", 1L, 0L)))
+    assert(diff(None) == ("common", 1L, 2L), "null content diffed with counts")
+  }
+
   test("paragraph/span dedup: first occurrence wins, docs reassemble in order") {
     import spark.implicits._
     val df = Seq(
