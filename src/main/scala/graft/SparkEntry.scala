@@ -145,6 +145,24 @@ object SparkEntry {
        |  and l_discount between 0.05 and 0.07
        |  and l_quantity < 24""".stripMargin
 
+  /** TPC-H Q10 shape (returned-item report): fact→dim join chain with a
+    * selective fact filter, high-cardinality group-by, deterministic
+    * top-20.
+    */
+  private val tpchQ10Sql: String =
+    s"""select c_custkey, c_name, ${dsum2Sql("l_extendedprice", "1 - l_discount")} as revenue,
+       |  c_acctbal, n_name
+       |from customer
+       |join orders on c_custkey = o_custkey
+       |join lineitem on l_orderkey = o_orderkey
+       |join nation on c_nationkey = n_nationkey
+       |where l_returnflag = 'R'
+       |  and o_orderdate >= timestamp '1996-01-01 00:00:00'
+       |  and o_orderdate < timestamp '1996-04-01 00:00:00'
+       |group by c_custkey, c_name, c_acctbal, n_name
+       |order by revenue desc, c_custkey
+       |limit 20""".stripMargin
+
   private final case class Q(
       name: String,
       fn: (SparkSession, String) => DataFrame,
@@ -320,7 +338,11 @@ object SparkEntry {
 
     Q("q14_tpch_q6",
       (s, d) => mgr(s, d).sql2ddf(tpchQ6Sql).df,
-      Some(tpchQ6Sql))
+      Some(tpchQ6Sql)),
+
+    Q("q15_tpch_q10",
+      (s, d) => mgr(s, d).sql2ddf(tpchQ10Sql).df,
+      Some(tpchQ10Sql))
   )
 
   // =====================================================================

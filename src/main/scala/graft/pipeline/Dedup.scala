@@ -552,6 +552,7 @@ object Dedup {
       .unionAll(pairs.select(col("id2").as("src"), col("id1").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint() // eager + FLAT lineage for the loop below
@@ -577,7 +578,6 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
-    edges.unpersist(blocking = false)
     if (strict && !converged) throw new IllegalStateException(
       s"dupClusters: labels not converged after $maxIter rounds — component " +
         s"diameter exceeds ~2^$maxIter; raise maxIter (or pass strict = false " +
@@ -585,6 +585,9 @@ object Dedup {
     // already materialized (localCheckpoint) — no persisted frame leaks to
     // the caller; checkpoint blocks are GC-cleaned by the ContextCleaner
     labels.withColumnRenamed("label", "cluster_id")
+    // finally, not inline: a mid-loop job failure must still release the
+    // edge cache (every other persist in this file follows the pattern)
+    } finally edges.unpersist(blocking = false)
   }
 
   /** One representative (min id) per duplicate cluster; singletons (no
