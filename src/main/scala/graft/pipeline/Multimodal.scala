@@ -76,6 +76,53 @@ object Multimodal {
     spark.createDataFrame(rdd, featureSchema)
   }
 
+  /** Deterministic fake "resize": truncate to `targetBytes`. ==== STUB
+    * ==== — replace with the real media transform (image resize, audio
+    * resample, video transcode) on a cluster with codecs; the
+    * binary→binary signature and metadata refresh are the contract.
+    */
+  def resizeStub(payload: Array[Byte], targetBytes: Int): Array[Byte] =
+    if (payload.length <= targetBytes) payload
+    else java.util.Arrays.copyOf(payload, targetBytes)
+
+  val resizedSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = false),
+    StructField("byte_len", LongType, nullable = false),
+    StructField("content_hash", StringType, nullable = false)))
+
+  /** Payload→payload transform — the resize/transcode plumbing shape
+    * (third of the three: →features, →frames, →payload). Same
+    * per-partition batch contract as [[extractFeatures]]; metadata
+    * (byte_len, content_hash) is recomputed for the NEW bytes, because
+    * stale hashes silently poison downstream exact dedup.
+    */
+  def resizePayloads(df: DataFrame, idCol: String, payloadCol: String,
+                     targetBytes: Int, partitions: Int = 0): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    require(df.schema(idCol).dataType.isInstanceOf[NumericType],
+      s"resizePayloads: id column '$idCol' must be numeric " +
+        s"(got ${df.schema(idCol).dataType.simpleString})")
+    val in = if (partitions > 0) df.repartition(partitions) else df
+    val spark = df.sparkSession
+    val rdd = in.select(col(idCol).cast("long"), col(payloadCol)).rdd.mapPartitions { rows =>
+      // per-partition codec init would go here
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        if (r.isNullAt(0)) throw new IllegalArgumentException(
+          "resizePayloads: null id in payload row")
+        val payload = r.getAs[Array[Byte]](1)
+        if (payload == null) throw new IllegalArgumentException(
+          s"resizePayloads: null payload for id ${r.getLong(0)}")
+        val out = resizeStub(payload, targetBytes)
+        md.reset()
+        val hash = md.digest(out).map("%02x".format(_)).mkString
+        Row(r.getLong(0), out, out.length.toLong, hash)
+      }
+    }
+    spark.createDataFrame(rdd, resizedSchema)
+  }
+
   /** Frame-sampling plumbing for video-like payloads: emit every k-th
     * chunk of `chunkBytes` as its own row (id, frame_no, frame_bytes).
     * The chunking stands in for real frame extraction.

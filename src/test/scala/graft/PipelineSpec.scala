@@ -553,4 +553,21 @@ class PipelineSpec extends SparkTestBase {
     val frames = Multimodal.sampleFrames(withBin, "id", "payload", chunkBytes = 5, everyK = 2)
     assert(frames.count() > 2)
   }
+
+  test("multimodal: resizePayloads caps bytes and refreshes the content hash") {
+    import spark.implicits._
+    val df = Seq((1L, "a payload comfortably longer than ten bytes"), (2L, "short"))
+      .toDF("id", "text")
+    val withBin = Multimodal.withBinaryPayload(df, "text", "image/fake")
+    val out = Multimodal.resizePayloads(withBin, "id", "payload", targetBytes = 10)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(out(1L).getAs[Long]("byte_len") == 10L)
+    assert(out(2L).getAs[Long]("byte_len") == 5L) // already under target: unchanged
+    // hash is of the NEW bytes (stale hashes would poison exact dedup)
+    val origHash = withBin.filter(col("id") === 1L).select("meta.content_hash")
+      .collect().head.getString(0)
+    assert(out(1L).getAs[String]("content_hash") != origHash)
+    assert(out(2L).getAs[String]("content_hash") ==
+      withBin.filter(col("id") === 2L).select("meta.content_hash").first().getString(0))
+  }
 }
