@@ -2295,18 +2295,22 @@ object SparkEntry {
         // common audit (ids don't matter, fingerprints do)
         pipeline.Dedup.corpusDiff(
             docs.filter(col("doc_id") < 300), docs.filter(col("doc_id") >= 200),
-            "text", "doc_id")
+            "text")
           .orderBy("fingerprint")
       },
+      // join + status are NULL-SAFE (IS NOT DISTINCT FROM / count
+      // nullability), mirroring corpusDiff's <=> semantics — a NULL-text
+      // doc on either side must diff as ONE 'common'/'added'/'removed'
+      // row, not two mislabeled ones
       Some(s"""WITH fp AS (SELECT doc_id, md5(${duckNorm("text")}) AS f FROM documents),
               |o AS (SELECT f, count(*) AS old_n FROM fp WHERE doc_id < 300 GROUP BY 1),
               |n AS (SELECT f, count(*) AS new_n FROM fp WHERE doc_id >= 200 GROUP BY 1)
               |SELECT coalesce(n.f, o.f) AS fingerprint,
-              |  CASE WHEN o.f IS NULL THEN 'added'
-              |       WHEN n.f IS NULL THEN 'removed' ELSE 'common' END AS status,
+              |  CASE WHEN old_n IS NULL THEN 'added'
+              |       WHEN new_n IS NULL THEN 'removed' ELSE 'common' END AS status,
               |  coalesce(old_n, 0)::BIGINT AS old_n,
               |  coalesce(new_n, 0)::BIGINT AS new_n
-              |FROM n FULL OUTER JOIN o ON n.f = o.f
+              |FROM n FULL OUTER JOIN o ON n.f IS NOT DISTINCT FROM o.f
               |ORDER BY fingerprint""".stripMargin)),
 
     Q("a06_semantic_decontaminate",

@@ -666,7 +666,7 @@ object Dedup {
     * text is one content value on both sides (null-safe join key).
     */
   def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
-                 textCol: String, idCol: String): DataFrame = {
+                 textCol: String): DataFrame = {
     def fps(df: DataFrame, cnt: String) = df
       .groupBy(md5(normText(col(textCol))).as("fingerprint"))
       .agg(count(lit(1)).as(cnt))

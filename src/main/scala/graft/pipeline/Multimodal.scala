@@ -59,6 +59,7 @@ object Multimodal {
     require(df.schema(idCol).dataType.isInstanceOf[NumericType],
       s"extractFeatures: id column '$idCol' must be numeric " +
         s"(got ${df.schema(idCol).dataType.simpleString})")
+    requireBinary(df, payloadCol, "extractFeatures")
     val in = if (partitions > 0) df.repartition(partitions) else df
     val spark = df.sparkSession
     val rdd = in.select(col(idCol).cast("long"), col(payloadCol)).rdd.mapPartitions { rows =>
@@ -87,15 +88,15 @@ object Multimodal {
 
   val resizedSchema: StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),
-    StructField("payload", BinaryType, nullable = false),
-    StructField("byte_len", LongType, nullable = false),
-    StructField("content_hash", StringType, nullable = false)))
+    StructField("payload", BinaryType, nullable = false)))
 
   /** Payload→payload transform — the resize/transcode plumbing shape
     * (third of the three: →features, →frames, →payload). Same
     * per-partition batch contract as [[extractFeatures]]; metadata
-    * (byte_len, content_hash) is recomputed for the NEW bytes, because
-    * stale hashes silently poison downstream exact dedup.
+    * (byte_len, content_hash) is recomputed for the NEW bytes — with the
+    * SAME Spark expressions [[withBinaryPayload]] uses, so the hash
+    * format can never drift from the attach path (stale or differently-
+    * formatted hashes silently poison downstream exact dedup).
     */
   def resizePayloads(df: DataFrame, idCol: String, payloadCol: String,
                      targetBytes: Int, partitions: Int = 0): DataFrame = {
@@ -103,25 +104,32 @@ object Multimodal {
     require(df.schema(idCol).dataType.isInstanceOf[NumericType],
       s"resizePayloads: id column '$idCol' must be numeric " +
         s"(got ${df.schema(idCol).dataType.simpleString})")
+    requireBinary(df, payloadCol, "resizePayloads")
     val in = if (partitions > 0) df.repartition(partitions) else df
     val spark = df.sparkSession
     val rdd = in.select(col(idCol).cast("long"), col(payloadCol)).rdd.mapPartitions { rows =>
       // per-partition codec init would go here
-      val md = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
         if (r.isNullAt(0)) throw new IllegalArgumentException(
           "resizePayloads: null id in payload row")
         val payload = r.getAs[Array[Byte]](1)
         if (payload == null) throw new IllegalArgumentException(
           s"resizePayloads: null payload for id ${r.getLong(0)}")
-        val out = resizeStub(payload, targetBytes)
-        md.reset()
-        val hash = md.digest(out).map("%02x".format(_)).mkString
-        Row(r.getLong(0), out, out.length.toLong, hash)
+        Row(r.getLong(0), resizeStub(payload, targetBytes))
       }
     }
     spark.createDataFrame(rdd, resizedSchema)
+      .withColumn("byte_len", octet_length(col("payload")).cast("long"))
+      .withColumn("content_hash", md5(col("payload")))
   }
+
+  /** Fail fast, driver-side, with the column name — a wrong payload
+    * column otherwise dies as a context-free executor ClassCastException
+    * three frames deep in mapPartitions.
+    */
+  private def requireBinary(df: DataFrame, c: String, op: String): Unit =
+    require(df.schema(c).dataType == BinaryType,
+      s"$op: payload column '$c' must be binary (got ${df.schema(c).dataType.simpleString})")
 
   /** Frame-sampling plumbing for video-like payloads: emit every k-th
     * chunk of `chunkBytes` as its own row (id, frame_no, frame_bytes).

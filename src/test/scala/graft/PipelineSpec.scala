@@ -59,7 +59,7 @@ class PipelineSpec extends SparkTestBase {
       (3L, Option.empty[String])).toDF("doc_id", "text")
     val neu = Seq((10L, Some("kept doc")), (11L, Some("brand new doc")),
       (12L, Option.empty[String]), (13L, Option.empty[String])).toDF("doc_id", "text")
-    val diff = Dedup.corpusDiff(old, neu, "text", "doc_id")
+    val diff = Dedup.corpusDiff(old, neu, "text")
       .collect().map(r => (Option(r.getString(0)),
         (r.getString(1), r.getLong(2), r.getLong(3)))).toMap
     // re-id'd identical content is common; null text matches null text
