@@ -1,0 +1,151 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the shingling hot path.
+  *
+  * Rationale (same as VectorExpressions, measured the other way around):
+  * the composable formulations — Dedup.shingleExpr's zip_with fold and
+  * TextAnalysis.ngramsOf — are higher-order-function chains that run
+  * INTERPRETED (lambda dispatch per element, an intermediate array per
+  * fold level). Shingling is the single most expensive expression in the
+  * dedup/decontamination pipelines (it touches every byte of every
+  * document), so it deserves the same treatment as the vector math: one
+  * tight loop, one output allocation, inside whole-stage codegen.
+  *
+  * Both expressions are DROP-IN equivalents of the HOF formulations —
+  * byte-identical output arrays (order included) — pinned by
+  * TextExprSpec's equivalence properties, so the DuckDB oracles that
+  * replicate the SQL formulations stay valid unchanged.
+  */
+object TextExpressions {
+
+  /** Shared normalize+tokenize: EXACTLY
+    * `split(trim(regexp_replace(lower(text), '\s+', ' ')), ' ')` —
+    * UTF8String.toLowerCase (Spark's Lower), Java-regex whitespace
+    * collapse (Spark's RegExpReplace), space-only trim (Spark's
+    * StringTrim), limit -1 split (Spark's StringSplit).
+    */
+  def normTokens(text: UTF8String): Array[String] = {
+    val collapsed = text.toLowerCase.toString.replaceAll("\\s+", " ")
+    UTF8String.fromString(collapsed).trim().toString.split(" ", -1)
+  }
+
+  /** Interpreted twin of [[WordShingles]]'s loop — also called from
+    * generated code.
+    */
+  def computeShingles(text: UTF8String, n: Int): ArrayData = {
+    val toks = normTokens(text)
+    val out =
+      if (toks.length < n) Array(toks.mkString(" "))
+      else {
+        // first-occurrence-order distinct, like array_distinct
+        val seen = new java.util.LinkedHashSet[String]()
+        var i = 0
+        val sb = new java.lang.StringBuilder
+        while (i <= toks.length - n) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j)); j += 1
+          }
+          seen.add(sb.toString); i += 1
+        }
+        seen.toArray(new Array[String](seen.size))
+      }
+    new GenericArrayData(out.map(UTF8String.fromString(_): AnyRef))
+  }
+
+  /** Interpreted twin of [[TokenNgrams]]'s loop — also called from
+    * generated code. Windows containing a NULL element are skipped
+    * (concat null-propagation in the HOF formulation).
+    */
+  def computeNgrams(toks: ArrayData, n: Int): ArrayData = {
+    val len = toks.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[AnyRef])
+    val out = new java.util.ArrayList[AnyRef](len - n + 1)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= len - n) {
+      sb.setLength(0)
+      var j = 0
+      var hasNull = false
+      while (j < n && !hasNull) {
+        if (toks.isNullAt(i + j)) hasNull = true
+        else {
+          if (j > 0) sb.append(' ')
+          sb.append(toks.getUTF8String(i + j).toString)
+        }
+        j += 1
+      }
+      if (!hasNull) out.add(UTF8String.fromString(sb.toString))
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** Distinct word n-gram shingles of a raw text column — the native,
+  * codegen'd equivalent of `Dedup.shingleExpr` (normalize, tokenize,
+  * window, first-occurrence distinct; fewer than n tokens collapse to
+  * one whole-text shingle; n <= 1 yields distinct tokens).
+  */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+
+  override def prettyName: String = "word_shingles"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string column, got ${other.simpleString}")
+  }
+
+  // n == 1 needs no special case: windows of width 1 ARE the distinct
+  // tokens (computeShingles' length-<-n branch can only fire for n >= 2,
+  // since the tokenizer never returns an empty array)
+  override def nullSafeEval(input: Any): Any =
+    TextExpressions.computeShingles(input.asInstanceOf[UTF8String], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextExpressions.computeShingles($c, $n);")
+
+  override protected def withNewChildInternal(c: Expression): WordShingles =
+    copy(child = c)
+}
+
+/** Word n-gram MULTISET over a token array — the native, codegen'd
+  * equivalent of `TextAnalysis.ngramsOf` (duplicates kept, order
+  * preserved, fewer than n tokens → empty, windows with NULL elements
+  * skipped).
+  */
+case class TokenNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 2, s"ngram width must be >= 2, got $n")
+
+  override def prettyName: String = "token_ngrams"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects an array<string> column, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextExpressions.computeNgrams(input.asInstanceOf[ArrayData], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextExpressions.computeNgrams($c, $n);")
+
+  override protected def withNewChildInternal(c: Expression): TokenNgrams =
+    copy(child = c)
+}

@@ -156,17 +156,33 @@ object Dedup {
   def tokens(c: Column): Column = split(normText(c), " ")
 
   /** Word n-gram shingles as a per-row array (no explode — the shingle
-    * set stays per-row until banding).
-    *
-    * PERFORMANCE CONTRACT: higher-order-function lambdas are interpreted,
-    * and any captured OUTER expression is re-evaluated per element — a
-    * lambda body containing `slice(toks, i, n)` re-runs the whole
-    * regexp+split once per shingle (measured: ~34 ms/doc, 30+ s for 500
-    * docs). So the lambda bodies below touch ONLY lambda variables: the
-    * token array is shifted at projection level and folded with zip_with
-    * (concat null-propagates past the end, nulls filtered after).
+    * set stays per-row until banding). NATIVE codegen'd expression
+    * (graft.functions.WordShingles): shingling touches every byte of
+    * every document, and the HOF formulation below runs interpreted —
+    * one tight loop beats a 3-level lambda fold the same way VectorDot
+    * beats aggregate(zip_with(...)). Byte-identical output to the HOF
+    * twin (TextExprSpec equivalence), so the DuckDB oracle replicas are
+    * unaffected.
     */
-  def shingleExpr(textCol: String, n: Int): Column = {
+  def shingleExpr(textCol: String, n: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.WordShingles(
+        org.apache.spark.sql.graftbridge.Bridge.expression(expr(textCol)), n))
+
+  /** The higher-order-function formulation of [[shingleExpr]] — kept as
+    * the equivalence reference for the native expression (and as the
+    * documentation of the shape the oracles replicate in SQL).
+    *
+    * PERFORMANCE CONTRACT (why the lambda bodies look like this):
+    * HOF lambdas are interpreted, and any captured OUTER expression is
+    * re-evaluated per element — a lambda body containing
+    * `slice(toks, i, n)` re-runs the whole regexp+split once per shingle
+    * (measured: ~34 ms/doc, 30+ s for 500 docs). So the lambda bodies
+    * below touch ONLY lambda variables: the token array is shifted at
+    * projection level and folded with zip_with (concat null-propagates
+    * past the end, nulls filtered after).
+    */
+  private[graft] def shingleExprHof(textCol: String, n: Int): Column = {
     val t = s"split(trim(regexp_replace(lower($textCol), '\\\\s+', ' ')), ' ')"
     if (n <= 1) return expr(s"array_distinct($t)")
     val folded = (2 to n).foldLeft(t) { (acc, i) =>

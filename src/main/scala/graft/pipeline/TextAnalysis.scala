@@ -125,6 +125,16 @@ object TextAnalysis {
     s"filter($folded, s -> s IS NOT NULL)"
   }
 
+  /** NATIVE codegen'd twin of [[ngramsOf]] over a token-array COLUMN —
+    * byte-identical output (TextExprSpec equivalence); the internal
+    * consumers (repetition metrics, decontamination) use this one, the
+    * SQL-fragment form above documents the semantics the oracles mirror.
+    */
+  def ngramCol(toks: Column, n: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.TokenNgrams(
+        org.apache.spark.sql.graftbridge.Bridge.expression(toks), n))
+
   /** Gopher-style repetition metrics per document — the standard
     * training-data quality signals for boilerplate/spam:
     *
@@ -145,8 +155,8 @@ object TextAnalysis {
                         ngramHash: Column => Column = xxhash64(_)): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(textCol))
       .withColumn("__toks", expr(tokensExpr(textCol)))
-      .withColumn("__bg", expr(ngramsOf("__toks", 2)))
-      .withColumn("__tg", expr(ngramsOf("__toks", 3)))
+      .withColumn("__bg", ngramCol(col("__toks"), 2))
+      .withColumn("__tg", ngramCol(col("__toks"), 3))
     val perRow = base.select(col("id"),
       expr("size(__toks)").cast("bigint").as("token_count"),
       expr("""CASE WHEN size(__toks) = 0 THEN 0.0
@@ -188,7 +198,7 @@ object TextAnalysis {
   private def shingleHashPairs(df: DataFrame, textCol: String, idCol: String,
                                n: Int, ngramHash: Column => Column): DataFrame =
     df.select(col(idCol).as("id"), expr(tokensExpr(textCol)).as("__toks"))
-      .select(col("id"), explode(expr(ngramsOf("__toks", n))).as("s"))
+      .select(col("id"), explode(ngramCol(col("__toks"), n)).as("s"))
       .select(col("id"), ngramHash(col("s")).as("h"))
 
   /** Per-doc count of distinct shingles shared with the benchmark — only

@@ -1,0 +1,80 @@
+package graft
+
+import graft.functions.{TokenNgrams, WordShingles}
+import graft.pipeline.{Dedup, TextAnalysis}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** Native text expressions must be DROP-IN equivalents of the HOF
+  * formulations they replace — byte-identical arrays, order included —
+  * because the DuckDB oracles replicate the HOF semantics.
+  */
+class TextExprSpec extends SparkTestBase {
+
+  private def shinglesNative(c: Column, n: Int): Column =
+    Bridge.column(WordShingles(Bridge.expression(c), n))
+  private def ngramsNative(c: Column, n: Int): Column =
+    Bridge.column(TokenNgrams(Bridge.expression(c), n))
+
+  private val nasty = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "repeat repeat repeat repeat repeat",
+    "  leading and   trailing   whitespace  ",
+    "tabs\tand\nnewlines\r\nmixed   in",
+    "MiXeD CaSe ÄÖÜ unicode éàç tokens",
+    "single",
+    "two words",
+    "",
+    "   ",
+    "a b a b a b",
+    "punct, kept. as-is! within? tokens;")
+
+  test("WordShingles == shingleExpr (HOF) on nasty strings, n in 1..5, and NULL") {
+    import spark.implicits._
+    val df = (nasty.map(Option(_)) :+ Option.empty[String]).toDF("t")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val rows = df.select(
+          Dedup.shingleExprHof("t", n).as("hof"),
+          shinglesNative(col("t"), n).as("nat"))
+        .collect()
+      rows.zipWithIndex.foreach { case (r, i) =>
+        val hof = if (r.isNullAt(0)) null else r.getSeq[String](0)
+        val nat = if (r.isNullAt(1)) null else r.getSeq[String](1)
+        assert(hof == nat, s"n=$n row $i: HOF=$hof native=$nat")
+      }
+    }
+  }
+
+  test("TokenNgrams == ngramsOf (HOF) including duplicates, order, short docs") {
+    import spark.implicits._
+    val df = nasty.toDF("t")
+      .withColumn("__toks", expr(TextAnalysis.tokensExpr("t")))
+    for (n <- Seq(2, 3)) {
+      val rows = df.select(
+          expr(TextAnalysis.ngramsOf("__toks", n)).as("hof"),
+          ngramsNative(col("__toks"), n).as("nat"))
+        .collect()
+      rows.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"n=$n row $i: HOF=${r.getSeq[String](0)} native=${r.getSeq[String](1)}")
+      }
+    }
+  }
+
+  test("native shingles stay inside whole-stage codegen") {
+    // a local relation would constant-fold the projection away, so build
+    // text from range() to force a real executed stage
+    val df = spark.range(50)
+      .select(concat(lit("tok"), col("id"), lit(" tok"), col("id") + 1,
+        lit(" tok"), col("id") + 2, lit(" tok"), col("id") + 3).as("t"))
+      .select(shinglesNative(col("t"), 3).as("sh"))
+    val plan = df.queryExecution.executedPlan.toString
+    // '*(n)' prefixes mark operators inside a WholeStageCodegen stage;
+    // the shingling Project must carry one (a CodegenFallback expression
+    // would strip it from its operator)
+    assert(plan.linesIterator.exists(l => l.contains("word_shingles") && l.contains("*(")),
+      s"shingling Project not inside a codegen stage:\n$plan")
+    assert(df.filter(size(col("sh")) === 2).count() == 50)
+  }
+}
