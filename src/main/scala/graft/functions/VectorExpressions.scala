@@ -177,5 +177,18 @@ object GraftFunctions {
       FunctionIdentifier("vector_cosine"),
       new ExpressionInfo(classOf[VectorCosine].getName, "vector_cosine"),
       (exprs: Seq[Expression]) => VectorCosine(exprs(0), exprs(1)))
+    def intLit(e: Expression, fn: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn: width must be an integer literal, got $other")
+    }
+    reg.registerFunction(
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (exprs: Seq[Expression]) => WordShingles(exprs(0), intLit(exprs(1), "word_shingles")))
+    reg.registerFunction(
+      FunctionIdentifier("token_ngrams"),
+      new ExpressionInfo(classOf[TokenNgrams].getName, "token_ngrams"),
+      (exprs: Seq[Expression]) => TokenNgrams(exprs(0), intLit(exprs(1), "token_ngrams")))
   }
 }

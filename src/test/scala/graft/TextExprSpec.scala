@@ -62,6 +62,17 @@ class TextExprSpec extends SparkTestBase {
     }
   }
 
+  test("word_shingles / token_ngrams are SQL-registrable") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    Seq("a b c d").toDF("t").createOrReplaceTempView("textexpr_t")
+    val r = spark.sql(
+      """SELECT word_shingles(t, 3) AS sh,
+        |  token_ngrams(split(t, ' '), 2) AS ng FROM textexpr_t""".stripMargin).collect().head
+    assert(r.getSeq[String](0) == Seq("a b c", "b c d"))
+    assert(r.getSeq[String](1) == Seq("a b", "b c", "c d"))
+  }
+
   test("native shingles stay inside whole-stage codegen") {
     // a local relation would constant-fold the projection away, so build
     // text from range() to force a real executed stage
