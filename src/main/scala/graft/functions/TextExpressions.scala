@@ -122,6 +122,58 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Rolling polynomial hash of a string's codepoints — the native,
+  * codegen'd equivalent of the portable mod-prime char fold
+  * (`aggregate(split(s, ''), 0L, (acc, ch) -> pmod(acc·mult + ascii(ch),
+  * prime))`): acc is always < prime (≤ 2^30 for the primes in use) and
+  * mult ≤ a few hundred, so acc·mult + cp stays far below 2^63 — no
+  * overflow, and floorMod matches pmod. Iterates CODEPOINTS, matching
+  * `split('')` (codepoint-aware) + `ascii` (first-codepoint value).
+  *
+  * This removes the "interpreted HOF — prefer xxhash64 at scale" caveat
+  * from the portable dedup paths: cross-engine-reproducible hashing now
+  * runs at codegen speed too.
+  */
+case class PolyHash(child: Expression, mult: Long, prime: Long) extends UnaryExpression {
+  require(prime > 0 && mult > 0, s"mult/prime must be positive, got $mult/$prime")
+  require(prime <= (1L << 31) && mult <= 1024,
+    s"mult*prime must stay far below 2^63 (got $mult * $prime)")
+
+  override def prettyName: String = "poly_hash"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string column, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    PolyHash.compute(input.asInstanceOf[UTF8String], mult, prime)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PolyHash.compute($c, ${mult}L, ${prime}L);")
+
+  override protected def withNewChildInternal(c: Expression): PolyHash =
+    copy(child = c)
+}
+
+object PolyHash {
+  /** Also called from generated code. */
+  def compute(s: UTF8String, mult: Long, prime: Long): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      acc = java.lang.Math.floorMod(acc * mult + cp, prime)
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+}
+
 /** Word n-gram MULTISET over a token array — the native, codegen'd
   * equivalent of `TextAnalysis.ngramsOf` (duplicates kept, order
   * preserved, fewer than n tokens → empty, windows with NULL elements

@@ -457,17 +457,29 @@ object Dedup {
     * packed as h1 + h2·2^30. Reproducible in any SQL engine with a list
     * fold (see the d03 DuckDB oracle; same pattern as
     * TextAnalysis.rollingHash, which hash-matches DuckDB at sf0.01).
-    * Interpreted HOF — prefer the default xxhash64 path at scale; lambda
-    * bodies touch only lambda vars (see shingleExpr's contract).
+    * NATIVE codegen'd fold — portability no longer costs interpreter
+    * dispatch, so this path is scale-capable too (xxhash64 remains the
+    * default for its better mixing).
     */
   def portableHash60(c: Column): Column =
     portableFold(c, 31L, 1000000007L) +
       portableFold(c, 131L, 998244353L) * lit(1L << 30)
 
   /** Single mod-prime char fold (< 2^30) — the cross-engine primitive
-    * behind [[portableHash60]] and the portable MinHash path.
+    * behind [[portableHash60]] and the portable MinHash path. Native
+    * expression (graft.functions.PolyHash); byte-identical to the HOF
+    * twin below (TextExprSpec equivalence).
     */
   def portableFold(c: Column, mult: Long = 31L, prime: Long = 1000000007L): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.PolyHash(
+        org.apache.spark.sql.graftbridge.Bridge.expression(c), mult, prime))
+
+  /** The HOF formulation of [[portableFold]] — the equivalence reference
+    * (and the shape the DuckDB oracles replicate with list_reduce).
+    */
+  private[graft] def portableFoldHof(c: Column, mult: Long = 31L,
+                                     prime: Long = 1000000007L): Column =
     aggregate(split(c, ""), lit(0L),
       (acc, ch) => pmod(acc * mult + coalesce(ascii(ch), lit(0)), lit(prime)))
 

@@ -100,13 +100,11 @@ object TextAnalysis {
 
   /** Rolling polynomial hash (base 31, mod 1e9+7) of the normalized
     * text — the cheap streaming-friendly fingerprint variant. Modular to
-    * stay ANSI-overflow-safe.
+    * stay ANSI-overflow-safe; native codegen'd fold (= portableFold over
+    * normText, which is exactly what the HOF formulation computed).
     */
   def rollingHash(textCol: String): Column =
-    expr(
-      s"""aggregate(split(trim(regexp_replace(lower($textCol), '\\\\s+', ' ')), ''),
-         |  0L, (acc, ch) -> pmod(acc * 31L + coalesce(ascii(ch), 0), 1000000007L))"""
-        .stripMargin)
+    Dedup.portableFold(Dedup.normText(col(textCol)))
 
   /** Word n-gram MULTISET (order-preserving, duplicates kept — unlike
     * Dedup.shingleExpr's distinct set) over a token-array fragment.

@@ -62,6 +62,22 @@ class TextExprSpec extends SparkTestBase {
     }
   }
 
+  test("PolyHash == portableFold HOF on nasty strings including unicode and NULL") {
+    import spark.implicits._
+    val df = (nasty.map(Option(_)) :+ Some("😀 surrogate pair") :+ Option.empty[String]).toDF("t")
+    for ((m, p) <- Seq((31L, 1000000007L), (131L, 998244353L))) {
+      val rows = df.select(
+          Dedup.portableFoldHof(col("t"), m, p).as("hof"),
+          Dedup.portableFold(col("t"), m, p).as("nat"))
+        .collect()
+      rows.zipWithIndex.foreach { case (r, i) =>
+        val hof = if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
+        val nat = if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1))
+        assert(hof == nat, s"mult=$m row $i: HOF=$hof native=$nat")
+      }
+    }
+  }
+
   test("word_shingles / token_ngrams are SQL-registrable") {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     import spark.implicits._
