@@ -31,9 +31,17 @@ object TextExpressions {
     * collapse (Spark's RegExpReplace), space-only trim (Spark's
     * StringTrim), limit -1 split (Spark's StringSplit).
     */
+  private val WS = java.util.regex.Pattern.compile("\\s+")
+
   def normTokens(text: UTF8String): Array[String] = {
-    val collapsed = text.toLowerCase.toString.replaceAll("\\s+", " ")
-    UTF8String.fromString(collapsed).trim().toString.split(" ", -1)
+    // compiled-once pattern (RegExpReplace caches its pattern too) and an
+    // index trim of ' ' only (StringTrim semantics) — no extra
+    // String<->UTF8String round-trips on the per-document hot path
+    val collapsed = WS.matcher(text.toLowerCase.toString).replaceAll(" ")
+    var s = 0; var e = collapsed.length
+    while (s < e && collapsed.charAt(s) == ' ') s += 1
+    while (e > s && collapsed.charAt(e - 1) == ' ') e -= 1
+    collapsed.substring(s, e).split(" ", -1)
   }
 
   /** Interpreted twin of [[WordShingles]]'s loop — also called from

@@ -242,10 +242,10 @@ object Dedup {
       k)
 
   /** Cross-engine-deterministic signatures: one [[portableFold]] base
-    * hash per shingle (the only interpreted expression — projected ONCE,
-    * per the hash-once contract above); permutations as in
-    * [[affineMinhash]]. Use for oracle-checked instantiations — the
-    * xxhash64-seeded default is the 100 TB path.
+    * hash per shingle (native codegen'd fold, hashed ONCE per the
+    * hash-once contract above); permutations as in [[affineMinhash]].
+    * Used by the oracle-checked instantiations; the xxhash64 default
+    * remains preferred at scale only for its better bit mixing.
     */
   def minhashSignaturesPortable(sh: DataFrame, k: Int = 32): DataFrame =
     affineMinhash(

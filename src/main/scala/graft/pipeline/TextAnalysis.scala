@@ -104,7 +104,9 @@ object TextAnalysis {
     * normText, which is exactly what the HOF formulation computed).
     */
   def rollingHash(textCol: String): Column =
-    Dedup.portableFold(Dedup.normText(col(textCol)))
+    // expr(), not col(): textCol may be an expression fragment, as in
+    // every other textCol-taking API in this file
+    Dedup.portableFold(Dedup.normText(expr(textCol)))
 
   /** Word n-gram MULTISET (order-preserving, duplicates kept — unlike
     * Dedup.shingleExpr's distinct set) over a token-array fragment.

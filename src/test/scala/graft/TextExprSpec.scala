@@ -1,10 +1,8 @@
 package graft
 
-import graft.functions.{TokenNgrams, WordShingles}
 import graft.pipeline.{Dedup, TextAnalysis}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graftbridge.Bridge
 
 /** Native text expressions must be DROP-IN equivalents of the HOF
   * formulations they replace — byte-identical arrays, order included —
@@ -12,10 +10,12 @@ import org.apache.spark.sql.graftbridge.Bridge
   */
 class TextExprSpec extends SparkTestBase {
 
+  // test the PRODUCTION entry points (Dedup.shingleExpr / TextAnalysis
+  // .ngramCol), not re-built wrappers — a wiring bug must fail here too
   private def shinglesNative(c: Column, n: Int): Column =
-    Bridge.column(WordShingles(Bridge.expression(c), n))
+    Dedup.shingleExpr(c.toString, n)
   private def ngramsNative(c: Column, n: Int): Column =
-    Bridge.column(TokenNgrams(Bridge.expression(c), n))
+    TextAnalysis.ngramCol(c, n)
 
   private val nasty = Seq(
     "the quick brown fox jumps over the lazy dog",
@@ -60,6 +60,22 @@ class TextExprSpec extends SparkTestBase {
           s"n=$n row $i: HOF=${r.getSeq[String](0)} native=${r.getSeq[String](1)}")
       }
     }
+  }
+
+  test("TokenNgrams skips windows containing a NULL element (concat null-propagation)") {
+    import spark.implicits._
+    val df = Seq(1).toDF("i").select(
+      array(lit("a"), lit(null).cast("string"), lit("b"), lit("c")).as("toks"))
+    for (n <- Seq(2, 3)) {
+      val r = df.select(
+        expr(TextAnalysis.ngramsOf("toks", n)).as("hof"),
+        ngramsNative(col("toks"), n).as("nat")).collect().head
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"n=$n: HOF=${r.getSeq[String](0)} native=${r.getSeq[String](1)}")
+    }
+    // the surviving windows are exactly the null-free ones
+    val got = df.select(ngramsNative(col("toks"), 2)).collect().head.getSeq[String](0)
+    assert(got == Seq("b c"))
   }
 
   test("PolyHash == portableFold HOF on nasty strings including unicode and NULL") {
