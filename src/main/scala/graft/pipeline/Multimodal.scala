@@ -19,10 +19,32 @@ object Multimodal {
     StructField("content_hash", StringType, nullable = false),
     StructField("modality", StringType, nullable = false)))
 
+  /** Read a directory of media files as (path, length, payload, meta)
+    * via Spark's distributed `binaryFile` source — the production entry
+    * point for [[extractFeatures]]/[[sampleFrames]]/[[resizePayloads]].
+    * `pathGlob` filters by extension (e.g. "*.jpg"); `maxBytes` guards
+    * against single-file driver/executor blowups (binaryFile loads each
+    * file as ONE row — cap it and route oversized media to a chunked
+    * reader instead).
+    */
+  def loadBinaryDir(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    modality: String, pathGlob: String = "*",
+                    maxBytes: Long = 256L * 1024 * 1024): DataFrame = {
+    require(maxBytes > 0, s"maxBytes must be positive, got $maxBytes")
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", pathGlob)
+      .load(dir)
+      .filter(col("length") <= maxBytes)
+      .select(col("path"), col("length"), col("content").as("payload"))
+      .withColumn("meta", struct(
+        col("length").as("byte_len"),
+        md5(col("payload")).as("content_hash"),
+        lit(modality).as("modality")))
+  }
+
   /** Attach a binary payload column + metadata struct. For the synthetic
     * fixtures the payload is the UTF-8 encoding of a text column; in
-    * production it is the raw media bytes read via
-    * `spark.read.format("binaryFile")`.
+    * production it is the raw media bytes read via [[loadBinaryDir]].
     */
   def withBinaryPayload(df: DataFrame, srcCol: String, modality: String): DataFrame =
     df.withColumn("payload", encode(col(srcCol), "UTF-8"))

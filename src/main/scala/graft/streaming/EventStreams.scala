@@ -40,6 +40,17 @@ object EventStreams {
   final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
                               session_end: java.sql.Timestamp, n_events: Long)
 
+  /** Stream-static enrichment: join a (streaming or batch) event frame
+    * to a static dimension table. On a stream this is Structured
+    * Streaming's stream-static join — the dimension is re-read per
+    * micro-batch (picking up slowly-changing updates) and joined
+    * map-side when it broadcasts; no state is kept. Same code path for
+    * batch, per this module's batch==stream contract.
+    */
+  def enrichEvents(events: DataFrame, dim: DataFrame,
+                   on: Seq[String], joinType: String = "left_outer"): DataFrame =
+    events.join(dim, on, joinType)
+
   /** Exact dedup for event streams: drop re-deliveries of the same key.
     * On a streaming frame, state is scoped to the watermark horizon
     * (`dropDuplicatesWithinWatermark`) — a plain `dropDuplicates` would

@@ -554,6 +554,23 @@ class PipelineSpec extends SparkTestBase {
     assert(frames.count() > 2)
   }
 
+  test("multimodal: loadBinaryDir reads files distributed with glob and size cap") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bin")
+    java.nio.file.Files.write(dir.resolve("a.img"), "image bytes here".getBytes)
+    java.nio.file.Files.write(dir.resolve("b.img"), "tiny".getBytes)
+    java.nio.file.Files.write(dir.resolve("skip.txt"), "not an image".getBytes)
+    val out = Multimodal.loadBinaryDir(spark, dir.toString, "image", "*.img", maxBytes = 10)
+    val rows = out.collect()
+    assert(rows.length == 1, "glob excludes .txt; size cap excludes the 16-byte file")
+    assert(rows.head.getAs[org.apache.spark.sql.Row]("meta")
+      .getAs[String]("modality") == "image")
+    assert(new String(rows.head.getAs[Array[Byte]]("payload")) == "tiny")
+    // payloads feed the standard plumbing unchanged
+    val feats = Multimodal.extractFeatures(
+      out.withColumn("id", lit(1L)), "id", "payload")
+    assert(feats.count() == 1)
+  }
+
   test("multimodal: resizePayloads caps bytes and refreshes the content hash") {
     import spark.implicits._
     val df = Seq((1L, "a payload comfortably longer than ten bytes"), (2L, "short"))

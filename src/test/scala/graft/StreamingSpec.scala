@@ -178,6 +178,25 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("enrichEvents: stream-static join equals the batch join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("click", "interactive"), ("view", "passive")).toDF("event_type", "kind")
+    val expected = EventStreams.enrichEvents(sampleRows.toDF(), dim, Seq("event_type"))
+      .select("event_id", "kind").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val stream = MemoryStream[EventStreams.EventRow]
+    stream.addData(sampleRows: _*)
+    val q = EventStreams.enrichEvents(stream.toDF(), dim, Seq("event_type"))
+      .select("event_id", "kind")
+      .writeStream.format("memory").queryName("enrich_test").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("enrich_test").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == expected && got.size == sampleRows.size)
+    } finally q.stop()
+  }
+
   test("dedupEvents: streaming re-deliveries dropped; batch path matches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
