@@ -2338,6 +2338,27 @@ object SparkEntry {
              |SELECT id, round(mc, 6) AS max_eval_cosine, mc >= 0.4 AS contaminated
              |FROM c ORDER BY id""".stripMargin)),
 
+    Q("c07_weighted_sample",
+      (s, d) => {
+        val m = mgr(s, d)
+        val docs = m.getDDFByName("documents")
+        // quality-weighted soft downsampling: keep probability
+        // min(1, 1.2·quality), decided by the q07 xor-fold hash. The
+        // weight column is the t01 quality score (itself oracle-exact),
+        // so the floored threshold agrees bit-for-bit across engines
+        val scored = m.register(docs.df.withColumn("q",
+          pipeline.TextAnalysis.qualityScore("text")))
+        Views.weightedSample(scored, "doc_id", "q", scale = 1.2)
+          .df.select(col("doc_id"), round(col("q"), 6).as("q"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH s AS (SELECT doc_id, ${duckQuality("text")} AS q FROM documents)
+              |SELECT doc_id, round(q, 6) AS q FROM s
+              |WHERE xor((doc_id % 1000000000) * 2654435761,
+              |          ((doc_id % 1000000000) * 2654435761) >> 31) % 1000000
+              |      < floor(least(1.0, 1.2 * q) * 1000000.0)
+              |ORDER BY doc_id""".stripMargin)),
+
     Q("t09_span_dedup",
       (s, d) => {
         val m = mgr(s, d)

@@ -121,6 +121,32 @@ object Views {
     ddf.derive(ddf.df.filter(xorFold(col(keyCol), 1000L) < lit(perMille.toLong)))
   }
 
+  /** Deterministic WEIGHTED (soft) sampling: keep each row with
+    * probability min(1, scale·weight), decided by the same xor-fold hash
+    * as [[hashSample]] — the quality-weighted downsampling / soft-dedup
+    * move (keep good documents more often than bad ones) that re-runs,
+    * engines, and incremental batches all reproduce exactly.
+    *
+    * Mechanics: per-row integer threshold floor(min(1, scale·w)·10⁶)
+    * against a 10⁶-bucket hash of the key. The threshold is float-derived
+    * but ENGINE-STABLE: both sides compute the identical IEEE product of
+    * identical doubles (the weight columns in use — e.g. qualityScore —
+    * are themselves oracle-hash-exact), so floor agrees everywhere. Null
+    * or negative weights drop the row (probability 0).
+    */
+  def weightedSample(ddf: DDF, keyCol: String, weightCol: String,
+                     scale: Double): DDF = {
+    require(scale >= 0, s"scale must be non-negative, got $scale")
+    require(ddf.df.schema(keyCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"weightedSample: key column '$keyCol' must be numeric " +
+        s"(got ${ddf.df.schema(keyCol).dataType.simpleString})")
+    val thresh = floor(least(lit(1.0),
+      lit(scale) * coalesce(col(weightCol).cast("double"), lit(0.0))) * 1000000.0)
+      .cast("long")
+    ddf.derive(ddf.df.filter(xorFold(col(keyCol), 1000000L) < thresh))
+  }
+
   /** Knuth-multiply + xor-fold bucket hash, shared by [[hashSample]] and
     * [[stratifiedSample]] (the q07/q08 oracles replicate this arithmetic
     * — keep the two operators in lockstep). Xor-folding the product's

@@ -73,6 +73,31 @@ class CurationSpec extends SparkTestBase {
     assert(got.keys.filter(_._1 == 2L).map(_._2).toSet == Set(4L))
   }
 
+  test("weightedSample: probability scales with weight; null/zero weights drop; deterministic") {
+    import spark.implicits._
+    val df = (1L to 2000L).map(i =>
+      (i, if (i <= 1000) 1.0 else 0.1, if (i % 500 == 0) null else "x"))
+      .toDF("id", "w", "junk")
+    val ddf = m.register(df)
+    val kept = Views.weightedSample(ddf, "id", "w", scale = 0.5)
+      .df.collect().map(_.getLong(0))
+    val (hi, lo) = kept.partition(_ <= 1000L)
+    // p=0.5 for w=1.0 vs p=0.05 for w=0.1 — counts must reflect the ratio
+    assert(hi.length > 400 && hi.length < 600, s"hi=${hi.length}")
+    assert(lo.length > 10 && lo.length < 120, s"lo=${lo.length}")
+    // pure function of the data: second run identical
+    val again = Views.weightedSample(ddf, "id", "w", scale = 0.5)
+      .df.collect().map(_.getLong(0))
+    assert(kept.toSet == again.toSet)
+    // null weight -> probability 0
+    val withNull = m.register(Seq((1L, Option.empty[Double]), (2L, Some(1.0)))
+      .toDF("id", "w"))
+    assert(Views.weightedSample(withNull, "id", "w", scale = 1.0)
+      .df.collect().forall(_.getLong(0) == 2L))
+    // scale >= 1/max(w) keeps everything with w >= 1
+    assert(Views.weightedSample(ddf, "id", "w", scale = 10.0).numRows == 2000L)
+  }
+
   test("c4Rules: NULL text classifies as all-false flags, not NULL") {
     import spark.implicits._
     val df = Seq((1L, Some("A perfectly reasonable sentence appears right here.")),
