@@ -2342,21 +2342,31 @@ object SparkEntry {
       (s, d) => {
         val m = mgr(s, d)
         val docs = m.getDDFByName("documents")
-        // quality-weighted soft downsampling: keep probability
-        // min(1, 1.2·quality), decided by the q07 xor-fold hash. The
-        // weight column is the t01 quality score (itself oracle-exact),
-        // so the floored threshold agrees bit-for-bit across engines
-        val scored = m.register(docs.df.withColumn("q",
-          pipeline.TextAnalysis.qualityScore("text")))
-        Views.weightedSample(scored, "doc_id", "q", scale = 1.2)
-          .df.select(col("doc_id"), round(col("q"), 6).as("q"))
+        // length-weighted soft downsampling: keep probability
+        // min(1, 1.2 · token_count/100), decided by the q07 xor-fold
+        // hash. The weight derives from an EXACT INTEGER count through
+        // one double division — both engines perform the identical IEEE
+        // ops, so the floored threshold agrees BY CONSTRUCTION (a
+        // rounded-precision float weight could flip rows at integer
+        // boundaries of scale·w·10⁶ — see weightedSample's caveat)
+        val scored = m.register(docs.df.withColumn("w",
+          least(pipeline.TextAnalysis.tokenCount("text").cast("double") / lit(100.0),
+            lit(1.0))))
+        Views.weightedSample(scored, "doc_id", "w", scale = 1.2)
+          .df.select(col("doc_id"), col("w"))
           .orderBy("doc_id")
       },
-      Some(s"""WITH s AS (SELECT doc_id, ${duckQuality("text")} AS q FROM documents)
-              |SELECT doc_id, round(q, 6) AS q FROM s
+      // ::DOUBLE on the literals: DuckDB would otherwise divide
+      // BIGINT/DECIMAL in exact decimal arithmetic and round ONCE where
+      // Spark rounds per-op — forcing doubles reproduces Spark's exact
+      // IEEE sequence
+      Some(s"""WITH s AS (SELECT doc_id,
+              |    least(${duckTokenCount("text")} / (100.0::DOUBLE), 1.0::DOUBLE) AS w
+              |  FROM documents)
+              |SELECT doc_id, w FROM s
               |WHERE xor((doc_id % 1000000000) * 2654435761,
               |          ((doc_id % 1000000000) * 2654435761) >> 31) % 1000000
-              |      < floor(least(1.0, 1.2 * q) * 1000000.0)
+              |      < floor(least(1.0::DOUBLE, (1.2::DOUBLE) * w) * (1000000.0::DOUBLE))
               |ORDER BY doc_id""".stripMargin)),
 
     Q("t09_span_dedup",

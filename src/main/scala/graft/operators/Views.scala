@@ -124,15 +124,18 @@ object Views {
   /** Deterministic WEIGHTED (soft) sampling: keep each row with
     * probability min(1, scale·weight), decided by the same xor-fold hash
     * as [[hashSample]] — the quality-weighted downsampling / soft-dedup
-    * move (keep good documents more often than bad ones) that re-runs,
-    * engines, and incremental batches all reproduce exactly.
+    * move (keep good documents more often than bad ones) that re-runs
+    * and incremental batches reproduce exactly.
     *
     * Mechanics: per-row integer threshold floor(min(1, scale·w)·10⁶)
-    * against a 10⁶-bucket hash of the key. The threshold is float-derived
-    * but ENGINE-STABLE: both sides compute the identical IEEE product of
-    * identical doubles (the weight columns in use — e.g. qualityScore —
-    * are themselves oracle-hash-exact), so floor agrees everywhere. Null
-    * or negative weights drop the row (probability 0).
+    * against a 10⁶-bucket hash of the key. CROSS-ENGINE caveat (unlike
+    * the integer-exact hashSample): the floor sits on a float boundary,
+    * so two engines agree only when the weight expression itself yields
+    * bit-identical doubles — derive weights from EXACT INTEGER counts
+    * with identically-ordered IEEE ops (the c07 oracle's shape); a
+    * weight verified only at rounded precision can flip rows whose
+    * scale·w·10⁶ lands within an ulp of an integer. Null, negative, and
+    * NaN weights drop the row (probability 0).
     */
   def weightedSample(ddf: DDF, keyCol: String, weightCol: String,
                      scale: Double): DDF = {
@@ -141,9 +144,16 @@ object Views {
         .isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"weightedSample: key column '$keyCol' must be numeric " +
         s"(got ${ddf.df.schema(keyCol).dataType.simpleString})")
-    val thresh = floor(least(lit(1.0),
-      lit(scale) * coalesce(col(weightCol).cast("double"), lit(0.0))) * 1000000.0)
-      .cast("long")
+    // fail fast on a non-numeric weight: cast('double') would null every
+    // row and silently drop the whole corpus (sibling-operator convention)
+    require(ddf.df.schema(weightCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"weightedSample: weight column '$weightCol' must be numeric " +
+        s"(got ${ddf.df.schema(weightCol).dataType.simpleString})")
+    // nanvl THEN coalesce: NaN would survive least() (NaN sorts greatest
+    // in Spark) and keep the row with probability 1
+    val w = coalesce(nanvl(col(weightCol).cast("double"), lit(0.0)), lit(0.0))
+    val thresh = floor(least(lit(1.0), lit(scale) * w) * 1000000.0).cast("long")
     ddf.derive(ddf.df.filter(xorFold(col(keyCol), 1000000L) < thresh))
   }
 

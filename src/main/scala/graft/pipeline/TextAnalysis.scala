@@ -93,10 +93,11 @@ object TextAnalysis {
     qualityScoreOf(textCol, tokensExpr(textCol))
 
   /** Stable content fingerprint: md5 of the normalized text (lowercase,
-    * collapsed whitespace) — identical in any engine with md5.
+    * collapsed whitespace) — identical in any engine with md5. Accepts
+    * an expression fragment like the other textCol APIs here.
     */
   def fingerprintMd5(textCol: String): Column =
-    md5(Dedup.normText(col(textCol)))
+    md5(Dedup.normText(expr(textCol)))
 
   /** Rolling polynomial hash (base 31, mod 1e9+7) of the normalized
     * text — the cheap streaming-friendly fingerprint variant. Modular to

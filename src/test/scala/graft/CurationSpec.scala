@@ -89,11 +89,17 @@ class CurationSpec extends SparkTestBase {
     val again = Views.weightedSample(ddf, "id", "w", scale = 0.5)
       .df.collect().map(_.getLong(0))
     assert(kept.toSet == again.toSet)
-    // null weight -> probability 0
-    val withNull = m.register(Seq((1L, Option.empty[Double]), (2L, Some(1.0)))
-      .toDF("id", "w"))
+    // null and NaN weights -> probability 0 (NaN would otherwise survive
+    // least() and keep the row with probability 1)
+    val withNull = m.register(Seq((1L, Option.empty[Double]), (2L, Some(1.0)),
+      (3L, Some(Double.NaN))).toDF("id", "w"))
     assert(Views.weightedSample(withNull, "id", "w", scale = 1.0)
       .df.collect().forall(_.getLong(0) == 2L))
+    // non-numeric weight column fails loudly, not silently-empty
+    val bad = m.register(Seq((1L, "oops")).toDF("id", "w"))
+    intercept[IllegalArgumentException] {
+      Views.weightedSample(bad, "id", "w", scale = 1.0)
+    }
     // scale >= 1/max(w) keeps everything with w >= 1
     assert(Views.weightedSample(ddf, "id", "w", scale = 10.0).numRows == 2000L)
   }
