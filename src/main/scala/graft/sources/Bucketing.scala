@@ -46,4 +46,22 @@ object Bucketing {
     require(partitionCols.nonEmpty, "partitionCols must be non-empty")
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
   }
+
+  /** Shard-size-controlled parquet sink: caps rows per output file with
+    * `maxRecordsPerFile` (task-local splitting — no extra shuffle) and
+    * optionally coalesces a many-small-partitions frame first. Output
+    * file sizing is the un-glamorous 100 TB lever: thousands of KB-sized
+    * shards throttle every later scan on open/seek overhead, while
+    * multi-GB shards serialize the consumer's parallelism; training-data
+    * loaders want predictable shard row counts.
+    */
+  def writeSharded(df: DataFrame, path: String, maxRecordsPerFile: Long,
+                   coalesceTo: Int = 0): Unit = {
+    require(maxRecordsPerFile > 0,
+      s"maxRecordsPerFile must be positive, got $maxRecordsPerFile")
+    val in = if (coalesceTo > 0) df.coalesce(coalesceTo) else df
+    in.write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
+  }
 }

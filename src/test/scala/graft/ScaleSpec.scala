@@ -89,6 +89,21 @@ class ScaleSpec extends SparkTestBase {
     assert(out.count() > 0)
   }
 
+  test("writeSharded caps rows per output file without an extra shuffle") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_shard").toString + "/out"
+    val df = (1L to 1000L).toDF("id").coalesce(1)
+    Bucketing.writeSharded(df, dir, maxRecordsPerFile = 300L)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 4, s"1000 rows / 300 cap = 4 shards, got ${files.length}")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 1000L)
+    // no file exceeds the cap
+    files.foreach { f =>
+      assert(spark.read.parquet(f.getAbsolutePath).count() <= 300L)
+    }
+  }
+
   test("semanticPairs: within-cell join is equi-keyed (no cartesian), cells bound pairs") {
     import spark.implicits._
     val vecs = (1 to 60).map { i =>
