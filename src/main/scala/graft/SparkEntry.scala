@@ -163,6 +163,20 @@ object SparkEntry {
        |order by revenue desc, c_custkey
        |limit 20""".stripMargin
 
+  /** TPC-H Q4 shape (order-priority check): correlated EXISTS subquery —
+    * the reference grammar has NO subqueries at all (SURVEY §4.1), so
+    * this documents the dialect's Spark-SQL superset explicitly.
+    */
+  private val tpchQ4Sql: String =
+    s"""select o_orderpriority, count(*) as order_count
+       |from orders
+       |where o_orderdate >= timestamp '1996-01-01 00:00:00'
+       |  and o_orderdate < timestamp '1996-04-01 00:00:00'
+       |  and exists (select 1 from lineitem
+       |              where l_orderkey = o_orderkey and l_shipdate > o_orderdate)
+       |group by o_orderpriority
+       |order by o_orderpriority""".stripMargin
+
   private final case class Q(
       name: String,
       fn: (SparkSession, String) => DataFrame,
@@ -342,7 +356,11 @@ object SparkEntry {
 
     Q("q15_tpch_q10",
       (s, d) => mgr(s, d).sql2ddf(tpchQ10Sql).df,
-      Some(tpchQ10Sql))
+      Some(tpchQ10Sql)),
+
+    Q("q16_tpch_q4",
+      (s, d) => mgr(s, d).sql2ddf(tpchQ4Sql).df,
+      Some(tpchQ4Sql))
   )
 
   // =====================================================================
