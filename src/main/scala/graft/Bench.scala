@@ -85,7 +85,15 @@ object Bench {
     val utilJson = best.map { case (k, (_, u)) => "\"" + k + f"\":$u%.2f" }
       .mkString("{", ",", "}")
     val total = best.map(_._2._1).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","runs":$runs,"samples":$samplesJson,"best_run_cpu_util":$utilJson,"gc_ms":${gcMs - gc0}}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","runs":$runs,"samples":$samplesJson,"best_run_cpu_util":$utilJson,"gc_ms":${gcMs - gc0}}"""
+    // the stdout line interleaves with sbt/Spark logging and has arrived
+    // truncated in past rounds ("parsed": null) — ALSO write the JSON to
+    // its own file so the artifact is machine-readable regardless of
+    // what the launcher does to stdout
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(line)
     spark.stop()
   }
 }

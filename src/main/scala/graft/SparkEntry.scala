@@ -1985,7 +1985,62 @@ object SparkEntry {
       Some("""SELECT round(regr_slope(l_extendedprice, l_quantity))::BIGINT AS slope,
              |  round(regr_intercept(l_extendedprice, l_quantity))::BIGINT AS intercept,
              |  round(regr_r2(l_extendedprice, l_quantity) * 100) / 100 AS r2
-             |FROM lineitem""".stripMargin))
+             |FROM lineitem""".stripMargin)),
+
+    Q("ml03_cv_membership",
+      (s, d) => {
+        val m = mgr(s, d)
+        // ML7 through the real API: cvKFold's k test bands, emitted as
+        // (fold, id) membership pairs. Fold assignment is the xor-fold
+        // hash of (id + seed) — exact integer arithmetic that DuckDB
+        // replicates verbatim, so CV membership itself is oracle-checked
+        // (the round-4 VERDICT ask; the old rand()-band path was
+        // engine-RNG and spec-only by nature).
+        val folds = ml.MLSupport.cvKFold(m.getDDFByName("orders"), 5, "o_orderkey", seed = 11)
+        folds.zipWithIndex.map { case ((_, test), i) =>
+          test.select(lit(i.toLong).as("fold"), col("o_orderkey"))
+        }.reduce(_.unionAll(_)).orderBy("fold", "o_orderkey")
+      },
+      Some("""SELECT xor(((o_orderkey + 11) % 1000000000) * 2654435761,
+             |           (((o_orderkey + 11) % 1000000000) * 2654435761) >> 31) % 5 AS fold,
+             |  o_orderkey
+             |FROM orders ORDER BY fold, o_orderkey""".stripMargin)),
+
+    Q("ml04_confusion",
+      (s, d) => {
+        val m = mgr(s, d)
+        import s.implicits._
+        // ML8 oracle-checked: score lineitem with the ml02 closed-form
+        // OLS model at INTEGER-ROUNDED coefficients (slope/intercept are
+        // oracle-exact there; rounding makes the scoring arithmetic
+        // bit-identical cross-engine — integer × integer-valued double),
+        // then count the (label≥t, pred≥t) confusion cells through the
+        // real confusionMatrix API. The synthetic lineitem has near-zero
+        // qty→price correlation (slope 7, intercept 52872), so preds span
+        // only [52879, 53222] — the threshold must sit INSIDE that band
+        // to populate all four cells. 53050 does (measured cells ~15k
+        // each at sf0.01) with integer preds ≥3 away from it; the label
+        // side compares the same parquet doubles in both engines.
+        val li = m.getDDFByName("lineitem")
+        val model = ml.MLSupport.train(li, "mlr", Seq("l_quantity"), "l_extendedprice")
+        val lm = model.model.asInstanceOf[org.apache.spark.ml.regression.LinearRegressionModel]
+        val slope = math.round(lm.coefficients(0))
+        val icept = math.round(lm.intercept)
+        val scored = li.df.withColumn("yPredict",
+          lit(slope) * col("l_quantity") + lit(icept))
+        val cells = ml.MLSupport.confusionMatrix(scored, "l_extendedprice", "yPredict", 53050.0)
+        cells.toSeq.map { case ((t, p), n) => (t, p, n) }
+          .toDF("is_pos", "pred_pos", "n").orderBy("is_pos", "pred_pos")
+      },
+      Some("""WITH coef AS (SELECT
+             |    round(regr_slope(l_extendedprice, l_quantity))::BIGINT AS s,
+             |    round(regr_intercept(l_extendedprice, l_quantity))::BIGINT AS i
+             |  FROM lineitem)
+             |SELECT l_extendedprice >= 53050.0 AS is_pos,
+             |  (s * l_quantity + i) >= 53050.0 AS pred_pos,
+             |  count(*) AS n
+             |FROM lineitem, coef
+             |GROUP BY 1, 2 ORDER BY is_pos, pred_pos""".stripMargin))
   )
 
   // =====================================================================
@@ -2440,9 +2495,146 @@ object SparkEntry {
               |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 
+  // =====================================================================
+  // Round-5 ingest oracles (S1/S2): the LOAD/loadFile CSV surface checked
+  // against DuckDB read_csv — the largest previously spec-only block.
+  // Fixture CSVs are DERIVED deterministically from the driver's
+  // documents.parquet (sorted by doc_id, planted NULL/empty cells at
+  // fixed id residues) and written under target/ — generation is
+  // driver-side 500-row work by design; the thing under test is the
+  // distributed READ path (Dialect.load / DDFManager.loadFile).
+  // =====================================================================
+
+  private val fixtureDir = java.nio.file.Paths.get("/root/repo/target/graft_fixtures")
+  private val s02Path = fixtureDir.resolve("s02.csv").toString
+  private val s03Path = fixtureDir.resolve("s03.csv").toString
+
+  private def writeFixture(path: String, lines: Seq[String]): String = {
+    java.nio.file.Files.createDirectories(fixtureDir)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      lines.mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    path
+  }
+
+  /** LOAD fixture: id,lang,n_chars,score,ts with planted null-string /
+    * empty cells. Residues chosen so every column exercises its null
+    * path: %7 → 'NA' in a bigint, %11 → empty string cell (verbatim ""
+    * per the reference's string semantics), %13 → empty numeric cell,
+    * %17 → 'NA' in the timestamp. score = n_chars + .25 stays exactly
+    * representable so both engines parse the identical double.
+    */
+  private def s02Fixture(m: DDFManager): String = {
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+    val base = java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0)
+    writeFixture(s02Path, m.getDDFByName("documents").df
+      .select("doc_id", "lang", "n_chars").orderBy("doc_id").collect().toSeq
+      .map { r =>
+        val id = r.getLong(0)
+        val lang = if (id % 11 == 0) "" else r.getString(1)
+        val nChars = if (id % 7 == 0) "NA" else r.getLong(2).toString
+        val score = if (id % 13 == 0) "" else s"${r.getLong(2)}.25"
+        val ts = if (id % 17 == 0) "NA" else base.plusMinutes(id).format(fmt)
+        s"$id,$lang,$nChars,$score,$ts"
+      })
+  }
+
+  /** Inference fixture for the reference-exact 5-row vote: V1 int,
+    * V2 int-voted with post-sample garbage (type changes after row 5 —
+    * the divergence the vote semantics pin: later unparseable cells null
+    * rather than re-typing the column), V3 double, V4 boolean (T/f/
+    * true/False spellings; an in-sample 'NA' is ignored by the vote),
+    * V5 string with planted 'NA' → null (the loadFile reader's
+    * nullValue). Only NON-NUMERIC garbage goes in the int column:
+    * DuckDB TRY_CAST('12.5' AS INT) rounds to 13 where Spark nulls, so
+    * decimal strings in an int column would split the engines.
+    */
+  private def s03Fixture(m: DDFManager): String =
+    writeFixture(s03Path, m.getDDFByName("documents").df
+      .select("doc_id", "lang").orderBy("doc_id").collect().toSeq
+      .map { r =>
+        val id = r.getLong(0)
+        val v2 = if (id >= 6 && id % 23 == 0) "oops" else (id * 10).toString
+        val v4 = if (id == 2) "NA" else Seq("T", "f", "true", "False")((id % 4).toInt)
+        val v5 = if (id % 19 == 0) "NA" else r.getString(1)
+        s"$id,$v2,$id.5,$v4,$v5"
+      })
+
+  private val ingestQ: Seq[Q] = Seq(
+    Q("s02_load_csv",
+      (s, d) => {
+        val m = mgr(s, d)
+        val path = s02Fixture(m)
+        // S2/S3 end-to-end through the dialect: declared schema, then
+        // LOAD with reference cell semantics (strings verbatim, null
+        // string / empty → null under NO DEFAULTS, pinned ts format)
+        m.sql2ddf("CREATE TABLE s02_tbl (id bigint, lang varchar, " +
+          "n_chars bigint, score double, ts timestamp)")
+        m.sql2ddf(s"LOAD '$path' WITH NULL 'NA' WITH TIMESTAMP FORMAT " +
+          "'yyyy-MM-dd HH:mm:ss' NO DEFAULTS INTO s02_tbl")
+          .df.orderBy("id")
+      },
+      // DuckDB reads every cell as VARCHAR (empty → NULL) and applies
+      // the SAME per-column semantics the loader declares: strings
+      // verbatim-with-"" , null-string match then try-parse for typed
+      // columns. NULLIF also routes the empty-as-NULL cells — TRY_CAST
+      // of NULL is NULL either way.
+      Some(s"""SELECT TRY_CAST(c0 AS BIGINT) AS id,
+              |  COALESCE(c1, '') AS lang,
+              |  TRY_CAST(NULLIF(c2, 'NA') AS BIGINT) AS n_chars,
+              |  TRY_CAST(NULLIF(c3, 'NA') AS DOUBLE) AS score,
+              |  try_strptime(NULLIF(c4, 'NA'), '%Y-%m-%d %H:%M:%S') AS ts
+              |FROM read_csv('$s02Path', header=false, all_varchar=true,
+              |  columns={'c0':'VARCHAR','c1':'VARCHAR','c2':'VARCHAR',
+              |           'c3':'VARCHAR','c4':'VARCHAR'})
+              |ORDER BY id""".stripMargin)),
+
+    Q("s04_load_defaults",
+      (s, d) => {
+        val m = mgr(s, d)
+        val path = s02Fixture(m)
+        // the defaults path of the same LOAD: unparseable/null numeric
+        // cells take the typed default (0) instead of null; timestamps
+        // have no default and stay null (reference
+        // RepresentationHandler.scala:115-137)
+        m.sql2ddf("CREATE TABLE s04_tbl (id bigint, lang varchar, " +
+          "n_chars bigint, score double, ts timestamp)")
+        m.sql2ddf(s"LOAD '$path' WITH NULL 'NA' WITH TIMESTAMP FORMAT " +
+          "'yyyy-MM-dd HH:mm:ss' INTO s04_tbl")
+          .df.orderBy("id")
+      },
+      Some(s"""SELECT TRY_CAST(c0 AS BIGINT) AS id,
+              |  COALESCE(c1, '') AS lang,
+              |  COALESCE(TRY_CAST(NULLIF(c2, 'NA') AS BIGINT), 0) AS n_chars,
+              |  COALESCE(TRY_CAST(NULLIF(c3, 'NA') AS DOUBLE), 0.0) AS score,
+              |  try_strptime(NULLIF(c4, 'NA'), '%Y-%m-%d %H:%M:%S') AS ts
+              |FROM read_csv('$s02Path', header=false, all_varchar=true,
+              |  columns={'c0':'VARCHAR','c1':'VARCHAR','c2':'VARCHAR',
+              |           'c3':'VARCHAR','c4':'VARCHAR'})
+              |ORDER BY id""".stripMargin)),
+
+    Q("s03_load_infer",
+      (s, d) => {
+        val m = mgr(s, d)
+        val path = s03Fixture(m)
+        // S1 five-row vote (reference Utils.java:97-150): V1 int, V2 int
+        // despite post-sample garbage, V3 double, V4 boolean, V5 string
+        m.loadFile(path, ",", sampleInference = true).df.orderBy("V1")
+      },
+      Some(s"""SELECT TRY_CAST(c0 AS INTEGER) AS V1,
+              |  TRY_CAST(c1 AS INTEGER) AS V2,
+              |  TRY_CAST(c2 AS DOUBLE) AS V3,
+              |  CASE WHEN lower(c3) IN ('t', 'true') THEN true
+              |       WHEN lower(c3) IN ('f', 'false') THEN false END AS V4,
+              |  NULLIF(c4, 'NA') AS V5
+              |FROM read_csv('$s03Path', header=false, all_varchar=true,
+              |  columns={'c0':'VARCHAR','c1':'VARCHAR','c2':'VARCHAR',
+              |           'c3':'VARCHAR','c4':'VARCHAR'})
+              |ORDER BY V1""".stripMargin))
+  )
+
   private val allQueries: Seq[Q] =
     relational ++ sqlFrontend ++ joins ++ aggregation ++ statsQ ++
-      binningMissing ++ transforms ++ pipelineQ ++ curationQ
+      binningMissing ++ transforms ++ pipelineQ ++ curationQ ++ ingestQ
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

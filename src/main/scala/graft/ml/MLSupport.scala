@@ -103,23 +103,51 @@ object MLSupport {
       .agg(count(lit(1)).as("n")).collect()
       .map(r => (r.getBoolean(0), r.getBoolean(1)) -> r.getLong(2)).toMap
 
-  /** Random-split CV folds (reference: CrossValidation.scala:39-65). */
-  def cvRandom(ddf: DDF, k: Int, trainFraction: Double, seed: Long): Seq[(DataFrame, DataFrame)] =
-    (0 until k).map { i =>
-      val Array(train, test) = ddf.df.randomSplit(Array(trainFraction, 1 - trainFraction), seed + i)
-      (train, test)
-    }
+  private def requireNumericId(ddf: DDF, idCol: String, who: String): Unit =
+    require(ddf.df.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"$who: id column '$idCol' must be numeric " +
+        s"(got ${ddf.df.schema(idCol).dataType.simpleString}) — a string id " +
+        "would hash as NULL and silently route every row to one side")
 
-  /** K-fold CV via seeded rand() probability bands — the reference's
-    * disjoint-band strategy (CrossValidation.scala:56-65) exactly.
+  /** Random-split CV folds (reference: CrossValidation.scala:39-65),
+    * keeping the reference's (k, trainFraction, seed) contract but
+    * deciding membership by the deterministic xor-fold hash of
+    * `idCol + seed + i` (Views.xorFold — the q07/q08 arithmetic) instead
+    * of engine RNG: each of the k splits holds ≈trainFraction of the
+    * rows in train, splits are independent across i, and membership is
+    * reproducible across runs, engines, and incremental reprocessing —
+    * the property that makes CV results auditable on a 100 TB corpus.
+    * The train threshold is the exact integer floor(trainFraction·10⁶)
+    * against a 10⁶-bucket hash (same shape as Views.hashSample).
     */
-  def cvKFold(ddf: DDF, k: Int, seed: Long): Seq[(DataFrame, DataFrame)] = {
-    val withR = ddf.df.withColumn("__r", rand(seed))
+  def cvRandom(ddf: DDF, k: Int, trainFraction: Double, idCol: String,
+               seed: Long): Seq[(DataFrame, DataFrame)] = {
+    require(trainFraction > 0.0 && trainFraction < 1.0,
+      s"trainFraction must be in (0, 1), got $trainFraction")
+    requireNumericId(ddf, idCol, "cvRandom")
+    val cut = math.floor(trainFraction * 1000000L).toLong
     (0 until k).map { i =>
-      val lo = i.toDouble / k; val hi = (i + 1).toDouble / k
-      val test = withR.filter(col("__r") >= lo && col("__r") < hi).drop("__r")
-      val train = withR.filter(col("__r") < lo || col("__r") >= hi).drop("__r")
-      (train, test)
+      val h = graft.operators.Views.xorFold(
+        col(idCol) + lit(seed + i), 1000000L)
+      (ddf.df.filter(h < cut), ddf.df.filter(h >= cut))
+    }
+  }
+
+  /** K-fold CV — the reference's disjoint-band strategy
+    * (CrossValidation.scala:56-65): k bands that partition the data,
+    * fold i testing on band i and training on the rest. Band membership
+    * is fold(id) = xorFold(id + seed, k) — deterministic and
+    * cross-engine-reproducible (see [[cvRandom]]) rather than the
+    * reference's per-row RNG, with the same statistical shape
+    * (≈uniform bands, exact partition).
+    */
+  def cvKFold(ddf: DDF, k: Int, idCol: String, seed: Long): Seq[(DataFrame, DataFrame)] = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    requireNumericId(ddf, idCol, "cvKFold")
+    val fold = graft.operators.Views.xorFold(col(idCol) + lit(seed), k.toLong)
+    (0 until k).map { i =>
+      (ddf.df.filter(fold =!= i.toLong), ddf.df.filter(fold === i.toLong))
     }
   }
 

@@ -209,6 +209,10 @@ object Views {
     // a null-safe key, so their rows aren't silently dropped
     val counts = ddf.df.groupBy(col(groupCol)).count().collect()
       .map(r => r.get(0) -> BigInt(r.getLong(1))).toSeq
+    // empty input: zero groups → total = 0 would be an opaque BigInt
+    // divide-by-zero at quota computation; an empty frame resamples to
+    // itself
+    if (counts.isEmpty) return ddf.derive(ddf.df)
     val total = counts.map { case (_, c) => c.pow(power) }.sum
     // a group whose quota exceeds its row count contributes all its rows
     // and the output lands SHORT of targetTotal (no redistribution) —

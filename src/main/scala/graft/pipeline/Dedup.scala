@@ -135,17 +135,17 @@ object Dedup {
       .select(col("fingerprint").as("h"))
       .agg(bloomAgg.as("bf"))
       .first().getAs[Array[Byte]](0)
-    // bf == null means the index had ONLY null fingerprints (the bloom
-    // aggregate skips unhashable NULLs) — no sketch to probe, but the
-    // null-safe anti-join below must still drop a null batch row against
-    // the indexed NULL, exactly as incrementalExact would. probe=true
-    // for every row degrades gracefully to the plain incremental join.
+    // NULL fingerprints are NOT skipped by the hash: xxhash64(NULL)
+    // evaluates to the seed (42) on BOTH the aggregate side above and
+    // the probe side below, so an indexed NULL inserts 42 into the
+    // sketch and a NULL batch row probes 42 — the sketch itself routes
+    // NULL-vs-NULL to the maybe-branch, whose NULL-SAFE anti-join then
+    // decides, exactly as incrementalExact would. bf == null happens
+    // only for a zero-row index aggregate, which the n == 0 early
+    // return above already handles; the guard is kept for defense.
     val probe =
       if (bf == null) lit(true)
-      // a NULL batch fingerprint can't be bloom-probed (xxhash64(null)
-      // is null) — route it to the maybe-branch, whose NULL-SAFE
-      // anti-join decides against the indexed NULL
-      else coalesce(mightContain(bf, xxhash64(col("fingerprint"))), lit(true))
+      else mightContain(bf, xxhash64(col("fingerprint")))
     batch.filter(!probe).unionAll(
       batch.filter(probe)
         .join(knownFingerprints.select(col("fingerprint").as("__kfp")),
@@ -669,6 +669,12 @@ object Dedup {
         .isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"leakageSafeSplit: id column '$idCol' must be numeric " +
         s"(got ${df.schema(idCol).dataType.simpleString})")
+    // withColumn("split") would silently OVERWRITE a pre-existing split
+    // column, and a pre-existing cluster_id on df would make the
+    // post-join drop("cluster_id") ambiguous — refuse both up front
+    require(!df.columns.contains("split") && !df.columns.contains("cluster_id"),
+      "leakageSafeSplit: input must not already have 'split' or " +
+        "'cluster_id' columns (they are produced/consumed internally)")
     val totalW = weights.map(_._2).sum
     val labels = dupClusters(pairs)
       .select(col("id").as(idCol), col("cluster_id"))

@@ -278,7 +278,11 @@ object Stats {
         val rows = groupQuantiles(
           df.select(col(c).cast("double").as(c)).withColumn("__g", lit(1)),
           "__g", c, Seq(0.25, 0.75)).take(1)
-        require(rows.nonEmpty,
+        // an all-NULL column still yields one group row with NULL
+        // quantiles, and getAs[Double] would silently unbox that to 0.0
+        // — mirror the approx branch's guard instead of returning a
+        // bogus (0,0) fence
+        require(rows.nonEmpty && !rows.head.isNullAt(rows.head.fieldIndex("q25")),
           s"iqrBounds: column '$c' has no non-null values")
         Seq(rows.head.getAs[Double]("q25"), rows.head.getAs[Double]("q75"))
       } else {

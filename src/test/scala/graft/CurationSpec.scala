@@ -156,6 +156,32 @@ class CurationSpec extends SparkTestBase {
     assert(byLang == Map(Some("en") -> 10L, None -> 10L), s"got $byLang")
   }
 
+  test("temperatureResample: empty input resamples to itself, no divide-by-zero") {
+    import spark.implicits._
+    val df = Seq.empty[(Long, String)].toDF("doc_id", "lang")
+    val out = Views.temperatureResample(m.register(df), "lang", "doc_id",
+      power = 2, targetTotal = 30).df
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("doc_id", "lang"))
+  }
+
+  test("leakageSafeSplit: pre-existing split/cluster_id columns fail loudly") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L)).toDF("id1", "id2")
+    val withSplit = Seq((1L, "train")).toDF("id", "split")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.pipeline.Dedup.leakageSafeSplit(withSplit, pairs, "id",
+        Seq(("train", 9), ("test", 1)))
+    }
+    assert(e1.getMessage.contains("split"))
+    val withCluster = Seq((1L, 7L)).toDF("id", "cluster_id")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.pipeline.Dedup.leakageSafeSplit(withCluster, pairs, "id",
+        Seq(("train", 9), ("test", 1)))
+    }
+    assert(e2.getMessage.contains("cluster_id"))
+  }
+
   test("leakageSafeSplit: string id column fails loudly, not silently all-train") {
     import spark.implicits._
     val universe = Seq("a", "b").toDF("id")

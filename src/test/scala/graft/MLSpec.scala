@@ -75,15 +75,27 @@ class MLSpec extends SparkTestBase {
     assert(scored.df.filter(col("yPredict").isNotNull).count() > 0)
   }
 
-  test("cv splits: kfold bands are disjoint and cover") {
+  test("cv splits: kfold bands are disjoint, cover, and reproduce exactly") {
     import spark.implicits._
     val ddf = m.register((1 to 200).toDF("v"))
-    val folds = MLSupport.cvKFold(ddf, 4, seed = 11)
+    val folds = MLSupport.cvKFold(ddf, 4, "v", seed = 11)
     assert(folds.size == 4)
     val testTotal = folds.map(_._2.count()).sum
     assert(testTotal == 200) // bands partition the data
     folds.foreach { case (tr, te) => assert(tr.count() + te.count() == 200) }
-    val (tr, te) = MLSupport.cvRandom(ddf, 2, 0.75, seed = 5).head
+    // every band is populated (hash uniformity sanity)
+    folds.foreach { case (_, te) => assert(te.count() > 20) }
+    // hash membership (not RNG): a re-run selects the SAME test rows
+    val te0a = folds.head._2.select("v").collect().map(_.getInt(0)).toSet
+    val te0b = MLSupport.cvKFold(ddf, 4, "v", seed = 11)
+      .head._2.select("v").collect().map(_.getInt(0)).toSet
+    assert(te0a == te0b)
+    val (tr, te) = MLSupport.cvRandom(ddf, 2, 0.75, "v", seed = 5).head
     assert(tr.count() + te.count() == 200)
+    val frac = tr.count().toDouble / 200
+    assert(frac > 0.6 && frac < 0.9, s"train fraction $frac far from 0.75")
+    // string id refuses loudly
+    val bad = m.register(Seq("a", "b").toDF("id"))
+    intercept[IllegalArgumentException] { MLSupport.cvKFold(bad, 2, "id", 1) }
   }
 }
