@@ -2516,6 +2516,17 @@ object SparkEntry {
     path
   }
 
+  /** Fixture rows are PURE ARITHMETIC in the row id (langs/sizes from
+    * fixed residues), deliberately NOT sampled from documents.parquet:
+    * the fixture file sits at one fixed path the static oracle SQL can
+    * name, so content derived from a particular sfDir would go stale the
+    * moment Verify runs at another scale (the parquet dump and the
+    * oracle's read_csv would see different bytes). Arithmetic content is
+    * identical at every sf — the ingest path under test does not care
+    * where cell values came from.
+    */
+  private val fixtureLangs = Seq("en", "fr", "de", "es", "zh")
+
   /** LOAD fixture: id,lang,n_chars,score,ts with planted null-string /
     * empty cells. Residues chosen so every column exercises its null
     * path: %7 → 'NA' in a bigint, %11 → empty string cell (verbatim ""
@@ -2523,19 +2534,17 @@ object SparkEntry {
     * %17 → 'NA' in the timestamp. score = n_chars + .25 stays exactly
     * representable so both engines parse the identical double.
     */
-  private def s02Fixture(m: DDFManager): String = {
+  private def s02Fixture(): String = {
     val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
     val base = java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0)
-    writeFixture(s02Path, m.getDDFByName("documents").df
-      .select("doc_id", "lang", "n_chars").orderBy("doc_id").collect().toSeq
-      .map { r =>
-        val id = r.getLong(0)
-        val lang = if (id % 11 == 0) "" else r.getString(1)
-        val nChars = if (id % 7 == 0) "NA" else r.getLong(2).toString
-        val score = if (id % 13 == 0) "" else s"${r.getLong(2)}.25"
-        val ts = if (id % 17 == 0) "NA" else base.plusMinutes(id).format(fmt)
-        s"$id,$lang,$nChars,$score,$ts"
-      })
+    writeFixture(s02Path, (0L until 500L).map { id =>
+      val nCharsVal = 100 + (id * 17) % 900
+      val lang = if (id % 11 == 0) "" else fixtureLangs((id % 5).toInt)
+      val nChars = if (id % 7 == 0) "NA" else nCharsVal.toString
+      val score = if (id % 13 == 0) "" else s"$nCharsVal.25"
+      val ts = if (id % 17 == 0) "NA" else base.plusMinutes(id).format(fmt)
+      s"$id,$lang,$nChars,$score,$ts"
+    })
   }
 
   /** Inference fixture for the reference-exact 5-row vote: V1 int,
@@ -2548,22 +2557,19 @@ object SparkEntry {
     * DuckDB TRY_CAST('12.5' AS INT) rounds to 13 where Spark nulls, so
     * decimal strings in an int column would split the engines.
     */
-  private def s03Fixture(m: DDFManager): String =
-    writeFixture(s03Path, m.getDDFByName("documents").df
-      .select("doc_id", "lang").orderBy("doc_id").collect().toSeq
-      .map { r =>
-        val id = r.getLong(0)
-        val v2 = if (id >= 6 && id % 23 == 0) "oops" else (id * 10).toString
-        val v4 = if (id == 2) "NA" else Seq("T", "f", "true", "False")((id % 4).toInt)
-        val v5 = if (id % 19 == 0) "NA" else r.getString(1)
-        s"$id,$v2,$id.5,$v4,$v5"
-      })
+  private def s03Fixture(): String =
+    writeFixture(s03Path, (0L until 500L).map { id =>
+      val v2 = if (id >= 6 && id % 23 == 0) "oops" else (id * 10).toString
+      val v4 = if (id == 2) "NA" else Seq("T", "f", "true", "False")((id % 4).toInt)
+      val v5 = if (id % 19 == 0) "NA" else fixtureLangs((id % 5).toInt)
+      s"$id,$v2,$id.5,$v4,$v5"
+    })
 
   private val ingestQ: Seq[Q] = Seq(
     Q("s02_load_csv",
       (s, d) => {
         val m = mgr(s, d)
-        val path = s02Fixture(m)
+        val path = s02Fixture()
         // S2/S3 end-to-end through the dialect: declared schema, then
         // LOAD with reference cell semantics (strings verbatim, null
         // string / empty → null under NO DEFAULTS, pinned ts format)
@@ -2591,7 +2597,7 @@ object SparkEntry {
     Q("s04_load_defaults",
       (s, d) => {
         val m = mgr(s, d)
-        val path = s02Fixture(m)
+        val path = s02Fixture()
         // the defaults path of the same LOAD: unparseable/null numeric
         // cells take the typed default (0) instead of null; timestamps
         // have no default and stay null (reference
@@ -2615,7 +2621,7 @@ object SparkEntry {
     Q("s03_load_infer",
       (s, d) => {
         val m = mgr(s, d)
-        val path = s03Fixture(m)
+        val path = s03Fixture()
         // S1 five-row vote (reference Utils.java:97-150): V1 int, V2 int
         // despite post-sample garbage, V3 double, V4 boolean, V5 string
         m.loadFile(path, ",", sampleInference = true).df.orderBy("V1")
@@ -2629,7 +2635,62 @@ object SparkEntry {
               |FROM read_csv('$s03Path', header=false, all_varchar=true,
               |  columns={'c0':'VARCHAR','c1':'VARCHAR','c2':'VARCHAR',
               |           'c3':'VARCHAR','c4':'VARCHAR'})
-              |ORDER BY V1""".stripMargin))
+              |ORDER BY V1""".stripMargin)),
+
+    Q("m02_image_roundtrip",
+      (s, d) => {
+        val m = mgr(s, d)
+        // The REAL image codec path, oracle-checked end-to-end: for each
+        // doc_id < 20, build a 4×2 grayscale PNG whose halves hold
+        // colors c1 = (id·37) mod 256 and c2 = (id·91) mod 256, then
+        // PNG-encode → distributed nearest-neighbor resize to 2×1 →
+        // PNG-re-encode → decode → pixel statistics. Grayscale makes
+        // every emitted feature a closed-form EXACT value (channel means
+        // = (c1+c2)/2, per-mille luma = 1000·c so meanLuma = (c1+c2)/2
+        // and stdLuma = |c1−c2|/2 — all integers or halves, exact in
+        // float and double), so DuckDB verifies the whole codec chain
+        // from the id arithmetic alone. A decode/resize/encode bug
+        // CANNOT reproduce these values.
+        import s.implicits._
+        val docIds = m.getDDFByName("documents").df
+          .filter(col("doc_id") < 20).select("doc_id")
+          .collect().map(_.getLong(0)).toSeq.sorted
+        val imgs = docIds.map { id =>
+          val c1 = ((id * 37) % 256).toInt; val c2 = ((id * 91) % 256).toInt
+          val img = new java.awt.image.BufferedImage(4, 2,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          for (y <- 0 until 2; x <- 0 until 4) {
+            val c = if (x < 2) c1 else c2
+            img.setRGB(x, y, (c << 16) | (c << 8) | c)
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray)
+        }
+        val df = imgs.toDF("id", "payload")
+        val resized = pipeline.Multimodal.resizeImages(df, "id", "payload",
+          targetW = 2, targetH = 1)
+        pipeline.Multimodal.extractFeatures(
+            resized.select("id", "payload"), "id", "payload")
+          .select(col("id"),
+            col("features")(0).cast("double").as("w"),
+            col("features")(1).cast("double").as("h"),
+            col("features")(2).cast("double").as("aspect"),
+            col("features")(3).cast("double").as("mean_r"),
+            col("features")(4).cast("double").as("mean_g"),
+            col("features")(5).cast("double").as("mean_b"),
+            col("features")(6).cast("double").as("mean_luma"),
+            col("features")(7).cast("double").as("std_luma"))
+          .orderBy("id")
+      },
+      Some("""SELECT doc_id AS id, 2.0::DOUBLE AS w, 1.0::DOUBLE AS h,
+             |  2.0::DOUBLE AS aspect,
+             |  (((doc_id*37)%256 + (doc_id*91)%256)/2.0)::DOUBLE AS mean_r,
+             |  (((doc_id*37)%256 + (doc_id*91)%256)/2.0)::DOUBLE AS mean_g,
+             |  (((doc_id*37)%256 + (doc_id*91)%256)/2.0)::DOUBLE AS mean_b,
+             |  (((doc_id*37)%256 + (doc_id*91)%256)/2.0)::DOUBLE AS mean_luma,
+             |  (abs((doc_id*37)%256 - (doc_id*91)%256)/2.0)::DOUBLE AS std_luma
+             |FROM documents WHERE doc_id < 20 ORDER BY id""".stripMargin))
   )
 
   private val allQueries: Seq[Q] =

@@ -6,10 +6,13 @@ import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: image/audio/video payloads are opaque
   * `binary` columns with typed metadata. The Spark-side contract — schema,
-  * partitioning, batch shape — is real and tested; the actual media decode
-  * is STUBBED (no image/audio libraries in this container) behind
-  * `decodeStub`, clearly marked. On a real cluster the stub body is
-  * replaced by the codec call; nothing else changes.
+  * partitioning, batch shape — is real and tested, and so is the image
+  * codec path: PNG/JPEG/BMP/GIF decode + rescale via `javax.imageio`
+  * (ships with the JDK — zero added dependencies, works headless).
+  * Payloads ImageIO cannot decode (audio/video/unknown) take the
+  * byte-statistics feature path — honest per-byte measurements, the
+  * standard curation signal for opaque blobs (truncation/corruption
+  * detection via entropy + printable fraction).
   */
 object Multimodal {
 
@@ -21,7 +24,7 @@ object Multimodal {
 
   /** Read a directory of media files as (path, length, payload, meta)
     * via Spark's distributed `binaryFile` source — the production entry
-    * point for [[extractFeatures]]/[[sampleFrames]]/[[resizePayloads]].
+    * point for [[extractFeatures]]/[[sampleFrames]]/[[resizeImages]].
     * `pathGlob` filters by extension (e.g. "*.jpg"); `maxBytes` guards
     * against single-file driver/executor blowups (binaryFile loads each
     * file as ONE row — cap it and route oversized media to a chunked
@@ -53,16 +56,88 @@ object Multimodal {
         md5(col("payload")).as("content_hash"),
         lit(modality).as("modality")))
 
-  /** Deterministic fake "decode": 8 pseudo-features derived from payload
-    * bytes. ==== STUB ==== — replace with the real codec (e.g. JPEG
-    * decode + CNN features) on a cluster with media libraries. The
-    * signature, schema, and per-partition batch shape are the production
-    * contract.
+  /** Real image decode via the JDK's ImageIO (PNG/JPEG/BMP/GIF/WBMP
+    * readers are built in). None ⇔ the bytes are not a decodable image —
+    * ImageIO.read returns null for unknown containers and throws for
+    * truncated ones; both map to None so callers get one signal.
     */
-  def decodeStub(payload: Array[Byte]): Array[Float] = {
-    val h = java.util.Arrays.hashCode(payload)
-    Array.tabulate(8)(i => ((h >>> (i * 4)) & 0xF).toFloat / 15.0f)
+  def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    catch { case _: java.io.IOException | _: RuntimeException => None }
+
+  /** 8 deterministic image features: [width, height, aspect, meanR,
+    * meanG, meanB, meanLuma, stdLuma] — channel sums accumulate as exact
+    * Longs over getRGB (lossless for PNG/BMP/GIF), luma as the exact
+    * integer 299r+587g+114b per mille, means/std via double then one
+    * float narrowing — bit-reproducible across executors and re-runs.
+    */
+  def imageFeatures(img: java.awt.image.BufferedImage): Array[Float] = {
+    val w = img.getWidth; val h = img.getHeight
+    var sr = 0L; var sg = 0L; var sb = 0L; var sl = 0L; var sl2 = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
+        val l = 299L * r + 587L * g + 114L * b // luma per mille, exact
+        sr += r; sg += g; sb += b; sl += l; sl2 += l * l
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    val meanL = sl.toDouble / n
+    val varL = sl2.toDouble / n - meanL * meanL
+    Array(w.toFloat, h.toFloat, w.toFloat / h.toFloat,
+      (sr.toDouble / n).toFloat, (sg.toDouble / n).toFloat, (sb.toDouble / n).toFloat,
+      (meanL / 1000.0).toFloat, (math.sqrt(math.max(0.0, varL)) / 1000.0).toFloat)
   }
+
+  /** 8 deterministic byte-statistics features for payloads that are not
+    * decodable media: [length, mean byte, std byte, entropy bits/byte,
+    * printable fraction, zero fraction, distinct fraction, top-byte
+    * fraction]. Exact integer histogram → double math → float; these are
+    * the opaque-blob curation signals (corruption/truncation shows as an
+    * entropy/printable shift).
+    */
+  def byteFeatures(payload: Array[Byte]): Array[Float] = {
+    val n = payload.length
+    if (n == 0) return Array(0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val hist = new Array[Long](256)
+    var s = 0L; var s2 = 0L
+    var i = 0
+    while (i < n) {
+      val v = payload(i) & 0xFF
+      hist(v) += 1; s += v; s2 += v.toLong * v
+      i += 1
+    }
+    val mean = s.toDouble / n
+    val variance = s2.toDouble / n - mean * mean
+    var entropy = 0.0; var printable = 0L; var distinct = 0; var top = 0L
+    var b = 0
+    while (b < 256) {
+      val c = hist(b)
+      if (c > 0) {
+        val p = c.toDouble / n
+        entropy -= p * math.log(p) / math.log(2.0)
+        distinct += 1
+        if (c > top) top = c
+        if (b >= 32 && b <= 126) printable += c
+      }
+      b += 1
+    }
+    Array(n.toFloat, mean.toFloat, math.sqrt(math.max(0.0, variance)).toFloat,
+      entropy.toFloat, (printable.toDouble / n).toFloat,
+      (hist(0).toDouble / n).toFloat, distinct / 256.0f, (top.toDouble / n).toFloat)
+  }
+
+  /** The per-row feature decode used by [[extractFeatures]]: real image
+    * decode when the bytes are an image, byte statistics otherwise. Both
+    * paths emit the same 8-float shape.
+    */
+  def payloadFeatures(payload: Array[Byte]): Array[Float] =
+    decodeImage(payload).map(imageFeatures).getOrElse(byteFeatures(payload))
 
   val featureSchema: StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),
@@ -93,54 +168,97 @@ object Multimodal {
         val payload = r.getAs[Array[Byte]](1)
         if (payload == null) throw new IllegalArgumentException(
           s"extractFeatures: null payload for id ${r.getLong(0)}")
-        Row(r.getLong(0), decodeStub(payload).toSeq, payload.length.toLong)
+        Row(r.getLong(0), payloadFeatures(payload).toSeq, payload.length.toLong)
       }
     }
     spark.createDataFrame(rdd, featureSchema)
   }
 
-  /** Deterministic fake "resize": truncate to `targetBytes`. ==== STUB
-    * ==== — replace with the real media transform (image resize, audio
-    * resample, video transcode) on a cluster with codecs; the
-    * binary→binary signature and metadata refresh are the contract.
+  /** Deterministic nearest-neighbor rescale to (targetW, targetH), PNG
+    * re-encoded. srcX = x·w/tw integer floor — no interpolation, no
+    * rendering pipeline, so the output PIXELS are bit-exact regardless
+    * of Graphics2D backends; PNG is lossless, so decode(encode(img))
+    * round-trips those pixels exactly (what ResizeSpec pins).
     */
-  def resizeStub(payload: Array[Byte], targetBytes: Int): Array[Byte] =
-    if (payload.length <= targetBytes) payload
-    else java.util.Arrays.copyOf(payload, targetBytes)
+  def resizeImage(img: java.awt.image.BufferedImage,
+                  targetW: Int, targetH: Int): Array[Byte] = {
+    require(targetW > 0 && targetH > 0,
+      s"target dimensions must be positive, got ${targetW}x$targetH")
+    val out = new java.awt.image.BufferedImage(
+      targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < targetH) {
+      val sy = (y.toLong * img.getHeight / targetH).toInt
+      var x = 0
+      while (x < targetW) {
+        out.setRGB(x, y, img.getRGB((x.toLong * img.getWidth / targetW).toInt, sy))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bos)
+    bos.toByteArray
+  }
 
   val resizedSchema: StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),
-    StructField("payload", BinaryType, nullable = false)))
+    StructField("payload", BinaryType, nullable = false),
+    StructField("decoded", BooleanType, nullable = false)))
 
-  /** Payload→payload transform — the resize/transcode plumbing shape
-    * (third of the three: →features, →frames, →payload). Same
-    * per-partition batch contract as [[extractFeatures]]; metadata
-    * (byte_len, content_hash) is recomputed for the NEW bytes — with the
-    * SAME Spark expressions [[withBinaryPayload]] uses, so the hash
-    * format can never drift from the attach path (stale or differently-
-    * formatted hashes silently poison downstream exact dedup).
+  /** Payload→payload image transform — the resize/transcode plumbing
+    * shape (third of the three: →features, →frames, →payload). Decodable
+    * images are rescaled to (targetW, targetH) and PNG re-encoded;
+    * payloads that are not images pass through unchanged with
+    * `decoded = false` (a poison row must not kill a 100 TB job — filter
+    * on the flag downstream). Same per-partition batch contract as
+    * [[extractFeatures]]; metadata (byte_len, content_hash) is
+    * recomputed for the NEW bytes with the SAME Spark expressions
+    * [[withBinaryPayload]] uses, so the hash format can never drift from
+    * the attach path (stale or differently-formatted hashes silently
+    * poison downstream exact dedup).
     */
-  def resizePayloads(df: DataFrame, idCol: String, payloadCol: String,
-                     targetBytes: Int, partitions: Int = 0): DataFrame = {
-    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+  def resizeImages(df: DataFrame, idCol: String, payloadCol: String,
+                   targetW: Int, targetH: Int, partitions: Int = 0): DataFrame = {
+    require(targetW > 0 && targetH > 0,
+      s"target dimensions must be positive, got ${targetW}x$targetH")
     require(df.schema(idCol).dataType.isInstanceOf[NumericType],
-      s"resizePayloads: id column '$idCol' must be numeric " +
+      s"resizeImages: id column '$idCol' must be numeric " +
         s"(got ${df.schema(idCol).dataType.simpleString})")
-    requireBinary(df, payloadCol, "resizePayloads")
+    requireBinary(df, payloadCol, "resizeImages")
     val in = if (partitions > 0) df.repartition(partitions) else df
     val spark = df.sparkSession
     val rdd = in.select(col(idCol).cast("long"), col(payloadCol)).rdd.mapPartitions { rows =>
-      // per-partition codec init would go here
       rows.map { r =>
         if (r.isNullAt(0)) throw new IllegalArgumentException(
-          "resizePayloads: null id in payload row")
+          "resizeImages: null id in payload row")
         val payload = r.getAs[Array[Byte]](1)
         if (payload == null) throw new IllegalArgumentException(
-          s"resizePayloads: null payload for id ${r.getLong(0)}")
-        Row(r.getLong(0), resizeStub(payload, targetBytes))
+          s"resizeImages: null payload for id ${r.getLong(0)}")
+        decodeImage(payload) match {
+          case Some(img) => Row(r.getLong(0), resizeImage(img, targetW, targetH), true)
+          case None      => Row(r.getLong(0), payload, false)
+        }
       }
     }
     spark.createDataFrame(rdd, resizedSchema)
+      .withColumn("byte_len", octet_length(col("payload")).cast("long"))
+      .withColumn("content_hash", md5(col("payload")))
+  }
+
+  /** Byte-cap guard: truncate payloads to `maxBytes` — a STORAGE
+    * control (bound row size before a shuffle/sink), not a media
+    * transform; use [[resizeImages]] to shrink actual images. Pure
+    * Spark expression — no partition-level code needed for a slice.
+    * Metadata is refreshed for the new bytes (same expressions as
+    * [[withBinaryPayload]], see [[resizeImages]]).
+    */
+  def capPayloads(df: DataFrame, idCol: String, payloadCol: String,
+                  maxBytes: Int): DataFrame = {
+    require(maxBytes > 0, s"maxBytes must be positive, got $maxBytes")
+    requireBinary(df, payloadCol, "capPayloads")
+    df.select(col(idCol).cast("long").as("id"),
+        expr(s"substring($payloadCol, 1, $maxBytes)").as("payload"))
       .withColumn("byte_len", octet_length(col("payload")).cast("long"))
       .withColumn("content_hash", md5(col("payload")))
   }

@@ -571,12 +571,12 @@ class PipelineSpec extends SparkTestBase {
     assert(feats.count() == 1)
   }
 
-  test("multimodal: resizePayloads caps bytes and refreshes the content hash") {
+  test("multimodal: capPayloads caps bytes and refreshes the content hash") {
     import spark.implicits._
     val df = Seq((1L, "a payload comfortably longer than ten bytes"), (2L, "short"))
       .toDF("id", "text")
     val withBin = Multimodal.withBinaryPayload(df, "text", "image/fake")
-    val out = Multimodal.resizePayloads(withBin, "id", "payload", targetBytes = 10)
+    val out = Multimodal.capPayloads(withBin, "id", "payload", maxBytes = 10)
       .collect().map(r => r.getAs[Long]("id") -> r).toMap
     assert(out(1L).getAs[Long]("byte_len") == 10L)
     assert(out(2L).getAs[Long]("byte_len") == 5L) // already under target: unchanged
@@ -586,5 +586,93 @@ class PipelineSpec extends SparkTestBase {
     assert(out(1L).getAs[String]("content_hash") != origHash)
     assert(out(2L).getAs[String]("content_hash") ==
       withBin.filter(col("id") === 2L).select("meta.content_hash").first().getString(0))
+  }
+
+  /** A 4×2 test image with exactly-known pixels: row 0 = red, green,
+    * blue, white; row 1 = black, grey(128), red, blue. Encoded with the
+    * given ImageIO format name; decode must round-trip these pixels
+    * exactly for lossless formats.
+    */
+  private def fixtureImageBytes(format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(4, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = Array(
+      Array(0xFF0000, 0x00FF00, 0x0000FF, 0xFFFFFF),
+      Array(0x000000, 0x808080, 0xFF0000, 0x0000FF))
+    for (y <- 0 until 2; x <- 0 until 4) img.setRGB(x, y, px(y)(x))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, format, bos), s"no $format writer")
+    bos.toByteArray
+  }
+
+  test("multimodal: real PNG/BMP decode — pinned exact pixel statistics") {
+    import spark.implicits._
+    // hand-computed from the fixture pixels (n=8):
+    //   sumR = 255+0+0+255 + 0+128+255+0   = 893
+    //   sumG = 0+255+0+255 + 0+128+0+0     = 638
+    //   sumB = 0+0+255+255 + 0+128+0+255   = 893
+    val expMeanR = (893.0 / 8).toFloat
+    val expMeanG = (638.0 / 8).toFloat
+    val expMeanB = (893.0 / 8).toFloat
+    for (fmt <- Seq("png", "bmp")) {
+      val df = Seq((1L, fixtureImageBytes(fmt))).toDF("id", "payload")
+      val f = Multimodal.extractFeatures(df, "id", "payload")
+        .collect().head.getAs[scala.collection.Seq[Float]]("features")
+      assert(f(0) == 4f && f(1) == 2f && f(2) == 2f, s"$fmt dims: $f")
+      assert(f(3) == expMeanR && f(4) == expMeanG && f(5) == expMeanB,
+        s"$fmt channel means: $f")
+      // per-mille luma sums, exact ints: 76245 (red) + 149685 (green) +
+      // 29070 (blue) + 255000 (white) + 0 + 128000 (grey) + 76245 + 29070
+      // = 743315 → mean 743315/8/1000 on the 0..255 luma scale
+      assert(f(6) == (743315.0 / 8 / 1000).toFloat && f(7) > 0f, s"$fmt luma: $f")
+    }
+    // same image, two lossless containers → identical features
+    val fp = Multimodal.payloadFeatures(fixtureImageBytes("png"))
+    val fb = Multimodal.payloadFeatures(fixtureImageBytes("bmp"))
+    assert(fp.toSeq == fb.toSeq, "PNG and BMP decode to identical pixels")
+  }
+
+  test("multimodal: non-image payloads take exact byte-statistics features") {
+    // "AAAB" = bytes {65,65,65,66}: mean 65.25, std sqrt(.1875),
+    // entropy of {3/4, 1/4} = 0.811278, printable 1, zero 0,
+    // distinct 2/256, top 3/4
+    val f = Multimodal.payloadFeatures("AAAB".getBytes("UTF-8"))
+    assert(f(0) == 4f)
+    assert(f(1) == 65.25f)
+    assert(math.abs(f(2) - math.sqrt(0.1875).toFloat) < 1e-6f)
+    assert(math.abs(f(3) - 0.8112781f) < 1e-6f)
+    assert(f(4) == 1f && f(5) == 0f)
+    assert(f(6) == 2f / 256f && f(7) == 0.75f)
+    // empty payload: all-zero features, no div-by-zero
+    assert(Multimodal.payloadFeatures(Array.empty[Byte]).toSeq ==
+      Seq(0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f))
+  }
+
+  test("multimodal: resizeImages — nearest-neighbor pixels exact; non-images pass through") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, fixtureImageBytes("png")),
+      (2L, "not an image at all".getBytes("UTF-8"))).toDF("id", "payload")
+    val out = Multimodal.resizeImages(df, "id", "payload", targetW = 2, targetH = 1)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    // nearest-neighbor 4×2 → 2×1: srcX = x·4/2 ∈ {0,2}, srcY = 0
+    // → pixels (0,0)=red and (2,0)=blue, exactly
+    assert(out(1L).getAs[Boolean]("decoded"))
+    val resized = Multimodal.decodeImage(
+      out(1L).getAs[Array[Byte]]("payload")).get
+    assert(resized.getWidth == 2 && resized.getHeight == 1)
+    assert((resized.getRGB(0, 0) & 0xFFFFFF) == 0xFF0000)
+    assert((resized.getRGB(1, 0) & 0xFFFFFF) == 0x0000FF)
+    // metadata describes the NEW bytes
+    assert(out(1L).getAs[Long]("byte_len") ==
+      out(1L).getAs[Array[Byte]]("payload").length.toLong)
+    // undecodable payload passes through unchanged, flagged
+    assert(!out(2L).getAs[Boolean]("decoded"))
+    assert(new String(out(2L).getAs[Array[Byte]]("payload"), "UTF-8") ==
+      "not an image at all")
+    // deterministic: a re-run produces byte-identical resized payloads
+    val again = Multimodal.resizeImages(df, "id", "payload", 2, 1)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Array[Byte]]("payload")).toMap
+    assert(java.util.Arrays.equals(again(1L), out(1L).getAs[Array[Byte]]("payload")))
   }
 }
