@@ -72,8 +72,27 @@ object TextAnalysis {
     when(best.getField("s") >= minScore, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** NATIVE codegen'd twin of [[langIdOf]] over a token-array COLUMN —
+    * byte-identical output (TextExprSpec equivalence): one scan with a
+    * per-token hash probe instead of one interpreted
+    * filter(array_contains) pass per language (4 scans; measured 1.55 s
+    * of t01's 2.05 s at sf0.1). Internal consumers ([[enrich]], t08's
+    * tagging) use this one; the HOF form above documents the exact
+    * semantics the DuckDB oracles mirror.
+    */
+  def langIdCol(toks: Column, minScore: Double = 0.02): Column =
+    // coalesce replicates the HOF's NULL behavior exactly: a NULL token
+    // array folds its NULL score through when(...) to 'und' there, while
+    // a null-intolerant native expression would return NULL
+    coalesce(
+      org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.functions.StopwordLangId(
+          org.apache.spark.sql.graftbridge.Bridge.expression(toks),
+          stopwords.toSeq.sortBy(_._1), minScore)),
+      lit("und"))
+
   def langId(textCol: String, minScore: Double = 0.02): Column =
-    langIdOf(tokensExpr(textCol), minScore)
+    langIdCol(expr(tokensExpr(textCol)), minScore)
 
   /** Quality score in [0,1]: length saturation, lexical diversity, and
     * (1 − punctuation ratio), weighted 0.4/0.3/0.3.
@@ -475,7 +494,7 @@ object TextAnalysis {
     df.withColumn(toks, expr(tokensExpr(textCol)))
       .withColumn("token_count", tokenCountOf(toks))
       .withColumn("subword_count", subwordCountEstimateOf(toks))
-      .withColumn("lang_pred", langIdOf(toks))
+      .withColumn("lang_pred", langIdCol(col(toks)))
       .withColumn("quality", qualityScoreOf(textCol, toks))
       .withColumn("fingerprint", fingerprintMd5(textCol))
       .drop(toks)

@@ -44,9 +44,22 @@ object Profile {
     spark.sharedState.cacheManager.clearCache()
 
     // --- t01 text-enrich stages ---
-    timed("enrich(all)")(TextAnalysis.enrich(docs, "text").count())
-    timed("tokens only")(docs.select(expr(TextAnalysis.tokensExpr("text"))).count())
-    timed("fingerprint only")(docs.select(TextAnalysis.fingerprintMd5("text")).count())
+    // count() lets Catalyst PRUNE the computed columns — force each
+    // metric to materialize by hashing it into an aggregate instead.
+    def force(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(xxhash64(df.columns.map(col): _*).as("h"))
+        .agg(expr("bit_xor(h)")).collect()(0).getLong(0)
+    val toksCol = expr(TextAnalysis.tokensExpr("text")).as("__toks")
+    timed("t01 full select")(force(
+      TextAnalysis.enrich(docs, "text").select(col("doc_id"), col("token_count"),
+        col("subword_count"), col("lang_pred"), round(col("quality"), 6), col("fingerprint"))))
+    timed("tokens only")(force(docs.select(toksCol)))
+    timed("langId HOF (ref)")(force(docs.select(toksCol).select(TextAnalysis.langIdOf("__toks").as("v"))))
+    timed("langId native")(force(docs.select(toksCol).select(TextAnalysis.langIdCol(col("__toks")).as("v"))))
+    timed("subword only")(force(docs.select(toksCol).select(TextAnalysis.subwordCountEstimateOf("__toks").as("v"))))
+    timed("quality only")(force(docs.select(col("text"), toksCol)
+      .select(TextAnalysis.qualityScoreOf("text", "__toks").as("v"))))
+    timed("fingerprint only")(force(docs.select(TextAnalysis.fingerprintMd5("text").as("v"))))
 
     // --- a01 brute ANN stages ---
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")

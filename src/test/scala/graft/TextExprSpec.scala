@@ -105,6 +105,31 @@ class TextExprSpec extends SparkTestBase {
     assert(r.getSeq[String](1) == Seq("a b", "b c", "c d"))
   }
 
+  test("StopwordLangId == langIdOf (HOF) on nasty strings, real-language text, and NULL") {
+    import spark.implicits._
+    val langy = Seq(
+      "the cat sat of the mat and it is a that",   // en-heavy
+      "le chat est sur la table et les des une",   // fr-heavy
+      "der hund und die katze das ist ein von",    // de-heavy
+      "el perro y la casa los las un una es",      // es-heavy
+      "la de un es le et the and",                 // cross-language ties
+      "no function words here whatsoever xyzzy",   // und (below minScore)
+      "zz yy xx")                                  // und (zero hits)
+    val df = ((nasty ++ langy).map(Option(_)) :+ Option.empty[String]).toDF("t")
+      .withColumn("toks", expr(TextAnalysis.tokensExpr("t")))
+    for (minScore <- Seq(0.02, 0.2, 0.0)) {
+      val rows = df.select(
+          TextAnalysis.langIdOf("toks", minScore).as("hof"),
+          TextAnalysis.langIdCol(col("toks"), minScore).as("nat"))
+        .collect()
+      rows.foreach { r => assert(r.get(0) == r.get(1), s"minScore=$minScore: $r") }
+    }
+    // NULL tokens array → 'und' on both paths (the HOF folds the NULL
+    // score through when(...); the native path coalesces)
+    val nullToks = Seq(1).toDF("i").select(lit(null).cast("array<string>").as("toks"))
+    assert(nullToks.select(TextAnalysis.langIdCol(col("toks"))).collect().head.getString(0) == "und")
+  }
+
   test("native shingles stay inside whole-stage codegen") {
     // a local relation would constant-fold the projection away, so build
     // text from range() to force a real executed stage
