@@ -90,6 +90,68 @@ class StreamingSpec extends SparkTestBase {
     assert(idx.columns.contains("epoch"))
   }
 
+  test("dedupedIngest: crash mid-epoch + checkpoint restart replays bit-identically") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_restart")
+    val idxDir = base.toString + "/idx"
+    val ckpt = base.toString + "/ckpt"
+    val stream = MemoryStream[(Long, String)]
+    val sunk = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    @volatile var failNext = false
+    def writer() = graft.streaming.CurationStreams.dedupedIngest(
+        stream.toDF().toDF("doc_id", "text"), "text", "doc_id", idxDir,
+        (df, epoch) => {
+          val ids = df.select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+          sunk.synchronized { sunk += epoch -> ids }
+          if (failNext) {
+            failNext = false
+            // the worst crash window: sink delivered, index write never ran
+            throw new RuntimeException("injected crash after sink, before index write")
+          }
+        })
+      .option("checkpointLocation", ckpt)
+
+    // epoch 0 commits cleanly
+    val q1 = writer().start()
+    stream.addData((1L, "alpha document"), (2L, "beta document"))
+    q1.processAllAvailable(); q1.stop()
+
+    // epoch 1 crashes mid-epoch (after sink, before index write)
+    failNext = true
+    stream.addData((3L, "alpha document"), (4L, "gamma document"))
+    val q2 = writer().start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    // ...and (worse) the crash left PARTIAL index rows in our epoch's
+    // partition — the replay must overwrite them, not probe them
+    Seq("partialjunk").toDF("fingerprint").write.mode("append")
+      .parquet(idxDir + "/epoch=1")
+
+    // restart from the checkpoint: epoch 1 replays; then epoch 2 must
+    // dedup against the content the REPLAY indexed
+    val q3 = writer().start()
+    try {
+      q3.processAllAvailable()
+      stream.addData((5L, "gamma document"), (6L, "delta document"))
+      q3.processAllAvailable()
+    } finally q3.stop()
+
+    // both attempts of epoch 1 delivered the IDENTICAL survivor set
+    // (3=alpha is a cross-batch dup both times), and epoch 2 dropped
+    // 5=gamma against the replayed index — no dup, no loss
+    assert(sunk.toList == List(0L -> Seq(1L, 2L), 1L -> Seq(4L), 1L -> Seq(4L), 2L -> Seq(6L)),
+      s"got $sunk")
+    val idx = spark.read.parquet(idxDir)
+    // the partial-write junk was overwritten by the replay
+    assert(idx.filter(col("fingerprint") === "partialjunk").isEmpty,
+      "replay must dynamically overwrite its own epoch partition")
+    // exactly one fingerprint per distinct delivered content
+    assert(idx.select("fingerprint").distinct().count() == 4)
+  }
+
   test("sessionizeStreaming: sessions close across micro-batches via event-time timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
