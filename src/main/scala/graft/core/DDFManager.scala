@@ -160,13 +160,38 @@ final class DDFManager(val spark: SparkSession) {
 
   // ---- persistence (SURVEY S4) ----
 
-  /** Persist a DDF as parquet under a runtime dir; returns the path. */
-  def persist(ddf: DDF, rootDir: String): String = {
-    val path = s"$rootDir/${ddf.name}"
+  /** Persist a DDF as parquet under `rootDir/namespace/name`; returns the
+    * path. The catalog IS the directory layout (reference semantics:
+    * PersistenceHandlerSpec.scala:16-38 lists namespaces and their
+    * items) — no side manifest to drift, and the Hadoop FS API makes
+    * the same listing work on HDFS/S3 on a cluster.
+    */
+  def persist(ddf: DDF, rootDir: String, namespace: String = "default"): String = {
+    val path = s"$rootDir/$namespace/${ddf.name}"
     ddf.df.write.mode("overwrite").parquet(path)
     path
   }
   def unpersist(path: String, name: String): DDF = loadParquet(path, name)
+
+  /** Namespaces currently holding persisted items (reference
+    * listNamespaces): the visible subdirectories of `rootDir`. Empty when
+    * nothing was ever persisted.
+    */
+  def listNamespaces(rootDir: String): Seq[String] = listVisibleDirs(rootDir)
+
+  /** Item names persisted under a namespace (reference listItems). */
+  def listPersisted(rootDir: String, namespace: String = "default"): Seq[String] =
+    listVisibleDirs(s"$rootDir/$namespace")
+
+  private def listVisibleDirs(dir: String): Seq[String] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toSeq
+      .filter(s => s.isDirectory && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .map(_.getPath.getName).sorted
+  }
 }
 
 object DDFManager {

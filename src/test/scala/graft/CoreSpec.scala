@@ -83,6 +83,26 @@ class CoreSpec extends SparkTestBase {
     assert(back.numRows == 2)
   }
 
+  test("persist catalog: listNamespaces / listPersisted mirror the layout") {
+    val m = freshManager
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_catalog").toString
+    // nothing persisted yet → both listings empty, no error
+    assert(m.listNamespaces(root).isEmpty)
+    assert(m.listPersisted(root, "nope").isEmpty)
+    val a = m.register(Seq((1, "x")).toDF("a", "b"), "item_a")
+    val b = m.register(Seq((2, "y")).toDF("a", "b"), "item_b")
+    m.persist(a, root) // default namespace
+    m.persist(b, root, namespace = "training")
+    m.persist(a, root, namespace = "training")
+    assert(m.listNamespaces(root) == Seq("default", "training"))
+    assert(m.listPersisted(root) == Seq("item_a"))
+    assert(m.listPersisted(root, "training") == Seq("item_a", "item_b"))
+    // listed path round-trips through unpersist
+    val back = m.unpersist(s"$root/training/item_b", "restored_cat")
+    assert(back.numRows == 1)
+  }
+
   test("loadJson reads JSONL with inferred and declared schemas") {
     val dir = Files.createDirectories(Paths.get("target/test-fixtures"))
     val jsonl = dir.resolve("docs.jsonl")
