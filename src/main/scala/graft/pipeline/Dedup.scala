@@ -433,7 +433,13 @@ object Dedup {
       val rows = bandRows(sigs, k, bands, bandSigFn)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val cand = candidatePairsFromBandRows(rows)
+        // EAGER like minhashCandidatesFromSignatures: cand is referenced
+        // three times (both member unions + the verify join), and without
+        // the checkpoint each reference re-runs the LSH self-join — 3× the
+        // dominant cost on dup-heavy batches (measured 42 s → 25 s at a
+        // 25k/25k split of 10× sf0.1, and superlinear → linear scaling
+        // across 1×..10×, in tools/ScaleSmoke)
+        val cand = candidatePairsFromBandRows(rows).localCheckpoint()
         val members = cand.select(col("id1").as("id"))
           .unionAll(cand.select(col("id2").as("id"))).distinct()
         val losers = jaccardOnShingledPairs(cand, sh.join(members, Seq("id"), "left_semi"))

@@ -43,6 +43,21 @@ object Profile {
     timed("full_dedup")(Dedup.minhashDedup(docs, "text", "doc_id", threshold = 0.5).count())
     spark.sharedState.cacheManager.clearCache()
 
+    // --- d11 incremental-minhash stages (50/50 split — the worst case:
+    // index and batch each hold half the corpus) ---
+    {
+      val old = docs.filter(col("doc_id") % 2 === 0)
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+      timed("d11 index build")(Dedup.bandRows(
+        Dedup.minhashSignaturesFromShingles(Dedup.shingled(old, "text", "doc_id"))).count())
+      val index = Dedup.bandRows(
+        Dedup.minhashSignaturesFromShingles(Dedup.shingled(old, "text", "doc_id")))
+        .localCheckpoint()
+      timed("d11 probe (incl. in-batch)")(
+        Dedup.incrementalMinhash(batch, index, "text", "doc_id", threshold = 0.5)._1.count())
+      spark.sharedState.cacheManager.clearCache()
+    }
+
     // --- t01 text-enrich stages ---
     // count() lets Catalyst PRUNE the computed columns — force each
     // metric to materialize by hashing it into an aggregate instead.

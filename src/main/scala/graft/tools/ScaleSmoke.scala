@@ -1,15 +1,22 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scaling smoke: blow the sf0.1 documents table up 1×→10× (each replica
-  * is a near-duplicate of its siblings — a pathologically dup-heavy
-  * corpus) and watch minhash dedup + TF-IDF wall time. Measured on this
-  * host (local[32], 2026-08): minhash ≈ 6–7 s flat from 5k to 50k docs
-  * even as verified pairs grow 256 → 250k (parallel slack absorbs the
-  * candidate growth; no quadratic blowup), TF-IDF 1.7 s → 2.8 s for 10×
-  * the data. Dev tool — not part of the driver contract.
+/** Scaling smoke for the headline dedup/retrieval family: blow the sf0.1
+  * tables up 1×→10× (10× ≈ sf1) and fit the scaling exponent b of
+  * t ≈ a·factor^b per operator from min-of-2 wall times at factors
+  * 1/2/5/10. Linear scaling is b ≈ 1 (plus parallel-slack flattening
+  * b < 1 while 32 cores absorb the growth); anything approaching 2 is a
+  * pair-explosion bug. Results are recorded in SCALE.md §"Measured
+  * scaling". Dev tool — not part of the driver contract.
+  *
+  * Corpus construction mirrors production growth, not degenerate
+  * replication: each text replica is a NEAR-duplicate of its siblings
+  * (dup-heavy, stresses candidate generation); embedding replicas get a
+  * deterministic per-replica orthogonal-ish perturbation and the IVF
+  * centroid count grows with the corpus (16·f) — the production contract
+  * that cells bound the within-cell pair explosion as data grows.
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -18,34 +25,101 @@ object ScaleSmoke {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    def blow(f: Int) = (0 until f).map(i =>
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val baseDocs = docs.count()
+    val baseVecs = emb.count()
+
+    def blowDocs(f: Int): DataFrame = (0 until f).map(i =>
       docs.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
         concat(col("text"), lit(" v" + i)).as("text")))
       .reduce(_ unionAll _)
-    for (f <- Seq(1, 2, 5, 10)) {
-      val d = blow(f)
-      d.count()
-      val t0 = System.nanoTime()
-      val n = graft.pipeline.Dedup.minhashDedup(d, "text", "doc_id", threshold = 0.5).count()
-      println(f"[smoke] factor=$f docs=${5000L * f} pairs=$n minhash=${(System.nanoTime() - t0) / 1e9}%.2f s")
-      val t1 = System.nanoTime()
-      val v = graft.pipeline.Relevance.tfidfTopTerms(d, "text", "doc_id", k = 3).count()
-      println(f"[smoke] factor=$f tfidf_rows=$v tfidf=${(System.nanoTime() - t1) / 1e9}%.2f s")
-      val t2 = System.nanoTime()
-      val sd = graft.pipeline.Dedup.spanDedup(d, "text", "doc_id", w = 6).count()
-      println(f"[smoke] factor=$f span_docs=$sd span_dedup=${(System.nanoTime() - t2) / 1e9}%.2f s")
-      val t3 = System.nanoTime()
-      import spark.implicits._
-      val queries = Seq((1L, "spark join"), (2L, "window stream"), (3L, "hash filter scan"))
-        .toDF("qid", "qtext")
-      val br = graft.pipeline.Relevance.bm25Retrieve(d, "text", "doc_id",
-        queries, "qid", "qtext", k = 10).count()
-      println(f"[smoke] factor=$f bm25_rows=$br bm25_retrieve=${(System.nanoTime() - t3) / 1e9}%.2f s")
-      val t4 = System.nanoTime()
-      val ul = graft.pipeline.TextAnalysis.unigramLogProb(d, "text", "doc_id").count()
-      println(f"[smoke] factor=$f unigram_rows=$ul unigram=${(System.nanoTime() - t4) / 1e9}%.2f s")
+
+    // replica i is the CYCLIC SHIFT of the embedding by i components:
+    // norm- and distribution-preserving, but rotated random vectors are
+    // ~orthogonal to their originals — so the dup RATE stays constant as
+    // the corpus grows (each replica contributes the base corpus's pair
+    // structure, shifted; cross-replica pairs stay below threshold).
+    // A near-dup perturbation instead makes every replica pair with all
+    // its siblings — output grows f², and the measurement reads output
+    // explosion, not operator scaling.
+    def blowEmb(f: Int): DataFrame = (0 until f).map { i =>
+      val rot =
+        if (i == 0) col("embedding")
+        else expr(s"concat(slice(embedding, ${i + 1}, size(embedding) - $i), " +
+          s"slice(embedding, 1, $i))")
+      emb.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"), rot.as("embedding"))
+    }.reduce(_ unionAll _)
+
+    val queries = Seq((1L, "spark join"), (2L, "window stream"), (3L, "hash filter scan"))
+      .toDF("qid", "qtext")
+
+    // (name, factor => result-count thunk); each op re-derives its input
+    // from the blown corpus so nothing is cached across factors
+    def ops(f: Int): Seq[(String, () => Long)] = {
+      lazy val d = { val x = blowDocs(f); x.count(); x }
+      lazy val e = { val x = blowEmb(f); x.count(); x }
+      Seq(
+        "minhash_dedup(d02)" -> (() =>
+          graft.pipeline.Dedup.minhashDedup(d, "text", "doc_id", threshold = 0.5).count()),
+        "incr_minhash(d11)" -> (() => {
+          val old = d.filter(col("doc_id") % 2 === 0)
+          val batch = d.filter(col("doc_id") % 2 === 1)
+          val index = graft.pipeline.Dedup.bandRows(
+            graft.pipeline.Dedup.minhashSignaturesFromShingles(
+              graft.pipeline.Dedup.shingled(old, "text", "doc_id")))
+          val (kept, _) = graft.pipeline.Dedup.incrementalMinhash(batch, index,
+            "text", "doc_id", threshold = 0.5)
+          kept.count()
+        }),
+        "span_dedup(t09)" -> (() =>
+          graft.pipeline.Dedup.spanDedup(d, "text", "doc_id", w = 6).count()),
+        "bm25_retrieve(c06)" -> (() =>
+          graft.pipeline.Relevance.bm25Retrieve(d, "text", "doc_id",
+            queries, "qid", "qtext", k = 10).count()),
+        "tfidf(c01)" -> (() =>
+          graft.pipeline.Relevance.tfidfTopTerms(d, "text", "doc_id", k = 3).count()),
+        "semantic_dedup(a05)" -> (() => {
+          // cells grow with the corpus: 16·f centroids keep E[cell size]
+          // constant — the scale contract that bounds within-cell pairs
+          val centroids = e.filter(col("vec_id") < 16L * f).orderBy("vec_id")
+            .select("embedding").collect()
+            .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+          val idx = graft.pipeline.IvfIndex.buildFromCentroids(e, "embedding", "vec_id", centroids)
+          graft.pipeline.Dedup.semanticPairs(idx, threshold = 0.35).count()
+        }))
+    }
+
+    val factors = Seq(1, 2, 5, 10)
+    // times(op)(factor) = min-of-2 seconds
+    val times = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Map[Int, Double]]
+    for (f <- factors; (name, thunk) <- ops(f)) {
+      var best = Double.MaxValue
+      var rows = 0L
+      for (_ <- 1 to 2) {
+        val t0 = System.nanoTime()
+        rows = thunk()
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      times.getOrElseUpdate(name, scala.collection.mutable.Map.empty)(f) = best
+      println(f"[smoke] factor=$f%-2d docs=${baseDocs * f}%-6d vecs=${baseVecs * f}%-6d " +
+        f"op=$name%-20s rows=$rows%-8d min2=$best%6.2f s")
+      spark.sharedState.cacheManager.clearCache()
+    }
+
+    // least-squares slope of log t over log f = the scaling exponent
+    println("\n[smoke] scaling exponents (t ~ a * factor^b, min-of-2 at f=1/2/5/10):")
+    times.toSeq.sortBy(_._1).foreach { case (name, byF) =>
+      val pts = factors.map(f => (math.log(f.toDouble), math.log(byF(f))))
+      val n = pts.length
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      println(f"[smoke]   $name%-20s b=$b%5.2f   " +
+        factors.map(f => f"f=$f:${byF(f)}%.2fs").mkString("  "))
     }
     spark.stop()
   }
