@@ -307,7 +307,7 @@ object Dedup {
     * candidate join, shared by the batch and incremental paths so a
     * future tie-break/skew fix lands in both.
     */
-  private[pipeline] def candidatePairsFromBandRows(rows: DataFrame): DataFrame = {
+  private[graft] def candidatePairsFromBandRows(rows: DataFrame): DataFrame = {
     val l = rows.alias("l"); val r = rows.alias("r")
     l.join(r, col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
         col("l.id") < col("r.id"))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 /** Scaling smoke for the headline dedup/retrieval family: blow the sf0.1
   * tables up 1×→10× (10× ≈ sf1) and fit the scaling exponent b of
-  * t ≈ a·factor^b per operator from min-of-2 wall times at factors
+  * t ≈ a·factor^b per operator from min-of-N (SPARK_GRAFT_RUNS, default 3) wall times at factors
   * 1/2/5/10. Linear scaling is b ≈ 1 (plus parallel-slack flattening
   * b < 1 while 32 cores absorb the growth); anything approaching 2 is a
   * pair-explosion bug. Results are recorded in SCALE.md §"Measured
@@ -56,11 +56,21 @@ object ScaleSmoke {
     val queries = Seq((1L, "spark join"), (2L, "window stream"), (3L, "hash filter scan"))
       .toDF("qid", "qtext")
 
-    // (name, factor => result-count thunk); each op re-derives its input
-    // from the blown corpus so nothing is cached across factors
+    // (name, factor => result-count thunk). The blown corpus is WRITTEN
+    // TO PARQUET and read back — production inputs come from storage;
+    // leaving the f-way union as lineage instead re-computes it inside
+    // every downstream job and over-charges multi-job operators (d11
+    // measured 25.5 s from lineage vs 9.8 s from storage at f=10)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_smoke").toString
     def ops(f: Int): Seq[(String, () => Long)] = {
-      lazy val d = { val x = blowDocs(f); x.count(); x }
-      lazy val e = { val x = blowEmb(f); x.count(); x }
+      lazy val d = {
+        blowDocs(f).write.mode("overwrite").parquet(s"$tmp/docs_$f")
+        spark.read.parquet(s"$tmp/docs_$f")
+      }
+      lazy val e = {
+        blowEmb(f).write.mode("overwrite").parquet(s"$tmp/emb_$f")
+        spark.read.parquet(s"$tmp/emb_$f")
+      }
       Seq(
         "minhash_dedup(d02)" -> (() =>
           graft.pipeline.Dedup.minhashDedup(d, "text", "doc_id", threshold = 0.5).count()),
@@ -93,24 +103,25 @@ object ScaleSmoke {
     }
 
     val factors = Seq(1, 2, 5, 10)
-    // times(op)(factor) = min-of-2 seconds
+    // times(op)(factor) = min-of-N seconds
     val times = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Map[Int, Double]]
     for (f <- factors; (name, thunk) <- ops(f)) {
       var best = Double.MaxValue
       var rows = 0L
-      for (_ <- 1 to 2) {
+      val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+      for (_ <- 1 to runs) {
         val t0 = System.nanoTime()
         rows = thunk()
         best = math.min(best, (System.nanoTime() - t0) / 1e9)
       }
       times.getOrElseUpdate(name, scala.collection.mutable.Map.empty)(f) = best
       println(f"[smoke] factor=$f%-2d docs=${baseDocs * f}%-6d vecs=${baseVecs * f}%-6d " +
-        f"op=$name%-20s rows=$rows%-8d min2=$best%6.2f s")
+        f"op=$name%-20s rows=$rows%-8d min=$best%6.2f s")
       spark.sharedState.cacheManager.clearCache()
     }
 
     // least-squares slope of log t over log f = the scaling exponent
-    println("\n[smoke] scaling exponents (t ~ a * factor^b, min-of-2 at f=1/2/5/10):")
+    println("\n[smoke] scaling exponents (t ~ a * factor^b, min-of-N at f=1/2/5/10):")
     times.toSeq.sortBy(_._1).foreach { case (name, byF) =>
       val pts = factors.map(f => (math.log(f.toDouble), math.log(byF(f))))
       val n = pts.length
