@@ -136,6 +136,39 @@ object TextExpressions {
     if (bestScore >= minScore) UTF8String.fromString(table.langs(bestIdx)) else UND
   }
 
+  /** Interpreted twin of [[TopNgramCount]]'s loop — also called from
+    * generated code. Max multiplicity of any n-gram of the token array
+    * (0 when fewer than n tokens); windows containing a NULL element are
+    * skipped, matching [[computeNgrams]].
+    */
+  def computeTopNgramCount(toks: ArrayData, n: Int): Long = {
+    val len = toks.numElements()
+    if (len < n) return 0L
+    val counts = new java.util.HashMap[String, Long]()
+    var mx = 0L
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= len - n) {
+      sb.setLength(0)
+      var j = 0
+      var hasNull = false
+      while (j < n && !hasNull) {
+        if (toks.isNullAt(i + j)) hasNull = true
+        else {
+          if (j > 0) sb.append(' ')
+          sb.append(toks.getUTF8String(i + j).toString)
+        }
+        j += 1
+      }
+      if (!hasNull) {
+        val c = counts.merge(sb.toString, 1L, (a, b) => a + b)
+        if (c > mx) mx = c
+      }
+      i += 1
+    }
+    mx
+  }
+
   /** Interpreted twin of [[TokenNgrams]]'s loop — also called from
     * generated code. Windows containing a NULL element are skipped
     * (concat null-propagation in the HOF formulation).
@@ -273,6 +306,37 @@ case class TokenNgrams(child: Expression, n: Int) extends UnaryExpression {
       s"${ev.value} = graft.functions.TextExpressions.computeNgrams($c, $n);")
 
   override protected def withNewChildInternal(c: Expression): TokenNgrams =
+    copy(child = c)
+}
+
+/** Max multiplicity of any word n-gram of a token array — the native,
+  * codegen'd replacement for the explode → groupBy(id, ngram) →
+  * groupBy(id).max → join-back shape in repetition metrics. A
+  * per-document statistic needs no shuffle at all: one pass, one local
+  * hash map, output one long. Counts EXACT n-gram strings (the previous
+  * shape counted xxhash64 values — collision-safe only probabilistically;
+  * this is what the DuckDB oracle counts too).
+  */
+case class TopNgramCount(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"ngram width must be >= 1, got $n")
+
+  override def prettyName: String = "top_ngram_count"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects an array<string> column, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextExpressions.computeTopNgramCount(input.asInstanceOf[ArrayData], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextExpressions.computeTopNgramCount($c, $n);")
+
+  override protected def withNewChildInternal(c: Expression): TopNgramCount =
     copy(child = c)
 }
 

@@ -190,5 +190,9 @@ object GraftFunctions {
       FunctionIdentifier("token_ngrams"),
       new ExpressionInfo(classOf[TokenNgrams].getName, "token_ngrams"),
       (exprs: Seq[Expression]) => TokenNgrams(exprs(0), intLit(exprs(1), "token_ngrams")))
+    reg.registerFunction(
+      FunctionIdentifier("top_ngram_count"),
+      new ExpressionInfo(classOf[TopNgramCount].getName, "top_ngram_count"),
+      (exprs: Seq[Expression]) => TopNgramCount(exprs(0), intLit(exprs(1), "top_ngram_count")))
   }
 }

@@ -130,6 +130,31 @@ class TextExprSpec extends SparkTestBase {
     assert(nullToks.select(TextAnalysis.langIdCol(col("toks"))).collect().head.getString(0) == "und")
   }
 
+  test("TopNgramCount == max multiplicity over ngramsOf, incl. NULL windows and short docs") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val cases: Seq[Seq[String]] = Seq(
+      Seq("a", "b", "a", "b", "a", "b"),          // "a b" ×3, "b a" ×2
+      Seq("x"),                                    // shorter than n → 0
+      Seq(),                                       // empty → 0
+      Seq("r", "r", "r", "r"),                     // "r r" ×3
+      Seq("u", "v", "w"),                          // all distinct → 1
+      Seq("a", null, "a", "a"),                    // null window skipped: "a a" ×1
+      nasty.flatMap(s => Option(s)).flatMap(_.split("\\s+")).filter(_.nonEmpty))
+    val df = cases.map(Tuple1(_)).toDF("toks")
+    val got = df.selectExpr("top_ngram_count(toks, 2) AS c").collect().map(_.getLong(0)).toSeq
+    // reference: count string bigrams over the same null-skipping windows
+    val want = cases.map { toks =>
+      val grams = toks.sliding(2).filter(w => w.size == 2 && !w.contains(null))
+        .map(_.mkString(" ")).toSeq
+      if (grams.isEmpty) 0L else grams.groupBy(identity).values.map(_.size.toLong).max
+    }
+    assert(got == want, s"got $got want $want")
+    // NULL array → NULL out
+    assert(df.limit(1).select(lit(null).cast("array<string>").as("t"))
+      .selectExpr("top_ngram_count(t, 2)").collect().head.isNullAt(0))
+  }
+
   test("native shingles stay inside whole-stage codegen") {
     // a local relation would constant-fold the projection away, so build
     // text from range() to force a real executed stage
