@@ -2690,6 +2690,47 @@ object SparkEntry {
              |  (((doc_id*37)%256 + (doc_id*91)%256)/2.0)::DOUBLE AS mean_b,
              |  (((doc_id*37)%256 + (doc_id*91)%256)/2.0)::DOUBLE AS mean_luma,
              |  (abs((doc_id*37)%256 - (doc_id*91)%256)/2.0)::DOUBLE AS std_luma
+             |FROM documents WHERE doc_id < 20 ORDER BY id""".stripMargin)),
+
+    Q("m03_audio_roundtrip",
+      (s, d) => {
+        val m = mgr(s, d)
+        // The REAL audio codec path, oracle-checked end-to-end: for each
+        // doc_id < 20, build a 1024-frame mono 16-bit WAV at 8 kHz whose
+        // first half holds +a and second half −a, a = 256 + 16·((id·37)
+        // mod 1024). WAV-encode via the JDK → distributed decode →
+        // sample statistics. Every emitted feature is a closed-form
+        // EXACT integer (mean 0, meanAbs = peak = a, one zero crossing),
+        // so DuckDB verifies the whole encode→decode chain from the id
+        // arithmetic alone. A header-parse or sample-unpack bug CANNOT
+        // reproduce these values.
+        import s.implicits._
+        val docIds = m.getDDFByName("documents").df
+          .filter(col("doc_id") < 20).select("doc_id")
+          .collect().map(_.getLong(0)).toSeq.sorted
+        val wavs = docIds.map { id =>
+          val a = (256 + 16 * ((id * 37) % 1024)).toShort
+          val samples = Array.tabulate[Short](1024)(i => if (i < 512) a else (-a).toShort)
+          (id, pipeline.Multimodal.encodeWav(samples, 8000f))
+        }
+        pipeline.Multimodal.extractFeatures(wavs.toDF("id", "payload"), "id", "payload")
+          .select(col("id"),
+            col("features")(0).cast("double").as("sample_rate"),
+            col("features")(1).cast("double").as("channels"),
+            col("features")(2).cast("double").as("n_frames"),
+            col("features")(3).cast("double").as("bits"),
+            col("features")(4).cast("double").as("mean_sample"),
+            col("features")(5).cast("double").as("mean_abs"),
+            col("features")(6).cast("double").as("peak_abs"),
+            col("features")(7).cast("double").as("zero_crossings"))
+          .orderBy("id")
+      },
+      Some("""SELECT doc_id AS id, 8000.0::DOUBLE AS sample_rate,
+             |  1.0::DOUBLE AS channels, 1024.0::DOUBLE AS n_frames,
+             |  16.0::DOUBLE AS bits, 0.0::DOUBLE AS mean_sample,
+             |  (256 + 16*((doc_id*37)%1024))::DOUBLE AS mean_abs,
+             |  (256 + 16*((doc_id*37)%1024))::DOUBLE AS peak_abs,
+             |  1.0::DOUBLE AS zero_crossings
              |FROM documents WHERE doc_id < 20 ORDER BY id""".stripMargin))
   )
 

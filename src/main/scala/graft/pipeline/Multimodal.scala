@@ -6,13 +6,14 @@ import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: image/audio/video payloads are opaque
   * `binary` columns with typed metadata. The Spark-side contract — schema,
-  * partitioning, batch shape — is real and tested, and so is the image
-  * codec path: PNG/JPEG/BMP/GIF decode + rescale via `javax.imageio`
-  * (ships with the JDK — zero added dependencies, works headless).
-  * Payloads ImageIO cannot decode (audio/video/unknown) take the
-  * byte-statistics feature path — honest per-byte measurements, the
-  * standard curation signal for opaque blobs (truncation/corruption
-  * detection via entropy + printable fraction).
+  * partitioning, batch shape — is real and tested, and so are the
+  * codec paths: PNG/JPEG/BMP/GIF decode + rescale via `javax.imageio`,
+  * WAV/AIFF/AU decode via `javax.sound.sampled` (both ship with the
+  * JDK — zero added dependencies, work headless). Payloads neither
+  * stack can decode (video/unknown) take the byte-statistics feature
+  * path — honest per-byte measurements, the standard curation signal
+  * for opaque blobs (truncation/corruption detection via entropy +
+  * printable fraction).
   */
 object Multimodal {
 
@@ -94,6 +95,106 @@ object Multimodal {
       (meanL / 1000.0).toFloat, (math.sqrt(math.max(0.0, varL)) / 1000.0).toFloat)
   }
 
+  /** Real audio decode via the JDK's sampled-sound stack (WAV/AIFF/AU
+    * readers are built in; no audio DEVICE is touched — this is pure
+    * stream parsing, headless-safe). Returns the post-conversion PCM
+    * format plus the interleaved samples as Ints. None ⇔ the bytes are
+    * not a decodable audio container (unknown magic, truncated header)
+    * or use a sample layout outside 8/16-bit integer PCM — one signal,
+    * mirroring [[decodeImage]].
+    */
+  def decodeAudio(payload: Array[Byte]): Option[(javax.sound.sampled.AudioFormat, Array[Int])] = {
+    import javax.sound.sampled._
+    try {
+      val raw = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+      try {
+        // normalize to signed PCM (WAV 8-bit is unsigned; this converts)
+        val pcm =
+          if (raw.getFormat.getEncoding == AudioFormat.Encoding.PCM_SIGNED) raw
+          else AudioSystem.getAudioInputStream(AudioFormat.Encoding.PCM_SIGNED, raw)
+        val f = pcm.getFormat
+        val bits = f.getSampleSizeInBits
+        if (bits != 8 && bits != 16) return None
+        val bytes = pcm.readAllBytes()
+        val step = bits / 8
+        val n = bytes.length / step
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          out(i) =
+            if (bits == 8) bytes(i).toInt
+            else if (f.isBigEndian) (bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xFF)
+            else (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xFF)
+          i += 1
+        }
+        Some((f, out))
+      } finally raw.close()
+    } catch {
+      case _: UnsupportedAudioFileException | _: java.io.IOException |
+           _: IllegalArgumentException => None
+    }
+  }
+
+  /** 8 deterministic audio features: [sampleRate, channels, nFrames,
+    * bitsPerSample, meanSample, meanAbs, peakAbs, zeroCrossCount].
+    * Integer-exact by construction — sums accumulate as Longs, zero
+    * crossings are counted PER CHANNEL over the deinterleaved stream
+    * (an interleaved count would register phantom crossings between
+    * channels), and no sqrt/duration division appears so every feature
+    * of an integer-amplitude fixture is exactly representable in float.
+    * meanAbs is the loudness proxy (standard curation signal; RMS would
+    * drag a sqrt into the oracle path for no extra discriminative power).
+    */
+  def audioFeatures(fmt: javax.sound.sampled.AudioFormat, samples: Array[Int]): Array[Float] = {
+    val ch = fmt.getChannels
+    val nFrames = if (ch > 0) samples.length / ch else 0
+    var sum = 0L; var sumAbs = 0L; var peak = 0L; var zc = 0L
+    var c = 0
+    while (c < ch) {
+      var prevNeg = false; var first = true
+      var i = c
+      while (i < nFrames * ch) {
+        val v = samples(i)
+        sum += v; val a = math.abs(v.toLong); sumAbs += a
+        if (a > peak) peak = a
+        val neg = v < 0
+        if (!first && neg != prevNeg) zc += 1
+        prevNeg = neg; first = false
+        i += ch
+      }
+      c += 1
+    }
+    val n = (nFrames.toLong * ch).max(1L)
+    Array(fmt.getSampleRate, ch.toFloat, nFrames.toFloat,
+      fmt.getSampleSizeInBits.toFloat,
+      (sum.toDouble / n).toFloat, (sumAbs.toDouble / n).toFloat,
+      peak.toFloat, zc.toFloat)
+  }
+
+  /** Encode 16-bit signed PCM frames as a WAV container (little-endian,
+    * interleaved) via the JDK encoder — the fixture/write half of the
+    * [[decodeAudio]] round-trip.
+    */
+  def encodeWav(samples: Array[Short], sampleRate: Float, channels: Int = 1): Array[Byte] = {
+    import javax.sound.sampled._
+    require(channels > 0, s"channels must be positive, got $channels")
+    require(samples.length % channels == 0,
+      s"sample count ${samples.length} not a multiple of $channels channels")
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      bytes(2 * i) = (samples(i) & 0xFF).toByte
+      bytes(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate, 16, channels, true, false)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(bytes),
+      fmt, samples.length / channels)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** 8 deterministic byte-statistics features for payloads that are not
     * decodable media: [length, mean byte, std byte, entropy bits/byte,
     * printable fraction, zero fraction, distinct fraction, top-byte
@@ -133,11 +234,16 @@ object Multimodal {
   }
 
   /** The per-row feature decode used by [[extractFeatures]]: real image
-    * decode when the bytes are an image, byte statistics otherwise. Both
-    * paths emit the same 8-float shape.
+    * decode when the bytes are an image, real audio decode when they are
+    * an audio container, byte statistics otherwise. All paths emit the
+    * same 8-float shape. Dispatch is by container magic (ImageIO and
+    * AudioSystem each reject the other's formats at the header), so the
+    * order cannot misroute a payload.
     */
   def payloadFeatures(payload: Array[Byte]): Array[Float] =
-    decodeImage(payload).map(imageFeatures).getOrElse(byteFeatures(payload))
+    decodeImage(payload).map(imageFeatures)
+      .orElse(decodeAudio(payload).map { case (f, s) => audioFeatures(f, s) })
+      .getOrElse(byteFeatures(payload))
 
   val featureSchema: StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),

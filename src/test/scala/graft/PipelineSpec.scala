@@ -675,4 +675,44 @@ class PipelineSpec extends SparkTestBase {
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Array[Byte]]("payload")).toMap
     assert(java.util.Arrays.equals(again(1L), out(1L).getAs[Array[Byte]]("payload")))
   }
+
+  test("multimodal: real WAV decode — pinned exact sample statistics") {
+    // mono 16-bit: samples {100,100,-300,-300,300} → mean -20, meanAbs
+    // 220, peak 300, sign runs ++--+ → 2 zero crossings
+    val mono = Multimodal.encodeWav(Array[Short](100, 100, -300, -300, 300), 8000f)
+    val fm = Multimodal.payloadFeatures(mono)
+    assert(fm.toSeq == Seq(8000f, 1f, 5f, 16f, -20f, 220f, 300f, 2f), fm.toSeq)
+
+    // stereo interleaved {L,R,L,R} = {1000,500,-1000,500}: crossings are
+    // per channel (L: 1, R: 0) — an interleaved count would see 2
+    val st = Multimodal.encodeWav(Array[Short](1000, 500, -1000, 500), 44100f, channels = 2)
+    val fs = Multimodal.payloadFeatures(st)
+    assert(fs.toSeq == Seq(44100f, 2f, 2f, 16f, 250f, 750f, 1000f, 1f), fs.toSeq)
+
+    // 8-bit WAV is PCM_UNSIGNED on disk; decode must convert to signed:
+    // unsigned {228, 28} ⇔ signed {+100, -100}
+    val fmt8 = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val ais8 = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(Array[Byte](228.toByte, 28.toByte)), fmt8, 2)
+    val bos8 = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais8,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos8)
+    val f8 = Multimodal.payloadFeatures(bos8.toByteArray)
+    assert(f8.toSeq == Seq(8000f, 1f, 2f, 8f, 0f, 100f, 100f, 1f), f8.toSeq)
+
+    // dispatch: WAV → audio path, PNG → image path, text → byte stats
+    assert(Multimodal.decodeAudio(mono).isDefined)
+    assert(Multimodal.decodeImage(mono).isEmpty)
+    assert(Multimodal.decodeAudio(fixtureImageBytes("png")).isEmpty)
+    assert(Multimodal.decodeAudio("plain text".getBytes("UTF-8")).isEmpty)
+
+    // distributed path carries the same numbers
+    import spark.implicits._
+    val row = Multimodal.extractFeatures(
+        Seq((7L, mono)).toDF("id", "payload"), "id", "payload")
+      .collect().head
+    assert(row.getAs[Long]("id") == 7L)
+    assert(row.getAs[scala.collection.Seq[Float]]("features").toSeq ==
+      Seq(8000f, 1f, 5f, 16f, -20f, 220f, 300f, 2f))
+  }
 }
