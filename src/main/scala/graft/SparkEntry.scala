@@ -2731,7 +2731,38 @@ object SparkEntry {
              |  (256 + 16*((doc_id*37)%1024))::DOUBLE AS mean_abs,
              |  (256 + 16*((doc_id*37)%1024))::DOUBLE AS peak_abs,
              |  1.0::DOUBLE AS zero_crossings
-             |FROM documents WHERE doc_id < 20 ORDER BY id""".stripMargin))
+             |FROM documents WHERE doc_id < 20 ORDER BY id""".stripMargin)),
+
+    Q("m04_frame_sample",
+      (s, d) => {
+        val m = mgr(s, d)
+        // Video-style frame sampling oracle-checked end-to-end: payloads
+        // are the UTF-8 bytes of documents text (ASCII in the fixtures,
+        // so DuckDB's character substring is byte-identical to the
+        // engine's binary substring), chunked at 64 bytes, every 2nd
+        // frame kept. Emitting md5 of each frame pins the exact BYTES of
+        // every sampled chunk — an off-by-one in the chunk arithmetic or
+        // a dropped tail frame cannot reproduce the hashes.
+        val docs = m.getDDFByName("documents").df
+          .filter(col("doc_id") < 50).select(col("doc_id"), col("text"))
+        val withBin = pipeline.Multimodal.withBinaryPayload(docs, "text", "video")
+        pipeline.Multimodal.sampleFrames(withBin, "doc_id", "payload",
+            chunkBytes = 64, everyK = 2)
+          .select(col("id"), col("frame_no").cast("long").as("frame_no"),
+            octet_length(col("frame_bytes")).cast("long").as("frame_len"),
+            md5(col("frame_bytes")).as("frame_hash"))
+          .orderBy("id", "frame_no")
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id AS id, text AS p,
+             |    greatest(1, CAST(ceil(length(text)/64.0) AS BIGINT)) AS nc
+             |  FROM documents WHERE doc_id < 50),
+             |e AS (SELECT id, p, unnest(range(0, nc)) AS frame_no FROM f)
+             |SELECT id, frame_no,
+             |  length(substring(p, CAST(frame_no*64+1 AS INT), 64)) AS frame_len,
+             |  md5(substring(p, CAST(frame_no*64+1 AS INT), 64)) AS frame_hash
+             |FROM e WHERE frame_no % 2 = 0
+             |ORDER BY id, frame_no""".stripMargin))
   )
 
   private val allQueries: Seq[Q] =
