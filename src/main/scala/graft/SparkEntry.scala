@@ -1813,6 +1813,33 @@ object SparkEntry {
               |  count(*) AS n, ${dsumSql("value")} AS sum_value
               |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin)),
 
+    Q("e02_interval_join",
+      (s, d) => {
+        val m = mgr(s, d)
+        // stream-stream interval join, exercised on its batch twin (the
+        // SAME function serves two readStream sources — StreamingSpec
+        // pins batch==stream row parity): purchases within 30 min of a
+        // click by the same user
+        val ev = m.getDDFByName("events").df
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("ts").as("purchase_ts"), col("value"))
+        streaming.EventStreams.intervalJoin(clicks, purchases, Seq("user_id"),
+            "click_ts", "purchase_ts", lowerMs = 0L, upperMs = 30 * 60 * 1000L)
+          .select(col("user_id"), col("click_id"), col("purchase_id"),
+            (unix_millis(col("purchase_ts")) - unix_millis(col("click_ts"))).as("gap_ms"),
+            col("value"))
+          .orderBy("click_id", "purchase_id")
+      },
+      Some("""SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+             |  epoch_ms(p.ts) - epoch_ms(c.ts) AS gap_ms, p.value
+             |FROM events c JOIN events p ON c.user_id = p.user_id
+             |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+             |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+             |ORDER BY click_id, purchase_id""".stripMargin)),
+
     Q("s01_sessionize",
       (s, d) => {
         val m = mgr(s, d)

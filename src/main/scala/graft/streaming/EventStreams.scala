@@ -51,6 +51,45 @@ object EventStreams {
                    on: Seq[String], joinType: String = "left_outer"): DataFrame =
     events.join(dim, on, joinType)
 
+  /** Stream-stream interval join: pair left rows with right rows that
+    * share the equality keys and fall inside the event-time window
+    * `[leftTs + lowerMs, leftTs + upperMs]` (clicks → purchases within
+    * 30 min, impressions → conversions, …). On two streaming frames this
+    * is Structured Streaming's watermarked stream-stream join — the
+    * range condition on the two event-time columns is what lets the
+    * engine BOUND the join state (each side's buffered rows are evicted
+    * once the other side's watermark passes the interval), so state
+    * stays O(watermark window), not O(stream). The same code path
+    * serves batch frames per this module's batch==stream contract,
+    * where it degrades to a plain range-predicate equi-join.
+    *
+    * The two time columns must be named differently (alias one side) —
+    * the joined frame carries both, and downstream range predicates
+    * would otherwise be ambiguous. Equality-key columns are emitted
+    * once, from the left side.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   leftTs: String, rightTs: String,
+                   lowerMs: Long, upperMs: Long,
+                   leftWatermark: String = "1 hour",
+                   rightWatermark: String = "1 hour",
+                   joinType: String = "inner"): DataFrame = {
+    require(keys.nonEmpty, "intervalJoin requires at least one equality key")
+    require(lowerMs <= upperMs,
+      s"empty interval: lowerMs $lowerMs > upperMs $upperMs")
+    require(leftTs != rightTs,
+      "left and right time columns must have distinct names (alias one side)")
+    val l = if (left.isStreaming) left.withWatermark(leftTs, leftWatermark) else left
+    val r = if (right.isStreaming) right.withWatermark(rightTs, rightWatermark) else right
+    def plus(c: org.apache.spark.sql.Column, ms: Long) =
+      if (ms >= 0) c + expr(s"INTERVAL '$ms' MILLISECOND")
+      else c - expr(s"INTERVAL '${-ms}' MILLISECOND")
+    val cond = keys.map(k => l(k) === r(k)).reduce(_ && _) &&
+      r(rightTs) >= plus(l(leftTs), lowerMs) &&
+      r(rightTs) <= plus(l(leftTs), upperMs)
+    keys.foldLeft(l.join(r, cond, joinType))((df, k) => df.drop(r(k)))
+  }
+
   /** Exact dedup for event streams: drop re-deliveries of the same key.
     * On a streaming frame, state is scoped to the watermark horizon
     * (`dropDuplicatesWithinWatermark`) — a plain `dropDuplicates` would

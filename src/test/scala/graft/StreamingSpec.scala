@@ -259,6 +259,48 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("intervalJoin: stream-stream equals batch; pairs form across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def lhs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    def rhs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+    val clicks = Seq(
+      EventStreams.EventRow(1, ts(0), 10, "click", 0),
+      EventStreams.EventRow(2, ts(5), 10, "click", 0),
+      EventStreams.EventRow(3, ts(0), 11, "click", 0))
+    val purchases = Seq(
+      EventStreams.EventRow(101, ts(10), 10, "purchase", 0), // 10m/5m after clicks 1,2
+      EventStreams.EventRow(102, ts(40), 10, "purchase", 0), // outside 15m of both
+      EventStreams.EventRow(103, ts(3), 11, "purchase", 0))  // 3m after click 3
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("click_id", "purchase_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = Set((1L, 101L), (2L, 101L), (3L, 103L))
+
+    val batch = EventStreams.intervalJoin(lhs(clicks.toDF()), rhs(purchases.toDF()),
+      Seq("user_id"), "click_ts", "purchase_ts", 0L, 15 * 60 * 1000L)
+    assert(pairs(batch) == expected)
+    // key columns emitted once, from the left
+    assert(batch.columns.count(_ == "user_id") == 1)
+
+    // streaming: clicks arrive in micro-batch 1, purchases in batch 2 —
+    // matches must form against the BUFFERED left state
+    val cs = MemoryStream[EventStreams.EventRow]
+    val ps = MemoryStream[EventStreams.EventRow]
+    val q = EventStreams.intervalJoin(lhs(cs.toDF()), rhs(ps.toDF()),
+        Seq("user_id"), "click_ts", "purchase_ts", 0L, 15 * 60 * 1000L)
+      .writeStream.format("memory").queryName("ij_test").outputMode("append").start()
+    try {
+      cs.addData(clicks: _*)
+      q.processAllAvailable()
+      ps.addData(purchases: _*)
+      q.processAllAvailable()
+      assert(pairs(spark.table("ij_test")) == expected)
+    } finally q.stop()
+  }
+
   test("dedupEvents: streaming re-deliveries dropped; batch path matches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
