@@ -700,6 +700,25 @@ class PipelineSpec extends SparkTestBase {
     val f8 = Multimodal.payloadFeatures(bos8.toByteArray)
     assert(f8.toSeq == Seq(8000f, 1f, 2f, 8f, 0f, 100f, 100f, 1f), f8.toSeq)
 
+    // AIFF and AU containers decode to the same samples as WAV (big-
+    // endian on disk — pins the endianness branch of the unpacker)
+    for (t <- Seq(javax.sound.sampled.AudioFileFormat.Type.AIFF,
+                  javax.sound.sampled.AudioFileFormat.Type.AU)) {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+      val samples = Array[Short](100, 100, -300, -300, 300)
+      val be = new Array[Byte](10)
+      for (i <- samples.indices) {
+        be(2 * i) = ((samples(i) >> 8) & 0xFF).toByte
+        be(2 * i + 1) = (samples(i) & 0xFF).toByte
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(be), fmt, 5)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais, t, bos)
+      val f = Multimodal.payloadFeatures(bos.toByteArray)
+      assert(f.toSeq == Seq(8000f, 1f, 5f, 16f, -20f, 220f, 300f, 2f), s"$t: ${f.toSeq}")
+    }
+
     // dispatch: WAV → audio path, PNG → image path, text → byte stats
     assert(Multimodal.decodeAudio(mono).isDefined)
     assert(Multimodal.decodeImage(mono).isEmpty)

@@ -120,6 +120,21 @@ class ScaleSpec extends SparkTestBase {
     assert(pairs.count() == 2L * 30 * 29 / 2)
   }
 
+  test("intervalJoin (batch) anchors on the equality key — never a nested-loop product") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val l = (1 to 50).map(i => (i.toLong % 7, i.toLong, t(i % 60))).toDF("k", "lid", "lts")
+    val r = (1 to 50).map(i => (i.toLong % 7, i.toLong + 100, t((i + 3) % 60))).toDF("k", "rid", "rts")
+    val j = graft.streaming.EventStreams.intervalJoin(
+      l, r, Seq("k"), "lts", "rts", 0L, 10 * 60 * 1000L)
+    j.collect()
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"interval join must hash on the equality key, got:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+  }
+
   test("bm25Retrieve: query-token semi-join broadcasts and prunes before the tf aggregate") {
     import spark.implicits._
     val docs = (1 to 100).map(i => (i.toLong, s"alpha beta w$i gamma")).toDF("doc_id", "text")
