@@ -1497,6 +1497,53 @@ object SparkEntry {
            |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
       }),
 
+    Q("a07_ann_recall",
+      (s, d) => {
+        val m = mgr(s, d)
+        // the ANN evaluation loop: recall@10 of the sign-LSH index
+        // against the brute-force baseline, per query — the measurement
+        // that justifies (or rejects) an approximate index's parameters
+        // before it runs at corpus scale
+        val all = m.getDDFByName("embeddings").df.select(col("vec_id"), col("embedding"))
+        val queries = all.filter(col("vec_id") < 3).withColumnRenamed("vec_id", "qid")
+        val exact = pipeline.Similarity.bruteForceTopK(all, queries, "embedding", "vec_id", "qid", 10)
+        val approx = pipeline.Similarity.lshTopK(all, queries, "embedding", "vec_id", "qid", 10,
+          planes = 8)
+        pipeline.Similarity.annRecall(approx, exact, k = 10).orderBy("query_id")
+      },
+      // both pipelines' DuckDB twins (a01/a02) composed as CTEs, then the
+      // same hits/denominator arithmetic — integer counts and ONE double
+      // division, so the recall value is bit-identical across engines
+      Some {
+        val hp = pipeline.Similarity.hyperplanes(dim = 64, planes = 8, seed = 7L)
+        val bucketExpr = hp.zipWithIndex.map { case (p, i) =>
+          val lits = p.map(_.toString).mkString("[", ", ", "]")
+          s"(CASE WHEN list_dot_product(v, $lits::DOUBLE[]) >= 0 THEN ${1L << i} ELSE 0 END)"
+        }.mkString(" + ")
+        val cosB = "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+        val cosL = "list_dot_product(a.v, c.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v)))"
+        s"""WITH dv AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           |            FROM embeddings),
+           |brute AS (SELECT query_id, id FROM (
+           |    SELECT a.vec_id AS query_id, b.vec_id AS id,
+           |      row_number() OVER (PARTITION BY a.vec_id ORDER BY $cosB DESC, b.vec_id) AS rk
+           |    FROM (SELECT * FROM dv WHERE vec_id < 3) a CROSS JOIN dv b) WHERE rk <= 10),
+           |bk AS (SELECT vec_id, v, $bucketExpr AS bucket FROM dv),
+           |lsh AS (SELECT query_id, id FROM (
+           |    SELECT a.vec_id AS query_id, c.vec_id AS id,
+           |      row_number() OVER (PARTITION BY a.vec_id ORDER BY $cosL DESC, c.vec_id) AS rk
+           |    FROM (SELECT * FROM bk WHERE vec_id < 3) a JOIN bk c ON a.bucket = c.bucket)
+           |  WHERE rk <= 10),
+           |hits AS (SELECT b.query_id, count(l.id) AS n_hits FROM brute b
+           |    LEFT JOIN lsh l ON b.query_id = l.query_id AND b.id = l.id
+           |  GROUP BY b.query_id),
+           |den AS (SELECT query_id, count(*) AS n_truth FROM brute GROUP BY query_id)
+           |SELECT d.query_id AS query_id, coalesce(h.n_hits, 0) AS n_hits,
+           |  d.n_truth, coalesce(h.n_hits, 0)::DOUBLE / d.n_truth AS recall
+           |FROM den d LEFT JOIN hits h ON d.query_id = h.query_id
+           |ORDER BY d.query_id""".stripMargin
+      }),
+
     Q("a03_ann_ivf",
       (s, d) => {
         val m = mgr(s, d)

@@ -74,6 +74,32 @@ object Similarity {
       .select("query_id", "id", "cosine", "rk")
   }
 
+  /** Recall@k of an approximate ANN result against an exact baseline —
+    * the evaluation loop for [[lshTopK]]/`IvfIndex.topK` parameter
+    * tuning (planes, nprobe, quantization): per query,
+    * |approx ∩ exact| ÷ |exact| over each side's top-k rows. Queries
+    * the approximate index missed entirely still get a row (recall 0).
+    * The denominator is the baseline's ACTUAL row count, not k — a
+    * corpus smaller than k would otherwise cap recall below 1 for a
+    * perfect index. Inputs are k×|queries| rows (result-sized, not
+    * corpus-sized), so every join here is trivially broadcastable —
+    * the expensive work already happened producing them.
+    */
+  def annRecall(approx: DataFrame, exact: DataFrame, k: Int,
+                queryCol: String = "query_id", idCol: String = "id",
+                rankCol: String = "rk"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val a = approx.filter(col(rankCol) <= k).select(col(queryCol), col(idCol))
+    val e = exact.filter(col(rankCol) <= k).select(col(queryCol), col(idCol))
+    val hits = e.join(a, Seq(queryCol, idCol), "left_semi")
+      .groupBy(queryCol).agg(count(lit(1)).as("n_hits"))
+    e.groupBy(queryCol).agg(count(lit(1)).as("n_truth"))
+      .join(hits, Seq(queryCol), "left_outer")
+      .select(col(queryCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"), col("n_truth"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_truth")).as("recall"))
+  }
+
   /** Symmetric per-vector int8 quantization: scale = max|x|/127, codes =
     * round-half-up(x/scale) ∈ [−127, 127]. 4× memory/shuffle reduction
     * for ANN indexes; pair with [[dequantize]] + [[cosine]] to measure

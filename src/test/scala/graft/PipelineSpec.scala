@@ -350,6 +350,24 @@ class PipelineSpec extends SparkTestBase {
     assert(surv == Set(1L, 7L, 9L))
   }
 
+  test("annRecall: per-query hit fractions; a fully-missed query still gets a row") {
+    import spark.implicits._
+    val exact = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2),
+      (3L, 30L, 1)).toDF("query_id", "id", "rk")
+    val approx = Seq(
+      (1L, 10L, 1), (1L, 99L, 2), (1L, 12L, 3), // 2 of 3 hit
+      (2L, 20L, 1), (2L, 21L, 2),               // 2 of 2 hit
+      (1L, 11L, 9)                              // rank 9 > k: excluded
+      ).toDF("query_id", "id", "rk")            // query 3: no rows at all
+    val r = graft.pipeline.Similarity.annRecall(approx, exact, k = 3)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r(1L) == ((2L, 3L, 2.0 / 3)))
+    assert(r(2L) == ((2L, 2L, 1.0)))
+    assert(r(3L) == ((0L, 1L, 0.0)))
+  }
+
   test("IVF ANN: self is top-1, recall@5 vs brute force is high") {
     import spark.implicits._
     val rng = new scala.util.Random(5)
