@@ -177,6 +177,63 @@ object SparkEntry {
        |group by o_orderpriority
        |order by o_orderpriority""".stripMargin
 
+  /** TPC-H Q14 shape (promo revenue): conditional aggregation over a
+    * fact→part join — a ratio of two exact decimal sums, one double
+    * division at the end, so the scalar is bit-identical across engines.
+    * (The fixture's p_type domain is single words; 'PROMO' is the TPC-H
+    * 'PROMO%' prefix class.)
+    */
+  private val tpchQ14Sql: String =
+    s"""select round(100.00 * ${dsum2Sql("case when p_type = 'PROMO' then l_extendedprice else 0 end", "1 - l_discount")}
+       |  / ${dsum2Sql("l_extendedprice", "1 - l_discount")}, 6) as promo_revenue
+       |from lineitem
+       |join part on l_partkey = p_partkey
+       |where l_shipdate >= timestamp '1996-01-01 00:00:00'
+       |  and l_shipdate < timestamp '1996-03-01 00:00:00'""".stripMargin
+
+  /** TPC-H Q17 shape (small-quantity-order revenue): correlated SCALAR
+    * subquery — per-part average quantity gate. The subquery's avg is
+    * over integral-valued doubles (exact in any order), the outer sum is
+    * decimal — deterministic on both engines. Second subquery pattern
+    * beyond Q4's EXISTS (reference grammar has neither).
+    */
+  private val tpchQ17Sql: String =
+    s"""select round(${dsumSql("l_extendedprice")} / 7.0, 6) as avg_yearly
+       |from lineitem
+       |join part on p_partkey = l_partkey
+       |where p_brand = 'Brand#4'
+       |  and l_quantity < (select 0.2 * avg(l2.l_quantity)
+       |                    from lineitem l2 where l2.l_partkey = p_partkey)""".stripMargin
+
+  /** TPC-H Q18 shape (large-volume customers): IN over a grouped HAVING
+    * subquery feeding a 3-way join and re-aggregation; top-20 by total
+    * price with a key tiebreak. sum(l_quantity) is integral-double —
+    * order-independent.
+    */
+  private val tpchQ18Sql: String =
+    s"""select c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       |  sum(l_quantity) as sum_qty
+       |from customer
+       |join orders on c_custkey = o_custkey
+       |join lineitem on o_orderkey = l_orderkey
+       |where o_orderkey in (select l_orderkey from lineitem
+       |                     group by l_orderkey having sum(l_quantity) > 150)
+       |group by c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+       |order by o_totalprice desc, o_orderkey
+       |limit 20""".stripMargin
+
+  /** TPC-H Q19 shape (discounted revenue): disjunctive OR-of-ANDs join
+    * predicates mixing both sides' columns — the pattern that exercises
+    * Catalyst's CNF conversion for partial pushdown below the join.
+    */
+  private val tpchQ19Sql: String =
+    s"""select ${dsum2Sql("l_extendedprice", "1 - l_discount")} as revenue
+       |from lineitem
+       |join part on p_partkey = l_partkey
+       |where (p_brand = 'Brand#1' and p_size between 1 and 15 and l_quantity between 1 and 11)
+       |   or (p_brand = 'Brand#12' and p_size between 10 and 30 and l_quantity between 10 and 20)
+       |   or (p_brand = 'Brand#3' and p_size between 20 and 50 and l_quantity between 20 and 30)""".stripMargin
+
   private final case class Q(
       name: String,
       fn: (SparkSession, String) => DataFrame,
@@ -360,7 +417,23 @@ object SparkEntry {
 
     Q("q16_tpch_q4",
       (s, d) => mgr(s, d).sql2ddf(tpchQ4Sql).df,
-      Some(tpchQ4Sql))
+      Some(tpchQ4Sql)),
+
+    Q("q66_tpch_q14",
+      (s, d) => mgr(s, d).sql2ddf(tpchQ14Sql).df,
+      Some(tpchQ14Sql)),
+
+    Q("q67_tpch_q17",
+      (s, d) => mgr(s, d).sql2ddf(tpchQ17Sql).df,
+      Some(tpchQ17Sql)),
+
+    Q("q68_tpch_q18",
+      (s, d) => mgr(s, d).sql2ddf(tpchQ18Sql).df,
+      Some(tpchQ18Sql)),
+
+    Q("q69_tpch_q19",
+      (s, d) => mgr(s, d).sql2ddf(tpchQ19Sql).df,
+      Some(tpchQ19Sql))
   )
 
   // =====================================================================
