@@ -25,7 +25,8 @@ object Bench {
     "q64_events_hourly", "d01_dedup_exact", "d02_dedup_minhash",
     "d11_incremental_minhash_fast", "a01_ann_brute", "t01_text_enrich",
     "t03_repetition", "t04_decontaminate", "t09_span_dedup",
-    "c01_tfidf_topterms", "s01_sessionize", "j01_asof_join", "e02_interval_join")
+    "c01_tfidf_topterms", "s01_sessionize", "j01_asof_join", "e02_interval_join",
+    "q67_tpch_q17")
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     .asInstanceOf[com.sun.management.OperatingSystemMXBean]
