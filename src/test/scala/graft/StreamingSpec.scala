@@ -301,6 +301,46 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("intervalJoin: watermark bounds the buffer — a late right row cannot match evicted state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def lhs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    def rhs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+    val cs = MemoryStream[EventStreams.EventRow]
+    val ps = MemoryStream[EventStreams.EventRow]
+    val q = EventStreams.intervalJoin(lhs(cs.toDF()), rhs(ps.toDF()),
+        Seq("user_id"), "click_ts", "purchase_ts", 0L, 15 * 60 * 1000L,
+        leftWatermark = "0 seconds", rightWatermark = "0 seconds")
+      .writeStream.format("memory").queryName("ij_evict").outputMode("append").start()
+    try {
+      // batch 1: a click whose match window closes at 10:15
+      cs.addData(EventStreams.EventRow(1, ts(0), 10, "click", 0))
+      ps.addData(EventStreams.EventRow(900, ts(0), 99, "purchase", 0))
+      q.processAllAvailable()
+      // batch 2: both watermarks advance to ~10:59 — far past the
+      // click's window — so its buffered row becomes evictable
+      cs.addData(EventStreams.EventRow(2, ts(59), 20, "click", 0))
+      ps.addData(EventStreams.EventRow(901, ts(59), 99, "purchase", 0))
+      q.processAllAvailable()
+      // batch 3: a purchase at 10:05 that WOULD pair with the click on a
+      // batch frame — but it is behind the watermark, so the streaming
+      // join must drop it instead of consulting (gone) state
+      ps.addData(EventStreams.EventRow(902, ts(5), 10, "purchase", 0))
+      q.processAllAvailable()
+      assert(spark.table("ij_evict").count() == 0,
+        "late row matched against state the watermark should have evicted")
+      // the same data on batch frames DOES pair — the difference is the
+      // streaming watermark contract, not the join predicate
+      val batch = EventStreams.intervalJoin(
+        lhs(Seq(EventStreams.EventRow(1, ts(0), 10, "click", 0)).toDF()),
+        rhs(Seq(EventStreams.EventRow(902, ts(5), 10, "purchase", 0)).toDF()),
+        Seq("user_id"), "click_ts", "purchase_ts", 0L, 15 * 60 * 1000L)
+      assert(batch.count() == 1)
+    } finally q.stop()
+  }
+
   test("dedupEvents: streaming re-deliveries dropped; batch path matches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
