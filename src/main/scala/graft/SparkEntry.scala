@@ -2639,7 +2639,38 @@ object SparkEntry {
               |SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
               |  round(list_reduce(list_prepend(0.0, list(lp ORDER BY token)),
               |    (acc, x) -> acc + x) / sum(tf), 6) AS avg_logp
-              |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+              |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    Q("t11_hashed_features",
+      (s, d) => {
+        val m = mgr(s, d)
+        // the hashing-trick featurization behind model-based quality
+        // filtering: bucket = portableFold(token) mod 64, per-doc counts
+        // as a sparse (indices, vals) pair — dictionary-free, so an
+        // incremental batch featurizes identically at any corpus scale
+        pipeline.TextAnalysis.hashedTokenFeatures(
+            m.getDDFByName("documents").df.filter(col("doc_id") < 200),
+            "text", "doc_id", dim = 64)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ex AS (SELECT doc_id, unnest(${duckToks("text")}) AS token
+              |  FROM documents WHERE doc_id < 200),
+              |h AS (SELECT doc_id,
+              |    (list_reduce(list_prepend(0::BIGINT,
+              |       list_transform(regexp_split_to_array(token, ''),
+              |         c -> coalesce(ascii(c), 0)::BIGINT)),
+              |     (acc, x) -> (acc * 31 + x) % 1000000007) % 64)::INT AS bucket
+              |  FROM ex),
+              |c AS (SELECT doc_id, bucket, count(*)::DOUBLE AS cnt
+              |  FROM h GROUP BY 1, 2),
+              |g AS (SELECT doc_id, list(bucket ORDER BY bucket) AS indices,
+              |    list(cnt ORDER BY bucket) AS vals
+              |  FROM c GROUP BY doc_id)
+              |SELECT d.doc_id, coalesce(g.indices, []::INT[]) AS indices,
+              |  coalesce(g.vals, []::DOUBLE[]) AS vals
+              |FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
+              |LEFT JOIN g USING (doc_id) ORDER BY d.doc_id""".stripMargin))
   )
 
   // =====================================================================

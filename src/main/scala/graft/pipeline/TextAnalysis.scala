@@ -327,6 +327,51 @@ object TextAnalysis {
       .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
   }
 
+  /** Hashed bag-of-tokens featurization (the "hashing trick"): each
+    * token lands in bucket `portableFold(token) mod dim`, per-doc bucket
+    * counts become the feature vector. This is the classifier-
+    * featurization half of model-based quality filtering (fastText-style
+    * quality classifiers in LLM curation stacks): no vocabulary
+    * dictionary to build, broadcast, or keep consistent across a 100 TB
+    * corpus — the hash IS the dictionary, so featurization is one
+    * explode → partial-agg groupBy on (id, bucket) plus one per-id
+    * aggregate, and an incremental batch featurizes identically without
+    * seeing the rest of the corpus. The portable fold keeps the bucket
+    * assignment engine-independent (oracle-checkable), unlike spark.ml's
+    * HashingTF (Murmur3-specific).
+    *
+    * Sparse output (default): (id, indices, vals) with indices sorted
+    * ascending. Dense (`dense = true`): (id, features) of length `dim` —
+    * the shape `MLSupport.train` consumes after column expansion. Docs
+    * with no tokens keep a row (empty arrays / zero vector) — the
+    * featurization must COVER the corpus, same contract as c4Rules.
+    */
+  def hashedTokenFeatures(df: DataFrame, textCol: String, idCol: String,
+                          dim: Int, dense: Boolean = false): DataFrame = {
+    require(dim > 0 && dim <= (1 << 24), s"dim must be in [1, 2^24], got $dim")
+    val counts = df
+      .select(col(idCol).as("id"), explode(expr(tokensExpr(textCol))).as("__t"))
+      .select(col("id"),
+        pmod(Dedup.portableFold(col("__t")), lit(dim.toLong)).cast("int").as("__bucket"))
+      .groupBy("id", "__bucket").agg(count(lit(1)).as("__cnt"))
+    val grouped = counts.groupBy("id")
+      .agg(sort_array(collect_list(struct(col("__bucket"), col("__cnt")))).as("__bc"))
+    val base = df.select(col(idCol).as("id")).join(grouped, Seq("id"), "left_outer")
+    if (dense)
+      base.select(col("id"),
+        when(col("__bc").isNull, array_repeat(lit(0.0d), dim))
+          .otherwise(expr(s"""transform(sequence(0, ${dim - 1}), i ->
+            coalesce(element_at(map_from_entries(
+              transform(__bc, x -> struct(x.__bucket, cast(x.__cnt as double)))), i), 0.0d))"""))
+          .as("features"))
+    else
+      base.select(col("id"),
+        when(col("__bc").isNull, expr("cast(array() as array<int>)"))
+          .otherwise(expr("transform(__bc, x -> x.__bucket)")).as("indices"),
+        when(col("__bc").isNull, expr("cast(array() as array<double>)"))
+          .otherwise(expr("transform(__bc, x -> cast(x.__cnt as double))")).as("vals"))
+  }
+
   /** Split documents into overlapping token windows — the
     * context-window chunking step of a training pipeline. Emits one row
     * per chunk: (id, chunk_id, n_tokens, chunk). Chunk i covers tokens

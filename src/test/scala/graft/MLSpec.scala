@@ -64,6 +64,39 @@ class MLSpec extends SparkTestBase {
     assert(!cm.contains((true, false)) && !cm.contains((false, true)))
   }
 
+  test("quality classifier loop: hashed text features -> svm separates junk from clean") {
+    import spark.implicits._
+    // 20 junk docs (repetitive spam tokens) vs 20 clean docs (varied
+    // vocabulary) — the model-based quality-filtering shape: featurize
+    // with the hashing trick, train, score the corpus
+    val docs = ((1 to 20).map(i => (i.toLong, "buy now spam " * 8 + s"offer$i", 1.0)) ++
+      (21 to 40).map(i => (i.toLong,
+        s"the quick report n$i covers results from experiment e$i in detail " +
+          s"with methods m$i and findings f$i", 0.0))).toDF("id", "text", "label")
+    val dim = 16
+    val feats = graft.pipeline.TextAnalysis.hashedTokenFeatures(
+      docs, "text", "id", dim, dense = true)
+    val fcols = (0 until dim).map(i => s"f$i")
+    val wide = feats.select(col("id") +: (0 until dim)
+      .map(i => col("features")(i).as(s"f$i")): _*)
+      .join(docs.select("id", "label"), "id")
+    val ddf = m.register(wide)
+    val model = MLSupport.train(ddf, "svm", fcols, "label")
+    val scored = MLSupport.applyModel(ddf, model)
+    val cm = MLSupport.confusionMatrix(scored.df, "label", "yPredict", 0.5)
+    val correct = cm.getOrElse((true, true), 0L) + cm.getOrElse((false, false), 0L)
+    assert(correct >= 38, s"quality classifier should separate, got $cm")
+    // dense and sparse featurizations agree
+    val sparse = graft.pipeline.TextAnalysis.hashedTokenFeatures(
+        docs, "text", "id", dim)
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Int](1) zip r.getSeq[Double](2)).toMap).toMap
+    val dense = feats.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    for ((id, vec) <- dense; i <- 0 until dim)
+      assert(vec(i) == sparse(id).getOrElse(i, 0.0), s"id=$id bucket=$i")
+  }
+
   test("als fits and predicts ratings") {
     import spark.implicits._
     val ratings = for (u <- 0 until 8; i <- 0 until 8 if (u + i) % 2 == 0)
