@@ -135,6 +135,23 @@ class ScaleSpec extends SparkTestBase {
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
   }
 
+  test("hashedTokenFeatures: shuffles carry post-agg rows, never raw tokens") {
+    import spark.implicits._
+    val docs = (1 to 200).map(i => (i.toLong, s"alpha beta w$i gamma delta")).toDF("id", "text")
+    val out = graft.pipeline.TextAnalysis.hashedTokenFeatures(docs, "text", "id", 32)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    // the explode must be UNDER a partial aggregate (map-side combine
+    // compacts to <= dim rows per id before any exchange) — a plan that
+    // exchanges the Generate output directly shuffles every token
+    val gen = plan.indexOf("Generate explode")
+    val firstExchange = plan.indexOf("Exchange")
+    assert(gen >= 0 && firstExchange >= 0)
+    assert(plan.substring(firstExchange, gen).contains("partial_count") ||
+      plan.substring(0, gen).contains("partial_count"),
+      s"token explode must be compacted by a partial aggregate before the shuffle:\n$plan")
+  }
+
   test("bm25Retrieve: query-token semi-join broadcasts and prunes before the tf aggregate") {
     import spark.implicits._
     val docs = (1 to 100).map(i => (i.toLong, s"alpha beta w$i gamma")).toDF("doc_id", "text")
