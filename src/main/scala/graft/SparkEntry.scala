@@ -183,7 +183,7 @@ object SparkEntry {
     * (The fixture's p_type domain is single words; 'PROMO' is the TPC-H
     * 'PROMO%' prefix class.)
     */
-  private val tpchQ14Sql: String =
+  private[graft] val tpchQ14Sql: String =
     s"""select round(100.00 * ${dsum2Sql("case when p_type = 'PROMO' then l_extendedprice else 0 end", "1 - l_discount")}
        |  / ${dsum2Sql("l_extendedprice", "1 - l_discount")}, 6) as promo_revenue
        |from lineitem
@@ -197,7 +197,7 @@ object SparkEntry {
     * decimal — deterministic on both engines. Second subquery pattern
     * beyond Q4's EXISTS (reference grammar has neither).
     */
-  private val tpchQ17Sql: String =
+  private[graft] val tpchQ17Sql: String =
     s"""select round(${dsumSql("l_extendedprice")} / 7.0, 6) as avg_yearly
        |from lineitem
        |join part on p_partkey = l_partkey
@@ -210,7 +210,7 @@ object SparkEntry {
     * price with a key tiebreak. sum(l_quantity) is integral-double —
     * order-independent.
     */
-  private val tpchQ18Sql: String =
+  private[graft] val tpchQ18Sql: String =
     s"""select c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
        |  sum(l_quantity) as sum_qty
        |from customer
@@ -226,7 +226,7 @@ object SparkEntry {
     * predicates mixing both sides' columns — the pattern that exercises
     * Catalyst's CNF conversion for partial pushdown below the join.
     */
-  private val tpchQ19Sql: String =
+  private[graft] val tpchQ19Sql: String =
     s"""select ${dsum2Sql("l_extendedprice", "1 - l_discount")} as revenue
        |from lineitem
        |join part on p_partkey = l_partkey
@@ -2647,11 +2647,23 @@ object SparkEntry {
         // the hashing-trick featurization behind model-based quality
         // filtering: bucket = portableFold(token) mod 64, per-doc counts
         // as a sparse (indices, vals) pair — dictionary-free, so an
-        // incremental batch featurizes identically at any corpus scale
+        // incremental batch featurizes identically at any corpus scale.
+        // RULE (round-5 red cell): oracle query outputs must be
+        // SCALAR-typed columns only — the driver's pandas checker cannot
+        // sort/hash array cells (TypeError: unhashable ndarray), so the
+        // sparse vector is serialized as csv strings, the move d10
+        // already uses for its band signatures. vals are integral counts
+        // by construction, so the csv goes through bigint (no float
+        // formatting to disagree on).
         pipeline.TextAnalysis.hashedTokenFeatures(
             m.getDDFByName("documents").df.filter(col("doc_id") < 200),
             "text", "doc_id", dim = 64)
           .withColumnRenamed("id", "doc_id")
+          .select(col("doc_id"),
+            concat_ws(",", expr("transform(indices, i -> cast(i as string))"))
+              .as("indices_csv"),
+            concat_ws(",", expr("transform(vals, v -> cast(cast(v as bigint) as string))"))
+              .as("vals_csv"))
           .orderBy("doc_id")
       },
       Some(s"""WITH ex AS (SELECT doc_id, unnest(${duckToks("text")}) AS token
@@ -2662,13 +2674,14 @@ object SparkEntry {
               |         c -> coalesce(ascii(c), 0)::BIGINT)),
               |     (acc, x) -> (acc * 31 + x) % 1000000007) % 64)::INT AS bucket
               |  FROM ex),
-              |c AS (SELECT doc_id, bucket, count(*)::DOUBLE AS cnt
+              |c AS (SELECT doc_id, bucket, count(*)::BIGINT AS cnt
               |  FROM h GROUP BY 1, 2),
-              |g AS (SELECT doc_id, list(bucket ORDER BY bucket) AS indices,
-              |    list(cnt ORDER BY bucket) AS vals
+              |g AS (SELECT doc_id,
+              |    string_agg(bucket::VARCHAR, ',' ORDER BY bucket) AS indices_csv,
+              |    string_agg(cnt::VARCHAR, ',' ORDER BY bucket) AS vals_csv
               |  FROM c GROUP BY doc_id)
-              |SELECT d.doc_id, coalesce(g.indices, []::INT[]) AS indices,
-              |  coalesce(g.vals, []::DOUBLE[]) AS vals
+              |SELECT d.doc_id, coalesce(g.indices_csv, '') AS indices_csv,
+              |  coalesce(g.vals_csv, '') AS vals_csv
               |FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
               |LEFT JOIN g USING (doc_id) ORDER BY d.doc_id""".stripMargin))
   )
@@ -2683,7 +2696,12 @@ object SparkEntry {
   // distributed READ path (Dialect.load / DDFManager.loadFile).
   // =====================================================================
 
-  private val fixtureDir = java.nio.file.Paths.get("/root/repo/target/graft_fixtures")
+  // relocatable: the oracle SQL strings interpolate this path at runtime,
+  // so deriving it from the working directory (or an explicit override)
+  // keeps s02/s03/s04 working when the repo is cloned elsewhere
+  private val fixtureDir = java.nio.file.Paths.get(
+    sys.env.getOrElse("GRAFT_FIXTURE_DIR",
+      java.nio.file.Paths.get(sys.props("user.dir"), "target", "graft_fixtures").toString))
   private val s02Path = fixtureDir.resolve("s02.csv").toString
   private val s03Path = fixtureDir.resolve("s03.csv").toString
 

@@ -359,6 +359,10 @@ case class StopwordLangId(child: Expression,
                           stopwords: Seq[(String, Seq[String])],
                           minScore: Double) extends UnaryExpression {
   require(stopwords.nonEmpty, "stopword_lang_id: need at least one language")
+  // fail at PLAN CONSTRUCTION, not at the first (possibly executor-side,
+  // mid-job) evaluation of the lazy probe table
+  require(stopwords.length <= 32,
+    s"stopword_lang_id: membership bitmask is an Int (32 languages max), got ${stopwords.length}")
 
   @transient private lazy val table = TextExpressions.buildLangTable(stopwords)
 

@@ -136,21 +136,108 @@ object MissingData {
   /** Extension: forward/backward fill over an ordering column via
     * `last/first(ignoreNulls) OVER` — the reference declares FillMethod
     * but throws (MissingDataHandler.scala:122-127).
+    *
+    * With `partitionCols` the fill is per-group (fill each sensor's
+    * series independently) and the window is hash-partitioned — fully
+    * parallel. With NO partition columns the semantics are a single
+    * global ordered fill, which a naive `Window.orderBy` would execute
+    * by dragging the whole dataset into ONE task (the round-5
+    * scale-killer); that path now range-partitions on the ordering
+    * column, fills within each contiguous range in parallel, and
+    * resolves each partition's leading (ffill) / trailing (bfill) nulls
+    * from a per-partition carry map — one row per partition, so the
+    * driver-side prefix scan is config-sized at any data scale. No
+    * unpartitioned WindowExec anywhere (pinned by ScaleSpec).
     */
-  def fillDirectional(ddf: DDF, method: String, orderCol: String, cols: Seq[String]): DDF = {
+  def fillDirectional(ddf: DDF, method: String, orderCol: String, cols: Seq[String],
+                      partitionCols: Seq[String] = Nil): DDF = {
     import org.apache.spark.sql.expressions.Window
-    val out = cols.foldLeft(ddf.df) { (df, c) =>
-      val w = method.toLowerCase match {
-        case "ffill" => Window.orderBy(col(orderCol)).rowsBetween(Window.unboundedPreceding, 0)
-        case "bfill" => Window.orderBy(col(orderCol)).rowsBetween(0, Window.unboundedFollowing)
-        case other => throw new IllegalArgumentException(s"Unsupported fill method '$other'")
-      }
-      val filled = method.toLowerCase match {
-        case "ffill" => last(col(c), ignoreNulls = true).over(w)
-        case _       => first(col(c), ignoreNulls = true).over(w)
-      }
-      df.withColumn(c, filled)
-    }
+    val m = method.toLowerCase
+    require(m == "ffill" || m == "bfill", s"Unsupported fill method '$method'")
+    val out =
+      if (partitionCols.nonEmpty) {
+        cols.foldLeft(ddf.df) { (df, c) =>
+          val base = Window.partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
+          val filled =
+            if (m == "ffill")
+              last(col(c), ignoreNulls = true)
+                .over(base.rowsBetween(Window.unboundedPreceding, 0))
+            else
+              first(col(c), ignoreNulls = true)
+                .over(base.rowsBetween(0, Window.unboundedFollowing))
+          df.withColumn(c, filled)
+        }
+      } else fillGlobal(ddf.df, m, orderCol, cols)
     ddf.updateOrDerive(out)
+  }
+
+  /** Pass 1 of the global directional fill: range-partition on the
+    * ordering column (each task owns a contiguous key range; equal keys
+    * land together) and run the directional window WITHIN each physical
+    * partition. Exposed at package level so ScaleSpec can pin the plan
+    * shape: every WindowExec here is partitioned by `__pid`.
+    */
+  private[graft] def fillGlobalPass1(df: DataFrame, m: String, orderCol: String,
+                                     cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    val parts = df.repartitionByRange(n, col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+    val w0 = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+    cols.foldLeft(parts) { (d, c) =>
+      val filled =
+        if (m == "ffill")
+          last(col(c), ignoreNulls = true).over(w0.rowsBetween(Window.unboundedPreceding, 0))
+        else
+          first(col(c), ignoreNulls = true).over(w0.rowsBetween(0, Window.unboundedFollowing))
+      d.withColumn(c, filled)
+    }
+  }
+
+  private def fillGlobal(df: DataFrame, m: String, orderCol: String,
+                         cols: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    // localCheckpoint pins the __pid assignment: pass 2 joins on it, so
+    // the edge aggregate and the final fill must see the SAME physical
+    // partitioning (same materialization discipline as Dedup's
+    // candidate sets)
+    val filled = fillGlobalPass1(df, m, orderCol, cols).localCheckpoint()
+    // carry value per partition: after the in-partition fill, the row at
+    // the partition's far boundary (max orderCol for ffill, min for
+    // bfill) holds that partition's last/first non-null per column —
+    // one row PER PARTITION (config-sized, never data-sized)
+    val edgeAggs = cols.map { c =>
+      (if (m == "ffill") max_by(col(c), col(orderCol))
+       else min_by(col(c), col(orderCol))).as(c)
+    }
+    val edges = filled.groupBy("__pid").agg(edgeAggs.head, edgeAggs.tail: _*)
+      .collect().map(r => r.getInt(0) -> r).sortBy(_._1)
+    // driver-side prefix scan over the (numPartitions)-row edge table:
+    // carry for partition p = nearest non-null among partitions before p
+    // (ffill) / after p (bfill)
+    val ordered = if (m == "ffill") edges else edges.reverse
+    val carry = scala.collection.mutable.Map.empty[String, Any]
+    val carryRows = ordered.map { case (pid, row) =>
+      val snapshot = org.apache.spark.sql.Row.fromSeq(
+        pid +: cols.map(c => carry.getOrElse(c, null)))
+      cols.foreach { c =>
+        val v = row.getAs[Any](c)
+        if (v != null) carry(c) = v
+      }
+      snapshot
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__pid",
+        org.apache.spark.sql.types.IntegerType, nullable = false) +:
+        cols.map(c => filled.schema(c).copy(name = s"__carry_$c", nullable = true)))
+    import scala.jdk.CollectionConverters._
+    val carryDf = spark.createDataFrame(carryRows.toSeq.asJava, schema)
+    // pass 2: broadcast the tiny carry table and coalesce it under each
+    // column's remaining nulls (a partition's rows before its first
+    // non-null for ffill / after its last for bfill)
+    val joined = filled.join(broadcast(carryDf), Seq("__pid"), "left_outer")
+    cols.foldLeft(joined) { (d, c) =>
+      d.withColumn(c, coalesce(col(c), col(s"__carry_$c")))
+    }.drop("__pid" +: cols.map(c => s"__carry_$c"): _*)
   }
 }

@@ -349,6 +349,12 @@ object TextAnalysis {
   def hashedTokenFeatures(df: DataFrame, textCol: String, idCol: String,
                           dim: Int, dense: Boolean = false): DataFrame = {
     require(dim > 0 && dim <= (1 << 24), s"dim must be in [1, 2^24], got $dim")
+    // the dense path materializes a dim-length array PER ROW — a 2^24
+    // cap would be a 16M-element array per document, so dense gets its
+    // own much tighter bound (65k features is already generous for a
+    // quality classifier; use the sparse shape beyond that)
+    require(!dense || dim <= (1 << 16),
+      s"dense=true materializes a dim-length array per row; cap is 2^16, got $dim")
     val counts = df
       .select(col(idCol).as("id"), explode(expr(tokensExpr(textCol))).as("__t"))
       .select(col("id"),
@@ -358,12 +364,19 @@ object TextAnalysis {
       .agg(sort_array(collect_list(struct(col("__bucket"), col("__cnt")))).as("__bc"))
     val base = df.select(col(idCol).as("id")).join(grouped, Seq("id"), "left_outer")
     if (dense)
+      // densify by GAP-FILLING the sorted sparse entries: entry i
+      // contributes (bucket_i - bucket_{i-1} - 1) zeros then its count,
+      // plus one trailing zero-run to dim. O(dim + nnz) per row — the
+      // previous per-index map probe was O(dim × nnz) (Spark's map
+      // lookup is a linear scan, so binding the map once doesn't fix it)
       base.select(col("id"),
-        when(col("__bc").isNull, array_repeat(lit(0.0d), dim))
-          .otherwise(expr(s"""transform(sequence(0, ${dim - 1}), i ->
-            coalesce(element_at(map_from_entries(
-              transform(__bc, x -> struct(x.__bucket, cast(x.__cnt as double)))), i), 0.0d))"""))
-          .as("features"))
+        coalesce(
+          expr(s"""concat(
+            flatten(transform(__bc, (x, i) -> concat(
+              array_repeat(0.0d, x.__bucket - if(i = 0, -1, __bc[i-1].__bucket) - 1),
+              array(cast(x.__cnt as double))))),
+            array_repeat(0.0d, $dim - 1 - __bc[size(__bc) - 1].__bucket))"""),
+          array_repeat(lit(0.0d), dim)).as("features"))
     else
       base.select(col("id"),
         when(col("__bc").isNull, expr("cast(array() as array<int>)"))

@@ -66,7 +66,9 @@ object EventStreams {
     * The two time columns must be named differently (alias one side) —
     * the joined frame carries both, and downstream range predicates
     * would otherwise be ambiguous. Equality-key columns are emitted
-    * once, from the left side.
+    * once: from the left side for inner/left joins, and as
+    * `coalesce(left, right)` for right/full outer joins, where an
+    * unmatched right row would otherwise surface with NULL keys.
     */
   def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                    leftTs: String, rightTs: String,
@@ -81,13 +83,25 @@ object EventStreams {
       "left and right time columns must have distinct names (alias one side)")
     val l = if (left.isStreaming) left.withWatermark(leftTs, leftWatermark) else left
     val r = if (right.isStreaming) right.withWatermark(rightTs, rightWatermark) else right
+    // explicit side aliases: dataset-column references (`l(k)`) are
+    // ambiguous when both sides derive from the SAME frame (clicks
+    // joined to clicks), which is the common self-join shape here
+    def lc(c: String) = col(s"__ij_l.`$c`")
+    def rc(c: String) = col(s"__ij_r.`$c`")
     def plus(c: org.apache.spark.sql.Column, ms: Long) =
       if (ms >= 0) c + expr(s"INTERVAL '$ms' MILLISECOND")
       else c - expr(s"INTERVAL '${-ms}' MILLISECOND")
-    val cond = keys.map(k => l(k) === r(k)).reduce(_ && _) &&
-      r(rightTs) >= plus(l(leftTs), lowerMs) &&
-      r(rightTs) <= plus(l(leftTs), upperMs)
-    keys.foldLeft(l.join(r, cond, joinType))((df, k) => df.drop(r(k)))
+    val cond = keys.map(k => lc(k) === rc(k)).reduce(_ && _) &&
+      rc(rightTs) >= plus(lc(leftTs), lowerMs) &&
+      rc(rightTs) <= plus(lc(leftTs), upperMs)
+    val rightPreserving =
+      Set("right", "rightouter", "right_outer", "full", "fullouter", "full_outer", "outer")
+        .contains(joinType.toLowerCase)
+    val outCols = l.columns.map { c =>
+      if (keys.contains(c) && rightPreserving) coalesce(lc(c), rc(c)).as(c)
+      else lc(c).as(c)
+    } ++ r.columns.filterNot(keys.contains).map(c => rc(c).as(c))
+    l.as("__ij_l").join(r.as("__ij_r"), cond, joinType).select(outCols.toSeq: _*)
   }
 
   /** Exact dedup for event streams: drop re-deliveries of the same key.

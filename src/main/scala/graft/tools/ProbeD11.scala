@@ -69,5 +69,6 @@ object ProbeD11 {
     timed("full incrementalMinhash call")(
       Dedup.incrementalMinhash(batch, index, "text", "doc_id", threshold = 0.5)._1.count())
     spark.stop()
+    Cleanup.deleteRecursively(base)
   }
 }

@@ -133,5 +133,8 @@ object ScaleSmoke {
         factors.map(f => f"f=$f:${byF(f)}%.2fs").mkString("  "))
     }
     spark.stop()
+    // the blown-corpus copies are gigabytes at f=10 — don't accrete them
+    // across dev runs (best-effort; dev tool)
+    Cleanup.deleteRecursively(tmp)
   }
 }

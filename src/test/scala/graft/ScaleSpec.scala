@@ -262,4 +262,154 @@ class ScaleSpec extends SparkTestBase {
     }
     assert(ex2.getMessage != null)
   }
+
+  // ---------------------------------------------------------------------
+  // fillDirectional: the global fill must never plan an unpartitioned
+  // window (the round-5 scale-killer: Window.orderBy with no partitionBy
+  // drags the whole dataset into ONE task)
+  // ---------------------------------------------------------------------
+
+  private def logicalWindows(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+
+  test("fillDirectional global: range-partitioned two-pass, no unpartitioned Window") {
+    import graft.operators.MissingData
+    import spark.implicits._
+    val m = new graft.core.DDFManager(spark)
+    // 12 rows over 4 shuffle partitions → several range partitions start
+    // with nulls, so the carry fix-up path is genuinely exercised
+    val df = Seq[(Int, Option[Double])](
+      (1, Some(1.0)), (2, None), (3, None), (4, None), (5, None), (6, Some(6.0)),
+      (7, None), (8, None), (9, None), (10, Some(10.0)), (11, None), (12, None)
+    ).toDF("t", "x")
+    // pass 1 is where every window lives — each must be partitioned
+    val pass1 = MissingData.fillGlobalPass1(df, "ffill", "t", Seq("x"))
+    val wins = logicalWindows(pass1)
+    assert(wins.nonEmpty, "expected the in-partition fill window in pass 1")
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      s"global fill must not plan an unpartitioned Window:\n${pass1.queryExecution.optimizedPlan}")
+    // end-to-end: identical to the single-task formulation's semantics
+    val ff = MissingData.fillDirectional(m.register(df), "ffill", "t", Seq("x"))
+      .df.orderBy("t").collect().map(r => if (r.isNullAt(1)) null else r.getDouble(1))
+    assert(ff.toSeq == Seq(1.0, 1.0, 1.0, 1.0, 1.0, 6.0, 6.0, 6.0, 6.0, 10.0, 10.0, 10.0))
+    val bf = MissingData.fillDirectional(m.register(df), "bfill", "t", Seq("x"))
+      .df.orderBy("t").collect().map(r => if (r.isNullAt(1)) null else r.getDouble(1))
+    assert(bf.toSeq == Seq(1.0, 6.0, 6.0, 6.0, 6.0, 6.0, 10.0, 10.0, 10.0, 10.0, null, null))
+  }
+
+  test("fillDirectional with partitionCols: per-group hash-partitioned window") {
+    import graft.operators.MissingData
+    import spark.implicits._
+    val m = new graft.core.DDFManager(spark)
+    val df = Seq(
+      ("a", 1, Some(1.0)), ("a", 2, None), ("a", 3, None),
+      ("b", 1, None), ("b", 2, Some(5.0)), ("b", 3, None)
+    ).toDF("g", "t", "x")
+    val out = MissingData.fillDirectional(m.register(df), "ffill", "t", Seq("x"),
+      partitionCols = Seq("g"))
+    val wins = logicalWindows(out.df)
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      "partitionCols fill must hash-partition its window")
+    val got = out.df.orderBy("g", "t").collect()
+      .map(r => if (r.isNullAt(2)) null else r.getDouble(2)).toSeq
+    // the fill must NOT leak across groups: b's leading null stays null
+    assert(got == Seq(1.0, 1.0, 1.0, null, 5.0, 5.0))
+  }
+
+  // ---------------------------------------------------------------------
+  // TPC-H q66-q69 plan pins (SURVEY §8): the same plan-audit discipline
+  // q12-q15 got, as ScaleSpec assertions so the shapes can't rot. Tiny
+  // parquet fixtures (pushdown needs a FILE scan, not a LocalRelation).
+  // ---------------------------------------------------------------------
+
+  private lazy val tpchPinDir: String = {
+    import spark.implicits._
+    val dir = "target/tmp-tpch-planpin"
+    val part = (1 to 20).map(k =>
+        (k.toLong, s"Brand#${k % 5 + 1}", k, if (k % 2 == 0) "PROMO" else "STANDARD"))
+      .toDF("p_partkey", "p_brand", "p_size", "p_type")
+    val lineitem = (for (o <- 1 to 50; ln <- 1 to 3) yield (
+        o.toLong, ((o * 3 + ln) % 20 + 1).toLong, ((o + ln) % 50 + 1).toDouble,
+        100.0 + o, 0.05,
+        java.sql.Timestamp.valueOf(f"1996-${o % 3 + 1}%02d-${o % 28 + 1}%02d 00:00:00")))
+      .toDF("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate")
+    val orders = (1 to 50).map(o => (o.toLong, (o % 10 + 1).toLong,
+        java.sql.Timestamp.valueOf(f"1996-${o % 3 + 1}%02d-01 00:00:00"), 1000.0 + o))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val customer = (1 to 10).map(k => (k.toLong, s"c$k")).toDF("c_custkey", "c_name")
+    Seq("part" -> part, "lineitem" -> lineitem, "orders" -> orders, "customer" -> customer)
+      .foreach { case (n, df) =>
+        df.write.mode("overwrite").parquet(s"$dir/$n")
+        spark.read.parquet(s"$dir/$n").createOrReplaceTempView(n)
+      }
+    dir
+  }
+
+  private def lineitemScans(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.executedPlan.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("lineitem")) => s
+    }
+
+  test("tpch q66 (Q14): shipdate range pushes to the lineitem scan; part broadcasts") {
+    tpchPinDir
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      val df = spark.sql(SparkEntry.tpchQ14Sql)
+      val scans = lineitemScans(df)
+      assert(scans.nonEmpty)
+      assert(scans.forall(_.metadata("PushedFilters").contains("l_shipdate")),
+        s"shipdate range must reach PushedFilters: ${scans.map(_.metadata("PushedFilters"))}")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"part side must broadcast:\n$plan")
+      df.collect() // the pinned plan must also run
+    }
+  }
+
+  test("tpch q67 (Q17): correlated scalar avg decorrelates to one aggregate join") {
+    tpchPinDir
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      val df = spark.sql(SparkEntry.tpchQ17Sql)
+      val plan = df.queryExecution.executedPlan.toString
+      // decorrelated = the per-part avg is ONE grouped aggregate joined
+      // back, never a per-outer-row re-execution (nested loop) — so
+      // lineitem is scanned exactly twice (outer + the avg build), not N×
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"correlated avg must not nested-loop:\n$plan")
+      assert(lineitemScans(df).size == 2,
+        "expected exactly 2 lineitem scans: the outer read and the avg build")
+      df.collect()
+    }
+  }
+
+  test("tpch q68 (Q18): IN over the HAVING subquery stays a semi-join") {
+    tpchPinDir
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      val df = spark.sql(SparkEntry.tpchQ18Sql)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("LeftSemi"), s"IN-subquery must plan as a semi-join:\n$plan")
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+      df.collect()
+    }
+  }
+
+  test("tpch q69 (Q19): OR-of-ANDs partially pushes to BOTH scans (CNF extraction)") {
+    tpchPinDir
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      val df = spark.sql(SparkEntry.tpchQ19Sql)
+      val li = lineitemScans(df)
+      assert(li.nonEmpty && li.forall(_.metadata("PushedFilters").contains("l_quantity")),
+        s"the l_quantity-only disjunction must push below the join: " +
+          li.map(_.metadata("PushedFilters")).mkString("; "))
+      val partScans = df.queryExecution.executedPlan.collectLeaves().collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("planpin/part")) => s
+      }
+      assert(partScans.nonEmpty && partScans.forall(_.metadata("PushedFilters").contains("p_brand")),
+        s"the part-side disjunction must push: " +
+          partScans.map(_.metadata("PushedFilters")).mkString("; "))
+      df.collect()
+    }
+  }
 }
