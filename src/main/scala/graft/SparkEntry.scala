@@ -2187,7 +2187,86 @@ object SparkEntry {
              |  (s * l_quantity + i) >= 53050.0 AS pred_pos,
              |  count(*) AS n
              |FROM lineitem, coef
-             |GROUP BY 1, 2 ORDER BY is_pos, pred_pos""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY is_pos, pred_pos""".stripMargin)),
+
+    Q("ml05_ridge_quality",
+      (s, d) => {
+        val m = mgr(s, d)
+        import s.implicits._
+        // The quality-classifier loop oracle-checked END-TO-END: t11's
+        // hashing-trick featurization (two hashed buckets as the fixed
+        // feature set) → closed-form ridge on exact integer sufficient
+        // statistics (MLSupport.ridgeClosedForm2 — the deterministic
+        // twin of the SVM training MLSpec covers) → ML8 confusionMatrix
+        // on milli-unit INTEGER predictions. Every stage is replicated
+        // in DuckDB; see ridgeClosedForm2's determinism contract.
+        // Label y = token count (the simplest deterministic quality
+        // signal); threshold 55 sits at the fixture's median (measured
+        // cells 234/11/28/227 at sf0.01, min integer margin to the
+        // threshold 876 milli-units).
+        val docs = m.getDDFByName("documents").df
+        val feats = pipeline.TextAnalysis.hashedTokenFeatures(
+          docs, "text", "doc_id", dim = 8)
+        def bucket(i: Int) = coalesce(
+          when(array_position(col("indices"), i) > 0,
+            element_at(col("vals"), array_position(col("indices"), i).cast("int"))),
+          lit(0.0))
+        val base = docs
+          .select(col("doc_id"),
+            expr(s"size(${pipeline.TextAnalysis.tokensExpr("text")})").cast("long").as("y"))
+          .join(feats.select(col("id").as("doc_id"),
+            bucket(1).cast("long").as("x1"), bucket(2).cast("long").as("x2")),
+            Seq("doc_id"))
+        val w = ml.MLSupport.ridgeClosedForm2(base, "x1", "x2", "y", lambda = 1.0)
+        val scored = base
+          .withColumn("pred_millis",
+            (lit(w.w1Milli) * col("x1") + lit(w.w2Milli) * col("x2") + lit(w.bMilli))
+              .cast("double"))
+          .withColumn("y_millis", (col("y") * 1000L).cast("double"))
+        val cells = ml.MLSupport.confusionMatrix(scored, "y_millis", "pred_millis", 55000.0)
+        cells.toSeq.map { case ((t, p), nn) =>
+            (w.w1Milli, w.w2Milli, w.bMilli, t, p, nn) }
+          .toDF("w1_milli", "w2_milli", "b_milli", "is_pos", "pred_pos", "n")
+          .orderBy("is_pos", "pred_pos")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),
+              |ex AS (SELECT doc_id, unnest(tk) AS token FROM t),
+              |hb AS (SELECT doc_id,
+              |    (list_reduce(list_prepend(0::BIGINT,
+              |       list_transform(regexp_split_to_array(token, ''),
+              |         c -> coalesce(ascii(c), 0)::BIGINT)),
+              |     (acc, x) -> (acc * 31 + x) % 1000000007) % 8) AS bucket
+              |  FROM ex),
+              |f0 AS (SELECT doc_id,
+              |    sum(CASE WHEN bucket = 1 THEN 1 ELSE 0 END) AS x1,
+              |    sum(CASE WHEN bucket = 2 THEN 1 ELSE 0 END) AS x2
+              |  FROM hb GROUP BY doc_id),
+              |f AS (SELECT t.doc_id, coalesce(f0.x1, 0)::BIGINT AS x1,
+              |    coalesce(f0.x2, 0)::BIGINT AS x2, len(t.tk)::BIGINT AS y
+              |  FROM t LEFT JOIN f0 USING (doc_id)),
+              |s AS (SELECT count(*)::DOUBLE AS n,
+              |    sum(x1)::DOUBLE AS sx1, sum(x2)::DOUBLE AS sx2, sum(y)::DOUBLE AS sy,
+              |    sum(x1*x1)::DOUBLE AS s11, sum(x1*x2)::DOUBLE AS s12,
+              |    sum(x2*x2)::DOUBLE AS s22,
+              |    sum(x1*y)::DOUBLE AS s1y, sum(x2*y)::DOUBLE AS s2y FROM f),
+              |w AS (SELECT s11 - sx1*sx1/n AS c11, s12 - sx1*sx2/n AS c12,
+              |    s22 - sx2*sx2/n AS c22, s1y - sx1*sy/n AS c1y,
+              |    s2y - sx2*sy/n AS c2y, n, sx1, sx2, sy FROM s),
+              |w2 AS (SELECT
+              |    ((c22 + 1.0) * c1y - c12 * c2y)
+              |      / ((c11 + 1.0) * (c22 + 1.0) - c12 * c12) AS w1,
+              |    ((c11 + 1.0) * c2y - c12 * c1y)
+              |      / ((c11 + 1.0) * (c22 + 1.0) - c12 * c12) AS w2,
+              |    n, sx1, sx2, sy FROM w),
+              |ww AS (SELECT CAST(floor(w1*1000 + 0.5) AS BIGINT) AS w1m,
+              |    CAST(floor(w2*1000 + 0.5) AS BIGINT) AS w2m,
+              |    CAST(floor((sy/n - w1*(sx1/n) - w2*(sx2/n))*1000 + 0.5) AS BIGINT) AS bm
+              |  FROM w2)
+              |SELECT ww.w1m AS w1_milli, ww.w2m AS w2_milli, ww.bm AS b_milli,
+              |  (f.y * 1000 >= 55000) AS is_pos,
+              |  (ww.w1m * f.x1 + ww.w2m * f.x2 + ww.bm >= 55000) AS pred_pos,
+              |  count(*) AS n
+              |FROM f, ww GROUP BY 1, 2, 3, 4, 5 ORDER BY is_pos, pred_pos""".stripMargin))
   )
 
   // =====================================================================

@@ -175,8 +175,17 @@ final class DDF(
       graft.pipeline.Dedup.minhashDedup(df, textCol, idCol, threshold), idCol))
   def enrichText(textCol: String): DDF =
     derive(graft.pipeline.TextAnalysis.enrich(df, textCol))
-  def c4Filter(textCol: String, idCol: String): DDF = {
-    val keep = graft.pipeline.TextAnalysis.c4Rules(df, textCol, idCol)
+  /** All of c4Rules' rule knobs pass through: a corpus without
+    * sentence-final punctuation (transcripts, logs, code) needs
+    * `requireTerminalPunct = false` or the gate keeps nothing.
+    */
+  def c4Filter(textCol: String, idCol: String,
+               minWords: Int = 5, minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+               maxWordLen: Int = 25,
+               blacklist: Seq[String] = Seq("lorem ipsum", "javascript", "{"),
+               requireTerminalPunct: Boolean = true): DDF = {
+    val keep = graft.pipeline.TextAnalysis.c4Rules(df, textCol, idCol,
+        minWords, minMeanLen, maxMeanLen, maxWordLen, blacklist, requireTerminalPunct)
       .filter(org.apache.spark.sql.functions.col("keep"))
       .select(org.apache.spark.sql.functions.col("id").as(idCol))
     derive(df.join(keep, Seq(idCol), "left_semi"))

@@ -93,6 +93,59 @@ object MLSupport {
     ddf.derive(pruned)
   }
 
+  /** Closed-form ridge regression on TWO integer-valued features — the
+    * deterministic twin of the quality-classifier training step (the
+    * iterative SVM/LinearRegression optimizers are engine-RNG/fp-order
+    * dependent and thus spec-only; this one is oracle-exact end-to-end).
+    *
+    * Determinism contract (the ml05 oracle replicates every step):
+    * 1. all nine sufficient statistics are EXACT integer sums
+    *    (decimal(38,0) — order-independent, one distributed aggregate);
+    * 2. the normal-equation solve is ONE fixed double expression over
+    *    those exact sums, written token-for-token identically in the
+    *    DuckDB oracle (identical IEEE-754 operation order ⇒ identical
+    *    bits);
+    * 3. weights are rounded to integer MILLI-units via floor(w·1000+0.5)
+    *    (= Java's round for every sign, unlike SQL round()'s
+    *    half-away-from-zero), so downstream scoring
+    *    `w1m·x1 + w2m·x2 + bm` is pure int64 arithmetic — bit-identical
+    *    on any engine, no fp margin analysis needed at the threshold.
+    *    Measured rounding margins at sf0.01: w·1000 sits 0.44/0.38/0.08
+    *    from the nearest half-integer vs ~1e-9 cross-engine fp noise.
+    *
+    * Features/label must be integer-valued (token counts, bucket counts);
+    * |x| and |x·y| must fit a long per row (fine for any count data).
+    */
+  final case class RidgeWeights(w1Milli: Long, w2Milli: Long, bMilli: Long)
+
+  def ridgeClosedForm2(df: DataFrame, x1Col: String, x2Col: String, yCol: String,
+                       lambda: Double): RidgeWeights = {
+    def dsum(e: org.apache.spark.sql.Column) = sum(e.cast("decimal(38,0)"))
+    val x1 = col(x1Col).cast("long"); val x2 = col(x2Col).cast("long")
+    val y = col(yCol).cast("long")
+    val r = df.agg(count(lit(1)).as("n"),
+      dsum(x1).as("sx1"), dsum(x2).as("sx2"), dsum(y).as("sy"),
+      dsum(x1 * x1).as("s11"), dsum(x1 * x2).as("s12"), dsum(x2 * x2).as("s22"),
+      dsum(x1 * y).as("s1y"), dsum(x2 * y).as("s2y")).first()
+    val n = r.getLong(0).toDouble
+    require(n > 0, "ridgeClosedForm2: empty input")
+    def d(i: Int) = r.getDecimal(i).doubleValue()
+    val (sx1, sx2, sy) = (d(1), d(2), d(3))
+    val (s11, s12, s22, s1y, s2y) = (d(4), d(5), d(6), d(7), d(8))
+    // centered moments + 2×2 solve — ONE expression, mirrored in SQL
+    val c11 = s11 - sx1 * sx1 / n
+    val c12 = s12 - sx1 * sx2 / n
+    val c22 = s22 - sx2 * sx2 / n
+    val c1y = s1y - sx1 * sy / n
+    val c2y = s2y - sx2 * sy / n
+    val det = (c11 + lambda) * (c22 + lambda) - c12 * c12
+    require(det != 0.0, "ridgeClosedForm2: singular normal equations (use lambda > 0)")
+    val w1 = ((c22 + lambda) * c1y - c12 * c2y) / det
+    val w2 = ((c11 + lambda) * c2y - c12 * c1y) / det
+    val b = sy / n - w1 * (sx1 / n) - w2 * (sx2 / n)
+    RidgeWeights(math.round(w1 * 1000), math.round(w2 * 1000), math.round(b * 1000))
+  }
+
   /** Binary confusion matrix at a threshold (reference:
     * FlinkMLSupporter.scala:71-96): counts of (label≥t, pred≥t) pairs via
     * one groupBy — no driver loop.

@@ -56,6 +56,37 @@ object ScaleSmoke {
     val queries = Seq((1L, "spark join"), (2L, "window stream"), (3L, "hash filter scan"))
       .toDF("qid", "qtext")
 
+    // --- round-6 additions: codec, interval-join, featurization paths ---
+    // synthetic binary corpora are GENERATED EXECUTOR-SIDE (spark.range →
+    // map), then parqueted like the text corpora; codecs are the real
+    // javax.imageio / javax.sound chains the m02/m03 queries pin.
+    def pngBytes(id: Long): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 32) {
+        val c = ((id * 37 + x * 7 + y * 13) % 256).toInt
+        img.setRGB(x, y, (c << 16) | (c << 8) | c)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def wavBytes(id: Long): Array[Byte] =
+      graft.pipeline.Multimodal.encodeWav(
+        Array.tabulate[Short](2048)(i => (((id * 31 + i * 7) % 8192) - 4096).toShort), 8000f)
+
+    // events blown with per-replica user_id offsets: per-key event density
+    // stays constant, so interval-join output grows linearly (f² would be
+    // replica-collision artifact, not operator scaling)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    def blowEvents(f: Int): DataFrame = (0 until f).map(i =>
+      events.select((col("event_id") + lit(i * 1000000000L)).as("event_id"),
+        col("ts"), (col("user_id") + lit(i * 10000000L)).as("user_id"),
+        col("event_type"), col("value")))
+      .reduce(_ unionAll _)
+
     // (name, factor => result-count thunk). The blown corpus is WRITTEN
     // TO PARQUET and read back — production inputs come from storage;
     // leaving the f-way union as lineage instead re-computes it inside
@@ -70,6 +101,20 @@ object ScaleSmoke {
       lazy val e = {
         blowEmb(f).write.mode("overwrite").parquet(s"$tmp/emb_$f")
         spark.read.parquet(s"$tmp/emb_$f")
+      }
+      lazy val imgs = {
+        spark.range(5000L * f).map(id => (id, pngBytes(id))).toDF("id", "payload")
+          .write.mode("overwrite").parquet(s"$tmp/img_$f")
+        spark.read.parquet(s"$tmp/img_$f")
+      }
+      lazy val wavs = {
+        spark.range(5000L * f).map(id => (id, wavBytes(id))).toDF("id", "payload")
+          .write.mode("overwrite").parquet(s"$tmp/wav_$f")
+        spark.read.parquet(s"$tmp/wav_$f")
+      }
+      lazy val ev = {
+        blowEvents(f).write.mode("overwrite").parquet(s"$tmp/ev_$f")
+        spark.read.parquet(s"$tmp/ev_$f")
       }
       Seq(
         "minhash_dedup(d02)" -> (() =>
@@ -99,13 +144,50 @@ object ScaleSmoke {
             .map(_.getSeq[Float](0).toArray.map(_.toDouble))
           val idx = graft.pipeline.IvfIndex.buildFromCentroids(e, "embedding", "vec_id", centroids)
           graft.pipeline.Dedup.semanticPairs(idx, threshold = 0.35).count()
+        }),
+        "image_decode(m02)" -> (() => {
+          // the m02 chain: decode → resize → re-encode → decode → stats;
+          // the agg over a feature forces every image through both codecs
+          val feats = graft.pipeline.Multimodal.extractFeatures(
+            graft.pipeline.Multimodal.resizeImages(imgs, "id", "payload", 16, 16),
+            "id", "payload")
+          feats.agg(sum(col("features")(4))).first(); feats.count()
+        }),
+        "audio_decode(m03)" -> (() => {
+          val feats = graft.pipeline.Multimodal.extractFeatures(wavs, "id", "payload")
+          feats.agg(sum(col("features")(5))).first(); feats.count()
+        }),
+        "frame_sample(m04)" -> (() => {
+          val fr = graft.pipeline.Multimodal.sampleFrames(
+            graft.pipeline.Multimodal.withBinaryPayload(d, "text", "video"),
+            "doc_id", "payload", chunkBytes = 64, everyK = 2)
+          // sum of frame lengths forces the substring bytes, not just counts
+          fr.agg(sum(octet_length(col("frame_bytes")))).first().getLong(0)
+        }),
+        "interval_join(e02)" -> (() => {
+          val clicks = ev.filter(col("event_type") === "click")
+            .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+          val purchases = ev.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("event_id").as("purchase_id"),
+              col("ts").as("purchase_ts"), col("value"))
+          graft.streaming.EventStreams.intervalJoin(clicks, purchases, Seq("user_id"),
+            "click_ts", "purchase_ts", lowerMs = 0L, upperMs = 30 * 60 * 1000L).count()
+        }),
+        "hashed_features(t11)" -> (() => {
+          val hf = graft.pipeline.TextAnalysis.hashedTokenFeatures(
+            d, "text", "doc_id", dim = 1 << 16)
+          hf.agg(sum(size(col("indices")))).first().getLong(0)
         }))
     }
 
+    // SPARK_GRAFT_OPS=m02,e02 narrows by substring for local iteration
+    val onlyOps = sys.env.get("SPARK_GRAFT_OPS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    def opSelected(name: String): Boolean = onlyOps.forall(_.exists(name.contains))
     val factors = Seq(1, 2, 5, 10)
     // times(op)(factor) = min-of-N seconds
     val times = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Map[Int, Double]]
-    for (f <- factors; (name, thunk) <- ops(f)) {
+    for (f <- factors; (name, thunk) <- ops(f) if opSelected(name)) {
       var best = Double.MaxValue
       var rows = 0L
       val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt

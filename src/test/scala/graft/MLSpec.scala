@@ -97,6 +97,20 @@ class MLSpec extends SparkTestBase {
       assert(vec(i) == sparse(id).getOrElse(i, 0.0), s"id=$id bucket=$i")
   }
 
+  test("ridgeClosedForm2 recovers a planted integer-linear relation exactly") {
+    import spark.implicits._
+    // y = 3·x1 − 2·x2 + 5 with zero noise: at λ→0 the normal equations
+    // return the planted weights, and milli-rounding lands exactly
+    val df = (for (a <- 0 to 20; b <- 0 to 20)
+      yield (a.toLong, b.toLong, (3 * a - 2 * b + 5).toLong)).toDF("x1", "x2", "y")
+    val w = MLSupport.ridgeClosedForm2(df, "x1", "x2", "y", lambda = 1e-9)
+    assert(w == MLSupport.RidgeWeights(3000L, -2000L, 5000L), s"got $w")
+    // determinism: a second run over a reshuffled frame returns identical
+    // weights (exact integer sums are order-independent)
+    val w2 = MLSupport.ridgeClosedForm2(df.repartition(7), "x1", "x2", "y", lambda = 1e-9)
+    assert(w2 == w)
+  }
+
   test("als fits and predicts ratings") {
     import spark.implicits._
     val ratings = for (u <- 0 until 8; i <- 0 until 8 if (u + i) % 2 == 0)
