@@ -234,6 +234,43 @@ object SparkEntry {
        |   or (p_brand = 'Brand#12' and p_size between 10 and 30 and l_quantity between 10 and 20)
        |   or (p_brand = 'Brand#3' and p_size between 20 and 50 and l_quantity between 20 and 30)""".stripMargin
 
+  /** TPC-H Q22 shape (global sales opportunity): uncorrelated scalar AVG
+    * subquery gating + NOT EXISTS anti-join + re-aggregation. The
+    * threshold is one exact decimal sum ÷ count (a single double
+    * division, identical cross-engine); measured margin of the nearest
+    * c_acctbal to the threshold: 6.72 at sf0.01 vs ~1e-12 fp noise. The
+    * NOT EXISTS is restricted to urgent orders so the anti-join is
+    * non-vacuous on the dense synthetic orders table.
+    */
+  private[graft] val tpchQ22Sql: String =
+    s"""select c_nationkey, count(*) as numcust,
+       |  ${dsumSql("c_acctbal")} as totacctbal
+       |from customer c
+       |where c_acctbal > (select ${dsumSql("c_acctbal")} / count(*)
+       |                   from customer where c_acctbal > 0.0)
+       |  and not exists (select 1 from orders o
+       |                  where o.o_custkey = c.c_custkey
+       |                    and o.o_orderpriority = '1-URGENT')
+       |group by c_nationkey
+       |order by c_nationkey""".stripMargin
+
+  /** TPC-H Q15 shape (top supplier): CTE reused twice (the revenue view
+    * feeds both the join and the scalar MAX subquery) — revenues are
+    * exact decimal sums, so the equality against max() is exact;
+    * measured: single max holder at sf0.01, no tie.
+    */
+  private[graft] val tpchQ15Sql: String =
+    s"""with revenue as (
+       |  select l_suppkey, ${dsum2Sql("l_extendedprice", "1 - l_discount")} as total_rev
+       |  from lineitem
+       |  where l_shipdate >= timestamp '1996-01-01 00:00:00'
+       |    and l_shipdate < timestamp '1996-04-01 00:00:00'
+       |  group by l_suppkey)
+       |select s_suppkey, s_name, total_rev
+       |from supplier join revenue on s_suppkey = l_suppkey
+       |where total_rev = (select max(total_rev) from revenue)
+       |order by s_suppkey""".stripMargin
+
   private final case class Q(
       name: String,
       fn: (SparkSession, String) => DataFrame,
@@ -433,7 +470,15 @@ object SparkEntry {
 
     Q("q69_tpch_q19",
       (s, d) => mgr(s, d).sql2ddf(tpchQ19Sql).df,
-      Some(tpchQ19Sql))
+      Some(tpchQ19Sql)),
+
+    Q("q72_tpch_q22",
+      (s, d) => mgr(s, d).sql2ddf(tpchQ22Sql).df,
+      Some(tpchQ22Sql)),
+
+    Q("q73_tpch_q15",
+      (s, d) => mgr(s, d).sql2ddf(tpchQ15Sql).df,
+      Some(tpchQ15Sql))
   )
 
   // =====================================================================
@@ -1180,7 +1225,62 @@ object SparkEntry {
               |  / count(nullif(l_quantity, 1.0)) AS fill FROM lineitem)
               |SELECT l_orderkey, l_linenumber,
               |  round(coalesce(nullif(l_quantity, 1.0), fill), 4) AS qty
-              |FROM lineitem, m ORDER BY l_orderkey, l_linenumber""".stripMargin))
+              |FROM lineitem, m ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    Q("q70_ffill_global",
+      (s, d) => {
+        val m = mgr(s, d)
+        // GLOBAL forward-fill over a UNIQUE ordering. The testdata's
+        // (l_orderkey, l_linenumber) pairs are NOT unique, so uniqueness
+        // is manufactured by GROUP BY — a directional fill is only
+        // deterministic over a total order, and the per-group value is
+        // an exact decimal sum (order-independent cross-engine).
+        // Exercises the round-6 scale path: range-partition on ord,
+        // in-partition fill, per-partition carry fix-up — no
+        // unpartitioned WindowExec anywhere (ScaleSpec-pinned).
+        val li = m.getDDFByName("lineitem").df
+          .groupBy((col("l_orderkey") * 10 + col("l_linenumber")).as("ord"))
+          .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("q"))
+          .select(col("ord"), nullif(col("q"), lit(25.0)).as("qty"))
+        MissingData.fillDirectional(m.register(li), "ffill", "ord", Seq("qty"))
+          .df.orderBy("ord")
+      },
+      Some(s"""WITH b AS (
+              |  SELECT l_orderkey * 10 + l_linenumber AS ord,
+              |    ${dsumSql("l_quantity")} AS q
+              |  FROM lineitem GROUP BY 1)
+              |SELECT ord,
+              |  last_value(nullif(q, 25.0) IGNORE NULLS)
+              |    OVER (ORDER BY ord
+              |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS qty
+              |FROM b ORDER BY ord""".stripMargin)),
+
+    Q("q71_bfill_bykey",
+      (s, d) => {
+        val m = mgr(s, d)
+        // per-group backward fill: the partitionCols path (hash-
+        // partitioned window, fills never leak across groups). Same
+        // GROUP BY uniqueness discipline as q70: (grp, ord) is the
+        // grouping key, so the within-group order is total.
+        val li = m.getDDFByName("lineitem").df
+          .groupBy(col("l_returnflag").as("grp"),
+            (col("l_orderkey") * 10 + col("l_linenumber")).as("ord"))
+          .agg(sum(col("l_discount").cast("decimal(18,2)")).cast("double").as("dd"))
+          .select(col("grp"), col("ord"), nullif(col("dd"), lit(0.05)).as("disc"))
+        MissingData.fillDirectional(m.register(li), "bfill", "ord", Seq("disc"),
+            partitionCols = Seq("grp"))
+          .df.orderBy("grp", "ord")
+      },
+      Some(s"""WITH b AS (
+              |  SELECT l_returnflag AS grp,
+              |    l_orderkey * 10 + l_linenumber AS ord,
+              |    ${dsumSql("l_discount")} AS dd
+              |  FROM lineitem GROUP BY 1, 2)
+              |SELECT grp, ord,
+              |  first_value(nullif(dd, 0.05) IGNORE NULLS)
+              |    OVER (PARTITION BY grp ORDER BY ord
+              |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS disc
+              |FROM b ORDER BY grp, ord""".stripMargin))
   )
 
   // =====================================================================

@@ -331,15 +331,20 @@ class ScaleSpec extends SparkTestBase {
         (k.toLong, s"Brand#${k % 5 + 1}", k, if (k % 2 == 0) "PROMO" else "STANDARD"))
       .toDF("p_partkey", "p_brand", "p_size", "p_type")
     val lineitem = (for (o <- 1 to 50; ln <- 1 to 3) yield (
-        o.toLong, ((o * 3 + ln) % 20 + 1).toLong, ((o + ln) % 50 + 1).toDouble,
-        100.0 + o, 0.05,
+        o.toLong, ((o * 3 + ln) % 20 + 1).toLong, (o % 10 + 1).toLong,
+        ((o + ln) % 50 + 1).toDouble, 100.0 + o, 0.05,
         java.sql.Timestamp.valueOf(f"1996-${o % 3 + 1}%02d-${o % 28 + 1}%02d 00:00:00")))
-      .toDF("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate")
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount", "l_shipdate")
     val orders = (1 to 50).map(o => (o.toLong, (o % 10 + 1).toLong,
-        java.sql.Timestamp.valueOf(f"1996-${o % 3 + 1}%02d-01 00:00:00"), 1000.0 + o))
-      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
-    val customer = (1 to 10).map(k => (k.toLong, s"c$k")).toDF("c_custkey", "c_name")
-    Seq("part" -> part, "lineitem" -> lineitem, "orders" -> orders, "customer" -> customer)
+        java.sql.Timestamp.valueOf(f"1996-${o % 3 + 1}%02d-01 00:00:00"), 1000.0 + o,
+        if (o % 4 == 0) "1-URGENT" else "3-MEDIUM"))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "o_orderpriority")
+    val customer = (1 to 10).map(k => (k.toLong, s"c$k", k % 5, 100.0 * k))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    val supplier = (1 to 10).map(k => (k.toLong, s"s$k")).toDF("s_suppkey", "s_name")
+    Seq("part" -> part, "lineitem" -> lineitem, "orders" -> orders,
+        "customer" -> customer, "supplier" -> supplier)
       .foreach { case (n, df) =>
         df.write.mode("overwrite").parquet(s"$dir/$n")
         spark.read.parquet(s"$dir/$n").createOrReplaceTempView(n)
@@ -390,6 +395,28 @@ class ScaleSpec extends SparkTestBase {
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("LeftSemi"), s"IN-subquery must plan as a semi-join:\n$plan")
       assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+      df.collect()
+    }
+  }
+
+  test("tpch q72 (Q22): NOT EXISTS plans as an anti-join; scalar avg is one aggregate") {
+    tpchPinDir
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      val df = spark.sql(SparkEntry.tpchQ22Sql)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("LeftAnti"), s"NOT EXISTS must plan as an anti-join:\n$plan")
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+      df.collect()
+    }
+  }
+
+  test("tpch q73 (Q15): revenue CTE joins hash/broadcast, max subquery never nested-loops") {
+    tpchPinDir
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      val df = spark.sql(SparkEntry.tpchQ15Sql)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"scalar max must not nested-loop:\n$plan")
       df.collect()
     }
   }
