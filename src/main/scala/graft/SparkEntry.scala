@@ -271,6 +271,116 @@ object SparkEntry {
        |where total_rev = (select max(total_rev) from revenue)
        |order by s_suppkey""".stripMargin
 
+  /** TPC-H Q7 shape (volume shipping): 6-way join with TWO roles of the
+    * same dimension (nation as supplier-side n1 and customer-side n2),
+    * symmetric OR pair predicate, year extraction, exact decimal revenue.
+    */
+  private[graft] val tpchQ7Sql: String =
+    s"""select supp_nation, cust_nation, l_year,
+       |  ${dsum2Sql("l_extendedprice", "1 - l_discount")} as revenue
+       |from (
+       |  select n1.n_name as supp_nation, n2.n_name as cust_nation,
+       |    year(l_shipdate) as l_year, l_extendedprice, l_discount
+       |  from lineitem
+       |    join orders on o_orderkey = l_orderkey
+       |    join customer on c_custkey = o_custkey
+       |    join supplier on s_suppkey = l_suppkey
+       |    join nation n1 on s_nationkey = n1.n_nationkey
+       |    join nation n2 on c_nationkey = n2.n_nationkey
+       |  where ((n1.n_name = 'NATION_1' and n2.n_name = 'NATION_2')
+       |      or (n1.n_name = 'NATION_2' and n2.n_name = 'NATION_1'))
+       |    and l_shipdate between timestamp '1995-01-01 00:00:00'
+       |                       and timestamp '1996-12-31 23:59:59'
+       |) shipping
+       |group by supp_nation, cust_nation, l_year
+       |order by supp_nation, cust_nation, l_year""".stripMargin
+
+  /** TPC-H Q8 shape (national market share): 8-way join through region,
+    * conditional share = one exact decimal sum over another, single
+    * double division (deterministic cross-engine).
+    */
+  private[graft] val tpchQ8Sql: String =
+    s"""with all_nations as (
+       |  select year(o_orderdate) as o_year,
+       |    cast(cast(l_extendedprice as decimal(18,2))
+       |         * cast(1 - l_discount as decimal(18,2)) as decimal(38,4)) as volume,
+       |    n2.n_name as nation
+       |  from lineitem
+       |    join part on p_partkey = l_partkey
+       |    join orders on o_orderkey = l_orderkey
+       |    join customer on c_custkey = o_custkey
+       |    join nation n1 on c_nationkey = n1.n_nationkey
+       |    join region on n1.n_regionkey = r_regionkey
+       |    join supplier on s_suppkey = l_suppkey
+       |    join nation n2 on s_nationkey = n2.n_nationkey
+       |  where r_name = 'AMERICA' and p_type = 'PROMO'
+       |    and o_orderdate between timestamp '1995-01-01 00:00:00'
+       |                        and timestamp '1996-12-31 23:59:59')
+       |select o_year,
+       |  cast(sum(case when nation = 'NATION_1' then volume
+       |                else cast(0 as decimal(38,4)) end) as double)
+       |    / cast(sum(volume) as double) as mkt_share
+       |from all_nations group by o_year order by o_year""".stripMargin
+
+  /** TPC-H Q12 shape (shipping priority classes): join + CASE-bucketed
+    * integer counts. Adapted: the testdata carries no l_shipmode /
+    * l_receiptdate, so the group key is l_returnflag and the date gate
+    * is l_shipdate — the shape (conditional aggregation over a
+    * fact-dimension join) is unchanged.
+    */
+  private[graft] val tpchQ12Sql: String =
+    """select l_returnflag,
+      |  cast(sum(case when o_orderpriority = '1-URGENT' or o_orderpriority = '2-HIGH'
+      |           then 1 else 0 end) as bigint) as high_line_count,
+      |  cast(sum(case when o_orderpriority <> '1-URGENT' and o_orderpriority <> '2-HIGH'
+      |           then 1 else 0 end) as bigint) as low_line_count
+      |from orders join lineitem on o_orderkey = l_orderkey
+      |where l_shipdate >= timestamp '1996-01-01 00:00:00'
+      |  and l_shipdate < timestamp '1997-01-01 00:00:00'
+      |group by l_returnflag order by l_returnflag""".stripMargin
+
+  /** TPC-H Q13 shape (customer order-count distribution): left outer
+    * join with an extra ON-clause filter (the reference Q13's comment
+    * NOT LIKE, here an orderpriority gate), double aggregation.
+    */
+  private[graft] val tpchQ13Sql: String =
+    """select c_count, count(*) as custdist
+      |from (
+      |  select c_custkey, count(o_orderkey) as c_count
+      |  from customer left outer join orders
+      |    on c_custkey = o_custkey and o_orderpriority <> '1-URGENT'
+      |  group by c_custkey
+      |) c_orders
+      |group by c_count
+      |order by custdist desc, c_count desc""".stripMargin
+
+  /** TPC-H Q21 shape (suppliers who kept waiting): correlated EXISTS
+    * (another supplier contributed to the order) + correlated NOT EXISTS
+    * (no OTHER supplier was late on it). Adapted: "late" is
+    * l_shipdate > o_orderdate + 60 days (no l_receiptdate/l_commitdate
+    * in the testdata); the decorrelation shape — two more anti/semi
+    * joins against the same fact — is the point.
+    */
+  private[graft] val tpchQ21Sql: String =
+    """select s_name, count(*) as numwait
+      |from supplier, lineitem l1, orders, nation
+      |where s_suppkey = l1.l_suppkey
+      |  and o_orderkey = l1.l_orderkey
+      |  and o_orderstatus = 'F'
+      |  and l1.l_shipdate > o_orderdate + interval 60 day
+      |  and exists (select 1 from lineitem l2
+      |              where l2.l_orderkey = l1.l_orderkey
+      |                and l2.l_suppkey <> l1.l_suppkey)
+      |  and not exists (select 1 from lineitem l3, orders o3
+      |                  where l3.l_orderkey = l1.l_orderkey
+      |                    and o3.o_orderkey = l3.l_orderkey
+      |                    and l3.l_suppkey <> l1.l_suppkey
+      |                    and l3.l_shipdate > o3.o_orderdate + interval 60 day)
+      |  and s_nationkey = n_nationkey
+      |  and n_name = 'NATION_3'
+      |group by s_name
+      |order by numwait desc, s_name""".stripMargin
+
   private final case class Q(
       name: String,
       fn: (SparkSession, String) => DataFrame,
@@ -478,7 +588,27 @@ object SparkEntry {
 
     Q("q73_tpch_q15",
       (s, d) => mgr(s, d).sql2ddf(tpchQ15Sql).df,
-      Some(tpchQ15Sql))
+      Some(tpchQ15Sql)),
+
+    Q("q74_tpch_q7",
+      (s, d) => mgr(s, d).sql2ddf(tpchQ7Sql).df,
+      Some(tpchQ7Sql)),
+
+    Q("q75_tpch_q8",
+      (s, d) => mgr(s, d).sql2ddf(tpchQ8Sql).df,
+      Some(tpchQ8Sql)),
+
+    Q("q76_tpch_q12",
+      (s, d) => mgr(s, d).sql2ddf(tpchQ12Sql).df,
+      Some(tpchQ12Sql)),
+
+    Q("q77_tpch_q13",
+      (s, d) => mgr(s, d).sql2ddf(tpchQ13Sql).df,
+      Some(tpchQ13Sql)),
+
+    Q("q78_tpch_q21",
+      (s, d) => mgr(s, d).sql2ddf(tpchQ21Sql).df,
+      Some(tpchQ21Sql))
   )
 
   // =====================================================================
@@ -2163,6 +2293,28 @@ object SparkEntry {
       },
       None),
 
+    Q("p03_corpus_shuffle",
+      (s, d) => {
+        val m = mgr(s, d)
+        // deterministic training-order shuffle: shard + in-shard rank are
+        // a pure function of (doc_id, salt) — DuckDB rederives the exact
+        // order from the portableFold replica, so the whole epoch order
+        // is oracle-checked, not just row counts
+        Views.deterministicShuffle(
+            m.register(m.getDDFByName("documents").df.select("doc_id")),
+            "doc_id", salt = "ep1", numShards = 8)
+          .df.orderBy("shard", "seq")
+      },
+      Some("""WITH h AS (SELECT doc_id,
+             |    list_reduce(list_prepend(0::BIGINT,
+             |      list_transform(regexp_split_to_array(doc_id::VARCHAR || ':ep1', ''),
+             |        c -> coalesce(ascii(c), 0)::BIGINT)),
+             |      (acc, x) -> (acc * 31 + x) % 1000000007) AS hh
+             |  FROM documents)
+             |SELECT doc_id, (hh % 8)::INT AS shard,
+             |  row_number() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id) AS seq
+             |FROM h ORDER BY shard, seq""".stripMargin)),
+
     Q("p01_pipeline_e2e",
       (s, d) => {
         val m = mgr(s, d)
@@ -2862,7 +3014,32 @@ object SparkEntry {
               |SELECT d.doc_id, coalesce(g.indices_csv, '') AS indices_csv,
               |  coalesce(g.vals_csv, '') AS vals_csv
               |FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
-              |LEFT JOIN g USING (doc_id) ORDER BY d.doc_id""".stripMargin))
+              |LEFT JOIN g USING (doc_id) ORDER BY d.doc_id""".stripMargin)),
+
+    Q("t12_boilerplate",
+      (s, d) => {
+        val m = mgr(s, d)
+        // corpus-frequency boilerplate scoring: a doc is flagged when
+        // most of its 3-gram shingles occur in > dfThreshold documents
+        pipeline.TextAnalysis.boilerplateScore(
+            m.getDDFByName("documents").df, "text", "doc_id",
+            dfThreshold = 5L, maxRatio = 0.5)
+          .orderBy("id")
+      },
+      Some(s"""WITH sh AS (SELECT doc_id, unnest(${duckShingles("text")}) AS sh
+              |  FROM documents),
+              |dfc AS (SELECT sh, count(*)::BIGINT AS dfc FROM sh GROUP BY sh),
+              |sc AS (SELECT s.doc_id, count(*)::BIGINT AS n_shingles,
+              |    cast(sum(CASE WHEN dfc > 5 THEN 1 ELSE 0 END) as bigint) AS n_common
+              |  FROM sh s JOIN dfc USING (sh) GROUP BY s.doc_id)
+              |SELECT d.doc_id AS id,
+              |  coalesce(n_shingles, 0) AS n_shingles,
+              |  coalesce(n_common, 0) AS n_common,
+              |  CASE WHEN coalesce(n_shingles, 0) = 0 THEN 0.0
+              |       ELSE coalesce(n_common, 0)::DOUBLE / n_shingles END AS boiler_ratio,
+              |  (CASE WHEN coalesce(n_shingles, 0) = 0 THEN 0.0
+              |        ELSE coalesce(n_common, 0)::DOUBLE / n_shingles END) <= 0.5 AS keep
+              |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY id""".stripMargin))
   )
 
   // =====================================================================

@@ -252,4 +252,28 @@ object Views {
     ddf.derive(ddf.df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= n).drop("__rn"))
   }
+
+  /** Extension (training-data pipeline): deterministic corpus shuffle.
+    * Training wants the corpus in a pseudorandom but REPRODUCIBLE order:
+    * the order must be a pure function of (key, salt) so a re-run — or a
+    * resume mid-epoch — regenerates it exactly, and a new epoch is just a
+    * new salt. shard = portableFold(key:salt) mod numShards; seq = rank
+    * of the hash within the shard, ties broken by key so the order stays
+    * total under hash collisions. The rank window is PARTITIONED by
+    * shard (each task sorts corpus/numShards rows — no global
+    * single-task sort), and readers consume shards in (shard, seq)
+    * order, so the full sort never materializes on one node.
+    */
+  def deterministicShuffle(ddf: DDF, keyCol: String, salt: String,
+                           numShards: Int): DDF = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__h"), col(keyCol))
+    ddf.derive(ddf.df
+      .withColumn("__h", graft.pipeline.Dedup.portableFold(
+        concat(col(keyCol).cast("string"), lit(":"), lit(salt))))
+      .withColumn("shard", pmod(col("__h"), lit(numShards.toLong)).cast("int"))
+      .withColumn("seq", row_number().over(w).cast("bigint"))
+      .drop("__h"))
+  }
 }

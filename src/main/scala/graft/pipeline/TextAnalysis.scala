@@ -552,4 +552,38 @@ object TextAnalysis {
       .withColumn("fingerprint", fingerprintMd5(textCol))
       .drop(toks)
   }
+
+  /** Extension (training-data pipeline): corpus-frequency boilerplate
+    * scoring (the CCNet/RefinedWeb idea): an n-gram recurring across
+    * many documents is boilerplate — nav bars, license blurbs, headers —
+    * and a document whose shingles are mostly corpus-common is
+    * boilerplate-heavy. Shingles come from [[Dedup.shingleExpr]]
+    * (distinct per doc, so within-doc repetition never inflates df —
+    * that's [[repetitionMetrics]]' job). Two hash-partitioned
+    * aggregations — shingle→df, then doc→ratio — and one shingle-keyed
+    * join; never all-pairs, so the cost is O(corpus shingles), not
+    * O(docs²). Documents too short to shingle keep a row with ratio 0
+    * (COVER-the-corpus contract, same as c4Rules/hashedTokenFeatures).
+    * Output: (id, n_shingles, n_common, boiler_ratio, keep).
+    */
+  def boilerplateScore(df: DataFrame, textCol: String, idCol: String,
+                       dfThreshold: Long = 5L, maxRatio: Double = 0.5,
+                       n: Int = 3): DataFrame = {
+    require(dfThreshold >= 1, s"dfThreshold must be >= 1, got $dfThreshold")
+    val pairs = df.select(col(idCol).as("id"),
+      explode(Dedup.shingleExpr(textCol, n)).as("__sh"))
+    val shingleDf = pairs.groupBy("__sh").agg(count(lit(1)).as("__df"))
+    val scored = pairs.join(shingleDf, "__sh")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__df") > dfThreshold, 1L).otherwise(0L)).as("n_common"))
+    df.select(col(idCol).as("id")).join(scored, Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
+      .withColumn("boiler_ratio",
+        when(col("n_shingles") === 0, lit(0.0))
+          .otherwise(col("n_common").cast("double") / col("n_shingles")))
+      .withColumn("keep", col("boiler_ratio") <= maxRatio)
+  }
 }

@@ -339,4 +339,54 @@ class CurationSpec extends SparkTestBase {
       .first().getDouble(0)
     assert(cos > 0.9999, s"round-trip cosine $cos")
   }
+
+  test("deterministicShuffle: reproducible, total, salt re-deals, shards partition") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    def run(salt: String) =
+      Views.deterministicShuffle(m.register(df), "doc_id", salt, numShards = 4).df
+        .select("doc_id", "shard", "seq").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val a = run("ep1").sortBy(_._1)
+    val b = run("ep1").sortBy(_._1)
+    assert(a.sameElements(b), "same salt must reproduce the identical order")
+    // (shard, seq) is a total order: seq is 1..n_shard within every shard
+    a.groupBy(_._2).foreach { case (sh, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(1L to rows.length),
+        s"shard $sh seq must be dense 1..${rows.length}")
+    }
+    assert(a.map(_._2).distinct.length == 4, "all 4 shards populated at n=200")
+    val c = run("ep2").sortBy(_._1)
+    assert(!a.sameElements(c), "a new salt must re-deal the order")
+    assert(c.groupBy(_._2).values.map(_.length).sum == 200, "re-deal loses nothing")
+  }
+
+  test("boilerplateScore: common shingles flag docs; short docs covered with ratio 0") {
+    import spark.implicits._
+    // 6 docs share the banner 'all rights reserved'; doc 7 is unique text,
+    // doc 8 is too short to shingle (1 token)
+    val banner = (1L to 6L).map(i => (i, s"all rights reserved unique$i tail$i"))
+    val df = (banner ++ Seq((7L, "seven distinct words appear only here today"),
+        (8L, "tiny"))).toDF("doc_id", "text")
+    val out = TextAnalysis.boilerplateScore(df, "text", "doc_id",
+        dfThreshold = 4L, maxRatio = 0.4)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_shingles"), r.getAs[Long]("n_common"),
+          r.getAs[Double]("boiler_ratio"), r.getAs[Boolean]("keep")))).toMap
+    assert(out.size == 8, "every doc keeps a row")
+    // banner docs: 5 tokens → 3 shingles; 'all rights reserved' df=6 > 4
+    // → 1 of 3 common, ratio 1/3 ≤ 0.4 → kept
+    val (n1, c1, r1, k1) = out(1L)
+    assert(n1 == 3 && c1 == 1 && math.abs(r1 - 1.0 / 3) < 1e-12 && k1, s"got ${out(1L)}")
+    // unique doc: nothing common
+    assert(out(7L)._2 == 0L && out(7L)._4)
+    // short doc: zero shingles → ratio 0, kept (whole-text shingle df=1)
+    assert(out(8L)._3 == 0.0 || out(8L)._2 == 0L)
+    // raise df pressure: threshold 1 makes banner shingles common for all 6
+    val strict = TextAnalysis.boilerplateScore(df, "text", "doc_id",
+        dfThreshold = 1L, maxRatio = 0.2)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("keep")).toMap
+    assert(!strict(1L), "banner doc must be dropped at strict threshold")
+    assert(strict(7L), "unique doc survives any threshold")
+  }
 }

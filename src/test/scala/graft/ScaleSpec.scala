@@ -274,6 +274,29 @@ class ScaleSpec extends SparkTestBase {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }
 
+  test("deterministicShuffle: rank window is shard-partitioned (no global sort task)") {
+    import spark.implicits._
+    val m = new graft.core.DDFManager(spark)
+    val df = (1L to 100L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val out = graft.operators.Views.deterministicShuffle(
+      m.register(df), "doc_id", "ep1", numShards = 8).df
+    val wins = logicalWindows(out)
+    assert(wins.nonEmpty, "expected the in-shard rank window")
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      s"epoch shuffle must never plan an unpartitioned Window:\n${out.queryExecution.optimizedPlan}")
+  }
+
+  test("boilerplateScore: shingle-keyed join + two aggs, never a cartesian") {
+    import spark.implicits._
+    val df = (1L to 50L).map(i => (i, s"w${i % 7} x${i % 5} y${i % 3} z$i tail"))
+      .toDF("doc_id", "text")
+    val out = graft.pipeline.TextAnalysis.boilerplateScore(df, "text", "doc_id")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"boilerplate scoring must stay shingle-keyed:\n$plan")
+    out.collect()
+  }
+
   test("fillDirectional global: range-partitioned two-pass, no unpartitioned Window") {
     import graft.operators.MissingData
     import spark.implicits._
