@@ -196,6 +196,39 @@ object TextExpressions {
     }
     new GenericArrayData(out.toArray)
   }
+
+  private val MinHashP = 1000000007L
+
+  /** Also called from generated code. Returns null for an empty (or
+    * all-null) array — see MinHashAffine's doc.
+    */
+  def computeMinHash(shingles: ArrayData, k: Int, portable: Boolean): GenericArrayData = {
+    val n = shingles.numElements()
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var any = false
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        any = true
+        val s = shingles.getUTF8String(i)
+        val h =
+          if (portable) PolyHash.compute(s, 31L, MinHashP)
+          else java.lang.Math.floorMod(
+            org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(s, 42L),
+            MinHashP)
+        var j = 0
+        while (j < k) {
+          val v = java.lang.Math.floorMod(
+            h * (2L * j + 1) + (j * 1000003L + 12345L) % MinHashP, MinHashP)
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (!any) null else new GenericArrayData(mins)
+  }
 }
 
 /** Distinct word n-gram shingles of a raw text column — the native,
@@ -387,5 +420,55 @@ case class StopwordLangId(child: Expression,
   }
 
   override protected def withNewChildInternal(c: Expression): StopwordLangId =
+    copy(child = c)
+}
+
+/** All k affine MinHash values of a shingle array in ONE pass — the
+  * native, codegen'd equivalent of Dedup's explode → base-hash →
+  * partial-aggregated-min shape (Dedup.affineMinhash): for each shingle,
+  * H = base(s) mod p (base = xxhash64 seed 42, or the portable 31/1e9+7
+  * char fold), then v_i = (H·(2i+1) + (i·1000003 + 12345) mod p) mod p,
+  * minimized per i across the array. Identical arithmetic, identical
+  * minima — the d07/d10 DuckDB oracle replicas are unaffected.
+  *
+  * Why a native expression and not the explode: the aggregate
+  * formulation materializes one row PER (doc, shingle) and shuffles a
+  * k-long map-side-combined row per doc; this loop reads the shingle
+  * array the row already holds (WordShingles output) and emits the
+  * signature in place — no exploded rows, no aggregation hash map, no
+  * shuffle. (The old "nested HOF was 10+ minutes" caveat was about
+  * INTERPRETED lambdas re-evaluating the shingle tree per reference —
+  * a compiled loop over a materialized array has neither problem.)
+  *
+  * Empty arrays yield NULL (no shingles → no minima), matching the
+  * explode path where such a doc simply has no signature row; callers
+  * filter the nulls. NULL elements are skipped (WordShingles emits
+  * none).
+  */
+case class MinHashAffine(child: Expression, k: Int, portable: Boolean)
+    extends UnaryExpression {
+  require(k >= 1 && k <= 512, s"k must be in [1, 512], got $k")
+
+  override def prettyName: String = "minhash_affine"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects an array<string> column, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextExpressions.computeMinHash(input.asInstanceOf[ArrayData], k, portable)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val code = nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.TextExpressions.computeMinHash($c, $k, $portable);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+    code
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashAffine =
     copy(child = c)
 }

@@ -218,40 +218,69 @@ object Dedup {
 
   /** k MinHash values per document as columns h0..h{k-1}.
     *
-    * Implementation note (measured, not theoretical): composing this as
-    * one nested array expression (array of k array_min(transform(...)))
-    * re-evaluates the shingle tree once per reference — higher-order
-    * functions are interpreted and outside common-subexpression
-    * elimination, which blew a 500-doc run up to 10+ minutes. The
-    * explode → hash-once → partial-aggregated min shape below evaluates
-    * every heavy expression exactly once per (doc, shingle); the only
-    * shuffle is the groupBy(id) whose map-side-combined rows are one per
-    * doc (k longs).
+    * Implementation history (measured, not theoretical): a nested HOF
+    * array expression (array of k array_min(transform(...))) re-evaluates
+    * the interpreted shingle tree per reference — 10+ minutes for 500
+    * docs. Rounds 1-5 used explode → hash-once → partial-aggregated min
+    * (every heavy expression once per (doc, shingle), one k-long row per
+    * doc shuffled). Round 6 replaces that with ONE native codegen'd pass
+    * over the shingle array the row already holds
+    * (functions.MinHashAffine): same arithmetic, same minima, but no
+    * exploded rows, no aggregation hash map, and no signature shuffle at
+    * all — the first shuffle in the minhash pipeline is now the band
+    * self-join itself.
     */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
                         shingleN: Int = 3, k: Int = 32): DataFrame =
     minhashSignaturesFromShingles(shingled(df, textCol, idCol, shingleN), k)
 
-  /** Signatures from a precomputed (id, sh) frame — see minhashSignatures
-    * for the explode→hash-once→partial-agg rationale.
+  /** Signatures from a precomputed (id, sh) frame: ONE native codegen'd
+    * pass per row over the shingle array (graft.functions.MinHashAffine)
+    * — no exploded (doc, shingle) rows, no aggregation hash map, no
+    * shuffle; the round-6 replacement for the explode→hash-once→
+    * partial-agg shape kept below as [[minhashSignaturesAgg]] (identical
+    * minima, TextExprSpec-pinned, so the d07/d10 DuckDB oracle replicas
+    * are unaffected).
     */
   def minhashSignaturesFromShingles(sh: DataFrame, k: Int = 32): DataFrame =
-    affineMinhash(
-      sh.select(col("id"), explode(col("sh")).as("s"))
-        .select(col("id"), pmod(xxhash64(col("s")), lit(affineP)).as("H")),
-      k)
+    signaturesNative(sh, k, portable = false)
 
-  /** Cross-engine-deterministic signatures: one [[portableFold]] base
-    * hash per shingle (native codegen'd fold, hashed ONCE per the
-    * hash-once contract above); permutations as in [[affineMinhash]].
-    * Used by the oracle-checked instantiations; the xxhash64 default
+  /** Cross-engine-deterministic signatures: [[portableFold]] base hash
+    * per shingle, same affine permutation family. Same native one-pass
+    * shape as [[minhashSignaturesFromShingles]]; the xxhash64 default
     * remains preferred at scale only for its better bit mixing.
     */
   def minhashSignaturesPortable(sh: DataFrame, k: Int = 32): DataFrame =
+    signaturesNative(sh, k, portable = true)
+
+  private def signaturesNative(sh: DataFrame, k: Int, portable: Boolean): DataFrame = {
+    val sig = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.MinHashAffine(
+        org.apache.spark.sql.graftbridge.Bridge.expression(col("sh")), k, portable))
+    // the signature is computed in ITS OWN projection and the h-columns
+    // extracted from the materialized array in the next one —
+    // CollapseProject keeps the boundary (non-cheap, multiply-referenced),
+    // so the O(shingles·k) loop runs once per row, not k times
+    sh.select(col("id"), sig.as("__mh"))
+      .filter(col("__mh").isNotNull)
+      .select(col("id") +: (0 until k).map(i => col("__mh").getItem(i).as(s"h$i")): _*)
+  }
+
+  /** The explode→base-hash→partial-aggregated-min formulation — kept as
+    * the equivalence reference for [[signaturesNative]] (TextExprSpec
+    * pins identical output) and as documentation of the shape the DuckDB
+    * oracles replicate in SQL.
+    */
+  private[graft] def minhashSignaturesAgg(sh: DataFrame, k: Int,
+                                          portable: Boolean): DataFrame = {
+    val base =
+      if (portable) portableFold(col("s"))
+      else pmod(xxhash64(col("s")), lit(affineP))
     affineMinhash(
       sh.select(col("id"), explode(col("sh")).as("s"))
-        .select(col("id"), portableFold(col("s")).as("H")),
+        .select(col("id"), base.as("H")),
       k)
+  }
 
   private val affineP = 1000000007L
 

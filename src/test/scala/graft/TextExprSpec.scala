@@ -155,6 +155,35 @@ class TextExprSpec extends SparkTestBase {
       .selectExpr("top_ngram_count(t, 2)").collect().head.isNullAt(0))
   }
 
+  test("MinHashAffine == explode+partial-agg minima, both hash families") {
+    import spark.implicits._
+    val docs = nasty.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    for (portable <- Seq(true, false); k <- Seq(8, 32)) {
+      val sh = Dedup.shingled(docs, "text", "doc_id")
+      val native = (if (portable) Dedup.minhashSignaturesPortable(sh, k)
+                    else Dedup.minhashSignaturesFromShingles(sh, k))
+        .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      val agg = Dedup.minhashSignaturesAgg(sh, k, portable)
+        .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      assert(native == agg, s"portable=$portable k=$k: native != aggregate minima")
+      assert(native.nonEmpty)
+    }
+  }
+
+  test("MinHashAffine: one signature evaluation per row (projection boundary holds)") {
+    import spark.implicits._
+    val docs = (1L to 20L).map(i => (i, s"alpha beta gamma delta tok$i end"))
+      .toDF("doc_id", "text")
+    val sig = Dedup.minhashSignaturesFromShingles(
+      Dedup.shingled(docs, "text", "doc_id"), k = 32)
+    // the plan must contain exactly ONE minhash_affine call — k GetArrayItem
+    // references over a collapsed projection would show 32 of them
+    val plan = sig.queryExecution.optimizedPlan.toString
+    val calls = "minhash_affine".r.findAllIn(plan).length
+    assert(calls == 1, s"expected 1 minhash_affine in the plan, got $calls:\n$plan")
+  }
+
   test("native shingles stay inside whole-stage codegen") {
     // a local relation would constant-fold the projection away, so build
     // text from range() to force a real executed stage
