@@ -1847,6 +1847,31 @@ object SparkEntry {
            |ORDER BY d.query_id""".stripMargin
       }),
 
+    Q("a08_matryoshka_ann",
+      (s, d) => {
+        val m = mgr(s, d)
+        // matryoshka tiering: search at prefix dim 16 (4× cheaper dot
+        // products, 4× smaller index). renormalize=false here because
+        // cosine ranking is scale-invariant and raw slices are bit-exact
+        // against DuckDB's list slicing; the renormalized path is
+        // CurationSpec-pinned (unit norms, ranking preserved)
+        val all = m.getDDFByName("embeddings").df.select(col("vec_id"), col("embedding"))
+        val trunc = pipeline.Similarity.matryoshkaTruncate(
+          all, "embedding", k = 16, renormalize = false)
+        val queries = trunc.filter(col("vec_id") < 3).withColumnRenamed("vec_id", "qid")
+        pipeline.Similarity.bruteForceTopK(trunc, queries, "embedding", "vec_id", "qid", 5)
+          .select(col("query_id"), col("id"), round(col("cosine"), 6).as("cosine"), col("rk"))
+          .orderBy("query_id", "rk")
+      },
+      Some(s"""WITH dv AS (SELECT vec_id,
+              |    list_transform(embedding[1:16], x -> x::DOUBLE) AS v
+              |  FROM embeddings),
+              |scored AS (SELECT a.vec_id AS query_id, b.vec_id AS id, $duckCos AS c,
+              |    row_number() OVER (PARTITION BY a.vec_id ORDER BY $duckCos DESC, b.vec_id) AS rk
+              |  FROM (SELECT * FROM dv WHERE vec_id < 3) a CROSS JOIN dv b)
+              |SELECT query_id, id, round(c, 6) AS cosine, rk FROM scored
+              |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin)),
+
     Q("a03_ann_ivf",
       (s, d) => {
         val m = mgr(s, d)
@@ -2971,6 +2996,40 @@ object SparkEntry {
               |  round(list_reduce(list_prepend(0.0, list(lp ORDER BY token)),
               |    (acc, x) -> acc + x) / sum(tf), 6) AS avg_logp
               |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    Q("t13_bigram_logprob",
+      (s, d) => {
+        val m = mgr(s, d)
+        // corpus-bigram LM with interpolated add-1 smoothing: one order
+        // of context beyond t10 — the deterministic CCNet-perplexity
+        // analog at bigram order; per-doc fold in bigram order
+        pipeline.TextAnalysis.bigramLogProb(m.getDDFByName("documents").df,
+            "text", "doc_id")
+          .select(col("id").as("doc_id"), col("n_bigrams"),
+            round(col("avg_logp2"), 6).as("avg_logp2"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, ${duckToks("text")} AS t FROM documents),
+              |bgx AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+              |    i -> t[i] || ' ' || t[i+1])) AS bg FROM toks),
+              |tf2 AS (SELECT doc_id, bg, count(*)::BIGINT AS tf2 FROM bgx GROUP BY 1, 2),
+              |c2 AS (SELECT bg, sum(tf2)::BIGINT AS c2 FROM tf2 GROUP BY 1),
+              |tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+              |c1 AS (SELECT token, count(*)::BIGINT AS c1 FROM tok GROUP BY 1),
+              |nn AS (SELECT count(*) AS n FROM tok),
+              |lp AS (SELECT doc_id, bg, tf2,
+              |    tf2 * ln((c2 + 1.0 * c1b.c1::DOUBLE / nn.n::DOUBLE)
+              |             / (c1a.c1 + 1.0)) AS lp
+              |  FROM tf2 JOIN c2 USING (bg)
+              |  JOIN c1 c1a ON split_part(bg, ' ', 1) = c1a.token
+              |  JOIN c1 c1b ON split_part(bg, ' ', 2) = c1b.token, nn),
+              |sc AS (SELECT doc_id, sum(tf2)::BIGINT AS n_bigrams,
+              |    round(list_reduce(list_prepend(0.0, list(lp ORDER BY bg)),
+              |      (acc, x) -> acc + x) / sum(tf2), 6) AS avg_logp2
+              |  FROM lp GROUP BY doc_id)
+              |SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams, avg_logp2
+              |FROM documents d LEFT JOIN sc USING (doc_id)
+              |ORDER BY d.doc_id""".stripMargin)),
 
     Q("t11_hashed_features",
       (s, d) => {

@@ -123,6 +123,35 @@ object Similarity {
   def dequantize(q: Column): Column =
     transform(q.getField("codes"), c => c.cast("double") * q.getField("scale"))
 
+  /** Matryoshka truncation: keep the first k dimensions of an
+    * MRL-trained embedding (prefix dims carry the coarse structure) and
+    * optionally renormalize to unit length — the standard cheap-ANN /
+    * storage-tiering move: search at dim k, rerank survivors at full
+    * dim. Per-row expression, shuffle-free; cosine ranking in the
+    * truncated space is scale-invariant, so renormalization matters only
+    * for downstream consumers that assume unit vectors (e.g. int8
+    * quantization, dot-product-as-cosine indexes). Zero-norm prefixes
+    * stay zero vectors.
+    */
+  def matryoshkaTruncate(df: DataFrame, vecCol: String, k: Int,
+                         renormalize: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val t = slice(col(vecCol), 1, k)
+    if (!renormalize) df.withColumn(vecCol, t)
+    else {
+      // norm lands in its own column first: a lambda capturing the dot
+      // SUBTREE would re-evaluate it per element (interpreted HOF
+      // capture — this file's standing caveat); capturing an attribute
+      // reference is free
+      df.withColumn("__mt", t)
+        .withColumn("__mn", sqrt(dot(col("__mt"), col("__mt"))))
+        .withColumn(vecCol,
+          when(col("__mn") === 0.0d, transform(col("__mt"), x => x.cast("double")))
+            .otherwise(transform(col("__mt"), x => x.cast("double") / col("__mn"))))
+        .drop("__mt", "__mn")
+    }
+  }
+
   /** Embedding-space benchmark decontamination — the semantic twin of
     * `TextAnalysis.decontaminate`'s n-gram overlap: flag corpus items
     * whose MAX cosine against any eval-set embedding reaches `threshold`

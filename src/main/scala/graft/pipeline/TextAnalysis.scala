@@ -327,6 +327,48 @@ object TextAnalysis {
       .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
   }
 
+  /** Corpus-bigram LM quality signal — one order of context beyond
+    * [[unigramLogProb]] (closer to the CCNet perplexity filter while
+    * staying fully deterministic): per doc,
+    * avg over bigrams of log P(w₂|w₁) with
+    * P(w₂|w₁) = (C(w₁w₂) + α·C(w₂)/N) / (C(w₁) + α) — interpolated
+    * add-α smoothing, so unseen continuations back off to the unigram
+    * distribution. All counts are exact integers from two partial-agg
+    * passes (per-doc bigram tf → corpus bigram counts; token counts
+    * reuse the tf frame); the per-doc float fold runs in bigram-string
+    * order (bit-stable, same discipline as c02/t10). Docs with < 2
+    * tokens keep a row with n_bigrams 0 and NULL score.
+    */
+  def bigramLogProb(df: DataFrame, textCol: String, idCol: String,
+                    alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    val bg = df.select(col(idCol).as("id"),
+      explode(ngramCol(expr(tokensExpr(textCol)), 2)).as("bg"))
+    val tf2 = bg.groupBy("id", "bg").agg(count(lit(1)).as("tf2"))
+    val c2 = tf2.groupBy("bg").agg(sum("tf2").as("c2"))
+    val tf1 = Relevance.termFrequencies(df, textCol, idCol)
+    val c1 = tf1.groupBy("token").agg(sum("tf").as("c1"))
+    val n = df.select(coalesce(sum(tokenCount(textCol)), lit(0L))).first().getLong(0)
+    require(n > 0, "bigramLogProb: corpus has no tokens")
+    val scored = tf2.join(c2, "bg")
+      .withColumn("__w1", substring_index(col("bg"), " ", 1))
+      .withColumn("__w2", substring_index(col("bg"), " ", -1))
+      .join(c1.select(col("token").as("__w1"), col("c1").as("c1a")), "__w1")
+      .join(c1.select(col("token").as("__w2"), col("c1").as("c1b")), "__w2")
+      .withColumn("__lp", col("tf2") * log(
+        (col("c2") + lit(alpha) * col("c1b").cast("double") / lit(n.toDouble))
+          / (col("c1a") + lit(alpha))))
+      .groupBy("id")
+      .agg(
+        sum(col("tf2")).as("n_bigrams"),
+        (aggregate(
+          sort_array(collect_list(struct(col("bg"), col("__lp")))),
+          lit(0.0), (acc, x) => acc + x.getField("__lp"))
+          / sum(col("tf2"))).as("avg_logp2"))
+    df.select(col(idCol).as("id")).join(scored, Seq("id"), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+  }
+
   /** Hashed bag-of-tokens featurization (the "hashing trick"): each
     * token lands in bucket `portableFold(token) mod dim`, per-doc bucket
     * counts become the feature vector. This is the classifier-

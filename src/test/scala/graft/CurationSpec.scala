@@ -340,6 +340,31 @@ class CurationSpec extends SparkTestBase {
     assert(cos > 0.9999, s"round-trip cosine $cos")
   }
 
+  test("matryoshkaTruncate: prefix dims, unit renorm, ranking preserved, zero-safe") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(3.0f, 4.0f, 100.0f, -100.0f)),
+      (2L, Seq(1.0f, 0.0f, 50.0f, 50.0f)),
+      (3L, Seq(0.0f, 0.0f, 9.0f, 9.0f))
+    ).toDF("vec_id", "embedding")
+    val raw = Similarity.matryoshkaTruncate(df, "embedding", 2, renormalize = false)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(raw(1L) == Seq(3.0f, 4.0f) && raw(3L) == Seq(0.0f, 0.0f))
+    val rn = Similarity.matryoshkaTruncate(df, "embedding", 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(math.abs(rn(1L).map(x => x * x).sum - 1.0) < 1e-12, "unit norm after renorm")
+    assert((rn(1L) zip Seq(0.6, 0.8)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    assert(rn(3L) == Seq(0.0, 0.0), "zero prefix stays a zero vector")
+    // scale-invariance: cosine ranking identical with and without renorm
+    def ranks(t: org.apache.spark.sql.DataFrame) = {
+      val q = t.filter(col("vec_id") === 1L).withColumnRenamed("vec_id", "qid")
+      Similarity.bruteForceTopK(t, q, "embedding", "vec_id", "qid", 3)
+        .orderBy("rk").collect().map(_.getAs[Long]("id")).toSeq
+    }
+    assert(ranks(Similarity.matryoshkaTruncate(df, "embedding", 2, renormalize = false))
+      == ranks(Similarity.matryoshkaTruncate(df, "embedding", 2)))
+  }
+
   test("deterministicShuffle: reproducible, total, salt re-deals, shards partition") {
     import spark.implicits._
     val df = (1L to 200L).map(i => (i, s"doc$i")).toDF("doc_id", "text")

@@ -138,6 +138,22 @@ class PipelineSpec extends SparkTestBase {
     assert(rows(4L).getAs[Long]("n_tokens") == 0L && rows(4L).isNullAt(2))
   }
 
+  test("bigramLogProb: hand-computed interpolated add-1 bigram means") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a"), (2L, "a b"), (3L, "c")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLogProb(df, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_bigrams"),
+          if (r.isNullAt(2)) Double.NaN else r.getAs[Double]("avg_logp2"))).toMap
+    // C1: a=3 b=2 c=1, N=6; C2: "a b"=2, "b a"=1
+    val lpAB = math.log((2 + 1.0 * 2 / 6) / (3 + 1.0)) // P(b|a)
+    val lpBA = math.log((1 + 1.0 * 3 / 6) / (2 + 1.0)) // P(a|b)
+    assert(got(1L)._1 == 2L && math.abs(got(1L)._2 - (lpAB + lpBA) / 2) < 1e-12)
+    assert(got(2L)._1 == 1L && math.abs(got(2L)._2 - lpAB) < 1e-12)
+    // single-token doc: no bigrams → (0, NULL), coverage kept
+    assert(got(3L)._1 == 0L && got(3L)._2.isNaN)
+  }
+
   test("incrementalExactBloom: identical result to incrementalExact; empty index passes all") {
     import spark.implicits._
     val index = Dedup.exact(docs(), "text", "doc_id").select("fingerprint")
