@@ -61,6 +61,57 @@ object CurationStreams {
     }
   }
 
+  /** Continuous NEAR-dup-deduped ingest: the streaming twin of
+    * [[Dedup.incrementalMinhash]] — every micro-batch removes its
+    * in-batch near-dups (full exact-Jaccard verify; the batch's text is
+    * in hand) and probes the persisted BAND index at `indexDir` with one
+    * (band, sig) semi-join (candidate-level across batches, the LSH
+    * collision curve the caller tuned k/bands for). Survivors go to
+    * `sink`; their band rows are appended for the next batch.
+    *
+    * Same replay discipline as [[dedupedIngest]]: the index is
+    * epoch-partitioned, a replayed epoch probes only epochs < N and
+    * dynamically overwrites its own partition — replays are
+    * bit-identical, so an (epoch, id)-idempotent sink gets exactly-once
+    * content delivery. Scale shape per micro-batch: the batch is
+    * shingled ONCE; the index side streams (bands rows per corpus doc,
+    * short keys) — corpus text is never rescanned or even stored.
+    */
+  def nearDupIngest(docs: DataFrame, textCol: String, idCol: String,
+                    indexDir: String, sink: (DataFrame, Long) => Unit,
+                    threshold: Double = 0.8, shingleN: Int = 3,
+                    k: Int = 32, bands: Int = 8,
+                    portable: Boolean = false): DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(docs.isStreaming, "nearDupIngest expects a streaming frame; " +
+      "use Dedup.incrementalMinhash for batch ingest")
+    docs.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
+      val spark = batch.sparkSession
+      val sigType =
+        if (portable) org.apache.spark.sql.types.StringType
+        else org.apache.spark.sql.types.LongType
+      val index =
+        if (indexExists(spark, indexDir))
+          spark.read.parquet(indexDir)
+            .filter(col("epoch") < epoch)
+            .select("band", "sig")
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("band",
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("sig", sigType))))
+      val (kept, keptRows) = Dedup.incrementalMinhash(
+        batch, index, textCol, idCol, threshold, shingleN, k, bands, portable)
+      sink(kept, epoch)
+      keptRows.select(col("id"), col("band"), col("sig"))
+        .withColumn("epoch", lit(epoch))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch")
+        .parquet(indexDir)
+    }
+  }
+
   private def indexExists(spark: org.apache.spark.sql.SparkSession, dir: String): Boolean = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)

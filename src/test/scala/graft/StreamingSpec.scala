@@ -90,6 +90,41 @@ class StreamingSpec extends SparkTestBase {
     assert(idx.columns.contains("epoch"))
   }
 
+  test("nearDupIngest: cross-batch NEAR-dup dedup against an epoch-partitioned band index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ndingest").toString + "/bandidx"
+    // last-word variants: 12/14 word-3-shingles shared, Jaccard ~0.85 —
+    // same fixture shape CurationSpec's incrementalMinhash test pins
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val stream = MemoryStream[(Long, String)]
+    val sunk = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = graft.streaming.CurationStreams.nearDupIngest(
+        stream.toDF().toDF("doc_id", "text"), "text", "doc_id", dir,
+        (df, epoch) => sunk.synchronized {
+          sunk ++= df.select("doc_id").collect().map(r => epoch -> r.getLong(0))
+        },
+        threshold = 0.5)
+      .start()
+    try {
+      // batch 1: 2 is a near-dup of 1 (last word changed); 10 is distinct
+      stream.addData((1L, base), (2L, base.replace("today", "tonight")),
+        (10L, "completely different text about spark partitions and shuffles this year"))
+      q.processAllAvailable()
+      // batch 2: 3 is a near-dup of the SURVIVOR of batch 1 (index hit);
+      // 11 is new
+      stream.addData((3L, base.replace("today", "tonite")),
+        (11L, "yet another unrelated document on columnar storage formats right here"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(sunk.map(_._2).toSet == Set(1L, 10L, 11L), s"got $sunk")
+    // the band index holds rows only for survivors, epoch-partitioned
+    val idx = spark.read.parquet(dir)
+    assert(idx.columns.toSet == Set("id", "band", "sig", "epoch"))
+    assert(idx.select("id").distinct().collect().map(_.getLong(0)).toSet
+      == Set(1L, 10L, 11L))
+  }
+
   test("dedupedIngest: crash mid-epoch + checkpoint restart replays bit-identically") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
