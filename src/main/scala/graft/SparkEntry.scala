@@ -381,6 +381,125 @@ object SparkEntry {
       |group by s_name
       |order by numwait desc, s_name""".stripMargin
 
+  /** The fixture has no partsupp table, so the five TPC-H shapes that
+    * need one (Q2/Q9/Q11/Q16/Q20) derive it from lineitem's distinct
+    * (partkey, suppkey) pairs with ARITHMETIC availqty/supplycost —
+    * pure integer functions of the keys, so Spark and DuckDB build the
+    * identical table and every downstream comparison is exact.
+    * ps_supplycost is (integer % 99999)/100.0: a 2-decimal value whose
+    * double form round-trips through decimal(18,2) losslessly.
+    */
+  private val partsuppCte: String =
+    """partsupp as (
+      |  select l_partkey as ps_partkey, l_suppkey as ps_suppkey,
+      |    cast((l_partkey * 31 + l_suppkey * 17) % 1000 + 1 as int) as ps_availqty,
+      |    cast((l_partkey * 7 + l_suppkey * 13) % 99999 as double) / 100.0 as ps_supplycost
+      |  from lineitem group by l_partkey, l_suppkey
+      |)""".stripMargin
+
+  /** TPC-H Q2 shape (minimum cost supplier): correlated scalar MIN
+    * subquery that itself carries a 3-way dimension join — the deepest
+    * decorrelation in the suite. The cost equality is exact (both sides
+    * compute the same arithmetic double).
+    */
+  private[graft] val tpchQ2Sql: String =
+    s"""with $partsuppCte
+       |select s_acctbal, s_name, n_name, p_partkey, p_name, ps_supplycost
+       |from part
+       |join partsupp on p_partkey = ps_partkey
+       |join supplier on s_suppkey = ps_suppkey
+       |join nation on s_nationkey = n_nationkey
+       |join region on n_regionkey = r_regionkey
+       |where p_size = 15 and p_type = 'STANDARD' and r_name = 'EUROPE'
+       |  and ps_supplycost = (select min(ps2.ps_supplycost)
+       |      from partsupp ps2
+       |      join supplier s2 on s2.s_suppkey = ps2.ps_suppkey
+       |      join nation n2 on s2.s_nationkey = n2.n_nationkey
+       |      join region r2 on n2.n_regionkey = r2.r_regionkey
+       |      where ps2.ps_partkey = p_partkey and r2.r_name = 'EUROPE')
+       |order by s_acctbal desc, n_name, s_name, p_partkey
+       |limit 100""".stripMargin
+
+  /** TPC-H Q9 shape (product type profit): 6-way join with a profit
+    * expression SUBTRACTING two decimal products — kept in decimal(38,4)
+    * end to end so the sum is order-independent on both engines.
+    */
+  private[graft] val tpchQ9Sql: String =
+    s"""with $partsuppCte
+       |select nation, o_year, cast(sum(amount) as double) as sum_profit
+       |from (
+       |  select n_name as nation, year(o_orderdate) as o_year,
+       |    cast(cast(l_extendedprice as decimal(18,2)) * cast(1 - l_discount as decimal(18,2)) as decimal(38,4))
+       |    - cast(cast(ps_supplycost as decimal(18,2)) * cast(l_quantity as decimal(18,2)) as decimal(38,4)) as amount
+       |  from lineitem
+       |  join part on p_partkey = l_partkey
+       |  join partsupp on ps_partkey = l_partkey and ps_suppkey = l_suppkey
+       |  join orders on o_orderkey = l_orderkey
+       |  join supplier on s_suppkey = l_suppkey
+       |  join nation on s_nationkey = n_nationkey
+       |  where p_name like '%red%'
+       |) profit
+       |group by nation, o_year
+       |order by nation, o_year desc""".stripMargin
+
+  /** TPC-H Q11 shape (important stock): HAVING over a scalar subquery
+    * that re-aggregates the SAME CTE — group value vs a fraction of the
+    * grand total. Both sides are exact decimal sums cast to double once;
+    * measured data-to-threshold margin ≥ 25.0 at every sf (vs ~1e-9 fp
+    * noise on the 1e-4 scaling).
+    */
+  private[graft] val tpchQ11Sql: String =
+    s"""with $partsuppCte,
+       |natsupp as (
+       |  select ps_partkey, ps_supplycost, ps_availqty
+       |  from partsupp join supplier on ps_suppkey = s_suppkey
+       |  join nation on s_nationkey = n_nationkey
+       |  join region on n_regionkey = r_regionkey
+       |  where r_name = 'EUROPE')
+       |select ps_partkey,
+       |  cast(sum(cast(cast(ps_supplycost as decimal(18,2)) * ps_availqty as decimal(38,2))) as double) as value
+       |from natsupp
+       |group by ps_partkey
+       |having cast(sum(cast(cast(ps_supplycost as decimal(18,2)) * ps_availqty as decimal(38,2))) as double)
+       |  > (select cast(sum(cast(cast(ps_supplycost as decimal(18,2)) * ps_availqty as decimal(38,2))) as double) * 0.0001
+       |     from natsupp)
+       |order by value desc, ps_partkey""".stripMargin
+
+  /** TPC-H Q16 shape (parts/supplier relationship): NOT IN anti-join
+    * (null-free key, so no null-aware penalty) + COUNT(DISTINCT) over a
+    * multi-attribute group. s_acctbal < 0 stands in for the reference's
+    * comment-LIKE supplier blacklist (fixture has no s_comment).
+    */
+  private[graft] val tpchQ16Sql: String =
+    s"""with $partsuppCte
+       |select p_brand, p_type, p_size, count(distinct ps_suppkey) as supplier_cnt
+       |from partsupp join part on p_partkey = ps_partkey
+       |where p_brand <> 'Brand#5' and p_type <> 'PROMO'
+       |  and p_size in (1, 5, 10, 15, 20, 25, 30, 35)
+       |  and ps_suppkey not in (select s_suppkey from supplier where s_acctbal < 0.0)
+       |group by p_brand, p_type, p_size
+       |order by supplier_cnt desc, p_brand, p_type, p_size""".stripMargin
+
+  /** TPC-H Q20 shape (potential part promotion): IN-chain nesting three
+    * levels deep with a correlated scalar SUM on the innermost —
+    * availqty (int) vs half the shipped quantity (integral-double
+    * halves; exact on both engines).
+    */
+  private[graft] val tpchQ20Sql: String =
+    s"""with $partsuppCte
+       |select s_name, s_acctbal
+       |from supplier join nation on s_nationkey = n_nationkey
+       |join region on n_regionkey = r_regionkey
+       |where r_name = 'EUROPE'
+       |  and s_suppkey in (
+       |    select ps_suppkey from partsupp
+       |    where ps_partkey in (select p_partkey from part where p_name like 'red%')
+       |      and ps_availqty > (select 0.5 * sum(l_quantity) from lineitem
+       |           where l_partkey = ps_partkey and l_suppkey = ps_suppkey
+       |             and l_shipdate >= timestamp '1996-01-01 00:00:00'
+       |             and l_shipdate < timestamp '1997-01-01 00:00:00'))
+       |order by s_name""".stripMargin
+
   private final case class Q(
       name: String,
       fn: (SparkSession, String) => DataFrame,
@@ -608,7 +727,27 @@ object SparkEntry {
 
     Q("q78_tpch_q21",
       (s, d) => mgr(s, d).sql2ddf(tpchQ21Sql).df,
-      Some(tpchQ21Sql))
+      Some(tpchQ21Sql)),
+
+    Q("q79_tpch_q2",
+      (s, d) => mgr(s, d).sql2ddf(tpchQ2Sql).df,
+      Some(tpchQ2Sql)),
+
+    Q("q80_tpch_q9",
+      (s, d) => mgr(s, d).sql2ddf(tpchQ9Sql).df,
+      Some(tpchQ9Sql)),
+
+    Q("q81_tpch_q11",
+      (s, d) => mgr(s, d).sql2ddf(tpchQ11Sql).df,
+      Some(tpchQ11Sql)),
+
+    Q("q82_tpch_q16",
+      (s, d) => mgr(s, d).sql2ddf(tpchQ16Sql).df,
+      Some(tpchQ16Sql)),
+
+    Q("q83_tpch_q20",
+      (s, d) => mgr(s, d).sql2ddf(tpchQ20Sql).df,
+      Some(tpchQ20Sql))
   )
 
   // =====================================================================

@@ -351,8 +351,9 @@ class ScaleSpec extends SparkTestBase {
     import spark.implicits._
     val dir = "target/tmp-tpch-planpin"
     val part = (1 to 20).map(k =>
-        (k.toLong, s"Brand#${k % 5 + 1}", k, if (k % 2 == 0) "PROMO" else "STANDARD"))
-      .toDF("p_partkey", "p_brand", "p_size", "p_type")
+        (k.toLong, s"Brand#${k % 5 + 1}", k, if (k % 2 == 0) "PROMO" else "STANDARD",
+          if (k % 3 == 0) s"red widget $k" else s"blue bolt $k"))
+      .toDF("p_partkey", "p_brand", "p_size", "p_type", "p_name")
     val lineitem = (for (o <- 1 to 50; ln <- 1 to 3) yield (
         o.toLong, ((o * 3 + ln) % 20 + 1).toLong, (o % 10 + 1).toLong,
         ((o + ln) % 50 + 1).toDouble, 100.0 + o, 0.05,
@@ -365,9 +366,13 @@ class ScaleSpec extends SparkTestBase {
       .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "o_orderpriority")
     val customer = (1 to 10).map(k => (k.toLong, s"c$k", k % 5, 100.0 * k))
       .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal")
-    val supplier = (1 to 10).map(k => (k.toLong, s"s$k")).toDF("s_suppkey", "s_name")
+    val supplier = (1 to 10).map(k => (k.toLong, s"s$k", k % 5, 100.0 * k - 250.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val nation = (0 to 4).map(k => (k, s"NATION_$k", k % 2)).toDF("n_nationkey", "n_name", "n_regionkey")
+    val region = Seq((0, "EUROPE"), (1, "AMERICA")).toDF("r_regionkey", "r_name")
     Seq("part" -> part, "lineitem" -> lineitem, "orders" -> orders,
-        "customer" -> customer, "supplier" -> supplier)
+        "customer" -> customer, "supplier" -> supplier,
+        "nation" -> nation, "region" -> region)
       .foreach { case (n, df) =>
         df.write.mode("overwrite").parquet(s"$dir/$n")
         spark.read.parquet(s"$dir/$n").createOrReplaceTempView(n)
@@ -459,6 +464,68 @@ class ScaleSpec extends SparkTestBase {
       assert(partScans.nonEmpty && partScans.forall(_.metadata("PushedFilters").contains("p_brand")),
         s"the part-side disjunction must push: " +
           partScans.map(_.metadata("PushedFilters")).mkString("; "))
+      df.collect()
+    }
+  }
+
+  test("tpch q79 (Q2): correlated min-cost subquery decorrelates — no nested loop") {
+    tpchPinDir
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      val df = spark.sql(SparkEntry.tpchQ2Sql)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"correlated min must decorrelate to joins:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"), s"dimension chain must broadcast:\n$plan")
+      df.collect()
+    }
+  }
+
+  test("tpch q80 (Q9): p_name filter pushes to the part scan; profit joins never nested-loop") {
+    tpchPinDir
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      val df = spark.sql(SparkEntry.tpchQ9Sql)
+      val partScans = df.queryExecution.executedPlan.collectLeaves().collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("planpin/part")) => s
+      }
+      assert(partScans.nonEmpty && partScans.forall(_.metadata("PushedFilters").contains("p_name")),
+        s"p_name LIKE must push: ${partScans.map(_.metadata("PushedFilters")).mkString("; ")}")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+      df.collect()
+    }
+  }
+
+  test("tpch q81 (Q11): grand-total threshold is ONE reused scalar aggregate, no nested loop") {
+    tpchPinDir
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      val df = spark.sql(SparkEntry.tpchQ11Sql)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"HAVING scalar subquery must stay a scalar broadcast:\n$plan")
+      df.collect()
+    }
+  }
+
+  test("tpch q82 (Q16): NOT IN on a null-free key plans as an anti-join, not a nested loop") {
+    tpchPinDir
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      val df = spark.sql(SparkEntry.tpchQ16Sql)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("LeftAnti"), s"NOT IN must plan as an anti-join:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+      df.collect()
+    }
+  }
+
+  test("tpch q83 (Q20): the IN-chain plans as stacked semi-joins; correlated sum decorrelates") {
+    tpchPinDir
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      val df = spark.sql(SparkEntry.tpchQ20Sql)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("LeftSemi"), s"IN must plan as semi-join:\n$plan")
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"correlated availqty sum must decorrelate:\n$plan")
       df.collect()
     }
   }
