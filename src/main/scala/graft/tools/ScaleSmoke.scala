@@ -116,6 +116,27 @@ object ScaleSmoke {
         blowEvents(f).write.mode("overwrite").parquet(s"$tmp/ev_$f")
         spark.read.parquet(s"$tmp/ev_$f")
       }
+      // blow fact AND part-dimension keys so the derived partsupp
+      // (distinct partkey×suppkey pairs) grows linearly too — the whole
+      // 6-way join tree scales, not just the probe side. Registered once
+      // per factor (lazy): min-of-N times the QUERY, not the blow+write.
+      lazy val tpchViews: Unit = {
+        def blow(df: DataFrame, offs: Map[String, Long]): DataFrame =
+          (0 until f).map(i => df.select(df.columns.map(c =>
+            offs.get(c).map(o => (col(c) + lit(i * o)).as(c)).getOrElse(col(c))): _*))
+            .reduce(_ unionAll _)
+        Seq(
+          ("lineitem", Map("l_orderkey" -> 1000000000L, "l_partkey" -> 1000000L)),
+          ("orders", Map("o_orderkey" -> 1000000000L)),
+          ("part", Map("p_partkey" -> 1000000L))
+        ).foreach { case (t, offs) =>
+          blow(spark.read.parquet(s"$sfDir/$t.parquet"), offs)
+            .write.mode("overwrite").parquet(s"$tmp/${t}_$f")
+          spark.read.parquet(s"$tmp/${t}_$f").createOrReplaceTempView(t)
+        }
+        Seq("supplier", "nation", "region").foreach(t =>
+          spark.read.parquet(s"$sfDir/$t.parquet").createOrReplaceTempView(t))
+      }
       Seq(
         "minhash_dedup(d02)" -> (() =>
           graft.pipeline.Dedup.minhashDedup(d, "text", "doc_id", threshold = 0.5).count()),
@@ -177,7 +198,8 @@ object ScaleSmoke {
           val hf = graft.pipeline.TextAnalysis.hashedTokenFeatures(
             d, "text", "doc_id", dim = 1 << 16)
           hf.agg(sum(size(col("indices")))).first().getLong(0)
-        }))
+        }),
+        "tpch_q9(q80)" -> (() => { tpchViews; spark.sql(graft.SparkEntry.tpchQ9Sql).count() }))
     }
 
     // SPARK_GRAFT_OPS=m02,e02 narrows by substring for local iteration
