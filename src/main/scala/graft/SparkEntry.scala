@@ -2354,6 +2354,33 @@ object SparkEntry {
              |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
              |ORDER BY click_id, purchase_id""".stripMargin)),
 
+    Q("e03_json_extract",
+      (s, d) => {
+        val m = mgr(s, d)
+        // JSON string column → typed struct with an EXPLICIT schema
+        // (one codegen'd parse per row, no inference job); integer sums
+        // are exact on both engines. NULL-parse tolerance is part of
+        // the contract: n counts all rows, n_parsed the parseable ones.
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType)))
+        operators.Semistructured.extractJson(
+            m.getDDFByName("events").df, "props", schema)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            count(col("json.k")).as("n_parsed"),
+            sum(col("json.k")).as("sum_k"),
+            min(col("json.k")).as("min_k"),
+            max(col("json.k")).as("max_k"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  count(cast(json_extract_string(props, '$.k') AS int)) AS n_parsed,
+             |  cast(sum(cast(json_extract_string(props, '$.k') AS int)) AS bigint) AS sum_k,
+             |  min(cast(json_extract_string(props, '$.k') AS int)) AS min_k,
+             |  max(cast(json_extract_string(props, '$.k') AS int)) AS max_k
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     Q("s01_sessionize",
       (s, d) => {
         val m = mgr(s, d)

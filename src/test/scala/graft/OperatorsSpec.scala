@@ -304,4 +304,30 @@ class OperatorsSpec extends SparkTestBase {
     val sn = Views.hashSample(strided, "k", 100).df.count()
     assert(sn > 100 && sn < 320, s"~10% of 2000 stride-1000 keys expected, got $sn")
   }
+
+  test("semistructured: extractJson parses with schema, nulls malformed rows; inference recovers fields") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val df = Seq(
+      (1L, """{"k": 7, "tag": "a"}"""),
+      (2L, """{"k": 9}"""),
+      (3L, "not json at all"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("id", "props")
+    val schema = StructType(Seq(StructField("k", IntegerType), StructField("tag", StringType)))
+    val out = Semistructured.extractJson(df, "props", schema).orderBy("id").collect()
+    assert(out(0).getStruct(2).getInt(0) == 7 && out(0).getStruct(2).getString(1) == "a")
+    assert(out(1).getStruct(2).getInt(0) == 9 && out(1).getStruct(2).isNullAt(1))
+    assert(out(2).isNullAt(2) || out(2).getStruct(2).isNullAt(0),
+      "malformed JSON must yield a null struct, not an exception")
+    assert(out(3).isNullAt(2))
+    // ad-hoc path extraction
+    val p = Semistructured.jsonPath(df, "props", "$.tag", "tag").orderBy("id").collect()
+    assert(p(0).getString(2) == "a" && p(1).isNullAt(2))
+    // bounded-sample inference recovers both fields with usable types
+    val inferred = Semistructured.inferJsonSchema(df, "props", sampleN = 10)
+    assert(inferred.fieldNames.toSet.intersect(Set("k", "tag")) == Set("k", "tag"),
+      s"inferred: $inferred")
+    intercept[IllegalArgumentException](Semistructured.inferJsonSchema(df, "props", 0))
+  }
 }
