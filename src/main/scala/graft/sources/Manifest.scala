@@ -1,0 +1,90 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Content manifest for parquet corpora — the reproducibility/audit
+  * layer a training-data publish needs: after writing a curated corpus,
+  * record per-shard row counts and an order-independent content hash,
+  * so any later consumer (or a re-run of the pipeline) can verify the
+  * corpus is bit-for-bit the one that was published without trusting
+  * file sizes or mtimes.
+  *
+  * Scale stance: the verification scan is one distributed pass
+  * (xxhash64 per row folded with bit_xor per file — commutative, so no
+  * ordering requirement and full map-side aggregation); only the
+  * per-FILE summary (#files rows, not #rows) ever reaches the driver.
+  * The manifest itself is a single JSON file beside the data.
+  */
+object Manifest {
+
+  val ManifestFile = "_graft_manifest.json"
+
+  /** Per-file (basename, rows, xor-folded xxhash64 of all columns).
+    * Basenames (not absolute paths) so the manifest survives a
+    * directory move or bucket rename.
+    */
+  private def shardSummary(back: DataFrame): DataFrame = {
+    val cols = back.columns.map(col)
+    back
+      .withColumn("__file", element_at(split(input_file_name(), "/"), -1))
+      .withColumn("__h", xxhash64(cols: _*))
+      .groupBy("__file")
+      .agg(count(lit(1)).as("rows"), expr("bit_xor(__h)").as("content_hash"))
+      .select(col("__file").as("file"), col("rows"), col("content_hash"))
+  }
+
+  /** Write `df` to `path` as parquet, then scan it back and write a
+    * manifest JSON recording per-shard rows + content hashes and the
+    * corpus totals. Returns the shard summary.
+    */
+  def writeWithManifest(df: DataFrame, path: String): DataFrame = {
+    df.write.mode("overwrite").parquet(path)
+    val spark = df.sparkSession
+    val summary = shardSummary(spark.read.parquet(path))
+    val entries = summary.collect() // one row per FILE — config-sized
+    val totalRows = entries.map(_.getAs[Long]("rows")).sum
+    val corpusHash = entries.map(_.getAs[Long]("content_hash")).foldLeft(0L)(_ ^ _)
+    val json = entries.sortBy(_.getAs[String]("file")).map { r =>
+      s"""{"file":"${r.getAs[String]("file")}","rows":${r.getAs[Long]("rows")},""" +
+        s""""content_hash":${r.getAs[Long]("content_hash")}}"""
+    }.mkString(
+      s"""{"total_rows":$totalRows,"corpus_hash":$corpusHash,"shards":[""",
+      ",", "]}\n")
+    val p = new org.apache.hadoop.fs.Path(path, ManifestFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    summary
+  }
+
+  /** Re-scan `path` and compare against its stored manifest. Returns a
+    * per-shard status frame (file, manifest_rows, actual_rows,
+    * manifest_hash, actual_hash, ok) — a full-outer join, so shards
+    * that VANISHED since publish and shards that APPEARED both surface
+    * (with nulls on the missing side and ok = false).
+    */
+  def verifyManifest(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(path, ManifestFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no $ManifestFile under $path")
+    val in = fs.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val stored = spark.read.json(Seq(text).toDS())
+      .select(explode(col("shards")).as("s"))
+      .select(col("s.file").as("file"), col("s.rows").as("manifest_rows"),
+        col("s.content_hash").as("manifest_hash"))
+    val actual = shardSummary(spark.read.parquet(path))
+      .withColumnRenamed("rows", "actual_rows")
+      .withColumnRenamed("content_hash", "actual_hash")
+    stored.join(actual, Seq("file"), "full_outer")
+      .withColumn("ok",
+        col("manifest_rows") === col("actual_rows") &&
+          col("manifest_hash") === col("actual_hash"))
+      .withColumn("ok", coalesce(col("ok"), lit(false)))
+  }
+}

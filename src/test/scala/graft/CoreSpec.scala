@@ -180,4 +180,43 @@ class CoreSpec extends SparkTestBase {
     assert(ddf.schema("V3").dataType.simpleString == "double")
     assert(ddf.numRows == 5)
   }
+
+  test("manifest: publish-verify roundtrip; tampered and vanished shards both surface") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, sum}
+    import graft.sources.Manifest
+    val dir = Files.createTempDirectory("graft_manifest").toString + "/corpus"
+    val df = (1L to 500L).map(i => (i, s"doc $i")).toDF("id", "text").repartition(4)
+    val summary = Manifest.writeWithManifest(df, dir)
+    assert(summary.count() == 4, "one manifest entry per shard")
+    assert(summary.agg(sum("rows")).first().getLong(0) == 500L)
+    // pristine corpus verifies clean
+    val v1 = Manifest.verifyManifest(spark, dir)
+    assert(v1.count() == 4 && v1.filter(!col("ok")).count() == 0)
+    // tamper: rewrite one shard with different content, same name
+    val shard = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .minBy(_.getName)
+    val replacement = Seq((999999L, "evil")).toDF("id", "text").coalesce(1)
+    val tmpOut = Files.createTempDirectory("graft_manifest_t").toString
+    replacement.write.mode("overwrite").parquet(tmpOut)
+    val newFile = new java.io.File(tmpOut).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.copy(newFile.toPath, shard.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // drop Hadoop LocalFS's .crc sidecar — otherwise the read fails on
+    // the checksum BEFORE our content verify runs (object stores, the
+    // production target, have no such sidecar)
+    new java.io.File(shard.getParentFile, s".${shard.getName}.crc").delete()
+    val v2 = Manifest.verifyManifest(spark, dir)
+    val bad = v2.filter(!col("ok")).collect()
+    assert(bad.length == 1 && bad.head.getAs[String]("file") == shard.getName,
+      s"tampered shard must be the one flagged: ${bad.mkString(",")}")
+    // vanish: delete the shard entirely — verify must surface it with a
+    // null actual side, not silently pass on the survivors
+    assert(shard.delete())
+    val v3 = Manifest.verifyManifest(spark, dir)
+    val gone = v3.filter(!col("ok")).collect()
+    assert(gone.length == 1 && gone.head.isNullAt(gone.head.fieldIndex("actual_rows")))
+  }
 }
