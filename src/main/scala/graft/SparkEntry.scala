@@ -2280,6 +2280,37 @@ object SparkEntry {
               |FROM g GROUP BY token HAVING count(*) >= 5
               |ORDER BY token""".stripMargin)),
 
+    Q("t14_token_ids",
+      (s, d) => {
+        val m = mgr(s, d)
+        // vocabulary → frequency-ranked ids → per-doc id sequences; the
+        // rank's (term_count desc, token) tiebreak is a total order, so
+        // the oracle's row_number reproduces it exactly. token_ids is
+        // emitted as a comma string — oracle outputs are scalar-typed
+        val docs = m.getDDFByName("documents").df
+        val ranked = pipeline.TextAnalysis.rankVocabulary(
+          pipeline.TextAnalysis.vocabulary(docs, "text", "doc_id", minDocFreq = 5))
+        pipeline.TextAnalysis.encodeTokens(docs, "text", "doc_id", ranked)
+          .select(col("id").as("doc_id"), col("n_tokens"),
+            concat_ws(",", col("token_ids")).as("token_ids"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH dt AS (SELECT doc_id, ${duckToks("text")} AS toks FROM documents),
+              |v0 AS (SELECT doc_id, unnest(toks) AS token FROM dt),
+              |g AS (SELECT token, doc_id, count(*) AS c FROM v0 GROUP BY 1, 2),
+              |v AS (SELECT token, sum(c) AS term_count FROM g GROUP BY token
+              |      HAVING count(*) >= 5),
+              |r AS (SELECT token,
+              |    cast(row_number() OVER (ORDER BY term_count DESC, token) - 1 AS int) AS tid
+              |  FROM v),
+              |ex AS (SELECT doc_id, i AS pos, toks[i] AS token
+              |  FROM dt, unnest(range(1, len(toks) + 1)) AS u(i)),
+              |j AS (SELECT doc_id, pos, coalesce(r.tid, -1) AS tid
+              |  FROM ex LEFT JOIN r USING (token))
+              |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+              |  string_agg(tid::varchar, ',' ORDER BY pos) AS token_ids
+              |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     Q("t07_chunking",
       (s, d) => {
         val m = mgr(s, d)

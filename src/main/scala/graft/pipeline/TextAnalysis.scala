@@ -287,6 +287,54 @@ object TextAnalysis {
       .groupBy("token").agg(count(lit(1)).as("doc_freq"), sum("__c").as("term_count"))
       .filter(col("doc_freq") >= minDocFreq)
 
+  /** Assign frequency-ranked integer ids to a [[vocabulary]] frame:
+    * rank 0 = highest term_count, ties broken by token string (a total
+    * order, so ids are deterministic). Output: (token, tid int).
+    *
+    * The global ranking is a DISTRIBUTED range-partitioned sort +
+    * `zipWithIndex` (per-partition offsets from one count job) — NOT an
+    * unpartitioned row_number window, which would drag the whole vocab
+    * through a single task (the fillDirectional lesson; a web-scale
+    * vocab is tens of millions of tokens).
+    */
+  def rankVocabulary(vocab: DataFrame): DataFrame = {
+    val spark = vocab.sparkSession
+    import spark.implicits._
+    vocab.select(col("token"), col("term_count"))
+      .sort(desc("term_count"), asc("token"))
+      .select("token").as[String]
+      .rdd.zipWithIndex()
+      .map { case (t, i) => (t, i.toInt) }
+      .toDF("token", "tid")
+  }
+
+  /** Encode each document's token sequence as vocabulary ids — the step
+    * between [[vocabulary]] and a training loader. Out-of-vocabulary
+    * tokens get `oovId`. Output: (id, n_tokens, token_ids array<int>,
+    * ids in document token order); docs with zero tokens are absent
+    * (explode semantics — mirror of the oracle's unnest).
+    *
+    * Scale shape: one posexplode, one token-keyed LEFT join to the
+    * ranked vocab (vocab-sized side — AQE broadcasts when it fits), one
+    * per-doc reassembly groupBy; the sort back to document order is an
+    * `array_sort` over each doc's own (pos, tid) structs, never a
+    * global window.
+    */
+  def encodeTokens(df: DataFrame, textCol: String, idCol: String,
+                   rankedVocab: DataFrame, oovId: Int = -1): DataFrame = {
+    require(rankedVocab.columns.contains("token") && rankedVocab.columns.contains("tid"),
+      s"rankedVocab needs (token, tid) — got ${rankedVocab.columns.mkString(",")}; " +
+        "build it with rankVocabulary(vocabulary(...))")
+    df.select(col(idCol).as("id"),
+        posexplode(expr(tokensExpr(textCol))).as(Seq("pos", "token")))
+      .join(rankedVocab.select("token", "tid"), Seq("token"), "left")
+      .withColumn("tid", coalesce(col("tid"), lit(oovId)))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        expr("transform(array_sort(collect_list(struct(pos, tid))), x -> x.tid)")
+          .as("token_ids"))
+  }
+
   /** Per-document mean unigram log-probability under the corpus's own
     * unigram model — the in-engine stand-in for the LM-perplexity quality
     * signal (CCNet/Dolma bucket documents by perplexity; a corpus unigram

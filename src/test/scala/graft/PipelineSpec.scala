@@ -768,4 +768,32 @@ class PipelineSpec extends SparkTestBase {
     assert(row.getAs[scala.collection.Seq[Float]]("features").toSeq ==
       Seq(8000f, 1f, 5f, 16f, -20f, 220f, 300f, 2f))
   }
+
+  test("encodeTokens: frequency-ranked ids in document order, OOV marked, empty docs absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "b a a c b a"),     // a:3 b:2 c:1
+      (2L, "a b zzz"),         // zzz below minDocFreq → OOV
+      (3L, "   "),             // no tokens → absent from output
+      (4L, "c c b")
+    ).toDF("doc_id", "text")
+    val vocab = TextAnalysis.vocabulary(docs, "text", "doc_id", minDocFreq = 2)
+    val ranked = TextAnalysis.rankVocabulary(vocab).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    // term counts: a=4 (docs 1,2), b=4 (docs 1,2,4), c=3 but doc_freq(c)=2 ok
+    // rank by (term_count desc, token): a=4,b=4 tie → a:0, b:1; c:2
+    assert(ranked == Map("a" -> 0, "b" -> 1, "c" -> 2), s"got $ranked")
+    val out = TextAnalysis.encodeTokens(docs, "text", "doc_id",
+        TextAnalysis.rankVocabulary(vocab))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getAs[scala.collection.Seq[Int]]("token_ids").toSeq)).toMap
+    assert(out.keySet == Set(1L, 2L, 4L), "empty doc 3 must be absent")
+    assert(out(1L) == (6L, Seq(1, 0, 0, 2, 1, 0)), s"got ${out(1L)}")
+    assert(out(2L) == (3L, Seq(0, 1, -1)), "zzz must encode as OOV -1")
+    assert(out(4L) == (3L, Seq(2, 2, 1)))
+    // malformed ranked-vocab frame fails fast
+    intercept[IllegalArgumentException] {
+      TextAnalysis.encodeTokens(docs, "text", "doc_id", docs)
+    }
+  }
 }
