@@ -190,4 +190,20 @@ final class DDF(
       .select(org.apache.spark.sql.functions.col("id").as(idCol))
     derive(df.join(keep, Seq(idCol), "left_semi"))
   }
+  /** Encode the corpus against its own frequency-ranked vocabulary —
+    * the last transform before a training loader. See
+    * `TextAnalysis.encodeTokens` for the scale shape.
+    */
+  def tokenIds(textCol: String, idCol: String, minDocFreq: Long = 1L,
+               oovId: Int = -1): DDF = {
+    val ranked = graft.pipeline.TextAnalysis.rankVocabulary(
+      graft.pipeline.TextAnalysis.vocabulary(df, textCol, idCol, minDocFreq))
+    derive(graft.pipeline.TextAnalysis.encodeTokens(df, textCol, idCol, ranked, oovId))
+  }
+  /** Terminal step of a curation chain: write the corpus as parquet
+    * plus a per-shard content manifest, so consumers can verify the
+    * publish bit-for-bit (`Manifest.verifyManifest`).
+    */
+  def publish(path: String): DDF =
+    derive(graft.sources.Manifest.writeWithManifest(df, path))
 }

@@ -53,4 +53,27 @@ class DemoSpec extends SparkTestBase {
     // enrichment must COVER the surviving corpus (same contract as t01)
     assert(out.df.filter(col("lang_pred").isNull).count() == 0)
   }
+
+  test("facade: tokenIds encodes the corpus; publish writes a verifiable manifest") {
+    val m = new graft.core.DDFManager(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val enc = m.register(docs).tokenIds("text", "doc_id", minDocFreq = 5)
+    // every doc with tokens is encoded; ids cover [−1, vocabSize)
+    assert(enc.df.count() > 0)
+    val vocabSize = graft.pipeline.TextAnalysis.vocabulary(
+      docs, "text", "doc_id", minDocFreq = 5).count()
+    val idBounds = enc.df
+      .select(org.apache.spark.sql.functions.explode(col("token_ids")).as("tid"))
+      .agg(org.apache.spark.sql.functions.min("tid"),
+        org.apache.spark.sql.functions.max("tid")).first()
+    assert(idBounds.getInt(0) >= -1 && idBounds.getInt(1) < vocabSize)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_demo_pub").toString + "/out"
+    val pub = m.register(docs).c4Filter("text", "doc_id", requireTerminalPunct = false)
+      .publish(dir)
+    assert(pub.df.agg(org.apache.spark.sql.functions.sum("rows")).first().getLong(0) ==
+      spark.read.parquet(dir).count())
+    val verify = graft.sources.Manifest.verifyManifest(spark, dir)
+    assert(verify.filter(!col("ok")).count() == 0, "fresh publish must verify clean")
+  }
 }
