@@ -199,7 +199,13 @@ object ScaleSmoke {
             d, "text", "doc_id", dim = 1 << 16)
           hf.agg(sum(size(col("indices")))).first().getLong(0)
         }),
-        "tpch_q9(q80)" -> (() => { tpchViews; spark.sql(graft.SparkEntry.tpchQ9Sql).count() }))
+        "tpch_q9(q80)" -> (() => { tpchViews; spark.sql(graft.SparkEntry.tpchQ9Sql).count() }),
+        "token_ids(t14)" -> (() => {
+          val ranked = graft.pipeline.TextAnalysis.rankVocabulary(
+            graft.pipeline.TextAnalysis.vocabulary(d, "text", "doc_id", minDocFreq = 5))
+          val enc = graft.pipeline.TextAnalysis.encodeTokens(d, "text", "doc_id", ranked)
+          enc.agg(sum(size(col("token_ids")))).first().getLong(0)
+        }))
     }
 
     // SPARK_GRAFT_OPS=m02,e02 narrows by substring for local iteration
