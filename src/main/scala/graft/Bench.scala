@@ -26,7 +26,7 @@ object Bench {
     "d11_incremental_minhash_fast", "a01_ann_brute", "t01_text_enrich",
     "t03_repetition", "t04_decontaminate", "t09_span_dedup",
     "c01_tfidf_topterms", "s01_sessionize", "j01_asof_join", "e02_interval_join",
-    "q67_tpch_q17", "q80_tpch_q9")
+    "q67_tpch_q17", "q80_tpch_q9", "e03_json_extract", "t14_token_ids")
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     .asInstanceOf[com.sun.management.OperatingSystemMXBean]
