@@ -126,9 +126,17 @@ object MLSupport {
     val r = df.agg(count(lit(1)).as("n"),
       dsum(x1).as("sx1"), dsum(x2).as("sx2"), dsum(y).as("sy"),
       dsum(x1 * x1).as("s11"), dsum(x1 * x2).as("s12"), dsum(x2 * x2).as("s22"),
-      dsum(x1 * y).as("s1y"), dsum(x2 * y).as("s2y")).first()
+      dsum(x1 * y).as("s1y"), dsum(x2 * y).as("s2y"),
+      count(x1).as("nx1"), count(x2).as("nx2"), count(y).as("ny")).first()
     val n = r.getLong(0).toDouble
     require(n > 0, "ridgeClosedForm2: empty input")
+    // fail loud on NULL cells: count(*) counts every row but the decimal
+    // sums skip null terms, so a partially-null column would silently
+    // skew the centered moments instead of erroring
+    require(r.getLong(9) == r.getLong(0) && r.getLong(10) == r.getLong(0) &&
+        r.getLong(11) == r.getLong(0),
+      s"ridgeClosedForm2: NULL cells in input ($x1Col/$x2Col/$yCol non-null counts " +
+        s"${r.getLong(9)}/${r.getLong(10)}/${r.getLong(11)} vs ${r.getLong(0)} rows) — fillNA first")
     def d(i: Int) = r.getDecimal(i).doubleValue()
     val (sx1, sx2, sy) = (d(1), d(2), d(3))
     val (s11, s12, s22, s1y, s2y) = (d(4), d(5), d(6), d(7), d(8))

@@ -179,19 +179,52 @@ object MissingData {
     */
   private[graft] def fillGlobalPass1(df: DataFrame, m: String, orderCol: String,
                                      cols: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    val spark = df.sparkSession
+    val n = spark.sessionState.conf.numShufflePartitions
+    // ONE shuffle: the range exchange. The in-partition running fill is
+    // a mapPartitions scan over the range-sorted rows — a
+    // Window.partitionBy(__pid) here would add a SECOND full-data hash
+    // exchange, because Catalyst cannot see that rows with equal
+    // spark_partition_id are already colocated. bfill materializes each
+    // partition to scan backwards — the same per-partition footprint
+    // the window's unboundedFollowing frame buffered.
     val parts = df.repartitionByRange(n, col(orderCol))
+      .sortWithinPartitions(orderCol)
       .withColumn("__pid", spark_partition_id())
-    val w0 = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
-    cols.foldLeft(parts) { (d, c) =>
-      val filled =
-        if (m == "ffill")
-          last(col(c), ignoreNulls = true).over(w0.rowsBetween(Window.unboundedPreceding, 0))
-        else
-          first(col(c), ignoreNulls = true).over(w0.rowsBetween(0, Window.unboundedFollowing))
-      d.withColumn(c, filled)
+    val schema = parts.schema
+    val idxs = cols.map(schema.fieldIndex).toArray
+    val forward = m == "ffill"
+    val filledRdd = parts.rdd.mapPartitions { it =>
+      def fillRow(vals: Array[Any], carry: Array[Any]): Unit = {
+        var k = 0
+        while (k < idxs.length) {
+          val fi = idxs(k)
+          if (vals(fi) == null) vals(fi) = carry(k) else carry(k) = vals(fi)
+          k += 1
+        }
+      }
+      if (forward) {
+        val carry = Array.fill[Any](idxs.length)(null)
+        it.map { r =>
+          val vals = r.toSeq.toArray
+          fillRow(vals, carry)
+          org.apache.spark.sql.Row.fromSeq(vals.toIndexedSeq)
+        }
+      } else {
+        val buf = it.toArray
+        val carry = Array.fill[Any](idxs.length)(null)
+        val out = new Array[org.apache.spark.sql.Row](buf.length)
+        var i = buf.length - 1
+        while (i >= 0) {
+          val vals = buf(i).toSeq.toArray
+          fillRow(vals, carry)
+          out(i) = org.apache.spark.sql.Row.fromSeq(vals.toIndexedSeq)
+          i -= 1
+        }
+        out.iterator
+      }
     }
+    spark.createDataFrame(filledRdd, schema)
   }
 
   private def fillGlobal(df: DataFrame, m: String, orderCol: String,

@@ -267,6 +267,11 @@ object Views {
   def deterministicShuffle(ddf: DDF, keyCol: String, salt: String,
                            numShards: Int): DDF = {
     require(numShards > 0, s"numShards must be positive, got $numShards")
+    // refuse rather than silently clobber caller data (the
+    // leakageSafeSplit column-collision rule)
+    Seq("__h", "shard", "seq").foreach(c =>
+      require(!ddf.df.columns.contains(c),
+        s"deterministicShuffle writes column '$c' but the input already has one — rename it first"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("__h"), col(keyCol))
     ddf.derive(ddf.df

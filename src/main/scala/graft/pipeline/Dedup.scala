@@ -254,6 +254,13 @@ object Dedup {
     signaturesNative(sh, k, portable = true)
 
   private def signaturesNative(sh: DataFrame, k: Int, portable: Boolean): DataFrame = {
+    // NULL array elements are dropped up front: the native loop skips
+    // them, so the caller-visible contract (and the agg equivalence
+    // reference below) must see the same element set — without this, a
+    // caller-supplied shingle frame containing nulls would hash
+    // xxhash64(NULL)=seed into every permutation's min on the agg path
+    // but not the native one
+    val cleaned = sh.withColumn("sh", expr("filter(sh, x -> x IS NOT NULL)"))
     val sig = org.apache.spark.sql.graftbridge.Bridge.column(
       graft.functions.MinHashAffine(
         org.apache.spark.sql.graftbridge.Bridge.expression(col("sh")), k, portable))
@@ -261,7 +268,7 @@ object Dedup {
     // extracted from the materialized array in the next one —
     // CollapseProject keeps the boundary (non-cheap, multiply-referenced),
     // so the O(shingles·k) loop runs once per row, not k times
-    sh.select(col("id"), sig.as("__mh"))
+    cleaned.select(col("id"), sig.as("__mh"))
       .filter(col("__mh").isNotNull)
       .select(col("id") +: (0 until k).map(i => col("__mh").getItem(i).as(s"h$i")): _*)
   }
@@ -278,6 +285,7 @@ object Dedup {
       else pmod(xxhash64(col("s")), lit(affineP))
     affineMinhash(
       sh.select(col("id"), explode(col("sh")).as("s"))
+        .filter(col("s").isNotNull) // match signaturesNative's null-skip
         .select(col("id"), base.as("H")),
       k)
   }

@@ -304,7 +304,11 @@ object TextAnalysis {
       .sort(desc("term_count"), asc("token"))
       .select("token").as[String]
       .rdd.zipWithIndex()
-      .map { case (t, i) => (t, i.toInt) }
+      .map { case (t, i) =>
+        // a wrapped Int would collide with encodeTokens' oovId space
+        require(i <= Int.MaxValue, s"vocabulary exceeds Int id range at '$t' (rank $i)")
+        (t, i.toInt)
+      }
       .toDF("token", "tid")
   }
 

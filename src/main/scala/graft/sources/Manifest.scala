@@ -20,9 +20,15 @@ object Manifest {
 
   val ManifestFile = "_graft_manifest.json"
 
-  /** Per-file (basename, rows, xor-folded xxhash64 of all columns).
-    * Basenames (not absolute paths) so the manifest survives a
-    * directory move or bucket rename.
+  /** Per-file (basename, rows, xor- AND sum-folded xxhash64 of all
+    * columns). Basenames (not absolute paths) so the manifest survives
+    * a directory move or bucket rename. TWO commutative folds because
+    * each alone has a blind spot: xor cancels on even multiplicities
+    * (shard [a,a] → 0 ← [b,b]), sum is weaker against crafted
+    * collisions — together a tamper must preserve both. The sum runs in
+    * decimal(38,0) so it never overflows (2⁶⁴·rows ≪ 10³⁸) and is
+    * serialized as a STRING in the manifest (JSON numbers would lose
+    * precision past 2⁵³).
     */
   private def shardSummary(back: DataFrame): DataFrame = {
     val cols = back.columns.map(col)
@@ -30,8 +36,10 @@ object Manifest {
       .withColumn("__file", element_at(split(input_file_name(), "/"), -1))
       .withColumn("__h", xxhash64(cols: _*))
       .groupBy("__file")
-      .agg(count(lit(1)).as("rows"), expr("bit_xor(__h)").as("content_hash"))
-      .select(col("__file").as("file"), col("rows"), col("content_hash"))
+      .agg(count(lit(1)).as("rows"), expr("bit_xor(__h)").as("content_hash"),
+        sum(col("__h").cast("decimal(38,0)")).cast("string").as("content_sum"))
+      .select(col("__file").as("file"), col("rows"), col("content_hash"),
+        col("content_sum"))
   }
 
   /** Write `df` to `path` as parquet, then scan it back and write a
@@ -45,11 +53,13 @@ object Manifest {
     val entries = summary.collect() // one row per FILE — config-sized
     val totalRows = entries.map(_.getAs[Long]("rows")).sum
     val corpusHash = entries.map(_.getAs[Long]("content_hash")).foldLeft(0L)(_ ^ _)
+    val corpusSum = entries.map(r => BigInt(r.getAs[String]("content_sum"))).sum
     val json = entries.sortBy(_.getAs[String]("file")).map { r =>
       s"""{"file":"${r.getAs[String]("file")}","rows":${r.getAs[Long]("rows")},""" +
-        s""""content_hash":${r.getAs[Long]("content_hash")}}"""
+        s""""content_hash":${r.getAs[Long]("content_hash")},""" +
+        s""""content_sum":"${r.getAs[String]("content_sum")}"}"""
     }.mkString(
-      s"""{"total_rows":$totalRows,"corpus_hash":$corpusHash,"shards":[""",
+      s"""{"total_rows":$totalRows,"corpus_hash":$corpusHash,"corpus_sum":"$corpusSum","shards":[""",
       ",", "]}\n")
     val p = new org.apache.hadoop.fs.Path(path, ManifestFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -77,14 +87,17 @@ object Manifest {
     val stored = spark.read.json(Seq(text).toDS())
       .select(explode(col("shards")).as("s"))
       .select(col("s.file").as("file"), col("s.rows").as("manifest_rows"),
-        col("s.content_hash").as("manifest_hash"))
+        col("s.content_hash").as("manifest_hash"),
+        col("s.content_sum").as("manifest_sum"))
     val actual = shardSummary(spark.read.parquet(path))
       .withColumnRenamed("rows", "actual_rows")
       .withColumnRenamed("content_hash", "actual_hash")
+      .withColumnRenamed("content_sum", "actual_sum")
     stored.join(actual, Seq("file"), "full_outer")
       .withColumn("ok",
         col("manifest_rows") === col("actual_rows") &&
-          col("manifest_hash") === col("actual_hash"))
+          col("manifest_hash") === col("actual_hash") &&
+          col("manifest_sum") === col("actual_sum"))
       .withColumn("ok", coalesce(col("ok"), lit(false)))
   }
 }

@@ -81,6 +81,13 @@ object EventStreams {
       s"empty interval: lowerMs $lowerMs > upperMs $upperMs")
     require(leftTs != rightTs,
       "left and right time columns must have distinct names (alias one side)")
+    // shared NON-key names would emit twice and make every downstream
+    // reference ambiguous — refuse at plan build, not first use
+    val shared = left.columns.toSet.intersect(right.columns.toSet)
+      .diff(keys.toSet) - leftTs - rightTs
+    require(shared.isEmpty,
+      s"intervalJoin: columns ${shared.mkString(", ")} exist on BOTH sides but are not " +
+        "equality keys — the joined frame would carry duplicate names; alias one side")
     val l = if (left.isStreaming) left.withWatermark(leftTs, leftWatermark) else left
     val r = if (right.isStreaming) right.withWatermark(rightTs, rightWatermark) else right
     // explicit side aliases: dataset-column references (`l(k)`) are

@@ -9,9 +9,14 @@ object Cleanup {
     try {
       import scala.jdk.CollectionConverters._
       val root = java.nio.file.Paths.get(dir)
-      if (java.nio.file.Files.exists(root))
-        java.nio.file.Files.walk(root).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: Exception => () })
+      if (java.nio.file.Files.exists(root)) {
+        // Files.walk holds open directory handles until closed
+        val stream = java.nio.file.Files.walk(root)
+        val all =
+          try stream.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          finally stream.close()
+        all.foreach(p =>
+          try java.nio.file.Files.deleteIfExists(p) catch { case _: Exception => () })
+      }
     } catch { case _: Exception => () }
 }

@@ -219,4 +219,30 @@ class CoreSpec extends SparkTestBase {
     val gone = v3.filter(!col("ok")).collect()
     assert(gone.length == 1 && gone.head.isNullAt(gone.head.fieldIndex("actual_rows")))
   }
+
+  test("manifest: even-multiplicity swap (xor blind spot) is still caught by the sum fold") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.sources.Manifest
+    // [a, a] vs [b, b]: same row count, and both xor-folds cancel to 0 —
+    // only the sum fold distinguishes them
+    val dir = Files.createTempDirectory("graft_manifest_xor").toString + "/corpus"
+    Manifest.writeWithManifest(
+      Seq((1L, "x"), (1L, "x")).toDF("id", "text").coalesce(1), dir)
+    val evil = Files.createTempDirectory("graft_manifest_xor_e").toString
+    Seq((2L, "y"), (2L, "y")).toDF("id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(evil)
+    val shard = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+    val donor = new java.io.File(evil).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.copy(donor.toPath, shard.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    new java.io.File(shard.getParentFile, s".${shard.getName}.crc").delete()
+    val v = Manifest.verifyManifest(spark, dir).collect()
+    assert(v.length == 1 && !v.head.getAs[Boolean]("ok"),
+      "the duplicated-row swap must fail verification via content_sum")
+    assert(v.head.getAs[Long]("manifest_rows") == v.head.getAs[Long]("actual_rows"),
+      "precondition: the tamper preserves the row count (xor+rows alone would pass)")
+  }
 }

@@ -307,12 +307,18 @@ class ScaleSpec extends SparkTestBase {
       (1, Some(1.0)), (2, None), (3, None), (4, None), (5, None), (6, Some(6.0)),
       (7, None), (8, None), (9, None), (10, Some(10.0)), (11, None), (12, None)
     ).toDF("t", "x")
-    // pass 1 is where every window lives — each must be partitioned
+    // pass 1 is a mapPartitions scan over ONE range exchange — no
+    // window at all (a Window.partitionBy(__pid) would hash-exchange
+    // the full data a second time), and exactly one shuffle
     val pass1 = MissingData.fillGlobalPass1(df, "ffill", "t", Seq("x"))
-    val wins = logicalWindows(pass1)
-    assert(wins.nonEmpty, "expected the in-partition fill window in pass 1")
-    assert(wins.forall(_.partitionSpec.nonEmpty),
-      s"global fill must not plan an unpartitioned Window:\n${pass1.queryExecution.optimizedPlan}")
+    assert(logicalWindows(pass1).isEmpty,
+      s"global fill pass 1 must not plan any Window:\n${pass1.queryExecution.optimizedPlan}")
+    // the shuffle lives in the RDD lineage (pass 1 ends at a
+    // mapPartitions over the range exchange) — count it there
+    val shuffles = "ShuffledRowRDD".r.findAllIn(pass1.rdd.toDebugString).length
+    assert(shuffles == 1,
+      s"global fill pass 1 must shuffle exactly once, got $shuffles:\n" +
+        pass1.rdd.toDebugString)
     // end-to-end: identical to the single-task formulation's semantics
     val ff = MissingData.fillDirectional(m.register(df), "ffill", "t", Seq("x"))
       .df.orderBy("t").collect().map(r => if (r.isNullAt(1)) null else r.getDouble(1))

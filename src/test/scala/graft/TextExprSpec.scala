@@ -169,6 +169,20 @@ class TextExprSpec extends SparkTestBase {
       assert(native == agg, s"portable=$portable k=$k: native != aggregate minima")
       assert(native.nonEmpty)
     }
+    // a caller-supplied shingle frame with NULL elements: both paths
+    // must skip them identically (the null is NOT hashed as seed)
+    val withNulls = Seq((1L, Seq("a b c", null, "b c d")), (2L, Seq[String](null, null)))
+      .toDF("id", "sh")
+    val n1 = Dedup.minhashSignaturesFromShingles(withNulls, 8)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val a1 = Dedup.minhashSignaturesAgg(withNulls, 8, portable = false)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(n1 == a1, "null shingle elements must be skipped by BOTH paths")
+    assert(n1.keySet == Set(1L), "an all-null shingle array yields no signature")
+    val clean = Dedup.minhashSignaturesFromShingles(
+      Seq((1L, Seq("a b c", "b c d"))).toDF("id", "sh"), 8)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(n1 == clean, "nulls must not perturb the surviving elements' minima")
   }
 
   test("MinHashAffine: one signature evaluation per row (projection boundary holds)") {
