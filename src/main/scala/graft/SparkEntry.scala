@@ -2578,14 +2578,65 @@ object SparkEntry {
     Q("ml01_kmeans",
       (s, d) => {
         val m = mgr(s, d)
-        import org.apache.spark.ml.functions.array_to_vector
-        val emb = m.register(m.getDDFByName("embeddings").df
-          .withColumn("features", array_to_vector(col("embedding"))))
-        val model = ml.MLSupport.train(emb, "kmeans", Seq("features"), params = Map("k" -> 5))
-        val scored = ml.MLSupport.applyModel(emb, model)
-        scored.df.groupBy("yPredict").agg(count(lit(1)).as("n")).orderBy("yPredict")
+        import s.implicits._
+        val emb = m.getDDFByName("embeddings").df
+        // ML6 made oracle-exact by the a03 fixed-centroid move: k-means||
+        // init is engine RNG (that path stays spec-checked in MLSpec), so
+        // seed Lloyd from the first 5 corpus vectors and run 2
+        // deterministic update rounds. 5×64 doubles — config-size driver
+        // collect, not data-scale.
+        val init = emb.filter(col("vec_id") < 5).orderBy("vec_id")
+          .select("embedding").collect()
+          .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+        val (assigned, cents) = ml.MLSupport.lloydKMeans(emb, "embedding", "vec_id",
+          init, rounds = 2)
+        val cdf = s.createDataset(cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
+          .toDF("cell", "cv")
+        // per-cluster size + mean squared distance to the FINAL centroid,
+        // written in the oracle's exact operand order
+        // (dot(v,v) − 2·dot(v,c) + dot(c,c))
+        assigned.join(broadcast(cdf), "cell")
+          .withColumn("__sq",
+            functions.VectorFunctions.dot(col("v"), col("v"))
+              - lit(2.0) * functions.VectorFunctions.dot(col("v"), col("cv"))
+              + functions.VectorFunctions.dot(col("cv"), col("cv")))
+          .groupBy(col("cell").cast("bigint").as("cluster"))
+          .agg(count(lit(1)).as("n"), round(avg(col("__sq")), 6).as("avg_sqdist"))
+          .orderBy("cluster")
       },
-      None),
+      // Mirror of the whole Lloyd loop: assignment = argmax(dot − ‖c‖²/2)
+      // with ties → HIGHER cell (nearestCell's array_max order), centroid
+      // update = per-dimension round(avg, 6) — rounding on BOTH sides
+      // makes each round's centroid literals cross-engine identical, so
+      // the engines' partial-sum orders can't drift the next assignment.
+      // Empty cells keep the previous centroid (the LEFT JOIN coalesce).
+      Some {
+        def assignCte(name: String, from: String) =
+          s"""$name AS (SELECT id, v, cell FROM (
+             |    SELECT d.id, d.v, c.cell,
+             |      row_number() OVER (PARTITION BY d.id ORDER BY
+             |        list_dot_product(d.v, c.cv) - list_dot_product(c.cv, c.cv) / 2.0 DESC,
+             |        c.cell DESC) AS rn
+             |    FROM dv d CROSS JOIN $from c) WHERE rn = 1)""".stripMargin
+        val rounds = (1 to 2).map { r =>
+          s"""${assignCte(s"a$r", s"c${r - 1}")},
+             |m$r AS (SELECT cell, pos, round(avg(v[pos + 1]), 6) AS m
+             |  FROM a$r, unnest(range(0, 64)) AS u(pos) GROUP BY cell, pos),
+             |n$r AS (SELECT cell, list(m ORDER BY pos) AS cv FROM m$r GROUP BY cell),
+             |c$r AS (SELECT p.cell, coalesce(n.cv, p.cv) AS cv
+             |  FROM c${r - 1} p LEFT JOIN n$r n ON p.cell = n.cell)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH dv AS (SELECT vec_id AS id,
+           |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+           |c0 AS (SELECT id AS cell, v AS cv FROM dv WHERE id < 5),
+           |$rounds,
+           |${assignCte("af", "c2")}
+           |SELECT a.cell::BIGINT AS cluster, count(*) AS n,
+           |  round(avg(list_dot_product(a.v, a.v) - 2 * list_dot_product(a.v, c.cv)
+           |    + list_dot_product(c.cv, c.cv)), 6) AS avg_sqdist
+           |FROM af a JOIN c2 c ON a.cell = c.cell
+           |GROUP BY a.cell ORDER BY cluster""".stripMargin
+      }),
 
     Q("ml02_linreg",
       (s, d) => {

@@ -154,6 +154,55 @@ object MLSupport {
     RidgeWeights(math.round(w1 * 1000), math.round(w2 * 1000), math.round(b * 1000))
   }
 
+  /** Deterministic Lloyd k-means from EXPLICIT initial centroids — ML6's
+    * oracle-exact twin (reference: FlinkMLSupporter.scala routes "kmeans"
+    * to the engine's RNG-initialized solver, which no second engine can
+    * replicate; `train("kmeans")` keeps that behavior, this is the
+    * reproducible path, the same fixed-centroid move as the a03 IVF
+    * oracle). Each round assigns every vector to its argmin-L2 centroid
+    * (ties → higher cell, [[graft.pipeline.IvfIndex.nearestCell]]'s
+    * order) and recomputes each centroid as the per-dimension mean,
+    * rounded to `roundDecimals` so the engine's partial-sum order cannot
+    * leak into the next round's centroid literals; a cell that lost all
+    * its points keeps its previous centroid (the standard Lloyd
+    * fallback). Returns (final assignment frame `(id, v, cell)`, final
+    * centroids).
+    *
+    * Scale shape: each round is one codegen'd inlined-argmax pass over
+    * the corpus plus one (cell, pos)-keyed partial-agg groupBy; the only
+    * driver materialization is the k×dim centroid matrix (config-size,
+    * the same bound as IvfIndex centroid handling — NOT data-scale).
+    */
+  def lloydKMeans(df: DataFrame, vecCol: String, idCol: String,
+                  init: Array[Array[Double]], rounds: Int,
+                  roundDecimals: Int = 6): (DataFrame, Array[Array[Double]]) = {
+    require(init.nonEmpty, "lloydKMeans: need at least one initial centroid")
+    require(rounds >= 0, s"lloydKMeans: rounds must be >= 0, got $rounds")
+    val dim = init.head.length
+    require(dim > 0 && init.forall(_.length == dim),
+      "lloydKMeans: centroids must be non-empty and all the same dimension")
+    val vecs = df.select(col(idCol).as("id"),
+      expr(s"transform(`$vecCol`, x -> cast(x as double))").as("v"))
+    def assign(c: Array[Array[Double]]): DataFrame =
+      vecs.withColumn("cell", graft.pipeline.IvfIndex.nearestCell(col("v"), c))
+    var cents = init
+    var r = 0
+    while (r < rounds) {
+      val means = assign(cents)
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+        .collect().map(row => (row.getInt(0), row.getInt(1)) -> row.getDouble(2)).toMap
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (means.contains((c, 0)))
+          Array.tabulate(dim)(p => BigDecimal(means((c, p)))
+            .setScale(roundDecimals, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        else old
+      }
+      r += 1
+    }
+    (assign(cents), cents)
+  }
+
   /** Binary confusion matrix at a threshold (reference:
     * FlinkMLSupporter.scala:71-96): counts of (label≥t, pred≥t) pairs via
     * one groupBy — no driver loop.
