@@ -48,9 +48,28 @@ object SparkEntry {
 
   private def registerTables(spark: SparkSession, m: DDFManager, dir: String): Unit = {
     tableNames.foreach(t => m.loadParquet(s"$dir/$t.parquet", t))
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    m.register(ev, "events")
+    m.register(loadEvents(spark, dir), "events")
+  }
+
+  /** events.parquet with `ts` normalized to session-TZ TimestampType.
+    * The driver's generator has shipped the column as TIMESTAMP(NANOS)
+    * (Spark 4 reads it as long under `nanosAsLong`) and as TIMESTAMP_NTZ
+    * micros across rounds — adapt on the OBSERVED type so a generator
+    * schema change never breaks analysis again (round 7's bench died on
+    * `ts div 1000` over NTZ). Session TZ is UTC everywhere, so the
+    * NTZ→TZ cast preserves wall-clock values bit-exactly vs DuckDB's
+    * naive TIMESTAMP reading of the same file.
+    */
+  private[graft] def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType       => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType  => raw
+      case other => throw new IllegalStateException(
+        s"events.ts: unexpected parquet type $other")
+    }
   }
 
   private def mgr(spark: SparkSession, dir: String): DDFManager = {

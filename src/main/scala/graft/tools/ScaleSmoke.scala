@@ -79,8 +79,7 @@ object ScaleSmoke {
     // stays constant, so interval-join output grows linearly (f² would be
     // replica-collision artifact, not operator scaling)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val events = graft.SparkEntry.loadEvents(spark, sfDir)
     def blowEvents(f: Int): DataFrame = (0 until f).map(i =>
       events.select((col("event_id") + lit(i * 1000000000L)).as("event_id"),
         col("ts"), (col("user_id") + lit(i * 10000000L)).as("user_id"),
