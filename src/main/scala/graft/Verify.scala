@@ -18,11 +18,18 @@ object Verify {
     // Optional fast-iteration filter (unset → all queries, driver default)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    // Per-query failure isolation: one broken query must cost ONE board
+    // row, not the whole round (round 7: a testdata schema change threw
+    // in every query's table registration and the gate read an empty
+    // dir as {} — "nothing verified" must be loud, not quiet-green).
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        if (failures.isEmpty) e.printStackTrace() // full trace once
+        failures(name) = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}"
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -40,6 +47,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    if (failures.nonEmpty) {
+      val ej = failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/errors.json"), ej)
+      System.err.println(s"[verify] ${failures.size}/${selected.size} queries failed")
+    }
     spark.stop()
+    // a run where NOTHING verified is a harness failure, not a result
+    if (selected.nonEmpty && failures.size == selected.size) sys.exit(1)
   }
 }
