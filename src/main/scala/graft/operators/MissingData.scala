@@ -148,6 +148,12 @@ object MissingData {
     * from a per-partition carry map — one row per partition, so the
     * driver-side prefix scan is config-sized at any data scale. No
     * unpartitioned WindowExec anywhere (pinned by ScaleSpec).
+    *
+    * Tied ordering keys (global path): rows sharing an `orderCol` value
+    * fill only from strictly earlier (ffill) / later (bfill) keys, and a
+    * tied group's carry contribution is its max (ffill) / min (bfill)
+    * non-null value — deterministic for NON-unique orderings, identical
+    * to the classic running fill when the ordering is unique.
     */
   def fillDirectional(ddf: DDF, method: String, orderCol: String, cols: Seq[String],
                       partitionCols: Seq[String] = Nil): DDF = {
@@ -178,49 +184,79 @@ object MissingData {
     * shape: every WindowExec here is partitioned by `__pid`.
     */
   private[graft] def fillGlobalPass1(df: DataFrame, m: String, orderCol: String,
-                                     cols: Seq[String]): DataFrame = {
-    val spark = df.sparkSession
-    val n = spark.sessionState.conf.numShufflePartitions
-    // ONE shuffle: the range exchange. The in-partition running fill is
-    // a mapPartitions scan over the range-sorted rows — a
-    // Window.partitionBy(__pid) here would add a SECOND full-data hash
-    // exchange, because Catalyst cannot see that rows with equal
-    // spark_partition_id are already colocated. bfill materializes each
-    // partition to scan backwards — the same per-partition footprint
-    // the window's unboundedFollowing frame buffered.
-    val parts = df.repartitionByRange(n, col(orderCol))
+                                     cols: Seq[String]): DataFrame =
+    scanFill(fillGlobalPartition(df, orderCol), m, orderCol, cols)
+
+  /** ONE shuffle: the range exchange. Equal ordering keys all compare
+    * the same way against the range boundaries, so a tied group is never
+    * split across partitions — the group-aware scan in [[scanFill]]
+    * relies on that colocation.
+    */
+  private def fillGlobalPartition(df: DataFrame, orderCol: String): DataFrame = {
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    df.repartitionByRange(n, col(orderCol))
       .sortWithinPartitions(orderCol)
       .withColumn("__pid", spark_partition_id())
+  }
+
+  /** In-partition directional fill, deterministic under NON-unique
+    * ordering keys. Rows sharing an `orderCol` value are treated as
+    * simultaneous: they fill only from strictly earlier (ffill) /
+    * strictly later (bfill) groups, and a tied group contributes its
+    * extreme non-null value (max for ffill, min for bfill) to the carry
+    * — a pure function of the data, independent of partition layout or
+    * intra-group row order. With a unique ordering column every row is
+    * its own group and this degenerates to the classic running fill.
+    * The scan is a mapPartitions over the range-sorted rows — a
+    * Window.partitionBy(__pid) here would add a SECOND full-data hash
+    * exchange, because Catalyst cannot see that rows with equal
+    * spark_partition_id are already colocated. bfill materializes each
+    * partition to scan backwards — the same per-partition footprint
+    * the window's unboundedFollowing frame buffered.
+    */
+  private def scanFill(parts: DataFrame, m: String, orderCol: String,
+                       cols: Seq[String]): DataFrame = {
+    val spark = parts.sparkSession
     val schema = parts.schema
     val idxs = cols.map(schema.fieldIndex).toArray
+    val oi = schema.fieldIndex(orderCol)
     val forward = m == "ffill"
     val filledRdd = parts.rdd.mapPartitions { it =>
-      def fillRow(vals: Array[Any], carry: Array[Any]): Unit = {
+      // external Row values of orderable Spark atomic types are all
+      // java.lang.Comparable (boxed numerics, String, Timestamp, Date)
+      def better(a: Any, b: Any): Boolean = // does a beat b for this direction?
+        b == null || (if (forward) a.asInstanceOf[Comparable[Any]].compareTo(b) > 0
+                      else a.asInstanceOf[Comparable[Any]].compareTo(b) < 0)
+      val carry = Array.fill[Any](idxs.length)(null)
+      val pending = Array.fill[Any](idxs.length)(null)
+      var lastKey: Any = null
+      var started = false
+      def fillRow(r: org.apache.spark.sql.Row): org.apache.spark.sql.Row = {
+        val key = r.get(oi)
+        if (started && key != lastKey) { // group boundary: publish pending
+          var k = 0
+          while (k < idxs.length) {
+            if (pending(k) != null) { carry(k) = pending(k); pending(k) = null }
+            k += 1
+          }
+        }
+        started = true; lastKey = key
+        val vals = r.toSeq.toArray
         var k = 0
         while (k < idxs.length) {
-          val fi = idxs(k)
-          if (vals(fi) == null) vals(fi) = carry(k) else carry(k) = vals(fi)
+          val v = vals(idxs(k))
+          if (v == null) vals(idxs(k)) = carry(k)
+          else if (better(v, pending(k))) pending(k) = v
           k += 1
         }
+        org.apache.spark.sql.Row.fromSeq(vals.toIndexedSeq)
       }
-      if (forward) {
-        val carry = Array.fill[Any](idxs.length)(null)
-        it.map { r =>
-          val vals = r.toSeq.toArray
-          fillRow(vals, carry)
-          org.apache.spark.sql.Row.fromSeq(vals.toIndexedSeq)
-        }
-      } else {
+      if (forward) it.map(fillRow)
+      else { // reversed scan over the materialized partition
         val buf = it.toArray
-        val carry = Array.fill[Any](idxs.length)(null)
         val out = new Array[org.apache.spark.sql.Row](buf.length)
         var i = buf.length - 1
-        while (i >= 0) {
-          val vals = buf(i).toSeq.toArray
-          fillRow(vals, carry)
-          out(i) = org.apache.spark.sql.Row.fromSeq(vals.toIndexedSeq)
-          i -= 1
-        }
+        while (i >= 0) { out(i) = fillRow(buf(i)); i -= 1 }
         out.iterator
       }
     }
@@ -230,20 +266,26 @@ object MissingData {
   private def fillGlobal(df: DataFrame, m: String, orderCol: String,
                          cols: Seq[String]): DataFrame = {
     val spark = df.sparkSession
-    // localCheckpoint pins the __pid assignment: pass 2 joins on it, so
-    // the edge aggregate and the final fill must see the SAME physical
-    // partitioning (same materialization discipline as Dedup's
-    // candidate sets)
-    val filled = fillGlobalPass1(df, m, orderCol, cols).localCheckpoint()
-    // carry value per partition: after the in-partition fill, the row at
-    // the partition's far boundary (max orderCol for ffill, min for
-    // bfill) holds that partition's last/first non-null per column —
-    // one row PER PARTITION (config-sized, never data-sized)
+    // localCheckpoint pins the __pid assignment: the edge aggregate and
+    // the scan fill run over the SAME physical partitioning, and pass 2
+    // joins on __pid (same materialization discipline as Dedup's
+    // candidate sets). Checkpointing the PRE-fill frame (not the filled
+    // one) lets the edge aggregate see original nulls, which the
+    // deterministic-tiebreak aggregate below needs.
+    val parts = fillGlobalPartition(df, orderCol).localCheckpoint()
+    val filled = scanFill(parts, m, orderCol, cols)
+    // carry value per partition: per column, the extreme orderCol GROUP
+    // containing a non-null, resolved within the group by the same
+    // tiebreak as scanFill (max value for ffill, min for bfill) — the
+    // lexicographic struct(orderCol, value) extreme over non-null rows.
+    // max_by/min_by skip rows whose ordering expression is null, so the
+    // when() masks out null values. One row PER PARTITION (config-sized,
+    // never data-sized).
     val edgeAggs = cols.map { c =>
-      (if (m == "ffill") max_by(col(c), col(orderCol))
-       else min_by(col(c), col(orderCol))).as(c)
+      val ord = when(col(c).isNotNull, struct(col(orderCol), col(c)))
+      (if (m == "ffill") max_by(col(c), ord) else min_by(col(c), ord)).as(c)
     }
-    val edges = filled.groupBy("__pid").agg(edgeAggs.head, edgeAggs.tail: _*)
+    val edges = parts.groupBy("__pid").agg(edgeAggs.head, edgeAggs.tail: _*)
       .collect().map(r => r.getInt(0) -> r).sortBy(_._1)
     // driver-side prefix scan over the (numPartitions)-row edge table:
     // carry for partition p = nearest non-null among partitions before p

@@ -240,6 +240,50 @@ class OperatorsSpec extends SparkTestBase {
     assert(bf.toSeq == Seq(Some(10.0), Some(40.0), Some(40.0), Some(40.0), None))
   }
 
+  test("fillDirectional global: deterministic under tied ordering keys") {
+    import spark.implicits._
+    // many tied groups spanning every range-partition boundary: with 32
+    // shuffle partitions and 8 distinct keys over 4000 rows, most
+    // partitions hold (or border) a tie group. Semantics under ties:
+    // a row fills from strictly earlier (ffill) / later (bfill) KEY
+    // groups only, and a tied group's carry is its max (ffill) / min
+    // (bfill) non-null value — so the expected output is computable
+    // per key group, independent of physical layout.
+    val rows = (0 until 4000).map { i =>
+      val key = i / 500                       // 8 tied groups of 500 rows
+      // group g carries non-nulls only when g is even; values vary
+      // within the group so the tiebreak matters
+      val v = if (key % 2 == 0 && i % 7 == 0) Some((key * 100 + i % 50).toDouble)
+              else None
+      (key, i.toLong, v)
+    }
+    val df = rows.toDF("t", "id", "x")
+    val groupMax = rows.groupBy(_._1).map { case (k, rs) =>
+      k -> rs.flatMap(_._3).maxOption }
+    val groupMin = rows.groupBy(_._1).map { case (k, rs) =>
+      k -> rs.flatMap(_._3).minOption }
+    def expectFf(key: Int): Option[Double] =
+      (0 until key).flatMap(groupMax(_)).lastOption
+    def expectBf(key: Int): Option[Double] =
+      ((key + 1) until 8).flatMap(groupMin(_)).headOption
+    for (_ <- 1 to 3) { // repartition noise: same answer every run
+      val ff = MissingData.fillDirectional(m.register(df.repartition(13)), "ffill", "t", Seq("x"))
+        .df.collect()
+      ff.foreach { r =>
+        val key = r.getInt(0); val orig = rows(r.getLong(1).toInt)._3
+        val got = Option(r.get(2)).map(_.asInstanceOf[Double])
+        assert(got == orig.orElse(expectFf(key)), s"ffill key=$key id=${r.getLong(1)}")
+      }
+      val bf = MissingData.fillDirectional(m.register(df.repartition(7)), "bfill", "t", Seq("x"))
+        .df.collect()
+      bf.foreach { r =>
+        val key = r.getInt(0); val orig = rows(r.getLong(1).toInt)._3
+        val got = Option(r.get(2)).map(_.asInstanceOf[Double])
+        assert(got == orig.orElse(expectBf(key)), s"bfill key=$key id=${r.getLong(1)}")
+      }
+    }
+  }
+
   test("mapReduce: typed groupByKey + mapGroups (reference U2)") {
     import spark.implicits._
     val ddf = m.register(Seq(("a", 1), ("a", 2), ("b", 5)).toDF("g", "x"))
