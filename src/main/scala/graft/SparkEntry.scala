@@ -2522,8 +2522,10 @@ object SparkEntry {
       (s, d) => {
         val m = mgr(s, d)
         // chunk → greedy-pack into 64-token training sequences; greedy is
-        // sequential (not SQL-expressible), so this is a rows-only check —
-        // PipelineSpec pins the packing invariants on a hand fixture
+        // sequential PER BUCKET but deterministic, so the oracle replays
+        // it step-by-step in a DuckDB recursive CTE (frontier = one row
+        // per bucket per iteration). PipelineSpec additionally pins the
+        // packing invariants on a hand fixture.
         val chunks = pipeline.TextAnalysis.chunkByTokens(
           m.getDDFByName("documents").df, "text", "doc_id",
           maxTokens = 16, overlap = 0)
@@ -2532,7 +2534,33 @@ object SparkEntry {
           .agg(count(lit(1)).as("n_chunks"), sum("n_tokens").as("n_tokens"))
           .orderBy("seq_id")
       },
-      None),
+      // Exact replay of packChunks' greedy loop: rows ordered by
+      // (doc_id, chunk_id) within bucket = doc_id mod 32; a chunk opens a
+      // new bin iff the running total would exceed the 64-token budget;
+      // seq_id = bucket·2³³ + bin. `used` always includes the current
+      // chunk, so the code's `used > 0` guard is implied.
+      Some(s"""WITH RECURSIVE
+              |toks AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),
+              |nz AS (SELECT doc_id, tk, ceil(greatest(len(tk), 1) / 16.0)::INT AS n
+              |  FROM toks WHERE len(tk) > 0),
+              |ch AS (SELECT doc_id, tk, unnest(range(0, n)) AS chunk_id FROM nz),
+              |c2 AS (SELECT doc_id, chunk_id,
+              |    len(tk[chunk_id*16+1 : chunk_id*16+16])::BIGINT AS n_tokens,
+              |    doc_id % 32 AS bucket FROM ch),
+              |b AS (SELECT *, row_number() OVER (PARTITION BY bucket
+              |    ORDER BY doc_id, chunk_id) AS rn FROM c2),
+              |pack AS (
+              |  SELECT bucket, rn, n_tokens, 0::BIGINT AS bin, n_tokens AS used
+              |  FROM b WHERE rn = 1
+              |  UNION ALL
+              |  SELECT b.bucket, b.rn, b.n_tokens,
+              |    CASE WHEN p.used + b.n_tokens > 64 THEN p.bin + 1 ELSE p.bin END,
+              |    CASE WHEN p.used + b.n_tokens > 64 THEN b.n_tokens
+              |         ELSE p.used + b.n_tokens END
+              |  FROM b JOIN pack p ON b.bucket = p.bucket AND b.rn = p.rn + 1)
+              |SELECT (bucket * 8589934592 + bin)::BIGINT AS seq_id,
+              |  count(*) AS n_chunks, sum(n_tokens)::BIGINT AS n_tokens
+              |FROM pack GROUP BY 1 ORDER BY seq_id""".stripMargin)),
 
     Q("p03_corpus_shuffle",
       (s, d) => {
