@@ -2584,6 +2584,115 @@ object SparkEntry {
              |  row_number() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id) AS seq
              |FROM h ORDER BY shard, seq""".stripMargin)),
 
+    Q("p04_publish_verify",
+      (s, d) => {
+        val m = mgr(s, d)
+        // publish → verify round trip through the driver gate: shard the
+        // corpus by an EXPLICIT key column (hive partitionBy, so the
+        // shard→rows mapping is a pure function of the data, not of file
+        // splits), write with a manifest, re-scan and verify, and emit an
+        // engine-portable verdict summary (file basenames and xxhash64
+        // folds are Spark-specific; shard counts and ok-counts are not).
+        // Tamper detection (hash mismatch → ok=false) is CoreSpec's job.
+        val docs = m.getDDFByName("documents").df.filter(col("doc_id") < 400)
+          .withColumn("shard", pmod(col("doc_id"), lit(4L)))
+          .repartition(4, col("shard"))
+        val dir = java.nio.file.Files.createTempDirectory("graft_p04").toString + "/corpus"
+        sources.Manifest.writeWithManifest(docs, dir, partitionCols = Seq("shard"))
+        sources.Manifest.verifyManifest(s, dir)
+          .agg(count(lit(1)).as("n_shards"),
+            sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"),
+            sum(col("actual_rows")).as("total_rows"),
+            min(col("actual_rows")).as("min_shard_rows"),
+            max(col("actual_rows")).as("max_shard_rows"))
+      },
+      Some("""WITH s AS (SELECT doc_id % 4 AS shard, count(*) AS n
+             |  FROM documents WHERE doc_id < 400 GROUP BY 1)
+             |SELECT count(*)::BIGINT AS n_shards, count(*)::BIGINT AS n_ok,
+             |  sum(n)::BIGINT AS total_rows, min(n)::BIGINT AS min_shard_rows,
+             |  max(n)::BIGINT AS max_shard_rows FROM s""".stripMargin)),
+
+    Q("s05_stream_dedup_ingest",
+      (s, d) => {
+        val m = mgr(s, d)
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        // the streaming curation path driven END-TO-END through the gate:
+        // three MemoryStream epochs (epoch = doc_id mod 3), exact-deduped
+        // ingest against the epoch-partitioned fingerprint index, final
+        // corpus = union of the per-epoch sink deliveries. The collect is
+        // the MemoryStream test-source contract (driver-fed stream), not
+        // an operator shape — production sources are kafka/files.
+        val docs = m.getDDFByName("documents").df
+          .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+        val tmp = java.nio.file.Files.createTempDirectory("graft_s05").toString
+        val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+        val q = streaming.CurationStreams.dedupedIngest(
+            stream.toDF().toDF("doc_id", "text"), "text", "doc_id", s"$tmp/index",
+            (df, epoch) => df.select(col("doc_id"), lit(epoch).as("epoch"))
+              .write.mode("append").parquet(s"$tmp/out"))
+          .start()
+        try (0L until 3L).foreach { e =>
+          stream.addData(docs.filter(_._1 % 3 == e).toIndexedSeq: _*)
+          q.processAllAvailable()
+        } finally q.stop()
+        s.read.parquet(s"$tmp/out").orderBy("doc_id")
+      },
+      // a doc survives iff its epoch is the FIRST epoch its content
+      // appears in AND it is the min doc_id of that content within the
+      // epoch (in-batch winner) — the cross-batch index probe in SQL form
+      Some(s"""WITH fp AS (SELECT doc_id, doc_id % 3 AS epoch,
+              |    md5(${duckNorm("text")}) AS f FROM documents),
+              |w AS (SELECT f, epoch, min(doc_id) AS keep FROM fp GROUP BY 1, 2),
+              |fe AS (SELECT f, min(epoch) AS first_epoch FROM fp GROUP BY 1)
+              |SELECT w.keep AS doc_id, w.epoch::BIGINT AS epoch
+              |FROM w JOIN fe ON w.f = fe.f AND w.epoch = fe.first_epoch
+              |ORDER BY doc_id""".stripMargin)),
+
+    Q("s06_stream_neardup_ingest",
+      (s, d) => {
+        val m = mgr(s, d)
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        // streaming twin of d10 through the gate: epoch 0 = docs < 250,
+        // epoch 1 = the rest; portable minhash so DuckDB replays every
+        // stage. The index holds band rows of epoch-0 SURVIVORS only
+        // (unlike d10's all-old-docs index), and the oracle mirrors that.
+        val docs = m.getDDFByName("documents").df
+          .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+        val tmp = java.nio.file.Files.createTempDirectory("graft_s06").toString
+        val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+        val q = streaming.CurationStreams.nearDupIngest(
+            stream.toDF().toDF("doc_id", "text"), "text", "doc_id", s"$tmp/index",
+            (df, epoch) => df.select(col("doc_id"), lit(epoch).as("epoch"))
+              .write.mode("append").parquet(s"$tmp/out"),
+            threshold = 0.5, portable = true)
+          .start()
+        try Seq(docs.filter(_._1 < 250), docs.filter(_._1 >= 250)).foreach { batch =>
+          stream.addData(batch.toIndexedSeq: _*)
+          q.processAllAvailable()
+        } finally q.stop()
+        s.read.parquet(s"$tmp/out").orderBy("doc_id")
+      },
+      Some(s"""WITH ${duckMinhashCtes("documents")},
+              |l0 AS (SELECT DISTINCT id2 FROM mpairs
+              |  WHERE jr >= 0.5 AND id1 < 250 AND id2 < 250),
+              |s0 AS (SELECT doc_id FROM documents WHERE doc_id < 250
+              |  AND doc_id NOT IN (SELECT id2 FROM l0)),
+              |l1 AS (SELECT DISTINCT id2 FROM mpairs
+              |  WHERE jr >= 0.5 AND id1 >= 250 AND id2 >= 250),
+              |s1i AS (SELECT doc_id FROM documents WHERE doc_id >= 250
+              |  AND doc_id NOT IN (SELECT id2 FROM l1)),
+              |x1 AS (SELECT DISTINCT s.doc_id FROM msig s
+              |  JOIN msig i ON s.band = i.band AND s.sig = i.sig
+              |  WHERE s.doc_id IN (SELECT doc_id FROM s1i)
+              |    AND i.doc_id IN (SELECT doc_id FROM s0))
+              |SELECT doc_id, 0::BIGINT AS epoch FROM s0
+              |UNION ALL
+              |SELECT doc_id, 1::BIGINT AS epoch FROM s1i
+              |  WHERE doc_id NOT IN (SELECT doc_id FROM x1)
+              |ORDER BY doc_id""".stripMargin)),
+
     Q("p01_pipeline_e2e",
       (s, d) => {
         val m = mgr(s, d)

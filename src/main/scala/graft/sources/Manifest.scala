@@ -20,9 +20,13 @@ object Manifest {
 
   val ManifestFile = "_graft_manifest.json"
 
-  /** Per-file (basename, rows, xor- AND sum-folded xxhash64 of all
-    * columns). Basenames (not absolute paths) so the manifest survives
-    * a directory move or bucket rename. TWO commutative folds because
+  /** Per-file (path, rows, xor- AND sum-folded xxhash64 of all
+    * columns). The path is RELATIVE to the corpus root — the trailing
+    * `depth` hive partition dirs plus the basename — so the manifest
+    * survives a directory move or bucket rename, and files in different
+    * partition dirs never collide (two tasks each holding two partition
+    * values write the SAME basename under different dirs — a
+    * basename-only key silently merges them). TWO commutative folds because
     * each alone has a blind spot: xor cancels on even multiplicities
     * (shard [a,a] → 0 ← [b,b]), sum is weaker against crafted
     * collisions — together a tamper must preserve both. The sum runs in
@@ -30,10 +34,12 @@ object Manifest {
     * serialized as a STRING in the manifest (JSON numbers would lose
     * precision past 2⁵³).
     */
-  private def shardSummary(back: DataFrame): DataFrame = {
+  private def shardSummary(back: DataFrame, depth: Int): DataFrame = {
     val cols = back.columns.map(col)
+    val segs = split(input_file_name(), "/")
     back
-      .withColumn("__file", element_at(split(input_file_name(), "/"), -1))
+      .withColumn("__file",
+        concat_ws("/", slice(segs, size(segs) - lit(depth), lit(depth + 1))))
       .withColumn("__h", xxhash64(cols: _*))
       .groupBy("__file")
       .agg(count(lit(1)).as("rows"), expr("bit_xor(__h)").as("content_hash"),
@@ -44,12 +50,17 @@ object Manifest {
 
   /** Write `df` to `path` as parquet, then scan it back and write a
     * manifest JSON recording per-shard rows + content hashes and the
-    * corpus totals. Returns the shard summary.
+    * corpus totals. Returns the shard summary. `partitionCols` publishes
+    * hive-style value directories (shard-by-key publish); the read-back
+    * scan restores the partition columns, so they are hashed into the
+    * content folds like any other column.
     */
-  def writeWithManifest(df: DataFrame, path: String): DataFrame = {
-    df.write.mode("overwrite").parquet(path)
+  def writeWithManifest(df: DataFrame, path: String,
+                        partitionCols: Seq[String] = Nil): DataFrame = {
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
     val spark = df.sparkSession
-    val summary = shardSummary(spark.read.parquet(path))
+    val summary = shardSummary(spark.read.parquet(path), partitionCols.size)
     val entries = summary.collect() // one row per FILE — config-sized
     val totalRows = entries.map(_.getAs[Long]("rows")).sum
     val corpusHash = entries.map(_.getAs[Long]("content_hash")).foldLeft(0L)(_ ^ _)
@@ -59,7 +70,8 @@ object Manifest {
         s""""content_hash":${r.getAs[Long]("content_hash")},""" +
         s""""content_sum":"${r.getAs[String]("content_sum")}"}"""
     }.mkString(
-      s"""{"total_rows":$totalRows,"corpus_hash":$corpusHash,"corpus_sum":"$corpusSum","shards":[""",
+      s"""{"total_rows":$totalRows,"corpus_hash":$corpusHash,"corpus_sum":"$corpusSum",""" +
+        s""""partition_depth":${partitionCols.size},"shards":[""",
       ",", "]}\n")
     val p = new org.apache.hadoop.fs.Path(path, ManifestFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -84,12 +96,17 @@ object Manifest {
     val text =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    val stored = spark.read.json(Seq(text).toDS())
+    val root = spark.read.json(Seq(text).toDS())
+    // manifests written before partitioned publish existed lack the
+    // field — they are depth-0 by construction
+    val depth = if (root.columns.contains("partition_depth"))
+      root.select("partition_depth").head().getLong(0).toInt else 0
+    val stored = root
       .select(explode(col("shards")).as("s"))
       .select(col("s.file").as("file"), col("s.rows").as("manifest_rows"),
         col("s.content_hash").as("manifest_hash"),
         col("s.content_sum").as("manifest_sum"))
-    val actual = shardSummary(spark.read.parquet(path))
+    val actual = shardSummary(spark.read.parquet(path), depth)
       .withColumnRenamed("rows", "actual_rows")
       .withColumnRenamed("content_hash", "actual_hash")
       .withColumnRenamed("content_sum", "actual_sum")
