@@ -2431,6 +2431,49 @@ object SparkEntry {
              |  max(cast(json_extract_string(props, '$.k') AS int)) AS max_k
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    Q("e04_json_nested",
+      (s, d) => {
+        val m = mgr(s, d)
+        // nested-payload depth: build a deterministic nested JSON string
+        // FROM the table's own values (both engines construct the same
+        // bytes), then drive the full extraction chain — explicit-schema
+        // parse → dotted-path projection → nested-array explode. Rows
+        // whose k fails to parse propagate NULL payload → NULL struct →
+        // explode drops them, mirrored by the oracle's k IS NOT NULL.
+        import org.apache.spark.sql.types._
+        val k = get_json_object(col("props"), "$.k").cast("int")
+        val ev = m.getDDFByName("events").df
+          .withColumn("payload", concat(
+            lit("{\"m\":{\"et\":\""), col("event_type"), lit("\",\"k\":"), k,
+            lit("},\"a\":["), k, lit(","), (k * 2), lit("]}")))
+        val schema = StructType(Seq(
+          StructField("m", StructType(Seq(
+            StructField("et", StringType), StructField("k", IntegerType)))),
+          StructField("a", ArrayType(IntegerType))))
+        val parsed = operators.Semistructured.extractJson(ev, "payload", schema)
+        val proj = operators.Semistructured.selectPaths(parsed, "json", Seq("m.et", "m.k"))
+        operators.Semistructured.explodeArray(proj, "json.a", "elem")
+          .groupBy(col("m_et"))
+          .agg(count(lit(1)).as("n_elems"), sum(col("m_k")).as("sum_k"),
+            sum(col("elem")).as("sum_elem"))
+          .orderBy("m_et")
+      },
+      Some("""WITH base AS (SELECT event_type,
+             |    cast(json_extract_string(props, '$.k') AS int) AS k FROM events),
+             |p AS (SELECT '{"m":{"et":"' || event_type || '","k":' || k::VARCHAR ||
+             |    '},"a":[' || k::VARCHAR || ',' || (k*2)::VARCHAR || ']}' AS payload
+             |  FROM base WHERE k IS NOT NULL),
+             |e0 AS (SELECT json_extract_string(payload, '$.m.et') AS m_et,
+             |    cast(json_extract_string(payload, '$.m.k') AS int) AS m_k,
+             |    payload FROM p),
+             |el AS (SELECT m_et, m_k,
+             |    cast(json_extract_string(payload, '$.a[0]') AS int) AS elem FROM e0
+             |  UNION ALL SELECT m_et, m_k,
+             |    cast(json_extract_string(payload, '$.a[1]') AS int) FROM e0)
+             |SELECT m_et, count(*) AS n_elems, sum(m_k)::BIGINT AS sum_k,
+             |  sum(elem)::BIGINT AS sum_elem
+             |FROM el GROUP BY m_et ORDER BY m_et""".stripMargin)),
+
     Q("s01_sessionize",
       (s, d) => {
         val m = mgr(s, d)

@@ -36,6 +36,32 @@ object Semistructured {
                outCol: String): DataFrame =
     df.withColumn(outCol, get_json_object(col(jsonCol), path))
 
+  /** Project dotted paths out of a struct column as top-level columns
+    * (`m.et` → column `m_et`) — the step after [[extractJson]] that
+    * turns a parsed payload into flat relational columns. Plain
+    * `GetStructField` chains inside codegen: no shuffle, and Catalyst's
+    * JSON-expression optimization prunes the UNREFERENCED parts of the
+    * parse schema out of `from_json` itself (plan-pinned in ScaleSpec),
+    * so extracting two fields of a 200-field payload parses two fields.
+    */
+  def selectPaths(df: DataFrame, structCol: String, paths: Seq[String]): DataFrame = {
+    require(paths.nonEmpty, "selectPaths: need at least one path")
+    paths.foldLeft(df) { (d, p) =>
+      d.withColumn(p.replace('.', '_'), col(s"$structCol.$p"))
+    }
+  }
+
+  /** Explode a (possibly nested) array path into one row per element.
+    * `outer = true` keeps rows whose array is NULL/empty (element NULL)
+    * — the tolerant twin, matching [[extractJson]]'s null-on-parse-fail
+    * stance. Generator in codegen; row count scales with total element
+    * count, never with a shuffle.
+    */
+  def explodeArray(df: DataFrame, arrayPath: String, outCol: String,
+                   outer: Boolean = false): DataFrame =
+    df.withColumn(outCol,
+      if (outer) explode_outer(col(arrayPath)) else explode(col(arrayPath)))
+
   /** Infer the schema of a JSON string column from a bounded sample —
     * a distributed `spark.read.json` over the first `sampleN` non-null
     * values. Run once at registration time and persist the result; the

@@ -328,6 +328,33 @@ class ScaleSpec extends SparkTestBase {
     assert(bf.toSeq == Seq(1.0, 6.0, 6.0, 6.0, 6.0, 6.0, 10.0, 10.0, 10.0, 10.0, null, null))
   }
 
+  test("extractJson: unreferenced payload fields are pruned out of the parse") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // a 3-field payload of which the query touches ONE: the optimized
+    // from_json must carry only that field — at 100 TB this is the
+    // difference between parsing 2 columns and parsing 200
+    // built from range (not a literal) so constant folding can't collapse
+    // the whole plan into a LocalRelation before we can inspect the parse
+    val df = spark.range(1, 2).select(concat(lit("{\"keep\":"), col("id"),
+      lit(",\"dead_a\":\"x\",\"dead_b\":[1,2,3]}")).as("js"))
+    val schema = StructType(Seq(
+      StructField("keep", IntegerType),
+      StructField("dead_a", StringType),
+      StructField("dead_b", ArrayType(IntegerType))))
+    val out = graft.operators.Semistructured
+      .extractJson(df, "js", schema)
+      .select(col("json.keep"))
+    val plan = out.queryExecution.optimizedPlan.toString
+    // the parse SCHEMA must shrink to the referenced field (the input
+    // string itself still names the dead fields, so match StructFields)
+    assert(plan.contains("from_json(StructField(keep"),
+      s"expected a keep-only from_json parse:\n$plan")
+    assert(!plan.contains("StructField(dead_a") && !plan.contains("StructField(dead_b"),
+      s"unused payload fields must be pruned from the parse schema:\n$plan")
+    assert(out.collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
+
   test("fillDirectional with partitionCols: per-group hash-partitioned window") {
     import graft.operators.MissingData
     import spark.implicits._
