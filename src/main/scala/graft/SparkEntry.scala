@@ -3392,6 +3392,37 @@ object SparkEntry {
               |      < floor(least(1.0::DOUBLE, (1.2::DOUBLE) * w) * (1000000.0::DOUBLE))
               |ORDER BY doc_id""".stripMargin)),
 
+    Q("c08_mixture_sample",
+      (s, d) => {
+        val m = mgr(s, d)
+        // data-mixture step: fill a 2000-token budget at 40/30/20/10%
+        // from four sources, deterministic hash-order prefix per source.
+        // The engine runs the BUCKETED two-pass (driver sees only
+        // source×bucket sums); the oracle is the naive single-window
+        // prefix — passing hash-exact proves the two formulations pick
+        // identical rows (PipelineSpec pins the same equivalence on a
+        // fixture).
+        pipeline.TextAnalysis.mixtureSample(
+            m.getDDFByName("documents").df, "text", "doc_id", "source",
+            Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1),
+            totalTokens = 2000, salt = "ep1", nBuckets = 64)
+          .select(col("doc_id"), col("source"), col("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source,
+              |    len(${duckToks("text")})::BIGINT AS n_tokens,
+              |    list_reduce(list_prepend(0::BIGINT,
+              |      list_transform(regexp_split_to_array(doc_id::VARCHAR || ':ep1', ''),
+              |        c -> coalesce(ascii(c), 0)::BIGINT)),
+              |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+              |  FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+              |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+              |SELECT doc_id, source, n_tokens FROM c
+              |WHERE cum <= CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 600
+              |  WHEN 'src2' THEN 400 ELSE 200 END
+              |ORDER BY doc_id""".stripMargin)),
+
     Q("t09_span_dedup",
       (s, d) => {
         val m = mgr(s, d)

@@ -680,4 +680,81 @@ object TextAnalysis {
           .otherwise(col("n_common").cast("double") / col("n_shingles")))
       .withColumn("keep", col("boiler_ratio") <= maxRatio)
   }
+
+  /** Corpus mixing to a token budget — the data-mixture step of a
+    * training-data pipeline: per source s with weight w, keep a
+    * deterministic pseudo-random sample of docs whose token counts fill
+    * `floor(totalTokens · w)`. Selection = the prefix of the source's
+    * docs in (portableFold(id:salt), id) order whose running token sum
+    * stays within the source budget — a pure function of the data, so
+    * re-runs and both engines agree row-for-row. Sources absent from
+    * `weights` are dropped (weight 0).
+    *
+    * Scale shape (the reason this is NOT one window per source — a
+    * source at 100 TB is terabytes through a single task): the hash
+    * order is bucketed (`nBuckets` ranges of the fold's value space);
+    * pass 1 aggregates token sums per (source, bucket) — one
+    * partial-agg shuffle of sources×nBuckets rows — and a driver prefix
+    * scan over that config-sized table finds each source's boundary
+    * bucket and remaining budget. Pass 2 keeps pre-boundary buckets
+    * with a broadcast map lookup (no shuffle) and resolves ONLY the
+    * boundary bucket — expected 1/nBuckets of each source — with a
+    * window. Result is identical to the naive single-window prefix
+    * (bucket index is monotone in the hash; hash ties share a bucket),
+    * which PipelineSpec asserts.
+    *
+    * Returns the kept rows plus `n_tokens`.
+    */
+  def mixtureSample(df: DataFrame, textCol: String, idCol: String,
+                    sourceCol: String, weights: Map[String, Double],
+                    totalTokens: Long, salt: String = "mix",
+                    nBuckets: Int = 1024): DataFrame = {
+    require(weights.nonEmpty, "mixtureSample: need at least one source weight")
+    require(weights.values.forall(_ > 0),
+      "mixtureSample: weights must be positive (omit a source to drop it)")
+    require(totalTokens > 0, s"totalTokens must be positive, got $totalTokens")
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val prime = 1000000007L
+    val width = math.max(1L, prime / nBuckets + 1)
+    val budgets = weights.map { case (s, w) => s -> math.floor(totalTokens * w).toLong }
+    val base = df
+      .filter(col(sourceCol).isin(weights.keys.toSeq: _*))
+      .withColumn("n_tokens", tokenCount(textCol))
+      .withColumn("__h", graft.pipeline.Dedup.portableFold(
+        concat(col(idCol).cast("string"), lit(":"), lit(salt))))
+      .withColumn("__b", (col("__h") / lit(width)).cast("int"))
+    // pass 1: (source, bucket) token sums — sources×nBuckets rows reach
+    // the driver (config-sized at any data scale, like IVF centroids)
+    val sums = base.groupBy(col(sourceCol).as("__s"), col("__b"))
+      .agg(sum(col("n_tokens")).as("__t"))
+      .collect()
+      .groupBy(_.getAs[String]("__s"))
+      .map { case (s, rows) =>
+        s -> rows.map(r => r.getAs[Int]("__b") -> r.getAs[Long]("__t")).sortBy(_._1)
+      }
+    // driver prefix scan: per source, the first bucket where the budget
+    // is crossed + the budget remaining when entering it
+    val cuts = budgets.map { case (s, budget) =>
+      var rem = budget
+      var boundary = nBuckets // budget covers everything → no boundary
+      sums.getOrElse(s, Array.empty[(Int, Long)]).iterator
+        .takeWhile(_ => boundary == nBuckets)
+        .foreach { case (b, t) =>
+          if (t > rem) boundary = b else rem -= t
+        }
+      s -> (boundary, rem)
+    }
+    val boundaryOf = typedLit(cuts.map { case (s, (b, _)) => s -> b })
+    val remOf = typedLit(cuts.map { case (s, (_, r)) => s -> r })
+    val keepWhole = base.filter(col("__b") < boundaryOf(col(sourceCol)))
+    // boundary bucket: expected 1/nBuckets of a source through the
+    // window — bounded regardless of source size
+    val wdw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol)).orderBy(col("__h"), col(idCol))
+    val keepBoundary = base.filter(col("__b") === boundaryOf(col(sourceCol)))
+      .withColumn("__cum", sum(col("n_tokens")).over(wdw))
+      .filter(col("__cum") <= remOf(col(sourceCol)))
+      .drop("__cum")
+    keepWhole.unionByName(keepBoundary).drop("__h", "__b")
+  }
 }

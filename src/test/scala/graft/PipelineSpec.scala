@@ -574,6 +574,53 @@ class PipelineSpec extends SparkTestBase {
     assert(again == packed)
   }
 
+  test("mixtureSample: bucketed two-pass equals the naive prefix; budgets hold") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // 3 sources × 60 docs with varying token counts; budgets cut each
+    // source mid-stream
+    val docs = (0 until 180).map { i =>
+      val src = s"s${i % 3}"
+      (i.toLong, src, Seq.fill(1 + i % 7)("tok").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val weights = Map("s0" -> 0.5, "s1" -> 0.3, "s2" -> 0.2)
+    val budget = 300L
+    def run(nBuckets: Int, parts: Int) = TextAnalysis.mixtureSample(
+        docs.repartition(parts), "text", "doc_id", "source",
+        weights, budget, salt = "t", nBuckets = nBuckets)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // naive single-window prefix — the semantic definition
+    val naive = {
+      val t = docs
+        .withColumn("n", TextAnalysis.tokenCount("text"))
+        .withColumn("h", graft.pipeline.Dedup.portableFold(
+          concat(col("doc_id").cast("string"), lit(":t"))))
+      val cum = sum(col("n")).over(
+        Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id")))
+      val budgets = weights.map { case (s, w) => s -> (budget * w).toLong }
+      val budgetOf = typedLit(budgets)
+      t.withColumn("cum", cum)
+        .filter(col("cum") <= coalesce(budgetOf(col("source")), lit(0L)))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    // equivalence across bucket counts AND input partitionings — the
+    // boundary-bucket resolution must not depend on physical layout
+    assert(run(1, 3) == naive)
+    assert(run(8, 5) == naive)
+    assert(run(1024, 2) == naive) // more buckets than docs: all boundaries
+    // per-source token budget is never exceeded
+    val kept = TextAnalysis.mixtureSample(docs, "text", "doc_id", "source",
+      weights, budget, salt = "t", nBuckets = 8)
+    val bySource = kept.groupBy("source").agg(sum("n_tokens").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource("s0") <= 150 && bySource("s1") <= 90 && bySource("s2") <= 60)
+    // weight-0 source (absent from the map) is dropped entirely
+    val partial = TextAnalysis.mixtureSample(docs, "text", "doc_id", "source",
+      Map("s0" -> 1.0), budget, salt = "t", nBuckets = 8)
+    assert(partial.select("source").distinct().collect().map(_.getString(0)).toSeq == Seq("s0"))
+  }
+
   test("multimodal: payload metadata + batched feature extraction shape") {
     import spark.implicits._
     val df = Seq((1L, "some text payload"), (2L, "other payload")).toDF("id", "text")
