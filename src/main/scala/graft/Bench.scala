@@ -65,13 +65,16 @@ object Bench {
   }
 
   /** min plateaued: last sample is not a new min AND ≥2 samples within
-    * 10% of the min. Monotone-decreasing samples (round 6's a01) fail
-    * (a); a single lucky window fails (b).
+    * 10% + 30 ms of the min. Monotone-decreasing samples (round 6's a01)
+    * fail (a); a single lucky window fails (b). The 30 ms absolute slack
+    * keeps the flag meaningful for sub-0.3 s queries, where 10% is under
+    * this host's scheduler jitter (r8 first run: d01 sampled
+    * 0.19/0.22/0.23 — a real plateau the pure-ratio rule rejected).
     */
   private def isConverged(samples: Seq[Double]): Boolean = {
     val m = samples.min
     samples.size >= 2 && samples.last > m &&
-      samples.count(_ <= m * 1.10) >= 2
+      samples.count(_ <= m * 1.10 + 0.03) >= 2
   }
 
   def main(args: Array[String]): Unit = {

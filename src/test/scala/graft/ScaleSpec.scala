@@ -355,6 +355,42 @@ class ScaleSpec extends SparkTestBase {
     assert(out.collect().map(_.getInt(0)).toSeq == Seq(1))
   }
 
+  test("mixtureSample: the only window runs over the boundary bucket, not a whole source") {
+    import spark.implicits._
+    // range-derived (not a LocalRelation) so ConvertToLocalRelation can't
+    // fold the boundary filter away before we can inspect it
+    val docs = spark.range(300).select(col("id").as("doc_id"),
+      concat(lit("s"), pmod(col("id"), lit(3))).as("source"),
+      array_join(array_repeat(lit("w"), (pmod(col("id"), lit(5)) + 1).cast("int")), " ")
+        .as("text"))
+    val out = graft.pipeline.TextAnalysis.mixtureSample(
+      docs, "text", "doc_id", "source",
+      Map("s0" -> 0.5, "s1" -> 0.5), totalTokens = 200, nBuckets = 16)
+    // at 100 TB a source is terabytes: a Window.partitionBy(source) over
+    // the full input is the single-task trap. Every Window in the plan
+    // must sit above the boundary-bucket equality filter.
+    val windows = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "expected the boundary-bucket window")
+    windows.foreach { w =>
+      // the optimizer inlines __b (collapsed projections), so match the
+      // SHAPE: a Filter below the window carrying a bucket EQUALITY on
+      // the poly_hash-derived bucket (the source-isin filter alone is an
+      // In, not an EqualTo)
+      val hasBoundaryFilter = w.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+      }.exists(_.condition.find {
+        case eq: org.apache.spark.sql.catalyst.expressions.EqualTo =>
+          eq.toString.contains("poly_hash")
+        case _ => false
+      }.isDefined)
+      assert(hasBoundaryFilter,
+        s"window must be fed by the bucket-equality boundary filter:\n${w.toString.take(2000)}")
+    }
+    assert(out.count() > 0)
+  }
+
   test("fillDirectional with partitionCols: per-group hash-partitioned window") {
     import graft.operators.MissingData
     import spark.implicits._
