@@ -3423,6 +3423,43 @@ object SparkEntry {
               |  WHEN 'src2' THEN 400 ELSE 200 END
               |ORDER BY doc_id""".stripMargin)),
 
+    Q("c09_mixture_upsample",
+      (s, d) => {
+        val m = mgr(s, d)
+        // upsampling mix: each source's ~1300-token corpus fills a
+        // 2000-token budget → 1 full epoch + a partial prefix epoch.
+        // epoch is part of the output contract (repeat index for
+        // downstream epoch-salted shuffles).
+        pipeline.TextAnalysis.mixtureUpsample(
+            m.getDDFByName("documents").df, "text", "doc_id", "source",
+            Map("src0" -> 0.5, "src1" -> 0.5),
+            totalTokens = 4000, salt = "ep1", nBuckets = 64)
+          .select(col("doc_id"), col("source"), col("n_tokens"), col("epoch"))
+          .orderBy("doc_id", "epoch")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source,
+              |    len(${duckToks("text")})::BIGINT AS n_tokens,
+              |    list_reduce(list_prepend(0::BIGINT,
+              |      list_transform(regexp_split_to_array(doc_id::VARCHAR || ':ep1', ''),
+              |        c -> coalesce(ascii(c), 0)::BIGINT)),
+              |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+              |  FROM documents WHERE source IN ('src0', 'src1')),
+              |tot AS (SELECT source, sum(n_tokens)::BIGINT AS tot FROM t GROUP BY 1),
+              |f AS (SELECT source, tot,
+              |    (CASE WHEN tot > 0 THEN 2000 // tot ELSE 0 END)::BIGINT AS k,
+              |    (2000 - CASE WHEN tot > 0 THEN 2000 // tot ELSE 0 END * tot)::BIGINT AS rem
+              |  FROM tot),
+              |e AS (SELECT t.doc_id, t.source, t.n_tokens,
+              |    unnest(range(0, f.k)) AS epoch FROM t JOIN f USING (source)),
+              |c AS (SELECT t.*, f.k, f.rem,
+              |    sum(n_tokens) OVER (PARTITION BY t.source ORDER BY h, doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              |  FROM t JOIN f USING (source)),
+              |p AS (SELECT doc_id, source, n_tokens, k AS epoch FROM c WHERE cum <= rem)
+              |SELECT doc_id, source, n_tokens, epoch::BIGINT AS epoch FROM e
+              |UNION ALL SELECT doc_id, source, n_tokens, epoch::BIGINT FROM p
+              |ORDER BY doc_id, epoch""".stripMargin)),
+
     Q("t09_span_dedup",
       (s, d) => {
         val m = mgr(s, d)

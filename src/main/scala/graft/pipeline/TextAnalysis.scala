@@ -709,20 +709,87 @@ object TextAnalysis {
                     sourceCol: String, weights: Map[String, Double],
                     totalTokens: Long, salt: String = "mix",
                     nBuckets: Int = 1024): DataFrame = {
-    require(weights.nonEmpty, "mixtureSample: need at least one source weight")
+    requireMixArgs(weights, totalTokens, nBuckets)
+    val budgets = weights.map { case (s, w) => s -> math.floor(totalTokens * w).toLong }
+    prefixByBudget(
+      mixBase(df, textCol, idCol, sourceCol, weights.keys.toSeq, salt, nBuckets),
+      idCol, sourceCol, budgets, nBuckets)
+      .drop("__h", "__b")
+  }
+
+  /** [[mixtureSample]]'s upsampling twin: a source whose budget EXCEEDS
+    * its token total is REPEATED — `budget_s / total_s` full epochs plus
+    * a prefix-sampled partial epoch with the remainder (the standard
+    * data-mixture treatment of small high-quality sources). Output adds
+    * `epoch` (0-based repeat index); downstream epoch-aware shuffles
+    * ([[graft.operators.Views.deterministicShuffle]] salted per epoch)
+    * keep the repeats from clustering. Same determinism and scale shape
+    * as mixtureSample: the per-source token totals are one partial-agg
+    * aggregate (sources rows to the driver), full epochs are a
+    * broadcast-map explode (no shuffle), and only the partial-epoch
+    * boundary bucket sees a window.
+    */
+  def mixtureUpsample(df: DataFrame, textCol: String, idCol: String,
+                      sourceCol: String, weights: Map[String, Double],
+                      totalTokens: Long, salt: String = "mix",
+                      nBuckets: Int = 1024): DataFrame = {
+    requireMixArgs(weights, totalTokens, nBuckets)
+    val budgets = weights.map { case (s, w) => s -> math.floor(totalTokens * w).toLong }
+    val base = mixBase(df, textCol, idCol, sourceCol, weights.keys.toSeq, salt, nBuckets)
+    val totals = base.groupBy(col(sourceCol).as("__s"))
+      .agg(sum(col("n_tokens")).as("__t")).collect()
+      .map(r => r.getAs[String]("__s") -> r.getAs[Long]("__t")).toMap
+    val fullEpochs = budgets.map { case (s, b) =>
+      val tot = totals.getOrElse(s, 0L)
+      s -> (if (tot > 0) (b / tot).toInt else 0)
+    }
+    val remBudgets = budgets.map { case (s, b) =>
+      s -> (b - fullEpochs(s).toLong * totals.getOrElse(s, 0L))
+    }
+    val fullOf = typedLit(fullEpochs)
+    // guarded sequence: Spark's sequence(0, -1) would generate a
+    // DESCENDING [0,-1] instead of an empty epoch list
+    val k = fullOf(col(sourceCol))
+    val full = base.withColumn("epoch",
+        explode(when(k > 0, sequence(lit(0), k - 1))
+          .otherwise(array().cast("array<int>"))))
+      .withColumn("epoch", col("epoch").cast("bigint"))
+    val partial = prefixByBudget(base, idCol, sourceCol, remBudgets, nBuckets)
+      .withColumn("epoch", k.cast("bigint"))
+    full.unionByName(partial).drop("__h", "__b")
+  }
+
+  private def requireMixArgs(weights: Map[String, Double], totalTokens: Long,
+                             nBuckets: Int): Unit = {
+    require(weights.nonEmpty, "mixture: need at least one source weight")
     require(weights.values.forall(_ > 0),
-      "mixtureSample: weights must be positive (omit a source to drop it)")
+      "mixture: weights must be positive (omit a source to drop it)")
     require(totalTokens > 0, s"totalTokens must be positive, got $totalTokens")
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+  }
+
+  /** Shared mixing base: source filter + token counts + portable hash +
+    * hash bucket.
+    */
+  private def mixBase(df: DataFrame, textCol: String, idCol: String,
+                      sourceCol: String, sources: Seq[String], salt: String,
+                      nBuckets: Int): DataFrame = {
     val prime = 1000000007L
     val width = math.max(1L, prime / nBuckets + 1)
-    val budgets = weights.map { case (s, w) => s -> math.floor(totalTokens * w).toLong }
-    val base = df
-      .filter(col(sourceCol).isin(weights.keys.toSeq: _*))
+    df.filter(col(sourceCol).isin(sources: _*))
       .withColumn("n_tokens", tokenCount(textCol))
       .withColumn("__h", graft.pipeline.Dedup.portableFold(
         concat(col(idCol).cast("string"), lit(":"), lit(salt))))
       .withColumn("__b", (col("__h") / lit(width)).cast("int"))
+  }
+
+  /** The bucketed two-pass prefix selection over `base` (must carry
+    * `n_tokens`, `__h`, `__b`): keep each source's (hash, id)-ordered
+    * prefix whose running token sum stays within its budget. See
+    * [[mixtureSample]] for the scale rationale.
+    */
+  private def prefixByBudget(base: DataFrame, idCol: String, sourceCol: String,
+                             budgets: Map[String, Long], nBuckets: Int): DataFrame = {
     // pass 1: (source, bucket) token sums — sources×nBuckets rows reach
     // the driver (config-sized at any data scale, like IVF centroids)
     val sums = base.groupBy(col(sourceCol).as("__s"), col("__b"))
@@ -755,6 +822,6 @@ object TextAnalysis {
       .withColumn("__cum", sum(col("n_tokens")).over(wdw))
       .filter(col("__cum") <= remOf(col(sourceCol)))
       .drop("__cum")
-    keepWhole.unionByName(keepBoundary).drop("__h", "__b")
+    keepWhole.unionByName(keepBoundary)
   }
 }

@@ -621,6 +621,38 @@ class PipelineSpec extends SparkTestBase {
     assert(partial.select("source").distinct().collect().map(_.getString(0)).toSeq == Seq("s0"))
   }
 
+  test("mixtureUpsample: full epochs + partial prefix fill the budget") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // source s0: 10 docs × 4 tokens = 40 total; budget 100 → 2 full
+    // epochs + a 20-token partial. s1: 10 docs × 4 = 40; budget 30 →
+    // 0 full epochs + a 30-token prefix (the plain-sample degenerate).
+    val docs = (0 until 20).map(i =>
+      (i.toLong, if (i < 10) "s0" else "s1", "a b c d")).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.mixtureUpsample(docs, "text", "doc_id", "source",
+      Map("s0" -> 1.0, "s1" -> 0.3), totalTokens = 100, salt = "u", nBuckets = 8)
+    val rows = out.select("doc_id", "source", "epoch", "n_tokens").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val s0 = rows.filter(_._2 == "s0"); val s1 = rows.filter(_._2 == "s1")
+    // s0: every doc appears in epochs 0 and 1; partial epoch 2 carries
+    // exactly 20 tokens = 5 docs
+    assert(s0.count(_._3 == 0) == 10 && s0.count(_._3 == 1) == 10)
+    assert(s0.filter(_._3 == 2).map(_._4).sum == 20)
+    assert(s0.map(_._3).max == 2)
+    // s1: no full epoch; prefix carries 28 tokens (7 docs of 4 — the
+    // next doc would cross 30)
+    assert(s1.forall(_._3 == 0))
+    assert(s1.map(_._4).sum == 28)
+    // per-source delivered tokens never exceed the budget
+    assert(s0.map(_._4).sum <= 100 && s1.map(_._4).sum <= 30)
+    // deterministic
+    val again = TextAnalysis.mixtureUpsample(docs.repartition(7), "text", "doc_id",
+      "source", Map("s0" -> 1.0, "s1" -> 0.3), totalTokens = 100, salt = "u", nBuckets = 8)
+      .select("doc_id", "source", "epoch", "n_tokens").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(again.sorted.toSeq == rows.sorted.toSeq)
+  }
+
   test("multimodal: payload metadata + batched feature extraction shape") {
     import spark.implicits._
     val df = Seq((1L, "some text payload"), (2L, "other payload")).toDF("id", "text")
