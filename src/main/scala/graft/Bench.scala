@@ -71,11 +71,11 @@ object Bench {
     * this host's scheduler jitter (r8 first run: d01 sampled
     * 0.19/0.22/0.23 — a real plateau the pure-ratio rule rejected).
     */
-  private def isConverged(samples: Seq[Double]): Boolean = {
-    val m = samples.min
-    samples.size >= 2 && samples.last > m &&
-      samples.count(_ <= m * 1.10 + 0.03) >= 2
-  }
+  private def isConverged(samples: Seq[Double]): Boolean =
+    samples.size >= 2 && {
+      val m = samples.min
+      samples.last > m && samples.count(_ <= m * 1.10 + 0.03) >= 2
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -157,6 +157,9 @@ object Bench {
       "\"" + k + "\":" + isConverged(ss.map(_._1))
     }.mkString("{", ",", "}")
     val total = best.map(_._2._1).sum
+    // headline gc BEFORE the sf1 tier: the 10x corpus build + sf1 runs
+    // would otherwise dominate the headline noise-attribution field
+    val gcHeadline = gcMs - gc0
 
     // ---- sf1 tier ----
     val wantSf1 = sys.env.getOrElse("SPARK_GRAFT_SF1", "1") != "0" &&
@@ -165,24 +168,28 @@ object Bench {
       if (!wantSf1) ""
       else {
         val sf1Runs = sys.env.getOrElse("SPARK_GRAFT_SF1_RUNS", "3").toInt
+        require(sf1Runs >= 1, s"SPARK_GRAFT_SF1_RUNS must be >= 1, got $sf1Runs")
+        val gc1 = gcMs
         val dir = buildSf1(spark, sfDir)
-        // warm the new dir's table registrations outside the timed region
-        materialize(qs("q10_tpch_q1")(spark, dir))
-        val r1 = sf1Set.filter(qs.contains)
-          .map(n => n -> sampleQuery(n, dir, sf1Runs, math.max(sf1Runs, maxRuns)))
-        val b1 = r1.map { case (k, ss) => k -> ss.minBy(_._1) }
-        val q1 = numMap(b1.map { case (k, (w, _)) => k -> w })
-        val s1 = r1.map { case (k, ss) =>
-          "\"" + k + "\":" + ss.map(x => f"${x._1}%.2f").mkString("[", ",", "]")
-        }.mkString("{", ",", "}")
-        val c1 = r1.map { case (k, ss) =>
-          "\"" + k + "\":" + isConverged(ss.map(_._1))
-        }.mkString("{", ",", "}")
-        val t1 = b1.map(_._2._1).sum
-        f""","queries_sf1":$q1,"samples_sf1":$s1,"converged_sf1":$c1,"total_sf1":$t1%.3f"""
+        try {
+          // warm the new dir's table registrations outside the timed region
+          materialize(qs("q10_tpch_q1")(spark, dir))
+          val r1 = sf1Set.filter(qs.contains)
+            .map(n => n -> sampleQuery(n, dir, sf1Runs, math.max(sf1Runs, maxRuns)))
+          val b1 = r1.map { case (k, ss) => k -> ss.minBy(_._1) }
+          val q1 = numMap(b1.map { case (k, (w, _)) => k -> w })
+          val s1 = r1.map { case (k, ss) =>
+            "\"" + k + "\":" + ss.map(x => f"${x._1}%.2f").mkString("[", ",", "]")
+          }.mkString("{", ",", "}")
+          val c1 = r1.map { case (k, ss) =>
+            "\"" + k + "\":" + isConverged(ss.map(_._1))
+          }.mkString("{", ",", "}")
+          val t1 = b1.map(_._2._1).sum
+          f""","queries_sf1":$q1,"samples_sf1":$s1,"converged_sf1":$c1,"total_sf1":$t1%.3f,"gc_ms_sf1":${gcMs - gc1}"""
+        } finally graft.tools.Cleanup.deleteRecursively(dir) // ~10x sf0.1 on disk
       }
 
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","runs":$runs,"harness":"hash-materialized; round 8: converged flags + sf1 tier (see Bench.scala scaladoc)","samples":$samplesJson,"best_run_cpu_util":$utilJson,"converged":$convJson,"gc_ms":${gcMs - gc0}$sf1Json}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","runs":$runs,"harness":"hash-materialized; round 8: converged flags + sf1 tier (see Bench.scala scaladoc)","samples":$samplesJson,"best_run_cpu_util":$utilJson,"converged":$convJson,"gc_ms":$gcHeadline$sf1Json}"""
     // the stdout line interleaves with sbt/Spark logging and has arrived
     // truncated in past rounds ("parsed": null) — ALSO write the JSON to
     // its own file so the artifact is machine-readable regardless of

@@ -87,6 +87,20 @@ object SparkEntry {
     m
   }
 
+  /** Materialize a SMALL result (gate rows are ≤ a few hundred rows)
+    * into a local-relation frame and delete the query's temp workspace —
+    * the lazily-returned frame must not dangle over deleted parquet, and
+    * repeated Verify runs must not accrete stream/publish scratch dirs.
+    */
+  private def collectAndClean(s: SparkSession, df: DataFrame, tmp: String): DataFrame = {
+    val rows = df.collect().toIndexedSeq
+    tools.Cleanup.deleteRecursively(tmp)
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      df.schema)
+  }
+
   /** Exact 2-decimal sum, identical in Spark and DuckDB. */
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
   private def dsumSql(c: String): String = s"cast(sum(cast($c as decimal(18,2))) as double)"
@@ -2640,14 +2654,14 @@ object SparkEntry {
         val docs = m.getDDFByName("documents").df.filter(col("doc_id") < 400)
           .withColumn("shard", pmod(col("doc_id"), lit(4L)))
           .repartition(4, col("shard"))
-        val dir = java.nio.file.Files.createTempDirectory("graft_p04").toString + "/corpus"
-        sources.Manifest.writeWithManifest(docs, dir, partitionCols = Seq("shard"))
-        sources.Manifest.verifyManifest(s, dir)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_p04").toString
+        sources.Manifest.writeWithManifest(docs, s"$tmp/corpus", partitionCols = Seq("shard"))
+        collectAndClean(s, sources.Manifest.verifyManifest(s, s"$tmp/corpus")
           .agg(count(lit(1)).as("n_shards"),
             sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"),
             sum(col("actual_rows")).as("total_rows"),
             min(col("actual_rows")).as("min_shard_rows"),
-            max(col("actual_rows")).as("max_shard_rows"))
+            max(col("actual_rows")).as("max_shard_rows")), tmp)
       },
       Some("""WITH s AS (SELECT doc_id % 4 AS shard, count(*) AS n
              |  FROM documents WHERE doc_id < 400 GROUP BY 1)
@@ -2679,7 +2693,7 @@ object SparkEntry {
           stream.addData(docs.filter(_._1 % 3 == e).toIndexedSeq: _*)
           q.processAllAvailable()
         } finally q.stop()
-        s.read.parquet(s"$tmp/out").orderBy("doc_id")
+        collectAndClean(s, s.read.parquet(s"$tmp/out").orderBy("doc_id"), tmp)
       },
       // a doc survives iff its epoch is the FIRST epoch its content
       // appears in AND it is the min doc_id of that content within the
@@ -2715,7 +2729,7 @@ object SparkEntry {
           stream.addData(batch.toIndexedSeq: _*)
           q.processAllAvailable()
         } finally q.stop()
-        s.read.parquet(s"$tmp/out").orderBy("doc_id")
+        collectAndClean(s, s.read.parquet(s"$tmp/out").orderBy("doc_id"), tmp)
       },
       Some(s"""WITH ${duckMinhashCtes("documents")},
               |l0 AS (SELECT DISTINCT id2 FROM mpairs

@@ -187,6 +187,21 @@ object MissingData {
                                      cols: Seq[String]): DataFrame =
     scanFill(fillGlobalPartition(df, orderCol), m, orderCol, cols)
 
+  /** Orderable atomic types whose EXTERNAL Row values implement
+    * java.lang.Comparable — the precondition for the deterministic tie
+    * carry in [[scanFill]] and the struct-ordered edge aggregate.
+    */
+  private def comparableType(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType | BooleanType | ByteType | ShortType | IntegerType |
+           LongType | FloatType | DoubleType | DateType | TimestampType |
+           TimestampNTZType => true
+      case _: DecimalType => true
+      case _ => false // arrays, maps, structs, binary: external values not Comparable
+    }
+  }
+
   /** ONE shuffle: the range exchange. Equal ordering keys all compare
     * the same way against the range boundaries, so a tied group is never
     * split across partitions — the group-aware scan in [[scanFill]]
@@ -207,6 +222,15 @@ object MissingData {
     * — a pure function of the data, independent of partition layout or
     * intra-group row order. With a unique ordering column every row is
     * its own group and this degenerates to the classic running fill.
+    *
+    * The deterministic tiebreak needs an ordering on the VALUES, so it
+    * applies to fill columns of orderable atomic types (whose external
+    * Row values are java.lang.Comparable — boxed numerics, String,
+    * Timestamp, Date). Non-comparable fill columns (arrays, maps,
+    * binary) keep the legacy last-seen-in-scan-order carry: still
+    * correct for unique orderings, implementation-defined under ties —
+    * matching the pre-round-8 behavior instead of crashing on a cast.
+    *
     * The scan is a mapPartitions over the range-sorted rows — a
     * Window.partitionBy(__pid) here would add a SECOND full-data hash
     * exchange, because Catalyst cannot see that rows with equal
@@ -221,12 +245,15 @@ object MissingData {
     val idxs = cols.map(schema.fieldIndex).toArray
     val oi = schema.fieldIndex(orderCol)
     val forward = m == "ffill"
+    val cmp = cols.map(c => comparableType(schema(c).dataType)).toArray
     val filledRdd = parts.rdd.mapPartitions { it =>
-      // external Row values of orderable Spark atomic types are all
-      // java.lang.Comparable (boxed numerics, String, Timestamp, Date)
-      def better(a: Any, b: Any): Boolean = // does a beat b for this direction?
-        b == null || (if (forward) a.asInstanceOf[Comparable[Any]].compareTo(b) > 0
-                      else a.asInstanceOf[Comparable[Any]].compareTo(b) < 0)
+      // does a beat b for this direction? Comparable columns use the
+      // deterministic extreme; others take every non-null (last seen in
+      // scan order wins — the legacy carry)
+      def better(k: Int, a: Any, b: Any): Boolean =
+        b == null || !cmp(k) ||
+          (if (forward) a.asInstanceOf[Comparable[Any]].compareTo(b) > 0
+           else a.asInstanceOf[Comparable[Any]].compareTo(b) < 0)
       val carry = Array.fill[Any](idxs.length)(null)
       val pending = Array.fill[Any](idxs.length)(null)
       var lastKey: Any = null
@@ -246,7 +273,7 @@ object MissingData {
         while (k < idxs.length) {
           val v = vals(idxs(k))
           if (v == null) vals(idxs(k)) = carry(k)
-          else if (better(v, pending(k))) pending(k) = v
+          else if (better(k, v, pending(k))) pending(k) = v
           k += 1
         }
         org.apache.spark.sql.Row.fromSeq(vals.toIndexedSeq)
@@ -282,7 +309,13 @@ object MissingData {
     // when() masks out null values. One row PER PARTITION (config-sized,
     // never data-sized).
     val edgeAggs = cols.map { c =>
-      val ord = when(col(c).isNotNull, struct(col(orderCol), col(c)))
+      // non-comparable (array/map/binary) columns can't order by value —
+      // fall back to the legacy orderCol-only edge (matches scanFill's
+      // last-seen carry for those columns)
+      val ord =
+        if (comparableType(df.schema(c).dataType))
+          when(col(c).isNotNull, struct(col(orderCol), col(c)))
+        else when(col(c).isNotNull, struct(col(orderCol)))
       (if (m == "ffill") max_by(col(c), ord) else min_by(col(c), ord)).as(c)
     }
     val edges = parts.groupBy("__pid").agg(edgeAggs.head, edgeAggs.tail: _*)

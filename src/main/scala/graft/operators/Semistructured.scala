@@ -46,8 +46,17 @@ object Semistructured {
     */
   def selectPaths(df: DataFrame, structCol: String, paths: Seq[String]): DataFrame = {
     require(paths.nonEmpty, "selectPaths: need at least one path")
-    paths.foldLeft(df) { (d, p) =>
-      d.withColumn(p.replace('.', '_'), col(s"$structCol.$p"))
+    val names = paths.map(_.replace('.', '_'))
+    // dots→underscores can collide ("a.b_c" and "a_b.c" → "a_b_c"), and
+    // withColumn would silently overwrite — refuse instead
+    val dups = names.diff(names.distinct).distinct
+    require(dups.isEmpty,
+      s"selectPaths: derived column names collide: ${dups.mkString(", ")}")
+    val clobbered = names.filter(df.columns.contains)
+    require(clobbered.isEmpty,
+      s"selectPaths: derived names clobber existing columns: ${clobbered.mkString(", ")}")
+    paths.zip(names).foldLeft(df) { case (d, (p, n)) =>
+      d.withColumn(n, col(s"$structCol.$p"))
     }
   }
 

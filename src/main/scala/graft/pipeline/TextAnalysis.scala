@@ -711,9 +711,9 @@ object TextAnalysis {
                     nBuckets: Int = 1024): DataFrame = {
     requireMixArgs(weights, totalTokens, nBuckets)
     val budgets = weights.map { case (s, w) => s -> math.floor(totalTokens * w).toLong }
-    prefixByBudget(
-      mixBase(df, textCol, idCol, sourceCol, weights.keys.toSeq, salt, nBuckets),
-      idCol, sourceCol, budgets, nBuckets)
+    val base = mixBase(df, textCol, idCol, sourceCol, weights.keys.toSeq, salt, nBuckets)
+    prefixByBudget(base, collectSums(base, sourceCol), idCol, sourceCol,
+      budgets, nBuckets)
       .drop("__h", "__b")
   }
 
@@ -736,9 +736,10 @@ object TextAnalysis {
     requireMixArgs(weights, totalTokens, nBuckets)
     val budgets = weights.map { case (s, w) => s -> math.floor(totalTokens * w).toLong }
     val base = mixBase(df, textCol, idCol, sourceCol, weights.keys.toSeq, salt, nBuckets)
-    val totals = base.groupBy(col(sourceCol).as("__s"))
-      .agg(sum(col("n_tokens")).as("__t")).collect()
-      .map(r => r.getAs[String]("__s") -> r.getAs[Long]("__t")).toMap
+    // source totals fold out of the SAME bucket sums pass 1 already
+    // collected — no second corpus aggregate
+    val sums = collectSums(base, sourceCol)
+    val totals = sums.map { case (s, bs) => s -> bs.map(_._2).sum }
     val fullEpochs = budgets.map { case (s, b) =>
       val tot = totals.getOrElse(s, 0L)
       s -> (if (tot > 0) (b / tot).toInt else 0)
@@ -754,7 +755,7 @@ object TextAnalysis {
         explode(when(k > 0, sequence(lit(0), k - 1))
           .otherwise(array().cast("array<int>"))))
       .withColumn("epoch", col("epoch").cast("bigint"))
-    val partial = prefixByBudget(base, idCol, sourceCol, remBudgets, nBuckets)
+    val partial = prefixByBudget(base, sums, idCol, sourceCol, remBudgets, nBuckets)
       .withColumn("epoch", k.cast("bigint"))
     full.unionByName(partial).drop("__h", "__b")
   }
@@ -769,7 +770,11 @@ object TextAnalysis {
   }
 
   /** Shared mixing base: source filter + token counts + portable hash +
-    * hash bucket.
+    * hash bucket — localCheckpoint'd (eager) because every caller scans
+    * it 2–4 times (pass-1 sums, kept buckets, boundary window, epoch
+    * explode); one materialization of the filtered corpus beats 3–5
+    * re-tokenization passes (the Dedup candidate-set discipline), and
+    * checkpoint blocks release with the plan, no explicit unpersist.
     */
   private def mixBase(df: DataFrame, textCol: String, idCol: String,
                       sourceCol: String, sources: Seq[String], salt: String,
@@ -781,24 +786,32 @@ object TextAnalysis {
       .withColumn("__h", graft.pipeline.Dedup.portableFold(
         concat(col(idCol).cast("string"), lit(":"), lit(salt))))
       .withColumn("__b", (col("__h") / lit(width)).cast("int"))
+      .localCheckpoint()
   }
 
-  /** The bucketed two-pass prefix selection over `base` (must carry
-    * `n_tokens`, `__h`, `__b`): keep each source's (hash, id)-ordered
-    * prefix whose running token sum stays within its budget. See
-    * [[mixtureSample]] for the scale rationale.
+  /** Pass 1: per-source bucket token sums, ordered by bucket —
+    * sources×nBuckets rows to the driver (config-sized at any data
+    * scale, like IVF centroids).
     */
-  private def prefixByBudget(base: DataFrame, idCol: String, sourceCol: String,
-                             budgets: Map[String, Long], nBuckets: Int): DataFrame = {
-    // pass 1: (source, bucket) token sums — sources×nBuckets rows reach
-    // the driver (config-sized at any data scale, like IVF centroids)
-    val sums = base.groupBy(col(sourceCol).as("__s"), col("__b"))
+  private def collectSums(base: DataFrame,
+                          sourceCol: String): Map[String, Array[(Int, Long)]] =
+    base.groupBy(col(sourceCol).as("__s"), col("__b"))
       .agg(sum(col("n_tokens")).as("__t"))
       .collect()
       .groupBy(_.getAs[String]("__s"))
       .map { case (s, rows) =>
         s -> rows.map(r => r.getAs[Int]("__b") -> r.getAs[Long]("__t")).sortBy(_._1)
       }
+
+  /** The bucketed two-pass prefix selection over `base` (must carry
+    * `n_tokens`, `__h`, `__b`; `sums` = [[collectSums]] of it): keep
+    * each source's (hash, id)-ordered prefix whose running token sum
+    * stays within its budget. See [[mixtureSample]] for the scale
+    * rationale.
+    */
+  private def prefixByBudget(base: DataFrame, sums: Map[String, Array[(Int, Long)]],
+                             idCol: String, sourceCol: String,
+                             budgets: Map[String, Long], nBuckets: Int): DataFrame = {
     // driver prefix scan: per source, the first bucket where the budget
     // is crossed + the budget remaining when entering it
     val cuts = budgets.map { case (s, budget) =>

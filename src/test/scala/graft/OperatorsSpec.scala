@@ -284,6 +284,25 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("fillDirectional global: non-comparable (array) fill columns still fill") {
+    import spark.implicits._
+    // arrays are not java.lang.Comparable — the deterministic tiebreak
+    // must fall back to the legacy carry instead of a ClassCastException
+    val ddf = m.register(Seq(
+      (1, Some(Seq(1.0, 2.0))), (2, None), (3, None), (4, Some(Seq(4.0))), (5, None)
+    ).toDF("t", "xs"))
+    val ff = MissingData.fillDirectional(ddf.copy(), "ffill", "t", Seq("xs"))
+      .df.orderBy("t").collect()
+      .map(r => Option(r.get(1)).map(_ => r.getSeq[Double](1).toList))
+    assert(ff.toSeq == Seq(Some(List(1.0, 2.0)), Some(List(1.0, 2.0)),
+      Some(List(1.0, 2.0)), Some(List(4.0)), Some(List(4.0))))
+    val bf = MissingData.fillDirectional(ddf.copy(), "bfill", "t", Seq("xs"))
+      .df.orderBy("t").collect()
+      .map(r => Option(r.get(1)).map(_ => r.getSeq[Double](1).toList))
+    assert(bf.toSeq == Seq(Some(List(1.0, 2.0)), Some(List(4.0)),
+      Some(List(4.0)), Some(List(4.0)), None))
+  }
+
   test("mapReduce: typed groupByKey + mapGroups (reference U2)") {
     import spark.implicits._
     val ddf = m.register(Seq(("a", 1), ("a", 2), ("b", 5)).toDF("g", "x"))

@@ -382,7 +382,9 @@ class ScaleSpec extends SparkTestBase {
         case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
       }.exists(_.condition.find {
         case eq: org.apache.spark.sql.catalyst.expressions.EqualTo =>
-          eq.toString.contains("poly_hash")
+          // the bucket column survives as __b above the checkpoint, or
+          // as the inlined poly_hash expression if lineage is visible
+          eq.references.exists(_.name == "__b") || eq.toString.contains("poly_hash")
         case _ => false
       }.isDefined)
       assert(hasBoundaryFilter,
