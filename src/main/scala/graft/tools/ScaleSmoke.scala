@@ -199,6 +199,16 @@ object ScaleSmoke {
           hf.agg(sum(size(col("indices")))).first().getLong(0)
         }),
         "tpch_q9(q80)" -> (() => { tpchViews; spark.sql(graft.SparkEntry.tpchQ9Sql).count() }),
+        "mixture_sample(c08)" -> (() => {
+          // budget scales with the corpus so the kept fraction stays
+          // constant — measures the two-pass machinery, not a shrinking
+          // output
+          val srcs = (0 until 20).map(s => s"src$s" -> 0.05).toMap
+          graft.pipeline.TextAnalysis.mixtureSample(
+            d.withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(20)))),
+            "text", "doc_id", "source", srcs,
+            totalTokens = 30000L * f, nBuckets = 256).count()
+        }),
         "token_ids(t14)" -> (() => {
           val ranked = graft.pipeline.TextAnalysis.rankVocabulary(
             graft.pipeline.TextAnalysis.vocabulary(d, "text", "doc_id", minDocFreq = 5))
