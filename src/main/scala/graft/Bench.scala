@@ -37,6 +37,23 @@ import org.apache.spark.sql.functions._
   * min-of-SPARK_GRAFT_SF1_RUNS (default 3) as `queries_sf1`. At sf0.1
   * most headliners cost 0.2–1 s — inside this host's noise floor; the
   * sf1 numbers move round-over-round only when the CODE changes.
+  *
+  * Contention detection (round-9 harness change): the round-8
+  * convergence rule could not tell a *contended* plateau from a quiet
+  * one — r8's committed run stamped `converged: true` on a01 at 4× its
+  * quiet-host value because every sample ran in the same starved window.
+  * Now a fixed CPU-bound calibration probe (a deterministic 20 M-step
+  * LCG spin, ~25 ms quiet) runs immediately before every sample. The
+  * probe's quiet-host floor is the min probe time seen across the whole
+  * bench process; a sample whose probe exceeded 1.5× that floor (+5 ms
+  * absolute slack) was taken while the host was starving this JVM and is
+  * REJECTED: it cannot set the query's min and does not count toward
+  * convergence. Per query the JSON reports `rejected` (how many samples
+  * the probe threw out) and `contended: true` when every sample was
+  * rejected — in that case the reported min is an upper bound taken
+  * from the contended samples and must not be read as a regression.
+  * The floor is re-evaluated globally at the end of the run, so an
+  * inflated startup calibration cannot mask later contention.
   */
 object Bench {
   private val headline = Seq(
@@ -64,18 +81,52 @@ object Bench {
       .map(_.getCollectionTime).sum
   }
 
-  /** min plateaued: last sample is not a new min AND ≥2 samples within
-    * 10% + 30 ms of the min. Monotone-decreasing samples (round 6's a01)
-    * fail (a); a single lucky window fails (b). The 30 ms absolute slack
-    * keeps the flag meaningful for sub-0.3 s queries, where 10% is under
-    * this host's scheduler jitter (r8 first run: d01 sampled
-    * 0.19/0.22/0.23 — a real plateau the pure-ratio rule rejected).
+  /** min plateaued: last sample did not set a STRICTLY new min AND ≥2
+    * samples within 10% + 30 ms of the min. Monotone-decreasing samples
+    * (round 6's a01) fail (a); a single lucky window fails (b). The
+    * 30 ms absolute slack keeps the flag meaningful for sub-0.3 s
+    * queries, where 10% is under this host's scheduler jitter (r8 first
+    * run: d01 sampled 0.19/0.22/0.23 — a real plateau the pure-ratio
+    * rule rejected). An exact tie with an earlier min counts as
+    * converged — a reproduced time is plateau evidence, not a new min.
     */
   private def isConverged(samples: Seq[Double]): Boolean =
     samples.size >= 2 && {
       val m = samples.min
-      samples.last > m && samples.count(_ <= m * 1.10 + 0.03) >= 2
+      samples.last >= samples.init.min &&
+        samples.count(_ <= m * 1.10 + 0.03) >= 2
     }
+
+  /** One sample of one query: wall seconds, best-run CPU utilization,
+    * and the calibration-probe seconds measured immediately before it.
+    */
+  private case class Sample(wall: Double, util: Double, probe: Double)
+
+  @volatile private var probeSink = 0L // defeat dead-code elimination
+  /** Fixed CPU-bound calibration spin: 20 M LCG steps single-threaded,
+    * ~25 ms on this host when quiet. Pure ALU work with no allocation,
+    * so its wall time moves ONLY when the host denies this JVM cycles —
+    * the exact failure mode that has forged 3 rounds of bench numbers.
+    */
+  private def probeOnce(): Double = {
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    val t0 = System.nanoTime()
+    while (i < 20000000) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      x ^= (x >>> 33)
+      i += 1
+    }
+    probeSink = x
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** A sample is starved when its probe ran ≥1.5× slower than the
+    * quietest probe this process has seen (+5 ms absolute slack for
+    * sub-30 ms probe jitter). Threshold per VERDICT r8's ask.
+    */
+  private def isStarved(probe: Double, floor: Double): Boolean =
+    probe > floor * 1.5 + 0.005
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -110,8 +161,17 @@ object Bench {
     // JVM/codegen warmup outside the timed region
     materialize(qs("q10_tpch_q1")(spark, sfDir))
 
-    /** One run → (wall sec, cpu-utilization fraction of the whole box). */
-    def timed(name: String, dir: String): (Double, Double) = {
+    // Seed the probe floor before any timed work; it only ever drops as
+    // quieter windows are observed (classification at the end uses the
+    // final global floor, so an inflated startup cannot hide contention).
+    var probeFloor = (1 to 5).map(_ => probeOnce()).min
+
+    /** One run → wall sec, cpu-utilization fraction of the whole box,
+      * and the pre-sample calibration probe.
+      */
+    def timed(name: String, dir: String): Sample = {
+      val p = probeOnce()
+      probeFloor = math.min(probeFloor, p)
       val cpu0 = osBean.getProcessCpuTime
       val t0 = System.nanoTime()
       // fail FAST: swallowing the error would report the (often very
@@ -123,17 +183,38 @@ object Bench {
       }
       val wall = (System.nanoTime() - t0) / 1e9
       val cpuSec = (osBean.getProcessCpuTime - cpu0) / 1e9
-      (wall, cpuSec / (wall * Runtime.getRuntime.availableProcessors()))
+      Sample(wall, cpuSec / (wall * Runtime.getRuntime.availableProcessors()), p)
     }
 
     /** Sample `name` at least `base` times, extending to `cap` until the
-      * min converges.
+      * min over NON-STARVED samples converges. Starved samples (probe
+      * over threshold at sampling time) neither satisfy nor block
+      * convergence — a contended window keeps the query sampling, up to
+      * the cap. base == 1 skips extension entirely: SPARK_GRAFT_RUNS=1
+      * is the fast-local-iteration contract and must mean one run.
       */
-    def sampleQuery(name: String, dir: String, base: Int, cap: Int): Seq[(Double, Double)] = {
+    def sampleQuery(name: String, dir: String, base: Int, cap: Int): Seq[Sample] = {
       var ss = Seq.fill(base)(timed(name, dir))
-      while (!isConverged(ss.map(_._1)) && ss.size < cap)
+      def clean = ss.filter(s => !isStarved(s.probe, probeFloor)).map(_.wall)
+      while (base > 1 && !isConverged(clean) && ss.size < cap)
         ss = ss :+ timed(name, dir)
       ss
+    }
+
+    /** Per-query verdict from the FINAL global probe floor: best sample
+      * (min over clean samples; all-starved queries fall back to the
+      * contended min, flagged), rejected count, contended flag, and
+      * convergence over the clean subsequence.
+      */
+    case class QueryVerdict(best: Sample, rejected: Int, contended: Boolean,
+                            converged: Boolean)
+    def verdict(ss: Seq[Sample]): QueryVerdict = {
+      val clean = ss.filter(s => !isStarved(s.probe, probeFloor))
+      if (clean.isEmpty)
+        QueryVerdict(ss.minBy(_.wall), ss.size, contended = true, converged = false)
+      else
+        QueryVerdict(clean.minBy(_.wall), ss.size - clean.size,
+          contended = false, converged = isConverged(clean.map(_.wall)))
     }
 
     // SPARK_GRAFT_ONLY=d01,d02 narrows the set for local iteration; the
@@ -144,29 +225,57 @@ object Bench {
     val results = headline.filter(qs.contains)
       .filter(n => only.forall(_.contains(n)))
       .map { name => name -> sampleQuery(name, sfDir, runs, math.max(runs, maxRuns)) }
-    val best = results.map { case (k, ss) => k -> ss.minBy(_._1) }
+    // verdicts use the FINAL probe floor — quietest window of the whole
+    // run — so these are defs: the sf1 tier's probes can retroactively
+    // reclassify headline samples taken in a window that only LOOKED quiet
+    def vs = results.map { case (k, ss) => k -> verdict(ss) }
     def numMap(xs: Seq[(String, Double)]): String =
       xs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val qJson = numMap(best.map { case (k, (w, _)) => k -> w })
-    val samplesJson = results.map { case (k, ss) =>
-      "\"" + k + "\":" + ss.map(s => f"${s._1}%.2f").mkString("[", ",", "]")
+    def boolMap(xs: Seq[(String, Boolean)]): String =
+      xs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def intMap(xs: Seq[(String, Int)]): String =
+      xs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def samplesMap(xs: Seq[(String, Seq[Sample])]): String = xs.map { case (k, ss) =>
+      "\"" + k + "\":" + ss.map(s => f"${s.wall}%.2f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val utilJson = best.map { case (k, (_, u)) => "\"" + k + f"\":$u%.2f" }
+    def probesMap(xs: Seq[(String, Seq[Sample])]): String = xs.map { case (k, ss) =>
+      "\"" + k + "\":" + ss.map(s => f"${s.probe}%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    def qJson = numMap(vs.map { case (k, v) => k -> v.best.wall })
+    val samplesJson = samplesMap(results)
+    val probesJson = probesMap(results)
+    def utilJson = vs.map { case (k, v) => "\"" + k + f"\":${v.best.util}%.2f" }
       .mkString("{", ",", "}")
-    val convJson = results.map { case (k, ss) =>
-      "\"" + k + "\":" + isConverged(ss.map(_._1))
-    }.mkString("{", ",", "}")
-    val total = best.map(_._2._1).sum
+    def convJson = boolMap(vs.map { case (k, v) => k -> v.converged })
+    def contJson = boolMap(vs.map { case (k, v) => k -> v.contended })
+    def rejJson = intMap(vs.map { case (k, v) => k -> v.rejected })
+    def total = vs.map(_._2.best.wall).sum
     // headline gc BEFORE the sf1 tier: the 10x corpus build + sf1 runs
     // would otherwise dominate the headline noise-attribution field
     val gcHeadline = gcMs - gc0
+
+    def assemble(extra: String): String =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","runs":$runs,"harness":"hash-materialized; round 9: per-sample CPU calibration probe rejects starved samples (see Bench.scala scaladoc)","samples":$samplesJson,"probes":$probesJson,"probe_base":$probeFloor%.3f,"best_run_cpu_util":$utilJson,"converged":$convJson,"contended":$contJson,"rejected":$rejJson,"gc_ms":$gcHeadline$extra}"""
+
+    // the stdout line interleaves with sbt/Spark logging and has arrived
+    // truncated in past rounds ("parsed": null) — ALSO write the JSON to
+    // its own file so the artifact is machine-readable regardless of
+    // what the launcher does to stdout
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
+    def writeOut(line: String): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // persist the headline tier BEFORE attempting sf1: a failure in the
+    // 10× corpus build or an sf1 query must degrade the artifact to
+    // headline-only, not discard a completed round of measurements
+    writeOut(assemble(""))
 
     // ---- sf1 tier ----
     val wantSf1 = sys.env.getOrElse("SPARK_GRAFT_SF1", "1") != "0" &&
       sfDir.contains("sf0.1") && only.isEmpty
     val sf1Json =
       if (!wantSf1) ""
-      else {
+      else try {
         val sf1Runs = sys.env.getOrElse("SPARK_GRAFT_SF1_RUNS", "3").toInt
         require(sf1Runs >= 1, s"SPARK_GRAFT_SF1_RUNS must be >= 1, got $sf1Runs")
         val gc1 = gcMs
@@ -176,27 +285,26 @@ object Bench {
           materialize(qs("q10_tpch_q1")(spark, dir))
           val r1 = sf1Set.filter(qs.contains)
             .map(n => n -> sampleQuery(n, dir, sf1Runs, math.max(sf1Runs, maxRuns)))
-          val b1 = r1.map { case (k, ss) => k -> ss.minBy(_._1) }
-          val q1 = numMap(b1.map { case (k, (w, _)) => k -> w })
-          val s1 = r1.map { case (k, ss) =>
-            "\"" + k + "\":" + ss.map(x => f"${x._1}%.2f").mkString("[", ",", "]")
-          }.mkString("{", ",", "}")
-          val c1 = r1.map { case (k, ss) =>
-            "\"" + k + "\":" + isConverged(ss.map(_._1))
-          }.mkString("{", ",", "}")
-          val t1 = b1.map(_._2._1).sum
-          f""","queries_sf1":$q1,"samples_sf1":$s1,"converged_sf1":$c1,"total_sf1":$t1%.3f,"gc_ms_sf1":${gcMs - gc1}"""
+          val v1 = r1.map { case (k, ss) => k -> verdict(ss) }
+          val q1 = numMap(v1.map { case (k, v) => k -> v.best.wall })
+          val s1 = samplesMap(r1)
+          val p1 = probesMap(r1)
+          val c1 = boolMap(v1.map { case (k, v) => k -> v.converged })
+          val ct1 = boolMap(v1.map { case (k, v) => k -> v.contended })
+          val rj1 = intMap(v1.map { case (k, v) => k -> v.rejected })
+          val t1 = v1.map(_._2.best.wall).sum
+          f""","queries_sf1":$q1,"samples_sf1":$s1,"probes_sf1":$p1,"converged_sf1":$c1,"contended_sf1":$ct1,"rejected_sf1":$rj1,"total_sf1":$t1%.3f,"gc_ms_sf1":${gcMs - gc1}"""
         } finally graft.tools.Cleanup.deleteRecursively(dir) // ~10x sf0.1 on disk
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] sf1 tier FAILED (headline tier kept): $e")
+        ",\"sf1_error\":\"" + (e.getClass.getName + ": " +
+          String.valueOf(e.getMessage).take(300))
+            .replace("\\", "\\\\").replace("\"", "\\\"")
+            .flatMap(c => if (c < ' ') f"\\u${c.toInt}%04x" else c.toString) + "\""
       }
 
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","runs":$runs,"harness":"hash-materialized; round 8: converged flags + sf1 tier (see Bench.scala scaladoc)","samples":$samplesJson,"best_run_cpu_util":$utilJson,"converged":$convJson,"gc_ms":$gcHeadline$sf1Json}"""
-    // the stdout line interleaves with sbt/Spark logging and has arrived
-    // truncated in past rounds ("parsed": null) — ALSO write the JSON to
-    // its own file so the artifact is machine-readable regardless of
-    // what the launcher does to stdout
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
-    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val line = assemble(sf1Json)
+    writeOut(line)
     println(line)
     spark.stop()
   }

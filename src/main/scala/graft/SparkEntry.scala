@@ -101,6 +101,18 @@ object SparkEntry {
       df.schema)
   }
 
+  /** Scratch workspace for queries that round-trip through disk (the
+    * publish/stream gates). The success path ends in [[collectAndClean]],
+    * which deletes the dir after materializing; this wrapper deletes it
+    * when the body THROWS instead, so repeated failing Verify runs do
+    * not accrete /tmp workspaces.
+    */
+  private def withScratch(prefix: String)(body: String => DataFrame): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory(prefix).toString
+    try body(tmp)
+    catch { case e: Throwable => tools.Cleanup.deleteRecursively(tmp); throw e }
+  }
+
   /** Exact 2-decimal sum, identical in Spark and DuckDB. */
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
   private def dsumSql(c: String): String = s"cast(sum(cast($c as decimal(18,2))) as double)"
@@ -2654,14 +2666,15 @@ object SparkEntry {
         val docs = m.getDDFByName("documents").df.filter(col("doc_id") < 400)
           .withColumn("shard", pmod(col("doc_id"), lit(4L)))
           .repartition(4, col("shard"))
-        val tmp = java.nio.file.Files.createTempDirectory("graft_p04").toString
-        sources.Manifest.writeWithManifest(docs, s"$tmp/corpus", partitionCols = Seq("shard"))
-        collectAndClean(s, sources.Manifest.verifyManifest(s, s"$tmp/corpus")
-          .agg(count(lit(1)).as("n_shards"),
-            sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"),
-            sum(col("actual_rows")).as("total_rows"),
-            min(col("actual_rows")).as("min_shard_rows"),
-            max(col("actual_rows")).as("max_shard_rows")), tmp)
+        withScratch("graft_p04") { tmp =>
+          sources.Manifest.writeWithManifest(docs, s"$tmp/corpus", partitionCols = Seq("shard"))
+          collectAndClean(s, sources.Manifest.verifyManifest(s, s"$tmp/corpus")
+            .agg(count(lit(1)).as("n_shards"),
+              sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"),
+              sum(col("actual_rows")).as("total_rows"),
+              min(col("actual_rows")).as("min_shard_rows"),
+              max(col("actual_rows")).as("max_shard_rows")), tmp)
+        }
       },
       Some("""WITH s AS (SELECT doc_id % 4 AS shard, count(*) AS n
              |  FROM documents WHERE doc_id < 400 GROUP BY 1)
@@ -2682,18 +2695,19 @@ object SparkEntry {
         // an operator shape — production sources are kafka/files.
         val docs = m.getDDFByName("documents").df
           .select(col("doc_id"), col("text")).as[(Long, String)].collect()
-        val tmp = java.nio.file.Files.createTempDirectory("graft_s05").toString
-        val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
-        val q = streaming.CurationStreams.dedupedIngest(
-            stream.toDF().toDF("doc_id", "text"), "text", "doc_id", s"$tmp/index",
-            (df, epoch) => df.select(col("doc_id"), lit(epoch).as("epoch"))
-              .write.mode("append").parquet(s"$tmp/out"))
-          .start()
-        try (0L until 3L).foreach { e =>
-          stream.addData(docs.filter(_._1 % 3 == e).toIndexedSeq: _*)
-          q.processAllAvailable()
-        } finally q.stop()
-        collectAndClean(s, s.read.parquet(s"$tmp/out").orderBy("doc_id"), tmp)
+        withScratch("graft_s05") { tmp =>
+          val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+          val q = streaming.CurationStreams.dedupedIngest(
+              stream.toDF().toDF("doc_id", "text"), "text", "doc_id", s"$tmp/index",
+              (df, epoch) => df.select(col("doc_id"), lit(epoch).as("epoch"))
+                .write.mode("append").parquet(s"$tmp/out"))
+            .start()
+          try (0L until 3L).foreach { e =>
+            stream.addData(docs.filter(_._1 % 3 == e).toIndexedSeq: _*)
+            q.processAllAvailable()
+          } finally q.stop()
+          collectAndClean(s, s.read.parquet(s"$tmp/out").orderBy("doc_id"), tmp)
+        }
       },
       // a doc survives iff its epoch is the FIRST epoch its content
       // appears in AND it is the min doc_id of that content within the
@@ -2717,19 +2731,20 @@ object SparkEntry {
         // (unlike d10's all-old-docs index), and the oracle mirrors that.
         val docs = m.getDDFByName("documents").df
           .select(col("doc_id"), col("text")).as[(Long, String)].collect()
-        val tmp = java.nio.file.Files.createTempDirectory("graft_s06").toString
-        val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
-        val q = streaming.CurationStreams.nearDupIngest(
-            stream.toDF().toDF("doc_id", "text"), "text", "doc_id", s"$tmp/index",
-            (df, epoch) => df.select(col("doc_id"), lit(epoch).as("epoch"))
-              .write.mode("append").parquet(s"$tmp/out"),
-            threshold = 0.5, portable = true)
-          .start()
-        try Seq(docs.filter(_._1 < 250), docs.filter(_._1 >= 250)).foreach { batch =>
-          stream.addData(batch.toIndexedSeq: _*)
-          q.processAllAvailable()
-        } finally q.stop()
-        collectAndClean(s, s.read.parquet(s"$tmp/out").orderBy("doc_id"), tmp)
+        withScratch("graft_s06") { tmp =>
+          val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+          val q = streaming.CurationStreams.nearDupIngest(
+              stream.toDF().toDF("doc_id", "text"), "text", "doc_id", s"$tmp/index",
+              (df, epoch) => df.select(col("doc_id"), lit(epoch).as("epoch"))
+                .write.mode("append").parquet(s"$tmp/out"),
+              threshold = 0.5, portable = true)
+            .start()
+          try Seq(docs.filter(_._1 < 250), docs.filter(_._1 >= 250)).foreach { batch =>
+            stream.addData(batch.toIndexedSeq: _*)
+            q.processAllAvailable()
+          } finally q.stop()
+          collectAndClean(s, s.read.parquet(s"$tmp/out").orderBy("doc_id"), tmp)
+        }
       },
       Some(s"""WITH ${duckMinhashCtes("documents")},
               |l0 AS (SELECT DISTINCT id2 FROM mpairs

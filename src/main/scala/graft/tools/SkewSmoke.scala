@@ -45,40 +45,45 @@ object SkewSmoke {
       concat(lit("payload_"), col("id")).as("pay"))
     val dim = spark.range(nKeys).select(col("id").as("k"),
       concat(lit("attr_"), col("id")).as("attr"))
-    fact.write.mode("overwrite").parquet("/tmp/graft_skew/fact")
-    dim.write.mode("overwrite").parquet("/tmp/graft_skew/dim")
-    val f = spark.read.parquet("/tmp/graft_skew/fact")
-    val d = spark.read.parquet("/tmp/graft_skew/dim")
+    // unique workspace + finally-cleanup: concurrent or failed runs must
+    // neither collide on a shared path nor leave stale parquet behind
+    val work = java.nio.file.Files.createTempDirectory("graft_skew").toString
+    try {
+      fact.write.mode("overwrite").parquet(s"$work/fact")
+      dim.write.mode("overwrite").parquet(s"$work/dim")
+      val f = spark.read.parquet(s"$work/fact")
+      val d = spark.read.parquet(s"$work/dim")
 
-    def conf(k: String, v: String): Unit = spark.conf.set(k, v)
-    def materialize(df: DataFrame): Long =
-      df.agg(sum(length(col("pay")) + length(col("attr")))).first().getLong(0)
+      def conf(k: String, v: String): Unit = spark.conf.set(k, v)
+      def materialize(df: DataFrame): Long =
+        df.agg(sum(length(col("pay")) + length(col("attr")))).first().getLong(0)
 
-    def timeIt(name: String)(thunk: => Long): Unit = {
-      var best = Double.MaxValue; var out = 0L
-      for (_ <- 1 to runs) {
-        val t0 = System.nanoTime()
-        out = thunk
-        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      def timeIt(name: String)(thunk: => Long): Unit = {
+        var best = Double.MaxValue; var out = 0L
+        for (_ <- 1 to runs) {
+          val t0 = System.nanoTime()
+          out = thunk
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        }
+        println(f"[skew] $name%-8s min=$best%6.2f s  (checksum=$out)")
       }
-      println(f"[skew] $name%-8s min=$best%6.2f s  (checksum=$out)")
+
+      conf("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+      conf("spark.sql.adaptive.enabled", "false")
+      timeIt("plain") { materialize(f.join(d, Seq("k"))) }
+
+      conf("spark.sql.adaptive.enabled", "true")
+      conf("spark.sql.adaptive.skewJoin.enabled", "true")
+      timeIt("aqe") { materialize(f.join(d, Seq("k"))) }
+
+      conf("spark.sql.adaptive.enabled", "false")
+      timeIt("salted") {
+        materialize(graft.operators.Joins.saltedJoin(f, d, Seq("k"), saltF))
+      }
+    } finally {
+      spark.stop()
+      Cleanup.deleteRecursively(work)
     }
-
-    conf("spark.sql.autoBroadcastJoinThreshold", "-1")
-
-    conf("spark.sql.adaptive.enabled", "false")
-    timeIt("plain") { materialize(f.join(d, Seq("k"))) }
-
-    conf("spark.sql.adaptive.enabled", "true")
-    conf("spark.sql.adaptive.skewJoin.enabled", "true")
-    timeIt("aqe") { materialize(f.join(d, Seq("k"))) }
-
-    conf("spark.sql.adaptive.enabled", "false")
-    timeIt("salted") {
-      materialize(graft.operators.Joins.saltedJoin(f, d, Seq("k"), saltF))
-    }
-
-    spark.stop()
-    Cleanup.deleteRecursively("/tmp/graft_skew")
   }
 }
