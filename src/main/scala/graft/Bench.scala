@@ -63,7 +63,8 @@ object Bench {
     "d11_incremental_minhash_fast", "a01_ann_brute", "t01_text_enrich",
     "t03_repetition", "t04_decontaminate", "t09_span_dedup",
     "c01_tfidf_topterms", "s01_sessionize", "j01_asof_join", "e02_interval_join",
-    "q67_tpch_q17", "q80_tpch_q9", "e03_json_extract", "t14_token_ids")
+    "q67_tpch_q17", "q80_tpch_q9", "e03_json_extract", "t14_token_ids",
+    "q85_quantiles_sketch")
 
   // the sf1 subset: the scan/join/agg spine (TPC-H) + the dedup family +
   // vocabulary ranking + brute ANN — the operators whose 100 TB story the
@@ -71,7 +72,7 @@ object Bench {
   private val sf1Set = Seq(
     "q10_tpch_q1", "q12_tpch_q3", "q80_tpch_q9", "d01_dedup_exact",
     "d02_dedup_minhash", "d11_incremental_minhash_fast", "t14_token_ids",
-    "a01_ann_brute")
+    "a01_ann_brute", "q85_quantiles_sketch")
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     .asInstanceOf[com.sun.management.OperatingSystemMXBean]

@@ -1252,6 +1252,54 @@ object SparkEntry {
              |       count(*) AS bin_count
              |FROM b GROUP BY bucket, mn, mx ORDER BY bucket""".stripMargin)),
 
+    Q("q84_approx_quantiles",
+      (s, d) => {
+        // the AT-SCALE quantile path: percentile_approx (t-digest-family
+        // sketch, the reference's own choice — StatisticsHandler.scala:
+        // 60-84 uses clearspring T-Digest compression=100). Raw sketch
+        // values are engine-specific, so the PORTABLE claim checked here
+        // is the accuracy contract: every approx quantile within 1%
+        // relative (+1e-6 absolute for near-zero) of the exact value.
+        // The oracle is the all-true verdict table — a sketch drift
+        // breaks the hash, not just a tolerance in a spec.
+        val m = mgr(s, d)
+        val li = m.getDDFByName("lineitem").df
+        val ps = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+        import s.implicits._
+        val rows = for (c <- Seq("l_quantity", "l_extendedprice")) yield {
+          val approx = Stats.quantiles(li, c, ps) // default = sketch
+          val exact = Stats.quantiles(li, c, ps, exact = true)
+          ps.lazyZip(approx).lazyZip(exact).map { (p, a, e) =>
+            (c, p, math.abs(a - e) <= math.abs(e) * 0.01 + 1e-6)
+          }
+        }
+        rows.flatten.toDF("col_name", "p", "within_tol")
+          .orderBy("col_name", "p")
+      },
+      Some {
+        val ps = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+        val qs = for (c <- Seq("l_extendedprice", "l_quantity"); p <- ps)
+          yield s"SELECT '$c' AS col_name, cast($p AS double) AS p, true AS within_tol"
+        qs.mkString("", "\nUNION ALL\n", "\nORDER BY col_name, p")
+      }),
+
+    Q("q85_quantiles_sketch",
+      (s, d) => {
+        // the sketch path ALONE, for the bench: one pass over lineitem
+        // producing two percentile_approx digests — no exact comparison
+        // work in the timed region. Raw sketch output depends on merge
+        // order, so this row is rows-only at the gate (like q06/d02);
+        // q84 is its oracle-exact accuracy twin.
+        val m = mgr(s, d)
+        val li = m.getDDFByName("lineitem").df
+        val ps = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+        Stats.quantilesFrame(li, "l_quantity", ps)
+          .crossJoin(Stats.quantilesFrame(li, "l_extendedprice", ps)
+            .withColumnRenamed("q", "q2"))
+          .select(explode(concat(col("q"), col("q2"))).as("qv"))
+      },
+      None),
+
     Q("q44_factor_levels",
       (s, d) => {
         val m = mgr(s, d)

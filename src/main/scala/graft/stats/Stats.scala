@@ -88,13 +88,24 @@ object Stats {
     * Integral columns floor the result (reference quirk kept:
     * StatisticsHandler.scala:150-155).
     */
-  def quantiles(df: DataFrame, c: String, ps: Seq[Double], exact: Boolean = false): Seq[Double] = {
+  /** The one-row quantile frame behind [[quantiles]], exposed so plan
+    * shape is assertable (ScaleSpec): the default sketch path must show
+    * a partial/final `percentile_approx` aggregation and NO sort of the
+    * data — at 100 TB the sketch shuffles one t-digest per partition,
+    * never the values. `exact=true` (opt-in, for goldens/oracles) uses
+    * Spark's exact `percentile`, which buffers value→count per partition
+    * — fine at gate scale, not the default at corpus scale.
+    */
+  def quantilesFrame(df: DataFrame, c: String, ps: Seq[Double], exact: Boolean = false): DataFrame = {
     val pArr = s"array(${ps.mkString(",")})"
     val fn = if (exact) "percentile" else "percentile_approx"
     // cast input to double: percentile_approx returns the INPUT type, so
     // an integral column would hand back ints
-    val row = df.na.drop(Seq(c))
-      .agg(expr(s"$fn(cast($c as double), $pArr)").as("q")).first()
+    df.na.drop(Seq(c)).agg(expr(s"$fn(cast($c as double), $pArr)").as("q"))
+  }
+
+  def quantiles(df: DataFrame, c: String, ps: Seq[Double], exact: Boolean = false): Seq[Double] = {
+    val row = quantilesFrame(df, c, ps, exact).first()
     require(!row.isNullAt(0),
       s"quantiles: column '$c' has no non-null values")
     val raw = row.getSeq[Double](0)

@@ -600,4 +600,54 @@ class ScaleSpec extends SparkTestBase {
       df.collect()
     }
   }
+
+  /** No Sort node touches pre-aggregation (data-scale) rows: every Sort
+    * in the optimized plan must sit ABOVE an Aggregate, i.e. order only
+    * the aggregated result (bins, sketch rows), never the corpus.
+    */
+  private def assertNoDataScaleSort(df: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Sort}
+    val plan = df.queryExecution.optimizedPlan
+    plan.foreach {
+      case s: Sort =>
+        assert(s.child.collectFirst { case a: Aggregate => a }.isDefined,
+          s"Sort over pre-aggregation rows (data-scale sort):\n$plan")
+      case _ =>
+    }
+  }
+
+  test("quantiles default is the t-digest sketch — no value sort, no exact percentile") {
+    // build from spark.range: ConvertToLocalRelation folds literal
+    // fixtures and the pin would assert on an empty plan
+    val df = spark.range(1000L).select((col("id") % 97).cast("double").as("v"))
+    val sketch = graft.stats.Stats.quantilesFrame(df, "v", Seq(0.25, 0.5, 0.75))
+    val plan = sketch.queryExecution.optimizedPlan.toString
+    assert(plan.contains("percentile_approx"),
+      s"default quantile path must be the sketch:\n$plan")
+    assert(!plan.toLowerCase.contains("sort"),
+      s"sketch path must not sort values:\n$plan")
+    // exact mode is OPT-IN: only an explicit exact=true plans the
+    // value-buffering exact aggregate (gate/golden scale only)
+    val exactPlan = graft.stats.Stats.quantilesFrame(df, "v", Seq(0.5), exact = true)
+      .queryExecution.optimizedPlan.toString
+    assert(exactPlan.contains("percentile(") && !exactPlan.contains("percentile_approx"),
+      s"exact=true must plan the exact aggregate:\n$exactPlan")
+    // the sketch shuffles one digest per partition, not the values: the
+    // only exchange under the final agg is the partial-agg single-row one
+    val exec = sketch.queryExecution.executedPlan.toString
+    assert(exec.contains("partial_percentile_approx"),
+      s"sketch must partial-aggregate map-side:\n$exec")
+  }
+
+  test("q41/q43 stat shapes: sorts only above the aggregation, never the data") {
+    // q43's histogram: two jobs (min/max, bucket groupBy) — its orderBy
+    // ranges over numBins aggregated rows, not lineitem
+    val df = spark.range(60000L).select((col("id") % 991).cast("double").as("v"))
+    assertNoDataScaleSort(graft.stats.Stats.histogramDF(df, "v", 20))
+    // q41's exact quantile frame (gate scale): hash agg, still no sort
+    assertNoDataScaleSort(
+      graft.stats.Stats.quantilesFrame(df, "v", Seq(0.1, 0.5, 0.9), exact = true))
+    // q84/q85's sketch frame
+    assertNoDataScaleSort(graft.stats.Stats.quantilesFrame(df, "v", Seq(0.1, 0.5, 0.9)))
+  }
 }
