@@ -427,4 +427,112 @@ class StreamingSpec extends SparkTestBase {
     // each event belongs to 2 sliding windows
     assert(out.agg(sum("n_events")).first().getLong(0) == sampleRows.size * 2)
   }
+
+  /** 50 k synthetic events over ~14.5 days: bursts of 5 events 25 s
+    * apart per user (one 30-min-gap session per burst), 1 500 users
+    * cycling — sessions continuously open AND close, so state-store
+    * eviction is load-bearing, not incidental. Deterministic (id-derived)
+    * and fed in event-time order so the watermark advances every epoch.
+    */
+  private def replayRows(n: Int): IndexedSeq[EventStreams.EventRow] = {
+    val base = 1704067200000L // 2024-01-01 00:00:00 UTC
+    (0 until n).map { i =>
+      EventStreams.EventRow(i.toLong, new Timestamp(base + i.toLong * 25000L),
+        (i / 5) % 1500L, "click", 1.0)
+    }
+  }
+
+  test("sessionizeStreaming: 50k-event replay — watermark eviction bounds state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = replayRows(50000)
+    val gapMs = 30 * 60 * 1000L
+    val stream = MemoryStream[EventStreams.EventRow]
+    val q = EventStreams.sessionizeStreaming(stream.toDS(), gapMs)
+      .writeStream.format("memory").queryName("sessionize_replay")
+      .outputMode("append").start()
+    try {
+      val epochs = rows.grouped(5000).toSeq
+      var peakState = 0L
+      epochs.foreach { batch =>
+        stream.addData(batch: _*)
+        q.processAllAvailable()
+        peakState = math.max(peakState,
+          q.lastProgress.stateOperators.map(_.numRowsTotal).sum)
+      }
+      // each 5 000-event epoch spans ~35 h of event time, so by each
+      // epoch's end only users active in the final 30-min gap window
+      // (~72 events ≈ 15 users) may hold open sessions: eviction keeps
+      // state O(open sessions), NOT O(users) — without it state would
+      // climb to all 1 500 users. Bound with slack for batch boundaries.
+      assert(peakState > 0, "state metrics must be reported")
+      assert(peakState < 300,
+        s"peak state $peakState — eviction failed to bound open sessions")
+      info(s"peak state rows across replay: $peakState (1500 users, " +
+        s"${rows.size} events, 10 epochs)")
+      // a sentinel event far past the horizon closes every real session:
+      // the streamed result must then equal the BATCH sessionize of the
+      // same 50 k rows exactly (trailing sessions included) — scale does
+      // not bend the batch==stream contract
+      val sentinelTs = new Timestamp(rows.last.ts.getTime + 4 * 3600 * 1000L)
+      stream.addData(EventStreams.EventRow(999999L, sentinelTs, 999999L, "click", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("sessionize_replay")
+        .filter(col("user_id") =!= 999999L).as[EventStreams.SessionOut]
+      val batch = EventStreams.sessionize(rows.toDS(), gapMs)
+      assert(streamed.count() == 10000L, "50k events / 5-event bursts = 10k sessions")
+      assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+        "streamed sessions must equal batch sessionize after full flush")
+      val finalState = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(finalState == 1L, s"only the sentinel session may remain, got $finalState")
+    } finally q.stop()
+  }
+
+  test("intervalJoin: 50k-event replay — state stays O(watermark horizon), not O(stream)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // split the replay into two streams: even ids = clicks, odd ids =
+    // purchases; a purchase joins clicks of the same user within the
+    // preceding 10 minutes. In-burst spacing is 25 s, so every purchase
+    // matches the clicks earlier in its own burst — deterministic count.
+    val rows = replayRows(50000)
+    def lhs(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("event_id") % 2 === 0)
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    def rhs(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("event_id") % 2 === 1)
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+    val win = 10 * 60 * 1000L
+    val batchExpected = EventStreams.intervalJoin(
+      lhs(rows.toDF()), rhs(rows.toDF()),
+      Seq("user_id"), "click_ts", "purchase_ts", 0L, win).count()
+
+    val cs = MemoryStream[EventStreams.EventRow]
+    val ps = MemoryStream[EventStreams.EventRow]
+    val q = EventStreams.intervalJoin(lhs(cs.toDF()), rhs(ps.toDF()),
+        Seq("user_id"), "click_ts", "purchase_ts", 0L, win,
+        leftWatermark = "0 seconds", rightWatermark = "0 seconds")
+      .writeStream.format("memory").queryName("ij_replay")
+      .outputMode("append").start()
+    try {
+      var peakState = 0L
+      rows.grouped(5000).foreach { batch =>
+        cs.addData(batch: _*)
+        ps.addData(batch: _*)
+        q.processAllAvailable()
+        peakState = math.max(peakState,
+          q.lastProgress.stateOperators.map(_.numRowsTotal).sum)
+      }
+      assert(spark.table("ij_replay").count() == batchExpected,
+        "stream-stream interval join must equal the batch join on ordered replay")
+      // the range condition lets the engine evict: buffered state is the
+      // join horizon (~10 min ≈ 24 events/side) per micro-batch tail,
+      // not the 50 k-row stream. 5 000-row epochs would buffer whole
+      // epochs only if eviction were broken.
+      assert(peakState > 0, "state metrics must be reported")
+      assert(peakState < 2500,
+        s"peak state $peakState rows — join state must stay bounded by the horizon")
+      info(s"peak interval-join state rows: $peakState for ${rows.size} events replayed")
+    } finally q.stop()
+  }
 }
