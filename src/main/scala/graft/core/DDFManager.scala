@@ -173,6 +173,32 @@ final class DDFManager(val spark: SparkSession) {
   }
   def unpersist(path: String, name: String): DDF = loadParquet(path, name)
 
+  /** Publish-grade persist — S4 composed with the p04 manifest machinery:
+    * same catalog layout as [[persist]], but written through
+    * [[graft.sources.Manifest.writeWithManifest]], so the stored item carries
+    * per-shard row counts and content hashes alongside the data.
+    */
+  def persistVerified(ddf: DDF, rootDir: String, namespace: String = "default"): String = {
+    val path = s"$rootDir/$namespace/${ddf.name}"
+    graft.sources.Manifest.writeWithManifest(ddf.df, path)
+    path
+  }
+
+  /** Unpersist that refuses a tampered or incomplete catalog item: every
+    * manifest shard must verify (rows + xor hash + sum fold) before the
+    * frame is handed back. The failure names the offending shard files —
+    * the verify frame is config-sized (one row per file), so the collect
+    * is not a data-path collect.
+    */
+  def unpersistVerified(path: String, name: String): DDF = {
+    import org.apache.spark.sql.functions.col
+    val bad = graft.sources.Manifest.verifyManifest(spark, path)
+      .filter(!col("ok")).select("file").collect().map(_.getString(0))
+    require(bad.isEmpty, s"unpersistVerified: ${bad.length} shard(s) fail " +
+      s"integrity under $path: ${bad.mkString(", ")}")
+    loadParquet(path, name)
+  }
+
   /** Namespaces currently holding persisted items (reference
     * listNamespaces): the visible subdirectories of `rootDir`. Empty when
     * nothing was ever persisted.

@@ -220,6 +220,47 @@ class CoreSpec extends SparkTestBase {
     assert(gone.length == 1 && gone.head.isNullAt(gone.head.fieldIndex("actual_rows")))
   }
 
+  test("persistVerified catalog item: tamper flags on verify and blocks unpersist; clean item round-trips") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.sources.Manifest
+    val m = freshManager
+    val root = Files.createTempDirectory("graft_catalog_v").toString
+    val ddf = m.register(
+      (1L to 400L).map(i => (i, s"row $i")).toDF("id", "text").repartition(4),
+      "cat_item")
+    // persist lands in the SAME catalog layout persist() uses…
+    val path = m.persistVerified(ddf, root)
+    assert(m.listNamespaces(root) == Seq("default"))
+    assert(m.listPersisted(root) == Seq("cat_item"))
+    // …and the clean item round-trips through the verified unpersist
+    val back = m.unpersistVerified(path, "cat_back")
+    assert(back.numRows == 400 &&
+      back.df.orderBy("id").collect().toSeq == ddf.df.orderBy("id").collect().toSeq)
+    // tamper one shard in place (row-count preserved: 1 replacement row
+    // would also be caught, but keep the stronger case — content change
+    // only), same machinery as the publish-path tamper test above
+    val shard = new java.io.File(path).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .minBy(_.getName)
+    val tmpOut = Files.createTempDirectory("graft_catalog_t").toString
+    Seq((999999L, "evil")).toDF("id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(tmpOut)
+    val newFile = new java.io.File(tmpOut).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.copy(newFile.toPath, shard.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    new java.io.File(shard.getParentFile, s".${shard.getName}.crc").delete()
+    // verify surfaces exactly the tampered shard…
+    val bad = Manifest.verifyManifest(spark, path).filter(!col("ok")).collect()
+    assert(bad.length == 1 && bad.head.getAs[String]("file") == shard.getName)
+    // …and the verified unpersist REFUSES to serve the item, naming it
+    val e = intercept[IllegalArgumentException] {
+      m.unpersistVerified(path, "cat_bad")
+    }
+    assert(e.getMessage.contains(shard.getName))
+  }
+
   test("manifest: even-multiplicity swap (xor blind spot) is still caught by the sum fold") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

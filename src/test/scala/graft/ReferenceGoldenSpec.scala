@@ -184,4 +184,70 @@ class ReferenceGoldenSpec extends SparkTestBase {
     val full = Joins.join(airline, yn, "full", byLeft = Seq("Year"), byRight = Seq("Year_num"))
     assert(full.numRows == 31 + 2)
   }
+
+  // --- dialect edge parity: the reference parser's three quirks, each
+  // pinned on the reference's own fixture values. Where our (documented,
+  // ANSI) behavior deviates, the test asserts BOTH outcomes so the
+  // deviation is a measured fact, not a doc claim. ---
+
+  test("dialect pin: ANSI AND/OR precedence — documented deviation from the left-fold (SqlSupport.scala:372-387)") {
+    assume(available)
+    val m = mgr()
+    loadNA(m, "airline_prec", "airline.csv")
+    // Fixture facts: 31 rows; Year=2008 ∧ Month=1 → 16 rows; Year=2009 →
+    // 1 row (Month 1); Year=2010 → 1 row (Month 3).
+    // `Year = 2010 OR Year = 2008 AND Month = 1`:
+    //   ANSI (ours — AND binds tighter): 2010-row ∪ (2008 ∧ Jan) = 17.
+    //   Reference left-fold (no precedence, SqlSupport.scala:372-387
+    //   folds into And(Or(a,b),c)): (2010 ∪ 2008) ∧ Jan = 16 — the
+    //   2010 flight (March) silently drops.
+    val ours = m.sql2ddf(
+      "select Year, Month from airline_prec where Year = 2010 or Year = 2008 and Month = 1")
+    assert(ours.numRows == 17, "ANSI precedence: OR(a, AND(b, c))")
+    // the reference's reading is the PARENTHESIZED form — reachable by
+    // writing what the fold does, so no capability is lost, only the
+    // (buggy) implicit grouping
+    val refFold = m.sql2ddf(
+      "select Year, Month from airline_prec where (Year = 2010 or Year = 2008) and Month = 1")
+    assert(refFold.numRows == 16, "the reference's fold ≡ explicit parentheses")
+  }
+
+  test("dialect pin: 2-arg SUBSTR runs to end of string (reference's MaxInt length, SqlSupport.scala:253-254)") {
+    assume(available)
+    val m = mgr()
+    val ddf = loadNA(m, "airline_sub", "airline.csv")
+    // the reference parses SUBSTR(s, p) as Substring(s, p, MaxInt) — a
+    // to-end suffix. Ours lowers to Spark's 2-arg substring, same
+    // semantics; pinned value-by-value on every fixture row (1-based
+    // positions, both engines).
+    val expected = ddf.df.select("Dest").collect()
+      .map(_.getString(0)).map(s => if (s.length >= 2) s.substring(1) else "")
+      .sorted.toSeq
+    val got = m.sql2ddf(
+        "select substr(Dest, 2) as suffix from airline_sub")
+      .df.collect().map(_.getString(0)).sorted.toSeq
+    assert(got == expected, "2-arg SUBSTR must suffix to end, not truncate")
+    // 3-arg form agrees with the reference's explicit-length parse
+    val got3 = m.sql2ddf(
+        "select substr(Dest, 2, 1) as ch from airline_sub")
+      .df.collect().map(_.getString(0)).sorted.toSeq
+    assert(got3 == expected.map(_.take(1)).sorted)
+  }
+
+  test("dialect pin: COUNT(*) counts rows incl. NULLs (reference's Count(Literal(1)), SqlSupport.scala:248)") {
+    assume(available)
+    val m = mgr()
+    loadNA(m, "airline_cnt", "airlineWithNA.csv")
+    // fixture under the NO DEFAULTS load: 31 rows; Year has 2 'NA' cells
+    // (unparseable int → null), CarrierDelay 22. COUNT(*) ≡ COUNT(1)
+    // must see all 31 — the reference encodes that by PARSING COUNT(*)
+    // into Count(Literal(1)); we inherit the identical semantics from
+    // Spark's COUNT(*) directly, while COUNT(col) skips the nulls.
+    val r = m.sql(
+      "select count(*) as c_star, count(1) as c_one, " +
+        "count(Year) as c_yr, count(CarrierDelay) as c_cd " +
+        "from airline_cnt")
+    assert(r.rows.head == "31\t31\t29\t9",
+      s"COUNT(*) must count rows, COUNT(col) non-nulls; got ${r.rows.head}")
+  }
 }
