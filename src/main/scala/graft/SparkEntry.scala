@@ -2032,6 +2032,46 @@ object SparkEntry {
            |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
       }),
 
+    Q("a09_ann_lsh_multiprobe",
+      (s, d) => {
+        val m = mgr(s, d)
+        // the SERVING-LOOP form of a02: corpus bucketed once into an
+        // index (buildLshIndex), queries probe their bucket PLUS every
+        // Hamming-1 neighbor (multiProbe = 1) — the recall lever for
+        // sign-LSH's boundary misses. Same seeded hyperplanes as a02, so
+        // the oracle inlines identical literals and replays the probe
+        // expansion with the same bit masks.
+        val all = m.getDDFByName("embeddings").df
+        val queries = all.filter(col("vec_id") < 3).withColumnRenamed("vec_id", "qid")
+        val idx = pipeline.Similarity.buildLshIndex(all, "embedding", "vec_id",
+          planes = 8)
+        pipeline.Similarity.lshTopKIndexed(idx, queries, "embedding", "qid", 10,
+          multiProbe = 1)
+          .select(col("query_id"), col("id"), round(col("cosine"), 6).as("cosine"), col("rk"))
+          .orderBy("query_id", "rk")
+      },
+      Some {
+        val hp = pipeline.Similarity.hyperplanes(dim = 64, planes = 8, seed = 7L)
+        val bucketExpr = hp.zipWithIndex.map { case (p, i) =>
+          val lits = p.map(_.toString).mkString("[", ", ", "]")
+          s"(CASE WHEN list_dot_product(v, $lits::DOUBLE[]) >= 0 THEN ${1L << i} ELSE 0 END)"
+        }.mkString(" + ")
+        val masks = pipeline.Similarity.probeMasks(planes = 8, multiProbe = 1)
+          .mkString("[", ", ", "]")
+        val cos = "list_dot_product(a.v, c.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v)))"
+        s"""WITH dv AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           |            FROM embeddings),
+           |bk AS (SELECT vec_id, v, $bucketExpr AS bucket FROM dv),
+           |pr AS (SELECT q.vec_id AS query_id, q.v, xor(q.bucket, f.m) AS bucket
+           |       FROM (SELECT * FROM bk WHERE vec_id < 3) q,
+           |            (SELECT unnest($masks::BIGINT[]) AS m) f),
+           |scored AS (SELECT a.query_id, c.vec_id AS id, $cos AS c,
+           |    row_number() OVER (PARTITION BY a.query_id ORDER BY $cos DESC, c.vec_id) AS rk
+           |  FROM pr a JOIN bk c ON a.bucket = c.bucket)
+           |SELECT query_id, id, round(c, 6) AS cosine, rk FROM scored
+           |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+      }),
+
     Q("a07_ann_recall",
       (s, d) => {
         val m = mgr(s, d)

@@ -185,6 +185,11 @@ object Similarity {
     * matches any query bucket (multi-probe = 0: exact bucket only).
     * Trades recall for a bucket-selective scan — the 100 TB path; measure
     * recall against bruteForceTopK on a sample.
+    *
+    * This stateless form re-buckets the corpus on every call — right for
+    * one-shot queries. A serving loop should [[buildLshIndex]] once and
+    * probe it with [[lshTopKIndexed]] (measured in tools/AnnSmoke: the
+    * bucket hash dominates this call's wall at 200 k × 64).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
               idCol: String, queryIdCol: String, k: Int,
@@ -192,9 +197,65 @@ object Similarity {
     val dim = dimOf(corpus, vecCol)
     val cb = corpus.select(col(idCol).as("id"), col(vecCol).as("cv"),
       hyperplaneBucket(col(vecCol), dim, planes, seed).as("bucket"))
-    val qb = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"),
+    lshProbe(LshIndex(planes, seed, dim, cb), queries, vecCol, queryIdCol, k,
+      multiProbe = 0)
+  }
+
+  /** A prebuilt sign-LSH index: the corpus bucketed ONCE, partitioned by
+    * bucket (bucketable on disk exactly like `IvfIndex.corpus`), so each
+    * probe touches only matching buckets instead of re-hashing the
+    * corpus per call.
+    */
+  final case class LshIndex(planes: Int, seed: Long, dim: Int, corpus: DataFrame)
+
+  def buildLshIndex(corpus: DataFrame, vecCol: String, idCol: String,
+                    planes: Int = 10, seed: Long = 7L): LshIndex = {
+    val dim = dimOf(corpus, vecCol)
+    val cb = corpus.select(col(idCol).as("id"), col(vecCol).as("cv"),
       hyperplaneBucket(col(vecCol), dim, planes, seed).as("bucket"))
-    val scored = cb.join(broadcast(qb), "bucket")
+      .repartition(col("bucket"))
+    LshIndex(planes, seed, dim, cb)
+  }
+
+  /** Probe a [[buildLshIndex]] index with MULTI-PROBE: each query scores
+    * the corpus vectors in its own bucket plus every bucket within
+    * Hamming distance `multiProbe` of it (0 = exact bucket, the
+    * [[lshTopK]] behavior). Sign-LSH's most likely misses are vectors
+    * whose projection on one or two planes sits just across zero —
+    * exactly the Hamming-1/2 neighbor buckets — so multi-probe buys
+    * recall at a probes-per-query cost of 1 + p + p(p−1)/2 buckets
+    * (p = planes) instead of the 2^t bucket-count blowup of adding
+    * tables. Probe buckets are distinct, so no candidate is scored
+    * twice; the probe frame is (queries × probes) rows — broadcast-sized
+    * — and the candidate join stays an equi-join on the bucket key.
+    */
+  def lshTopKIndexed(index: LshIndex, queries: DataFrame, vecCol: String,
+                     queryIdCol: String, k: Int, multiProbe: Int = 1): DataFrame =
+    lshProbe(index, queries, vecCol, queryIdCol, k, multiProbe)
+
+  /** Hamming-ball bit-flip masks for [[lshTopKIndexed]]: 0 (the bucket
+    * itself), each single bit, each bit pair — exposed for the oracle
+    * replica, which inlines the same masks.
+    */
+  def probeMasks(planes: Int, multiProbe: Int): Seq[Long] = {
+    require(multiProbe >= 0 && multiProbe <= 2,
+      s"multiProbe must be 0..2, got $multiProbe")
+    val d1 = if (multiProbe >= 1) (0 until planes).map(i => 1L << i) else Nil
+    val d2 = if (multiProbe >= 2)
+      for (i <- 0 until planes; j <- (i + 1) until planes)
+        yield (1L << i) | (1L << j)
+    else Nil
+    0L +: (d1 ++ d2)
+  }
+
+  private def lshProbe(index: LshIndex, queries: DataFrame, vecCol: String,
+                       queryIdCol: String, k: Int, multiProbe: Int): DataFrame = {
+    val qb = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"),
+      hyperplaneBucket(col(vecCol), index.dim, index.planes, index.seed).as("qbucket"))
+    val masks = probeMasks(index.planes, multiProbe)
+    val probes = qb.select(col("query_id"), col("qv"),
+      explode(array(masks.map(m => col("qbucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    val scored = index.corpus.join(broadcast(probes), "bucket")
       .select(col("query_id"), col("id"), cosine(col("qv"), col("cv")).as("cosine"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)

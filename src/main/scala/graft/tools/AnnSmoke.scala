@@ -90,18 +90,27 @@ object AnnSmoke {
         f"scan_frac=$frac%.4f  build=$buildSec%6.2f s")
     }
 
-    // ---- LSH: exact-bucket probe ----
+    // ---- LSH: prebuilt bucket index, exact-bucket and multi-probe ----
     val planes = sys.env.getOrElse("SPARK_GRAFT_ANN_PLANES", "8").toInt
-    report(s"lsh-p$planes", 0.0,
-      Similarity.lshTopK(corpus, queries, "embedding", "vec_id", "query_id",
-        k, planes = planes),
-      {
-        val cb = corpus.select(col("vec_id"),
-          Similarity.hyperplaneBucket(col("embedding"), dim, planes, 7L).as("bucket"))
-        val qb = queries.select(
-          Similarity.hyperplaneBucket(col("embedding"), dim, planes, 7L).as("bucket"))
-        cb.join(broadcast(qb), "bucket").count()
-      })
+    var lshIdx: Similarity.LshIndex = null
+    val buildLsh = timeMin(1) {
+      lshIdx = Similarity.buildLshIndex(corpus, "embedding", "vec_id",
+        planes = planes)
+      lshIdx.corpus.persist().count()
+    }
+    def lshScored(mp: Int): Long = {
+      val masks = Similarity.probeMasks(planes, mp)
+      val probes = queries.select(
+          Similarity.hyperplaneBucket(col("embedding"), dim, planes, 7L).as("qbucket"))
+        .select(explode(array(masks.map(m =>
+          col("qbucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+      lshIdx.corpus.join(broadcast(probes), "bucket").count()
+    }
+    Seq(0, 1, 2).foreach { mp =>
+      report(s"lsh-p$planes-mp$mp", buildLsh,
+        Similarity.lshTopKIndexed(lshIdx, queries, "embedding", "query_id", k, mp),
+        lshScored(mp))
+    }
 
     // ---- IVF, broadcast-join assignment (nCells > maxInlineCentroids) ----
     val cellsBig = sys.env.getOrElse("SPARK_GRAFT_ANN_CELLS", "1024").toInt

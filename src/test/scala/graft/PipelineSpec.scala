@@ -352,6 +352,37 @@ class PipelineSpec extends SparkTestBase {
     assert(self.forall(r => r.getDouble(2) > 0.99))
   }
 
+  test("indexed multi-probe LSH: superset of exact-bucket candidates, recall never worse, equi-join plan") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val corpus = (1L to 300L).map(i => (i, Array.fill(8)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.limit(5).withColumnRenamed("vec_id", "qid")
+    val idx = Similarity.buildLshIndex(corpus, "embedding", "vec_id", planes = 4)
+    val truth = Similarity.bruteForceTopK(corpus, queries, "embedding", "vec_id", "qid", 5)
+    val mp0 = Similarity.lshTopKIndexed(idx, queries, "embedding", "qid", 5, multiProbe = 0)
+    val mp1 = Similarity.lshTopKIndexed(idx, queries, "embedding", "qid", 5, multiProbe = 1)
+    val mp2 = Similarity.lshTopKIndexed(idx, queries, "embedding", "qid", 5, multiProbe = 2)
+    // mp0 through the index ≡ the stateless lshTopK (same planes/seed)
+    val stateless = Similarity.lshTopK(corpus, queries, "embedding", "vec_id", "qid", 5, planes = 4)
+    assert(mp0.collect().toSet == stateless.collect().toSet)
+    // candidate sets grow monotonically with the probe radius, so recall
+    // can only improve; no candidate is scored twice (distinct rk per id)
+    val r0 = IvfIndex.recallAt(mp0, truth, 5)
+    val r1 = IvfIndex.recallAt(mp1, truth, 5)
+    val r2 = IvfIndex.recallAt(mp2, truth, 5)
+    assert(r1 >= r0 && r2 >= r1, s"recall must not degrade with probes: $r0 / $r1 / $r2")
+    // at 4 planes, Hamming ≤ 2 probes 1+4+6 = 11 of 16 buckets — on this
+    // corpus that must lift recall strictly above exact-bucket
+    assert(r2 > r0, s"multi-probe gained nothing: $r0 vs $r2")
+    assert(mp1.groupBy("query_id", "id").count().filter(col("count") > 1).isEmpty,
+      "probe buckets are distinct — no candidate may be scored twice")
+    // scale shape: candidate generation is an equi-join on the bucket key
+    val plan = mp2.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"probe join must be keyed on bucket, got:\n$plan")
+  }
+
   test("dupClusters: connected components label by min id; survivors") {
     import spark.implicits._
     // components: {1,2,3} (chain), {7,8}, singleton 9 not in pairs
