@@ -58,11 +58,22 @@ object MLSupport {
         val est = new LinearRegression().setFeaturesCol("features").setLabelCol(labelCol)
         TrainedModel(name, est.fit(assemble(df, featureCols)), featureCols, Some(labelCol))
       case "als" =>
+        // ALS doubles its RDD lineage every iteration; without a
+        // checkpoint dir its own checkpointInterval=10 is silently
+        // skipped and deserialization overflows the stack around ~20
+        // iters (observed in tools/ProbeAls). Mandatory for iterative
+        // ALS at any scale — set one if the session has none.
+        val sc = df.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty)
+          sc.setCheckpointDir(
+            java.nio.file.Files.createTempDirectory("graft_als_ckpt").toString)
         val est = new ALS()
           .setUserCol(params.getOrElse("userCol", "user").toString)
           .setItemCol(params.getOrElse("itemCol", "item").toString)
           .setRatingCol(params.getOrElse("ratingCol", "rating").toString)
           .setRank(params.getOrElse("rank", 10).toString.toInt)
+          .setMaxIter(params.getOrElse("maxIter", 10).toString.toInt)
+          .setRegParam(params.getOrElse("regParam", 0.1).toString.toDouble)
           .setSeed(params.getOrElse("seed", 42L).toString.toLong)
         TrainedModel(name, est.fit(df), Nil, None)
       case other => throw new IllegalArgumentException(s"Unknown algorithm '$other'")

@@ -114,6 +114,23 @@ object IvfIndex {
     */
   def topK(index: Index, queries: DataFrame, vecCol: String, queryIdCol: String,
            k: Int, nprobe: Int): DataFrame = {
+    val scored = candidates(index, queries, vecCol, queryIdCol, nprobe)
+      .select(col("query_id"), col("id"),
+        graft.functions.VectorFunctions.cosine(col("qv"), col("v")).as("cosine"))
+    scored.withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("id"))))
+      .filter(col("rk") <= k)
+      .select("query_id", "id", "cosine", "rk")
+  }
+
+  /** The candidate frame [[topK]] scores — corpus rows joined to each
+    * query's `nprobe` nearest cells (query_id, qv, id, v, cell), BEFORE
+    * cosine scoring and the top-k window. Exposed so instrumentation
+    * (tools/AnnSmoke's scan_frac) counts the same rows topK actually
+    * scores instead of maintaining a replica of the probe selection.
+    */
+  def candidates(index: Index, queries: DataFrame, vecCol: String,
+                 queryIdCol: String, nprobe: Int): DataFrame = {
     val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"))
     val centroidRows = index.centroids.zipWithIndex.map { case (c, i) =>
       (i, c.toSeq, c.map(x => x * x).sum / 2.0)
@@ -128,13 +145,7 @@ object IvfIndex {
         Window.partitionBy("query_id").orderBy(col("cs").desc, col("cell"))))
       .filter(col("crk") <= nprobe)
       .select("query_id", "qv", "cell")
-    val scored = index.corpus.join(broadcast(probes), "cell")
-      .select(col("query_id"), col("id"),
-        graft.functions.VectorFunctions.cosine(col("qv"), col("v")).as("cosine"))
-    scored.withColumn("rk", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("id"))))
-      .filter(col("rk") <= k)
-      .select("query_id", "id", "cosine", "rk")
+    index.corpus.join(broadcast(probes), "cell")
   }
 
   /** Recall@k of an ANN result against the brute-force truth: fraction of

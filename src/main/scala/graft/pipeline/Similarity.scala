@@ -248,14 +248,25 @@ object Similarity {
     0L +: (d1 ++ d2)
   }
 
-  private def lshProbe(index: LshIndex, queries: DataFrame, vecCol: String,
-                       queryIdCol: String, k: Int, multiProbe: Int): DataFrame = {
+  /** The candidate frame [[lshTopKIndexed]] scores — the post-bucket-join
+    * rows (query_id, qv, id, cv, bucket), BEFORE cosine scoring and the
+    * top-k window. Exposed so instrumentation (tools/AnnSmoke's scan_frac)
+    * counts the same rows the probe actually scores instead of maintaining
+    * a replica of the probe selection that can silently desynchronize.
+    */
+  def lshCandidates(index: LshIndex, queries: DataFrame, vecCol: String,
+                    queryIdCol: String, multiProbe: Int): DataFrame = {
     val qb = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"),
       hyperplaneBucket(col(vecCol), index.dim, index.planes, index.seed).as("qbucket"))
     val masks = probeMasks(index.planes, multiProbe)
     val probes = qb.select(col("query_id"), col("qv"),
       explode(array(masks.map(m => col("qbucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
-    val scored = index.corpus.join(broadcast(probes), "bucket")
+    index.corpus.join(broadcast(probes), "bucket")
+  }
+
+  private def lshProbe(index: LshIndex, queries: DataFrame, vecCol: String,
+                       queryIdCol: String, k: Int, multiProbe: Int): DataFrame = {
+    val scored = lshCandidates(index, queries, vecCol, queryIdCol, multiProbe)
       .select(col("query_id"), col("id"), cosine(col("qv"), col("cv")).as("cosine"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)

@@ -81,13 +81,6 @@ object Stats {
       case _ => false
     }
 
-  /** Quantiles for one column. `exact=false` → `percentile_approx`
-    * (t-digest, the at-scale default — same sketch family as the
-    * reference's clearspring T-Digest, StatisticsHandler.scala:60-84);
-    * `exact=true` → Spark's exact `percentile` (for golden tests/oracles).
-    * Integral columns floor the result (reference quirk kept:
-    * StatisticsHandler.scala:150-155).
-    */
   /** The one-row quantile frame behind [[quantiles]], exposed so plan
     * shape is assertable (ScaleSpec): the default sketch path must show
     * a partial/final `percentile_approx` aggregation and NO sort of the
@@ -104,6 +97,13 @@ object Stats {
     df.na.drop(Seq(c)).agg(expr(s"$fn(cast($c as double), $pArr)").as("q"))
   }
 
+  /** Quantiles for one column. `exact=false` → `percentile_approx`
+    * (t-digest, the at-scale default — same sketch family as the
+    * reference's clearspring T-Digest, StatisticsHandler.scala:60-84);
+    * `exact=true` → Spark's exact `percentile` (for golden tests/oracles).
+    * Integral columns floor the result (reference quirk kept:
+    * StatisticsHandler.scala:150-155).
+    */
   def quantiles(df: DataFrame, c: String, ps: Seq[Double], exact: Boolean = false): Seq[Double] = {
     val row = quantilesFrame(df, c, ps, exact).first()
     require(!row.isNullAt(0),

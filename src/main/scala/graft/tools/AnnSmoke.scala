@@ -74,6 +74,7 @@ object AnnSmoke {
     // ---- brute-force truth ----
     var truth: DataFrame = null
     val bruteSec = timeMin(2) {
+      if (truth != null) truth.unpersist() // rerun must not leak the prior copy
       truth = Similarity.bruteForceTopK(corpus, queries, "embedding",
         "vec_id", "query_id", k).persist()
       truth.count()
@@ -98,14 +99,10 @@ object AnnSmoke {
         planes = planes)
       lshIdx.corpus.persist().count()
     }
-    def lshScored(mp: Int): Long = {
-      val masks = Similarity.probeMasks(planes, mp)
-      val probes = queries.select(
-          Similarity.hyperplaneBucket(col("embedding"), dim, planes, 7L).as("qbucket"))
-        .select(explode(array(masks.map(m =>
-          col("qbucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
-      lshIdx.corpus.join(broadcast(probes), "bucket").count()
-    }
+    // scan_frac counts the SAME candidate frame lshTopKIndexed scores —
+    // not a replica of the probe selection (round-9 advice)
+    def lshScored(mp: Int): Long =
+      Similarity.lshCandidates(lshIdx, queries, "embedding", "query_id", mp).count()
     Seq(0, 1, 2).foreach { mp =>
       report(s"lsh-p$planes-mp$mp", buildLsh,
         Similarity.lshTopKIndexed(lshIdx, queries, "embedding", "query_id", k, mp),
@@ -123,23 +120,9 @@ object AnnSmoke {
     }
     assert(cellsBig > IvfIndex.maxInlineCentroids,
       "ivf-join leg must exercise the broadcast-join assignment path")
-    def ivfScored(idx: IvfIndex.Index, nprobe: Int): Long = {
-      // rows the probe actually scores: corpus joined to the nprobe
-      // nearest cells per query (same probe selection as topK)
-      val cents = spark.createDataFrame(
-        idx.centroids.zipWithIndex.map { case (c, i) =>
-          (i, c.toSeq, c.map(x => x * x).sum / 2.0)
-        }.toSeq).toDF("cell", "cv", "half_norm")
-      val probes = queries.select(col("query_id"), col("embedding").as("qv"))
-        .crossJoin(broadcast(cents))
-        .select(col("query_id"), col("cell"),
-          (graft.functions.VectorFunctions.dot(col("qv"), col("cv")) - col("half_norm")).as("cs"))
-        .withColumn("crk", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy("query_id")
-            .orderBy(col("cs").desc, col("cell"))))
-        .filter(col("crk") <= nprobe).select("query_id", "cell")
-      idx.corpus.join(broadcast(probes), "cell").count()
-    }
+    // same deal as lshScored: count the exact candidate frame topK scores
+    def ivfScored(idx: IvfIndex.Index, nprobe: Int): Long =
+      IvfIndex.candidates(idx, queries, "embedding", "query_id", nprobe).count()
     report(s"ivf-join-c$cellsBig-p$nprobeBig", buildBig,
       IvfIndex.topK(idxBig, queries, "embedding", "query_id", k, nprobeBig),
       ivfScored(idxBig, nprobeBig))
