@@ -221,7 +221,13 @@ object ScaleSmoke {
     val onlyOps = sys.env.get("SPARK_GRAFT_OPS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     def opSelected(name: String): Boolean = onlyOps.forall(_.exists(name.contains))
-    val factors = Seq(1, 2, 5, 10)
+    // SPARK_GRAFT_FACTORS=1,10,100 overrides the decade ladder — the
+    // round-10 third-decade runs (f=100 ≈ sf10, 500 k docs) use this with
+    // a narrowed op set; the blown corpus still round-trips through
+    // parquet, so f=100 writes ~10× sf1's bytes once per op set
+    val factors = sys.env.get("SPARK_GRAFT_FACTORS")
+      .map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(1, 2, 5, 10))
     // times(op)(factor) = min-of-N seconds
     val times = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Map[Int, Double]]
     for (f <- factors; (name, thunk) <- ops(f) if opSelected(name)) {
@@ -240,16 +246,21 @@ object ScaleSmoke {
     }
 
     // least-squares slope of log t over log f = the scaling exponent
-    println("\n[smoke] scaling exponents (t ~ a * factor^b, min-of-N at f=1/2/5/10):")
+    // (needs ≥2 distinct factors; a single-factor run just prints times)
+    println(s"\n[smoke] scaling exponents (t ~ a * factor^b, min-of-N at " +
+      s"f=${factors.mkString("/")}):")
     times.toSeq.sortBy(_._1).foreach { case (name, byF) =>
       val pts = factors.map(f => (math.log(f.toDouble), math.log(byF(f))))
       val n = pts.length
-      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
-      val sxx = pts.map(p => p._1 * p._1).sum
-      val sxy = pts.map(p => p._1 * p._2).sum
-      val b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
-      println(f"[smoke]   $name%-20s b=$b%5.2f   " +
-        factors.map(f => f"f=$f:${byF(f)}%.2fs").mkString("  "))
+      val times_ = factors.map(f => f"f=$f:${byF(f)}%.2fs").mkString("  ")
+      if (n < 2) println(f"[smoke]   $name%-20s b=  n/a   " + times_)
+      else {
+        val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+        val sxx = pts.map(p => p._1 * p._1).sum
+        val sxy = pts.map(p => p._1 * p._2).sum
+        val b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        println(f"[smoke]   $name%-20s b=$b%5.2f   " + times_)
+      }
     }
     spark.stop()
     // the blown-corpus copies are gigabytes at f=10 — don't accrete them
