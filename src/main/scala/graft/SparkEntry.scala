@@ -985,6 +985,42 @@ object SparkEntry {
              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
 
+    Q("q86_cube",
+      (s, d) => {
+        val m = mgr(s, d)
+        // all 4 grouping levels in one Expand+hash-agg pass; gid
+        // disambiguates rollup NULLs from data NULLs
+        Aggregations.cube(m.getDDFByName("lineitem"),
+          Seq("l_returnflag", "l_linestatus"),
+          Seq("n=count(*)", "sum_qty=sum(l_quantity)"))
+          .df.withColumn("sum_qty", col("sum_qty").cast("decimal(18,2)").cast("double"))
+          .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+            col("l_linestatus").asc_nulls_first)
+      },
+      Some("""SELECT GROUPING(l_returnflag, l_linestatus) AS gid,
+             |  l_returnflag, l_linestatus, count(*) AS n,
+             |  (sum(l_quantity)::DECIMAL(18,2))::DOUBLE AS sum_qty
+             |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+             |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
+    Q("q87_grouping_sets",
+      (s, d) => {
+        val m = mgr(s, d)
+        // only the requested combinations — (status), (priority), ()
+        // — skipping the full cross, unlike CUBE
+        Aggregations.groupingSets(m.getDDFByName("orders"),
+          Seq("o_orderstatus", "o_orderpriority"),
+          Seq(Seq("o_orderstatus"), Seq("o_orderpriority"), Nil),
+          Seq("n=count(*)", "mx=max(o_totalprice)"))
+          .df.orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+            col("o_orderpriority").asc_nulls_first)
+      },
+      Some("""SELECT GROUPING(o_orderstatus, o_orderpriority) AS gid,
+             |  o_orderstatus, o_orderpriority, count(*) AS n, max(o_totalprice) AS mx
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+             |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
+
     Q("q46_moments",
       (s, d) => mgr(s, d).sql2ddf(momentsSql).df,
       Some(momentsSql)),
@@ -1747,7 +1783,74 @@ object SparkEntry {
       },
       Some(s"""SELECT cast(epoch(date_trunc('hour', ts)) AS bigint) AS hour_epoch,
               |  event_type, count(*) AS n, ${dsumSql("value")} AS sum_value
-              |FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type""".stripMargin))
+              |FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type""".stripMargin)),
+
+    Q("ts01_resample_gapfill",
+      (s, d) => {
+        // fixed 6 h buckets per user, densified over each user's own
+        // [min, max] span — gap buckets carry n=0 / null sum
+        val ev = loadEvents(s, d).where(col("user_id") < 5)
+        TimeSeries.resample(ev, "ts", Seq("user_id"), 21600L,
+          Seq("sum_v" -> dsum(col("value"))))
+          .orderBy("user_id", "bucket")
+      },
+      Some(s"""WITH pb AS (
+              |  SELECT user_id, time_bucket(INTERVAL '21600 seconds', ts) AS bucket,
+              |         count(*) AS n, ${dsumSql("value")} AS sum_v
+              |  FROM events WHERE user_id < 5 GROUP BY 1, 2),
+              |spine AS (
+              |  SELECT user_id,
+              |    unnest(generate_series(min(bucket), max(bucket),
+              |                           INTERVAL '21600 seconds')) AS bucket
+              |  FROM pb GROUP BY user_id)
+              |SELECT s.user_id, s.bucket, coalesce(pb.n, 0) AS n, pb.sum_v
+              |FROM spine s LEFT JOIN pb USING (user_id, bucket)
+              |ORDER BY user_id, bucket""".stripMargin)),
+
+    Q("ts02_interpolate",
+      (s, d) => {
+        // densify per-user 6 h max(value), then linear-interpolate the
+        // gap buckets; edges clamp to the nearest observation
+        val ev = loadEvents(s, d).where(col("user_id") < 5)
+        val dense = TimeSeries.resample(ev, "ts", Seq("user_id"), 21600L,
+          Seq("v" -> max(col("value"))))
+        TimeSeries.interpolate(dense, "bucket", Seq("user_id"), "v", "v_i")
+          .select("user_id", "bucket", "v_i")
+          .orderBy("user_id", "bucket")
+      },
+      Some("""WITH pb AS (
+             |  SELECT user_id, time_bucket(INTERVAL '21600 seconds', ts) AS bucket,
+             |         max(value) AS v
+             |  FROM events WHERE user_id < 5 GROUP BY 1, 2),
+             |spine AS (
+             |  SELECT user_id,
+             |    unnest(generate_series(min(bucket), max(bucket),
+             |                           INTERVAL '21600 seconds')) AS bucket
+             |  FROM pb GROUP BY user_id),
+             |dense AS (
+             |  SELECT s.user_id, s.bucket, pb.v
+             |  FROM spine s LEFT JOIN pb USING (user_id, bucket)),
+             |i AS (
+             |  SELECT user_id, bucket, v,
+             |    last_value(v IGNORE NULLS) OVER w_back AS pv,
+             |    last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+             |      OVER w_back AS pt,
+             |    first_value(v IGNORE NULLS) OVER w_fwd AS nv,
+             |    first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+             |      OVER w_fwd AS nt
+             |  FROM dense WINDOW
+             |    w_back AS (PARTITION BY user_id ORDER BY bucket
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |    w_fwd AS (PARTITION BY user_id ORDER BY bucket
+             |              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+             |SELECT user_id, bucket,
+             |  CASE WHEN v IS NOT NULL THEN v
+             |       WHEN pv IS NULL THEN nv
+             |       WHEN nv IS NULL THEN pv
+             |       ELSE pv + (nv - pv) *
+             |            ((epoch(bucket) - epoch(pt)) / (epoch(nt) - epoch(pt)))
+             |  END AS v_i
+             |FROM i ORDER BY user_id, bucket""".stripMargin))
   )
 
   // =====================================================================

@@ -134,6 +134,39 @@ object Aggregations {
     */
   def xtabs(ddf: DDF, specs: String): DDF = aggregate(ddf, specs)
 
+  /** OLAP CUBE — every subset of the grouping columns in ONE pass
+    * (extension; the reference has no multi-level aggregation at all —
+    * its xtabs is a plain GROUP BY, AggregationHandler.scala:163-165).
+    * Spark expands the cube inside a single `Expand` + hash-aggregate:
+    * map-side partial aggregation still applies, so shuffled bytes are
+    * O(groups × 2^k), never O(rows × 2^k). `grouping_id()` is emitted as
+    * `gid` so downstream code can tell a data NULL from a rollup NULL.
+    */
+  def cube(ddf: DDF, groupCols: Seq[String], aggSpecs: Seq[String]): DDF = {
+    val parsed = aggSpecs.map(s => parseSpecs(s).head).collect { case a: AggSpec => a }
+    require(parsed.nonEmpty, "cube() needs at least one aggregate function")
+    val clean = cleaned(ddf.df, groupCols.map(GroupCol.apply) ++ parsed)
+    val aggs = grouping_id().cast("int").as("gid") +: parsed.map(aggColumn)
+    ddf.derive(clean.cube(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*))
+  }
+
+  /** GROUPING SETS — only the requested grouping combinations (extension;
+    * same single-Expand plan shape as [[cube]], cost O(groups × |sets|)).
+    * `sets` lists, per grouping set, which of `groupCols` participate
+    * (empty = grand total).
+    */
+  def groupingSets(ddf: DDF, groupCols: Seq[String], sets: Seq[Seq[String]],
+                   aggSpecs: Seq[String]): DDF = {
+    val bad = sets.flatten.distinct.filterNot(groupCols.contains)
+    require(bad.isEmpty, s"grouping-set columns not in groupCols: $bad")
+    val parsed = aggSpecs.map(s => parseSpecs(s).head).collect { case a: AggSpec => a }
+    require(parsed.nonEmpty, "groupingSets() needs at least one aggregate function")
+    val clean = cleaned(ddf.df, groupCols.map(GroupCol.apply) ++ parsed)
+    val aggs = grouping_id().cast("int").as("gid") +: parsed.map(aggColumn)
+    val grouped = clean.groupingSets(sets.map(_.map(col)), groupCols.map(col): _*)
+    ddf.derive(grouped.agg(aggs.head, aggs.tail: _*))
+  }
+
   /** Pearson correlation (SURVEY A8). The reference hand-rolls sufficient
     * stats (AggregationHandler.scala:19-43); Spark's `corr` aggregate is
     * the same one-pass co-moment computation, codegen'd.

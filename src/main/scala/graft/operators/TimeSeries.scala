@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series resampling and gap repair (extension — the reference has no
+  * temporal operators at all; its closest surface is plain GROUP BY over a
+  * timestamp column, SqlHandler.scala). A training-data pipeline needs
+  * these for event-stream feature tables: fixed-interval densification so
+  * every (key, bucket) exists, then interpolation so models never see
+  * accidental nulls.
+  *
+  * Scale shape (100 TB): [[resample]] is one hash aggregate over the raw
+  * events (shuffle O(keys × occupied buckets), map-side combined) plus a
+  * per-key spine generated DISTRIBUTEDLY from each key's own [min, max]
+  * bucket — `sequence()` explodes inside the task that owns the key, so
+  * the driver never materializes a calendar and idle keys never pay for
+  * the global time range. The densifying join keys on (key, bucket) —
+  * both sides already hash-partitioned by the aggregate's shuffle.
+  * [[interpolate]] is two window passes over the SAME (key, bucket)
+  * sort order — Catalyst collapses them onto one sort, no extra shuffle.
+  */
+object TimeSeries {
+
+  /** Bucket `tsCol` to `intervalSec`-second epochs. Same arithmetic as
+    * DuckDB's `time_bucket` for positive epochs: floor(epoch/interval).
+    */
+  def bucket(tsCol: Column, intervalSec: Long): Column =
+    timestamp_seconds(floor(unix_timestamp(tsCol) / intervalSec) * intervalSec)
+
+  /** Aggregate `df` into fixed `intervalSec` buckets per `keyCols`, then
+    * densify: every key gets one row per bucket in ITS OWN [min, max]
+    * span (no global calendar — a key active for one day contributes one
+    * day of rows). Missing buckets carry `n = 0` and null aggregates.
+    * `aggs` are (alias, aggColumn) pairs evaluated per (key, bucket).
+    */
+  def resample(df: DataFrame, tsCol: String, keyCols: Seq[String],
+               intervalSec: Long, aggs: Seq[(String, Column)]): DataFrame = {
+    require(aggs.nonEmpty, "resample() needs at least one aggregate")
+    val b = bucket(col(tsCol), intervalSec).as("bucket")
+    val aggCols = count(lit(1)).as("n") +: aggs.map { case (a, c) => c.as(a) }
+    val perBucket = df.groupBy((keyCols.map(col) :+ b): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+    // per-key spine: sequence() runs inside the key's task
+    val spine = perBucket.groupBy(keyCols.map(col): _*)
+      .agg(min("bucket").as("lo"), max("bucket").as("hi"))
+      .select(keyCols.map(col) :+
+        explode(sequence(col("lo"), col("hi"),
+          expr(s"interval $intervalSec seconds"))).as("bucket"): _*)
+    spine.join(perBucket, keyCols :+ "bucket", "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+  }
+
+  /** Linearly interpolate nulls in `valueCol` along `bucketCol` within
+    * each key: a gap between observations at t0 (v0) and t1 (v1) fills
+    * with v0 + (v1 − v0) × (t − t0)/(t1 − t0). Leading/trailing gaps
+    * (no observation on one side) fall back to the nearest observed
+    * value; keys with no observations stay null. Two window passes over
+    * one (key, bucket) sort.
+    */
+  def interpolate(df: DataFrame, bucketCol: String, keyCols: Seq[String],
+                  valueCol: String, outCol: String): DataFrame = {
+    val back = Window.partitionBy(keyCols.map(col): _*).orderBy(col(bucketCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(keyCols.map(col): _*).orderBy(col(bucketCol))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val v = col(valueCol)
+    val obsT = when(v.isNotNull, col(bucketCol))
+    val prevV = last(v, ignoreNulls = true).over(back)
+    val prevT = last(obsT, ignoreNulls = true).over(back)
+    val nextV = first(v, ignoreNulls = true).over(fwd)
+    val nextT = first(obsT, ignoreNulls = true).over(fwd)
+    // integer-second epochs: the ratio is exact double division, so the
+    // result is bit-identical to any engine evaluating the same formula
+    val frac = (unix_timestamp(col(bucketCol)) - unix_timestamp(prevT)).cast("double") /
+      (unix_timestamp(nextT) - unix_timestamp(prevT)).cast("double")
+    val filled = when(v.isNotNull, v)
+      .when(prevV.isNull, nextV)
+      .when(nextV.isNull, prevV)
+      .otherwise(prevV + (nextV - prevV) * frac)
+    df.withColumn(outCol, filled)
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import graft.core.DDFManager
+import graft.operators.{Aggregations, TimeSeries}
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** TimeSeries resample/interpolate + multi-level aggregation (cube /
+  * grouping sets) — semantics on hand-built frames where every expected
+  * value is computable by eye.
+  */
+class TimeSeriesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("resample densifies per-key spans and zero-fills gap counts") {
+    // key A: observations in buckets 0 and 3 of a 1h grid -> 4 rows, 2 gaps
+    // key B: single bucket -> 1 row, no gaps
+    val df = Seq(
+      ("A", ts("2024-01-01 00:10:00"), 1.0),
+      ("A", ts("2024-01-01 00:50:00"), 3.0),
+      ("A", ts("2024-01-01 03:20:00"), 5.0),
+      ("B", ts("2024-01-02 07:30:00"), 9.0)
+    ).toDF("k", "t", "v")
+    val out = TimeSeries.resample(df, "t", Seq("k"), 3600L,
+      Seq("s" -> sum("v"))).orderBy("k", "bucket").collect()
+    assert(out.length == 5, s"4 A-buckets + 1 B-bucket, got ${out.length}")
+    val a = out.filter(_.getString(0) == "A")
+    assert(a.map(_.getLong(2)).toSeq == Seq(2L, 0L, 0L, 1L))
+    assert(a(0).getDouble(3) == 4.0 && a(1).isNullAt(3) && a(3).getDouble(3) == 5.0)
+    // B never pays for A's calendar
+    assert(out.count(_.getString(0) == "B") == 1)
+  }
+
+  test("interpolate fills interior gaps linearly and clamps edges") {
+    val dense = Seq(
+      ("A", ts("2024-01-01 00:00:00"), Some(2.0)),
+      ("A", ts("2024-01-01 01:00:00"), None),
+      ("A", ts("2024-01-01 02:00:00"), None),
+      ("A", ts("2024-01-01 03:00:00"), Some(8.0)),
+      ("B", ts("2024-01-01 00:00:00"), None),
+      ("B", ts("2024-01-01 01:00:00"), Some(5.0)),
+      ("B", ts("2024-01-01 02:00:00"), None)
+    ).toDF("k", "bucket", "v")
+    val out = TimeSeries.interpolate(dense, "bucket", Seq("k"), "v", "vi")
+      .orderBy("k", "bucket").collect()
+    val a = out.filter(_.getString(0) == "A").map(_.getDouble(3)).toSeq
+    assert(a == Seq(2.0, 4.0, 6.0, 8.0), s"linear 2->8 over 3 steps, got $a")
+    val b = out.filter(_.getString(0) == "B").map(_.getDouble(3)).toSeq
+    assert(b == Seq(5.0, 5.0, 5.0), "edge gaps clamp to nearest observation")
+  }
+
+  test("interpolate leaves all-null keys null") {
+    val dense = Seq(("C", ts("2024-01-01 00:00:00"), Option.empty[Double]))
+      .toDF("k", "bucket", "v")
+    val out = TimeSeries.interpolate(dense, "bucket", Seq("k"), "v", "vi").collect()
+    assert(out.head.isNullAt(3))
+  }
+
+  test("cube emits all 2^k levels with grouping_id disambiguation") {
+    val m = DDFManager(spark)
+    val ddf = m.register(Seq(("x", "p", 1.0), ("x", "q", 2.0), ("y", "p", 3.0))
+      .toDF("a", "b", "v"), "cube_t")
+    val out = Aggregations.cube(ddf, Seq("a", "b"), Seq("n=count(*)", "s=sum(v)"))
+      .df.orderBy(col("gid"), col("a").asc_nulls_first, col("b").asc_nulls_first)
+      .collect()
+    // 3 leaves + 2 a-subtotals + 2 b-subtotals + 1 grand total
+    assert(out.length == 8, s"got ${out.length}")
+    assert(out.count(_.getAs[Int]("gid") == 0) == 3)
+    val grand = out.last
+    assert(grand.getAs[Int]("gid") == 3 && grand.isNullAt(0) && grand.isNullAt(1) &&
+      grand.getAs[Long]("n") == 3L && grand.getAs[Double]("s") == 6.0)
+    // first grouping column is the most significant grouping_id bit
+    val aOnly = out.filter(r => r.getAs[Int]("gid") == 1)
+    assert(aOnly.forall(r => r.getAs[String]("a") != null && r.getAs[String]("b") == null),
+      "gid=1 must be (a kept, b rolled up)")
+  }
+
+  test("groupingSets computes only the requested combinations") {
+    val m = DDFManager(spark)
+    val ddf = m.register(Seq(("x", "p", 1.0), ("x", "q", 2.0), ("y", "p", 3.0))
+      .toDF("a", "b", "v"), "gs_t")
+    val out = Aggregations.groupingSets(ddf, Seq("a", "b"),
+      Seq(Seq("a"), Nil), Seq("s=sum(v)"))
+      .df.orderBy(col("gid"), col("a").asc_nulls_first).collect()
+    // (a) subtotals: x, y; plus grand total — NO (a,b) leaves, NO (b)
+    assert(out.length == 3, s"got ${out.length}")
+    assert(out.map(_.getAs[Int]("gid")).toSeq == Seq(1, 1, 3))
+    intercept[IllegalArgumentException](
+      Aggregations.groupingSets(ddf, Seq("a"), Seq(Seq("zzz")), Seq("n=count(*)")))
+  }
+}
