@@ -2312,6 +2312,40 @@ object SparkEntry {
            |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
       }),
 
+    Q("a10_ivf_append",
+      (s, d) => {
+        val m = mgr(s, d)
+        val all = m.getDDFByName("embeddings").df
+        // corpus = 90% of vectors; batch = every 10th id, appended later
+        val corpus = all.filter(col("vec_id") % 10 =!= 0)
+        val batch = all.filter(col("vec_id") % 10 === 0)
+        // deterministic frozen centroids: the 16 lowest corpus ids
+        // (vec_id < 18, excluding the two multiples of 10)
+        val centroids = all
+          .filter(col("vec_id") < 18 && col("vec_id") % 10 =!= 0)
+          .orderBy("vec_id").select("embedding").collect()
+          .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+        val idx = pipeline.IvfIndex.buildFromCentroids(corpus, "embedding", "vec_id", centroids)
+        val idx2 = pipeline.IvfIndex.append(idx, batch, "embedding", "vec_id")
+        // batch rows' cells out of the APPENDED index — the append path's
+        // assignment, not a rebuild's
+        idx2.corpus.filter(col("id") % 10 === 0)
+          .select("id", "cell").orderBy("id")
+      },
+      // replay: cell = argmax(dot − ‖c‖²/2), ties → HIGHER cell (array_max
+      // struct order), centroids ranked by vec_id
+      Some("""WITH dv AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+             |            FROM embeddings),
+             |cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+             |          FROM dv WHERE vec_id < 18 AND vec_id % 10 != 0)
+             |SELECT id, cell FROM (
+             |  SELECT d.vec_id AS id, c.cell,
+             |    row_number() OVER (PARTITION BY d.vec_id ORDER BY
+             |      list_dot_product(d.v, c.cv) - list_dot_product(c.cv, c.cv) / 2.0 DESC,
+             |      c.cell DESC) AS rn
+             |  FROM (SELECT * FROM dv WHERE vec_id % 10 = 0) d CROSS JOIN cents c)
+             |WHERE rn = 1 ORDER BY id""".stripMargin)),
+
     Q("d06_dup_clusters",
       (s, d) => {
         val m = mgr(s, d)

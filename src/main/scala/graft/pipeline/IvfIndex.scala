@@ -42,17 +42,44 @@ object IvfIndex {
   def buildFromCentroids(df: DataFrame, vecCol: String, idCol: String,
                          centroids: Array[Array[Double]]): Index = {
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    // two assignment shapes: inlined-literal argmax is the fastest up to a
-    // few hundred centroids (zero shuffle, pure codegen), but the
-    // expression tree grows linearly with nCells and chokes planning in
-    // the thousands — there, switch to a broadcast centroid join
-    val assigned =
-      (if (centroids.length <= maxInlineCentroids)
-        vecs.withColumn("cell", nearestCell(col("v"), centroids))
-      else nearestCellByJoin(vecs, centroids))
-        .repartition(col("cell"))
-    Index(centroids, assigned)
+    Index(centroids, assign(vecs, centroids))
   }
+
+  /** Assign (id, v) rows to their nearest centroid and partition by cell.
+    * Two assignment shapes: inlined-literal argmax is the fastest up to a
+    * few hundred centroids (zero shuffle, pure codegen), but the
+    * expression tree grows linearly with nCells and chokes planning in
+    * the thousands — there, switch to a broadcast centroid join.
+    */
+  private def assign(vecs: DataFrame, centroids: Array[Array[Double]]): DataFrame =
+    (if (centroids.length <= maxInlineCentroids)
+      vecs.withColumn("cell", nearestCell(col("v"), centroids))
+    else nearestCellByJoin(vecs, centroids))
+      .repartition(col("cell"))
+
+  /** Incrementally add `batch` to an existing index WITHOUT retraining and
+    * without rescanning the indexed corpus: only the new vectors run the
+    * nearest-centroid assignment (the same argmax path as the build, so an
+    * appended index is bit-identical to rebuilding over corpus ∪ batch
+    * with the same frozen centroids — the a10 oracle pins this). At
+    * 100 TB the nightly ingest costs O(batch), not O(corpus). Duplicate
+    * ids are NOT deduplicated — upsert policy belongs to the caller.
+    * Centroids drift as the distribution moves; watch [[cellStats]] and
+    * rebuild when cell occupancy skews.
+    */
+  def append(index: Index, batch: DataFrame, vecCol: String, idCol: String): Index = {
+    val vecs = batch.select(col(idCol).as("id"), col(vecCol).as("v"))
+    Index(index.centroids, index.corpus.unionByName(assign(vecs, index.centroids)))
+  }
+
+  /** Per-cell occupancy — the rebuild-decision monitor for [[append]].
+    * One partial-aggregated groupBy over the corpus: (cell, n). A healthy
+    * index has max(n)/avg(n) near 1; a hot cell means the frozen
+    * centroids no longer match the data and probe cost degrades toward a
+    * scan of that cell.
+    */
+  def cellStats(index: Index): DataFrame =
+    index.corpus.groupBy("cell").agg(count(lit(1)).as("n"))
 
   /** Centroid-count threshold above which assignment switches from the
     * inlined-literal expression to a broadcast join (round-2 advice:

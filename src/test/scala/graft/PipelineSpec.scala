@@ -449,6 +449,28 @@ class PipelineSpec extends SparkTestBase {
     assert((0L until 8L).forall(i => seedCells(i) == i.toInt))
   }
 
+  test("IVF append: incremental index equals a rebuild over the union") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    val pts = (0L until 80L).map(i => (i, Array.fill(16)(rng.nextGaussian().toFloat)))
+    val centroids = pts.take(8).map(_._2.map(_.toDouble)).toArray
+    val old = pts.filter(_._1 % 4 != 0).toDF("vec_id", "embedding")
+    val batch = pts.filter(_._1 % 4 == 0).toDF("vec_id", "embedding")
+    val appended = IvfIndex.append(
+      IvfIndex.buildFromCentroids(old, "embedding", "vec_id", centroids),
+      batch, "embedding", "vec_id")
+    val rebuilt = IvfIndex.buildFromCentroids(
+      pts.toDF("vec_id", "embedding"), "embedding", "vec_id", centroids)
+    val a = appended.corpus.select("id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = rebuilt.corpus.select("id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a == b, "append must be bit-identical to rebuild under frozen centroids")
+    // cellStats sums to the full corpus and batch rows joined their cells
+    val n = IvfIndex.cellStats(appended).agg(sum("n")).first().getLong(0)
+    assert(n == 80L)
+  }
+
   test("text analysis: tokens, lang, quality, fingerprints") {
     import spark.implicits._
     val df = Seq(
