@@ -4274,7 +4274,26 @@ object SparkEntry {
              |  length(substring(p, CAST(frame_no*64+1 AS INT), 64)) AS frame_len,
              |  md5(substring(p, CAST(frame_no*64+1 AS INT), 64)) AS frame_hash
              |FROM e WHERE frame_no % 2 = 0
-             |ORDER BY id, frame_no""".stripMargin))
+             |ORDER BY id, frame_no""".stripMargin)),
+
+    Q("z01_zorder_roundtrip",
+      (s, d) => {
+        val m = mgr(s, d)
+        // Z-order clustered rewrite of lineitem on (l_partkey, l_suppkey),
+        // then read back: content must be EXACTLY the source — only the
+        // file layout (and so footer-stat pruning) changes. The layout
+        // win itself is measured in tools/ZorderSmoke + LayoutSpec.
+        val src = m.getDDFByName("lineitem").df
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_z01_" +
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(d.getBytes).map("%02x".format(_)).mkString.take(8)
+        sources.Layout.zorderWrite(src, Seq("l_partkey", "l_suppkey"), dir,
+          numFiles = 8)
+        s.read.parquet(dir).orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin))
   )
 
   private val allQueries: Seq[Q] =
