@@ -78,7 +78,9 @@ object Bench {
     // rounds is driver-visible (ScaleSmoke only runs when invoked) —
     // image decode (the most expensive op in the repo), IVF-cell semantic
     // dedup, and BM25 retrieval
-    "m02_image_roundtrip", "a05_semantic_dedup", "c06_bm25_retrieve")
+    "m02_image_roundtrip", "a05_semantic_dedup", "c06_bm25_retrieve",
+    // round 10 (this session): the new time-series densify+window chain
+    "ts01_resample_gapfill")
 
   // the sf1 subset: the scan/join/agg spine (TPC-H) + the dedup family +
   // vocabulary ranking + brute ANN — the operators whose 100 TB story the

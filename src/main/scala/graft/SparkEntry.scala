@@ -1861,6 +1861,36 @@ object SparkEntry {
   /** DuckDB expression for whitespace tokens of lower(text) ('' removed) —
     * mirrors TextAnalysis.tokensExpr.
     */
+  /** DuckDB replay of `TextAnalysis.bpeTrain`: `n` stacked argmax+rewrite
+    * stages over the alphabetic word-frequency table. Inside list_reduce
+    * the symbol list folds through a '|'-joined string (safe: the
+    * ^[a-z]+$ filter leaves no '|' or LIKE metacharacters in symbols);
+    * ties break (n DESC, l, r) exactly like the Spark argmax.
+    */
+  private def duckBpeStages(n: Int): String = {
+    val base =
+      s"""w0 AS (
+         |  SELECT w, count(*)::BIGINT AS freq FROM (
+         |    SELECT unnest(${duckToks("text")}) AS w FROM documents)
+         |  WHERE regexp_matches(w, '^[a-z]+$$')
+         |  GROUP BY w),
+         |s0 AS (SELECT string_split(w, '') AS syms, freq FROM w0)""".stripMargin
+    val stageSql = (0 until n).map { k =>
+      s"""p$k AS (SELECT l, r, sum(freq)::BIGINT AS n FROM (
+         |  SELECT syms[i] AS l, syms[i+1] AS r, freq FROM (
+         |    SELECT syms, freq, unnest(generate_series(1, len(syms)-1)) AS i FROM s$k))
+         |  GROUP BY l, r),
+         |b$k AS (SELECT l, r, n FROM p$k ORDER BY n DESC, l, r LIMIT 1),
+         |s${k + 1} AS (SELECT string_split(list_reduce(syms, (acc, x) ->
+         |    CASE WHEN x = b.r AND (acc = b.l OR acc LIKE '%|' || b.l)
+         |      THEN CASE WHEN acc = b.l THEN b.l || b.r
+         |           ELSE substr(acc, 1, length(acc) - length(b.l)) || b.l || b.r END
+         |      ELSE acc || '|' || x END), '|') AS syms, freq
+         |  FROM s$k CROSS JOIN b$k b)""".stripMargin
+    }
+    (base +: stageSql).mkString(",\n")
+  }
+
   private def duckToks(t: String) =
     s"list_filter(string_split_regex(lower($t), '\\s+'), x -> x != '')"
   /** DuckDB expression mirroring Dedup.normText. */
@@ -2594,6 +2624,58 @@ object SparkEntry {
               |SELECT doc_id, count(*)::BIGINT AS n_tokens,
               |  string_agg(tid::varchar, ',' ORDER BY pos) AS token_ids
               |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    Q("t15_bpe_train",
+      (s, d) => {
+        val m = mgr(s, d)
+        // real BPE trainer: 6 greedy merges over the corpus vocabulary;
+        // minFreq=1 mirrors the oracle's unconditional 6 stages
+        pipeline.TextAnalysis.bpeTrain(m.getDDFByName("documents").df,
+          "text", nMerges = 6, minFreq = 1L)
+          .orderBy("merge_rank")
+      },
+      Some(s"""WITH ${duckBpeStages(6)}
+              |SELECT * FROM (${(0 until 6).map(k =>
+                 s"SELECT $k AS merge_rank, l AS lhs, r AS rhs, l||r AS merged, " +
+                 s"n AS pair_freq FROM b$k").mkString(" UNION ALL ")})
+              |ORDER BY merge_rank""".stripMargin)),
+
+    Q("t16_bpe_encode",
+      (s, d) => {
+        val m = mgr(s, d)
+        val docs = m.getDDFByName("documents").df
+        val merges = pipeline.TextAnalysis.bpeTrain(docs, "text", nMerges = 6, minFreq = 1L)
+          .orderBy("merge_rank").collect()
+          .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
+        // encode with the learned merges — one chained codegen expression,
+        // no join; emit tokens space-joined (oracle outputs are scalar)
+        pipeline.TextAnalysis.bpeEncode(docs.filter(col("doc_id") < 30), "text", merges)
+          .select(col("doc_id").as("id"),
+            array_join(col("bpe_tokens"), " ").as("bpe_text"))
+          .orderBy("id")
+      },
+      Some {
+        val n = 6
+        val enc = (0 until n).foldLeft("string_split(w, '')") { (acc, k) =>
+          s"""string_split(list_reduce($acc, (a$k, x$k) ->
+             |    CASE WHEN x$k = b$k.r AND (a$k = b$k.l OR a$k LIKE '%|' || b$k.l)
+             |      THEN CASE WHEN a$k = b$k.l THEN b$k.l || b$k.r
+             |           ELSE substr(a$k, 1, length(a$k) - length(b$k.l)) || b$k.l || b$k.r END
+             |      ELSE a$k || '|' || x$k END), '|')""".stripMargin
+        }
+        val crossb = (0 until n).map(k => s"CROSS JOIN b$k").mkString(" ")
+        s"""WITH ${duckBpeStages(n)},
+           |ew AS (SELECT doc_id, pos, toks[pos] AS w FROM (
+           |  SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS pos
+           |  FROM (SELECT doc_id, ${duckToks("text")} AS toks FROM documents
+           |        WHERE doc_id < 30))),
+           |pieces AS (SELECT doc_id, pos,
+           |  CASE WHEN regexp_matches(w, '^[a-z]+$$') THEN array_to_string($enc, ' ')
+           |       ELSE w END AS piece
+           |  FROM ew $crossb)
+           |SELECT doc_id AS id, string_agg(piece, ' ' ORDER BY pos) AS bpe_text
+           |FROM pieces GROUP BY doc_id ORDER BY id""".stripMargin
+      }),
 
     Q("t07_chunking",
       (s, d) => {

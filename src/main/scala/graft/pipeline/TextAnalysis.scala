@@ -837,4 +837,101 @@ object TextAnalysis {
       .drop("__cum")
     keepWhole.unionByName(keepBoundary)
   }
+
+  // =====================================================================
+  // BPE tokenizer training (extension — tokenizer training IS the
+  // canonical corpus-scale job a training-data engine exists for)
+  // =====================================================================
+
+  /** Train `nMerges` byte-pair-encoding merges over the corpus.
+    *
+    * Algorithm (Sennrich et al. 2016, the standard greedy trainer):
+    * start from per-character symbol sequences of each distinct word;
+    * each round counts adjacent symbol pairs weighted by word frequency,
+    * merges the globally most frequent pair everywhere (greedy
+    * left-to-right within a word), and repeats. Deterministic tie-break:
+    * max count, then lexicographically smallest (left, right).
+    *
+    * Scale shape: the corpus is tokenized and reduced to DISTINCT word
+    * frequencies ONCE (the only corpus-scale shuffle). Every round then
+    * runs over the vocabulary table only — pair explode + partial-agg
+    * count (shuffled bytes O(distinct pairs)), a 1-row argmax to the
+    * driver (the algorithm's inherent sync point), and a codegen'd
+    * `aggregate` HOF rewrite of the symbol arrays. `localCheckpoint`
+    * every few rounds cuts the growing lineage. Only words matching
+    * `^[a-z]+$` participate (classic alphabetic-BPE simplification;
+    * keeps symbols unambiguous in any engine).
+    *
+    * Returns (merge_rank, lhs, rhs, merged, pair_freq) — merge_rank is merge
+    * order, the tokenizer's vocabulary file.
+    */
+  def bpeTrain(df: DataFrame, textCol: String, nMerges: Int,
+               minFreq: Long = 2L): DataFrame = {
+    val spark = df.sparkSession
+    require(nMerges >= 1, "nMerges must be >= 1")
+    val words = df.selectExpr(s"explode(${tokensExpr(textCol)}) AS w")
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    var cur = words.select(split(col("w"), "").as("syms"), col("freq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var rank = 0
+    var done = false
+    while (rank < nMerges && !done) {
+      val best = cur
+        .select(explode(arrays_zip(
+          slice(col("syms"), lit(1), size(col("syms")) - 1).as("l"),
+          slice(col("syms"), lit(2), size(col("syms")) - 1).as("r"))).as("p"), col("freq"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty || best.head.getLong(2) < minFreq) done = true
+      else {
+        val (a, b, n) = (best.head.getString(0), best.head.getString(1), best.head.getLong(2))
+        out += ((rank, a, b, a + b, n))
+        val next = cur.withColumn("syms", mergePair(col("syms"), a, b))
+        val mat =
+          if ((rank + 1) % 4 == 0) next.localCheckpoint(eager = true)
+          else next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        mat.count() // materialize before dropping the parent
+        cur.unpersist(blocking = false)
+        cur = mat
+        rank += 1
+      }
+    }
+    cur.unpersist(blocking = false)
+    import spark.implicits._
+    out.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "pair_freq")
+  }
+
+  /** Greedy left-to-right merge of adjacent (a, b) in a symbol array —
+    * the BPE rewrite step as a codegen'd `aggregate` HOF: fold elements,
+    * replacing a trailing `a` with `a+b` when `b` arrives. A merged
+    * token never re-merges within the same round ("aaa" + (a,a) →
+    * [aa, a], the standard semantics).
+    */
+  def mergePair(syms: Column, a: String, b: String): Column =
+    aggregate(syms,
+      lit(Array.empty[String]),
+      (acc, x) => when(
+        try_element_at(acc, lit(-1)) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Encode text with trained merges: apply each merge in rank order to
+    * every word (the inference half of [[bpeTrain]] — same greedy
+    * rewrite, same alphabetic-word filter; non-matching words pass
+    * through as single OOV tokens). `merges` is the (lhs, rhs) pairs as
+    * returned by [[bpeTrain]], collected to the driver (vocab-size,
+    * config data) and composed into ONE chained codegen expression —
+    * no join, no shuffle: encoding is embarrassingly parallel.
+    */
+  def bpeEncode(df: DataFrame, textCol: String, merges: Seq[(String, String)],
+                outCol: String = "bpe_tokens"): DataFrame =
+    df.withColumn(outCol,
+      flatten(transform(expr(tokensExpr(textCol)), w =>
+        when(w.rlike("^[a-z]+$"),
+          merges.foldLeft(split(w, "")) { case (syms, (a, b)) => mergePair(syms, a, b) })
+          .otherwise(array(w)))))
 }

@@ -1,0 +1,56 @@
+package graft
+
+import graft.pipeline.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** BPE tokenizer training — the Sennrich et al. (2016) worked example
+  * (no end-of-word marker): corpus low×5 lower×2 newest×6 widest×3 must
+  * learn es, est, lo, low in that order, with ties broken to the
+  * lexicographically smallest pair.
+  */
+class BpeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def corpus = {
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    // spread across rows to exercise the distributed word count
+    words.grouped(4).map(_.mkString(" ")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toSeq.toDF("id", "text")
+  }
+
+  test("bpeTrain learns the classic merge sequence with deterministic ties") {
+    val m = TextAnalysis.bpeTrain(corpus, "text", nMerges = 4)
+      .orderBy("merge_rank").collect()
+    val merges = m.map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
+    // round 1: (e,s)=9 ties (s,t)=9 -> lexicographic; then est, lo(7 ties ow), low
+    assert(merges == Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")),
+      s"got $merges")
+    assert(m.map(_.getAs[Long]("pair_freq")).toSeq == Seq(9L, 9L, 7L, 7L))
+    assert(m.map(_.getAs[String]("merged")).toSeq == Seq("es", "est", "lo", "low"))
+  }
+
+  test("bpeTrain stops early when no pair reaches minFreq") {
+    val tiny = Seq((1L, "ab cd")).toDF("id", "text")
+    val m = TextAnalysis.bpeTrain(tiny, "text", nMerges = 10, minFreq = 2L)
+    assert(m.count() == 0, "all pairs have freq 1 < minFreq 2")
+  }
+
+  test("mergePair is greedy left-to-right and never re-merges its own output") {
+    val df = Seq(Tuple1(Array("a", "a", "a"))).toDF("syms")
+    val out = df.select(TextAnalysis.mergePair(col("syms"), "a", "a").as("m"))
+      .first().getSeq[String](0)
+    assert(out == Seq("aa", "a"), s"got $out")
+  }
+
+  test("bpeEncode applies merges in rank order; OOV/non-alpha words pass through") {
+    val merges = Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"))
+    val df = Seq((1L, "lowest newest 42 xyz")).toDF("id", "text")
+    val toks = TextAnalysis.bpeEncode(df, "text", merges)
+      .select("bpe_tokens").first().getSeq[String](0)
+    // lowest: es -> est -> lo -> low => [low, est]; newest => [n,e,w,est];
+    // "42" fails the alpha filter and stays whole; xyz has no merges
+    assert(toks == Seq("low", "est", "n", "e", "w", "est", "42", "x", "y", "z"),
+      s"got $toks")
+  }
+}
