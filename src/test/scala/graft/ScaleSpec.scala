@@ -650,4 +650,39 @@ class ScaleSpec extends SparkTestBase {
     // q84/q85's sketch frame
     assertNoDataScaleSort(graft.stats.Stats.quantilesFrame(df, "v", Seq(0.1, 0.5, 0.9)))
   }
+
+  test("interpolate's forward+backward frames share ONE Window and ONE sort") {
+    import spark.implicits._
+    // both rowsBetween frames order by the same (key, bucket) — Catalyst
+    // must fuse all window functions into a single Window exec over a
+    // single Sort; a second sort or window would double the 100 TB cost
+    val dense = (0 until 1000).map(i =>
+      (i % 7L, java.sql.Timestamp.valueOf(s"2024-01-01 00:00:00"),
+        if (i % 3 == 0) Some(i.toDouble) else None))
+      .toDF("k", "bucket", "v")
+      .repartition(4) // defeat ConvertToLocalRelation so the plan is real
+    val out = graft.operators.TimeSeries.interpolate(dense, "bucket", Seq("k"), "v", "vi")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.split("Window \\[").length - 1 == 1,
+      s"expected exactly ONE Window exec, plan:\n$plan")
+    assert(plan.split("\\bSort \\[").length - 1 == 1,
+      s"expected exactly ONE Sort below the window, plan:\n$plan")
+  }
+
+  test("resample densify join broadcasts the aggregated side; user filter pushes to scan") {
+    val ev = spark.range(5000L).select(
+      (col("id") % 11).as("user_id"),
+      timestamp_seconds(lit(1704067200L) + col("id") * 360).as("ts"),
+      (col("id") % 100).cast("double").as("value"))
+    val out = graft.operators.TimeSeries.resample(ev, "ts", Seq("user_id"), 21600L,
+      Seq("s" -> sum("value")))
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
+      s"densify join missing:\n$plan")
+    // the spine side generates from the per-key min/max agg, never from a
+    // driver-materialized calendar
+    assert(plan.contains("Generate explode(sequence"),
+      s"spine must be a distributed sequence explode:\n$plan")
+  }
 }
