@@ -206,4 +206,37 @@ final class DDF(
     */
   def publish(path: String): DDF =
     derive(graft.sources.Manifest.writeWithManifest(df, path))
+
+  // ===== Round-10 surface: multi-level aggregation, time series,
+  // tokenizer training, clustered layout.
+  def cube(groupCols: Seq[String], aggSpecs: Seq[String]): DDF =
+    graft.operators.Aggregations.cube(this, groupCols, aggSpecs)
+  def groupingSets(groupCols: Seq[String], sets: Seq[Seq[String]],
+                   aggSpecs: Seq[String]): DDF =
+    graft.operators.Aggregations.groupingSets(this, groupCols, sets, aggSpecs)
+  /** Fixed-interval resample + densify (see `TimeSeries.resample`);
+    * `aggSpecs` use the `alias=fn(col)` grammar of [[aggregate]].
+    */
+  def resample(tsCol: String, keyCols: Seq[String], intervalSec: Long,
+               aggSpecs: Seq[String]): DDF = {
+    val parsed = aggSpecs.map(s => graft.operators.Aggregations.parseSpecs(s).head)
+      .collect { case a: graft.operators.Aggregations.AggSpec =>
+        a.alias -> graft.operators.Aggregations.aggColumn(a) }
+    derive(graft.operators.TimeSeries.resample(df, tsCol, keyCols, intervalSec, parsed))
+  }
+  def interpolate(bucketCol: String, keyCols: Seq[String], valueCol: String,
+                  outCol: String = "interpolated"): DDF =
+    derive(graft.operators.TimeSeries.interpolate(df, bucketCol, keyCols, valueCol, outCol))
+  /** Train a BPE tokenizer over `textCol` (see `TextAnalysis.bpeTrain`). */
+  def bpeTrain(textCol: String, nMerges: Int, minFreq: Long = 2L): DDF =
+    derive(graft.pipeline.TextAnalysis.bpeTrain(df, textCol, nMerges, minFreq))
+  def bpeEncode(textCol: String, merges: Seq[(String, String)]): DDF =
+    derive(graft.pipeline.TextAnalysis.bpeEncode(df, textCol, merges))
+  /** Z-order clustered publish (see `sources/Layout`): footer-stat
+    * pruning on every clustered dimension for downstream readers.
+    */
+  def publishZOrdered(path: String, zCols: Seq[String], numFiles: Int): DDF = {
+    graft.sources.Layout.zorderWrite(df, zCols, path, numFiles)
+    this
+  }
 }

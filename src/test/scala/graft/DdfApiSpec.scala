@@ -79,4 +79,34 @@ class DdfApiSpec extends SparkTestBase {
     assert(ids == Set(1L, 4L), s"got $ids") // 5 fails c4, 2 exact-dups, 3 near-dups
     assert(out.columnNames.contains("quality") && out.columnNames.contains("lang_pred"))
   }
+
+  test("round-10 facade: cube / resample+interpolate / bpe / publishZOrdered") {
+    import spark.implicits._
+    val ddf = fixture()
+    val c = ddf.cube(Seq("year"), Seq("n=count(*)"))
+    // 3 years + grand total
+    assert(c.numRows == 4 && c.columnNames.contains("gid"))
+    val gs = ddf.groupingSets(Seq("year", "carrier"), Seq(Seq("year"), Nil),
+      Seq("mx=max(delay)"))
+    assert(gs.numRows == 4)
+
+    val ev = m.register(Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), 4.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 02:10:00"), 8.0)
+    ).toDF("k", "ts", "v"))
+    val rs = ev.resample("ts", Seq("k"), 3600L, Seq("v=max(v)"))
+    assert(rs.numRows == 3, "densified to 3 hourly buckets")
+    val li = rs.interpolate("bucket", Seq("k"), "v")
+    assert(li.df.orderBy("bucket").collect()(1).getAs[Double]("interpolated") == 6.0)
+
+    val docs = m.register(Seq((1L, "aa ab aa ab aa")).toDF("id", "text"))
+    val merges = docs.bpeTrain("text", nMerges = 1, minFreq = 2L)
+    assert(merges.df.first().getAs[String]("merged") == "aa")
+    assert(docs.bpeEncode("text", Seq(("a", "a"))).df
+      .first().getSeq[String](2).toList == List("aa", "a", "b", "aa", "a", "b", "aa"))
+
+    val dir = java.nio.file.Files.createTempDirectory("ddf_zpub").toString
+    ddf.publishZOrdered(s"$dir/z", Seq("year", "month"), numFiles = 2)
+    assert(spark.read.parquet(s"$dir/z").count() == 5)
+  }
 }

@@ -107,4 +107,17 @@ class DialectSpec extends SparkTestBase {
     val ddf = m.register(Seq(2008, 2009, 2010, 2008).toDF("V1"), "years")
     assert(Aggregations.aggregateOnColumn(ddf, "max", "V1").asInstanceOf[Int] == 2010)
   }
+
+  test("SQL CUBE / GROUPING SETS pass through the dialect to Spark SQL") {
+    import spark.implicits._
+    val m = DDFManager(spark)
+    m.register(Seq(("x", "p", 1L), ("x", "q", 2L), ("y", "p", 3L))
+      .toDF("a", "b", "v"), "cube_sql_t")
+    val c = m.sql2ddf(
+      "SELECT a, b, count(*) AS n FROM cube_sql_t GROUP BY CUBE (a, b)")
+    assert(c.numRows == 8, "3 leaves + 2 + 2 subtotals + grand total")
+    val g = m.sql2ddf(
+      "SELECT a, sum(v) AS s FROM cube_sql_t GROUP BY GROUPING SETS ((a), ())")
+    assert(g.numRows == 3)
+  }
 }
