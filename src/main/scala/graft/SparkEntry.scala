@@ -1850,7 +1850,27 @@ object SparkEntry {
              |       ELSE pv + (nv - pv) *
              |            ((epoch(bucket) - epoch(pt)) / (epoch(nt) - epoch(pt)))
              |  END AS v_i
-             |FROM i ORDER BY user_id, bucket""".stripMargin))
+             |FROM i ORDER BY user_id, bucket""".stripMargin)),
+
+    Q("ts03_rolling_window",
+      (s, d) => {
+        // per-event trailing-6h features (RANGE frame over microsecond
+        // event time, closed boundary) — one row per event, one Window
+        val ev = loadEvents(s, d).where(col("user_id") < 3)
+        TimeSeries.rollingAgg(ev, "ts", Seq("user_id"), 21600L,
+          Seq("roll_sum" -> sum(col("value").cast("decimal(18,2)")),
+            "roll_n" -> count(lit(1))))
+          .select(col("user_id"), col("event_id"),
+            col("roll_sum").cast("double").as("roll_sum"), col("roll_n"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id,
+              |  cast(sum(cast(value as decimal(18,2))) OVER w as double) AS roll_sum,
+              |  count(*) OVER w AS roll_n
+              |FROM events WHERE user_id < 3
+              |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+              |  RANGE BETWEEN INTERVAL '21600 seconds' PRECEDING AND CURRENT ROW)
+              |ORDER BY user_id, event_id""".stripMargin))
   )
 
   // =====================================================================

@@ -81,4 +81,26 @@ object TimeSeries {
       .otherwise(prevV + (nextV - prevV) * frac)
     df.withColumn(outCol, filled)
   }
+
+  /** Rolling event-time aggregates: for every row, aggregate the
+    * trailing `windowSec` seconds of ITS key (RANGE frame over
+    * microsecond event time — peers at the exact boundary included, the
+    * same closed interval DuckDB/ANSI `RANGE INTERVAL PRECEDING` uses).
+    * `aggs` are (alias, aggregate-Column) pairs; the window is applied
+    * here so callers pass plain `sum(...)`/`count(...)`/`max(...)`.
+    *
+    * One hash-shuffle on the keys + one sort — every agg shares the same
+    * window spec, so Catalyst evaluates them all in a single Window exec.
+    * Unlike [[resample]] this emits one row PER EVENT (features joined
+    * back to the event, e.g. "user's 6 h activity at click time"), not
+    * per bucket.
+    */
+  def rollingAgg(df: DataFrame, tsCol: String, keyCols: Seq[String],
+                 windowSec: Long, aggs: Seq[(String, Column)]): DataFrame = {
+    require(aggs.nonEmpty, "rollingAgg() needs at least one aggregate")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(unix_micros(col(tsCol)))
+      .rangeBetween(-windowSec * 1000000L, 0L)
+    aggs.foldLeft(df) { case (d, (a, c)) => d.withColumn(a, c.over(w)) }
+  }
 }

@@ -90,4 +90,22 @@ class TimeSeriesSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Aggregations.groupingSets(ddf, Seq("a"), Seq(Seq("zzz")), Seq("n=count(*)")))
   }
+
+  test("rollingAgg: trailing RANGE window includes the exact boundary, per key") {
+    val df = Seq(
+      ("A", ts("2024-01-01 00:00:00"), 1.0),
+      ("A", ts("2024-01-01 00:30:00"), 2.0),
+      ("A", ts("2024-01-01 01:00:00"), 4.0),  // exactly 3600s after row 1
+      ("A", ts("2024-01-01 02:30:01"), 8.0),  // 1s past row 3's window
+      ("B", ts("2024-01-01 00:45:00"), 100.0)
+    ).toDF("k", "t", "v")
+    val out = TimeSeries.rollingAgg(df, "t", Seq("k"), 3600L,
+      Seq("s" -> sum("v"), "n" -> count(lit(1))))
+      .orderBy("k", "t").collect()
+    val a = out.filter(_.getString(0) == "A").map(r => (r.getDouble(3), r.getLong(4))).toSeq
+    // closed interval: the 01:00 row still sees the 00:00 row (exact 3600s)
+    assert(a == Seq((1.0, 1L), (3.0, 2L), (7.0, 3L), (8.0, 1L)), s"got $a")
+    val b = out.filter(_.getString(0) == "B").head
+    assert(b.getDouble(3) == 100.0 && b.getLong(4) == 1L, "keys never mix")
+  }
 }
