@@ -1852,6 +1852,55 @@ object SparkEntry {
              |  END AS v_i
              |FROM i ORDER BY user_id, bucket""".stripMargin)),
 
+    Q("h01_scd2",
+      (s, d) => {
+        // per-user event_type validity intervals — point-in-time feature
+        // history; tie on event_id gives the window a total order
+        val ev = loadEvents(s, d).where(col("user_id") < 3)
+        History.scd2(ev, Seq("user_id"), "ts", Seq("event_type"), Seq("event_id"))
+          .orderBy("user_id", "valid_from")
+      },
+      Some("""WITH e AS (SELECT user_id, ts, event_type, event_id
+             |  FROM events WHERE user_id < 3),
+             |m AS (SELECT *, CASE WHEN event_type IS DISTINCT FROM
+             |    lag(event_type) OVER w THEN 1 ELSE 0 END AS chg
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg FROM m),
+             |g AS (SELECT user_id, seg, min(ts) AS valid_from,
+             |    min(event_type) AS event_type
+             |  FROM s GROUP BY user_id, seg)
+             |SELECT user_id, event_type, valid_from,
+             |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+             |    AS valid_to
+             |FROM g ORDER BY user_id, valid_from""".stripMargin)),
+
+    Q("h02_cdc_apply",
+      (s, d) => {
+        val m = mgr(s, d)
+        // fold the order feed into customer state: latest order per
+        // customer wins; status 'P' deletes; untouched customers keep
+        // their base balance. One shuffle over base ∪ changes, no join.
+        val base = m.getDDFByName("customer").df
+          .select(col("c_custkey").as("k"), col("c_acctbal").as("v"))
+        val changes = m.getDDFByName("orders").df
+          .select(col("o_custkey").as("k"), col("o_totalprice").as("v"),
+            col("o_orderdate").as("t"),
+            when(col("o_orderstatus") === "P", "D").otherwise("U").as("op"),
+            col("o_orderkey").as("seq"))
+        History.cdcApply(base, changes, Seq("k"), Seq("v"), "t", "op", Seq("seq"))
+          .orderBy("k")
+      },
+      Some("""WITH b AS (SELECT c_custkey AS k, c_acctbal AS v,
+             |    NULL AS t, 'B' AS op, NULL AS seq FROM customer),
+             |c AS (SELECT o_custkey AS k, o_totalprice AS v, o_orderdate AS t,
+             |    CASE WHEN o_orderstatus = 'P' THEN 'D' ELSE 'U' END AS op,
+             |    o_orderkey AS seq FROM orders),
+             |u AS (SELECT * FROM b UNION ALL SELECT * FROM c),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY k
+             |    ORDER BY t DESC NULLS LAST, seq DESC NULLS LAST) AS rn FROM u)
+             |SELECT k, v FROM r WHERE rn = 1 AND op != 'D' ORDER BY k""".stripMargin)),
+
     Q("ts03_rolling_window",
       (s, d) => {
         // per-event trailing-6h features (RANGE frame over microsecond

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension history and CDC merge (extension — the
+  * reference has no temporal table support; its persist path overwrites).
+  * Training-data pipelines need both: SCD2 turns an event/snapshot stream
+  * into validity intervals ("what was this user's segment WHEN the
+  * example was generated" — joinable point-in-time features that don't
+  * leak the future), and CDC apply folds an at-least-once change feed
+  * into current state.
+  */
+object History {
+
+  /** Build SCD2 validity intervals from per-key timestamped observations:
+    * consecutive rows (by `tsCol`, then `tieCols` for a total order)
+    * whose `attrCols` are unchanged collapse into one row with
+    * [valid_from, valid_to); the current segment has valid_to = NULL.
+    *
+    * Scale shape: one hash shuffle on the keys feeds BOTH window passes
+    * and the grouped aggregate (same partitioning, one sort); shuffled
+    * rows are the observations, output rows only the change points. NULL
+    * attr values compare as equal to NULL (IS DISTINCT FROM semantics) —
+    * a missing attribute is not an endless run of "changes".
+    */
+  def scd2(df: DataFrame, keyCols: Seq[String], tsCol: String,
+           attrCols: Seq[String], tieCols: Seq[String] = Nil): DataFrame = {
+    require(keyCols.nonEmpty && attrCols.nonEmpty, "scd2 needs keys and attrs")
+    val order = (col(tsCol) +: tieCols.map(col)).map(_.asc)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+    val changed = attrCols.map(a =>
+      not(col(a) <=> lag(col(a), 1).over(w))).reduce(_ || _)
+    val seg = df
+      .withColumn("__chg", when(changed, 1L).otherwise(0L))
+      .withColumn("__seg", sum(col("__chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val grouped = seg.groupBy((keyCols :+ "__seg").map(col): _*)
+      .agg(min(col(tsCol)).as("valid_from"),
+        attrCols.map(a => first(col(a)).as(a)): _*)
+    val wSeg = Window.partitionBy(keyCols.map(col): _*).orderBy(col("valid_from"))
+    grouped
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wSeg))
+      .select((keyCols.map(col) ++ attrCols.map(col) ++
+        Seq(col("valid_from"), col("valid_to"))): _*)
+  }
+
+  /** Fold a CDC change feed into current state: per key, the LATEST row
+    * by (tsCol, tieCols) wins — base rows participate as the oldest
+    * version, `op` = 'D' drops the key, anything else ('I'/'U') replaces
+    * it. Exactly the union-argmax shape: ONE shuffle over base ∪ changes,
+    * no join, re-applying the same feed is idempotent.
+    *
+    * `base` needs `keyCols ++ valueCols`; `changes` needs
+    * `keyCols ++ valueCols ++ (tsCol, opCol [, tieCols])`.
+    */
+  def cdcApply(base: DataFrame, changes: DataFrame, keyCols: Seq[String],
+               valueCols: Seq[String], tsCol: String, opCol: String,
+               tieCols: Seq[String] = Nil): DataFrame = {
+    val sel = (keyCols ++ valueCols).map(col)
+    // base rows sort before every change: epoch −∞ via NULL ts + asc_nulls_first
+    val b = base.select(sel: _*)
+      .withColumn(tsCol, lit(null).cast(changes.schema(tsCol).dataType))
+      .withColumn(opCol, lit("B"))
+      .select((sel :+ col(tsCol) :+ col(opCol)) ++
+        tieCols.map(t => lit(null).cast(changes.schema(t).dataType).as(t)): _*)
+    val c = changes.select((sel :+ col(tsCol) :+ col(opCol)) ++ tieCols.map(col): _*)
+    val order = (col(tsCol).desc_nulls_last +: tieCols.map(col(_).desc_nulls_last))
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+    b.unionByName(c)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col(opCol) =!= "D")
+      .select(sel: _*)
+  }
+}

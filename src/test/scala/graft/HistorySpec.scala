@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.History
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class HistorySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("scd2 collapses unchanged runs into validity intervals; current row open-ended") {
+    val snaps = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "bronze"),
+      (1L, ts("2024-01-02 00:00:00"), "bronze"), // no change — collapses
+      (1L, ts("2024-01-03 00:00:00"), "gold"),
+      (1L, ts("2024-01-04 00:00:00"), "bronze"), // back — NEW segment, not merged
+      (2L, ts("2024-01-01 12:00:00"), "silver")
+    ).toDF("uid", "t", "tier")
+    val h = History.scd2(snaps, Seq("uid"), "t", Seq("tier"))
+      .orderBy("uid", "valid_from").collect()
+    assert(h.length == 4)
+    val u1 = h.filter(_.getLong(0) == 1L)
+    assert(u1.map(_.getString(1)).toSeq == Seq("bronze", "gold", "bronze"))
+    assert(u1(0).getTimestamp(2) == ts("2024-01-01 00:00:00"))
+    assert(u1(0).getTimestamp(3) == ts("2024-01-03 00:00:00"),
+      "valid_to = next segment's valid_from")
+    assert(u1(2).isNullAt(3), "current segment is open-ended")
+    assert(h.filter(_.getLong(0) == 2L).head.isNullAt(3))
+  }
+
+  test("scd2 treats NULL attr runs as unchanged (IS DISTINCT FROM)") {
+    val snaps = Seq(
+      (1L, ts("2024-01-01 00:00:00"), Option.empty[String]),
+      (1L, ts("2024-01-02 00:00:00"), Option.empty[String]),
+      (1L, ts("2024-01-03 00:00:00"), Some("x"))
+    ).toDF("uid", "t", "tier")
+    assert(History.scd2(snaps, Seq("uid"), "t", Seq("tier")).count() == 2)
+  }
+
+  test("cdcApply: latest op wins, deletes drop, inserts appear, base survives untouched keys") {
+    val base = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+    val changes = Seq(
+      (1L, 11.0, ts("2024-01-01 00:00:00"), "U", 1L),
+      (1L, 12.0, ts("2024-01-02 00:00:00"), "U", 2L), // later wins
+      (2L, 0.0, ts("2024-01-01 00:00:00"), "D", 3L),  // delete
+      (9L, 99.0, ts("2024-01-01 00:00:00"), "I", 4L)  // insert
+    ).toDF("k", "v", "t", "op", "seq")
+    val out = History.cdcApply(base, changes, Seq("k"), Seq("v"), "t", "op", Seq("seq"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(out == Seq((1L, 12.0), (3L, 30.0), (9L, 99.0)), s"got $out")
+    // idempotent: re-applying the same feed to the result changes nothing
+    val again = History.cdcApply(
+      Seq((1L, 12.0), (3L, 30.0), (9L, 99.0)).toDF("k", "v"),
+      changes, Seq("k"), Seq("v"), "t", "op", Seq("seq"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(again == out)
+  }
+
+  test("cdcApply ties on ts break by tie columns, latest sequence wins") {
+    val base = spark.emptyDataFrame.select(lit(0L).as("k"), lit(0.0).as("v")).limit(0)
+    val t0 = ts("2024-01-01 00:00:00")
+    val changes = Seq((1L, 1.0, t0, "U", 1L), (1L, 2.0, t0, "U", 2L))
+      .toDF("k", "v", "t", "op", "seq")
+    val out = History.cdcApply(base, changes, Seq("k"), Seq("v"), "t", "op", Seq("seq"))
+      .collect()
+    assert(out.length == 1 && out.head.getDouble(1) == 2.0)
+  }
+}
