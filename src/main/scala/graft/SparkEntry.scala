@@ -1126,6 +1126,66 @@ object SparkEntry {
       Some("""SELECT o_orderstatus, count(*) AS n, max(o_totalprice) AS mx
              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    Q("iv01_incremental_agg",
+      (s, d) => {
+        val m = mgr(s, d)
+        // incremental view maintenance: aggregate old and new partitions
+        // separately, merge the FINISHED aggregates — must equal a direct
+        // aggregate over the union (the oracle). sum(l_quantity) is exact
+        // (integral doubles), so the merge identity is bitwise.
+        val li = m.getDDFByName("lineitem").df
+        val spec = "l_returnflag, n=count(*), mx=max(l_quantity), " +
+          "mn=min(l_quantity), sq=sum(l_quantity)"
+        val old = m.register(li.filter(col("l_orderkey") % 10 =!= 0))
+        val nw = m.register(li.filter(col("l_orderkey") % 10 === 0))
+        Aggregations.mergeAggregates(
+          Aggregations.aggregate(old, spec).df,
+          Aggregations.aggregate(nw, spec).df, spec)
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n, max(l_quantity) AS mx,
+             |  min(l_quantity) AS mn, sum(l_quantity) AS sq
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    Q("g01_pagerank",
+      (s, d) => {
+        val m = mgr(s, d)
+        // fixed-point integer PageRank over the undirected part↔supplier
+        // bipartite graph from lineitem — deterministic by construction
+        // (floor divisions, integer sums), so the oracle replays it exactly
+        val li = m.getDDFByName("lineitem").df
+        val fwd = li.select(concat(lit("p"), col("l_partkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+        Graph.pageRank(edges, "src", "dst", iterations = 5)
+          .orderBy(col("pr").desc, col("node"))
+      },
+      Some {
+        val base =
+          """edges AS (
+            |  SELECT DISTINCT 'p' || l_partkey AS src, 's' || l_suppkey AS dst
+            |  FROM lineitem
+            |  UNION
+            |  SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst
+            |  FROM lineitem),
+            |deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY src),
+            |nodes AS (SELECT DISTINCT src AS node FROM edges
+            |          UNION SELECT DISTINCT dst FROM edges),
+            |pr0 AS (SELECT node, 1000000::BIGINT AS pr FROM nodes)""".stripMargin
+        val iters = (0 until 5).map { k =>
+          s"""c$k AS (
+             |  SELECT e.dst AS node, sum(p.pr // d.outdeg)::BIGINT AS contrib
+             |  FROM edges e JOIN pr$k p ON e.src = p.node JOIN deg d ON e.src = d.src
+             |  GROUP BY e.dst),
+             |pr${k + 1} AS (
+             |  SELECT n.node,
+             |    (150000 + (85 * coalesce(c.contrib, 0)) // 100)::BIGINT AS pr
+             |  FROM nodes n LEFT JOIN c$k c ON n.node = c.node)""".stripMargin
+        }
+        s"WITH ${(base +: iters).mkString(",\n")}\n" +
+          "SELECT node, pr FROM pr5 ORDER BY pr DESC, node"
+      }),
+
     Q("q32_agg_on_column",
       (s, d) => {
         val m = mgr(s, d)

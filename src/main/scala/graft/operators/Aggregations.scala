@@ -134,6 +134,34 @@ object Aggregations {
     */
   def xtabs(ddf: DDF, specs: String): DDF = aggregate(ddf, specs)
 
+  /** Incremental view maintenance: merge two aggregate tables produced
+    * by [[aggregate]] with the SAME specs over disjoint row sets —
+    * `aggregate(A ∪ B) == mergeAggregates(aggregate(A), aggregate(B))`.
+    * At 100 TB this is the difference between re-aggregating the corpus
+    * nightly and folding in one partition's partials: the merge shuffles
+    * O(groups), never rows. Mergeable functions only (count→sum,
+    * sum→sum, min→min, max→max); mean/var need sufficient statistics
+    * (keep count+sum and divide downstream) and are refused here.
+    */
+  def mergeAggregates(a: DataFrame, b: DataFrame, specs: String): DataFrame = {
+    val parsed = parseSpecs(specs)
+    val groups = parsed.collect { case GroupCol(n) => n }
+    val merged = parsed.collect { case AggSpec(fn, _, alias) =>
+      (fn match {
+        case "count" | "sum" => sum(col(alias))
+        case "min"           => min(col(alias))
+        case "max"           => max(col(alias))
+        case other => throw new IllegalArgumentException(
+          s"'$other' is not mergeable from finished aggregates; " +
+            "keep sufficient statistics (count + sum) instead")
+      }).as(alias)
+    }
+    require(merged.nonEmpty, "mergeAggregates() needs at least one aggregate")
+    val u = a.unionByName(b)
+    if (groups.isEmpty) u.agg(merged.head, merged.tail: _*)
+    else u.groupBy(groups.map(col): _*).agg(merged.head, merged.tail: _*)
+  }
+
   /** OLAP CUBE — every subset of the grouping columns in ONE pass
     * (extension; the reference has no multi-level aggregation at all —
     * its xtabs is a plain GROUP BY, AggregationHandler.scala:163-165).
