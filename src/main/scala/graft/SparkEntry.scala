@@ -2214,6 +2214,30 @@ object SparkEntry {
               |WHERE bit_count(xor(a.fp, b.fp)) <= 12
               |ORDER BY id1, id2""".stripMargin)),
 
+    Q("d14_jaccard_join",
+      (s, d) => {
+        val m = mgr(s, d)
+        // EXACT threshold similarity self-join (prefix filter + verify):
+        // the ground truth the MinHash banding (d02/d07) approximates
+        pipeline.SetJoin.exactJaccardJoin(
+            m.getDDFByName("documents").df.filter(col("doc_id") < 120),
+            "text", "doc_id", threshold = 0.6)
+          .orderBy("id_a", "id_b")
+      },
+      // brute-force replay over the same 120-doc subset: identical pair
+      // set AND identical double jaccard (integer-valued double division)
+      Some(s"""WITH dset AS (SELECT doc_id,
+              |    list_distinct(${duckToks("text")}) AS s
+              |  FROM documents WHERE doc_id < 120),
+              |sized AS (SELECT doc_id, s, len(s) AS n FROM dset WHERE len(s) > 0),
+              |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |    len(list_filter(a.s, x -> list_contains(b.s, x)))::DOUBLE AS inter,
+              |    a.n AS na, b.n AS nb
+              |  FROM sized a JOIN sized b ON a.doc_id < b.doc_id)
+              |SELECT id_a, id_b, inter / (na + nb - inter) AS jaccard
+              |FROM p WHERE inter / (na + nb - inter) >= 0.6
+              |ORDER BY id_a, id_b""".stripMargin)),
+
     Q("d04_jaccard_pairs",
       (s, d) => {
         val m = mgr(s, d)

@@ -1,0 +1,67 @@
+package graft
+
+import graft.pipeline.SetJoin
+import org.apache.spark.sql.functions._
+
+class SetJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def fixture = {
+    // 40 docs over a 30-word vocabulary with planted near-dup pairs
+    val rng = new scala.util.Random(17)
+    val vocab = (0 until 30).map(i => s"w$i")
+    val base = (0 until 40).map { i =>
+      val words = Seq.fill(8 + rng.nextInt(6))(vocab(rng.nextInt(vocab.size)))
+      (i.toLong, words.mkString(" "))
+    }
+    base.toDF("id", "text")
+  }
+
+  private def brute(df: org.apache.spark.sql.DataFrame, t: Double) = {
+    val sets = df.collect().map { r =>
+      r.getLong(0) -> r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty).toSet
+    }.filter(_._2.nonEmpty)
+    (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      inter = (sa & sb).size.toDouble
+      j = inter / (sa.size + sb.size - inter) if j >= t
+    } yield (ia, ib)).toSet
+  }
+
+  test("exactJaccardJoin finds EXACTLY the brute-force pair set (no false negatives)") {
+    val df = fixture
+    for (t <- Seq(0.4, 0.6, 0.8)) {
+      val mine = SetJoin.exactJaccardJoin(df, "text", "id", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val truth = brute(df, t)
+      assert(mine == truth, s"t=$t: mine ${mine.size} vs truth ${truth.size}; " +
+        s"missing=${truth -- mine}, extra=${mine -- truth}")
+    }
+  }
+
+  test("prefix filter prunes: candidates well under n^2/2 on a diverse corpus") {
+    // diverse corpus: disjoint vocab slices -> few prefix collisions
+    val docs = (0 until 60).map { i =>
+      val words = (0 until 10).map(j => s"w${(i / 3) * 20 + j}")
+      (i.toLong, words.mkString(" "))
+    }.toDF("id", "text")
+    val nCands = SetJoin.candidates(docs, "text", "id", 0.8).count()
+    val allPairs = 60L * 59 / 2
+    assert(nCands < allPairs / 4,
+      s"prefix filter should prune hard on diverse data: $nCands vs $allPairs")
+    // and the verified result still matches brute force
+    val mine = SetJoin.exactJaccardJoin(docs, "text", "id", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mine == brute(docs, 0.8))
+  }
+
+  test("jaccard values are exact and pairs are unordered-unique") {
+    val df = Seq(
+      (1L, "a b c d"), (2L, "a b c e"), (3L, "x y z q")
+    ).toDF("id", "text")
+    val out = SetJoin.exactJaccardJoin(df, "text", "id", 0.5).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L && r.getDouble(2) == 0.6)
+  }
+}
