@@ -128,4 +128,89 @@ class PropertySpec extends SparkTestBase {
   }
 
   private lazy val m = graft.core.DDFManager(spark)
+
+  test("property: resample invariants on random event sets") {
+    import spark.implicits._
+    val evGen = Gen.listOfN(80, Gen.zip(
+      Gen.chooseNum(0L, 4L),
+      Gen.chooseNum(0L, 400000L),   // seconds offset over ~4.6 days
+      Gen.chooseNum(1, 99)))
+    for (seed <- 1L to 3L) {
+      val rows = draw(evGen, seed).map { case (k, off, v) =>
+        (k, new java.sql.Timestamp(1704067200000L + off * 1000L), v.toDouble)
+      }
+      val df = rows.toDF("k", "t", "v")
+      val out = graft.operators.TimeSeries.resample(df, "t", Seq("k"), 3600L,
+        Seq("s" -> sum("v"))).collect()
+      // counts add back up to the input
+      assert(out.map(_.getLong(2)).sum == rows.size, s"seed=$seed")
+      // every key is a contiguous hourly spine: rows = (max-min)/3600 + 1
+      rows.groupBy(_._1).foreach { case (k, rs) =>
+        val buckets = rs.map(r => r._2.getTime / 1000 / 3600 * 3600)
+        val expect = (buckets.max - buckets.min) / 3600 + 1
+        val got = out.count(_.getLong(0) == k)
+        assert(got == expect, s"seed=$seed key=$k: $got vs $expect")
+      }
+      // interpolate on the dense frame never produces a null where the
+      // key has at least one observation, and is idempotent on observed rows
+      val dense = graft.operators.TimeSeries.resample(df, "t", Seq("k"), 3600L,
+        Seq("m" -> max("v")))
+      val interp = graft.operators.TimeSeries.interpolate(
+        dense, "bucket", Seq("k"), "m", "mi").collect()
+      assert(interp.forall(r => !r.isNullAt(r.fieldIndex("mi"))), s"seed=$seed")
+      assert(interp.filter(r => !r.isNullAt(r.fieldIndex("m")))
+        .forall(r => r.getDouble(r.fieldIndex("m")) == r.getDouble(r.fieldIndex("mi"))))
+    }
+  }
+
+  test("property: scd2 intervals tile each key's observed span without overlap") {
+    import spark.implicits._
+    val gen = Gen.listOfN(60, Gen.zip(Gen.chooseNum(0L, 3L),
+      Gen.chooseNum(0L, 500000L), Gen.oneOf("a", "b", "c")))
+    for (seed <- 11L to 13L) {
+      val rows = draw(gen, seed).zipWithIndex.map { case ((k, off, v), i) =>
+        (k, new java.sql.Timestamp(1704067200000L + off * 1000L), v, i.toLong)
+      }.distinct
+      val df = rows.toDF("k", "t", "tier", "tie")
+      val h = graft.operators.History.scd2(df, Seq("k"), "t", Seq("tier"), Seq("tie"))
+        .orderBy("k", "valid_from").collect()
+      rows.groupBy(_._1).foreach { case (k, rs) =>
+        val ivs = h.filter(_.getLong(0) == k)
+        // first interval starts at the key's first observation
+        assert(ivs.head.getTimestamp(2) == rs.map(_._2).minBy(_.getTime), s"seed=$seed")
+        // chained: each valid_to equals the next valid_from; last is open
+        ivs.sliding(2).foreach {
+          case Array(cur, nxt) => assert(cur.getTimestamp(3) == nxt.getTimestamp(2))
+          case _ =>
+        }
+        assert(ivs.last.isNullAt(3))
+        // consecutive intervals always change the attribute
+        ivs.sliding(2).foreach {
+          case Array(cur, nxt) => assert(cur.getString(1) != nxt.getString(1), s"seed=$seed")
+          case _ =>
+        }
+      }
+    }
+  }
+
+  test("property: mergeAggregates ≡ direct aggregate on random splits") {
+    import spark.implicits._
+    val gen = Gen.listOfN(100, Gen.zip(Gen.oneOf("p", "q", "r"), Gen.chooseNum(-50, 50)))
+    for (seed <- 21L to 23L) {
+      val rows = draw(gen, seed).map { case (g, v) => (g, v.toDouble) }
+      val df = rows.toDF("g", "v")
+      val m = graft.core.DDFManager(spark)
+      val spec = "g, n=count(*), mx=max(v), mn=min(v), s=sum(v)"
+      val cut = draw(Gen.chooseNum(-30, 30), seed + 50)
+      val a = m.register(df.filter(col("v") < cut))
+      val b = m.register(df.filter(col("v") >= cut))
+      val merged = graft.operators.Aggregations.mergeAggregates(
+        graft.operators.Aggregations.aggregate(a, spec).df,
+        graft.operators.Aggregations.aggregate(b, spec).df, spec)
+        .orderBy("g").collect().map(_.toSeq).toSeq
+      val direct = graft.operators.Aggregations.aggregate(m.register(df), spec).df
+        .orderBy("g").collect().map(_.toSeq).toSeq
+      assert(merged == direct, s"seed=$seed cut=$cut")
+    }
+  }
 }
