@@ -120,4 +120,21 @@ class DialectSpec extends SparkTestBase {
       "SELECT a, sum(v) AS s FROM cube_sql_t GROUP BY GROUPING SETS ((a), ())")
     assert(g.numRows == 3)
   }
+
+  test("SQL HAVING and ntile/percent_rank windows pass through the dialect") {
+    import spark.implicits._
+    val m = DDFManager(spark)
+    m.register(Seq(("x", 1), ("x", 2), ("y", 3), ("y", 4), ("y", 5), ("z", 6))
+      .toDF("g", "v"), "having_t")
+    val h = m.sql2ddf(
+      "SELECT g, count(*) AS n FROM having_t GROUP BY g HAVING count(*) >= 2")
+    assert(h.df.collect().map(_.getString(0)).toSet == Set("x", "y"))
+    val w = m.sql2ddf(
+      """SELECT g, v, ntile(2) OVER (ORDER BY v) AS bucket,
+        |  percent_rank() OVER (ORDER BY v) AS pr
+        |FROM having_t""".stripMargin)
+    val rows = w.df.orderBy("v").collect()
+    assert(rows.head.getInt(2) == 1 && rows.last.getInt(2) == 2)
+    assert(rows.head.getDouble(3) == 0.0 && rows.last.getDouble(3) == 1.0)
+  }
 }
