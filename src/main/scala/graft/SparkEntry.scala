@@ -1931,7 +1931,7 @@ object SparkEntry {
              |    min(event_type) AS event_type
              |  FROM s GROUP BY user_id, seg)
              |SELECT user_id, event_type, valid_from,
-             |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+             |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY seg)
              |    AS valid_to
              |FROM g ORDER BY user_id, valid_from""".stripMargin)),
 

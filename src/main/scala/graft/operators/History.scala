@@ -39,7 +39,11 @@ object History {
     val grouped = seg.groupBy((keyCols :+ "__seg").map(col): _*)
       .agg(min(col(tsCol)).as("valid_from"),
         attrCols.map(a => first(col(a)).as(a)): _*)
-    val wSeg = Window.partitionBy(keyCols.map(col): _*).orderBy(col("valid_from"))
+    // chain by SEGMENT id, not valid_from: two segments of a key can
+    // share a min timestamp when identical-ts observations straddle a
+    // change (tieCols split them) — __seg is monotone in the row order
+    // by construction, so the chaining stays total and deterministic
+    val wSeg = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__seg"))
     grouped
       .withColumn("valid_to", lead(col("valid_from"), 1).over(wSeg))
       .select((keyCols.map(col) ++ attrCols.map(col) ++

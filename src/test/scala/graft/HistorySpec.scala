@@ -29,6 +29,22 @@ class HistorySpec extends SparkTestBase {
     assert(h.filter(_.getLong(0) == 2L).head.isNullAt(3))
   }
 
+  test("scd2 chains deterministically when identical timestamps straddle a change") {
+    val snaps = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "a", 1L),
+      (1L, ts("2024-01-01 00:00:00"), "b", 2L), // same ts, tie splits segments
+      (1L, ts("2024-01-02 00:00:00"), "b", 3L)
+    ).toDF("uid", "t", "tier", "seq")
+    val h = History.scd2(snaps, Seq("uid"), "t", Seq("tier"), Seq("seq"))
+      .orderBy("valid_from", "tier").collect()
+    assert(h.length == 2)
+    val bySeg = h.sortBy(r => r.getString(1))
+    // segment 'a' closes at segment 'b's valid_from (the SAME instant)
+    assert(bySeg(0).getString(1) == "a" &&
+      bySeg(0).getTimestamp(3) == ts("2024-01-01 00:00:00"))
+    assert(bySeg(1).getString(1) == "b" && bySeg(1).isNullAt(3))
+  }
+
   test("scd2 treats NULL attr runs as unchanged (IS DISTINCT FROM)") {
     val snaps = Seq(
       (1L, ts("2024-01-01 00:00:00"), Option.empty[String]),
