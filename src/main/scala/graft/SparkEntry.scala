@@ -1855,7 +1855,7 @@ object SparkEntry {
           .orderBy("user_id", "bucket")
       },
       Some(s"""WITH pb AS (
-              |  SELECT user_id, time_bucket(INTERVAL '21600 seconds', ts) AS bucket,
+              |  SELECT user_id, (to_timestamp(floor(epoch(ts) / 21600) * 21600))::TIMESTAMP AS bucket,
               |         count(*) AS n, ${dsumSql("value")} AS sum_v
               |  FROM events WHERE user_id < 5 GROUP BY 1, 2),
               |spine AS (
@@ -1879,7 +1879,7 @@ object SparkEntry {
           .orderBy("user_id", "bucket")
       },
       Some("""WITH pb AS (
-             |  SELECT user_id, time_bucket(INTERVAL '21600 seconds', ts) AS bucket,
+             |  SELECT user_id, (to_timestamp(floor(epoch(ts) / 21600) * 21600))::TIMESTAMP AS bucket,
              |         max(value) AS v
              |  FROM events WHERE user_id < 5 GROUP BY 1, 2),
              |spine AS (

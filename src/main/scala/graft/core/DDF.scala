@@ -219,9 +219,10 @@ final class DDF(
     */
   def resample(tsCol: String, keyCols: Seq[String], intervalSec: Long,
                aggSpecs: Seq[String]): DDF = {
-    val parsed = aggSpecs.map(s => graft.operators.Aggregations.parseSpecs(s).head)
-      .collect { case a: graft.operators.Aggregations.AggSpec =>
-        a.alias -> graft.operators.Aggregations.aggColumn(a) }
+    // full comma grammar, agg-only: "a=max(v), b=min(v)" is two specs —
+    // a plain column or a truncated parse is refused, never dropped
+    val parsed = graft.operators.Aggregations.parseAggOnly(aggSpecs)
+      .map(a => a.alias -> graft.operators.Aggregations.aggColumn(a))
     derive(graft.operators.TimeSeries.resample(df, tsCol, keyCols, intervalSec, parsed))
   }
   def interpolate(bucketCol: String, keyCols: Seq[String], valueCol: String,
@@ -233,10 +234,13 @@ final class DDF(
   def bpeEncode(textCol: String, merges: Seq[(String, String)]): DDF =
     derive(graft.pipeline.TextAnalysis.bpeEncode(df, textCol, merges))
   /** Z-order clustered publish (see `sources/Layout`): footer-stat
-    * pruning on every clustered dimension for downstream readers.
+    * pruning on every clustered dimension for downstream readers, with
+    * the SAME per-shard content manifest as [[publish]] — the clustered
+    * layout is verifiable bit-for-bit (`Manifest.verifyManifest`).
+    * Returns the shard-summary DDF, like [[publish]].
     */
   def publishZOrdered(path: String, zCols: Seq[String], numFiles: Int): DDF = {
     graft.sources.Layout.zorderWrite(df, zCols, path, numFiles)
-    this
+    derive(graft.sources.Manifest.writeManifestFor(spark, path))
   }
 }

@@ -162,18 +162,34 @@ object Aggregations {
     else u.groupBy(groups.map(col): _*).agg(merged.head, merged.tail: _*)
   }
 
+  /** Parse agg-only spec strings (cube/groupingSets/resample grammar):
+    * every comma-separated entry of every string must be `alias=fn(col)`
+    * — a plain column here is a grouping column passed in the wrong
+    * argument, refused rather than silently dropped.
+    */
+  private[graft] def parseAggOnly(aggSpecs: Seq[String]): Seq[AggSpec] =
+    aggSpecs.flatMap(parseSpecs).map {
+      case a: AggSpec => a
+      case GroupCol(n) => throw new IllegalArgumentException(
+        s"'$n' is not an aggregate spec — grouping columns go in the groupCols argument")
+    }
+
   /** OLAP CUBE — every subset of the grouping columns in ONE pass
     * (extension; the reference has no multi-level aggregation at all —
     * its xtabs is a plain GROUP BY, AggregationHandler.scala:163-165).
     * Spark expands the cube inside a single `Expand` + hash-aggregate:
     * map-side partial aggregation still applies, so shuffled bytes are
     * O(groups × 2^k), never O(rows × 2^k). `grouping_id()` is emitted as
-    * `gid` so downstream code can tell a data NULL from a rollup NULL.
+    * `gid` so downstream code can tell a data NULL (gid bit 0: a real
+    * NULL group) from a rollup NULL (gid bit 1) — which is also why the
+    * reference-style null-clean applies ONLY to the aggregated columns
+    * here, never the grouping columns: dropping NULL group rows would
+    * silently corrupt every subtotal, exactly what SQL CUBE does not do.
     */
   def cube(ddf: DDF, groupCols: Seq[String], aggSpecs: Seq[String]): DDF = {
-    val parsed = aggSpecs.map(s => parseSpecs(s).head).collect { case a: AggSpec => a }
+    val parsed = parseAggOnly(aggSpecs)
     require(parsed.nonEmpty, "cube() needs at least one aggregate function")
-    val clean = cleaned(ddf.df, groupCols.map(GroupCol.apply) ++ parsed)
+    val clean = cleaned(ddf.df, parsed)
     val aggs = grouping_id().cast("int").as("gid") +: parsed.map(aggColumn)
     ddf.derive(clean.cube(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*))
   }
@@ -181,15 +197,16 @@ object Aggregations {
   /** GROUPING SETS — only the requested grouping combinations (extension;
     * same single-Expand plan shape as [[cube]], cost O(groups × |sets|)).
     * `sets` lists, per grouping set, which of `groupCols` participate
-    * (empty = grand total).
+    * (empty = grand total). Null-clean covers aggregated columns only,
+    * as in [[cube]].
     */
   def groupingSets(ddf: DDF, groupCols: Seq[String], sets: Seq[Seq[String]],
                    aggSpecs: Seq[String]): DDF = {
     val bad = sets.flatten.distinct.filterNot(groupCols.contains)
     require(bad.isEmpty, s"grouping-set columns not in groupCols: $bad")
-    val parsed = aggSpecs.map(s => parseSpecs(s).head).collect { case a: AggSpec => a }
+    val parsed = parseAggOnly(aggSpecs)
     require(parsed.nonEmpty, "groupingSets() needs at least one aggregate function")
-    val clean = cleaned(ddf.df, groupCols.map(GroupCol.apply) ++ parsed)
+    val clean = cleaned(ddf.df, parsed)
     val aggs = grouping_id().cast("int").as("gid") +: parsed.map(aggColumn)
     val grouped = clean.groupingSets(sets.map(_.map(col)), groupCols.map(col): _*)
     ddf.derive(grouped.agg(aggs.head, aggs.tail: _*))

@@ -31,7 +31,10 @@ object Graph {
     * groupBy dst — shuffled bytes O(edges) worst case, O(nodes) after
     * map-side combine. Ranks persist per round (the previous round
     * unpersists); `iterations` is the driver-loop budget exactly like
-    * `bpeTrain`'s merge count.
+    * `bpeTrain`'s merge count. The RETURNED frame is the final round's
+    * persisted ranks — already materialized, so reads are free; the
+    * caller owns `unpersist()` when done (dropping the cache inside
+    * this method would discard the materialization it just paid for).
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int, dampingPct: Int = 85,

@@ -70,7 +70,14 @@ object History {
       .select((sel :+ col(tsCol) :+ col(opCol)) ++
         tieCols.map(t => lit(null).cast(changes.schema(t).dataType).as(t)): _*)
     val c = changes.select((sel :+ col(tsCol) :+ col(opCol)) ++ tieCols.map(col): _*)
-    val order = (col(tsCol).desc_nulls_last +: tieCols.map(col(_).desc_nulls_last))
+    // a change row with a NULL ts would otherwise tie the base row's
+    // NULL sentinel exactly — the trailing source rank (base 0 < change 1,
+    // descending) guarantees "any change beats base" even then; multiple
+    // NULL-ts changes still need tieCols for a total order (caller's
+    // contract, as documented)
+    val src = when(col(opCol) === "B", 0).otherwise(1)
+    val order = (col(tsCol).desc_nulls_last +: tieCols.map(col(_).desc_nulls_last)) :+
+      src.desc
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
     b.unionByName(c)
       .withColumn("__rn", row_number().over(w))

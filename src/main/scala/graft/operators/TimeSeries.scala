@@ -23,8 +23,13 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeries {
 
-  /** Bucket `tsCol` to `intervalSec`-second epochs. Same arithmetic as
-    * DuckDB's `time_bucket` for positive epochs: floor(epoch/interval).
+  /** Bucket `tsCol` to `intervalSec`-second epochs:
+    * floor(epoch/interval) × interval, origin = the 1970 epoch. NOTE:
+    * engines differ on the bucket ORIGIN for intervals that don't
+    * divide a day (DuckDB's `time_bucket` uses a 2000-01-03 origin) —
+    * cross-engine comparisons must either use day-dividing intervals or
+    * spell out the same floor(epoch/interval) arithmetic (the ts01/ts02
+    * oracles do the latter).
     */
   def bucket(tsCol: Column, intervalSec: Long): Column =
     timestamp_seconds(floor(unix_timestamp(tsCol) / intervalSec) * intervalSec)
@@ -38,9 +43,13 @@ object TimeSeries {
   def resample(df: DataFrame, tsCol: String, keyCols: Seq[String],
                intervalSec: Long, aggs: Seq[(String, Column)]): DataFrame = {
     require(aggs.nonEmpty, "resample() needs at least one aggregate")
+    require(!aggs.exists(_._1 == "n"), "alias 'n' is reserved for the bucket count")
     val b = bucket(col(tsCol), intervalSec).as("bucket")
     val aggCols = count(lit(1)).as("n") +: aggs.map { case (a, c) => c.as(a) }
-    val perBucket = df.groupBy((keyCols.map(col) :+ b): _*)
+    // rows with a NULL timestamp are EXPLICITLY excluded — they have no
+    // bucket, and leaving them to the null-group/spine mismatch would
+    // drop them silently instead of by contract
+    val perBucket = df.na.drop(Seq(tsCol)).groupBy((keyCols.map(col) :+ b): _*)
       .agg(aggCols.head, aggCols.tail: _*)
     // per-key spine: sequence() runs inside the key's task
     val spine = perBucket.groupBy(keyCols.map(col): _*)

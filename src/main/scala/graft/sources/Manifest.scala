@@ -59,8 +59,17 @@ object Manifest {
                         partitionCols: Seq[String] = Nil): DataFrame = {
     val w = df.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
-    val spark = df.sparkSession
-    val summary = shardSummary(spark.read.parquet(path), partitionCols.size)
+    writeManifestFor(df.sparkSession, path, partitionCols.size)
+  }
+
+  /** Compute and store the manifest for an ALREADY-written parquet dir —
+    * the manifest half of [[writeWithManifest]], for writers that control
+    * their own layout (e.g. `Layout.zorderWrite`). Returns the per-shard
+    * summary frame.
+    */
+  def writeManifestFor(spark: SparkSession, path: String,
+                       partitionDepth: Int = 0): DataFrame = {
+    val summary = shardSummary(spark.read.parquet(path), partitionDepth)
     val entries = summary.collect() // one row per FILE — config-sized
     val totalRows = entries.map(_.getAs[Long]("rows")).sum
     val corpusHash = entries.map(_.getAs[Long]("content_hash")).foldLeft(0L)(_ ^ _)
@@ -71,7 +80,7 @@ object Manifest {
         s""""content_sum":"${r.getAs[String]("content_sum")}"}"""
     }.mkString(
       s"""{"total_rows":$totalRows,"corpus_hash":$corpusHash,"corpus_sum":"$corpusSum",""" +
-        s""""partition_depth":${partitionCols.size},"shards":[""",
+        s""""partition_depth":$partitionDepth,"shards":[""",
       ",", "]}\n")
     val p = new org.apache.hadoop.fs.Path(path, ManifestFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

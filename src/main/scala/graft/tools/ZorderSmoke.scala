@@ -25,7 +25,7 @@ object ZorderSmoke {
 
     val side = math.sqrt(n.toDouble).toInt
     val df = spark.range(0, side.toLong * side).select(col("id"),
-      (col("id") % side).as("x"), (col("id") / side).as("y"),
+      (col("id") % side).as("x"), (col("id") / side).cast("long").as("y"),
       (col("id") * 7 % 1000).as("payload"))
     val dir = Files.createTempDirectory("graft_zsmoke").toString
     def timed[A](f: => A): (A, Double) = {

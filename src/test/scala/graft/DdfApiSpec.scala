@@ -96,6 +96,11 @@ class DdfApiSpec extends SparkTestBase {
     ).toDF("k", "ts", "v"))
     val rs = ev.resample("ts", Seq("k"), 3600L, Seq("v=max(v)"))
     assert(rs.numRows == 3, "densified to 3 hourly buckets")
+    // full comma grammar: both aggs computed, none silently dropped
+    val rs2 = ev.resample("ts", Seq("k"), 3600L, Seq("a=max(v), b=min(v)"))
+    assert(rs2.columnNames.containsSlice(Seq("a", "b")))
+    intercept[IllegalArgumentException](
+      ev.resample("ts", Seq("k"), 3600L, Seq("k, a=max(v)")))
     val li = rs.interpolate("bucket", Seq("k"), "v")
     assert(li.df.orderBy("bucket").collect()(1).getAs[Double]("interpolated") == 6.0)
 

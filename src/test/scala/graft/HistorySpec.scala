@@ -82,4 +82,14 @@ class HistorySpec extends SparkTestBase {
       .collect()
     assert(out.length == 1 && out.head.getDouble(1) == 2.0)
   }
+
+  test("cdcApply: a NULL-ts change still beats the base row") {
+    val base = Seq((1L, 10.0)).toDF("k", "v")
+    val changes = Seq((1L, 99.0, Option.empty[java.sql.Timestamp], "U"))
+      .toDF("k", "v", "t", "op")
+    val out = History.cdcApply(base, changes, Seq("k"), Seq("v"), "t", "op")
+      .collect()
+    assert(out.length == 1 && out.head.getDouble(1) == 99.0,
+      "change must win the all-NULL ordering tie via the source rank")
+  }
 }

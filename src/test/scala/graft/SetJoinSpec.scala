@@ -64,4 +64,18 @@ class SetJoinSpec extends SparkTestBase {
     val r = out.head
     assert(r.getLong(0) == 1L && r.getLong(1) == 2L && r.getDouble(2) == 0.6)
   }
+
+  test("exact-threshold boundary: IEEE ceil(t*n) overshoot must not drop valid pairs") {
+    // t=0.55, |a|=100, b a 55-token subset: J = 55/100 = 0.55 exactly.
+    // ceil(0.55*100) evaluates to 56 in doubles; without the epsilon
+    // slack BOTH candidate directions excluded this pair (review fix).
+    val aTokens = (0 until 100).map(i => s"tk$i")
+    val df = Seq(
+      (1L, aTokens.mkString(" ")),
+      (2L, aTokens.take(55).mkString(" "))
+    ).toDF("id", "text")
+    val out = SetJoin.exactJaccardJoin(df, "text", "id", 0.55).collect()
+    assert(out.length == 1 && out.head.getDouble(2) == 0.55,
+      s"boundary pair must survive, got ${out.toSeq}")
+  }
 }

@@ -108,4 +108,32 @@ class TimeSeriesSpec extends SparkTestBase {
     val b = out.filter(_.getString(0) == "B").head
     assert(b.getDouble(3) == 100.0 && b.getLong(4) == 1L, "keys never mix")
   }
+
+  test("cube keeps NULL group rows: gid distinguishes data NULL from rollup NULL") {
+    val m = graft.core.DDFManager(spark)
+    val ddf = m.register(Seq((Some("x"), 1.0), (Option.empty[String], 2.0))
+      .toDF("a", "v"), "cube_null_t")
+    val out = Aggregations.cube(ddf, Seq("a"), Seq("n=count(*)", "s=sum(v)"))
+      .df.orderBy(col("gid"), col("a").asc_nulls_first).collect()
+    // leaves: (null data row!) + x; plus grand total over BOTH rows
+    assert(out.length == 3, s"got ${out.length}")
+    val dataNull = out.find(r => r.getAs[Int]("gid") == 0 && r.isNullAt(0)).get
+    assert(dataNull.getAs[Double]("s") == 2.0, "data-NULL leaf must survive")
+    val grand = out.find(_.getAs[Int]("gid") == 1).get
+    assert(grand.getAs[Long]("n") == 2L && grand.getAs[Double]("s") == 3.0,
+      "grand total must count NULL-group rows")
+  }
+
+  test("resample: NULL timestamps are excluded by contract; reserved alias refused") {
+    val df = Seq(
+      ("A", Some(ts("2024-01-01 00:10:00")), 1.0),
+      ("A", Option.empty[java.sql.Timestamp], 9.0)
+    ).toDF("k", "t", "v")
+    val out = TimeSeries.resample(df, "t", Seq("k"), 3600L, Seq("s" -> sum("v")))
+      .collect()
+    assert(out.length == 1 && out.head.getLong(2) == 1L &&
+      out.head.getDouble(3) == 1.0, "null-ts row must be excluded, not mangled")
+    intercept[IllegalArgumentException](
+      TimeSeries.resample(df, "t", Seq("k"), 3600L, Seq("n" -> count(lit(1)))))
+  }
 }
