@@ -1126,6 +1126,51 @@ object SparkEntry {
       Some("""SELECT o_orderstatus, count(*) AS n, max(o_totalprice) AS mx
              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    Q("v01_validate",
+      (s, d) => {
+        val m = mgr(s, d)
+        // publish-gate expectations over lineitem: two row rules (one
+        // violated on purpose), a unique key, a clean FK, and a
+        // deliberately wrong FK — all five counts oracle-exact
+        import operators.Validate
+        Validate.report(m.getDDFByName("lineitem").df, Seq(
+          Validate.inRange("l_discount", 0.0, 0.05),
+          Validate.oneOf("l_returnflag", Seq("A", "N")),
+          Validate.UniqueKey(Seq("l_orderkey", "l_linenumber")),
+          Validate.ForeignKey(Seq("l_orderkey"),
+            m.getDDFByName("orders").df, Seq("o_orderkey")),
+          Validate.ForeignKey(Seq("l_partkey"),
+            m.getDDFByName("region").df, Seq("r_regionkey"))
+        )).orderBy("rule")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT 'in_range(l_discount,0.0,0.05)' AS rule,
+             |    sum(CASE WHEN l_discount IS NULL OR l_discount < 0.0
+             |             OR l_discount > 0.05 THEN 1 ELSE 0 END)::BIGINT AS violations,
+             |    count(*)::BIGINT AS checked FROM lineitem
+             |  UNION ALL
+             |  SELECT 'one_of(l_returnflag)',
+             |    sum(CASE WHEN l_returnflag IS NULL
+             |             OR l_returnflag NOT IN ('A', 'N') THEN 1 ELSE 0 END)::BIGINT,
+             |    count(*)::BIGINT FROM lineitem
+             |  UNION ALL
+             |  SELECT 'unique(l_orderkey,l_linenumber)',
+             |    coalesce((SELECT sum(n) FROM (
+             |      SELECT count(*) AS n FROM lineitem
+             |      GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)), 0)::BIGINT,
+             |    count(*)::BIGINT FROM lineitem
+             |  UNION ALL
+             |  SELECT 'fk(l_orderkey)',
+             |    (SELECT count(*) FROM lineitem l WHERE NOT EXISTS (
+             |       SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))::BIGINT,
+             |    count(*)::BIGINT FROM lineitem
+             |  UNION ALL
+             |  SELECT 'fk(l_partkey)',
+             |    (SELECT count(*) FROM lineitem l WHERE NOT EXISTS (
+             |       SELECT 1 FROM region r WHERE r.r_regionkey = l.l_partkey))::BIGINT,
+             |    count(*)::BIGINT FROM lineitem
+             |) ORDER BY rule""".stripMargin)),
+
     Q("iv01_incremental_agg",
       (s, d) => {
         val m = mgr(s, d)

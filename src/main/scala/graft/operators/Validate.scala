@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality expectations over a frame (extension — the
+  * reference has no validation surface; a training-data pipeline gates
+  * every publish on one of these reports). Two evaluation classes with
+  * different costs, chosen per rule, never per call:
+  *
+  *  - ROW rules (not-null, range, regex, membership, arbitrary
+  *    predicate): ALL of them evaluate in ONE scan with zero shuffles —
+  *    each becomes a `sum(when(violated, 1))` in a single aggregate.
+  *  - SET rules (unique key, foreign key): one shuffle each by nature
+  *    (a group-count, an anti-join probe). The FK reference side streams
+  *    into the join — broadcast when small.
+  *
+  * `report` returns (rule, violations, checked) — a gate is
+  * `report(...).filter(col("violations") > 0).isEmpty`. `flag` appends a
+  * `failed_rules` array column for routing bad rows to quarantine, row
+  * rules only, still zero shuffles.
+  */
+object Validate {
+
+  sealed trait Rule { def name: String }
+  /** Row rule: `violated` is true on rows BREAKING the expectation. */
+  final case class RowRule(name: String, violated: Column) extends Rule
+  final case class UniqueKey(cols: Seq[String]) extends Rule {
+    def name = s"unique(${cols.mkString(",")})"
+  }
+  final case class ForeignKey(cols: Seq[String], ref: DataFrame,
+                              refCols: Seq[String]) extends Rule {
+    require(cols.length == refCols.length && cols.nonEmpty,
+      "foreign key needs matching column lists")
+    def name = s"fk(${cols.mkString(",")})"
+  }
+
+  def notNull(c: String): RowRule = RowRule(s"not_null($c)", col(c).isNull)
+  def inRange(c: String, lo: Double, hi: Double): RowRule =
+    RowRule(s"in_range($c,$lo,$hi)",
+      col(c).isNull || col(c) < lo || col(c) > hi)
+  def matches(c: String, regex: String): RowRule =
+    RowRule(s"matches($c)", col(c).isNull || !col(c).rlike(regex))
+  def oneOf(c: String, values: Seq[String]): RowRule =
+    RowRule(s"one_of($c)", col(c).isNull || !col(c).isInCollection(values))
+
+  /** Per-rule violation counts: (rule, violations, checked). All row
+    * rules share one aggregate job; each set rule adds one job.
+    */
+  def report(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rowRules = rules.collect { case r: RowRule => r }
+    val rowCounts: Seq[(String, Long, Long)] = if (rowRules.isEmpty) Nil else {
+      val aggs = count(lit(1)).as("__checked") +:
+        rowRules.zipWithIndex.map { case (r, i) =>
+          sum(when(r.violated, 1L).otherwise(0L)).as(s"__v$i") }
+      val row = df.agg(aggs.head, aggs.tail: _*).first()
+      val checked = row.getLong(0)
+      rowRules.zipWithIndex.map { case (r, i) =>
+        (r.name, if (row.isNullAt(i + 1)) 0L else row.getLong(i + 1), checked) }
+    }
+    val setCounts: Seq[(String, Long, Long)] = rules.collect {
+      case u: UniqueKey =>
+        // violations = rows carrying a duplicated key (all copies count)
+        val dups = df.groupBy(u.cols.map(col): _*).agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > 1)
+          .agg(coalesce(sum("__n"), lit(0L))).first().getLong(0)
+        (u.name, dups, df.count())
+      case f: ForeignKey =>
+        val refKeys = f.ref.select(f.refCols.map(col): _*).na.drop("any").distinct()
+          .toDF(f.cols: _*)
+        val orphans = df.join(refKeys, f.cols, "left_anti").count()
+        (f.name, orphans, df.count())
+    }
+    (rowCounts ++ setCounts).toDF("rule", "violations", "checked")
+  }
+
+  /** Append `failed_rules`: the names of every ROW rule the row breaks
+    * (empty array = clean). Zero shuffles — quarantine routing is
+    * `flag(df, rules).filter(size(col("failed_rules")) > 0)`.
+    */
+  def flag(df: DataFrame, rules: Seq[RowRule],
+           outCol: String = "failed_rules"): DataFrame = {
+    val names = rules.map(r => when(r.violated, lit(r.name)))
+    df.withColumn(outCol,
+      filter(array(names: _*), x => x.isNotNull))
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.Validate
+import graft.operators.Validate._
+import org.apache.spark.sql.functions._
+
+class ValidateSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def df = Seq(
+    (1L, Some("a"), 5.0, "AA"),
+    (2L, None, 15.0, "BB"),     // null name, range violation
+    (2L, Some("c"), 7.0, "zz"), // dup key, bad code
+    (4L, Some("d"), -1.0, "AA") // range violation
+  ).toDF("id", "name", "v", "code")
+
+  test("report counts every rule class; row rules share one job") {
+    val ref = Seq(1L, 2L).toDF("id")
+    val rep = Validate.report(df, Seq(
+      notNull("name"),
+      inRange("v", 0.0, 10.0),
+      matches("code", "^[A-Z]{2}$"),
+      oneOf("code", Seq("AA", "BB")),
+      UniqueKey(Seq("id")),
+      ForeignKey(Seq("id"), ref, Seq("id"))
+    )).collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rep("not_null(name)") == (1L, 4L))
+    assert(rep("in_range(v,0.0,10.0)") == (2L, 4L))
+    assert(rep("matches(code)") == (1L, 4L))
+    assert(rep("one_of(code)") == (1L, 4L))
+    assert(rep("unique(id)") == (2L, 4L), "both copies of a dup key count")
+    assert(rep("fk(id)") == (1L, 4L), "id=4 has no reference row")
+  }
+
+  test("flag appends the failing rule names row-wise, clean rows get []") {
+    val flagged = Validate.flag(df, Seq(notNull("name"), inRange("v", 0.0, 10.0)))
+      .orderBy("id", "code").collect()
+    assert(flagged(0).getSeq[String](4).isEmpty)
+    assert(flagged(1).getSeq[String](4).toSet ==
+      Set("not_null(name)", "in_range(v,0.0,10.0)"))
+    // quarantine routing: rows 2 (null name + range) and 4 (range) only —
+    // row 3's violations are code rules, not these two
+    val dirty = Validate.flag(df, Seq(notNull("name"), inRange("v", 0.0, 10.0)))
+      .filter(size(col("failed_rules")) > 0).count()
+    assert(dirty == 2)
+  }
+
+  test("empty frame: zero checked, zero violations, no crash") {
+    val empty = df.filter(lit(false))
+    val rep = Validate.report(empty, Seq(notNull("name"), UniqueKey(Seq("id"))))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep.values.forall(_ == 0L))
+  }
+}
