@@ -74,6 +74,44 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * ~`targetFileBytes` files (computed from the ACTUAL on-disk listing,
+    * one Hadoop FS call — no data read for the sizing decision). The
+    * streaming-ingest failure mode this fixes: a micro-batched or
+    * per-epoch writer leaves thousands of KB-sized files whose
+    * open/footers dominate every later scan.
+    *
+    * `shuffle = false` (default) uses `coalesce` — a shuffle-FREE merge
+    * where each output task concatenates input partitions; right when
+    * input files are uniformly small (the ingest case). `shuffle = true`
+    * pays one round-robin repartition for byte-balanced outputs when the
+    * inputs are skewed. At 100 TB run this per partition directory (the
+    * hive-partitioned publishes of `Bucketing.writePartitioned`), not on
+    * the whole table. Returns (filesBefore, filesAfter).
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+              outPath: String, targetFileBytes: Long,
+              shuffle: Boolean = false): (Int, Int) = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p).filter { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    require(files.nonEmpty, s"no data files under $inPath")
+    val totalBytes = files.map(_.getLen).sum
+    val nOut = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val df = spark.read.parquet(inPath)
+    val sized = if (shuffle) df.repartition(nOut) else df.coalesce(nOut)
+    sized.write.mode("overwrite").parquet(outPath)
+    val outFiles = fs.listStatus(new org.apache.hadoop.fs.Path(outPath)).count { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    (files.length, outFiles)
+  }
+
   /** Per-file [min, max] spans of `cols` in a written layout — the
     * pruning-power probe: the sum over files of the fraction of each
     * column's domain a file covers is what a range predicate multiplies

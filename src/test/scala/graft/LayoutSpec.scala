@@ -77,4 +77,27 @@ class LayoutSpec extends SparkTestBase {
       s"z-order scanned $zRows rows vs linear $linRows")
     assert(zRows < 40000 / 2, s"z layout should skip most row groups, scanned $zRows")
   }
+
+  test("compact merges a small-file explosion to the byte-sized target, content intact") {
+    import java.nio.file.Files
+    val df = grid(4096)
+    val dir = Files.createTempDirectory("graft_compact").toString
+    df.repartition(64).write.parquet(s"$dir/frag")
+    // measure actual bytes, target ~quarter of them -> ~4 files
+    val p = new org.apache.hadoop.fs.Path(s"$dir/frag")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val total = fs.listStatus(p).filter(s => s.isFile &&
+      !s.getPath.getName.startsWith("_")).map(_.getLen).sum
+    val (before, after) = Layout.compact(spark, s"$dir/frag", s"$dir/out", total / 4)
+    assert(before == 64 && after >= 4 && after <= 6, s"got $before -> $after")
+    val back = spark.read.parquet(s"$dir/out").orderBy("id").collect()
+    assert(back.sameElements(df.orderBy("id").collect()))
+    // shuffle=true path also round-trips
+    val (_, afterS) = Layout.compact(spark, s"$dir/frag", s"$dir/outS", total / 4,
+      shuffle = true)
+    assert(afterS >= 4 && afterS <= 6)
+    assert(spark.read.parquet(s"$dir/outS").count() == 4096)
+    intercept[IllegalArgumentException](
+      Layout.compact(spark, s"$dir/frag", s"$dir/x", 0))
+  }
 }
