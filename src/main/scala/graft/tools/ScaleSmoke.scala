@@ -214,6 +214,45 @@ object ScaleSmoke {
             graft.pipeline.TextAnalysis.vocabulary(d, "text", "doc_id", minDocFreq = 5))
           val enc = graft.pipeline.TextAnalysis.encodeTokens(d, "text", "doc_id", ranked)
           enc.agg(sum(size(col("token_ids")))).first().getLong(0)
+        }),
+        // --- round-10 additions: time series, history, graph, tokenizer
+        // training, validation — the new families' scaling evidence ---
+        "resample(ts01)" -> (() =>
+          graft.operators.TimeSeries.resample(ev, "ts", Seq("user_id"), 21600L,
+            Seq("s" -> sum(col("value").cast("decimal(18,2)")))).count()),
+        "scd2(h01)" -> (() =>
+          graft.operators.History.scd2(ev, Seq("user_id"), "ts",
+            Seq("event_type"), Seq("event_id")).count()),
+        "cdc_apply(h02)" -> (() => {
+          tpchViews
+          val base = spark.read.parquet(s"$sfDir/customer.parquet")
+            .select(col("c_custkey").as("k"), col("c_acctbal").as("v"))
+          val ch = spark.table("orders").select(col("o_custkey").as("k"),
+            col("o_totalprice").as("v"), col("o_orderdate").as("t"),
+            when(col("o_orderstatus") === "P", "D").otherwise("U").as("op"),
+            col("o_orderkey").as("seq"))
+          graft.operators.History.cdcApply(base, ch, Seq("k"), Seq("v"),
+            "t", "op", Seq("seq")).count()
+        }),
+        "pagerank(g01)" -> (() => {
+          tpchViews
+          val li = spark.table("lineitem")
+          val fwd = li.select(concat(lit("p"), col("l_partkey")).as("src"),
+            concat(lit("s"), col("l_suppkey")).as("dst"))
+          val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+          val pr = graft.operators.Graph.pageRank(edges, "src", "dst", iterations = 5)
+          val n = pr.count(); pr.unpersist(blocking = false); n
+        }),
+        "bpe_train(t15)" -> (() =>
+          graft.pipeline.TextAnalysis.bpeTrain(d, "text", nMerges = 6, minFreq = 1L)
+            .count()),
+        "validate(v01)" -> (() => {
+          tpchViews
+          graft.operators.Validate.report(spark.table("lineitem"), Seq(
+            graft.operators.Validate.inRange("l_discount", 0.0, 0.05),
+            graft.operators.Validate.oneOf("l_returnflag", Seq("A", "N")),
+            graft.operators.Validate.ForeignKey(Seq("l_orderkey"),
+              spark.table("orders"), Seq("o_orderkey")))).count()
         }))
     }
 
