@@ -243,4 +243,21 @@ final class DDF(
     graft.sources.Layout.zorderWrite(df, zCols, path, numFiles)
     derive(graft.sources.Manifest.writeManifestFor(spark, path))
   }
+  def scd2(keyCols: Seq[String], tsCol: String, attrCols: Seq[String],
+           tieCols: Seq[String] = Nil): DDF =
+    derive(graft.operators.History.scd2(df, keyCols, tsCol, attrCols, tieCols))
+  /** Fold `changes` (another DDF carrying ts/op/tie columns) into this
+    * frame as current state (see `History.cdcApply`).
+    */
+  def applyChanges(changes: DDF, keyCols: Seq[String], valueCols: Seq[String],
+                   tsCol: String, opCol: String, tieCols: Seq[String] = Nil): DDF =
+    derive(graft.operators.History.cdcApply(df, changes.df, keyCols, valueCols,
+      tsCol, opCol, tieCols))
+  /** Expectation report (see `operators/Validate`): (rule, violations,
+    * checked) — gate a publish on `violations == 0`.
+    */
+  def validate(rules: Seq[graft.operators.Validate.Rule]): DDF =
+    derive(graft.operators.Validate.report(df, rules))
+  def jaccardJoin(textCol: String, idCol: String, threshold: Double): DDF =
+    derive(graft.pipeline.SetJoin.exactJaccardJoin(df, textCol, idCol, threshold))
 }

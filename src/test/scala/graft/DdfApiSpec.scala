@@ -114,4 +114,26 @@ class DdfApiSpec extends SparkTestBase {
     ddf.publishZOrdered(s"$dir/z", Seq("year", "month"), numFiles = 2)
     assert(spark.read.parquet(s"$dir/z").count() == 5)
   }
+
+  test("round-10 facade: scd2 / applyChanges / validate / jaccardJoin") {
+    import spark.implicits._
+    val snaps = m.register(Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "a"),
+      (1L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), "b")
+    ).toDF("k", "t", "tier"))
+    assert(snaps.scd2(Seq("k"), "t", Seq("tier")).numRows == 2)
+
+    val base = m.register(Seq((1L, 10.0)).toDF("k", "v"))
+    val ch = m.register(Seq((1L, 99.0,
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "U")).toDF("k", "v", "t", "op"))
+    val cur = base.applyChanges(ch, Seq("k"), Seq("v"), "t", "op")
+    assert(cur.df.first().getDouble(1) == 99.0)
+
+    import graft.operators.Validate
+    val rep = base.validate(Seq(Validate.notNull("v"), Validate.inRange("v", 0, 5)))
+    assert(rep.df.filter(org.apache.spark.sql.functions.col("violations") > 0).count() == 1)
+
+    val docs = m.register(Seq((1L, "a b c d"), (2L, "a b c e")).toDF("id", "text"))
+    assert(docs.jaccardJoin("text", "id", 0.5).numRows == 1)
+  }
 }
