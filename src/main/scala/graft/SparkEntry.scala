@@ -2006,6 +2006,41 @@ object SparkEntry {
              |    ORDER BY t DESC NULLS LAST, seq DESC NULLS LAST) AS rn FROM u)
              |SELECT k, v FROM r WHERE rn = 1 AND op != 'D' ORDER BY k""".stripMargin)),
 
+    Q("h03_asof_lookup",
+      (s, d) => {
+        // point-in-time feature: the event_type regime each user was in
+        // 3 HOURS BEFORE each event — joins the scd2 interval table, so
+        // no future leaks into the feature
+        val ev = loadEvents(s, d).where(col("user_id") < 3)
+        val hist = History.scd2(ev, Seq("user_id"), "ts",
+          Seq("event_type"), Seq("event_id"))
+        val facts = ev.select(col("user_id"), col("event_id"),
+          (col("ts") - expr("INTERVAL 3 HOURS")).as("t3"))
+        History.asOfLookup(facts, hist, Seq("user_id"), "t3")
+          .select(col("user_id"), col("event_id"),
+            col("event_type").as("regime_3h_ago"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""WITH e AS (SELECT user_id, ts, event_type, event_id
+             |  FROM events WHERE user_id < 3),
+             |m AS (SELECT *, CASE WHEN event_type IS DISTINCT FROM
+             |    lag(event_type) OVER w THEN 1 ELSE 0 END AS chg
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg FROM m),
+             |g AS (SELECT user_id, seg, min(ts) AS valid_from,
+             |    min(event_type) AS event_type
+             |  FROM s GROUP BY user_id, seg),
+             |h AS (SELECT user_id, event_type, valid_from,
+             |    lead(valid_from) OVER (PARTITION BY user_id ORDER BY seg) AS valid_to
+             |  FROM g),
+             |f AS (SELECT user_id, event_id, ts - INTERVAL 3 HOUR AS t3 FROM e)
+             |SELECT f.user_id, f.event_id, h.event_type AS regime_3h_ago
+             |FROM f LEFT JOIN h ON f.user_id = h.user_id
+             |  AND f.t3 >= h.valid_from
+             |  AND (h.valid_to IS NULL OR f.t3 < h.valid_to)
+             |ORDER BY f.user_id, f.event_id""".stripMargin)),
+
     Q("ts03_rolling_window",
       (s, d) => {
         // per-event trailing-6h features (RANGE frame over microsecond

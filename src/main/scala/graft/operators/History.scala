@@ -50,6 +50,34 @@ object History {
         Seq(col("valid_from"), col("valid_to"))): _*)
   }
 
+  /** Point-in-time enrichment: join each fact row to the [[scd2]]
+    * interval that was valid AT the fact's timestamp — the leak-free way
+    * to attach slowly-changing attributes to training examples (joining
+    * current state would leak the future into old examples).
+    * Interval semantics match [[scd2]]'s construction: [valid_from,
+    * valid_to), open-ended current interval; facts before a key's first
+    * interval (or with no key match) keep NULL attributes (left join).
+    *
+    * Scale shape: an equi-join on the keys with the interval predicate
+    * evaluated inside — both sides hash-partition on the keys (the
+    * history side is O(change points) and broadcasts when it fits);
+    * per-key interval counts are small by construction, so the per-row
+    * predicate scan is bounded.
+    */
+  def asOfLookup(facts: DataFrame, history: DataFrame, keyCols: Seq[String],
+                 factTs: String): DataFrame = {
+    require(keyCols.nonEmpty, "asOfLookup needs join keys")
+    val hist = history.withColumnRenamed("valid_from", "__vf")
+      .withColumnRenamed("valid_to", "__vt")
+    val cond = keyCols.map(k => facts(k) === hist(k)).reduce(_ && _) &&
+      facts(factTs) >= hist("__vf") &&
+      (hist("__vt").isNull || facts(factTs) < hist("__vt"))
+    val histAttrs = hist.columns.filterNot(c =>
+      keyCols.contains(c) || c == "__vf" || c == "__vt")
+    facts.join(hist, cond, "left")
+      .select(facts.columns.map(facts(_)) ++ histAttrs.map(hist(_)): _*)
+  }
+
   /** Fold a CDC change feed into current state: per key, the LATEST row
     * by (tsCol, tieCols) wins — base rows participate as the oldest
     * version, `op` = 'D' drops the key, anything else ('I'/'U') replaces

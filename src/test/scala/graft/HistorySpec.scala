@@ -92,4 +92,24 @@ class HistorySpec extends SparkTestBase {
     assert(out.length == 1 && out.head.getDouble(1) == 99.0,
       "change must win the all-NULL ordering tie via the source rank")
   }
+
+  test("asOfLookup attaches the attribute valid AT the fact time, never the future") {
+    val hist = History.scd2(Seq(
+      (1L, ts("2024-01-01 00:00:00"), "bronze"),
+      (1L, ts("2024-01-03 00:00:00"), "gold")
+    ).toDF("uid", "t", "tier"), Seq("uid"), "t", Seq("tier"))
+    val facts = Seq(
+      (1L, ts("2023-12-31 00:00:00"), 1.0), // before history -> NULL
+      (1L, ts("2024-01-02 00:00:00"), 2.0), // bronze era
+      (1L, ts("2024-01-03 00:00:00"), 3.0), // boundary -> gold (closed start)
+      (1L, ts("2024-06-01 00:00:00"), 4.0), // open current interval
+      (9L, ts("2024-01-02 00:00:00"), 5.0)  // unknown key -> NULL
+    ).toDF("uid", "t", "v")
+    val out = History.asOfLookup(facts, hist, Seq("uid"), "t")
+      .orderBy("uid", "t").collect()
+    assert(out.length == 5, "left join: every fact survives exactly once")
+    val tiers = out.map(r => Option(r.getString(3)))
+    assert(tiers.toSeq == Seq(None, Some("bronze"), Some("gold"), Some("gold"), None),
+      s"got ${tiers.toSeq}")
+  }
 }
