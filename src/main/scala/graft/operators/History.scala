@@ -74,8 +74,16 @@ object History {
       (hist("__vt").isNull || facts(factTs) < hist("__vt"))
     val histAttrs = hist.columns.filterNot(c =>
       keyCols.contains(c) || c == "__vf" || c == "__vt")
+    // a history attribute sharing a fact column's name (the common case:
+    // facts and history both derive from the same event frame) gets a
+    // `_asof` suffix — emitting two identical names would make the
+    // looked-up value unreadable (AMBIGUOUS_REFERENCE on first use)
+    val factNames = facts.columns.toSet
+    val outAttrs = histAttrs.map { c =>
+      if (factNames.contains(c)) hist(c).as(s"${c}_asof") else hist(c)
+    }
     facts.join(hist, cond, "left")
-      .select(facts.columns.map(facts(_)) ++ histAttrs.map(hist(_)): _*)
+      .select(facts.columns.map(facts(_)) ++ outAttrs: _*)
   }
 
   /** Fold a CDC change feed into current state: per key, the LATEST row

@@ -60,18 +60,23 @@ object Validate {
       rowRules.zipWithIndex.map { case (r, i) =>
         (r.name, if (row.isNullAt(i + 1)) 0L else row.getLong(i + 1), checked) }
     }
+    // checked is computed ONCE — by the row aggregate when there is one,
+    // by a single count otherwise — and shared by every set rule; a
+    // per-rule df.count() would re-scan the corpus per rule
+    lazy val checkedOnce: Long =
+      rowCounts.headOption.map(_._3).getOrElse(df.count())
     val setCounts: Seq[(String, Long, Long)] = rules.collect {
       case u: UniqueKey =>
         // violations = rows carrying a duplicated key (all copies count)
         val dups = df.groupBy(u.cols.map(col): _*).agg(count(lit(1)).as("__n"))
           .filter(col("__n") > 1)
           .agg(coalesce(sum("__n"), lit(0L))).first().getLong(0)
-        (u.name, dups, df.count())
+        (u.name, dups, checkedOnce)
       case f: ForeignKey =>
         val refKeys = f.ref.select(f.refCols.map(col): _*).na.drop("any").distinct()
           .toDF(f.cols: _*)
         val orphans = df.join(refKeys, f.cols, "left_anti").count()
-        (f.name, orphans, df.count())
+        (f.name, orphans, checkedOnce)
     }
     (rowCounts ++ setCounts).toDF("rule", "violations", "checked")
   }

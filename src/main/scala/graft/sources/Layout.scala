@@ -95,6 +95,12 @@ object Layout {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val p = new org.apache.hadoop.fs.Path(inPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // overwrite deletes the target BEFORE the lazy source scan runs — an
+    // in-place call would destroy the data it is reading; refuse it
+    val outP = new org.apache.hadoop.fs.Path(outPath)
+    require(fs.makeQualified(p) != fs.makeQualified(outP),
+      s"compact cannot run in place ($inPath == $outPath): " +
+        "write to a sibling path, verify, then swap")
     val files = fs.listStatus(p).filter { s =>
       val n = s.getPath.getName
       s.isFile && !n.startsWith("_") && !n.startsWith(".")
@@ -103,7 +109,11 @@ object Layout {
     val totalBytes = files.map(_.getLen).sum
     val nOut = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
     val df = spark.read.parquet(inPath)
-    val sized = if (shuffle) df.repartition(nOut) else df.coalesce(nOut)
+    // coalesce only merges DOWN — if the scan packed the small files into
+    // fewer read partitions than the target (large-file splitting case),
+    // fall back to the shuffle so the byte target is actually honored
+    val canCoalesce = !shuffle && df.rdd.getNumPartitions >= nOut
+    val sized = if (canCoalesce) df.coalesce(nOut) else df.repartition(nOut)
     sized.write.mode("overwrite").parquet(outPath)
     val outFiles = fs.listStatus(new org.apache.hadoop.fs.Path(outPath)).count { s =>
       val n = s.getPath.getName

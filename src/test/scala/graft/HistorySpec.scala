@@ -111,5 +111,12 @@ class HistorySpec extends SparkTestBase {
     val tiers = out.map(r => Option(r.getString(3)))
     assert(tiers.toSeq == Seq(None, Some("bronze"), Some("gold"), Some("gold"), None),
       s"got ${tiers.toSeq}")
+    // colliding attribute names get the _asof suffix, not an ambiguous twin
+    val selfFacts = Seq((1L, ts("2024-01-02 00:00:00"), "whatever"))
+      .toDF("uid", "t", "tier")
+    val looked = History.asOfLookup(selfFacts, hist, Seq("uid"), "t")
+    assert(looked.columns.count(_ == "tier") == 1 &&
+      looked.columns.contains("tier_asof"))
+    assert(looked.select("tier_asof").first().getString(0) == "bronze")
   }
 }
