@@ -2,7 +2,7 @@ package graft
 
 import graft.core.{DDF, DDFManager}
 import graft.operators._
-import graft.stats.Stats
+import graft.stats.{Sketches, Stats}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1492,7 +1492,84 @@ object SparkEntry {
              |  min(p_retailprice) AS mn_price, max(p_retailprice) AS mx_price,
              |  (SELECT array_to_string(list(DISTINCT p_brand ORDER BY p_brand), ',')
              |   FROM part) AS levels
-             |FROM part""".stripMargin))
+             |FROM part""".stripMargin)),
+
+    Q("sk01_sketch_profile",
+      (s, d) => {
+        // mergeable HLL column profiles (Sketches.profile): the 100 TB
+        // stats path — profile shards once at write, merge profiles, never
+        // rescan the corpus. Exact fields (row/null counts, min/max) are
+        // hash-checked against DuckDB directly; the HLL distinct estimate
+        // is engine-specific, so its PORTABLE claim is a verdict pair in
+        // the sketch's own terms (the q84 pattern): ndv_ok = whole-corpus
+        // estimate within 6σ of the exact distinct count (deterministic
+        // for fixed data — HLL has no RNG, registers are order-independent
+        // maxima); merge_ok = shard-merged estimate within the same band
+        // of the whole-corpus estimate (union may leave coupon-exact mode,
+        // so bit-equality is NOT the contract — Sketches scaladoc).
+        val m = mgr(s, d)
+        val li = m.getDDFByName("lineitem").df
+        val cols = Seq("l_orderkey", "l_quantity", "l_returnflag", "l_linestatus")
+        val whole = Sketches.estimate(Sketches.profile(li, cols))
+        val merged = Sketches.estimate(Sketches.mergeProfiles(Seq(
+          Sketches.profile(li.filter(col("l_orderkey") % 2 === 0), cols),
+          Sketches.profile(li.filter(col("l_orderkey") % 2 =!= 0), cols))))
+        val exact = li.select(cols.map(c =>
+          count_distinct(col(c)).as(s"__ndv_$c")): _*)
+        val tol = 6 * Sketches.hllRse(12)
+        val w = whole.as("w")
+          .join(merged.select(col("col_name"), col("ndv_estimate").as("ndv_merged")).as("g"), "col_name")
+          .crossJoin(exact)
+        w.select(
+          col("col_name"), col("row_count"), col("null_count"),
+          col("min_num"), col("max_num"), col("min_str"), col("max_str"),
+          (abs(col("ndv_estimate") -
+            coalesce(cols.map(c => when(col("col_name") === c, col(s"__ndv_$c"))): _*))
+            <= greatest(lit(1.0),
+              coalesce(cols.map(c => when(col("col_name") === c, col(s"__ndv_$c"))): _*) * tol))
+            .as("ndv_ok"),
+          (abs(col("ndv_merged") - col("ndv_estimate"))
+            <= greatest(lit(2.0), col("ndv_estimate") * tol)).as("merge_ok"))
+          .orderBy("col_name")
+      },
+      Some {
+        val mk = Seq(
+          ("l_orderkey", true), ("l_quantity", true),
+          ("l_returnflag", false), ("l_linestatus", false)).map { case (c, num) =>
+          val minNum = if (num) s"cast(min($c) AS double)" else "cast(NULL AS double)"
+          val maxNum = if (num) s"cast(max($c) AS double)" else "cast(NULL AS double)"
+          val minStr = if (num) "cast(NULL AS varchar)" else s"min($c)"
+          val maxStr = if (num) "cast(NULL AS varchar)" else s"max($c)"
+          s"""SELECT '$c' AS col_name, count(*) AS row_count,
+             |  count(*) - count($c) AS null_count,
+             |  $minNum AS min_num, $maxNum AS max_num,
+             |  $minStr AS min_str, $maxStr AS max_str,
+             |  true AS ndv_ok, true AS merge_ok
+             |FROM lineitem""".stripMargin
+        }
+        mk.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+      }),
+
+    Q("sk02_heavy_hitters",
+      (s, d) => {
+        // mergeable heavy hitters through the SHARD path: per-shard
+        // approx_top_k_accumulate sketches (the persistable form) are
+        // combined and estimated. At gate scale every shard's ndv (2 000
+        // parts) is far under maxItemsTracked, so the sketch is in its
+        // exact-counter regime and the result is hash-exact vs the
+        // DuckDB groupBy top-k; ties cut by (count DESC, item) on both
+        // sides. At corpus scale the same plan holds bounded memory and
+        // the counts become ≤ N/maxItemsTracked-error estimates.
+        val m = mgr(s, d)
+        val li = m.getDDFByName("lineitem").df
+        val sketches = Sketches.topKAccumulate(
+          li.withColumn("shard", col("l_suppkey") % 4),
+          "l_partkey", "shard", maxItemsTracked = 10000)
+        Sketches.topKCombineEstimate(sketches, k = 20, maxItemsTracked = 10000)
+      },
+      Some("""SELECT cast(l_partkey AS varchar) AS item, count(*) AS est_count
+             |FROM lineitem GROUP BY l_partkey
+             |ORDER BY est_count DESC, item LIMIT 20""".stripMargin))
   )
 
   // =====================================================================

@@ -260,4 +260,14 @@ final class DDF(
     derive(graft.operators.Validate.report(df, rules))
   def jaccardJoin(textCol: String, idCol: String, threshold: Double): DDF =
     derive(graft.pipeline.SetJoin.exactJaccardJoin(df, textCol, idCol, threshold))
+  /** Mergeable HLL column profile (see `stats/Sketches`): one row per
+    * column with distinct-estimate + exact null/row/min/max. Persist the
+    * raw `Sketches.profile` frame per shard and `mergeProfiles` instead
+    * of rescanning the corpus.
+    */
+  def profileSketch(cols: Seq[String] = Nil, lgK: Int = 12): DDF =
+    derive(graft.stats.Sketches.estimate(graft.stats.Sketches.profile(df, cols, lgK)))
+  /** Mergeable heavy hitters over `c` (see `stats/Sketches.topKSketch`). */
+  def heavyHitters(c: String, k: Int, maxItemsTracked: Int = 10000): DDF =
+    derive(graft.stats.Sketches.topKSketch(df, c, k, maxItemsTracked))
 }

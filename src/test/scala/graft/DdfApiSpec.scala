@@ -136,4 +136,16 @@ class DdfApiSpec extends SparkTestBase {
     val docs = m.register(Seq((1L, "a b c d"), (2L, "a b c e")).toDF("id", "text"))
     assert(docs.jaccardJoin("text", "id", 0.5).numRows == 1)
   }
+
+  test("round-10 facade: profileSketch / heavyHitters") {
+    import spark.implicits._
+    val ddf = m.register(Seq(("x", 1), ("x", 2), ("y", 3), (null, 4))
+      .toDF("g", "v"))
+    val prof = ddf.profileSketch().df.collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(prof("g").getAs[Long]("null_count") == 1L)
+    assert(prof("g").getAs[Long]("ndv_estimate") == 2L)
+    assert(prof("v").getAs[Double]("max_num") == 4.0)
+    assert(ddf.heavyHitters("g", k = 1).df.first().getString(0) == "x")
+  }
 }

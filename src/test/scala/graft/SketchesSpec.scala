@@ -1,0 +1,108 @@
+package graft
+
+import graft.stats.Sketches
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def corpus = (1 to 500).map { i =>
+    (i.toLong, s"w${i % 37}", if (i % 10 == 0) null else java.lang.Double.valueOf(i % 83))
+  }.toDF("id", "word", "v")
+
+  test("profile: exact fields (nulls, rows, min/max) and ndv inside the HLL bound") {
+    val p = Sketches.estimate(Sketches.profile(corpus, Seq("id", "word", "v")))
+      .collect().map(r => r.getString(0) -> r).toMap
+
+    val id = p("id")
+    assert(id.getAs[Long]("null_count") == 0L)
+    assert(id.getAs[Long]("row_count") == 500L)
+    assert(id.getAs[Double]("min_num") == 1.0 && id.getAs[Double]("max_num") == 500.0)
+    assert(id.isNullAt(id.fieldIndex("min_str")) && id.isNullAt(id.fieldIndex("max_str")))
+
+    val w = p("word")
+    assert(w.getAs[Long]("null_count") == 0L)
+    assert(w.getAs[String]("min_str") == "w0" && w.getAs[String]("max_str") == "w9")
+    assert(w.isNullAt(w.fieldIndex("min_num")))
+
+    val v = p("v")
+    assert(v.getAs[Long]("null_count") == 50L)
+
+    // 6σ of the published RSE at lgK=12 — and the estimate is
+    // deterministic for fixed data, so this cannot flap
+    val tol = 6 * Sketches.hllRse(12)
+    for ((c, exact) <- Seq(("id", 500.0), ("word", 37.0), ("v", 82.0))) {
+      val est = p(c).getAs[Long]("ndv_estimate").toDouble
+      assert(math.abs(est - exact) <= math.max(1.0, exact * tol),
+        s"$c: est $est vs exact $exact outside ${exact * tol}")
+    }
+  }
+
+  test("mergeProfiles(shards): exact fields identical to profile(whole); estimate in bound") {
+    val a = corpus.filter($"id" % 2 === 0)
+    val b = corpus.filter($"id" % 2 =!= 0)
+    val merged = Sketches.estimate(
+      Sketches.mergeProfiles(Seq(Sketches.profile(a), Sketches.profile(b))))
+    val whole = Sketches.estimate(Sketches.profile(corpus))
+    // exact fields (everything but the sketch estimate) merge EXACTLY
+    def exactFields(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.toSeq.drop(2)).toMap
+    assert(exactFields(merged) == exactFields(whole))
+    // the union path may leave coupon-exact mode (see Sketches doc), so
+    // the estimates agree within the bound, not bit-wise
+    val m = merged.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wm = whole.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tol = 6 * Sketches.hllRse(12)
+    for ((c, est) <- m) {
+      val w = wm(c).toDouble
+      assert(math.abs(est - w) <= math.max(2.0, w * tol), s"$c: merged $est whole $w")
+    }
+  }
+
+  test("mergeProfiles tolerates mixed lgK (downsizes, still in bound)") {
+    val a = corpus.filter($"id" <= 250)
+    val b = corpus.filter($"id" > 250)
+    val est = Sketches.estimate(Sketches.mergeProfiles(Seq(
+        Sketches.profile(a, Seq("id"), lgK = 12),
+        Sketches.profile(b, Seq("id"), lgK = 10))))
+      .collect().head.getAs[Long]("ndv_estimate").toDouble
+    assert(math.abs(est - 500.0) <= 500.0 * 6 * Sketches.hllRse(10), s"est $est")
+  }
+
+  test("topKSketch == exact groupBy top-k in the exact regime; ties cut deterministically") {
+    // freq(w_j) differs by residue class; ndv=37 << tracked, so counts exact
+    val got = Sketches.topKSketch(corpus, "word", k = 5, maxItemsTracked = 100)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val exact = corpus.groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"word".asc).limit(5)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == exact.toSeq, s"got ${got.toSeq} exact ${exact.toSeq}")
+  }
+
+  test("topK shard accumulate + combine == single-pass sketch") {
+    val sketches = Sketches.topKAccumulate(
+      corpus.withColumn("shard", $"id" % 4), "word", "shard", maxItemsTracked = 100)
+    assert(sketches.count() == 4)
+    val combined = Sketches.topKCombineEstimate(sketches, k = 5, maxItemsTracked = 100)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val single = Sketches.topKSketch(corpus, "word", k = 5, maxItemsTracked = 100)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(combined.toSeq == single.toSeq)
+  }
+
+  test("plan: profile is ONE aggregate over the data — no sort, no join, no data shuffle of rows") {
+    val plan = Sketches.profile(corpus, Seq("id", "word"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortExec") && !plan.toLowerCase.contains("join"), plan)
+    // partial + final hash aggregate pair, nothing else touching data
+    assert("HashAggregate|SortAggregate|ObjectHashAggregate".r
+      .findAllIn(plan).size >= 2, plan)
+  }
+
+  test("guards: unknown column, bad k") {
+    intercept[IllegalArgumentException](Sketches.profile(corpus, Seq("nope")))
+    intercept[IllegalArgumentException](Sketches.topKSketch(corpus, "word", 0))
+    intercept[IllegalArgumentException](
+      Sketches.topKSketch(corpus, "word", k = 50, maxItemsTracked = 10))
+  }
+}
