@@ -4238,6 +4238,126 @@ object SparkEntry {
               |UNION ALL SELECT doc_id, source, n_tokens, epoch::BIGINT FROM p
               |ORDER BY doc_id, epoch""".stripMargin)),
 
+    Q("ds01_dsir_weights",
+      (s, d) => {
+        // DSIR importance weights (Dsir.importanceWeights): raw docs
+        // scored by log p_target − log p_raw under hashed unigram+bigram
+        // bag models. doc_id % 7 == 0 plays the target domain. Weights
+        // are hash-exact portable: buckets from the portable fold, the
+        // per-doc float sum folded in bucket order (t10 pattern), ln()
+        // args built identically on both engines.
+        val m = mgr(s, d)
+        val docs = m.getDDFByName("documents").df
+        pipeline.Dsir.importanceWeights(
+            docs.filter(col("doc_id") % 7 =!= 0),
+            docs.filter(col("doc_id") % 7 === 0),
+            "text", "doc_id", buckets = 4096)
+          .select(col("id").as("doc_id"), col("n_feats"),
+            round(col("weight"), 6).as("weight"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tokt AS (SELECT doc_id, ${duckToks("text")} AS t
+              |  FROM documents WHERE doc_id % 7 = 0),
+              |tokr AS (SELECT doc_id, ${duckToks("text")} AS t
+              |  FROM documents WHERE doc_id % 7 <> 0),
+              |tgtf AS (SELECT unnest(t) AS f FROM tokt
+              |  UNION ALL
+              |  SELECT unnest(list_transform(range(1, len(t)),
+              |    i -> t[i] || ' ' || t[i+1])) AS f FROM tokt),
+              |rawf AS (SELECT doc_id, unnest(t) AS f FROM tokr
+              |  UNION ALL
+              |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+              |    i -> t[i] || ' ' || t[i+1])) AS f FROM tokr),
+              |tgtb AS (SELECT list_reduce(list_prepend(0::BIGINT,
+              |      list_transform(regexp_split_to_array(f, ''),
+              |        c -> coalesce(ascii(c), 0)::BIGINT)),
+              |      (acc, x) -> (acc * 31 + x) % 1000000007) % 4096 AS bucket,
+              |    count(*)::BIGINT AS ct
+              |  FROM tgtf GROUP BY 1),
+              |rawb AS (SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+              |      list_transform(regexp_split_to_array(f, ''),
+              |        c -> coalesce(ascii(c), 0)::BIGINT)),
+              |      (acc, x) -> (acc * 31 + x) % 1000000007) % 4096 AS bucket,
+              |    count(*)::BIGINT AS tf
+              |  FROM rawf GROUP BY 1, 2),
+              |rcnt AS (SELECT bucket, sum(tf)::BIGINT AS cr FROM rawb GROUP BY 1),
+              |tt AS (SELECT sum(ct)::BIGINT AS t FROM tgtb),
+              |tr AS (SELECT sum(cr)::BIGINT AS t FROM rcnt),
+              |ratio AS (SELECT rcnt.bucket,
+              |    ln((coalesce(ct, 0) + 1.0) / (tt.t + 1.0 * 4096))
+              |  - ln((cr + 1.0) / (tr.t + 1.0 * 4096)) AS lr
+              |  FROM rcnt LEFT JOIN tgtb USING (bucket), tt, tr),
+              |w AS (SELECT doc_id, sum(tf)::BIGINT AS n_feats,
+              |    round(list_reduce(list_prepend(0.0, list(tf * lr ORDER BY bucket)),
+              |      (acc, x) -> acc + x), 6) AS weight
+              |  FROM rawb JOIN ratio USING (bucket) GROUP BY doc_id)
+              |SELECT d.doc_id, coalesce(n_feats, 0) AS n_feats,
+              |  coalesce(weight, 0.0) AS weight
+              |FROM documents d LEFT JOIN w USING (doc_id)
+              |WHERE d.doc_id % 7 <> 0
+              |ORDER BY d.doc_id""".stripMargin)),
+
+    Q("ds02_dsir_resample",
+      (s, d) => {
+        // the selection half of DSIR: deterministic top-k by importance
+        // (weight DESC, doc_id) — rankable in DuckDB because the weights
+        // themselves are bit-identical across engines (ds01), so the cut
+        // lands on the same documents. Gumbel-noise draw stays spec-only
+        // (DsirSpec) — it's seed-deterministic but adds a second float
+        // transcendental per row to the cross-engine surface.
+        val m = mgr(s, d)
+        val docs = m.getDDFByName("documents").df
+        pipeline.Dsir.resample(
+            docs.filter(col("doc_id") % 7 =!= 0),
+            docs.filter(col("doc_id") % 7 === 0),
+            "text", "doc_id", k = 25, buckets = 4096)
+          .select(col("id").as("doc_id"), col("n_feats"),
+            round(col("weight"), 6).as("weight"))
+          .orderBy(col("weight").desc, col("doc_id"))
+      },
+      Some(s"""WITH tokt AS (SELECT doc_id, ${duckToks("text")} AS t
+              |  FROM documents WHERE doc_id % 7 = 0),
+              |tokr AS (SELECT doc_id, ${duckToks("text")} AS t
+              |  FROM documents WHERE doc_id % 7 <> 0),
+              |tgtf AS (SELECT unnest(t) AS f FROM tokt
+              |  UNION ALL
+              |  SELECT unnest(list_transform(range(1, len(t)),
+              |    i -> t[i] || ' ' || t[i+1])) AS f FROM tokt),
+              |rawf AS (SELECT doc_id, unnest(t) AS f FROM tokr
+              |  UNION ALL
+              |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+              |    i -> t[i] || ' ' || t[i+1])) AS f FROM tokr),
+              |tgtb AS (SELECT list_reduce(list_prepend(0::BIGINT,
+              |      list_transform(regexp_split_to_array(f, ''),
+              |        c -> coalesce(ascii(c), 0)::BIGINT)),
+              |      (acc, x) -> (acc * 31 + x) % 1000000007) % 4096 AS bucket,
+              |    count(*)::BIGINT AS ct
+              |  FROM tgtf GROUP BY 1),
+              |rawb AS (SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+              |      list_transform(regexp_split_to_array(f, ''),
+              |        c -> coalesce(ascii(c), 0)::BIGINT)),
+              |      (acc, x) -> (acc * 31 + x) % 1000000007) % 4096 AS bucket,
+              |    count(*)::BIGINT AS tf
+              |  FROM rawf GROUP BY 1, 2),
+              |rcnt AS (SELECT bucket, sum(tf)::BIGINT AS cr FROM rawb GROUP BY 1),
+              |tt AS (SELECT sum(ct)::BIGINT AS t FROM tgtb),
+              |tr AS (SELECT sum(cr)::BIGINT AS t FROM rcnt),
+              |ratio AS (SELECT rcnt.bucket,
+              |    ln((coalesce(ct, 0) + 1.0) / (tt.t + 1.0 * 4096))
+              |  - ln((cr + 1.0) / (tr.t + 1.0 * 4096)) AS lr
+              |  FROM rcnt LEFT JOIN tgtb USING (bucket), tt, tr),
+              |w AS (SELECT doc_id, sum(tf)::BIGINT AS n_feats,
+              |    list_reduce(list_prepend(0.0, list(tf * lr ORDER BY bucket)),
+              |      (acc, x) -> acc + x) AS weight
+              |  FROM rawb JOIN ratio USING (bucket) GROUP BY doc_id),
+              |full_w AS (SELECT d.doc_id, coalesce(n_feats, 0) AS n_feats,
+              |    coalesce(weight, 0.0) AS weight
+              |  FROM documents d LEFT JOIN w USING (doc_id)
+              |  WHERE d.doc_id % 7 <> 0)
+              |SELECT doc_id, n_feats, round(weight, 6) AS weight
+              |FROM full_w WHERE n_feats > 0
+              |ORDER BY weight DESC, doc_id LIMIT 25""".stripMargin)),
+
     Q("t09_span_dedup",
       (s, d) => {
         val m = mgr(s, d)

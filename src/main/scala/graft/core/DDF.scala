@@ -270,4 +270,17 @@ final class DDF(
   /** Mergeable heavy hitters over `c` (see `stats/Sketches.topKSketch`). */
   def heavyHitters(c: String, k: Int, maxItemsTracked: Int = 10000): DDF =
     derive(graft.stats.Sketches.topKSketch(df, c, k, maxItemsTracked))
+  /** DSIR importance weights of this (raw) corpus toward `target`'s
+    * domain (see `pipeline/Dsir`).
+    */
+  def dsirWeights(target: DDF, textCol: String, idCol: String,
+                  buckets: Int = 10000): DDF =
+    derive(graft.pipeline.Dsir.importanceWeights(df, target.df, textCol, idCol, buckets))
+  /** DSIR top-k selection toward `target`'s domain (deterministic, or
+    * Gumbel-sampled with a seed — see `pipeline/Dsir.resample`).
+    */
+  def dsirResample(target: DDF, textCol: String, idCol: String, k: Int,
+                   buckets: Int = 10000, gumbelSeed: Option[Long] = None): DDF =
+    derive(graft.pipeline.Dsir.resample(df, target.df, textCol, idCol, k,
+      buckets, gumbelSeed = gumbelSeed))
 }
