@@ -2855,6 +2855,67 @@ object SparkEntry {
               |FROM toks t LEFT JOIN hits USING (doc_id)
               |WHERE t.doc_id % 37 != 0 ORDER BY doc_id""".stripMargin)),
 
+    Q("t17_contamination_matrix",
+      (s, d) => {
+        // multi-suite decontamination in ONE corpus pass: the held-out
+        // docs (doc_id % 37 == 0) split into three benchmark suites by
+        // doc_id % 3; the matrix gives per-(doc, suite) distinct-shingle
+        // overlap. Engine joins 64-bit shingle hashes; the oracle joins
+        // the raw shingle strings (t04's identical-absent-collision
+        // argument).
+        val m = mgr(s, d)
+        val docs = m.getDDFByName("documents").df
+        val benches = docs.filter(col("doc_id") % 37 === 0)
+          .select(concat(lit("b"), (col("doc_id") % 3).cast("string")).as("bench_id"),
+            col("text"))
+        pipeline.TextAnalysis.contaminationMatrix(
+            docs.filter(col("doc_id") % 37 =!= 0), benches,
+            "text", "doc_id", "bench_id", n = 3)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id", "bench_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),
+              |sh AS (SELECT doc_id, ${duckNgrams("tk", 3)} AS shs FROM toks),
+              |ex AS (SELECT DISTINCT doc_id, unnest(shs) AS s FROM sh),
+              |bench AS (SELECT DISTINCT 'b' || (doc_id % 3) AS bench_id, s
+              |  FROM ex WHERE doc_id % 37 = 0)
+              |SELECT e.doc_id, b.bench_id, count(*)::BIGINT AS overlap_shingles
+              |FROM ex e JOIN bench b USING (s) WHERE e.doc_id % 37 <> 0
+              |GROUP BY 1, 2 ORDER BY doc_id, bench_id""".stripMargin)),
+
+    Q("t18_contamination_report",
+      (s, d) => {
+        // the publish-gate rollup of t17: per-suite contaminated-doc and
+        // overlap totals, zero rows for clean suites — config-sized
+        val m = mgr(s, d)
+        val docs = m.getDDFByName("documents").df
+        val benches = docs.filter(col("doc_id") % 37 === 0)
+          .select(concat(lit("b"), (col("doc_id") % 3).cast("string")).as("bench_id"),
+            col("text"))
+        pipeline.TextAnalysis.contaminationReport(
+            docs.filter(col("doc_id") % 37 =!= 0), benches,
+            "text", "doc_id", "bench_id", n = 3)
+          .orderBy("bench_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents),
+              |sh AS (SELECT doc_id, ${duckNgrams("tk", 3)} AS shs FROM toks),
+              |ex AS (SELECT DISTINCT doc_id, unnest(shs) AS s FROM sh),
+              |bench AS (SELECT DISTINCT 'b' || (doc_id % 3) AS bench_id, s
+              |  FROM ex WHERE doc_id % 37 = 0),
+              |m AS (SELECT e.doc_id, b.bench_id, count(*) AS o
+              |  FROM ex e JOIN bench b USING (s) WHERE e.doc_id % 37 <> 0
+              |  GROUP BY 1, 2),
+              |r AS (SELECT bench_id, count(DISTINCT doc_id)::BIGINT AS contaminated_docs,
+              |    sum(o)::BIGINT AS total_overlap_shingles
+              |  FROM m GROUP BY 1),
+              |ids AS (SELECT DISTINCT 'b' || (doc_id % 3) AS bench_id
+              |  FROM documents WHERE doc_id % 37 = 0)
+              |SELECT ids.bench_id,
+              |  coalesce(contaminated_docs, 0) AS contaminated_docs,
+              |  coalesce(total_overlap_shingles, 0) AS total_overlap_shingles
+              |FROM ids LEFT JOIN r USING (bench_id)
+              |ORDER BY bench_id""".stripMargin)),
+
     Q("t05_redact_pii",
       (s, d) => {
         val m = mgr(s, d)

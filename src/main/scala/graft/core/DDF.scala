@@ -283,4 +283,16 @@ final class DDF(
                    buckets: Int = 10000, gumbelSeed: Option[Long] = None): DDF =
     derive(graft.pipeline.Dsir.resample(df, target.df, textCol, idCol, k,
       buckets, gumbelSeed = gumbelSeed))
+  /** Contamination of this corpus against every benchmark suite in
+    * `benchmarks` at once (see `pipeline/TextAnalysis.contaminationMatrix`).
+    */
+  def contaminationMatrix(benchmarks: DDF, textCol: String, idCol: String,
+                          benchIdCol: String, n: Int = 8): DDF =
+    derive(graft.pipeline.TextAnalysis.contaminationMatrix(
+      df, benchmarks.df, textCol, idCol, benchIdCol, n))
+  /** The subset clean against ALL suites in `benchmarks`. */
+  def decontaminatedAll(benchmarks: DDF, textCol: String, idCol: String,
+                        benchIdCol: String, n: Int = 8): DDF =
+    derive(graft.pipeline.TextAnalysis.decontaminatedAll(
+      df, benchmarks.df, textCol, idCol, benchIdCol, n))
 }

@@ -252,6 +252,62 @@ object TextAnalysis {
         .select(col("id").as("__cid")),
       docs(idCol) === col("__cid"), "left_anti")
 
+  /** Multi-benchmark contamination matrix: overlap of every corpus doc
+    * against EVERY benchmark suite in one corpus pass. `benchmarks`
+    * carries one row per benchmark document with its suite id in
+    * `benchIdCol`; output is the sparse matrix (id, bench_id,
+    * overlap_shingles) — only contaminated cells appear.
+    *
+    * Real decontamination runs against dozens of eval suites at once;
+    * calling [[decontaminate]] per suite re-tokenizes and re-shingles
+    * the 100 TB corpus N times. Here the corpus side is shingled ONCE;
+    * the bench side (eval suites are small by definition) dedups to
+    * (bench_id, shingle) and broadcasts; the matrix is one equi-join +
+    * one partial-agg groupBy keyed (id, bench_id).
+    */
+  def contaminationMatrix(docs: DataFrame, benchmarks: DataFrame,
+                          textCol: String, idCol: String, benchIdCol: String,
+                          n: Int = 8,
+                          ngramHash: Column => Column = xxhash64(_)): DataFrame = {
+    val corpus = shingleHashPairs(docs, textCol, idCol, n, ngramHash).distinct()
+    val bench = shingleHashPairs(benchmarks, textCol, benchIdCol, n, ngramHash)
+      .withColumnRenamed("id", "bench_id").distinct()
+    corpus.join(broadcast(bench), Seq("h"))
+      .groupBy("id", "bench_id").agg(count(lit(1)).as("overlap_shingles"))
+  }
+
+  /** Per-suite rollup of [[contaminationMatrix]]: (bench_id,
+    * contaminated_docs, total_overlap_shingles), zero rows for clean
+    * suites. Config-sized output — the publish-gate summary.
+    */
+  def contaminationReport(docs: DataFrame, benchmarks: DataFrame,
+                          textCol: String, idCol: String, benchIdCol: String,
+                          n: Int = 8,
+                          ngramHash: Column => Column = xxhash64(_)): DataFrame = {
+    val agg = contaminationMatrix(docs, benchmarks, textCol, idCol, benchIdCol,
+        n, ngramHash)
+      .groupBy("bench_id")
+      .agg(count_distinct(col("id")).as("contaminated_docs"),
+        sum("overlap_shingles").as("total_overlap_shingles"))
+    benchmarks.select(col(benchIdCol).as("bench_id")).distinct()
+      .join(agg, Seq("bench_id"), "left")
+      .select(col("bench_id"),
+        coalesce(col("contaminated_docs"), lit(0L)).as("contaminated_docs"),
+        coalesce(col("total_overlap_shingles"), lit(0L)).as("total_overlap_shingles"))
+  }
+
+  /** The subset of `docs` clean against ALL benchmark suites — one
+    * corpus pass, one anti-join on the distinct contaminated ids.
+    */
+  def decontaminatedAll(docs: DataFrame, benchmarks: DataFrame,
+                        textCol: String, idCol: String, benchIdCol: String,
+                        n: Int = 8,
+                        ngramHash: Column => Column = xxhash64(_)): DataFrame =
+    docs.join(
+      contaminationMatrix(docs, benchmarks, textCol, idCol, benchIdCol, n, ngramHash)
+        .select(col("id").as("__cid")).distinct(),
+      docs(idCol) === col("__cid"), "left_anti")
+
   /** PII redaction: replace emails, phone-shaped numbers, and IPv4
     * addresses with typed placeholders. Pure per-row regexp chain
     * (codegen'd, shuffle-free); patterns are (regex, replacement) pairs

@@ -538,6 +538,43 @@ class PipelineSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("contaminationMatrix: one corpus pass against many suites; report zero-fills") {
+    import spark.implicits._
+    val benches = Seq(
+      ("mmlu", "one two three four five six seven eight nine ten"),
+      ("gsm",  "alpha beta gamma delta epsilon zeta eta theta iota"),
+      ("clean_suite", "completely disjoint benchmark text with unique words only")
+    ).toDF("bench_id", "text")
+    val corpus = Seq(
+      (1L, "zzz one two three four five six seven eight yyy"),      // hits mmlu ×1
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota pad"), // hits gsm ×2
+      (3L, "one two three four five six seven eight nine pad " +
+           "alpha beta gamma delta epsilon zeta eta theta"),          // hits both ×2/×1
+      (4L, "no overlap with any benchmark suite in this document at all")
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.contaminationMatrix(corpus, benches,
+        "text", "doc_id", "bench_id", n = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m == Map((1L, "mmlu") -> 1L, (2L, "gsm") -> 2L,
+      (3L, "mmlu") -> 2L, (3L, "gsm") -> 1L), s"got $m")
+
+    val rep = TextAnalysis.contaminationReport(corpus, benches,
+        "text", "doc_id", "bench_id", n = 8)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rep == Map("mmlu" -> ((2L, 3L)), "gsm" -> ((2L, 3L)),
+      "clean_suite" -> ((0L, 0L))), s"got $rep")
+
+    val clean = TextAnalysis.decontaminatedAll(corpus, benches,
+      "text", "doc_id", "bench_id", n = 8)
+    assert(clean.select("doc_id").as[Long].collect().toSet == Set(4L))
+
+    // scale guards: bench side broadcasts; no cartesian anywhere
+    val plan = TextAnalysis.contaminationMatrix(corpus, benches,
+      "text", "doc_id", "bench_id", n = 8).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("redactPII masks emails, phones, and IPv4; leaves clean text alone") {
     import spark.implicits._
     val df = Seq(
