@@ -4299,6 +4299,38 @@ object SparkEntry {
               |UNION ALL SELECT doc_id, source, n_tokens, epoch::BIGINT FROM p
               |ORDER BY doc_id, epoch""".stripMargin)),
 
+    Q("c10_curriculum_order",
+      (s, d) => {
+        // curriculum / stratified-shuffle training order: docs bucketed
+        // by token count against fixed cutoffs (cutoff COMPUTATION is
+        // Stats.quantiles' gated domain — q41/q84), pseudo-random
+        // portable-fold order within bucket, buckets interleaved
+        // round-robin into ord. Fully deterministic → whole construction
+        // replayed in DuckDB.
+        val m = mgr(s, d)
+        val docs = m.getDDFByName("documents").df
+          .select(col("doc_id"),
+            pipeline.TextAnalysis.tokenCount("text").cast("double").as("score"))
+        pipeline.TextAnalysis.curriculumOrder(docs, "score", "doc_id",
+            cutoffs = Seq(30.0, 60.0, 90.0))
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH s AS (SELECT doc_id,
+              |    len(${duckToks("text")})::DOUBLE AS score FROM documents),
+              |b AS (SELECT doc_id, score,
+              |    (CASE WHEN score > 90 THEN 3 WHEN score > 60 THEN 2
+              |          WHEN score > 30 THEN 1 ELSE 0 END) AS bucket FROM s),
+              |f AS (SELECT *, list_reduce(list_prepend(0::BIGINT,
+              |      list_transform(regexp_split_to_array(doc_id::VARCHAR, ''),
+              |        c -> coalesce(ascii(c), 0)::BIGINT)),
+              |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h FROM b),
+              |r AS (SELECT doc_id, score, bucket,
+              |    (row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id) - 1)::BIGINT AS pos
+              |  FROM f)
+              |SELECT doc_id, score, bucket, pos, pos * 4 + bucket AS ord
+              |FROM r ORDER BY doc_id""".stripMargin)),
+
     Q("ds01_dsir_weights",
       (s, d) => {
         // DSIR importance weights (Dsir.importanceWeights): raw docs

@@ -295,4 +295,10 @@ final class DDF(
                         benchIdCol: String, n: Int = 8): DDF =
     derive(graft.pipeline.TextAnalysis.decontaminatedAll(
       df, benchmarks.df, textCol, idCol, benchIdCol, n))
+  /** Stratified-shuffle training order by score buckets (see
+    * `pipeline/TextAnalysis.curriculumOrder`).
+    */
+  def curriculumOrder(scoreCol: String, idCol: String,
+                      cutoffs: Seq[Double]): DDF =
+    derive(graft.pipeline.TextAnalysis.curriculumOrder(df, scoreCol, idCol, cutoffs))
 }

@@ -761,6 +761,41 @@ object TextAnalysis {
     *
     * Returns the kept rows plus `n_tokens`.
     */
+  /** Curriculum / stratified-shuffle training order: bucket each doc by
+    * `scoreCol` against ascending `cutoffs` (bucket = number of cutoffs
+    * strictly below the score), pseudo-randomly order WITHIN each bucket
+    * by the portable fold of the id (deterministic: a retried stage and
+    * a rerun produce the same order), and interleave buckets round-robin
+    * into the global order key `ord = pos · nBuckets + bucket` — so any
+    * contiguous training window sees the full quality distribution
+    * instead of a quality-sorted corpus's drift.
+    *
+    * Scale shape: bucket assignment is a codegen'd array probe (the
+    * cutoff list is a config-sized literal — compute it once with
+    * `Stats.quantiles` sketch mode at corpus scale, exact at gate);
+    * within-bucket positions are a PARTITIONED window (nBuckets
+    * partitions, each internally sorted by the 64-bit fold — a
+    * distributed sort, never a single-task global window). Rows with a
+    * NULL score are dropped — an unscored doc has no curriculum slot.
+    */
+  def curriculumOrder(df: DataFrame, scoreCol: String, idCol: String,
+                      cutoffs: Seq[Double]): DataFrame = {
+    require(cutoffs.nonEmpty, "curriculumOrder: need at least one cutoff")
+    require(cutoffs == cutoffs.sorted && cutoffs.distinct == cutoffs,
+      s"cutoffs must be strictly ascending, got $cutoffs")
+    val nBuckets = cutoffs.length + 1
+    val bucket = size(filter(
+      array(cutoffs.map(lit(_)): _*), c => col("score") > c))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket"))
+      .orderBy(Dedup.portableFold(col("id").cast("string")), col("id"))
+    df.na.drop(Seq(scoreCol))
+      .select(col(idCol).as("id"), col(scoreCol).cast("double").as("score"))
+      .withColumn("bucket", bucket.cast("int"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .withColumn("ord", col("pos") * nBuckets + col("bucket"))
+  }
+
   def mixtureSample(df: DataFrame, textCol: String, idCol: String,
                     sourceCol: String, weights: Map[String, Double],
                     totalTokens: Long, salt: String = "mix",

@@ -575,6 +575,41 @@ class PipelineSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("curriculumOrder: cutoff buckets, round-robin interleave, deterministic") {
+    import spark.implicits._
+    val docs = ((1L to 12L).map(i => (i, i * 10.0)) :+ (99L, Double.NaN))
+      .toDF("doc_id", "score")
+      .withColumn("score", when($"doc_id" === 99L, lit(null)).otherwise($"score"))
+    val out = TextAnalysis.curriculumOrder(docs, "score", "doc_id",
+      cutoffs = Seq(35.0, 75.0))
+    val rows = out.collect().map(r => r.getLong(0) ->
+      (r.getInt(2), r.getLong(3), r.getLong(4))).toMap
+    // null-scored doc dropped
+    assert(rows.size == 12 && !rows.contains(99L))
+    // bucket = #cutoffs below score: 10-30→0, 40-70→1, 80-120→2
+    assert((1L to 3L).forall(rows(_)._1 == 0))
+    assert((4L to 7L).forall(rows(_)._1 == 1))
+    assert((8L to 12L).forall(rows(_)._1 == 2))
+    // ord keys are distinct and interleave: sorted by ord, the first
+    // three docs cover all three buckets (round-robin while none is dry)
+    val byOrd = out.orderBy("ord").select("bucket").as[Int].collect()
+    assert(byOrd.take(3).toSet == Set(0, 1, 2), byOrd.take(6).toList)
+    assert(out.select("ord").distinct().count() == 12)
+    // ord encodes (pos, bucket)
+    rows.values.foreach { case (b, p, o) => assert(o == p * 3 + b) }
+    // deterministic across partition layouts
+    val again = TextAnalysis.curriculumOrder(docs.repartition(7), "score",
+        "doc_id", cutoffs = Seq(35.0, 75.0))
+      .collect().map(r => r.getLong(0) -> (r.getInt(2), r.getLong(3), r.getLong(4))).toMap
+    assert(again == rows)
+    // the within-bucket window is PARTITIONED (distributed sort), never
+    // a single-task global window
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(bucket"), plan)
+    intercept[IllegalArgumentException](
+      TextAnalysis.curriculumOrder(docs, "score", "doc_id", Seq(75.0, 35.0)))
+  }
+
   test("redactPII masks emails, phones, and IPv4; leaves clean text alone") {
     import spark.implicits._
     val df = Seq(
