@@ -3255,6 +3255,28 @@ object SparkEntry {
              |  ON l.user_id = r.user_id AND r.ts <= l.ts
              |ORDER BY l.event_id""".stripMargin)),
 
+    Q("j03_edit_distance_join",
+      (s, d) => {
+        // EXACT Levenshtein-1 self-join over customer names (the
+        // entity-resolution join): positional q-gram count filter with
+        // stop-gram compensation generates candidates — the shared
+        // "Customer#0000…" prefix grams are stop-grams, so the join
+        // indexes only the discriminative digit-region grams — then
+        // codegen'd levenshtein verifies. The oracle BRUTE-FORCES all
+        // n²/2 pairs in DuckDB: equality proves zero false negatives on
+        // real data, not just on spec fixtures.
+        val m = mgr(s, d)
+        pipeline.SetJoin.editDistanceJoin(
+            m.getDDFByName("customer").df, "c_name", "c_custkey", maxDist = 1)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             |  levenshtein(a.c_name, b.c_name)::BIGINT AS dist
+             |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+             |WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+             |  AND levenshtein(a.c_name, b.c_name) <= 1
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     Q("j02_range_join",
       (s, d) => {
         val m = mgr(s, d)

@@ -301,4 +301,9 @@ final class DDF(
   def curriculumOrder(scoreCol: String, idCol: String,
                       cutoffs: Seq[Double]): DDF =
     derive(graft.pipeline.TextAnalysis.curriculumOrder(df, scoreCol, idCol, cutoffs))
+  /** Exact Levenshtein self-join — zero false negatives (see
+    * `pipeline/SetJoin.editDistanceJoin`).
+    */
+  def editDistanceJoin(strCol: String, idCol: String, maxDist: Int): DDF =
+    derive(graft.pipeline.SetJoin.editDistanceJoin(df, strCol, idCol, maxDist))
 }

@@ -103,4 +103,100 @@ object SetJoin {
     sets.unpersist(blocking = false)
     out
   }
+
+  /** EXACT edit-distance self-join: every unordered pair of rows whose
+    * `strCol` values are within Levenshtein distance `maxDist`, with NO
+    * false negatives. The entity-resolution sibling of
+    * [[exactJaccardJoin]] — string identity instead of token sets.
+    *
+    * Candidate filter (all steps conservative; verification is exact):
+    *
+    *   1. Length: |len(a) − len(b)| ≤ k.
+    *   2. Positional q-gram count (Gravano et al.): if ed(a,b) ≤ k the
+    *      strings admit a positional q-gram matching (|Δpos| ≤ k) of
+    *      size ≥ max(nA,nB) − q·k, where n = len − q + 1 gram
+    *      occurrences. Our join counts matches loosely (count(*), may
+    *      double-count repeated grams) — over-counting only ADMITS
+    *      candidates.
+    *   3. Stop-gram compensation: grams present in more than
+    *      `stopGramFraction` of strings are dropped from the join index
+    *      (common-prefix corpora — "Customer#…" — would otherwise turn
+    *      the gram join quadratic). Dropped grams are ASSUMED to match:
+    *      a pair survives if rareMatches ≥ bound − min(dA, dB), where d
+    *      is each string's dropped-gram count. A true pair sharing
+    *      fewer rare grams than that is impossible; a pair whose
+    *      requirement is ≤ 0 could share NO rare gram, so…
+    *   4. …strings with ≤ q·k rare grams (which is a superset of every
+    *      string that can form a requirement-≤-0 pair, including all
+    *      strings shorter than q) fall back to an all-pairs pool joined
+    *      on the length filter alone. The pool is heavy-stop-gram
+    *      strings only — size it with `stopGramFraction` if a corpus
+    *      concentrates there.
+    *
+    * Survivors verify with codegen'd `levenshtein`. Output:
+    * (id_a, id_b, dist), id_a < id_b, dist ≤ k.
+    */
+  def editDistanceJoin(df: DataFrame, strCol: String, idCol: String,
+                       maxDist: Int, q: Int = 2,
+                       stopGramFraction: Double = 0.05): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    require(q >= 1, s"q must be >= 1, got $q")
+    require(stopGramFraction > 0 && stopGramFraction <= 1,
+      s"stopGramFraction in (0,1], got $stopGramFraction")
+    val k = maxDist
+    val strs = df.select(col(idCol).as("id"), col(strCol).cast("string").as("str"))
+      .filter(col("str").isNotNull)
+      .withColumn("len", length(col("str")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nStrings = strs.count()
+    val stopF = math.max(16.0, stopGramFraction * nStrings)
+    // positional q-grams: (id, len, pos, gram); n = len − q + 1 (0 when short)
+    val grams = strs
+      .select(col("id"), col("len"),
+        posexplode(expr(s"transform(sequence(1, greatest(len - ${q - 1}, 0)), " +
+          s"i -> substring(str, i, $q))")).as(Seq("pos", "gram")))
+    val freq = grams.groupBy("gram")
+      .agg(count_distinct(col("id")).as("gf"))
+    val rare = grams.join(freq.filter(col("gf") <= stopF), "gram")
+      .select("id", "len", "pos", "gram")
+    // per-string gram accounting: n total, r rare, d dropped
+    val stats = strs.select(col("id"),
+        greatest(col("len") - (q - 1), lit(0)).as("n"))
+      .join(rare.groupBy("id").agg(count(lit(1)).as("r")), Seq("id"), "left")
+      .withColumn("r", coalesce(col("r"), lit(0L)))
+      .withColumn("d", col("n") - col("r"))
+    val ra = rare.select(col("id").as("id_a"), col("len").as("la"),
+      col("pos").as("pa"), col("gram").as("ga"))
+    val rb = rare.select(col("id").as("id_b"), col("len").as("lb"),
+      col("pos").as("pb"), col("gram").as("gb"))
+    val joined = ra.join(rb,
+        col("ga") === col("gb") && col("id_a") < col("id_b") &&
+          abs(col("la") - col("lb")) <= k && abs(col("pa") - col("pb")) <= k)
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("matches"))
+    val sa = stats.select(col("id").as("id_a"), col("n").as("na"), col("d").as("da"))
+    val sb = stats.select(col("id").as("id_b"), col("n").as("nb"), col("d").as("db"))
+    val gramCands = joined.join(sa, "id_a").join(sb, "id_b")
+      .filter(col("matches") >=
+        greatest(greatest(col("na"), col("nb")) - (q * k) - least(col("da"), col("db")), lit(1L)))
+      .select("id_a", "id_b")
+    // fallback pool: strings whose rare-gram count can't carry the
+    // requirement (includes every string shorter than q)
+    val pool = stats.filter(col("r") <= q * k)
+      .join(strs.select(col("id"), col("len")), "id")
+      .select(col("id"), col("len"))
+    val poolCands = pool.as("pa").join(pool.as("pb"),
+        col("pa.id") < col("pb.id") &&
+          abs(col("pa.len") - col("pb.len")) <= k)
+      .select(col("pa.id").as("id_a"), col("pb.id").as("id_b"))
+    val va = strs.select(col("id").as("id_a"), col("str").as("stra"))
+    val vb = strs.select(col("id").as("id_b"), col("str").as("strb"))
+    val out = gramCands.unionAll(poolCands).distinct()
+      .join(va, "id_a").join(vb, "id_b")
+      .withColumn("dist", levenshtein(col("stra"), col("strb")))
+      .filter(col("dist") <= k)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+      .localCheckpoint(eager = true)
+    strs.unpersist(blocking = false)
+    out
+  }
 }

@@ -65,6 +65,47 @@ class SetJoinSpec extends SparkTestBase {
     assert(r.getLong(0) == 1L && r.getLong(1) == 2L && r.getDouble(2) == 0.6)
   }
 
+  test("editDistanceJoin == brute force incl. repeats, shared prefixes, short strings") {
+    import spark.implicits._
+    // the corpus bakes in every known pruning trap:
+    //  - "aaaaaa"/"aaaaab": repeated grams (a DISTINCT-gram count filter
+    //    would false-negative this pair — positional occurrences must)
+    //  - "Customer#…": long shared prefix (stop-gram path)
+    //  - "a"/"ab"/"b": shorter than q — must route via the fallback pool
+    val docs = Seq(
+      (1L, "aaaaaa"), (2L, "aaaaab"), (3L, "aaaaba"),
+      (4L, "Customer#000000001"), (5L, "Customer#000000002"),
+      (6L, "Customer#000001002"), (7L, "Customer#999999999"),
+      (8L, "a"), (9L, "ab"), (10L, "b"), (11L, "xyz"),
+      (12L, "gradient descent"), (13L, "gradient descend"),
+      (14L, "stochastic gradient")
+    ).toDF("id", "str")
+    def brute(k: Int): Set[(Long, Long, Long)] = {
+      val a = docs.select($"id".as("ia"), $"str".as("sa"))
+      val b = docs.select($"id".as("ib"), $"str".as("sb"))
+      a.crossJoin(b).filter($"ia" < $"ib")
+        .withColumn("d", levenshtein($"sa", $"sb"))
+        .filter($"d" <= k)
+        .select($"ia", $"ib", $"d".cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    for (k <- Seq(1, 2)) {
+      val mine = SetJoin.editDistanceJoin(docs, "str", "id", maxDist = k,
+          stopGramFraction = 0.3) // "Customer#…" prefix grams hit 4/14 > 0.3
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(mine == brute(k), s"k=$k: $mine vs ${brute(k)}")
+    }
+  }
+
+  test("editDistanceJoin guards") {
+    import spark.implicits._
+    val df = Seq((1L, "x")).toDF("id", "str")
+    intercept[IllegalArgumentException](
+      graft.pipeline.SetJoin.editDistanceJoin(df, "str", "id", maxDist = 0))
+    intercept[IllegalArgumentException](
+      graft.pipeline.SetJoin.editDistanceJoin(df, "str", "id", 1, q = 0))
+  }
+
   test("exact-threshold boundary: IEEE ceil(t*n) overshoot must not drop valid pairs") {
     // t=0.55, |a|=100, b a 55-token subset: J = 55/100 = 0.55 exactly.
     // ceil(0.55*100) evaluates to 56 in doubles; without the epsilon
