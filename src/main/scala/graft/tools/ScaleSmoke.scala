@@ -253,6 +253,51 @@ object ScaleSmoke {
             graft.operators.Validate.oneOf("l_returnflag", Seq("A", "N")),
             graft.operators.Validate.ForeignKey(Seq("l_orderkey"),
               spark.table("orders"), Seq("o_orderkey")))).count()
+        }),
+        // --- round-10 session additions ---
+        "dsir_weights(ds01)" -> (() => {
+          // the target domain stays FIXED (a domain sample doesn't grow
+          // with the raw corpus) while raw blows with f — the production
+          // shape: the ratio table is corpus-size-independent
+          val target = d.filter(col("doc_id") % 7 === 0 && col("doc_id") < 1000000L)
+          graft.pipeline.Dsir.importanceWeights(
+            d.filter(col("doc_id") % 7 =!= 0), target, "text", "doc_id").count()
+        }),
+        "contam_matrix(t17)" -> (() => {
+          // suites stay FIXED (eval benches don't grow with the corpus)
+          val benches = d.filter(col("doc_id") % 37 === 0 && col("doc_id") < 1000000L)
+            .select(concat(lit("b"), (col("doc_id") % 3).cast("string")).as("bench_id"),
+              col("text"))
+          graft.pipeline.TextAnalysis.contaminationMatrix(
+            d.filter(col("doc_id") % 37 =!= 0), benches,
+            "text", "doc_id", "bench_id", n = 3).count()
+        }),
+        "curriculum(c10)" -> (() =>
+          graft.pipeline.TextAnalysis.curriculumOrder(
+            d.select(col("doc_id"),
+              graft.pipeline.TextAnalysis.tokenCount("text").cast("double").as("score")),
+            "score", "doc_id", cutoffs = Seq(30.0, 60.0, 90.0)).count()),
+        "sketch_profile(sk01)" -> (() => {
+          tpchViews
+          graft.stats.Sketches.estimate(graft.stats.Sketches.profile(
+            spark.table("lineitem"),
+            Seq("l_orderkey", "l_partkey", "l_quantity", "l_returnflag"))).count()
+        }),
+        "edit_dist_join(j03)" -> (() => {
+          // names derived from the BLOWN keys (plain replication would
+          // copy identical names f times → distance-0 pair explosion).
+          // NOTE (measured): even so, dense numeric ids make distance-1
+          // pairs per key GROW with the key-range width (more digit
+          // positions become "active") — the wall is output-bound; the
+          // filter-health signal is per-verified-pair cost, which falls
+          val base = spark.read.parquet(s"$sfDir/customer.parquet")
+            .select(col("c_custkey"))
+          val blown = (0 until f).map(i =>
+              base.select((col("c_custkey") + lit(i * 1500L)).as("k")))
+            .reduce(_ unionAll _)
+            .select(col("k"), format_string("Customer#%09d", col("k")).as("name"))
+          graft.pipeline.SetJoin.editDistanceJoin(blown, "name", "k", maxDist = 1)
+            .count()
         }))
     }
 
