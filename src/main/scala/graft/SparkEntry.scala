@@ -2118,6 +2118,39 @@ object SparkEntry {
              |  AND (h.valid_to IS NULL OR f.t3 < h.valid_to)
              |ORDER BY f.user_id, f.event_id""".stripMargin)),
 
+    Q("ts04_interval_merge",
+      (s, d) => {
+        // per-user activity coverage: each event claims [ts, ts+30 min);
+        // intervalMerge unions them into disjoint activity spans (the
+        // session-stitching / uptime primitive). Output in epoch millis
+        // so the hash compare is timestamp-dialect-proof (e02's choice).
+        // Exact-tie rows are interchangeable, so the window construction
+        // is permutation-invariant — replayed verbatim in DuckDB.
+        val ev = loadEvents(s, d)
+          .select(col("user_id"), col("ts").as("s"),
+            (col("ts") + expr("INTERVAL 30 MINUTES")).as("e"))
+        TimeSeries.intervalMerge(ev, Seq("user_id"), "s", "e")
+          .select(col("user_id"),
+            unix_millis(col("start")).as("start_ms"),
+            unix_millis(col("end")).as("end_ms"), col("n_merged"))
+          .orderBy("user_id", "start_ms")
+      },
+      Some("""WITH iv AS (SELECT user_id, ts AS s,
+             |    ts + INTERVAL 30 MINUTE AS e FROM events),
+             |w AS (SELECT user_id, s, e,
+             |    max(e) OVER (PARTITION BY user_id ORDER BY s, e
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+             |  FROM iv),
+             |o AS (SELECT *, CASE WHEN pmax IS NULL OR s > pmax
+             |    THEN 1 ELSE 0 END AS opened FROM w),
+             |sp AS (SELECT *, sum(opened) OVER (PARTITION BY user_id
+             |    ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span
+             |  FROM o)
+             |SELECT user_id, epoch_ms(min(s))::BIGINT AS start_ms,
+             |  epoch_ms(max(e))::BIGINT AS end_ms, count(*)::BIGINT AS n_merged
+             |FROM sp GROUP BY user_id, span
+             |ORDER BY user_id, start_ms""".stripMargin)),
+
     Q("ts03_rolling_window",
       (s, d) => {
         // per-event trailing-6h features (RANGE frame over microsecond

@@ -306,4 +306,9 @@ final class DDF(
     */
   def editDistanceJoin(strCol: String, idCol: String, maxDist: Int): DDF =
     derive(graft.pipeline.SetJoin.editDistanceJoin(df, strCol, idCol, maxDist))
+  /** Disjoint union of overlapping per-key intervals (see
+    * `operators/TimeSeries.intervalMerge`).
+    */
+  def intervalMerge(keyCols: Seq[String], startCol: String, endCol: String): DDF =
+    derive(graft.operators.TimeSeries.intervalMerge(df, keyCols, startCol, endCol))
 }

@@ -112,4 +112,42 @@ object TimeSeries {
       .rangeBetween(-windowSec * 1000000L, 0L)
     aggs.foldLeft(df) { case (d, (a, c)) => d.withColumn(a, c.over(w)) }
   }
+
+  /** Merge overlapping-or-touching [start, end) intervals per key into
+    * their disjoint union — session stitching, data-coverage maps, SLA
+    * uptime windows. Output: key columns + (start, end, n_merged),
+    * where n_merged counts the source intervals a merged span absorbed.
+    *
+    * Construction (the scd2 single-shuffle shape): within each key,
+    * order by (start, end); an interval OPENS a new span iff its start
+    * exceeds the running max end of every predecessor; the run-sum of
+    * open flags is the span id; one groupBy((key, span)) emits the
+    * union. ONE key-shuffle feeds both windows and the aggregate —
+    * scale cost is a per-key sort, never a global one. Zero- or
+    * negative-length and NULL-endpoint intervals are rejected rows —
+    * dropped, with the semantics documented here rather than guessed.
+    */
+  def intervalMerge(df: DataFrame, keyCols: Seq[String],
+                    startCol: String, endCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "intervalMerge: need at least one key column")
+    val ks = keyCols.map(col)
+    val ord = Window.partitionBy(ks: _*)
+      .orderBy(col(startCol), col(endCol))
+    val valid = df.na.drop(Seq(startCol, endCol))
+      .filter(col(endCol) > col(startCol))
+    valid
+      // running max end over STRICT predecessors (exclude self: an
+      // interval must not suppress its own open flag)
+      .withColumn("__pmax", max(col(endCol)).over(
+        ord.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__open",
+        when(col("__pmax").isNull || col(startCol) > col("__pmax"), 1L)
+          .otherwise(0L))
+      .withColumn("__span", sum(col("__open")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(ks :+ col("__span"): _*)
+      .agg(min(col(startCol)).as("start"), max(col(endCol)).as("end"),
+        count(lit(1)).as("n_merged"))
+      .drop("__span")
+  }
 }

@@ -136,4 +136,40 @@ class TimeSeriesSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       TimeSeries.resample(df, "t", Seq("k"), 3600L, Seq("n" -> count(lit(1)))))
   }
+
+  test("intervalMerge: overlap/touch/gap/containment; rejects degenerate rows") {
+    import spark.implicits._
+    val iv = Seq(
+      ("u1", 1L, 5L),   // ┐ overlap → [1, 7)
+      ("u1", 3L, 7L),   // ┘
+      ("u1", 7L, 9L),   // touching → absorbed into [1, 9)
+      ("u1", 12L, 15L), // gap → own span
+      ("u1", 13L, 14L), // contained → absorbed
+      ("u2", 1L, 2L),   // other key: independent
+      ("u2", 5L, 5L),   // zero-length → dropped
+      ("u2", 9L, 8L)    // negative → dropped
+    ).toDF("k", "s", "e")
+    val out = TimeSeries.intervalMerge(iv, Seq("k"), "s", "e")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out == Set(
+      ("u1", 1L, 9L, 3L), ("u1", 12L, 15L, 2L), ("u2", 1L, 2L, 1L)), s"got $out")
+
+    // NULL endpoints dropped
+    val withNull = iv.unionAll(Seq(("u3", 1L, 2L)).toDF("k", "s", "e")
+      .withColumn("e", lit(null).cast("long")))
+    assert(TimeSeries.intervalMerge(withNull, Seq("k"), "s", "e")
+      .filter($"k" === "u3").count() == 0)
+
+    // deterministic across partition layouts (exact-tie rows are
+    // interchangeable, so span assignment is permutation-invariant)
+    val dup = iv.unionAll(Seq(("u1", 3L, 7L)).toDF("k", "s", "e"))
+    val a = TimeSeries.intervalMerge(dup.repartition(1), Seq("k"), "s", "e")
+      .collect().map(_.toSeq).toSet
+    val b = TimeSeries.intervalMerge(dup.repartition(5), Seq("k"), "s", "e")
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+
+    intercept[IllegalArgumentException](
+      TimeSeries.intervalMerge(iv, Seq(), "s", "e"))
+  }
 }
