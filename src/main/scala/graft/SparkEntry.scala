@@ -3291,13 +3291,14 @@ object SparkEntry {
     Q("j03_edit_distance_join",
       (s, d) => {
         // EXACT Levenshtein-1 self-join over customer names (the
-        // entity-resolution join): positional q-gram count filter with
-        // stop-gram compensation generates candidates — the shared
-        // "Customer#0000…" prefix grams are stop-grams, so the join
-        // indexes only the discriminative digit-region grams — then
-        // codegen'd levenshtein verifies. The oracle BRUTE-FORCES all
-        // n²/2 pairs in DuckDB: equality proves zero false negatives on
-        // real data, not just on spec fixtures.
+        // entity-resolution join). k=1 takes the FastSS deletion-
+        // neighborhood path: each name explodes to its len+1 single-
+        // deletion variants, candidates are variant collisions — robust
+        // to the "Customer#0000…" constant prefix that defeats
+        // substring-signature filters — then codegen'd levenshtein
+        // verifies. The oracle BRUTE-FORCES all n²/2 pairs in DuckDB:
+        // equality proves zero false negatives on real data, not just
+        // on spec fixtures.
         val m = mgr(s, d)
         pipeline.SetJoin.editDistanceJoin(
             m.getDDFByName("customer").df, "c_name", "c_custkey", maxDist = 1)
@@ -4501,10 +4502,12 @@ object SparkEntry {
               |full_w AS (SELECT d.doc_id, coalesce(n_feats, 0) AS n_feats,
               |    coalesce(weight, 0.0) AS weight
               |  FROM documents d LEFT JOIN w USING (doc_id)
-              |  WHERE d.doc_id % 7 <> 0)
+              |  WHERE d.doc_id % 7 <> 0),
+              |sel AS (SELECT doc_id, n_feats, weight FROM full_w
+              |  WHERE n_feats > 0
+              |  ORDER BY weight DESC, doc_id LIMIT 25)
               |SELECT doc_id, n_feats, round(weight, 6) AS weight
-              |FROM full_w WHERE n_feats > 0
-              |ORDER BY weight DESC, doc_id LIMIT 25""".stripMargin)),
+              |FROM sel ORDER BY weight DESC, doc_id""".stripMargin)),
 
     Q("t09_span_dedup",
       (s, d) => {

@@ -55,14 +55,28 @@ object Dsir {
     * tables and the broadcast ratio table; `alpha` is add-α smoothing
     * (must be > 0 so unseen-in-target buckets stay finite).
     */
+  /** `materialize = true` (default) shares the tokenized raw frame
+    * across its three consumers (persist) and returns an eagerly
+    * checkpointed result so no cache outlives the call; `false` returns
+    * the pure lazy plan — for plan inspection and for composing into a
+    * larger DAG that manages its own materialization.
+    */
   def importanceWeights(raw: DataFrame, target: DataFrame,
                         textCol: String, idCol: String,
-                        buckets: Int = 10000, alpha: Double = 1.0): DataFrame = {
+                        buckets: Int = 10000, alpha: Double = 1.0,
+                        materialize: Boolean = true): DataFrame = {
     require(buckets > 0 && buckets <= (1 << 24),
       s"buckets must be in [1, 2^24], got $buckets")
     require(alpha > 0, s"alpha must be positive, got $alpha")
     val tgt = bucketCounts(target, textCol, idCol, buckets)
-    val rawTf = bucketTf(raw, textCol, idCol, buckets)
+    // the (id, bucket, tf) frame feeds the LM-count branch, the rTot
+    // action, and the scoring probe — persist so the raw corpus is
+    // tokenized ONCE, not three times (the SetJoin shared-frame pattern)
+    val rawTf0 = bucketTf(raw, textCol, idCol, buckets)
+    val rawTf =
+      if (materialize)
+        rawTf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else rawTf0
     val rawCnt = rawTf.groupBy("bucket").agg(sum("tf").as("cr"))
     // totals: two config-sized scalars (the bigramLogProb pattern)
     val tTot = tgt.select(coalesce(sum("cnt"), lit(0L))).first().getLong(0)
@@ -83,10 +97,18 @@ object Dsir {
         aggregate(
           sort_array(collect_list(struct(col("bucket"), col("__lp")))),
           lit(0.0), (acc, x) => acc + x.getField("__lp")).as("weight"))
-    raw.select(col(idCol).as("id")).join(scored, Seq("id"), "left")
+    val lazyOut = raw.select(col(idCol).as("id")).join(scored, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("n_feats"), lit(0L)).as("n_feats"),
         coalesce(col("weight"), lit(0.0)).as("weight"))
+    if (!materialize) lazyOut
+    else {
+      // materialize the (one-row-per-raw-doc) result so the tokenized
+      // cache can be dropped before returning (the SetJoin pattern)
+      val out = lazyOut.localCheckpoint(eager = true)
+      rawTf.unpersist(blocking = false)
+      out
+    }
   }
 
   /** Select `k` raw documents by importance. Default is the

@@ -109,7 +109,26 @@ object SetJoin {
     * false negatives. The entity-resolution sibling of
     * [[exactJaccardJoin]] — string identity instead of token sets.
     *
-    * Candidate filter (all steps conservative; verification is exact):
+    * STRATEGY — two candidate generators, chosen by k:
+    *
+    * k ≤ 2 → DELETION NEIGHBORHOODS (FastSS): each string explodes to
+    * every variant reachable by ≤ k character deletions (k=1: len+1
+    * variants; k=2: O(len²)); candidates are pairs sharing a variant.
+    * Complete: an alignment with ≤ k edits leaves a common subsequence
+    * reachable from BOTH strings by ≤ k deletions, so true pairs always
+    * collide. Variants are near-full strings, so this is robust to the
+    * corpora that defeat substring signatures — zero-padded identifiers
+    * whose only discriminative content is a few tail characters
+    * (measured in SCALE.md: the q-gram filter drains such corpora into
+    * its quadratic fallback pool; deletion postings stay true-pair
+    * sized). Cost: the variant explode shuffles ~len^k × corpus rows —
+    * proportional, not quadratic.
+    *
+    * k ≥ 3 → positional q-gram count filter (below; neighborhood size
+    * C(len, 3) makes deletions unattractive there).
+    *
+    * Candidate filter for the q-gram path (all steps conservative;
+    * verification is exact):
     *
     *   1. Length: |len(a) − len(b)| ≤ k.
     *   2. Positional q-gram count (Gravano et al.): if ed(a,b) ≤ k the
@@ -135,6 +154,18 @@ object SetJoin {
     *
     * Survivors verify with codegen'd `levenshtein`. Output:
     * (id_a, id_b, dist), id_a < id_b, dist ≤ k.
+    *
+    * SIZING `q` (k ≥ 3 path only): the gram vocabulary must out-scale
+    * the corpus or every gram goes frequent and strings drain into the
+    * fallback pool — pick q so alphabet^q ≫ corpus size / acceptable
+    * posting length. Natural text at q=2 (26² letter pairs × position
+    * spread) holds to large corpora. Know the filter's structural
+    * limit: strings dominated by a CONSTANT region (zero-padded ids —
+    * "Customer#000…") defeat the count filter at ANY q, because the
+    * dropped-gram compensation min(dA,dB) swallows the whole bound and
+    * the requirement collapses to 0 (measured in SCALE.md at both q=2
+    * and q=4 on a 150 k-ID corpus: everything pooled). That corpus
+    * shape is precisely what the k ≤ 2 deletion path exists for.
     */
   def editDistanceJoin(df: DataFrame, strCol: String, idCol: String,
                        maxDist: Int, q: Int = 2,
@@ -148,6 +179,7 @@ object SetJoin {
       .filter(col("str").isNotNull)
       .withColumn("len", length(col("str")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (k <= 2) return deletionJoin(strs, k)
     val nStrings = strs.count()
     val stopF = math.max(16.0, stopGramFraction * nStrings)
     // positional q-grams: (id, len, pos, gram); n = len − q + 1 (0 when short)
@@ -191,6 +223,47 @@ object SetJoin {
     val va = strs.select(col("id").as("id_a"), col("str").as("stra"))
     val vb = strs.select(col("id").as("id_b"), col("str").as("strb"))
     val out = gramCands.unionAll(poolCands).distinct()
+      .join(va, "id_a").join(vb, "id_b")
+      .withColumn("dist", levenshtein(col("stra"), col("strb")))
+      .filter(col("dist") <= k)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+      .localCheckpoint(eager = true)
+    strs.unpersist(blocking = false)
+    out
+  }
+
+  /** `concat(prefix before i, suffix after i)` — delete char `i` (1-based). */
+  private def delAt(s: String, i: String): String =
+    s"concat(substring($s, 1, $i - 1), substring($s, $i + 1, 1000000000))"
+
+  /** All single-deletion variants of `s` (empty array for the empty
+    * string — Spark's `sequence(1, 0)` DESCENDS, so the guard is load-
+    * bearing).
+    */
+  private def d1(s: String, v: String): String =
+    s"""(CASE WHEN length($s) = 0 THEN cast(array() AS array<string>)
+       | ELSE transform(sequence(1, length($s)), $v -> ${delAt(s, v)}) END)""".stripMargin
+
+  /** FastSS candidate generation + exact verify for k ≤ 2. */
+  private def deletionJoin(strs: DataFrame, k: Int): DataFrame = {
+    val variants = k match {
+      case 1 => s"array_distinct(concat(array(str), ${d1("str", "i")}))"
+      case 2 => s"""array_distinct(concat(array(str), ${d1("str", "i")},
+                   |  flatten(transform(${d1("str", "i")},
+                   |    s1 -> ${d1("s1", "j")}))))""".stripMargin
+      case other => throw new IllegalArgumentException(
+        s"deletionJoin supports k <= 2, got $other")
+    }
+    val exploded = strs
+      .select(col("id"), col("len"), explode(expr(variants)).as("v"))
+    val ea = exploded.select(col("id").as("id_a"), col("len").as("la"), col("v").as("va"))
+    val eb = exploded.select(col("id").as("id_b"), col("len").as("lb"), col("v").as("vb"))
+    val va = strs.select(col("id").as("id_a"), col("str").as("stra"))
+    val vb = strs.select(col("id").as("id_b"), col("str").as("strb"))
+    val out = ea.join(eb,
+        col("va") === col("vb") && col("id_a") < col("id_b") &&
+          abs(col("la") - col("lb")) <= k)
+      .select("id_a", "id_b").distinct()
       .join(va, "id_a").join(vb, "id_b")
       .withColumn("dist", levenshtein(col("stra"), col("strb")))
       .filter(col("dist") <= k)

@@ -737,6 +737,63 @@ object TextAnalysis {
       .withColumn("keep", col("boiler_ratio") <= maxRatio)
   }
 
+  /** Curriculum / stratified-shuffle training order: bucket each doc by
+    * `scoreCol` against ascending `cutoffs` (bucket = number of cutoffs
+    * strictly below the score), pseudo-randomly order WITHIN each bucket
+    * by the portable fold of the id (deterministic: a retried stage and
+    * a rerun produce the same order), and interleave buckets round-robin
+    * into the global order key `ord = pos · nBuckets + bucket` — so any
+    * contiguous training window sees the full quality distribution
+    * instead of a quality-sorted corpus's drift.
+    *
+    * Scale shape: bucket assignment is a codegen'd array probe (the
+    * cutoff list is a config-sized literal — compute it once with
+    * `Stats.quantiles` sketch mode at corpus scale, exact at gate).
+    * Within-bucket positions use the mixtureSample two-pass shape, NOT
+    * one window per bucket (nBuckets is tiny, so that window would pull
+    * ~1/nBuckets of the corpus through a single task): the fold's value
+    * space is range-split into `subBuckets` monotone sub-buckets; pass 1
+    * counts rows per (bucket, sub-bucket) — one partial-agg shuffle of a
+    * config-sized table — and prefix-sums those counts into per-cell
+    * offsets; pass 2 ranks within each (bucket, sub-bucket) cell (a
+    * window with nBuckets·subBuckets partitions) and adds the broadcast
+    * offset. Sub-bucket index is monotone in the fold and fold ties
+    * share a cell, so the result is IDENTICAL to the naive one-window-
+    * per-bucket order (PipelineSpec asserts this). Rows with a NULL
+    * score are dropped — an unscored doc has no curriculum slot.
+    */
+  def curriculumOrder(df: DataFrame, scoreCol: String, idCol: String,
+                      cutoffs: Seq[Double], subBuckets: Int = 4096): DataFrame = {
+    require(cutoffs.nonEmpty, "curriculumOrder: need at least one cutoff")
+    require(cutoffs == cutoffs.sorted && cutoffs.distinct == cutoffs,
+      s"cutoffs must be strictly ascending, got $cutoffs")
+    require(subBuckets > 0, s"subBuckets must be positive, got $subBuckets")
+    val nBuckets = cutoffs.length + 1
+    // portableFold lands in [0, prime); ceil-divide so __sb < subBuckets
+    val prime = 1000000007L
+    val sbWidth = (prime + subBuckets - 1) / subBuckets
+    val base = df.na.drop(Seq(scoreCol))
+      .select(col(idCol).as("id"), col(scoreCol).cast("double").as("score"))
+      .withColumn("bucket", size(filter(
+        array(cutoffs.map(lit(_)): _*), c => col("score") > c)).cast("int"))
+      .withColumn("__h", Dedup.portableFold(col("id").cast("string")))
+      .withColumn("__sb", (col("__h") / sbWidth).cast("int"))
+    val counts = base.groupBy("bucket", "__sb").agg(count(lit(1)).as("__c"))
+    val offW = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy("__sb")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("__off", coalesce(sum(col("__c")).over(offW), lit(0L)))
+      .select("bucket", "__sb", "__off")
+    val cellW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket"), col("__sb"))
+      .orderBy(col("__h"), col("id"))
+    base.join(broadcast(offsets), Seq("bucket", "__sb"))
+      .withColumn("pos", (col("__off") + row_number().over(cellW) - 1).cast("long"))
+      .withColumn("ord", col("pos") * nBuckets + col("bucket"))
+      .select("id", "score", "bucket", "pos", "ord")
+  }
+
   /** Corpus mixing to a token budget — the data-mixture step of a
     * training-data pipeline: per source s with weight w, keep a
     * deterministic pseudo-random sample of docs whose token counts fill
@@ -761,41 +818,6 @@ object TextAnalysis {
     *
     * Returns the kept rows plus `n_tokens`.
     */
-  /** Curriculum / stratified-shuffle training order: bucket each doc by
-    * `scoreCol` against ascending `cutoffs` (bucket = number of cutoffs
-    * strictly below the score), pseudo-randomly order WITHIN each bucket
-    * by the portable fold of the id (deterministic: a retried stage and
-    * a rerun produce the same order), and interleave buckets round-robin
-    * into the global order key `ord = pos · nBuckets + bucket` — so any
-    * contiguous training window sees the full quality distribution
-    * instead of a quality-sorted corpus's drift.
-    *
-    * Scale shape: bucket assignment is a codegen'd array probe (the
-    * cutoff list is a config-sized literal — compute it once with
-    * `Stats.quantiles` sketch mode at corpus scale, exact at gate);
-    * within-bucket positions are a PARTITIONED window (nBuckets
-    * partitions, each internally sorted by the 64-bit fold — a
-    * distributed sort, never a single-task global window). Rows with a
-    * NULL score are dropped — an unscored doc has no curriculum slot.
-    */
-  def curriculumOrder(df: DataFrame, scoreCol: String, idCol: String,
-                      cutoffs: Seq[Double]): DataFrame = {
-    require(cutoffs.nonEmpty, "curriculumOrder: need at least one cutoff")
-    require(cutoffs == cutoffs.sorted && cutoffs.distinct == cutoffs,
-      s"cutoffs must be strictly ascending, got $cutoffs")
-    val nBuckets = cutoffs.length + 1
-    val bucket = size(filter(
-      array(cutoffs.map(lit(_)): _*), c => col("score") > c))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("bucket"))
-      .orderBy(Dedup.portableFold(col("id").cast("string")), col("id"))
-    df.na.drop(Seq(scoreCol))
-      .select(col(idCol).as("id"), col(scoreCol).cast("double").as("score"))
-      .withColumn("bucket", bucket.cast("int"))
-      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
-      .withColumn("ord", col("pos") * nBuckets + col("bucket"))
-  }
-
   def mixtureSample(df: DataFrame, textCol: String, idCol: String,
                     sourceCol: String, weights: Map[String, Double],
                     totalTokens: Long, salt: String = "mix",

@@ -162,13 +162,14 @@ object Sketches {
     topKEstimate(sk, k, maxItemsTracked)
   }
 
-  /** Estimate over-fetches (up to 4k, capped at what the sketch tracks)
-    * then cuts deterministically: the sketch's internal order is
-    * unspecified on count ties. The window sorts ≤4k config-sized rows —
-    * never data.
+  /** Estimate fetches EVERYTHING the sketch tracks, then cuts
+    * deterministically by (count DESC, item): a partial fetch would let
+    * the sketch pick an arbitrary subset of a tie group that straddles
+    * the fetch boundary, breaking the deterministic-cut contract. The
+    * window sorts ≤ maxItemsTracked config-sized rows — never data.
     */
   private def topKEstimate(oneSketchRow: DataFrame, k: Int, tracked: Int): DataFrame = {
-    val fetch = math.min(k.toLong * 4, tracked.toLong).toInt
+    val fetch = tracked
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("est_count").desc, col("item").asc)
     oneSketchRow

@@ -284,18 +284,24 @@ object ScaleSmoke {
             Seq("l_orderkey", "l_partkey", "l_quantity", "l_returnflag"))).count()
         }),
         "edit_dist_join(j03)" -> (() => {
-          // names derived from the BLOWN keys (plain replication would
-          // copy identical names f times → distance-0 pair explosion).
-          // NOTE (measured): even so, dense numeric ids make distance-1
-          // pairs per key GROW with the key-range width (more digit
-          // positions become "active") — the wall is output-bound; the
-          // filter-health signal is per-verified-pair cost, which falls
+          // names derived from the BLOWN keys with a DATA-DERIVED stride
+          // (a fixed stride smaller than the key span replicates ids →
+          // identical names → dup fan-out through the verify join, and
+          // the measurement reads collision artifacts — the round-10
+          // first cut hardcoded 1500 against the 15,000-key sf0.1
+          // table). Dense numeric ids still make distance-1 pairs per
+          // key GROW with range width (more digit positions active) —
+          // the wall is output-bound; filter health = per-pair cost
           val base = spark.read.parquet(s"$sfDir/customer.parquet")
             .select(col("c_custkey"))
+          val span = base.agg(max(col("c_custkey"))).first().getLong(0) + 1L
           val blown = (0 until f).map(i =>
-              base.select((col("c_custkey") + lit(i * 1500L)).as("k")))
+              base.select((col("c_custkey") + lit(i * span)).as("k")))
             .reduce(_ unionAll _)
             .select(col("k"), format_string("Customer#%09d", col("k")).as("name"))
+          // k=1 → the FastSS deletion-neighborhood path (the q-gram
+          // filter pools this corpus at any q: the constant name prefix
+          // swallows the count bound — see editDistanceJoin scaladoc)
           graft.pipeline.SetJoin.editDistanceJoin(blown, "name", "k", maxDist = 1)
             .count()
         }))

@@ -69,7 +69,10 @@ class DsirSpec extends SparkTestBase {
   }
 
   test("plan: ratio joins broadcast; no data-scale sort below the weight agg") {
-    val plan = Dsir.importanceWeights(raw, target, "text", "doc_id")
+    // materialize=false exposes the lazy plan (default eagerly
+    // checkpoints, which reduces the visible plan to an RDD scan)
+    val plan = Dsir.importanceWeights(raw, target, "text", "doc_id",
+        materialize = false)
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)

@@ -602,10 +602,16 @@ class PipelineSpec extends SparkTestBase {
         "doc_id", cutoffs = Seq(35.0, 75.0))
       .collect().map(r => r.getLong(0) -> (r.getInt(2), r.getLong(3), r.getLong(4))).toMap
     assert(again == rows)
-    // the within-bucket window is PARTITIONED (distributed sort), never
-    // a single-task global window
+    // the data-scale window is partitioned by (bucket, SUB-bucket) —
+    // never one partition per coarse bucket (single-task trap)
     val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("hashpartitioning(bucket"), plan)
+    assert(plan.contains("hashpartitioning(bucket") && plan.contains("__sb"), plan)
+    // two-pass offsets ≡ the naive one-window-per-bucket construction
+    // (forced by subBuckets=1: one cell per bucket IS the naive window)
+    val naive = TextAnalysis.curriculumOrder(docs, "score", "doc_id",
+        Seq(35.0, 75.0), subBuckets = 1)
+      .collect().map(r => r.getLong(0) -> (r.getInt(2), r.getLong(3), r.getLong(4))).toMap
+    assert(naive == rows)
     intercept[IllegalArgumentException](
       TextAnalysis.curriculumOrder(docs, "score", "doc_id", Seq(75.0, 35.0)))
   }
