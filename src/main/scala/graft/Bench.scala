@@ -79,8 +79,12 @@ object Bench {
     // image decode (the most expensive op in the repo), IVF-cell semantic
     // dedup, and BM25 retrieval
     "m02_image_roundtrip", "a05_semantic_dedup", "c06_bm25_retrieve",
-    // round 10 (this session): the new time-series densify+window chain
-    "ts01_resample_gapfill")
+    // round 10 (this session): the new time-series densify+window chain,
+    // plus one representative per new family — DSIR importance weights,
+    // the multi-suite contamination matrix, and the FastSS edit-distance
+    // join — so their plans stay under driver-visible regression watch
+    "ts01_resample_gapfill", "ds01_dsir_weights", "t17_contamination_matrix",
+    "j03_edit_distance_join")
 
   // the sf1 subset: the scan/join/agg spine (TPC-H) + the dedup family +
   // vocabulary ranking + brute ANN — the operators whose 100 TB story the
