@@ -90,6 +90,36 @@ object Manifest {
     summary
   }
 
+  val ProfileDir = "_graft_profile"
+
+  /** Write the mergeable column-profile table (stats/Sketches) next to
+    * an already-published corpus: one scan of `path`, profile parquet at
+    * `<path>/_graft_profile/` (underscore prefix → invisible to corpus
+    * reads). This is the shard half of the no-rescan stats contract:
+    * profile each published shard-dir once, answer corpus-wide stats by
+    * [[mergedProfile]] over the profile tables alone.
+    */
+  def writeProfileFor(spark: SparkSession, path: String,
+                      cols: Seq[String] = Nil, lgK: Int = 12): DataFrame = {
+    val prof = graft.stats.Sketches.profile(spark.read.parquet(path), cols, lgK)
+    prof.coalesce(1).write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(path, ProfileDir).toString)
+    readProfile(spark, path)
+  }
+
+  /** The stored profile of one published corpus dir. */
+  def readProfile(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(new org.apache.hadoop.fs.Path(path, ProfileDir).toString)
+
+  /** Corpus-wide statistics across any number of published dirs —
+    * merges the stored profile tables, never rescans the corpora.
+    */
+  def mergedProfile(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    require(paths.nonEmpty, "mergedProfile: no paths given")
+    graft.stats.Sketches.estimate(
+      graft.stats.Sketches.mergeProfiles(paths.map(p => readProfile(spark, p))))
+  }
+
   /** Re-scan `path` and compare against its stored manifest. Returns a
     * per-shard status frame (file, manifest_rows, actual_rows,
     * manifest_hash, actual_hash, ok) — a full-outer join, so shards

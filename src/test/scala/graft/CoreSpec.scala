@@ -181,6 +181,30 @@ class CoreSpec extends SparkTestBase {
     assert(ddf.numRows == 5)
   }
 
+  test("manifest: published profiles merge to corpus stats without rescans") {
+    import spark.implicits._
+    import graft.sources.Manifest
+    val root = Files.createTempDirectory("graft_prof").toString
+    // two "ingest epochs" published separately
+    val a = (1L to 300L).map(i => (i, s"w${i % 11}")).toDF("id", "w")
+    val b = (301L to 500L).map(i => (i, s"w${i % 11}")).toDF("id", "w")
+    Manifest.writeWithManifest(a, s"$root/e1")
+    Manifest.writeWithManifest(b, s"$root/e2")
+    Manifest.writeProfileFor(spark, s"$root/e1")
+    Manifest.writeProfileFor(spark, s"$root/e2")
+    // the profile dir must be invisible to corpus reads
+    assert(spark.read.parquet(s"$root/e1").count() == 300L)
+    val merged = Manifest.mergedProfile(spark, Seq(s"$root/e1", s"$root/e2"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(merged("id").getAs[Long]("row_count") == 500L)
+    assert(merged("id").getAs[Long]("null_count") == 0L)
+    assert(merged("id").getAs[Double]("max_num") == 500.0)
+    assert(merged("w").getAs[Long]("ndv_estimate") == 11L)
+    // distinct ids across both epochs: 500 exact, estimate within bound
+    val est = merged("id").getAs[Long]("ndv_estimate").toDouble
+    assert(math.abs(est - 500.0) <= 500.0 * 6 * graft.stats.Sketches.hllRse(12))
+  }
+
   test("manifest: publish-verify roundtrip; tampered and vanished shards both surface") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, sum}
