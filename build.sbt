@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver scrapes a 2000-char stdout tail from `sbt "runMain graft.Bench"`
+// and needs the compact JSON line BARE and LAST. Two sbt behaviors defeated
+// that for 10 rounds: the default LoggedOutput strategy re-tags the forked
+// JVM's stdout as "[info] ..." (and its stderr as "[error] ..."), and sbt
+// appends a "[success] Total time..." epilogue after the run. StdoutOutput
+// passes the forked JVM's streams through raw (stdout→stdout, stderr→stderr,
+// so Spark's WARN noise leaves stdout entirely); showSuccess drops the
+// epilogue. Exit codes are unaffected.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, which the unused-key
+// lint can't see — exclude it so every run doesn't open with a [warn].
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

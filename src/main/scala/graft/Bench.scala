@@ -248,7 +248,13 @@ object Bench {
     val gc0 = gcMs
     val results = headline.filter(qs.contains)
       .filter(n => only.forall(_.contains(n)))
-      .map { name => name -> sampleQuery(name, sfDir, runs, math.max(runs, maxRuns)) }
+      .map { name =>
+        // round 11: one untimed warmup per headline query (the sf1 tier
+        // has done this since r10) — ds01 was the last row still JIT/
+        // page-cache descending at the sample cap in BENCH_r10
+        materialize(qs(name)(spark, sfDir))
+        name -> sampleQuery(name, sfDir, runs, math.max(runs, maxRuns))
+      }
     // verdicts use the FINAL probe floor — quietest window of the whole
     // run — so these are defs: the sf1 tier's probes can retroactively
     // reclassify headline samples taken in a window that only LOOKED quiet
@@ -351,7 +357,15 @@ object Bench {
     // this line is the LAST thing printed and fits the window whole.
     val compactLine =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","runs":$runs,"contended":${nameList(vs.collect { case (k, v) if v.contended => k })},"unconverged":${nameList(vs.collect { case (k, v) if !v.converged && !v.contended => k })},"rejected_total":${vs.map(_._2.rejected).sum}$sf1Compact,"detail":"$outFile"}"""
+    // This is the LAST stdout write of the process: Spark logs to stderr
+    // (r10's tail shows its WARNs arriving [error]-tagged, i.e. via the
+    // forked JVM's stderr), and build.sbt's StdoutOutput + showSuccess :=
+    // false strip the "[info] " prefix and the "[success]" epilogue that
+    // defeated the driver's tail-scrape for 10 rounds. Printed exactly
+    // once so any parse style (whole-tail json.loads, first-'{' seek,
+    // last-line scan) finds one bare JSON line at the end.
     println(compactLine)
+    System.out.flush()
     spark.stop()
   }
 

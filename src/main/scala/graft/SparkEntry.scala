@@ -1554,8 +1554,10 @@ object SparkEntry {
       (s, d) => {
         // mergeable heavy hitters through the SHARD path: per-shard
         // approx_top_k_accumulate sketches (the persistable form) are
-        // combined and estimated. At gate scale every shard's ndv (2 000
-        // parts) is far under maxItemsTracked, so the sketch is in its
+        // combined and estimated. At gate scale the COMBINED ndv across
+        // shards (2 000 distinct parts in the union — the quantity that
+        // governs exactness, not per-shard ndv) is far under
+        // maxItemsTracked, so the sketch is in its
         // exact-counter regime and the result is hash-exact vs the
         // DuckDB groupBy top-k; ties cut by (count DESC, item) on both
         // sides. At corpus scale the same plan holds bounded memory and
@@ -2186,14 +2188,50 @@ object SparkEntry {
     * ^[a-z]+$ filter leaves no '|' or LIKE metacharacters in symbols);
     * ties break (n DESC, l, r) exactly like the Spark argmax.
     */
-  private def duckBpeStages(n: Int): String = {
+  /** BPE gate corpus: documents.text enriched with the token classes the
+    * alphabetic fast path silently drops — the doc's n_chars (digits), a
+    * per-lang non-ASCII word (2-byte Latin accents and 3-byte CJK, so
+    * multi-byte UTF-8 sequences enter the byte alphabet), and a mixed
+    * letters-hyphen-digits token (punctuation). Deterministic, column-
+    * derived, and expressed identically in both engines.
+    */
+  private def bpeCorpus(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat_ws(" ",
+      col("text"), col("n_chars").cast("string"),
+      when(col("lang") === "en", lit("café"))
+        .when(col("lang") === "de", lit("über"))
+        .when(col("lang") === "zh", lit("数据"))
+        .when(col("lang") === "fr", lit("naïve"))
+        .otherwise(lit("año")),
+      concat_ws("-", col("lang"), col("n_chars").cast("string"))).as("text"))
+
+  /** DuckDB mirror of [[bpeCorpus]], as a `corpus` CTE body. */
+  private val duckBpeCorpus: String =
+    """corpus AS (SELECT doc_id,
+      |  text || ' ' || n_chars || ' ' ||
+      |  CASE lang WHEN 'en' THEN 'café' WHEN 'de' THEN 'über'
+      |            WHEN 'zh' THEN '数据' WHEN 'fr' THEN 'naïve'
+      |            ELSE 'año' END || ' ' || lang || '-' || n_chars AS text
+      |  FROM documents)""".stripMargin
+
+  /** DuckDB replay of the BPE trainer's `n` greedy stages. `byteLevel`
+    * mirrors TextAnalysis.bpeTrain's switch: alphabetic mode filters
+    * `^[a-z]+$` words and splits characters; byte-level mode takes every
+    * token and splits `hex(w)` into 2-char pairs (DuckDB's hex() is the
+    * word's UTF-8 bytes uppercase — identical to Spark's
+    * hex(encode(w,'UTF-8'))). `src` is the corpus CTE/table to train on.
+    */
+  private def duckBpeStages(n: Int, src: String = "documents",
+                            byteLevel: Boolean = false): String = {
+    val (wFilter, s0Syms) =
+      if (byteLevel) ("", "regexp_extract_all(hex(w), '..')")
+      else ("WHERE regexp_matches(w, '^[a-z]+$')\n  ", "string_split(w, '')")
     val base =
       s"""w0 AS (
          |  SELECT w, count(*)::BIGINT AS freq FROM (
-         |    SELECT unnest(${duckToks("text")}) AS w FROM documents)
-         |  WHERE regexp_matches(w, '^[a-z]+$$')
-         |  GROUP BY w),
-         |s0 AS (SELECT string_split(w, '') AS syms, freq FROM w0)""".stripMargin
+         |    SELECT unnest(${duckToks("text")}) AS w FROM $src)
+         |  ${wFilter}GROUP BY w),
+         |s0 AS (SELECT $s0Syms AS syms, freq FROM w0)""".stripMargin
     val stageSql = (0 until n).map { k =>
       s"""p$k AS (SELECT l, r, sum(freq)::BIGINT AS n FROM (
          |  SELECT syms[i] AS l, syms[i+1] AS r, freq FROM (
@@ -3032,13 +3070,19 @@ object SparkEntry {
     Q("t15_bpe_train",
       (s, d) => {
         val m = mgr(s, d)
-        // real BPE trainer: 6 greedy merges over the corpus vocabulary;
-        // minFreq=1 mirrors the oracle's unconditional 6 stages
-        pipeline.TextAnalysis.bpeTrain(m.getDDFByName("documents").df,
-          "text", nMerges = 6, minFreq = 1L)
+        // real BPE trainer, BYTE-LEVEL (round 11): 6 greedy merges over a
+        // corpus enriched with digits, punctuation, and non-ASCII text —
+        // exactly what the alphabetic fast path silently drops. Symbols
+        // are UTF-8 bytes as hex pairs; minFreq=1 mirrors the oracle's
+        // unconditional 6 stages. Alphabetic mode stays spec-covered
+        // (PipelineSpec "bpe").
+        pipeline.TextAnalysis.bpeTrain(
+            bpeCorpus(m.getDDFByName("documents").df),
+            "text", nMerges = 6, minFreq = 1L, byteLevel = true)
           .orderBy("merge_rank")
       },
-      Some(s"""WITH ${duckBpeStages(6)}
+      Some(s"""WITH $duckBpeCorpus,
+              |${duckBpeStages(6, "corpus", byteLevel = true)}
               |SELECT * FROM (${(0 until 6).map(k =>
                  s"SELECT $k AS merge_rank, l AS lhs, r AS rhs, l||r AS merged, " +
                  s"n AS pair_freq FROM b$k").mkString(" UNION ALL ")})
@@ -3047,20 +3091,23 @@ object SparkEntry {
     Q("t16_bpe_encode",
       (s, d) => {
         val m = mgr(s, d)
-        val docs = m.getDDFByName("documents").df
-        val merges = pipeline.TextAnalysis.bpeTrain(docs, "text", nMerges = 6, minFreq = 1L)
+        val docs = bpeCorpus(m.getDDFByName("documents").df)
+        val merges = pipeline.TextAnalysis.bpeTrain(docs, "text", nMerges = 6,
+            minFreq = 1L, byteLevel = true)
           .orderBy("merge_rank").collect()
           .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
-        // encode with the learned merges — one chained codegen expression,
-        // no join; emit tokens space-joined (oracle outputs are scalar)
-        pipeline.TextAnalysis.bpeEncode(docs.filter(col("doc_id") < 30), "text", merges)
+        // byte-level encode with the learned merges — one chained codegen
+        // expression, no join, no OOV branch (every word byte-decomposes);
+        // emit hex tokens space-joined (oracle outputs are scalar)
+        pipeline.TextAnalysis.bpeEncode(docs.filter(col("doc_id") < 30), "text",
+            merges, byteLevel = true)
           .select(col("doc_id").as("id"),
             array_join(col("bpe_tokens"), " ").as("bpe_text"))
           .orderBy("id")
       },
       Some {
         val n = 6
-        val enc = (0 until n).foldLeft("string_split(w, '')") { (acc, k) =>
+        val enc = (0 until n).foldLeft("regexp_extract_all(hex(w), '..')") { (acc, k) =>
           s"""string_split(list_reduce($acc, (a$k, x$k) ->
              |    CASE WHEN x$k = b$k.r AND (a$k = b$k.l OR a$k LIKE '%|' || b$k.l)
              |      THEN CASE WHEN a$k = b$k.l THEN b$k.l || b$k.r
@@ -3068,14 +3115,13 @@ object SparkEntry {
              |      ELSE a$k || '|' || x$k END), '|')""".stripMargin
         }
         val crossb = (0 until n).map(k => s"CROSS JOIN b$k").mkString(" ")
-        s"""WITH ${duckBpeStages(n)},
+        s"""WITH $duckBpeCorpus,
+           |${duckBpeStages(n, "corpus", byteLevel = true)},
            |ew AS (SELECT doc_id, pos, toks[pos] AS w FROM (
            |  SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS pos
-           |  FROM (SELECT doc_id, ${duckToks("text")} AS toks FROM documents
+           |  FROM (SELECT doc_id, ${duckToks("text")} AS toks FROM corpus
            |        WHERE doc_id < 30))),
-           |pieces AS (SELECT doc_id, pos,
-           |  CASE WHEN regexp_matches(w, '^[a-z]+$$') THEN array_to_string($enc, ' ')
-           |       ELSE w END AS piece
+           |pieces AS (SELECT doc_id, pos, array_to_string($enc, ' ') AS piece
            |  FROM ew $crossb)
            |SELECT doc_id AS id, string_agg(piece, ' ' ORDER BY pos) AS bpe_text
            |FROM pieces GROUP BY doc_id ORDER BY id""".stripMargin

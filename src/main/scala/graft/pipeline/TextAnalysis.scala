@@ -759,8 +759,11 @@ object TextAnalysis {
     * window with nBuckets·subBuckets partitions) and adds the broadcast
     * offset. Sub-bucket index is monotone in the fold and fold ties
     * share a cell, so the result is IDENTICAL to the naive one-window-
-    * per-bucket order (PipelineSpec asserts this). Rows with a NULL
-    * score are dropped — an unscored doc has no curriculum slot.
+    * per-bucket order (PipelineSpec asserts this). Rows with a NULL or
+    * NaN score are dropped — an unscoreable doc has no curriculum slot.
+    * (NaN needs its own filter: `na.drop` only removes NULLs, and under
+    * Spark's ordering NaN > every numeric, so a NaN-scored doc would
+    * otherwise pass every cutoff and land in the TOP quality bucket.)
     */
   def curriculumOrder(df: DataFrame, scoreCol: String, idCol: String,
                       cutoffs: Seq[Double], subBuckets: Int = 4096): DataFrame = {
@@ -773,6 +776,7 @@ object TextAnalysis {
     val prime = 1000000007L
     val sbWidth = (prime + subBuckets - 1) / subBuckets
     val base = df.na.drop(Seq(scoreCol))
+      .filter(!isnan(col(scoreCol).cast("double")))
       .select(col(idCol).as("id"), col(scoreCol).cast("double").as("score"))
       .withColumn("bucket", size(filter(
         array(cutoffs.map(lit(_)): _*), c => col("score") > c)).cast("int"))
@@ -971,21 +975,35 @@ object TextAnalysis {
     * count (shuffled bytes O(distinct pairs)), a 1-row argmax to the
     * driver (the algorithm's inherent sync point), and a codegen'd
     * `aggregate` HOF rewrite of the symbol arrays. `localCheckpoint`
-    * every few rounds cuts the growing lineage. Only words matching
-    * `^[a-z]+$` participate (classic alphabetic-BPE simplification;
-    * keeps symbols unambiguous in any engine).
+    * every few rounds cuts the growing lineage.
+    *
+    * Symbol alphabets (the `byteLevel` switch):
+    *   - alphabetic (default false, the fast path): only words matching
+    *     `^[a-z]+$` participate, symbols are the characters. Digits,
+    *     punctuation, and non-Latin text are silently excluded — fine
+    *     for English-prose corpora, wrong for real multilingual ones.
+    *   - byte-level (true — what a production tokenizer trains): EVERY
+    *     whitespace token participates; symbols are the word's UTF-8
+    *     bytes, each rendered as its 2-char uppercase hex pair (merged
+    *     symbols concatenate to longer hex strings). Hex keeps every
+    *     symbol printable, unambiguous, and pure-ASCII, so vocabularies
+    *     round-trip any engine/storage byte-exactly — the same reason
+    *     GPT-2 remaps bytes to printable unicode, minus the custom
+    *     alphabet table. Decode for display with [[bpeDecodeHex]].
     *
     * Returns (merge_rank, lhs, rhs, merged, pair_freq) — merge_rank is merge
     * order, the tokenizer's vocabulary file.
     */
   def bpeTrain(df: DataFrame, textCol: String, nMerges: Int,
-               minFreq: Long = 2L): DataFrame = {
+               minFreq: Long = 2L, byteLevel: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     require(nMerges >= 1, "nMerges must be >= 1")
-    val words = df.selectExpr(s"explode(${tokensExpr(textCol)}) AS w")
-      .filter(col("w").rlike("^[a-z]+$"))
+    val toks = df.selectExpr(s"explode(${tokensExpr(textCol)}) AS w")
+    val words = (if (byteLevel) toks else toks.filter(col("w").rlike("^[a-z]+$")))
       .groupBy("w").agg(count(lit(1)).as("freq"))
-    var cur = words.select(split(col("w"), "").as("syms"), col("freq"))
+    var cur = words.select(
+      (if (byteLevel) byteSyms(col("w")) else split(col("w"), "")).as("syms"),
+      col("freq"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var rank = 0
@@ -1032,19 +1050,40 @@ object TextAnalysis {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
         .otherwise(concat(acc, array(x))))
 
+  /** Byte-level BPE symbols of a word: its UTF-8 bytes as 2-char
+    * uppercase hex pairs. Codegen'd; DuckDB replays it verbatim as
+    * `regexp_extract_all(hex(w), '..')` (both engines hex the UTF-8
+    * bytes uppercase and scan the pair regex left-to-right).
+    */
+  def byteSyms(w: Column): Column =
+    regexp_extract_all(hex(encode(w, "UTF-8")), lit(".."), lit(0))
+
+  /** Display helper for byte-level tokens: hex → string. Tokens that
+    * split a multi-byte UTF-8 sequence decode with replacement chars —
+    * display-only; the hex form is the canonical token identity.
+    */
+  def bpeDecodeHex(toks: Column): Column =
+    transform(toks, t => decode(unhex(t), "UTF-8"))
+
   /** Encode text with trained merges: apply each merge in rank order to
     * every word (the inference half of [[bpeTrain]] — same greedy
-    * rewrite, same alphabetic-word filter; non-matching words pass
-    * through as single OOV tokens). `merges` is the (lhs, rhs) pairs as
+    * rewrite, same symbol alphabet as training, selected by
+    * `byteLevel`). Alphabetic mode passes non-`^[a-z]+$` words through
+    * as single OOV tokens; byte-level mode has no OOV — every word is
+    * byte-decomposable, the property that makes the mode production-
+    * shaped. `merges` is the (lhs, rhs) pairs as
     * returned by [[bpeTrain]], collected to the driver (vocab-size,
     * config data) and composed into ONE chained codegen expression —
     * no join, no shuffle: encoding is embarrassingly parallel.
     */
   def bpeEncode(df: DataFrame, textCol: String, merges: Seq[(String, String)],
-                outCol: String = "bpe_tokens"): DataFrame =
+                outCol: String = "bpe_tokens", byteLevel: Boolean = false): DataFrame =
     df.withColumn(outCol,
       flatten(transform(expr(tokensExpr(textCol)), w =>
-        when(w.rlike("^[a-z]+$"),
-          merges.foldLeft(split(w, "")) { case (syms, (a, b)) => mergePair(syms, a, b) })
-          .otherwise(array(w)))))
+        if (byteLevel)
+          merges.foldLeft(byteSyms(w)) { case (syms, (a, b)) => mergePair(syms, a, b) }
+        else
+          when(w.rlike("^[a-z]+$"),
+            merges.foldLeft(split(w, "")) { case (syms, (a, b)) => mergePair(syms, a, b) })
+            .otherwise(array(w)))))
 }

@@ -52,6 +52,12 @@ object Sketches {
     * Sketch input is the column cast to string — canonical across types,
     * and the only cast whose distinctness matches the column's own
     * (casting doubles to long would alias values).
+    *
+    * Precision caveat: `min_num`/`max_num` are doubles, so 64-bit
+    * integer columns with values beyond 2^53 get the nearest
+    * representable double, not the exact integer — the merge stays
+    * consistent (min/max of doubles), but the fields are exact only
+    * within double's integer range.
     */
   def profile(df: DataFrame, cols: Seq[String] = Nil, lgK: Int = 12): DataFrame = {
     val cs = if (cols.nonEmpty) cols else df.columns.toSeq
@@ -150,8 +156,11 @@ object Sketches {
 
   /** Combine shard sketches into one (drops the shard key) and estimate.
     * `combine(accumulate(shards)) == accumulate(whole)` exactly while
-    * every shard's ndv ≤ maxItemsTracked (the exact regime); beyond it
-    * the merged estimates stay within the summed error bounds.
+    * the COMBINED distinct count (the union across shards) is ≤
+    * maxItemsTracked — per-shard ndv under the cap is not enough, since
+    * disjoint shards can merge past it and force eviction into the
+    * estimate-only regime. Beyond the exact regime the merged estimates
+    * stay within the summed error bounds.
     */
   def topKCombineEstimate(sketches: DataFrame, k: Int,
                           maxItemsTracked: Int = 10000): DataFrame = {

@@ -43,6 +43,40 @@ class BpeSpec extends SparkTestBase {
     assert(out == Seq("aa", "a"), s"got $out")
   }
 
+  test("byte-level bpeTrain learns the classic merges as hex byte pairs") {
+    val m = TextAnalysis.bpeTrain(corpus, "text", nMerges = 4, minFreq = 2L,
+      byteLevel = true).orderBy("merge_rank").collect()
+    val merges = m.map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
+    // same corpus, same greedy sequence, symbols now UTF-8 hex:
+    // e=65 s=73 t=74 l=6C o=6F w=77; hex tie-break picks the same winners
+    assert(merges == Seq(("65", "73"), ("6573", "74"), ("6C", "6F"), ("6C6F", "77")),
+      s"got $merges")
+    assert(m.map(_.getAs[Long]("pair_freq")).toSeq == Seq(9L, 9L, 7L, 7L))
+  }
+
+  test("byte-level mode covers digits and multi-byte UTF-8 the alpha filter drops") {
+    // año = 61 C3.B1 6F (2-byte ñ); 42 = 34 32. Alpha mode sees NOTHING here.
+    val df = Seq((1L, "año año 42"), (2L, "42 42 año")).toDF("id", "text")
+    assert(TextAnalysis.bpeTrain(df, "text", nMerges = 2, minFreq = 2L).count() == 0)
+    val m = TextAnalysis.bpeTrain(df, "text", nMerges = 2, minFreq = 2L,
+      byteLevel = true).orderBy("merge_rank").collect()
+    val merges = m.map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
+    // all pairs tie at freq 3 -> lexicographic: ("34","32") then ("61","C3")
+    assert(merges == Seq(("34", "32"), ("61", "C3")), s"got $merges")
+  }
+
+  test("byte-level bpeEncode has no OOV and hex tokens decode for display") {
+    val df = Seq((1L, "año 42")).toDF("id", "text")
+    val toks = TextAnalysis.bpeEncode(df, "text",
+        Seq(("C3", "B1"), ("61", "C3B1")), byteLevel = true)
+      .select("bpe_tokens").first().getSeq[String](0)
+    assert(toks == Seq("61C3B1", "6F", "34", "32"), s"got $toks")
+    val dec = Seq(Tuple1(toks.toArray)).toDF("t")
+      .select(TextAnalysis.bpeDecodeHex(col("t")).as("d"))
+      .first().getSeq[String](0)
+    assert(dec == Seq("añ", "o", "4", "2"), s"got $dec")
+  }
+
   test("bpeEncode applies merges in rank order; OOV/non-alpha words pass through") {
     val merges = Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"))
     val df = Seq((1L, "lowest newest 42 xyz")).toDF("id", "text")
