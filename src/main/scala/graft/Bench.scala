@@ -84,7 +84,11 @@ object Bench {
     // the multi-suite contamination matrix, and the FastSS edit-distance
     // join — so their plans stay under driver-visible regression watch
     "ts01_resample_gapfill", "ds01_dsir_weights", "t17_contamination_matrix",
-    "j03_edit_distance_join")
+    "j03_edit_distance_join",
+    // round 11: the composed corpus build (p05 chains DSIR→dedup→
+    // decontaminate→curriculum→pack→publish — the product-shaped query)
+    // and the k≥3 q-gram edit join's positive-case corpus (j04)
+    "p05_curation_corpus_build", "j04_edit_distance_join_k3")
 
   // the sf1 subset: the scan/join/agg spine (TPC-H) + the dedup family +
   // vocabulary ranking + brute ANN — the operators whose 100 TB story the

@@ -2326,6 +2326,53 @@ object SparkEntry {
        |    len(list_intersect(s1.sh, s2.sh))::DOUBLE / len(list_distinct(s1.sh || s2.sh)) AS jr
        |  FROM mcand JOIN msh s1 ON s1.doc_id = id1 JOIN msh s2 ON s2.doc_id = id2)""".stripMargin
 
+  /** DSIR importance-weight CTE stack (Dsir.importanceWeights replay),
+    * shared by ds01/ds02/p05: documents with doc_id % 7 == 0 play the
+    * target domain, 4096 hashed-ngram buckets, weights folded in bucket
+    * order (the t10 float-determinism pattern). Ends at `full_w`
+    * (doc_id, n_feats, weight-unrounded) over the raw split.
+    */
+  private def duckDsirW: String =
+    s"""tokt AS (SELECT doc_id, ${duckToks("text")} AS t
+       |  FROM documents WHERE doc_id % 7 = 0),
+       |tokr AS (SELECT doc_id, ${duckToks("text")} AS t
+       |  FROM documents WHERE doc_id % 7 <> 0),
+       |tgtf AS (SELECT unnest(t) AS f FROM tokt
+       |  UNION ALL
+       |  SELECT unnest(list_transform(range(1, len(t)),
+       |    i -> t[i] || ' ' || t[i+1])) AS f FROM tokt),
+       |rawf AS (SELECT doc_id, unnest(t) AS f FROM tokr
+       |  UNION ALL
+       |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+       |    i -> t[i] || ' ' || t[i+1])) AS f FROM tokr),
+       |tgtb AS (SELECT list_reduce(list_prepend(0::BIGINT,
+       |      list_transform(regexp_split_to_array(f, ''),
+       |        c -> coalesce(ascii(c), 0)::BIGINT)),
+       |      (acc, x) -> (acc * 31 + x) % 1000000007) % 4096 AS bucket,
+       |    count(*)::BIGINT AS ct
+       |  FROM tgtf GROUP BY 1),
+       |rawb AS (SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+       |      list_transform(regexp_split_to_array(f, ''),
+       |        c -> coalesce(ascii(c), 0)::BIGINT)),
+       |      (acc, x) -> (acc * 31 + x) % 1000000007) % 4096 AS bucket,
+       |    count(*)::BIGINT AS tf
+       |  FROM rawf GROUP BY 1, 2),
+       |rcnt AS (SELECT bucket, sum(tf)::BIGINT AS cr FROM rawb GROUP BY 1),
+       |tt AS (SELECT sum(ct)::BIGINT AS t FROM tgtb),
+       |tr AS (SELECT sum(cr)::BIGINT AS t FROM rcnt),
+       |ratio AS (SELECT rcnt.bucket,
+       |    ln((coalesce(ct, 0) + 1.0) / (tt.t + 1.0 * 4096))
+       |  - ln((cr + 1.0) / (tr.t + 1.0 * 4096)) AS lr
+       |  FROM rcnt LEFT JOIN tgtb USING (bucket), tt, tr),
+       |w AS (SELECT doc_id, sum(tf)::BIGINT AS n_feats,
+       |    list_reduce(list_prepend(0.0, list(tf * lr ORDER BY bucket)),
+       |      (acc, x) -> acc + x) AS weight
+       |  FROM rawb JOIN ratio USING (bucket) GROUP BY doc_id),
+       |full_w AS (SELECT d.doc_id, coalesce(n_feats, 0) AS n_feats,
+       |    coalesce(weight, 0.0) AS weight
+       |  FROM documents d LEFT JOIN w USING (doc_id)
+       |  WHERE d.doc_id % 7 <> 0)""".stripMargin
+
   private val duckCos =
     "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
 
@@ -3357,6 +3404,64 @@ object SparkEntry {
              |  AND levenshtein(a.c_name, b.c_name) <= 1
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    Q("j04_edit_distance_join_k3",
+      (s, d) => {
+        // The k ≥ 3 POSITIONAL-Q-GRAM path of the edit-distance join
+        // (j03's k=1 exercises only FastSS), on the corpus shape the
+        // filter is FOR: pseudo-natural 20-char strings over a 16-letter
+        // alphabet with a rich gram vocabulary (16⁴ = 65,536 at q=4) and
+        // no constant region. Deterministically derived from customer
+        // keys: groups of 4 sibling keys share an md5-derived base
+        // string (a crypto hash — earlier algebraic recipes leaked
+        // cyclic-shift/negation structure that made cross-group pairs
+        // grow quadratically); sibling r carries r planted substitutions
+        // at spread positions, so every group yields its 6 true pairs at
+        // distances 0–3 and NOTHING else collides. q=4 over len 20
+        // keeps the count bound meaningful (17 grams > q·k = 12 → bound
+        // 5; at q=2 the bound would be 19−6=13 of 19 — also fine, but
+        // 16² = 256 gram types would go stop-frequent at scale). The
+        // oracle builds the SAME corpus and BRUTE-FORCES all n²/2 pairs
+        // — completeness proven on data, not fixtures (the j03 argument,
+        // now for the q-gram path).
+        val m = mgr(s, d)
+        val corpus = m.getDDFByName("customer").df
+          .select(col("c_custkey").cast("long").as("k"))
+          .withColumn("g", expr("k div 4"))
+          .withColumn("r", expr("k % 4"))
+          .withColumn("s0", expr("translate(substring(md5(concat('b', " +
+            "cast(g AS string))), 1, 20), '0123456789abcdef', 'abcdefghijklmnop')"))
+          .withColumn("s1", expr("CASE WHEN r > 0 THEN concat(" +
+            "substring(s0, 1, pmod(g*7, 20)), chr(97 + pmod(g, 16)), " +
+            "substring(s0, pmod(g*7, 20) + 2, 100)) ELSE s0 END"))
+          .withColumn("s2", expr("CASE WHEN r > 1 THEN concat(" +
+            "substring(s1, 1, pmod(g*7 + 5, 20)), chr(97 + pmod(g + 5, 16)), " +
+            "substring(s1, pmod(g*7 + 5, 20) + 2, 100)) ELSE s1 END"))
+          .withColumn("s3", expr("CASE WHEN r > 2 THEN concat(" +
+            "substring(s2, 1, pmod(g*7 + 10, 20)), chr(97 + pmod(g + 10, 16)), " +
+            "substring(s2, pmod(g*7 + 10, 20) + 2, 100)) ELSE s2 END"))
+          .select(col("k"), col("s3").as("name"))
+        pipeline.SetJoin.editDistanceJoin(corpus, "name", "k", maxDist = 3, q = 4)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH c AS (SELECT c_custkey::BIGINT AS k, c_custkey // 4 AS g,
+             |    c_custkey % 4 AS r FROM customer),
+             |b0 AS (SELECT k, g, r, translate(substr(md5('b' || g), 1, 20),
+             |    '0123456789abcdef', 'abcdefghijklmnop') AS s0 FROM c),
+             |b1 AS (SELECT k, g, r, CASE WHEN r > 0 THEN
+             |    substr(s0, 1, (g*7) % 20) || chr((97 + g % 16)::INT)
+             |    || substr(s0, (g*7) % 20 + 2, 100) ELSE s0 END AS s1 FROM b0),
+             |b2 AS (SELECT k, g, r, CASE WHEN r > 1 THEN
+             |    substr(s1, 1, (g*7 + 5) % 20) || chr((97 + (g + 5) % 16)::INT)
+             |    || substr(s1, (g*7 + 5) % 20 + 2, 100) ELSE s1 END AS s2 FROM b1),
+             |b3 AS (SELECT k, CASE WHEN r > 2 THEN
+             |    substr(s2, 1, (g*7 + 10) % 20) || chr((97 + (g + 10) % 16)::INT)
+             |    || substr(s2, (g*7 + 10) % 20 + 2, 100) ELSE s2 END AS name FROM b2)
+             |SELECT a.k AS id_a, b.k AS id_b,
+             |  levenshtein(a.name, b.name)::BIGINT AS dist
+             |FROM b3 a JOIN b3 b ON a.k < b.k
+             |WHERE levenshtein(a.name, b.name) <= 3
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     Q("j02_range_join",
       (s, d) => {
         val m = mgr(s, d)
@@ -3475,6 +3580,139 @@ object SparkEntry {
              |SELECT count(*)::BIGINT AS n_shards, count(*)::BIGINT AS n_ok,
              |  sum(n)::BIGINT AS total_rows, min(n)::BIGINT AS min_shard_rows,
              |  max(n)::BIGINT AS max_shard_rows FROM s""".stripMargin)),
+
+    Q("p05_curation_corpus_build",
+      (s, d) => {
+        val m = mgr(s, d)
+        // Round-11 composed corpus build: the round-10 curation families
+        // chained end-to-end with no seam, every stage already gate-
+        // proven alone — DSIR domain selection (ds02) → exact dedup
+        // (p01) → portable MinHash near-dup drop (p01) → multi-suite
+        // decontamination (t17) → curriculum ordering (c10) →
+        // curriculum-striped sequence packing (p02) → publish with
+        // manifest + column profile (p04/sk01). The publish is VERIFIED
+        // and the final summary is read back FROM THE PUBLISHED FILES,
+        // so the whole chain including the write round-trips through the
+        // gate; the DuckDB twin replays every stage as stacked CTEs.
+        val docs = m.getDDFByName("documents").df
+        // 1. DSIR: top-300 raw docs by importance to the %7==0 target domain
+        val selIds = pipeline.Dsir.resample(
+            docs.filter(col("doc_id") % 7 =!= 0),
+            docs.filter(col("doc_id") % 7 === 0),
+            "text", "doc_id", k = 300, buckets = 4096)
+          .select(col("id").as("doc_id"))
+        val sel = docs.join(broadcast(selIds), Seq("doc_id"))
+        // 2.+3. exact survivors, then drop the higher id of each near-dup pair
+        val surv = pipeline.Dedup.exactSurvivors(sel, "text", "doc_id")
+        val dups = pipeline.Dedup.minhashDedup(surv, "text", "doc_id",
+            threshold = 0.7, portable = true)
+          .select(col("id2").as("doc_id")).distinct()
+        val nodup = surv.join(dups, Seq("doc_id"), "left_anti")
+        // 4. decontaminate against all three %37==0 bench suites in one pass
+        val benches = docs.filter(col("doc_id") % 37 === 0)
+          .select(concat(lit("b"), (col("doc_id") % 3).cast("string")).as("bench_id"),
+            col("text"))
+        val clean = pipeline.TextAnalysis.decontaminatedAll(
+          nodup, benches, "text", "doc_id", "bench_id", n = 3)
+        // 5. curriculum order by token count (c10's cutoffs)
+        val ordered = pipeline.TextAnalysis.curriculumOrder(
+          clean.select(col("doc_id"),
+            pipeline.TextAnalysis.tokenCount("text").cast("double").as("score")),
+          "score", "doc_id", cutoffs = Seq(30.0, 60.0, 90.0))
+        // 6. pack the curriculum stream into 256-token training sequences
+        // striped over 8 bucket streams: position `ord` plays the pack id,
+        // so bucket = ord % 8 and within-bucket order IS curriculum order
+        val packed = pipeline.TextAnalysis.packChunks(
+          ordered.select(col("ord").as("id"), lit(0L).as("chunk_id"),
+            col("score").cast("long").as("n_tokens"), col("id").as("doc_id")),
+          budgetTokens = 256, nBuckets = 8)
+        // 7. publish sharded by pack bucket with manifest + profile,
+        // verify, then answer from the published corpus itself
+        withScratch("graft_p05") { tmp =>
+          val out = packed.withColumn("shard", shiftright(col("seq_id"), 33))
+          sources.Manifest.writeWithManifest(out, s"$tmp/corpus",
+            partitionCols = Seq("shard"))
+          sources.Manifest.writeProfileFor(s, s"$tmp/corpus")
+          val allOk = sources.Manifest.verifyManifest(s, s"$tmp/corpus")
+            .agg(sum(when(col("ok"), 0L).otherwise(1L))).first().getLong(0) == 0L
+          val publishedDocs = sources.Manifest.mergedProfile(s, Seq(s"$tmp/corpus"))
+            .filter(col("col_name") === "doc_id")
+            .select("row_count").first().getLong(0)
+          collectAndClean(s, s.read.parquet(s"$tmp/corpus")
+            .groupBy("seq_id")
+            .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+              min(col("id")).as("first_ord"), min("doc_id").as("min_doc_id"))
+            .withColumn("publish_ok", lit(allOk))
+            .withColumn("published_docs", lit(publishedDocs))
+            .orderBy("seq_id"), tmp)
+        }
+      },
+      // Stage-by-stage replay: DSIR select (shared full_w stack) → exact
+      // dedup (min id per md5 of normalized text) → MinHash pairs
+      // (shared mpairs stack) → decontamination (the union of all bench
+      // suites' shingles is exactly decontaminatedAll's distinct-id drop
+      // set; raw-string shingle join per t17's identical-absent-collision
+      // argument) → c10's curriculum construction → p02's recursive
+      // pack replay with bucket = ord % 8 and a 256-token budget.
+      // publish_ok/published_docs replicate the Spark-side verification
+      // constants: TRUE (manifest verified) and the profile's row count
+      // (= clean docs, one packed row per doc).
+      Some(s"""WITH RECURSIVE
+              |$duckDsirW,
+              |dsel AS (SELECT doc_id FROM full_w WHERE n_feats > 0
+              |  ORDER BY weight DESC, doc_id LIMIT 300),
+              |corp AS (SELECT d.* FROM documents d JOIN dsel USING (doc_id)),
+              |reps AS (SELECT min(doc_id) AS doc_id FROM corp
+              |  GROUP BY md5(${duckNorm("text")})),
+              |surv AS (SELECT c.* FROM corp c JOIN reps USING (doc_id)),
+              |${duckMinhashCtes("surv")},
+              |ddups AS (SELECT DISTINCT id2 AS doc_id FROM mpairs WHERE jr >= 0.7),
+              |nodup AS (SELECT * FROM surv
+              |  WHERE doc_id NOT IN (SELECT doc_id FROM ddups)),
+              |ntk AS (SELECT doc_id, ${duckToks("text")} AS tk FROM nodup),
+              |csh AS (SELECT doc_id, ${duckNgrams("tk", 3)} AS shs FROM ntk),
+              |cex AS (SELECT DISTINCT doc_id, unnest(shs) AS s FROM csh),
+              |btk AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents
+              |  WHERE doc_id % 37 = 0),
+              |bshs AS (SELECT doc_id, ${duckNgrams("tk", 3)} AS shs FROM btk),
+              |bex AS (SELECT DISTINCT unnest(shs) AS s FROM bshs),
+              |contam AS (SELECT DISTINCT e.doc_id FROM cex e JOIN bex USING (s)),
+              |clean AS (SELECT * FROM nodup
+              |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+              |cscore AS (SELECT doc_id,
+              |    len(${duckToks("text")})::DOUBLE AS score FROM clean),
+              |cb AS (SELECT doc_id, score,
+              |    (CASE WHEN score > 90 THEN 3 WHEN score > 60 THEN 2
+              |          WHEN score > 30 THEN 1 ELSE 0 END) AS bucket FROM cscore),
+              |cf AS (SELECT *, list_reduce(list_prepend(0::BIGINT,
+              |      list_transform(regexp_split_to_array(doc_id::VARCHAR, ''),
+              |        c -> coalesce(ascii(c), 0)::BIGINT)),
+              |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h FROM cb),
+              |cord AS (SELECT doc_id, score, bucket,
+              |    ((row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id) - 1)
+              |      * 4 + bucket)::BIGINT AS ord
+              |  FROM cf),
+              |pc AS (SELECT doc_id, ord, score::BIGINT AS n_tokens,
+              |    ord % 8 AS pbucket FROM cord),
+              |pb AS (SELECT *, row_number() OVER (PARTITION BY pbucket
+              |    ORDER BY ord) AS rn FROM pc),
+              |pack AS (
+              |  SELECT pbucket, rn, n_tokens, ord, doc_id,
+              |    0::BIGINT AS bin, n_tokens AS used
+              |  FROM pb WHERE rn = 1
+              |  UNION ALL
+              |  SELECT b.pbucket, b.rn, b.n_tokens, b.ord, b.doc_id,
+              |    CASE WHEN p.used + b.n_tokens > 256 THEN p.bin + 1 ELSE p.bin END,
+              |    CASE WHEN p.used + b.n_tokens > 256 THEN b.n_tokens
+              |         ELSE p.used + b.n_tokens END
+              |  FROM pb b JOIN pack p ON b.pbucket = p.pbucket AND b.rn = p.rn + 1),
+              |tot AS (SELECT count(*)::BIGINT AS n FROM clean)
+              |SELECT (pbucket * 8589934592 + bin)::BIGINT AS seq_id,
+              |  count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens,
+              |  min(ord)::BIGINT AS first_ord, min(doc_id)::BIGINT AS min_doc_id,
+              |  TRUE AS publish_ok, tot.n AS published_docs
+              |FROM pack, tot
+              |GROUP BY pbucket, bin, tot.n ORDER BY seq_id""".stripMargin)),
 
     Q("s05_stream_dedup_ingest",
       (s, d) => {
@@ -4451,46 +4689,11 @@ object SparkEntry {
             round(col("weight"), 6).as("weight"))
           .orderBy("doc_id")
       },
-      Some(s"""WITH tokt AS (SELECT doc_id, ${duckToks("text")} AS t
-              |  FROM documents WHERE doc_id % 7 = 0),
-              |tokr AS (SELECT doc_id, ${duckToks("text")} AS t
-              |  FROM documents WHERE doc_id % 7 <> 0),
-              |tgtf AS (SELECT unnest(t) AS f FROM tokt
-              |  UNION ALL
-              |  SELECT unnest(list_transform(range(1, len(t)),
-              |    i -> t[i] || ' ' || t[i+1])) AS f FROM tokt),
-              |rawf AS (SELECT doc_id, unnest(t) AS f FROM tokr
-              |  UNION ALL
-              |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
-              |    i -> t[i] || ' ' || t[i+1])) AS f FROM tokr),
-              |tgtb AS (SELECT list_reduce(list_prepend(0::BIGINT,
-              |      list_transform(regexp_split_to_array(f, ''),
-              |        c -> coalesce(ascii(c), 0)::BIGINT)),
-              |      (acc, x) -> (acc * 31 + x) % 1000000007) % 4096 AS bucket,
-              |    count(*)::BIGINT AS ct
-              |  FROM tgtf GROUP BY 1),
-              |rawb AS (SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
-              |      list_transform(regexp_split_to_array(f, ''),
-              |        c -> coalesce(ascii(c), 0)::BIGINT)),
-              |      (acc, x) -> (acc * 31 + x) % 1000000007) % 4096 AS bucket,
-              |    count(*)::BIGINT AS tf
-              |  FROM rawf GROUP BY 1, 2),
-              |rcnt AS (SELECT bucket, sum(tf)::BIGINT AS cr FROM rawb GROUP BY 1),
-              |tt AS (SELECT sum(ct)::BIGINT AS t FROM tgtb),
-              |tr AS (SELECT sum(cr)::BIGINT AS t FROM rcnt),
-              |ratio AS (SELECT rcnt.bucket,
-              |    ln((coalesce(ct, 0) + 1.0) / (tt.t + 1.0 * 4096))
-              |  - ln((cr + 1.0) / (tr.t + 1.0 * 4096)) AS lr
-              |  FROM rcnt LEFT JOIN tgtb USING (bucket), tt, tr),
-              |w AS (SELECT doc_id, sum(tf)::BIGINT AS n_feats,
-              |    round(list_reduce(list_prepend(0.0, list(tf * lr ORDER BY bucket)),
-              |      (acc, x) -> acc + x), 6) AS weight
-              |  FROM rawb JOIN ratio USING (bucket) GROUP BY doc_id)
-              |SELECT d.doc_id, coalesce(n_feats, 0) AS n_feats,
-              |  coalesce(weight, 0.0) AS weight
-              |FROM documents d LEFT JOIN w USING (doc_id)
-              |WHERE d.doc_id % 7 <> 0
-              |ORDER BY d.doc_id""".stripMargin)),
+      // round(coalesce(x,0),6) == coalesce(round(x,6),0.0), so rounding
+      // at the end over the shared full_w stack is the original query
+      Some(s"""WITH $duckDsirW
+              |SELECT doc_id, n_feats, round(weight, 6) AS weight
+              |FROM full_w ORDER BY doc_id""".stripMargin)),
 
     Q("ds02_dsir_resample",
       (s, d) => {
@@ -4510,45 +4713,7 @@ object SparkEntry {
             round(col("weight"), 6).as("weight"))
           .orderBy(col("weight").desc, col("doc_id"))
       },
-      Some(s"""WITH tokt AS (SELECT doc_id, ${duckToks("text")} AS t
-              |  FROM documents WHERE doc_id % 7 = 0),
-              |tokr AS (SELECT doc_id, ${duckToks("text")} AS t
-              |  FROM documents WHERE doc_id % 7 <> 0),
-              |tgtf AS (SELECT unnest(t) AS f FROM tokt
-              |  UNION ALL
-              |  SELECT unnest(list_transform(range(1, len(t)),
-              |    i -> t[i] || ' ' || t[i+1])) AS f FROM tokt),
-              |rawf AS (SELECT doc_id, unnest(t) AS f FROM tokr
-              |  UNION ALL
-              |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
-              |    i -> t[i] || ' ' || t[i+1])) AS f FROM tokr),
-              |tgtb AS (SELECT list_reduce(list_prepend(0::BIGINT,
-              |      list_transform(regexp_split_to_array(f, ''),
-              |        c -> coalesce(ascii(c), 0)::BIGINT)),
-              |      (acc, x) -> (acc * 31 + x) % 1000000007) % 4096 AS bucket,
-              |    count(*)::BIGINT AS ct
-              |  FROM tgtf GROUP BY 1),
-              |rawb AS (SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
-              |      list_transform(regexp_split_to_array(f, ''),
-              |        c -> coalesce(ascii(c), 0)::BIGINT)),
-              |      (acc, x) -> (acc * 31 + x) % 1000000007) % 4096 AS bucket,
-              |    count(*)::BIGINT AS tf
-              |  FROM rawf GROUP BY 1, 2),
-              |rcnt AS (SELECT bucket, sum(tf)::BIGINT AS cr FROM rawb GROUP BY 1),
-              |tt AS (SELECT sum(ct)::BIGINT AS t FROM tgtb),
-              |tr AS (SELECT sum(cr)::BIGINT AS t FROM rcnt),
-              |ratio AS (SELECT rcnt.bucket,
-              |    ln((coalesce(ct, 0) + 1.0) / (tt.t + 1.0 * 4096))
-              |  - ln((cr + 1.0) / (tr.t + 1.0 * 4096)) AS lr
-              |  FROM rcnt LEFT JOIN tgtb USING (bucket), tt, tr),
-              |w AS (SELECT doc_id, sum(tf)::BIGINT AS n_feats,
-              |    list_reduce(list_prepend(0.0, list(tf * lr ORDER BY bucket)),
-              |      (acc, x) -> acc + x) AS weight
-              |  FROM rawb JOIN ratio USING (bucket) GROUP BY doc_id),
-              |full_w AS (SELECT d.doc_id, coalesce(n_feats, 0) AS n_feats,
-              |    coalesce(weight, 0.0) AS weight
-              |  FROM documents d LEFT JOIN w USING (doc_id)
-              |  WHERE d.doc_id % 7 <> 0),
+      Some(s"""WITH $duckDsirW,
               |sel AS (SELECT doc_id, n_feats, weight FROM full_w
               |  WHERE n_feats > 0
               |  ORDER BY weight DESC, doc_id LIMIT 25)

@@ -180,23 +180,7 @@ object SetJoin {
       .withColumn("len", length(col("str")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (k <= 2) return deletionJoin(strs, k)
-    val nStrings = strs.count()
-    val stopF = math.max(16.0, stopGramFraction * nStrings)
-    // positional q-grams: (id, len, pos, gram); n = len − q + 1 (0 when short)
-    val grams = strs
-      .select(col("id"), col("len"),
-        posexplode(expr(s"transform(sequence(1, greatest(len - ${q - 1}, 0)), " +
-          s"i -> substring(str, i, $q))")).as(Seq("pos", "gram")))
-    val freq = grams.groupBy("gram")
-      .agg(count_distinct(col("id")).as("gf"))
-    val rare = grams.join(freq.filter(col("gf") <= stopF), "gram")
-      .select("id", "len", "pos", "gram")
-    // per-string gram accounting: n total, r rare, d dropped
-    val stats = strs.select(col("id"),
-        greatest(col("len") - (q - 1), lit(0)).as("n"))
-      .join(rare.groupBy("id").agg(count(lit(1)).as("r")), Seq("id"), "left")
-      .withColumn("r", coalesce(col("r"), lit(0L)))
-      .withColumn("d", col("n") - col("r"))
+    val (rare, stats) = gramStats(strs, q, stopGramFraction)
     val ra = rare.select(col("id").as("id_a"), col("len").as("la"),
       col("pos").as("pa"), col("gram").as("ga"))
     val rb = rare.select(col("id").as("id_b"), col("len").as("lb"),
@@ -230,6 +214,55 @@ object SetJoin {
       .localCheckpoint(eager = true)
     strs.unpersist(blocking = false)
     out
+  }
+
+  /** The q-gram path's gram accounting, shared by [[editDistanceJoin]]
+    * and [[qgramPoolStats]]: positional q-grams minus the stop grams
+    * (present in more than max(16, stopGramFraction·n) strings), plus
+    * per-string totals (n grams, r rare, d dropped). `strs` must carry
+    * (id, str, len).
+    */
+  private def gramStats(strs: DataFrame, q: Int, stopGramFraction: Double)
+      : (DataFrame, DataFrame) = {
+    val nStrings = strs.count()
+    val stopF = math.max(16.0, stopGramFraction * nStrings)
+    // positional q-grams: (id, len, pos, gram); n = len − q + 1 (0 when short)
+    val grams = strs
+      .select(col("id"), col("len"),
+        posexplode(expr(s"transform(sequence(1, greatest(len - ${q - 1}, 0)), " +
+          s"i -> substring(str, i, $q))")).as(Seq("pos", "gram")))
+    val freq = grams.groupBy("gram")
+      .agg(count_distinct(col("id")).as("gf"))
+    val rare = grams.join(freq.filter(col("gf") <= stopF), "gram")
+      .select("id", "len", "pos", "gram")
+    val stats = strs.select(col("id"),
+        greatest(col("len") - (q - 1), lit(0)).as("n"))
+      .join(rare.groupBy("id").agg(count(lit(1)).as("r")), Seq("id"), "left")
+      .withColumn("r", coalesce(col("r"), lit(0L)))
+      .withColumn("d", col("n") - col("r"))
+    (rare, stats)
+  }
+
+  /** Filter-health diagnostic for the k ≥ 3 q-gram path: how much of the
+    * corpus drains into the quadratic all-pairs fallback pool (strings
+    * with ≤ q·k rare grams). Returns (poolSize, totalStrings) — a pool
+    * fraction near 1 means the corpus shape defeats the count filter
+    * (the SCALE.md j03 negative result) and the join will go quadratic;
+    * near 0 means the filter carries the corpus. Costs one gram-count
+    * pass, no candidate join.
+    */
+  def qgramPoolStats(df: DataFrame, strCol: String, idCol: String,
+                     maxDist: Int, q: Int = 2,
+                     stopGramFraction: Double = 0.05): (Long, Long) = {
+    val strs = df.select(col(idCol).as("id"), col(strCol).cast("string").as("str"))
+      .filter(col("str").isNotNull)
+      .withColumn("len", length(col("str")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (_, stats) = gramStats(strs, q, stopGramFraction)
+    val pool = stats.filter(col("r") <= q * maxDist).count()
+    val total = strs.count()
+    strs.unpersist(blocking = false)
+    (pool, total)
   }
 
   /** `concat(prefix before i, suffix after i)` — delete char `i` (1-based). */

@@ -304,6 +304,39 @@ object ScaleSmoke {
           // swallows the count bound — see editDistanceJoin scaladoc)
           graft.pipeline.SetJoin.editDistanceJoin(blown, "name", "k", maxDist = 1)
             .count()
+        }),
+        "edit_dist_join_k3(j04)" -> (() => {
+          // the k ≥ 3 q-gram path's POSITIVE-case measurement (r10
+          // measured this path only failing, on the zero-padded corpus
+          // that structurally defeats it): j04's md5-derived 20-char
+          // 16-letter corpus — rich gram vocabulary (16⁴ at q=4), no
+          // constant region, groups of 4 siblings at planted distances
+          // 0–3 so true pairs (6/group) grow LINEARLY with the corpus
+          // (an algebraic base recipe leaks shift/negation collisions
+          // and goes output-quadratic — measured before this cut).
+          // Filter health = fallback-pool fraction (printed) + the
+          // per-verified-pair cost derived from the row.
+          val n = 15000L * f
+          val corpus = spark.range(n)
+            .select(col("id").as("k"), expr("id div 4").as("g"),
+              expr("id % 4").as("r"))
+            .withColumn("s0", expr("translate(substring(md5(concat('b', " +
+              "cast(g AS string))), 1, 20), '0123456789abcdef', 'abcdefghijklmnop')"))
+            .withColumn("s1", expr("CASE WHEN r > 0 THEN concat(" +
+              "substring(s0, 1, pmod(g*7, 20)), chr(97 + pmod(g, 16)), " +
+              "substring(s0, pmod(g*7, 20) + 2, 100)) ELSE s0 END"))
+            .withColumn("s2", expr("CASE WHEN r > 1 THEN concat(" +
+              "substring(s1, 1, pmod(g*7 + 5, 20)), chr(97 + pmod(g + 5, 16)), " +
+              "substring(s1, pmod(g*7 + 5, 20) + 2, 100)) ELSE s1 END"))
+            .withColumn("s3", expr("CASE WHEN r > 2 THEN concat(" +
+              "substring(s2, 1, pmod(g*7 + 10, 20)), chr(97 + pmod(g + 10, 16)), " +
+              "substring(s2, pmod(g*7 + 10, 20) + 2, 100)) ELSE s2 END"))
+            .select(col("k"), col("s3").as("name"))
+          val (pool, total) = graft.pipeline.SetJoin.qgramPoolStats(
+            corpus, "name", "k", maxDist = 3, q = 4)
+          println(f"[j04] f=$f pool=$pool/$total (${pool.toDouble / total}%.4f)")
+          graft.pipeline.SetJoin.editDistanceJoin(corpus, "name", "k",
+            maxDist = 3, q = 4).count()
         }))
     }
 
