@@ -2373,6 +2373,83 @@ object SparkEntry {
        |  FROM documents d LEFT JOIN w USING (doc_id)
        |  WHERE d.doc_id % 7 <> 0)""".stripMargin
 
+  /** j04/j05/j06 corpus: pseudo-natural 20-char strings over a 16-letter
+    * alphabet with a rich gram vocabulary (16⁴ at q=4) and no constant
+    * region — the corpus shape the k ≥ 3 q-gram filter is FOR. Groups of
+    * 4 sibling customer keys share an md5-derived base string (a crypto
+    * hash: earlier algebraic recipes leaked period/shift/negation
+    * structure that made cross-group pairs grow quadratically); sibling
+    * r carries r planted substitutions at spread positions, so every
+    * group yields its 6 true pairs at distances 0–3 and nothing else
+    * collides.
+    */
+  private def editCorpus(customer: DataFrame): DataFrame =
+    customer
+      .select(col("c_custkey").cast("long").as("k"))
+      .withColumn("g", expr("k div 4"))
+      .withColumn("r", expr("k % 4"))
+      .withColumn("s0", expr("translate(substring(md5(concat('b', " +
+        "cast(g AS string))), 1, 20), '0123456789abcdef', 'abcdefghijklmnop')"))
+      .withColumn("s1", expr("CASE WHEN r > 0 THEN concat(" +
+        "substring(s0, 1, pmod(g*7, 20)), chr(97 + pmod(g, 16)), " +
+        "substring(s0, pmod(g*7, 20) + 2, 100)) ELSE s0 END"))
+      .withColumn("s2", expr("CASE WHEN r > 1 THEN concat(" +
+        "substring(s1, 1, pmod(g*7 + 5, 20)), chr(97 + pmod(g + 5, 16)), " +
+        "substring(s1, pmod(g*7 + 5, 20) + 2, 100)) ELSE s1 END"))
+      .withColumn("s3", expr("CASE WHEN r > 2 THEN concat(" +
+        "substring(s2, 1, pmod(g*7 + 10, 20)), chr(97 + pmod(g + 10, 16)), " +
+        "substring(s2, pmod(g*7 + 10, 20) + 2, 100)) ELSE s2 END"))
+      .select(col("k"), col("s3").as("name"))
+
+  /** DuckDB mirror of [[editCorpus]] (CTEs c, b0–b3; result in b3.name).
+    * NOTE: this fragment is embedded into oracles that stripMargin the
+    * COMBINED string again, so no content line may start with `||` — a
+    * second stripMargin would eat one pipe of the concat operator.
+    */
+  private val duckEditCorpus: String =
+    """c AS (SELECT c_custkey::BIGINT AS k, c_custkey // 4 AS g,
+      |    c_custkey % 4 AS r FROM customer),
+      |b0 AS (SELECT k, g, r, translate(substr(md5('b' || g), 1, 20),
+      |    '0123456789abcdef', 'abcdefghijklmnop') AS s0 FROM c),
+      |b1 AS (SELECT k, g, r, CASE WHEN r > 0 THEN
+      |    substr(s0, 1, (g*7) % 20) || chr((97 + g % 16)::INT) ||
+      |    substr(s0, (g*7) % 20 + 2, 100) ELSE s0 END AS s1 FROM b0),
+      |b2 AS (SELECT k, g, r, CASE WHEN r > 1 THEN
+      |    substr(s1, 1, (g*7 + 5) % 20) || chr((97 + (g + 5) % 16)::INT) ||
+      |    substr(s1, (g*7 + 5) % 20 + 2, 100) ELSE s1 END AS s2 FROM b1),
+      |b3 AS (SELECT k, CASE WHEN r > 2 THEN
+      |    substr(s2, 1, (g*7 + 10) % 20) || chr((97 + (g + 10) % 16)::INT) ||
+      |    substr(s2, (g*7 + 10) % 20 + 2, 100) ELSE s2 END AS name FROM b2)"""
+      .stripMargin
+
+  /** Probe batch for the lookup joins (j05/j06): every 5th key's GROUP
+    * BASE with one fresh substitution at a position disjoint from the
+    * planted ones — each probe is near its source group's members and
+    * nothing else.
+    */
+  private def editProbes(customer: DataFrame): DataFrame =
+    customer
+      .select(col("c_custkey").cast("long").as("k"))
+      .filter(col("k") % 5 === 0)
+      .withColumn("g", expr("k div 4"))
+      .withColumn("s0", expr("translate(substring(md5(concat('b', " +
+        "cast(g AS string))), 1, 20), '0123456789abcdef', 'abcdefghijklmnop')"))
+      .withColumn("p", expr("concat(substring(s0, 1, pmod(g*3 + 7, 20)), " +
+        "chr(97 + pmod(g + 3, 16)), substring(s0, pmod(g*3 + 7, 20) + 2, 100))"))
+      .select(col("k").as("pk"), col("p").as("pname"))
+
+  /** DuckDB mirror of [[editProbes]] (CTEs pq, p0; result in
+    * probes.pname). Same no-leading-`||` rule as [[duckEditCorpus]].
+    */
+  private val duckEditProbes: String =
+    """pq AS (SELECT c_custkey::BIGINT AS pk, c_custkey // 4 AS g
+      |  FROM customer WHERE c_custkey % 5 = 0),
+      |p0 AS (SELECT pk, g, translate(substr(md5('b' || g), 1, 20),
+      |    '0123456789abcdef', 'abcdefghijklmnop') AS s0 FROM pq),
+      |probes AS (SELECT pk, substr(s0, 1, (g*3 + 7) % 20) ||
+      |    chr((97 + (g + 3) % 16)::INT) ||
+      |    substr(s0, (g*3 + 7) % 20 + 2, 100) AS pname FROM p0)""".stripMargin
+
   private val duckCos =
     "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
 
@@ -3424,43 +3501,60 @@ object SparkEntry {
         // — completeness proven on data, not fixtures (the j03 argument,
         // now for the q-gram path).
         val m = mgr(s, d)
-        val corpus = m.getDDFByName("customer").df
-          .select(col("c_custkey").cast("long").as("k"))
-          .withColumn("g", expr("k div 4"))
-          .withColumn("r", expr("k % 4"))
-          .withColumn("s0", expr("translate(substring(md5(concat('b', " +
-            "cast(g AS string))), 1, 20), '0123456789abcdef', 'abcdefghijklmnop')"))
-          .withColumn("s1", expr("CASE WHEN r > 0 THEN concat(" +
-            "substring(s0, 1, pmod(g*7, 20)), chr(97 + pmod(g, 16)), " +
-            "substring(s0, pmod(g*7, 20) + 2, 100)) ELSE s0 END"))
-          .withColumn("s2", expr("CASE WHEN r > 1 THEN concat(" +
-            "substring(s1, 1, pmod(g*7 + 5, 20)), chr(97 + pmod(g + 5, 16)), " +
-            "substring(s1, pmod(g*7 + 5, 20) + 2, 100)) ELSE s1 END"))
-          .withColumn("s3", expr("CASE WHEN r > 2 THEN concat(" +
-            "substring(s2, 1, pmod(g*7 + 10, 20)), chr(97 + pmod(g + 10, 16)), " +
-            "substring(s2, pmod(g*7 + 10, 20) + 2, 100)) ELSE s2 END"))
-          .select(col("k"), col("s3").as("name"))
-        pipeline.SetJoin.editDistanceJoin(corpus, "name", "k", maxDist = 3, q = 4)
+        pipeline.SetJoin.editDistanceJoin(
+            editCorpus(m.getDDFByName("customer").df), "name", "k",
+            maxDist = 3, q = 4)
           .orderBy("id_a", "id_b")
       },
-      Some("""WITH c AS (SELECT c_custkey::BIGINT AS k, c_custkey // 4 AS g,
-             |    c_custkey % 4 AS r FROM customer),
-             |b0 AS (SELECT k, g, r, translate(substr(md5('b' || g), 1, 20),
-             |    '0123456789abcdef', 'abcdefghijklmnop') AS s0 FROM c),
-             |b1 AS (SELECT k, g, r, CASE WHEN r > 0 THEN
-             |    substr(s0, 1, (g*7) % 20) || chr((97 + g % 16)::INT)
-             |    || substr(s0, (g*7) % 20 + 2, 100) ELSE s0 END AS s1 FROM b0),
-             |b2 AS (SELECT k, g, r, CASE WHEN r > 1 THEN
-             |    substr(s1, 1, (g*7 + 5) % 20) || chr((97 + (g + 5) % 16)::INT)
-             |    || substr(s1, (g*7 + 5) % 20 + 2, 100) ELSE s1 END AS s2 FROM b1),
-             |b3 AS (SELECT k, CASE WHEN r > 2 THEN
-             |    substr(s2, 1, (g*7 + 10) % 20) || chr((97 + (g + 10) % 16)::INT)
-             |    || substr(s2, (g*7 + 10) % 20 + 2, 100) ELSE s2 END AS name FROM b2)
-             |SELECT a.k AS id_a, b.k AS id_b,
-             |  levenshtein(a.name, b.name)::BIGINT AS dist
-             |FROM b3 a JOIN b3 b ON a.k < b.k
-             |WHERE levenshtein(a.name, b.name) <= 3
-             |ORDER BY id_a, id_b""".stripMargin)),
+      Some(s"""WITH $duckEditCorpus
+              |SELECT a.k AS id_a, b.k AS id_b,
+              |  levenshtein(a.name, b.name)::BIGINT AS dist
+              |FROM b3 a JOIN b3 b ON a.k < b.k
+              |WHERE levenshtein(a.name, b.name) <= 3
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    Q("j05_edit_distance_lookup",
+      (s, d) => {
+        // Two-table edit-distance LOOKUP, k=2 → the FastSS path's
+        // cross-side variant collisions: probe batch (one fresh
+        // substitution on every 5th group's base string) matched against
+        // the j04 canonical corpus — the batch-vs-reference entity-
+        // resolution shape. Oracle brute-forces the full probes×corpus
+        // cross product.
+        val m = mgr(s, d)
+        val cust = m.getDDFByName("customer").df
+        pipeline.SetJoin.editDistanceLookup(
+            editProbes(cust), "pname", "pk",
+            editCorpus(cust), "name", "k", maxDist = 2)
+          .orderBy("id_l", "id_r")
+      },
+      Some(s"""WITH $duckEditCorpus,
+              |$duckEditProbes
+              |SELECT p.pk AS id_l, b.k AS id_r,
+              |  levenshtein(p.pname, b.name)::BIGINT AS dist
+              |FROM probes p CROSS JOIN b3 b
+              |WHERE levenshtein(p.pname, b.name) <= 2
+              |ORDER BY id_l, id_r""".stripMargin)),
+
+    Q("j06_edit_distance_lookup_k3",
+      (s, d) => {
+        // the same lookup through the k ≥ 3 q-gram path (union-frequency
+        // stop grams, poolL × poolR fallback) — both candidate
+        // strategies of the two-table join under oracle
+        val m = mgr(s, d)
+        val cust = m.getDDFByName("customer").df
+        pipeline.SetJoin.editDistanceLookup(
+            editProbes(cust), "pname", "pk",
+            editCorpus(cust), "name", "k", maxDist = 3, q = 4)
+          .orderBy("id_l", "id_r")
+      },
+      Some(s"""WITH $duckEditCorpus,
+              |$duckEditProbes
+              |SELECT p.pk AS id_l, b.k AS id_r,
+              |  levenshtein(p.pname, b.name)::BIGINT AS dist
+              |FROM probes p CROSS JOIN b3 b
+              |WHERE levenshtein(p.pname, b.name) <= 3
+              |ORDER BY id_l, id_r""".stripMargin)),
 
     Q("j02_range_join",
       (s, d) => {

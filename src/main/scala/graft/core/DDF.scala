@@ -228,11 +228,18 @@ final class DDF(
   def interpolate(bucketCol: String, keyCols: Seq[String], valueCol: String,
                   outCol: String = "interpolated"): DDF =
     derive(graft.operators.TimeSeries.interpolate(df, bucketCol, keyCols, valueCol, outCol))
-  /** Train a BPE tokenizer over `textCol` (see `TextAnalysis.bpeTrain`). */
-  def bpeTrain(textCol: String, nMerges: Int, minFreq: Long = 2L): DDF =
-    derive(graft.pipeline.TextAnalysis.bpeTrain(df, textCol, nMerges, minFreq))
-  def bpeEncode(textCol: String, merges: Seq[(String, String)]): DDF =
-    derive(graft.pipeline.TextAnalysis.bpeEncode(df, textCol, merges))
+  /** Train a BPE tokenizer over `textCol` (see `TextAnalysis.bpeTrain`;
+    * `byteLevel = true` trains over UTF-8 bytes as hex-pair symbols so
+    * digits/punctuation/non-Latin text participate).
+    */
+  def bpeTrain(textCol: String, nMerges: Int, minFreq: Long = 2L,
+               byteLevel: Boolean = false): DDF =
+    derive(graft.pipeline.TextAnalysis.bpeTrain(df, textCol, nMerges, minFreq,
+      byteLevel))
+  def bpeEncode(textCol: String, merges: Seq[(String, String)],
+                byteLevel: Boolean = false): DDF =
+    derive(graft.pipeline.TextAnalysis.bpeEncode(df, textCol, merges,
+      byteLevel = byteLevel))
   /** Z-order clustered publish (see `sources/Layout`): footer-stat
     * pruning on every clustered dimension for downstream readers, with
     * the SAME per-shard content manifest as [[publish]] — the clustered

@@ -226,13 +226,27 @@ object SetJoin {
       : (DataFrame, DataFrame) = {
     val nStrings = strs.count()
     val stopF = math.max(16.0, stopGramFraction * nStrings)
-    // positional q-grams: (id, len, pos, gram); n = len − q + 1 (0 when short)
-    val grams = strs
-      .select(col("id"), col("len"),
-        posexplode(expr(s"transform(sequence(1, greatest(len - ${q - 1}, 0)), " +
-          s"i -> substring(str, i, $q))")).as(Seq("pos", "gram")))
+    val grams = posGrams(strs, q)
     val freq = grams.groupBy("gram")
       .agg(count_distinct(col("id")).as("gf"))
+    classifyGrams(strs, grams, freq, stopF, q)
+  }
+
+  /** Positional q-grams of a prepped (id, str, len) frame:
+    * (id, len, pos, gram); a string has len − q + 1 grams (0 when short).
+    */
+  private def posGrams(strs: DataFrame, q: Int): DataFrame =
+    strs.select(col("id"), col("len"),
+      posexplode(expr(s"transform(sequence(1, greatest(len - ${q - 1}, 0)), " +
+        s"i -> substring(str, i, $q))")).as(Seq("pos", "gram")))
+
+  /** Split `grams` into the rare subset (per the `gf ≤ stopF` rule
+    * against the provided frequency table — classification is a pure
+    * function of the gram STRING, so any freq table keeps the count
+    * bound's completeness) and the per-string accounting (n, r, d).
+    */
+  private def classifyGrams(strs: DataFrame, grams: DataFrame, freq: DataFrame,
+                            stopF: Double, q: Int): (DataFrame, DataFrame) = {
     val rare = grams.join(freq.filter(col("gf") <= stopF), "gram")
       .select("id", "len", "pos", "gram")
     val stats = strs.select(col("id"),
@@ -241,6 +255,104 @@ object SetJoin {
       .withColumn("r", coalesce(col("r"), lit(0L)))
       .withColumn("d", col("n") - col("r"))
     (rare, stats)
+  }
+
+  /** EXACT edit-distance LOOKUP join (two tables): every (left, right)
+    * pair within Levenshtein distance `maxDist` — the batch-vs-canonical
+    * entity-resolution shape (match today's ingest against the reference
+    * table) that [[editDistanceJoin]]'s self-join form only reaches via
+    * a wasteful union. Same two candidate strategies, same conservative-
+    * at-every-step guarantee (NO false negatives):
+    *
+    *   - k ≤ 2: FastSS deletion neighborhoods on BOTH sides; candidates
+    *     are cross-side variant collisions (the common-subsequence
+    *     completeness argument is side-agnostic).
+    *   - k ≥ 3: the positional q-gram count filter. Gram stop/rare
+    *     classification comes from the UNION frequency (a gram frequent
+    *     in either corpus would explode the join) — classification is a
+    *     pure function of the gram string, so the per-pair bound holds
+    *     verbatim: shared stop matches ≤ min(dL, dR), and a
+    *     requirement-≤-0 pair forces BOTH strings under q·k rare grams
+    *     (the editDistanceJoin scaladoc proof with sides substituted),
+    *     so the quadratic fallback pool is poolL × poolR only.
+    *
+    * Output: (id_l, id_r, dist), dist ≤ maxDist.
+    */
+  def editDistanceLookup(left: DataFrame, leftStr: String, leftId: String,
+                         right: DataFrame, rightStr: String, rightId: String,
+                         maxDist: Int, q: Int = 2,
+                         stopGramFraction: Double = 0.05): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    require(q >= 1, s"q must be >= 1, got $q")
+    require(stopGramFraction > 0 && stopGramFraction <= 1,
+      s"stopGramFraction in (0,1], got $stopGramFraction")
+    val k = maxDist
+    def prep(df: DataFrame, s: String, i: String) =
+      df.select(col(i).as("id"), col(s).cast("string").as("str"))
+        .filter(col("str").isNotNull)
+        .withColumn("len", length(col("str")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ls = prep(left, leftStr, leftId)
+    val rs = prep(right, rightStr, rightId)
+    val cands =
+      if (k <= 2) {
+        val lv = ls.select(col("id").as("id_l"), col("len").as("ll"),
+          explode(expr(variantsExpr(k))).as("vl"))
+        val rv = rs.select(col("id").as("id_r"), col("len").as("lr"),
+          explode(expr(variantsExpr(k))).as("vr"))
+        lv.join(rv, col("vl") === col("vr") && abs(col("ll") - col("lr")) <= k)
+          .select("id_l", "id_r").distinct()
+      } else {
+        val gl = posGrams(ls, q)
+        val gr = posGrams(rs, q)
+        // union doc-frequency: per-side distinct-string counts summed
+        val freq = gl.select("gram", "id").distinct()
+          .groupBy("gram").agg(count(lit(1)).as("gfl"))
+          .join(gr.select("gram", "id").distinct()
+            .groupBy("gram").agg(count(lit(1)).as("gfr")), Seq("gram"), "full")
+          .select(col("gram"), (coalesce(col("gfl"), lit(0L))
+            + coalesce(col("gfr"), lit(0L))).as("gf"))
+        val stopF = math.max(16.0, stopGramFraction * (ls.count() + rs.count()))
+        val (rareL, statsL) = classifyGrams(ls, gl, freq, stopF, q)
+        val (rareR, statsR) = classifyGrams(rs, gr, freq, stopF, q)
+        val ra = rareL.select(col("id").as("id_l"), col("len").as("ll"),
+          col("pos").as("pl"), col("gram").as("gl"))
+        val rb = rareR.select(col("id").as("id_r"), col("len").as("lr"),
+          col("pos").as("pr"), col("gram").as("gr"))
+        val joined = ra.join(rb,
+            col("gl") === col("gr") && abs(col("ll") - col("lr")) <= k &&
+              abs(col("pl") - col("pr")) <= k)
+          .groupBy("id_l", "id_r").agg(count(lit(1)).as("matches"))
+        val sa = statsL.select(col("id").as("id_l"), col("n").as("nl"),
+          col("d").as("dl"))
+        val sb = statsR.select(col("id").as("id_r"), col("n").as("nr"),
+          col("d").as("dr"))
+        val gramCands = joined.join(sa, "id_l").join(sb, "id_r")
+          .filter(col("matches") >= greatest(
+            greatest(col("nl"), col("nr")) - (q * k) - least(col("dl"), col("dr")),
+            lit(1L)))
+          .select("id_l", "id_r")
+        val poolL = statsL.filter(col("r") <= q * k)
+          .join(ls.select(col("id"), col("len")), "id")
+          .select(col("id").as("id_l"), col("len").as("ll"))
+        val poolR = statsR.filter(col("r") <= q * k)
+          .join(rs.select(col("id"), col("len")), "id")
+          .select(col("id").as("id_r"), col("len").as("lr"))
+        val poolCands = poolL.join(poolR, abs(col("ll") - col("lr")) <= k)
+          .select("id_l", "id_r")
+        gramCands.unionAll(poolCands).distinct()
+      }
+    val vl = ls.select(col("id").as("id_l"), col("str").as("strl"))
+    val vr = rs.select(col("id").as("id_r"), col("str").as("strr"))
+    val out = cands
+      .join(vl, "id_l").join(vr, "id_r")
+      .withColumn("dist", levenshtein(col("strl"), col("strr")))
+      .filter(col("dist") <= k)
+      .select(col("id_l"), col("id_r"), col("dist").cast("long").as("dist"))
+      .localCheckpoint(eager = true)
+    ls.unpersist(blocking = false)
+    rs.unpersist(blocking = false)
+    out
   }
 
   /** Filter-health diagnostic for the k ≥ 3 q-gram path: how much of the
@@ -277,18 +389,22 @@ object SetJoin {
     s"""(CASE WHEN length($s) = 0 THEN cast(array() AS array<string>)
        | ELSE transform(sequence(1, length($s)), $v -> ${delAt(s, v)}) END)""".stripMargin
 
+  /** FastSS variant set of the prepped `str` column: the string plus
+    * every variant reachable by ≤ k character deletions.
+    */
+  private def variantsExpr(k: Int): String = k match {
+    case 1 => s"array_distinct(concat(array(str), ${d1("str", "i")}))"
+    case 2 => s"""array_distinct(concat(array(str), ${d1("str", "i")},
+                 |  flatten(transform(${d1("str", "i")},
+                 |    s1 -> ${d1("s1", "j")}))))""".stripMargin
+    case other => throw new IllegalArgumentException(
+      s"deletion variants support k <= 2, got $other")
+  }
+
   /** FastSS candidate generation + exact verify for k ≤ 2. */
   private def deletionJoin(strs: DataFrame, k: Int): DataFrame = {
-    val variants = k match {
-      case 1 => s"array_distinct(concat(array(str), ${d1("str", "i")}))"
-      case 2 => s"""array_distinct(concat(array(str), ${d1("str", "i")},
-                   |  flatten(transform(${d1("str", "i")},
-                   |    s1 -> ${d1("s1", "j")}))))""".stripMargin
-      case other => throw new IllegalArgumentException(
-        s"deletionJoin supports k <= 2, got $other")
-    }
     val exploded = strs
-      .select(col("id"), col("len"), explode(expr(variants)).as("v"))
+      .select(col("id"), col("len"), explode(expr(variantsExpr(k))).as("v"))
     val ea = exploded.select(col("id").as("id_a"), col("len").as("la"), col("v").as("va"))
     val eb = exploded.select(col("id").as("id_b"), col("len").as("lb"), col("v").as("vb"))
     val va = strs.select(col("id").as("id_a"), col("str").as("stra"))

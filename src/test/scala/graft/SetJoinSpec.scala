@@ -65,6 +65,38 @@ class SetJoinSpec extends SparkTestBase {
     assert(r.getLong(0) == 1L && r.getLong(1) == 2L && r.getDouble(2) == 0.6)
   }
 
+  test("editDistanceLookup == brute force on both paths (FastSS and q-grams)") {
+    // low alphabet + short words: dense near-pairs, and at q=2 the 16
+    // gram types all go stop-frequent so the poolL × poolR fallback path
+    // carries part of the corpus — both candidate generators exercised
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => i + j)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rng = new scala.util.Random(23)
+    val alpha = "abcd"
+    def word() = (0 until 6 + rng.nextInt(4))
+      .map(_ => alpha(rng.nextInt(alpha.length))).mkString
+    val rightRows = (0 until 60).map(i => (i.toLong, word()))
+    val leftRows = (100 until 125).map(i => (i.toLong, word()))
+    val right = rightRows.toDF("id", "s")
+    val left = leftRows.toDF("id", "s")
+    for (k <- Seq(1, 2, 3)) { // k ≤ 2 → FastSS; k = 3 → q-gram + pool
+      val mine = SetJoin.editDistanceLookup(left, "s", "id", right, "s", "id",
+          maxDist = k, q = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val truth = (for {
+        (il, sl) <- leftRows; (ir, sr) <- rightRows
+        d = lev(sl, sr) if d <= k
+      } yield (il, ir, d.toLong)).toSet
+      assert(mine == truth, s"k=$k: mine ${mine.size} vs truth ${truth.size}; " +
+        s"missing=${truth -- mine}, extra=${mine -- truth}")
+    }
+  }
+
   test("editDistanceJoin == brute force incl. repeats, shared prefixes, short strings") {
     import spark.implicits._
     // the corpus bakes in every known pruning trap:
