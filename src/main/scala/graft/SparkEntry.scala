@@ -1571,7 +1571,76 @@ object SparkEntry {
       },
       Some("""SELECT cast(l_partkey AS varchar) AS item, count(*) AS est_count
              |FROM lineitem GROUP BY l_partkey
-             |ORDER BY est_count DESC, item LIMIT 20""".stripMargin))
+             |ORDER BY est_count DESC, item LIMIT 20""".stripMargin)),
+
+    Q("sk03_profile_drift",
+      (s, d) => {
+        // corpus-version drift from PROFILES ALONE (Sketches.profileDrift
+        // / Manifest.profileDrift): old = 3/4 of events with a sparse
+        // null pattern, new = all events with a denser one — rows, null
+        // rate, ndv, and range all drift, and the report derives from
+        // two config-sized stats tables, never a rescan. Exact fields
+        // (counts, rates, range_widened from exact min/max) hash-check
+        // against DuckDB; the HLL ndv estimates get sk01-style 6σ
+        // verdict booleans against exact distinct counts.
+        val m = mgr(s, d)
+        val ev = m.getDDFByName("events").df
+        val cols = Seq("user_id", "event_type", "value_n")
+        val old = ev.filter(col("event_id") % 4 =!= 0)
+          .select(col("user_id"), col("event_type"),
+            expr("CASE WHEN event_id % 9 = 0 THEN CAST(NULL AS double) " +
+              "ELSE value END").as("value_n"))
+        val nw = ev.select(col("user_id"), col("event_type"),
+          expr("CASE WHEN event_id % 6 = 0 THEN CAST(NULL AS double) " +
+            "ELSE value END").as("value_n"))
+        val drift = Sketches.profileDrift(
+          Sketches.estimate(Sketches.profile(old, cols)),
+          Sketches.estimate(Sketches.profile(nw, cols)))
+        // exact distinct counts for the verdicts — gate-side exactness
+        // check (sk01 pattern), not part of the operator
+        val exacts = old.select(cols.map(c =>
+            count_distinct(col(c)).as(s"__o_$c")): _*)
+          .crossJoin(nw.select(cols.map(c =>
+            count_distinct(col(c)).as(s"__n_$c")): _*))
+        val tol = 6 * Sketches.hllRse(12)
+        def pick(p: String) = coalesce(cols.map(c =>
+          when(col("col_name") === c, col(s"__${p}_$c"))): _*)
+        drift.crossJoin(exacts).select(
+          col("col_name"), col("rows_old"), col("rows_new"),
+          col("nulls_old"), col("nulls_new"),
+          round(col("null_rate_delta"), 6).as("null_rate_delta"),
+          col("range_widened"),
+          (abs(col("ndv_old") - pick("o")) <=
+            greatest(lit(1.0), pick("o") * tol)).as("ndv_old_ok"),
+          (abs(col("ndv_new") - pick("n")) <=
+            greatest(lit(1.0), pick("n") * tol)).as("ndv_new_ok"))
+          .orderBy("col_name")
+      },
+      Some {
+        val mk = Seq("user_id", "event_type", "value_n").map { c =>
+          s"""SELECT '$c' AS col_name, ro AS rows_old, rn AS rows_new,
+             |  ro - (SELECT count($c) FROM o) AS nulls_old,
+             |  rn - (SELECT count($c) FROM n) AS nulls_new,
+             |  round(CAST(rn - (SELECT count($c) FROM n) AS DOUBLE) / rn
+             |    - CAST(ro - (SELECT count($c) FROM o) AS DOUBLE) / ro, 6)
+             |    AS null_rate_delta,
+             |  coalesce((SELECT min($c) FROM n) < (SELECT min($c) FROM o), false)
+             |    OR coalesce((SELECT max($c) FROM n) > (SELECT max($c) FROM o), false)
+             |    AS range_widened,
+             |  true AS ndv_old_ok, true AS ndv_new_ok
+             |FROM r""".stripMargin
+        }
+        s"""WITH o AS (SELECT user_id, event_type,
+           |    CASE WHEN event_id % 9 = 0 THEN NULL ELSE value END AS value_n
+           |  FROM events WHERE event_id % 4 <> 0),
+           |n AS (SELECT user_id, event_type,
+           |    CASE WHEN event_id % 6 = 0 THEN NULL ELSE value END AS value_n
+           |  FROM events),
+           |r AS (SELECT (SELECT count(*) FROM o)::BIGINT AS ro,
+           |             (SELECT count(*) FROM n)::BIGINT AS rn)
+           |${mk.mkString("\nUNION ALL\n")}
+           |ORDER BY col_name""".stripMargin
+      })
   )
 
   // =====================================================================
@@ -2250,6 +2319,64 @@ object SparkEntry {
 
   private def duckToks(t: String) =
     s"list_filter(string_split_regex(lower($t), '\\s+'), x -> x != '')"
+
+  /** c06/c11 shared BM25 oracle stack: the 3-query VALUES table through
+    * per-(query, doc) token-ordered score folds, ranked and cut at `k`
+    * in `bmrank` (query_id, id, bm25, terms_hit, rk ≤ k). Leaves `qt`
+    * (query_id, distinct token) visible for downstream retrievers.
+    */
+  private def duckBm25Ctes(k: Int): String =
+    s"""q(query_id, qtext) AS (VALUES (1, 'spark join'),
+       |    (2, 'window stream'), (3, 'hash filter scan')),
+       |qt AS (SELECT query_id, unnest(list_distinct(${duckToks("qtext")})) AS token
+       |  FROM q),
+       |tok AS (SELECT doc_id, unnest(${duckToks("text")}) AS token FROM documents),
+       |dl AS (SELECT doc_id, ${duckTokenCount("text")} AS dl FROM documents),
+       |stats AS (SELECT count(*) AS n, (SELECT sum(dl) FROM dl)::DOUBLE / count(*) AS avgdl
+       |  FROM documents),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+       |  WHERE token IN (SELECT token FROM qt) GROUP BY 1, 2),
+       |dfq AS (SELECT token, count(*) AS doc_freq FROM tf GROUP BY 1),
+       |ts AS (SELECT qt.query_id, tf.doc_id, tf.token,
+       |    ln(1.0 + (n::DOUBLE - doc_freq + 0.5) / (doc_freq + 0.5))
+       |      * (tf * (1.2 + 1.0))
+       |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS sc
+       |  FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id)
+       |  JOIN qt ON qt.token = tf.token, stats),
+       |sc AS (SELECT query_id, doc_id AS id, count(*) AS terms_hit,
+       |    list_reduce(list_prepend(0.0, list(sc ORDER BY token)),
+       |      (acc, x) -> acc + x) AS bm25
+       |  FROM ts GROUP BY 1, 2),
+       |bmrank AS (SELECT * FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY bm25 DESC, id) AS rk FROM sc)
+       |  WHERE rk <= $k)""".stripMargin
+
+  /** t16/t19 shared oracle: byte-level BPE train stages + 6 nested
+    * rewrite folds per word over the enriched corpus, doc_id < 30,
+    * order-preserving string_agg.
+    */
+  private lazy val duckBpeEncodeSql: String = {
+    val n = 6
+    val enc = (0 until n).foldLeft("regexp_extract_all(hex(w), '..')") { (acc, k) =>
+      s"""string_split(list_reduce($acc, (a$k, x$k) ->
+         |    CASE WHEN x$k = b$k.r AND (a$k = b$k.l OR a$k LIKE '%|' || b$k.l)
+         |      THEN CASE WHEN a$k = b$k.l THEN b$k.l || b$k.r
+         |           ELSE substr(a$k, 1, length(a$k) - length(b$k.l)) || b$k.l || b$k.r END
+         |      ELSE a$k || '|' || x$k END), '|')""".stripMargin
+    }
+    val crossb = (0 until n).map(k => s"CROSS JOIN b$k").mkString(" ")
+    s"""WITH $duckBpeCorpus,
+       |${duckBpeStages(n, "corpus", byteLevel = true)},
+       |ew AS (SELECT doc_id, pos, toks[pos] AS w FROM (
+       |  SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS pos
+       |  FROM (SELECT doc_id, ${duckToks("text")} AS toks FROM corpus
+       |        WHERE doc_id < 30))),
+       |pieces AS (SELECT doc_id, pos, array_to_string($enc, ' ') AS piece
+       |  FROM ew $crossb)
+       |SELECT doc_id AS id, string_agg(piece, ' ' ORDER BY pos) AS bpe_text
+       |FROM pieces GROUP BY doc_id ORDER BY id""".stripMargin
+  }
   /** DuckDB expression mirroring Dedup.normText. */
   private def duckNorm(t: String) =
     s"trim(regexp_replace(lower($t), '\\s+', ' ', 'g'))"
@@ -3229,27 +3356,31 @@ object SparkEntry {
             array_join(col("bpe_tokens"), " ").as("bpe_text"))
           .orderBy("id")
       },
-      Some {
-        val n = 6
-        val enc = (0 until n).foldLeft("regexp_extract_all(hex(w), '..')") { (acc, k) =>
-          s"""string_split(list_reduce($acc, (a$k, x$k) ->
-             |    CASE WHEN x$k = b$k.r AND (a$k = b$k.l OR a$k LIKE '%|' || b$k.l)
-             |      THEN CASE WHEN a$k = b$k.l THEN b$k.l || b$k.r
-             |           ELSE substr(a$k, 1, length(a$k) - length(b$k.l)) || b$k.l || b$k.r END
-             |      ELSE a$k || '|' || x$k END), '|')""".stripMargin
+      Some(duckBpeEncodeSql)),
+
+    Q("t19_bpe_vocab_roundtrip",
+      (s, d) => {
+        // tokenizer-artifact persistence: train → SAVE the merge table to
+        // parquet → LOAD it back → encode. The oracle is t16's encode SQL
+        // verbatim — the round-trip must be invisible in the result, which
+        // is exactly the artifact contract (a vocab trained today encodes
+        // identically from storage forever).
+        val m = mgr(s, d)
+        val docs = bpeCorpus(m.getDDFByName("documents").df)
+        val trained = pipeline.TextAnalysis.bpeTrain(docs, "text", nMerges = 6,
+          minFreq = 1L, byteLevel = true)
+        withScratch("graft_t19") { tmp =>
+          pipeline.TextAnalysis.bpeSave(trained, s"$tmp/vocab")
+          val merges = pipeline.TextAnalysis.bpeLoad(s, s"$tmp/vocab")
+          collectAndClean(s,
+            pipeline.TextAnalysis.bpeEncode(docs.filter(col("doc_id") < 30), "text",
+                merges, byteLevel = true)
+              .select(col("doc_id").as("id"),
+                array_join(col("bpe_tokens"), " ").as("bpe_text"))
+              .orderBy("id"), tmp)
         }
-        val crossb = (0 until n).map(k => s"CROSS JOIN b$k").mkString(" ")
-        s"""WITH $duckBpeCorpus,
-           |${duckBpeStages(n, "corpus", byteLevel = true)},
-           |ew AS (SELECT doc_id, pos, toks[pos] AS w FROM (
-           |  SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS pos
-           |  FROM (SELECT doc_id, ${duckToks("text")} AS toks FROM corpus
-           |        WHERE doc_id < 30))),
-           |pieces AS (SELECT doc_id, pos, array_to_string($enc, ' ') AS piece
-           |  FROM ew $crossb)
-           |SELECT doc_id AS id, string_agg(piece, ' ' ORDER BY pos) AS bpe_text
-           |FROM pieces GROUP BY doc_id ORDER BY id""".stripMargin
-      }),
+      },
+      Some(duckBpeEncodeSql)),
 
     Q("t07_chunking",
       (s, d) => {
@@ -4557,30 +4688,54 @@ object SparkEntry {
             col("terms_hit"), col("rk"))
           .orderBy("query_id", "rk")
       },
-      Some(s"""WITH q(query_id, qtext) AS (VALUES (1, 'spark join'),
-              |    (2, 'window stream'), (3, 'hash filter scan')),
-              |qt AS (SELECT query_id, unnest(list_distinct(${duckToks("qtext")})) AS token
-              |  FROM q),
-              |tok AS (SELECT doc_id, unnest(${duckToks("text")}) AS token FROM documents),
-              |dl AS (SELECT doc_id, ${duckTokenCount("text")} AS dl FROM documents),
-              |stats AS (SELECT count(*) AS n, (SELECT sum(dl) FROM dl)::DOUBLE / count(*) AS avgdl
+      Some(s"""WITH ${duckBm25Ctes(5)}
+              |SELECT query_id, id, round(bm25, 6) AS bm25, terms_hit, rk
+              |FROM bmrank ORDER BY query_id, rk""".stripMargin)),
+
+    Q("c11_hybrid_rrf",
+      (s, d) => {
+        val m = mgr(s, d)
+        import s.implicits._
+        // hybrid retrieval: BM25 and token-set-Jaccard rankings (top-10
+        // each) fused by reciprocal rank — the standard two-retriever
+        // stack. Both component rankings are independently bit-stable
+        // (c06's BM25 fold; Jaccard is one double division of exact
+        // ints), and the fused score 1/(60+r1) + 1/(60+r2) is a fixed
+        // expression tree, so the whole hybrid is hash-exact.
+        val queries = Seq((1L, "spark join"), (2L, "window stream"),
+          (3L, "hash filter scan")).toDF("query_id", "qtext")
+        val docs = m.getDDFByName("documents").df
+        val bm = pipeline.Relevance.bm25Retrieve(docs, "text", "doc_id",
+          queries, "query_id", "qtext", k = 10)
+        val jc = pipeline.Relevance.jaccardRetrieve(docs, "text", "doc_id",
+          queries, "query_id", "qtext", k = 10)
+        pipeline.Relevance.rrfFuse(Seq(bm, jc), k = 5)
+          .select(col("query_id"), col("id"), round(col("rrf"), 6).as("rrf"),
+            col("rk"))
+          .orderBy("query_id", "rk")
+      },
+      Some(s"""WITH ${duckBm25Ctes(10)},
+              |ddt AS (SELECT doc_id, unnest(list_distinct(${duckToks("text")})) AS token
               |  FROM documents),
-              |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
-              |  WHERE token IN (SELECT token FROM qt) GROUP BY 1, 2),
-              |dfq AS (SELECT token, count(*) AS doc_freq FROM tf GROUP BY 1),
-              |ts AS (SELECT qt.query_id, tf.doc_id, tf.token,
-              |    ln(1.0 + (n::DOUBLE - doc_freq + 0.5) / (doc_freq + 0.5))
-              |      * (tf * (1.2 + 1.0))
-              |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS sc
-              |  FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id)
-              |  JOIN qt ON qt.token = tf.token, stats),
-              |sc AS (SELECT query_id, doc_id AS id, count(*) AS terms_hit,
-              |    list_reduce(list_prepend(0.0, list(sc ORDER BY token)),
-              |      (acc, x) -> acc + x) AS bm25
-              |  FROM ts GROUP BY 1, 2)
-              |SELECT query_id, id, round(bm25, 6) AS bm25, terms_hit, rk FROM (
+              |dsz AS (SELECT doc_id, count(*) AS dn FROM ddt GROUP BY 1),
+              |qsz AS (SELECT query_id, count(*) AS qn FROM qt GROUP BY 1),
+              |jint AS (SELECT qt.query_id, ddt.doc_id AS id, count(*) AS inter
+              |  FROM qt JOIN ddt USING (token) GROUP BY 1, 2),
+              |jrank AS (SELECT query_id, id, row_number() OVER (
+              |    PARTITION BY query_id
+              |    ORDER BY inter::DOUBLE / (qn + dn - inter) DESC, id) AS rk
+              |  FROM jint JOIN qsz USING (query_id)
+              |  JOIN dsz ON dsz.doc_id = jint.id),
+              |jtop AS (SELECT query_id, id, rk FROM jrank WHERE rk <= 10),
+              |f AS (SELECT coalesce(b.query_id, j.query_id) AS query_id,
+              |    coalesce(b.id, j.id) AS id,
+              |    coalesce(1.0 / (60 + b.rk), 0.0)
+              |      + coalesce(1.0 / (60 + j.rk), 0.0) AS rrf
+              |  FROM bmrank b FULL OUTER JOIN jtop j
+              |    ON b.query_id = j.query_id AND b.id = j.id)
+              |SELECT query_id, id, round(rrf, 6) AS rrf, rk FROM (
               |  SELECT *, row_number() OVER (PARTITION BY query_id
-              |    ORDER BY bm25 DESC, id) AS rk FROM sc)
+              |    ORDER BY rrf DESC, id) AS rk FROM f)
               |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin)),
 
     Q("d13_corpus_diff",

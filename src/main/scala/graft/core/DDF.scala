@@ -240,6 +240,12 @@ final class DDF(
                 byteLevel: Boolean = false): DDF =
     derive(graft.pipeline.TextAnalysis.bpeEncode(df, textCol, merges,
       byteLevel = byteLevel))
+  /** Persist this DDF's merge table (a [[bpeTrain]] result) as the
+    * single-parquet tokenizer artifact; reload with
+    * `TextAnalysis.bpeLoad(spark, path)`.
+    */
+  def bpeSave(path: String): Unit =
+    graft.pipeline.TextAnalysis.bpeSave(df, path)
   /** Z-order clustered publish (see `sources/Layout`): footer-stat
     * pruning on every clustered dimension for downstream readers, with
     * the SAME per-shard content manifest as [[publish]] — the clustered

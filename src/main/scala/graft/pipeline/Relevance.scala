@@ -131,4 +131,61 @@ object Relevance {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select("query_id", "id", "bm25", "terms_hit", "rk")
   }
+
+  /** Token-set Jaccard retrieval: top-k docs per query by
+    * |Q ∩ D| / |Q ∪ D| over DISTINCT whitespace tokens — the cheap
+    * lexical-overlap retriever that complements BM25's tf/length
+    * weighting in a hybrid stack. Batch shape like [[bm25Retrieve]]:
+    * the corpus is tokenized once for all queries; candidates are docs
+    * sharing ≥ 1 query token (the inverted-index join), so the
+    * per-query window ranks candidate-sized frames, never the corpus.
+    * Jaccard is a ratio of exact integers evaluated as one double
+    * division — identical in any engine; ties break by id.
+    */
+  def jaccardRetrieve(df: DataFrame, textCol: String, idCol: String,
+                      queries: DataFrame, queryIdCol: String,
+                      queryTextCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val qTerms = queries.select(col(queryIdCol).as("query_id"),
+      explode(array_distinct(expr(TextAnalysis.tokensExpr(queryTextCol)))).as("token"))
+    val qSize = qTerms.groupBy("query_id").agg(count(lit(1)).as("qn"))
+    val dTerms = df.select(col(idCol).as("id"),
+      explode(array_distinct(expr(TextAnalysis.tokensExpr(textCol)))).as("token"))
+    val dSize = dTerms.groupBy("id").agg(count(lit(1)).as("dn"))
+    val inter = qTerms.join(dTerms, "token")
+      .groupBy("query_id", "id").agg(count(lit(1)).as("inter"))
+    val scored = inter.join(broadcast(qSize), "query_id").join(dSize, "id")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("qn") + col("dn") - col("inter")))
+    val w = Window.partitionBy("query_id").orderBy(col("jaccard").desc, col("id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("query_id", "id", "jaccard", "inter", "rk")
+  }
+
+  /** Reciprocal-rank fusion of N retriever rankings — the standard
+    * hybrid-search combiner (Cormack et al.): per (query, doc),
+    * score = Σᵢ 1 / (c + rkᵢ) over the rankings the doc appears in.
+    * The sum folds in RANKING-LIST ORDER as one fixed expression tree,
+    * so the float result is bit-stable across engines. Inputs are
+    * (query_id, id, rk) frames — per-query top-k tables (queries × k
+    * rows, config-sized): fusion is glue; the heavy lifting stays in
+    * the retrievers. Output: top-k per query by (rrf DESC, id), with
+    * the fused rank.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse: need at least one ranking")
+    require(k > 0, s"k must be positive, got $k")
+    require(c >= 0, s"c must be non-negative, got $c")
+    val parts = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col("query_id"), col("id"), col("rk").cast("long").as(s"__rk$i"))
+    }
+    val joined = parts.reduce((a, b) => a.join(b, Seq("query_id", "id"), "full"))
+    val score = parts.indices
+      .map(i => coalesce(lit(1.0) / (lit(c.toDouble) + col(s"__rk$i")), lit(0.0)))
+      .reduce(_ + _)
+    val w = Window.partitionBy("query_id").orderBy(col("rrf").desc, col("id"))
+    joined.withColumn("rrf", score)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("query_id", "id", "rrf", "rk")
+  }
 }

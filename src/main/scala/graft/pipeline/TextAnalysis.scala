@@ -1058,6 +1058,21 @@ object TextAnalysis {
   def byteSyms(w: Column): Column =
     regexp_extract_all(hex(encode(w, "UTF-8")), lit(".."), lit(0))
 
+  /** Persist a trained merge table (the tokenizer artifact) as parquet.
+    * Tiny (nMerges rows) — one file, so the artifact is a single
+    * portable object next to the corpus it tokenizes.
+    */
+  def bpeSave(merges: DataFrame, path: String): Unit =
+    merges.coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Load a saved merge table back into the driver-side (lhs, rhs) list
+    * [[bpeEncode]] takes — vocab-sized config data, not corpus data.
+    */
+  def bpeLoad(spark: org.apache.spark.sql.SparkSession,
+              path: String): Seq[(String, String)] =
+    spark.read.parquet(path).orderBy("merge_rank").collect()
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
+
   /** Display helper for byte-level tokens: hex → string. Tokens that
     * split a multi-byte UTF-8 sequence decode with replacement chars —
     * display-only; the hex form is the canonical token identity.

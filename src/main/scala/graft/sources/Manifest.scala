@@ -120,6 +120,15 @@ object Manifest {
       graft.stats.Sketches.mergeProfiles(paths.map(p => readProfile(spark, p))))
   }
 
+  /** Drift report between two PUBLISHED corpus versions: merge each
+    * side's stored shard profiles, compare (stats/Sketches.profileDrift)
+    * — corpus-change audit that never rescans either corpus.
+    */
+  def profileDrift(spark: SparkSession, oldPaths: Seq[String],
+                   newPaths: Seq[String]): DataFrame =
+    graft.stats.Sketches.profileDrift(
+      mergedProfile(spark, oldPaths), mergedProfile(spark, newPaths))
+
   /** Re-scan `path` and compare against its stored manifest. Returns a
     * per-shard status frame (file, manifest_rows, actual_rows,
     * manifest_hash, actual_hash, ok) — a full-outer join, so shards

@@ -119,6 +119,42 @@ object Sketches {
       col("null_count"), col("row_count"),
       col("min_num"), col("max_num"), col("min_str"), col("max_str"))
 
+  /** Version-over-version drift report from two profile ESTIMATE tables
+    * ([[estimate]] / Manifest.mergedProfile output) — the corpus-change
+    * audit with ZERO rescans: both inputs are config-sized stats tables,
+    * so the whole comparison is driver-light arithmetic regardless of
+    * how many TB the profiles summarize. Per column: row/null counts,
+    * null rates + delta, ndv estimates + ratio, and `range_widened`
+    * (the new version's min/max escapes the old bounds; false when a
+    * bound is absent on either side). Full-outer on col_name, so
+    * columns ADDED or REMOVED between versions surface as rows with one
+    * side null. Exact fields stay exact under this arithmetic; the ndv
+    * ratio inherits the HLL error of both inputs (±2·6σ worst case at
+    * the [[hllRse]] bound) — treat it as a drift SIGNAL, not a count.
+    */
+  def profileDrift(oldEst: DataFrame, newEst: DataFrame): DataFrame = {
+    def side(df: DataFrame, s: String) = df.select(col("col_name"),
+      col("row_count").as(s"rows_$s"), col("null_count").as(s"nulls_$s"),
+      col("ndv_estimate").as(s"ndv_$s"),
+      col("min_num").as(s"min_num_$s"), col("max_num").as(s"max_num_$s"),
+      col("min_str").as(s"min_str_$s"), col("max_str").as(s"max_str_$s"))
+    side(oldEst, "old").join(side(newEst, "new"), Seq("col_name"), "full")
+      .withColumn("null_rate_old",
+        col("nulls_old").cast("double") / col("rows_old"))
+      .withColumn("null_rate_new",
+        col("nulls_new").cast("double") / col("rows_new"))
+      .withColumn("null_rate_delta", col("null_rate_new") - col("null_rate_old"))
+      .withColumn("ndv_ratio", col("ndv_new") / col("ndv_old"))
+      .withColumn("range_widened",
+        coalesce(col("min_num_new") < col("min_num_old"), lit(false)) ||
+          coalesce(col("max_num_new") > col("max_num_old"), lit(false)) ||
+          coalesce(col("min_str_new") < col("min_str_old"), lit(false)) ||
+          coalesce(col("max_str_new") > col("max_str_old"), lit(false)))
+      .select("col_name", "rows_old", "rows_new", "nulls_old", "nulls_new",
+        "null_rate_old", "null_rate_new", "null_rate_delta",
+        "ndv_old", "ndv_new", "ndv_ratio", "range_widened")
+  }
+
   /** Mergeable heavy hitters over `c`: DataSketches frequent-items via
     * `approx_top_k_accumulate` (per-shard sketch, bounded memory
     * O(maxItemsTracked) regardless of column cardinality) →

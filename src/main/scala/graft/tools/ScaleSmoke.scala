@@ -337,6 +337,35 @@ object ScaleSmoke {
           println(f"[j04] f=$f pool=$pool/$total (${pool.toDouble / total}%.4f)")
           graft.pipeline.SetJoin.editDistanceJoin(corpus, "name", "k",
             maxDist = 3, q = 4).count()
+        }),
+        "edit_lookup_k3(j06)" -> (() => {
+          // the LOOKUP production shape: the probe batch stays FIXED
+          // (today's ingest doesn't grow with the canon) while the
+          // canonical corpus blows with f — cost should track the canon
+          // side's gram postings, not the probe count
+          def strCol(idCol: String) = Seq(
+            ("s0", "translate(substring(md5(concat('b', cast(g AS string))), " +
+              "1, 20), '0123456789abcdef', 'abcdefghijklmnop')"),
+            ("s1", "CASE WHEN r > 0 THEN concat(substring(s0, 1, pmod(g*7, 20)), " +
+              "chr(97 + pmod(g, 16)), substring(s0, pmod(g*7, 20) + 2, 100)) ELSE s0 END"),
+            ("s2", "CASE WHEN r > 1 THEN concat(substring(s1, 1, pmod(g*7 + 5, 20)), " +
+              "chr(97 + pmod(g + 5, 16)), substring(s1, pmod(g*7 + 5, 20) + 2, 100)) ELSE s1 END"),
+            ("s3", "CASE WHEN r > 2 THEN concat(substring(s2, 1, pmod(g*7 + 10, 20)), " +
+              "chr(97 + pmod(g + 10, 16)), substring(s2, pmod(g*7 + 10, 20) + 2, 100)) ELSE s2 END"))
+          val canon = strCol("k").foldLeft(
+              spark.range(15000L * f).select(col("id").as("k"),
+                expr("id div 4").as("g"), expr("id % 4").as("r"))) {
+              case (df, (c, e)) => df.withColumn(c, expr(e))
+            }.select(col("k"), col("s3").as("name"))
+          val probes = spark.range(15000L).filter(col("id") % 5 === 0)
+            .select(col("id").as("pk"), expr("id div 4").as("g"))
+            .withColumn("s0", expr("translate(substring(md5(concat('b', " +
+              "cast(g AS string))), 1, 20), '0123456789abcdef', 'abcdefghijklmnop')"))
+            .withColumn("pname", expr("concat(substring(s0, 1, pmod(g*3 + 7, 20)), " +
+              "chr(97 + pmod(g + 3, 16)), substring(s0, pmod(g*3 + 7, 20) + 2, 100))"))
+            .select("pk", "pname")
+          graft.pipeline.SetJoin.editDistanceLookup(probes, "pname", "pk",
+            canon, "name", "k", maxDist = 3, q = 4).count()
         }))
     }
 

@@ -73,6 +73,36 @@ class CurationSpec extends SparkTestBase {
     assert(got.keys.filter(_._1 == 2L).map(_._2).toSet == Set(4L))
   }
 
+  test("jaccardRetrieve: exact overlap ratios; candidates require a shared token") {
+    import spark.implicits._
+    val docs = Seq((1L, "apple banana"), (2L, "apple banana cherry"),
+      (3L, "kiwi melon")).toDF("doc_id", "text")
+    val queries = Seq((1L, "apple cherry")).toDF("qid", "qtext")
+    val got = Relevance.jaccardRetrieve(docs, "text", "doc_id",
+        queries, "qid", "qtext", k = 5)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Double]("jaccard"), r.getAs[Int]("rk"))).toMap
+    // doc 2: |{apple,cherry} ∩ {apple,banana,cherry}| = 2, union 3 → 2/3
+    // doc 1: 1 ∩ / 3 union → 1/3; doc 3 shares nothing → absent
+    assert(got(2L) == ((2.0 / 3.0, 1)) && got(1L) == ((1.0 / 3.0, 2)))
+    assert(!got.contains(3L))
+  }
+
+  test("rrfFuse: both-list docs outrank single-list; absent ranks contribute 0") {
+    import spark.implicits._
+    val r1 = Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3)).toDF("query_id", "id", "rk")
+    val r2 = Seq((1L, 20L, 1), (1L, 40L, 2)).toDF("query_id", "id", "rk")
+    val fused = Relevance.rrfFuse(Seq(r1, r2), k = 4)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Double]("rrf"), r.getAs[Int]("rk"))).toMap
+    // doc 20 appears in both (ranks 2 and 1) → 1/62 + 1/61, the winner
+    assert(fused(20L) == ((1.0 / 62 + 1.0 / 61, 1)))
+    // doc 10 only in r1 at rank 1 → 1/61, second
+    assert(fused(10L) == ((1.0 / 61, 2)))
+    // ties on 1/62 (30 in r1 rank... none) — 40 at 1/62 beats 30 at 1/63
+    assert(fused(40L)._2 == 3 && fused(30L)._2 == 4)
+  }
+
   test("weightedSample: probability scales with weight; null/zero weights drop; deterministic") {
     import spark.implicits._
     val df = (1L to 2000L).map(i =>

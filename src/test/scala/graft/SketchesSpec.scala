@@ -105,4 +105,29 @@ class SketchesSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Sketches.topKSketch(corpus, "word", k = 50, maxItemsTracked = 10))
   }
+
+  test("profileDrift: exact fields, range widening, and added/removed columns") {
+    import spark.implicits._
+    val old = Seq((1L, "a", 5.0), (2L, "b", 7.0), (3L, "a", 9.0))
+      .toDF("id", "tag", "v")
+    val nw = Seq((1L, Some(5.0), "x"), (2L, Some(11.0), "y"),
+        (3L, None: Option[Double], "z"), (4L, Some(2.0), "w"))
+      .toDF("id", "v", "extra")
+    val drift = Sketches.profileDrift(
+        Sketches.estimate(Sketches.profile(old)),
+        Sketches.estimate(Sketches.profile(nw)))
+      .collect().map(r => r.getAs[String]("col_name") -> r).toMap
+    // shared numeric column: rows 3→4, one new null, range widened both ends
+    val v = drift("v")
+    assert(v.getAs[Long]("rows_old") == 3 && v.getAs[Long]("rows_new") == 4)
+    assert(v.getAs[Long]("nulls_old") == 0 && v.getAs[Long]("nulls_new") == 1)
+    assert(v.getAs[Boolean]("range_widened"), "2.0 < 5.0 and 11.0 > 9.0")
+    assert(math.abs(v.getAs[Double]("null_rate_delta") - 0.25) < 1e-12)
+    // id: superset range on the high end only
+    assert(drift("id").getAs[Boolean]("range_widened"))
+    // removed column: new side all-null; added column: old side all-null
+    assert(drift("tag").isNullAt(drift("tag").fieldIndex("rows_new")))
+    assert(drift("extra").isNullAt(drift("extra").fieldIndex("rows_old")))
+    assert(!drift("extra").getAs[Boolean]("range_widened"))
+  }
 }
