@@ -319,6 +319,31 @@ final class DDF(
     */
   def editDistanceJoin(strCol: String, idCol: String, maxDist: Int): DDF =
     derive(graft.pipeline.SetJoin.editDistanceJoin(df, strCol, idCol, maxDist))
+  /** Two-table edit-distance lookup: this DDF is the probe batch, `canon`
+    * the reference table (see `pipeline/SetJoin.editDistanceLookup`).
+    */
+  def editDistanceLookup(strCol: String, idCol: String, canon: DDF,
+                         canonStrCol: String, canonIdCol: String,
+                         maxDist: Int): DDF =
+    derive(graft.pipeline.SetJoin.editDistanceLookup(df, strCol, idCol,
+      canon.df, canonStrCol, canonIdCol, maxDist))
+  /** Token-set Jaccard retrieval over this corpus (see
+    * `pipeline/Relevance.jaccardRetrieve`).
+    */
+  def jaccardRetrieve(textCol: String, idCol: String, queries: DDF,
+                      queryIdCol: String, queryTextCol: String, k: Int): DDF =
+    derive(graft.pipeline.Relevance.jaccardRetrieve(df, textCol, idCol,
+      queries.df, queryIdCol, queryTextCol, k))
+  /** Reciprocal-rank fusion of this ranking with `others` (see
+    * `pipeline/Relevance.rrfFuse`).
+    */
+  def rrfFuse(others: Seq[DDF], k: Int): DDF =
+    derive(graft.pipeline.Relevance.rrfFuse(df +: others.map(_.df), k))
+  /** Drift report: this DDF (a `profileSketch`-shaped estimate table) as
+    * the OLD version vs `newer` (see `stats/Sketches.profileDrift`).
+    */
+  def profileDrift(newer: DDF): DDF =
+    derive(graft.stats.Sketches.profileDrift(df, newer.df))
   /** Disjoint union of overlapping per-key intervals (see
     * `operators/TimeSeries.intervalMerge`).
     */

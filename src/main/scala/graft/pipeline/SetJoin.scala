@@ -281,7 +281,8 @@ object SetJoin {
   def editDistanceLookup(left: DataFrame, leftStr: String, leftId: String,
                          right: DataFrame, rightStr: String, rightId: String,
                          maxDist: Int, q: Int = 2,
-                         stopGramFraction: Double = 0.05): DataFrame = {
+                         stopGramFraction: Double = 0.05,
+                         materialize: Boolean = true): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
     require(q >= 1, s"q must be >= 1, got $q")
     require(stopGramFraction > 0 && stopGramFraction <= 1,
@@ -344,12 +345,16 @@ object SetJoin {
       }
     val vl = ls.select(col("id").as("id_l"), col("str").as("strl"))
     val vr = rs.select(col("id").as("id_r"), col("str").as("strr"))
-    val out = cands
+    val joinedOut = cands
       .join(vl, "id_l").join(vr, "id_r")
       .withColumn("dist", levenshtein(col("strl"), col("strr")))
       .filter(col("dist") <= k)
       .select(col("id_l"), col("id_r"), col("dist").cast("long").as("dist"))
-      .localCheckpoint(eager = true)
+    // materialize=false keeps the lazy DAG inspectable for plan pins
+    // (eager localCheckpoint would hide it); the caller then owns the
+    // lifetime of the two persisted prep frames
+    if (!materialize) return joinedOut
+    val out = joinedOut.localCheckpoint(eager = true)
     ls.unpersist(blocking = false)
     rs.unpersist(blocking = false)
     out

@@ -115,6 +115,33 @@ class DdfApiSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$dir/z").count() == 5)
   }
 
+  test("round-11 facade: editDistanceLookup / jaccardRetrieve+rrfFuse / profileDrift / byte BPE") {
+    import spark.implicits._
+    val canon = m.register(Seq((1L, "alpha"), (2L, "alphb"), (3L, "zz"))
+      .toDF("id", "s"))
+    val probes = m.register(Seq((10L, "alpha")).toDF("id", "s"))
+    val hits = probes.editDistanceLookup("s", "id", canon, "s", "id", maxDist = 1)
+    assert(hits.df.collect().map(_.getLong(1)).toSet == Set(1L, 2L))
+
+    val docs = m.register(Seq((1L, "apple banana"), (2L, "apple cherry"))
+      .toDF("doc_id", "text"))
+    val qs = m.register(Seq((1L, "apple cherry")).toDF("qid", "qtext"))
+    val jc = docs.jaccardRetrieve("text", "doc_id", qs, "qid", "qtext", k = 2)
+    val fused = jc.rrfFuse(Seq(jc), k = 1)
+    assert(fused.df.first().getAs[Long]("id") == 2L)
+
+    val oldP = m.register(Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v")).profileSketch()
+    val newP = m.register(Seq((1L, 1.0), (2L, 9.0), (3L, 2.0)).toDF("id", "v"))
+      .profileSketch()
+    val drift = oldP.profileDrift(newP).df.collect()
+      .map(r => r.getAs[String]("col_name") -> r.getAs[Boolean]("range_widened")).toMap
+    assert(drift("v") && drift("id"))
+
+    val b = m.register(Seq((1L, "año 42 año 42")).toDF("id", "text"))
+    assert(b.bpeTrain("text", nMerges = 1, minFreq = 2L, byteLevel = true)
+      .df.first().getAs[String]("merged") == "3432")
+  }
+
   test("round-10 facade: scd2 / applyChanges / validate / jaccardJoin") {
     import spark.implicits._
     val snaps = m.register(Seq(

@@ -164,6 +164,18 @@ class ScaleSpec extends SparkTestBase {
     assert(out.filter(col("rk") > 3).isEmpty && out.count() == 6)
   }
 
+  test("editDistanceLookup FastSS path: candidates from an equi join on variants — no cartesian") {
+    import spark.implicits._
+    val left = (1 to 30).map(i => (i.toLong, s"word$i")).toDF("id", "s")
+    val right = (1 to 50).map(i => (100L + i, s"word$i")).toDF("id", "s")
+    val out = graft.pipeline.SetJoin.editDistanceLookup(left, "s", "id",
+      right, "s", "id", maxDist = 2, materialize = false)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"FastSS lookup candidates must come from an equi join on variants:\n$plan")
+  }
+
   test("incrementalExactBloom: one anti-join; bloom probe gates both branches") {
     import spark.implicits._
     val index = (1 to 50).map(i => (i.toLong, s"indexed doc $i")).toDF("doc_id", "text")
