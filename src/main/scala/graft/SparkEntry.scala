@@ -2260,15 +2260,16 @@ object SparkEntry {
   /** BPE gate corpus: documents.text enriched with the token classes the
     * alphabetic fast path silently drops — the doc's n_chars (digits), a
     * per-lang non-ASCII word (2-byte Latin accents and 3-byte CJK, so
-    * multi-byte UTF-8 sequences enter the byte alphabet), and a mixed
+    * multi-byte UTF-8 sequences enter the byte alphabet; capitalized, so
+    * the byte path's case preservation is exercised), and a mixed
     * letters-hyphen-digits token (punctuation). Deterministic, column-
     * derived, and expressed identically in both engines.
     */
   private def bpeCorpus(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), concat_ws(" ",
       col("text"), col("n_chars").cast("string"),
-      when(col("lang") === "en", lit("café"))
-        .when(col("lang") === "de", lit("über"))
+      when(col("lang") === "en", lit("Café"))
+        .when(col("lang") === "de", lit("Über"))
         .when(col("lang") === "zh", lit("数据"))
         .when(col("lang") === "fr", lit("naïve"))
         .otherwise(lit("año")),
@@ -2278,7 +2279,7 @@ object SparkEntry {
   private val duckBpeCorpus: String =
     """corpus AS (SELECT doc_id,
       |  text || ' ' || n_chars || ' ' ||
-      |  CASE lang WHEN 'en' THEN 'café' WHEN 'de' THEN 'über'
+      |  CASE lang WHEN 'en' THEN 'Café' WHEN 'de' THEN 'Über'
       |            WHEN 'zh' THEN '数据' WHEN 'fr' THEN 'naïve'
       |            ELSE 'año' END || ' ' || lang || '-' || n_chars AS text
       |  FROM documents)""".stripMargin
@@ -2295,10 +2296,11 @@ object SparkEntry {
     val (wFilter, s0Syms) =
       if (byteLevel) ("", "regexp_extract_all(hex(w), '..')")
       else ("WHERE regexp_matches(w, '^[a-z]+$')\n  ", "string_split(w, '')")
+    val toks = if (byteLevel) duckToksRaw("text") else duckToks("text")
     val base =
       s"""w0 AS (
          |  SELECT w, count(*)::BIGINT AS freq FROM (
-         |    SELECT unnest(${duckToks("text")}) AS w FROM $src)
+         |    SELECT unnest($toks) AS w FROM $src)
          |  ${wFilter}GROUP BY w),
          |s0 AS (SELECT $s0Syms AS syms, freq FROM w0)""".stripMargin
     val stageSql = (0 until n).map { k =>
@@ -2319,6 +2321,11 @@ object SparkEntry {
 
   private def duckToks(t: String) =
     s"list_filter(string_split_regex(lower($t), '\\s+'), x -> x != '')"
+  /** Case-preserving mirror of TextAnalysis.rawTokensExpr (the byte-level
+    * BPE tokenizer path).
+    */
+  private def duckToksRaw(t: String) =
+    s"list_filter(string_split_regex($t, '\\s+'), x -> x != '')"
 
   /** c06/c11 shared BM25 oracle stack: the 3-query VALUES table through
     * per-(query, doc) token-ordered score folds, ranked and cut at `k`
@@ -2370,7 +2377,7 @@ object SparkEntry {
        |${duckBpeStages(n, "corpus", byteLevel = true)},
        |ew AS (SELECT doc_id, pos, toks[pos] AS w FROM (
        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS pos
-       |  FROM (SELECT doc_id, ${duckToks("text")} AS toks FROM corpus
+       |  FROM (SELECT doc_id, ${duckToksRaw("text")} AS toks FROM corpus
        |        WHERE doc_id < 30))),
        |pieces AS (SELECT doc_id, pos, array_to_string($enc, ' ') AS piece
        |  FROM ew $crossb)

@@ -21,6 +21,13 @@ object TextAnalysis {
   def tokensExpr(textCol: String): String =
     s"filter(split(lower($textCol), '\\\\s+'), t -> t != '')"
 
+  /** Case-PRESERVING whitespace tokens — the byte-level tokenizer path:
+    * a byte-level BPE that lowercases isn't byte-level ('A' and 'a' are
+    * different bytes a real vocabulary must both cover).
+    */
+  def rawTokensExpr(textCol: String): String =
+    s"filter(split($textCol, '\\\\s+'), t -> t != '')"
+
   /** `size(toks)` — `toks` is any SQL fragment yielding the token array
     * (the raw tokenizer or a projected column reference).
     */
@@ -983,7 +990,9 @@ object TextAnalysis {
     *     punctuation, and non-Latin text are silently excluded — fine
     *     for English-prose corpora, wrong for real multilingual ones.
     *   - byte-level (true — what a production tokenizer trains): EVERY
-    *     whitespace token participates; symbols are the word's UTF-8
+    *     whitespace token participates, CASE PRESERVED ([[rawTokensExpr]]
+    *     — 'A' and 'a' are different bytes a real vocabulary must both
+    *     cover); symbols are the word's UTF-8
     *     bytes, each rendered as its 2-char uppercase hex pair (merged
     *     symbols concatenate to longer hex strings). Hex keeps every
     *     symbol printable, unambiguous, and pure-ASCII, so vocabularies
@@ -998,7 +1007,8 @@ object TextAnalysis {
                minFreq: Long = 2L, byteLevel: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     require(nMerges >= 1, "nMerges must be >= 1")
-    val toks = df.selectExpr(s"explode(${tokensExpr(textCol)}) AS w")
+    val toks = df.selectExpr(
+      s"explode(${if (byteLevel) rawTokensExpr(textCol) else tokensExpr(textCol)}) AS w")
     val words = (if (byteLevel) toks else toks.filter(col("w").rlike("^[a-z]+$")))
       .groupBy("w").agg(count(lit(1)).as("freq"))
     var cur = words.select(
@@ -1094,7 +1104,8 @@ object TextAnalysis {
   def bpeEncode(df: DataFrame, textCol: String, merges: Seq[(String, String)],
                 outCol: String = "bpe_tokens", byteLevel: Boolean = false): DataFrame =
     df.withColumn(outCol,
-      flatten(transform(expr(tokensExpr(textCol)), w =>
+      flatten(transform(
+        expr(if (byteLevel) rawTokensExpr(textCol) else tokensExpr(textCol)), w =>
         if (byteLevel)
           merges.foldLeft(byteSyms(w)) { case (syms, (a, b)) => mergePair(syms, a, b) }
         else

@@ -65,6 +65,22 @@ class BpeSpec extends SparkTestBase {
     assert(merges == Seq(("34", "32"), ("61", "C3")), s"got $merges")
   }
 
+  test("byte-level mode preserves case — 'Ab' and 'ab' are different byte words") {
+    val df = Seq((1L, "Ab Ab ab")).toDF("id", "text")
+    // alpha mode lowercases: 'ab' seen 3× → ("a","b") at freq 3
+    val alpha = TextAnalysis.bpeTrain(df, "text", nMerges = 1, minFreq = 3L).collect()
+    assert(alpha.length == 1 && alpha.head.getAs[Long]("pair_freq") == 3)
+    // byte mode: 'Ab' (41 62) ×2 and 'ab' (61 62) ×1 stay distinct words
+    val m = TextAnalysis.bpeTrain(df, "text", nMerges = 1, minFreq = 2L,
+      byteLevel = true).collect()
+    assert(m.length == 1 && m.head.getAs[String]("lhs") == "41" &&
+      m.head.getAs[String]("rhs") == "62" && m.head.getAs[Long]("pair_freq") == 2,
+      m.mkString(";"))
+    val enc = TextAnalysis.bpeEncode(df, "text", Seq(("41", "62")), byteLevel = true)
+      .select("bpe_tokens").first().getSeq[String](0)
+    assert(enc == Seq("4162", "4162", "61", "62"), s"got $enc")
+  }
+
   test("byte-level bpeEncode has no OOV and hex tokens decode for display") {
     val df = Seq((1L, "año 42")).toDF("id", "text")
     val toks = TextAnalysis.bpeEncode(df, "text",
