@@ -1231,6 +1231,78 @@ object SparkEntry {
           "SELECT node, pr FROM pr5 ORDER BY pr DESC, node"
       }),
 
+    Q("g02_triangle_count",
+      (s, d) => {
+        val m = mgr(s, d)
+        // Sparse deterministic triangle-rich graph on customer keys:
+        // edges (k, k+o) for o ∈ {7, 11, 18} whenever both endpoints
+        // exist — 7 + 11 = 18 closes two triangle families per anchor
+        // key, so the graph has ~2·|nodes| triangles at degree ≤ 6.
+        // The operator's degree orientation is exercised for real; the
+        // oracle replays the orientation-independent a<b<c formulation.
+        val ids = m.getDDFByName("customer").df.select(col("c_custkey").as("k"))
+        import s.implicits._
+        val off = Seq(7L, 11L, 18L).toDF("o")
+        val cand = ids.crossJoin(broadcast(off))
+          .select(col("k").as("src"), (col("k") + col("o")).as("dst"))
+        val edges = cand.join(ids.select(col("k").as("dst")), "dst")
+        Graph.triangleCount(edges, "src", "dst").orderBy("node")
+      },
+      Some("""WITH ids AS (SELECT c_custkey AS k FROM customer),
+             |e AS (
+             |  SELECT a.k AS a, b.k AS b FROM ids a JOIN ids b ON b.k = a.k + 7
+             |  UNION ALL
+             |  SELECT a.k, b.k FROM ids a JOIN ids b ON b.k = a.k + 11
+             |  UNION ALL
+             |  SELECT a.k, b.k FROM ids a JOIN ids b ON b.k = a.k + 18),
+             |tri AS (
+             |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+             |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+             |       JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+             |corners AS (
+             |  SELECT x AS node FROM tri
+             |  UNION ALL SELECT y FROM tri
+             |  UNION ALL SELECT z FROM tri)
+             |SELECT node, count(*)::BIGINT AS triangles
+             |FROM corners GROUP BY node ORDER BY node""".stripMargin)),
+
+    Q("g03_connected_components",
+      (s, d) => {
+        val m = mgr(s, d)
+        // Chain graph: k — k+7 when both customers share a market
+        // segment. Segment changes break the chains, so the graph is
+        // hundreds of genuinely multi-hop path components — the
+        // pointer-doubling propagation does real work. The oracle
+        // replays the EXACT per-round recurrence (one-hop min + label-
+        // of-label) for 10 rounds; rounds past convergence are no-ops,
+        // so any oracle depth ≥ the converged round count matches.
+        val c = m.getDDFByName("customer").df
+          .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"))
+        val edges = c.join(
+            c.select(col("k").as("k2"), col("seg").as("seg2")),
+            col("k2") === col("k") + 7 && col("seg2") === col("seg"))
+          .select(col("k").as("src"), col("k2").as("dst"))
+        Graph.connectedComponents(edges, "src", "dst").orderBy("id")
+      },
+      Some {
+        val base =
+          """c AS MATERIALIZED (SELECT c_custkey AS k, c_mktsegment AS seg FROM customer),
+            |ed AS MATERIALIZED (SELECT a.k AS src, b.k AS dst FROM c a
+            |       JOIN c b ON b.k = a.k + 7 AND b.seg = a.seg),
+            |edges AS MATERIALIZED (SELECT src, dst FROM ed UNION SELECT dst, src FROM ed),
+            |lab0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM edges)""".stripMargin
+        val rounds = (0 until 10).map { k =>
+          s"""n$k AS MATERIALIZED (SELECT e.dst AS id, min(l.label) AS nlabel
+             |  FROM edges e JOIN lab$k l ON e.src = l.id GROUP BY e.dst),
+             |hop$k AS MATERIALIZED (SELECT l.id, least(l.label, coalesce(n.nlabel, l.label)) AS label
+             |  FROM lab$k l LEFT JOIN n$k n USING (id)),
+             |lab${k + 1} AS MATERIALIZED (SELECT a.id, least(a.label, coalesce(b.label, a.label)) AS label
+             |  FROM hop$k a LEFT JOIN hop$k b ON a.label = b.id)""".stripMargin
+        }
+        s"WITH ${(base +: rounds).mkString(",\n")}\n" +
+          "SELECT id, label AS cluster_id FROM lab10 ORDER BY id"
+      }),
+
     Q("q32_agg_on_column",
       (s, d) => {
         val m = mgr(s, d)

@@ -50,4 +50,38 @@ class GraphSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Aggregations.mergeAggregates(df, df, "g, m=avg(v)"))
   }
+
+  test("triangleCount: K4 has 3 per node; direction/dups/self-loops erased") {
+    // K4 = 4 triangles, each node in exactly 3
+    val k4 = (for {
+      a <- 1 to 4; b <- 1 to 4 if a != b
+    } yield (a.toLong, b.toLong)).toDF("src", "dst") // both directions + dups
+      .unionAll(Seq((1L, 1L)).toDF("src", "dst"))    // self-loop must drop
+    val tc = Graph.triangleCount(k4, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tc == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $tc")
+    // triangle-free graph (a path) → empty output
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    assert(Graph.triangleCount(path, "src", "dst").count() == 0)
+  }
+
+  test("triangleCount: skewed star+rim — hub counted once per rim triangle") {
+    // hub 0 connected to rim 1..6; rim is a cycle → 6 triangles, hub in
+    // all 6, each rim node in 3 (two hub triangles + one... compute:
+    // triangle (0, i, i+1) for each cycle edge; rim node i is in
+    // triangles (0,i-1,i) and (0,i,i+1) → 2 each; hub in 6.
+    val rim = (1 to 6).map(i => (i.toLong, (if (i == 6) 1 else i + 1).toLong))
+    val star = (1 to 6).map(i => (0L, i.toLong))
+    val tc = Graph.triangleCount((rim ++ star).toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tc(0L) == 6L && (1 to 6).forall(i => tc(i.toLong) == 2L), s"got $tc")
+  }
+
+  test("connectedComponents labels a chain by its minimum id") {
+    val edges = Seq((5L, 3L), (3L, 9L), (20L, 21L)).toDF("src", "dst")
+    val cc = Graph.connectedComponents(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L),
+      s"got $cc")
+  }
 }
