@@ -1079,6 +1079,33 @@ object SparkEntry {
              |  value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    Q("q88_window_distribution",
+      (s, d) => {
+        val m = mgr(s, d)
+        // distribution-window family: ntile / percent_rank / cume_dist.
+        // The order key (o_totalprice DESC, o_orderkey) is a unique total
+        // order, so ntile bucket boundaries are deterministic;
+        // percent_rank (rk−1)/(n−1) and cume_dist rk/n are single IEEE
+        // divisions of exact integers — identical in any engine.
+        m.sql2ddf(
+          """select o_orderkey, o_orderstatus,
+            |  ntile(4) over w as price_quartile,
+            |  round(percent_rank() over w, 9) as pct_rank,
+            |  round(cume_dist() over w, 9) as cume
+            |from orders
+            |window w as (partition by o_orderstatus
+            |             order by o_totalprice desc, o_orderkey)
+            |order by o_orderkey""".stripMargin).df
+      },
+      Some("""SELECT o_orderkey, o_orderstatus,
+             |  ntile(4) OVER w AS price_quartile,
+             |  round(percent_rank() OVER w, 9) AS pct_rank,
+             |  round(cume_dist() OVER w, 9) AS cume
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderstatus
+             |             ORDER BY o_totalprice DESC, o_orderkey)
+             |ORDER BY o_orderkey""".stripMargin)),
+
     Q("q29_salted_join",
       (s, d) => {
         val m = mgr(s, d)
@@ -1711,6 +1738,38 @@ object SparkEntry {
            |r AS (SELECT (SELECT count(*) FROM o)::BIGINT AS ro,
            |             (SELECT count(*) FROM n)::BIGINT AS rn)
            |${mk.mkString("\nUNION ALL\n")}
+           |ORDER BY col_name""".stripMargin
+      }),
+
+    Q("sk04_skew_report",
+      (s, d) => {
+        // Exact key-skew diagnostic over join-key-shaped columns: the
+        // near-constant flag, a uniform fk, the bounded line number, and
+        // free text (near-unique). Tie rule for the hottest key is
+        // deterministic both sides: (count, key)-max.
+        val m = mgr(s, d)
+        val cols = Seq("l_returnflag", "l_suppkey", "l_linenumber", "l_linestatus")
+        Stats.skewReport(m.getDDFByName("lineitem").df, cols)
+          .withColumn("skew_ratio", round(col("skew_ratio"), 6))
+          .orderBy("col_name")
+      },
+      Some {
+        val mk = Seq("l_returnflag", "l_suppkey", "l_linenumber", "l_linestatus").map { c =>
+          s"""SELECT '$c' AS col_name, sum(cnt)::BIGINT AS n_rows,
+             |  count(*)::BIGINT AS ndv,
+             |  (SELECT key FROM g_$c ORDER BY cnt DESC, key DESC LIMIT 1) AS top_key,
+             |  (SELECT cnt FROM g_$c ORDER BY cnt DESC, key DESC LIMIT 1) AS top_cnt,
+             |  round((SELECT cnt FROM g_$c ORDER BY cnt DESC, key DESC LIMIT 1)::DOUBLE
+             |    * count(*) / sum(cnt), 6) AS skew_ratio
+             |FROM g_$c""".stripMargin
+        }
+        val gs = Seq("l_returnflag", "l_suppkey", "l_linenumber", "l_linestatus").map { c =>
+          s"""g_$c AS MATERIALIZED (
+             |  SELECT coalesce($c::VARCHAR, '<NULL>') AS key, count(*)::BIGINT AS cnt
+             |  FROM lineitem GROUP BY 1)""".stripMargin
+        }
+        s"""WITH ${gs.mkString(",\n")}
+           |SELECT * FROM (${mk.mkString("\nUNION ALL\n")})
            |ORDER BY col_name""".stripMargin
       })
   )

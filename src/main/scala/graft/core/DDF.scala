@@ -283,6 +283,11 @@ final class DDF(
   /** Mergeable heavy hitters over `c` (see `stats/Sketches.topKSketch`). */
   def heavyHitters(c: String, k: Int, maxItemsTracked: Int = 10000): DDF =
     derive(graft.stats.Sketches.topKSketch(df, c, k, maxItemsTracked))
+  /** Exact per-column key-skew report: rows, ndv, hottest key + count,
+    * skew ratio vs uniform (see `stats/Stats.skewReport`).
+    */
+  def skewReport(cols: Seq[String]): DDF =
+    derive(graft.stats.Stats.skewReport(df, cols))
   /** DSIR importance weights of this (raw) corpus toward `target`'s
     * domain (see `pipeline/Dsir`).
     */

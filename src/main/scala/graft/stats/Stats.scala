@@ -354,6 +354,36 @@ object Stats {
     cols.map(c => c -> row.getAs[Long](c)).toMap
   }
 
+  /** Per-column key-skew report — the diagnostic a join/groupBy tuner
+    * reads before picking salting factors or bucket counts. One row per
+    * requested column: exact row count, exact distinct count, the
+    * heaviest key and its count (ties broken deterministically: highest
+    * (count, key) under struct-max, i.e. count DESC then key DESC), and
+    * `skew_ratio` = top_cnt / (n_rows / ndv) — how many times heavier
+    * the hottest key is than a uniform key would be (1.0 = uniform,
+    * ≥ partitions = a straggler at that parallelism).
+    *
+    * Scale shape: one map-side-combined groupBy per column (shuffles
+    * O(ndv) (key, count) pairs, never rows) feeding a single-row
+    * aggregate; columns are independent jobs over the same scan. NULL
+    * keys participate as the sentinel "<NULL>" (a null-heavy join key is
+    * exactly the skew this report exists to surface).
+    */
+  def skewReport(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "skewReport: need at least one column")
+    val parts = cols.map { c =>
+      df.groupBy(coalesce(col(c).cast(StringType), lit("<NULL>")).as("key"))
+        .agg(count(lit(1)).as("cnt"))
+        .agg(sum("cnt").as("n_rows"), count(lit(1)).as("ndv"),
+          max(struct(col("cnt"), col("key"))).as("top"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("ndv"),
+          col("top.key").as("top_key"), col("top.cnt").as("top_cnt"),
+          (col("top.cnt").cast("double") * col("ndv") / col("n_rows"))
+            .as("skew_ratio"))
+    }
+    parts.reduce(_.unionAll(_))
+  }
+
   def setFactorsAndCompute(ddf: DDF, cols: Seq[String]): Unit = {
     val counts = multiFactorCounts(ddf.df, cols)
     cols.foreach { c =>

@@ -175,4 +175,26 @@ class StatsSpec extends SparkTestBase {
     assert(math.abs(graft.operators.Aggregations.correlation(ddf, "x", "y") - 1.0) < 1e-12)
     assert(math.abs(graft.operators.Aggregations.covariance(ddf, "x", "y") - 2.0) < 1e-12)
   }
+
+  test("skewReport: exact counts, NULL sentinel key, deterministic tie-break") {
+    import spark.implicits._
+    val df = Seq(
+      (Some("a"), 1), (Some("a"), 2), (Some("a"), 3),   // a ×3 — hottest
+      (Some("b"), 4), (Some("b"), 5), (None, 6), (None, 7)).toDF("k", "v")
+    val rows = graft.stats.Stats.skewReport(df, Seq("k", "v")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val k = rows("k")
+    assert(k.getLong(1) == 7 && k.getLong(2) == 3)        // n_rows, ndv (a, b, <NULL>)
+    assert(k.getString(3) == "a" && k.getLong(4) == 3)    // top key ×3
+    assert(math.abs(k.getDouble(5) - 3.0 * 3 / 7) < 1e-12)
+    val v = rows("v")                                     // all unique → ties
+    assert(v.getLong(2) == 7 && v.getLong(4) == 1)
+    assert(v.getString(3) == "7", "tie-break = (count, key)-max → highest key string")
+    assert(v.getDouble(5) == 1.0)                         // uniform
+    // null-heavy column: the sentinel must surface as the hot key
+    val nh = Seq((None: Option[String], 1), (None, 2), (Some("x"), 3))
+      .toDF("j", "v")
+    val r = graft.stats.Stats.skewReport(nh, Seq("j")).collect().head
+    assert(r.getString(3) == "<NULL>" && r.getLong(4) == 2)
+  }
 }
