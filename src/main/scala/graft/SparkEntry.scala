@@ -5554,7 +5554,32 @@ object SparkEntry {
         s.read.parquet(dir).orderBy("l_orderkey", "l_linenumber")
       },
       Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
-             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin))
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    Q("bk01_bucketed_join",
+      (s, d) => {
+        val m = mgr(s, d)
+        // The full bucketed-sink loop oracle-checked end-to-end: write
+        // BOTH join sides bucketed+sorted on the join key, read back via
+        // the catalog, join and aggregate. The oracle is the PLAIN join
+        // — bucketing is layout-only, so the content must be invisible
+        // (the no-Exchange plan win itself is pinned in ScaleSpec).
+        val o = m.getDDFByName("orders").df
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val c = m.getDDFByName("customer").df
+          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+        sources.Bucketing.writeBucketed(o, "graft_bk01_orders", Seq("o_custkey"), 8)
+        sources.Bucketing.writeBucketed(c, "graft_bk01_customer", Seq("o_custkey"), 8)
+        sources.Bucketing.readBucketed(s, "graft_bk01_orders")
+          .join(sources.Bucketing.readBucketed(s, "graft_bk01_customer"), "o_custkey")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("rev"))
+          .orderBy("c_mktsegment")
+      },
+      Some(s"""SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
+              |  ${dsumSql("o_totalprice")} AS rev
+              |FROM orders JOIN customer ON o_custkey = c_custkey
+              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
   )
 
   private val allQueries: Seq[Q] =
