@@ -5537,6 +5537,68 @@ object SparkEntry {
              |FROM e WHERE frame_no % 2 = 0
              |ORDER BY id, frame_no""".stripMargin)),
 
+    Q("m05_image_neardup",
+      (s, d) => {
+        val m = mgr(s, d)
+        // Perceptual near-dup detection through the REAL codec chain:
+        // 24 actual 9×8 grayscale PNGs whose dHash is a KNOWN 64-bit
+        // pattern — each pixel row walks ±8 from 128 following the bits
+        // of pat(doc_id % 6), so decode → NN-resample → luma → dHash
+        // must reproduce the pattern bits exactly (m02's closed-form
+        // trick, extended from pixel statistics to gradient signs).
+        // pat1 = pat0^1 (Hamming 1) and pat4 = pat3^3 (Hamming 2) are
+        // the designed near-dups; pat2 = pat0 with 3 flipped bits must
+        // be REJECTED at maxHamming = 2; same-k ids are exact dups
+        // (Hamming 0). The oracle knows only the id arithmetic + the
+        // pattern literals and replays the 16-bit banding — a codec,
+        // hashing, or banding bug cannot reproduce its pairs.
+        import s.implicits._
+        val pats = Array(0x3C5A96E187D24B0FL, 0x3C5A96E187D24B0EL,
+          0x3C5A96E1F7D24B0FL, 0x12489ABCDEF01357L, 0x12489ABCDEF01354L,
+          0x5A5A5A5A5A5A5A5AL)
+        val docIds = m.getDDFByName("documents").df
+          .filter(col("doc_id") < 24).select("doc_id")
+          .collect().map(_.getLong(0)).toSeq.sorted
+        val imgs = docIds.map { id =>
+          val p = pats((id % 6).toInt)
+          val img = new java.awt.image.BufferedImage(9, 8,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          for (y <- 0 until 8) {
+            var v = 128
+            img.setRGB(0, y, (v << 16) | (v << 8) | v)
+            for (x <- 0 until 8) {
+              v += (if (((p >>> (y * 8 + x)) & 1L) == 1L) 8 else -8)
+              img.setRGB(x + 1, y, (v << 16) | (v << 8) | v)
+            }
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray)
+        }
+        val hashes = pipeline.Multimodal.imageDHashes(
+          imgs.toDF("id", "payload"), "id", "payload")
+        pipeline.Multimodal.nearDupImagePairs(hashes, "id",
+            maxHamming = 2, bands = 4)
+          .orderBy("id1", "id2")
+      },
+      Some("""WITH pat(k, p) AS (VALUES
+             |  (0, 4348954285570149135::BIGINT), (1, 4348954285570149134::BIGINT),
+             |  (2, 4348954287449197327::BIGINT), (3, 1317473026990674775::BIGINT),
+             |  (4, 1317473026990674772::BIGINT), (5, 6510615555426900570::BIGINT)),
+             |h AS MATERIALIZED (
+             |  SELECT doc_id AS id, p FROM documents
+             |  JOIN pat ON pat.k = doc_id % 6 WHERE doc_id < 24),
+             |bands AS MATERIALIZED (
+             |  SELECT id, p, b, (p >> (b * 16)) & 65535 AS bv
+             |  FROM h, (VALUES (0), (1), (2), (3)) t(b)),
+             |cand AS (
+             |  SELECT DISTINCT a.id AS id1, b.id AS id2, a.p AS p1, b.p AS p2
+             |  FROM bands a JOIN bands b
+             |    ON a.b = b.b AND a.bv = b.bv AND a.id < b.id)
+             |SELECT id1, id2, bit_count(xor(p1, p2))::BIGINT AS hamming
+             |FROM cand WHERE bit_count(xor(p1, p2)) <= 2
+             |ORDER BY id1, id2""".stripMargin)),
+
     Q("z01_zorder_roundtrip",
       (s, d) => {
         val m = mgr(s, d)

@@ -352,6 +352,121 @@ object Multimodal {
       .withColumn("content_hash", md5(col("payload")))
   }
 
+  /** 64-bit difference hash (dHash) of a decoded image: nearest-neighbor
+    * resample to (hashW+1)×hashH (same index arithmetic as
+    * [[resizeImage]]), exact integer luma per pixel (299r+587g+114b —
+    * the [[imageFeatures]] formula), bit (y·hashW + x) set iff
+    * luma(x+1, y) > luma(x, y). Horizontal-gradient signs survive
+    * rescaling, re-encoding, and uniform brightness shifts — the
+    * canonical cheap perceptual fingerprint. hashW·hashH must be ≤ 64.
+    */
+  def dHash(img: java.awt.image.BufferedImage,
+            hashW: Int = 8, hashH: Int = 8): Long = {
+    require(hashW >= 1 && hashH >= 1 && hashW * hashH <= 64,
+      s"dHash: need 1 <= hashW*hashH <= 64 bits, got ${hashW}x$hashH")
+    val sw = hashW + 1
+    val lum = Array.ofDim[Long](sw, hashH)
+    var y = 0
+    while (y < hashH) {
+      val sy = (y.toLong * img.getHeight / hashH).toInt
+      var x = 0
+      while (x < sw) {
+        val rgb = img.getRGB((x.toLong * img.getWidth / sw).toInt, sy)
+        lum(x)(y) = 299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
+          114L * (rgb & 0xFF)
+        x += 1
+      }
+      y += 1
+    }
+    var h = 0L
+    y = 0
+    while (y < hashH) {
+      var x = 0
+      while (x < hashW) {
+        if (lum(x + 1)(y) > lum(x)(y)) h |= 1L << (y * hashW + x)
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  val dhashSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("dhash", LongType, nullable = false),
+    StructField("decoded", BooleanType, nullable = false)))
+
+  /** Per-image [[dHash]] over a binary payload column → (id, dhash,
+    * decoded). Non-decodable payloads emit dhash 0 with
+    * `decoded = false` (poison-row contract of [[resizeImages]] —
+    * filter on the flag before joining). Same per-partition decode
+    * plumbing as the other codec operators: pixels never leave the
+    * task, only 8 bytes of hash per image are shuffled downstream —
+    * which is the entire reason a 100 TB image dedup is tractable.
+    */
+  def imageDHashes(df: DataFrame, idCol: String, payloadCol: String,
+                   hashW: Int = 8, hashH: Int = 8,
+                   partitions: Int = 0): DataFrame = {
+    require(hashW >= 1 && hashH >= 1 && hashW * hashH <= 64,
+      s"imageDHashes: need 1 <= hashW*hashH <= 64 bits, got ${hashW}x$hashH")
+    requireBinary(df, payloadCol, "imageDHashes")
+    val in = if (partitions > 0) df.repartition(partitions) else df
+    val spark = df.sparkSession
+    val rdd = in.select(col(idCol).cast("long"), col(payloadCol)).rdd.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.isNullAt(0)) throw new IllegalArgumentException(
+          "imageDHashes: null id in payload row")
+        val payload = r.getAs[Array[Byte]](1)
+        if (payload == null) throw new IllegalArgumentException(
+          s"imageDHashes: null payload for id ${r.getLong(0)}")
+        decodeImage(payload) match {
+          case Some(img) => Row(r.getLong(0), dHash(img, hashW, hashH), true)
+          case None      => Row(r.getLong(0), 0L, false)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, dhashSchema)
+  }
+
+  /** Near-duplicate image pairs from a dHash column: (id1, id2,
+    * hamming) for every pair at Hamming distance ≤ `maxHamming`,
+    * id1 < id2.
+    *
+    * Banded exactly like SimHash dedup: the 64-bit hash splits into
+    * `bands` equal slices; candidates are pairs agreeing on ≥ 1 whole
+    * band (one self-equi-join on (band, slice) — never all pairs), then
+    * one codegen'd `bit_count(xor)` verifies. Pigeonhole makes the
+    * filter COMPLETE for maxHamming < bands: fewer flipped bits than
+    * bands leaves some band untouched. Raise `bands` for larger radii —
+    * candidate volume grows as near-collisions on shorter slices, the
+    * standard recall/cost dial.
+    */
+  def nearDupImagePairs(hashes: DataFrame, idCol: String,
+                        hashCol: String = "dhash", maxHamming: Int = 2,
+                        bands: Int = 4): DataFrame = {
+    require(bands >= 1 && 64 % bands == 0,
+      s"nearDupImagePairs: bands must divide 64, got $bands")
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"nearDupImagePairs: banding is only complete for maxHamming < bands " +
+        s"(got maxHamming=$maxHamming, bands=$bands) — raise bands")
+    val bits = 64 / bands
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
+    val sliced = hashes.select(col(idCol).cast("long").as("id"),
+        col(hashCol).cast("long").as("h"))
+      .select(col("id"), col("h"), explode(sequence(lit(0), lit(bands - 1))).as("b"))
+      .select(col("id"), col("h"), col("b"),
+        expr(s"shiftrightunsigned(h, b * $bits) & ${mask}L").as("bv"))
+    val cand = sliced.as("x")
+      .join(sliced.as("y"), Seq("b", "bv"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id1"), col("y.id").as("id2"),
+        col("x.h").as("h1"), col("y.h").as("h2"))
+      .distinct()
+    cand.select(col("id1"), col("id2"),
+        expr("bit_count(h1 ^ h2)").cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Byte-cap guard: truncate payloads to `maxBytes` — a STORAGE
     * control (bound row size before a shuffle/sink), not a media
     * transform; use [[resizeImages]] to shrink actual images. Pure

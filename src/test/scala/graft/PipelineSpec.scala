@@ -920,6 +920,48 @@ class PipelineSpec extends SparkTestBase {
     assert(java.util.Arrays.equals(again(1L), out(1L).getAs[Array[Byte]]("payload")))
   }
 
+  test("multimodal: dHash recovers designed gradient bits; banding complete at maxHamming < bands") {
+    import spark.implicits._
+    // 9×8 gray image walking ±8 from 128 along the bits of a known
+    // pattern → dHash must equal the pattern exactly (the m05 trick)
+    def mkImg(p: Long): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(9, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8) {
+        var v = 128
+        img.setRGB(0, y, (v << 16) | (v << 8) | v)
+        for (x <- 0 until 8) {
+          v += (if (((p >>> (y * 8 + x)) & 1L) == 1L) 8 else -8)
+          img.setRGB(x + 1, y, (v << 16) | (v << 8) | v)
+        }
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val p0 = 0x3C5A96E187D24B0FL
+    val hash = Multimodal.dHash(Multimodal.decodeImage(mkImg(p0)).get)
+    assert(hash == p0, f"dHash mismatch: got $hash%016x want $p0%016x")
+    // a 2×-scaled rendition of the same gradient hashes identically
+    // (the perceptual property: NN resample picks the same gradient signs)
+    val big = Multimodal.resizeImage(Multimodal.decodeImage(mkImg(p0)).get, 18, 16)
+    assert(Multimodal.dHash(Multimodal.decodeImage(big).get) == p0)
+    // distances: d(1,2)=1, d(2,3)=popcount(1^7)=2, d(1,3)=3 — the first
+    // two pass maxHamming = 2, the last must be rejected
+    val df = Seq((1L, mkImg(p0)), (2L, mkImg(p0 ^ 1L)), (3L, mkImg(p0 ^ 7L)),
+      (4L, "junk".getBytes("UTF-8"))).toDF("id", "payload")
+    val hashes = Multimodal.imageDHashes(df, "id", "payload")
+    assert(hashes.filter(!col("decoded")).select("id").collect()
+      .map(_.getLong(0)).toSeq == Seq(4L))
+    val pairs = Multimodal.nearDupImagePairs(hashes.filter(col("decoded")), "id",
+        maxHamming = 2, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((1L, 2L, 1L), (2L, 3L, 2L)), s"got $pairs")
+    // guard: banding incomplete at maxHamming >= bands must be refused
+    intercept[IllegalArgumentException](
+      Multimodal.nearDupImagePairs(hashes, "id", maxHamming = 4, bands = 4))
+  }
+
   test("multimodal: real WAV decode — pinned exact sample statistics") {
     // mono 16-bit: samples {100,100,-300,-300,300} → mean -20, meanAbs
     // 220, peak 300, sign runs ++--+ → 2 zero crossings
