@@ -88,7 +88,11 @@ object Bench {
     // round 11: the composed corpus build (p05 chains DSIR→dedup→
     // decontaminate→curriculum→pack→publish — the product-shaped query)
     // and the k≥3 q-gram edit join's positive-case corpus (j04)
-    "p05_curation_corpus_build", "j04_edit_distance_join_k3")
+    "p05_curation_corpus_build", "j04_edit_distance_join_k3",
+    // round 11 (this session): one representative per new family — the
+    // degree-oriented triangle count and the perceptual-hash image dedup
+    // (its real PNG decode chain is the cost, like m02)
+    "g02_triangle_count", "m05_image_neardup")
 
   // the sf1 subset: the scan/join/agg spine (TPC-H) + the dedup family +
   // vocabulary ranking + brute ANN — the operators whose 100 TB story the

@@ -3520,6 +3520,27 @@ object SparkEntry {
       },
       Some(duckBpeEncodeSql)),
 
+    Q("t20_bpe_encode_scale",
+      (s, d) => {
+        // bpeEncodeAtScale — the production-vocabulary encoder (broadcast
+        // merge ranks + per-partition greedy loop instead of nMerges
+        // nested codegen HOFs) — against t16's oracle VERBATIM: the loop
+        // must be token-for-token the same greedy fold the expression
+        // form (and the DuckDB replay) computes.
+        val m = mgr(s, d)
+        val docs = bpeCorpus(m.getDDFByName("documents").df)
+        val merges = pipeline.TextAnalysis.bpeTrain(docs, "text", nMerges = 6,
+            minFreq = 1L, byteLevel = true)
+          .orderBy("merge_rank").collect()
+          .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
+        pipeline.TextAnalysis.bpeEncodeAtScale(docs.filter(col("doc_id") < 30),
+            "text", merges, byteLevel = true)
+          .select(col("doc_id").as("id"),
+            array_join(col("bpe_tokens"), " ").as("bpe_text"))
+          .orderBy("id")
+      },
+      Some(duckBpeEncodeSql)),
+
     Q("t07_chunking",
       (s, d) => {
         val m = mgr(s, d)
@@ -3725,6 +3746,87 @@ object SparkEntry {
              |  epoch_us(r.ts) AS matched_ts_us, r.value AS matched_value
              |FROM l ASOF LEFT JOIN r
              |  ON l.user_id = r.user_id AND r.ts <= l.ts
+             |ORDER BY l.event_id""".stripMargin)),
+
+    Q("j07_asof_forward",
+      (s, d) => {
+        val m = mgr(s, d)
+        // merge_asof direction="forward": every click gets the user's
+        // EARLIEST view at-or-after it — DuckDB's native ASOF with the
+        // inequality reversed is the oracle.
+        val ev = m.getDDFByName("events").df
+        val clicks = ev.filter(col("event_type") === "click")
+        val views = ev.filter(col("event_type") === "view")
+        operators.Joins.asofJoin(clicks, views, Seq("user_id"),
+            leftTime = "ts", rightTime = "ts",
+            rightPayload = Seq("ts", "value"), rightOrder = "event_id",
+            direction = "forward")
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+            unix_micros(col("asof.ts")).as("matched_ts_us"),
+            col("asof.value").as("matched_value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH l AS (SELECT * FROM events WHERE event_type = 'click'),
+             |r AS (SELECT * FROM events WHERE event_type = 'view')
+             |SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+             |  epoch_us(r.ts) AS matched_ts_us, r.value AS matched_value
+             |FROM l ASOF LEFT JOIN r
+             |  ON l.user_id = r.user_id AND r.ts >= l.ts
+             |ORDER BY l.event_id""".stripMargin)),
+
+    Q("j08_asof_nearest",
+      (s, d) => {
+        val m = mgr(s, d)
+        // merge_asof direction="nearest" with a 3600 s tolerance: the
+        // closer of the backward/forward matches, ties backward, both
+        // rejected beyond the tolerance. Oracle: both native ASOF
+        // directions + the same CASE arithmetic on exact epoch micros.
+        val ev = m.getDDFByName("events").df
+        val clicks = ev.filter(col("event_type") === "click")
+        val views = ev.filter(col("event_type") === "view")
+        operators.Joins.asofJoin(clicks, views, Seq("user_id"),
+            leftTime = "ts", rightTime = "ts",
+            rightPayload = Seq("ts", "value"), rightOrder = "event_id",
+            direction = "nearest", tolerance = Some(3600.0))
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+            unix_micros(col("asof.ts")).as("matched_ts_us"),
+            col("asof.value").as("matched_value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH l AS (SELECT * FROM events WHERE event_type = 'click'),
+             |r AS (SELECT * FROM events WHERE event_type = 'view'),
+             |b AS (SELECT l.event_id,
+             |        CASE WHEN r.ts IS NOT NULL AND
+             |          (epoch_us(l.ts) - epoch_us(r.ts)) / 1000000.0 <= 3600.0
+             |          THEN r.ts END AS bts,
+             |        CASE WHEN r.ts IS NOT NULL AND
+             |          (epoch_us(l.ts) - epoch_us(r.ts)) / 1000000.0 <= 3600.0
+             |          THEN r.value END AS bval
+             |      FROM l ASOF LEFT JOIN r
+             |        ON l.user_id = r.user_id AND r.ts <= l.ts),
+             |f AS (SELECT l.event_id,
+             |        CASE WHEN r.ts IS NOT NULL AND
+             |          (epoch_us(r.ts) - epoch_us(l.ts)) / 1000000.0 <= 3600.0
+             |          THEN r.ts END AS fts,
+             |        CASE WHEN r.ts IS NOT NULL AND
+             |          (epoch_us(r.ts) - epoch_us(l.ts)) / 1000000.0 <= 3600.0
+             |          THEN r.value END AS fval
+             |      FROM l ASOF LEFT JOIN r
+             |        ON l.user_id = r.user_id AND r.ts >= l.ts)
+             |SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+             |  epoch_us(CASE
+             |    WHEN bts IS NULL THEN fts
+             |    WHEN fts IS NULL THEN bts
+             |    WHEN epoch_us(l.ts) - epoch_us(bts)
+             |      <= epoch_us(fts) - epoch_us(l.ts) THEN bts
+             |    ELSE fts END) AS matched_ts_us,
+             |  CASE
+             |    WHEN bts IS NULL THEN fval
+             |    WHEN fts IS NULL THEN bval
+             |    WHEN epoch_us(l.ts) - epoch_us(bts)
+             |      <= epoch_us(fts) - epoch_us(l.ts) THEN bval
+             |    ELSE fval END AS matched_value
+             |FROM l JOIN b USING (event_id) JOIN f USING (event_id)
              |ORDER BY l.event_id""".stripMargin)),
 
     Q("j03_edit_distance_join",

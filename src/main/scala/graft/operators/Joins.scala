@@ -117,27 +117,48 @@ object Joins {
     sl.join(sr, keys :+ salt, jt).drop(salt)
   }
 
-  /** As-of join — Spark has no native one. Every left row gets the
-    * payload of the LATEST right row with rightTime ≤ leftTime sharing
-    * the partition keys (null struct when no such row exists).
+  /** As-of join — Spark has no native one; this one has pandas
+    * `merge_asof` parity. Every left row gets the payload of the
+    * matching right row sharing the partition keys (null struct when no
+    * match exists), where the match is
+    *   - `"backward"` (default): the LATEST right row with
+    *     rightTime ≤ leftTime;
+    *   - `"forward"`: the EARLIEST right row with rightTime ≥ leftTime;
+    *   - `"nearest"`: whichever of the two is closer in time, ties
+    *     going backward.
+    * `tolerance` (optional, in the time column's `cast("double")`
+    * units — seconds for timestamps, the raw value for numerics)
+    * rejects matches farther than that from the left time.
     *
-    * Implemented with the union + running-last window shape: tag both
-    * sides, union, one window ordered by (time, right-before-left,
-    * rightOrder) carrying `last(payload, ignoreNulls)` — so the cost is
-    * ONE hash shuffle on the partition keys and a per-partition sort.
-    * The alternative range-join rewrite (join on key + time band, then
-    * argmax) fans out to |left|×|band| intermediate rows and needs a
-    * second aggregation; at 100 TB the window shape wins and never
-    * explodes. Ties: a right row at exactly leftTime matches (≤); among
-    * right rows at the same instant the greatest `rightOrder` wins —
-    * pass a unique id to make results fully deterministic.
+    * Implemented with the union + running-edge window shape: tag both
+    * sides, union, one window per direction ordered by (time, side,
+    * rightOrder) carrying `last`/`first(payload, ignoreNulls)` — so the
+    * cost is ONE hash shuffle on the partition keys plus a
+    * per-partition sort per direction (nearest needs both orderings:
+    * same Exchange, two sorts). The alternative range-join rewrite
+    * (join on key + time band, then argmax) fans out to |left|×|band|
+    * intermediate rows and needs a second aggregation; at 100 TB the
+    * window shape wins and never explodes. Ties: a right row at exactly
+    * leftTime matches in every direction; among right rows at the same
+    * instant the greatest `rightOrder` wins backward and the least wins
+    * forward (mirror symmetry) — pass a unique id to make results fully
+    * deterministic.
     *
     * Returns all left columns plus `asof` (struct of `rightPayload`).
     */
   def asofJoin(left: DataFrame, right: DataFrame, partitionCols: Seq[String],
                leftTime: String, rightTime: String,
-               rightPayload: Seq[String], rightOrder: String): DataFrame = {
-    val payType = right.select(struct(rightPayload.map(col): _*).as("p")).schema("p").dataType
+               rightPayload: Seq[String], rightOrder: String,
+               direction: String = "backward",
+               tolerance: Option[Double] = None): DataFrame = {
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"asofJoin: direction must be backward|forward|nearest, got '$direction'")
+    tolerance.foreach(t => require(t >= 0, s"asofJoin: negative tolerance $t"))
+    // the match carries the right TIME alongside the payload so tolerance
+    // and the nearest tie-break are computable after the window
+    val payType = right.select(
+      struct(col(rightTime).cast("double").as("__rt"),
+        struct(rightPayload.map(col): _*).as("__p")).as("p")).schema("p").dataType
     val lrowType = left.select(struct(left.columns.map(col): _*).as("r")).schema("r").dataType
     val lu = left.select(
       partitionCols.map(col) ++ Seq(
@@ -150,14 +171,45 @@ object Joins {
         col(rightTime).as("__t"), lit(0).as("__isl"),
         col(rightOrder).cast(LongType).as("__ord"),
         lit(null).cast(lrowType).as("__lrow"),
-        struct(rightPayload.map(col): _*).as("__pay")): _*)
-    val w = Window.partitionBy(partitionCols.map(col): _*)
+        struct(col(rightTime).cast("double").as("__rt"),
+          struct(rightPayload.map(col): _*).as("__p")).as("__pay")): _*)
+    // backward scan: rights at the same instant sort BEFORE the left row
+    // (isl asc), so <= matches; running last picks the greatest __ord
+    val wB = Window.partitionBy(partitionCols.map(col): _*)
       .orderBy(col("__t").asc, col("__isl").asc, col("__ord").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lu.unionByName(ru)
-      .withColumn("__m", last(col("__pay"), ignoreNulls = true).over(w))
-      .filter(col("__isl") === 1)
-      .select(col("__lrow.*"), col("__m").as("asof"))
+    // forward scan: rights at the same instant sort AFTER the left row
+    // (isl desc), so >= matches; running first picks the least __ord
+    val wF = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(col("__t").asc, col("__isl").desc, col("__ord").asc_nulls_first)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val u = lu.unionByName(ru)
+    val matched = direction match {
+      case "backward" => u.withColumn("__mb", last(col("__pay"), ignoreNulls = true).over(wB))
+      case "forward"  => u.withColumn("__mf", first(col("__pay"), ignoreNulls = true).over(wF))
+      case _ => u
+        .withColumn("__mb", last(col("__pay"), ignoreNulls = true).over(wB))
+        .withColumn("__mf", first(col("__pay"), ignoreNulls = true).over(wF))
+    }
+    val lt = col("__t").cast("double")
+    def within(m: Column, delta: Column): Column = tolerance match {
+      case Some(tol) => when(m.isNotNull && delta <= lit(tol), m)
+      case None      => m
+    }
+    val pick = direction match {
+      case "backward" => within(col("__mb"), lt - col("__mb.__rt"))
+      case "forward"  => within(col("__mf"), col("__mf.__rt") - lt)
+      case _ =>
+        val b = within(col("__mb"), lt - col("__mb.__rt"))
+        val f = within(col("__mf"), col("__mf.__rt") - lt)
+        // closer side wins; exact tie (or missing forward) goes backward
+        when(b.isNull, f).when(f.isNull, b)
+          .otherwise(when(lt - b.getField("__rt") <= f.getField("__rt") - lt, b)
+            .otherwise(f))
+    }
+    matched.filter(col("__isl") === 1)
+      .withColumn("__m", pick)
+      .select(col("__lrow.*"), col("__m.__p").as("asof"))
   }
 
   /** Interval–point range join: every (point, interval) pair with

@@ -1112,4 +1112,71 @@ object TextAnalysis {
           when(w.rlike("^[a-z]+$"),
             merges.foldLeft(split(w, "")) { case (syms, (a, b)) => mergePair(syms, a, b) })
             .otherwise(array(w)))))
+
+  /** [[bpeEncode]] for PRODUCTION-SIZED vocabularies. The expression
+    * form compiles `nMerges` nested `aggregate` HOFs into one Catalyst
+    * tree — ideal codegen at gate-size vocabularies, but a 32 000-merge
+    * tokenizer would blow the expression tree (and the generated method)
+    * far past JIT limits. This variant runs the IDENTICAL greedy
+    * semantics as a tight per-partition loop: merges ship once per
+    * executor as broadcast config (vocab-sized, never corpus-sized),
+    * each word folds every merge in rank order with the same
+    * last-element/no-re-merge rule, and a per-word symbol-presence set
+    * skips the (vast majority of) merge rounds whose operands cannot
+    * occur. No join, no shuffle — encoding stays embarrassingly
+    * parallel; BpeSpec pins output equality with [[bpeEncode]] in both
+    * alphabets.
+    */
+  def bpeEncodeAtScale(df: DataFrame, textCol: String,
+                       merges: Seq[(String, String)],
+                       outCol: String = "bpe_tokens",
+                       byteLevel: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    val bMerges = spark.sparkContext.broadcast(merges.toArray)
+    val enc = org.apache.spark.sql.functions.udf { (text: String) =>
+      if (text == null) null
+      else {
+        val ms = bMerges.value
+        val words = text
+        val toks =
+          (if (byteLevel) words else words.toLowerCase(java.util.Locale.ROOT))
+            .split("\\s+").iterator.filter(_.nonEmpty)
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        toks.foreach { w =>
+          val alpha = !byteLevel && w.forall(c => c >= 'a' && c <= 'z')
+          if (!byteLevel && !alpha) out += w // OOV passes through whole
+          else {
+            var syms: Array[String] =
+              if (byteLevel) w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                .map(b => f"${b & 0xFF}%02X")
+              else w.map(_.toString).toArray
+            val present = scala.collection.mutable.HashSet.empty[String]
+            syms.foreach(present += _)
+            var i = 0
+            while (i < ms.length) {
+              val (a, b) = ms(i)
+              if (present.contains(a) && present.contains(b)) {
+                // one greedy left-to-right pass, merged output never
+                // re-merges within the pass (the mergePair fold rule)
+                val buf = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+                var applied = false
+                syms.foreach { x =>
+                  if (buf.nonEmpty && buf.last == a && x == b) {
+                    buf(buf.length - 1) = a + b; applied = true
+                  } else buf += x
+                }
+                if (applied) { syms = buf.toArray; present += (a + b) }
+                // `present` stays a superset when operands are consumed —
+                // a stale entry only costs an identity pass, never a wrong merge
+              }
+              i += 1
+            }
+            out ++= syms
+          }
+        }
+        out.toSeq
+      }
+    }
+    df.withColumn(outCol, enc(col(textCol)))
+  }
 }

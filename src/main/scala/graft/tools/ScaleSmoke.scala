@@ -111,6 +111,35 @@ object ScaleSmoke {
           .write.mode("overwrite").parquet(s"$tmp/wav_$f")
         spark.read.parquet(s"$tmp/wav_$f")
       }
+      // m05 corpus: 9×8 gradient-walk PNGs whose dHash IS mix64(id/4) —
+      // groups of 4 consecutive ids are exact dups, cross-group hashes
+      // are random 64 bits (near-collisions vanishingly rare), so the
+      // true-pair output grows LINEARLY (6 pairs/group); the shared-
+      // gradient 32×32 corpus above would instead make every image a
+      // near-dup of every other and measure output volume, not the filter
+      lazy val dimgs = {
+        spark.range(5000L * f).map { id =>
+          var z = id / 4 + 0x9E3779B97F4A7C15L
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+          val p = z ^ (z >>> 31)
+          val img = new java.awt.image.BufferedImage(9, 8,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          for (y <- 0 until 8) {
+            var v = 128
+            img.setRGB(0, y, (v << 16) | (v << 8) | v)
+            for (x <- 0 until 8) {
+              v += (if (((p >>> (y * 8 + x)) & 1L) == 1L) 8 else -8)
+              img.setRGB(x + 1, y, (v << 16) | (v << 8) | v)
+            }
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray)
+        }.toDF("id", "payload")
+          .write.mode("overwrite").parquet(s"$tmp/dimg_$f")
+        spark.read.parquet(s"$tmp/dimg_$f")
+      }
       lazy val ev = {
         blowEvents(f).write.mode("overwrite").parquet(s"$tmp/ev_$f")
         spark.read.parquet(s"$tmp/ev_$f")
@@ -242,6 +271,27 @@ object ScaleSmoke {
           val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
           val pr = graft.operators.Graph.pageRank(edges, "src", "dst", iterations = 5)
           val n = pr.count(); pr.unpersist(blocking = false); n
+        }),
+        "triangles(g02)" -> (() => {
+          // offset graph (7/11/18 — two triangle families per anchor):
+          // 3N edges, ~2N triangles, so output is linear and the wedge
+          // join's degree-orientation bound is what the exponent measures
+          val ids = spark.range(20000L * f).toDF("k")
+          val off = Seq(7L, 11L, 18L).toDF("o")
+          val cand = ids.crossJoin(broadcast(off))
+            .select(col("k").as("src"), (col("k") + col("o")).as("dst"))
+          val edges = cand.join(ids.select(col("k").as("dst")), "dst")
+          graft.operators.Graph.triangleCount(edges, "src", "dst").count()
+        }),
+        "image_neardup(m05)" -> (() => {
+          val hashes = graft.pipeline.Multimodal.imageDHashes(dimgs, "id", "payload")
+          graft.pipeline.Multimodal.nearDupImagePairs(hashes, "id",
+            maxHamming = 2, bands = 4).count()
+        }),
+        "skew_report(sk04)" -> (() => {
+          tpchViews
+          graft.stats.Stats.skewReport(spark.table("lineitem"),
+            Seq("l_returnflag", "l_suppkey")).count()
         }),
         "bpe_train(t15)" -> (() =>
           graft.pipeline.TextAnalysis.bpeTrain(d, "text", nMerges = 6, minFreq = 1L)

@@ -103,4 +103,34 @@ class BpeSpec extends SparkTestBase {
     assert(toks == Seq("low", "est", "n", "e", "w", "est", "42", "x", "y", "z"),
       s"got $toks")
   }
+
+  test("bpeEncodeAtScale == bpeEncode token-for-token in both alphabets") {
+    // adversarial corpus: case, digits, multi-byte UTF-8, repeats
+    // ("aaa" exercises the no-re-merge rule), OOV, leading whitespace
+    val df = Seq(
+      (1L, "lowest newest 42 xyz aaa"),
+      (2L, " Café über 数据 MIXED-case"),
+      (3L, "aaa aa a ab abc")).toDF("id", "text")
+    val alphaMerges = Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"),
+      ("a", "a"), ("a", "b"), ("ab", "c"))
+    val byteMerges = Seq(("C3", "A9"), ("61", "61"), ("61", "62"),
+      ("6162", "63"), ("34", "32"))
+    for ((merges, bl) <- Seq((alphaMerges, false), (byteMerges, true))) {
+      val exprOut = TextAnalysis.bpeEncode(df, "text", merges, byteLevel = bl)
+        .select(col("id"), array_join(col("bpe_tokens"), " ").as("t"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val loopOut = TextAnalysis.bpeEncodeAtScale(df, "text", merges, byteLevel = bl)
+        .select(col("id"), array_join(col("bpe_tokens"), " ").as("t"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(loopOut == exprOut, s"byteLevel=$bl: $loopOut vs $exprOut")
+    }
+    // vocabulary size the expression form cannot reach: 2 000 synthetic
+    // merges (mostly inapplicable — the presence-set skip path) plus the
+    // real ones interleaved; the loop must stay correct and fast
+    val wide = (0 until 2000).map(i => (s"q$i", s"z$i")) ++ alphaMerges
+    val wideOut = TextAnalysis.bpeEncodeAtScale(df, "text", wide)
+      .filter(col("id") === 1L)
+      .select(array_join(col("bpe_tokens"), " ")).first().getString(0)
+    assert(wideOut == "low est n e w est 42 x y z aa a", s"got $wideOut")
+  }
 }

@@ -240,6 +240,34 @@ class ScaleSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("asofJoin directions: forward min-ord tie, nearest backward tie, tolerance cuts") {
+    import spark.implicits._
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val left = Seq((1L, 10L, t(5)), (2L, 10L, t(20)), (3L, 10L, t(10)), (4L, 10L, t(14)))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((100L, 10L, t(5), 1.0), (101L, 10L, t(5), 2.0),
+        (102L, 10L, t(15), 3.0)).toDF("event_id", "user_id", "ts", "value")
+    def run(dir: String, tol: Option[Double]) =
+      Joins.asofJoin(left, right, Seq("user_id"), "ts", "ts",
+          Seq("value"), "event_id", direction = dir, tolerance = tol)
+        .select(col("event_id"), col("asof.value").as("v"))
+        .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    val f = run("forward", None)
+    assert(f(1L) == 1.0, "equal-ts matches forward; tie broken by MIN rightOrder")
+    assert(f(2L) == null, "nothing at-or-after 10:20")
+    assert(f(3L) == 3.0, "earliest right after left")
+    val n = run("nearest", None)
+    assert(n(3L) == 2.0, "10:10 is 5 min from both sides — tie goes backward")
+    assert(n(4L) == 3.0, "10:14 is closer to 10:15 than to 10:05")
+    assert(n(2L) == 3.0, "only a backward candidate → backward")
+    // 4-minute tolerance (240 s): 10:10 is 5 min from every right → null
+    val nt = run("nearest", Some(240.0))
+    assert(nt(3L) == null && nt(4L) == 3.0, s"got $nt")
+    val bt = run("backward", Some(240.0))
+    assert(bt(2L) == null, "backward match at 5 min rejected by 4-min tolerance")
+    intercept[IllegalArgumentException](run("sideways", None))
+  }
+
   test("rangeJoin: closed-interval containment as an equi-join, no nested loop") {
     import spark.implicits._
     def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
