@@ -1771,7 +1771,47 @@ object SparkEntry {
         s"""WITH ${gs.mkString(",\n")}
            |SELECT * FROM (${mk.mkString("\nUNION ALL\n")})
            |ORDER BY col_name""".stripMargin
-      })
+      }),
+
+    Q("sk05_quantile_profile",
+      (s, d) => {
+        // Mergeable KLL quantile profiles — the quantile leg of the
+        // shard-profile story (sk01 = ndv/min/max leg): accumulate a
+        // sketch per shard, MERGE instead of rescanning, read quartiles.
+        // KLL compaction flips random bits, so the contract is the
+        // ACCURACY BAND, not bit-equality (q84/sk01 pattern): each
+        // estimate's exact rank must sit within ±5% of its fraction
+        // (≈3× the published 1.7% 99%-confidence error at k=200), for
+        // BOTH the shard-merged and the single-pass sketch; the oracle
+        // pins the verdicts true plus the exact row count.
+        val m = mgr(s, d)
+        val li = m.getDDFByName("lineitem").df
+        val nRows = li.count()
+        val fracs = Seq(0.25, 0.5, 0.75)
+        def ranks(sketches: DataFrame, okCol: String): DataFrame =
+          li.select(col("l_orderkey"))
+            .crossJoin(broadcast(
+              Sketches.quantileMergeEstimate(sketches, fracs)))
+            .groupBy("fraction")
+            .agg((sum(when(col("l_orderkey") <= col("est_value"), 1L)
+              .otherwise(0L)).cast("double") / nRows).as("__rank"))
+            .select(col("fraction"),
+              (abs(col("__rank") - col("fraction")) <= lit(0.05)).as(okCol))
+        val sharded = Sketches.quantileAccumulate(
+          li.withColumn("__shard", pmod(col("l_orderkey"), lit(2))),
+          "l_orderkey", "__shard")
+        val whole = Sketches.quantileAccumulate(
+          li.withColumn("__shard", lit(0)), "l_orderkey", "__shard")
+        ranks(sharded, "rank_ok_merged")
+          .join(ranks(whole, "rank_ok_whole"), "fraction")
+          .withColumn("n_rows", lit(nRows))
+          .select("fraction", "n_rows", "rank_ok_merged", "rank_ok_whole")
+          .orderBy("fraction")
+      },
+      Some("""SELECT fraction, (SELECT count(*)::BIGINT FROM lineitem) AS n_rows,
+             |  true AS rank_ok_merged, true AS rank_ok_whole
+             |FROM (VALUES (0.25), (0.5), (0.75)) t(fraction)
+             |ORDER BY fraction""".stripMargin))
   )
 
   // =====================================================================
@@ -4261,6 +4301,80 @@ object SparkEntry {
               |SELECT doc_id, 1::BIGINT AS epoch FROM s1i
               |  WHERE doc_id NOT IN (SELECT doc_id FROM x1)
               |ORDER BY doc_id""".stripMargin)),
+
+    Q("s07_stream_image_ingest",
+      (s, d) => {
+        val m = mgr(s, d)
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        // streaming perceptual-dedup image ingest through the gate: the
+        // m05 pattern corpus (dHash = known 64-bit literal per id % 6)
+        // split into two MemoryStream epochs by id parity. Epoch-0
+        // survivors are the first id of each even-class pattern; epoch 1
+        // must drop its exact in-batch dups AND id 1 (Hamming 1 from the
+        // INDEXED epoch-0 survivor id 0) — the cross-epoch near-dup the
+        // index exists to catch. The oracle replays everything from the
+        // pattern literals: all-pairs bit_count in SQL (complete banding
+        // at maxHamming < bands makes the band filter transparent).
+        val pats = Array(0x3C5A96E187D24B0FL, 0x3C5A96E187D24B0EL,
+          0x3C5A96E1F7D24B0FL, 0x12489ABCDEF01357L, 0x12489ABCDEF01354L,
+          0x5A5A5A5A5A5A5A5AL)
+        val docIds = m.getDDFByName("documents").df
+          .filter(col("doc_id") < 24).select("doc_id")
+          .collect().map(_.getLong(0)).toSeq.sorted
+        val imgs = docIds.map { id =>
+          val p = pats((id % 6).toInt)
+          val img = new java.awt.image.BufferedImage(9, 8,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          for (y <- 0 until 8) {
+            var v = 128
+            img.setRGB(0, y, (v << 16) | (v << 8) | v)
+            for (x <- 0 until 8) {
+              v += (if (((p >>> (y * 8 + x)) & 1L) == 1L) 8 else -8)
+              img.setRGB(x + 1, y, (v << 16) | (v << 8) | v)
+            }
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray)
+        }
+        withScratch("graft_s07") { tmp =>
+          val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Byte])]
+          val q = streaming.CurationStreams.imageDedupIngest(
+              stream.toDF().toDF("id", "payload"), "id", "payload", s"$tmp/index",
+              (df, epoch) => df.select(col("id"), lit(epoch).as("epoch"))
+                .write.mode("append").parquet(s"$tmp/out"))
+            .start()
+          try (0L until 2L).foreach { e =>
+            stream.addData(imgs.filter(_._1 % 2 == e).toIndexedSeq: _*)
+            q.processAllAvailable()
+          } finally q.stop()
+          collectAndClean(s, s.read.parquet(s"$tmp/out").orderBy("id"), tmp)
+        }
+      },
+      Some("""WITH pat(k, p) AS (VALUES
+             |  (0, 4348954285570149135::BIGINT), (1, 4348954285570149134::BIGINT),
+             |  (2, 4348954287449197327::BIGINT), (3, 1317473026990674775::BIGINT),
+             |  (4, 1317473026990674772::BIGINT), (5, 6510615555426900570::BIGINT)),
+             |imgs AS MATERIALIZED (
+             |  SELECT doc_id AS id, doc_id % 2 AS epoch, p FROM documents
+             |  JOIN pat ON pat.k = doc_id % 6 WHERE doc_id < 24),
+             |s0 AS MATERIALIZED (
+             |  SELECT a.id, a.epoch, a.p FROM imgs a
+             |  WHERE a.epoch = 0 AND NOT EXISTS (
+             |    SELECT 1 FROM imgs b WHERE b.epoch = 0 AND b.id < a.id
+             |      AND bit_count(xor(a.p, b.p)) <= 2)),
+             |s1 AS MATERIALIZED (
+             |  SELECT a.id, a.epoch, a.p FROM imgs a
+             |  WHERE a.epoch = 1
+             |    AND NOT EXISTS (
+             |      SELECT 1 FROM imgs b WHERE b.epoch = 1 AND b.id < a.id
+             |        AND bit_count(xor(a.p, b.p)) <= 2)
+             |    AND NOT EXISTS (
+             |      SELECT 1 FROM s0 WHERE bit_count(xor(a.p, s0.p)) <= 2))
+             |SELECT id, epoch::BIGINT AS epoch FROM s0
+             |UNION ALL SELECT id, epoch::BIGINT FROM s1
+             |ORDER BY id""".stripMargin)),
 
     Q("p01_pipeline_e2e",
       (s, d) => {

@@ -18,10 +18,25 @@ object Bucketing {
 
   /** Write `df` as a bucketed, sorted parquet table registered in the
     * session catalog.
+    *
+    * If the catalog does not know `table` but its managed location
+    * survives in the warehouse directory (the in-memory catalog dies
+    * with the session, the directory does not), the orphaned location is
+    * removed first — otherwise every re-run after a restart fails with
+    * LOCATION_ALREADY_EXISTS. Only the table's own default location is
+    * ever touched, and only when the catalog has no owner for it.
     */
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
                     nBuckets: Int): Unit = {
     require(bucketCols.nonEmpty, "bucketCols must be non-empty")
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(table)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"),
+        table.toLowerCase(java.util.Locale.ROOT))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     df.write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)

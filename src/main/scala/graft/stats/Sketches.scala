@@ -224,4 +224,47 @@ object Sketches {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k).drop("__rn")
   }
+
+  /** Mergeable per-shard QUANTILE sketches (DataSketches KLL via
+    * `kll_sketch_agg_bigint`) over a 64-bit integer column — the
+    * quantile leg of the shard-profile story: profile each shard at
+    * write time, MERGE sketches instead of rescanning the corpus. One
+    * sketch row per value of `shardCol`, each O(k·log n) bytes
+    * regardless of shard size.
+    *
+    * `k` is the KLL accuracy knob: normalized rank error ≈ 2.9%/1.7%/1%
+    * at k = 128/200 (default)/400 with 99% confidence (DataSketches
+    * published table). Accuracy contract, not determinism: KLL
+    * compaction flips random bits, so estimates vary run-to-run INSIDE
+    * the rank-error band — gates must assert the band (the q84/sk01
+    * verdict pattern), never bit-equality.
+    */
+  def quantileAccumulate(df: DataFrame, c: String, shardCol: String,
+                         k: Int = 200): DataFrame =
+    df.select(col(shardCol).as("shard"), col(c).cast("long").as("__v"))
+      .na.drop(Seq("__v"))
+      .groupBy("shard")
+      .agg(expr(s"kll_sketch_agg_bigint(__v, $k)").as("sk"))
+
+  /** Merge shard quantile sketches and read quantile estimates at the
+    * requested fractions: (fraction, est_value) rows. The merged
+    * sketch's rank error stays within the per-sketch band (KLL merge is
+    * error-preserving at equal k).
+    */
+  def quantileMergeEstimate(sketches: DataFrame, fractions: Seq[Double],
+                            k: Int = 200): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(f => f >= 0.0 && f <= 1.0),
+      "quantileMergeEstimate: fractions must be in [0, 1]")
+    val merged = sketches.agg(expr(s"kll_merge_agg_bigint(sk, $k)").as("sk"))
+    // the fraction argument must be foldable — one quantile expression
+    // per requested fraction, unpivoted into (fraction, est_value) rows
+    val qs = fractions.zipWithIndex.map { case (f, i) =>
+      expr(s"kll_sketch_get_quantile_bigint(sk, CAST($f AS DOUBLE))").as(s"__q$i")
+    }
+    merged.select(qs: _*)
+      .select(explode(array(fractions.zipWithIndex.map { case (f, i) =>
+        struct(lit(f).as("fraction"), col(s"__q$i").as("est_value"))
+      }: _*)).as("e"))
+      .select(col("e.fraction").as("fraction"), col("e.est_value").as("est_value"))
+  }
 }

@@ -112,6 +112,85 @@ object CurationStreams {
     }
   }
 
+  /** Continuous perceptual-dedup IMAGE ingest: the multimodal twin of
+    * [[nearDupIngest]]. Every micro-batch dHashes its images
+    * ([[graft.pipeline.Multimodal.imageDHashes]] — per-partition decode,
+    * 8 hash bytes per image), drops in-batch near-dups (an image loses
+    * to ANY smaller-id batch image within `maxHamming` — the
+    * dominated-by-smaller rule, deterministic and replay-stable), then
+    * probes the persisted hash index of all earlier survivors with the
+    * banded join ([[graft.pipeline.Multimodal.nearDupImagePairs]]'s
+    * shape; complete for maxHamming < bands, guarded there). Survivors
+    * go to `sink`; their 8-byte hashes (never pixels) append to the
+    * index — so the index for a billion images is gigabytes, not the
+    * corpus.
+    *
+    * Undecodable payloads pass straight through to the sink (they have
+    * no hash to compare — the poison-row contract of the codec
+    * operators; filter on the hash frame downstream if they should
+    * quarantine instead). Same epoch-partitioned replay discipline as
+    * [[dedupedIngest]]: a replayed epoch probes only epochs < N and
+    * dynamically overwrites its own partition, so an (epoch, id)-
+    * idempotent sink gets exactly-once content delivery.
+    */
+  def imageDedupIngest(imgs: DataFrame, idCol: String, payloadCol: String,
+                       indexDir: String, sink: (DataFrame, Long) => Unit,
+                       maxHamming: Int = 2,
+                       bands: Int = 4): DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(imgs.isStreaming, "imageDedupIngest expects a streaming frame; " +
+      "compose Multimodal.imageDHashes + nearDupImagePairs for batch dedup")
+    require(bands >= 1 && 64 % bands == 0 && maxHamming >= 0 && maxHamming < bands,
+      s"imageDedupIngest: need 0 <= maxHamming < bands and bands | 64, " +
+        s"got maxHamming=$maxHamming bands=$bands")
+    val bits = 64 / bands
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
+    imgs.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
+      val spark = batch.sparkSession
+      val hashes = graft.pipeline.Multimodal
+        .imageDHashes(batch, idCol, payloadCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val decoded = hashes.filter(col("decoded"))
+        // in-batch: an image is dominated by ANY smaller-id near image
+        val inBatchLosers = graft.pipeline.Multimodal
+          .nearDupImagePairs(decoded, "id", maxHamming = maxHamming, bands = bands)
+          .select(col("id2").as("id")).distinct()
+        val index =
+          if (indexExists(spark, indexDir))
+            spark.read.parquet(indexDir)
+              .filter(col("epoch") < epoch)
+              .select(col("dhash").as("__ih"))
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("__ih",
+                org.apache.spark.sql.types.LongType))))
+        def sliced(df: DataFrame, h: String): DataFrame = df
+          .select(col("*"), explode(sequence(lit(0), lit(bands - 1))).as("__b"))
+          .withColumn("__bv", expr(s"shiftrightunsigned($h, __b * $bits) & ${mask}L"))
+        val vsIndex = sliced(decoded.select("id", "dhash"), "dhash")
+          .join(sliced(index, "__ih"), Seq("__b", "__bv"))
+          .select(col("id"), col("dhash"), col("__ih")).distinct()
+          .filter(expr(s"bit_count(dhash ^ __ih) <= $maxHamming"))
+          .select("id").distinct()
+        val surviving = decoded
+          .join(inBatchLosers, Seq("id"), "left_anti")
+          .join(vsIndex, Seq("id"), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val keepIds = surviving.select(col("id").as(idCol))
+            .unionByName(hashes.filter(!col("decoded")).select(col("id").as(idCol)))
+          sink(batch.join(keepIds, Seq(idCol), "left_semi"), epoch)
+          surviving.select(col("dhash")).withColumn("epoch", lit(epoch))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(indexDir)
+        } finally surviving.unpersist(blocking = false)
+      } finally hashes.unpersist(blocking = false)
+    }
+  }
+
   private def indexExists(spark: org.apache.spark.sql.SparkSession, dir: String): Boolean = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)

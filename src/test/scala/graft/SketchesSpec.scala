@@ -130,4 +130,29 @@ class SketchesSpec extends SparkTestBase {
     assert(drift("extra").isNullAt(drift("extra").fieldIndex("rows_old")))
     assert(!drift("extra").getAs[Boolean]("range_widened"))
   }
+
+  test("KLL quantile profile: shard-merge and single-pass both inside the rank band") {
+    import spark.implicits._
+    // 1..10000 in two disjoint parity shards: true quartiles 2500/5000/7500
+    val df = spark.range(1, 10001).toDF("v")
+      .withColumn("shard", pmod(col("v"), lit(2)))
+    def est(shards: org.apache.spark.sql.DataFrame): Map[Double, Long] =
+      Sketches.quantileMergeEstimate(shards, Seq(0.25, 0.5, 0.75))
+        .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    val merged = est(Sketches.quantileAccumulate(df, "v", "shard"))
+    val single = est(Sketches.quantileAccumulate(
+      df.withColumn("shard", lit(0)), "v", "shard"))
+    for ((f, want) <- Seq(0.25 -> 2500L, 0.5 -> 5000L, 0.75 -> 7500L)) {
+      // ±5% of rank on uniform 1..10k = ±500 in value
+      assert(math.abs(merged(f) - want) <= 500, s"merged q$f = ${merged(f)}")
+      assert(math.abs(single(f) - want) <= 500, s"single q$f = ${single(f)}")
+    }
+    // nulls are ignored, not counted as zeros
+    val withNulls = Seq(Some(1L), None, Some(3L), None, Some(2L)).toDF("v")
+      .withColumn("shard", lit(0))
+    val m = est(Sketches.quantileAccumulate(withNulls, "v", "shard"))
+    assert(m(0.5) >= 1L && m(0.5) <= 3L)
+    intercept[IllegalArgumentException](
+      Sketches.quantileMergeEstimate(df.limit(0), Seq(1.5)))
+  }
 }

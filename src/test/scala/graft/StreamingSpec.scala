@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.EventStreams
+import graft.streaming.{CurationStreams, EventStreams}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import java.sql.Timestamp
@@ -396,6 +396,52 @@ class StreamingSpec extends SparkTestBase {
     val batch = EventStreams.dedupEvents(
       (sampleRows ++ Seq(sampleRows.head.copy(value = 99.0))).toDF(), Seq("event_id"))
     assert(batch.count() == sampleRows.size)
+  }
+
+  test("imageDedupIngest: cross-epoch near-dup dropped, poison rows pass through") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // pattern-walk 9×8 PNGs with a KNOWN dHash (the m05 trick)
+    def mkImg(p: Long): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(9, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8) {
+        var v = 128
+        img.setRGB(0, y, (v << 16) | (v << 8) | v)
+        for (x <- 0 until 8) {
+          v += (if (((p >>> (y * 8 + x)) & 1L) == 1L) 8 else -8)
+          img.setRGB(x + 1, y, (v << 16) | (v << 8) | v)
+        }
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val p0 = 0x3C5A96E187D24B0FL
+    val base = java.nio.file.Files.createTempDirectory("graft_imgingest").toString
+    val stream = MemoryStream[(Long, Array[Byte])]
+    val q = CurationStreams.imageDedupIngest(
+        stream.toDF().toDF("id", "payload"), "id", "payload", s"$base/idx",
+        (df, epoch) => df.select(col("id"), lit(epoch).as("epoch"))
+          .write.mode("append").parquet(s"$base/out"))
+      .start()
+    try {
+      // epoch 0: two exact dups (1 dominates 4) + one far pattern
+      stream.addData((1L, mkImg(p0)), (4L, mkImg(p0)), (5L, mkImg(p0 ^ (0xFFL << 32))))
+      q.processAllAvailable()
+      // epoch 1: Hamming-1 of the epoch-0 survivor (drops via the index),
+      // a genuinely new pattern, and an undecodable payload (passes through)
+      stream.addData((7L, mkImg(p0 ^ 1L)), (8L, mkImg(0x12489ABCDEF01357L)),
+        (9L, "not a png".getBytes("UTF-8")))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$base/out")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out == Map(1L -> 0L, 5L -> 0L, 8L -> 1L, 9L -> 1L), s"got $out")
+      // the index holds only decoded survivor hashes (3 rows, 8 bytes each)
+      val idx = spark.read.parquet(s"$base/idx").select("dhash")
+        .collect().map(_.getLong(0)).toSet
+      assert(idx == Set(p0, p0 ^ (0xFFL << 32), 0x12489ABCDEF01357L), s"got $idx")
+    } finally q.stop()
   }
 
   test("text enrichment is streaming-safe: stream result equals batch") {
