@@ -4310,12 +4310,13 @@ object SparkEntry {
         // streaming perceptual-dedup image ingest through the gate: the
         // m05 pattern corpus (dHash = known 64-bit literal per id % 6)
         // split into two MemoryStream epochs by id parity. Epoch-0
-        // survivors are the first id of each even-class pattern; epoch 1
-        // must drop its exact in-batch dups AND id 1 (Hamming 1 from the
-        // INDEXED epoch-0 survivor id 0) — the cross-epoch near-dup the
-        // index exists to catch. The oracle replays everything from the
-        // pattern literals: all-pairs bit_count in SQL (complete banding
-        // at maxHamming < bands makes the band filter transparent).
+        // survivors are the first id of each even-class pattern (0, 2,
+        // 4); epoch 1 must drop its exact in-batch dups AND both
+        // cross-epoch near-dups — id 1 (Hamming 1 from indexed id 0)
+        // and id 3 (Hamming 2 from indexed id 4) — leaving only id 5.
+        // The oracle replays everything from the pattern literals:
+        // all-pairs bit_count in SQL (complete banding at
+        // maxHamming < bands makes the band filter transparent).
         val pats = Array(0x3C5A96E187D24B0FL, 0x3C5A96E187D24B0EL,
           0x3C5A96E1F7D24B0FL, 0x12489ABCDEF01357L, 0x12489ABCDEF01354L,
           0x5A5A5A5A5A5A5A5AL)
