@@ -120,7 +120,9 @@ object Graph {
     val counts = triangles
       .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("triangles"))
-    counts.localCheckpoint() // materialize before dropping the edge caches
+      .localCheckpoint() // materialize BEFORE dropping the edge caches —
+      // the checkpointed frame is what we return; dropping the caches
+      // under the lazy plan would silently recompute everything
     canon.unpersist(blocking = false)
     oriented.unpersist(blocking = false)
     counts
