@@ -4219,6 +4219,67 @@ object SparkEntry {
               |FROM pack, tot
               |GROUP BY pbucket, bin, tot.n ORDER BY seq_id""".stripMargin)),
 
+    Q("p06_multimodal_corpus_build",
+      (s, d) => {
+        val m = mgr(s, d)
+        // The multimodal twin of p05: the image-curation operators
+        // composed end-to-end WITHOUT a seam — real PNG ingest → dHash →
+        // banded near-dup pairs → pointer-doubling cluster
+        // representatives (clusterSurvivors) → publish with manifest →
+        // verify. 48 pattern images (8 per class); classes {P0, P1}
+        // (Hamming 1) and {P3, P4} (Hamming 2) are near-dup CLIQUES, so
+        // the oracle's no-smaller-neighbor rule equals the component
+        // minimum, and everything replays from the pattern literals.
+        import s.implicits._
+        val pats = Array(0x3C5A96E187D24B0FL, 0x3C5A96E187D24B0EL,
+          0x3C5A96E1F7D24B0FL, 0x12489ABCDEF01357L, 0x12489ABCDEF01354L,
+          0x5A5A5A5A5A5A5A5AL)
+        val docIds = m.getDDFByName("documents").df
+          .filter(col("doc_id") < 48).select("doc_id")
+          .collect().map(_.getLong(0)).toSeq.sorted
+        val imgs = docIds.map { id =>
+          val p = pats((id % 6).toInt)
+          val img = new java.awt.image.BufferedImage(9, 8,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          for (y <- 0 until 8) {
+            var v = 128
+            img.setRGB(0, y, (v << 16) | (v << 8) | v)
+            for (x <- 0 until 8) {
+              v += (if (((p >>> (y * 8 + x)) & 1L) == 1L) 8 else -8)
+              img.setRGB(x + 1, y, (v << 16) | (v << 8) | v)
+            }
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray)
+        }
+        val hashes = pipeline.Multimodal.imageDHashes(
+          imgs.toDF("id", "payload"), "id", "payload")
+        val pairs = pipeline.Multimodal.nearDupImagePairs(hashes, "id",
+          maxHamming = 2, bands = 4)
+        val reps = pipeline.Dedup.clusterSurvivors(
+          hashes.select("id", "dhash"), pairs, "id")
+        withScratch("graft_p06") { tmp =>
+          sources.Manifest.writeWithManifest(reps.repartition(1), s"$tmp/corpus")
+          val v = sources.Manifest.verifyManifest(s, s"$tmp/corpus")
+            .agg(count(lit(1)).as("n_shards"),
+              sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"))
+          collectAndClean(s, reps.crossJoin(v).orderBy("id"), tmp)
+        }
+      },
+      Some("""WITH pat(k, p) AS (VALUES
+             |  (0, 4348954285570149135::BIGINT), (1, 4348954285570149134::BIGINT),
+             |  (2, 4348954287449197327::BIGINT), (3, 1317473026990674775::BIGINT),
+             |  (4, 1317473026990674772::BIGINT), (5, 6510615555426900570::BIGINT)),
+             |imgs AS MATERIALIZED (
+             |  SELECT doc_id AS id, p FROM documents
+             |  JOIN pat ON pat.k = doc_id % 6 WHERE doc_id < 48)
+             |SELECT a.id, a.p AS dhash, 1::BIGINT AS n_shards, 1::BIGINT AS n_ok
+             |FROM imgs a WHERE NOT EXISTS (
+             |  SELECT 1 FROM imgs b WHERE b.id < a.id
+             |    AND bit_count(xor(a.p, b.p)) <= 2)
+             |ORDER BY a.id""".stripMargin)),
+
     Q("s05_stream_dedup_ingest",
       (s, d) => {
         val m = mgr(s, d)
