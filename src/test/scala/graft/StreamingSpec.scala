@@ -398,6 +398,76 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.count() == sampleRows.size)
   }
 
+  test("imageDedupIngest: crash mid-epoch + checkpoint restart replays bit-identically") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def mkImg(p: Long): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(9, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8) {
+        var v = 128
+        img.setRGB(0, y, (v << 16) | (v << 8) | v)
+        for (x <- 0 until 8) {
+          v += (if (((p >>> (y * 8 + x)) & 1L) == 1L) 8 else -8)
+          img.setRGB(x + 1, y, (v << 16) | (v << 8) | v)
+        }
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val pA = 0x3C5A96E187D24B0FL; val pB = 0x12489ABCDEF01357L
+    val base = java.nio.file.Files.createTempDirectory("graft_imgrestart")
+    val idxDir = base.toString + "/idx"
+    val ckpt = base.toString + "/ckpt"
+    val stream = MemoryStream[(Long, Array[Byte])]
+    val sunk = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    @volatile var failNext = false
+    def writer() = CurationStreams.imageDedupIngest(
+        stream.toDF().toDF("id", "payload"), "id", "payload", idxDir,
+        (df, epoch) => {
+          val ids = df.select("id").collect().map(_.getLong(0)).toSeq.sorted
+          sunk.synchronized { sunk += epoch -> ids }
+          if (failNext) {
+            failNext = false
+            throw new RuntimeException("injected crash after sink, before index write")
+          }
+        })
+      .option("checkpointLocation", ckpt)
+
+    val q1 = writer().start()
+    stream.addData((1L, mkImg(pA)), (2L, mkImg(pB)))
+    q1.processAllAvailable(); q1.stop()
+
+    // epoch 1 crashes after sink, before index write; the crash also
+    // leaves a PARTIAL index row in our epoch's partition
+    failNext = true
+    stream.addData((3L, mkImg(pA ^ 1L)), (4L, mkImg(0x5A5A5A5A5A5A5A5AL)))
+    val q2 = writer().start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    Seq(Tuple1(12345L)).toDF("dhash").write.mode("append").parquet(idxDir + "/epoch=1")
+
+    val q3 = writer().start()
+    try {
+      q3.processAllAvailable()
+      // epoch 2 must dedup against what the REPLAY indexed (Hamming 1 of id 4)
+      stream.addData((5L, mkImg(0x5A5A5A5A5A5A5A5BL)), (6L, mkImg(pB ^ (0x3FL << 50))))
+      q3.processAllAvailable()
+    } finally q3.stop()
+
+    // both attempts of epoch 1 delivered the identical survivor set
+    // (3 is Hamming-1 of indexed 1 both times), epoch 2 dropped 5
+    // against the replayed index and kept the far pattern 6
+    assert(sunk.toList == List(0L -> Seq(1L, 2L), 1L -> Seq(4L), 1L -> Seq(4L), 2L -> Seq(6L)),
+      s"got $sunk")
+    val idx = spark.read.parquet(idxDir)
+    assert(idx.filter(col("dhash") === 12345L).isEmpty,
+      "replay must dynamically overwrite its own epoch partition")
+  }
+
   test("imageDedupIngest: cross-epoch near-dup dropped, poison rows pass through") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
