@@ -3869,6 +3869,29 @@ object SparkEntry {
              |FROM l JOIN b USING (event_id) JOIN f USING (event_id)
              |ORDER BY l.event_id""".stripMargin)),
 
+    Q("j09_sorted_neighborhood",
+      (s, d) => {
+        val m = mgr(s, d)
+        // Sorted-neighborhood record linkage over customer names:
+        // rank by (name, id), compare only rank-window neighbors,
+        // Levenshtein-verify. The oracle replays the window semantics
+        // exactly (row_number in the same total order + rank-distance
+        // join) — proving the distributed rank + two-bucket cover emits
+        // precisely the in-window pairs, no more, no less.
+        val out = pipeline.SetJoin.sortedNeighborhoodJoin(
+          m.getDDFByName("customer").df, "c_name", "c_custkey",
+          window = 10, maxDist = 1)
+        out.orderBy("id_a", "id_b")
+      },
+      Some("""WITH r AS (SELECT c_custkey AS id, c_name AS k,
+             |  row_number() OVER (ORDER BY c_name, c_custkey) - 1 AS rnk
+             |  FROM customer)
+             |SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b,
+             |  levenshtein(a.k, b.k)::BIGINT AS dist
+             |FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk - a.rnk <= 9
+             |WHERE levenshtein(a.k, b.k) <= 1
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     Q("j03_edit_distance_join",
       (s, d) => {
         // EXACT Levenshtein-1 self-join over customer names (the

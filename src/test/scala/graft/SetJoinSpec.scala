@@ -170,4 +170,34 @@ class SetJoinSpec extends SparkTestBase {
     assert(out.length == 1 && out.head.getDouble(2) == 0.55,
       s"boundary pair must survive, got ${out.toSeq}")
   }
+
+  test("sortedNeighborhoodJoin: exact window semantics, bucket-boundary pairs included") {
+    import spark.implicits._
+    // sort order by key: aaa(1) aab(2) aac(3) abc(4) zzz(5) zzy(6)?? no —
+    // keys sorted: aaa aab aac abc zzy zzz → ranks 0..5
+    val df = Seq((1L, "aaa"), (2L, "aab"), (3L, "aac"), (4L, "abc"),
+      (5L, "zzz"), (6L, "zzy")).toDF("id", "name")
+    // window=2 (adjacent ranks only), maxDist=1: (aaa,aab) d1, (aab,aac)
+    // d1, (aac,abc) d1 (one substitution), (abc,zzy) far, (zzy,zzz) d1
+    val w2 = SetJoin.sortedNeighborhoodJoin(df, "name", "id", window = 2, maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(w2 == Set((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L), (5L, 6L, 1L)),
+      s"got $w2")
+    // window=3 adds the rank-distance-2 pair (aaa,aac) d1; W=2 puts
+    // ranks (0,2) in DIFFERENT buckets — the downward bucket emission
+    // must still find it
+    val w3 = SetJoin.sortedNeighborhoodJoin(df, "name", "id", window = 3, maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(w3 == w2 + ((1L, 3L, 1L)), s"got $w3")
+    // out-of-window true match is missed — the documented recall bound
+    // (ax/bx are Levenshtein-1 but sort 5 ranks apart)
+    val spread = Seq((1L, "ax"), (2L, "ba"), (3L, "bb"), (4L, "bc"),
+      (5L, "bd"), (6L, "bx")).toDF("id", "name")
+    val got = SetJoin.sortedNeighborhoodJoin(spread, "name", "id", window = 2, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!got.contains((1L, 6L)),
+      "ax/bx sort 5 ranks apart — window 2 must miss them (blocking contract)")
+    intercept[IllegalArgumentException](
+      SetJoin.sortedNeighborhoodJoin(df, "name", "id", window = 1, maxDist = 1))
+  }
 }
