@@ -355,6 +355,22 @@ object ScaleSmoke {
           graft.pipeline.SetJoin.editDistanceJoin(blown, "name", "k", maxDist = 1)
             .count()
         }),
+        "sorted_neighborhood(j09)" -> (() => {
+          // same blown zero-padded name corpus as j03: SNM's candidate
+          // budget is n·(window−1) BY CONSTRUCTION, so the expected
+          // shape is the sort's n·log n plus a linear verify — the
+          // contrast row to j03's output-bound complete join on the
+          // identical corpus
+          val base = spark.read.parquet(s"$sfDir/customer.parquet")
+            .select(col("c_custkey"))
+          val span = base.agg(max(col("c_custkey"))).first().getLong(0) + 1L
+          val blown = (0 until f).map(i =>
+              base.select((col("c_custkey") + lit(i * span)).as("k")))
+            .reduce(_ unionAll _)
+            .select(col("k"), format_string("Customer#%09d", col("k")).as("name"))
+          graft.pipeline.SetJoin.sortedNeighborhoodJoin(blown, "name", "k",
+            window = 10, maxDist = 1).count()
+        }),
         "edit_dist_join_k3(j04)" -> (() => {
           // the k ≥ 3 q-gram path's POSITIVE-case measurement (r10
           // measured this path only failing, on the zero-padded corpus
