@@ -1258,6 +1258,50 @@ object SparkEntry {
           "SELECT node, pr FROM pr5 ORDER BY pr DESC, node"
       }),
 
+    Q("g04_pagerank_weighted",
+      (s, d) => {
+        val m = mgr(s, d)
+        // weighted fixed-point PageRank over the same part↔supplier
+        // bipartite graph as g01, edge weight = lineitem row count per
+        // (part, supp) pair — rank splits proportionally to shipment
+        // volume. Deterministic by the same integer-floor construction;
+        // the oracle replays all 5 weighted rounds.
+        val li = m.getDDFByName("lineitem").df
+        val fwd = li.groupBy(
+            concat(lit("p"), col("l_partkey")).as("src"),
+            concat(lit("s"), col("l_suppkey")).as("dst"))
+          .agg(count(lit(1)).as("w"))
+        val edges = fwd.unionByName(
+          fwd.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+        Graph.pageRankWeighted(edges, "src", "dst", "w", iterations = 5)
+          .orderBy(col("pr").desc, col("node"))
+      },
+      Some {
+        val base =
+          """ew AS MATERIALIZED (
+            |  SELECT 'p' || l_partkey AS src, 's' || l_suppkey AS dst,
+            |    count(*)::BIGINT AS w
+            |  FROM lineitem GROUP BY 1, 2),
+            |edges AS MATERIALIZED (
+            |  SELECT src, dst, w FROM ew
+            |  UNION ALL SELECT dst, src, w FROM ew),
+            |deg AS MATERIALIZED (SELECT src, sum(w)::BIGINT AS sw FROM edges GROUP BY src),
+            |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+            |pr0 AS (SELECT node, 1000000::BIGINT AS pr FROM nodes)""".stripMargin
+        val iters = (0 until 5).map { k =>
+          s"""c$k AS MATERIALIZED (
+             |  SELECT e.dst AS node, sum((p.pr * e.w) // d.sw)::BIGINT AS contrib
+             |  FROM edges e JOIN pr$k p ON e.src = p.node JOIN deg d ON e.src = d.src
+             |  GROUP BY e.dst),
+             |pr${k + 1} AS MATERIALIZED (
+             |  SELECT n.node,
+             |    (150000 + (85 * coalesce(c.contrib, 0)) // 100)::BIGINT AS pr
+             |  FROM nodes n LEFT JOIN c$k c ON n.node = c.node)""".stripMargin
+        }
+        s"WITH ${(base +: iters).mkString(",\n")}\n" +
+          "SELECT node, pr FROM pr5 ORDER BY pr DESC, node"
+      }),
+
     Q("g02_triangle_count",
       (s, d) => {
         val m = mgr(s, d)
@@ -1811,7 +1855,29 @@ object SparkEntry {
       Some("""SELECT fraction, (SELECT count(*)::BIGINT FROM lineitem) AS n_rows,
              |  true AS rank_ok_merged, true AS rank_ok_whole
              |FROM (VALUES (0.25), (0.5), (0.75)) t(fraction)
-             |ORDER BY fraction""".stripMargin))
+             |ORDER BY fraction""".stripMargin)),
+
+    Q("q89_group_ndv_approx",
+      (s, d) => {
+        // per-group approximate distinct counts (HLL++, rsd 2%) beside
+        // the exact — the grouped form of Stats.approxDistinctCounts.
+        // HLL++ is deterministic for fixed data (register maxima, no
+        // RNG), but its value is engine-specific, so the verdict-boolean
+        // contract applies: |est − exact| ≤ 6·rsd·exact, oracle pins the
+        // verdicts true and checks the exact counts hash-exactly.
+        val m = mgr(s, d)
+        m.getDDFByName("lineitem").df
+          .groupBy("l_returnflag")
+          .agg(count_distinct(col("l_orderkey")).as("exact_ndv"),
+            approx_count_distinct(col("l_orderkey"), 0.02).as("__est"))
+          .select(col("l_returnflag"), col("exact_ndv"),
+            (abs(col("__est") - col("exact_ndv")).cast("double")
+              <= greatest(lit(1.0), lit(6 * 0.02) * col("exact_ndv"))).as("ndv_ok"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(DISTINCT l_orderkey)::BIGINT AS exact_ndv,
+             |  true AS ndv_ok
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
   )
 
   // =====================================================================

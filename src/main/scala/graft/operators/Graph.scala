@@ -70,6 +70,54 @@ object Graph {
     pr
   }
 
+  /** Weighted [[pageRank]]: each out-edge carries an integer weight and
+    * a node's rank splits proportionally — contribution along (s, d, w)
+    * is `(pr · w) div Σ_s w` (integer floor, order-independent sums, so
+    * the same bit-identical-on-any-engine contract as the unweighted
+    * form). Duplicate (src, dst) rows sum their weights;
+    * non-positive-weight edges drop. Caller must keep
+    * `max(pr) · max(w) < 2^63` — with the default scale (10⁶ micro-units
+    * per node) that allows edge weights into the hundreds of millions
+    * before any overflow risk. Same per-round shape and persist
+    * discipline as [[pageRank]].
+    */
+  def pageRankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+                       weightCol: String, iterations: Int,
+                       dampingPct: Int = 85, scale: Long = 1000000L): DataFrame = {
+    require(iterations >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("w") > 0)
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy("src").agg(sum("w").as("sw"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = (100L - dampingPct) * scale / 100L
+    var pr = nodes.withColumn("pr", lit(scale))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    for (_ <- 0 until iterations) {
+      val contribs = e
+        .join(pr.withColumnRenamed("node", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst").as("node"), expr("(pr * w) div sw").as("c"))
+        .groupBy("node").agg(sum("c").as("contrib"))
+      val next = nodes
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr(s"($dampingPct * coalesce(contrib, 0L)) div 100"))
+            .as("pr"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      pr.unpersist(blocking = false)
+      pr = next
+    }
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    pr
+  }
+
   /** Per-node triangle counts over the undirected graph induced by
     * `edges` (direction and duplicates are erased; self-loops dropped).
     * Output: (node, triangles) for every node in ≥ 1 triangle.

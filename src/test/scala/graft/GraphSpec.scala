@@ -51,6 +51,27 @@ class GraphSpec extends SparkTestBase {
       Aggregations.mergeAggregates(df, df, "g, m=avg(v)"))
   }
 
+  test("pageRankWeighted: rank splits by weight; duplicate edges sum; pair fixed point") {
+    // symmetric pair forwards its whole rank whatever the weight —
+    // same fixed point as the unweighted form
+    val pair = Seq(("a", "b", 7L), ("b", "a", 7L)).toDF("src", "dst", "w")
+    val pp = Graph.pageRankWeighted(pair, "src", "dst", "w", iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pp == Map("a" -> 1000000L, "b" -> 1000000L), s"got $pp")
+    // star a→b (weight 3), a→c (weight 1): after one round b gets 3/4 of
+    // a's damped mass, c gets 1/4 — hand-computed micro-units
+    val star = Seq(("a", "b", 3L), ("a", "c", 1L)).toDF("src", "dst", "w")
+    val ps = Graph.pageRankWeighted(star, "src", "dst", "w", iterations = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ps == Map("a" -> 150000L, "b" -> 787500L, "c" -> 362500L), s"got $ps")
+    // duplicate (src, dst) rows sum their weights; zero-weight edges drop
+    val dup = Seq(("a", "b", 2L), ("a", "b", 1L), ("a", "c", 1L), ("a", "d", 0L))
+      .toDF("src", "dst", "w")
+    val pd = Graph.pageRankWeighted(dup, "src", "dst", "w", iterations = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pd == Map("a" -> 150000L, "b" -> 787500L, "c" -> 362500L), s"got $pd")
+  }
+
   test("triangleCount: K4 has 3 per node; direction/dups/self-loops erased") {
     // K4 = 4 triangles, each node in exactly 3
     val k4 = (for {
