@@ -1258,6 +1258,61 @@ object SparkEntry {
           "SELECT node, pr FROM pr5 ORDER BY pr DESC, node"
       }),
 
+    Q("g05_kcore",
+      (s, d) => {
+        val m = mgr(s, d)
+        // 6-core over a two-regime graph: 25 cliques over ids 0–250
+        // (custkeys start at 0, so group 0 has 11 members at degree 10;
+        // the rest are ten-member at degree 9 — the robust core) plus a
+        // {3,5,8}-offset lattice on ids 251–400 whose max degree 6
+        // unravels through a ~10-round peel cascade (simulated during
+        // design) — the oracle replays 12 peel rounds (post-fixpoint
+        // rounds are no-ops) and reads the final in-core degrees.
+        import s.implicits._
+        val ids = m.getDDFByName("customer").df.select(col("c_custkey").as("id"))
+        val cl = ids.filter(col("id") <= 250)
+          .withColumn("g", expr("(id - 1) div 10"))
+        val cliqueEdges = cl.as("x")
+          .join(cl.select(col("id").as("id2"), col("g")).as("y"),
+            col("x.g") === col("y.g") && col("x.id") < col("id2"))
+          .select(col("x.id").as("src"), col("id2").as("dst"))
+        val off = Seq(3L, 5L, 8L).toDF("o")
+        val latEdges = ids.filter(col("id") > 250 && col("id") <= 400)
+          .crossJoin(broadcast(off))
+          .select(col("id").as("src"), (col("id") + col("o")).as("dst"))
+          .join(ids.filter(col("id") > 250 && col("id") <= 400)
+            .select(col("id").as("dst")), "dst")
+          .select("src", "dst")
+        Graph.kCore(cliqueEdges.unionByName(latEdges), "src", "dst", k = 6)
+          .orderBy("node")
+      },
+      Some {
+        val base =
+          """ids AS MATERIALIZED (SELECT c_custkey AS id FROM customer),
+            |ce AS (SELECT a.id AS a, b.id AS b FROM ids a JOIN ids b
+            |  ON a.id <= 250 AND b.id <= 250
+            |  AND (a.id - 1) // 10 = (b.id - 1) // 10 AND a.id < b.id),
+            |le AS (SELECT a.id AS a, b.id AS b FROM ids a
+            |  JOIN (VALUES (3), (5), (8)) t(o) ON true
+            |  JOIN ids b ON b.id = a.id + t.o
+            |  WHERE a.id > 250 AND a.id <= 400 AND b.id <= 400),
+            |canon AS MATERIALIZED (SELECT DISTINCT a, b
+            |  FROM (SELECT * FROM ce UNION ALL SELECT * FROM le)),
+            |sym AS MATERIALIZED (
+            |  SELECT a AS src, b AS dst FROM canon
+            |  UNION ALL SELECT b, a FROM canon),
+            |a0 AS MATERIALIZED (SELECT DISTINCT src AS v FROM sym)""".stripMargin
+        val rounds = (0 to 12).map { r =>
+          s"""d$r AS MATERIALIZED (
+             |  SELECT s.src AS v, count(*)::BIGINT AS dg FROM sym s
+             |  JOIN a$r x ON s.src = x.v JOIN a$r y ON s.dst = y.v
+             |  GROUP BY s.src),
+             |a${r + 1} AS MATERIALIZED (SELECT v FROM d$r WHERE dg >= 6)""".stripMargin
+        }
+        s"WITH ${(base +: rounds).mkString(",\n")}\n" +
+          "SELECT v AS node, dg AS core_deg FROM d12 ORDER BY node"
+      }),
+
     Q("g04_pagerank_weighted",
       (s, d) => {
         val m = mgr(s, d)

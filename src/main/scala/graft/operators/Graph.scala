@@ -176,6 +176,62 @@ object Graph {
     counts
   }
 
+  /** k-core of the undirected graph induced by `edges`: the maximal
+    * subgraph where every node has degree ≥ k inside the subgraph —
+    * the classic peeling filter (web-graph quality/spam cores, social
+    * cohesion). Output: (node, core_deg) for every surviving node, with
+    * its degree INSIDE the core. Direction, duplicates, and self-loops
+    * are erased first.
+    *
+    * Peeling is the fixpoint of "drop nodes with alive-degree < k" —
+    * deterministic regardless of execution order (the k-core is unique;
+    * batch peeling reaches it). Each round is one edge-partitioned
+    * join of the symmetric edge list against the alive set plus a
+    * partial-agg degree count — shuffled bytes O(edges) worst case,
+    * shrinking as the graph peels; the alive frame is checkpointed per
+    * round (the dupClusters lineage discipline). Rounds needed = the
+    * cascade depth, graph-dependent: `strict = true` (default) throws
+    * past `maxIter` rather than returning a silently-unfinished core.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            maxIter: Int = 50, strict: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val sym = canon.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(canon.select(col("b").as("src"), col("a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var alive = sym.select(col("src").as("node")).distinct().localCheckpoint()
+      var n = alive.count()
+      var converged = false
+      var iter = 0
+      while (!converged && iter < maxIter) {
+        val deg = sym
+          .join(alive.withColumnRenamed("node", "src"), "src")
+          .join(alive.withColumnRenamed("node", "dst"), "dst")
+          .groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
+        val next = deg.filter(col("core_deg") >= k).localCheckpoint()
+        val m = next.count()
+        converged = m == n // peeling is monotone — equal count = fixpoint
+        alive = next.select("node").localCheckpoint()
+        n = m
+        iter += 1
+      }
+      if (strict && !converged) throw new IllegalStateException(
+        s"kCore: not converged after $maxIter peel rounds; raise maxIter " +
+          "(or pass strict = false to accept a partially peeled graph)")
+      // final degrees inside the core (already computed by the last round)
+      sym.join(alive.withColumnRenamed("node", "src"), "src")
+        .join(alive.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
+        .localCheckpoint()
+    } finally sym.unpersist(blocking = false)
+  }
+
   /** Connected components of the undirected graph induced by `edges`:
     * (id, cluster_id) for every node incident to an edge, cluster_id =
     * the component's minimum node id. Delegates to the pointer-doubling

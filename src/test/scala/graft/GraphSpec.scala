@@ -98,6 +98,23 @@ class GraphSpec extends SparkTestBase {
     assert(tc(0L) == 6L && (1 to 6).forall(i => tc(i.toLong) == 2L), s"got $tc")
   }
 
+  test("kCore: cascade peels the tail, core degrees reported, strict guard") {
+    // lollipop: K5 (ids 1-5, deg 4) + tail 5-6-7-8. 2-core: the tail
+    // peels back node by node (8 first, then 7, then 6 — a 3-round
+    // cascade), K5 survives with in-core degree 4.
+    val k5 = (for { a <- 1 to 5; b <- 1 to 5 if a < b } yield (a.toLong, b.toLong))
+    val tail = Seq((5L, 6L), (6L, 7L), (7L, 8L))
+    val out = Graph.kCore((k5 ++ tail).toDF("src", "dst"), "src", "dst", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 4L, 2L -> 4L, 3L -> 4L, 4L -> 4L, 5L -> 4L), s"got $out")
+    // whole graph unravels at k above the max core
+    assert(Graph.kCore(tail.toDF("src", "dst"), "src", "dst", k = 2).count() == 0)
+    // strict: a cascade deeper than maxIter must throw, not return junk
+    intercept[IllegalStateException] {
+      Graph.kCore((k5 ++ tail).toDF("src", "dst"), "src", "dst", k = 2, maxIter = 1)
+    }
+  }
+
   test("connectedComponents labels a chain by its minimum id") {
     val edges = Seq((5L, 3L), (3L, 9L), (20L, 21L)).toDF("src", "dst")
     val cc = Graph.connectedComponents(edges, "src", "dst")
