@@ -272,6 +272,43 @@ object ScaleSmoke {
           val pr = graft.operators.Graph.pageRank(edges, "src", "dst", iterations = 5)
           val n = pr.count(); pr.unpersist(blocking = false); n
         }),
+        "pagerank_weighted(g04)" -> (() => {
+          // g01's graph with shipment-count weights — measures the
+          // weighted contribution arithmetic on the same join+agg shape
+          tpchViews
+          val li = spark.table("lineitem")
+          val fwd = li.groupBy(concat(lit("p"), col("l_partkey")).as("src"),
+              concat(lit("s"), col("l_suppkey")).as("dst"))
+            .agg(count(lit(1)).as("w"))
+          val edges = fwd.unionByName(
+            fwd.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+          val pr = graft.operators.Graph.pageRankWeighted(
+            edges, "src", "dst", "w", iterations = 5)
+          val n = pr.count(); pr.unpersist(blocking = false); n
+        }),
+        "kcore(g05)" -> (() => {
+          // cliques GROW with f (robust core, constant peel depth);
+          // the unraveling lattice stays FIXED at 150 nodes so the
+          // cascade depth (~10 rounds) is constant and the exponent
+          // measures the per-round alive-join scan, not iteration count
+          // (cascade depth is graph-geometry, not data-size — an
+          // operator contract documented in the scaladoc)
+          val n = 20000L * f
+          val ids = spark.range(n).toDF("id")
+          val cl = ids.withColumn("g", expr("id div 10"))
+          val cliqueEdges = cl.as("x")
+            .join(cl.select(col("id").as("id2"), col("g")).as("y"),
+              col("x.g") === col("y.g") && col("x.id") < col("id2"))
+            .select(col("x.id").as("src"), col("id2").as("dst"))
+          val lat = spark.range(n, n + 150).toDF("id")
+          val off = Seq(3L, 5L, 8L).toDF("o")
+          val latEdges = lat.crossJoin(broadcast(off))
+            .select(col("id").as("src"), (col("id") + col("o")).as("dst"))
+            .filter(col("dst") < n + 150)
+          graft.operators.Graph.kCore(
+            cliqueEdges.unionByName(latEdges), "src", "dst", k = 6,
+            maxIter = 40).count()
+        }),
         "triangles(g02)" -> (() => {
           // offset graph (7/11/18 — two triangle families per anchor):
           // 3N edges, ~2N triangles, so output is linear and the wedge
