@@ -1079,6 +1079,28 @@ object SparkEntry {
              |  value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    Q("q90_topk_by_group",
+      (s, d) => {
+        val m = mgr(s, d)
+        // top-3 orders per status via the NATIVE bounded-heap aggregate
+        // (map-side partial top-k — no window, no sort of the data; the
+        // plan is pinned in ScaleSpec). Struct order (o_totalprice,
+        // o_orderkey) descending ⇒ ties on price break to the greatest
+        // key — the oracle's window mirrors that exactly.
+        val o = m.getDDFByName("orders").df
+          .select("o_orderstatus", "o_orderkey", "o_totalprice")
+        operators.Views.topKByGroup(o, Seq("o_orderstatus"),
+            Seq("o_totalprice", "o_orderkey"), k = 3)
+          .orderBy(col("o_orderstatus"), col("o_totalprice").desc,
+            col("o_orderkey").desc)
+      },
+      Some("""SELECT o_orderstatus, o_totalprice, o_orderkey FROM (
+             |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_orderstatus
+             |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rk
+             |  FROM orders) WHERE rk <= 3
+             |ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey DESC""".stripMargin)),
+
     Q("q88_window_distribution",
       (s, d) => {
         val m = mgr(s, d)

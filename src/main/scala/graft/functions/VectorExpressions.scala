@@ -194,5 +194,11 @@ object GraftFunctions {
       FunctionIdentifier("top_ngram_count"),
       new ExpressionInfo(classOf[TopNgramCount].getName, "top_ngram_count"),
       (exprs: Seq[Expression]) => TopNgramCount(exprs(0), intLit(exprs(1), "top_ngram_count")))
+    reg.registerFunction(
+      FunctionIdentifier("bounded_top_k"),
+      new ExpressionInfo(classOf[BoundedTopK].getName, "bounded_top_k"),
+      (exprs: Seq[Expression]) =>
+        BoundedTopK(exprs(0), intLit(exprs(1), "bounded_top_k"))
+          .toAggregateExpression())
   }
 }

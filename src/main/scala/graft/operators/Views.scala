@@ -84,6 +84,34 @@ object Views {
     ddf.derive(ddf.df.orderBy(c).limit(n))
   }
 
+  /** Top-k rows per group by `orderCols` (descending, lexicographic),
+    * WITHOUT a window: the native [[graft.functions.BoundedTopK]]
+    * aggregate keeps a k-bounded heap per group per partition, so the
+    * map side reduces every partition to ≤ k rows per group BEFORE the
+    * exchange — shuffled volume O(groups · k · partitions) instead of
+    * the window form's full-corpus shuffle+sort. Determinism: the kept
+    * struct is (orderCols…, remaining columns), compared field by
+    * field, so ties on the order columns fall through to the payload —
+    * include a unique column early in `orderCols` for a total order.
+    * Output: the original columns, ≤ k rows per group, no implied row
+    * order (add orderBy for presentation).
+    */
+  def topKByGroup(df: DataFrame, groupCols: Seq[String],
+                  orderCols: Seq[String], k: Int): DataFrame = {
+    require(groupCols.nonEmpty && orderCols.nonEmpty, "need group and order columns")
+    val others = df.columns.toSeq
+      .filterNot(c => groupCols.contains(c) || orderCols.contains(c))
+    val kept = orderCols ++ others
+    val st = struct(kept.map(col): _*)
+    val agg = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.BoundedTopK(org.apache.spark.sql.graftbridge.Bridge.expression(st), k)
+        .toAggregateExpression())
+    df.groupBy(groupCols.map(col): _*)
+      .agg(agg.as("__topk"))
+      .select(groupCols.map(col) :+ explode(col("__topk")).as("__e"): _*)
+      .select(groupCols.map(col) ++ kept.map(c => col(s"__e.$c").as(c)): _*)
+  }
+
   /** Exact-count random sample (reference: ViewHandler.scala:17-22 with
     * Poisson/Binomial tail-bound fraction math in utils/package.scala:
     * 444-546). Spark-first: over-sample by a safety factor then limit —

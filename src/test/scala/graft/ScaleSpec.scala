@@ -240,6 +240,35 @@ class ScaleSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("topKByGroup: native bounded heap == window rank; aggregates, never windows") {
+    import spark.implicits._
+    val df = spark.range(10000).toDF("id")
+      .withColumn("g", col("id") % 7)
+      .withColumn("v", (col("id") * 37) % 1000)
+      .withColumn("payload", concat(lit("p"), col("id")))
+    val got = operators.Views.topKByGroup(df, Seq("g"), Seq("v", "id"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(1))).toSet
+    val want = df.withColumn("rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("g").orderBy(col("v").desc, col("id").desc)))
+      .filter(col("rk") <= 3)
+      .collect().map(r => (r.getAs[Long]("g"), r.getAs[Long]("id"), r.getAs[Long]("v"))).toSet
+    assert(got == want, s"native top-k != window rank\n got=$got\nwant=$want")
+    // duplicate (g, v) pairs exist (10000 ids over 1000 v values per
+    // group) — the id in the struct breaks them deterministically
+    assert(got.size == 21)
+    // the whole point: an AGGREGATE plan (map-side partial bounded heap),
+    // no Window operator, no sort of the data
+    val plan = operators.Views.topKByGroup(df, Seq("g"), Seq("v", "id"), 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") && plan.contains("bounded_top_k"),
+      s"expected the native aggregate, got:\n$plan")
+    assert(!plan.contains("Window"), "top-k per group must not fall back to a window")
+    // fewer rows than k → whole group survives
+    val tiny = Seq((1L, 10L, "a"), (1L, 20L, "b")).toDF("g", "v", "p")
+    assert(operators.Views.topKByGroup(tiny, Seq("g"), Seq("v"), 5).count() == 2)
+  }
+
   test("asofJoin directions: forward min-ord tie, nearest backward tie, tolerance cuts") {
     import spark.implicits._
     def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
