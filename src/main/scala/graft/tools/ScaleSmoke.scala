@@ -272,6 +272,46 @@ object ScaleSmoke {
           val pr = graft.operators.Graph.pageRank(edges, "src", "dst", iterations = 5)
           val n = pr.count(); pr.unpersist(blocking = false); n
         }),
+        "topk_group(q90)" -> (() => {
+          // native bounded-heap top-3 lineitems per part
+          tpchViews
+          graft.operators.Views.topKByGroup(
+            spark.table("lineitem")
+              .select("l_partkey", "l_extendedprice", "l_orderkey", "l_linenumber"),
+            Seq("l_partkey"), Seq("l_extendedprice", "l_orderkey"), k = 3).count()
+        }),
+        "topk_group_window(ref)" -> (() => {
+          // the window formulation of the SAME query — the comparison row
+          // that quantifies what the bounded-heap aggregate saves
+          tpchViews
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("l_partkey")
+            .orderBy(col("l_extendedprice").desc, col("l_orderkey").desc)
+          spark.table("lineitem")
+            .select("l_partkey", "l_extendedprice", "l_orderkey", "l_linenumber")
+            .withColumn("__rk", row_number().over(w))
+            .filter(col("__rk") <= 3).count()
+        }),
+        "topk_lowcard(q90)" -> (() => {
+          // the case the aggregate exists for: THREE groups — the window
+          // form degenerates to 3 sort tasks over the whole corpus while
+          // the bounded heap stays fully parallel in the map phase
+          tpchViews
+          graft.operators.Views.topKByGroup(
+            spark.table("lineitem")
+              .select("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"),
+            Seq("l_returnflag"), Seq("l_extendedprice", "l_orderkey"), k = 3).count()
+        }),
+        "topk_lowcard_window(ref)" -> (() => {
+          tpchViews
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("l_returnflag")
+            .orderBy(col("l_extendedprice").desc, col("l_orderkey").desc)
+          spark.table("lineitem")
+            .select("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber")
+            .withColumn("__rk", row_number().over(w))
+            .filter(col("__rk") <= 3).count()
+        }),
         "pagerank_weighted(g04)" -> (() => {
           // g01's graph with shipment-count weights — measures the
           // weighted contribution arithmetic on the same join+agg shape
