@@ -105,6 +105,11 @@ final class DDF(
   def head(n: Int): Seq[Row] = graft.operators.Views.head(this, n)
   def top(n: Int, byCol: String, ascending: Boolean = false): DDF =
     graft.operators.Views.top(this, n, byCol, ascending)
+  /** Top-k rows per group WITHOUT a window — the native bounded-heap
+    * aggregate (see `Views.topKByGroup` for the determinism contract).
+    */
+  def topKByGroup(groupCols: Seq[String], orderCols: Seq[String], k: Int): DDF =
+    derive(graft.operators.Views.topKByGroup(df, groupCols, orderCols, k))
   def getRandomSample(n: Int): DDF = graft.operators.Views.sampleExact(this, n)
   def getRandomSample(fraction: Double, withReplacement: Boolean, seed: Long): DDF =
     graft.operators.Views.sample(this, fraction, withReplacement, seed)

@@ -74,6 +74,19 @@ class VectorExprSpec extends SparkTestBase {
     assert(v == 1.0)
   }
 
+  test("SQL registration: bounded_top_k usable from spark.sql, == API path") {
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    Seq((1L, 5L, "a"), (1L, 9L, "b"), (1L, 7L, "c"), (2L, 1L, "d"))
+      .toDF("g", "v", "p").createOrReplaceTempView("topk_t")
+    val rows = spark.sql(
+      """select g, e.v, e.p from (
+        |  select g, explode(bounded_top_k(struct(v, p), 2)) as e
+        |  from topk_t group by g)""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(rows == Set((1L, 9L, "b"), (1L, 7L, "c"), (2L, 1L, "d")), s"got $rows")
+  }
+
   test("codegen path active (no fallback) in a projection") {
     val df = spark.range(10).select(
       array((0 to 3).map(i => (col("id") + i).cast("float")): _*).as("u"),
