@@ -112,6 +112,32 @@ object Views {
       .select(groupCols.map(col) ++ kept.map(c => col(s"__e.$c").as(c)): _*)
   }
 
+  /** Retrieval-shaped top-k: (group, id, score) → the k best ids per
+    * group with a 1-based `rk`, output IDENTICAL to
+    * `row_number over (partition by group order by score DESC, id ASC)`
+    * — but via [[topKByGroup]]'s bounded-heap aggregate instead of a
+    * window, so a small query set never funnels the whole scored corpus
+    * into |groups| sort tasks. The ASC id tie rides a negated copy
+    * inside the comparison struct, so `idCol` must be numeric.
+    */
+  def topKWithRank(scored: DataFrame, groupCol: String, scoreCol: String,
+                   idCol: String, k: Int,
+                   extraCols: Seq[String] = Nil): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val st = struct(Seq(col(scoreCol), (-col(idCol)).as("__neg"), col(idCol)) ++
+      extraCols.map(col): _*)
+    val agg = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.BoundedTopK(
+        org.apache.spark.sql.graftbridge.Bridge.expression(st), k)
+        .toAggregateExpression())
+    scored.groupBy(col(groupCol)).agg(agg.as("__tk"))
+      .select(col(groupCol), posexplode(col("__tk")).as(Seq("__pos", "__e")))
+      .select(Seq(col(groupCol), col(s"__e.$idCol").as(idCol),
+        col(s"__e.$scoreCol").as(scoreCol)) ++
+        extraCols.map(c => col(s"__e.$c").as(c)) :+
+        (col("__pos") + 1).cast("int").as("rk"): _*)
+  }
+
   /** Exact-count random sample (reference: ViewHandler.scala:17-22 with
     * Poisson/Binomial tail-bound fraction math in utils/package.scala:
     * 444-546). Spark-first: over-sample by a safety factor then limit —

@@ -144,10 +144,7 @@ object IvfIndex {
     val scored = candidates(index, queries, vecCol, queryIdCol, nprobe)
       .select(col("query_id"), col("id"),
         graft.functions.VectorFunctions.cosine(col("qv"), col("v")).as("cosine"))
-    scored.withColumn("rk", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("id"))))
-      .filter(col("rk") <= k)
-      .select("query_id", "id", "cosine", "rk")
+    graft.operators.Views.topKWithRank(scored, "query_id", "cosine", "id", k)
   }
 
   /** The candidate frame [[topK]] scores — corpus rows joined to each

@@ -127,9 +127,8 @@ object Relevance {
     val qTerms = queries.select(col(queryIdCol).as("query_id"),
       explode(array_distinct(expr(TextAnalysis.tokensExpr(queryTextCol)))).as("token"))
     val scored = bm25Scores(df, textCol, idCol, qTerms, k1, b)
-    val w = Window.partitionBy("query_id").orderBy(col("bm25").desc, col("id"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      .select("query_id", "id", "bm25", "terms_hit", "rk")
+    graft.operators.Views.topKWithRank(scored, "query_id", "bm25", "id", k,
+      extraCols = Seq("terms_hit"))
   }
 
   /** Token-set Jaccard retrieval: top-k docs per query by
@@ -157,9 +156,8 @@ object Relevance {
     val scored = inter.join(broadcast(qSize), "query_id").join(dSize, "id")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("qn") + col("dn") - col("inter")))
-    val w = Window.partitionBy("query_id").orderBy(col("jaccard").desc, col("id"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      .select("query_id", "id", "jaccard", "inter", "rk")
+    graft.operators.Views.topKWithRank(scored, "query_id", "jaccard", "id", k,
+      extraCols = Seq("inter"))
   }
 
   /** Reciprocal-rank fusion of N retriever rankings — the standard

@@ -69,9 +69,9 @@ object Similarity {
       .join(broadcast(queries.alias("q")))
       .select(col(s"q.$queryIdCol").as("query_id"), col(s"c.$idCol").as("id"),
         cosine(col(s"q.$vecCol"), col(s"c.$vecCol")).as("cosine"))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("id"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      .select("query_id", "id", "cosine", "rk")
+    // native bounded-heap top-k (window-identical output): a handful of
+    // queries must not funnel every corpus score into |queries| sort tasks
+    graft.operators.Views.topKWithRank(scored, "query_id", "cosine", "id", k)
   }
 
   /** Recall@k of an approximate ANN result against an exact baseline —
@@ -268,8 +268,6 @@ object Similarity {
                        queryIdCol: String, k: Int, multiProbe: Int): DataFrame = {
     val scored = lshCandidates(index, queries, vecCol, queryIdCol, multiProbe)
       .select(col("query_id"), col("id"), cosine(col("qv"), col("cv")).as("cosine"))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("id"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      .select("query_id", "id", "cosine", "rk")
+    graft.operators.Views.topKWithRank(scored, "query_id", "cosine", "id", k)
   }
 }
