@@ -137,7 +137,7 @@ object Relevance {
     * weighting in a hybrid stack. Batch shape like [[bm25Retrieve]]:
     * the corpus is tokenized once for all queries; candidates are docs
     * sharing ≥ 1 query token (the inverted-index join), so the
-    * per-query window ranks candidate-sized frames, never the corpus.
+    * per-query bounded-heap top-k ranks candidate-sized frames, never the corpus.
     * Jaccard is a ratio of exact integers evaluated as one double
     * division — identical in any engine; ties break by id.
     */

@@ -59,7 +59,8 @@ object Similarity {
   }
 
   /** Brute-force cosine top-k: broadcast the (small) query set, score every
-    * corpus vector, take k per query via window. One pass over the corpus,
+    * corpus vector, take k per query via the native bounded-heap aggregate
+    * (map-side partial top-k — no window, no sort). One pass over the corpus,
     * no corpus self-join — the right baseline at any scale where the query
     * set fits in a broadcast.
     */
