@@ -29,6 +29,7 @@ import org.apache.spark.sql.types._
   * serialization via UnsafeProjection bytes (the Percentile pattern).
   */
 case class BoundedTopK(child: Expression, k: Int,
+                       reverse: Boolean = false,
                        mutableAggBufferOffset: Int = 0,
                        inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[java.util.PriorityQueue[InternalRow]] {
@@ -37,8 +38,13 @@ case class BoundedTopK(child: Expression, k: Int,
 
   private lazy val structType = child.dataType.asInstanceOf[StructType]
 
-  @transient private lazy val ordering: Ordering[Any] =
-    TypeUtils.getInterpretedOrdering(child.dataType)
+  /** `reverse = true` keeps the k SMALLEST instead (bottom-k), output
+    * ascending — the identical heap machinery under a flipped ordering.
+    */
+  @transient private lazy val ordering: Ordering[Any] = {
+    val base = TypeUtils.getInterpretedOrdering(child.dataType)
+    if (reverse) base.reverse else base
+  }
   @transient private lazy val rowOrdering: java.util.Comparator[InternalRow] =
     (a: InternalRow, b: InternalRow) => ordering.compare(a, b)
 

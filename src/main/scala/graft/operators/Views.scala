@@ -97,14 +97,16 @@ object Views {
     * order (add orderBy for presentation).
     */
   def topKByGroup(df: DataFrame, groupCols: Seq[String],
-                  orderCols: Seq[String], k: Int): DataFrame = {
+                  orderCols: Seq[String], k: Int,
+                  ascending: Boolean = false): DataFrame = {
     require(groupCols.nonEmpty && orderCols.nonEmpty, "need group and order columns")
     val others = df.columns.toSeq
       .filterNot(c => groupCols.contains(c) || orderCols.contains(c))
     val kept = orderCols ++ others
     val st = struct(kept.map(col): _*)
     val agg = org.apache.spark.sql.graftbridge.Bridge.column(
-      graft.functions.BoundedTopK(org.apache.spark.sql.graftbridge.Bridge.expression(st), k)
+      graft.functions.BoundedTopK(org.apache.spark.sql.graftbridge.Bridge.expression(st), k,
+          reverse = ascending)
         .toAggregateExpression())
     df.groupBy(groupCols.map(col): _*)
       .agg(agg.as("__topk"))

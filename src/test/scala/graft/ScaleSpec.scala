@@ -267,6 +267,16 @@ class ScaleSpec extends SparkTestBase {
     // fewer rows than k → whole group survives
     val tiny = Seq((1L, 10L, "a"), (1L, 20L, "b")).toDF("g", "v", "p")
     assert(operators.Views.topKByGroup(tiny, Seq("g"), Seq("v"), 5).count() == 2)
+    // ascending = bottom-k (the reversed heap), output smallest-first
+    val asc = operators.Views.topKByGroup(df, Seq("g"), Seq("v", "id"), 3,
+        ascending = true)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(1))).toSet
+    val wantAsc = df.withColumn("rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("g").orderBy(col("v").asc, col("id").asc)))
+      .filter(col("rk") <= 3)
+      .collect().map(r => (r.getAs[Long]("g"), r.getAs[Long]("id"), r.getAs[Long]("v"))).toSet
+    assert(asc == wantAsc, s"bottom-k != window asc rank\n got=$asc\nwant=$wantAsc")
   }
 
   test("asofJoin directions: forward min-ord tie, nearest backward tie, tolerance cuts") {
