@@ -1101,6 +1101,27 @@ object SparkEntry {
              |  FROM orders) WHERE rk <= 3
              |ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey DESC""".stripMargin)),
 
+    Q("q91_sql_bounded_topk",
+      (s, d) => {
+        val m = mgr(s, d)
+        // the SAME query as q90 written in dialect SQL — proves the
+        // native aggregate is part of the engine's SQL surface (the
+        // manager registers GraftFunctions at construction), not just
+        // the Scala API.
+        m.sql2ddf(
+          """select o_orderstatus, e.o_totalprice, e.o_orderkey from (
+            |  select o_orderstatus,
+            |    explode(bounded_top_k(struct(o_totalprice, o_orderkey), 3)) as e
+            |  from orders group by o_orderstatus)
+            |order by o_orderstatus, e.o_totalprice desc, e.o_orderkey desc""".stripMargin).df
+      },
+      Some("""SELECT o_orderstatus, o_totalprice, o_orderkey FROM (
+             |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_orderstatus
+             |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rk
+             |  FROM orders) WHERE rk <= 3
+             |ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey DESC""".stripMargin)),
+
     Q("q88_window_distribution",
       (s, d) => {
         val m = mgr(s, d)

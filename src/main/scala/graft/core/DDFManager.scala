@@ -18,6 +18,12 @@ final case class SqlResult(schema: StructType, rows: Seq[String])
   */
 final class DDFManager(val spark: SparkSession) {
 
+  // the native Catalyst functions (vector_cosine, word_shingles,
+  // bounded_top_k, …) are part of the engine's SQL surface — register
+  // them with the session up front (idempotent) so dialect queries can
+  // use them without a separate opt-in call
+  graft.functions.GraftFunctions.ensureRegistered(spark)
+
   private val registry = TrieMap.empty[String, DDF]
   private val nameSeq = new AtomicLong(0)
 
