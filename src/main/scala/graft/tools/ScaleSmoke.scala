@@ -365,6 +365,30 @@ object ScaleSmoke {
           graft.pipeline.Multimodal.nearDupImagePairs(hashes, "id",
             maxHamming = 2, bands = 4).count()
         }),
+        "bpe_encode_scale(t20)" -> (() => {
+          // production-vocabulary encoder: 500 synthetic byte-pair
+          // merges (chained low-byte pairs — heavily applicable, so the
+          // per-word merge loop does real passes) over the blown corpus;
+          // per-row CPU, no shuffle — the expected shape is flat-to-
+          // linear like the codec rows
+          val merges = (0 until 250).map { i =>
+            (f"${97 + i % 26}%02X", f"${97 + (i * 7 + 1) % 26}%02X")
+          } ++ (0 until 250).map { i =>
+            (f"${97 + i % 26}%02X${97 + (i * 7 + 1) % 26}%02X",
+              f"${97 + (i * 11 + 2) % 26}%02X")
+          }
+          graft.pipeline.TextAnalysis.bpeEncodeAtScale(d, "text", merges,
+              byteLevel = true)
+            .agg(sum(size(col("bpe_tokens")))).first().getLong(0)
+        }),
+        "quantile_profile(sk05)" -> (() => {
+          tpchViews
+          val shards = graft.stats.Sketches.quantileAccumulate(
+            spark.table("lineitem").withColumn("__shard", pmod(col("l_orderkey"), lit(8))),
+            "l_orderkey", "__shard")
+          graft.stats.Sketches.quantileMergeEstimate(shards,
+            Seq(0.25, 0.5, 0.75)).count()
+        }),
         "skew_report(sk04)" -> (() => {
           tpchViews
           graft.stats.Stats.skewReport(spark.table("lineitem"),
