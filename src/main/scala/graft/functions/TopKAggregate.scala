@@ -30,6 +30,7 @@ import org.apache.spark.sql.types._
   */
 case class BoundedTopK(child: Expression, k: Int,
                        reverse: Boolean = false,
+                       reversedFields: Seq[Int] = Nil,
                        mutableAggBufferOffset: Int = 0,
                        inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[java.util.PriorityQueue[InternalRow]] {
@@ -40,9 +41,41 @@ case class BoundedTopK(child: Expression, k: Int,
 
   /** `reverse = true` keeps the k SMALLEST instead (bottom-k), output
     * ascending — the identical heap machinery under a flipped ordering.
+    * `reversedFields` flips individual struct fields inside the
+    * comparison (field indexes, 0-based): "greatest" then means e.g.
+    * (score MAX, token MIN) — the mixed-direction rank windows express
+    * with `ORDER BY a DESC, b ASC`, for field types (strings) that
+    * cannot ride a negated copy. Composable with `reverse`.
     */
   @transient private lazy val ordering: Ordering[Any] = {
-    val base = TypeUtils.getInterpretedOrdering(child.dataType)
+    val base: Ordering[Any] =
+      if (reversedFields.isEmpty) TypeUtils.getInterpretedOrdering(child.dataType)
+      else {
+        val fields = structType.fields
+        require(reversedFields.forall(i => i >= 0 && i < fields.length),
+          s"bounded_top_k: reversedFields out of range for ${fields.length} fields")
+        val fieldOrds: Array[Ordering[Any]] =
+          fields.map(f => TypeUtils.getInterpretedOrdering(f.dataType))
+        val flip: Array[Boolean] = Array.tabulate(fields.length)(reversedFields.contains)
+        val dts = fields.map(_.dataType)
+        new Ordering[Any] {
+          override def compare(x: Any, y: Any): Int = {
+            val a = x.asInstanceOf[InternalRow]; val b = y.asInstanceOf[InternalRow]
+            var i = 0
+            while (i < fieldOrds.length) {
+              val av = a.get(i, dts(i)); val bv = b.get(i, dts(i))
+              val c =
+                if (av == null && bv == null) 0
+                else if (av == null) -1 // nulls least, like the natural struct order
+                else if (bv == null) 1
+                else fieldOrds(i).compare(av, bv)
+              if (c != 0) return if (flip(i)) -c else c
+              i += 1
+            }
+            0
+          }
+        }
+      }
     if (reverse) base.reverse else base
   }
   @transient private lazy val rowOrdering: java.util.Comparator[InternalRow] =

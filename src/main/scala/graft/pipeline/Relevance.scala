@@ -49,9 +49,19 @@ object Relevance {
     val scored = tf.join(dfq, "token")
       .withColumn("score",
         col("tf") * (log((lit(n) + lit(1.0)) / (col("doc_freq") + lit(1.0))) + lit(1.0)))
-    val w = Window.partitionBy("id").orderBy(col("score").desc, col("token"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      .select(col("id"), col("rk"), col("token"), col("tf"), col("doc_freq"), col("score"))
+    // bounded-heap rank (score DESC, token ASC — the string tie rides a
+    // reversed FIELD, not a negated copy): window-identical output, but
+    // the map side reduces to ≤ k terms per doc before any exchange
+    val st = struct(col("score"), col("token"), col("tf"), col("doc_freq"))
+    val agg = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.BoundedTopK(
+        org.apache.spark.sql.graftbridge.Bridge.expression(st), k,
+        reversedFields = Seq(1)).toAggregateExpression())
+    scored.groupBy("id").agg(agg.as("__tk"))
+      .select(col("id"), posexplode(col("__tk")).as(Seq("__pos", "__e")))
+      .select(col("id"), (col("__pos") + 1).cast("int").as("rk"),
+        col("__e.token").as("token"), col("__e.tf").as("tf"),
+        col("__e.doc_freq").as("doc_freq"), col("__e.score").as("score"))
   }
 
   /** Shared BM25 scorer over a (query_id, token) term frame: Robertson/

@@ -277,6 +277,19 @@ class ScaleSpec extends SparkTestBase {
       .filter(col("rk") <= 3)
       .collect().map(r => (r.getAs[Long]("g"), r.getAs[Long]("id"), r.getAs[Long]("v"))).toSet
     assert(asc == wantAsc, s"bottom-k != window asc rank\n got=$asc\nwant=$wantAsc")
+    // mixed directions: (score DESC, token ASC) with STRING ties — the
+    // reversed-field comparator, == the mixed-order window
+    val sdf = Seq((1L, 5.0, "zz"), (1L, 5.0, "aa"), (1L, 5.0, "mm"), (1L, 9.0, "qq"))
+      .toDF("g", "s", "t")
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val mixAgg = bridge.column(graft.functions.BoundedTopK(
+      bridge.expression(struct(col("s"), col("t"))), 3,
+      reversedFields = Seq(1)).toAggregateExpression())
+    val mix = sdf.groupBy("g").agg(mixAgg.as("tk"))
+      .select(posexplode(col("tk")).as(Seq("p", "e")))
+      .collect().map(r => (r.getInt(0), r.getStruct(1).getString(1))).toList
+    assert(mix == List((0, "qq"), (1, "aa"), (2, "mm")),
+      s"score DESC then token ASC expected, got $mix")
   }
 
   test("asofJoin directions: forward min-ord tie, nearest backward tie, tolerance cuts") {
