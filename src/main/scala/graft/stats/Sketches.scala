@@ -246,6 +246,16 @@ object Sketches {
       .groupBy("shard")
       .agg(expr(s"kll_sketch_agg_bigint(__v, $k)").as("sk"))
 
+  /** [[quantileAccumulate]] for continuous (double) columns — the
+    * kll_*_double sketch family; same contract, estimates are doubles.
+    */
+  def quantileAccumulateDouble(df: DataFrame, c: String, shardCol: String,
+                               k: Int = 200): DataFrame =
+    df.select(col(shardCol).as("shard"), col(c).cast("double").as("__v"))
+      .na.drop(Seq("__v"))
+      .groupBy("shard")
+      .agg(expr(s"kll_sketch_agg_double(__v, $k)").as("sk"))
+
   /** Merge shard quantile sketches and read quantile estimates at the
     * requested fractions: (fraction, est_value) rows. The merged
     * sketch's rank error stays within the per-sketch band (KLL merge is
@@ -260,6 +270,22 @@ object Sketches {
     // per requested fraction, unpivoted into (fraction, est_value) rows
     val qs = fractions.zipWithIndex.map { case (f, i) =>
       expr(s"kll_sketch_get_quantile_bigint(sk, CAST($f AS DOUBLE))").as(s"__q$i")
+    }
+    merged.select(qs: _*)
+      .select(explode(array(fractions.zipWithIndex.map { case (f, i) =>
+        struct(lit(f).as("fraction"), col(s"__q$i").as("est_value"))
+      }: _*)).as("e"))
+      .select(col("e.fraction").as("fraction"), col("e.est_value").as("est_value"))
+  }
+
+  /** [[quantileMergeEstimate]] for [[quantileAccumulateDouble]] shards. */
+  def quantileMergeEstimateDouble(sketches: DataFrame, fractions: Seq[Double],
+                                  k: Int = 200): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(f => f >= 0.0 && f <= 1.0),
+      "quantileMergeEstimateDouble: fractions must be in [0, 1]")
+    val merged = sketches.agg(expr(s"kll_merge_agg_double(sk, $k)").as("sk"))
+    val qs = fractions.zipWithIndex.map { case (f, i) =>
+      expr(s"kll_sketch_get_quantile_double(sk, CAST($f AS DOUBLE))").as(s"__q$i")
     }
     merged.select(qs: _*)
       .select(explode(array(fractions.zipWithIndex.map { case (f, i) =>

@@ -154,5 +154,13 @@ class SketchesSpec extends SparkTestBase {
     assert(m(0.5) >= 1L && m(0.5) <= 3L)
     intercept[IllegalArgumentException](
       Sketches.quantileMergeEstimate(df.limit(0), Seq(1.5)))
+    // double twin: uniform [0, 1) in two shards, median within the band
+    val dd = spark.range(10000).toDF("i")
+      .withColumn("v", col("i").cast("double") / 10000.0)
+      .withColumn("shard", pmod(col("i"), lit(2)))
+    val dq = Sketches.quantileMergeEstimateDouble(
+        Sketches.quantileAccumulateDouble(dd, "v", "shard"), Seq(0.5))
+      .first().getDouble(1)
+    assert(math.abs(dq - 0.5) <= 0.05, s"double median $dq")
   }
 }
