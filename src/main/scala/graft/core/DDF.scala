@@ -337,6 +337,20 @@ final class DDF(
                          maxDist: Int): DDF =
     derive(graft.pipeline.SetJoin.editDistanceLookup(df, strCol, idCol,
       canon.df, canonStrCol, canonIdCol, maxDist))
+  /** Sorted-neighborhood record-linkage self-join — the n·(window−1)
+    * blocking heuristic (see `pipeline/SetJoin.sortedNeighborhoodJoin`
+    * for the recall contract).
+    */
+  def sortedNeighborhoodJoin(keyCol: String, idCol: String,
+                             window: Int, maxDist: Int): DDF =
+    derive(graft.pipeline.SetJoin.sortedNeighborhoodJoin(df, keyCol, idCol,
+      window, maxDist))
+  /** Mergeable per-shard KLL quantile sketches of integer column `c`
+    * (see `stats/Sketches.quantileAccumulate`; merge + estimate with
+    * `Sketches.quantileMergeEstimate`).
+    */
+  def quantileSketch(c: String, shardCol: String, k: Int = 200): DDF =
+    derive(graft.stats.Sketches.quantileAccumulate(df, c, shardCol, k))
   /** Token-set Jaccard retrieval over this corpus (see
     * `pipeline/Relevance.jaccardRetrieve`).
     */
