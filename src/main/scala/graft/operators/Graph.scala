@@ -224,7 +224,9 @@ object Graph {
       if (strict && !converged) throw new IllegalStateException(
         s"kCore: not converged after $maxIter peel rounds; raise maxIter " +
           "(or pass strict = false to accept a partially peeled graph)")
-      // final degrees inside the core (already computed by the last round)
+      // final degrees inside the core — one more alive-join pass over the
+      // checkpointed fixpoint (the loop keeps only the node set, so this
+      // recomputes the last round's degree frame once)
       sym.join(alive.withColumnRenamed("node", "src"), "src")
         .join(alive.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
