@@ -239,4 +239,34 @@ class PropertySpec extends SparkTestBase {
         s"seed=$seed k=$k frac=$frac missing=${brute -- mine} extra=${mine -- brute}")
     }
   }
+
+  test("property: topKByGroup ≡ window rank on random frames, both directions") {
+    import spark.implicits._
+    for (seed <- Seq(7L, 42L, 99L)) {
+      val rng = new scala.util.Random(seed)
+      val n = 300 + rng.nextInt(700)
+      val k = 1 + rng.nextInt(5)
+      val nGroups = 1 + rng.nextInt(8)
+      // duplicate values on purpose: the id tie-break must decide
+      val df = (0 until n).map(i =>
+          (rng.nextInt(nGroups).toLong, rng.nextInt(20).toLong, i.toLong))
+        .toDF("g", "v", "id")
+      for (asc <- Seq(false, true)) {
+        val got = graft.operators.Views.topKByGroup(df, Seq("g"), Seq("v", "id"), k,
+            ascending = asc)
+          .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+        val ord = if (asc)
+          org.apache.spark.sql.expressions.Window.partitionBy("g")
+            .orderBy(col("v").asc, col("id").asc)
+        else
+          org.apache.spark.sql.expressions.Window.partitionBy("g")
+            .orderBy(col("v").desc, col("id").desc)
+        val want = df.withColumn("rk", row_number().over(ord))
+          .filter(col("rk") <= k)
+          .collect().map(r => (r.getAs[Long]("g"), r.getAs[Long]("id"))).toSet
+        assert(got == want,
+          s"seed=$seed k=$k asc=$asc missing=${want -- got} extra=${got -- want}")
+      }
+    }
+  }
 }
