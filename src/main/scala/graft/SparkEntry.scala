@@ -545,6 +545,37 @@ object SparkEntry {
        |             and l_shipdate < timestamp '1997-01-01 00:00:00'))
        |order by s_name""".stripMargin
 
+  /** The shared perceptual-hash gate corpus (m05 / s07 / p06): six 64-bit
+    * dHash patterns with DESIGNED Hamming structure — P1 = P0^1 (distance
+    * 1), P2 = P0 with 3 flipped bits (rejected at maxHamming 2),
+    * P4 = P3^3 (distance 2), P5 far from everything — and the real 9×8
+    * grayscale PNG whose pixel rows walk ±8 from 128 along a pattern's
+    * bits, so decode → NN-resample → luma → dHash must reproduce the
+    * pattern EXACTLY. Oracles replay from the literals alone.
+    */
+  private val dhashPats = Array(0x3C5A96E187D24B0FL, 0x3C5A96E187D24B0EL,
+    0x3C5A96E1F7D24B0FL, 0x12489ABCDEF01357L, 0x12489ABCDEF01354L,
+    0x5A5A5A5A5A5A5A5AL)
+
+  private def patternPng(p: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8) {
+      var v = 128
+      img.setRGB(0, y, (v << 16) | (v << 8) | v)
+      for (x <- 0 until 8) {
+        v += (if (((p >>> (y * 8 + x)) & 1L) == 1L) 8 else -8)
+        img.setRGB(x + 1, y, (v << 16) | (v << 8) | v)
+      }
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def patternImages(ids: Seq[Long]): Seq[(Long, Array[Byte])] =
+    ids.map(id => (id, patternPng(dhashPats((id % 6).toInt))))
+
   private final case class Q(
       name: String,
       fn: (SparkSession, String) => DataFrame,
@@ -4418,28 +4449,10 @@ object SparkEntry {
         // the oracle's no-smaller-neighbor rule equals the component
         // minimum, and everything replays from the pattern literals.
         import s.implicits._
-        val pats = Array(0x3C5A96E187D24B0FL, 0x3C5A96E187D24B0EL,
-          0x3C5A96E1F7D24B0FL, 0x12489ABCDEF01357L, 0x12489ABCDEF01354L,
-          0x5A5A5A5A5A5A5A5AL)
         val docIds = m.getDDFByName("documents").df
           .filter(col("doc_id") < 48).select("doc_id")
           .collect().map(_.getLong(0)).toSeq.sorted
-        val imgs = docIds.map { id =>
-          val p = pats((id % 6).toInt)
-          val img = new java.awt.image.BufferedImage(9, 8,
-            java.awt.image.BufferedImage.TYPE_INT_RGB)
-          for (y <- 0 until 8) {
-            var v = 128
-            img.setRGB(0, y, (v << 16) | (v << 8) | v)
-            for (x <- 0 until 8) {
-              v += (if (((p >>> (y * 8 + x)) & 1L) == 1L) 8 else -8)
-              img.setRGB(x + 1, y, (v << 16) | (v << 8) | v)
-            }
-          }
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", bos)
-          (id, bos.toByteArray)
-        }
+        val imgs = patternImages(docIds)
         val hashes = pipeline.Multimodal.imageDHashes(
           imgs.toDF("id", "payload"), "id", "payload")
         val pairs = pipeline.Multimodal.nearDupImagePairs(hashes, "id",
@@ -4565,28 +4578,10 @@ object SparkEntry {
         // The oracle replays everything from the pattern literals:
         // all-pairs bit_count in SQL (complete banding at
         // maxHamming < bands makes the band filter transparent).
-        val pats = Array(0x3C5A96E187D24B0FL, 0x3C5A96E187D24B0EL,
-          0x3C5A96E1F7D24B0FL, 0x12489ABCDEF01357L, 0x12489ABCDEF01354L,
-          0x5A5A5A5A5A5A5A5AL)
         val docIds = m.getDDFByName("documents").df
           .filter(col("doc_id") < 24).select("doc_id")
           .collect().map(_.getLong(0)).toSeq.sorted
-        val imgs = docIds.map { id =>
-          val p = pats((id % 6).toInt)
-          val img = new java.awt.image.BufferedImage(9, 8,
-            java.awt.image.BufferedImage.TYPE_INT_RGB)
-          for (y <- 0 until 8) {
-            var v = 128
-            img.setRGB(0, y, (v << 16) | (v << 8) | v)
-            for (x <- 0 until 8) {
-              v += (if (((p >>> (y * 8 + x)) & 1L) == 1L) 8 else -8)
-              img.setRGB(x + 1, y, (v << 16) | (v << 8) | v)
-            }
-          }
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", bos)
-          (id, bos.toByteArray)
-        }
+        val imgs = patternImages(docIds)
         withScratch("graft_s07") { tmp =>
           val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Byte])]
           val q = streaming.CurationStreams.imageDedupIngest(
@@ -6018,28 +6013,10 @@ object SparkEntry {
         // pattern literals and replays the 16-bit banding — a codec,
         // hashing, or banding bug cannot reproduce its pairs.
         import s.implicits._
-        val pats = Array(0x3C5A96E187D24B0FL, 0x3C5A96E187D24B0EL,
-          0x3C5A96E1F7D24B0FL, 0x12489ABCDEF01357L, 0x12489ABCDEF01354L,
-          0x5A5A5A5A5A5A5A5AL)
         val docIds = m.getDDFByName("documents").df
           .filter(col("doc_id") < 24).select("doc_id")
           .collect().map(_.getLong(0)).toSeq.sorted
-        val imgs = docIds.map { id =>
-          val p = pats((id % 6).toInt)
-          val img = new java.awt.image.BufferedImage(9, 8,
-            java.awt.image.BufferedImage.TYPE_INT_RGB)
-          for (y <- 0 until 8) {
-            var v = 128
-            img.setRGB(0, y, (v << 16) | (v << 8) | v)
-            for (x <- 0 until 8) {
-              v += (if (((p >>> (y * 8 + x)) & 1L) == 1L) 8 else -8)
-              img.setRGB(x + 1, y, (v << 16) | (v << 8) | v)
-            }
-          }
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", bos)
-          (id, bos.toByteArray)
-        }
+        val imgs = patternImages(docIds)
         val hashes = pipeline.Multimodal.imageDHashes(
           imgs.toDF("id", "payload"), "id", "payload")
         pipeline.Multimodal.nearDupImagePairs(hashes, "id",

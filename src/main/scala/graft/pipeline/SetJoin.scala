@@ -450,7 +450,9 @@ object SetJoin {
     * window − 1 ⇒ the buckets ⌊r/W⌋ differ by ≤ 1, so emitting
     * (⌊r/W⌋, ⌊r/W⌋+1) on the build side covers every in-window pair
     * with an equality key. No inequality join, no window function over
-    * data.
+    * data. Null blocking keys drop before ranking (a record with no key
+    * cannot be windowed against anything — route null-key records to a
+    * repair pass).
     */
   def sortedNeighborhoodJoin(df: DataFrame, keyCol: String, idCol: String,
                              window: Int, maxDist: Int): DataFrame = {
