@@ -113,6 +113,57 @@ object Bench {
       .map(_.getCollectionTime).sum
   }
 
+  /** Drop every block a query left behind — cached plans AND pinned
+    * RDDs (returned localCheckpoints are persisted RDDs invisible to
+    * the CacheManager). Round-11's official artifact showed why this is
+    * load-bearing: 38 queries × 5–9 samples of accumulated residue
+    * drove headline GC from the anchor's 3.2 s to 11.7 s and five
+    * queries to 5–21× their anchor (all ≤2.1× in isolation). Runs
+    * BETWEEN queries, outside every timed region.
+    */
+  private def clearResidual(spark: SparkSession): Unit = {
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  }
+
+  /** Per-query numbers from a prior quiet-host anchor artifact (flat
+    * `"key":{"name":sec,…}` map extracted textually — the artifact is
+    * this file's own output format). Missing/unreadable anchor → empty
+    * map → the vs_anchor diagnostics quietly vanish.
+    */
+  private def anchorMap(path: String, key: String): Map[String, Double] =
+    try {
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val at = txt.indexOf("\"" + key + "\":{")
+      if (at < 0) Map.empty
+      else {
+        val open = txt.indexOf('{', at)
+        val body = txt.substring(open + 1, txt.indexOf('}', open))
+        """"([A-Za-z0-9_]+)":([0-9.eE+\-]+)""".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case _: Throwable => Map.empty }
+
+  /** The anchor artifact's own `"sf"` field (the dir it was measured at). */
+  private def anchorSfDir(path: String): Option[String] =
+    try {
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      """"sf":"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+    } catch { case _: Throwable => None }
+
+  /** Short display key for compact-line maps ("q10_tpch_q1" → "q10");
+    * falls back to the full name if the prefix would collide.
+    */
+  private def shortNames(names: Seq[String]): Map[String, String] = {
+    val pref = names.map(n => n -> n.takeWhile(_ != '_')).toMap
+    if (pref.values.toSeq.distinct.size == names.size) pref
+    else names.map(n => n -> n).toMap
+  }
+
   /** min plateaued: last sample did not set a STRICTLY new min AND ≥2
     * samples within 10% + 30 ms of the min. Monotone-decreasing samples
     * (round 6's a01) fail (a); a single lucky window fails (b). The
@@ -254,15 +305,23 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val gc0 = gcMs
-    val results = headline.filter(qs.contains)
+    val triples = headline.filter(qs.contains)
       .filter(n => only.forall(_.contains(n)))
       .map { name =>
         // round 11: one untimed warmup per headline query (the sf1 tier
         // has done this since r10) — ds01 was the last row still JIT/
         // page-cache descending at the sample cap in BENCH_r10
         materialize(qs(name)(spark, sfDir))
-        name -> sampleQuery(name, sfDir, runs, math.max(runs, maxRuns))
+        val g0 = gcMs
+        val ss = sampleQuery(name, sfDir, runs, math.max(runs, maxRuns))
+        val gq = gcMs - g0
+        // round 12: drop residual blocks BETWEEN queries (outside every
+        // timed region) so one query's leftovers can't throttle the next
+        clearResidual(spark)
+        (name, ss, gq)
       }
+    val results = triples.map { case (n, ss, _) => n -> ss }
+    val gcQ = triples.map { case (n, _, g) => n -> g }
     // verdicts use the FINAL probe floor — quietest window of the whole
     // run — so these are defs: the sf1 tier's probes can retroactively
     // reclassify headline samples taken in a window that only LOOKED quiet
@@ -292,8 +351,39 @@ object Bench {
     // would otherwise dominate the headline noise-attribution field
     val gcHeadline = gcMs - gc0
 
+    // round 12: anchor self-diagnosis. The r11 driver artifact sat at
+    // 20.6× the anchor with `contended: []` because the CPU probe cannot
+    // see GC pressure — so the bench now reads the committed quiet-host
+    // anchor at start and reports each query's ratio against it, plus a
+    // `suspect` list of >2× rows and per-query GC deltas: a contaminated
+    // run names itself in its own artifact.
+    val anchorPath = sys.env.getOrElse("SPARK_GRAFT_ANCHOR", "BENCH_anchor_r11.json")
+    // ratios are only meaningful at the anchor's own scale factor — a
+    // quick sf0.001 iteration run must not flag "suspects" against sf0.1
+    // anchor numbers
+    val anchorSf = anchorSfDir(anchorPath)
+    val sfMatches = anchorSf.contains(sfDir)
+    val anchorQ = if (sfMatches) anchorMap(anchorPath, "queries") else Map.empty[String, Double]
+    val anchorQ1 = if (sfMatches) anchorMap(anchorPath, "queries_sf1") else Map.empty[String, Double]
+    def ratios(cur: Seq[(String, Double)], anchor: Map[String, Double]): Seq[(String, Double)] =
+      cur.collect { case (k, v) if anchor.get(k).exists(_ > 0) => k -> v / anchor(k) }
+    def vsAnchor = ratios(vs.map { case (k, v) => k -> v.best.wall }, anchorQ)
+    def suspects = vsAnchor.collect { case (k, r) if r > 2.0 => k }
+    def numMap2(xs: Seq[(String, Double)]): String =
+      xs.map { case (k, v) => "\"" + k + f"\":$v%.2f" }.mkString("{", ",", "}")
+    def gcQJson = intMap(gcQ.map { case (k, g) => k -> g.toInt })
+    def vaJson = numMap2(vsAnchor)
+    def suspectJson = nameList(suspects)
+    // compact-line variants use SHORT query keys ("q10" for
+    // "q10_tpch_q1" — unique across the sets) to keep the line inside
+    // the driver's 2000-char stdout tail window
+    val short = shortNames((headline ++ sf1Set).distinct)
+    def shortOf(n: String): String = short.getOrElse(n, n)
+    def shortRatioMap(xs: Seq[(String, Double)]): String =
+      xs.map { case (k, v) => "\"" + shortOf(k) + f"\":$v%.2f" }.mkString("{", ",", "}")
+
     def assemble(extra: String): String =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","runs":$runs,"harness":"hash-materialized; round 9: per-sample CPU calibration probe rejects starved samples (see Bench.scala scaladoc)","samples":$samplesJson,"probes":$probesJson,"probe_base":$probeFloor%.3f,"best_run_cpu_util":$utilJson,"converged":$convJson,"contended":$contJson,"rejected":$rejJson,"gc_ms":$gcHeadline$extra}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","runs":$runs,"harness":"hash-materialized; round 9: per-sample CPU calibration probe rejects starved samples (see Bench.scala scaladoc)","samples":$samplesJson,"probes":$probesJson,"probe_base":$probeFloor%.3f,"best_run_cpu_util":$utilJson,"converged":$convJson,"contended":$contJson,"rejected":$rejJson,"gc_ms":$gcHeadline,"gc_q_ms":$gcQJson,"anchor":"$anchorPath","vs_anchor":$vaJson,"suspect":$suspectJson$extra}"""
 
     // the stdout line interleaves with sbt/Spark logging and has arrived
     // truncated in past rounds ("parsed": null) — ALSO write the JSON to
@@ -330,9 +420,13 @@ object Bench {
           val r1 = sf1Set.filter(qs.contains)
             .map { n =>
               materialize(qs(n)(spark, dir)) // untimed per-query warmup
-              n -> sampleQuery(n, dir, sf1Runs, math.max(sf1Runs, sf1Cap))
+              val ss = sampleQuery(n, dir, sf1Runs, math.max(sf1Runs, sf1Cap))
+              clearResidual(spark) // r12: no residue across sf1 queries either
+              n -> ss
             }
           val v1 = r1.map { case (k, ss) => k -> verdict(ss) }
+          val vsAnchor1 = ratios(v1.map { case (k, v) => k -> v.best.wall }, anchorQ1)
+          val suspects1 = vsAnchor1.collect { case (k, r) if r > 2.0 => k }
           val q1 = numMap(v1.map { case (k, v) => k -> v.best.wall })
           val s1 = samplesMap(r1)
           val p1 = probesMap(r1)
@@ -341,10 +435,11 @@ object Bench {
           val rj1 = intMap(v1.map { case (k, v) => k -> v.rejected })
           val t1 = v1.map(_._2.best.wall).sum
           val full =
-            f""","queries_sf1":$q1,"samples_sf1":$s1,"probes_sf1":$p1,"converged_sf1":$c1,"contended_sf1":$ct1,"rejected_sf1":$rj1,"total_sf1":$t1%.3f,"gc_ms_sf1":${gcMs - gc1}"""
+            f""","queries_sf1":$q1,"samples_sf1":$s1,"probes_sf1":$p1,"converged_sf1":$c1,"contended_sf1":$ct1,"rejected_sf1":$rj1,"total_sf1":$t1%.3f,"gc_ms_sf1":${gcMs - gc1},"vs_anchor_sf1":${numMap2(vsAnchor1)},"suspect_sf1":${nameList(suspects1)}"""
           val compact = f""","queries_sf1":$q1,"total_sf1":$t1%.3f""" +
             s""","contended_sf1":${nameList(v1.collect { case (k, v) if v.contended => k })}""" +
-            s""","unconverged_sf1":${nameList(v1.collect { case (k, v) if !v.converged && !v.contended => k })}"""
+            s""","unconverged_sf1":${nameList(v1.collect { case (k, v) if !v.converged && !v.contended => k })}""" +
+            s""","vs_anchor_sf1":${shortRatioMap(vsAnchor1)},"suspect_sf1":${nameList(suspects1.map(shortOf))}"""
           (full, compact)
         } finally graft.tools.Cleanup.deleteRecursively(dir) // ~10x sf0.1 on disk
       } catch { case e: Throwable =>
@@ -363,8 +458,21 @@ object Bench {
     // without the per-sample arrays. The driver scrapes a 2000-char stdout
     // tail — 9 rounds of the full line arrived truncated ("parsed": null);
     // this line is the LAST thing printed and fits the window whole.
+    // gc_hot: only queries whose sampling window collected >2 s of GC —
+    // near-empty on a clean run, names the victims on a contaminated one
+    val gcHot = gcQ.collect { case (k, g) if g > 2000 =>
+      "\"" + shortOf(k) + "\":" + g }.mkString("{", ",", "}")
+    def geomean(xs: Seq[Double]): Double =
+      if (xs.isEmpty) 1.0 else math.exp(xs.map(math.log).sum / xs.size)
+    def compactWith(va: String): String =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","runs":$runs,"contended":${nameList(vs.collect { case (k, v) if v.contended => k })},"unconverged":${nameList(vs.collect { case (k, v) if !v.converged && !v.contended => k })},"rejected_total":${vs.map(_._2.rejected).sum},$va"suspect":${nameList(suspects.map(shortOf))},"gc_hot":$gcHot$sf1Compact,"detail":"$outFile"}"""
+    // length guard: per-query ratios are the most useful diagnostic but
+    // the tail window is a hard 2000 chars — degrade to the geomean
+    // (full map is always in the detail file) rather than risk truncation
+    val withRatios = compactWith(s""""vs_anchor":${shortRatioMap(vsAnchor)},""")
     val compactLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","runs":$runs,"contended":${nameList(vs.collect { case (k, v) if v.contended => k })},"unconverged":${nameList(vs.collect { case (k, v) if !v.converged && !v.contended => k })},"rejected_total":${vs.map(_._2.rejected).sum}$sf1Compact,"detail":"$outFile"}"""
+      if (withRatios.length <= 1900) withRatios
+      else compactWith(f""""vs_anchor_geomean":${geomean(vsAnchor.map(_._2))}%.2f,""")
     // This is the LAST stdout write of the process: Spark logs to stderr
     // (r10's tail shows its WARNs arriving [error]-tagged, i.e. via the
     // forked JVM's stderr), and build.sbt's StdoutOutput + showSuccess :=

@@ -4480,6 +4480,89 @@ object SparkEntry {
              |    AND bit_count(xor(a.p, b.p)) <= 2)
              |ORDER BY a.id""".stripMargin)),
 
+    Q("p07_graph_curation_report",
+      (s, d) => {
+        val m = mgr(s, d)
+        // The graph twin of p05/p06: the graph-analytics family composed
+        // end-to-end WITHOUT a seam — the real entity-graph curation
+        // step of "label components, profile their structure, check for
+        // a giant component". connectedComponents (pointer-doubling min
+        // label) over g03's multi-hop chain graph → per-component
+        // degree/size/edge stats → component-SIZE distribution → the
+        // exact skewReport over the component labels (is one component
+        // absorbing the graph?) broadcast onto every distribution row.
+        // Oracle: g03's 10-round CC replay extended with the degree,
+        // stat, distribution, and skew stages as stacked MATERIALIZED
+        // CTEs.
+        val c = m.getDDFByName("customer").df
+          .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"))
+        val ed = c.join(
+            c.select(col("k").as("k2"), col("seg").as("seg2")),
+            col("k2") === col("k") + 7 && col("seg2") === col("seg"))
+          .select(col("k").as("src"), col("k2").as("dst"))
+        val comps = Graph.connectedComponents(ed, "src", "dst")
+        val sym = ed.unionByName(
+          ed.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+        val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("dg"))
+        val cstat = comps.join(deg, "id")
+          .groupBy("cluster_id")
+          .agg(count(lit(1)).as("size"), max("dg").as("max_deg"),
+            sum("dg").as("deg_sum"))
+        val dist = cstat.groupBy("size")
+          .agg(count(lit(1)).as("n_components"),
+            expr("sum(deg_sum div 2)").as("n_edges"),
+            max("max_deg").as("max_deg"))
+        val skew = Stats.skewReport(comps.select("cluster_id"), Seq("cluster_id"))
+          .select(col("n_rows").as("n_nodes"),
+            col("top_cnt").as("giant_size"),
+            round(col("skew_ratio"), 6).as("skew_ratio"))
+        dist.crossJoin(broadcast(skew))
+          .select("size", "n_components", "n_edges", "max_deg",
+            "n_nodes", "giant_size", "skew_ratio")
+          .orderBy("size")
+      },
+      Some {
+        val base =
+          """c AS MATERIALIZED (SELECT c_custkey AS k, c_mktsegment AS seg FROM customer),
+            |ed AS MATERIALIZED (SELECT a.k AS src, b.k AS dst FROM c a
+            |       JOIN c b ON b.k = a.k + 7 AND b.seg = a.seg),
+            |edges AS MATERIALIZED (SELECT src, dst FROM ed UNION SELECT dst, src FROM ed),
+            |lab0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM edges)""".stripMargin
+        val rounds = (0 until 10).map { k =>
+          s"""n$k AS MATERIALIZED (SELECT e.dst AS id, min(l.label) AS nlabel
+             |  FROM edges e JOIN lab$k l ON e.src = l.id GROUP BY e.dst),
+             |hop$k AS MATERIALIZED (SELECT l.id, least(l.label, coalesce(n.nlabel, l.label)) AS label
+             |  FROM lab$k l LEFT JOIN n$k n USING (id)),
+             |lab${k + 1} AS MATERIALIZED (SELECT a.id, least(a.label, coalesce(b.label, a.label)) AS label
+             |  FROM hop$k a LEFT JOIN hop$k b ON a.label = b.id)""".stripMargin
+        }
+        val stats =
+          """comp AS MATERIALIZED (SELECT id, label AS cluster_id FROM lab10),
+            |deg AS MATERIALIZED (SELECT src AS id, count(*)::BIGINT AS dg
+            |  FROM edges GROUP BY src),
+            |cstat AS MATERIALIZED (
+            |  SELECT c.cluster_id, count(*)::BIGINT AS size,
+            |    max(d.dg)::BIGINT AS max_deg, sum(d.dg)::BIGINT AS deg_sum
+            |  FROM comp c JOIN deg d USING (id) GROUP BY c.cluster_id),
+            |dist AS MATERIALIZED (
+            |  SELECT size, count(*)::BIGINT AS n_components,
+            |    sum(deg_sum // 2)::BIGINT AS n_edges, max(max_deg)::BIGINT AS max_deg
+            |  FROM cstat GROUP BY size),
+            |gk AS MATERIALIZED (
+            |  SELECT coalesce(cluster_id::VARCHAR, '<NULL>') AS key,
+            |    count(*)::BIGINT AS cnt FROM comp GROUP BY 1),
+            |skew AS MATERIALIZED (
+            |  SELECT sum(cnt)::BIGINT AS n_nodes,
+            |    (SELECT cnt FROM gk ORDER BY cnt DESC, key DESC LIMIT 1) AS giant_size,
+            |    round((SELECT cnt FROM gk ORDER BY cnt DESC, key DESC LIMIT 1)::DOUBLE
+            |      * count(*) / sum(cnt), 6) AS skew_ratio
+            |  FROM gk)""".stripMargin
+        s"WITH ${((base +: rounds) :+ stats).mkString(",\n")}\n" +
+          """SELECT d.size, d.n_components, d.n_edges, d.max_deg,
+            |  s.n_nodes, s.giant_size, s.skew_ratio
+            |FROM dist d CROSS JOIN skew s ORDER BY d.size""".stripMargin
+      }),
+
     Q("s05_stream_dedup_ingest",
       (s, d) => {
         val m = mgr(s, d)

@@ -92,11 +92,22 @@ case class BoundedTopK(child: Expression, k: Int,
   override def createAggregationBuffer(): java.util.PriorityQueue[InternalRow] =
     new java.util.PriorityQueue[InternalRow](k + 1, rowOrdering)
 
+  /** Codegen'd projection for the per-row child eval: a
+    * TypedImperativeAggregate never enters whole-stage codegen, so the
+    * r11 `child.eval(input)` paid interpreted struct construction on
+    * EVERY corpus row — the dominant per-row cost once the heap is warm
+    * (the common case is one comparison and no mutation). A reused
+    * UnsafeProjection generates that struct with compiled code; only
+    * rows that are actually KEPT get copied out of the projection's
+    * reused buffer.
+    */
+  @transient private lazy val inputProj = UnsafeProjection.create(Seq(child))
+
   override def update(buf: java.util.PriorityQueue[InternalRow],
                       input: InternalRow): java.util.PriorityQueue[InternalRow] = {
-    val v = child.eval(input)
-    if (v != null) {
-      val row = v.asInstanceOf[InternalRow]
+    val projected = inputProj(input)
+    if (!projected.isNullAt(0)) {
+      val row = projected.getStruct(0, structType.length)
       if (buf.size() < k) buf.offer(row.copy())
       else if (ordering.compare(row, buf.peek()) > 0) {
         buf.poll(); buf.offer(row.copy())

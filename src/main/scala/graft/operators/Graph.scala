@@ -139,13 +139,24 @@ object Graph {
     * the undirected graph), so oracles may replay the simpler id-ordered
     * a<b<c formulation.
     */
-  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val canon = edges
+  /** `materialize = true` (default) persists the edge frames across
+    * their multiple plan references and returns an eagerly checkpointed
+    * result (release via [[graft.core.Checkpoints.release]]); `false`
+    * returns the pure lazy plan with NO persist/checkpoint anywhere —
+    * for plan inspection and for composing into a larger DAG that
+    * manages its own materialization (the oriented edge frame is then
+    * referenced three times and recomputes per reference).
+    */
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String,
+                    materialize: Boolean = true): DataFrame = {
+    def mat(df: DataFrame): DataFrame =
+      if (materialize) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
+    val canon = mat(edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .distinct())
     val deg = canon.select(col("a").as("node"))
       .unionAll(canon.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -153,14 +164,13 @@ object Graph {
     val withDeg = canon
       .join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"), "a")
       .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), "b")
-    val oriented = withDeg.select(
+    val oriented = mat(withDeg.select(
         when(col("da") < col("db") ||
              (col("da") === col("db") && col("a") < col("b")), col("a"))
           .otherwise(col("b")).as("u"),
         when(col("da") < col("db") ||
              (col("da") === col("db") && col("a") < col("b")), col("b"))
-          .otherwise(col("a")).as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .otherwise(col("a")).as("v")))
     val wedges = oriented.select(col("u").as("x"), col("v").as("y"))
       .join(oriented.select(col("u").as("y"), col("v").as("z")), "y")
     val triangles = wedges
@@ -168,12 +178,15 @@ object Graph {
     val counts = triangles
       .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("triangles"))
-      .localCheckpoint() // materialize BEFORE dropping the edge caches —
-      // the checkpointed frame is what we return; dropping the caches
-      // under the lazy plan would silently recompute everything
-    canon.unpersist(blocking = false)
-    oriented.unpersist(blocking = false)
-    counts
+    if (!materialize) counts
+    else {
+      val out = counts.localCheckpoint() // materialize BEFORE dropping the
+      // edge caches — dropping them under the lazy plan would silently
+      // recompute everything
+      canon.unpersist(blocking = false)
+      oriented.unpersist(blocking = false)
+      out
+    }
   }
 
   /** k-core of the undirected graph induced by `edges`: the maximal
@@ -188,13 +201,25 @@ object Graph {
     * batch peeling reaches it). Each round is one edge-partitioned
     * join of the symmetric edge list against the alive set plus a
     * partial-agg degree count — shuffled bytes O(edges) worst case,
-    * shrinking as the graph peels; the alive frame is checkpointed per
-    * round (the dupClusters lineage discipline). Rounds needed = the
-    * cascade depth, graph-dependent: `strict = true` (default) throws
-    * past `maxIter` rather than returning a silently-unfinished core.
+    * shrinking as the graph peels; the alive node set is checkpointed
+    * ONCE per round (r11 checkpointed twice) and the superseded round's
+    * blocks are released as soon as the next round materializes, so a
+    * deep cascade pins exactly one O(alive-nodes) block set at any
+    * moment. Rounds needed = the cascade depth, graph-dependent:
+    * `strict = true` (default) throws past `maxIter` rather than
+    * returning a silently-unfinished core.
+    *
+    * `materialize = true` (default) returns the final in-core degree
+    * pass eagerly checkpointed (release via
+    * [[graft.core.Checkpoints.release]]); `false` returns it as the
+    * lazy join+agg plan over the checkpointed fixpoint node set — the
+    * per-round DAG, inspectable by plan pins (the symmetric edge frame
+    * is unpersisted either way, so lazy-mode actions recompute it from
+    * `edges`).
     */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
-            maxIter: Int = 50, strict: Boolean = true): DataFrame = {
+            maxIter: Int = 50, strict: Boolean = true,
+            materialize: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val canon = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
@@ -205,19 +230,21 @@ object Graph {
       .unionAll(canon.select(col("b").as("src"), col("a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      def coreDeg(a: DataFrame): DataFrame = sym
+        .join(a.withColumnRenamed("node", "src"), "src")
+        .join(a.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
       var alive = sym.select(col("src").as("node")).distinct().localCheckpoint()
       var n = alive.count()
       var converged = false
       var iter = 0
       while (!converged && iter < maxIter) {
-        val deg = sym
-          .join(alive.withColumnRenamed("node", "src"), "src")
-          .join(alive.withColumnRenamed("node", "dst"), "dst")
-          .groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
-        val next = deg.filter(col("core_deg") >= k).localCheckpoint()
+        val next = coreDeg(alive).filter(col("core_deg") >= k)
+          .select("node").localCheckpoint()
         val m = next.count()
         converged = m == n // peeling is monotone — equal count = fixpoint
-        alive = next.select("node").localCheckpoint()
+        graft.core.Checkpoints.release(alive) // superseded round's blocks
+        alive = next
         n = m
         iter += 1
       }
@@ -227,10 +254,13 @@ object Graph {
       // final degrees inside the core — one more alive-join pass over the
       // checkpointed fixpoint (the loop keeps only the node set, so this
       // recomputes the last round's degree frame once)
-      sym.join(alive.withColumnRenamed("node", "src"), "src")
-        .join(alive.withColumnRenamed("node", "dst"), "dst")
-        .groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
-        .localCheckpoint()
+      if (!materialize) coreDeg(alive)
+      else {
+        val out = coreDeg(alive).localCheckpoint()
+        graft.core.Checkpoints.release(alive) // out is materialized; the
+        // fixpoint node set has no remaining reader
+        out
+      }
     } finally sym.unpersist(blocking = false)
   }
 
@@ -243,8 +273,9 @@ object Graph {
     * of the same operator the dedup pipeline uses for cluster labels.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIter: Int = 20, strict: Boolean = true): DataFrame =
+                          maxIter: Int = 20, strict: Boolean = true,
+                          materialize: Boolean = true): DataFrame =
     graft.pipeline.Dedup.dupClusters(
       edges.select(col(srcCol).as("id1"), col(dstCol).as("id2")),
-      maxIter = maxIter, strict = strict)
+      maxIter = maxIter, strict = strict, materialize = materialize)
 }

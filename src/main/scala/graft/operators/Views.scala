@@ -119,18 +119,21 @@ object Views {
     * `row_number over (partition by group order by score DESC, id ASC)`
     * — but via [[topKByGroup]]'s bounded-heap aggregate instead of a
     * window, so a small query set never funnels the whole scored corpus
-    * into |groups| sort tasks. The ASC id tie rides a negated copy
-    * inside the comparison struct, so `idCol` must be numeric.
+    * into |groups| sort tasks. The ASC id tie rides
+    * `reversedFields = Seq(1)` on the comparison struct (the
+    * Relevance.topTerms mechanism), so `idCol` can be ANY orderable
+    * type — string/UUID record ids work, and there is no numeric
+    * negation edge case.
     */
   def topKWithRank(scored: DataFrame, groupCol: String, scoreCol: String,
                    idCol: String, k: Int,
                    extraCols: Seq[String] = Nil): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val st = struct(Seq(col(scoreCol), (-col(idCol)).as("__neg"), col(idCol)) ++
-      extraCols.map(col): _*)
+    val st = struct(Seq(col(scoreCol), col(idCol)) ++ extraCols.map(col): _*)
     val agg = org.apache.spark.sql.graftbridge.Bridge.column(
       graft.functions.BoundedTopK(
-        org.apache.spark.sql.graftbridge.Bridge.expression(st), k)
+        org.apache.spark.sql.graftbridge.Bridge.expression(st), k,
+        reversedFields = Seq(1))
         .toAggregateExpression())
     scored.groupBy(col(groupCol)).agg(agg.as("__tk"))
       .select(col(groupCol), posexplode(col("__tk")).as(Seq("__pos", "__e")))

@@ -422,9 +422,13 @@ object Dedup {
         else minhashCandidatesFromSignatures(sigs, k, bands)
       val members = cand.select(col("id1").as("id"))
         .unionAll(cand.select(col("id2").as("id"))).distinct()
-      jaccardOnShingledPairs(cand, sh.join(members, Seq("id"), "left_semi"))
+      val out = jaccardOnShingledPairs(cand, sh.join(members, Seq("id"), "left_semi"))
         .filter(col("jaccard") >= threshold)
         .localCheckpoint()
+      // the verify output is materialized — the candidate checkpoint has
+      // no remaining reader; release it now instead of pinning until GC
+      graft.core.Checkpoints.release(cand)
+      out
     } finally sh.unpersist(blocking = false)
   }
 
@@ -488,6 +492,9 @@ object Dedup {
         val kept = newDocs
           .join(losers.unionAll(dupIds).distinct(), Seq(idCol), "left_anti")
           .localCheckpoint()
+        // kept (cand's last reader, via losers) is materialized — release
+        // the candidate checkpoint instead of leaving it pinned until GC
+        graft.core.Checkpoints.release(cand)
         val keptRows = rows.join(kept.select(col(idCol).as("id")), Seq("id"), "left_semi")
           .localCheckpoint()
         (kept, keptRows)
@@ -616,9 +623,21 @@ object Dedup {
     * exists to prevent. Pointer doubling converges in ~log2(diameter)
     * rounds, so 20 covers diameters to ~10⁶; raise maxIter rather than
     * disabling strict.
+    *
+    * `materialize = true` (default) returns the final round's eagerly
+    * checkpointed labels — reads are free; release with
+    * [[graft.core.Checkpoints.release]] when done. `false` returns ONE
+    * lazy propagation round applied over that checkpoint: at the
+    * fixpoint an extra round is the identity, so values are unchanged,
+    * and the returned plan exposes the per-round join/agg DAG for plan
+    * pins and caller-managed composition. (Only with `strict = false`
+    * AND an unconverged graph does lazy mode differ: it applies one
+    * extra — strictly closer to the fixpoint — round.) Either way every
+    * SUPERSEDED round's checkpoint is released as soon as the next round
+    * materializes; only the final round's blocks survive the call.
     */
   def dupClusters(pairs: DataFrame, maxIter: Int = 20,
-                  strict: Boolean = true): DataFrame = {
+                  strict: Boolean = true, materialize: Boolean = true): DataFrame = {
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .unionAll(pairs.select(col("id2").as("src"), col("id1").as("dst")))
       .distinct()
@@ -627,24 +646,30 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint() // eager + FLAT lineage for the loop below
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIter) {
+    // one propagation round: one-hop min over the edges, then pointer
+    // doubling (label ← label of the label) — LAZY; callers materialize
+    def round(ls: DataFrame): DataFrame = {
       val viaNeighbors = edges
-        .join(labels.withColumnRenamed("id", "src"), "src")
+        .join(ls.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(min("label").as("nlabel"))
-      val hop = labels.join(viaNeighbors, Seq("id"), "left")
+      val hop = ls.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-      // pointer doubling: labels are node ids, so follow the label's own
-      // label — halves the remaining distance to the component minimum
-      val next = hop.alias("a")
+      hop.alias("a")
         .join(hop.select(col("id").as("lid"), col("label").as("llabel")).alias("b"),
           col("a.label") === col("b.lid"), "left")
         .select(col("a.id").as("id"),
           least(col("a.label"), coalesce(col("llabel"), col("a.label"))).as("label"))
-        .localCheckpoint()
+    }
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = round(labels).localCheckpoint()
       val changed = next.alias("n").join(labels.alias("o"), "id")
         .filter(col("n.label") =!= col("o.label")).count()
+      // `changed` was the superseded round's last reader — release its
+      // pinned blocks NOW, not at some future driver GC (the r11 bench
+      // leak: ~2 block-sets per round accumulating across the whole run)
+      graft.core.Checkpoints.release(labels)
       labels = next
       converged = changed == 0
       iter += 1
@@ -653,9 +678,11 @@ object Dedup {
       s"dupClusters: labels not converged after $maxIter rounds — component " +
         s"diameter exceeds ~2^$maxIter; raise maxIter (or pass strict = false " +
         s"to accept partial labels)")
-    // already materialized (localCheckpoint) — no persisted frame leaks to
-    // the caller; checkpoint blocks are GC-cleaned by the ContextCleaner
-    labels.withColumnRenamed("label", "cluster_id")
+    if (materialize) labels.withColumnRenamed("label", "cluster_id")
+    // lazy: one identity-at-fixpoint round over the final checkpoint —
+    // exposes the per-round DAG (see scaladoc). The edge cache below is
+    // dropped, so actions on the lazy plan recompute edges from `pairs`.
+    else round(labels).withColumnRenamed("label", "cluster_id")
     // finally, not inline: a mid-loop job failure must still release the
     // edge cache (every other persist in this file follows the pattern)
     } finally edges.unpersist(blocking = false)

@@ -459,15 +459,26 @@ object SetJoin {
     require(window >= 2, s"window must be >= 2, got $window")
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     val spark = df.sparkSession
-    import spark.implicits._
     val w = window - 1
-    val ranked = df.select(col(keyCol).cast("string").as("k"), col(idCol).as("id"))
+    // rank via the untyped Row RDD so the record id keeps WHATEVER
+    // orderable type it arrived with (string/UUID ids are the common
+    // record-linkage case; an id-type requirement here would be
+    // arbitrary). zipWithIndex over the range-sorted frame preserves the
+    // sort — same distributed-rank device as rankVocabulary.
+    val sorted = df.select(col(keyCol).cast("string").as("k"), col(idCol).as("id"))
       .na.drop(Seq("k"))
       .sort(asc("k"), asc("id"))
-      .as[(String, Long)]
-      .rdd.zipWithIndex()
-      .map { case ((k, id), r) => (k, id, r) }
-      .toDF("k", "id", "rnk")
+    val idType = sorted.schema("id").dataType
+    val ranked = spark.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, rnk) =>
+        org.apache.spark.sql.Row(r.get(0), r.get(1), rnk)
+      },
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("rnk",
+          org.apache.spark.sql.types.LongType, nullable = false))))
     val probe = ranked.select(col("k").as("ka"), col("id").as("id_x"),
       col("rnk").as("ra"), expr(s"rnk div $w").as("b"))
     // the build side is the HIGHER-ranked partner (rb > ra), so it must

@@ -1035,13 +1035,16 @@ object TextAnalysis {
         val mat =
           if ((rank + 1) % 4 == 0) next.localCheckpoint(eager = true)
           else next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        mat.count() // materialize before dropping the parent
-        cur.unpersist(blocking = false)
+        mat.count() // materialize before dropping the parent — release
+        // handles BOTH forms (Dataset.unpersist is a no-op for the every-
+        // 4th-round localCheckpoint; its blocks otherwise pin for the
+        // whole 2000-merge loop — the r11 bench leak)
+        graft.core.Checkpoints.release(cur)
         cur = mat
         rank += 1
       }
     }
-    cur.unpersist(blocking = false)
+    graft.core.Checkpoints.release(cur)
     import spark.implicits._
     out.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "pair_freq")
   }

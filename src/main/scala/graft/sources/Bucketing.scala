@@ -23,17 +23,25 @@ object Bucketing {
     * survives in the warehouse directory (the in-memory catalog dies
     * with the session, the directory does not), the orphaned location is
     * removed first — otherwise every re-run after a restart fails with
-    * LOCATION_ALREADY_EXISTS. Only the table's own default location is
-    * ever touched, and only when the catalog has no owner for it.
+    * LOCATION_ALREADY_EXISTS. The location is resolved through the
+    * CATALOG (`defaultTablePath` for the identifier qualified by the
+    * session's CURRENT database), not assumed to be
+    * `<warehouse>/<table>`: with a non-default current database the
+    * naive path would point at the DEFAULT database's same-named
+    * managed directory — live data this guard must never touch. Only
+    * the qualified table's own default location is ever removed, and
+    * only when the catalog has no owner for that exact identifier.
     */
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
                     nBuckets: Int): Unit = {
     require(bucketCols.nonEmpty, "bucketCols must be non-empty")
     val spark = df.sparkSession
     if (!spark.catalog.tableExists(table)) {
+      val parsed = spark.sessionState.sqlParser.parseTableIdentifier(table)
+      val qualified = parsed.copy(database = Some(parsed.database.getOrElse(
+        spark.sessionState.catalog.getCurrentDatabase)))
       val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"),
-        table.toLowerCase(java.util.Locale.ROOT))
+        spark.sessionState.catalog.defaultTablePath(qualified))
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
     }

@@ -131,6 +131,12 @@ object Sketches {
     * side null. Exact fields stay exact under this arithmetic; the ndv
     * ratio inherits the HLL error of both inputs (±2·6σ worst case at
     * the [[hllRse]] bound) — treat it as a drift SIGNAL, not a count.
+    *
+    * Degenerate-side contract: every derived rate/ratio is NULL (never
+    * Infinity/NaN) when its denominator is absent or non-positive — a
+    * column present on one side only, an all-null old column
+    * (ndv_old = 0), or a 0-row side all surface as explicit nulls that
+    * downstream consumers can filter with one IS NOT NULL.
     */
   def profileDrift(oldEst: DataFrame, newEst: DataFrame): DataFrame = {
     def side(df: DataFrame, s: String) = df.select(col("col_name"),
@@ -140,11 +146,12 @@ object Sketches {
       col("min_str").as(s"min_str_$s"), col("max_str").as(s"max_str_$s"))
     side(oldEst, "old").join(side(newEst, "new"), Seq("col_name"), "full")
       .withColumn("null_rate_old",
-        col("nulls_old").cast("double") / col("rows_old"))
+        when(col("rows_old") > 0, col("nulls_old").cast("double") / col("rows_old")))
       .withColumn("null_rate_new",
-        col("nulls_new").cast("double") / col("rows_new"))
+        when(col("rows_new") > 0, col("nulls_new").cast("double") / col("rows_new")))
       .withColumn("null_rate_delta", col("null_rate_new") - col("null_rate_old"))
-      .withColumn("ndv_ratio", col("ndv_new") / col("ndv_old"))
+      .withColumn("ndv_ratio",
+        when(col("ndv_old") > 0, col("ndv_new") / col("ndv_old")))
       .withColumn("range_widened",
         coalesce(col("min_num_new") < col("min_num_old"), lit(false)) ||
           coalesce(col("max_num_new") > col("max_num_old"), lit(false)) ||

@@ -122,4 +122,71 @@ class GraphSpec extends SparkTestBase {
     assert(cc == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L),
       s"got $cc")
   }
+
+  // --- round 12: materialize escape hatch + checkpoint-release hygiene ---
+
+  private def lollipop = {
+    val k5 = for { a <- 1 to 5; b <- 1 to 5 if a < b } yield (a.toLong, b.toLong)
+    (k5 ++ Seq((5L, 6L), (6L, 7L), (7L, 8L))).toDF("src", "dst")
+  }
+  private def asMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("materialize = false exposes the lazy DAG; values identical to eager") {
+    import org.apache.spark.sql.execution.LogicalRDD
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val edges = lollipop
+    // triangleCount: pure lazy plan — joins visible, no checkpoint scan
+    val tcLazy = Graph.triangleCount(edges, "src", "dst", materialize = false)
+    assert(tcLazy.queryExecution.analyzed.collect { case j: Join => j }.nonEmpty,
+      "lazy triangleCount should expose its wedge/closing joins")
+    assert(!tcLazy.queryExecution.analyzed.exists(_.isInstanceOf[LogicalRDD]))
+    assert(asMap(tcLazy) == asMap(Graph.triangleCount(edges, "src", "dst")))
+    // kCore: the final in-core degree pass stays a lazy join+agg plan
+    val kcLazy = Graph.kCore(edges, "src", "dst", k = 2, materialize = false)
+    assert(kcLazy.queryExecution.analyzed.collect { case j: Join => j }.nonEmpty,
+      "lazy kCore should expose the alive-join + degree aggregate")
+    assert(asMap(kcLazy) == asMap(Graph.kCore(edges, "src", "dst", k = 2)))
+    // connectedComponents: one identity-at-fixpoint propagation round,
+    // lazy — per-round join/agg DAG visible, labels unchanged
+    val ccLazy = Graph.connectedComponents(edges, "src", "dst", materialize = false)
+    assert(ccLazy.queryExecution.analyzed.collect { case j: Join => j }.nonEmpty,
+      "lazy connectedComponents should expose the propagation round")
+    assert(asMap(ccLazy) == asMap(Graph.connectedComponents(edges, "src", "dst")))
+  }
+
+  test("Checkpoints.release frees localCheckpoint blocks (Dataset.unpersist alone can't)") {
+    import org.apache.spark.sql.execution.LogicalRDD
+    val df = spark.range(100).toDF("v").localCheckpoint()
+    val rddId = df.queryExecution.analyzed.asInstanceOf[LogicalRDD].rdd.id
+    assert(spark.sparkContext.getPersistentRDDs.contains(rddId),
+      "localCheckpoint should pin its RDD")
+    df.unpersist(blocking = true) // the trap: no-op for checkpoints
+    assert(spark.sparkContext.getPersistentRDDs.contains(rddId),
+      "Dataset.unpersist must NOT be assumed to free checkpoint blocks")
+    graft.core.Checkpoints.release(df)
+    assert(!spark.sparkContext.getPersistentRDDs.contains(rddId),
+      "release must free the checkpointed RDD's blocks")
+  }
+
+  test("iterative loops release superseded rounds: at most one block set survives") {
+    def pinnedIds = spark.sparkContext.getPersistentRDDs.keySet
+    // a 64-node chain needs several pointer-doubling rounds; before the
+    // r12 fix each round left one pinned checkpoint behind
+    val chain = (1L until 64L).map(i => (i, i + 1)).toDF("src", "dst")
+    val before = pinnedIds
+    val cc = Graph.connectedComponents(chain, "src", "dst")
+    assert(cc.count() == 64)
+    val leakedCc = (pinnedIds -- before).size
+    assert(leakedCc <= 1, s"connectedComponents left $leakedCc pinned RDDs " +
+      "(expected only the returned frame's checkpoint)")
+    graft.core.Checkpoints.release(cc)
+    // kCore on the lollipop peels a 3-round cascade; same discipline
+    val before2 = pinnedIds
+    val kc = Graph.kCore(lollipop, "src", "dst", k = 2)
+    assert(kc.count() == 5)
+    val leakedKc = (pinnedIds -- before2).size
+    assert(leakedKc <= 1, s"kCore left $leakedKc pinned RDDs")
+    graft.core.Checkpoints.release(kc)
+  }
 }

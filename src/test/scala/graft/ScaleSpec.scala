@@ -292,6 +292,51 @@ class ScaleSpec extends SparkTestBase {
       s"score DESC then token ASC expected, got $mix")
   }
 
+  test("topKWithRank: window-identical ranks with STRING ids (r12 ADVICE fix)") {
+    import spark.implicits._
+    // score ties must break id-ASCENDING for any orderable id type — the
+    // r11 negated-copy trick required numeric ids; reversedFields doesn't
+    val df = Seq(("q1", "doc-b", 9.0), ("q1", "doc-a", 9.0), ("q1", "doc-z", 7.0),
+        ("q1", "doc-c", 9.0), ("q2", "doc-x", 1.0), ("q2", "doc-y", 2.0))
+      .toDF("q", "doc", "score")
+    val got = operators.Views.topKWithRank(df, "q", "score", "doc", 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(3))).toSet
+    val want = df.withColumn("rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("q").orderBy(col("score").desc, col("doc").asc)))
+      .filter(col("rk") <= 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getAs[Int]("rk"))).toSet
+    assert(got == want, s"got=$got want=$want")
+    // still the aggregate plan, not a window
+    val plan = operators.Views.topKWithRank(df, "q", "score", "doc", 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bounded_top_k") && !plan.contains("Window"), plan)
+  }
+
+  test("writeBucketed in a non-default database never touches default's same-named table") {
+    import spark.implicits._
+    // the r11 guard computed <warehouse>/<table> — the DEFAULT db's
+    // managed location — while tableExists resolved against the CURRENT
+    // db: with a non-default current db it deleted live default-db data
+    spark.sql("DROP TABLE IF EXISTS default.graft_bk_guard")
+    Seq((1L, "keep")).toDF("k", "v").write.saveAsTable("default.graft_bk_guard")
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_bkdb")
+    spark.catalog.setCurrentDatabase("graft_bkdb")
+    try {
+      Bucketing.writeBucketed(Seq((2L, "other")).toDF("k", "v"),
+        "graft_bk_guard", Seq("k"), 2)
+      assert(spark.table("default.graft_bk_guard")
+        .collect().map(_.getString(1)).toSeq == Seq("keep"),
+        "default db's managed table must survive a same-named bucketed " +
+          "write in another database")
+      assert(spark.table("graft_bkdb.graft_bk_guard").count() == 1)
+    } finally {
+      spark.catalog.setCurrentDatabase("default")
+      spark.sql("DROP DATABASE IF EXISTS graft_bkdb CASCADE")
+      spark.sql("DROP TABLE IF EXISTS default.graft_bk_guard")
+    }
+  }
+
   test("asofJoin directions: forward min-ord tie, nearest backward tie, tolerance cuts") {
     import spark.implicits._
     def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")

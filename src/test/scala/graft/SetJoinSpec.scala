@@ -200,4 +200,18 @@ class SetJoinSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       SetJoin.sortedNeighborhoodJoin(df, "name", "id", window = 1, maxDist = 1))
   }
+
+  test("sortedNeighborhoodJoin keeps non-numeric record ids (r12 ADVICE fix)") {
+    import spark.implicits._
+    // UUID-style string ids — the common record-linkage shape; the r11
+    // typed-rank path required Long ids and threw AnalysisException here
+    val df = Seq(("u-01", "aaa"), ("u-02", "aab"), ("u-03", "aac"),
+      ("u-10", "zzz")).toDF("rec", "name")
+    val out = SetJoin.sortedNeighborhoodJoin(df, "name", "rec", window = 2, maxDist = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set(("u-01", "u-02", 1L), ("u-02", "u-03", 1L)), s"got $out")
+    // and the id column's TYPE survives into the output schema
+    val schema = SetJoin.sortedNeighborhoodJoin(df, "name", "rec", 2, 1).schema
+    assert(schema("id_a").dataType == org.apache.spark.sql.types.StringType)
+  }
 }

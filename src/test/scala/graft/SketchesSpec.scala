@@ -131,6 +131,40 @@ class SketchesSpec extends SparkTestBase {
     assert(!drift("extra").getAs[Boolean]("range_widened"))
   }
 
+  test("profileDrift degenerate denominators yield nulls, never Infinity/NaN (r12 ADVICE fix)") {
+    import spark.implicits._
+    // old side: an ALL-NULL column (ndv_old = 0) and a normal column;
+    // new side: the all-null column now populated, plus an added column —
+    // one-side-only columns and zero denominators all hit the guards
+    val old = Seq((1L, None: Option[Double]), (2L, None: Option[Double]))
+      .toDF("id", "dead")
+    val nw = Seq((1L, Some(3.0), "x"), (2L, Some(4.0), "y"))
+      .toDF("id", "dead", "extra")
+    val drift = Sketches.profileDrift(
+        Sketches.estimate(Sketches.profile(old)),
+        Sketches.estimate(Sketches.profile(nw)))
+      .collect().map(r => r.getAs[String]("col_name") -> r).toMap
+    // ndv_old = 0 for the all-null column → ratio must be NULL, not Inf
+    val dead = drift("dead")
+    assert(dead.isNullAt(dead.fieldIndex("ndv_ratio")),
+      s"ndv_old=0 must yield null ratio, got ${dead.getAs[Any]("ndv_ratio")}")
+    // one-side-only column: rates/deltas on the absent side are null
+    val extra = drift("extra")
+    assert(extra.isNullAt(extra.fieldIndex("null_rate_old")))
+    assert(extra.isNullAt(extra.fieldIndex("null_rate_delta")))
+    assert(extra.isNullAt(extra.fieldIndex("ndv_ratio")))
+    // no cell anywhere is Infinity or NaN
+    drift.values.foreach { r =>
+      Seq("null_rate_old", "null_rate_new", "null_rate_delta", "ndv_ratio")
+        .foreach { c =>
+          if (!r.isNullAt(r.fieldIndex(c))) {
+            val d = r.getAs[Double](c)
+            assert(!d.isInfinite && !d.isNaN, s"$c of ${r.getAs[String]("col_name")} = $d")
+          }
+        }
+    }
+  }
+
   test("KLL quantile profile: shard-merge and single-pass both inside the rank band") {
     import spark.implicits._
     // 1..10000 in two disjoint parity shards: true quartiles 2500/5000/7500
