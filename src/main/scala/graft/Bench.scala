@@ -466,13 +466,20 @@ object Bench {
       if (xs.isEmpty) 1.0 else math.exp(xs.map(math.log).sum / xs.size)
     def compactWith(va: String): String =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","runs":$runs,"contended":${nameList(vs.collect { case (k, v) if v.contended => k })},"unconverged":${nameList(vs.collect { case (k, v) if !v.converged && !v.contended => k })},"rejected_total":${vs.map(_._2.rejected).sum},$va"suspect":${nameList(suspects.map(shortOf))},"gc_hot":$gcHot$sf1Compact,"detail":"$outFile"}"""
-    // length guard: per-query ratios are the most useful diagnostic but
-    // the tail window is a hard 2000 chars — degrade to the geomean
-    // (full map is always in the detail file) rather than risk truncation
-    val withRatios = compactWith(s""""vs_anchor":${shortRatioMap(vsAnchor)},""")
+    // length guard: the tail window is a hard 2000 chars and the full
+    // 38-row ratio map does not fit next to the sf1 tier — so the
+    // compact line carries the geomean plus every row ≥1.2× anchor
+    // (near-empty on a clean run; names the victims with their ratios
+    // on a contaminated one), degrading to full-map or geomean-only as
+    // space allows. The complete map is always in the detail file.
+    val geo = f""""vs_anchor_geomean":${geomean(vsAnchor.map(_._2))}%.2f,"""
+    val withFullMap = compactWith(s""""vs_anchor":${shortRatioMap(vsAnchor)},""" + geo)
+    val withHotMap = compactWith(
+      s""""vs_anchor":${shortRatioMap(vsAnchor.filter(_._2 >= 1.2))},""" + geo)
     val compactLine =
-      if (withRatios.length <= 1900) withRatios
-      else compactWith(f""""vs_anchor_geomean":${geomean(vsAnchor.map(_._2))}%.2f,""")
+      if (withFullMap.length <= 1900) withFullMap
+      else if (withHotMap.length <= 1900) withHotMap
+      else compactWith(geo)
     // This is the LAST stdout write of the process: Spark logs to stderr
     // (r10's tail shows its WARNs arriving [error]-tagged, i.e. via the
     // forked JVM's stderr), and build.sbt's StdoutOutput + showSuccess :=

@@ -1153,6 +1153,34 @@ object SparkEntry {
              |  FROM orders) WHERE rk <= 3
              |ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey DESC""".stripMargin)),
 
+    Q("q92_budget_select",
+      (s, d) => {
+        val m = mgr(s, d)
+        // greedy budget selection (round 12): the most valuable lineitems
+        // whose quantities fit a 500k-unit budget, priority price DESC
+        // with a unique (orderkey, linenumber) tie-break. The operator's
+        // two-pass range-partition + driver-prefix shape replaces the
+        // global single-task running-sum window the oracle uses — output
+        // sets must be identical.
+        val li = m.getDDFByName("lineitem").df
+          .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
+        operators.Views.budgetSelect(li,
+            Seq(col("l_extendedprice").desc, col("l_orderkey").asc,
+              col("l_linenumber").asc),
+            "l_quantity", budget = 500000L)
+          .select("l_orderkey", "l_linenumber", "l_extendedprice")
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+            col("l_linenumber"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM (
+             |  SELECT l_orderkey, l_linenumber, l_extendedprice,
+             |    sum(CAST(l_quantity AS BIGINT)) OVER (
+             |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+             |      ROWS UNBOUNDED PRECEDING) AS qty_cum
+             |  FROM lineitem)
+             |WHERE qty_cum <= 500000
+             |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber""".stripMargin)),
+
     Q("q88_window_distribution",
       (s, d) => {
         val m = mgr(s, d)

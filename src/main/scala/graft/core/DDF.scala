@@ -293,6 +293,14 @@ final class DDF(
     */
   def skewReport(cols: Seq[String]): DDF =
     derive(graft.stats.Stats.skewReport(df, cols))
+  /** Greedy budget-constrained selection: rows in `order` priority while
+    * the running `costCol` total stays ≤ budget — "the best docs that
+    * fit an N-token budget" (see `operators/Views.budgetSelect` for the
+    * window-free two-pass shape and the total-order requirement).
+    */
+  def budgetSelect(order: Seq[org.apache.spark.sql.Column], costCol: String,
+                   budget: Long): DDF =
+    derive(graft.operators.Views.budgetSelect(df, order, costCol, budget))
   /** DSIR importance weights of this (raw) corpus toward `target`'s
     * domain (see `pipeline/Dsir`).
     */

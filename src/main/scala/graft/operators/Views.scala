@@ -143,6 +143,75 @@ object Views {
         (col("__pos") + 1).cast("int").as("rk"): _*)
   }
 
+  /** Greedy budget-constrained selection: keep rows in `order` priority
+    * while the running total of `costCol` stays ≤ `budget` — "pack the
+    * best documents into an N-token training budget", the corpus-
+    * selection step every data-mixture recipe ends with (with order =
+    * quality DESC it is the greedy knapsack heuristic; with order =
+    * value/cost DESC, greedy-by-density). A row is kept iff the sum of
+    * all strictly-prior costs plus its own is ≤ budget.
+    *
+    * The naive form — `sum(cost) OVER (ORDER BY priority)` then filter —
+    * is a GLOBAL un-partitioned window: at corpus scale one task sorts
+    * and scans everything. This shape never builds one: (1) ONE range
+    * exchange on the priority order (`repartitionByRange` + in-partition
+    * sort, pinned with a localCheckpoint so both passes see the same
+    * layout); (2) per-partition cost sums — a config-sized
+    * (numShufflePartitions rows) collect — prefix-scanned on the driver
+    * into per-partition offsets; (3) a parallel per-partition scan seeded
+    * at its offset emits rows while offset+running ≤ budget. Partitions
+    * whose offset already exceeds the budget are pruned before scanning.
+    * Same two-pass discipline as MissingData.fillGlobal — and like it,
+    * the window-free scan avoids the second full-data hash exchange a
+    * `Window.partitionBy(__pid)` would add.
+    *
+    * Determinism: `order` must be a TOTAL order (include a unique
+    * tie-break column) — ties at the budget cutoff are otherwise
+    * partition-layout-dependent. Costs must be non-negative (the scan
+    * throws on a negative); null costs count 0. Costs are summed as
+    * LONGs (token/byte/row budgets are integral; float addition would
+    * make the cutoff order-dependent). Output: the original columns, no
+    * implied row order. The pinned partition layout lives until the
+    * returned frame is GC'd (fillGlobal's lifetime contract).
+    */
+  def budgetSelect(df: DataFrame, order: Seq[Column], costCol: String,
+                   budget: Long): DataFrame = {
+    require(order.nonEmpty, "budgetSelect: need at least one order column")
+    require(budget >= 0, s"budgetSelect: budget must be >= 0, got $budget")
+    val spark = df.sparkSession
+    val n = spark.sessionState.conf.numShufflePartitions
+    val parts = df
+      .withColumn("__cost", coalesce(col(costCol).cast("long"), lit(0L)))
+      .repartitionByRange(n, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    // per-partition sums → driver prefix scan (≤ n rows, config-sized)
+    val sums = parts.groupBy("__pid").agg(sum("__cost").as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    if (sums.isEmpty) return df.limit(0)
+    val offsets = sums.scanLeft(0 -> 0L) { case ((_, acc), (p, s)) => p -> (acc + s) }
+    val offsetOf = sums.map(_._1).zip(offsets.map(_._2)).toMap
+    val livePids = offsetOf.collect { case (p, off) if off <= budget => p }.toSeq
+    val schema = parts.schema
+    val ci = schema.fieldIndex("__cost")
+    val pi = schema.fieldIndex("__pid")
+    val bOff = spark.sparkContext.broadcast(offsetOf)
+    val kept = parts.filter(col("__pid").isInCollection(livePids))
+      .rdd.mapPartitions { it =>
+        var cum = 0L
+        var seeded = false
+        it.takeWhile { r => // running sum is monotone: first overflow ends the partition
+          if (!seeded) { cum = bOff.value.getOrElse(r.getInt(pi), 0L); seeded = true }
+          val c = r.getLong(ci)
+          require(c >= 0, s"budgetSelect: negative cost $c")
+          cum += c
+          cum <= budget
+        }
+      }
+    spark.createDataFrame(kept, schema).drop("__cost", "__pid")
+  }
+
   /** Exact-count random sample (reference: ViewHandler.scala:17-22 with
     * Poisson/Binomial tail-bound fraction math in utils/package.scala:
     * 444-546). Spark-first: over-sample by a safety factor then limit —

@@ -313,6 +313,37 @@ class ScaleSpec extends SparkTestBase {
     assert(plan.contains("bounded_top_k") && !plan.contains("Window"), plan)
   }
 
+  test("budgetSelect == global running-sum window; no global window in the plan") {
+    import spark.implicits._
+    val df = spark.range(10000).toDF("id")
+      .withColumn("q", (col("id") * 37) % 1000)      // priority, heavy ties
+      .withColumn("cost", (col("id") % 97) + 1)       // 1..97
+    val order = Seq(col("q").desc, col("id").asc)
+    val budget = 120000L
+    val got = operators.Views.budgetSelect(df, order, "cost", budget)
+      .collect().map(_.getLong(0)).toSet
+    val want = df.withColumn("c",
+        sum("cost").over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("q").desc, col("id").asc)
+          .rowsBetween(Long.MinValue, 0)))
+      .filter(col("c") <= budget)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == want, s"diff=${(got diff want) ++ (want diff got)}")
+    // the whole point: the operator's plan has NO window at all — the
+    // running sum rides a range exchange + per-partition scan
+    val plan = operators.Views.budgetSelect(df, order, "cost", budget)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"must be window-free:\n$plan")
+    // edges: zero budget keeps nothing (all costs >= 1); empty input ok;
+    // negative costs refused at scan time
+    assert(operators.Views.budgetSelect(df, order, "cost", 0L).count() == 0)
+    assert(operators.Views.budgetSelect(df.limit(0), order, "cost", 10L).count() == 0)
+    intercept[org.apache.spark.SparkException] {
+      operators.Views.budgetSelect(
+        df.withColumn("cost", lit(-1L)), order, "cost", 10L).count()
+    }
+  }
+
   test("writeBucketed in a non-default database never touches default's same-named table") {
     import spark.implicits._
     // the r11 guard computed <warehouse>/<table> — the DEFAULT db's
