@@ -59,7 +59,10 @@ import org.apache.spark.sql.functions._
   * probes, util, gc) goes to `bench_result.json`; stdout carries one
   * COMPACT line (per-query seconds, totals, contended/unconverged query
   * names, ≤1.5 KB) printed last, sized to survive the driver's
-  * 2000-char stdout tail-scrape intact. The sf1 tier also warms each
+  * 2000-char stdout tail-scrape intact. `bench_result.json` is TRACKED
+  * (r13, verdict ask #8): the compact line elides the per-row vs_anchor
+  * map when every row is in-band, so the committed full artifact is the
+  * audit trail — commit it with each round. The sf1 tier also warms each
   * query once untimed before sampling (r9's q80 was still JIT/page-cache
   * descending at the 9-sample cap) with its own SPARK_GRAFT_SF1_MAX_RUNS
   * cap (default 12).
@@ -92,7 +95,11 @@ object Bench {
     // round 11 (this session): one representative per new family — the
     // degree-oriented triangle count and the perceptual-hash image dedup
     // (its real PNG decode chain is the cost, like m02)
-    "g02_triangle_count", "m05_image_neardup")
+    "g02_triangle_count", "m05_image_neardup",
+    // round 13 (r12 verdict ask): the post-r11-anchor operators join the
+    // regression watch — iterative k-core peeling and the window-free
+    // budget-constrained selection
+    "g05_kcore", "q92_budget_select")
 
   // the sf1 subset: the scan/join/agg spine (TPC-H) + the dedup family +
   // vocabulary ranking + brute ANN — the operators whose 100 TB story the
@@ -103,7 +110,10 @@ object Bench {
     "q10_tpch_q1", "q12_tpch_q3", "q80_tpch_q9", "d01_dedup_exact",
     "d02_dedup_minhash", "d11_incremental_minhash_fast", "t14_token_ids",
     "a01_ann_brute", "q85_quantiles_sketch", "p01_pipeline_e2e",
-    "t09_span_dedup")
+    "t09_span_dedup",
+    // round 13 (r12 verdict ask): one COMPOSED row scale-tracked — the
+    // nine-stage curation corpus build, DSIR through verified publish
+    "p05_curation_corpus_build")
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     .asInstanceOf[com.sun.management.OperatingSystemMXBean]
@@ -357,7 +367,7 @@ object Bench {
     // anchor at start and reports each query's ratio against it, plus a
     // `suspect` list of >2× rows and per-query GC deltas: a contaminated
     // run names itself in its own artifact.
-    val anchorPath = sys.env.getOrElse("SPARK_GRAFT_ANCHOR", "BENCH_anchor_r11.json")
+    val anchorPath = sys.env.getOrElse("SPARK_GRAFT_ANCHOR", "BENCH_anchor_r12.json")
     // ratios are only meaningful at the anchor's own scale factor — a
     // quick sf0.001 iteration run must not flag "suspects" against sf0.1
     // anchor numbers
@@ -417,13 +427,19 @@ object Bench {
         try {
           // warm the new dir's table registrations outside the timed region
           materialize(qs("q10_tpch_q1")(spark, dir))
-          val r1 = sf1Set.filter(qs.contains)
+          val triples1 = sf1Set.filter(qs.contains)
             .map { n =>
               materialize(qs(n)(spark, dir)) // untimed per-query warmup
+              val g0 = gcMs
               val ss = sampleQuery(n, dir, sf1Runs, math.max(sf1Runs, sf1Cap))
+              val gq = gcMs - g0
               clearResidual(spark) // r12: no residue across sf1 queries either
-              n -> ss
+              (n, ss, gq)
             }
+          val r1 = triples1.map { case (n, ss, _) => n -> ss }
+          // r13 (verdict ask #6): per-query GC for the sf1 tier too, so
+          // an elevated gc_ms_sf1 names its heavy row from the artifact
+          val gcQ1 = triples1.map { case (n, _, g) => n -> g.toInt }
           val v1 = r1.map { case (k, ss) => k -> verdict(ss) }
           val vsAnchor1 = ratios(v1.map { case (k, v) => k -> v.best.wall }, anchorQ1)
           val suspects1 = vsAnchor1.collect { case (k, r) if r > 2.0 => k }
@@ -435,7 +451,7 @@ object Bench {
           val rj1 = intMap(v1.map { case (k, v) => k -> v.rejected })
           val t1 = v1.map(_._2.best.wall).sum
           val full =
-            f""","queries_sf1":$q1,"samples_sf1":$s1,"probes_sf1":$p1,"converged_sf1":$c1,"contended_sf1":$ct1,"rejected_sf1":$rj1,"total_sf1":$t1%.3f,"gc_ms_sf1":${gcMs - gc1},"vs_anchor_sf1":${numMap2(vsAnchor1)},"suspect_sf1":${nameList(suspects1)}"""
+            f""","queries_sf1":$q1,"samples_sf1":$s1,"probes_sf1":$p1,"converged_sf1":$c1,"contended_sf1":$ct1,"rejected_sf1":$rj1,"total_sf1":$t1%.3f,"gc_ms_sf1":${gcMs - gc1},"gc_q_ms_sf1":${intMap(gcQ1)},"vs_anchor_sf1":${numMap2(vsAnchor1)},"suspect_sf1":${nameList(suspects1)}"""
           val compact = f""","queries_sf1":$q1,"total_sf1":$t1%.3f""" +
             s""","contended_sf1":${nameList(v1.collect { case (k, v) if v.contended => k })}""" +
             s""","unconverged_sf1":${nameList(v1.collect { case (k, v) if !v.converged && !v.contended => k })}""" +

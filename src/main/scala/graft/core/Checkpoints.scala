@@ -20,16 +20,23 @@ object Checkpoints {
 
   /** Free the storage behind a materialized frame, whichever way it was
     * materialized: drops the CacheManager entry if the frame was
-    * `persist`ed, and unpersists the underlying checkpointed RDD if the
-    * frame is a bare `localCheckpoint` scan (`LogicalRDD`). Safe no-op
-    * for frames that are neither. AFTER release a checkpointed frame is
-    * UNUSABLE (localCheckpoint cuts lineage — there is nothing left to
-    * recompute from); only call it once every reader of the frame has
-    * finished.
+    * `persist`ed, and unpersists the checkpointed RDD behind EVERY
+    * `LogicalRDD` leaf of the plan — not just a bare-checkpoint root.
+    * Operators commonly hand back a thin projection over their final
+    * checkpoint (`dupClusters`/`connectedComponents` return
+    * `labels.withColumnRenamed("label", "cluster_id")`); a root-only
+    * match made the documented "release when done" contract a silent
+    * no-op for exactly those frames, leaving the final round's blocks
+    * pinned. Safe no-op for frames with no checkpoint leaf (unpersist
+    * on a never-persisted RDD does nothing). AFTER release a
+    * checkpointed frame is UNUSABLE (localCheckpoint cuts lineage —
+    * there is nothing left to recompute from); only call it once every
+    * reader of the frame — including any OTHER frame sharing a
+    * checkpoint leaf with it — has finished.
     */
   def release(df: DataFrame): Unit = {
     df.unpersist(blocking = false)
-    df.queryExecution.analyzed match {
+    df.queryExecution.analyzed.foreach {
       case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
       case _ => ()
     }

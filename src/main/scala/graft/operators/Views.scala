@@ -154,62 +154,146 @@ object Views {
     * The naive form — `sum(cost) OVER (ORDER BY priority)` then filter —
     * is a GLOBAL un-partitioned window: at corpus scale one task sorts
     * and scans everything. This shape never builds one: (1) ONE range
-    * exchange on the priority order (`repartitionByRange` + in-partition
-    * sort, pinned with a localCheckpoint so both passes see the same
-    * layout); (2) per-partition cost sums — a config-sized
-    * (numShufflePartitions rows) collect — prefix-scanned on the driver
-    * into per-partition offsets; (3) a parallel per-partition scan seeded
-    * at its offset emits rows while offset+running ≤ budget. Partitions
-    * whose offset already exceeds the budget are pruned before scanning.
-    * Same two-pass discipline as MissingData.fillGlobal — and like it,
-    * the window-free scan avoids the second full-data hash exchange a
-    * `Window.partitionBy(__pid)` would add.
+    * exchange on the priority order carrying ONLY (order keys, cost);
+    * (2) per-partition cost sums — a config-sized (numShufflePartitions
+    * rows) collect — prefix-scanned on the driver into offsets; (3) one
+    * in-partition scan of the single BOUNDARY partition to find the
+    * cutoff key. Same two-pass discipline as MissingData.fillGlobal —
+    * and like it, window-free end to end.
     *
     * Determinism: `order` must be a TOTAL order (include a unique
     * tie-break column) — ties at the budget cutoff are otherwise
-    * partition-layout-dependent. Costs must be non-negative (the scan
-    * throws on a negative); null costs count 0. Costs are summed as
-    * LONGs (token/byte/row budgets are integral; float addition would
-    * make the cutoff order-dependent). Output: the original columns, no
-    * implied row order. The pinned partition layout lives until the
-    * returned frame is GC'd (fillGlobal's lifetime contract).
+    * partition-layout-dependent. Costs must be non-negative (validated
+    * over the WHOLE input in pass 1, before any selection — invalid
+    * input throws, never silently mis-selects); null costs count 0.
+    * Costs are summed as LONGs (token/byte/row budgets are integral;
+    * float addition would make the cutoff order-dependent).
+    *
+    * Nothing pins (the r12 verdict's checkpoint-lifetime ask): because
+    * costs are non-negative the kept set is exactly a PREFIX of the
+    * total order, so the operator only needs the CUTOFF KEY — the order
+    * tuple of the last kept row. Pass 1 and pass 2 are two jobs on ONE
+    * shared RDD of [[budgetScanPlan]] (order keys + cost ONLY ride the
+    * range exchange, never the payload), so pass 2's map stage reuses
+    * pass 1's shuffle files (skipped stage: one data scan + one slim
+    * shuffle write total) and its reduce reads just the boundary
+    * partition. The result is the ORIGINAL frame filtered lazily by a
+    * lexicographic key-at-or-before-cutoff predicate — a plain Catalyst
+    * `Filter` (pushdown-eligible, no exchange, no window, no pinned
+    * storage; re-reads prune at the scan instead of hitting a
+    * materialized copy). Output: the original columns, no implied row
+    * order.
     */
   def budgetSelect(df: DataFrame, order: Seq[Column], costCol: String,
                    budget: Long): DataFrame = {
     require(order.nonEmpty, "budgetSelect: need at least one order column")
     require(budget >= 0, s"budgetSelect: budget must be >= 0, got $budget")
     val spark = df.sparkSession
-    val n = spark.sessionState.conf.numShufflePartitions
-    val parts = df
-      .withColumn("__cost", coalesce(col(costCol).cast("long"), lit(0L)))
-      .repartitionByRange(n, order: _*)
-      .sortWithinPartitions(order: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
-    // per-partition sums → driver prefix scan (≤ n rows, config-sized)
-    val sums = parts.groupBy("__pid").agg(sum("__cost").as("s"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    if (sums.isEmpty) return df.limit(0)
-    val offsets = sums.scanLeft(0 -> 0L) { case ((_, acc), (p, s)) => p -> (acc + s) }
-    val offsetOf = sums.map(_._1).zip(offsets.map(_._2)).toMap
-    val livePids = offsetOf.collect { case (p, off) if off <= budget => p }.toSeq
-    val schema = parts.schema
-    val ci = schema.fieldIndex("__cost")
-    val pi = schema.fieldIndex("__pid")
-    val bOff = spark.sparkContext.broadcast(offsetOf)
-    val kept = parts.filter(col("__pid").isInCollection(livePids))
-      .rdd.mapPartitions { it =>
-        var cum = 0L
-        var seeded = false
-        it.takeWhile { r => // running sum is monotone: first overflow ends the partition
-          if (!seeded) { cum = bOff.value.getOrElse(r.getInt(pi), 0L); seeded = true }
-          val c = r.getLong(ci)
-          require(c >= 0, s"budgetSelect: negative cost $c")
-          cum += c
-          cum <= budget
-        }
+    val keys = sortKeysOf(order)
+    val m = keys.size
+    // ONE RDD object for both passes — the second job's map stage reuses
+    // the first's shuffle files (Spark skips computed ShuffleMapStages
+    // for the same RDD graph), so the exchange is paid once.
+    val rdd = budgetScanPlan(df, order, costCol).rdd
+    // pass 1: per-partition (sum, min, count) — n result rows, config-sized
+    val stats = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L; var mn = Long.MaxValue; var c = 0L
+      it.foreach { r => val v = r.getLong(m); s += v; if (v < mn) mn = v; c += 1 }
+      Iterator.single((pid, s, mn, c))
+    }.collect().sortBy(_._1)
+    // complete validation BEFORE any selection: the previous scan-time
+    // require was best-effort (skipped whenever the budget cutoff landed
+    // before the negative row — silently wrong output; r12 ADVICE)
+    val badMin = stats.collect { case (_, _, mn, c) if c > 0 && mn < 0 => mn }
+    require(badMin.isEmpty,
+      s"budgetSelect: negative cost ${badMin.min} — costs must be >= 0")
+    val total = stats.iterator.map(_._2).sum
+    if (total <= budget) return df // every row fits; no cutoff exists
+    // prefix offsets → boundary partition p* = first whose inclusive
+    // prefix exceeds the budget. total > budget ⇒ p* exists, its offset
+    // ≤ budget, and its sum > 0 ⇒ it is non-empty.
+    var acc = 0L; var pStar = -1; var off = 0L
+    stats.foreach { case (pid, s, _, _) =>
+      if (pStar < 0 && acc + s > budget) { pStar = pid; off = acc }
+      acc += s
+    }
+    // pass 2: ONE in-partition scan of the boundary partition (runJob on
+    // that partition only; map stages skipped). Emits the partition's
+    // first key and the last key whose seeded running sum fits.
+    val budget0 = budget
+    val scan = spark.sparkContext.runJob(rdd, (it: Iterator[Row]) => {
+      var cum = off
+      var first: Seq[Any] = null
+      var lastKept: Seq[Any] = null
+      var stop = false
+      while (!stop && it.hasNext) {
+        val r = it.next()
+        val key = (0 until m).map(r.get)
+        if (first == null) first = key
+        cum += r.getLong(m)
+        if (cum <= budget0) lastKept = key else stop = true
       }
-    spark.createDataFrame(kept, schema).drop("__cost", "__pid")
+      (first, lastKept)
+    }, Seq(pStar))
+    val (firstKey, lastKept) = scan.head
+    // lazy re-filter of the ORIGINAL frame: keep rows at-or-before the
+    // cutoff in the total order (strictly-before p*'s first key when no
+    // row of p* fits — everything in earlier partitions is kept whole)
+    if (lastKept != null) df.filter(lexAtOrBefore(keys, lastKept, inclusive = true))
+    else df.filter(lexAtOrBefore(keys, firstKey, inclusive = false))
+  }
+
+  /** (key expression, ascending?, nullsFirst?) per order column — bare
+    * columns take Spark's sort default (ascending, nulls first).
+    */
+  private def sortKeysOf(order: Seq[Column]): Seq[(Column, Boolean, Boolean)] =
+    order.map(org.apache.spark.sql.graftbridge.Bridge.sortSpec)
+
+  /** [[budgetSelect]]'s pass-1/2 construction, exposed for plan pins:
+    * order keys + long cost ONLY (the payload never rides the exchange),
+    * ONE range exchange on the order, in-partition sort. Rows are
+    * (k0..k(m-1), cost); partitions are globally ordered.
+    */
+  private[graft] def budgetScanPlan(df: DataFrame, order: Seq[Column],
+                                    costCol: String): DataFrame = {
+    val keys = sortKeysOf(order)
+    val keyed = df.select(
+      keys.zipWithIndex.map { case ((k, _, _), i) => k.as(s"__k$i") } :+
+        coalesce(col(costCol).cast("long"), lit(0L)).as("__cost"): _*)
+    val sortCols = keys.zipWithIndex.map { case ((_, asc, nf), i) =>
+      val c = col(s"__k$i")
+      (asc, nf) match {
+        case (true, true)   => c.asc_nulls_first
+        case (true, false)  => c.asc_nulls_last
+        case (false, true)  => c.desc_nulls_first
+        case (false, false) => c.desc_nulls_last
+      }
+    }
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    keyed.repartitionByRange(n, sortCols: _*).sortWithinPartitions(sortCols: _*)
+  }
+
+  /** Lexicographic "sorts at-or-before the cutoff tuple" predicate over
+    * the original key expressions, honoring each key's direction and
+    * null ordering (null cutoff components compare by null position:
+    * under nulls-first nothing sorts strictly before a null; under
+    * nulls-last every non-null does). Catalyst sees a plain boolean
+    * expression — pushdown and pruning apply.
+    */
+  private def lexAtOrBefore(keys: Seq[(Column, Boolean, Boolean)],
+                            cut: Seq[Any], inclusive: Boolean): Column = {
+    def beforeStrict(c: Column, asc: Boolean, nf: Boolean, v: Any): Column =
+      if (v == null) { if (nf) lit(false) else c.isNotNull }
+      else {
+        val base = if (asc) c < lit(v) else c > lit(v)
+        if (nf) c.isNull || base else c.isNotNull && base
+      }
+    val eqAll = keys.zip(cut).map { case ((c, _, _), v) => c <=> lit(v) }.reduce(_ && _)
+    val strict = keys.zip(cut).zipWithIndex.map { case (((c, asc, nf), v), i) =>
+      (keys.take(i).zip(cut.take(i)).map { case ((pc, _, _), pv) => pc <=> lit(pv) } :+
+        beforeStrict(c, asc, nf, v)).reduce(_ && _)
+    }.reduce(_ || _)
+    if (inclusive) strict || eqAll else strict
   }
 
   /** Exact-count random sample (reference: ViewHandler.scala:17-22 with

@@ -1032,13 +1032,16 @@ object TextAnalysis {
         val (a, b, n) = (best.head.getString(0), best.head.getString(1), best.head.getLong(2))
         out += ((rank, a, b, a + b, n))
         val next = cur.withColumn("syms", mergePair(col("syms"), a, b))
-        val mat =
-          if ((rank + 1) % 4 == 0) next.localCheckpoint(eager = true)
-          else next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        mat.count() // materialize before dropping the parent — release
-        // handles BOTH forms (Dataset.unpersist is a no-op for the every-
-        // 4th-round localCheckpoint; its blocks otherwise pin for the
-        // whole 2000-merge loop — the r11 bench leak)
+        // localCheckpoint EVERY round (eager: materialized before the
+        // parent drops). A persist()-only round would keep a lineage
+        // edge back into `cur`: once `cur`'s checkpoint blocks are
+        // released, any lost persist block would recompute into a
+        // lineage-cut, unpersisted RDD and fail the job — so every
+        // round cuts lineage, and releasing the superseded round is
+        // always safe (nothing live can recompute through it). The
+        // flat lineage also keeps Catalyst analysis O(1) per round
+        // instead of growing the tree across 2000 merges.
+        val mat = next.localCheckpoint(eager = true)
         graft.core.Checkpoints.release(cur)
         cur = mat
         rank += 1

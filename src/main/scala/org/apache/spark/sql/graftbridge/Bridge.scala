@@ -12,4 +12,23 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Decompose a possibly sort-ordered Column into
+    * (key column, ascending?, nullsFirst?). Spark 4 Columns wrap an
+    * `internal.ColumnNode` tree (Catalyst conversion is deferred), so
+    * `c.desc` is an `internal.SortOrder` NODE — matching the Catalyst
+    * `expressions.SortOrder` on `expression(c)` sees only the lazy
+    * `ColumnNodeExpression` wrapper and never strips the direction. A
+    * bare column reports Spark's sort default (ascending, nulls first).
+    */
+  def sortSpec(c: Column): (Column, Boolean, Boolean) = {
+    import org.apache.spark.sql.{internal => in}
+    c.node match {
+      case so: in.SortOrder =>
+        (Column(so.child),
+          so.sortDirection == in.SortOrder.Ascending,
+          so.nullOrdering == in.SortOrder.NullsFirst)
+      case _ => (c, true, true)
+    }
+  }
 }

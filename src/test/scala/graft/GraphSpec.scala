@@ -181,6 +181,13 @@ class GraphSpec extends SparkTestBase {
     assert(leakedCc <= 1, s"connectedComponents left $leakedCc pinned RDDs " +
       "(expected only the returned frame's checkpoint)")
     graft.core.Checkpoints.release(cc)
+    // r13 (r12 ADVICE): the release must actually SHRINK the pinned set.
+    // cc is a Project (withColumnRenamed) OVER the final checkpoint, so
+    // the old root-only LogicalRDD match made release(cc) a silent no-op
+    // — and this test, asserting nothing after the call, masked it.
+    assert((pinnedIds -- before).isEmpty,
+      "release(connectedComponents result) must free the final round's " +
+        s"checkpoint blocks; still pinned: ${pinnedIds -- before}")
     // kCore on the lollipop peels a 3-round cascade; same discipline
     val before2 = pinnedIds
     val kc = Graph.kCore(lollipop, "src", "dst", k = 2)
@@ -188,5 +195,15 @@ class GraphSpec extends SparkTestBase {
     val leakedKc = (pinnedIds -- before2).size
     assert(leakedKc <= 1, s"kCore left $leakedKc pinned RDDs")
     graft.core.Checkpoints.release(kc)
+    assert((pinnedIds -- before2).isEmpty,
+      s"release(kCore result) must free its blocks; still pinned: ${pinnedIds -- before2}")
+    // dupClusters shares cc's Project-over-checkpoint return shape
+    val before3 = pinnedIds
+    val pairs = (1L until 20L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val dc = graft.pipeline.Dedup.dupClusters(pairs)
+    assert(dc.count() == 20)
+    graft.core.Checkpoints.release(dc)
+    assert((pinnedIds -- before3).isEmpty,
+      s"release(dupClusters result) must free its blocks; still pinned: ${pinnedIds -- before3}")
   }
 }

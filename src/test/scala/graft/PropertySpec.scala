@@ -240,6 +240,43 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("property: budgetSelect ≡ global running-sum window on random corpora × budgets × layouts") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    for (seed <- Seq(3L, 11L, 77L)) {
+      val rng = new scala.util.Random(seed)
+      val n = 200 + rng.nextInt(1800)
+      val stringKey = rng.nextBoolean() // exercise non-numeric order keys
+      val rows = (0 until n).map { i =>
+        // ~10% null costs (count 0 by contract), many zero costs, heavy
+        // priority ties so the id tie-break decides at the cutoff
+        val cost: java.lang.Long = if (rng.nextInt(10) == 0) null else rng.nextInt(40).toLong
+        (f"s${rng.nextInt(30)}%02d", rng.nextInt(30).toLong, i.toLong, cost)
+      }
+      val base0 = rows.toDF("qs", "qn", "id", "cost")
+        .select((if (stringKey) col("qs") else col("qn")).as("q"), col("id"), col("cost"))
+      val base = base0.repartition(1 + rng.nextInt(13)) // random physical layout
+      val asc = rng.nextBoolean()
+      val order = if (asc) Seq(col("q").asc, col("id").asc)
+                  else Seq(col("q").desc, col("id").asc)
+      val w = (if (asc) Window.orderBy(col("q").asc, col("id").asc)
+               else Window.orderBy(col("q").desc, col("id").asc))
+        .rowsBetween(Long.MinValue, 0)
+      val totalCost = rows.map(r => Option(r._4).fold(0L)(_.toLong)).sum
+      // budget regimes: nothing fits / a slice / all-but-boundary / everything
+      for (budget <- Seq(0L, totalCost / 7 + rng.nextInt(20), totalCost - 1, totalCost + 5)) {
+        val got = Views.budgetSelect(base, order, "cost", budget)
+          .collect().map(_.getLong(1)).toSet
+        val want = base
+          .withColumn("c", sum(coalesce(col("cost"), lit(0L))).over(w))
+          .filter(col("c") <= budget)
+          .collect().map(_.getLong(1)).toSet
+        assert(got == want, s"seed=$seed stringKey=$stringKey asc=$asc " +
+          s"budget=$budget missing=${want -- got} extra=${got -- want}")
+      }
+    }
+  }
+
   test("property: topKByGroup ≡ window rank on random frames, both directions") {
     import spark.implicits._
     for (seed <- Seq(7L, 42L, 99L)) {

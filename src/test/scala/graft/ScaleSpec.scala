@@ -320,6 +320,7 @@ class ScaleSpec extends SparkTestBase {
       .withColumn("cost", (col("id") % 97) + 1)       // 1..97
     val order = Seq(col("q").desc, col("id").asc)
     val budget = 120000L
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val got = operators.Views.budgetSelect(df, order, "cost", budget)
       .collect().map(_.getLong(0)).toSet
     val want = df.withColumn("c",
@@ -329,18 +330,39 @@ class ScaleSpec extends SparkTestBase {
       .filter(col("c") <= budget)
       .collect().map(_.getLong(0)).toSet
     assert(got == want, s"diff=${(got diff want) ++ (want diff got)}")
-    // the whole point: the operator's plan has NO window at all — the
-    // running sum rides a range exchange + per-partition scan
-    val plan = operators.Views.budgetSelect(df, order, "cost", budget)
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("Window"), s"must be window-free:\n$plan")
+    // r13: the pins are on plans that can actually fail (the r12 pin
+    // asserted no-Window on a LogicalRDD scan — vacuous).
+    // (a) the RESULT is a lazy filter of the ORIGINAL frame: no window,
+    //     no exchange, no RDD scan — a global-window rewrite would
+    //     reintroduce Window + Exchange here
+    val sel = operators.Views.budgetSelect(df, order, "cost", budget)
+    val plan = sel.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("Exchange") &&
+      !plan.contains("Scan ExistingRDD"),
+      s"must be a lazy pushdown-eligible filter of the input:\n$plan")
+    // (b) the pass-1/2 CONSTRUCTION: one range exchange on the order,
+    //     no window, and ONLY (order keys, cost) ride the shuffle
+    val scanPlan = operators.Views.budgetScanPlan(df, order, "cost")
+    val sp = scanPlan.queryExecution.executedPlan.toString
+    assert(sp.toLowerCase.contains("rangepartitioning") && !sp.contains("Window"),
+      s"pass construction must be one range exchange, window-free:\n$sp")
+    assert(scanPlan.schema.fieldNames.toSeq == Seq("__k0", "__k1", "__cost"),
+      "only order keys + cost may ride the exchange, never the payload")
+    // (c) nothing pins: no checkpoint/persist survives the call (the
+    //     r12 verdict's lifetime ask — the old shape pinned a full
+    //     range-partitioned corpus copy until driver GC)
+    assert(spark.sparkContext.getPersistentRDDs.keySet == pinnedBefore,
+      "budgetSelect must not leave pinned storage behind")
     // edges: zero budget keeps nothing (all costs >= 1); empty input ok;
-    // negative costs refused at scan time
+    // negative costs refused up front from the pass-1 full-input min —
+    // even when the cutoff lands before the negative row (r12 ADVICE:
+    // the old scan-time require silently missed exactly that case)
     assert(operators.Views.budgetSelect(df, order, "cost", 0L).count() == 0)
     assert(operators.Views.budgetSelect(df.limit(0), order, "cost", 10L).count() == 0)
-    intercept[org.apache.spark.SparkException] {
+    intercept[IllegalArgumentException] {
       operators.Views.budgetSelect(
-        df.withColumn("cost", lit(-1L)), order, "cost", 10L).count()
+        df.withColumn("cost", when(col("id") === 9999L, lit(-1L)).otherwise(col("cost"))),
+        order, "cost", 10L)
     }
   }
 
