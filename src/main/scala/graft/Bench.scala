@@ -112,8 +112,13 @@ object Bench {
     "a01_ann_brute", "q85_quantiles_sketch", "p01_pipeline_e2e",
     "t09_span_dedup",
     // round 13 (r12 verdict ask): one COMPOSED row scale-tracked — the
-    // nine-stage curation corpus build, DSIR through verified publish
-    "p05_curation_corpus_build")
+    // graph curation report (CC → component stats → distribution →
+    // skew), on a customer graph that BLOWS with the corpus. p05 was
+    // tried first and is the wrong composed row for a blown corpus: at
+    // 10× the %37 bench suite blankets the synthetic trigram space, its
+    // decontamination stage legitimately drains the selection to zero
+    // docs, and a 0-row publish tracks nothing.
+    "p07_graph_curation_report")
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     .asInstanceOf[com.sun.management.OperatingSystemMXBean]
@@ -520,7 +525,7 @@ object Bench {
     * rate); dims copy as-is. Written ONCE per bench run; the write is
     * outside every timed region.
     */
-  private def buildSf1(spark: SparkSession, sfDir: String): String = {
+  private[graft] def buildSf1(spark: SparkSession, sfDir: String): String = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_sf1").toString
     val f = 10
     def read(t: String) = spark.read.parquet(s"$sfDir/$t.parquet")
@@ -531,7 +536,14 @@ object Bench {
     Seq(
       ("lineitem", Map("l_orderkey" -> 1000000000L, "l_partkey" -> 1000000L)),
       ("orders", Map("o_orderkey" -> 1000000000L)),
-      ("part", Map("p_partkey" -> 1000000L))
+      ("part", Map("p_partkey" -> 1000000L)),
+      // r13: customer blows too so p07's entity graph (edges k → k+7
+      // within a segment) grows with the corpus. The 10 M stride keeps
+      // replica key ranges disjoint (no cross-replica edges) and leaves
+      // the original custkeys intact, so orders→customer joins still
+      // match replica 0; the 9× extra customers are unmatched scan — the
+      // realistic shape of a dimension growing with the fact table.
+      ("customer", Map("c_custkey" -> 10000000L))
     ).foreach { case (t, offs) =>
       blow(read(t), offs).write.mode("overwrite").parquet(s"$tmp/$t.parquet")
     }
@@ -557,7 +569,7 @@ object Bench {
           col("event_type"), col("value"), col("props")))
       .reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$tmp/events.parquet")
-    Seq("region", "nation", "customer", "supplier").foreach(t =>
+    Seq("region", "nation", "supplier").foreach(t =>
       read(t).write.mode("overwrite").parquet(s"$tmp/$t.parquet"))
     tmp
   }

@@ -4384,8 +4384,12 @@ object SparkEntry {
           sources.Manifest.writeWithManifest(out, s"$tmp/corpus",
             partitionCols = Seq("shard"))
           sources.Manifest.writeProfileFor(s, s"$tmp/corpus")
+          // coalesce: a 0-shard verify frame (empty-but-valid corpus —
+          // every doc filtered out upstream) sums to NULL, and verifying
+          // vacuously true is the correct reading
           val allOk = sources.Manifest.verifyManifest(s, s"$tmp/corpus")
-            .agg(sum(when(col("ok"), 0L).otherwise(1L))).first().getLong(0) == 0L
+            .agg(coalesce(sum(when(col("ok"), 0L).otherwise(1L)), lit(0L)))
+            .first().getLong(0) == 0L
           val publishedDocs = sources.Manifest.mergedProfile(s, Seq(s"$tmp/corpus"))
             .filter(col("col_name") === "doc_id")
             .select("row_count").first().getLong(0)

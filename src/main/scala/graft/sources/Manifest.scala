@@ -59,6 +59,27 @@ object Manifest {
                         partitionCols: Seq[String] = Nil): DataFrame = {
     val w = df.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+    // An EMPTY frame under partitionBy writes no data files at all, so
+    // the published dir would be unreadable (parquet schema inference
+    // has nothing to read) and every downstream step — the manifest
+    // read-back, profiles, consumers — would die on
+    // UNABLE_TO_INFER_SCHEMA. An over-filtered pipeline must still
+    // publish a VALID, verifiable corpus: emit one explicit 0-row shard
+    // carrying the full schema (partition columns ride as ordinary
+    // columns — with no hive dirs present the reader takes the file
+    // schema whole).
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val files = fs.listFiles(p, true)
+    var hasData = false
+    while (!hasData && files.hasNext) {
+      val n = files.next().getPath.getName
+      hasData = !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (!hasData)
+      df.sparkSession.createDataFrame(
+          df.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
+        .coalesce(1).write.mode("append").parquet(path)
     writeManifestFor(df.sparkSession, path, partitionCols.size)
   }
 
@@ -149,11 +170,20 @@ object Manifest {
     // field — they are depth-0 by construction
     val depth = if (root.columns.contains("partition_depth"))
       root.select("partition_depth").head().getLong(0).toInt else 0
-    val stored = root
+    // an empty corpus stores "shards":[] — json inference types that as
+    // array<string>, so the struct-field extraction below would throw;
+    // an empty stored side is the correct reading
+    val shardsAreStructs = root.schema.fields.find(_.name == "shards").exists(_.dataType match {
+      case org.apache.spark.sql.types.ArrayType(_: org.apache.spark.sql.types.StructType, _) => true
+      case _ => false
+    })
+    val stored = if (shardsAreStructs) root
       .select(explode(col("shards")).as("s"))
       .select(col("s.file").as("file"), col("s.rows").as("manifest_rows"),
         col("s.content_hash").as("manifest_hash"),
         col("s.content_sum").as("manifest_sum"))
+    else Seq.empty[(String, Long, Long, String)]
+      .toDF("file", "manifest_rows", "manifest_hash", "manifest_sum")
     val actual = shardSummary(spark.read.parquet(path), depth)
       .withColumnRenamed("rows", "actual_rows")
       .withColumnRenamed("content_hash", "actual_hash")

@@ -310,4 +310,27 @@ class CoreSpec extends SparkTestBase {
     assert(v.head.getAs[Long]("manifest_rows") == v.head.getAs[Long]("actual_rows"),
       "precondition: the tamper preserves the row count (xor+rows alone would pass)")
   }
+
+  test("publishing an EMPTY partitioned corpus stays readable, verifiable, profilable") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.sources.Manifest
+    // an over-filtered pipeline (e.g. a decontamination pass that drops
+    // everything) must still produce a valid corpus: partitionBy + zero
+    // rows writes NO data files, and before r13 every downstream read —
+    // manifest read-back, profile, consumers — died UNABLE_TO_INFER_SCHEMA
+    val dir = java.nio.file.Files.createTempDirectory("graft_manifest_empty")
+      .toString + "/corpus"
+    val empty = Seq((1L, "x", 0L)).toDF("id", "text", "shard").limit(0)
+    Manifest.writeWithManifest(empty, dir, partitionCols = Seq("shard"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 0)
+    assert(back.columns.toSet == Set("id", "text", "shard"),
+      s"published empty corpus must carry the FULL schema, got ${back.columns.toSeq}")
+    assert(Manifest.verifyManifest(spark, dir).filter(!col("ok")).count() == 0)
+    Manifest.writeProfileFor(spark, dir)
+    val prof = Manifest.mergedProfile(spark, Seq(dir))
+    assert(prof.filter(col("col_name") === "id")
+      .select("row_count").head().getLong(0) == 0L)
+  }
 }
