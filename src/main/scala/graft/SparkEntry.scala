@@ -1181,6 +1181,44 @@ object SparkEntry {
              |WHERE qty_cum <= 500000
              |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber""".stripMargin)),
 
+    Q("q93_transform_r",
+      (s, d) => {
+        val m = mgr(s, d)
+        // the reference's transformNativeRserve surface (round 13): base-R
+        // transform() mutate expressions COMPILED to one Catalyst
+        // projection (sql/RTransform) — no R process, no UDF. The
+        // expression exercises the R semantics a naive SQL mapping gets
+        // wrong: %% sign-of-divisor on a negative dividend, %/% floor
+        // division as double, banker's round on exact .5 halves
+        // (l_partkey/2), NA-free %in%, and paste0. Every derived value is
+        // per-row integer-or-exact-double arithmetic — bit-identical in
+        // any engine.
+        m.getDDFByName("lineitem").transformR(
+          """disc_price = l_extendedprice * (1 - l_discount),
+            |qty_bucket = l_quantity %/% 10,
+            |sgn_mod = as.integer((l_linenumber - 4L) %% 3L),
+            |half_even = round(l_partkey / 2),
+            |flag = ifelse(l_quantity > 30, tolower(l_returnflag), l_returnflag),
+            |tag = paste0(l_returnflag, '-', l_linestatus),
+            |in_set = l_returnflag %in% c('A', 'R')""".stripMargin).df
+          .select("l_orderkey", "l_linenumber", "disc_price", "qty_bucket",
+            "sgn_mod", "half_even", "flag", "tag", "in_set")
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  l_extendedprice * (1 - l_discount) AS disc_price,
+             |  floor(l_quantity / 10) AS qty_bucket,
+             |  ((CAST(l_linenumber AS BIGINT) - 4) % 3 + 3) % 3 AS sgn_mod,
+             |  CAST(l_partkey // 2 + CASE WHEN l_partkey % 2 = 1
+             |         AND (l_partkey // 2) % 2 = 1 THEN 1 ELSE 0 END
+             |       AS DOUBLE) AS half_even,
+             |  CASE WHEN l_quantity > 30 THEN lower(l_returnflag)
+             |       ELSE l_returnflag END AS flag,
+             |  l_returnflag || '-' || l_linestatus AS tag,
+             |  l_returnflag IN ('A', 'R') AS in_set
+             |FROM lineitem
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
     Q("q88_window_distribution",
       (s, d) => {
         val m = mgr(s, d)

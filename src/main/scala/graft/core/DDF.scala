@@ -163,6 +163,9 @@ final class DDF(
 
   def transformUDF(colName: String, sqlExpr: String): DDF =
     graft.operators.Transforms.transformUDF(this, colName, sqlExpr)
+  /** R mutate expressions, compiled (the reference's transformNativeRserve). */
+  def transformR(rExpression: String): DDF =
+    graft.operators.Transforms.transformR(this, rExpression)
   def transformScaleMinMax(cols: Seq[String] = Nil): DDF =
     graft.operators.Transforms.scaleMinMax(this, cols)
   def transformScaleStandard(cols: Seq[String] = Nil): DDF =

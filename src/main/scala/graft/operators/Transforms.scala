@@ -21,6 +21,15 @@ object Transforms {
   def transformUDF(ddf: DDF, colName: String, sqlExpr: String): DDF =
     ddf.updateOrDerive(ddf.df.withColumn(colName, expr(sqlExpr)))
 
+  /** Base-R `transform()` mutate expressions compiled to one Catalyst
+    * projection (SURVEY U1; reference: TransformationHandler.scala:70-128
+    * `transformNativeRserve` — its documented usage, `"newcol = V5 / V7"`
+    * style, runs unchanged here with R semantics and no R process).
+    * See [[graft.sql.RTransform]] for the supported sub-language.
+    */
+  def transformR(ddf: DDF, rExpression: String): DDF =
+    ddf.updateOrDerive(graft.sql.RTransform.transform(ddf.df, rExpression))
+
   /** Min-max scale every numeric column to [0,1] (SURVEY U3; golden
     * behavior: max→1.0, TransformationHandlerSpec.scala:35-49). All
     * min/max pairs come from ONE aggregate pass; the rewrite itself is a

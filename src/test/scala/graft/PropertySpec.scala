@@ -306,4 +306,57 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("property: asofJoin ≡ brute force across directions × tolerance × layouts") {
+    import spark.implicits._
+    // dense integer times with heavy collisions: same-instant ties on
+    // BOTH sides, multiple rights per instant (the __ord tie-break),
+    // keys present on only one side, empty-candidate lefts
+    for (seed <- Seq(5L, 23L, 61L)) {
+      val rng = new scala.util.Random(seed)
+      val nl = 40 + rng.nextInt(120)
+      val nr = 30 + rng.nextInt(120)
+      val lrows = (0 until nl).map(i =>
+        (i.toLong, s"k${rng.nextInt(5)}", rng.nextInt(25).toLong))
+      val rrows = (0 until nr).map(j =>
+        (j.toLong, s"k${rng.nextInt(6)}", rng.nextInt(25).toLong, rng.nextInt(1000).toLong))
+      val left = lrows.toDF("lid", "k", "t").repartition(1 + rng.nextInt(7))
+      val right = rrows.toDF("rid", "k", "rt", "v").repartition(1 + rng.nextInt(7))
+      for (direction <- Seq("backward", "forward", "nearest");
+           tol <- Seq(None, Some(3.0))) {
+        val got = graft.operators.Joins.asofJoin(left, right, Seq("k"),
+            "t", "rt", Seq("v"), rightOrder = "rid", direction = direction,
+            tolerance = tol)
+          .select(col("lid"), col("asof.v").as("v"))
+          .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+        // the documented contract, literally: pick the direction's match
+        // (greatest (rt, rid) backward / least forward), THEN apply
+        // tolerance to the picked match; nearest = closer of the two
+        // tolerance-filtered picks, exact ties going backward
+        val want = lrows.map { case (lid, k, t) =>
+          val cands = rrows.filter(_._2 == k)
+          def tolOk(rt: Long): Boolean = tol.forall(x => math.abs(t - rt) <= x)
+          val b = cands.filter(_._3 <= t).sortBy(c => (c._3, c._1)).lastOption
+            .filter(c => tolOk(c._3)).map(_._4)
+          val f = cands.filter(_._3 >= t).sortBy(c => (c._3, c._1)).headOption
+            .filter(c => tolOk(c._3)).map(_._4)
+          val fRt = cands.filter(_._3 >= t).sortBy(c => (c._3, c._1)).headOption.map(_._3)
+          val bRt = cands.filter(_._3 <= t).sortBy(c => (c._3, c._1)).lastOption.map(_._3)
+          val m = direction match {
+            case "backward" => b
+            case "forward" => f
+            case _ => (b, f) match {
+              case (None, _) => f
+              case (_, None) => b
+              case (Some(_), Some(_)) =>
+                if ((t - bRt.get) <= (fRt.get - t)) b else f
+            }
+          }
+          lid -> m
+        }.toMap
+        assert(got == want, s"seed=$seed dir=$direction tol=$tol " +
+          s"diff=${(got.toSet diff want.toSet) ++ (want.toSet diff got.toSet)}")
+      }
+    }
+  }
 }
