@@ -1219,6 +1219,24 @@ object SparkEntry {
              |FROM lineitem
              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
+    Q("u03_mapreduce_r",
+      (s, d) => {
+        val m = mgr(s, d)
+        // the reference's R keyval map-reduce (round 13), compiled to a
+        // grouped aggregation — the documented TransformationHandlerSpec
+        // shape plus an arithmetic reduce (range = max - min alongside
+        // the sum). Deterministic: l_quantity is integral-valued, so
+        // sum-of-doubles is IEEE-exact in any order at this scale.
+        m.getDDFByName("lineitem").transformMapReduceNative(
+          "function(part) { keyval(key=part$l_returnflag, val=part$l_quantity) }",
+          "function(key, vv) { keyval.row(key=key, val=sum(vv) + (max(vv) - min(vv))) }").df
+          .orderBy("key")
+      },
+      Some("""SELECT l_returnflag AS key,
+             |  sum(l_quantity) + (max(l_quantity) - min(l_quantity)) AS val
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY key""".stripMargin)),
+
     Q("q88_window_distribution",
       (s, d) => {
         val m = mgr(s, d)

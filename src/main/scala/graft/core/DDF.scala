@@ -166,6 +166,10 @@ final class DDF(
   /** R mutate expressions, compiled (the reference's transformNativeRserve). */
   def transformR(rExpression: String): DDF =
     graft.operators.Transforms.transformR(this, rExpression)
+  /** R keyval map-reduce, compiled (the reference's transformMapReduceNative). */
+  def transformMapReduceNative(mapFuncDef: String, reduceFuncDef: String,
+                               mapsideCombine: Boolean = true): DDF =
+    graft.operators.Transforms.transformMapReduceR(this, mapFuncDef, reduceFuncDef, mapsideCombine)
   def transformScaleMinMax(cols: Seq[String] = Nil): DDF =
     graft.operators.Transforms.scaleMinMax(this, cols)
   def transformScaleStandard(cols: Seq[String] = Nil): DDF =

@@ -30,6 +30,17 @@ object Transforms {
   def transformR(ddf: DDF, rExpression: String): DDF =
     ddf.updateOrDerive(graft.sql.RTransform.transform(ddf.df, rExpression))
 
+  /** The reference's R `transformMapReduceNative(mapDef, reduceDef)`,
+    * compiled (SURVEY U2; reference: TransformationHandler.scala:16-66).
+    * The keyval idiom — its only documented usage — IS a grouped
+    * aggregation; see [[graft.sql.RTransform.mapReduceR]]. The
+    * reference's `mapsideCombine` flag is accepted and ignored: Spark's
+    * hash aggregate always partial-aggregates map-side.
+    */
+  def transformMapReduceR(ddf: DDF, mapFuncDef: String, reduceFuncDef: String,
+                          mapsideCombine: Boolean = true): DDF =
+    ddf.derive(graft.sql.RTransform.mapReduceR(ddf.df, mapFuncDef, reduceFuncDef))
+
   /** Min-max scale every numeric column to [0,1] (SURVEY U3; golden
     * behavior: max→1.0, TransformationHandlerSpec.scala:35-49). All
     * min/max pairs come from ONE aggregate pass; the rewrite itself is a

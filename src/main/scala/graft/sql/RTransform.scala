@@ -69,6 +69,7 @@ object RTransform {
   private case class Un(op: String, e: Expr) extends Expr
   private case class Bin(op: String, l: Expr, r: Expr) extends Expr
   private case class Call(fn: String, args: Seq[(Option[String], Expr)]) extends Expr
+  private case class Dollar(owner: String, field: String) extends Expr // part$col
 
   // ------------------------------------------------------------- lexer
 
@@ -140,7 +141,7 @@ object RTransform {
           case _ => c.toString
         }
         if (!Set("+", "-", "*", "/", "^", "(", ")", ",", "<", ">", "!",
-            "&", "|", "=", "<-", "<=", ">=", "==", "!=", "&&", "||").contains(sym))
+            "&", "|", "=", "$", "<-", "<=", ">=", "==", "!=", "&&", "||").contains(sym))
           fail(s, i, s"unexpected character '$c'")
         out += TOp(sym, i)
         i += sym.length
@@ -159,6 +160,15 @@ object RTransform {
     private def expectOp(sym: String): Unit = cur match {
       case TOp(`sym`, _) => p += 1
       case t => fail(src, t.pos, s"expected '$sym'")
+    }
+
+    /** A single full expression (map/reduce function bodies). */
+    def expression(): Expr = {
+      val e = orExpr()
+      cur match {
+        case TEnd(_) => e
+        case t => fail(src, t.pos, "unexpected trailing input")
+      }
     }
 
     /** `name = expr [, name = expr ...]` — base-R transform arg list. */
@@ -258,6 +268,12 @@ object RTransform {
       case TId("NaN", _) => NanLit
       case TId("Inf", _) => InfLit
       case TId(name, _) => cur match {
+        case TOp("$", _) =>
+          advance()
+          cur match {
+            case TId(f, _) => advance(); Dollar(name, f)
+            case t => fail(src, t.pos, s"expected a field name after '$name$$'")
+          }
         case TOp("(", _) =>
           advance()
           val args = Seq.newBuilder[(Option[String], Expr)]
@@ -333,9 +349,11 @@ object RTransform {
     when(bz === 0.0, az * pow(bz, lit(-1.0))).otherwise(az / bz)
   }
 
-  private def compile(e: Expr, df: DataFrame): Typed = {
+  private def compile(e: Expr, df: DataFrame,
+                      special: PartialFunction[Expr, Typed] = PartialFunction.empty): Typed = {
     val fields = df.schema.fields.map(f => f.name -> f.dataType).toMap
-    def go(e: Expr): Typed = e match {
+    def go(e: Expr): Typed = special.applyOrElse(e, goDefault)
+    def goDefault(e: Expr): Typed = e match {
       case Num(t, true) => Typed(lit(t.toInt), RInt)
       case Num(t, false) =>
         // a whole-number literal stays double (R: `2` is numeric) but
@@ -420,6 +438,9 @@ object RTransform {
             s"transformR: unsupported operator '$other'")
         }
       case Call(fn, args) => callFn(fn, args, go)
+      case Dollar(o, f) => throw new IllegalArgumentException(
+        s"transformR: '$o$$$f' — $$-access is only meaningful on the map "
+          + "function's frame parameter in transformMapReduceNative")
     }
     go(e)
   }
@@ -547,6 +568,140 @@ object RTransform {
     s.replace("$", "\\$").replaceAll("""\\(\d)""", """\$$1""")
 
   // -------------------------------------------------------------- API
+
+  // ------------------------------------------------- map-reduce idiom
+
+  /** Structural AST rewrite (bottom-up). */
+  private def rewrite(e: Expr)(f: PartialFunction[Expr, Expr]): Expr = {
+    val r = e match {
+      case Un(op, x) => Un(op, rewrite(x)(f))
+      case Bin(op, l, rr) => Bin(op, rewrite(l)(f), rewrite(rr)(f))
+      case Call(fn, args) =>
+        Call(fn, args.map { case (n, a) => (n, rewrite(a)(f)) })
+      case leaf => leaf
+    }
+    f.applyOrElse(r, identity[Expr])
+  }
+
+  private def mentions(e: Expr, name: String): Boolean = e match {
+    case Ident(`name`) => true
+    case Un(_, x) => mentions(x, name)
+    case Bin(_, l, r) => mentions(l, name) || mentions(r, name)
+    case Call(_, args) => args.exists { case (_, a) => mentions(a, name) }
+    case _ => false
+  }
+
+  /** `function(p1, …) { body }` → (params, body AST). The body must be a
+    * single expression (the keyval idiom is exactly that).
+    */
+  private def parseFunction(src: String, what: String): (Seq[String], Expr) = {
+    val m = """(?s)\s*function\s*\(([^)]*)\)\s*(.*)""".r
+    src match {
+      case m(params, body0) =>
+        var body = body0.trim
+        if (body.startsWith("{")) {
+          require(body.endsWith("}"),
+            s"transformMapReduceNative: unbalanced braces in the $what function")
+          body = body.substring(1, body.length - 1).trim
+        }
+        val ps = params.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        (ps, new Parser(body, lex(body)).expression())
+      case _ => throw new IllegalArgumentException(
+        s"transformMapReduceNative: the $what definition must be an R function, got: $src")
+    }
+  }
+
+  private def keyvalArgs(e: Expr, what: String, fnNames: Set[String]): (Expr, Expr) = e match {
+    case Call(fn, args) if fnNames(fn) =>
+      def arg(name: String, idx: Int): Expr =
+        args.collectFirst { case (Some(`name`), a) => a }
+          .orElse(args.collect { case (None, a) => a }.lift(idx))
+          .getOrElse(throw new IllegalArgumentException(
+            s"transformMapReduceNative: $fn needs a '$name' argument"))
+      (arg("key", 0), arg("val", 1))
+    case _ => throw new IllegalArgumentException(
+      s"transformMapReduceNative: the $what body must be a single " +
+        s"${fnNames.mkString("/")}(key=…, val=…) call")
+  }
+
+  /** The aggregate vocabulary of the reduce side: R reductions over the
+    * grouped value vector `vv`, as Spark aggregate functions. `length`
+    * counts every element (R's does not skip NA), the others follow
+    * their R namesakes' NA-free semantics on NA-free input; `mean`/`sd`/
+    * `var`/`median` are the sample statistics, as in R.
+    */
+  private val aggregateFns: Map[String, Column => Column] = Map(
+    "sum" -> (c => sum(c)),
+    "mean" -> (c => avg(c)),
+    "max" -> (c => max(c)),
+    "min" -> (c => min(c)),
+    "length" -> (_ => count(lit(1))),
+    "sd" -> (c => stddev_samp(c)),
+    "var" -> (c => var_samp(c)),
+    "median" -> (c => median(c)))
+
+  /** The reference's `transformMapReduceNative(mapDef, reduceDef)`
+    * (TransformationHandler.scala:16-66: R map emitting
+    * `keyval(key=…, val=…)` per partition, shuffle on the string key,
+    * R reduce emitting `keyval.row(key=key, val=…)`), compiled: the
+    * keyval idiom — the reference's only documented usage
+    * (TransformationHandlerSpec.scala:20-33) — IS a grouped
+    * aggregation, so the map key/val expressions compile like
+    * [[transform]] bodies (with `part$col` field access) and the reduce
+    * value compiles to Spark aggregate functions over the value column
+    * (`sum`/`mean`/`max`/`min`/`length`/`sd`/`var`/`median`, combined
+    * arithmetically at will — e.g. `sum(vv) / length(vv)` — with `vv`
+    * usable inside an aggregate's argument: `sum(vv * vv)`). One hash
+    * shuffle with map-side partial aggregation; output columns are
+    * `key`, `val` like the reference's FlinkRList round-trip. R reduce
+    * bodies that are not a single keyval over aggregates of `vv` are
+    * out of scope — use the typed [[graft.operators.Transforms.mapReduce]].
+    */
+  def mapReduceR(df: DataFrame, mapFuncDef: String, reduceFuncDef: String): DataFrame = {
+    val (mParams, mBody) = parseFunction(mapFuncDef, "map")
+    require(mParams.size == 1,
+      s"transformMapReduceNative: map takes one frame parameter, got $mParams")
+    val part = mParams.head
+    val (kAst0, vAst0) = keyvalArgs(mBody, "map", Set("keyval"))
+    def strip(e: Expr): Expr = rewrite(e) { case Dollar(`part`, c) => Ident(c) }
+    val keyCol = compile(strip(kAst0), df).col
+    val valCol = compile(strip(vAst0), df).col
+
+    val (rParams, rBody) = parseFunction(reduceFuncDef, "reduce")
+    require(rParams.size == 2,
+      s"transformMapReduceNative: reduce takes (key, values), got $rParams")
+    val Seq(keyName, vvName) = rParams
+    val (rkAst, rvAst) = keyvalArgs(rBody, "reduce", Set("keyval.row", "keyval"))
+    require(rkAst == Ident(keyName),
+      s"transformMapReduceNative: the reduce key must be the grouping key '$keyName' unchanged")
+
+    val mapped = df.select(keyCol.as("key"), valCol.as("__v"))
+    lazy val err = new IllegalArgumentException(
+      s"transformMapReduceNative: '$vvName' may only appear inside an " +
+        s"aggregate (${aggregateFns.keys.toSeq.sorted.mkString(", ")})")
+    val special: PartialFunction[Expr, Typed] = {
+      case Call(fn, args) if aggregateFns.contains(fn) =>
+        val inner = args match {
+          case Seq((None, a)) => a
+          case _ => throw new IllegalArgumentException(
+            s"transformMapReduceNative: $fn takes one positional argument")
+        }
+        val innerCol = compile(
+          rewrite(inner) { case Ident(`vvName`) => Ident("__v") }, mapped)
+        val c = aggregateFns(fn)(innerCol.col)
+        fn match {
+          case "length" => Typed(c, RInt)
+          case "sum" | "max" | "min" => Typed(c, innerCol.t)
+          case _ => Typed(c.cast(DoubleType), RDbl)
+        }
+      case Ident(`vvName`) => throw err
+      case Dollar(o, f) => throw new IllegalArgumentException(
+        s"transformMapReduceNative: '$o$$$f' in the reduce body — the " +
+          "reduce sees (key, values), not the frame")
+    }
+    val valAgg = compile(rvAst, mapped, special).col
+    mapped.groupBy(col("key")).agg(valAgg.as("val"))
+  }
 
   /** Base-R `transform(df, <assignments>)`, compiled to one Catalyst
     * projection. See object Scaladoc for semantics and deviations.

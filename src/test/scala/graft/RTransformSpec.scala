@@ -166,6 +166,53 @@ class RTransformSpec extends SparkTestBase {
       "s" -> "v", "a" -> 1L, "b" -> 1L) == "v-eq")
   }
 
+  test("mapReduceR: the reference's keyval idiom compiles to a grouped aggregation") {
+    val df = Seq(("a", 2L), ("a", 5L), ("b", 3L), ("b", 7L), ("b", 1L))
+      .toDF("g", "v")
+    val out = RTransform.mapReduceR(df,
+      "function(part) { keyval(key=part$g, val=part$v) }",
+      "function(key, vv) { keyval.row(key=key, val=sum(vv)) }")
+    assert(out.columns.toSeq == Seq("key", "val"), "reference column names")
+    assert(out.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("a" -> 7L, "b" -> 11L))
+    // arithmetic over several aggregates, vv inside an aggregate's arg
+    val stats = RTransform.mapReduceR(df,
+      "function(part) keyval(key=part$g, val=part$v)", // braces optional
+      "function(key, vv) keyval.row(key=key, val=sum(vv * vv) / length(vv) - mean(vv))")
+    val got = stats.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("a") == (4.0 + 25.0) / 2 - 3.5)
+    assert(got("b") == (9.0 + 49.0 + 1.0) / 3 - 11.0 / 3)
+    // a computed map key and value
+    val comp = RTransform.mapReduceR(df,
+      "function(p) keyval(key=toupper(p$g), val=p$v * 10L)", // 10L: R's bare 10 is double
+      "function(k, xs) keyval.row(key=k, val=max(xs))")
+    assert(comp.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("A" -> 50L, "B" -> 70L))
+  }
+
+  test("mapReduceR: one partial-aggregated hash shuffle; idiom limits error clearly") {
+    val df = Seq(("a", 2L)).toDF("g", "v")
+    val out = RTransform.mapReduceR(df,
+      "function(part) keyval(key=part$g, val=part$v)",
+      "function(key, vv) keyval.row(key=key, val=sum(vv))")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate") && !plan.contains("Window"))
+    assert("(?s)HashAggregate.*partial_sum|partial".r.findFirstIn(plan).isDefined,
+      s"expected map-side partial aggregation in:\n$plan")
+    val e1 = intercept[IllegalArgumentException](RTransform.mapReduceR(df,
+      "function(part) keyval(key=part$g, val=part$v)",
+      "function(key, vv) keyval.row(key=key, val=vv + 1)"))
+    assert(e1.getMessage.contains("inside an aggregate"))
+    val e2 = intercept[IllegalArgumentException](RTransform.mapReduceR(df,
+      "function(part) part$v",
+      "function(key, vv) keyval.row(key=key, val=sum(vv))"))
+    assert(e2.getMessage.contains("keyval"))
+    val e3 = intercept[IllegalArgumentException](RTransform.mapReduceR(df,
+      "function(part) keyval(key=part$g, val=part$v)",
+      "function(key, vv) keyval.row(key=key, val=sum(part$v))"))
+    assert(e3.getMessage.contains("$-access"))
+  }
+
   test("the whole plan is one codegen'd projection — no UDF, no exchange") {
     val df = Seq((5L, 2L, "ab")).toDF("x", "y", "s")
     val out = RTransform.transform(df,
