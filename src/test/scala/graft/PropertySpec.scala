@@ -307,6 +307,201 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("property: connectedComponents ≡ union-find on random graphs") {
+    import spark.implicits._
+    for (seed <- Seq(7L, 29L, 83L)) {
+      val rng = new scala.util.Random(seed)
+      val nNodes = 8 + rng.nextInt(25)
+      val nEdges = rng.nextInt(45)
+      // duplicates and reversed duplicates on purpose; no self-loops
+      // (the contract speaks of nodes incident to an edge between
+      // distinct nodes)
+      val edges = (0 until nEdges).map { _ =>
+        val a = rng.nextInt(nNodes).toLong
+        var b = rng.nextInt(nNodes).toLong
+        while (b == a) b = rng.nextInt(nNodes).toLong
+        (a, b)
+      }
+      if (edges.nonEmpty) {
+        val df = edges.toDF("s", "d").repartition(1 + rng.nextInt(7))
+        val cc = graft.operators.Graph.connectedComponents(df, "s", "d")
+        val got = cc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        graft.core.Checkpoints.release(cc)
+        // union-find with path compression
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val minOf = nodes.groupBy(find).map { case (root, ns) => root -> ns.min }
+        val want = nodes.map(n => n -> minOf(find(n))).toMap
+        assert(got == want, s"seed=$seed diff=${(got.toSet diff want.toSet) ++ (want.toSet diff got.toSet)}")
+      }
+    }
+  }
+
+  test("property: kCore ≡ serial peeling on random graphs") {
+    import spark.implicits._
+    for (seed <- Seq(13L, 41L, 97L)) {
+      val rng = new scala.util.Random(seed)
+      val nNodes = 8 + rng.nextInt(18)
+      val edges = (0 until 20 + rng.nextInt(50)).map { _ =>
+        (rng.nextInt(nNodes).toLong, rng.nextInt(nNodes).toLong)
+      }
+      val k = 2 + rng.nextInt(2)
+      val df = edges.toDF("s", "d").repartition(1 + rng.nextInt(5))
+      val core = graft.operators.Graph.kCore(df, "s", "d", k)
+      val got = core.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      graft.core.Checkpoints.release(core)
+      // serial peel over the canonical simple graph (the fixpoint is
+      // unique, so any peeling order reaches the same core)
+      val simple = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter(e => e._1 != e._2).distinct
+      var adj = simple.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+        .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+      var changed = true
+      while (changed) {
+        val drop = adj.collect { case (n, ns) if ns.size < k => n }.toSet
+        changed = drop.nonEmpty
+        adj = adj.collect { case (n, ns) if !drop(n) => n -> (ns -- drop) }
+      }
+      val want = adj.map { case (n, ns) => n -> ns.size.toLong }
+      assert(got == want, s"seed=$seed k=$k diff=${(got.toSet diff want.toSet) ++ (want.toSet diff got.toSet)}")
+    }
+  }
+
+  test("property: triangleCount ≡ brute-force triple enumeration") {
+    import spark.implicits._
+    for (seed <- Seq(17L, 53L, 101L)) {
+      val rng = new scala.util.Random(seed)
+      val nNodes = 6 + rng.nextInt(18)
+      val edges = (0 until 15 + rng.nextInt(60)).map { _ =>
+        (rng.nextInt(nNodes).toLong, rng.nextInt(nNodes).toLong)
+      }
+      val df = edges.toDF("s", "d").repartition(1 + rng.nextInt(5))
+      val tc = graft.operators.Graph.triangleCount(df, "s", "d")
+      val got = tc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      graft.core.Checkpoints.release(tc)
+      val simple = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter(e => e._1 != e._2).distinct.toSet
+      val nodes = simple.toSeq.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val counts = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      for {
+        i <- nodes.indices; j <- (i + 1) until nodes.size; l <- (j + 1) until nodes.size
+        (a, b, c) = (nodes(i), nodes(j), nodes(l))
+        if simple((a, b)) && simple((b, c)) && simple((a, c))
+      } { counts(a) += 1; counts(b) += 1; counts(c) += 1 }
+      val want = counts.toMap
+      assert(got == want, s"seed=$seed diff=${(got.toSet diff want.toSet) ++ (want.toSet diff got.toSet)}")
+    }
+  }
+
+  test("property: rangeJoin ≡ brute-force containment on random intervals × bucket sizes") {
+    import spark.implicits._
+    for (seed <- Seq(19L, 47L, 71L)) {
+      val rng = new scala.util.Random(seed)
+      val nP = 40 + rng.nextInt(100)
+      val nI = 20 + rng.nextInt(60)
+      val span = 100000L // ms
+      val points = (0 until nP).map(i =>
+        (i.toLong, s"k${rng.nextInt(4)}", rng.nextLong(span)))
+      val intervals = (0 until nI).map { j =>
+        val a = rng.nextLong(span); val b = rng.nextLong(span)
+        (j.toLong, s"k${rng.nextInt(5)}", math.min(a, b), math.max(a, b))
+      }
+      val pdf = points.toDF("pid", "k", "tms")
+        .select(col("pid"), col("k"), timestamp_millis(col("tms")).as("t"))
+        .repartition(1 + rng.nextInt(7))
+      val idf = intervals.toDF("iid", "k", "sms", "ems")
+        .select(col("iid"), col("k"), timestamp_millis(col("sms")).as("s"),
+          timestamp_millis(col("ems")).as("e"))
+        .repartition(1 + rng.nextInt(7))
+      // bucket sizes from far-smaller to far-larger than typical spans
+      val bucketMs = Seq(1300L, 9000L, 40000L)(rng.nextInt(3))
+      val got = graft.operators.Joins.rangeJoin(pdf, idf, Seq("k"),
+          "t", "s", "e", bucketMs = bucketMs)
+        .select("pid", "iid")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        (pid, pk, t) <- points; (iid, ik, s, e) <- intervals
+        if pk == ik && s <= t && t <= e
+      } yield (pid, iid)).toSet
+      assert(got == want, s"seed=$seed bucketMs=$bucketMs " +
+        s"missing=${want -- got} extra=${got -- want}")
+    }
+  }
+
+  test("property: global fillDirectional ≡ naive global window on unique orderings") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    for (seed <- Seq(31L, 59L, 89L)) {
+      val rng = new scala.util.Random(seed)
+      val n = 50 + rng.nextInt(250)
+      val orders = rng.shuffle((0 until n).map(_.toLong * 3).toVector)
+      val rows = orders.map { o =>
+        def v() = if (rng.nextInt(3) == 0) None else Some(rng.nextInt(100).toLong)
+        (o, v(), v())
+      }
+      val base = rows.toDF("o", "v1", "v2").repartition(1 + rng.nextInt(9))
+      for (method <- Seq("ffill", "bfill")) {
+        val got = graft.operators.MissingData
+          .fillDirectional(m.register(base), method, "o", Seq("v1", "v2")).df
+          .collect().map(r => r.getLong(0) ->
+            (Option(r.get(1)), Option(r.get(2)))).toMap
+        val w = if (method == "ffill")
+          Window.orderBy(col("o")).rowsBetween(Window.unboundedPreceding, 0)
+        else Window.orderBy(col("o")).rowsBetween(0, Window.unboundedFollowing)
+        def fill(c: String) = if (method == "ffill")
+          last(col(c), ignoreNulls = true).over(w)
+        else first(col(c), ignoreNulls = true).over(w)
+        val want = base.select(col("o"), fill("v1").as("v1"), fill("v2").as("v2"))
+          .collect().map(r => r.getLong(0) ->
+            (Option(r.get(1)), Option(r.get(2)))).toMap
+        assert(got == want, s"seed=$seed method=$method " +
+          s"diff=${(got.toSet diff want.toSet) ++ (want.toSet diff got.toSet)}")
+      }
+    }
+  }
+
+  test("property: sortedNeighborhoodJoin ≡ serial window replay on random corpora") {
+    import spark.implicits._
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    for (seed <- Seq(37L, 67L, 103L)) {
+      val rng = new scala.util.Random(seed)
+      val n = 30 + rng.nextInt(60)
+      // 2-letter alphabet, short keys: heavy ties (the id tie-break
+      // decides ranks) and many true near-matches; ~10% null keys drop
+      val rows = (0 until n).map { i =>
+        val key: String = if (rng.nextInt(10) == 0) null
+          else (0 until rng.nextInt(5)).map(_ => ('a' + rng.nextInt(2)).toChar).mkString
+        (i.toLong, key)
+      }
+      val window = 2 + rng.nextInt(4)
+      val maxDist = rng.nextInt(3)
+      val df = rows.toDF("id", "key").repartition(1 + rng.nextInt(7))
+      val got = graft.pipeline.SetJoin
+        .sortedNeighborhoodJoin(df, "key", "id", window, maxDist)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val ranked = rows.filter(_._2 != null).sortBy(r => (r._2, r._1))
+      val want = (for {
+        ra <- ranked.indices
+        rb <- (ra + 1) until math.min(ra + window, ranked.size)
+        d = lev(ranked(ra)._2, ranked(rb)._2) if d <= maxDist
+        ids = Seq(ranked(ra)._1, ranked(rb)._1)
+      } yield (ids.min, ids.max, d.toLong)).toSet
+      assert(got == want, s"seed=$seed window=$window maxDist=$maxDist " +
+        s"missing=${want -- got} extra=${got -- want}")
+    }
+  }
+
   test("property: asofJoin ≡ brute force across directions × tolerance × layouts") {
     import spark.implicits._
     // dense integer times with heavy collisions: same-instant ties on
