@@ -502,6 +502,186 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("property: pageRank ≡ serial integer replay on random directed graphs") {
+    import spark.implicits._
+    for (seed <- Seq(11L, 43L, 79L)) {
+      val rng = new scala.util.Random(seed)
+      val nNodes = 5 + rng.nextInt(15)
+      val edges = (0 until 10 + rng.nextInt(40)).map { _ =>
+        (rng.nextInt(nNodes).toLong, rng.nextInt(nNodes).toLong) // self-loops allowed
+      }
+      val iters = 1 + rng.nextInt(4)
+      val damping = Seq(50, 85, 100)(rng.nextInt(3))
+      val scale = 1000000L
+      val df = edges.toDF("s", "d").repartition(1 + rng.nextInt(5))
+      val ranks = graft.operators.Graph.pageRank(df, "s", "d", iters, damping, scale)
+      val got = ranks.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      ranks.unpersist(blocking = false)
+      // serial replay of the documented integer recurrence
+      val e = edges.distinct
+      val nodes = e.flatMap(x => Seq(x._1, x._2)).distinct
+      val outdeg = e.groupBy(_._1).map { case (s, xs) => s -> xs.size.toLong }
+      val base = (100L - damping) * scale / 100L
+      var pr = nodes.map(_ -> scale).toMap
+      for (_ <- 0 until iters) {
+        val contrib = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+        e.foreach { case (s, d) =>
+          contrib(d) += Math.floorDiv(pr(s), outdeg(s))
+        }
+        pr = nodes.map(n => n -> (base + Math.floorDiv(damping * contrib(n), 100L))).toMap
+      }
+      assert(got == pr, s"seed=$seed iters=$iters damping=$damping " +
+        s"diff=${(got.toSet diff pr.toSet) ++ (pr.toSet diff got.toSet)}")
+    }
+  }
+
+  test("property: intervalMerge ≡ serial sweep on random interval sets") {
+    import spark.implicits._
+    for (seed <- Seq(23L, 57L, 91L)) {
+      val rng = new scala.util.Random(seed)
+      val n = 40 + rng.nextInt(160)
+      // short span range forces overlaps, touches, containment; ~10%
+      // degenerate (len ≤ 0) and ~5% null-endpoint rows must drop
+      val rows = (0 until n).map { _ =>
+        val s = rng.nextInt(120).toLong
+        val len = rng.nextInt(12).toLong - 1 // -1..10: some zero/negative
+        val sOpt: java.lang.Long = if (rng.nextInt(20) == 0) null else s
+        val eOpt: java.lang.Long = if (rng.nextInt(20) == 0) null else s + len
+        (s"k${rng.nextInt(4)}", sOpt, eOpt)
+      }
+      val df = rows.toDF("k", "s", "e").repartition(1 + rng.nextInt(7))
+      val got = graft.operators.TimeSeries.intervalMerge(df, Seq("k"), "s", "e")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val want = rows
+        .collect { case (k, s, e) if s != null && e != null && e > s =>
+          (k, s.toLong, e.toLong) }
+        .groupBy(_._1).flatMap { case (k, ivs) =>
+          val sorted = ivs.map(x => (x._2, x._3)).sortBy(identity)
+          val spans = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+          sorted.foreach { case (s, e) =>
+            if (spans.nonEmpty && s <= spans.last._2) {
+              val (ls, le, c) = spans.remove(spans.size - 1)
+              spans += ((ls, math.max(le, e), c + 1))
+            } else spans += ((s, e, 1L))
+          }
+          spans.map { case (s, e, c) => (k, s, e, c) }
+        }.toSet
+      assert(got == want, s"seed=$seed missing=${want -- got} extra=${got -- want}")
+    }
+  }
+
+  test("property: cdcApply ≡ last-writer-wins replay; re-apply is idempotent") {
+    import spark.implicits._
+    for (seed <- Seq(3L, 33L, 73L)) {
+      val rng = new scala.util.Random(seed)
+      val keys = (0 until 5 + rng.nextInt(20)).map(i => s"k$i")
+      val baseRows = keys.filter(_ => rng.nextBoolean())
+        .map(k => (k, rng.nextInt(100).toLong))
+      // unique ts per key (the documented total-order contract); ops U/D
+      val changes = keys.flatMap { k =>
+        val ts = rng.shuffle((1 to 8).toList).take(rng.nextInt(5))
+        ts.map(t => (k, rng.nextInt(100).toLong, t.toLong,
+          if (rng.nextInt(4) == 0) "D" else "U"))
+      }
+      val base = baseRows.toDF("k", "v").repartition(1 + rng.nextInt(5))
+      val feed = changes.toDF("k", "v", "ts", "op").repartition(1 + rng.nextInt(5))
+      val out = graft.operators.History.cdcApply(base, feed, Seq("k"), Seq("v"), "ts", "op")
+      val got = out.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = (baseRows.map { case (k, v) => k -> Option(v) }.toMap ++
+        changes.groupBy(_._1).map { case (k, cs) =>
+          val last = cs.maxBy(_._3)
+          k -> (if (last._4 == "D") None else Some(last._2))
+        }).collect { case (k, Some(v)) => k -> v }
+      assert(got == want, s"seed=$seed diff=${(got.toSet diff want.toSet) ++ (want.toSet diff got.toSet)}")
+      val again = graft.operators.History
+        .cdcApply(out, feed, Seq("k"), Seq("v"), "ts", "op")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(again == got, s"seed=$seed re-apply changed the state")
+    }
+  }
+
+  test("property: groupMedian/groupQuantiles/groupMode ≡ serial selection") {
+    import spark.implicits._
+    for (seed <- Seq(29L, 63L, 107L)) {
+      val rng = new scala.util.Random(seed)
+      val n = 60 + rng.nextInt(240)
+      // heavy value ties + ~10% nulls (dropped by contract)
+      val rows = (0 until n).map { _ =>
+        val v: java.lang.Long = if (rng.nextInt(10) == 0) null else rng.nextInt(15).toLong
+        (s"g${rng.nextInt(5)}", v)
+      }
+      val df = rows.toDF("g", "v").repartition(1 + rng.nextInt(7))
+      val byGroup = rows.collect { case (g, v) if v != null => g -> v.toLong }
+        .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).sorted }
+      val med = graft.stats.Stats.groupMedian(df, "g", "v")
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val wantMed = byGroup.map { case (g, vs) =>
+        val lo = vs((vs.size - 1) / 2); val hi = vs(vs.size / 2)
+        g -> (lo + hi).toDouble / 2
+      }
+      assert(med == wantMed, s"seed=$seed median diff=${(med.toSet diff wantMed.toSet)}")
+      val ps = Seq(0.25, 0.5, 0.9)
+      val qs = graft.stats.Stats.groupQuantiles(df, "g", "v", ps)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val wantQs = byGroup.map { case (g, vs) =>
+        def at(p: Double) = vs(math.max(math.ceil(p * vs.size).toInt, 1) - 1)
+        g -> ((at(0.25), at(0.5), at(0.9)))
+      }
+      assert(qs == wantQs, s"seed=$seed quantiles diff=${(qs.toSet diff wantQs.toSet)}")
+      val mode = graft.stats.Stats.groupMode(df, "g", "v")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val wantMode = byGroup.map { case (g, vs) =>
+        val counts = vs.groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
+        val best = counts.toSeq.sortBy { case (v, c) => (-c, v) }.head
+        g -> best
+      }
+      assert(mode == wantMode, s"seed=$seed mode diff=${(mode.toSet diff wantMode.toSet)}")
+    }
+  }
+
+  test("property: interpolate ≡ serial linear fill with edge clamp") {
+    import spark.implicits._
+    for (seed <- Seq(41L, 69L, 113L)) {
+      val rng = new scala.util.Random(seed)
+      val rows = (0 until 4 + rng.nextInt(4)).flatMap { ki =>
+        val k = s"s$ki"
+        val times = rng.shuffle((0 until 200).map(_.toLong * 7)).take(10 + rng.nextInt(40))
+        // one key in three is observation-poor; one is all-null
+        val nullRate = ki % 3 match { case 0 => 3 case 1 => 6 case _ => 10 }
+        times.map(t => (k, t,
+          (if (rng.nextInt(10) < nullRate) None
+           else Some(rng.nextInt(50).toDouble)): Option[Double]))
+      }
+      val df = rows.toDF("k", "tsec", "v")
+        .select(col("k"), timestamp_seconds(col("tsec")).as("t"), col("v"))
+        .repartition(1 + rng.nextInt(7))
+      val got = graft.operators.TimeSeries.interpolate(df, "t", Seq("k"), "v", "vf")
+        .select(col("k"), unix_timestamp(col("t")).as("tsec"), col("vf"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+      val want = rows.groupBy(_._1).flatMap { case (k, krs) =>
+        val sorted = krs.map(r => (r._2, r._3)).sortBy(_._1)
+        val obs = sorted.collect { case (t, Some(v)) => (t, v) }
+        sorted.map { case (t, v) =>
+          val filled = v.orElse {
+            val prev = obs.filter(_._1 <= t).lastOption
+            val next = obs.find(_._1 >= t)
+            (prev, next) match {
+              case (None, None) => None
+              case (None, Some((_, nv))) => Some(nv)
+              case (Some((_, pv)), None) => Some(pv)
+              case (Some((pt, pv)), Some((nt, nv))) =>
+                Some(pv + (nv - pv) * ((t - pt).toDouble / (nt - pt).toDouble))
+            }
+          }
+          (k, t) -> filled
+        }
+      }
+      assert(got == want, s"seed=$seed diff=${(got.toSet diff want.toSet) ++ (want.toSet diff got.toSet)}")
+    }
+  }
+
   test("property: asofJoin ≡ brute force across directions × tolerance × layouts") {
     import spark.implicits._
     // dense integer times with heavy collisions: same-instant ties on
