@@ -1219,6 +1219,36 @@ object SparkEntry {
              |FROM lineitem
              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
+    Q("q94_budget_select_by_group",
+      (s, d) => {
+        val m = mgr(s, d)
+        // per-source char budgets, longest-documents-first with a doc_id
+        // tie-break (round 13): three sources carry explicit budgets
+        // (one of them zero — the whole source must vanish), the rest
+        // ride defaultBudget. The operator's slim-window + cutoff-join
+        // shape must equal the oracle's straight per-group running-sum
+        // window. n_chars is integral and positive, so the peer-
+        // inclusive RANGE frame both engines default to sees identical
+        // sums.
+        val docs = m.getDDFByName("documents").df
+        operators.Views.budgetSelectByGroup(docs, "source",
+            Seq(col("n_chars").desc, col("doc_id").asc), "n_chars",
+            budgets = Map("src1" -> 5000L, "src3" -> 2500L, "src7" -> 0L),
+            defaultBudget = 3000L)
+          .select("doc_id", "source", "n_chars")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, source, n_chars FROM (
+             |  SELECT doc_id, source, n_chars,
+             |    sum(n_chars) OVER (PARTITION BY source
+             |      ORDER BY n_chars DESC, doc_id) AS rs
+             |  FROM documents)
+             |WHERE rs <= CASE source WHEN 'src1' THEN 5000
+             |                        WHEN 'src3' THEN 2500
+             |                        WHEN 'src7' THEN 0
+             |                        ELSE 3000 END
+             |ORDER BY doc_id""".stripMargin)),
+
     Q("u03_mapreduce_r",
       (s, d) => {
         val m = mgr(s, d)
@@ -5241,6 +5271,33 @@ object SparkEntry {
       Some("""WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
              |tot AS (SELECT sum(c * c) AS t FROM c),
              |q AS (SELECT lang, (200 * c * c) // t AS quota FROM c, tot),
+             |h AS (SELECT doc_id, lang,
+             |    (doc_id % 1000000000) * 2654435761 AS p FROM documents),
+             |r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+             |    ORDER BY xor(p, p >> 31) % 1000000007, doc_id) AS rn FROM h)
+             |SELECT doc_id, lang FROM r JOIN q USING (lang)
+             |WHERE rn <= quota ORDER BY doc_id""".stripMargin)),
+
+    Q("c12_match_distribution",
+      (s, d) => {
+        val m = mgr(s, d)
+        // histogram matching (round 13): reshape the corpus's lang mix
+        // to the mix exhibited by the src0-2 slice. Quotas are exact
+        // BigInt arithmetic (M = min ⌊cd·T/ct⌋, quota = ⌊M·ct/T⌋) and
+        // selection is the q07/q08 xor-fold rank, so the oracle
+        // reproduces both to the row.
+        val docs = m.getDDFByName("documents")
+        val target = docs.df.filter(col("source").isin("src0", "src1", "src2"))
+        Views.matchDistribution(docs, "lang", "doc_id", target)
+          .df.select("doc_id", "lang").orderBy("doc_id")
+      },
+      Some("""WITH tgt AS (SELECT lang, count(*) AS ct FROM documents
+             |    WHERE source IN ('src0','src1','src2') GROUP BY 1),
+             |dc AS (SELECT lang, count(*) AS cd FROM documents GROUP BY 1),
+             |j AS (SELECT dc.lang AS lang, cd, ct FROM dc JOIN tgt USING (lang)),
+             |tot AS (SELECT sum(ct) AS t FROM j),
+             |mm AS (SELECT min(cd * t // ct) AS m FROM j, tot),
+             |q AS (SELECT lang, (m * ct // t) AS quota FROM j, tot, mm),
              |h AS (SELECT doc_id, lang,
              |    (doc_id % 1000000000) * 2654435761 AS p FROM documents),
              |r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang

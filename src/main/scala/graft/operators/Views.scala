@@ -296,6 +296,143 @@ object Views {
     if (inclusive) strict || eqAll else strict
   }
 
+  /** [[lexAtOrBefore]] with per-row cutoff COLUMNS instead of driver
+    * literals — the per-group variant's cutoffs arrive via a join, one
+    * tuple per group. Null cutoff components compare by null position
+    * dynamically: under nulls-first nothing sorts strictly before a
+    * null; under nulls-last every non-null does. Always inclusive (the
+    * cutoff is the last KEPT key).
+    */
+  private def lexAtOrBeforeCols(keys: Seq[(Column, Boolean, Boolean)],
+                                cut: Seq[Column]): Column = {
+    def beforeStrict(c: Column, asc: Boolean, nf: Boolean, v: Column): Column = {
+      val base = if (asc) c < v else c > v
+      if (nf) v.isNotNull && (c.isNull || base)
+      else c.isNotNull && (v.isNull || base)
+    }
+    val eqAll = keys.zip(cut).map { case ((c, _, _), v) => c <=> v }.reduce(_ && _)
+    val strict = keys.zip(cut).zipWithIndex.map { case (((c, asc, nf), v), i) =>
+      (keys.take(i).zip(cut.take(i)).map { case ((pc, _, _), pv) => pc <=> pv } :+
+        beforeStrict(c, asc, nf, v)).reduce(_ && _)
+    }.reduce(_ || _)
+    strict || eqAll
+  }
+
+  /** Per-group greedy budget-constrained selection: within each group,
+    * keep rows in `order` priority while the group's running `costCol`
+    * total stays ≤ that group's budget — "give every source/domain its
+    * own token budget and keep its best documents", the per-domain-cap
+    * step of a mixture recipe (vs [[budgetSelect]]'s single global
+    * budget, and vs `TextAnalysis.mixtureSample`'s hash-random prefix:
+    * here the caller chooses the QUALITY order).
+    *
+    * Semantics (deterministic without a total order): the running sum is
+    * peer-inclusive — rows tying on ALL order columns share one sum (SQL
+    * `RANGE UNBOUNDED PRECEDING`, the default frame both Spark and
+    * DuckDB give an ordered window) — so a tied cohort at the cutoff is
+    * kept or dropped as a unit, never split by physical row order.
+    * Groups absent from `budgets` get `defaultBudget` (default 0 =
+    * dropped); a NULL group value is a real group and may carry a
+    * budget keyed by `null`. Costs must be non-negative — any negative
+    * cost anywhere in the input fails the job at first consumption
+    * (checked per-group over ALL rows, not just scanned ones; the
+    * prefix-greedy contract is meaningless under negatives); null costs
+    * count 0. Costs are summed as LONGs.
+    *
+    * Scale shape: the full-width payload NEVER rides a window. The
+    * window (one hash exchange partitioned by group + in-partition
+    * sort) runs over a SLIM projection — group, order keys, cost — and
+    * collapses to one cutoff tuple per group (`max_by` over the kept
+    * prefix); the result is the ORIGINAL frame inner-joined to those
+    * per-group cutoffs (config-to-domain-cardinality rows — AQE
+    * broadcasts them when small) and filtered by a per-group
+    * lexicographic at-or-before predicate — a plain Catalyst filter, no
+    * pinned storage, no full-payload shuffle. Caveat (same as
+    * stratifiedSample): one colossal group serializes ITS slim rows
+    * into one sort task — pre-filter with [[hashSample]] when a single
+    * group approaches corpus scale.
+    */
+  def budgetSelectByGroup(df: DataFrame, groupCol: String, order: Seq[Column],
+                          costCol: String, budgets: Map[Any, Long],
+                          defaultBudget: Long = 0L): DataFrame = {
+    require(order.nonEmpty, "budgetSelectByGroup: need at least one order column")
+    require(budgets.values.forall(_ >= 0) && defaultBudget >= 0,
+      "budgetSelectByGroup: budgets must be >= 0")
+    val spark = df.sparkSession
+    val keys = sortKeysOf(order)
+    val m = keys.size
+    val slim = df.select(col(groupCol).as("__g") +:
+      keys.zipWithIndex.map { case ((k, _, _), i) => k.as(s"__k$i") } :+
+      coalesce(col(costCol).cast("long"), lit(0L)).as("__c"): _*)
+    val sortCols = keys.zipWithIndex.map { case ((_, asc, nf), i) =>
+      val c = col(s"__k$i")
+      (asc, nf) match {
+        case (true, true)   => c.asc_nulls_first
+        case (true, false)  => c.asc_nulls_last
+        case (false, true)  => c.desc_nulls_first
+        case (false, false) => c.desc_nulls_last
+      }
+    }
+    import org.apache.spark.sql.expressions.Window
+    // default frame = RANGE UNBOUNDED PRECEDING → peer-inclusive sums
+    val w = Window.partitionBy(col("__g")).orderBy(sortCols: _*)
+    // whole-group frame on the SAME partitioning (no second exchange):
+    // per-group min cost, for complete validation
+    val wAll = Window.partitionBy(col("__g"))
+    // the guard rides the running-sum column itself, so any consumption
+    // of a group containing a negative cost throws — never a silent
+    // mis-selection (budgetSelect's pass-1 validation, window form)
+    val rs = when(min(col("__c")).over(wAll) < 0,
+        raise_error(concat(lit("budgetSelectByGroup: negative cost "),
+          min(col("__c")).over(wAll).cast("string"))).cast("long"))
+      .otherwise(sum(col("__c")).over(w))
+    // row_number (ties broken arbitrarily) is safe as max_by's ordinal:
+    // cutoff peers are equal on ALL key columns, so whichever peer wins
+    // yields the same tuple; trailing zero-cost rows (same running sum,
+    // later key) rank higher and are correctly chosen as the cutoff
+    val budgeted = withBudget(spark, slim, df.schema(groupCol).dataType,
+      budgets, defaultBudget)
+    val kept = budgeted
+      .withColumn("__rs", rs).withColumn("__rn", row_number().over(w))
+      .filter(col("__rs") <= col("__budget"))
+    val cuts = kept.groupBy(col("__g").as("__cg"))
+      .agg(max_by(struct((0 until m).map(i => col(s"__k$i").as(s"f$i")): _*),
+        col("__rn")).as("__cut"))
+    df.join(cuts, col(groupCol) <=> col("__cg"), "inner")
+      .filter(lexAtOrBeforeCols(keys,
+        (0 until m).map(i => col("__cut").getField(s"f$i"))))
+      .drop("__cg", "__cut")
+  }
+
+  /** Attach `__budget` to [[budgetSelectByGroup]]'s slim frame: a
+    * when-chain for small maps (codegen-friendly, no join), a broadcast
+    * left join for big ones (a per-row O(#entries) when-scan breaks
+    * codegen at domain cardinalities — the temperatureResample rule).
+    * Both keyed null-safely so a `null -> budget` entry reaches
+    * NULL-group rows.
+    */
+  private def withBudget(spark: org.apache.spark.sql.SparkSession,
+                         slim: DataFrame,
+                         groupType: org.apache.spark.sql.types.DataType,
+                         budgets: Map[Any, Long], default: Long): DataFrame =
+    if (budgets.size <= 32)
+      slim.withColumn("__budget",
+        budgets.foldLeft(lit(default)) { case (acc, (g, b)) =>
+          when(col("__g") <=> lit(g), lit(b)).otherwise(acc)
+        })
+    else {
+      val rows = budgets.toSeq.map { case (g, b) => Row(g, b) }
+      val bDf = spark.createDataFrame(
+        new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__bg", groupType),
+          org.apache.spark.sql.types.StructField("__b",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+      slim.join(broadcast(bDf), col("__g") <=> col("__bg"), "left")
+        .withColumn("__budget", coalesce(col("__b"), lit(default)))
+        .drop("__bg", "__b")
+    }
+
   /** Exact-count random sample (reference: ViewHandler.scala:17-22 with
     * Poisson/Binomial tail-bound fraction math in utils/package.scala:
     * 444-546). Spark-first: over-sample by a safety factor then limit —
@@ -449,6 +586,67 @@ object Views {
       .join(broadcast(quotaDf), col(groupCol) <=> col("__g"))
       .filter(col("__rn") <= col("__quota"))
       .drop("__rn", "__g", "__quota"))
+  }
+
+  /** Distribution matching: downsample `ddf` so its mix over
+    * `bucketCol` (language, length bucket, topic, …) matches the mix a
+    * TARGET corpus exhibits over the same column — "make the training
+    * mix look like the eval distribution", the histogram-matching
+    * companion to [[temperatureResample]] (whose target is a power law
+    * of the corpus's own counts rather than an external reference).
+    *
+    * Math, all exact integers (BigInt — reproducible in any engine, no
+    * float proportions): with c_b = input count and t_b = target count
+    * per bucket, the target distribution is RENORMALIZED over buckets
+    * present in BOTH frames (T = Σ t_b over shared buckets; matching
+    * can't fabricate rows for a bucket the input lacks, and a target
+    * can't demand buckets it has no opinion on). The output size is the
+    * largest M every shared bucket can supply — M = min_b ⌊c_b·T/t_b⌋ —
+    * and bucket b keeps quota_b = ⌊M·t_b/T⌋ rows (each ≤ c_b by
+    * construction; ⌊⌋ leaves the realized mix within 1/M of the target
+    * per bucket). Input-only buckets get quota 0. Rows are selected
+    * per-bucket by the same xor-fold hash rank as [[stratifiedSample]] —
+    * deterministic, engine-portable, incremental-rerun-stable.
+    *
+    * Scale shape: two count aggregates (bucket-cardinality rows to the
+    * driver — languages/domains, not data), one window shuffle
+    * partitioned by the bucket column, quotas joined back via an
+    * explicit broadcast. NULL buckets participate like any other (the
+    * join is null-safe). Same few-large-strata caveat as
+    * stratifiedSample.
+    */
+  def matchDistribution(ddf: DDF, bucketCol: String, keyCol: String,
+                        target: DataFrame): DDF = {
+    require(ddf.schema(keyCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"matchDistribution: key column '$keyCol' must be numeric " +
+        s"(got ${ddf.schema(keyCol).dataType.simpleString})")
+    val tCounts = target.groupBy(col(bucketCol)).count().collect()
+      .map(r => r.get(0) -> BigInt(r.getLong(1))).toMap
+    val dCounts = ddf.df.groupBy(col(bucketCol)).count().collect()
+      .map(r => r.get(0) -> BigInt(r.getLong(1))).toMap
+    val shared = dCounts.keySet.intersect(tCounts.keySet).toSeq
+    require(shared.nonEmpty,
+      s"matchDistribution: input and target share no '$bucketCol' buckets")
+    val t = shared.iterator.map(tCounts).sum
+    val mSize = shared.iterator.map(b => dCounts(b) * t / tCounts(b)).min
+    val quotaRows = shared.map { b =>
+      Row(b, (mSize * tCounts(b) / t).toLong)
+    }
+    val spark = ddf.df.sparkSession
+    val quotaDf = spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(quotaRows).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        ddf.schema(bucketCol).copy(name = "__mb"),
+        org.apache.spark.sql.types.StructField("__quota",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(bucketCol)).orderBy(xorFold(col(keyCol), 1000000007L), col(keyCol))
+    ddf.derive(ddf.df
+      .withColumn("__rn", row_number().over(w))
+      .join(broadcast(quotaDf), col(bucketCol) <=> col("__mb"))
+      .filter(col("__rn") <= col("__quota"))
+      .drop("__rn", "__mb", "__quota"))
   }
 
   def stratifiedSample(ddf: DDF, strataCol: String, n: Int, keyCol: String): DDF = {

@@ -195,6 +195,51 @@ class CurationSpec extends SparkTestBase {
     assert(out.columns.toSeq == Seq("doc_id", "lang"))
   }
 
+  test("matchDistribution: exact quotas, renormalized over shared buckets") {
+    import spark.implicits._
+    // input: en 60, fr 30, de 10; target: en 20, fr 20, zh 5.
+    // zh is absent from the input and de absent from the target → the
+    // match renormalizes over {en, fr}: T = 40,
+    // M = min(⌊60·40/20⌋, ⌊30·40/20⌋) = 60, quotas en = fr = ⌊60·20/40⌋ = 30.
+    val df = (1 to 100).map { i =>
+      (i.toLong, if (i <= 60) "en" else if (i <= 90) "fr" else "de")
+    }.toDF("doc_id", "lang")
+    val target = ((1 to 20).map(_ => "en") ++ (1 to 20).map(_ => "fr") ++
+      (1 to 5).map(_ => "zh")).zipWithIndex
+      .map { case (l, i) => (i.toLong, l) }.toDF("doc_id", "lang")
+    val out = Views.matchDistribution(m.register(df), "lang", "doc_id", target).df
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang == Map("en" -> 30L, "fr" -> 30L), s"got $byLang")
+    // hash-rank selection: layout-invariant and re-run-stable
+    val ids1 = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Views.matchDistribution(m.register(df.repartition(7)), "lang",
+      "doc_id", target).df.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    // quota join is a broadcast, not a shuffle
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("matchDistribution: NULL bucket participates; disjoint buckets fail loudly") {
+    import spark.implicits._
+    val df = (1 to 40).map { i =>
+      (i.toLong, if (i <= 20) Some("en") else None)
+    }.toDF("doc_id", "lang")
+    val target = Seq((1L, Some("en")), (2L, Option.empty[String]))
+      .toDF("doc_id", "lang")
+    // T = 2, M = min(⌊20·2/1⌋, ⌊20·2/1⌋) = 40 → each bucket keeps 20
+    val out = Views.matchDistribution(m.register(df), "lang", "doc_id", target).df
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(byLang == Map(Some("en") -> 20L, None -> 20L), s"got $byLang")
+    val alien = Seq((1L, "zh")).toDF("doc_id", "lang")
+    val ex = intercept[IllegalArgumentException] {
+      Views.matchDistribution(m.register(df), "lang", "doc_id", alien)
+    }
+    assert(ex.getMessage.contains("share no"), ex.getMessage)
+  }
+
   test("leakageSafeSplit: pre-existing split/cluster_id columns fail loudly") {
     import spark.implicits._
     val pairs = Seq((1L, 2L)).toDF("id1", "id2")

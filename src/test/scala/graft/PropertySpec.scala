@@ -277,6 +277,48 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("property: budgetSelectByGroup ≡ per-group running-sum window on random corpora") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    for (seed <- Seq(5L, 23L, 91L)) {
+      val rng = new scala.util.Random(seed)
+      val n = 200 + rng.nextInt(1500)
+      val nGroups = 1 + rng.nextInt(12)
+      val rows = (0 until n).map { i =>
+        // ~8% null groups (a real mixture component), ~10% null costs
+        // (count 0), ~6% null priorities, heavy priority ties
+        val g = if (rng.nextInt(12) == 0) null else s"g${rng.nextInt(nGroups)}"
+        val pri: java.lang.Long = if (rng.nextInt(16) == 0) null else rng.nextInt(8).toLong
+        val cost: java.lang.Long = if (rng.nextInt(10) == 0) null else rng.nextInt(30).toLong
+        (g, pri, i.toLong, cost)
+      }
+      val base = rows.toDF("g", "pri", "id", "cost").repartition(1 + rng.nextInt(9))
+      val asc = rng.nextBoolean()
+      // sometimes NO unique tie-break: the peer-inclusive (RANGE-frame)
+      // contract must keep tied cohorts whole either way
+      val tieTotal = rng.nextBoolean()
+      val order = (if (asc) Seq(col("pri").asc) else Seq(col("pri").desc)) ++
+        (if (tieTotal) Seq(col("id").asc) else Nil)
+      val budgets: Map[Any, Long] = (0 until nGroups).flatMap { gi =>
+        if (rng.nextBoolean()) Some((s"g$gi": Any) -> rng.nextInt(200).toLong) else None
+      }.toMap ++ (if (rng.nextBoolean()) Map((null: Any) -> rng.nextInt(100).toLong)
+                  else Map.empty[Any, Long])
+      val default = if (rng.nextBoolean()) 0L else rng.nextInt(150).toLong
+      val got = Views.budgetSelectByGroup(base, "g", order, "cost", budgets, default)
+        .select("id").collect().map(_.getLong(0)).toSet
+      // default frame (RANGE UNBOUNDED PRECEDING) — peers share one sum
+      val w = Window.partitionBy(col("g")).orderBy(order: _*)
+      val budgetExpr = budgets.foldLeft(lit(default)) { case (acc, (g, b)) =>
+        when(col("g") <=> lit(g), lit(b)).otherwise(acc)
+      }
+      val want = base.withColumn("rs", sum(coalesce(col("cost"), lit(0L))).over(w))
+        .filter(col("rs") <= budgetExpr)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(got == want, s"seed=$seed asc=$asc tieTotal=$tieTotal " +
+        s"default=$default missing=${want -- got} extra=${got -- want}")
+    }
+  }
+
   test("property: topKByGroup ≡ window rank on random frames, both directions") {
     import spark.implicits._
     for (seed <- Seq(7L, 42L, 99L)) {

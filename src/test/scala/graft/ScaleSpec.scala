@@ -366,6 +366,68 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("budgetSelectByGroup == per-group window; payload never rides the window") {
+    import spark.implicits._
+    val df = spark.range(8000).toDF("id")
+      .withColumn("g", concat(lit("s"), (col("id") % 7).cast("string")))
+      .withColumn("pri", (col("id") * 31) % 50)       // heavy ties
+      .withColumn("cost", (col("id") % 13) + 1)
+      .withColumn("payload", concat(lit("body-"), col("id").cast("string")))
+    val order = Seq(col("pri").desc, col("id").asc)
+    val budgets: Map[Any, Long] = Map("s0" -> 900L, "s1" -> 0L, "s2" -> 400L)
+    val sel = operators.Views.budgetSelectByGroup(df, "g", order, "cost",
+      budgets, defaultBudget = 600L)
+    val got = sel.select("id").collect().map(_.getLong(0)).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("pri").desc, col("id").asc)
+    val budgetExpr = budgets.foldLeft(lit(600L)) { case (acc, (g, b)) =>
+      when(col("g") <=> lit(g), lit(b)).otherwise(acc)
+    }
+    val want = df.withColumn("rs", sum("cost").over(w))
+      .filter(col("rs") <= budgetExpr)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    assert(sel.filter(col("g") === "s1").count() == 0, "zero-budget group must vanish")
+    // plan pins: (a) every Window in the plan runs over the SLIM
+    // projection (group/keys/cost, all __-named) — the full-width
+    // payload must never ride the window exchange; a naive rewrite
+    // (filter the full frame by a window column) puts `payload` there
+    val windows = sel.queryExecution.optimizedPlan.collect {
+      case wn: org.apache.spark.sql.catalyst.plans.logical.Window => wn
+    }
+    assert(windows.nonEmpty, "expected the slim cutoff window")
+    windows.foreach { wn =>
+      // slim columns are __-named; Spark's own window internals are
+      // _we-named — anything else (the payload) fails the pin
+      val names = wn.child.output.map(_.name)
+      assert(names.forall(_.startsWith("_")),
+        s"window must see only the slim projection, saw $names")
+    }
+    // (b) the result reaches the payload through the cutoff JOIN of the
+    // original frame, not through a windowed copy
+    assert(sel.queryExecution.executedPlan.toString.contains("Join"),
+      "expected the cutoff join-back")
+    // negative costs: complete validation — the guard rides the running
+    // sum, so consumption throws even though the negative row sorts
+    // after every budget cutoff (cost 9000 at the lowest priority)
+    val poisoned = df.withColumn("cost",
+      when(col("id") === 7999L, lit(-3L)).otherwise(col("cost")))
+    val ex = intercept[Exception] {
+      operators.Views.budgetSelectByGroup(poisoned, "g", order, "cost",
+        budgets, defaultBudget = 600L).count()
+    }
+    assert(ex.getMessage.contains("negative cost"), ex.getMessage)
+    // edges: empty input; map-key budget for a NULL group
+    assert(operators.Views.budgetSelectByGroup(
+      df.limit(0), "g", order, "cost", budgets).count() == 0)
+    val withNullG = df.withColumn("g",
+      when(col("id") % 11 === 0, lit(null: String)).otherwise(col("g")))
+    val nullKept = operators.Views.budgetSelectByGroup(withNullG, "g", order,
+      "cost", Map((null: Any) -> 50L), defaultBudget = 0L)
+    assert(nullKept.count() > 0, "null -> budget entry must reach NULL-group rows")
+    assert(nullKept.filter(col("g").isNotNull).count() == 0)
+  }
+
   test("writeBucketed in a non-default database never touches default's same-named table") {
     import spark.implicits._
     // the r11 guard computed <warehouse>/<table> — the DEFAULT db's
