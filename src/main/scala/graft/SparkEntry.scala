@@ -3890,6 +3890,29 @@ object SparkEntry {
       },
       Some(duckBpeEncodeSql)),
 
+    Q("t21_unicode_normalize",
+      (s, d) => {
+        val m = mgr(s, d)
+        // NFC canonicalization in front of dedup keys (round 13): append
+        // a decomposed combining sequence ("e"+U+0301, "A"+U+030A) to
+        // every doc, normalize with the native codegen'd expression via
+        // the SQL registration, and flag the byte change. DuckDB's
+        // nfc_normalize is the oracle twin — both engines must emit
+        // identical UTF-8 bytes (precomposed é/Å).
+        val suffix = " caf\u0065\u0301 \u0041\u030A"
+        val raw = concat(col("text"), lit(suffix))
+        m.getDDFByName("documents").df
+          .select(col("doc_id"),
+            functions.VectorFunctions.unicodeNormalize(raw).as("nfc_text"),
+            (functions.VectorFunctions.unicodeNormalize(raw) =!= raw).as("changed"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  nfc_normalize(text || ' caf' || chr(101) || chr(769) || ' ' || chr(65) || chr(778)) AS nfc_text,
+             |  nfc_normalize(text || ' caf' || chr(101) || chr(769) || ' ' || chr(65) || chr(778))
+             |    <> (text || ' caf' || chr(101) || chr(769) || ' ' || chr(65) || chr(778)) AS changed
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     Q("t07_chunking",
       (s, d) => {
         val m = mgr(s, d)

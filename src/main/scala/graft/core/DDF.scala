@@ -308,6 +308,22 @@ final class DDF(
   def budgetSelect(order: Seq[org.apache.spark.sql.Column], costCol: String,
                    budget: Long): DDF =
     derive(graft.operators.Views.budgetSelect(df, order, costCol, budget))
+  /** Per-group budget selection: each group's rows in `order` priority
+    * while ITS running `costCol` total stays ≤ its budget — per-domain
+    * token caps (see `operators/Views.budgetSelectByGroup` for the
+    * slim-window shape and peer-inclusive tie semantics).
+    */
+  def budgetSelectByGroup(groupCol: String,
+                          order: Seq[org.apache.spark.sql.Column],
+                          costCol: String, budgets: Map[Any, Long],
+                          defaultBudget: Long = 0L): DDF =
+    derive(graft.operators.Views.budgetSelectByGroup(df, groupCol, order,
+      costCol, budgets, defaultBudget))
+  /** Downsample so this corpus's mix over `bucketCol` matches the mix
+    * `target` exhibits (see `operators/Views.matchDistribution`).
+    */
+  def matchDistribution(bucketCol: String, keyCol: String, target: DDF): DDF =
+    graft.operators.Views.matchDistribution(this, bucketCol, keyCol, target.df)
   /** DSIR importance weights of this (raw) corpus toward `target`'s
     * domain (see `pipeline/Dsir`).
     */

@@ -472,3 +472,53 @@ case class MinHashAffine(child: Expression, k: Int, portable: Boolean)
   override protected def withNewChildInternal(c: Expression): MinHashAffine =
     copy(child = c)
 }
+
+/** Unicode normalization (NFC/NFD/NFKC/NFKD) as a native, codegen'd
+  * expression — the canonicalization step in front of exact/fuzzy text
+  * dedup keys: visually-identical strings that differ only in combining
+  * sequence ("e" + U+0301 vs precomposed "é") or compatibility forms
+  * (ligatures, full-width digits under NFKC) must hash identically or
+  * every downstream dedup silently under-merges. Spark has no built-in
+  * for this; a Scala UDF would break whole-stage codegen on a path that
+  * touches every byte of every document.
+  *
+  * The common case — already-normalized ASCII/NFC text — takes the
+  * `Normalizer.isNormalized` fast path (one scan, no allocation) and
+  * returns the input UTF8String unchanged.
+  */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression {
+  require(UnicodeNormalize.forms.contains(form),
+    s"form must be one of ${UnicodeNormalize.forms.mkString("/")}, got '$form'")
+
+  override def prettyName: String = "unicode_normalize"
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string column, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    UnicodeNormalize.compute(input.asInstanceOf[UTF8String], form)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.UnicodeNormalize.compute($c, "$form");""")
+
+  override protected def withNewChildInternal(c: Expression): UnicodeNormalize =
+    copy(child = c)
+}
+
+object UnicodeNormalize {
+  val forms: Set[String] = Set("NFC", "NFD", "NFKC", "NFKD")
+
+  /** Also called from generated code. */
+  def compute(s: UTF8String, form: String): UTF8String = {
+    val str = s.toString
+    val f = java.text.Normalizer.Form.valueOf(form)
+    if (java.text.Normalizer.isNormalized(str, f)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str, f))
+  }
+}

@@ -195,6 +195,16 @@ object GraftFunctions {
       new ExpressionInfo(classOf[TopNgramCount].getName, "top_ngram_count"),
       (exprs: Seq[Expression]) => TopNgramCount(exprs(0), intLit(exprs(1), "top_ngram_count")))
     reg.registerFunction(
+      FunctionIdentifier("unicode_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
+      (exprs: Seq[Expression]) => UnicodeNormalize(exprs(0), exprs match {
+        case Seq(_) => "NFC"
+        case Seq(_, org.apache.spark.sql.catalyst.expressions.Literal(f: org.apache.spark.unsafe.types.UTF8String, StringType)) =>
+          f.toString.toUpperCase
+        case _ => throw new IllegalArgumentException(
+          "unicode_normalize: form must be a string literal (NFC/NFD/NFKC/NFKD)")
+      }))
+    reg.registerFunction(
       FunctionIdentifier("bounded_top_k"),
       new ExpressionInfo(classOf[BoundedTopK].getName, "bounded_top_k"),
       (exprs: Seq[Expression]) =>

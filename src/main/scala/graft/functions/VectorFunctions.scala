@@ -10,4 +10,10 @@ object VectorFunctions {
 
   def cosine(u: Column, v: Column): Column =
     Bridge.column(VectorCosine(Bridge.expression(u), Bridge.expression(v)))
+
+  /** Unicode normalization (default NFC) — the dedup-key canonicalizer
+    * (see [[UnicodeNormalize]]).
+    */
+  def unicodeNormalize(c: Column, form: String = "NFC"): Column =
+    Bridge.column(UnicodeNormalize(Bridge.expression(c), form))
 }

@@ -182,6 +182,35 @@ object ScaleSmoke {
         liSlim.withColumn("__c", sum(col("l_quantity").cast("long")).over(w))
           .filter(col("__c") <= bud).count()
       }
+      // per-group variant (q94): 400 synthetic sources + a ~170-byte
+      // payload column. The reference per-group window is already
+      // partitioned (no single-task funnel), so the contrast measured
+      // here is the full-width payload riding the window exchange+sort
+      // vs budgetSelectByGroup's slim (group, keys, cost) projection +
+      // cutoff join-back. The action CONSUMES the payload (sums its
+      // bytes) — a bare count() would let Catalyst prune the payload
+      // out of BOTH plans and measure neither shape's real cost.
+      // payload width dial: SPARK_GRAFT_Q94_PAYLOAD repeats of a 12-char
+      // unit (default 14 ≈ 170 B metadata-ish rows; 140 ≈ 1.7 KB
+      // document-body-ish rows — the regime the operator exists for)
+      val q94Repeat = sys.env.getOrElse("SPARK_GRAFT_Q94_PAYLOAD", "14").toInt
+      def liGrouped = spark.table("lineitem")
+        .select(concat(lit("s"), pmod(col("l_orderkey"), lit(400)).cast("string")).as("src"),
+          col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+          col("l_quantity"),
+          repeat(concat(col("l_returnflag"), col("l_linestatus"),
+            col("l_shipdate").cast("string")), q94Repeat).as("payload"))
+      def budgetGroupRow(defBud: Long): Long =
+        graft.operators.Views.budgetSelectByGroup(liGrouped, "src", liOrder,
+          "l_quantity", Map.empty, defBud)
+          .agg(sum(length(col("payload")))).first().getLong(0)
+      def budgetGroupWindowRow(defBud: Long): Long = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("src")).orderBy(liOrder: _*)
+        liGrouped.withColumn("__c", sum(col("l_quantity").cast("long")).over(w))
+          .filter(col("__c") <= defBud)
+          .agg(sum(length(col("payload")))).first().getLong(0)
+      }
       Seq(
         "minhash_dedup(d02)" -> (() =>
           graft.pipeline.Dedup.minhashDedup(d, "text", "doc_id", threshold = 0.5).count()),
@@ -351,6 +380,12 @@ object ScaleSmoke {
         }),
         "budget_tight_window(ref)" -> (() => {
           tpchViews; budgetWindowRow(liBudgetBase / 100)
+        }),
+        "budget_by_group(q94)" -> (() => {
+          tpchViews; budgetGroupRow(liBudgetBase * 3 / 10 / 400)
+        }),
+        "budget_by_group_window(ref)" -> (() => {
+          tpchViews; budgetGroupWindowRow(liBudgetBase * 3 / 10 / 400)
         }),
         "pagerank_weighted(g04)" -> (() => {
           // g01's graph with shipment-count weights — measures the

@@ -283,7 +283,9 @@ class PropertySpec extends SparkTestBase {
     for (seed <- Seq(5L, 23L, 91L)) {
       val rng = new scala.util.Random(seed)
       val n = 200 + rng.nextInt(1500)
-      val nGroups = 1 + rng.nextInt(12)
+      // seed 91 forces >32 distinct budget keys so withBudget's
+      // broadcast-join branch (not just the when-chain) is under test
+      val nGroups = if (seed == 91L) 40 + rng.nextInt(20) else 1 + rng.nextInt(12)
       val rows = (0 until n).map { i =>
         // ~8% null groups (a real mixture component), ~10% null costs
         // (count 0), ~6% null priorities, heavy priority ties
@@ -300,9 +302,12 @@ class PropertySpec extends SparkTestBase {
       val order = (if (asc) Seq(col("pri").asc) else Seq(col("pri").desc)) ++
         (if (tieTotal) Seq(col("id").asc) else Nil)
       val budgets: Map[Any, Long] = (0 until nGroups).flatMap { gi =>
-        if (rng.nextBoolean()) Some((s"g$gi": Any) -> rng.nextInt(200).toLong) else None
+        if (seed == 91L || rng.nextBoolean())
+          Some((s"g$gi": Any) -> rng.nextInt(200).toLong) else None
       }.toMap ++ (if (rng.nextBoolean()) Map((null: Any) -> rng.nextInt(100).toLong)
                   else Map.empty[Any, Long])
+      if (seed == 91L) assert(budgets.size > 32,
+        "seed-91 iteration must exercise the broadcast-join budget path")
       val default = if (rng.nextBoolean()) 0L else rng.nextInt(150).toLong
       val got = Views.budgetSelectByGroup(base, "g", order, "cost", budgets, default)
         .select("id").collect().map(_.getLong(0)).toSet

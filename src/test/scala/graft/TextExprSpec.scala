@@ -198,6 +198,55 @@ class TextExprSpec extends SparkTestBase {
     assert(calls == 1, s"expected 1 minhash_affine in the plan, got $calls:\n$plan")
   }
 
+  test("UnicodeNormalize: four forms, combining sequences, NULL, idempotence, codegen") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.unicodeNormalize
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val decomposed = "cafe\u0301 A\u030A"   // e + combining acute, A + combining ring
+    val precomposed = "caf\u00e9 \u00c5"      // precomposed \u00e9, \u00c5
+    val compat = "\uFB01le \uFF12\uFF10"     // fi ligature, full-width 2 0
+    val df = Seq(Option(decomposed), Option(compat), Option("plain ascii"),
+      Option.empty[String]).toDF("t")
+    val out = df.select(
+        unicodeNormalize(col("t")).as("nfc"),
+        unicodeNormalize(col("t"), "NFD").as("nfd"),
+        unicodeNormalize(col("t"), "NFKC").as("nfkc"),
+        unicodeNormalize(col("t"), "NFKD").as("nfkd"))
+      .collect()
+    assert(out(0).getString(0) == precomposed)            // NFC composes
+    assert(out(0).getString(1) == decomposed)             // NFD decomposes
+    assert(out(0).getString(2) == precomposed)            // NFKC ⊇ NFC here
+    // NFC leaves compatibility chars alone; NFKC folds them
+    assert(out(1).getString(0) == compat)
+    assert(out(1).getString(2) == "file 20")
+    assert(out(2).getString(0) == "plain ascii")          // fast path
+    assert(out(3).isNullAt(0))                            // NULL propagates
+    // idempotence: normalize twice == once
+    val twice = df.select(
+      unicodeNormalize(unicodeNormalize(col("t"))).as("a"),
+      unicodeNormalize(col("t")).as("b")).collect()
+    twice.foreach(r => assert(r.isNullAt(0) == r.isNullAt(1) &&
+      (r.isNullAt(0) || r.getString(0) == r.getString(1))))
+    // the dedup-key motivation: NFC makes the visually-identical pair
+    // hash-equal
+    assert(spark.sql(
+      s"select unicode_normalize('$decomposed') = unicode_normalize('$precomposed')")
+      .first().getBoolean(0))
+    // SQL registration: 1-arg defaults to NFC, 2-arg takes a form
+    assert(spark.sql(s"select unicode_normalize('$decomposed', 'NFKD')")
+      .first().getString(0) == "café Å")
+    intercept[IllegalArgumentException] {
+      graft.functions.UnicodeNormalize(
+        org.apache.spark.sql.graftbridge.Bridge.expression(col("t")), "NFX")
+    }
+    // stays inside whole-stage codegen (range() defeats constant folding)
+    val plan = spark.range(20)
+      .select(unicodeNormalize(concat(lit("x\u0301"), col("id"))).as("n"))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("unicode_normalize") && l.contains("*(")), plan)
+  }
+
   test("native shingles stay inside whole-stage codegen") {
     // a local relation would constant-fold the projection away, so build
     // text from range() to force a real executed stage
