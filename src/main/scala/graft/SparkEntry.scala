@@ -4704,6 +4704,73 @@ object SparkEntry {
             |FROM dist d CROSS JOIN skew s ORDER BY d.size""".stripMargin
       }),
 
+    Q("p08_mixture_recipe_build",
+      (s, d) => {
+        val m = mgr(s, d)
+        // Round-13 composed mixture recipe: this round's three operators
+        // chained end-to-end, each gate-proven alone (t21, q94, c12).
+        // Every doc arrives TWICE — once with a decomposed combining
+        // sequence appended, once with the precomposed equivalent under
+        // a shifted id — so Unicode canonicalization is doing real work:
+        // NFC makes the copies byte-identical, exact dedup folds each
+        // pair back to the original id (without normalize, nothing would
+        // merge). Survivors then pass per-source budget selection in
+        // longest-documents-first quality order, and the result's lang
+        // mix is matched to the src0-2 slice's mix. The DuckDB twin
+        // replays all three stages as stacked CTEs.
+        val docs = m.getDDFByName("documents").df
+        val keep = Seq(col("lang"), col("source"), col("n_chars"))
+        val variants = docs.select(col("doc_id") +:
+            concat(col("text"), lit(" cafe\u0301")).as("text") +: keep: _*)
+          .unionByName(docs.select((col("doc_id") + 1000000L).as("doc_id") +:
+            concat(col("text"), lit(" caf\u00e9")).as("text") +: keep: _*))
+        val canon = variants.withColumn("text",
+          functions.VectorFunctions.unicodeNormalize(col("text")))
+        val surv = pipeline.Dedup.exactSurvivors(canon, "text", "doc_id")
+        val sel = operators.Views.budgetSelectByGroup(surv, "source",
+          Seq(col("n_chars").desc, col("doc_id").asc), "n_chars",
+          budgets = Map("src1" -> 5000L, "src7" -> 0L), defaultBudget = 3000L)
+        val target = docs.filter(col("source").isin("src0", "src1", "src2"))
+        Views.matchDistribution(m.register(sel), "lang", "doc_id", target)
+          .df.select("doc_id", "source", "lang", "n_chars")
+          .orderBy("doc_id")
+      },
+      // Stage replay: variant corpus (decomposed chr(101)+chr(769) /
+      // precomposed chr(233)) → nfc_normalize → exact dedup (min id per
+      // md5 of the whitespace-normalized text, Dedup.normText's contract)
+      // → q94's per-source running-sum window → c12's BigInt quota +
+      // xor-fold-rank selection computed over the BUDGETED survivor set.
+      Some(s"""WITH vars AS (
+              |  SELECT doc_id, text || ' caf' || chr(101) || chr(769) AS text,
+              |    lang, source, n_chars FROM documents
+              |  UNION ALL
+              |  SELECT doc_id + 1000000 AS doc_id, text || ' caf' || chr(233) AS text,
+              |    lang, source, n_chars FROM documents),
+              |canon AS (SELECT doc_id, nfc_normalize(text) AS text,
+              |    lang, source, n_chars FROM vars),
+              |reps AS (SELECT min(doc_id) AS doc_id FROM canon
+              |  GROUP BY md5(${duckNorm("text")})),
+              |surv AS (SELECT c.* FROM canon c JOIN reps USING (doc_id)),
+              |bsel AS (SELECT doc_id, lang, source, n_chars FROM (
+              |    SELECT *, sum(n_chars) OVER (PARTITION BY source
+              |      ORDER BY n_chars DESC, doc_id) AS rs FROM surv)
+              |  WHERE rs <= CASE source WHEN 'src1' THEN 5000
+              |                          WHEN 'src7' THEN 0 ELSE 3000 END),
+              |tgt AS (SELECT lang, count(*) AS ct FROM documents
+              |    WHERE source IN ('src0','src1','src2') GROUP BY 1),
+              |dc AS (SELECT lang, count(*) AS cd FROM bsel GROUP BY 1),
+              |j AS (SELECT dc.lang AS lang, cd, ct FROM dc JOIN tgt USING (lang)),
+              |tot AS (SELECT sum(ct) AS t FROM j),
+              |mm AS (SELECT min(cd * t // ct) AS m FROM j, tot),
+              |q AS (SELECT lang, (m * ct // t) AS quota FROM j, tot, mm),
+              |h AS (SELECT doc_id, lang, source, n_chars,
+              |    (doc_id % 1000000000) * 2654435761 AS p FROM bsel),
+              |r AS (SELECT doc_id, lang, source, n_chars,
+              |    row_number() OVER (PARTITION BY lang
+              |      ORDER BY xor(p, p >> 31) % 1000000007, doc_id) AS rn FROM h)
+              |SELECT doc_id, source, lang, n_chars FROM r JOIN q USING (lang)
+              |WHERE rn <= quota ORDER BY doc_id""".stripMargin)),
+
     Q("s05_stream_dedup_ingest",
       (s, d) => {
         val m = mgr(s, d)

@@ -324,6 +324,53 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("property: matchDistribution quotas, mix-invariance, layout-invariance on random corpora") {
+    import spark.implicits._
+    for (seed <- Seq(11L, 47L, 83L)) {
+      val rng = new scala.util.Random(seed)
+      val nBuckets = 2 + rng.nextInt(5)
+      val n = 300 + rng.nextInt(900)
+      // skewed corpus mix, independent skewed target mix, partial overlap
+      // (one corpus-only and one target-only bucket when nBuckets > 2)
+      val corpus = (0 until n).map { i =>
+        (i.toLong, s"b${rng.nextInt(nBuckets)}")
+      }.toDF("doc_id", "bucket").repartition(1 + rng.nextInt(8))
+      val target = (0 until 100 + rng.nextInt(200)).map { i =>
+        (i.toLong, s"b${1 + rng.nextInt(nBuckets)}") // b0 absent from target
+      }.toDF("doc_id", "bucket")
+      val got = Views.matchDistribution(m.register(corpus), "bucket", "doc_id", target).df
+      val byBucket = got.groupBy("bucket").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // independent BigInt replication of the quota arithmetic over the
+      // SHARED buckets (b0 must renormalize away)
+      val cd = corpus.groupBy("bucket").count().collect()
+        .map(r => r.getString(0) -> BigInt(r.getLong(1))).toMap
+      val ct = target.groupBy("bucket").count().collect()
+        .map(r => r.getString(0) -> BigInt(r.getLong(1))).toMap
+      val shared = cd.keySet.intersect(ct.keySet)
+      val t = shared.iterator.map(ct).sum
+      val mSize = shared.iterator.map(b => cd(b) * t / ct(b)).min
+      val want = shared.map(b => b -> (mSize * ct(b) / t).toLong)
+        .filter(_._2 > 0).toMap
+      assert(byBucket == want, s"seed=$seed got=$byBucket want=$want")
+      assert(!byBucket.contains("b0"), "corpus-only bucket must renormalize away")
+      // realized quota never exceeds availability
+      want.foreach { case (b, q) => assert(q <= cd(b).toLong) }
+      // mix-invariance: the match depends on the target's PROPORTIONS,
+      // not its absolute size — doubling the target changes nothing
+      val ids = got.select("doc_id").collect().map(_.getLong(0)).toSet
+      val doubled = target.unionAll(target.withColumn("doc_id", col("doc_id") + 1000000L))
+      val ids2 = Views.matchDistribution(m.register(corpus), "bucket", "doc_id", doubled)
+        .df.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids == ids2, s"seed=$seed: doubling the target changed the selection")
+      // layout-invariance: a different physical layout selects the SAME rows
+      val ids3 = Views.matchDistribution(m.register(corpus.repartition(13)),
+        "bucket", "doc_id", target).df.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids == ids3)
+      assert(ids.subsetOf((0 until n).map(_.toLong).toSet))
+    }
+  }
+
   test("property: topKByGroup ≡ window rank on random frames, both directions") {
     import spark.implicits._
     for (seed <- Seq(7L, 42L, 99L)) {
