@@ -4854,6 +4854,63 @@ object SparkEntry {
               |  WHERE doc_id NOT IN (SELECT doc_id FROM x1)
               |ORDER BY doc_id""".stripMargin)),
 
+    Q("s08_stream_quota_ingest",
+      (s, d) => {
+        val m = mgr(s, d)
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        // streaming twin of q94 through the gate: two MemoryStream
+        // epochs (doc_id < 250 arrives first), per-source char quotas
+        // enforced across the stream's LIFETIME via the epoch-
+        // partitioned spend ledger — epoch 1's admissions run against
+        // budget minus epoch 0's admitted spend. Admission is epoch-by-
+        // epoch prefix-greedy (the only order a stream has), which the
+        // oracle replays as two stacked per-epoch windows joined through
+        // the per-source spent sums.
+        val docs = m.getDDFByName("documents").df
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .as[(Long, String, Long)].collect()
+        withScratch("graft_s08") { tmp =>
+          val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long)]
+          val q = streaming.CurationStreams.quotaIngest(
+              stream.toDF().toDF("doc_id", "source", "n_chars"), "source",
+              Seq(col("n_chars").desc, col("doc_id").asc), "n_chars",
+              budgets = Map("src1" -> 5000L, "src7" -> 0L),
+              defaultBudget = 3000L, s"$tmp/ledger",
+              (df, epoch) => df.select(col("doc_id"), col("source"),
+                  col("n_chars"), lit(epoch).as("epoch"))
+                .write.mode("append").parquet(s"$tmp/out"))
+            .start()
+          try Seq(docs.filter(_._1 < 250), docs.filter(_._1 >= 250)).foreach { batch =>
+            stream.addData(batch.toIndexedSeq: _*)
+            q.processAllAvailable()
+          } finally q.stop()
+          collectAndClean(s, s.read.parquet(s"$tmp/out").orderBy("doc_id"), tmp)
+        }
+      },
+      // epoch 0 admits per q94's window against the full budget; epoch 1
+      // admits against budget - epoch-0 spend. A source's lifetime
+      // admitted total never exceeds its budget by construction.
+      Some("""WITH bud AS (SELECT DISTINCT source,
+             |    CASE source WHEN 'src1' THEN 5000 WHEN 'src7' THEN 0
+             |                ELSE 3000 END AS b FROM documents),
+             |a0 AS (SELECT doc_id, source, n_chars FROM (
+             |    SELECT doc_id, source, n_chars, sum(n_chars) OVER (
+             |      PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rs
+             |    FROM documents WHERE doc_id < 250) r
+             |  JOIN bud USING (source) WHERE rs <= b),
+             |sp AS (SELECT source, sum(n_chars) AS spent FROM a0 GROUP BY 1),
+             |a1 AS (SELECT doc_id, source, n_chars FROM (
+             |    SELECT doc_id, source, n_chars, sum(n_chars) OVER (
+             |      PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rs
+             |    FROM documents WHERE doc_id >= 250) r
+             |  JOIN bud USING (source) LEFT JOIN sp USING (source)
+             |  WHERE rs <= b - coalesce(spent, 0))
+             |SELECT doc_id, source, n_chars, 0::BIGINT AS epoch FROM a0
+             |UNION ALL
+             |SELECT doc_id, source, n_chars, 1::BIGINT AS epoch FROM a1
+             |ORDER BY doc_id""".stripMargin)),
+
     Q("s07_stream_image_ingest",
       (s, d) => {
         val m = mgr(s, d)

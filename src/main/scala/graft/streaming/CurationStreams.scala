@@ -191,6 +191,72 @@ object CurationStreams {
     }
   }
 
+  /** Continuous per-source QUOTA admission: the streaming twin of
+    * [[graft.operators.Views.budgetSelectByGroup]] — every micro-batch
+    * admits each source's rows in the caller's `order` priority while
+    * the source's LIFETIME admitted `costCol` total stays within its
+    * budget. A source's total admitted cost never exceeds its budget
+    * across the whole stream: each batch runs the batch-local
+    * budget selection against the budget MINUS what earlier epochs
+    * already spent, read from the epoch-partitioned ledger at
+    * `ledgerDir`. Within a batch the peer-inclusive RANGE-frame
+    * semantics of budgetSelectByGroup apply unchanged (tied cohorts at
+    * a cutoff admit or reject as a unit); across batches admission is
+    * arrival-ordered — epoch-by-epoch prefix-greedy, the only order a
+    * stream has.
+    *
+    * Same replay discipline as [[dedupedIngest]] (foreachBatch is
+    * at-least-once): a replayed epoch N reads spends only from epochs
+    * < N and dynamically overwrites ledger partition epoch=N, so its
+    * admissions are bit-identical to the first attempt and an
+    * (epoch, id)-idempotent sink gets exactly-once delivery.
+    *
+    * Scale shape per micro-batch: the ledger is config-sized (one row
+    * per source per epoch, grouped to one per source on read — the
+    * collect here is sources-cardinality, never data-scale), and the
+    * admission itself is budgetSelectByGroup's slim-window + broadcast
+    * cutoff join-back — the batch's full-width payload never rides a
+    * window (see SCALE.md's q94 row for the decades).
+    */
+  def quotaIngest(docs: DataFrame, groupCol: String,
+                  order: Seq[org.apache.spark.sql.Column], costCol: String,
+                  budgets: Map[Any, Long], defaultBudget: Long,
+                  ledgerDir: String,
+                  sink: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(docs.isStreaming, "quotaIngest expects a streaming frame; " +
+      "use Views.budgetSelectByGroup for batch selection")
+    docs.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
+      val spark = batch.sparkSession
+      val spent: Map[Any, Long] =
+        if (indexExists(spark, ledgerDir))
+          spark.read.parquet(ledgerDir)
+            .filter(col("epoch") < epoch) // replay: ignore our own partial rows
+            .groupBy(col("grp")).agg(sum(col("spent")).as("s"))
+            .collect().map(r => (r.get(0): Any) -> r.getLong(1)).toMap
+        else Map.empty
+      // remaining budget per source that has an explicit budget OR a
+      // spend history; untouched default-budget sources fall through to
+      // the (full) defaultBudget. spent can never exceed the budget —
+      // the max(0, _) is defense in depth against a hand-edited ledger.
+      val remaining: Map[Any, Long] = (budgets.keySet ++ spent.keySet).map { g =>
+        g -> math.max(0L, budgets.getOrElse(g, defaultBudget) - spent.getOrElse(g, 0L))
+      }.toMap
+      val admitted = graft.operators.Views.budgetSelectByGroup(
+          batch, groupCol, order, costCol, remaining, defaultBudget)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        sink(admitted, epoch)
+        admitted.groupBy(col(groupCol).as("grp"))
+          .agg(coalesce(sum(col(costCol).cast("long")), lit(0L)).as("spent"))
+          .withColumn("epoch", lit(epoch))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("epoch")
+          .parquet(ledgerDir)
+      } finally admitted.unpersist(blocking = false)
+    }
+  }
+
   private def indexExists(spark: org.apache.spark.sql.SparkSession, dir: String): Boolean = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -187,6 +187,73 @@ class StreamingSpec extends SparkTestBase {
     assert(idx.select("fingerprint").distinct().count() == 4)
   }
 
+  test("quotaIngest: lifetime quotas across epochs; crash restart replays bit-identically") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_quota")
+    val ledger = base.toString + "/ledger"
+    val ckpt = base.toString + "/ckpt"
+    val stream = MemoryStream[(Long, String, Long)]
+    val sunk = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    @volatile var failNext = false
+    def writer() = graft.streaming.CurationStreams.quotaIngest(
+        stream.toDF().toDF("id", "src", "cost"), "src",
+        Seq(col("cost").desc, col("id").asc), "cost",
+        budgets = Map("a" -> 100L), defaultBudget = 50L, ledgerDir = ledger,
+        (df, epoch) => {
+          val ids = df.select("id").collect().map(_.getLong(0)).toSeq.sorted
+          sunk.synchronized { sunk += epoch -> ids }
+          if (failNext) {
+            failNext = false
+            // the worst crash window: sink delivered, ledger never written
+            throw new RuntimeException("injected crash after sink, before ledger write")
+          }
+        })
+      .option("checkpointLocation", ckpt)
+
+    // epoch 0: a admits 60+30 = 90 of 100; b admits 40 of the default 50
+    val q1 = writer().start()
+    stream.addData((1L, "a", 60L), (2L, "a", 30L), (3L, "b", 40L))
+    q1.processAllAvailable(); q1.stop()
+
+    // epoch 1 crashes mid-epoch. Intended admissions: a remaining 10 →
+    // the cost-10 row fits exactly, the cost-5 row is past the prefix
+    // cutoff (rs 15 > 10 — prefix-greedy counts the whole prefix);
+    // b remaining 10 → the cost-5 row fits
+    failNext = true
+    stream.addData((4L, "a", 10L), (5L, "a", 5L), (6L, "b", 5L))
+    val q2 = writer().start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    // ...and the crash left PARTIAL ledger rows in our epoch's partition
+    // — the replay must overwrite them, never count them as spend
+    Seq(("a", 999L)).toDF("grp", "spent").write.mode("append")
+      .parquet(ledger + "/epoch=1")
+
+    // restart: epoch 1 replays bit-identically, then epoch 2 runs
+    // against the REPLAYED ledger: a is exactly exhausted (90+10), so
+    // its cost-1 row is refused; b has 5 left, so its cost-4 row fits
+    val q3 = writer().start()
+    try {
+      q3.processAllAvailable()
+      stream.addData((7L, "a", 1L), (8L, "b", 4L))
+      q3.processAllAvailable()
+    } finally q3.stop()
+
+    assert(sunk.toList == List(0L -> Seq(1L, 2L, 3L), 1L -> Seq(4L, 6L),
+      1L -> Seq(4L, 6L), 2L -> Seq(8L)), s"got $sunk")
+    val led = spark.read.parquet(ledger)
+    assert(led.filter(col("spent") === 999L).isEmpty,
+      "replay must dynamically overwrite its own epoch partition")
+    // the lifetime invariant the operator sells: admitted cost per
+    // source never exceeds its budget
+    val spent = led.groupBy("grp").agg(sum("spent").as("s")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(spent == Map("a" -> 100L, "b" -> 49L), s"got $spent")
+  }
+
   test("sessionizeStreaming: sessions close across micro-batches via event-time timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
