@@ -99,7 +99,12 @@ object Bench {
     // round 13 (r12 verdict ask): the post-r11-anchor operators join the
     // regression watch — iterative k-core peeling and the window-free
     // budget-constrained selection
-    "g05_kcore", "q92_budget_select")
+    "g05_kcore", "q92_budget_select",
+    // round 13 (this session): one representative per new family — the
+    // per-source budget selection (slim-window + cutoff join-back) and
+    // the composed mixture-recipe build (normalize → dedup → per-source
+    // budgets → distribution match, the round's product-shaped chain)
+    "q94_budget_select_by_group", "p08_mixture_recipe_build")
 
   // the sf1 subset: the scan/join/agg spine (TPC-H) + the dedup family +
   // vocabulary ranking + brute ANN — the operators whose 100 TB story the

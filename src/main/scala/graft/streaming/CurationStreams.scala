@@ -216,7 +216,11 @@ object CurationStreams {
     * collect here is sources-cardinality, never data-scale), and the
     * admission itself is budgetSelectByGroup's slim-window + broadcast
     * cutoff join-back — the batch's full-width payload never rides a
-    * window (see SCALE.md's q94 row for the decades).
+    * window (see SCALE.md's q94 row for the decades). The ledger grows
+    * one tiny partition per epoch; for a stream that lives through
+    * millions of epochs, periodically compact epochs < the stream's
+    * restart horizon into one partition (the read only needs the SUM
+    * per source, so any prefix of epochs may be pre-aggregated).
     */
   def quotaIngest(docs: DataFrame, groupCol: String,
                   order: Seq[org.apache.spark.sql.Column], costCol: String,
