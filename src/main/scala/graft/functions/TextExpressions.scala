@@ -483,8 +483,9 @@ case class MinHashAffine(child: Expression, k: Int, portable: Boolean)
   * touches every byte of every document.
   *
   * The common case — already-normalized ASCII/NFC text — takes the
-  * `Normalizer.isNormalized` fast path (one scan, no allocation) and
-  * returns the input UTF8String unchanged.
+  * `Normalizer.isNormalized` fast path (one verification scan; the
+  * java.text API needs a String view of the bytes, but no normalized
+  * copy is built) and returns the input UTF8String unchanged.
   */
 case class UnicodeNormalize(child: Expression, form: String)
     extends UnaryExpression {

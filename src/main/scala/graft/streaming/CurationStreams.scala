@@ -221,6 +221,11 @@ object CurationStreams {
     * millions of epochs, periodically compact epochs < the stream's
     * restart horizon into one partition (the read only needs the SUM
     * per source, so any prefix of epochs may be pre-aggregated).
+    *
+    * Rate limiting (a quota per source per TIME WINDOW rather than per
+    * lifetime) is this operator with `groupCol` set to a derived
+    * (source, window-bucket) column — each window-bucket is its own
+    * ledger group and exhausts independently.
     */
   def quotaIngest(docs: DataFrame, groupCol: String,
                   order: Seq[org.apache.spark.sql.Column], costCol: String,
