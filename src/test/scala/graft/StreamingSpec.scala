@@ -254,6 +254,72 @@ class StreamingSpec extends SparkTestBase {
     assert(spent == Map("a" -> 100L, "b" -> 49L), s"got $spent")
   }
 
+  test("quotaIngest property: random epochs ≡ epoch-sequential prefix-greedy reference") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    for (seed <- Seq(13L, 61L)) {
+      val rng = new scala.util.Random(seed)
+      val nGroups = 2 + rng.nextInt(4)
+      val nEpochs = 2 + rng.nextInt(3)
+      // heavy priority ties, some zero costs; NO unique tie-break on one
+      // seed so peer cohorts straddle cutoffs
+      val tieBreak = seed != 61L
+      // the one-per-epoch anchor rows keep every epoch nonempty: an
+      // empty addData would produce no micro-batch and desync the
+      // foreachBatch epoch counter from the reference's epoch index
+      val rows = (0 until 120 + rng.nextInt(200)).map { i =>
+        (i.toLong, s"g${rng.nextInt(nGroups)}", rng.nextInt(5).toLong,
+          rng.nextInt(8).toLong, rng.nextInt(nEpochs))
+      } ++ (0 until nEpochs).map(e => (10000L + e, "g0", 0L, 0L, e))
+      val budgets: Map[Any, Long] =
+        (0 until nGroups).map(g => (s"g$g": Any) -> (20L + rng.nextInt(60))).toMap
+      // in-memory reference: per epoch, per group, peer-inclusive
+      // prefix-greedy against budget minus earlier epochs' ADMITTED spend
+      val spent = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      val wantByEpoch = (0 until nEpochs).map { e =>
+        val admitted = scala.collection.mutable.Set.empty[Long]
+        rows.filter(_._5 == e).groupBy(_._2).foreach { case (g, grp) =>
+          val rem = budgets(g).asInstanceOf[Long] - spent(g)
+          // sort by (pri desc[, id asc]); cohorts = equal on ALL order cols
+          val sorted = grp.sortBy(r => (-r._3, if (tieBreak) r._1 else 0L))
+          val cohorts = sorted.foldLeft(Vector.empty[Vector[(Long, String, Long, Long, Int)]]) {
+            case (acc, r) if acc.nonEmpty &&
+                acc.last.head._3 == r._3 &&
+                (!tieBreak || acc.last.head._1 == r._1) =>
+              acc.init :+ (acc.last :+ r)
+            case (acc, r) => acc :+ Vector(r)
+          }
+          var cum = 0L
+          cohorts.foreach { c =>
+            cum += c.map(_._4).sum
+            if (cum <= rem) { c.foreach(r => admitted += r._1); spent(g) += c.map(_._4).sum }
+          }
+        }
+        admitted.toSet
+      }
+      val base = java.nio.file.Files.createTempDirectory(s"graft_quota_prop$seed")
+      val stream = MemoryStream[(Long, String, Long, Long)]
+      val got = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      val order = if (tieBreak) Seq(col("pri").desc, col("id").asc) else Seq(col("pri").desc)
+      val q = CurationStreams.quotaIngest(
+          stream.toDF().toDF("id", "grp", "pri", "cost"), "grp", order, "cost",
+          budgets, defaultBudget = 0L, base.toString + "/ledger",
+          (df, epoch) => got.synchronized {
+            got(epoch) = df.select("id").collect().map(_.getLong(0)).toSet
+          })
+        .start()
+      try (0 until nEpochs).foreach { e =>
+        stream.addData(rows.filter(_._5 == e).map(r => (r._1, r._2, r._3, r._4)): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      (0 until nEpochs).foreach { e =>
+        assert(got(e.toLong) == wantByEpoch(e),
+          s"seed=$seed epoch=$e missing=${wantByEpoch(e) -- got(e.toLong)} " +
+            s"extra=${got(e.toLong) -- wantByEpoch(e)}")
+      }
+    }
+  }
+
   test("sessionizeStreaming: sessions close across micro-batches via event-time timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
