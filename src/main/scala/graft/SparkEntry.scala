@@ -3204,6 +3204,45 @@ object SparkEntry {
               |FROM p WHERE inter / (na + nb - inter) >= 0.6
               |ORDER BY id_a, id_b""".stripMargin)),
 
+    Q("d15_minhash_recall_eval",
+      (s, d) => {
+        val m = mgr(s, d)
+        // the banding-parameter evaluation loop (round 13): exact truth
+        // (complete shared-shingle join + exact Jaccard) vs the portable
+        // banding's candidates on an eval slice — recall tells you what
+        // the (k=32, bands=8) collision curve actually surfaces at
+        // threshold 0.5 on THIS corpus, precision what fraction of
+        // candidates verify. The text twin of a07's ANN recall.
+        pipeline.Dedup.minhashRecallEval(
+          m.getDDFByName("documents").df.filter(col("doc_id") < 300),
+          "text", "doc_id", threshold = 0.5, portable = true)
+      },
+      // d07's portable minhash CTE stack supplies the banding candidates
+      // (mcand); truth is the complete shared-shingle join (any pair at
+      // J ≥ 0.5 > 0 shares a shingle) + exact Jaccard. Integer counts,
+      // one IEEE division each.
+      Some(s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id < 300),
+              |${duckMinhashCtes("corpus")},
+              |tcand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+              |  FROM mex a JOIN mex b ON a.s = b.s AND a.doc_id < b.doc_id),
+              |truth AS (SELECT id1, id2 FROM (
+              |    SELECT id1, id2, len(list_intersect(s1.sh, s2.sh))::DOUBLE
+              |        / len(list_distinct(s1.sh || s2.sh)) AS jr
+              |    FROM tcand JOIN msh s1 ON s1.doc_id = id1
+              |    JOIN msh s2 ON s2.doc_id = id2)
+              |  WHERE jr >= 0.5),
+              |nd AS (SELECT count(*)::BIGINT AS n_docs FROM corpus),
+              |nt AS (SELECT count(*)::BIGINT AS n_true FROM truth),
+              |nc AS (SELECT count(*)::BIGINT AS n_cand FROM mcand),
+              |nh AS (SELECT count(*)::BIGINT AS n_hit FROM truth t
+              |  JOIN mcand c ON t.id1 = c.id1 AND t.id2 = c.id2)
+              |SELECT n_docs, n_true, n_cand, n_hit,
+              |  CASE WHEN n_true = 0 THEN 1.0
+              |       ELSE n_hit::DOUBLE / n_true END AS recall,
+              |  CASE WHEN n_cand = 0 THEN 1.0
+              |       ELSE n_hit::DOUBLE / n_cand END AS "precision"
+              |FROM nd, nt, nc, nh""".stripMargin)),
+
     Q("d04_jaccard_pairs",
       (s, d) => {
         val m = mgr(s, d)

@@ -432,6 +432,65 @@ object Dedup {
     } finally sh.unpersist(blocking = false)
   }
 
+  /** Banding-recall EVALUATION: measure, on an eval-sized corpus slice,
+    * how much of the exact near-dup truth the LSH banding surfaces — the
+    * number that justifies (or rejects) a (k, bands, threshold) choice
+    * before minhashDedup runs at corpus scale, the text twin of
+    * `Similarity.annRecall`. Truth is COMPLETE: any pair with shingle
+    * Jaccard ≥ threshold > 0 shares at least one shingle, so the
+    * shared-shingle postings join is a complete candidate generator and
+    * the exact-Jaccard filter over it is the full truth set. That join
+    * is the all-pairs shape minhash exists to avoid — this operator is
+    * for EVAL slices (pre-filter with [[graft.operators.Views.hashSample]]
+    * or an id range), never the full corpus; at corpus scale a hot
+    * shingle makes it quadratic.
+    *
+    * Returns ONE row: n_docs, n_true (exact pairs ≥ threshold), n_cand
+    * (banding candidate pairs), n_hit (their intersection = candidates
+    * that verify), recall = n_hit/n_true, precision = n_hit/n_cand
+    * (1.0 when the denominator is 0 — an empty truth set is vacuously
+    * recalled). Integer counts and one IEEE division each, so the
+    * values are engine-portable. All aggregates are single-row;
+    * nothing data-scale reaches the driver.
+    */
+  def minhashRecallEval(df: DataFrame, textCol: String, idCol: String,
+                        threshold: Double, shingleN: Int = 3,
+                        k: Int = 32, bands: Int = 8,
+                        portable: Boolean = false): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold in (0,1], got $threshold")
+    val sh = shingled(df, textCol, idCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val post = sh.select(col("id"), explode(col("sh")).as("s"))
+      val truthCand = post.alias("a").join(post.alias("b"),
+          col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()
+      val truth = jaccardOnShingledPairs(truthCand, sh)
+        .filter(col("jaccard") >= threshold)
+        .localCheckpoint() // read twice (count + hit join); truthCand dies here
+      val sigs = if (portable) minhashSignaturesPortable(sh, k)
+                 else minhashSignaturesFromShingles(sh, k)
+      val cand =
+        if (portable)
+          minhashCandidatesFromSignatures(sigs, k, bands, cs => concat_ws(",", cs: _*))
+        else minhashCandidatesFromSignatures(sigs, k, bands)
+      val out = df.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(truth.agg(count(lit(1)).as("n_true")))
+        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+        .crossJoin(truth.join(cand, Seq("id1", "id2"), "left_semi")
+          .agg(count(lit(1)).as("n_hit")))
+        .withColumn("recall", when(col("n_true") === 0, lit(1.0))
+          .otherwise(col("n_hit").cast("double") / col("n_true")))
+        .withColumn("precision", when(col("n_cand") === 0, lit(1.0))
+          .otherwise(col("n_hit").cast("double") / col("n_cand")))
+        .localCheckpoint(eager = true) // 1 row; lets both pair frames release
+      graft.core.Checkpoints.release(truth)
+      graft.core.Checkpoints.release(cand)
+      out
+    } finally sh.unpersist(blocking = false)
+  }
+
   /** Incremental near-dup dedup: process a NEW batch against a persisted
     * band index ([[bandRows]] shape: (id, band, sig)) WITHOUT rescanning
     * the corpus — the production ingest loop for MinHash-LSH.

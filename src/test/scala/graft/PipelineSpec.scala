@@ -264,6 +264,47 @@ class PipelineSpec extends SparkTestBase {
     }))
   }
 
+  test("minhashRecallEval: complete truth, count consistency, vacuous edges") {
+    import spark.implicits._
+    // disjoint vocabularies per planted pair so truth is exactly the
+    // design: (1,2) identical (jr 1), (3,4) near (last word differs),
+    // (5,6) faint overlap (a couple of shared shingles, jr ~0.1 —
+    // "true" at threshold 0.05 but far below the banding collision knee)
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    val near = "red orange yellow green blue indigo violet crimson amber teal"
+    val faintA = "k1 k2 k3 shared one two three k4 k5 k6 k7 k8 k9 k10"
+    val faintB = "m1 m2 m3 shared one two three m4 m5 m6 m7 m8 m9 m10"
+    val corpus = Seq(
+      (1L, base), (2L, base),
+      (3L, near + " extra tail"), (4L, near.replace("teal", "olive") + " extra tail"),
+      (5L, faintA), (6L, faintB),
+      (7L, "completely unrelated vocabulary nothing in common at all")
+    ).toDF("doc_id", "text")
+    val r = Dedup.minhashRecallEval(corpus, "text", "doc_id", threshold = 0.05)
+      .collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (nDocs, nTrue, nCand, nHit) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    assert(nDocs == 7)
+    assert(nTrue == 3, s"planted truth pairs: got $nTrue") // (1,2) (3,4) (5,6)
+    assert(nHit <= nTrue && nHit <= nCand)
+    assert(nHit >= 1) // the identical pair always collides on every band
+    assert(row.getDouble(4) == nHit.toDouble / nTrue)
+    assert(row.getDouble(5) == (if (nCand == 0) 1.0 else nHit.toDouble / nCand))
+    // the faint pair is exactly what banding at k=32/bands=8 is tuned to
+    // miss at jr ~0.1 (collision prob 1-(1-j^4)^8 ≈ 0.1%) — recall < 1
+    // is the metric DISCRIMINATING, deterministic for this fixed corpus
+    assert(row.getDouble(4) < 1.0, s"expected the faint pair missed, got $row")
+    // vacuous edges: empty corpus → recall = precision = 1.0
+    val empty = Dedup.minhashRecallEval(corpus.filter(col("doc_id") < 0),
+      "text", "doc_id", threshold = 0.5).collect().head
+    assert(empty.getLong(1) == 0 && empty.getDouble(4) == 1.0 && empty.getDouble(5) == 1.0)
+    intercept[IllegalArgumentException] {
+      Dedup.minhashRecallEval(corpus, "text", "doc_id", threshold = 0.0)
+    }
+  }
+
   test("jaccard on pairs: identical docs = 1.0") {
     import spark.implicits._
     val pairs = Seq((1L, 4L), (1L, 3L)).toDF("id1", "id2")
