@@ -609,12 +609,20 @@ object Views {
     * per-bucket by the same xor-fold hash rank as [[stratifiedSample]] —
     * deterministic, engine-portable, incremental-rerun-stable.
     *
-    * Scale shape: two count aggregates (bucket-cardinality rows to the
-    * driver — languages/domains, not data), one window shuffle
-    * partitioned by the bucket column, quotas joined back via an
+    * Scale shape (the mixtureSample boundary-bucket trick — a per-BUCKET
+    * window would serialize each bucket's rows into one sort task, and
+    * bucket columns are typically LOW-cardinality (5 languages over
+    * 100 TB = 5 straggler tasks)): the hash range splits into 256
+    * contiguous sub-ranges, pass 1 counts rows per (bucket, sub-range)
+    * — bucket-cardinality × 256 rows to the driver — and a driver
+    * prefix scan finds, per bucket, the sub-range where its quota
+    * lands. Every earlier sub-range is kept by a PLAIN FILTER (no
+    * shuffle — sub-range index is monotone in the rank hash, so those
+    * rows are exactly the rank prefix), and only the one boundary
+    * sub-range (~1/256 of a bucket, bounded regardless of bucket size)
+    * goes through the row_number window. Cutoffs join back via an
     * explicit broadcast. NULL buckets participate like any other (the
-    * join is null-safe). Same few-large-strata caveat as
-    * stratifiedSample.
+    * join is null-safe).
     */
   def matchDistribution(ddf: DDF, bucketCol: String, keyCol: String,
                         target: DataFrame): DDF = {
@@ -622,32 +630,75 @@ object Views {
         .isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"matchDistribution: key column '$keyCol' must be numeric " +
         s"(got ${ddf.schema(keyCol).dataType.simpleString})")
+    val prime = 1000000007L
+    val nSubs = 256
+    val width = prime / nSubs + 1 // 256 contiguous hash ranges
     val tCounts = target.groupBy(col(bucketCol)).count().collect()
       .map(r => r.get(0) -> BigInt(r.getLong(1))).toMap
-    val dCounts = ddf.df.groupBy(col(bucketCol)).count().collect()
-      .map(r => r.get(0) -> BigInt(r.getLong(1))).toMap
+    val slim = ddf.df
+      .withColumn("__h", xorFold(col(keyCol), prime))
+      .withColumn("__sub", (col("__h") / lit(width)).cast("int"))
+    // pass 1 — ONE corpus aggregate: (bucket, sub-range) counts, a
+    // bucket-cardinality × ≤256 stats frame that stays DISTRIBUTED
+    // (localCheckpoint: read for the totals collect and twice more by
+    // the cut computation). Only per-bucket TOTALS reach the driver —
+    // bucket-cardinality rows, exactly what the pre-r13 shape collected
+    // — so high-cardinality bucket columns (millions of domains) don't
+    // ship a 256× table to the driver.
+    val stats = slim.groupBy(col(bucketCol).as("__cb"), col("__sub"))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint()
+    val dCounts = stats.groupBy(col("__cb")).agg(sum(col("__n")).as("__c"))
+      .collect().map(r => r.get(0) -> BigInt(r.getLong(1))).toMap
     val shared = dCounts.keySet.intersect(tCounts.keySet).toSeq
     require(shared.nonEmpty,
       s"matchDistribution: input and target share no '$bucketCol' buckets")
     val t = shared.iterator.map(tCounts).sum
     val mSize = shared.iterator.map(b => dCounts(b) * t / tCounts(b)).min
-    val quotaRows = shared.map { b =>
-      Row(b, (mSize * tCounts(b) / t).toLong)
-    }
+    val quotaRows = shared.map(b => Row(b, (mSize * tCounts(b) / t).toLong))
     val spark = ddf.df.sparkSession
-    val quotaDf = spark.createDataFrame(
-      new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(quotaRows).asJava),
-      org.apache.spark.sql.types.StructType(Seq(
-        ddf.schema(bucketCol).copy(name = "__mb"),
-        org.apache.spark.sql.types.StructField("__quota",
-          org.apache.spark.sql.types.LongType, nullable = false))))
+    def keyed(name: String, rows: Seq[Row], fields: org.apache.spark.sql.types.StructField*) =
+      spark.createDataFrame(
+        new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        org.apache.spark.sql.types.StructType(
+          ddf.schema(bucketCol).copy(name = name) +: fields))
+    val quotaDf = keyed("__qb", quotaRows,
+      org.apache.spark.sql.types.StructField("__quota",
+        org.apache.spark.sql.types.LongType, nullable = false))
+    // the cut — per bucket, the sub-range its quota lands in plus the
+    // quota remaining on entry — computes DISTRIBUTED over the stats
+    // frame (a running-sum window over ≤256 rows per bucket, trivially
+    // parallel): boundary = first sub-range whose running count exceeds
+    // the quota; a bucket whose quota covers it entirely has no
+    // crossing and keeps everything (boundary = nSubs sentinel).
+    val statsW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__cb")).orderBy(col("__sub"))
+    val crossed = stats
+      .join(broadcast(quotaDf), col("__cb") <=> col("__qb"))
+      .withColumn("__rs", sum(col("__n")).over(statsW))
+      .filter(col("__rs") > col("__quota"))
+      .groupBy(col("__cb").as("__xb"))
+      .agg(min_by(struct(col("__sub").as("bnd"),
+        (col("__quota") - (col("__rs") - col("__n"))).as("rem")), col("__sub")).as("__x"))
+    val cutDf = quotaDf
+      .join(crossed, col("__qb") <=> col("__xb"), "left")
+      .select(col("__qb").as("__mb"),
+        coalesce(col("__x").getField("bnd"), lit(nSubs)).as("__bnd"),
+        coalesce(col("__x").getField("rem"), lit(0L)).as("__rem"))
+    val joined = slim.join(broadcast(cutDf), col(bucketCol) <=> col("__mb"))
+    // sub-range index is monotone in the rank hash → every pre-boundary
+    // row precedes every boundary row in (hash, key) rank order, and
+    // equal hashes share a sub-range, so filter + boundary-window is
+    // EXACTLY the global rank ≤ quota selection
+    val keepWhole = joined.filter(col("__sub") < col("__bnd"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(bucketCol)).orderBy(xorFold(col(keyCol), 1000000007L), col(keyCol))
-    ddf.derive(ddf.df
+      .partitionBy(col(bucketCol)).orderBy(col("__h"), col(keyCol))
+    val keepBoundary = joined.filter(col("__sub") === col("__bnd"))
       .withColumn("__rn", row_number().over(w))
-      .join(broadcast(quotaDf), col(bucketCol) <=> col("__mb"))
-      .filter(col("__rn") <= col("__quota"))
-      .drop("__rn", "__mb", "__quota"))
+      .filter(col("__rn") <= col("__rem"))
+      .drop("__rn")
+    ddf.derive(keepWhole.unionByName(keepBoundary)
+      .drop("__h", "__sub", "__mb", "__bnd", "__rem"))
   }
 
   def stratifiedSample(ddf: DDF, strataCol: String, n: Int, keyCol: String): DDF = {

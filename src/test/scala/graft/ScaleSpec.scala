@@ -645,6 +645,49 @@ class ScaleSpec extends SparkTestBase {
     assert(out.count() > 0)
   }
 
+  test("matchDistribution: the data-path window runs over the boundary sub-range only") {
+    import spark.implicits._
+    val m = new graft.core.DDFManager(spark)
+    // range-derived so ConvertToLocalRelation can't fold the filters away
+    val corpus = spark.range(600).select(col("id").as("doc_id"),
+      concat(lit("b"), pmod(col("id"), lit(3))).as("lang"))
+    val target = spark.range(90).select(col("id").as("doc_id"),
+      concat(lit("b"), pmod(col("id"), lit(2))).as("lang"))
+    val out = graft.operators.Views.matchDistribution(
+      m.register(corpus), "lang", "doc_id", target.toDF())
+    // bucket columns are LOW-cardinality (5 languages over 100 TB): a
+    // Window.partitionBy(bucket) over the full corpus is a handful of
+    // straggler sort tasks. Every corpus-path window must sit above the
+    // boundary sub-range equality filter; the only other window allowed
+    // is the cut computation over the (bucket, sub) stats frame —
+    // recognizable by its __cb partition key and ≤256 rows per bucket.
+    val windows = out.df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    val dataWindows = windows.filterNot(
+      _.partitionSpec.exists(_.references.exists(_.name == "__cb")))
+    assert(dataWindows.nonEmpty, "expected the boundary sub-range window")
+    dataWindows.foreach { w =>
+      // the optimizer may keep the boundary restriction as a Filter or
+      // fold it into the broadcast join's condition — both shapes keep
+      // the window's input to the boundary sub-range
+      val conds = w.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j.condition.getOrElse(
+          org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral)
+      }
+      val hasBoundaryFilter = conds.exists(_.find {
+        case eq: org.apache.spark.sql.catalyst.expressions.EqualTo =>
+          eq.references.exists(a => a.name == "__sub" || a.name == "__bnd")
+        case _ => false
+      }.isDefined)
+      assert(hasBoundaryFilter,
+        s"window must be fed by the sub-range boundary filter:\n${w.toString.take(2000)}")
+    }
+    // and the selection itself stays correct under the split
+    assert(out.df.count() > 0 && out.df.count() <= 600)
+  }
+
   test("fillDirectional with partitionCols: per-group hash-partitioned window") {
     import graft.operators.MissingData
     import spark.implicits._
