@@ -387,6 +387,42 @@ object ScaleSmoke {
         "budget_by_group_window(ref)" -> (() => {
           tpchViews; budgetGroupWindowRow(liBudgetBase * 3 / 10 / 400)
         }),
+        // distribution matching (c12) vs the naive whole-bucket window at
+        // THREE buckets (l_returnflag) — the low-cardinality straggler
+        // case the r13 boundary rewrite exists for. Target mix = the
+        // small-quantity slice's returnflag mix.
+        "match_distribution(c12)" -> (() => {
+          tpchViews
+          val li = spark.table("lineitem")
+            .select((col("l_orderkey") * 8 + col("l_linenumber")).as("key"),
+              col("l_returnflag").as("bucket"))
+          val tgt = spark.table("lineitem").filter(col("l_quantity") <= 10)
+            .select(col("l_returnflag").as("bucket"))
+          val m = new graft.core.DDFManager(spark)
+          graft.operators.Views.matchDistribution(
+            m.register(li), "bucket", "key", tgt).df.count()
+        }),
+        "match_distribution_window(ref)" -> (() => {
+          tpchViews
+          val li = spark.table("lineitem")
+            .select((col("l_orderkey") * 8 + col("l_linenumber")).as("key"),
+              col("l_returnflag").as("bucket"))
+          val tgt = spark.table("lineitem").filter(col("l_quantity") <= 10)
+            .select(col("l_returnflag").as("bucket"))
+          val tc = tgt.groupBy("bucket").count().collect()
+            .map(r => r.getString(0) -> BigInt(r.getLong(1))).toMap
+          val dc = li.groupBy("bucket").count().collect()
+            .map(r => r.getString(0) -> BigInt(r.getLong(1))).toMap
+          val shared = dc.keySet.intersect(tc.keySet).toSeq
+          val t = shared.iterator.map(tc).sum
+          val mSize = shared.iterator.map(b => dc(b) * t / tc(b)).min
+          val quota = typedLit(shared.map(b => b -> (mSize * tc(b) / t).toLong).toMap)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("bucket"))
+            .orderBy(graft.operators.Views.xorFold(col("key"), 1000000007L), col("key"))
+          li.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") <= quota(col("bucket"))).count()
+        }),
         "pagerank_weighted(g04)" -> (() => {
           // g01's graph with shipment-count weights — measures the
           // weighted contribution arithmetic on the same join+agg shape
