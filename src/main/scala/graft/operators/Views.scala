@@ -349,8 +349,11 @@ object Views {
     * lexicographic at-or-before predicate — a plain Catalyst filter, no
     * pinned storage, no full-payload shuffle. Caveat (same as
     * stratifiedSample): one colossal group serializes ITS slim rows
-    * into one sort task — pre-filter with [[hashSample]] when a single
-    * group approaches corpus scale.
+    * into one sort task — this operator targets the MANY-groups regime
+    * (domains, sources). With a handful of corpus-scale groups, run
+    * [[budgetSelect]] once per group instead (its range exchange
+    * spreads the sort across the cluster; a per-group window cannot),
+    * or pre-filter with [[hashSample]].
     */
   def budgetSelectByGroup(df: DataFrame, groupCol: String, order: Seq[Column],
                           costCol: String, budgets: Map[Any, Long],
