@@ -5491,6 +5491,87 @@ object SparkEntry {
              |SELECT doc_id, lang FROM r JOIN q USING (lang)
              |WHERE rn <= quota ORDER BY doc_id""".stripMargin)),
 
+    Q("c13_curation_audit",
+      (s, d) => {
+        val m = mgr(s, d)
+        // per-doc disposition through the standard curation chain (round
+        // 13): quality rules → exact dedup → near-dup → decontamination,
+        // each stage judged among the PREVIOUS stage's survivors (the
+        // order the pipeline actually runs) — the "why was my doc
+        // dropped" explainability report a corpus owner asks for.
+        // Stage configurations are the gate-proven ones (c04's rules,
+        // d07's portable minhash at 0.5, p05's %37 bench suites at n=3),
+        // so the oracle assembles from their proven fragments.
+        val docs = m.getDDFByName("documents").df
+        val rulePassIds = pipeline.TextAnalysis.c4Rules(docs, "text", "doc_id",
+            minWords = 30, minMeanLen = 3.0, maxMeanLen = 4.5, maxWordLen = 25,
+            requireTerminalPunct = false)
+          .filter(col("keep")).select(col("id").as("doc_id"))
+        val rulePass = docs.join(rulePassIds, Seq("doc_id"), "left_semi")
+        val exactSurv = pipeline.Dedup.exactSurvivors(rulePass, "text", "doc_id")
+        val ndLosers = pipeline.Dedup.minhashDedup(exactSurv, "text", "doc_id",
+            threshold = 0.5, portable = true)
+          .select(col("id2").as("doc_id")).distinct()
+        val ndSurv = exactSurv.join(ndLosers, Seq("doc_id"), "left_anti")
+        val benches = docs.filter(col("doc_id") % 37 === 0)
+          .select(concat(lit("b"), (col("doc_id") % 3).cast("string")).as("bench_id"),
+            col("text"))
+        val clean = pipeline.TextAnalysis.decontaminatedAll(
+          ndSurv, benches, "text", "doc_id", "bench_id", n = 3)
+        docs.select("doc_id")
+          .join(rulePassIds.withColumn("__rp", lit(true)), Seq("doc_id"), "left")
+          .join(exactSurv.select("doc_id").withColumn("__es", lit(true)),
+            Seq("doc_id"), "left")
+          .join(ndSurv.select("doc_id").withColumn("__ns", lit(true)),
+            Seq("doc_id"), "left")
+          .join(clean.select("doc_id").withColumn("__cl", lit(true)),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("__rp").isNull, "rules")
+              .when(col("__es").isNull, "exact_dup")
+              .when(col("__ns").isNull, "near_dup")
+              .when(col("__cl").isNull, "contaminated")
+              .otherwise("kept").as("disposition"))
+          .orderBy("doc_id")
+      },
+      // each stage's membership set replayed from its own gate's proven
+      // SQL (c04 keep expression; p05's min-id dedup + shingle-union
+      // contamination; d07's portable minhash stack over the exact
+      // survivors), then one CASE walks the chain in pipeline order
+      Some(s"""WITH t AS (SELECT doc_id AS id, text, ${duckToks("text")} AS tk
+              |  FROM documents),
+              |rl AS (SELECT id FROM t WHERE len(tk) >= 30
+              |  AND (CASE WHEN len(tk) = 0 THEN 0.0
+              |       ELSE list_sum(list_transform(tk, x -> length(x))) / len(tk)::DOUBLE END)
+              |      BETWEEN 3.0 AND 4.5
+              |  AND coalesce(list_max(list_transform(tk, x -> length(x))), 0) <= 25
+              |  AND NOT contains(lower(text), 'lorem ipsum')
+              |  AND NOT contains(lower(text), 'javascript')
+              |  AND NOT contains(lower(text), '{')),
+              |rp AS (SELECT d.* FROM documents d JOIN rl ON rl.id = d.doc_id),
+              |reps AS (SELECT min(doc_id) AS doc_id FROM rp
+              |  GROUP BY md5(${duckNorm("text")})),
+              |es AS (SELECT rp.* FROM rp JOIN reps USING (doc_id)),
+              |${duckMinhashCtes("es")},
+              |ndl AS (SELECT DISTINCT id2 AS doc_id FROM mpairs WHERE jr >= 0.5),
+              |ns AS (SELECT * FROM es
+              |  WHERE doc_id NOT IN (SELECT doc_id FROM ndl)),
+              |ntk AS (SELECT doc_id, ${duckToks("text")} AS tk FROM ns),
+              |csh AS (SELECT doc_id, ${duckNgrams("tk", 3)} AS shs FROM ntk),
+              |cex AS (SELECT DISTINCT doc_id, unnest(shs) AS s FROM csh),
+              |btk AS (SELECT doc_id, ${duckToks("text")} AS tk FROM documents
+              |  WHERE doc_id % 37 = 0),
+              |bshs AS (SELECT doc_id, ${duckNgrams("tk", 3)} AS shs FROM btk),
+              |bex AS (SELECT DISTINCT unnest(shs) AS s FROM bshs),
+              |contam AS (SELECT DISTINCT e.doc_id FROM cex e JOIN bex USING (s))
+              |SELECT d.doc_id,
+              |  CASE WHEN d.doc_id NOT IN (SELECT doc_id FROM rp) THEN 'rules'
+              |       WHEN d.doc_id NOT IN (SELECT doc_id FROM es) THEN 'exact_dup'
+              |       WHEN d.doc_id IN (SELECT doc_id FROM ndl) THEN 'near_dup'
+              |       WHEN d.doc_id IN (SELECT doc_id FROM contam) THEN 'contaminated'
+              |       ELSE 'kept' END AS disposition
+              |FROM documents d ORDER BY d.doc_id""".stripMargin)),
+
     Q("c04_c4_rules",
       (s, d) => {
         val m = mgr(s, d)
