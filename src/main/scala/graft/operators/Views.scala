@@ -625,7 +625,12 @@ object Views {
     * sub-range (~1/256 of a bucket, bounded regardless of bucket size)
     * goes through the row_number window. Cutoffs join back via an
     * explicit broadcast. NULL buckets participate like any other (the
-    * join is null-safe).
+    * join is null-safe). Trade note: the two branches each read the
+    * input, so an action executes the input's lineage twice (the
+    * pre-r13 whole-bucket window read it once — and shuffled all of
+    * it; measured 6.1× slower at the third decade, SCALE.md). Callers
+    * whose input is an expensive unmaterialized chain (not a parquet
+    * scan) should persist it first.
     */
   def matchDistribution(ddf: DDF, bucketCol: String, keyCol: String,
                         target: DataFrame): DDF = {
@@ -643,14 +648,16 @@ object Views {
       .withColumn("__sub", (col("__h") / lit(width)).cast("int"))
     // pass 1 — ONE corpus aggregate: (bucket, sub-range) counts, a
     // bucket-cardinality × ≤256 stats frame that stays DISTRIBUTED
-    // (localCheckpoint: read for the totals collect and twice more by
-    // the cut computation). Only per-bucket TOTALS reach the driver —
-    // bucket-cardinality rows, exactly what the pre-r13 shape collected
-    // — so high-cardinality bucket columns (millions of domains) don't
-    // ship a 256× table to the driver.
+    // (persist, NOT localCheckpoint: the totals collect materializes
+    // the cache in the job it already runs, where an eager checkpoint
+    // would schedule a separate materialization job — measured ~0.6 s
+    // of fixed overhead on the p08 bench row). Only per-bucket TOTALS
+    // reach the driver — bucket-cardinality rows, exactly what the
+    // pre-r13 shape collected — so high-cardinality bucket columns
+    // (millions of domains) don't ship a 256× table to the driver.
     val stats = slim.groupBy(col(bucketCol).as("__cb"), col("__sub"))
       .agg(count(lit(1)).as("__n"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dCounts = stats.groupBy(col("__cb")).agg(sum(col("__n")).as("__c"))
       .collect().map(r => r.get(0) -> BigInt(r.getLong(1))).toMap
     val shared = dCounts.keySet.intersect(tCounts.keySet).toSeq
