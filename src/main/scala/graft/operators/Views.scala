@@ -558,38 +558,24 @@ object Views {
         .isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"temperatureResample: key column '$keyCol' must be numeric")
     // NULL groups participate like any other group (they're a real
-    // mixture component in curation data) — the quota join below is on
-    // a null-safe key, so their rows aren't silently dropped
-    val counts = ddf.df.groupBy(col(groupCol)).count().collect()
-      .map(r => r.get(0) -> BigInt(r.getLong(1))).toSeq
-    // empty input: zero groups → total = 0 would be an opaque BigInt
-    // divide-by-zero at quota computation; an empty frame resamples to
-    // itself
-    if (counts.isEmpty) return ddf.derive(ddf.df)
-    val total = counts.map { case (_, c) => c.pow(power) }.sum
-    // a group whose quota exceeds its row count contributes all its rows
-    // and the output lands SHORT of targetTotal (no redistribution) —
-    // inherent to sharpening (power >= 2): the target leans on big groups
-    // harder than they can supply. Size targetTotal accordingly.
-    val quotaRows = counts.map { case (g, c) =>
-      org.apache.spark.sql.Row(g, (BigInt(targetTotal) * c.pow(power) / total).toLong)
-    }
-    val spark = ddf.df.sparkSession
-    // broadcast quota frame, not a when-chain: a per-row O(#groups)
-    // when() scan breaks codegen and the driver at domain cardinalities
-    val quotaDf = spark.createDataFrame(
-      new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(quotaRows).asJava),
-      org.apache.spark.sql.types.StructType(Seq(
-        ddf.schema(groupCol).copy(name = "__g"),
-        org.apache.spark.sql.types.StructField("__quota",
-          org.apache.spark.sql.types.LongType, nullable = false))))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol)).orderBy(xorFold(col(keyCol), 1000000007L), col(keyCol))
-    ddf.derive(ddf.df
-      .withColumn("__rn", row_number().over(w))
-      .join(broadcast(quotaDf), col(groupCol) <=> col("__g"))
-      .filter(col("__rn") <= col("__quota"))
-      .drop("__rn", "__g", "__quota"))
+    // mixture component in curation data) — the quota join inside the
+    // boundary-sub-range helper is on a null-safe key, so their rows
+    // aren't silently dropped. Quota math: a group whose quota exceeds
+    // its row count contributes all its rows and the output lands SHORT
+    // of targetTotal (no redistribution) — inherent to sharpening
+    // (power >= 2): the target leans on big groups harder than they can
+    // supply. Size targetTotal accordingly.
+    ddf.derive(rankPrefixPerBucket(ddf.df, groupCol, keyCol, counts =>
+      // empty input: zero groups → total = 0 would be an opaque BigInt
+      // divide-by-zero; an empty frame resamples to itself (the helper
+      // returns the input unchanged on an empty quota list)
+      if (counts.isEmpty) Seq.empty
+      else {
+        val total = counts.valuesIterator.map(_.pow(power)).sum
+        counts.toSeq.map { case (g, c) =>
+          g -> (BigInt(targetTotal) * c.pow(power) / total).toLong
+        }
+      }))
   }
 
   /** Distribution matching: downsample `ddf` so its mix over
@@ -638,12 +624,36 @@ object Views {
         .isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"matchDistribution: key column '$keyCol' must be numeric " +
         s"(got ${ddf.schema(keyCol).dataType.simpleString})")
+    val tCounts = target.groupBy(col(bucketCol)).count().collect()
+      .map(r => r.get(0) -> BigInt(r.getLong(1))).toMap
+    ddf.derive(rankPrefixPerBucket(ddf.df, bucketCol, keyCol, dCounts => {
+      val shared = dCounts.keySet.intersect(tCounts.keySet).toSeq
+      require(shared.nonEmpty,
+        s"matchDistribution: input and target share no '$bucketCol' buckets")
+      val t = shared.iterator.map(tCounts).sum
+      val mSize = shared.iterator.map(b => dCounts(b) * t / tCounts(b)).min
+      shared.map(b => b -> (mSize * tCounts(b) / t).toLong)
+    }))
+  }
+
+  /** The boundary-sub-range rank-prefix selection shared by
+    * [[matchDistribution]], [[temperatureResample]], and
+    * [[stratifiedSample]]: keep, per bucket, the first quota rows in
+    * (xorFold(key), key) rank order — WITHOUT a whole-bucket window
+    * (low-cardinality bucket columns would degenerate to #buckets
+    * straggler sort tasks; measured 6.1× at the third decade,
+    * SCALE.md's c12 row). `quotasOf` receives the per-bucket totals
+    * (the bucket-cardinality driver collect all three operators already
+    * paid) and returns per-bucket quotas; it runs even on an empty
+    * input so callers keep their own empty/disjoint contracts.
+    */
+  private def rankPrefixPerBucket(df: DataFrame, bucketCol: String,
+                                  keyCol: String,
+                                  quotasOf: Map[Any, BigInt] => Seq[(Any, Long)]): DataFrame = {
     val prime = 1000000007L
     val nSubs = 256
     val width = prime / nSubs + 1 // 256 contiguous hash ranges
-    val tCounts = target.groupBy(col(bucketCol)).count().collect()
-      .map(r => r.get(0) -> BigInt(r.getLong(1))).toMap
-    val slim = ddf.df
+    val slim = df
       .withColumn("__h", xorFold(col(keyCol), prime))
       .withColumn("__sub", (col("__h") / lit(width)).cast("int"))
     // pass 1 — ONE corpus aggregate: (bucket, sub-range) counts, a
@@ -652,26 +662,23 @@ object Views {
     // the cache in the job it already runs, where an eager checkpoint
     // would schedule a separate materialization job — measured ~0.6 s
     // of fixed overhead on the p08 bench row). Only per-bucket TOTALS
-    // reach the driver — bucket-cardinality rows, exactly what the
-    // pre-r13 shape collected — so high-cardinality bucket columns
-    // (millions of domains) don't ship a 256× table to the driver.
+    // reach the driver — bucket-cardinality rows — so high-cardinality
+    // bucket columns (millions of domains) don't ship a 256× table to
+    // the driver.
     val stats = slim.groupBy(col(bucketCol).as("__cb"), col("__sub"))
       .agg(count(lit(1)).as("__n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dCounts = stats.groupBy(col("__cb")).agg(sum(col("__n")).as("__c"))
       .collect().map(r => r.get(0) -> BigInt(r.getLong(1))).toMap
-    val shared = dCounts.keySet.intersect(tCounts.keySet).toSeq
-    require(shared.nonEmpty,
-      s"matchDistribution: input and target share no '$bucketCol' buckets")
-    val t = shared.iterator.map(tCounts).sum
-    val mSize = shared.iterator.map(b => dCounts(b) * t / tCounts(b)).min
-    val quotaRows = shared.map(b => Row(b, (mSize * tCounts(b) / t).toLong))
-    val spark = ddf.df.sparkSession
+    val quotas = quotasOf(dCounts)
+    if (quotas.isEmpty) return df // empty input resamples to itself
+    val quotaRows = quotas.map { case (b, q) => Row(b, q) }
+    val spark = df.sparkSession
     def keyed(name: String, rows: Seq[Row], fields: org.apache.spark.sql.types.StructField*) =
       spark.createDataFrame(
         new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
         org.apache.spark.sql.types.StructType(
-          ddf.schema(bucketCol).copy(name = name) +: fields))
+          df.schema(bucketCol).copy(name = name) +: fields))
     val quotaDf = keyed("__qb", quotaRows,
       org.apache.spark.sql.types.StructField("__quota",
         org.apache.spark.sql.types.LongType, nullable = false))
@@ -707,8 +714,8 @@ object Views {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= col("__rem"))
       .drop("__rn")
-    ddf.derive(keepWhole.unionByName(keepBoundary)
-      .drop("__h", "__sub", "__mb", "__bnd", "__rem"))
+    keepWhole.unionByName(keepBoundary)
+      .drop("__h", "__sub", "__mb", "__bnd", "__rem")
   }
 
   def stratifiedSample(ddf: DDF, strataCol: String, n: Int, keyCol: String): DDF = {
@@ -719,10 +726,10 @@ object Views {
         .isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"stratifiedSample: key column '$keyCol' must be numeric " +
         s"(got ${ddf.schema(keyCol).dataType.simpleString})")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(strataCol)).orderBy(xorFold(col(keyCol), 1000000007L), col(keyCol))
-    ddf.derive(ddf.df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= n).drop("__rn"))
+    // boundary-sub-range shape (r13): n-per-stratum is rank ≤ quota with
+    // quota = n for every stratum present
+    ddf.derive(rankPrefixPerBucket(ddf.df, strataCol, keyCol,
+      totals => totals.keys.toSeq.map(_ -> n.toLong)))
   }
 
   /** Extension (training-data pipeline): deterministic corpus shuffle.

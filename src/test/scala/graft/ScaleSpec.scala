@@ -60,7 +60,7 @@ class ScaleSpec extends SparkTestBase {
       s"partition filter must reach the scan, got: ${scan.partitionFilters}")
   }
 
-  test("temperatureResample plans ONE window shuffle plus a broadcast quota join") {
+  test("temperatureResample: broadcast quota join; data-path window boundary-bounded") {
     import spark.implicits._
     val m = new graft.core.DDFManager(spark)
     val df = (1 to 300).map(i => (i.toLong, s"g${i % 3}")).toDF("doc_id", "lang")
@@ -69,10 +69,28 @@ class ScaleSpec extends SparkTestBase {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
       s"quota join must broadcast, got:\n$plan")
-    // exactly one hash-partitioned exchange (the window on the group col);
-    // the quota side contributes only a broadcast exchange
-    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
-    assert(shuffles == 1, s"expected 1 window shuffle, got $shuffles:\n$plan")
+    // r13: the boundary-sub-range shape replaced the whole-group window
+    // — every corpus-path window must sit above the sub-range boundary
+    // restriction (matchDistribution's pin, same helper)
+    val windows = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    val dataWindows = windows.filterNot(
+      _.partitionSpec.exists(_.references.exists(_.name == "__cb")))
+    assert(dataWindows.nonEmpty, "expected the boundary sub-range window")
+    dataWindows.foreach { w =>
+      val conds = w.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j.condition.getOrElse(
+          org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral)
+      }
+      assert(conds.exists(_.find {
+        case eq: org.apache.spark.sql.catalyst.expressions.EqualTo =>
+          eq.references.exists(a => a.name == "__sub" || a.name == "__bnd")
+        case _ => false
+      }.isDefined),
+        s"window must be fed by the sub-range boundary filter:\n${w.toString.take(2000)}")
+    }
     assert(out.count() > 0)
   }
 
