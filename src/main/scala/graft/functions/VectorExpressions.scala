@@ -197,13 +197,21 @@ object GraftFunctions {
     reg.registerFunction(
       FunctionIdentifier("unicode_normalize"),
       new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
-      (exprs: Seq[Expression]) => UnicodeNormalize(exprs(0), exprs match {
-        case Seq(_) => "NFC"
-        case Seq(_, org.apache.spark.sql.catalyst.expressions.Literal(f: org.apache.spark.unsafe.types.UTF8String, StringType)) =>
-          f.toString.toUpperCase
-        case _ => throw new IllegalArgumentException(
-          "unicode_normalize: form must be a string literal (NFC/NFD/NFKC/NFKD)")
-      }))
+      (exprs: Seq[Expression]) => {
+        // arity first: a 0-arg call must fail with this message, not an
+        // IndexOutOfBoundsException from exprs(0) (r13 ADVICE)
+        require(exprs.size == 1 || exprs.size == 2,
+          s"unicode_normalize expects (string) or (string, form), got ${exprs.size} arguments")
+        UnicodeNormalize(exprs(0), exprs match {
+          case Seq(_) => "NFC"
+          case Seq(_, org.apache.spark.sql.catalyst.expressions.Literal(f: org.apache.spark.unsafe.types.UTF8String, StringType)) =>
+            // Locale.ROOT: form matching must not depend on the JVM default
+            // locale (Turkish dotless-i class of bug)
+            f.toString.toUpperCase(java.util.Locale.ROOT)
+          case _ => throw new IllegalArgumentException(
+            "unicode_normalize: form must be a string literal (NFC/NFD/NFKC/NFKD)")
+        })
+      })
     reg.registerFunction(
       FunctionIdentifier("bounded_top_k"),
       new ExpressionInfo(classOf[BoundedTopK].getName, "bounded_top_k"),

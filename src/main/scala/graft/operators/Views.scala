@@ -626,14 +626,21 @@ object Views {
         s"(got ${ddf.schema(keyCol).dataType.simpleString})")
     val tCounts = target.groupBy(col(bucketCol)).count().collect()
       .map(r => r.get(0) -> BigInt(r.getLong(1))).toMap
-    ddf.derive(rankPrefixPerBucket(ddf.df, bucketCol, keyCol, dCounts => {
-      val shared = dCounts.keySet.intersect(tCounts.keySet).toSeq
-      require(shared.nonEmpty,
-        s"matchDistribution: input and target share no '$bucketCol' buckets")
-      val t = shared.iterator.map(tCounts).sum
-      val mSize = shared.iterator.map(b => dCounts(b) * t / tCounts(b)).min
-      shared.map(b => b -> (mSize * tCounts(b) / t).toLong)
-    }))
+    ddf.derive(rankPrefixPerBucket(ddf.df, bucketCol, keyCol, dCounts =>
+      // empty INPUT matches-to-itself (an aggressively filtered upstream
+      // stage is a legitimate empty, not a disjoint-buckets error — the
+      // temperatureResample contract; r13 ADVICE): empty quotas make
+      // rankPrefixPerBucket return the (empty) frame unchanged. The
+      // require below stays for genuinely disjoint NON-empty inputs.
+      if (dCounts.isEmpty) Seq.empty
+      else {
+        val shared = dCounts.keySet.intersect(tCounts.keySet).toSeq
+        require(shared.nonEmpty,
+          s"matchDistribution: input and target share no '$bucketCol' buckets")
+        val t = shared.iterator.map(tCounts).sum
+        val mSize = shared.iterator.map(b => dCounts(b) * t / tCounts(b)).min
+        shared.map(b => b -> (mSize * tCounts(b) / t).toLong)
+      }))
   }
 
   /** The boundary-sub-range rank-prefix selection shared by
@@ -646,6 +653,16 @@ object Views {
     * (the bucket-cardinality driver collect all three operators already
     * paid) and returns per-bucket quotas; it runs even on an empty
     * input so callers keep their own empty/disjoint contracts.
+    *
+    * Correctness precondition (r13 ADVICE): the input's lineage must be
+    * DETERMINISTIC under re-execution — the two returned branches and
+    * the pass-1 stats each re-run it, and a nondeterministic lineage
+    * (e.g. an upstream non-seeded sample) could make the pass-2 rows
+    * disagree with the pass-1 counts, silently mis-sizing quotas. A
+    * parquet scan plus deterministic transforms (every caller in this
+    * repo) is fine; anything else should be persisted/checkpointed by
+    * the caller first — which is also the perf advice for expensive
+    * unmaterialized chains (see matchDistribution's trade note).
     */
   private def rankPrefixPerBucket(df: DataFrame, bucketCol: String,
                                   keyCol: String,
@@ -668,40 +685,59 @@ object Views {
     val stats = slim.groupBy(col(bucketCol).as("__cb"), col("__sub"))
       .agg(count(lit(1)).as("__n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dCounts = stats.groupBy(col("__cb")).agg(sum(col("__n")).as("__c"))
-      .collect().map(r => r.get(0) -> BigInt(r.getLong(1))).toMap
-    val quotas = quotasOf(dCounts)
-    if (quotas.isEmpty) return df // empty input resamples to itself
-    val quotaRows = quotas.map { case (b, q) => Row(b, q) }
     val spark = df.sparkSession
     def keyed(name: String, rows: Seq[Row], fields: org.apache.spark.sql.types.StructField*) =
       spark.createDataFrame(
         new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
         org.apache.spark.sql.types.StructType(
           df.schema(bucketCol).copy(name = name) +: fields))
-    val quotaDf = keyed("__qb", quotaRows,
-      org.apache.spark.sql.types.StructField("__quota",
+    // Both reads of `stats` (totals, then the cut) happen inside this
+    // try; the returned plan references only the driver-built cutDf, so
+    // stats releases EAGERLY in the finally instead of lingering in the
+    // cache until ContextCleaner notices (r13 ADVICE — repeated
+    // matchDistribution/stratifiedSample calls in a long-lived session
+    // were each leaving a cached frame behind).
+    val cutRows = try {
+      val dCounts = stats.groupBy(col("__cb")).agg(sum(col("__n")).as("__c"))
+        .collect().map(r => r.get(0) -> BigInt(r.getLong(1))).toMap
+      val quotas = quotasOf(dCounts)
+      if (quotas.isEmpty) Seq.empty[Row] // empty input resamples to itself
+      else {
+        val quotaDf = keyed("__qb", quotas.map { case (b, q) => Row(b, q) },
+          org.apache.spark.sql.types.StructField("__quota",
+            org.apache.spark.sql.types.LongType, nullable = false))
+        // the cut — per bucket, the sub-range its quota lands in plus the
+        // quota remaining on entry — computes DISTRIBUTED over the stats
+        // frame (a running-sum window over ≤256 rows per bucket, trivially
+        // parallel): boundary = first sub-range whose running count exceeds
+        // the quota; a bucket whose quota covers it entirely has no
+        // crossing and keeps everything (boundary = nSubs sentinel). Only
+        // the bucket-cardinality RESULT — one (bucket, boundary, rem) row
+        // per bucket, the same scale quotasOf already collected — comes
+        // back to the driver; the per-(bucket, sub-range) stats never do.
+        val statsW = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__cb")).orderBy(col("__sub"))
+        val crossed = stats
+          .join(broadcast(quotaDf), col("__cb") <=> col("__qb"))
+          .withColumn("__rs", sum(col("__n")).over(statsW))
+          .filter(col("__rs") > col("__quota"))
+          .groupBy(col("__cb").as("__xb"))
+          .agg(min_by(struct(col("__sub").as("bnd"),
+            (col("__quota") - (col("__rs") - col("__n"))).as("rem")), col("__sub")).as("__x"))
+        quotaDf
+          .join(crossed, col("__qb") <=> col("__xb"), "left")
+          .select(col("__qb"),
+            coalesce(col("__x").getField("bnd"), lit(nSubs)).as("__bnd"),
+            coalesce(col("__x").getField("rem"), lit(0L)).as("__rem"))
+          .collect().toSeq
+      }
+    } finally stats.unpersist(blocking = false)
+    if (cutRows.isEmpty) return df // empty input resamples to itself
+    val cutDf = keyed("__mb", cutRows,
+      org.apache.spark.sql.types.StructField("__bnd",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("__rem",
         org.apache.spark.sql.types.LongType, nullable = false))
-    // the cut — per bucket, the sub-range its quota lands in plus the
-    // quota remaining on entry — computes DISTRIBUTED over the stats
-    // frame (a running-sum window over ≤256 rows per bucket, trivially
-    // parallel): boundary = first sub-range whose running count exceeds
-    // the quota; a bucket whose quota covers it entirely has no
-    // crossing and keeps everything (boundary = nSubs sentinel).
-    val statsW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__cb")).orderBy(col("__sub"))
-    val crossed = stats
-      .join(broadcast(quotaDf), col("__cb") <=> col("__qb"))
-      .withColumn("__rs", sum(col("__n")).over(statsW))
-      .filter(col("__rs") > col("__quota"))
-      .groupBy(col("__cb").as("__xb"))
-      .agg(min_by(struct(col("__sub").as("bnd"),
-        (col("__quota") - (col("__rs") - col("__n"))).as("rem")), col("__sub")).as("__x"))
-    val cutDf = quotaDf
-      .join(crossed, col("__qb") <=> col("__xb"), "left")
-      .select(col("__qb").as("__mb"),
-        coalesce(col("__x").getField("bnd"), lit(nSubs)).as("__bnd"),
-        coalesce(col("__x").getField("rem"), lit(0L)).as("__rem"))
     val joined = slim.join(broadcast(cutDf), col(bucketCol) <=> col("__mb"))
     // sub-range index is monotone in the rank hash → every pre-boundary
     // row precedes every boundary row in (hash, key) rank order, and

@@ -221,6 +221,30 @@ class CurationSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("matchDistribution: empty input matches-to-itself; no cached residue left behind") {
+    import spark.implicits._
+    // r13 ADVICE: an empty upstream stage must come back as an empty
+    // frame (the temperatureResample contract), not the misleading
+    // disjoint-buckets IllegalArgumentException
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "lang")
+    val target = Seq((1L, "en")).toDF("doc_id", "lang")
+    val out = Views.matchDistribution(m.register(empty), "lang", "doc_id", target).df
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("doc_id", "lang"))
+    // r13 ADVICE: the internal stats persist must be RELEASED before the
+    // operator returns — repeated calls in a long-lived session must not
+    // accumulate cached frames waiting on ContextCleaner
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val df = (1 to 50).map(i => (i.toLong, if (i % 2 == 0) "en" else "fr"))
+      .toDF("doc_id", "lang")
+    val matched = Views.matchDistribution(m.register(df), "lang", "doc_id",
+      Seq((1L, "en"), (2L, "fr")).toDF("doc_id", "lang")).df
+    matched.count() // execute the returned plan — must not need the cache
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      s"matchDistribution left persisted RDDs behind: ${after -- before}")
+  }
+
   test("matchDistribution: NULL bucket participates; disjoint buckets fail loudly") {
     import spark.implicits._
     val df = (1 to 40).map { i =>

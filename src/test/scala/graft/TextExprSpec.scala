@@ -239,6 +239,14 @@ class TextExprSpec extends SparkTestBase {
       graft.functions.UnicodeNormalize(
         org.apache.spark.sql.graftbridge.Bridge.expression(col("t")), "NFX")
     }
+    // r13 ADVICE: a 0-arg call fails with the arity message, not a raw
+    // IndexOutOfBoundsException from exprs(0)
+    val zeroArg = intercept[Exception](spark.sql("select unicode_normalize()").collect())
+    assert(zeroArg.getMessage.contains("unicode_normalize expects"), zeroArg.getMessage)
+    // and a 3-arg call hits the same guard
+    val threeArg = intercept[Exception](
+      spark.sql("select unicode_normalize('a', 'NFC', 'x')").collect())
+    assert(threeArg.getMessage.contains("unicode_normalize expects"), threeArg.getMessage)
     // stays inside whole-stage codegen (range() defeats constant folding)
     val plan = spark.range(20)
       .select(unicodeNormalize(concat(lit("x\u0301"), col("id"))).as("n"))
