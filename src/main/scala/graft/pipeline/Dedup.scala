@@ -443,7 +443,12 @@ object Dedup {
     * is the all-pairs shape minhash exists to avoid — this operator is
     * for EVAL slices (pre-filter with [[graft.operators.Views.hashSample]]
     * or an id range), never the full corpus; at corpus scale a hot
-    * shingle makes it quadratic.
+    * shingle makes it quadratic. That contract is ENFORCED (r13 verdict
+    * ask): the input must hold at most `maxDocs` rows (default 100 000 —
+    * generous for a recall estimate, far below where a hot shingle
+    * hurts) or the call fails before any pair work starts; pass
+    * `force = true` to run a larger slice deliberately. The count is
+    * one cheap job over the eval slice.
     *
     * Returns ONE row: n_docs, n_true (exact pairs ≥ threshold), n_cand
     * (banding candidate pairs), n_hit (their intersection = candidates
@@ -456,9 +461,22 @@ object Dedup {
   def minhashRecallEval(df: DataFrame, textCol: String, idCol: String,
                         threshold: Double, shingleN: Int = 3,
                         k: Int = 32, bands: Int = 8,
-                        portable: Boolean = false): DataFrame = {
+                        portable: Boolean = false,
+                        maxDocs: Long = 100000L,
+                        force: Boolean = false): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold in (0,1], got $threshold")
+    if (!force) {
+      // the one intentionally non-scalable operator in the repo: its
+      // truth join is all-pairs-per-shared-shingle, so refuse anything
+      // bigger than an eval slice unless the caller says force
+      val n = df.count()
+      require(n <= maxDocs,
+        s"minhashRecallEval is an EVAL-slice operator (quadratic truth join): " +
+          s"input has $n docs > maxDocs=$maxDocs. Pre-filter with " +
+          s"Views.hashSample/an id range, raise maxDocs, or pass force=true " +
+          s"to run a larger slice deliberately.")
+    }
     val sh = shingled(df, textCol, idCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

@@ -303,6 +303,16 @@ class PipelineSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Dedup.minhashRecallEval(corpus, "text", "doc_id", threshold = 0.0)
     }
+    // r13 verdict ask: the eval-slice-only contract is ENFORCED — an
+    // over-cap input fails before any pair work, and force overrides
+    val overCap = intercept[IllegalArgumentException] {
+      Dedup.minhashRecallEval(corpus, "text", "doc_id", threshold = 0.5,
+        maxDocs = 5L)
+    }
+    assert(overCap.getMessage.contains("EVAL-slice"), overCap.getMessage)
+    val forced = Dedup.minhashRecallEval(corpus, "text", "doc_id",
+      threshold = 0.5, maxDocs = 5L, force = true).collect().head
+    assert(forced.getLong(0) == 7)
   }
 
   test("jaccard on pairs: identical docs = 1.0") {
