@@ -68,7 +68,7 @@ import org.apache.spark.sql.functions._
   * cap (default 12).
   */
 object Bench {
-  private val headline = Seq(
+  private[graft] val headline = Seq(
     "q10_tpch_q1", "q12_tpch_q3", "q20_join_inner", "q21_join_multikey", "q27_union_all",
     "q40_summary", "q43_histogram", "q62_window_rank", "q63_window_runsum",
     "q64_events_hourly", "d01_dedup_exact", "d02_dedup_minhash",
@@ -111,7 +111,7 @@ object Bench {
   // judge reads, kept small enough for min-of-3 inside the round budget.
   // Round 10 adds the E2E curation pipeline and span dedup: the two
   // document-heavy chains where a code change actually moves the number.
-  private val sf1Set = Seq(
+  private[graft] val sf1Set = Seq(
     "q10_tpch_q1", "q12_tpch_q3", "q80_tpch_q9", "d01_dedup_exact",
     "d02_dedup_minhash", "d11_incremental_minhash_fast", "t14_token_ids",
     "a01_ann_brute", "q85_quantiles_sketch", "p01_pipeline_e2e",
@@ -127,7 +127,7 @@ object Bench {
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     .asInstanceOf[com.sun.management.OperatingSystemMXBean]
-  private def gcMs: Long = {
+  private[graft] def gcMs: Long = {
     import scala.jdk.CollectionConverters._
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
       .map(_.getCollectionTime).sum
@@ -151,7 +151,7 @@ object Bench {
     * this file's own output format). Missing/unreadable anchor → empty
     * map → the vs_anchor diagnostics quietly vanish.
     */
-  private def anchorMap(path: String, key: String): Map[String, Double] =
+  private[graft] def anchorMap(path: String, key: String): Map[String, Double] =
     try {
       val txt = new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
@@ -167,7 +167,7 @@ object Bench {
     } catch { case _: Throwable => Map.empty }
 
   /** The anchor artifact's own `"sf"` field (the dir it was measured at). */
-  private def anchorSfDir(path: String): Option[String] =
+  private[graft] def anchorSfDir(path: String): Option[String] =
     try {
       val txt = new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
@@ -178,7 +178,7 @@ object Bench {
   /** Short display key for compact-line maps ("q10_tpch_q1" → "q10");
     * falls back to the full name if the prefix would collide.
     */
-  private def shortNames(names: Seq[String]): Map[String, String] = {
+  private[graft] def shortNames(names: Seq[String]): Map[String, String] = {
     val pref = names.map(n => n -> n.takeWhile(_ != '_')).toMap
     if (pref.values.toSeq.distinct.size == names.size) pref
     else names.map(n => n -> n).toMap
@@ -201,9 +201,50 @@ object Bench {
     }
 
   /** One sample of one query: wall seconds, best-run CPU utilization,
-    * and the calibration-probe seconds measured immediately before it.
+    * the calibration-probe seconds measured immediately before it, and
+    * the GC milliseconds this JVM collected DURING the sample (r14).
     */
-  private case class Sample(wall: Double, util: Double, probe: Double)
+  private[graft] case class Sample(wall: Double, util: Double, probe: Double,
+                                   gcMs: Long = 0L)
+
+  /** A sample is GC-thrash when garbage collection ate more than 25% of
+    * its wall time AND at least half a second absolute (routine young-gen
+    * pauses on sub-second queries are tens of ms — not thrash). Such a
+    * sample measured the allocator fighting a polluted heap, not the
+    * query: BENCH_r13's sf1 d11 row "converged" at 26.15 s with ~2.8 s
+    * of GC per sample while a fresh JVM ran the identical query on the
+    * identical corpus in 3.50 s. Like starved samples, gc-thrash samples
+    * can neither set a query's min nor count toward convergence (r14,
+    * verdict ask #2).
+    */
+  private[graft] def isGcThrash(s: Sample): Boolean =
+    s.gcMs > 500 && s.gcMs > 0.25 * s.wall * 1000.0
+
+  /** Per-query verdict from the FINAL global probe floor: best sample
+    * (min over clean samples; all-rejected queries fall back to the min
+    * over everything, flagged), rejection counts by cause, `contended`
+    * when starvation left no clean sample, `gcThrash` when GC pressure
+    * did, and convergence over the clean subsequence. A query with no
+    * clean sample is NEVER `converged` — a polluted row cannot read as
+    * a trustworthy number again.
+    */
+  private[graft] case class QueryVerdict(best: Sample, rejected: Int,
+                                         gcRejected: Int, contended: Boolean,
+                                         gcThrash: Boolean, converged: Boolean)
+
+  private[graft] def verdict(ss: Seq[Sample], probeFloor: Double): QueryVerdict = {
+    val starved = ss.count(s => isStarved(s.probe, probeFloor))
+    val thrash = ss.count(s => !isStarved(s.probe, probeFloor) && isGcThrash(s))
+    val clean = ss.filter(s => !isStarved(s.probe, probeFloor) && !isGcThrash(s))
+    if (clean.isEmpty)
+      QueryVerdict(ss.minBy(_.wall), starved, thrash,
+        contended = starved > 0, gcThrash = thrash > 0 || ss.exists(isGcThrash),
+        converged = false)
+    else
+      QueryVerdict(clean.minBy(_.wall), starved, thrash,
+        contended = false, gcThrash = false,
+        converged = isConverged(clean.map(_.wall)))
+  }
 
   @volatile private var probeSink = 0L // defeat dead-code elimination
   /** Fixed CPU-bound calibration spin: 20 M LCG steps single-threaded,
@@ -228,54 +269,47 @@ object Bench {
     * quietest probe this process has seen (+5 ms absolute slack for
     * sub-30 ms probe jitter). Threshold per VERDICT r8's ask.
     */
-  private def isStarved(probe: Double, floor: Double): Boolean =
+  private[graft] def isStarved(probe: Double, floor: Double): Boolean =
     probe > floor * 1.5 + 0.005
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "5").toInt
-    val maxRuns = sys.env.getOrElse("SPARK_GRAFT_MAX_RUNS", "9").toInt
-    require(runs >= 1, s"SPARK_GRAFT_RUNS must be >= 1, got $runs")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+  /** Materialization-proof sink: hash EVERY output column into one
+    * aggregate. `count()` (the pre-round-5 sink) let Catalyst prune
+    * the computed columns entirely for projection-shaped queries —
+    * t01's enrichment pipeline benched at 0.07 s because none of it
+    * ran. The hash forces every column of every row to be produced,
+    * uniformly across query shapes, while collecting one row.
+    * (Round-5 harness change: numbers for previously-prunable queries
+    * are HIGHER than round-4's for the same code — they now measure
+    * the work the query name promises.)
+    */
+  private[graft] def materialize(df: DataFrame): Unit =
+    df.select(xxhash64(df.columns.map(col): _*).as("__h"))
+      .agg(expr("bit_xor(__h)")).collect()
 
-    val qs = SparkEntry.queries
-
-    /** Materialization-proof sink: hash EVERY output column into one
-      * aggregate. `count()` (the pre-round-5 sink) let Catalyst prune
-      * the computed columns entirely for projection-shaped queries —
-      * t01's enrichment pipeline benched at 0.07 s because none of it
-      * ran. The hash forces every column of every row to be produced,
-      * uniformly across query shapes, while collecting one row.
-      * (Round-5 harness change: numbers for previously-prunable queries
-      * are HIGHER than round-4's for the same code — they now measure
-      * the work the query name promises.)
-      */
-    def materialize(df: DataFrame): Unit =
-      df.select(xxhash64(df.columns.map(col): _*).as("__h"))
-        .agg(expr("bit_xor(__h)")).collect()
-    // JVM/codegen warmup outside the timed region
-    materialize(qs("q10_tpch_q1")(spark, sfDir))
-
+  /** The per-process sampling machinery shared by the headline tier and
+    * the (now separately-JVM'd) sf1 tier: the monotone probe floor, the
+    * timed single run with its pre-sample probe and per-sample GC delta,
+    * and the converge-or-cap sampling loop. One instance per JVM.
+    */
+  private[graft] final class Sampler(
+      spark: SparkSession,
+      qs: Map[String, (SparkSession, String) => DataFrame]) {
     // Seed the probe floor before any timed work; it only ever drops as
     // quieter windows are observed (classification at the end uses the
     // final global floor, so an inflated startup cannot hide contention).
-    var probeFloor = (1 to 5).map(_ => probeOnce()).min
+    @volatile var probeFloor: Double = (1 to 5).map(_ => probeOnce()).min
+
+    def warm(name: String, dir: String): Unit = materialize(qs(name)(spark, dir))
 
     /** One run → wall sec, cpu-utilization fraction of the whole box,
-      * and the pre-sample calibration probe.
+      * the pre-sample calibration probe, and the GC ms collected inside
+      * the timed region (r14: a sample records its own heap pressure).
       */
     def timed(name: String, dir: String): Sample = {
       val p = probeOnce()
       probeFloor = math.min(probeFloor, p)
       val cpu0 = osBean.getProcessCpuTime
+      val g0 = gcMs
       val t0 = System.nanoTime()
       // fail FAST: swallowing the error would report the (often very
       // fast) failure path as a legitimate best-of-N time — a broken
@@ -286,39 +320,56 @@ object Bench {
       }
       val wall = (System.nanoTime() - t0) / 1e9
       val cpuSec = (osBean.getProcessCpuTime - cpu0) / 1e9
-      Sample(wall, cpuSec / (wall * Runtime.getRuntime.availableProcessors()), p)
+      Sample(wall, cpuSec / (wall * Runtime.getRuntime.availableProcessors()),
+        p, gcMs - g0)
     }
 
     /** Sample `name` at least `base` times, extending to `cap` until the
-      * min over NON-STARVED samples converges. Starved samples (probe
-      * over threshold at sampling time) neither satisfy nor block
-      * convergence — a contended window keeps the query sampling, up to
-      * the cap. base == 1 skips extension entirely: SPARK_GRAFT_RUNS=1
+      * min over CLEAN samples (not starved, not gc-thrash) converges.
+      * Rejected samples neither satisfy nor block convergence — a
+      * contended or heap-polluted window keeps the query sampling, up
+      * to the cap. base == 1 skips extension entirely: SPARK_GRAFT_RUNS=1
       * is the fast-local-iteration contract and must mean one run.
       */
     def sampleQuery(name: String, dir: String, base: Int, cap: Int): Seq[Sample] = {
       var ss = Seq.fill(base)(timed(name, dir))
-      def clean = ss.filter(s => !isStarved(s.probe, probeFloor)).map(_.wall)
+      def clean = ss.filter(s => !isStarved(s.probe, probeFloor) && !isGcThrash(s))
+        .map(_.wall)
       while (base > 1 && !isConverged(clean) && ss.size < cap)
         ss = ss :+ timed(name, dir)
       ss
     }
+  }
 
-    /** Per-query verdict from the FINAL global probe floor: best sample
-      * (min over clean samples; all-starved queries fall back to the
-      * contended min, flagged), rejected count, contended flag, and
-      * convergence over the clean subsequence.
-      */
-    case class QueryVerdict(best: Sample, rejected: Int, contended: Boolean,
-                            converged: Boolean)
-    def verdict(ss: Seq[Sample]): QueryVerdict = {
-      val clean = ss.filter(s => !isStarved(s.probe, probeFloor))
-      if (clean.isEmpty)
-        QueryVerdict(ss.minBy(_.wall), ss.size, contended = true, converged = false)
-      else
-        QueryVerdict(clean.minBy(_.wall), ss.size - clean.size,
-          contended = false, converged = isConverged(clean.map(_.wall)))
-    }
+  /** The bench SparkSession — ONE recipe for both JVMs (the headline
+    * process and the forked sf1 process), so the two tiers cannot drift
+    * on config.
+    */
+  private[graft] def benchSession(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "5").toInt
+    val maxRuns = sys.env.getOrElse("SPARK_GRAFT_MAX_RUNS", "9").toInt
+    require(runs >= 1, s"SPARK_GRAFT_RUNS must be >= 1, got $runs")
+    val spark = benchSession()
+
+    val qs = SparkEntry.queries
+    val sampler = new Sampler(spark, qs)
+    def verdict(ss: Seq[Sample]): QueryVerdict = Bench.verdict(ss, sampler.probeFloor)
+    // JVM/codegen warmup outside the timed region
+    sampler.warm("q10_tpch_q1", sfDir)
 
     // SPARK_GRAFT_ONLY=d01,d02 narrows the set for local iteration; the
     // driver never sets it, so the per-round bench always runs everything
@@ -331,33 +382,23 @@ object Bench {
         // round 11: one untimed warmup per headline query (the sf1 tier
         // has done this since r10) — ds01 was the last row still JIT/
         // page-cache descending at the sample cap in BENCH_r10
-        materialize(qs(name)(spark, sfDir))
+        sampler.warm(name, sfDir)
         val g0 = gcMs
-        val ss = sampleQuery(name, sfDir, runs, math.max(runs, maxRuns))
+        val ss = sampler.sampleQuery(name, sfDir, runs, math.max(runs, maxRuns))
         val gq = gcMs - g0
         // round 12: drop residual blocks BETWEEN queries (outside every
-        // timed region) so one query's leftovers can't throttle the next
-        clearResidual(spark)
+        // timed region) so one query's leftovers can't throttle the next;
+        // r14: full drain — r13's drift cluster (t17/a05/j04/p05 at
+        // 1.2-1.3× with untouched code) tracked accumulated heap, not code
+        drainHeap(spark)
         (name, ss, gq)
       }
     val results = triples.map { case (n, ss, _) => n -> ss }
     val gcQ = triples.map { case (n, _, g) => n -> g }
     // verdicts use the FINAL probe floor — quietest window of the whole
-    // run — so these are defs: the sf1 tier's probes can retroactively
+    // run — so these are defs: later probes can retroactively
     // reclassify headline samples taken in a window that only LOOKED quiet
     def vs = results.map { case (k, ss) => k -> verdict(ss) }
-    def numMap(xs: Seq[(String, Double)]): String =
-      xs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    def boolMap(xs: Seq[(String, Boolean)]): String =
-      xs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    def intMap(xs: Seq[(String, Int)]): String =
-      xs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    def samplesMap(xs: Seq[(String, Seq[Sample])]): String = xs.map { case (k, ss) =>
-      "\"" + k + "\":" + ss.map(s => f"${s.wall}%.2f").mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-    def probesMap(xs: Seq[(String, Seq[Sample])]): String = xs.map { case (k, ss) =>
-      "\"" + k + "\":" + ss.map(s => f"${s.probe}%.3f").mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
     def qJson = numMap(vs.map { case (k, v) => k -> v.best.wall })
     val samplesJson = samplesMap(results)
     val probesJson = probesMap(results)
@@ -388,9 +429,9 @@ object Bench {
     def ratios(cur: Seq[(String, Double)], anchor: Map[String, Double]): Seq[(String, Double)] =
       cur.collect { case (k, v) if anchor.get(k).exists(_ > 0) => k -> v / anchor(k) }
     def vsAnchor = ratios(vs.map { case (k, v) => k -> v.best.wall }, anchorQ)
-    def suspects = vsAnchor.collect { case (k, r) if r > 2.0 => k }
-    def numMap2(xs: Seq[(String, Double)]): String =
-      xs.map { case (k, v) => "\"" + k + f"\":$v%.2f" }.mkString("{", ",", "}")
+    // suspect = over 2× anchor OR nothing but gc-thrash samples (r14)
+    def suspects = (vsAnchor.collect { case (k, r) if r > 2.0 => k } ++
+      vs.collect { case (k, v) if v.gcThrash => k }).distinct
     def gcQJson = intMap(gcQ.map { case (k, g) => k -> g.toInt })
     def vaJson = numMap2(vsAnchor)
     def suspectJson = nameList(suspects)
@@ -402,8 +443,10 @@ object Bench {
     def shortRatioMap(xs: Seq[(String, Double)]): String =
       xs.map { case (k, v) => "\"" + shortOf(k) + f"\":$v%.2f" }.mkString("{", ",", "}")
 
+    def gcThrashJson = boolMap(vs.map { case (k, v) => k -> v.gcThrash })
+    def gcRejJson = intMap(vs.map { case (k, v) => k -> v.gcRejected })
     def assemble(extra: String): String =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","runs":$runs,"harness":"hash-materialized; round 9: per-sample CPU calibration probe rejects starved samples (see Bench.scala scaladoc)","samples":$samplesJson,"probes":$probesJson,"probe_base":$probeFloor%.3f,"best_run_cpu_util":$utilJson,"converged":$convJson,"contended":$contJson,"rejected":$rejJson,"gc_ms":$gcHeadline,"gc_q_ms":$gcQJson,"anchor":"$anchorPath","vs_anchor":$vaJson,"suspect":$suspectJson$extra}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","runs":$runs,"harness":"hash-materialized; r9: per-sample CPU calibration probe rejects starved samples; r14: per-sample GC delta rejects gc-thrash samples, sf1 tier runs in a forked fresh JVM (see Bench.scala scaladoc)","samples":$samplesJson,"probes":$probesJson,"probe_base":${sampler.probeFloor}%.3f,"best_run_cpu_util":$utilJson,"converged":$convJson,"contended":$contJson,"gc_thrash":$gcThrashJson,"rejected":$rejJson,"gc_rejected":$gcRejJson,"gc_ms":$gcHeadline,"gc_q_ms":$gcQJson,"anchor":"$anchorPath","vs_anchor":$vaJson,"suspect":$suspectJson$extra}"""
 
     // the stdout line interleaves with sbt/Spark logging and has arrived
     // truncated in past rounds ("parsed": null) — ALSO write the JSON to
@@ -419,55 +462,44 @@ object Bench {
     writeOut(assemble(""))
 
     // ---- sf1 tier ----
+    // r14 (verdict ask #1): the tier runs in a FORKED FRESH JVM by
+    // default. BENCH_r13's d11 row read 26.15 s "converged" with 11 s of
+    // GC because the headline tier (42 rows × 5-9 samples) plus the 10×
+    // corpus build had filled this JVM's heap with residue clearResidual
+    // cannot see (broadcast state, ContextCleaner backlog, listener/
+    // codegen accumulation) — while a fresh JVM ran the identical query
+    // on the identical corpus in 3.50 s. Forking removes the mechanism
+    // instead of chasing its symptoms; the child replicates this JVM's
+    // flags/classpath/env and writes its two JSON fragments to a file.
+    // SPARK_GRAFT_SF1_FORK=0 (or a fork failure) falls back to the
+    // in-process path — same measurement code via sf1Measure/sf1Render,
+    // after a best-effort heap drain.
     val wantSf1 = sys.env.getOrElse("SPARK_GRAFT_SF1", "1") != "0" &&
       sfDir.contains("sf0.1") && only.isEmpty
+    val wantFork = sys.env.getOrElse("SPARK_GRAFT_SF1_FORK", "1") != "0"
+    def sf1InProcess(): (String, String) = {
+      val sf1Runs = sys.env.getOrElse("SPARK_GRAFT_SF1_RUNS", "3").toInt
+      require(sf1Runs >= 1, s"SPARK_GRAFT_SF1_RUNS must be >= 1, got $sf1Runs")
+      // r9's q80 sampled 6.45→1.25 still descending at the 9-sample cap
+      // (codegen/JIT tiering + OS page cache warming across runs on the
+      // fresh 10× corpus). Round-10 fix, per the verdict's ask: every
+      // sf1 query gets ONE untimed warmup pass before sampling, and the
+      // sf1 cap is its own knob with more headroom than the headline cap.
+      val sf1Cap = sys.env.getOrElse("SPARK_GRAFT_SF1_MAX_RUNS", "12").toInt
+      drainHeap(spark) // shed what the headline tier left before measuring
+      val gc1 = gcMs
+      val dir = buildSf1(spark, sfDir)
+      try {
+        val triples1 = sf1Measure(spark, sampler, qs, dir, sf1Runs, sf1Cap)
+        sf1Render(triples1, sampler.probeFloor, anchorQ1, shortOf,
+          gcMs - gc1, forked = false)
+      } finally graft.tools.Cleanup.deleteRecursively(dir) // ~10x sf0.1 on disk
+    }
     val (sf1Json, sf1Compact) =
       if (!wantSf1) ("", "")
       else try {
-        val sf1Runs = sys.env.getOrElse("SPARK_GRAFT_SF1_RUNS", "3").toInt
-        require(sf1Runs >= 1, s"SPARK_GRAFT_SF1_RUNS must be >= 1, got $sf1Runs")
-        // r9's q80 sampled 6.45→1.25 still descending at the 9-sample cap
-        // (codegen/JIT tiering + OS page cache warming across runs on the
-        // fresh 10× corpus). Round-10 fix, per the verdict's ask: every
-        // sf1 query gets ONE untimed warmup pass before sampling, and the
-        // sf1 cap is its own knob with more headroom than the headline cap.
-        val sf1Cap = sys.env.getOrElse("SPARK_GRAFT_SF1_MAX_RUNS", "12").toInt
-        val gc1 = gcMs
-        val dir = buildSf1(spark, sfDir)
-        try {
-          // warm the new dir's table registrations outside the timed region
-          materialize(qs("q10_tpch_q1")(spark, dir))
-          val triples1 = sf1Set.filter(qs.contains)
-            .map { n =>
-              materialize(qs(n)(spark, dir)) // untimed per-query warmup
-              val g0 = gcMs
-              val ss = sampleQuery(n, dir, sf1Runs, math.max(sf1Runs, sf1Cap))
-              val gq = gcMs - g0
-              clearResidual(spark) // r12: no residue across sf1 queries either
-              (n, ss, gq)
-            }
-          val r1 = triples1.map { case (n, ss, _) => n -> ss }
-          // r13 (verdict ask #6): per-query GC for the sf1 tier too, so
-          // an elevated gc_ms_sf1 names its heavy row from the artifact
-          val gcQ1 = triples1.map { case (n, _, g) => n -> g.toInt }
-          val v1 = r1.map { case (k, ss) => k -> verdict(ss) }
-          val vsAnchor1 = ratios(v1.map { case (k, v) => k -> v.best.wall }, anchorQ1)
-          val suspects1 = vsAnchor1.collect { case (k, r) if r > 2.0 => k }
-          val q1 = numMap(v1.map { case (k, v) => k -> v.best.wall })
-          val s1 = samplesMap(r1)
-          val p1 = probesMap(r1)
-          val c1 = boolMap(v1.map { case (k, v) => k -> v.converged })
-          val ct1 = boolMap(v1.map { case (k, v) => k -> v.contended })
-          val rj1 = intMap(v1.map { case (k, v) => k -> v.rejected })
-          val t1 = v1.map(_._2.best.wall).sum
-          val full =
-            f""","queries_sf1":$q1,"samples_sf1":$s1,"probes_sf1":$p1,"converged_sf1":$c1,"contended_sf1":$ct1,"rejected_sf1":$rj1,"total_sf1":$t1%.3f,"gc_ms_sf1":${gcMs - gc1},"gc_q_ms_sf1":${intMap(gcQ1)},"vs_anchor_sf1":${numMap2(vsAnchor1)},"suspect_sf1":${nameList(suspects1)}"""
-          val compact = f""","queries_sf1":$q1,"total_sf1":$t1%.3f""" +
-            s""","contended_sf1":${nameList(v1.collect { case (k, v) if v.contended => k })}""" +
-            s""","unconverged_sf1":${nameList(v1.collect { case (k, v) if !v.converged && !v.contended => k })}""" +
-            s""","vs_anchor_sf1":${shortRatioMap(vsAnchor1)},"suspect_sf1":${nameList(suspects1.map(shortOf))}"""
-          (full, compact)
-        } finally graft.tools.Cleanup.deleteRecursively(dir) // ~10x sf0.1 on disk
+        (if (wantFork) runSf1Forked(sfDir, anchorPath) else None)
+          .getOrElse(sf1InProcess())
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sf1 tier FAILED (headline tier kept): $e")
         val err = ",\"sf1_error\":\"" + (e.getClass.getName + ": " +
@@ -520,6 +552,150 @@ object Bench {
 
   private def nameList(xs: Seq[String]): String =
     xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+
+  // ---- JSON fragment builders (shared by the headline process and the
+  // forked sf1 process, so the two tiers render identically) ----
+  private[graft] def numMap(xs: Seq[(String, Double)]): String =
+    xs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+  private[graft] def numMap2(xs: Seq[(String, Double)]): String =
+    xs.map { case (k, v) => "\"" + k + f"\":$v%.2f" }.mkString("{", ",", "}")
+  private[graft] def boolMap(xs: Seq[(String, Boolean)]): String =
+    xs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+  private[graft] def intMap(xs: Seq[(String, Int)]): String =
+    xs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+  private[graft] def samplesMap(xs: Seq[(String, Seq[Sample])]): String =
+    xs.map { case (k, ss) =>
+      "\"" + k + "\":" + ss.map(s => f"${s.wall}%.2f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+  private[graft] def probesMap(xs: Seq[(String, Seq[Sample])]): String =
+    xs.map { case (k, ss) =>
+      "\"" + k + "\":" + ss.map(s => f"${s.probe}%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+
+  /** Best-effort heap drain between queries/tiers, OUTSIDE every timed
+    * region: drop cached/pinned blocks, then give the ContextCleaner's
+    * weak-reference machinery a GC cycle to find dead broadcasts and
+    * shuffle state, and a moment to process them. BENCH_r13's sf1 d11
+    * row (26 s "converged", 11 s GC, vs 3.5 s in a fresh JVM on the same
+    * corpus) is the motivating failure: clearResidual alone frees RDD
+    * blocks but not the accumulated rest. A full System.gc pair costs
+    * ~0.1-0.3 s per call here — wall-only, never inside a sample.
+    */
+  private[graft] def drainHeap(spark: SparkSession): Unit = {
+    clearResidual(spark)
+    System.gc()
+    Thread.sleep(50) // let ContextCleaner drain its reference queue
+    System.gc()
+  }
+
+  /** Fork the sf1 tier into a fresh JVM (r14, verdict ask #1): launch
+    * `graft.BenchSf1` with THIS JVM's flags (-Xmx, --add-opens, -D) and
+    * classpath, inherit the environment (all SPARK_GRAFT_* knobs flow
+    * through), and read back the two JSON fragments it writes. The
+    * child's stdout/stderr go to a log file — the parent's stdout must
+    * stay clean for the driver's tail-scrape — whose tail is echoed to
+    * stderr on failure. Returns None on ANY failure (spawn error,
+    * timeout, nonzero exit, unreadable fragments) so the caller can fall
+    * back to the in-process path.
+    */
+  private def runSf1Forked(sfDir: String, anchorPath: String): Option[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    val frag = java.nio.file.Files.createTempFile("graft_sf1_frag", ".json")
+    val log = java.nio.file.Files.createTempFile("graft_sf1_fork", ".log")
+    try {
+      val javaBin = java.nio.file.Paths.get(
+        System.getProperty("java.home"), "bin", "java").toString
+      val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.toSeq
+        .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+      val cmd = Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", System.getProperty("java.class.path"),
+          "graft.BenchSf1", sfDir, frag.toString, anchorPath)
+      val pb = new ProcessBuilder(cmd.asJava)
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(log.toFile)
+      val proc = pb.start()
+      val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_SF1_TIMEOUT_SEC", "3000").toLong
+      val done = proc.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+      def logTail(): String = try {
+        val ls = java.nio.file.Files.readAllLines(log).asScala
+        ls.takeRight(15).mkString("\n")
+      } catch { case _: Throwable => "<log unreadable>" }
+      if (!done) {
+        proc.destroyForcibly()
+        System.err.println(s"[bench] sf1 fork TIMED OUT after $timeoutSec s " +
+          s"(log tail):\n${logTail()}")
+        None
+      } else if (proc.exitValue() != 0) {
+        System.err.println(s"[bench] sf1 fork exited ${proc.exitValue()} " +
+          s"(log tail):\n${logTail()}")
+        None
+      } else {
+        val lines = java.nio.file.Files.readAllLines(frag).asScala
+          .filter(_.nonEmpty)
+        if (lines.size >= 2) Some((lines(0), lines(1)))
+        else { System.err.println("[bench] sf1 fork wrote no fragments"); None }
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] sf1 fork failed to launch: $e")
+      None
+    } finally {
+      try java.nio.file.Files.deleteIfExists(frag) catch { case _: Throwable => () }
+      try java.nio.file.Files.deleteIfExists(log) catch { case _: Throwable => () }
+    }
+  }
+
+  /** Measure the sf1 tier over an already-built blown corpus `dir`:
+    * per-query untimed warmup, converge-or-cap sampling, per-query GC
+    * attribution, heap drain between queries. Shared verbatim by the
+    * forked sf1 process (the default) and the in-process fallback.
+    */
+  private[graft] def sf1Measure(spark: SparkSession, sampler: Sampler,
+                                qs: Map[String, (SparkSession, String) => DataFrame],
+                                dir: String, sf1Runs: Int,
+                                sf1Cap: Int): Seq[(String, Seq[Sample], Long)] = {
+    // warm the new dir's table registrations outside the timed region
+    sampler.warm("q10_tpch_q1", dir)
+    sf1Set.filter(qs.contains).map { n =>
+      sampler.warm(n, dir) // untimed per-query warmup
+      val g0 = gcMs
+      val ss = sampler.sampleQuery(n, dir, sf1Runs, math.max(sf1Runs, sf1Cap))
+      val gq = gcMs - g0
+      drainHeap(spark) // r12: no residue across sf1 queries; r14: full drain
+      (n, ss, gq)
+    }
+  }
+
+  /** Render the sf1 tier's (full, compact) JSON fragments — both start
+    * with "," and splice directly after the headline fields.
+    */
+  private[graft] def sf1Render(triples1: Seq[(String, Seq[Sample], Long)],
+                               probeFloor: Double,
+                               anchorQ1: Map[String, Double],
+                               shortOf: String => String,
+                               gcTier: Long, forked: Boolean): (String, String) = {
+    val r1 = triples1.map { case (n, ss, _) => n -> ss }
+    val gcQ1 = triples1.map { case (n, _, g) => n -> g.toInt }
+    val v1 = r1.map { case (k, ss) => k -> verdict(ss, probeFloor) }
+    def ratios(cur: Seq[(String, Double)], anchor: Map[String, Double]): Seq[(String, Double)] =
+      cur.collect { case (k, v) if anchor.get(k).exists(_ > 0) => k -> v / anchor(k) }
+    val vsAnchor1 = ratios(v1.map { case (k, v) => k -> v.best.wall }, anchorQ1)
+    // suspect = over 2× the committed anchor OR nothing but gc-thrash
+    // samples — either way the row is not evidence of a regression-free
+    // (or regressed) engine on its own
+    val suspects1 = (vsAnchor1.collect { case (k, r) if r > 2.0 => k } ++
+      v1.collect { case (k, v) if v.gcThrash => k }).distinct
+    val q1 = numMap(v1.map { case (k, v) => k -> v.best.wall })
+    val t1 = v1.map(_._2.best.wall).sum
+    val full =
+      f""","queries_sf1":$q1,"samples_sf1":${samplesMap(r1)},"probes_sf1":${probesMap(r1)},"converged_sf1":${boolMap(v1.map { case (k, v) => k -> v.converged })},"contended_sf1":${boolMap(v1.map { case (k, v) => k -> v.contended })},"gc_thrash_sf1":${boolMap(v1.map { case (k, v) => k -> v.gcThrash })},"rejected_sf1":${intMap(v1.map { case (k, v) => k -> v.rejected })},"gc_rejected_sf1":${intMap(v1.map { case (k, v) => k -> v.gcRejected })},"total_sf1":$t1%.3f,"gc_ms_sf1":$gcTier,"gc_q_ms_sf1":${intMap(gcQ1)},"vs_anchor_sf1":${numMap2(vsAnchor1)},"suspect_sf1":${nameList(suspects1)},"sf1_forked":$forked"""
+    val compact = f""","queries_sf1":$q1,"total_sf1":$t1%.3f""" +
+      s""","contended_sf1":${nameList(v1.collect { case (k, v) if v.contended => k })}""" +
+      s""","gc_thrash_sf1":${nameList(v1.collect { case (k, v) if v.gcThrash => shortOf(k) })}""" +
+      s""","unconverged_sf1":${nameList(v1.collect { case (k, v) if !v.converged && !v.contended && !v.gcThrash => k })}""" +
+      s""","vs_anchor_sf1":${numMap2(vsAnchor1.map { case (k, v) => shortOf(k) -> v })},"suspect_sf1":${nameList(suspects1.map(shortOf))}"""
+    (full, compact)
+  }
 
   /** 10×-blown corpus in the standard `<dir>/<table>.parquet` layout so
     * the SAME query closures run unchanged against it. Facts blow with
@@ -577,5 +753,48 @@ object Bench {
     Seq("region", "nation", "supplier").foreach(t =>
       read(t).write.mode("overwrite").parquet(s"$tmp/$t.parquet"))
     tmp
+  }
+}
+
+/** The sf1 tier as a standalone main, launched by [[Bench]] in a FRESH
+  * JVM (r14, verdict ask #1) so the 10×-corpus measurements never run
+  * on a heap the 42-row headline tier has already filled. args:
+  * (0) the base sf dir (e.g. /root/testdata/sf0.1), (1) the fragment
+  * output file — line 1 the full JSON fragment, line 2 the compact one,
+  * both starting with "," — and (2) the anchor artifact path. All
+  * SPARK_GRAFT_* knobs arrive via the inherited environment. Exits
+  * nonzero on any failure; the parent falls back to in-process.
+  */
+object BenchSf1 {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, s"BenchSf1 <sfDir> <fragOut> <anchorPath>, got ${args.toSeq}")
+    val Array(sfDir, fragOut, anchorPath) = args
+    val sf1Runs = sys.env.getOrElse("SPARK_GRAFT_SF1_RUNS", "3").toInt
+    require(sf1Runs >= 1, s"SPARK_GRAFT_SF1_RUNS must be >= 1, got $sf1Runs")
+    val sf1Cap = sys.env.getOrElse("SPARK_GRAFT_SF1_MAX_RUNS", "12").toInt
+    val spark = Bench.benchSession()
+    val qs = SparkEntry.queries
+    val sampler = new Bench.Sampler(spark, qs)
+    val gc1 = Bench.gcMs
+    val dir = Bench.buildSf1(spark, sfDir)
+    try {
+      val triples1 = Bench.sf1Measure(spark, sampler, qs, dir, sf1Runs, sf1Cap)
+      // ratios only against an anchor measured at this base scale factor
+      val anchorQ1 =
+        if (Bench.anchorSfDir(anchorPath).contains(sfDir))
+          Bench.anchorMap(anchorPath, "queries_sf1")
+        else Map.empty[String, Double]
+      val short = Bench.shortNames((Bench.headline ++ Bench.sf1Set).distinct)
+      val (full, compact) = Bench.sf1Render(triples1, sampler.probeFloor,
+        anchorQ1, n => short.getOrElse(n, n), Bench.gcMs - gc1, forked = true)
+      java.nio.file.Files.write(java.nio.file.Paths.get(fragOut),
+        (full + "\n" + compact + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } finally {
+      graft.tools.Cleanup.deleteRecursively(dir)
+      spark.stop()
+    }
+    // local-mode Spark occasionally leaves non-daemon threads; the
+    // parent reads only the fragment file, so exit decisively
+    sys.exit(0)
   }
 }
