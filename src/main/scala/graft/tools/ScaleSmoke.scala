@@ -211,6 +211,19 @@ object ScaleSmoke {
           .filter(col("__c") <= defBud)
           .agg(sum(length(col("payload")))).first().getLong(0)
       }
+      // r14 (r13 verdict ask #6): the FEW-COLOSSAL-GROUPS layout — the
+      // whole corpus split over TWO sources (f=100: 2 × 30 M rows).
+      // Same payload-consuming action as the 400-source rows.
+      def liTwoGroups = spark.table("lineitem")
+        .select(concat(lit("s"), pmod(col("l_orderkey"), lit(2)).cast("string")).as("src"),
+          col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+          col("l_quantity"),
+          repeat(concat(col("l_returnflag"), col("l_linestatus"),
+            col("l_shipdate").cast("string")), q94Repeat).as("payload"))
+      def budgetColossalRow(defBud: Long, threshold: Long): Long =
+        graft.operators.Views.budgetSelectByGroup(liTwoGroups, "src", liOrder,
+          "l_quantity", Map.empty, defBud, colossalThreshold = threshold)
+          .agg(sum(length(col("payload")))).first().getLong(0)
       Seq(
         "minhash_dedup(d02)" -> (() =>
           graft.pipeline.Dedup.minhashDedup(d, "text", "doc_id", threshold = 0.5).count()),
@@ -386,6 +399,19 @@ object ScaleSmoke {
         }),
         "budget_by_group_window(ref)" -> (() => {
           tpchViews; budgetGroupWindowRow(liBudgetBase * 3 / 10 / 400)
+        }),
+        // --- round 14 (r13 verdict ask #6): the colossal-group regime.
+        // The auto row uses the DEFAULT threshold (2 M rows/group): at
+        // f=1 (0.3 M/group) both groups stay on the window path, at
+        // f≥10 they auto-route through the shared range-exchange scan —
+        // the decade ladder shows the detector switching. The (ref) row
+        // pins the same layout to the per-group window (threshold
+        // MaxValue): its TWO sort tasks each swallow half the corpus.
+        "budget_colossal(q94auto)" -> (() => {
+          tpchViews; budgetColossalRow(liBudgetBase * 3 / 10 / 2, 2000000L)
+        }),
+        "budget_colossal_window(ref)" -> (() => {
+          tpchViews; budgetColossalRow(liBudgetBase * 3 / 10 / 2, Long.MaxValue)
         }),
         // distribution matching (c12) vs the naive whole-bucket window at
         // THREE buckets (l_returnflag) — the low-cardinality straggler

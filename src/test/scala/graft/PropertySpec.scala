@@ -321,6 +321,16 @@ class PropertySpec extends SparkTestBase {
         .select("id").collect().map(_.getLong(0)).toSet
       assert(got == want, s"seed=$seed asc=$asc tieTotal=$tieTotal " +
         s"default=$default missing=${want -- got} extra=${got -- want}")
+      // r14: a tiny colossalThreshold forces most groups through the
+      // range-exchange colossal branch (and leaves the sub-threshold
+      // tail on the window branch) — output must be IDENTICAL either
+      // way, including tied-cohort drops, null groups, and null costs
+      val routed = Views.budgetSelectByGroup(base, "g", order, "cost",
+          budgets, default, colossalThreshold = 10L)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(routed == want, s"colossal routing diverged: seed=$seed " +
+        s"asc=$asc tieTotal=$tieTotal default=$default " +
+        s"missing=${want -- routed} extra=${routed -- want}")
     }
   }
 

@@ -446,6 +446,58 @@ class ScaleSpec extends SparkTestBase {
     assert(nullKept.filter(col("g").isNotNull).count() == 0)
   }
 
+  test("budgetSelectByGroup: colossal groups auto-route off the window path") {
+    import spark.implicits._
+    // 2 "colossal" groups (2000 rows) + 3 small (60) under a threshold
+    // of 500: the big groups must leave the per-group window for the
+    // shared range-exchange scan, the small ones stay — same output
+    val df = spark.range(4180).toDF("id")
+      .withColumn("g",
+        when(col("id") < 2000, lit("big0"))
+          .when(col("id") < 4000, lit("big1"))
+          .otherwise(concat(lit("s"), ((col("id") - 4000) % 3).cast("string"))))
+      .withColumn("pri", (col("id") * 31) % 50) // heavy ties
+      .withColumn("cost", (col("id") % 13) + 1)
+      .withColumn("payload", concat(lit("body-"), col("id").cast("string")))
+    val order = Seq(col("pri").desc, col("id").asc)
+    val budgets: Map[Any, Long] =
+      Map("big0" -> 3000L, "big1" -> 0L, "s0" -> 100L)
+    def run(threshold: Long) = operators.Views.budgetSelectByGroup(
+        df, "g", order, "cost", budgets, defaultBudget = 150L,
+        colossalThreshold = threshold)
+    val want = run(Long.MaxValue).select("id").collect().map(_.getLong(0)).toSet
+    val got = run(500L)
+    val gotIds = got.select("id").collect().map(_.getLong(0)).toSet
+    assert(gotIds == want, s"missing=${want -- gotIds} extra=${gotIds -- want}")
+    // plan pin (mixed regime): the window branch survives for the small
+    // groups but its input excludes the colossal ones — every Window
+    // node still sees only the __-named slim projection
+    got.queryExecution.optimizedPlan.collect {
+      case wn: org.apache.spark.sql.catalyst.plans.logical.Window => wn
+    }.foreach { wn =>
+      val names = wn.child.output.map(_.name)
+      assert(names.forall(_.startsWith("_")),
+        s"window must see only the slim projection, saw $names")
+    }
+    // all-colossal regime: NO window anywhere in the plan — the whole
+    // selection is range-exchange passes + a plain per-group filter of
+    // the original frame (the straggler-free shape the r13 scaladoc
+    // could only recommend manually)
+    val allBig = run(100L).filter(col("g").startsWith("big"))
+    val allBigPlan = operators.Views.budgetSelectByGroup(
+      df.filter(col("g").startsWith("big")), "g", order, "cost", budgets,
+      defaultBudget = 150L, colossalThreshold = 100L)
+    assert(allBigPlan.queryExecution.optimizedPlan.collect {
+      case wn: org.apache.spark.sql.catalyst.plans.logical.Window => wn
+    }.isEmpty, "all-colossal selection must not contain a Window")
+    assert(allBigPlan.select("id").collect().map(_.getLong(0)).toSet ==
+      want.filter(_ < 4000))
+    assert(allBig.select("id").collect().map(_.getLong(0)).toSet ==
+      want.filter(_ < 4000))
+    // zero-budget colossal group vanishes, like the window path's
+    assert(got.filter(col("g") === "big1").count() == 0)
+  }
+
   test("writeBucketed in a non-default database never touches default's same-named table") {
     import spark.implicits._
     // the r11 guard computed <warehouse>/<table> — the DEFAULT db's
