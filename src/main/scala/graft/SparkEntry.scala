@@ -4765,10 +4765,25 @@ object SparkEntry {
             concat(col("text"), lit(" caf\u00e9")).as("text") +: keep: _*))
         val canon = variants.withColumn("text",
           functions.VectorFunctions.unicodeNormalize(col("text")))
+        // r14 (verdict ask #7, measured in P08Probe): BOTH multi-read
+        // stages materialize once. The survivor frame feeds the budget
+        // selector's regime-detection count plus its window pass; the
+        // selection feeds matchDistribution's stats pass plus its two
+        // output branches — unmaterialized, the normalize→dedup chain
+        // re-executed per read (rebuild 3.05 s vs 1.51 s checkpointed,
+        // min-of-3 at sf0.1). This is exactly the "persist it first"
+        // caller contract in matchDistribution's scaladoc; the blocks
+        // release on the session's next cache drain.
+        // the text column's work is DONE once dedup picks survivors —
+        // drop it before materializing so the checkpoint holds only the
+        // four slim columns every later stage reads
         val surv = pipeline.Dedup.exactSurvivors(canon, "text", "doc_id")
+          .select("doc_id", "lang", "source", "n_chars")
+          .localCheckpoint(eager = true)
         val sel = operators.Views.budgetSelectByGroup(surv, "source",
           Seq(col("n_chars").desc, col("doc_id").asc), "n_chars",
           budgets = Map("src1" -> 5000L, "src7" -> 0L), defaultBudget = 3000L)
+          .localCheckpoint(eager = true)
         val target = docs.filter(col("source").isin("src0", "src1", "src2"))
         Views.matchDistribution(m.register(sel), "lang", "doc_id", target)
           .df.select("doc_id", "source", "lang", "n_chars")

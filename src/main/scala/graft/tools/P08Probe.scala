@@ -71,6 +71,35 @@ object P08Probe {
       val sel = selOf().localCheckpoint(eager = true)
       try finish(sel) finally graft.core.Checkpoints.release(sel)
     }
+    // checkpoint placement variants: materialize the pre-budget survivor
+    // frame (the expensive dedup chain) instead of / in addition to the
+    // post-budget selection
+    def survOf(): DataFrame = {
+      val docs = spark.table("documents")
+      val keep = Seq(col("lang"), col("source"), col("n_chars"))
+      val variants = docs.select(col("doc_id") +:
+          concat(col("text"), lit(" café")).as("text") +: keep: _*)
+        .unionByName(docs.select((col("doc_id") + 1000000L).as("doc_id") +:
+          concat(col("text"), lit(" café")).as("text") +: keep: _*))
+      val canon = variants.withColumn("text",
+        graft.functions.VectorFunctions.unicodeNormalize(col("text")))
+      graft.pipeline.Dedup.exactSurvivors(canon, "text", "doc_id")
+    }
+    def selFrom(surv: DataFrame): DataFrame =
+      graft.operators.Views.budgetSelectByGroup(surv, "source",
+        Seq(col("n_chars").desc, col("doc_id").asc), "n_chars",
+        budgets = Map("src1" -> 5000L, "src7" -> 0L), defaultBudget = 3000L)
+    timed("ckpt_surv") {
+      val surv = survOf().localCheckpoint(eager = true)
+      try finish(selFrom(surv)) finally graft.core.Checkpoints.release(surv)
+    }
+    timed("ckpt_both") {
+      val surv = survOf().localCheckpoint(eager = true)
+      try {
+        val sel = selFrom(surv).localCheckpoint(eager = true)
+        try finish(sel) finally graft.core.Checkpoints.release(sel)
+      } finally graft.core.Checkpoints.release(surv)
+    }
     spark.stop()
   }
 }
