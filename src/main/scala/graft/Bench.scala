@@ -55,6 +55,22 @@ import org.apache.spark.sql.functions._
   * The floor is re-evaluated globally at the end of the run, so an
   * inflated startup calibration cannot mask later contention.
   *
+  * Heap integrity (round-14 harness change, verdict asks #1/#2):
+  * BENCH_r13's sf1 d11 row read 26.15 s "converged" with 11 s of GC
+  * while a fresh JVM ran the identical query on the identical corpus in
+  * 3.50 s — the CPU probe is blind to heap pressure, and the
+  * convergence rule happily converged onto a GC-thrash plateau. Two
+  * structural fixes: (1) the sf1 tier runs in a FORKED fresh JVM
+  * ([[BenchSf1]]; SPARK_GRAFT_SF1_FORK=0 or fork failure falls back to
+  * in-process after a drain), so the 10× measurements never see the
+  * headline tier's heap; (2) every sample records the GC ms inside its
+  * timed region, and a sample whose GC exceeds 25% of wall (min 500 ms)
+  * is rejected like a starved one — it cannot set the min or count
+  * toward convergence, a query left with no clean sample is flagged
+  * `gc_thrash` (never `converged`) and joins `suspect`. Between queries
+  * the harness drains the heap fully (residual blocks + a GC pair for
+  * the ContextCleaner queue), outside every timed region.
+  *
   * Output split (round-10 harness change): the FULL artifact (samples,
   * probes, util, gc) goes to `bench_result.json`; stdout carries one
   * COMPACT line (per-query seconds, totals, contended/unconverged query
@@ -418,7 +434,12 @@ object Bench {
     // anchor at start and reports each query's ratio against it, plus a
     // `suspect` list of >2× rows and per-query GC deltas: a contaminated
     // run names itself in its own artifact.
-    val anchorPath = sys.env.getOrElse("SPARK_GRAFT_ANCHOR", "BENCH_anchor_r12.json")
+    // r14 anchor: cut from the first clean run after the fork/gc-thrash
+    // harness fix (d11 3.44 s @1.01×, all 42+12 rows converged, suspects
+    // empty, geomean 1.01 vs r12) — includes the four r13 headline rows
+    // and p07's sf1 row that r12's anchor predates, and the sf1 side is
+    // measured in the forked fresh JVM the tier now always uses.
+    val anchorPath = sys.env.getOrElse("SPARK_GRAFT_ANCHOR", "BENCH_anchor_r14.json")
     // ratios are only meaningful at the anchor's own scale factor — a
     // quick sf0.001 iteration run must not flag "suspects" against sf0.1
     // anchor numbers

@@ -65,6 +65,41 @@ class BenchVerdictSpec extends AnyFunSuite {
     assert(allStarved.best.wall == 1.0)
   }
 
+  test("sf1Render fragments splice into valid JSON (fork-protocol tripwire)") {
+    // the forked BenchSf1 ships its tier to the parent as two ","-led
+    // fragments spliced VERBATIM into the artifact and the compact
+    // stdout line — a malformed fragment would silently corrupt the
+    // round's committed bench JSON. Parse both spliced forms with
+    // Jackson (on Spark's classpath).
+    val triples = Seq(
+      ("d11_incremental_minhash_fast",
+        Seq(quiet(3.5), quiet(3.6), quiet(30.0, 12000)), 12000L),
+      ("q10_tpch_q1", Seq(starved(9.0), quiet(1.0), quiet(1.05)), 120L))
+    val anchor = Map("d11_incremental_minhash_fast" -> 3.4, "q10_tpch_q1" -> 0.9)
+    val (full, compact) = Bench.sf1Render(triples, floor, anchor,
+      n => n.takeWhile(_ != '_'), gcTier = 12500L, forked = true)
+    assert(full.startsWith(",") && compact.startsWith(","))
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val doc = om.readTree("""{"metric":"total","value":1.0""" + full + "}")
+    assert(doc.get("sf1_forked").asBoolean())
+    assert(doc.get("queries_sf1").get("d11_incremental_minhash_fast").asDouble() == 3.5)
+    assert(doc.get("gc_thrash_sf1").get("d11_incremental_minhash_fast").asBoolean() == false)
+    assert(doc.get("gc_rejected_sf1").get("d11_incremental_minhash_fast").asInt() == 1)
+    assert(doc.get("gc_q_ms_sf1").get("d11_incremental_minhash_fast").asInt() == 12000)
+    assert(doc.get("vs_anchor_sf1").get("q10_tpch_q1").asDouble() > 1.0)
+    val cdoc = om.readTree("""{"metric":"total","value":1.0""" + compact + "}")
+    assert(cdoc.get("total_sf1").asDouble() > 0)
+    assert(cdoc.get("gc_thrash_sf1").isArray)
+    // an all-thrash tier names itself in suspect_sf1 even when in-band
+    // vs the anchor
+    val allThrash = Seq(("x_q", Seq(quiet(5.0, 4000), quiet(5.1, 4100)), 8100L))
+    val (f2, _) = Bench.sf1Render(allThrash, floor, Map("x_q" -> 5.0),
+      identity, 8100L, forked = false)
+    val d2 = om.readTree("""{"a":1""" + f2 + "}")
+    assert(d2.get("suspect_sf1").toString.contains("x_q"))
+    assert(d2.get("converged_sf1").get("x_q").asBoolean() == false)
+  }
+
   test("verdict: clean samples follow the r8 convergence rule unchanged") {
     // strictly decreasing: last sample set a new min -> not converged
     val desc = Bench.verdict(Seq(quiet(5.0), quiet(4.0), quiet(3.0)), floor)
