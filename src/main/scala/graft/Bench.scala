@@ -544,7 +544,7 @@ object Bench {
     def geomean(xs: Seq[Double]): Double =
       if (xs.isEmpty) 1.0 else math.exp(xs.map(math.log).sum / xs.size)
     def compactWith(va: String): String =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","runs":$runs,"contended":${nameList(vs.collect { case (k, v) if v.contended => k })},"unconverged":${nameList(vs.collect { case (k, v) if !v.converged && !v.contended => k })},"rejected_total":${vs.map(_._2.rejected).sum},$va"suspect":${nameList(suspects.map(shortOf))},"gc_hot":$gcHot$sf1Compact,"detail":"$outFile"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","runs":$runs,"contended":${nameList(vs.collect { case (k, v) if v.contended => shortOf(k) })},"gc_thrash":${nameList(vs.collect { case (k, v) if v.gcThrash => shortOf(k) })},"unconverged":${nameList(vs.collect { case (k, v) if !v.converged && !v.contended && !v.gcThrash => shortOf(k) })},"rejected_total":${vs.map(_._2.rejected).sum},$va"suspect":${nameList(suspects.map(shortOf))},"gc_hot":$gcHot$sf1Compact,"detail":"$outFile"}"""
     // length guard: the tail window is a hard 2000 chars and the full
     // 38-row ratio map does not fit next to the sf1 tier — so the
     // compact line carries the geomean plus every row ≥1.2× anchor
@@ -623,6 +623,10 @@ object Bench {
     import scala.jdk.CollectionConverters._
     val frag = java.nio.file.Files.createTempFile("graft_sf1_frag", ".json")
     val log = java.nio.file.Files.createTempFile("graft_sf1_fork", ".log")
+    // the PARENT owns the blown-corpus dir: a timed-out child dies by
+    // SIGKILL with no chance to clean up, and the corpus is ~10x sf0.1
+    // on disk — leaked once per failed round it would fill /tmp
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft_sf1").toString
     try {
       val javaBin = java.nio.file.Paths.get(
         System.getProperty("java.home"), "bin", "java").toString
@@ -631,7 +635,7 @@ object Bench {
         .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
       val cmd = Seq(javaBin) ++ jvmArgs ++
         Seq("-cp", System.getProperty("java.class.path"),
-          "graft.BenchSf1", sfDir, frag.toString, anchorPath)
+          "graft.BenchSf1", sfDir, frag.toString, anchorPath, corpusDir)
       val pb = new ProcessBuilder(cmd.asJava)
       pb.redirectErrorStream(true)
       pb.redirectOutput(log.toFile)
@@ -663,6 +667,7 @@ object Bench {
     } finally {
       try java.nio.file.Files.deleteIfExists(frag) catch { case _: Throwable => () }
       try java.nio.file.Files.deleteIfExists(log) catch { case _: Throwable => () }
+      try graft.tools.Cleanup.deleteRecursively(corpusDir) catch { case _: Throwable => () }
     }
   }
 
@@ -711,9 +716,9 @@ object Bench {
     val full =
       f""","queries_sf1":$q1,"samples_sf1":${samplesMap(r1)},"probes_sf1":${probesMap(r1)},"converged_sf1":${boolMap(v1.map { case (k, v) => k -> v.converged })},"contended_sf1":${boolMap(v1.map { case (k, v) => k -> v.contended })},"gc_thrash_sf1":${boolMap(v1.map { case (k, v) => k -> v.gcThrash })},"rejected_sf1":${intMap(v1.map { case (k, v) => k -> v.rejected })},"gc_rejected_sf1":${intMap(v1.map { case (k, v) => k -> v.gcRejected })},"total_sf1":$t1%.3f,"gc_ms_sf1":$gcTier,"gc_q_ms_sf1":${intMap(gcQ1)},"vs_anchor_sf1":${numMap2(vsAnchor1)},"suspect_sf1":${nameList(suspects1)},"sf1_forked":$forked"""
     val compact = f""","queries_sf1":$q1,"total_sf1":$t1%.3f""" +
-      s""","contended_sf1":${nameList(v1.collect { case (k, v) if v.contended => k })}""" +
+      s""","contended_sf1":${nameList(v1.collect { case (k, v) if v.contended => shortOf(k) })}""" +
       s""","gc_thrash_sf1":${nameList(v1.collect { case (k, v) if v.gcThrash => shortOf(k) })}""" +
-      s""","unconverged_sf1":${nameList(v1.collect { case (k, v) if !v.converged && !v.contended && !v.gcThrash => k })}""" +
+      s""","unconverged_sf1":${nameList(v1.collect { case (k, v) if !v.converged && !v.contended && !v.gcThrash => shortOf(k) })}""" +
       s""","vs_anchor_sf1":${numMap2(vsAnchor1.map { case (k, v) => shortOf(k) -> v })},"suspect_sf1":${nameList(suspects1.map(shortOf))}"""
     (full, compact)
   }
@@ -727,8 +732,10 @@ object Bench {
     * rate); dims copy as-is. Written ONCE per bench run; the write is
     * outside every timed region.
     */
-  private[graft] def buildSf1(spark: SparkSession, sfDir: String): String = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_sf1").toString
+  private[graft] def buildSf1(spark: SparkSession, sfDir: String,
+                              intoDir: Option[String] = None): String = {
+    val tmp = intoDir.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_sf1").toString)
     val f = 10
     def read(t: String) = spark.read.parquet(s"$sfDir/$t.parquet")
     def blow(df: DataFrame, offs: Map[String, Long]): DataFrame =
@@ -788,8 +795,12 @@ object Bench {
   */
 object BenchSf1 {
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, s"BenchSf1 <sfDir> <fragOut> <anchorPath>, got ${args.toSeq}")
-    val Array(sfDir, fragOut, anchorPath) = args
+    require(args.length == 3 || args.length == 4,
+      s"BenchSf1 <sfDir> <fragOut> <anchorPath> [corpusDir], got ${args.toSeq}")
+    val sfDir = args(0); val fragOut = args(1); val anchorPath = args(2)
+    // when the parent supplies the corpus dir it also OWNS its cleanup
+    // (this process can die by SIGKILL on the parent's timeout)
+    val parentDir = args.lift(3)
     val sf1Runs = sys.env.getOrElse("SPARK_GRAFT_SF1_RUNS", "3").toInt
     require(sf1Runs >= 1, s"SPARK_GRAFT_SF1_RUNS must be >= 1, got $sf1Runs")
     val sf1Cap = sys.env.getOrElse("SPARK_GRAFT_SF1_MAX_RUNS", "12").toInt
@@ -797,7 +808,7 @@ object BenchSf1 {
     val qs = SparkEntry.queries
     val sampler = new Bench.Sampler(spark, qs)
     val gc1 = Bench.gcMs
-    val dir = Bench.buildSf1(spark, sfDir)
+    val dir = Bench.buildSf1(spark, sfDir, parentDir)
     try {
       val triples1 = Bench.sf1Measure(spark, sampler, qs, dir, sf1Runs, sf1Cap)
       // ratios only against an anchor measured at this base scale factor
@@ -811,7 +822,7 @@ object BenchSf1 {
       java.nio.file.Files.write(java.nio.file.Paths.get(fragOut),
         (full + "\n" + compact + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } finally {
-      graft.tools.Cleanup.deleteRecursively(dir)
+      if (parentDir.isEmpty) graft.tools.Cleanup.deleteRecursively(dir)
       spark.stop()
     }
     // local-mode Spark occasionally leaves non-daemon threads; the

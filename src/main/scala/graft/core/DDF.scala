@@ -316,9 +316,10 @@ final class DDF(
   def budgetSelectByGroup(groupCol: String,
                           order: Seq[org.apache.spark.sql.Column],
                           costCol: String, budgets: Map[Any, Long],
-                          defaultBudget: Long = 0L): DDF =
+                          defaultBudget: Long = 0L,
+                          colossalThreshold: Long = 2000000L): DDF =
     derive(graft.operators.Views.budgetSelectByGroup(df, groupCol, order,
-      costCol, budgets, defaultBudget))
+      costCol, budgets, defaultBudget, colossalThreshold))
   /** Downsample so this corpus's mix over `bucketCol` matches the mix
     * `target` exhibits (see `operators/Views.matchDistribution`).
     */

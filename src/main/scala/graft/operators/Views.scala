@@ -249,6 +249,22 @@ object Views {
   private def sortKeysOf(order: Seq[Column]): Seq[(Column, Boolean, Boolean)] =
     order.map(org.apache.spark.sql.graftbridge.Bridge.sortSpec)
 
+  /** The `__k$i` sort columns for [[sortKeysOf]]'s triples, honoring
+    * each key's direction and null ordering — ONE definition for the
+    * range-exchange, window, and colossal paths, whose output
+    * equivalence depends on sorting identically.
+    */
+  private def sortColsOf(keys: Seq[(Column, Boolean, Boolean)]): Seq[Column] =
+    keys.zipWithIndex.map { case ((_, asc, nf), i) =>
+      val c = col(s"__k$i")
+      (asc, nf) match {
+        case (true, true)   => c.asc_nulls_first
+        case (true, false)  => c.asc_nulls_last
+        case (false, true)  => c.desc_nulls_first
+        case (false, false) => c.desc_nulls_last
+      }
+    }
+
   /** [[budgetSelect]]'s pass-1/2 construction, exposed for plan pins:
     * order keys + long cost ONLY (the payload never rides the exchange),
     * ONE range exchange on the order, in-partition sort. Rows are
@@ -260,15 +276,7 @@ object Views {
     val keyed = df.select(
       keys.zipWithIndex.map { case ((k, _, _), i) => k.as(s"__k$i") } :+
         coalesce(col(costCol).cast("long"), lit(0L)).as("__cost"): _*)
-    val sortCols = keys.zipWithIndex.map { case ((_, asc, nf), i) =>
-      val c = col(s"__k$i")
-      (asc, nf) match {
-        case (true, true)   => c.asc_nulls_first
-        case (true, false)  => c.asc_nulls_last
-        case (false, true)  => c.desc_nulls_first
-        case (false, false) => c.desc_nulls_last
-      }
-    }
+    val sortCols = sortColsOf(keys)
     val n = df.sparkSession.sessionState.conf.numShufflePartitions
     keyed.repartitionByRange(n, sortCols: _*).sortWithinPartitions(sortCols: _*)
   }
@@ -385,28 +393,39 @@ object Views {
     // millions-of-domains input ships nothing); when the regime fires,
     // one more existence probe decides whether the window branch is
     // needed at all — in the all-colossal case the plan stays window-free
+    // the colossal branch compares group/key VALUES on the driver and in
+    // executor scans (JVM equality) and re-injects cut keys as literals —
+    // sound only for value-equality atomic types. Binary (arrays compare
+    // by reference) and nested types stay on the window path, whose <=>
+    // comparisons handle them; it is merely slower there, never wrong.
+    def routable(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+      case _: org.apache.spark.sql.types.NumericType => true // incl. Decimal
+      case org.apache.spark.sql.types.StringType | org.apache.spark.sql.types.BooleanType |
+           org.apache.spark.sql.types.DateType | org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => true
+      case _ => false
+    }
     val (colossal: Seq[Any], hasSmallGroups: Boolean) =
-      if (colossalThreshold == Long.MaxValue) (Seq.empty[Any], true)
+      if (colossalThreshold == Long.MaxValue ||
+          !slimAll.schema.take(m + 1).forall(f => routable(f.dataType)))
+        (Seq.empty[Any], true)
       else {
+        // group-cardinality frame read twice (big list + existence
+        // probe) — persist so the second read never re-scans the input
         val gstats = slimAll.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
-        val big = gstats.filter(col("__n") > lit(colossalThreshold))
-          .collect().map(_.get(0)).toSeq
-        val small = big.isEmpty ||
-          gstats.filter(col("__n") <= lit(colossalThreshold)).limit(1).count() > 0
-        (big, small)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val big = gstats.filter(col("__n") > lit(colossalThreshold))
+            .collect().map(_.get(0)).toSeq
+          val small = big.isEmpty ||
+            gstats.filter(col("__n") <= lit(colossalThreshold)).limit(1).count() > 0
+          (big, small)
+        } finally gstats.unpersist(blocking = false)
       }
     val slim =
       if (colossal.isEmpty) slimAll
       else slimAll.filter(!colossal.map(g => col("__g") <=> lit(g)).reduce(_ || _))
-    val sortCols = keys.zipWithIndex.map { case ((_, asc, nf), i) =>
-      val c = col(s"__k$i")
-      (asc, nf) match {
-        case (true, true)   => c.asc_nulls_first
-        case (true, false)  => c.asc_nulls_last
-        case (false, true)  => c.desc_nulls_first
-        case (false, false) => c.desc_nulls_last
-      }
-    }
+    val sortCols = sortColsOf(keys)
     import org.apache.spark.sql.expressions.Window
     // default frame = RANGE UNBOUNDED PRECEDING → peer-inclusive sums
     val w = Window.partitionBy(col("__g")).orderBy(sortCols: _*)
@@ -476,6 +495,11 @@ object Views {
       case s: java.lang.Short => s.longValue(): java.lang.Long
       case i: java.lang.Integer => i.longValue(): java.lang.Long
       case f: java.lang.Float => f.doubleValue(): java.lang.Double
+      // BigDecimal equality is class- and SCALE-sensitive (1.0 != 1.00,
+      // scala != java) while the window path's lit() coercion matches
+      // numerically — strip to a canonical java form on both sides
+      case d: java.math.BigDecimal => d.stripTrailingZeros()
+      case d: scala.math.BigDecimal => d.underlying.stripTrailingZeros()
       case x => x
     }
     val budgetByNorm = budgets.map { case (k, v) => norm(k) -> v }
@@ -483,15 +507,7 @@ object Views {
 
     val colSlim = slimAll.filter(
       colossal.map(g => col("__g") <=> lit(g)).reduce(_ || _))
-    val sortCols = keys.zipWithIndex.map { case ((_, asc, nf), i) =>
-      val c = col(s"__k$i")
-      (asc, nf) match {
-        case (true, true)   => c.asc_nulls_first
-        case (true, false)  => c.asc_nulls_last
-        case (false, true)  => c.desc_nulls_first
-        case (false, false) => c.desc_nulls_last
-      }
-    }
+    val sortCols = sortColsOf(keys)
     val n = spark.sessionState.conf.numShufflePartitions
     val gSort = col("__g").asc_nulls_first +: sortCols
     // ONE RDD object for both passes — shuffle files reused

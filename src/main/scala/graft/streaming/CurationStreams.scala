@@ -250,8 +250,12 @@ object CurationStreams {
       val remaining: Map[Any, Long] = (budgets.keySet ++ spent.keySet).map { g =>
         g -> math.max(0L, budgets.getOrElse(g, defaultBudget) - spent.getOrElse(g, 0L))
       }.toMap
+      // colossalThreshold = MaxValue: a micro-batch is never colossal,
+      // and the default regime-detection aggregate would add a full
+      // extra scan of the batch source EVERY epoch (r14 review)
       val admitted = graft.operators.Views.budgetSelectByGroup(
-          batch, groupCol, order, costCol, remaining, defaultBudget)
+          batch, groupCol, order, costCol, remaining, defaultBudget,
+          colossalThreshold = Long.MaxValue)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         sink(admitted, epoch)

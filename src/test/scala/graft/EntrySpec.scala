@@ -16,10 +16,11 @@ class EntrySpec extends SparkTestBase {
     // query names itself here instead of hiding under a loose >= bound.
     // Adding a query means adding its name to the manifest: that is the
     // tripwire working, not a chore to automate away.
-    val manifest = scala.io.Source.fromInputStream(
-        getClass.getResourceAsStream("/query_manifest.txt"), "UTF-8")
+    val stream = Option(getClass.getResourceAsStream("/query_manifest.txt"))
+    assert(stream.nonEmpty, "query_manifest.txt missing from test resources")
+    val manifest = scala.io.Source.fromInputStream(stream.get, "UTF-8")
       .getLines().map(_.trim).filter(_.nonEmpty).toSet
-    assert(manifest.nonEmpty, "query_manifest.txt missing or empty")
+    assert(manifest.nonEmpty, "query_manifest.txt is empty")
     assert(qk == manifest,
       s"registry drifted from committed manifest — missing from registry: " +
         s"${manifest.diff(qk).toSeq.sorted}; unmanifested: ${qk.diff(manifest).toSeq.sorted}")
