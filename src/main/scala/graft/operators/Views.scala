@@ -410,17 +410,19 @@ object Views {
           !slimAll.schema.take(m + 1).forall(f => routable(f.dataType)))
         (Seq.empty[Any], true)
       else {
-        // group-cardinality frame read twice (big list + existence
-        // probe) — persist so the second read never re-scans the input
+        // ONE job answers both questions — the over-threshold group
+        // VALUES (few by definition; collect_list skips a NULL group, so
+        // a colossal NULL is re-added via its own flag) and whether any
+        // sub-threshold group exists (NULL-group rows count there via
+        // the when(), which is group-value-independent)
         val gstats = slimAll.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          val big = gstats.filter(col("__n") > lit(colossalThreshold))
-            .collect().map(_.get(0)).toSeq
-          val small = big.isEmpty ||
-            gstats.filter(col("__n") <= lit(colossalThreshold)).limit(1).count() > 0
-          (big, small)
-        } finally gstats.unpersist(blocking = false)
+        val det = gstats.agg(
+          collect_list(when(col("__n") > lit(colossalThreshold), col("__g"))).as("big"),
+          count(when(col("__n") <= lit(colossalThreshold), lit(1))).as("nSmall"),
+          max(when(col("__g").isNull && col("__n") > lit(colossalThreshold), lit(1)))
+            .as("nullBig")).head()
+        val big = det.getSeq[Any](0) ++ (if (!det.isNullAt(2)) Seq(null) else Nil)
+        (big, big.isEmpty || det.getLong(1) > 0)
       }
     val slim =
       if (colossal.isEmpty) slimAll
