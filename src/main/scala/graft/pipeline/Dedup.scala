@@ -146,8 +146,13 @@ object Dedup {
     val probe =
       if (bf == null) lit(true)
       else mightContain(bf, xxhash64(col("fingerprint")))
-    batch.filter(!probe).unionAll(
-      batch.filter(probe)
+    // the batch aggregate feeds BOTH probe branches — materialize it
+    // once (batch-sized, the per-ingest unit) instead of re-running the
+    // newDocs scan + fingerprint groupBy per branch (r14 review; the
+    // minhashCandidatesFromSignatures both-sides rule)
+    val batchM = batch.localCheckpoint(eager = true)
+    batchM.filter(!probe).unionAll(
+      batchM.filter(probe)
         .join(knownFingerprints.select(col("fingerprint").as("__kfp")),
           col("fingerprint") <=> col("__kfp"), "left_anti"))
   }

@@ -34,9 +34,14 @@ object Dsir {
   /** (id, bucket, tf) hashed unigram+bigram occurrences of `textCol`. */
   private def bucketTf(df: DataFrame, textCol: String, idCol: String,
                        buckets: Int): DataFrame = {
-    val toks = expr(TextAnalysis.tokensExpr(textCol))
+    // project the token array ONCE: inlining the tokensExpr fragment as
+    // both concat args re-ran the interpreted regex tokenizer twice per
+    // row of the raw corpus — the exact pattern TextAnalysis measured
+    // and fixed in its own operators (r14 review)
     df.select(col(idCol).as("id"),
-        explode(concat(toks, TextAnalysis.ngramCol(toks, 2))).as("__f"))
+        expr(TextAnalysis.tokensExpr(textCol)).as("__toks"))
+      .select(col("id"),
+        explode(concat(col("__toks"), TextAnalysis.ngramCol(col("__toks"), 2))).as("__f"))
       .select(col("id"),
         pmod(Dedup.portableFold(col("__f")), lit(buckets.toLong)).cast("int").as("bucket"))
       .groupBy("id", "bucket").agg(count(lit(1)).as("tf"))

@@ -87,6 +87,20 @@ object IvfIndex {
     */
   val maxInlineCentroids: Int = 512
 
+  /** The broadcast (cell, cv, half_norm) centroid table. half_norm =
+    * ||c||²/2 carries the L2-argmin identity (argmin ||v−c|| = argmax
+    * v·c − ||c||²/2) that ties probe RANKING to assignment — one
+    * definition so the two sides cannot desynchronize (r14 review).
+    */
+  private def centroidFrame(spark: org.apache.spark.sql.SparkSession,
+                            centroids: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(
+      centroids.zipWithIndex.map { case (c, i) =>
+        (i, c.toSeq, c.map(x => x * x).sum / 2.0)
+      }.toSeq).toDF("cell", "cv", "half_norm")
+  }
+
   /** Assignment via broadcast centroid join: score every (vector,
     * centroid) pair against the broadcast table, keep the argmax cell per
     * id with `max_by`. One map-side join + one partial-aggregated groupBy
@@ -94,11 +108,7 @@ object IvfIndex {
     */
   private[pipeline] def nearestCellByJoin(vecs: DataFrame,
                                           centroids: Array[Array[Double]]): DataFrame = {
-    val spark = vecs.sparkSession
-    import spark.implicits._
-    val cents = spark.createDataset(
-      centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq, c.map(x => x * x).sum / 2.0) }.toSeq)
-      .toDF("cell", "cv", "half_norm")
+    val cents = centroidFrame(vecs.sparkSession, centroids)
     vecs.crossJoin(broadcast(cents))
       .select(col("id"), col("v"),
         struct((graft.functions.VectorFunctions.dot(col("v"), col("cv")) - col("half_norm")).as("s"),
@@ -156,12 +166,7 @@ object IvfIndex {
   def candidates(index: Index, queries: DataFrame, vecCol: String,
                  queryIdCol: String, nprobe: Int): DataFrame = {
     val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"))
-    val centroidRows = index.centroids.zipWithIndex.map { case (c, i) =>
-      (i, c.toSeq, c.map(x => x * x).sum / 2.0)
-    }
-    val spark = queries.sparkSession
-    import spark.implicits._
-    val cents = spark.createDataset(centroidRows.toSeq).toDF("cell", "cv", "half_norm")
+    val cents = centroidFrame(queries.sparkSession, index.centroids)
     val probes = q.crossJoin(broadcast(cents))
       .select(col("query_id"), col("qv"), col("cell"),
         (graft.functions.VectorFunctions.dot(col("qv"), col("cv")) - col("half_norm")).as("cs"))

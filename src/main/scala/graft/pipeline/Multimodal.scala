@@ -409,6 +409,12 @@ object Multimodal {
                    partitions: Int = 0): DataFrame = {
     require(hashW >= 1 && hashH >= 1 && hashW * hashH <= 64,
       s"imageDHashes: need 1 <= hashW*hashH <= 64 bits, got ${hashW}x$hashH")
+    // numeric id required up front (the extractFeatures guard): cast on a
+    // string id nulls per row and dies executor-side with a context-free
+    // "null id" — fail driver-side with the column name instead
+    require(df.schema(idCol).dataType.isInstanceOf[NumericType],
+      s"imageDHashes: id column '$idCol' must be numeric " +
+        s"(got ${df.schema(idCol).dataType.simpleString})")
     requireBinary(df, payloadCol, "imageDHashes")
     val in = if (partitions > 0) df.repartition(partitions) else df
     val spark = df.sparkSession
@@ -451,7 +457,11 @@ object Multimodal {
         s"(got maxHamming=$maxHamming, bands=$bands) — raise bands")
     val bits = 64 / bands
     val mask = if (bits == 64) -1L else (1L << bits) - 1
-    val sliced = hashes.select(col(idCol).cast("long").as("id"),
+    // id keeps the CALLER's type — loadBinaryDir corpora are naturally
+    // keyed by the string `path`, and cast("long") nulled those ids so
+    // the x.id < y.id predicate dropped EVERY pair (r14 review). The
+    // pair ordering below works for any orderable id type.
+    val sliced = hashes.select(col(idCol).as("id"),
         col(hashCol).cast("long").as("h"))
       .select(col("id"), col("h"), explode(sequence(lit(0), lit(bands - 1))).as("b"))
       .select(col("id"), col("h"), col("b"),
@@ -478,7 +488,7 @@ object Multimodal {
                   maxBytes: Int): DataFrame = {
     require(maxBytes > 0, s"maxBytes must be positive, got $maxBytes")
     requireBinary(df, payloadCol, "capPayloads")
-    df.select(col(idCol).cast("long").as("id"),
+    df.select(col(idCol).as("id"), // caller's id type — cast("long") nulled string ids (r14 review)
         expr(s"substring($payloadCol, 1, $maxBytes)").as("payload"))
       .withColumn("byte_len", octet_length(col("payload")).cast("long"))
       .withColumn("content_hash", md5(col("payload")))
@@ -503,6 +513,12 @@ object Multimodal {
     // silently drop EVERY frame of every document
     require(everyK > 0, s"everyK must be positive, got $everyK")
     df.select(col(idCol).as("id"), col(payloadCol).as("p"))
+      // a NULL payload otherwise slips through as one (id, 0, NULL)
+      // frame row (greatest(1, NULL) = 1) — fail loudly like the other
+      // codec operators do (r14 review)
+      .withColumn("p", when(col("p").isNull,
+        raise_error(concat(lit("sampleFrames: null payload for id "),
+          col("id").cast("string"))).cast("binary")).otherwise(col("p")))
       .withColumn("n_chunks",
         greatest(lit(1), ceil(octet_length(col("p")) / lit(chunkBytes.toDouble))).cast("int"))
       .withColumn("frame_no", explode(expr(s"filter(sequence(0, n_chunks - 1), i -> i % $everyK = 0)")))

@@ -81,16 +81,25 @@ object Relevance {
     */
   private def bm25Scores(df: DataFrame, textCol: String, idCol: String,
                          qTerms: DataFrame, k1: Double, b: Double): DataFrame = {
-    val head = df
-      .select(count(lit(1)), coalesce(sum(TextAnalysis.tokenCount(textCol)), lit(0L)))
+    // the "one corpus tokenize pass" in the scaladoc is made literal
+    // here: the (id, tokens) projection is materialized ONCE and the
+    // totals job, the dl frame, and the tf explode all read it — the
+    // previous shape re-ran the interpreted regex tokenizer over the
+    // full corpus three times per call (r14 review). The checkpoint is
+    // ~token-array-sized (MEMORY_AND_DISK, spills); its blocks release
+    // when the caller drops the returned frame.
+    val tokd = df.select(col(idCol).as("id"),
+        expr(TextAnalysis.tokensExpr(textCol)).as("__toks"))
+      .localCheckpoint(eager = true)
+    val head = tokd
+      .select(count(lit(1)),
+        coalesce(sum(TextAnalysis.tokenCountOf("__toks")), lit(0L)))
       .first()
     val n = head.getLong(0); val totTok = head.getLong(1)
     val avgdl = totTok.toDouble / n
-    val dl = df.select(col(idCol).as("id"),
-      TextAnalysis.tokenCount(textCol).as("dl"))
-    val tf = df
-      .select(col(idCol).as("id"),
-        explode(expr(TextAnalysis.tokensExpr(textCol))).as("token"))
+    val dl = tokd.select(col("id"), TextAnalysis.tokenCountOf("__toks").as("dl"))
+    val tf = tokd
+      .select(col("id"), explode(col("__toks")).as("token"))
       .join(broadcast(qTerms.select("token").distinct()), Seq("token"), "left_semi")
       .groupBy("id", "token").agg(count(lit(1)).as("tf"))
     val dfq = tf.groupBy("token").agg(count(lit(1)).as("doc_freq"))
@@ -117,9 +126,16 @@ object Relevance {
   def bm25(df: DataFrame, textCol: String, idCol: String,
            queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    // normalize terms through the SAME pipeline as corpus tokens
+    // (lowercased whitespace tokens): a capitalized or multi-word term
+    // would otherwise match nothing silently, and the batch path
+    // (bm25Retrieve, which tokenizes query TEXT with tokensExpr) would
+    // disagree with this API on identical queries (r14 review)
+    val norm = queryTerms.flatMap(_.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+    require(norm.nonEmpty, "bm25: query terms are empty after tokenization")
     val spark = df.sparkSession
     import spark.implicits._
-    val qTerms = queryTerms.distinct.map(t => (0L, t)).toDF("query_id", "token")
+    val qTerms = norm.distinct.map(t => (0L, t)).toDF("query_id", "token")
     bm25Scores(df, textCol, idCol, qTerms, k1, b).drop("query_id")
   }
 

@@ -88,6 +88,7 @@ object SetJoin {
     // verification sides, so the regex-split scan runs a single time
     val sets = tokenSets(df, textCol, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try { // release the corpus cache even when a mid-chain job throws (r14 review)
     val sa = sets.select(col("id").as("id_a"), col("s").as("sa"), col("n").as("na"))
     val sb = sets.select(col("id").as("id_b"), col("s").as("sb"), col("n").as("nb"))
     val out = candidatesFromSets(sets, threshold)
@@ -100,8 +101,8 @@ object SetJoin {
       // sets cache can be dropped before returning — no cache outlives
       // the call beyond the result itself
       .localCheckpoint(eager = true)
-    sets.unpersist(blocking = false)
     out
+    } finally sets.unpersist(blocking = false)
   }
 
   /** EXACT edit-distance self-join: every unordered pair of rows whose
@@ -179,6 +180,10 @@ object SetJoin {
       .filter(col("str").isNotNull)
       .withColumn("len", length(col("str")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // try/finally (r14 review): gramStats' count and the eager result
+    // checkpoint are jobs — a failure in either must still release the
+    // corpus-sized cache (the Dedup.scala persist discipline)
+    try {
     if (k <= 2) return deletionJoin(strs, k)
     val (rare, stats) = gramStats(strs, q, stopGramFraction)
     val ra = rare.select(col("id").as("id_a"), col("len").as("la"),
@@ -212,8 +217,8 @@ object SetJoin {
       .filter(col("dist") <= k)
       .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
       .localCheckpoint(eager = true)
-    strs.unpersist(blocking = false)
     out
+    } finally strs.unpersist(blocking = false)
   }
 
   /** The q-gram path's gram accounting, shared by [[editDistanceJoin]]
@@ -288,11 +293,17 @@ object SetJoin {
     require(stopGramFraction > 0 && stopGramFraction <= 1,
       s"stopGramFraction in (0,1], got $stopGramFraction")
     val k = maxDist
-    def prep(df: DataFrame, s: String, i: String) =
-      df.select(col(i).as("id"), col(s).cast("string").as("str"))
+    // materialize=false returns the LAZY plan (for plan pins) — it must
+    // not persist: the prep frames are private locals, so a caller could
+    // never release them (r14 review; the Dsir.importanceWeights rule).
+    // The lazy mode re-executes prep per consumer, which is the point.
+    def prep(df: DataFrame, s: String, i: String) = {
+      val base = df.select(col(i).as("id"), col(s).cast("string").as("str"))
         .filter(col("str").isNotNull)
         .withColumn("len", length(col("str")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (materialize) base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else base
+    }
     val ls = prep(left, leftStr, leftId)
     val rs = prep(right, rightStr, rightId)
     val cands =
@@ -351,13 +362,11 @@ object SetJoin {
       .filter(col("dist") <= k)
       .select(col("id_l"), col("id_r"), col("dist").cast("long").as("dist"))
     // materialize=false keeps the lazy DAG inspectable for plan pins
-    // (eager localCheckpoint would hide it); the caller then owns the
-    // lifetime of the two persisted prep frames
+    // (eager localCheckpoint would hide it); nothing was persisted in
+    // that mode, so there is nothing to leak
     if (!materialize) return joinedOut
-    val out = joinedOut.localCheckpoint(eager = true)
-    ls.unpersist(blocking = false)
-    rs.unpersist(blocking = false)
-    out
+    try joinedOut.localCheckpoint(eager = true)
+    finally { ls.unpersist(blocking = false); rs.unpersist(blocking = false) }
   }
 
   /** Filter-health diagnostic for the k ≥ 3 q-gram path: how much of the

@@ -866,7 +866,15 @@ object TextAnalysis {
     val totals = sums.map { case (s, bs) => s -> bs.map(_._2).sum }
     val fullEpochs = budgets.map { case (s, b) =>
       val tot = totals.getOrElse(s, 0L)
-      s -> (if (tot > 0) (b / tot).toInt else 0)
+      val k = if (tot > 0) b / tot else 0L
+      // loud failure instead of silent Int wrap (r14 review): a tiny
+      // source against a huge budget can demand billions of epochs —
+      // that is a mis-specified mixture, not something to truncate
+      require(k <= Int.MaxValue,
+        s"mixtureUpsample: source '$s' needs $k full epochs " +
+          s"(budget $b over $tot tokens) — exceeds the supported range; " +
+          s"check the weight/totalTokens spec")
+      s -> k.toInt
     }
     val remBudgets = budgets.map { case (s, b) =>
       s -> (b - fullEpochs(s).toLong * totals.getOrElse(s, 0L))

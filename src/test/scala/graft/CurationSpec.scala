@@ -53,6 +53,13 @@ class CurationSpec extends SparkTestBase {
     val hits = Relevance.bm25(corpus(), "text", "doc_id", Seq("durian", "apple"))
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("terms_hit")).toMap
     assert(hits(2L) == 2L && hits(1L) == 1L)
+    // r14 review: query terms go through the SAME normalization as
+    // corpus tokens — capitalized or multi-word terms must score
+    // identically to their tokenized form instead of silently matching
+    // nothing (the bm25Retrieve behavior for the same query text)
+    val capped = Relevance.bm25(corpus(), "text", "doc_id", Seq("Durian  Apple"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("bm25")).toMap
+    assert(capped == scores, s"got $capped want $scores")
   }
 
   test("bm25Retrieve: per-query rows match single-query bm25; k bounds each query") {

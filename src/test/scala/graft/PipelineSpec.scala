@@ -1013,6 +1013,38 @@ class PipelineSpec extends SparkTestBase {
       Multimodal.nearDupImagePairs(hashes, "id", maxHamming = 4, bands = 4))
   }
 
+  test("multimodal: string ids (the loadBinaryDir path key) survive pair/cap ops") {
+    import spark.implicits._
+    // r14 review: cast("long") nulled string ids, so nearDupImagePairs
+    // returned ZERO pairs for path-keyed corpora and capPayloads
+    // corrupted the id column — both now keep the caller's id type
+    val hashes = Seq(("dir/a.png", 100L), ("dir/b.png", 101L), ("dir/z.png", 9999L))
+      .toDF("path", "dhash")
+    val pairs = Multimodal.nearDupImagePairs(hashes, "path", "dhash",
+        maxHamming = 2, bands = 4)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs == Set(("dir/a.png", "dir/b.png")), s"got $pairs")
+    val pay = Seq(("k/x", "payload bytes"), ("k/y", "tiny")).toDF("path", "text")
+    val capped = Multimodal.capPayloads(
+      Multimodal.withBinaryPayload(pay, "text", "text/plain"), "path", "payload", 5)
+    assert(capped.select("id").collect().map(_.getString(0)).toSet == Set("k/x", "k/y"))
+    assert(capped.select("byte_len").collect().map(_.getLong(0)).forall(_ <= 5))
+    // imageDHashes stays numeric-id (executor getLong) but now fails
+    // driver-side with the column name instead of a deep executor error
+    val err = intercept[IllegalArgumentException](
+      Multimodal.imageDHashes(pay.select(col("path"),
+        col("text").cast("binary").as("payload")), "path", "payload"))
+    assert(err.getMessage.contains("must be numeric"), err.getMessage)
+    // sampleFrames: a NULL payload fails loudly like the codec siblings
+    val withNull = Seq((1L, Some("bytes")), (2L, None))
+      .toDF("id", "text")
+      .select(col("id"), col("text").cast("binary").as("payload"))
+    val ex = intercept[Exception](
+      Multimodal.sampleFrames(withNull, "id", "payload", chunkBytes = 2, everyK = 1)
+        .collect())
+    assert(ex.getMessage.contains("null payload"), ex.getMessage)
+  }
+
   test("multimodal: real WAV decode — pinned exact sample statistics") {
     // mono 16-bit: samples {100,100,-300,-300,300} → mean -20, meanAbs
     // 220, peak 300, sign runs ++--+ → 2 zero crossings
