@@ -1376,12 +1376,14 @@ object SparkEntry {
              |    count(*)::BIGINT FROM lineitem
              |  UNION ALL
              |  SELECT 'fk(l_orderkey)',
-             |    (SELECT count(*) FROM lineitem l WHERE NOT EXISTS (
+             |    (SELECT count(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+             |     AND NOT EXISTS (
              |       SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))::BIGINT,
              |    count(*)::BIGINT FROM lineitem
              |  UNION ALL
              |  SELECT 'fk(l_partkey)',
-             |    (SELECT count(*) FROM lineitem l WHERE NOT EXISTS (
+             |    (SELECT count(*) FROM lineitem l WHERE l.l_partkey IS NOT NULL
+             |     AND NOT EXISTS (
              |       SELECT 1 FROM region r WHERE r.r_regionkey = l.l_partkey))::BIGINT,
              |    count(*)::BIGINT FROM lineitem
              |) ORDER BY rule""".stripMargin)),
@@ -2168,9 +2170,9 @@ object SparkEntry {
              |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
              |    count(*) OVER (PARTITION BY l_returnflag) AS n FROM f)
              |SELECT l_returnflag,
-             |  max(CASE WHEN rn = greatest(ceil(0.25 * n)::BIGINT, 1) THEN l_quantity END) AS q25,
-             |  max(CASE WHEN rn = greatest(ceil(0.5 * n)::BIGINT, 1) THEN l_quantity END) AS q50,
-             |  max(CASE WHEN rn = greatest(ceil(0.95 * n)::BIGINT, 1) THEN l_quantity END) AS q95
+             |  max(CASE WHEN rn = greatest(ceil(round(0.25 * n, 9))::BIGINT, 1) THEN l_quantity END) AS q25,
+             |  max(CASE WHEN rn = greatest(ceil(round(0.5 * n, 9))::BIGINT, 1) THEN l_quantity END) AS q50,
+             |  max(CASE WHEN rn = greatest(ceil(round(0.95 * n, 9))::BIGINT, 1) THEN l_quantity END) AS q95
              |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     Q("q49_group_mode",
@@ -2200,8 +2202,8 @@ object SparkEntry {
       Some(s"""WITH r AS (SELECT value AS v, row_number() OVER (ORDER BY value) AS rn,
               |    count(*) OVER () AS n FROM events WHERE value IS NOT NULL),
               |b AS (SELECT
-              |  max(CASE WHEN rn = greatest(ceil(0.25 * n)::BIGINT, 1) THEN v END) AS q1,
-              |  max(CASE WHEN rn = greatest(ceil(0.75 * n)::BIGINT, 1) THEN v END) AS q3 FROM r)
+              |  max(CASE WHEN rn = greatest(ceil(round(0.25 * n, 9))::BIGINT, 1) THEN v END) AS q1,
+              |  max(CASE WHEN rn = greatest(ceil(round(0.75 * n, 9))::BIGINT, 1) THEN v END) AS q3 FROM r)
               |SELECT event_id, value FROM events, b
               |WHERE value >= q1 - 1.5 * (q3 - q1) AND value <= q3 + 1.5 * (q3 - q1)
               |ORDER BY event_id""".stripMargin)),
@@ -2219,8 +2221,8 @@ object SparkEntry {
       Some(s"""WITH r AS (SELECT value AS v, row_number() OVER (ORDER BY value) AS rn,
               |    count(*) OVER () AS n FROM events WHERE value IS NOT NULL),
               |b AS (SELECT
-              |  max(CASE WHEN rn = greatest(ceil(0.25 * n)::BIGINT, 1) THEN v END) AS q1,
-              |  max(CASE WHEN rn = greatest(ceil(0.75 * n)::BIGINT, 1) THEN v END) AS q3 FROM r)
+              |  max(CASE WHEN rn = greatest(ceil(round(0.25 * n, 9))::BIGINT, 1) THEN v END) AS q1,
+              |  max(CASE WHEN rn = greatest(ceil(round(0.75 * n, 9))::BIGINT, 1) THEN v END) AS q3 FROM r)
               |SELECT event_id,
               |  CASE WHEN value < q1 - 0.5 * (q3 - q1) THEN q1 - 0.5 * (q3 - q1)
               |       WHEN value > q3 + 0.5 * (q3 - q1) THEN q3 + 0.5 * (q3 - q1)

@@ -216,12 +216,24 @@ object Aggregations {
     * stats (AggregationHandler.scala:19-43); Spark's `corr` aggregate is
     * the same one-pass co-moment computation, codegen'd.
     */
-  def correlation(ddf: DDF, a: String, b: String): Double =
-    ddf.df.na.drop("any", Seq(a, b)).agg(corr(a, b)).first().getDouble(0)
+  def correlation(ddf: DDF, a: String, b: String): Double = {
+    val row = ddf.df.na.drop("any", Seq(a, b)).agg(corr(a, b)).first()
+    // empty/all-null input: corr over zero rows is NULL — fail with the
+    // column names instead of getDouble's opaque NPE (the Stats.quantiles
+    // guard; r14 review)
+    require(!row.isNullAt(0),
+      s"correlation: no rows where both '$a' and '$b' are non-null")
+    row.getDouble(0)
+  }
 
   /** Sample covariance (SURVEY A9; reference: Welford-style merge in
     * utils/package.scala:34-119).
     */
-  def covariance(ddf: DDF, a: String, b: String): Double =
-    ddf.df.na.drop("any", Seq(a, b)).agg(covar_samp(a, b)).first().getDouble(0)
+  def covariance(ddf: DDF, a: String, b: String): Double = {
+    val row = ddf.df.na.drop("any", Seq(a, b)).agg(covar_samp(a, b)).first()
+    require(!row.isNullAt(0),
+      s"covariance: no rows where both '$a' and '$b' are non-null " +
+        s"(covar_samp also needs at least 2)")
+    row.getDouble(0)
+  }
 }

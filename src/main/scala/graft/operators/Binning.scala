@@ -18,14 +18,17 @@ import org.apache.spark.sql.functions._
   */
 object Binning {
 
-  private val fmt = {
-    val f = new java.text.DecimalFormat("#.##")
-    f
-  }
+  // Locale.ROOT symbols: the default-locale DecimalFormat would print
+  // "0,5" on a comma-decimal JVM — ambiguous against the interval
+  // separator and non-deterministic across machines (r14 review).
+  // DecimalFormat is not thread-safe either; one instance per thread.
+  private val fmt = ThreadLocal.withInitial[java.text.DecimalFormat](() =>
+    new java.text.DecimalFormat("#.##",
+      java.text.DecimalFormatSymbols.getInstance(java.util.Locale.ROOT)))
   /** 2-decimal interval-boundary format (reference: BinningHandler.scala:
     * 64-92 uses DecimalFormat("#.##")).
     */
-  def formatBound(d: Double): String = fmt.format(d)
+  def formatBound(d: Double): String = fmt.get().format(d)
 
   /** Interval labels, reference-exact (BinningHandler.createIntervals:
     * 64-92): right=true → "(a,b]" with "[a,b]" first when includeLowest;

@@ -154,6 +154,14 @@ object Joins {
     require(Seq("backward", "forward", "nearest").contains(direction),
       s"asofJoin: direction must be backward|forward|nearest, got '$direction'")
     tolerance.foreach(t => require(t >= 0, s"asofJoin: negative tolerance $t"))
+    // empty partition keys would build an UNPARTITIONED window — the
+    // whole dataset through one sort task (the History.asOfLookup /
+    // scd2 guard; r14 review). Single-series callers pass a constant
+    // key column explicitly, making the scale trade visible.
+    require(partitionCols.nonEmpty,
+      "asofJoin: need at least one partition column (an unpartitioned " +
+        "as-of would sort everything in one task — add a constant key " +
+        "column deliberately for a single global series)")
     // the match carries the right TIME alongside the payload so tolerance
     // and the nearest tie-break are computable after the window
     val payType = right.select(

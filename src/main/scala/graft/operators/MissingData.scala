@@ -344,8 +344,16 @@ object MissingData {
     // column's remaining nulls (a partition's rows before its first
     // non-null for ffill / after its last for bfill)
     val joined = filled.join(broadcast(carryDf), Seq("__pid"), "left_outer")
-    cols.foldLeft(joined) { (d, c) =>
+    val out = cols.foldLeft(joined) { (d, c) =>
       d.withColumn(c, coalesce(col(c), col(s"__carry_$c")))
     }.drop("__pid" +: cols.map(c => s"__carry_$c"): _*)
+    // materialize the RESULT so the corpus-sized parts checkpoint can be
+    // released before returning (r14 review — it was pinned until
+    // ContextCleaner GC, accumulating across calls in a long session);
+    // the exactJaccardJoin rule: no cache outlives the call beyond the
+    // result itself.
+    val outM = out.localCheckpoint(eager = true)
+    graft.core.Checkpoints.release(parts)
+    outM
   }
 }

@@ -107,6 +107,12 @@ object TimeSeries {
   def rollingAgg(df: DataFrame, tsCol: String, keyCols: Seq[String],
                  windowSec: Long, aggs: Seq[(String, Column)]): DataFrame = {
     require(aggs.nonEmpty, "rollingAgg() needs at least one aggregate")
+    // empty keys = unpartitioned window = one sort task for the whole
+    // dataset (the asofJoin/History guard; r14 review)
+    require(keyCols.nonEmpty,
+      "rollingAgg: need at least one key column (an unpartitioned rolling " +
+        "window would sort everything in one task — add a constant key " +
+        "column deliberately for a single global series)")
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(unix_micros(col(tsCol)))
       .rangeBetween(-windowSec * 1000000L, 0L)

@@ -75,7 +75,12 @@ object Validate {
       case f: ForeignKey =>
         val refKeys = f.ref.select(f.refCols.map(col): _*).na.drop("any").distinct()
           .toDF(f.cols: _*)
-        val orphans = df.join(refKeys, f.cols, "left_anti").count()
+        // SQL FK semantics (r14 review): a row with any NULL key
+        // component is EXEMPT — NULL never matches in the anti-join, so
+        // every nullable-FK row would otherwise read as an orphan.
+        // Callers wanting null checks compose the separate notNull rule.
+        val orphans = df.na.drop("any", f.cols)
+          .join(refKeys, f.cols, "left_anti").count()
         (f.name, orphans, checkedOnce)
     }
     (rowCounts ++ setCounts).toDF("rule", "violations", "checked")

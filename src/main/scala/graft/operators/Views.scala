@@ -685,6 +685,13 @@ object Views {
     */
   def hashSample(ddf: DDF, keyCol: String, perMille: Int): DDF = {
     require(perMille >= 0 && perMille <= 1000, s"perMille must be 0..1000, got $perMille")
+    // numeric key required (the stratifiedSample guard): xorFold casts to
+    // long, so a string key would null per row and the "sample" would be
+    // silently EMPTY instead of failing fast (r14 review)
+    require(ddf.schema(keyCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"hashSample: key column '$keyCol' must be numeric " +
+        s"(got ${ddf.schema(keyCol).dataType.simpleString})")
     ddf.derive(ddf.df.filter(xorFold(col(keyCol), 1000L) < lit(perMille.toLong)))
   }
 

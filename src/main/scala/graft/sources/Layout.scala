@@ -98,9 +98,15 @@ object Layout {
     // overwrite deletes the target BEFORE the lazy source scan runs — an
     // in-place call would destroy the data it is reading; refuse it
     val outP = new org.apache.hadoop.fs.Path(outPath)
-    require(fs.makeQualified(p) != fs.makeQualified(outP),
-      s"compact cannot run in place ($inPath == $outPath): " +
-        "write to a sibling path, verify, then swap")
+    // containment counts as in-place too (r14 review): an out path that
+    // is an ANCESTOR of the input gets deleted by mode("overwrite")
+    // before the scan reads a file — the source data would be gone; a
+    // DESCENDANT pollutes the input dir so later reads double-count
+    val inQ = fs.makeQualified(p).toUri.getPath.stripSuffix("/") + "/"
+    val outQ = fs.makeQualified(outP).toUri.getPath.stripSuffix("/") + "/"
+    require(!inQ.startsWith(outQ) && !outQ.startsWith(inQ),
+      s"compact cannot run in place or into a nested path " +
+        s"($inPath vs $outPath): write to a sibling path, verify, then swap")
     val files = fs.listStatus(p).filter { s =>
       val n = s.getPath.getName
       s.isFile && !n.startsWith("_") && !n.startsWith(".")

@@ -80,7 +80,11 @@ object Manifest {
       df.sparkSession.createDataFrame(
           df.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
         .coalesce(1).write.mode("append").parquet(path)
-    writeManifestFor(df.sparkSession, path, partitionCols.size)
+    // the placeholder shard lands at the CORPUS ROOT (no hive dirs), so
+    // the manifest key depth must be 0 there — keeping partitionCols.size
+    // would slice directories ABOVE the corpus root into the file key and
+    // break verify-after-move (r14 review)
+    writeManifestFor(df.sparkSession, path, if (hasData) partitionCols.size else 0)
   }
 
   /** Compute and store the manifest for an ALREADY-written parquet dir —

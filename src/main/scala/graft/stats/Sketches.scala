@@ -67,7 +67,10 @@ object Sketches {
       val numeric = isNumeric(byName(c))
       Seq(
         hll_sketch_agg(col(c).cast("string"), lgK).as(s"__hll_$c"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+        // coalesce: a zero-row shard must profile null_count = 0, not
+        // NULL (legitimate under partitioned publishes; the
+        // Stats.summaryOf rule; r14 review)
+        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(s"__nulls_$c"),
         (if (numeric) min(col(c).cast("double")) else lit(null).cast("double")).as(s"__minn_$c"),
         (if (numeric) max(col(c).cast("double")) else lit(null).cast("double")).as(s"__maxn_$c"),
         (if (numeric) lit(null).cast("string") else min(col(c).cast("string"))).as(s"__mins_$c"),

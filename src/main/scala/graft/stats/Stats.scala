@@ -266,8 +266,13 @@ object Stats {
       .withColumn("__rn", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(wAll))
     val aggs = ps.zip(labels).map { case (p, lbl) =>
+      // round(·, 9) before ceil: the IEEE product can land a hair above
+      // the exact integer (0.95 × 100 = 95.000000000000002) and ceil
+      // would bump the rank by one — the snap keeps the selection at the
+      // true percentile_disc rank. The q48/q53/q54 oracles and the
+      // PropertySpec serial reference apply the identical snap.
       max(when(col("__rn") ===
-        greatest(ceil(lit(p) * col("__n")), lit(1L)), col(valCol)))
+        greatest(ceil(round(lit(p) * col("__n"), 9)), lit(1L)), col(valCol)))
         .as(lbl)
     }
     ranked.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)

@@ -78,6 +78,23 @@ class LayoutSpec extends SparkTestBase {
     assert(zRows < 40000 / 2, s"z layout should skip most row groups, scanned $zRows")
   }
 
+  test("compact refuses nested in/out paths (overwrite would eat the source)") {
+    // r14 review: exact-equality was the only in-place guard, but an
+    // ancestor outPath is deleted by mode("overwrite") BEFORE the lazy
+    // scan reads a source file, and a descendant pollutes the input dir
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_guard").toString
+    spark.range(10).write.parquet(s"$dir/t/day=1")
+    val up = intercept[IllegalArgumentException](
+      graft.sources.Layout.compact(spark, s"$dir/t/day=1", s"$dir/t", 1024L))
+    assert(up.getMessage.contains("nested"), up.getMessage)
+    val down = intercept[IllegalArgumentException](
+      graft.sources.Layout.compact(spark, s"$dir/t/day=1", s"$dir/t/day=1/out", 1024L))
+    assert(down.getMessage.contains("nested"), down.getMessage)
+    // source untouched by both refusals
+    assert(spark.read.parquet(s"$dir/t/day=1").count() == 10)
+    graft.tools.Cleanup.deleteRecursively(dir)
+  }
+
   test("compact merges a small-file explosion to the byte-sized target, content intact") {
     import java.nio.file.Files
     val df = grid(4096)

@@ -729,7 +729,12 @@ class PropertySpec extends SparkTestBase {
       val qs = graft.stats.Stats.groupQuantiles(df, "g", "v", ps)
         .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
       val wantQs = byGroup.map { case (g, vs) =>
-        def at(p: Double) = vs(math.max(math.ceil(p * vs.size).toInt, 1) - 1)
+        def at(p: Double) = {
+          // identical rank snap to Stats.groupQuantiles / the oracles
+          val snapped = BigDecimal(p * vs.size)
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+          vs(math.max(math.ceil(snapped).toInt, 1) - 1)
+        }
         g -> ((at(0.25), at(0.5), at(0.9)))
       }
       assert(qs == wantQs, s"seed=$seed quantiles diff=${(qs.toSet diff wantQs.toSet)}")

@@ -32,6 +32,20 @@ class ValidateSpec extends SparkTestBase {
     assert(rep("fk(id)") == (1L, 4L), "id=4 has no reference row")
   }
 
+  test("ForeignKey: NULL key rows are exempt (SQL FK semantics)") {
+    import spark.implicits._
+    // r14 review: a nullable FK column must not flag its NULLs as
+    // orphans — NULL never matches an anti-join, so half the table read
+    // as violations; null checks compose via the separate notNull rule
+    val facts = Seq((1L, Some(10L)), (2L, Some(99L)), (3L, None), (4L, None))
+      .toDF("id", "ref_id")
+    val dim = Seq(10L, 20L).toDF("rid")
+    val rep = Validate.report(facts,
+        Seq(ForeignKey(Seq("ref_id"), dim, Seq("rid"))))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep("fk(ref_id)") == 1L, s"only id=2 (99) is an orphan: $rep")
+  }
+
   test("flag appends the failing rule names row-wise, clean rows get []") {
     val flagged = Validate.flag(df, Seq(notNull("name"), inRange("v", 0.0, 10.0)))
       .orderBy("id", "code").collect()
