@@ -151,7 +151,10 @@ final class DDF(
     case "CUSTOM" => graft.operators.Binning.binningCustom(this, c, breaks, includeLowest, right)
     case "EQUALINTERVAL" =>
       graft.operators.Binning.binningEqualInterval(this, c, numBins, includeLowest, right)
-    case "EQUALFREQ" | "EQUAlFREQ" => // reference spells it EQUAlFREQ (sic)
+    // the reference's "EQUAlFREQ" (sic) folds into this case via the
+    // toUpperCase scrutinee — a literal lowercase-l alternative here
+    // would be dead code
+    case "EQUALFREQ" =>
       graft.operators.Binning.binningEqualFreq(this, c, numBins, includeLowest, right)
     case other => throw new IllegalArgumentException(s"Unknown binning type '$other'")
   }

@@ -169,14 +169,27 @@ object GraftFunctions {
   def ensureRegistered(spark: SparkSession): Unit = {
     if (!registered.add(spark.sessionState.toString)) return
     val reg = spark.sessionState.functionRegistry
+    // every builder guards arity BEFORE indexing exprs — a wrong-arity
+    // SQL call must fail with the function name and expected signature,
+    // not a raw IndexOutOfBoundsException (r14 review; the r13
+    // unicode_normalize fix generalized)
+    def arity(exprs: Seq[Expression], n: Int, fn: String, sig: String): Unit =
+      require(exprs.size == n,
+        s"$fn expects $n arguments ($sig), got ${exprs.size}")
     reg.registerFunction(
       FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
-      (exprs: Seq[Expression]) => VectorDot(exprs(0), exprs(1)))
+      (exprs: Seq[Expression]) => {
+        arity(exprs, 2, "vector_dot", "vecA, vecB")
+        VectorDot(exprs(0), exprs(1))
+      })
     reg.registerFunction(
       FunctionIdentifier("vector_cosine"),
       new ExpressionInfo(classOf[VectorCosine].getName, "vector_cosine"),
-      (exprs: Seq[Expression]) => VectorCosine(exprs(0), exprs(1)))
+      (exprs: Seq[Expression]) => {
+        arity(exprs, 2, "vector_cosine", "vecA, vecB")
+        VectorCosine(exprs(0), exprs(1))
+      })
     def intLit(e: Expression, fn: String): Int = e match {
       case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
       case other => throw new IllegalArgumentException(
@@ -185,15 +198,24 @@ object GraftFunctions {
     reg.registerFunction(
       FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
-      (exprs: Seq[Expression]) => WordShingles(exprs(0), intLit(exprs(1), "word_shingles")))
+      (exprs: Seq[Expression]) => {
+        arity(exprs, 2, "word_shingles", "text, n")
+        WordShingles(exprs(0), intLit(exprs(1), "word_shingles"))
+      })
     reg.registerFunction(
       FunctionIdentifier("token_ngrams"),
       new ExpressionInfo(classOf[TokenNgrams].getName, "token_ngrams"),
-      (exprs: Seq[Expression]) => TokenNgrams(exprs(0), intLit(exprs(1), "token_ngrams")))
+      (exprs: Seq[Expression]) => {
+        arity(exprs, 2, "token_ngrams", "tokens, n")
+        TokenNgrams(exprs(0), intLit(exprs(1), "token_ngrams"))
+      })
     reg.registerFunction(
       FunctionIdentifier("top_ngram_count"),
       new ExpressionInfo(classOf[TopNgramCount].getName, "top_ngram_count"),
-      (exprs: Seq[Expression]) => TopNgramCount(exprs(0), intLit(exprs(1), "top_ngram_count")))
+      (exprs: Seq[Expression]) => {
+        arity(exprs, 2, "top_ngram_count", "tokens, n")
+        TopNgramCount(exprs(0), intLit(exprs(1), "top_ngram_count"))
+      })
     reg.registerFunction(
       FunctionIdentifier("unicode_normalize"),
       new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
@@ -215,8 +237,10 @@ object GraftFunctions {
     reg.registerFunction(
       FunctionIdentifier("bounded_top_k"),
       new ExpressionInfo(classOf[BoundedTopK].getName, "bounded_top_k"),
-      (exprs: Seq[Expression]) =>
+      (exprs: Seq[Expression]) => {
+        arity(exprs, 2, "bounded_top_k", "value, k")
         BoundedTopK(exprs(0), intLit(exprs(1), "bounded_top_k"))
-          .toAggregateExpression())
+          .toAggregateExpression()
+      })
   }
 }

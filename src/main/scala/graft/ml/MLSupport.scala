@@ -97,9 +97,16 @@ object MLSupport {
 
   def applyModel(ddf: DDF, m: TrainedModel, includeFeatures: Boolean = true): DDF = {
     val assembled = if (m.featureCols.nonEmpty) assemble(ddf.df, m.featureCols) else ddf.df
+    // drop the assembler's scratch vector only when WE created it — a
+    // user column that happens to be named "features" (the single-vector
+    // passthrough shape) is the caller's data, not scratch (r14 review)
+    val scratch =
+      if (assembled.columns.contains("features") && !ddf.df.columns.contains("features"))
+        Seq("features", "rawPrediction")
+      else Seq("rawPrediction")
     val out = m.model.transform(assembled)
       .withColumnRenamed("prediction", "yPredict")
-      .drop("features", "rawPrediction")
+      .drop(scratch: _*)
     val pruned = if (includeFeatures) out else out.drop(m.featureCols: _*)
     ddf.derive(pruned)
   }
@@ -222,7 +229,15 @@ object MLSupport {
                       threshold: Double): Map[(Boolean, Boolean), Long] =
     scored.groupBy((col(labelCol) >= threshold).as("t"), (col(predCol) >= threshold).as("p"))
       .agg(count(lit(1)).as("n")).collect()
-      .map(r => (r.getBoolean(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+      .map { r =>
+        // a NULL label/prediction groups under a null key and getBoolean
+        // would NPE with no context — name the columns (r14 review, the
+        // correlation guard)
+        require(!r.isNullAt(0) && !r.isNullAt(1),
+          s"confusionMatrix: NULL values in '$labelCol'/'$predCol' — " +
+            "filter or fill them before evaluating")
+        (r.getBoolean(0), r.getBoolean(1)) -> r.getLong(2)
+      }.toMap
 
   private def requireNumericId(ddf: DDF, idCol: String, who: String): Unit =
     require(ddf.df.schema(idCol).dataType

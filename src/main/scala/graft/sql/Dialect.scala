@@ -102,8 +102,10 @@ object Dialect {
     val raw = manager.spark.read
       .schema(rawSchema)
       .option("sep", delim.getOrElse(","))
-      // sentinel that never appears in data: keeps Spark from nulling
-      // empty cells before our per-column semantics run
+      // "" is Spark's DEFAULT nullValue — empty cells arrive as NULL
+      // and the per-column semantics below repair them (string columns
+      // coalesce back to ""; other types take the null branch). Pinned
+      // explicitly so a Spark default change can't alter LOAD semantics.
       .option("nullValue", "")
       .csv(path)
     val nullLit = nullStr.getOrElse("NA")
@@ -112,7 +114,11 @@ object Dialect {
       f.dataType match {
         case StringType => coalesce(c, lit("")).as(f.name)
         case dt =>
-          val cleaned = when(c === nullLit || c === emptyStr.getOrElse("") || c.isNull, lit(null))
+          // the emptyStr comparison only matters under an explicit WITH
+          // EMPTY sentinel: without one, empty cells are already NULL at
+          // read time and the isNull branch catches them
+          val emptyCond = emptyStr.map(e => c === e).getOrElse(lit(false))
+          val cleaned = when(c === nullLit || emptyCond || c.isNull, lit(null))
             .otherwise(trim(c))
           val parsed = dt match {
             // WITH TIMESTAMP FORMAT '<fmt>' overrides; otherwise try the

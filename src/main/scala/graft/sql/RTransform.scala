@@ -322,6 +322,15 @@ object RTransform {
 
   private case class Typed(col: Column, t: RType)
 
+  /** TRY-mode cast (NULL on malformed/overflowing input — R's NA
+    * coercion), the Column-level twin of SQL try_cast.
+    */
+  private def tryCast(c: Column, dt: DataType): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        org.apache.spark.sql.graftbridge.Bridge.expression(c), dt, None,
+        org.apache.spark.sql.catalyst.expressions.EvalMode.TRY))
+
   private def rTypeOf(dt: DataType): RType = dt match {
     case ByteType | ShortType | IntegerType | LongType => RInt
     case FloatType | DoubleType | _: DecimalType => RDbl
@@ -542,8 +551,19 @@ object RTransform {
         arity(2); Typed(pos(0).col.startsWith(pos(1).col), RBool)
       case "endsWith" =>
         arity(2); Typed(pos(0).col.endsWith(pos(1).col), RBool)
-      case "as.integer" => Typed(one.cast(LongType), RInt) // R truncates toward 0; so does Spark
-      case "as.numeric" | "as.double" => Typed(one.cast(DoubleType), RDbl)
+      case "as.integer" =>
+        arity(1)
+        // R coerces to NA (with a warning) on non-parsable or
+        // overflowing input — never an error — so this must be TRY cast,
+        // not the ANSI cast that throws CAST_INVALID_INPUT on one bad
+        // cell (r14 review; the Dialect try_cast rule). String input
+        // parses through double first: R as.integer("2.5") == 2L.
+        val x = pos(0)
+        Typed(x.t match {
+          case RStr => tryCast(tryCast(x.col, DoubleType), LongType)
+          case _ => tryCast(x.col, LongType) // truncates toward 0, like R
+        }, RInt)
+      case "as.numeric" | "as.double" => Typed(tryCast(one, DoubleType), RDbl)
       case "as.character" => Typed(one.cast(StringType), RStr)
       case "c" => throw new IllegalArgumentException(
         "transformR: c(...) is only supported as the right side of %in%")

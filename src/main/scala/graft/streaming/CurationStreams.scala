@@ -102,13 +102,22 @@ object CurationStreams {
             org.apache.spark.sql.types.StructField("sig", sigType))))
       val (kept, keptRows) = Dedup.incrementalMinhash(
         batch, index, textCol, idCol, threshold, shingleN, k, bands, portable)
-      sink(kept, epoch)
-      keptRows.select(col("id"), col("band"), col("sig"))
-        .withColumn("epoch", lit(epoch))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("epoch")
-        .parquet(indexDir)
+      try {
+        sink(kept, epoch)
+        keptRows.select(col("id"), col("band"), col("sig"))
+          .withColumn("epoch", lit(epoch))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("epoch")
+          .parquet(indexDir)
+      } finally {
+        // incrementalMinhash hands back CHECKPOINTED frames; without an
+        // explicit release every epoch pins a fresh block set until the
+        // ContextCleaner notices — the Checkpoints.scala leak class, per
+        // epoch, forever, on a long-running stream (r14 review)
+        graft.core.Checkpoints.release(kept)
+        graft.core.Checkpoints.release(keptRows)
+      }
     }
   }
 

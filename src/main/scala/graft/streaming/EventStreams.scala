@@ -82,9 +82,12 @@ object EventStreams {
     require(leftTs != rightTs,
       "left and right time columns must have distinct names (alias one side)")
     // shared NON-key names would emit twice and make every downstream
-    // reference ambiguous — refuse at plan build, not first use
+    // reference ambiguous — refuse at plan build, not first use. The ts
+    // columns get NO exemption (r14 review): a right frame that also
+    // carries leftTs (the keep-the-original-column self-join shape)
+    // would emit two "leftTs" output columns like any other duplicate.
     val shared = left.columns.toSet.intersect(right.columns.toSet)
-      .diff(keys.toSet) - leftTs - rightTs
+      .diff(keys.toSet)
     require(shared.isEmpty,
       s"intervalJoin: columns ${shared.mkString(", ")} exist on BOTH sides but are not " +
         "equality keys — the joined frame would carry duplicate names; alias one side")

@@ -132,6 +132,14 @@ class RTransformSpec extends SparkTestBase {
     assert(one("log(a, base = 2)", "a" -> 8.0) == 3.0)
     assert(one("log(a, 2)", "a" -> 8.0) == 3.0)
     assert(one("as.integer(a)", "a" -> -2.7) == -2L, "R truncates toward zero")
+    // r14 review: coercion failures are NA (R warns, never errors) — not
+    // the ANSI CAST_INVALID_INPUT the plain cast threw on one bad cell
+    assert(one("as.numeric(s)", "s" -> "abc") == null, "as.numeric('abc') is NA")
+    assert(one("as.numeric(s)", "s" -> "2.5") == 2.5)
+    assert(one("as.integer(s)", "s" -> "2.5") == 2L, "R parses via double then truncates")
+    assert(one("as.integer(s)", "s" -> "abc") == null, "as.integer('abc') is NA")
+    assert(one("is.na(as.integer(a / b))", "a" -> 0.0, "b" -> 0.0) == true,
+      "as.integer(NaN) is NA, not an ANSI error")
     assert(one("trunc(a)", "a" -> -2.7) == -2.0)
     assert(one("ceiling(a)", "a" -> 2.1) == 3.0)
     assert(one("is.na(a)", "a" -> null) == true)
