@@ -65,14 +65,57 @@ object Similarity {
     * set fits in a broadcast.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
-                     idCol: String, queryIdCol: String, k: Int): DataFrame = {
-    val scored = corpus.alias("c")
+                     idCol: String, queryIdCol: String, k: Int,
+                     excludeSelf: Boolean = false): DataFrame = {
+    val scored0 = corpus.alias("c")
       .join(broadcast(queries.alias("q")))
       .select(col(s"q.$queryIdCol").as("query_id"), col(s"c.$idCol").as("id"),
         cosine(col(s"q.$vecCol"), col(s"c.$vecCol")).as("cosine"))
+    // leave-one-out mode (kNN classification of in-corpus queries): drop
+    // the query's own row BEFORE ranking, so all k neighbors are others
+    val scored = if (excludeSelf) scored0.filter(col("query_id") =!= col("id"))
+                 else scored0
     // native bounded-heap top-k (window-identical output): a handful of
     // queries must not funnel every corpus score into |queries| sort tasks
     graft.operators.Views.topKWithRank(scored, "query_id", "cosine", "id", k)
+  }
+
+  /** k-nearest-neighbor majority-vote classification over a neighbor
+    * frame — the label-propagation / eval primitive over an embedding
+    * index (auto-labeling a corpus from a labeled seed, or leave-one-out
+    * sanity-checking an embedding column). `neighbors` is any top-k
+    * result shaped (query_id, id, rk) ([[bruteForceTopK]] exact,
+    * [[lshTopK]] / `IvfIndex.topK` at scale — the vote layer doesn't
+    * care which index produced the candidates); `labels` maps corpus id →
+    * label. Vote: majority over the ≤ k neighbors, ties to the SMALLEST
+    * label (deterministic, engine-portable — no float tie-break).
+    *
+    * Scale shape: neighbors is result-sized (k × |queries|), so the
+    * label join broadcasts the neighbor side under AQE regardless of
+    * corpus size, and the vote is one window-free max-of-struct
+    * aggregate. Output: (query_id, pred_label, n_votes).
+    */
+  def knnClassify(neighbors: DataFrame, labels: DataFrame, idCol: String,
+                  labelCol: String, k: Int,
+                  rankCol: String = "rk"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(labels.schema(labelCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"labelCol '$labelCol' must be numeric (min-label tie-break negates it), " +
+        s"got ${labels.schema(labelCol).dataType.simpleString}")
+    val lab = labels.select(col(idCol).as("id"), col(labelCol).as("__lab"))
+    neighbors.filter(col(rankCol) <= k)
+      .select(col("query_id"), col("id"))
+      .join(lab, "id")
+      .groupBy("query_id", "__lab").agg(count(lit(1)).as("__votes"))
+      // argmax(votes) with min-label tie-break, window-free: max of
+      // (votes, -label) picks the largest vote count, then the smallest
+      // label among equal counts
+      .groupBy("query_id")
+      .agg(max(struct(col("__votes"), (-col("__lab")).as("__nl"))).as("__w"))
+      .select(col("query_id"),
+        (-col("__w.__nl")).as("pred_label"),
+        col("__w.__votes").as("n_votes"))
   }
 
   /** Recall@k of an approximate ANN result against an exact baseline —

@@ -542,6 +542,98 @@ object TextAnalysis {
           .otherwise(expr("transform(__bc, x -> cast(x.__cnt as double))")).as("vals"))
   }
 
+  /** Hashed Naive Bayes quality classifier — train + score in one job.
+    * The deterministic, dependency-free analog of the fastText quality
+    * classifiers LLM curation stacks train on a "high-quality seed"
+    * (reference-corpus docs positive, random crawl docs negative) and then
+    * apply to the whole crawl. `isPos` marks the positive class (e.g.
+    * `col("source").isin(...)`); every row is used for training and every
+    * row is scored.
+    *
+    * Model: token → bucket `portableFold(token) mod dim` (the hashing
+    * trick — no vocabulary dictionary, so an incremental batch scores
+    * identically without seeing the rest of the corpus); per-class bucket
+    * counts with add-1 smoothing give per-bucket log-odds
+    * `lw[b] = ln((cp[b]+1)/(Tp+dim)) − ln((cn[b]+1)/(Tn+dim))`; a doc's
+    * score is its length-normalized log-odds `Σ_b cnt[b]·lw[b] / Σ cnt`.
+    *
+    * Scale shape: one explode → (id, bucket) partial-agg shuffle, one
+    * bucket-keyed aggregate over the (already collapsed) doc-bucket frame,
+    * then the dim-row weight table joins back — broadcast at any corpus
+    * scale (dim ≤ 2^24). The per-doc float fold runs in bucket order
+    * (sorted few-element list), bit-stable across engines, same
+    * discipline as t10/c02. The two class-total scalars are the only
+    * driver-side values (config-sized). Docs with no tokens keep a row
+    * with n_tokens 0 and NULL score (c4Rules coverage contract).
+    *
+    * Output: (id, n_tokens, logodds, pred_hq) — pred_hq = logodds > 0,
+    * NULL score ⇒ NULL pred (no evidence is not a prediction).
+    */
+  def nbQualityScore(df: DataFrame, textCol: String, idCol: String,
+                     isPos: Column, dim: Int = 256): DataFrame = {
+    require(dim > 0 && dim <= (1 << 24), s"dim must be in [1, 2^24], got $dim")
+    val docBucket = df
+      .select(col(idCol).as("id"), explode(expr(tokensExpr(textCol))).as("__t"))
+      .select(col("id"),
+        pmod(Dedup.portableFold(col("__t")), lit(dim.toLong)).cast("int").as("__b"))
+      .groupBy("id", "__b").agg(count(lit(1)).as("__cnt"))
+    val labels = df.select(col(idCol).as("id"), isPos.as("__pos"))
+    val classBucket = docBucket.join(labels, "id")
+      .groupBy("__b")
+      .agg(sum(when(col("__pos"), col("__cnt")).otherwise(lit(0L))).as("__cp"),
+        sum(when(!col("__pos"), col("__cnt")).otherwise(lit(0L))).as("__cn"))
+    // two class-total scalars: config-sized driver collect, same as t10's N
+    val totRow = classBucket
+      .agg(coalesce(sum("__cp"), lit(0L)), coalesce(sum("__cn"), lit(0L))).first()
+    val (tp, tn) = (totRow.getLong(0), totRow.getLong(1))
+    require(tp > 0 && tn > 0,
+      s"nbQualityScore: both classes need at least one token (pos=$tp, neg=$tn)")
+    val weights = classBucket.select(col("__b"),
+      (log((col("__cp") + lit(1.0d)) / lit(tp.toDouble + dim))
+        - log((col("__cn") + lit(1.0d)) / lit(tn.toDouble + dim))).as("__lw"))
+    val scored = docBucket.join(broadcast(weights), "__b")
+      .groupBy("id")
+      .agg(sum(col("__cnt")).as("n_tokens"),
+        (aggregate(
+          sort_array(collect_list(struct(col("__b"), (col("__cnt") * col("__lw")).as("__x")))),
+          lit(0.0d), (acc, x) => acc + x.getField("__x"))
+          / sum(col("__cnt"))).as("logodds"))
+    df.select(col(idCol).as("id")).join(scored, Seq("id"), "left")
+      .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
+      .withColumn("pred_hq", when(col("logodds").isNotNull, col("logodds") > 0.0d))
+  }
+
+  /** Pareto rejection sampling on a quality score — the documented GPT-3
+    * curation rule ("keep a document iff `pareto(α) > 1 − score`"): noisy
+    * quality thresholding that keeps most high-scoring docs while still
+    * admitting a long tail of low scorers, so the kept set isn't a hard
+    * cliff at the classifier boundary. Deterministic analog: the uniform
+    * driving the Pareto draw is hash-derived from the document id
+    * (`portableFold(id) mod M`, M = 1e6+3), so the kept set is a pure
+    * function of (ids, scores) — replayable, engine-portable, and
+    * incremental batches decide identically. `scoreCol` is a log-odds
+    * (e.g. [[nbQualityScore]] output); it is squashed to (0,1) via the
+    * logistic sigmoid before the rule. Shuffle-free: one codegen'd
+    * projection + filter over the scored frame; NULL scores are dropped
+    * (no evidence ⇒ not admitted — route them explicitly upstream).
+    *
+    * Output: input row subset, plus `q` (sigmoid score) and `pareto`
+    * (the doc's draw), both useful for audit.
+    */
+  def paretoQualitySample(scored: DataFrame, idCol: String, scoreCol: String,
+                          alpha: Double = 9.0): DataFrame = {
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    val m = 1000003L
+    val u = (pmod(Dedup.portableFold(col(idCol).cast("string")), lit(m)) + lit(1.0d)) /
+      lit(m + 1.0d)
+    val pareto = pow(u, lit(-1.0d / alpha)) - lit(1.0d)
+    val q = lit(1.0d) / (lit(1.0d) + exp(-col(scoreCol)))
+    scored
+      .withColumn("q", q)
+      .withColumn("pareto", pareto)
+      .filter(col(scoreCol).isNotNull && col("pareto") > lit(1.0d) - col("q"))
+  }
+
   /** Split documents into overlapping token windows — the
     * context-window chunking step of a training pipeline. Emits one row
     * per chunk: (id, chunk_id, n_tokens, chunk). Chunk i covers tokens
