@@ -1684,7 +1684,61 @@ object SparkEntry {
               |  ${dsumSql("l_quantity")} AS sx, ${dsumSql("l_extendedprice")} AS sy,
               |  ${dsum2Sql("l_quantity", "l_extendedprice")} AS sxy
               |  FROM lineitem)
-              |SELECT round((sxy - sx*sy/n) / (n - 1), 4) AS covar_qty_price FROM t""".stripMargin))
+              |SELECT round((sxy - sx*sy/n) / (n - 1), 4) AS covar_qty_price FROM t""".stripMargin)),
+
+    Q("q95_pivot",
+      (s, d) => {
+        val m = mgr(s, d)
+        // long→wide pivot with EXPLICIT values (one hash aggregate, no
+        // distinct-scan job — see Aggregations.pivot scaladoc). sum of
+        // the integer-valued l_quantity is order-exact in doubles; max
+        // is order-free — both hash-match without decimal detours.
+        Aggregations.pivot(m.getDDFByName("lineitem"),
+          Seq("l_linenumber"), "l_returnflag", Seq("A", "N", "R"),
+          Seq("qty=sum(l_quantity)", "mx=max(l_extendedprice)"))
+          .df.orderBy("l_linenumber")
+      },
+      Some("""SELECT l_linenumber,
+             |  sum(CASE WHEN l_returnflag='A' THEN l_quantity END) AS A_qty,
+             |  max(CASE WHEN l_returnflag='A' THEN l_extendedprice END) AS A_mx,
+             |  sum(CASE WHEN l_returnflag='N' THEN l_quantity END) AS N_qty,
+             |  max(CASE WHEN l_returnflag='N' THEN l_extendedprice END) AS N_mx,
+             |  sum(CASE WHEN l_returnflag='R' THEN l_quantity END) AS R_qty,
+             |  max(CASE WHEN l_returnflag='R' THEN l_extendedprice END) AS R_mx
+             |FROM lineitem GROUP BY l_linenumber ORDER BY l_linenumber""".stripMargin)),
+
+    Q("q96_corr_matrix",
+      (s, d) => {
+        val m = mgr(s, d)
+        // pairwise Pearson matrix from ONE sufficient-statistics pass
+        // (k(k-1)/2 separate corr() calls would re-scan per pair);
+        // decimal-exact sums (the q34 recipe) → identical double
+        // arithmetic both sides → round(6) is noise-free
+        Stats.corrMatrix(m.getDDFByName("lineitem").df,
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+          decimalScale = Some(2))
+          .select(col("col_x"), col("col_y"), round(col("corr"), 6).as("corr"))
+          .orderBy("col_x", "col_y")
+      },
+      Some {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val sums = cols.map(c => s"${dsumSql(c)} AS s_$c")
+        val prods = for { i <- cols.indices; j <- i until cols.size }
+          yield s"${dsum2Sql(cols(i), cols(j))} AS p_${cols(i)}__${cols(j)}"
+        val pairRows = for { i <- cols.indices; j <- (i + 1) until cols.size }
+          yield {
+            val (a, b) = (cols(i), cols(j))
+            s"""SELECT '$a' AS col_x, '$b' AS col_y,
+               |  round((p_${a}__$b - s_$a*s_$b/n) /
+               |    sqrt((p_${a}__$a - s_$a*s_$a/n)*(p_${b}__$b - s_$b*s_$b/n)), 6)
+               |  AS corr FROM t""".stripMargin
+          }
+        s"""WITH t AS (SELECT cast(count(*) AS double) AS n,
+           |  ${(sums ++ prods).mkString(",\n  ")}
+           |  FROM lineitem)
+           |${pairRows.mkString("\nUNION ALL\n")}
+           |ORDER BY col_x, col_y""".stripMargin
+      })
   )
 
   // =====================================================================
@@ -4097,6 +4151,36 @@ object SparkEntry {
              |SELECT m_et, count(*) AS n_elems, sum(m_k)::BIGINT AS sum_k,
              |  sum(elem)::BIGINT AS sum_elem
              |FROM el GROUP BY m_et ORDER BY m_et""".stripMargin)),
+
+    Q("e05_funnel",
+      (s, d) => {
+        // ordered conversion funnel view→click→purchase per user —
+        // greedy match in the (ts, event_id) total order (unique
+        // event_id ⇒ deterministic ties); one shuffle on user_id, no
+        // windows (TimeSeries.funnel scaladoc). The oracle spells the
+        // same greedy semantics as K chained first-after-previous CTEs.
+        operators.TimeSeries.funnel(loadEvents(s, d),
+          "user_id", "ts", "event_id", "event_type",
+          Seq("view", "click", "purchase"))
+          .orderBy("step_idx")
+      },
+      Some("""WITH f AS (SELECT user_id, ts, event_id, event_type FROM events
+             |  WHERE event_type IN ('view','click','purchase')
+             |    AND user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL),
+             |m1 AS (SELECT user_id, ts, event_id FROM f WHERE event_type='view'
+             |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1),
+             |m2 AS (SELECT f.user_id, f.ts, f.event_id FROM f JOIN m1 ON f.user_id = m1.user_id
+             |  WHERE f.event_type='click'
+             |    AND (f.ts > m1.ts OR (f.ts = m1.ts AND f.event_id > m1.event_id))
+             |  QUALIFY row_number() OVER (PARTITION BY f.user_id ORDER BY f.ts, f.event_id) = 1),
+             |m3 AS (SELECT f.user_id FROM f JOIN m2 ON f.user_id = m2.user_id
+             |  WHERE f.event_type='purchase'
+             |    AND (f.ts > m2.ts OR (f.ts = m2.ts AND f.event_id > m2.event_id))
+             |  QUALIFY row_number() OVER (PARTITION BY f.user_id ORDER BY f.ts, f.event_id) = 1)
+             |SELECT 1 AS step_idx, 'view' AS step, (SELECT count(*) FROM m1) AS reached
+             |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM m2)
+             |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM m3)
+             |ORDER BY step_idx""".stripMargin)),
 
     Q("s01_sessionize",
       (s, d) => {

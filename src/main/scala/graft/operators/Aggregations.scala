@@ -134,6 +134,49 @@ object Aggregations {
     */
   def xtabs(ddf: DDF, specs: String): DDF = aggregate(ddf, specs)
 
+  /** Long→wide pivot (extension — the reference only reshapes the other
+    * way via xtabs' long output): one output column per
+    * (pivot value × aggregate), named `<value>_<alias>`.
+    *
+    * `pivotValues` is REQUIRED, not inferred: Spark's value-less
+    * `pivot(col)` runs a separate distinct-scan job over the input and
+    * caps it at `spark.sql.pivotMaxValues` — at 100 TB that is a second
+    * full pass just to learn the column list, and an unbounded value
+    * domain would make the output width data-dependent. With explicit
+    * values Catalyst rewrites the pivot to conditional aggregates inside
+    * ONE hash aggregate (single shuffle on `groupCols`, map-side
+    * combined, no extra job) — same plan shape as [[aggregate]].
+    *
+    * Null semantics match [[aggregate]]: rows with a null in any
+    * aggregated column are dropped first; rows whose `pivotCol` value is
+    * not in `pivotValues` (including null) fall outside every output
+    * column; null `groupCols` values keep their group row.
+    */
+  def pivot(ddf: DDF, groupCols: Seq[String], pivotCol: String,
+            pivotValues: Seq[String], aggSpecs: Seq[String]): DDF = {
+    require(groupCols.nonEmpty, "pivot() needs at least one grouping column")
+    require(pivotValues.nonEmpty,
+      "pivot() requires explicit pivot values — inferring them runs a " +
+        "second full scan of the input (see scaladoc)")
+    require(pivotValues.distinct.size == pivotValues.size,
+      s"duplicate pivot values: ${pivotValues.diff(pivotValues.distinct).distinct}")
+    val parsed = parseAggOnly(aggSpecs)
+    require(parsed.nonEmpty, "pivot() needs at least one aggregate function")
+    val clean = cleaned(ddf.df, parsed)
+    val wide = clean.groupBy(groupCols.map(col): _*)
+      .pivot(pivotCol, pivotValues)
+      .agg(parsed.map(aggColumn).head, parsed.map(aggColumn).tail: _*)
+    // Spark names pivot columns `<value>` for a single aggregate and
+    // `<value>_<alias>` for several — normalize to `<value>_<alias>`
+    // always so the output schema doesn't depend on the aggregate count.
+    val names = groupCols ++
+      (for (v <- pivotValues; a <- parsed.map(_.alias)) yield s"${v}_$a")
+    require(names.size == wide.columns.length,
+      s"pivot schema mismatch: expected ${names.size} columns, " +
+        s"got ${wide.columns.length}")
+    ddf.derive(wide.toDF(names: _*))
+  }
+
   /** Incremental view maintenance: merge two aggregate tables produced
     * by [[aggregate]] with the SAME specs over disjoint row sets —
     * `aggregate(A ∪ B) == mergeAggregates(aggregate(A), aggregate(B))`.

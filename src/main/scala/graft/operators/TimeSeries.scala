@@ -156,4 +156,55 @@ object TimeSeries {
         count(lit(1)).as("n_merged"))
       .drop("__span")
   }
+
+  /** Ordered-step funnel over an event log (extension — event analytics
+    * the reference's GROUP BY surface can't express): for each entity,
+    * greedily match `steps` in order — step i matches at the EARLIEST
+    * event of that type strictly after step i-1's match in the
+    * (`tsCol`, `idCol`) total order (`idCol` must be unique, so ties
+    * at the same timestamp are deterministic). Returns one row per step:
+    * `(step_idx, step, reached)` where `reached` counts entities whose
+    * greedy match got at least that far — the classic conversion funnel.
+    *
+    * Shape: filter to the step types (pushed to the scan — non-step
+    * events never leave it), ONE hash shuffle on `entityCol`, per-entity
+    * `sort_array(collect_list(...))` + an `aggregate` HOF fold to the
+    * depth reached (all inside the task that owns the entity — same
+    * per-entity grain and skew contract as sessionize/s01), then a tiny
+    * global roll-up of the per-entity depths (|entities| rows) into K
+    * counts. No windows, no self-joins, no K-pass re-scans. Per-entity
+    * memory is its OWN step-typed event count; a pathological bot entity
+    * is the same hazard class as in sessionize and is the caller's
+    * pre-filter to apply.
+    */
+  def funnel(df: DataFrame, entityCol: String, tsCol: String, idCol: String,
+             typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel: need at least one step")
+    require(steps.distinct.size == steps.size,
+      s"funnel: duplicate steps ${steps.diff(steps.distinct).distinct} — " +
+        "repeated step types make the greedy match ambiguous")
+    val stepIdx = steps.zipWithIndex
+      .map { case (s, i) => (lit(s), lit(i)) }.flatMap(p => Seq(p._1, p._2))
+    val depths = df
+      .filter(col(typeCol).isin(steps.map(lit): _*))
+      .na.drop(Seq(entityCol, tsCol, idCol))
+      .select(col(entityCol).as("__e"),
+        struct(col(tsCol).as("ts"), col(idCol).as("id"),
+          // literal step-label → index map, resolved per row at codegen
+          element_at(map(stepIdx: _*), col(typeCol)).as("step")).as("ev"))
+      .groupBy("__e")
+      .agg(sort_array(collect_list(col("ev"))).as("evs"))
+      // greedy fold: depth advances when the next event's step IS the
+      // next step index; sorted order makes "strictly after" exact
+      .select(aggregate(col("evs"), lit(0),
+        (acc, ev) => when(ev.getField("step") === acc, acc + 1).otherwise(acc))
+        .as("depth"))
+    val reachCols = steps.indices.map(i =>
+      sum(when(col("depth") > i, 1L).otherwise(0L)).as(s"r$i"))
+    val reach = depths.agg(reachCols.head, reachCols.tail: _*)
+    reach.select(explode(array(steps.zipWithIndex.map { case (s, i) =>
+      struct(lit(i + 1).as("step_idx"), lit(s).as("step"),
+        col(s"r$i").as("reached"))
+    }: _*)).as("f")).select("f.step_idx", "f.step", "f.reached")
+  }
 }

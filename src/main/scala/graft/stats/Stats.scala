@@ -396,4 +396,67 @@ object Stats {
       ddf.setFactorInfo(c, graft.core.FactorInfo(m.keys.toSeq.sorted, m))
     }
   }
+
+  /** Pairwise Pearson correlation matrix over `cols` in ONE aggregation
+    * pass (extension of T6/A8 — the reference computes one pair per call,
+    * StatisticsHandler-adjacent AggregationHandler.scala:19-43; k columns
+    * would cost k(k-1)/2 full scans that way). Here one `agg(...)`
+    * computes the k sums, k(k+1)/2 cross-products, and the count, and
+    * every pairwise r derives from that single sufficient-statistics row
+    * — the scan cost is constant in k, the shuffle is ONE partial-agg
+    * row, and the k²-sized result is config-scale driver math.
+    *
+    * Rows with a null in ANY of `cols` are dropped first (listwise
+    * deletion — the same matrix a statistics package computes, and the
+    * only definition under which the matrix is positive semidefinite).
+    *
+    * `decimalScale`: when set, sums run through `decimal(18,scale)` /
+    * `decimal(38,2*scale)` exactly (for fixed-point data such as money —
+    * engine-portable, the q34 recipe); when None, double sums (fast
+    * path, ~1e-15 engine-order noise). Output: (col_x, col_y, corr)
+    * for x < y in `cols` order; a zero-variance column yields NaN for
+    * its pairs, as corr is undefined there.
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String],
+                 decimalScale: Option[Int] = None): DataFrame = {
+    require(cols.size >= 2, s"corrMatrix: need at least 2 columns, got $cols")
+    require(cols.distinct.size == cols.size,
+      s"corrMatrix: duplicate columns ${cols.diff(cols.distinct).distinct}")
+    val spark = df.sparkSession
+    def s1(c: String): Column = decimalScale match {
+      case Some(p) => sum(col(c).cast(s"decimal(18,$p)")).cast("double")
+      case None    => sum(col(c).cast("double"))
+    }
+    def s2(a: String, b: String): Column = decimalScale match {
+      case Some(p) => sum((col(a).cast(s"decimal(18,$p)") *
+        col(b).cast(s"decimal(18,$p)")).cast(s"decimal(38,${2 * p})")).cast("double")
+      case None    => sum(col(a).cast("double") * col(b).cast("double"))
+    }
+    val pairs = for {
+      i <- cols.indices; j <- i until cols.size
+    } yield (cols(i), cols(j))
+    val aggCols = count(lit(1)).cast("double").as("n") +:
+      (cols.map(c => s1(c).as(s"s_$c")) ++
+        pairs.map { case (a, b) => s2(a, b).as(s"p_${a}__$b") })
+    val row = df.na.drop("any", cols)
+      .agg(aggCols.head, aggCols.tail: _*).first()
+    val n = row.getAs[Double]("n")
+    require(n >= 2, s"corrMatrix: need at least 2 complete rows, got ${n.toLong}")
+    def get(name: String): Double = row.getAs[Double](name)
+    def comoment(a: String, b: String): Double = {
+      val (x, y) = if (cols.indexOf(a) <= cols.indexOf(b)) (a, b) else (b, a)
+      get(s"p_${x}__$y") - get(s"s_$x") * get(s"s_$y") / n
+    }
+    val out = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+      a = cols(i); b = cols(j)
+    } yield Row(a, b,
+      comoment(a, b) / math.sqrt(comoment(a, a) * comoment(b, b)))
+    val schema = StructType(Seq(
+      StructField("col_x", StringType, nullable = false),
+      StructField("col_y", StringType, nullable = false),
+      StructField("corr", DoubleType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1), schema)
+  }
 }

@@ -197,4 +197,43 @@ class StatsSpec extends SparkTestBase {
     val r = graft.stats.Stats.skewReport(nh, Seq("j")).collect().head
     assert(r.getString(3) == "<NULL>" && r.getLong(4) == 2)
   }
+
+  test("corrMatrix: one-pass pairwise matrix, listwise deletion") {
+    import spark.implicits._
+    // y = 2x (r = 1), z = -x (r = -1), so corr(y,z) = -1 as well
+    val df = Seq(
+      (1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.0), (4.0, 8.0, -4.0)
+    ).toDF("x", "y", "z")
+    val out = Stats.corrMatrix(df, Seq("x", "y", "z"))
+      .orderBy("col_x", "col_y").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(out.length == 3)
+    assert(out.forall { case (_, _, c) => math.abs(math.abs(c) - 1.0) < 1e-12 })
+    assert(out.find(p => p._1 == "x" && p._2 == "y").get._3 > 0)
+    assert(out.find(p => p._1 == "x" && p._2 == "z").get._3 < 0)
+    assert(out.find(p => p._1 == "y" && p._2 == "z").get._3 < 0)
+
+    // a null in ANY column drops the whole row (listwise): the outlier
+    // row that would break y=2x is removed by its null z
+    val withNull = df.unionAll(
+      Seq((10.0, -99.0, Option.empty[Double])).toDF("x", "y", "z"))
+    val xy = Stats.corrMatrix(withNull, Seq("x", "y", "z"))
+      .filter($"col_x" === "x" && $"col_y" === "y").collect().head.getDouble(2)
+    assert(math.abs(xy - 1.0) < 1e-12)
+
+    // decimal-exact path agrees on 2-decimal data
+    val exact = Stats.corrMatrix(df, Seq("x", "y"), decimalScale = Some(2))
+      .collect().head.getDouble(2)
+    assert(math.abs(exact - 1.0) < 1e-12)
+
+    // zero-variance column: undefined correlation surfaces as NaN
+    val konst = df.withColumn("k", org.apache.spark.sql.functions.lit(5.0))
+    val kc = Stats.corrMatrix(konst, Seq("x", "k")).collect().head.getDouble(2)
+    assert(kc.isNaN)
+
+    intercept[IllegalArgumentException](Stats.corrMatrix(df, Seq("x")))
+    intercept[IllegalArgumentException](Stats.corrMatrix(df, Seq("x", "x")))
+    intercept[IllegalArgumentException]( // <2 complete rows
+      Stats.corrMatrix(df.limit(1), Seq("x", "y")))
+  }
 }

@@ -172,4 +172,64 @@ class TimeSeriesSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       TimeSeries.intervalMerge(iv, Seq(), "s", "e"))
   }
+
+  test("pivot widens with explicit values, normalized names, null cells") {
+    val m = DDFManager(spark)
+    val ddf = m.register(Seq(
+      ("g1", "A", 10.0), ("g1", "A", 20.0), ("g1", "B", 5.0),
+      ("g2", "B", 7.0), ("g2", "C", 1.0), // C not in pivotValues -> dropped
+      ("g2", null, 99.0)                  // null pivot value -> no column
+    ).toDF("g", "p", "v"))
+    val out = Aggregations.pivot(ddf, Seq("g"), "p", Seq("A", "B"),
+      Seq("s=sum(v)", "n=count(*)")).df.orderBy("g").collect()
+    assert(ddf.df.columns.toSeq == Seq("g", "p", "v")) // input untouched
+    val cols = Aggregations.pivot(ddf, Seq("g"), "p", Seq("A", "B"),
+      Seq("s=sum(v)", "n=count(*)")).df.columns.toSeq
+    assert(cols == Seq("g", "A_s", "A_n", "B_s", "B_n"))
+    assert(out(0).getDouble(1) == 30.0 && out(0).getLong(2) == 2L)
+    assert(out(0).getDouble(3) == 5.0 && out(0).getLong(4) == 1L)
+    // g2 has no A rows: sum AND count cells are null (no silent zeros)
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2))
+    assert(out(1).getDouble(3) == 7.0)
+
+    // single aggregate still gets the <value>_<alias> scheme
+    val one = Aggregations.pivot(ddf, Seq("g"), "p", Seq("A"), Seq("s=sum(v)"))
+    assert(one.df.columns.toSeq == Seq("g", "A_s"))
+
+    intercept[IllegalArgumentException]( // values are mandatory
+      Aggregations.pivot(ddf, Seq("g"), "p", Seq(), Seq("s=sum(v)")))
+    intercept[IllegalArgumentException]( // duplicates refused
+      Aggregations.pivot(ddf, Seq("g"), "p", Seq("A", "A"), Seq("s=sum(v)")))
+    intercept[IllegalArgumentException]( // grouping col in agg position
+      Aggregations.pivot(ddf, Seq("g"), "p", Seq("A"), Seq("v")))
+  }
+
+  test("funnel: greedy ordered match with (ts,id) tie-break") {
+    def t(sec: Int) = ts(f"2024-01-01 00:00:$sec%02d")
+    val ev = Seq(
+      // u1: clean view->click->purchase
+      (1L, t(1), "u1", "view"), (2L, t(2), "u1", "click"),
+      (3L, t(3), "u1", "purchase"),
+      // u2: click BEFORE view never counts; purchase can't skip click
+      (4L, t(1), "u2", "click"), (5L, t(2), "u2", "view"),
+      (6L, t(3), "u2", "purchase"),
+      // u3: same-ts tie, click id AFTER view id -> counts
+      (7L, t(1), "u3", "view"), (8L, t(1), "u3", "click"),
+      // u4: same-ts tie, click id BEFORE view id -> does not count
+      (10L, t(1), "u4", "click"), (11L, t(1), "u4", "view"),
+      // u5: non-step noise only
+      (12L, t(1), "u5", "error")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = TimeSeries.funnel(ev, "user_id", "ts", "event_id",
+      "event_type", Seq("view", "click", "purchase"))
+      .orderBy("step_idx").collect()
+    assert(out.map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1, "view", 4L), (2, "click", 2L), (3, "purchase", 1L)))
+
+    intercept[IllegalArgumentException](
+      TimeSeries.funnel(ev, "user_id", "ts", "event_id", "event_type", Seq()))
+    intercept[IllegalArgumentException](
+      TimeSeries.funnel(ev, "user_id", "ts", "event_id", "event_type",
+        Seq("view", "view")))
+  }
 }
