@@ -3590,6 +3590,70 @@ object SparkEntry {
              |  FROM (SELECT * FROM dv WHERE vec_id % 10 = 0) d CROSS JOIN cents c)
              |WHERE rn = 1 ORDER BY id""".stripMargin)),
 
+    Q("a11_ivf_int8_rerank",
+      (s, d) => {
+        val m = mgr(s, d)
+        val all = m.getDDFByName("embeddings").df
+        // memory-tiered IVF: int8 sidecar scores the probed cells, the
+        // float corpus is touched only for the per-query shortlist
+        // (IvfIndex.topKQuantized scaladoc). Same deterministic frozen
+        // centroids as a03; the oracle replays quantize → shortlist →
+        // exact re-rank step for step.
+        val centroids = all.filter(col("vec_id") < 16).orderBy("vec_id")
+          .select("embedding").collect()
+          .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+        val idx = pipeline.IvfIndex.buildFromCentroids(all, "embedding", "vec_id", centroids)
+        val queries = all.filter(col("vec_id") < 3).withColumnRenamed("vec_id", "qid")
+        pipeline.IvfIndex.topKQuantized(idx, queries, "embedding", "qid",
+          k = 10, nprobe = 4, shortlist = 20)
+          .select(col("query_id"), col("id"), round(col("cosine"), 6).as("cosine"), col("rk"))
+          .orderBy("query_id", "rk")
+      },
+      // a03's assign/probe mirror + the int8 tier: per-vector scale =
+      // max|x|/127, codes = floor(x/scale + 0.5) (the a04 portable
+      // rounding), shortlist = top-20 by dequantized cosine (ties → id),
+      // exact cosine re-rank of the shortlist to top-10
+      Some("""WITH dv AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+             |            FROM embeddings),
+             |cents AS (SELECT vec_id AS cell, v AS cv FROM dv WHERE vec_id < 16),
+             |assigned AS (SELECT id, v, cell FROM (
+             |    SELECT d.vec_id AS id, d.v, c.cell,
+             |      row_number() OVER (PARTITION BY d.vec_id ORDER BY
+             |        list_dot_product(d.v, c.cv) - list_dot_product(c.cv, c.cv) / 2.0 DESC,
+             |        c.cell DESC) AS rn
+             |    FROM dv d CROSS JOIN cents c) WHERE rn = 1),
+             |q8 AS (SELECT id, cell,
+             |    CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+             |         ELSE list_transform(v, x -> floor(x / scale + 0.5)) END AS codes,
+             |    scale FROM (SELECT id, cell, v,
+             |      greatest(coalesce(list_max(list_transform(v, x -> abs(x))), 0.0), 0.0)
+             |        / 127.0 AS scale FROM assigned)),
+             |dq AS (SELECT id, cell, list_transform(codes, c -> c * scale) AS dv8 FROM q8),
+             |probes AS (SELECT query_id, qv, cell FROM (
+             |    SELECT q.vec_id AS query_id, q.v AS qv, c.cell,
+             |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             |        list_dot_product(q.v, c.cv) - list_dot_product(c.cv, c.cv) / 2.0 DESC,
+             |        c.cell) AS crk
+             |    FROM (SELECT * FROM dv WHERE vec_id < 3) q CROSS JOIN cents c)
+             |  WHERE crk <= 4),
+             |approx AS (SELECT p.query_id, d.id,
+             |    list_dot_product(p.qv, d.dv8)
+             |      / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(d.dv8, d.dv8)))
+             |      AS cos8
+             |  FROM probes p JOIN dq d ON d.cell = p.cell),
+             |short AS (SELECT query_id, id FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY query_id
+             |      ORDER BY cos8 DESC, id) AS srk FROM approx) WHERE srk <= 20),
+             |exact AS (SELECT s.query_id, s.id,
+             |    list_dot_product(q.v, a.v)
+             |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(a.v, a.v))) AS cs
+             |  FROM short s JOIN dv q ON q.vec_id = s.query_id
+             |  JOIN assigned a ON a.id = s.id)
+             |SELECT query_id, id, round(cs, 6) AS cosine, rk FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY query_id
+             |    ORDER BY cs DESC, id) AS rk FROM exact)
+             |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+
     Q("d06_dup_clusters",
       (s, d) => {
         val m = mgr(s, d)
@@ -3868,6 +3932,31 @@ object SparkEntry {
               |  sum(c)::BIGINT AS term_count
               |FROM g GROUP BY token HAVING count(*) >= 5
               |ORDER BY token""".stripMargin)),
+
+    Q("t22_ngram_novelty",
+      (s, d) => {
+        val m = mgr(s, d)
+        // corpus-order novelty: share of each doc's distinct 3-gram
+        // shingles first seen in THAT doc (min doc_id over the corpus).
+        // Portable string shingles so the oracle joins the same keys;
+        // the default hashShingles=true path is the 64-bit scale twin
+        // (same identical-absent-collision trade as t04/t17).
+        pipeline.TextAnalysis.ngramNovelty(
+          m.getDDFByName("documents").df, "text", "doc_id",
+          hashShingles = false)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH docs AS (SELECT doc_id, text FROM documents
+              |  WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+              |posts AS (SELECT doc_id, unnest(${duckShingles("text")}) AS sh FROM docs),
+              |tot AS (SELECT doc_id, count(*) AS n_shingles FROM posts GROUP BY doc_id),
+              |fst AS (SELECT sh, min(doc_id) AS doc_id FROM posts GROUP BY sh),
+              |nov AS (SELECT doc_id, count(*) AS novel_shingles FROM fst GROUP BY doc_id)
+              |SELECT t.doc_id, t.n_shingles,
+              |  coalesce(n.novel_shingles, 0)::BIGINT AS novel_shingles,
+              |  coalesce(n.novel_shingles, 0) / t.n_shingles::DOUBLE AS novelty
+              |FROM tot t LEFT JOIN nov n ON n.doc_id = t.doc_id
+              |ORDER BY t.doc_id""".stripMargin)),
 
     Q("t14_token_ids",
       (s, d) => {

@@ -164,18 +164,80 @@ object IvfIndex {
     * scores instead of maintaining a replica of the probe selection.
     */
   def candidates(index: Index, queries: DataFrame, vecCol: String,
-                 queryIdCol: String, nprobe: Int): DataFrame = {
+                 queryIdCol: String, nprobe: Int): DataFrame =
+    index.corpus.join(
+      broadcast(probeFrame(index, queries, vecCol, queryIdCol, nprobe)), "cell")
+
+  /** Each query's `nprobe` nearest cells as (query_id, qv, cell) — the
+    * probe selection shared by [[candidates]] and [[topKQuantized]]
+    * (assignment-metric ranking, ties → lower cell; see [[topK]]).
+    */
+  private def probeFrame(index: Index, queries: DataFrame, vecCol: String,
+                         queryIdCol: String, nprobe: Int): DataFrame = {
     val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"))
     val cents = centroidFrame(queries.sparkSession, index.centroids)
-    val probes = q.crossJoin(broadcast(cents))
+    q.crossJoin(broadcast(cents))
       .select(col("query_id"), col("qv"), col("cell"),
         (graft.functions.VectorFunctions.dot(col("qv"), col("cv")) - col("half_norm")).as("cs"))
       .withColumn("crk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cs").desc, col("cell"))))
       .filter(col("crk") <= nprobe)
       .select("query_id", "qv", "cell")
-    index.corpus.join(broadcast(probes), "cell")
   }
+
+  /** IVF search that scores the probed cells on an int8-quantized
+    * sidecar and re-ranks only a per-query `shortlist` at full
+    * precision — the standard memory-tiering move for corpus-scale ANN:
+    * the shortlist pass reads (id, cell, scale, int8[dim]) ≈ ¼ the bytes
+    * of the float corpus, and the float vectors are fetched for
+    * |queries| × shortlist rows only (broadcast-hash semi-fetch, never
+    * a corpus shuffle). Recall loss vs [[topK]] is bounded by the
+    * quantization error ONLY at the shortlist boundary — candidates
+    * whose true rank ≤ k but int8 rank > shortlist; size `shortlist`
+    * at 2-4× k to absorb it (a04 measures round-trip cosine ≥ 0.999 on
+    * this corpus, so the boundary band is thin).
+    *
+    * In production the sidecar is the STORED index artifact (write
+    * `quantizedSidecar(index)` once, bucketed by cell); here it derives
+    * inline from the corpus frame so the operator stays self-contained.
+    *
+    * Deterministic end-to-end: quantization uses the portable
+    * floor(x/scale + 0.5) rounding (a04), both ranking passes break
+    * ties by id.
+    */
+  def topKQuantized(index: Index, queries: DataFrame, vecCol: String,
+                    queryIdCol: String, k: Int, nprobe: Int,
+                    shortlist: Int): DataFrame = {
+    require(shortlist >= k,
+      s"shortlist ($shortlist) must be >= k ($k) — the exact pass can " +
+        "only re-rank what the quantized pass kept")
+    val probes = broadcast(
+      probeFrame(index, queries, vecCol, queryIdCol, nprobe))
+    val approx = quantizedSidecar(index).join(probes, "cell")
+      .select(col("query_id"), col("id"),
+        graft.functions.VectorFunctions.cosine(
+          col("qv"), Similarity.dequantize(col("q8"))).as("cos8"))
+    val short = graft.operators.Views
+      .topKWithRank(approx, "query_id", "cos8", "id", shortlist)
+      .select("query_id", "id")
+    // exact pass: stream the corpus once, keep only shortlist ids
+    // (broadcast), then re-attach each query's vector (broadcast) —
+    // the full-precision frame never shuffles
+    val qv = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"))
+    val exact = index.corpus.select(col("id"), col("v"))
+      .join(broadcast(short), "id")
+      .join(broadcast(qv), "query_id")
+      .select(col("query_id"), col("id"),
+        graft.functions.VectorFunctions.cosine(col("qv"), col("v")).as("cosine"))
+    graft.operators.Views.topKWithRank(exact, "query_id", "cosine", "id", k)
+  }
+
+  /** The int8 index sidecar [[topKQuantized]] scores: (id, cell, q8)
+    * with `q8 = (scale, codes)` per [[Similarity.quantizeInt8]].
+    */
+  def quantizedSidecar(index: Index): DataFrame =
+    index.corpus.select(col("id"), col("cell"),
+      Similarity.quantizeInt8(col("v")).as("q8"))
 
   /** Recall@k of an ANN result against the brute-force truth: fraction of
     * true top-k ids recovered PER QUERY, then averaged (macro — a query

@@ -1285,4 +1285,44 @@ object TextAnalysis {
     }
     df.withColumn(outCol, enc(col(textCol)))
   }
+
+  /** Per-document n-gram novelty against the PRECEDING corpus in
+    * `idCol` order: the share of a doc's distinct word 3-gram shingles
+    * whose FIRST occurrence (minimum doc id over the whole corpus) is
+    * this doc. Novelty 1.0 = all-new content; 0.0 = every shingle
+    * already appeared in an earlier doc — the corpus-level "how much of
+    * this is recycled boilerplate" signal that per-pair dedup (d02/d04)
+    * doesn't give, because it scores each doc against EVERYTHING prior,
+    * not against its nearest neighbor.
+    *
+    * Shape at scale: the postings frame (doc, shingle) is aggregated
+    * twice — by doc (map-side combined count) and by shingle (the same
+    * big shuffle every dedup op here pays) — then the two DOC-cardinality
+    * frames join; the postings themselves are never joined back, so the
+    * expensive side is shuffled once per aggregate and nothing is
+    * re-scanned. `hashShingles = true` (default) ships 8-byte xxhash64
+    * keys through the shingle shuffle instead of strings (the d02/t04
+    * trade: identical-absent-collision at 64 bits); `false` keeps raw
+    * strings for engine-portable runs (the t22 oracle).
+    *
+    * Rows with a NULL text or id are excluded by contract (they have no
+    * position in the id order). Output: (doc_id, n_shingles,
+    * novel_shingles, novelty), one row per surviving doc.
+    */
+  def ngramNovelty(df: DataFrame, textCol: String, idCol: String,
+                   hashShingles: Boolean = true): DataFrame = {
+    val shRaw = explode(Dedup.shingleExpr(textCol, 3)).as("sh_raw")
+    val posts = df.na.drop(Seq(textCol, idCol))
+      .select(col(idCol).as("doc_id"), shRaw)
+      .select(col("doc_id"),
+        (if (hashShingles) xxhash64(col("sh_raw")) else col("sh_raw")).as("sh"))
+    val totals = posts.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val novel = posts.groupBy("sh").agg(min("doc_id").as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("novel_shingles"))
+    totals.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("novel_shingles"), lit(0L)).as("novel_shingles"),
+        (coalesce(col("novel_shingles"), lit(0L)).cast("double") /
+          col("n_shingles").cast("double")).as("novelty"))
+  }
 }

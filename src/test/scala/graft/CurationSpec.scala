@@ -520,4 +520,24 @@ class CurationSpec extends SparkTestBase {
     assert(!strict(1L), "banner doc must be dropped at strict threshold")
     assert(strict(7L), "unique doc survives any threshold")
   }
+
+  test("ngramNovelty: first occurrence wins, exact shares, null text excluded") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Some("a b c d")),   // shingles {a b c, b c d} — both first here
+      (2L, Some("a b c d")),   // exact recycle -> novelty 0
+      (3L, Some("a b c x")),   // {a b c (seen), b c x (new)} -> 0.5
+      (4L, Some("y z")),       // < 3 tokens -> single whole-text shingle, new
+      (5L, Option.empty[String]) // null text -> no output row
+    ).toDF("doc_id", "text")
+    for (hashed <- Seq(true, false)) {
+      val out = TextAnalysis.ngramNovelty(docs, "text", "doc_id", hashed)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(out.toSeq == Seq(
+        (1L, 2L, 2L, 1.0), (2L, 2L, 0L, 0.0),
+        (3L, 2L, 1L, 0.5), (4L, 1L, 1L, 1.0)),
+        s"hashShingles=$hashed: got ${out.toSeq}")
+    }
+  }
 }

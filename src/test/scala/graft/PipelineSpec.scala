@@ -485,6 +485,25 @@ class PipelineSpec extends SparkTestBase {
     val truth = Similarity.bruteForceTopK(corpus, queries, "embedding", "vec_id", "qid", 5)
     val recall = IvfIndex.recallAt(ann, truth, 5)
     assert(recall > 0.9, s"recall@5 = $recall")
+
+    // int8-shortlist tier: with a shortlist comfortably above k the
+    // exact re-rank must reproduce topK's result id-for-id (quantization
+    // can only perturb the shortlist BOUNDARY, not the re-ranked order)
+    val q8 = IvfIndex.topKQuantized(idx, queries, "embedding", "qid",
+      k = 5, nprobe = 2, shortlist = 15)
+    val exactIds = ann.select("query_id", "id", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val q8Ids = q8.select("query_id", "id", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(q8Ids == exactIds,
+      s"quantized-shortlist search diverged from exact IVF: ${q8Ids.diff(exactIds)}")
+    // degenerate shortlist = k still returns k well-formed rows per query
+    val tight = IvfIndex.topKQuantized(idx, queries, "embedding", "qid",
+      k = 5, nprobe = 2, shortlist = 5)
+    assert(tight.groupBy("query_id").count().collect().forall(_.getLong(1) == 5L))
+    intercept[IllegalArgumentException](
+      IvfIndex.topKQuantized(idx, queries, "embedding", "qid",
+        k = 5, nprobe = 2, shortlist = 4))
   }
   test("IVF from fixed centroids: each seed vector assigns to its own cell") {
     import spark.implicits._
