@@ -120,7 +120,12 @@ object Bench {
     // per-source budget selection (slim-window + cutoff join-back) and
     // the composed mixture-recipe build (normalize → dedup → per-source
     // budgets → distribution match, the round's product-shaped chain)
-    "q94_budget_select_by_group", "p08_mixture_recipe_build")
+    "q94_budget_select_by_group", "p08_mixture_recipe_build",
+    // round 15 (this session): the two new data-heavy operators — the
+    // corpus-order n-gram novelty (t22's hashed-key twin: the postings
+    // shuffle with 8-byte keys is the 100 TB path) and the int8-
+    // shortlist IVF search (the memory-tiered ANN shape)
+    "t23_ngram_novelty_fast", "a11_ivf_int8_rerank")
 
   // the sf1 subset: the scan/join/agg spine (TPC-H) + the dedup family +
   // vocabulary ranking + brute ANN — the operators whose 100 TB story the

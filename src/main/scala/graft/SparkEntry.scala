@@ -3958,6 +3958,20 @@ object SparkEntry {
               |FROM tot t LEFT JOIN nov n ON n.doc_id = t.doc_id
               |ORDER BY t.doc_id""".stripMargin)),
 
+    Q("t23_ngram_novelty_fast",
+      (s, d) => {
+        val m = mgr(s, d)
+        // the benched 100 TB path: 8-byte xxhash64 shingle keys through
+        // the postings shuffle (t22's d02-style rows-only twin — the
+        // result is identical absent a 64-bit collision, which the t22
+        // oracle pins on this corpus)
+        pipeline.TextAnalysis.ngramNovelty(
+          m.getDDFByName("documents").df, "text", "doc_id",
+          hashShingles = true)
+          .orderBy("doc_id")
+      },
+      None),
+
     Q("t14_token_ids",
       (s, d) => {
         val m = mgr(s, d)

@@ -239,6 +239,22 @@ object ScaleSmoke {
         }),
         "span_dedup(t09)" -> (() =>
           graft.pipeline.Dedup.spanDedup(d, "text", "doc_id", w = 6).count()),
+        // round 15: corpus-order novelty — the postings shuffle is the
+        // cost; the hashed-key path is the scale path (t23)
+        "ngram_novelty(t22)" -> (() =>
+          graft.pipeline.TextAnalysis.ngramNovelty(d, "text", "doc_id").count()),
+        // round 15: int8-shortlist IVF — cells grow 16·f like a05, so
+        // probed-cell volume per query stays constant; cost should track
+        // the index build (assign+quantize = one corpus pass), not f²
+        "ivf_int8(a11)" -> (() => {
+          val centroids = e.filter(col("vec_id") < 16L * f).orderBy("vec_id")
+            .select("embedding").collect()
+            .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+          val idx = graft.pipeline.IvfIndex.buildFromCentroids(e, "embedding", "vec_id", centroids)
+          val qs = e.filter(col("vec_id") < 3).withColumnRenamed("vec_id", "qid")
+          graft.pipeline.IvfIndex.topKQuantized(idx, qs, "embedding", "qid",
+            k = 10, nprobe = 4, shortlist = 20).count()
+        }),
         "bm25_retrieve(c06)" -> (() =>
           graft.pipeline.Relevance.bm25Retrieve(d, "text", "doc_id",
             queries, "qid", "qtext", k = 10).count()),
