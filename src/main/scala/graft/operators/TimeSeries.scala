@@ -199,8 +199,10 @@ object TimeSeries {
       .select(aggregate(col("evs"), lit(0),
         (acc, ev) => when(ev.getField("step") === acc, acc + 1).otherwise(acc))
         .as("depth"))
+    // coalesce: sum over ZERO entities (empty input / no step events)
+    // is NULL — the funnel of an empty log is all-zero reach, not null
     val reachCols = steps.indices.map(i =>
-      sum(when(col("depth") > i, 1L).otherwise(0L)).as(s"r$i"))
+      coalesce(sum(when(col("depth") > i, 1L).otherwise(0L)), lit(0L)).as(s"r$i"))
     val reach = depths.agg(reachCols.head, reachCols.tail: _*)
     reach.select(explode(array(steps.zipWithIndex.map { case (s, i) =>
       struct(lit(i + 1).as("step_idx"), lit(s).as("step"),

@@ -1311,12 +1311,19 @@ object TextAnalysis {
     */
   def ngramNovelty(df: DataFrame, textCol: String, idCol: String,
                    hashShingles: Boolean = true): DataFrame = {
+    val base = df.na.drop(Seq(textCol, idCol))
+    // per-doc totals come straight off the scan projection (the shingle
+    // array is never empty — <3 tokens collapse to one whole-text
+    // shingle), so only the first-occurrence side pays the explode and
+    // the by-shingle shuffle; the input is read twice, but the second
+    // read projects two columns and shuffles nothing
+    val totals = base.select(col(idCol).as("doc_id"),
+      size(Dedup.shingleExpr(textCol, 3)).cast("long").as("n_shingles"))
     val shRaw = explode(Dedup.shingleExpr(textCol, 3)).as("sh_raw")
-    val posts = df.na.drop(Seq(textCol, idCol))
+    val posts = base
       .select(col(idCol).as("doc_id"), shRaw)
       .select(col("doc_id"),
         (if (hashShingles) xxhash64(col("sh_raw")) else col("sh_raw")).as("sh"))
-    val totals = posts.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val novel = posts.groupBy("sh").agg(min("doc_id").as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("novel_shingles"))
     totals.join(novel, Seq("doc_id"), "left")

@@ -231,5 +231,12 @@ class TimeSeriesSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       TimeSeries.funnel(ev, "user_id", "ts", "event_id", "event_type",
         Seq("view", "view")))
+
+    // no matching events at all: zero reach per step, never NULL
+    val none = TimeSeries.funnel(ev.filter(col("event_type") === "error"),
+      "user_id", "ts", "event_id", "event_type", Seq("view", "click"))
+      .orderBy("step_idx").collect()
+    assert(none.map(r => (r.getInt(0), r.getLong(2))).toSeq ==
+      Seq((1, 0L), (2, 0L)))
   }
 }
