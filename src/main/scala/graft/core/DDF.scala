@@ -243,6 +243,25 @@ final class DDF(
   def interpolate(bucketCol: String, keyCols: Seq[String], valueCol: String,
                   outCol: String = "interpolated"): DDF =
     derive(graft.operators.TimeSeries.interpolate(df, bucketCol, keyCols, valueCol, outCol))
+
+  // ===== Round-15 surface: reshaping, event analytics, corpus novelty.
+  /** Long→wide pivot with explicit values (see `Aggregations.pivot` for
+    * why values are mandatory); `aggSpecs` use the `alias=fn(col)`
+    * grammar of [[aggregate]].
+    */
+  def pivot(groupCols: Seq[String], pivotCol: String, pivotValues: Seq[String],
+            aggSpecs: Seq[String]): DDF =
+    graft.operators.Aggregations.pivot(this, groupCols, pivotCol, pivotValues, aggSpecs)
+  /** Ordered-step conversion funnel (see `TimeSeries.funnel`). */
+  def funnel(entityCol: String, tsCol: String, idCol: String,
+             typeCol: String, steps: Seq[String]): DDF =
+    derive(graft.operators.TimeSeries.funnel(df, entityCol, tsCol, idCol, typeCol, steps))
+  /** Per-doc n-gram novelty vs the preceding corpus
+    * (see `TextAnalysis.ngramNovelty`).
+    */
+  def ngramNovelty(textCol: String, idCol: String,
+                   hashShingles: Boolean = true): DDF =
+    derive(graft.pipeline.TextAnalysis.ngramNovelty(df, textCol, idCol, hashShingles))
   /** Train a BPE tokenizer over `textCol` (see `TextAnalysis.bpeTrain`;
     * `byteLevel = true` trains over UTF-8 bytes as hex-pair symbols so
     * digits/punctuation/non-Latin text participate).

@@ -17,7 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
-  final case class Index(centroids: Array[Array[Double]], corpus: DataFrame)
+  /** `corpus` is the assigned (id, v, cell) frame; `rawVecs` keeps the
+    * pre-assignment (id, v) projection so consumers that need vectors
+    * WITHOUT cells (e.g. [[topKQuantized]]'s exact re-rank) can fetch
+    * them without re-deriving the argmax + cell shuffle — on a stored
+    * index this is the float tier next to the int8 sidecar.
+    */
+  final case class Index(centroids: Array[Array[Double]], corpus: DataFrame,
+                         rawVecs: Option[DataFrame] = None)
 
   /** Build the index: k-means over (a sample of) the corpus, then assign
     * every vector to its nearest centroid. `corpus` output columns:
@@ -42,7 +49,7 @@ object IvfIndex {
   def buildFromCentroids(df: DataFrame, vecCol: String, idCol: String,
                          centroids: Array[Array[Double]]): Index = {
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    Index(centroids, assign(vecs, centroids))
+    Index(centroids, assign(vecs, centroids), Some(vecs))
   }
 
   /** Assign (id, v) rows to their nearest centroid and partition by cell.
@@ -69,7 +76,8 @@ object IvfIndex {
     */
   def append(index: Index, batch: DataFrame, vecCol: String, idCol: String): Index = {
     val vecs = batch.select(col(idCol).as("id"), col(vecCol).as("v"))
-    Index(index.centroids, index.corpus.unionByName(assign(vecs, index.centroids)))
+    Index(index.centroids, index.corpus.unionByName(assign(vecs, index.centroids)),
+      index.rawVecs.map(_.unionByName(vecs)))
   }
 
   /** Per-cell occupancy — the rebuild-decision monitor for [[append]].
@@ -220,11 +228,13 @@ object IvfIndex {
     val short = graft.operators.Views
       .topKWithRank(approx, "query_id", "cos8", "id", shortlist)
       .select("query_id", "id")
-    // exact pass: stream the corpus once, keep only shortlist ids
-    // (broadcast), then re-attach each query's vector (broadcast) —
-    // the full-precision frame never shuffles
+    // exact pass: stream the FLOAT tier once (rawVecs — the
+    // pre-assignment projection, so no argmax/cell-shuffle recompute),
+    // keep only shortlist ids (broadcast), then re-attach each query's
+    // vector (broadcast) — the full-precision frame never shuffles
     val qv = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"))
-    val exact = index.corpus.select(col("id"), col("v"))
+    val floats = index.rawVecs.getOrElse(index.corpus).select(col("id"), col("v"))
+    val exact = floats
       .join(broadcast(short), "id")
       .join(broadcast(qv), "query_id")
       .select(col("query_id"), col("id"),
