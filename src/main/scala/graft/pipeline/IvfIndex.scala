@@ -90,10 +90,16 @@ object IvfIndex {
     index.corpus.groupBy("cell").agg(count(lit(1)).as("n"))
 
   /** Centroid-count threshold above which assignment switches from the
-    * inlined-literal expression to a broadcast join (round-2 advice:
-    * literals are fine ≤ a few hundred cells).
+    * inlined-literal expression to a broadcast join. Measured r15 (ivf
+    * decade ladder, 64-dim): ~80 inlined centroids sit on a Janino
+    * compile cliff — the generated argmax method is near the JIT/codegen
+    * size limit and COMPILATION dominates the job (f=5 @ 80 cells:
+    * 8.6 s vs f=10 @ 160 cells: 3.4 s, where codegen gives up and the
+    * interpreted path wins). Inline literals only clearly win while the
+    * expression stays comfortably compilable; past that the broadcast
+    * join is both predictable and scalable, so the cutover sits at 48.
     */
-  val maxInlineCentroids: Int = 512
+  val maxInlineCentroids: Int = 48
 
   /** The broadcast (cell, cv, half_norm) centroid table. half_norm =
     * ||c||²/2 carries the L2-argmin identity (argmin ||v−c|| = argmax

@@ -217,6 +217,80 @@ object EventStreams {
       .as[SessionOut]
   }
 
+  final case class FunnelState(depth: Int, ts: Long, id: Long)
+  final case class FunnelHit(user_id: Long, step_idx: Int, step: String,
+                             ts: java.sql.Timestamp)
+
+  /** STREAMING conversion funnel — the unbounded-source counterpart of
+    * `TimeSeries.funnel`: per user, greedily match `steps` in order and
+    * EMIT a [[FunnelHit]] the moment a step is reached (append-mode
+    * safe: depth is monotone, so each (user, step) emits at most once).
+    * Per-step reach counts are then a downstream streaming aggregate of
+    * this hit stream.
+    *
+    * Semantics vs the batch operator: within a micro-batch, events fold
+    * in (ts, event_id) order, and a step matches only strictly after
+    * the previous step's match position — identical to batch on an
+    * in-order feed. ACROSS micro-batches the match is
+    * arrival-constrained: an event that arrives after a later-timed
+    * event has already advanced the funnel cannot retroactively produce
+    * the earlier greedy match (depth never rewinds) — the same
+    * watermark-order contract as [[sessionizeStreaming]]'s session
+    * boundaries. Size `watermarkDelay` to the source's disorder.
+    *
+    * State is one (depth, position) triple per user still mid-funnel —
+    * completed users are removed immediately; `abandonAfterMs` evicts
+    * stalled users once the WATERMARK passes their last match + the
+    * horizon (event-time timeout, so state is bounded by active users
+    * within the horizon, not all users ever seen).
+    */
+  def funnelStreaming(events: Dataset[EventRow], steps: Seq[String],
+                      watermarkDelay: String = "0 seconds",
+                      abandonAfterMs: Long = 24L * 3600 * 1000): Dataset[FunnelHit] = {
+    require(steps.nonEmpty, "funnelStreaming: need at least one step")
+    require(steps.distinct.size == steps.size,
+      s"funnelStreaming: duplicate steps ${steps.diff(steps.distinct).distinct}")
+    require(abandonAfterMs > 0, "funnelStreaming: abandonAfterMs must be positive")
+    import events.sparkSession.implicits._
+    val stepArr = steps.toArray
+    events
+      .filter(col("event_type").isin(steps.map(lit): _*))
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelHit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, rows, state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            // stalled mid-funnel past the horizon: abandoned, drop state
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption.getOrElse(
+              FunnelState(0, Long.MinValue, Long.MinValue))
+            val out = scala.collection.mutable.ArrayBuffer.empty[FunnelHit]
+            sorted.foreach { e =>
+              if (st.depth < stepArr.length) {
+                val t = e.ts.getTime
+                val after = t > st.ts || (t == st.ts && e.event_id > st.id)
+                if (after && e.event_type == stepArr(st.depth)) {
+                  st = FunnelState(st.depth + 1, t, e.event_id)
+                  out += FunnelHit(uid, st.depth, stepArr(st.depth - 1), e.ts)
+                }
+              }
+            }
+            if (st.depth >= stepArr.length) state.remove() // funnel complete
+            else if (st.depth > 0) {
+              state.update(st)
+              state.setTimeoutTimestamp(
+                math.max(st.ts + abandonAfterMs, state.getCurrentWatermarkMs + 1))
+            }
+            // depth 0: no state — users who never hit step 1 cost nothing
+            out.iterator
+          }
+      }
+  }
+
   /** The typed stateful formulation of [[sessionize]] (per-group fold via
     * `flatMapGroupsWithState`, NoTimeout, trailing flush) — kept as the
     * semantic cross-check for the window version and the single-group

@@ -784,4 +784,64 @@ class StreamingSpec extends SparkTestBase {
       info(s"peak interval-join state rows: $peakState for ${rows.size} events replayed")
     } finally q.stop()
   }
+
+  test("funnelStreaming: hits emit as steps are reached; matches batch funnel in order") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventStreams.EventRow]
+    val q = EventStreams.funnelStreaming(stream.toDS(),
+        Seq("view", "click", "purchase"))
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("append").start()
+    def hits() = spark.table("funnel_stream").as[EventStreams.FunnelHit]
+      .collect().map(h => (h.user_id, h.step_idx, h.step)).toSet
+    try {
+      // batch 1: u10 views; u20 clicks BEFORE viewing (click must not hit);
+      // u30 does view+click out of order WITHIN the batch (sort repairs it)
+      stream.addData(
+        EventStreams.EventRow(1, ts(0), 10, "view", 1.0),
+        EventStreams.EventRow(2, ts(1), 20, "click", 1.0),
+        EventStreams.EventRow(3, ts(2), 20, "view", 1.0),
+        EventStreams.EventRow(5, ts(4), 30, "click", 1.0),
+        EventStreams.EventRow(4, ts(3), 30, "view", 1.0))
+      q.processAllAvailable()
+      assert(hits() == Set((10L, 1, "view"), (20L, 1, "view"),
+        (30L, 1, "view"), (30L, 2, "click")))
+      // batch 2: u10 advances two steps in one batch; u20's second click
+      // (after its view) now counts
+      stream.addData(
+        EventStreams.EventRow(6, ts(5), 10, "click", 1.0),
+        EventStreams.EventRow(7, ts(6), 10, "purchase", 1.0),
+        EventStreams.EventRow(8, ts(7), 20, "click", 1.0))
+      q.processAllAvailable()
+      assert(hits() == Set((10L, 1, "view"), (10L, 2, "click"),
+        (10L, 3, "purchase"),
+        (20L, 1, "view"), (20L, 2, "click"),
+        (30L, 1, "view"), (30L, 2, "click")))
+      // u10 completed: a second purchase must NOT re-emit (state removed,
+      // depth 0 ⇒ the stray event creates no new state or hit for step 1)
+      stream.addData(EventStreams.EventRow(9, ts(8), 10, "purchase", 1.0))
+      q.processAllAvailable()
+      assert(hits().count(_._1 == 10L) == 3)
+    } finally q.stop()
+
+    // the streamed hit counts equal the batch operator's reach on the
+    // same (in-order) event log
+    val log = Seq(
+      (1L, ts(0), 10L, "view"), (2L, ts(1), 20L, "click"),
+      (3L, ts(2), 20L, "view"), (5L, ts(4), 30L, "click"),
+      (4L, ts(3), 30L, "view"), (6L, ts(5), 10L, "click"),
+      (7L, ts(6), 10L, "purchase"), (8L, ts(7), 20L, "click"),
+      (9L, ts(8), 10L, "purchase")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val reach = graft.operators.TimeSeries.funnel(log, "user_id", "ts",
+        "event_id", "event_type", Seq("view", "click", "purchase"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(reach == Map(1 -> 3L, 2 -> 3L, 3 -> 1L))
+
+    intercept[IllegalArgumentException](
+      EventStreams.funnelStreaming(stream.toDS(), Seq()))
+    intercept[IllegalArgumentException](
+      EventStreams.funnelStreaming(stream.toDS(), Seq("a", "a")))
+  }
 }
