@@ -4932,6 +4932,61 @@ object SparkEntry {
             |FROM dist d CROSS JOIN skew s ORDER BY d.size""".stripMargin
       }),
 
+    Q("p09_novelty_gated_build",
+      (s, d) => {
+        val m = mgr(s, d)
+        // Round-15 composed chain: quality gate → exact dedup → corpus-
+        // order novelty gate — the "how much of the survivor is
+        // recycled" stage per-pair dedup can't provide (t22's operator
+        // inside a build). The novelty threshold is the EXACT integer
+        // predicate 2·novel ≥ n (≥ half the doc's shingles first seen in
+        // it), so no cross-engine float margin exists by construction.
+        val docs = m.getDDFByName("documents").df
+        val keepIds = pipeline.TextAnalysis.c4Rules(docs, "text", "doc_id",
+            minWords = 30, minMeanLen = 3.0, maxMeanLen = 4.5, maxWordLen = 25,
+            requireTerminalPunct = false)
+          .filter(col("keep")).select(col("id").as("doc_id"))
+        val gated = docs.join(keepIds, Seq("doc_id"), "left_semi")
+        val surv = pipeline.Dedup.exactSurvivors(gated, "text", "doc_id")
+        val fresh = pipeline.TextAnalysis.ngramNovelty(surv, "text", "doc_id",
+            hashShingles = false)
+          .filter(col("novel_shingles") * 2 >= col("n_shingles"))
+        surv.join(fresh, Seq("doc_id"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_shingles").as("total_shingles"),
+            sum("novel_shingles").as("novel_shingles"),
+            min("doc_id").as("first_doc"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, text, lang, ${duckToks("text")} AS tk
+              |  FROM documents),
+              |kept AS (SELECT doc_id, text, lang FROM t WHERE
+              |  len(tk) >= 30
+              |  AND (CASE WHEN len(tk) = 0 THEN 0.0
+              |       ELSE list_sum(list_transform(tk, x -> length(x))) / len(tk)::DOUBLE END)
+              |      BETWEEN 3.0 AND 4.5
+              |  AND coalesce(list_max(list_transform(tk, x -> length(x))), 0) <= 25
+              |  AND NOT contains(lower(text), 'lorem ipsum')
+              |  AND NOT contains(lower(text), 'javascript')
+              |  AND NOT contains(lower(text), '{')),
+              |reps AS (SELECT min(doc_id) AS doc_id FROM kept
+              |  GROUP BY md5(${duckNorm("text")})),
+              |surv AS (SELECT k.* FROM kept k JOIN reps USING (doc_id)),
+              |posts AS (SELECT doc_id, unnest(${duckShingles("text")}) AS sh FROM surv),
+              |tot AS (SELECT doc_id, count(*) AS n_sh FROM posts GROUP BY doc_id),
+              |fst AS (SELECT sh, min(doc_id) AS doc_id FROM posts GROUP BY sh),
+              |novn AS (SELECT doc_id, count(*) AS novel FROM fst GROUP BY doc_id),
+              |fresh AS (SELECT t2.doc_id, t2.n_sh, coalesce(n.novel, 0) AS novel
+              |  FROM tot t2 LEFT JOIN novn n USING (doc_id)
+              |  WHERE 2 * coalesce(n.novel, 0) >= t2.n_sh)
+              |SELECT s.lang, count(*)::BIGINT AS n_docs,
+              |  sum(f.n_sh)::BIGINT AS total_shingles,
+              |  sum(f.novel)::BIGINT AS novel_shingles,
+              |  min(s.doc_id)::BIGINT AS first_doc
+              |FROM surv s JOIN fresh f USING (doc_id)
+              |GROUP BY s.lang ORDER BY s.lang NULLS FIRST""".stripMargin)),
+
     Q("p08_mixture_recipe_build",
       (s, d) => {
         val m = mgr(s, d)

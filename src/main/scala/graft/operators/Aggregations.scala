@@ -147,10 +147,20 @@ object Aggregations {
     * ONE hash aggregate (single shuffle on `groupCols`, map-side
     * combined, no extra job) — same plan shape as [[aggregate]].
     *
-    * Null semantics match [[aggregate]]: rows with a null in any
-    * aggregated column are dropped first; rows whose `pivotCol` value is
-    * not in `pivotValues` (including null) fall outside every output
-    * column; null `groupCols` values keep their group row.
+    * Null semantics match [[aggregate]] plus SQL conditional-aggregation
+    * convention per cell: rows with a null in any aggregated column are
+    * dropped first; rows whose `pivotCol` value is not in `pivotValues`
+    * (including null) fall outside every output column; null `groupCols`
+    * values keep their group row; an EMPTY cell reads NULL for value
+    * aggregates and 0 for `count` (it counts matching rows).
+    *
+    * Implementation note: this deliberately does NOT use Spark's
+    * `RelationalGroupedDataset.pivot`, whose PivotFirst plan aggregates
+    * by (group, pivot) and re-aggregates by group — two shuffles. With
+    * the values known up front, one conditional aggregate per
+    * (value × spec) inside a SINGLE hash aggregate does the same work
+    * with one shuffle on `groupCols` and full map-side combine
+    * (plan-pinned in ScaleSpec).
     */
   def pivot(ddf: DDF, groupCols: Seq[String], pivotCol: String,
             pivotValues: Seq[String], aggSpecs: Seq[String]): DDF = {
@@ -163,18 +173,25 @@ object Aggregations {
     val parsed = parseAggOnly(aggSpecs)
     require(parsed.nonEmpty, "pivot() needs at least one aggregate function")
     val clean = cleaned(ddf.df, parsed)
-    val wide = clean.groupBy(groupCols.map(col): _*)
-      .pivot(pivotCol, pivotValues)
-      .agg(parsed.map(aggColumn).head, parsed.map(aggColumn).tail: _*)
-    // Spark names pivot columns `<value>` for a single aggregate and
-    // `<value>_<alias>` for several — normalize to `<value>_<alias>`
-    // always so the output schema doesn't depend on the aggregate count.
-    val names = groupCols ++
-      (for (v <- pivotValues; a <- parsed.map(_.alias)) yield s"${v}_$a")
-    require(names.size == wide.columns.length,
-      s"pivot schema mismatch: expected ${names.size} columns, " +
-        s"got ${wide.columns.length}")
-    ddf.derive(wide.toDF(names: _*))
+    def cellAgg(spec: AggSpec, v: String): Column = {
+      val in =
+        if (spec.colName == "*") when(col(pivotCol) === lit(v), lit(1))
+        else when(col(pivotCol) === lit(v), col(spec.colName))
+      val c = spec.fn match {
+        case "mean" | "avg"     => avg(in)
+        case "max"              => max(in)
+        case "min"              => min(in)
+        case "sum"              => sum(in)
+        case "count"            => count(in)
+        case "stddev"           => stddev_samp(in)
+        case "var" | "variance" => var_samp(in)
+        case "median"           => percentile(in, lit(0.5))
+        case other => throw new IllegalArgumentException(s"Unsupported aggregate '$other'")
+      }
+      c.as(s"${v}_${spec.alias}")
+    }
+    val aggs = for (v <- pivotValues; sp <- parsed) yield cellAgg(sp, v)
+    ddf.derive(clean.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*))
   }
 
   /** Incremental view maintenance: merge two aggregate tables produced

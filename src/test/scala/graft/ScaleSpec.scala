@@ -1050,4 +1050,56 @@ class ScaleSpec extends SparkTestBase {
     assert(plan.contains("Generate explode(sequence"),
       s"spine must be a distributed sequence explode:\n$plan")
   }
+
+  test("pivot with explicit values: ONE aggregate, no distinct-scan job, no window") {
+    import spark.implicits._
+    val m = graft.core.DDFManager(spark)
+    val ddf = m.register(spark.range(1000L).select(
+      (col("id") % 7).as("g"),
+      concat(lit("v"), (col("id") % 3).cast("string")).as("p"),
+      col("id").cast("double").as("x")))
+    val out = graft.operators.Aggregations.pivot(ddf, Seq("g"), "p",
+      Seq("v0", "v1", "v2"), Seq("s=sum(x)", "mx=max(x)")).df
+    out.collect()
+    // AQE repeats the tree under "== Initial Plan ==" — count the final
+    // section only
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // explicit values ⇒ conditional aggregates in a single hash
+    // aggregate: exactly one exchange (by g), no value-discovery pass
+    // (Spark's own PivotFirst plan pays a second (group, pivot)
+    // aggregate + exchange), no window
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"pivot must be one hash aggregate with one exchange:\n$plan")
+    assert(!plan.contains("Window"), s"no window in a pivot plan:\n$plan")
+  }
+
+  test("funnel: one shuffle on the entity key; step filter reaches the scan side") {
+    import spark.implicits._
+    val ev = spark.range(2000L).select(
+      col("id").as("event_id"),
+      timestamp_seconds(lit(1704067200L) + col("id") * 60).as("ts"),
+      (col("id") % 50).as("user_id"),
+      concat(lit("t"), (col("id") % 5).cast("string")).as("event_type"))
+    val out = graft.operators.TimeSeries.funnel(ev, "user_id", "ts",
+      "event_id", "event_type", Seq("t0", "t1", "t2"))
+    out.collect()
+    val fullPlan = out.queryExecution.executedPlan.toString
+    val plan = fullPlan.split("== Initial Plan ==").head
+    // exactly two exchanges: the per-entity groupBy and the K-row
+    // roll-up's single-partition exchange — never a window, never a
+    // per-step re-scan of the log
+    assert("Exchange".r.findAllIn(plan).size <= 2,
+      s"funnel must shuffle once on the entity key (+ the K-row rollup):\n$plan")
+    assert(!plan.contains("Window"), s"no window in the funnel plan:\n$plan")
+    // the isin(step types) filter must prune non-step events before the
+    // per-entity sorted-fold aggregate (full tree — AQE's final section
+    // elides completed stages below the reused shuffle)
+    assert(fullPlan.contains("collect_list"),
+      s"expected the sorted-fold aggregate:\n$fullPlan")
+    // (the synthetic event_type expression is inlined into the filter,
+    // so probe for the IN-list itself)
+    assert(fullPlan.contains(" IN (t0,t1,t2)"),
+      s"expected the step-type filter under the shuffle:\n$fullPlan")
+  }
 }

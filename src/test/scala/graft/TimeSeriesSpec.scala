@@ -188,8 +188,9 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(cols == Seq("g", "A_s", "A_n", "B_s", "B_n"))
     assert(out(0).getDouble(1) == 30.0 && out(0).getLong(2) == 2L)
     assert(out(0).getDouble(3) == 5.0 && out(0).getLong(4) == 1L)
-    // g2 has no A rows: sum AND count cells are null (no silent zeros)
-    assert(out(1).isNullAt(1) && out(1).isNullAt(2))
+    // g2 has no A rows: the value aggregate reads NULL, count reads 0
+    // (SQL conditional-aggregation convention — see pivot scaladoc)
+    assert(out(1).isNullAt(1) && out(1).getLong(2) == 0L)
     assert(out(1).getDouble(3) == 7.0)
 
     // single aggregate still gets the <value>_<alias> scheme
