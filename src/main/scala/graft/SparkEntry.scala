@@ -3654,6 +3654,62 @@ object SparkEntry {
              |    ORDER BY cs DESC, id) AS rk FROM exact)
              |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
 
+    Q("a12_diversity_sample",
+      (s, d) => {
+        val m = mgr(s, d)
+        val all = m.getDDFByName("embeddings").df
+        // cluster-balanced coverage sample: cap every IVF cell at 20
+        // vectors picked by the portable hash rank of the id — the
+        // diversity-preserving subsample (a uniform sample would mirror
+        // cluster-size skew; the cap keeps embedding-space coverage).
+        // Deterministic frozen centroids as in a03 so the oracle can
+        // replay assignment; the per-cell cap is the q08 rank idiom.
+        val centroids = all.filter(col("vec_id") < 16).orderBy("vec_id")
+          .select("embedding").collect()
+          .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+        val idx = pipeline.IvfIndex.buildFromCentroids(all, "embedding", "vec_id", centroids)
+        pipeline.IvfIndex.diversitySample(idx, perCell = 20)
+          .select(col("id"), col("cell"))
+          .orderBy("cell", "id")
+      },
+      // a03's assignment mirror (argmax(dot − ‖c‖²/2), ties → HIGHER
+      // cell), then q08's xor-fold rank capped at 20 per cell
+      Some("""WITH dv AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+             |            FROM embeddings),
+             |cents AS (SELECT vec_id AS cell, v AS cv FROM dv WHERE vec_id < 16),
+             |assigned AS (SELECT id, cell FROM (
+             |    SELECT d.vec_id AS id, c.cell,
+             |      row_number() OVER (PARTITION BY d.vec_id ORDER BY
+             |        list_dot_product(d.v, c.cv) - list_dot_product(c.cv, c.cv) / 2.0 DESC,
+             |        c.cell DESC) AS rn
+             |    FROM dv d CROSS JOIN cents c) WHERE rn = 1),
+             |h AS (SELECT id, cell, (id % 1000000000) * 2654435761 AS p FROM assigned),
+             |r AS (SELECT id, cell, row_number() OVER (PARTITION BY cell
+             |      ORDER BY xor(p, p >> 31) % 1000000007, id) AS rn FROM h)
+             |SELECT id, cell FROM r WHERE rn <= 20 ORDER BY cell, id""".stripMargin)),
+
+    Q("d16_soft_dedup_weights",
+      (s, d) => {
+        val m = mgr(s, d)
+        // downweight-instead-of-remove dedup: every doc keeps a row, a
+        // dup cluster's members share one document's worth of weight —
+        // the trainer (or a later weighted sample) consumes the column
+        val docs = m.getDDFByName("embeddings").df
+          .filter(col("vec_id") < 200).select("vec_id")
+        pipeline.Dedup.softDedupWeights(docs, embeddingPairs(m), "vec_id")
+          .select(col("vec_id"), round(col("weight"), 6).as("weight"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH RECURSIVE
+              |$duckClusterCtes,
+              |cs AS (SELECT cluster_id, count(*) AS n FROM c GROUP BY cluster_id),
+              |w AS (SELECT c.id, 1.0::DOUBLE / cs.n AS weight
+              |      FROM c JOIN cs USING (cluster_id))
+              |SELECT e.vec_id, round(coalesce(w.weight, 1.0::DOUBLE), 6) AS weight
+              |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 200) e
+              |LEFT JOIN w ON w.id = e.vec_id
+              |ORDER BY e.vec_id""".stripMargin)),
+
     Q("d06_dup_clusters",
       (s, d) => {
         val m = mgr(s, d)

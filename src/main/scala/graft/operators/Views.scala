@@ -975,18 +975,26 @@ object Views {
       .drop("__h", "__sub", "__mb", "__bnd", "__rem")
   }
 
-  def stratifiedSample(ddf: DDF, strataCol: String, n: Int, keyCol: String): DDF = {
+  def stratifiedSample(ddf: DDF, strataCol: String, n: Int, keyCol: String): DDF =
+    ddf.derive(stratifiedSampleDf(ddf.df, strataCol, n, keyCol))
+
+  /** DataFrame-level [[stratifiedSample]] — same deterministic
+    * n-per-stratum hash-rank selection, for callers composing over plain
+    * frames (e.g. `IvfIndex.diversitySample` capping embedding cells).
+    */
+  def stratifiedSampleDf(df: DataFrame, strataCol: String, n: Int,
+                         keyCol: String): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
     // numeric key required: cast(string as long) would be null per row
     // (ANSI: a runtime error), degenerating the "sample" to first-n-by-key
-    require(ddf.schema(keyCol).dataType
+    require(df.schema(keyCol).dataType
         .isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"stratifiedSample: key column '$keyCol' must be numeric " +
-        s"(got ${ddf.schema(keyCol).dataType.simpleString})")
+        s"(got ${df.schema(keyCol).dataType.simpleString})")
     // boundary-sub-range shape (r13): n-per-stratum is rank ≤ quota with
     // quota = n for every stratum present
-    ddf.derive(rankPrefixPerBucket(ddf.df, strataCol, keyCol,
-      totals => totals.keys.toSeq.map(_ -> n.toLong)))
+    rankPrefixPerBucket(df, strataCol, keyCol,
+      totals => totals.keys.toSeq.map(_ -> n.toLong))
   }
 
   /** Extension (training-data pipeline): deterministic corpus shuffle.

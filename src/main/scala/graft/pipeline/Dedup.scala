@@ -779,6 +779,31 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Soft dedup: keep EVERY row but weight each by 1/|dup-cluster| —
+    * the downweight-instead-of-remove policy (a duplicated document
+    * contributes one document's worth of gradient in aggregate, spread
+    * over its copies). Removal loses the copies' metadata/provenance
+    * and is irreversible; a weight column lets the trainer (or a later
+    * weighted sample — compose with `Views.weightedSample`) decide.
+    * Rows in no candidate pair get weight 1.0.
+    *
+    * Scale shape: [[dupClusters]] over the pair set (cluster-member-
+    * sized, not corpus-sized), one groupBy(cluster) for sizes, one join
+    * back to members, and one LEFT join of the corpus to that member-
+    * sized weight frame — broadcast under AQE whenever the dup set is
+    * small relative to the corpus (the normal regime).
+    *
+    * Output: `df` + `weight` (double, (0, 1]).
+    */
+  def softDedupWeights(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val clusters = dupClusters(pairs)
+    val sizes = clusters.groupBy("cluster_id").agg(count(lit(1)).as("__cs"))
+    val weights = clusters.join(sizes, "cluster_id")
+      .select(col("id").as(idCol), (lit(1.0) / col("__cs")).as("weight"))
+    df.join(weights, Seq(idCol), "left")
+      .withColumn("weight", coalesce(col("weight"), lit(1.0)))
+  }
+
   /** Quality-aware representative per duplicate cluster: where
     * [[clusterSurvivors]] keeps the min-id member, this keeps the member
     * maximizing `scoreCol` (quality score, vector norm, recency…) with

@@ -89,6 +89,24 @@ object IvfIndex {
   def cellStats(index: Index): DataFrame =
     index.corpus.groupBy("cell").agg(count(lit(1)).as("n"))
 
+  /** Cluster-balanced coverage sample: keep at most `perCell` vectors
+    * per cell, chosen by the deterministic portable hash rank of the id
+    * (Views.stratifiedSampleDf's xor-fold — a pure function of the key,
+    * so a re-run or a cross-engine replay selects the same rows). This
+    * is the diversity-preserving subsample for embedding corpora: a
+    * uniform sample mirrors the data's cluster-size skew (mega-clusters
+    * of boilerplate dominate), whereas capping every k-means cell keeps
+    * the sample's coverage of the embedding space — the cluster-balanced
+    * selection step in SemDeDup-style curation pipelines.
+    *
+    * Scale shape: the corpus is already partitioned by cell, and the
+    * per-cell cap is the boundary-sub-range rank-prefix selection — no
+    * whole-cell window, so a mega-cell cannot become one straggler sort
+    * task. Output: the capped (id, v, cell) frame.
+    */
+  def diversitySample(index: Index, perCell: Int): DataFrame =
+    graft.operators.Views.stratifiedSampleDf(index.corpus, "cell", perCell, "id")
+
   /** Centroid-count threshold above which assignment switches from the
     * inlined-literal expression to a broadcast join. Measured r15 (ivf
     * decade ladder, 64-dim): ~80 inlined centroids sit on a Janino

@@ -198,6 +198,42 @@ class PipelineSpec extends SparkTestBase {
       "one rep per near-dup group plus the singleton")
   }
 
+  test("diversitySample: per-cell cap, determinism, coverage of every occupied cell") {
+    import spark.implicits._
+    // 3 clusters with skewed sizes: 30 near x-axis, 6 near y-axis, 2 near -x
+    val vecs = ((0 until 30).map(i => (i.toLong, Array(1.0f, i / 1000.0f))) ++
+      (100 until 106).map(i => (i.toLong, Array(i / 1000.0f, 1.0f))) ++
+      Seq((200L, Array(-1.0f, 0.01f)), (201L, Array(-1.0f, 0.02f)))).toDF("vec_id", "embedding")
+    val idx = IvfIndex.buildFromCentroids(vecs, "embedding", "vec_id",
+      Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(-1.0, 0.0)))
+    val s1 = IvfIndex.diversitySample(idx, perCell = 5)
+      .select("id", "cell").collect().map(r => (r.getLong(0), r.getInt(1)))
+    val byCell = s1.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byCell(0) == 5, s"skewed cell capped at 5, got ${byCell(0)}")
+    assert(byCell(1) == 5 && byCell(2) == 2,
+      s"under-cap cells keep everything: $byCell")
+    // deterministic: a re-run selects the identical rows
+    val s2 = IvfIndex.diversitySample(idx, perCell = 5)
+      .select("id", "cell").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(s1.sortBy(_._1).sameElements(s2.sortBy(_._1)), "hash-rank selection is a pure function")
+    // hash-rank, not first-n-by-id: the capped cell is not just ids 0-4
+    assert(s1.filter(_._2 == 0).map(_._1).toSet != (0L until 5L).toSet,
+      "selection ranks by key hash, not raw id order")
+  }
+
+  test("softDedupWeights: cluster members share one unit of weight; singletons keep 1.0") {
+    import spark.implicits._
+    val docs = (1L to 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id1", "id2")
+    val w = Dedup.softDedupWeights(docs, pairs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w(6L) == 1.0, "no-pair row keeps full weight")
+    Seq(1L, 2L, 3L).foreach(id => assert(math.abs(w(id) - 1.0 / 3) < 1e-12))
+    Seq(4L, 5L).foreach(id => assert(w(id) == 0.5))
+    // total corpus weight = #clusters + #singletons (dedup mass conservation)
+    assert(math.abs(w.values.sum - 3.0) < 1e-12)
+  }
+
   test("incremental dedup: NULL text is one content value, not a forever-redelivered row") {
     import spark.implicits._
     val index = Dedup.exact(Seq((1L, Option.empty[String]), (2L, Some("real doc")))
