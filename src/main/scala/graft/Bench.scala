@@ -43,7 +43,10 @@ import org.apache.spark.sql.functions._
   * one — r8's committed run stamped `converged: true` on a01 at 4× its
   * quiet-host value because every sample ran in the same starved window.
   * Now a fixed CPU-bound calibration probe (a deterministic 20 M-step
-  * LCG spin, ~25 ms quiet) runs immediately before every sample. The
+  * LCG spin, ~25 ms quiet; since r14 it runs on EVERY core at once —
+  * the single-thread form always found one idle core while a busy
+  * neighbor squeezed the other 31 the query actually uses, see
+  * probeOnce's scaladoc) runs immediately before every sample. The
   * probe's quiet-host floor is the min probe time seen across the whole
   * bench process; a sample whose probe exceeded 1.5× that floor (+5 ms
   * absolute slack) was taken while the host was starving this JVM and is
@@ -268,22 +271,54 @@ object Bench {
   }
 
   @volatile private var probeSink = 0L // defeat dead-code elimination
-  /** Fixed CPU-bound calibration spin: 20 M LCG steps single-threaded,
-    * ~25 ms on this host when quiet. Pure ALU work with no allocation,
-    * so its wall time moves ONLY when the host denies this JVM cycles —
-    * the exact failure mode that has forged 3 rounds of bench numbers.
+  /** Fixed CPU-bound calibration spin: 20 M LCG steps on EVERY core
+    * (one thread per processor, each running the full spin), ~25-30 ms
+    * wall on this host when quiet — on an idle machine the threads run
+    * truly in parallel, so the wall equals the single-thread time plus
+    * scheduling jitter. Pure ALU work with no allocation.
+    *
+    * ALL-cores, not single-threaded (r14, second revision): the warm
+    * r14 re-run showed q12's sf1 samples swinging 1.5 → 8.9 s while
+    * every pre-sample probe sat within 15% of the process floor — a
+    * single spinning thread always found one idle core, but the QUERY
+    * runs on all 32, and a busy neighbor tenant squeezing the other
+    * cores inflates it invisibly. Saturating the box for one spin makes
+    * the probe see exactly the capacity the query is about to use: with
+    * competitors on k cores, some probe thread shares a core and the
+    * max-over-threads wall stretches proportionally.
+    */
+  private val probeThreads = math.max(2, Runtime.getRuntime.availableProcessors())
+  private def spinAllCores(): Double = {
+    val t0 = System.nanoTime()
+    val ts = (0 until probeThreads).map { t =>
+      val th = new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L + t
+        var i = 0
+        while (i < 20000000) {
+          x = x * 6364136223846793005L + 1442695040888963407L
+          x ^= (x >>> 33)
+          i += 1
+        }
+        probeSink = x
+      })
+      th.setDaemon(true)
+      th.start()
+      th
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+  /** One probe = settle, then min of two all-core spins. The settle +
+    * min-of-2 discriminates SELF-noise from NEIGHBOR-noise: right after
+    * a Spark job this JVM's own executor/cleaner threads are still
+    * winding down and steal probe cores for a few ms (transient — the
+    * second spin runs on a settled box), while a busy neighbor tenant
+    * inflates both spins. Without this the all-core probe flagged its
+    * own just-finished queries as contention.
     */
   private def probeOnce(): Double = {
-    var x = 0x9E3779B97F4A7C15L
-    var i = 0
-    val t0 = System.nanoTime()
-    while (i < 20000000) {
-      x = x * 6364136223846793005L + 1442695040888963407L
-      x ^= (x >>> 33)
-      i += 1
-    }
-    probeSink = x
-    (System.nanoTime() - t0) / 1e9
+    Thread.sleep(30)
+    math.min(spinAllCores(), spinAllCores())
   }
 
   /** A sample is starved when its probe ran ≥1.5× slower than the

@@ -5043,6 +5043,41 @@ object SparkEntry {
               |FROM surv s JOIN fresh f USING (doc_id)
               |GROUP BY s.lang ORDER BY s.lang NULLS FIRST""".stripMargin)),
 
+    Q("p10_datacard",
+      (s, d) => {
+        val m = mgr(s, d)
+        // the dataset datasheet: per-source doc/token counts, exact-dup
+        // volume, quality-gate pass count, dominant language + spread —
+        // every metric an integer count (or an argmax over them), so the
+        // report is bit-identical across engines by construction
+        pipeline.TextAnalysis.datacard(m.getDDFByName("documents").df,
+            "text", "doc_id", "source")
+          .orderBy("source")
+      },
+      Some(s"""WITH sc AS (SELECT doc_id, source, text, $duckLangScores
+              |  FROM documents),
+              |b AS (SELECT source, md5(${duckNorm("text")}) AS fp,
+              |    ${duckTokenCount("text")} AS tc,
+              |    $duckLangCase AS lang,
+              |    CASE WHEN ${duckQuality("text")} >= 0.5 THEN 1 ELSE 0 END AS hi
+              |  FROM sc),
+              |g AS (SELECT source, fp, count(*) AS n, sum(tc) AS tok,
+              |    sum(hi) AS hi, min(lang) AS lang
+              |  FROM b GROUP BY source, fp),
+              |per AS (SELECT source, sum(n)::BIGINT AS n_docs,
+              |    sum(tok)::BIGINT AS n_tokens,
+              |    (sum(n) - count(*))::BIGINT AS n_dup_docs,
+              |    sum(hi)::BIGINT AS n_quality_hi
+              |  FROM g GROUP BY source),
+              |lc AS (SELECT source, lang, sum(n) AS ln FROM g GROUP BY source, lang),
+              |top AS (SELECT source, lang,
+              |    row_number() OVER (PARTITION BY source ORDER BY ln DESC, lang) AS rn,
+              |    count(*) OVER (PARTITION BY source) AS nl FROM lc)
+              |SELECT p.source, p.n_docs, p.n_tokens, p.n_dup_docs, p.n_quality_hi,
+              |  t.lang AS top_lang, t.nl::BIGINT AS n_langs
+              |FROM per p JOIN top t ON t.source = p.source AND t.rn = 1
+              |ORDER BY p.source""".stripMargin)),
+
     Q("p08_mixture_recipe_build",
       (s, d) => {
         val m = mgr(s, d)

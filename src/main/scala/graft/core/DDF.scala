@@ -221,6 +221,22 @@ final class DDF(
     */
   def publish(path: String): DDF =
     derive(graft.sources.Manifest.writeWithManifest(df, path))
+  /** The release datasheet for a curated corpus: per-source doc/token/
+    * dup/quality/language counts in one query (`TextAnalysis.datacard`)
+    * — the report a chain ends with next to [[publish]].
+    */
+  def datacard(textCol: String, idCol: String, sourceCol: String,
+               qualityMin: Double = 0.5): DDF =
+    derive(graft.pipeline.TextAnalysis.datacard(df, textCol, idCol,
+      sourceCol, qualityMin))
+  /** Soft dedup: keep every row, add a `weight` column sharing one unit
+    * of weight across each near-dup cluster at `threshold`
+    * (`Dedup.softDedupWeights` over the MinHash-LSH pair set) — the
+    * downweight-instead-of-remove alternative to [[dedupNearDup]].
+    */
+  def dedupSoft(textCol: String, idCol: String, threshold: Double = 0.8): DDF =
+    derive(graft.pipeline.Dedup.softDedupWeights(df,
+      graft.pipeline.Dedup.minhashDedup(df, textCol, idCol, threshold), idCol))
 
   // ===== Round-10 surface: multi-level aggregation, time series,
   // tokenizer training, clustered layout.

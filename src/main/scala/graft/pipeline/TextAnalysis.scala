@@ -1309,6 +1309,55 @@ object TextAnalysis {
     * position in the id order). Output: (doc_id, n_shingles,
     * novel_shingles, novelty), one row per surviving doc.
     */
+  /** Per-source dataset datasheet — the "data card" every corpus release
+    * ships with, as one query: document and token counts, exact-dup
+    * volume, quality-gate pass count, dominant language and language
+    * spread, per `sourceCol`. All metrics are integer counts (or an
+    * argmax over them), so the report is bit-identical across engines —
+    * no cross-engine float-summation hazard.
+    *
+    * Scale shape: ONE corpus-sized shuffle, on (source, fingerprint) —
+    * the same 16-byte-key aggregate exact dedup pays — carrying three
+    * longs and a language tag; everything downstream (per-source rollup,
+    * language mix, argmax) aggregates source- or (source × lang)-
+    * cardinality frames. The fingerprint determines the normalized text,
+    * hence the token list, hence the language — so per-fingerprint
+    * `min(lang)` is exact, not an approximation; quality keeps raw-text
+    * punctuation structure, so it is counted per doc BEFORE the group.
+    *
+    * Output: (source, n_docs, n_tokens, n_dup_docs, n_quality_hi,
+    * top_lang, n_langs); `n_dup_docs` counts docs beyond the first of
+    * each fingerprint, `n_quality_hi` docs with quality ≥ `qualityMin`,
+    * `top_lang` breaks count ties toward the smallest language tag.
+    */
+  def datacard(df: DataFrame, textCol: String, idCol: String,
+               sourceCol: String, qualityMin: Double = 0.5): DataFrame = {
+    val base = df.na.drop(Seq(idCol))
+      .select(col(sourceCol).as("source"),
+        fingerprintMd5(textCol).as("__fp"),
+        tokenCount(textCol).as("__tc"),
+        langId(textCol).as("__lang"),
+        qualityScore(textCol).as("__q"))
+    val g = base.groupBy("source", "__fp")
+      .agg(count(lit(1)).as("n"), sum("__tc").as("tok"),
+        sum(when(col("__q") >= qualityMin, 1L).otherwise(0L)).as("hi"),
+        min("__lang").as("lang"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val per = g.groupBy("source").agg(
+        sum("n").as("n_docs"), sum("tok").as("n_tokens"),
+        (sum("n") - count(lit(1))).as("n_dup_docs"),
+        sum("hi").as("n_quality_hi"))
+      val lc = g.groupBy("source", "lang").agg(sum("n").as("ln"))
+      // argmax(lang count), ties → smallest lang: min over (−count, lang)
+      val top = lc.groupBy("source").agg(
+        min(struct((-col("ln")).as("nl"), col("lang").as("lang"))).as("__w"),
+        count(lit(1)).as("n_langs"))
+        .select(col("source"), col("__w.lang").as("top_lang"), col("n_langs"))
+      per.join(top, Seq("source")).localCheckpoint()
+    } finally g.unpersist(blocking = false)
+  }
+
   def ngramNovelty(df: DataFrame, textCol: String, idCol: String,
                    hashShingles: Boolean = true): DataFrame = {
     val base = df.na.drop(Seq(textCol, idCol))

@@ -540,4 +540,33 @@ class CurationSpec extends SparkTestBase {
         s"hashShingles=$hashed: got ${out.toSeq}")
     }
   }
+
+  test("datacard: per-source counts, within-source dup volume, lang argmax with ties to smallest") {
+    import spark.implicits._
+    val en = "the cat and the dog are in the house and they sleep"
+    val de = "der hund und die katze sind in dem haus und sie schlafen"
+    val docs = Seq(
+      (1L, en, "a"), (2L, en, "a"),       // exact dup inside source a
+      (3L, de, "a"),
+      (4L, en, "b"),                      // same text as source a — NOT a dup across sources
+      (5L, de, "b")
+    ).toDF("doc_id", "text", "source")
+    // qualityMin 0 → every doc passes; 1.1 → none (bounds, no hand-computed floats)
+    val lo = TextAnalysis.datacard(docs, "text", "doc_id", "source", qualityMin = 0.0)
+      .orderBy("source").collect()
+    val a = lo(0); val b = lo(1)
+    assert(a.getAs[String]("source") == "a" && a.getAs[Long]("n_docs") == 3)
+    assert(a.getAs[Long]("n_dup_docs") == 1, "one copy beyond the first fingerprint")
+    assert(a.getAs[Long]("n_tokens") == 12 * 3, "whitespace token counts sum")
+    assert(a.getAs[Long]("n_quality_hi") == 3, "qualityMin=0 passes all")
+    // en wins 2-1 in source a; source b ties 1-1 → smallest lang tag (de)
+    assert(a.getAs[String]("top_lang") == "en" && a.getAs[Long]("n_langs") == 2)
+    assert(b.getAs[Long]("n_docs") == 2 && b.getAs[Long]("n_dup_docs") == 0,
+      "cross-source copies are not within-source dups")
+    assert(b.getAs[String]("top_lang") == "de" && b.getAs[Long]("n_langs") == 2,
+      "count tie breaks to the smallest language tag")
+    val hi = TextAnalysis.datacard(docs, "text", "doc_id", "source", qualityMin = 1.1)
+      .orderBy("source").collect()
+    assert(hi.forall(_.getAs[Long]("n_quality_hi") == 0L), "qualityMin=1.1 passes none")
+  }
 }

@@ -80,6 +80,25 @@ class DdfApiSpec extends SparkTestBase {
     assert(out.columnNames.contains("quality") && out.columnNames.contains("lang_pred"))
   }
 
+  test("round-14 facade: dedupSoft weights + datacard report") {
+    import spark.implicits._
+    val docs = m.register(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank.", "web"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank.", "web"), // dup of 1
+      (3L, "an entirely different sentence about distributed query engines runs here.", "web"),
+      (4L, "ein ganz anderer satz der auf deutsch ist und die sprache wechselt.", "books")
+    ).toDF("doc_id", "text", "source"))
+    val soft = docs.dedupSoft("text", "doc_id", threshold = 0.9)
+    assert(soft.df.count() == 4, "soft dedup keeps every row")
+    val w = soft.df.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("weight")).toMap
+    assert(w(1L) == 0.5 && w(2L) == 0.5, s"dup pair shares one unit: $w")
+    assert(w(3L) == 1.0 && w(4L) == 1.0)
+    val card = docs.datacard("text", "doc_id", "source", qualityMin = 0.0)
+      .df.orderBy("source").collect()
+    assert(card.map(_.getAs[String]("source")).toSeq == Seq("books", "web"))
+    assert(card(1).getAs[Long]("n_docs") == 3 && card(1).getAs[Long]("n_dup_docs") == 1)
+  }
+
   test("round-10 facade: cube / resample+interpolate / bpe / publishZOrdered") {
     import spark.implicits._
     val ddf = fixture()
