@@ -3688,6 +3688,36 @@ object SparkEntry {
              |      ORDER BY xor(p, p >> 31) % 1000000007, id) AS rn FROM h)
              |SELECT id, cell FROM r WHERE rn <= 20 ORDER BY cell, id""".stripMargin)),
 
+    Q("a13_knn_classify",
+      (s, d) => {
+        val m = mgr(s, d)
+        // leave-one-out kNN majority vote over the embedding index — the
+        // auto-labeling / embedding-sanity primitive: each query's own
+        // row is excluded BEFORE ranking, the ≤5 neighbors vote, ties
+        // break to the smallest label (deterministic, no float tie)
+        val all = m.getDDFByName("embeddings").df
+        val queries = all.filter(col("vec_id") < 30).withColumnRenamed("vec_id", "qid")
+        val nn = pipeline.Similarity.bruteForceTopK(all, queries, "embedding",
+          "vec_id", "qid", k = 5, excludeSelf = true)
+        pipeline.Similarity.knnClassify(nn, all.select("vec_id", "label"),
+            "vec_id", "label", k = 5)
+          .orderBy("query_id")
+      },
+      Some(s"""WITH dv AS (SELECT vec_id, label,
+              |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+              |nn AS (SELECT query_id, id FROM (
+              |    SELECT a.vec_id AS query_id, b.vec_id AS id,
+              |      row_number() OVER (PARTITION BY a.vec_id
+              |        ORDER BY $duckCos DESC, b.vec_id) AS rk
+              |    FROM (SELECT * FROM dv WHERE vec_id < 30) a
+              |    JOIN dv b ON a.vec_id != b.vec_id) WHERE rk <= 5),
+              |v AS (SELECT n.query_id, d.label, count(*) AS nv
+              |  FROM nn n JOIN dv d ON d.vec_id = n.id GROUP BY 1, 2),
+              |r AS (SELECT query_id, label, nv, row_number() OVER (
+              |    PARTITION BY query_id ORDER BY nv DESC, label) AS rn FROM v)
+              |SELECT query_id, label AS pred_label, nv AS n_votes FROM r
+              |WHERE rn = 1 ORDER BY query_id""".stripMargin)),
+
     Q("d16_soft_dedup_weights",
       (s, d) => {
         val m = mgr(s, d)
@@ -6541,6 +6571,101 @@ object SparkEntry {
               |  coalesce(g.vals_csv, '') AS vals_csv
               |FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
               |LEFT JOIN g USING (doc_id) ORDER BY d.doc_id""".stripMargin)),
+
+    Q("t24_nb_quality",
+      (s, d) => {
+        val m = mgr(s, d)
+        // hashed Naive Bayes quality classifier, trained on a source
+        // split (src0-3 = the "high-quality seed", everything else the
+        // crawl negative) and applied to the whole corpus in one job —
+        // the fastText-classifier analog of LLM curation stacks. Per-doc
+        // log-odds fold in bucket order (bit-stable float sum, as t10);
+        // ln rounded at 6 per the t10 precedent.
+        pipeline.TextAnalysis.nbQualityScore(m.getDDFByName("documents").df,
+            "text", "doc_id",
+            isPos = col("source").isin("src0", "src1", "src2", "src3"), dim = 64)
+          .select(col("id").as("doc_id"), col("n_tokens"),
+            round(col("logodds"), 6).as("logodds"), col("pred_hq"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(${duckToks("text")}) AS token
+              |  FROM documents),
+              |fb AS (SELECT doc_id,
+              |    (list_reduce(list_prepend(0::BIGINT,
+              |       list_transform(regexp_split_to_array(token, ''),
+              |         c -> coalesce(ascii(c), 0)::BIGINT)),
+              |     (acc, x) -> (acc * 31 + x) % 1000000007) % 64)::INT AS b
+              |  FROM tok),
+              |db AS (SELECT doc_id, b, count(*)::BIGINT AS cnt FROM fb GROUP BY 1, 2),
+              |lab AS (SELECT doc_id, source IN ('src0','src1','src2','src3') AS pos
+              |  FROM documents),
+              |cb AS (SELECT b,
+              |    sum(CASE WHEN pos THEN cnt ELSE 0 END)::BIGINT AS cp,
+              |    sum(CASE WHEN pos THEN 0 ELSE cnt END)::BIGINT AS cn
+              |  FROM db JOIN lab USING (doc_id) GROUP BY b),
+              |tots AS (SELECT sum(cp)::BIGINT AS tp, sum(cn)::BIGINT AS tn FROM cb),
+              |w AS (SELECT b, ln((cp + 1.0::DOUBLE) / (tp + 64.0::DOUBLE))
+              |    - ln((cn + 1.0::DOUBLE) / (tn + 64.0::DOUBLE)) AS lw FROM cb, tots),
+              |per AS (SELECT doc_id, sum(cnt)::BIGINT AS n_tokens,
+              |    list_reduce(list_prepend(0.0::DOUBLE, list(cnt * lw ORDER BY b)),
+              |      (acc, x) -> acc + x) / sum(cnt) AS lo
+              |  FROM db JOIN w USING (b) GROUP BY doc_id)
+              |SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens,
+              |  round(p.lo, 6) AS logodds, p.lo > 0.0 AS pred_hq
+              |FROM documents d LEFT JOIN per p USING (doc_id)
+              |ORDER BY d.doc_id""".stripMargin)),
+
+    Q("t25_pareto_sample",
+      (s, d) => {
+        val m = mgr(s, d)
+        // the documented GPT-3 curation rule: keep a doc iff a Pareto
+        // draw beats 1 − sigmoid(quality log-odds) — most high scorers
+        // kept, a long tail of low scorers still admitted (no hard cliff
+        // at the classifier boundary). The uniform driving the draw is
+        // hash-derived from the doc id, so the kept set is a pure
+        // function of (ids, scores) — replayable and engine-portable.
+        val scored = pipeline.TextAnalysis.nbQualityScore(
+          m.getDDFByName("documents").df, "text", "doc_id",
+          isPos = col("source").isin("src0", "src1", "src2", "src3"), dim = 64)
+        pipeline.TextAnalysis.paretoQualitySample(scored, "id", "logodds", alpha = 9.0)
+          .select(col("id").as("doc_id"),
+            round(col("q"), 6).as("q"), round(col("pareto"), 6).as("pareto"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(${duckToks("text")}) AS token
+              |  FROM documents),
+              |fb AS (SELECT doc_id,
+              |    (list_reduce(list_prepend(0::BIGINT,
+              |       list_transform(regexp_split_to_array(token, ''),
+              |         c -> coalesce(ascii(c), 0)::BIGINT)),
+              |     (acc, x) -> (acc * 31 + x) % 1000000007) % 64)::INT AS b
+              |  FROM tok),
+              |db AS (SELECT doc_id, b, count(*)::BIGINT AS cnt FROM fb GROUP BY 1, 2),
+              |lab AS (SELECT doc_id, source IN ('src0','src1','src2','src3') AS pos
+              |  FROM documents),
+              |cb AS (SELECT b,
+              |    sum(CASE WHEN pos THEN cnt ELSE 0 END)::BIGINT AS cp,
+              |    sum(CASE WHEN pos THEN 0 ELSE cnt END)::BIGINT AS cn
+              |  FROM db JOIN lab USING (doc_id) GROUP BY b),
+              |tots AS (SELECT sum(cp)::BIGINT AS tp, sum(cn)::BIGINT AS tn FROM cb),
+              |w AS (SELECT b, ln((cp + 1.0::DOUBLE) / (tp + 64.0::DOUBLE))
+              |    - ln((cn + 1.0::DOUBLE) / (tn + 64.0::DOUBLE)) AS lw FROM cb, tots),
+              |per AS (SELECT doc_id,
+              |    list_reduce(list_prepend(0.0::DOUBLE, list(cnt * lw ORDER BY b)),
+              |      (acc, x) -> acc + x) / sum(cnt) AS lo
+              |  FROM db JOIN w USING (b) GROUP BY doc_id),
+              |pq AS (SELECT doc_id,
+              |    1.0::DOUBLE / (1.0::DOUBLE + exp(-lo)) AS q,
+              |    pow((list_reduce(list_prepend(0::BIGINT,
+              |        list_transform(regexp_split_to_array(doc_id::VARCHAR, ''),
+              |          c -> coalesce(ascii(c), 0)::BIGINT)),
+              |      (acc, x) -> (acc * 31 + x) % 1000000007) % 1000003 + 1.0::DOUBLE)
+              |        / 1000004.0::DOUBLE,
+              |      ${-1.0 / 9.0}) - 1.0::DOUBLE AS pareto
+              |  FROM per WHERE lo IS NOT NULL)
+              |SELECT doc_id, round(q, 6) AS q, round(pareto, 6) AS pareto
+              |FROM pq WHERE pareto > 1.0::DOUBLE - q
+              |ORDER BY doc_id""".stripMargin)),
 
     Q("t12_boilerplate",
       (s, d) => {

@@ -541,6 +541,56 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("nbQualityScore: seed-class tokens score positive, crawl tokens negative, empty doc NULL") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "good good good", "p"), (2L, "good good", "p"),
+      (3L, "bad bad bad", "n"), (4L, "bad bad", "n"),
+      (5L, "good", "n"),   // held-out style: pos-word doc labeled negative
+      (6L, "", "n")        // no tokens -> no evidence
+    ).toDF("doc_id", "text", "src")
+    // "good" and "bad" land in distinct buckets at dim=64 (61 vs 5)
+    val out = TextAnalysis.nbQualityScore(docs, "text", "doc_id",
+        isPos = col("src") === "p", dim = 64)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    assert(out(1L)._1 == 3 && out(6L)._1 == 0)
+    assert(out(1L)._2.get > 0 && out(5L)._2.get > 0, "'good' carries positive log-odds")
+    assert(out(3L)._2.get < 0 && out(4L)._2.get < 0, "'bad' carries negative log-odds")
+    assert(out(6L)._2.isEmpty, "no tokens -> NULL score, not a prediction")
+    // length normalization: all-'good' docs share the same per-token odds
+    assert(math.abs(out(1L)._2.get - out(2L)._2.get) < 1e-12)
+    // both classes required
+    intercept[IllegalArgumentException] {
+      TextAnalysis.nbQualityScore(docs, "text", "doc_id", isPos = lit(true), dim = 64)
+    }
+  }
+
+  test("paretoQualitySample: kept set is the pure hash-uniform rule; NULL scores dropped") {
+    import spark.implicits._
+    val scored = (1L to 400L).map(i => (i, Some((i % 21).toDouble / 2.0 - 5.0)))
+      .toDF("id", "logodds")
+      .unionByName(Seq((1000L, Option.empty[Double])).toDF("id", "logodds"))
+    val alpha = 9.0
+    val out = TextAnalysis.paretoQualitySample(scored, "id", "logodds", alpha)
+      .collect().map(_.getAs[Long]("id")).toSet
+    // independent reimplementation of the operator's deterministic rule
+    def fold(s: String) = s.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 1000000007L)
+    val expect = (1L to 400L).filter { i =>
+      val u = (fold(i.toString) % 1000003L + 1.0) / 1000004.0
+      val pareto = math.pow(u, -1.0 / alpha) - 1.0
+      val q = 1.0 / (1.0 + math.exp(-((i % 21).toDouble / 2.0 - 5.0)))
+      pareto > 1.0 - q
+    }.toSet
+    assert(out == expect, s"diff: ${(out diff expect) ++ (expect diff out)}")
+    assert(!out.contains(1000L), "NULL score is not admitted")
+    // the rule keeps most high scorers and SOME low scorers (no hard cliff)
+    val hi = (1L to 400L).filter(i => i % 21 >= 18).toSet
+    val lo = (1L to 400L).filter(i => i % 21 <= 2).toSet
+    assert((out & hi).size > hi.size / 2, "most high scorers kept")
+    assert((out & lo).nonEmpty && (out & lo).size < lo.size, "low scorers: long tail, not all")
+  }
+
   test("datacard: per-source counts, within-source dup volume, lang argmax with ties to smallest") {
     import spark.implicits._
     val en = "the cat and the dog are in the house and they sleep"

@@ -221,6 +221,30 @@ class PipelineSpec extends SparkTestBase {
       "selection ranks by key hash, not raw id order")
   }
 
+  test("knnClassify: majority vote over ranked neighbors, ties to smallest label, k-bound respected") {
+    import spark.implicits._
+    // neighbor frame shaped like a topK result: (query_id, id, rk)
+    val nn = Seq(
+      (10L, 1L, 1), (10L, 2L, 2), (10L, 3L, 3),            // labels 7,7,5 → 7 by votes
+      (20L, 1L, 1), (20L, 3L, 2), (20L, 4L, 3),            // labels 7,5,5 → 5 by votes
+      (30L, 1L, 1), (30L, 3L, 2),                          // 7 vs 5, 1-1 tie → smallest (5)
+      (40L, 1L, 1), (40L, 2L, 2), (40L, 3L, 3), (40L, 4L, 4) // rk 4 ignored at k=3
+    ).toDF("query_id", "id", "rk")
+    val labels = Seq((1L, 7), (2L, 7), (3L, 5), (4L, 5)).toDF("id", "label")
+    val full = Similarity.knnClassify(nn, labels, "id", "label", k = 3)
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getLong(2)))).toMap
+    assert(full.size == 4)
+    assert(full(10L) == ((7, 2L)))
+    assert(full(20L) == ((5, 2L)))
+    assert(full(30L) == ((5, 1L)), "vote tie breaks to the smallest label")
+    assert(full(40L) == ((7, 2L)), "rank 4 neighbor excluded at k=3")
+    // non-numeric label refused (tie-break negates the label)
+    val bad = Seq((1L, "x")).toDF("id", "label")
+    intercept[IllegalArgumentException] {
+      Similarity.knnClassify(nn, bad, "id", "label", k = 3)
+    }
+  }
+
   test("softDedupWeights: cluster members share one unit of weight; singletons keep 1.0") {
     import spark.implicits._
     val docs = (1L to 6L).toDF("doc_id")
