@@ -55,5 +55,10 @@ object Verify {
     spark.stop()
     // a run where NOTHING verified is a harness failure, not a result
     if (selected.nonEmpty && failures.size == selected.size) sys.exit(1)
+    // local-mode Spark occasionally leaves non-daemon threads (the
+    // BenchSf1 lesson — this session's full sf0.01 run idled 15+ min
+    // after oracle_sql.json was written); every artifact is on disk,
+    // so exit decisively
+    sys.exit(0)
   }
 }
