@@ -5330,6 +5330,53 @@ object SparkEntry {
              |SELECT doc_id, source, n_chars, 1::BIGINT AS epoch FROM a1
              |ORDER BY doc_id""".stripMargin)),
 
+    Q("s09_stream_ann_ingest",
+      (s, d) => {
+        val m = mgr(s, d)
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        // streaming twin of a10/a11's index build through the gate: two
+        // MemoryStream epochs (vec_id parity), each assigned to the same
+        // frozen 16 centroids and appended to the cell-partitioned int8
+        // index. Assignment is a pure function of (vector, centroids),
+        // so streamed-in-any-epoch ≡ rebuilt-at-once — the oracle replays
+        // the assignment over ALL vectors and derives epoch from the
+        // parity split. The collect is the MemoryStream test-source
+        // contract (driver-fed stream), not an operator shape.
+        val all = m.getDDFByName("embeddings").df
+        val centroids = all.filter(col("vec_id") < 16).orderBy("vec_id")
+          .select("embedding").collect()
+          .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+        val vecs = all.select(col("vec_id"), col("embedding"))
+          .as[(Long, Array[Float])].collect()
+        withScratch("graft_s09") { tmp =>
+          val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+          val q = streaming.CurationStreams.annIngest(
+              stream.toDF().toDF("vec_id", "embedding"), "embedding", "vec_id",
+              centroids, s"$tmp/index")
+            .start()
+          try Seq(vecs.filter(_._1 % 2 == 0), vecs.filter(_._1 % 2 == 1)).foreach { batch =>
+            stream.addData(batch.toIndexedSeq: _*)
+            q.processAllAvailable()
+          } finally q.stop()
+          collectAndClean(s,
+            s.read.parquet(s"$tmp/index")
+              .select(col("id"), col("cell"), col("epoch")).orderBy("id"), tmp)
+        }
+      },
+      // a10's assignment replay (argmax(dot − ‖c‖²/2), ties → HIGHER
+      // cell) over every vector; epoch = arrival batch = id parity
+      Some("""WITH dv AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+             |            FROM embeddings),
+             |cents AS (SELECT vec_id AS cell, v AS cv FROM dv WHERE vec_id < 16)
+             |SELECT id, cell, id % 2 AS epoch FROM (
+             |  SELECT d.vec_id AS id, c.cell,
+             |    row_number() OVER (PARTITION BY d.vec_id ORDER BY
+             |      list_dot_product(d.v, c.cv) - list_dot_product(c.cv, c.cv) / 2.0 DESC,
+             |      c.cell DESC) AS rn
+             |  FROM dv d CROSS JOIN cents c)
+             |WHERE rn = 1 ORDER BY id""".stripMargin)),
+
     Q("s07_stream_image_ingest",
       (s, d) => {
         val m = mgr(s, d)

@@ -159,6 +159,124 @@ case class VectorCosine(left: Expression, right: Expression) extends VectorBinar
     copy(left = l, right = r)
 }
 
+/** argmax cell over a centroid MATRIX held in the expression as one
+  * reference object — the scalable form of `IvfIndex.nearestCell`.
+  *
+  * The inline-literal argmax dies twice as centroids grow: the Column
+  * tree itself (one literal array per centroid) hits Janino/codegen
+  * size cliffs near ~80 cells, and the broadcast-join fallback streams
+  * a |vecs| × |cells| joined ROW set through a partial aggregate — at
+  * 200 k × 1 600 that is 320 M rows of row-iterator overhead for what
+  * is arithmetically ~20 GFLOP of fused multiply-add (measured 78 s
+  * join vs ~2 s in-loop, ScaleSmoke a12 f=100). This expression keeps
+  * the flat argmax as ONE tight generated loop over a `double[]`
+  * (dim-major) reference object: no literals in the tree, no join, no
+  * per-pair row.
+  *
+  * Bit-identical to both existing paths: score = dot(v, c) − ‖c‖²/2
+  * accumulated in index order, ties → the HIGHEST cell (array_max /
+  * max_by struct order; `Double.compare` also ranks NaN greatest like
+  * Spark's double ordering). NULL vector or NULL element → NULL.
+  */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(centroids.nonEmpty, "nearest_centroid: need at least one centroid")
+  require(centroids.forall(_.length == centroids.head.length),
+    "nearest_centroid: centroids must share one dimensionality")
+
+  override def prettyName: String = "nearest_centroid"
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = child.nullable || childContainsNull
+
+  private def childIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  private def childContainsNull: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(t, _) if t == FloatType || t == DoubleType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects a float/double array, got ${other.simpleString}")
+    }
+
+  private val dim: Int = centroids.head.length
+  // dim-major flat matrix + per-centroid ‖c‖²/2, shared by eval and codegen
+  private lazy val flat: Array[Double] = {
+    val f = new Array[Double](centroids.length * dim)
+    var c = 0
+    while (c < centroids.length) {
+      System.arraycopy(centroids(c), 0, f, c * dim, dim); c += 1
+    }
+    f
+  }
+  private lazy val halfNorms: Array[Double] =
+    centroids.map(c => c.map(x => x * x).sum / 2.0)
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val isF = childIsFloat; val checkNulls = childContainsNull
+    val n = math.min(a.numElements(), dim)
+    var best = -1; var bestS = 0.0
+    var c = 0
+    while (c < centroids.length) {
+      var s = 0.0; var i = 0; val off = c * dim
+      while (i < n) {
+        if (checkNulls && a.isNullAt(i)) return null
+        s += flat(off + i) * (if (isF) a.getFloat(i).toDouble else a.getDouble(i))
+        i += 1
+      }
+      s -= halfNorms(c)
+      if (best < 0 || java.lang.Double.compare(s, bestS) >= 0) { bestS = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (childIsFloat) "getFloat" else "getDouble"
+    val fRef = ctx.addReferenceObj("ncFlat", flat, "double[]")
+    val hRef = ctx.addReferenceObj("ncHalf", halfNorms, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val c = ctx.freshName("c"); val i = ctx.freshName("i")
+      val s = ctx.freshName("s"); val off = ctx.freshName("off")
+      val best = ctx.freshName("best"); val bestS = ctx.freshName("bestS")
+      val nullGuard =
+        if (childContainsNull)
+          s"if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
+      val outerBreak =
+        if (childContainsNull) s"if (${ev.isNull}) break;" else ""
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $dim);
+         |int $best = -1; double $bestS = 0.0;
+         |for (int $c = 0; $c < ${centroids.length}; $c++) {
+         |  double $s = 0.0; int $off = $c * $dim;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullGuard
+         |    $s += $fRef[$off + $i] * (double) $a.$get($i);
+         |  }
+         |  $outerBreak
+         |  $s -= $hRef[$c];
+         |  if ($best < 0 || java.lang.Double.compare($s, $bestS) >= 0) {
+         |    $bestS = $s; $best = $c;
+         |  }
+         |}
+         |if (!${ev.isNull}) { ${ev.value} = $best; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
 /** Session registration so `expr("vector_dot(a,b)")` / SQL can use the
   * native expressions (idempotent per session).
   */

@@ -53,16 +53,33 @@ object IvfIndex {
   }
 
   /** Assign (id, v) rows to their nearest centroid and partition by cell.
-    * Two assignment shapes: inlined-literal argmax is the fastest up to a
-    * few hundred centroids (zero shuffle, pure codegen), but the
-    * expression tree grows linearly with nCells and chokes planning in
-    * the thousands — there, switch to a broadcast centroid join.
+    * Two assignment shapes: inlined-literal argmax up to
+    * [[maxInlineCentroids]] (proven, zero shuffle, pure codegen — but the
+    * Column tree grows one literal array per centroid and chokes Janino
+    * near ~80); beyond that, the [[graft.functions.NearestCentroid]]
+    * matrix expression — the SAME flat argmax as ONE generated loop over
+    * a dim-major `double[]` reference object. Both are exact and
+    * bit-identical (score = dot − ‖c‖²/2, ties → higher cell); the
+    * r14-measured contrast vs the earlier broadcast-join shape
+    * ([[nearestCellByJoin]], kept as the spec-pinned reference twin) is
+    * 78 s → ~2 s at 200 k vectors × 1 600 cells: the join streamed a
+    * |vecs|×|cells| row set through a partial aggregate where the loop
+    * does ~20 GFLOP in-register.
     */
   private def assign(vecs: DataFrame, centroids: Array[Array[Double]]): DataFrame =
     (if (centroids.length <= maxInlineCentroids)
       vecs.withColumn("cell", nearestCell(col("v"), centroids))
-    else nearestCellByJoin(vecs, centroids))
+    else vecs.withColumn("cell", nearestCellMatrix(col("v"), centroids)))
       .repartition(col("cell"))
+
+  /** The matrix-expression argmax as a Column — exposed so callers
+    * composing their own assignment (and the equality specs) can use it
+    * directly at any centroid count.
+    */
+  def nearestCellMatrix(v: Column, centroids: Array[Array[Double]]): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.NearestCentroid(
+        org.apache.spark.sql.graftbridge.Bridge.expression(v), centroids))
 
   /** Incrementally add `batch` to an existing index WITHOUT retraining and
     * without rescanning the indexed corpus: only the new vectors run the

@@ -279,6 +279,41 @@ object CurationStreams {
     }
   }
 
+  /** Continuous ANN-index ingest: the streaming twin of
+    * [[graft.pipeline.IvfIndex.append]] — every micro-batch assigns ONLY
+    * its own vectors to the FROZEN centroids (O(batch): no retrain, no
+    * corpus rescan) and appends their int8-sidecar rows (id, cell, q8)
+    * to the cell-partitioned index at `indexDir` — the stored search
+    * artifact [[graft.pipeline.IvfIndex.topKQuantized]] scores, built
+    * incrementally as vectors arrive.
+    *
+    * Replay safety comes cheaper than in [[dedupedIngest]]: assignment
+    * and quantization are PURE functions of (vector, centroids) — no
+    * cross-batch probe at all — so a replayed epoch recomputes
+    * bit-identical rows, and the epoch partitioning + dynamic overwrite
+    * make the retry idempotent on disk. Probe-side readers prune on the
+    * cell partition directories; `epoch` rides along for audit and as
+    * the overwrite unit. Centroid drift remains the caller's loop:
+    * watch [[graft.pipeline.IvfIndex.cellStats]] over the stored index
+    * and rebuild (new indexDir, new centroids) when occupancy skews.
+    */
+  def annIngest(vecs: DataFrame, vecCol: String, idCol: String,
+                centroids: Array[Array[Double]],
+                indexDir: String): DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(vecs.isStreaming, "annIngest expects a streaming frame; " +
+      "use IvfIndex.append for batch ingest")
+    require(centroids.nonEmpty, "annIngest: need at least one centroid")
+    vecs.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
+      val idx = graft.pipeline.IvfIndex.buildFromCentroids(batch, vecCol, idCol, centroids)
+      graft.pipeline.IvfIndex.quantizedSidecar(idx)
+        .withColumn("epoch", lit(epoch))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch", "cell")
+        .parquet(indexDir)
+    }
+  }
+
   private def indexExists(spark: org.apache.spark.sql.SparkSession, dir: String): Boolean = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -46,10 +46,16 @@ object ScaleSmoke {
     // its siblings — output grows f², and the measurement reads output
     // explosion, not operator scaling.
     def blowEmb(f: Int): DataFrame = (0 until f).map { i =>
+      // shift modulo dim: past f = dim (64) a raw shift of i makes the
+      // slice length negative and the job dies executor-side; replicas
+      // i and i+dim then share a rotation (distinct ids, exact-dup
+      // vectors) — harmless for cell/caps ops, and the pair-structure
+      // ops (a05) are measured at f ≤ 10 where rotations stay unique
+      val s = i % 64
       val rot =
-        if (i == 0) col("embedding")
-        else expr(s"concat(slice(embedding, ${i + 1}, size(embedding) - $i), " +
-          s"slice(embedding, 1, $i))")
+        if (s == 0) col("embedding")
+        else expr(s"concat(slice(embedding, ${s + 1}, size(embedding) - $s), " +
+          s"slice(embedding, 1, $s))")
       emb.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"), rot.as("embedding"))
     }.reduce(_ unionAll _)
 
@@ -243,6 +249,32 @@ object ScaleSmoke {
         // cost; the hashed-key path is the scale path (t23)
         "ngram_novelty(t22)" -> (() =>
           graft.pipeline.TextAnalysis.ngramNovelty(d, "text", "doc_id").count()),
+        // round 14: the datacard aggregate (one corpus shuffle on
+        // (source, fp)) and the hashed-NB classifier (one (id, bucket)
+        // aggregate + broadcast weight join) — both should track the
+        // d01/t10 linear family; source synthesized 20-way from the id
+        "datacard(p10)" -> (() => {
+          val src = d.withColumn("source",
+            concat(lit("src"), pmod(col("doc_id"), lit(20L)).cast("string")))
+          graft.pipeline.TextAnalysis.datacard(src, "text", "doc_id", "source")
+            .agg(sum("n_tokens")).first().getLong(0)
+        }),
+        "nb_quality(t24)" -> (() => {
+          val out = graft.pipeline.TextAnalysis.nbQualityScore(d, "text", "doc_id",
+            isPos = col("doc_id") % 5 === 0, dim = 256)
+          // force the log-odds fold, not just the row count
+          out.agg(sum(when(col("pred_hq"), 1L).otherwise(0L))).first().getLong(0)
+        }),
+        // round 14: cluster-balanced diversity sample — cells grow 16·f
+        // (constant expected cell size), cap 50/cell, so output grows
+        // linearly and the cost should track the assignment pass
+        "diversity_sample(a12)" -> (() => {
+          val centroids = e.filter(col("vec_id") < 16L * f).orderBy("vec_id")
+            .select("embedding").collect()
+            .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+          val idx = graft.pipeline.IvfIndex.buildFromCentroids(e, "embedding", "vec_id", centroids)
+          graft.pipeline.IvfIndex.diversitySample(idx, perCell = 50).count()
+        }),
         // round 15: int8-shortlist IVF — cells grow 16·f like a05, so
         // probed-cell volume per query stays constant; cost should track
         // the index build (assign+quantize = one corpus pass), not f²

@@ -647,6 +647,47 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("annIngest: streamed index equals at-once build; cell-partitioned on disk") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val vecs = (0L until 60L).map(i =>
+      (i, Array((i % 3).toFloat + 1f, (i % 7).toFloat)))
+    val cents = Array(Array(1.0, 0.0), Array(2.0, 3.0), Array(3.0, 6.0))
+    val base = java.nio.file.Files.createTempDirectory("graft_anningest").toString
+    val stream = MemoryStream[(Long, Array[Float])]
+    val q = CurationStreams.annIngest(stream.toDF().toDF("vec_id", "embedding"),
+        "embedding", "vec_id", cents, s"$base/idx")
+      .start()
+    try {
+      Seq(vecs.filter(_._1 < 20), vecs.filter(v => v._1 >= 20 && v._1 < 45),
+        vecs.filter(_._1 >= 45)).foreach { b =>
+        stream.addData(b: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$base/idx")
+    assert(streamed.count() == 60)
+    // streamed-in-any-epoch ≡ built-at-once: cells AND int8 sidecar match
+    val batchIdx = graft.pipeline.IvfIndex.buildFromCentroids(
+      vecs.toDF("vec_id", "embedding"), "embedding", "vec_id", cents)
+    val batchSide = graft.pipeline.IvfIndex.quantizedSidecar(batchIdx)
+      .select(col("id"), col("cell").as("bcell"), col("q8").as("bq8"))
+    val joined = streamed.join(batchSide, "id")
+    assert(joined.count() == 60)
+    assert(joined.filter(col("cell") =!= col("bcell")).count() == 0,
+      "streamed assignment equals batch assignment")
+    assert(joined.filter(col("q8.scale") =!= col("bq8.scale")).count() == 0,
+      "int8 sidecar scale matches")
+    // epoch dirs partition the writes; cell dirs give probe-side pruning
+    val idxDir = new java.io.File(s"$base/idx")
+    val epochDirs = idxDir.listFiles().filter(_.getName.startsWith("epoch="))
+    assert(epochDirs.map(_.getName).sorted.sameElements(
+      Array("epoch=0", "epoch=1", "epoch=2")), "one partition dir per epoch")
+    assert(epochDirs.head.listFiles().exists(_.getName.startsWith("cell=")),
+      "cell subdirectories present for probe pruning")
+    graft.tools.Cleanup.deleteRecursively(base)
+  }
+
   test("text enrichment is streaming-safe: stream result equals batch") {
     // the curation path (enrich = per-row metrics only) must stay free of
     // batch-only constructs so it can run inside a readStream pipeline

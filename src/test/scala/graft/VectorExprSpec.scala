@@ -87,6 +87,43 @@ class VectorExprSpec extends SparkTestBase {
     assert(rows == Set((1L, 9L, "b"), (1L, 7L, "c"), (2L, 1L, "d")), s"got $rows")
   }
 
+  test("NearestCentroid: matrix argmax equals inline and join paths, ties -> higher cell") {
+    import spark.implicits._
+    import graft.pipeline.IvfIndex
+    // 60 centroids (above the inline cutover) incl. an exact duplicate
+    // pair (17, 41) to force score ties
+    val cents = Array.tabulate(60)(c =>
+      Array.tabulate(6)(i => ((c * 7 + i * 3) % 13).toDouble - 6.0))
+    // duplicate a frequently-winning centroid (54, observed) into the
+    // HIGHER slot 59 — every 54-winner must flip to 59 under the shared
+    // array_max tie rule
+    cents(59) = cents(54).clone()
+    val vecs = spark.range(500L).select(col("id").as("vec_id"),
+      array((0 until 6).map(i =>
+        ((col("id") * (i + 3)) % 17).cast("float") - lit(8.0f)): _*).as("embedding"))
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    val viaMatrix = vecs.select(col("id"),
+        IvfIndex.nearestCellMatrix(col("v"), cents).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val viaInline = vecs.select(col("id"),
+        IvfIndex.nearestCell(col("v"), cents).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaMatrix == viaInline, "matrix expression == inline-literal argmax")
+    // the duplicated winner must resolve to the HIGHER copy everywhere
+    // (the array_max tie rule all paths share)
+    assert(viaMatrix.values.exists(_ == 59), "tie landed")
+    assert(!viaMatrix.values.exists(_ == 54), "tie breaks to the higher duplicate")
+    // codegen active: the projection stays inside WholeStageCodegen
+    val q = vecs.select(IvfIndex.nearestCellMatrix(col("v"), cents).as("cell"))
+    assert(q.queryExecution.executedPlan.toString.contains("*(1) Project [nearest_centroid"))
+    // guards
+    intercept[IllegalArgumentException] {
+      graft.functions.NearestCentroid(
+        org.apache.spark.sql.graftbridge.Bridge.expression(col("v")),
+        Array(Array(1.0), Array(1.0, 2.0)))
+    }
+  }
+
   test("codegen path active (no fallback) in a projection") {
     val df = spark.range(10).select(
       array((0 to 3).map(i => (col("id") + i).cast("float")): _*).as("u"),
