@@ -5105,7 +5105,8 @@ object SparkEntry {
               |    count(*) OVER (PARTITION BY source) AS nl FROM lc)
               |SELECT p.source, p.n_docs, p.n_tokens, p.n_dup_docs, p.n_quality_hi,
               |  t.lang AS top_lang, t.nl::BIGINT AS n_langs
-              |FROM per p JOIN top t ON t.source = p.source AND t.rn = 1
+              |FROM per p JOIN top t
+              |  ON t.source IS NOT DISTINCT FROM p.source AND t.rn = 1
               |ORDER BY p.source""".stripMargin)),
 
     Q("p08_mixture_recipe_build",

@@ -173,10 +173,16 @@ case class VectorCosine(left: Expression, right: Expression) extends VectorBinar
   * (dim-major) reference object: no literals in the tree, no join, no
   * per-pair row.
   *
-  * Bit-identical to both existing paths: score = dot(v, c) − ‖c‖²/2
-  * accumulated in index order, ties → the HIGHEST cell (array_max /
-  * max_by struct order; `Double.compare` also ranks NaN greatest like
-  * Spark's double ordering). NULL vector or NULL element → NULL.
+  * Bit-identical to the inline path on null-free input: score =
+  * dot(v, c) − ‖c‖²/2 accumulated in index order, ties → the HIGHEST
+  * cell (array_max / max_by struct order; `Double.compare` also ranks
+  * NaN greatest like Spark's double ordering). NULL vector or NULL
+  * ELEMENT → NULL — the sane reading of "no score"; note the inline
+  * nearestCell path instead falls through array_max's struct compare
+  * on all-NULL score fields and returns the highest cell, so a corpus
+  * whose embedding arrays can contain null ELEMENTS is outside the
+  * bit-identity contract (filter such rows first; every corpus in this
+  * repo schema-forbids them).
   */
 case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {

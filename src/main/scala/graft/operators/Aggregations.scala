@@ -47,22 +47,30 @@ object Aggregations {
   /** Supported aggregate functions (reference: AggregationHandler.scala:
     * 55-64 — anything else throws).
     */
+  /** The ONE fn-name → aggregate dispatch, shared by [[aggColumn]] and
+    * pivot's per-cell conditional aggregates — two parallel switches had
+    * already drifted on median's formulation (r14 review). mean..count
+    * are the reference set; stddev/var/median are documented extensions.
+    */
+  private def fnAgg(fn: String, in: Column): Column = fn match {
+    case "mean" | "avg"     => avg(in)
+    case "max"              => max(in)
+    case "min"              => min(in)
+    case "sum"              => sum(in)
+    case "count"            => count(in)
+    case "stddev"           => stddev_samp(in)
+    case "var" | "variance" => var_samp(in)
+    case "median"           => percentile(in, lit(0.5))
+    case other => throw new IllegalArgumentException(s"Unsupported aggregate '$other'")
+  }
+
   def aggColumn(spec: AggSpec): Column = {
-    val c = spec.fn match {
-      case "mean" | "avg" => avg(spec.colName)
-      case "max"          => max(spec.colName)
-      case "min"          => min(spec.colName)
-      case "sum"          => sum(spec.colName)
-      // COUNT(*) is count of literal 1 in the reference grammar
-      // (SqlSupport.scala:248); count(lit(1)) matches that exactly.
-      case "count"        => if (spec.colName == "*") count(lit(1)) else count(col(spec.colName))
-      // superset beyond the reference (documented extensions):
-      case "stddev"       => stddev_samp(spec.colName)
-      case "var" | "variance" => var_samp(spec.colName)
-      case "median"       => expr(s"percentile(${spec.colName}, 0.5)")
-      case other => throw new IllegalArgumentException(s"Unsupported aggregate '$other'")
-    }
-    c.as(spec.alias)
+    // COUNT(*) is count of literal 1 in the reference grammar
+    // (SqlSupport.scala:248); count(lit(1)) matches that exactly.
+    require(spec.colName != "*" || spec.fn == "count",
+      s"'*' is only valid with count, got ${spec.fn}(*)")
+    val in = if (spec.colName == "*") lit(1) else col(spec.colName)
+    fnAgg(spec.fn, in).as(spec.alias)
   }
 
   /** Null-clean on every referenced column (reference `getCleanTable`,
@@ -177,18 +185,7 @@ object Aggregations {
       val in =
         if (spec.colName == "*") when(col(pivotCol) === lit(v), lit(1))
         else when(col(pivotCol) === lit(v), col(spec.colName))
-      val c = spec.fn match {
-        case "mean" | "avg"     => avg(in)
-        case "max"              => max(in)
-        case "min"              => min(in)
-        case "sum"              => sum(in)
-        case "count"            => count(in)
-        case "stddev"           => stddev_samp(in)
-        case "var" | "variance" => var_samp(in)
-        case "median"           => percentile(in, lit(0.5))
-        case other => throw new IllegalArgumentException(s"Unsupported aggregate '$other'")
-      }
-      c.as(s"${v}_${spec.alias}")
+      fnAgg(spec.fn, in).as(s"${v}_${spec.alias}")
     }
     val aggs = for (v <- pivotValues; sp <- parsed) yield cellAgg(sp, v)
     ddf.derive(clean.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*))

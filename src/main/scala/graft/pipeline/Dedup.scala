@@ -796,6 +796,11 @@ object Dedup {
     * Output: `df` + `weight` (double, (0, 1]).
     */
   def softDedupWeights(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    // refuse rather than silently clobber caller data (the
+    // deterministicShuffle column-collision rule): joining a second
+    // 'weight' in would make the coalesce below ambiguous
+    require(!df.columns.contains("weight"),
+      "softDedupWeights writes column 'weight' but the input already has one — rename it first")
     val clusters = dupClusters(pairs)
     val sizes = clusters.groupBy("cluster_id").agg(count(lit(1)).as("__cs"))
     val weights = clusters.join(sizes, "cluster_id")

@@ -125,14 +125,17 @@ object IvfIndex {
     graft.operators.Views.stratifiedSampleDf(index.corpus, "cell", perCell, "id")
 
   /** Centroid-count threshold above which assignment switches from the
-    * inlined-literal expression to a broadcast join. Measured r15 (ivf
-    * decade ladder, 64-dim): ~80 inlined centroids sit on a Janino
-    * compile cliff — the generated argmax method is near the JIT/codegen
-    * size limit and COMPILATION dominates the job (f=5 @ 80 cells:
-    * 8.6 s vs f=10 @ 160 cells: 3.4 s, where codegen gives up and the
-    * interpreted path wins). Inline literals only clearly win while the
-    * expression stays comfortably compilable; past that the broadcast
-    * join is both predictable and scalable, so the cutover sits at 48.
+    * inlined-literal expression to the [[nearestCellMatrix]] native
+    * expression. Measured (ivf decade ladder, 64-dim): ~80 inlined
+    * centroids sit on a Janino compile cliff — the generated argmax
+    * method is near the JIT/codegen size limit and COMPILATION dominates
+    * the job (f=5 @ 80 cells: 8.6 s vs f=10 @ 160 cells: 3.4 s, where
+    * codegen gives up and the interpreted path wins). Inline literals
+    * only clearly win while the expression stays comfortably compilable,
+    * so the cutover sits at 48; past it the matrix expression is one
+    * constant-size generated loop at ANY centroid count (the r14
+    * replacement for the broadcast-join fallback, which streamed
+    * |vecs|×|cells| rows — 78 s vs 6 s at 200 k × 1 600).
     */
   val maxInlineCentroids: Int = 48
 

@@ -1286,29 +1286,6 @@ object TextAnalysis {
     df.withColumn(outCol, enc(col(textCol)))
   }
 
-  /** Per-document n-gram novelty against the PRECEDING corpus in
-    * `idCol` order: the share of a doc's distinct word 3-gram shingles
-    * whose FIRST occurrence (minimum doc id over the whole corpus) is
-    * this doc. Novelty 1.0 = all-new content; 0.0 = every shingle
-    * already appeared in an earlier doc — the corpus-level "how much of
-    * this is recycled boilerplate" signal that per-pair dedup (d02/d04)
-    * doesn't give, because it scores each doc against EVERYTHING prior,
-    * not against its nearest neighbor.
-    *
-    * Shape at scale: the postings frame (doc, shingle) is aggregated
-    * twice — by doc (map-side combined count) and by shingle (the same
-    * big shuffle every dedup op here pays) — then the two DOC-cardinality
-    * frames join; the postings themselves are never joined back, so the
-    * expensive side is shuffled once per aggregate and nothing is
-    * re-scanned. `hashShingles = true` (default) ships 8-byte xxhash64
-    * keys through the shingle shuffle instead of strings (the d02/t04
-    * trade: identical-absent-collision at 64 bits); `false` keeps raw
-    * strings for engine-portable runs (the t22 oracle).
-    *
-    * Rows with a NULL text or id are excluded by contract (they have no
-    * position in the id order). Output: (doc_id, n_shingles,
-    * novel_shingles, novelty), one row per surviving doc.
-    */
   /** Per-source dataset datasheet — the "data card" every corpus release
     * ships with, as one query: document and token counts, exact-dup
     * volume, quality-gate pass count, dominant language and language
@@ -1353,11 +1330,37 @@ object TextAnalysis {
       val top = lc.groupBy("source").agg(
         min(struct((-col("ln")).as("nl"), col("lang").as("lang"))).as("__w"),
         count(lit(1)).as("n_langs"))
-        .select(col("source"), col("__w.lang").as("top_lang"), col("n_langs"))
-      per.join(top, Seq("source")).localCheckpoint()
+        .select(col("source").as("__ts"), col("__w.lang").as("top_lang"), col("n_langs"))
+      // null-safe join: groupBy keeps a NULL-source group, and a plain
+      // equi-join would silently drop it from the report — the exact
+      // undercount a datasheet exists to prevent (r14 review)
+      per.join(top, col("source") <=> col("__ts")).drop("__ts").localCheckpoint()
     } finally g.unpersist(blocking = false)
   }
 
+  /** Per-document n-gram novelty against the PRECEDING corpus in
+    * `idCol` order: the share of a doc's distinct word 3-gram shingles
+    * whose FIRST occurrence (minimum doc id over the whole corpus) is
+    * this doc. Novelty 1.0 = all-new content; 0.0 = every shingle
+    * already appeared in an earlier doc — the corpus-level "how much of
+    * this is recycled boilerplate" signal that per-pair dedup (d02/d04)
+    * doesn't give, because it scores each doc against EVERYTHING prior,
+    * not against its nearest neighbor.
+    *
+    * Shape at scale: the postings frame (doc, shingle) is aggregated
+    * twice — by doc (map-side combined count) and by shingle (the same
+    * big shuffle every dedup op here pays) — then the two DOC-cardinality
+    * frames join; the postings themselves are never joined back, so the
+    * expensive side is shuffled once per aggregate and nothing is
+    * re-scanned. `hashShingles = true` (default) ships 8-byte xxhash64
+    * keys through the shingle shuffle instead of strings (the d02/t04
+    * trade: identical-absent-collision at 64 bits); `false` keeps raw
+    * strings for engine-portable runs (the t22 oracle).
+    *
+    * Rows with a NULL text or id are excluded by contract (they have no
+    * position in the id order). Output: (doc_id, n_shingles,
+    * novel_shingles, novelty), one row per surviving doc.
+    */
   def ngramNovelty(df: DataFrame, textCol: String, idCol: String,
                    hashShingles: Boolean = true): DataFrame = {
     val base = df.na.drop(Seq(textCol, idCol))

@@ -440,18 +440,28 @@ object Stats {
         pairs.map { case (a, b) => s2(a, b).as(s"p_${a}__$b") })
     val row = df.na.drop("any", cols)
       .agg(aggCols.head, aggCols.tail: _*).first()
-    val n = row.getAs[Double]("n")
+    // POSITIONAL reads: the s_/p_ aliases are display-only — names like
+    // "x__y" + "z" vs "x" + "y__z" alias-collide and getAs-by-name would
+    // silently read the wrong pair's sum (r14 review)
+    val n = row.getDouble(0)
     require(n >= 2, s"corrMatrix: need at least 2 complete rows, got ${n.toLong}")
-    def get(name: String): Double = row.getAs[Double](name)
+    val sIdx = cols.zipWithIndex.map { case (c, i) => c -> (1 + i) }.toMap
+    val pIdx = pairs.zipWithIndex.map { case (p, i) => p -> (1 + cols.size + i) }.toMap
     def comoment(a: String, b: String): Double = {
       val (x, y) = if (cols.indexOf(a) <= cols.indexOf(b)) (a, b) else (b, a)
-      get(s"p_${x}__$y") - get(s"s_$x") * get(s"s_$y") / n
+      row.getDouble(pIdx((x, y))) -
+        row.getDouble(sIdx(x)) * row.getDouble(sIdx(y)) / n
     }
     val out = for {
       i <- cols.indices; j <- (i + 1) until cols.size
       a = cols(i); b = cols(j)
+      va = comoment(a, a); vb = comoment(b, b)
     } yield Row(a, b,
-      comoment(a, b) / math.sqrt(comoment(a, a) * comoment(b, b)))
+      // explicit NaN on zero variance: the cross-comoment can carry
+      // rounding residue (e.g. 1e-9), and residue/0.0 reads ±Infinity
+      // where the documented contract is NaN (r14 review)
+      if (va == 0.0 || vb == 0.0) Double.NaN
+      else comoment(a, b) / math.sqrt(va * vb))
     val schema = StructType(Seq(
       StructField("col_x", StringType, nullable = false),
       StructField("col_y", StringType, nullable = false),

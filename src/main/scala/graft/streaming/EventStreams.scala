@@ -238,11 +238,20 @@ object EventStreams {
     * watermark-order contract as [[sessionizeStreaming]]'s session
     * boundaries. Size `watermarkDelay` to the source's disorder.
     *
-    * State is one (depth, position) triple per user still mid-funnel —
-    * completed users are removed immediately; `abandonAfterMs` evicts
-    * stalled users once the WATERMARK passes their last match + the
-    * horizon (event-time timeout, so state is bounded by active users
-    * within the horizon, not all users ever seen).
+    * State is one (depth, position) triple per user who has matched at
+    * least step 1 — INCLUDING completed users, whose full-depth state is
+    * the tombstone that stops a later event from restarting their funnel
+    * and re-emitting step hits (the at-most-once-per-(user, step)
+    * contract a downstream reach count depends on). `abandonAfterMs`
+    * evicts BOTH stalled and completed users once the WATERMARK passes
+    * their last match + the horizon (event-time timeout, so state is
+    * bounded by users active within the horizon, not all users ever
+    * seen). The honest consequence of eviction: a user returning after
+    * the horizon starts a NEW journey and re-emits from step 1 — for an
+    * abandoned user that is the restart you want, for a completed user
+    * it counts a genuine second journey; size the horizon to the
+    * product's notion of "one journey". Null-timestamp events are
+    * dropped (the batch operator's na.drop contract).
     */
   def funnelStreaming(events: Dataset[EventRow], steps: Seq[String],
                       watermarkDelay: String = "0 seconds",
@@ -254,6 +263,7 @@ object EventStreams {
     import events.sparkSession.implicits._
     val stepArr = steps.toArray
     events
+      .filter(col("ts").isNotNull) // batch funnel's na.drop; null.getTime NPEs the query
       .filter(col("event_type").isin(steps.map(lit): _*))
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
@@ -261,7 +271,8 @@ object EventStreams {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (uid, rows, state: GroupState[FunnelState]) =>
           if (state.hasTimedOut) {
-            // stalled mid-funnel past the horizon: abandoned, drop state
+            // past the horizon — stalled (abandoned) or completed
+            // (journey closed): drop state either way
             state.remove()
             Iterator.empty
           } else {
@@ -279,8 +290,11 @@ object EventStreams {
                 }
               }
             }
-            if (st.depth >= stepArr.length) state.remove() // funnel complete
-            else if (st.depth > 0) {
+            if (st.depth > 0) {
+              // completed users KEEP their full-depth state until the
+              // horizon: removing it immediately let a later event match
+              // step 0 again and re-emit hits, double-counting the user
+              // in any downstream reach aggregate (r14 review)
               state.update(st)
               state.setTimeoutTimestamp(
                 math.max(st.ts + abandonAfterMs, state.getCurrentWatermarkMs + 1))

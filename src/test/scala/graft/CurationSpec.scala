@@ -618,5 +618,13 @@ class CurationSpec extends SparkTestBase {
     val hi = TextAnalysis.datacard(docs, "text", "doc_id", "source", qualityMin = 1.1)
       .orderBy("source").collect()
     assert(hi.forall(_.getAs[Long]("n_quality_hi") == 0L), "qualityMin=1.1 passes none")
+    // NULL source is a reported group, not a silent undercount (the join
+    // is null-safe)
+    val withNull = docs.unionByName(
+      Seq((9L, en, null.asInstanceOf[String])).toDF("doc_id", "text", "source"))
+    val card2 = TextAnalysis.datacard(withNull, "text", "doc_id", "source", qualityMin = 0.0)
+    assert(card2.count() == 3, "NULL-source group present")
+    val nullRow = card2.filter(col("source").isNull).collect()
+    assert(nullRow.length == 1 && nullRow.head.getAs[Long]("n_docs") == 1)
   }
 }

@@ -256,6 +256,10 @@ class PipelineSpec extends SparkTestBase {
     Seq(4L, 5L).foreach(id => assert(w(id) == 0.5))
     // total corpus weight = #clusters + #singletons (dedup mass conservation)
     assert(math.abs(w.values.sum - 3.0) < 1e-12)
+    // refuses to clobber an existing weight column
+    intercept[IllegalArgumentException] {
+      Dedup.softDedupWeights(docs.withColumn("weight", lit(2.0)), pairs, "doc_id")
+    }
   }
 
   test("incremental dedup: NULL text is one content value, not a forever-redelivered row") {

@@ -226,10 +226,27 @@ class StatsSpec extends SparkTestBase {
       .collect().head.getDouble(2)
     assert(math.abs(exact - 1.0) < 1e-12)
 
-    // zero-variance column: undefined correlation surfaces as NaN
+    // zero-variance column: undefined correlation surfaces as NaN — also
+    // when the CROSS-comoment carries float residue that would otherwise
+    // read residue/0.0 = ±Infinity (r14 review)
     val konst = df.withColumn("k", org.apache.spark.sql.functions.lit(5.0))
     val kc = Stats.corrMatrix(konst, Seq("x", "k")).collect().head.getDouble(2)
     assert(kc.isNaN)
+    val residue = Seq((0.1, 7.0), (0.2, 7.0), (0.3, 7.0))
+      .toDF("b", "k2") // k2 constant; sums of 0.1-family doubles carry residue
+    val kc2 = Stats.corrMatrix(residue, Seq("b", "k2")).collect().head.getDouble(2)
+    assert(kc2.isNaN, s"zero variance must be NaN, not Infinity: $kc2")
+
+    // alias-collision safety: names containing '__' must not cross-read
+    // each other's pair sums (positional access) — (x, y__z) vs (x__y, z)
+    val tricky = Seq(
+      (1.0, 2.0, 3.0, -1.0), (2.0, 4.0, 5.0, -2.0),
+      (3.0, 6.0, 9.0, -3.0), (4.0, 8.0, 11.0, -4.0)
+    ).toDF("x", "y__z", "x__y", "z")
+    val tout = Stats.corrMatrix(tricky, Seq("x", "y__z", "x__y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(tout(("x", "y__z")) - 1.0) < 1e-12, s"got $tout")
+    assert(math.abs(tout(("x", "z")) + 1.0) < 1e-12)
 
     intercept[IllegalArgumentException](Stats.corrMatrix(df, Seq("x")))
     intercept[IllegalArgumentException](Stats.corrMatrix(df, Seq("x", "x")))

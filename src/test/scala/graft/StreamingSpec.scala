@@ -864,6 +864,18 @@ class StreamingSpec extends SparkTestBase {
       stream.addData(EventStreams.EventRow(9, ts(8), 10, "purchase", 1.0))
       q.processAllAvailable()
       assert(hits().count(_._1 == 10L) == 3)
+      // u10 re-entering at step 0 AFTER completing must not re-open the
+      // funnel within the horizon — the full-depth state is the tombstone
+      // that keeps (user, step) hits at-most-once (r14 review: remove()
+      // on completion let this view re-emit step 1)
+      stream.addData(EventStreams.EventRow(10, ts(9), 10, "view", 1.0))
+      q.processAllAvailable()
+      assert(hits().count(_._1 == 10L) == 3,
+        "completed user's new view must not restart the funnel")
+      // null-ts event is dropped (batch na.drop contract), not an NPE
+      stream.addData(EventStreams.EventRow(11, null, 20, "purchase", 1.0))
+      q.processAllAvailable()
+      assert(hits().count(_._1 == 20L) == 2)
     } finally q.stop()
 
     // the streamed hit counts equal the batch operator's reach on the
