@@ -2084,6 +2084,49 @@ object SparkEntry {
            |ORDER BY col_name""".stripMargin
       }),
 
+    Q("sk06_psi_drift",
+      (s, d) => {
+        // distributional drift (PSI) between two corpus snapshots of the
+        // same numeric column — ref = first half of documents by id, cur
+        // = second half; bins derive from the REFERENCE min/max, so any
+        // cur excursion lands in the edge bins. Counts are exact ints,
+        // proportions one IEEE division each; ln gets the t10 round-6
+        // treatment
+        val m = mgr(s, d)
+        val docs = m.getDDFByName("documents").df
+        Stats.psiDrift(docs.filter(col("doc_id") < 250),
+            docs.filter(col("doc_id") >= 250), "n_chars", nBins = 10)
+          .select(col("bin"), col("ref_cnt"), col("cur_cnt"),
+            round(col("ref_pct"), 6).as("ref_pct"),
+            round(col("cur_pct"), 6).as("cur_pct"),
+            round(col("psi_term"), 6).as("psi_term"))
+          .orderBy("bin")
+      },
+      Some("""WITH ref AS (SELECT n_chars::DOUBLE AS v FROM documents
+             |    WHERE doc_id < 250 AND n_chars IS NOT NULL),
+             |cur AS (SELECT n_chars::DOUBLE AS v FROM documents
+             |    WHERE doc_id >= 250 AND n_chars IS NOT NULL),
+             |b AS (SELECT min(v) AS lo,
+             |    CASE WHEN (max(v) - min(v)) / 10 > 0
+             |         THEN (max(v) - min(v)) / 10 ELSE 1.0 END AS w
+             |  FROM ref),
+             |rb AS (SELECT least(greatest(floor((v - lo) / w), 0), 9)::BIGINT AS bin,
+             |    count(*) AS ref_cnt FROM ref, b GROUP BY 1),
+             |cb AS (SELECT least(greatest(floor((v - lo) / w), 0), 9)::BIGINT AS bin,
+             |    count(*) AS cur_cnt FROM cur, b GROUP BY 1),
+             |spine AS (SELECT unnest(range(10))::BIGINT AS bin),
+             |j AS (SELECT bin, coalesce(ref_cnt, 0)::BIGINT AS ref_cnt,
+             |    coalesce(cur_cnt, 0)::BIGINT AS cur_cnt
+             |  FROM spine LEFT JOIN rb USING (bin) LEFT JOIN cb USING (bin)),
+             |p AS (SELECT bin, ref_cnt, cur_cnt,
+             |    greatest(ref_cnt::DOUBLE / (SELECT sum(ref_cnt)::DOUBLE FROM j), 1e-6) AS rp,
+             |    greatest(cur_cnt::DOUBLE / (SELECT sum(cur_cnt)::DOUBLE FROM j), 1e-6) AS cp
+             |  FROM j)
+             |SELECT bin, ref_cnt, cur_cnt,
+             |  round(rp, 6) AS ref_pct, round(cp, 6) AS cur_pct,
+             |  round((cp - rp) * ln(cp / rp), 6) AS psi_term
+             |FROM p ORDER BY bin""".stripMargin)),
+
     Q("sk04_skew_report",
       (s, d) => {
         // Exact key-skew diagnostic over join-key-shaped columns: the
@@ -6035,6 +6078,71 @@ object SparkEntry {
               |   AND NOT contains(lower(text), 'javascript')
               |   AND NOT contains(lower(text), '{')) AS keep
               |FROM t ORDER BY id""".stripMargin)),
+
+    Q("c14_gopher_rules",
+      (s, d) => {
+        val m = mgr(s, d)
+        // Gopher rules need formatting signals the synthetic corpus
+        // lacks (it is single-line, symbol-free, all-alpha), so every
+        // 5th doc gets a deterministic bullet/ellipsis/symbol suffix —
+        // identically in the oracle — and the thresholds are tuned so
+        // every rule flips on real rows (the c04 philosophy): symbols
+        // 6/(nw+17) vs 0.05, bullets 3/6 vs 0.4, ellipses 2/6 vs 0.3,
+        // alpha (nw+12)/(nw+17) vs 0.96; word count and stopwords split
+        // the corpus naturally. All boundaries are exact-integer ratios.
+        val docs = m.getDDFByName("documents").df
+        val aug = docs.withColumn("text",
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit("\n- alpha beta\n- gamma delta" +
+              "\n* epsilon zeta\nthis line trails off..." +
+              "\n# head ### tail...")))
+            .otherwise(col("text")))
+        pipeline.TextAnalysis.gopherRules(aug, "text", "doc_id",
+            minWords = 50, maxWords = 100000,
+            minMeanLen = 3.0, maxMeanLen = 4.5,
+            maxSymbolRatio = 0.05, maxBulletRatio = 0.4,
+            maxEllipsisRatio = 0.3, minAlphaRatio = 0.96,
+            minStopwords = 2)
+          .orderBy("id")
+      },
+      Some(s"""WITH docs2 AS (SELECT doc_id AS id,
+              |    CASE WHEN doc_id % 5 = 0 THEN text
+              |      || chr(10) || '- alpha beta' || chr(10) || '- gamma delta'
+              |      || chr(10) || '* epsilon zeta'
+              |      || chr(10) || 'this line trails off...'
+              |      || chr(10) || '# head ### tail...'
+              |    ELSE text END AS text
+              |  FROM documents),
+              |t AS (SELECT id, text, ${duckToks("text")} AS tk,
+              |    list_filter(string_split(text, chr(10)), l -> trim(l) != '') AS ln
+              |  FROM docs2),
+              |m AS (SELECT id,
+              |    len(tk)::BIGINT AS nw, len(ln)::BIGINT AS nl,
+              |    (CASE WHEN len(tk) = 0 THEN 0.0
+              |     ELSE list_sum(list_transform(tk, x -> length(x))) / len(tk)::DOUBLE END)
+              |      AS meanlen,
+              |    ((length(text) - length(replace(text, '#', '')))
+              |      + (length(text) - length(replace(text, '...', ''))) // 3)::BIGINT AS syms,
+              |    len(list_filter(ln, l ->
+              |      list_contains(['-', '*', '•'], substring(ltrim(l), 1, 1))))::BIGINT AS bullets,
+              |    len(list_filter(ln, l -> ends_with(rtrim(l), '...')))::BIGINT AS ellipses,
+              |    len(list_filter(tk, x -> regexp_matches(x, '[a-z]')))::BIGINT AS alphas,
+              |    len(list_filter(tk, x -> list_contains(
+              |      ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'], x)))::BIGINT AS sw
+              |  FROM t),
+              |f AS (SELECT id, nw AS n_words,
+              |    nw BETWEEN 50 AND 100000 AS word_count_ok,
+              |    meanlen BETWEEN 3.0 AND 4.5 AS mean_word_len_ok,
+              |    (nw = 0 OR syms::DOUBLE / nw::DOUBLE <= 0.05) AS symbol_ratio_ok,
+              |    (nl = 0 OR bullets::DOUBLE / nl::DOUBLE <= 0.4) AS bullet_ratio_ok,
+              |    (nl = 0 OR ellipses::DOUBLE / nl::DOUBLE <= 0.3) AS ellipsis_ratio_ok,
+              |    (nw = 0 OR alphas::DOUBLE / nw::DOUBLE >= 0.96) AS alpha_ratio_ok,
+              |    sw >= 2 AS stopword_ok
+              |  FROM m)
+              |SELECT *, word_count_ok AND mean_word_len_ok AND symbol_ratio_ok
+              |    AND bullet_ratio_ok AND ellipsis_ratio_ok AND alpha_ratio_ok
+              |    AND stopword_ok AS keep
+              |FROM f ORDER BY id""".stripMargin)),
 
     Q("d10_incremental_minhash",
       (s, d) => {

@@ -785,6 +785,102 @@ object TextAnalysis {
           col("no_blacklist"))
   }
 
+  /** Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    * Language Models" §A1.1) — the second standard heuristic gate next to
+    * [[c4Rules]], covering the signals C4 doesn't: symbol density, list
+    * formatting, truncation markers, alphabetic-word share, and stopword
+    * presence. One boolean per rule plus the conjunction `keep`:
+    *
+    *   - `word_count_ok`      token count in [minWords, maxWords]
+    *   - `mean_word_len_ok`   mean token length in [minMeanLen, maxMeanLen]
+    *   - `symbol_ratio_ok`    (# of `#` chars + `...` occurrences) / words
+    *                          ≤ maxSymbolRatio
+    *   - `bullet_ratio_ok`    share of lines starting with a bullet
+    *                          (`-` `*` `•`) ≤ maxBulletRatio
+    *   - `ellipsis_ratio_ok`  share of lines ending in `...`
+    *                          ≤ maxEllipsisRatio
+    *   - `alpha_ratio_ok`     share of tokens containing a letter
+    *                          ≥ minAlphaRatio
+    *   - `stopword_ok`        ≥ minStopwords tokens from `stopwords`
+    *
+    * Line ratios are over non-blank lines; a document with no non-blank
+    * lines (or no tokens) passes the ratio rules vacuously but fails
+    * `word_count_ok`, so `keep` still rejects it. NULL text classifies as
+    * all-false (keep = false), never NULL — keep/reject must partition
+    * the corpus (same contract as [[c4Rules]]).
+    *
+    * Per-row expression work, shuffle-free — scan throughput at any
+    * scale. The token and line arrays are each projected ONCE per row
+    * (hash-once contract); every count is an exact integer and every
+    * ratio one IEEE division of exact integers, so rule boundaries are
+    * bit-identical across engines — no float-margin caveat.
+    */
+  def gopherRules(df: DataFrame, textCol: String, idCol: String,
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                  maxSymbolRatio: Double = 0.1,
+                  maxBulletRatio: Double = 0.9,
+                  maxEllipsisRatio: Double = 0.3,
+                  minAlphaRatio: Double = 0.8,
+                  minStopwords: Int = 2,
+                  stopwords: Seq[String] = Seq("the", "be", "to", "of",
+                    "and", "that", "have", "with")): DataFrame = {
+    require(stopwords.forall(s => s.nonEmpty && !s.contains("'")),
+      "gopherRules: stopwords must be non-empty and quote-free")
+    val swList = stopwords.map(s => s"'${s.toLowerCase(java.util.Locale.ROOT)}'")
+      .mkString("array(", ", ", ")")
+    val base = df.select(col(idCol).as("id"), col(textCol),
+        expr(tokensExpr(textCol)).as("__toks"),
+        expr(s"filter(split($textCol, '\\n'), l -> trim(l) != '')").as("__lines"))
+      .withColumn("__nw", size(col("__toks")).cast("long"))
+      .withColumn("__nl", size(col("__lines")).cast("long"))
+    // '#' chars plus '...' occurrences, both via length-delta (codegen'd;
+    // the '...' delta is always divisible by 3, so the division is exact)
+    val symbols =
+      (length(col(textCol)) - length(regexp_replace(col(textCol), "#", ""))).cast("long") +
+        ((length(col(textCol)) -
+          length(regexp_replace(col(textCol), "\\.\\.\\.", ""))) / 3).cast("long")
+    // a zero denominator passes the ratio rules vacuously: a token-less or
+    // line-less doc is word_count_ok's job to reject, not a 0/0 NaN's
+    def ratioLe(num: Column, den: Column, bound: Double) =
+      den === 0L || num.cast("double") / den.cast("double") <= bound
+    def ratioGe(num: Column, den: Column, bound: Double) =
+      den === 0L || num.cast("double") / den.cast("double") >= bound
+    val bullets = expr(
+      "size(filter(__lines, l -> array_contains(array('-', '*', '•'), substring(ltrim(l), 1, 1))))")
+      .cast("long")
+    val ellipses = expr(
+      "size(filter(__lines, l -> endswith(rtrim(l), '...')))").cast("long")
+    val alphaToks = expr(
+      "size(filter(__toks, t -> t rlike '[a-z]'))").cast("long")
+    val stopToks = expr(
+      s"size(filter(__toks, t -> array_contains($swList, t)))").cast("long")
+    val meanLen = expr(
+      """CASE WHEN size(__toks) = 0 THEN 0.0
+        |ELSE aggregate(__toks, 0L, (acc, t) -> acc + length(t))
+        |     / cast(size(__toks) as double) END""".stripMargin)
+    def flag(c: Column) =
+      coalesce(when(col(textCol).isNotNull, c), lit(false))
+    base.select(
+        col("id"),
+        col("__nw").as("n_words"),
+        flag(col("__nw") >= minWords && col("__nw") <= maxWords)
+          .as("word_count_ok"),
+        flag(meanLen >= minMeanLen && meanLen <= maxMeanLen)
+          .as("mean_word_len_ok"),
+        flag(ratioLe(symbols, col("__nw"), maxSymbolRatio)).as("symbol_ratio_ok"),
+        flag(ratioLe(bullets, col("__nl"), maxBulletRatio)).as("bullet_ratio_ok"),
+        flag(ratioLe(ellipses, col("__nl"), maxEllipsisRatio))
+          .as("ellipsis_ratio_ok"),
+        flag(ratioGe(alphaToks, col("__nw"), minAlphaRatio)).as("alpha_ratio_ok"),
+        flag(stopToks >= minStopwords).as("stopword_ok"))
+      .withColumn("keep",
+        col("word_count_ok") && col("mean_word_len_ok") &&
+          col("symbol_ratio_ok") && col("bullet_ratio_ok") &&
+          col("ellipsis_ratio_ok") && col("alpha_ratio_ok") &&
+          col("stopword_ok"))
+  }
+
   /** One-call enrichment producing all text-analysis columns. The token
     * array is projected ONCE (`__toks`); every metric then references the
     * materialized column — CollapseProject keeps the projection because the

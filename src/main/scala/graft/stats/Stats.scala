@@ -469,4 +469,74 @@ object Stats {
     spark.createDataFrame(
       spark.sparkContext.parallelize(out, 1), schema)
   }
+
+  /** Population Stability Index between a reference snapshot and a
+    * current snapshot of the same numeric column — the standard
+    * train-vs-serve / corpus-version drift monitor (PSI < 0.1 stable,
+    * 0.1–0.25 moderate shift, > 0.25 major shift).
+    *
+    * Equal-interval bins are derived from the REFERENCE min/max (one
+    * 2-value aggregate to the driver — config-sized); current-snapshot
+    * values outside the reference range clamp into the edge bins, so a
+    * range excursion shows up as edge-bin mass, never dropped rows. Zero
+    * proportions are floored at `eps` before the log ratio (the standard
+    * PSI smoothing), so a bin appearing or vanishing contributes a large
+    * finite term instead of ±Infinity.
+    *
+    * Output: one row per bin, ALL `nBins` bins present even when empty on
+    * both sides — (bin, lo, hi, ref_cnt, cur_cnt, ref_pct, cur_pct,
+    * psi_term), ordered by bin; `sum(psi_term)` is the index. NULLs are
+    * excluded on both sides (they are [[profileDrift]]'s null_rate job).
+    *
+    * Scale shape: one row-count+min/max aggregate over ref, then one
+    * nBins-group hash aggregate per side (map-side partial, ≤ nBins rows
+    * shuffled per partition) joined to a generated bin spine — no sort,
+    * no window, no data-sized collect. A degenerate reference (min ==
+    * max) uses width 1 so everything lands in bin 0.
+    */
+  def psiDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
+               nBins: Int = 10, eps: Double = 1e-6): DataFrame = {
+    require(nBins >= 2, s"psiDrift: need at least 2 bins, got $nBins")
+    require(eps > 0.0, s"psiDrift: eps must be positive, got $eps")
+    val spark = ref.sparkSession
+    val bounds = ref.na.drop(Seq(valueCol))
+      .agg(min(col(valueCol).cast("double")).as("lo"),
+        max(col(valueCol).cast("double")).as("hi"),
+        count(lit(1)).as("n")).first()
+    require(bounds.getLong(2) > 0, "psiDrift: reference snapshot is empty")
+    val lo = bounds.getDouble(0)
+    val width0 = (bounds.getDouble(1) - lo) / nBins
+    val width = if (width0 > 0.0) width0 else 1.0
+    def binned(df: DataFrame, cntName: String) = df.na.drop(Seq(valueCol))
+      .select(least(greatest(
+          floor((col(valueCol).cast("double") - lo) / width), lit(0L)),
+        lit(nBins - 1L)).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as(cntName))
+    val spine = spark.range(nBins).select(col("id").as("bin"))
+    val joined = spine
+      .join(binned(ref, "ref_cnt"), Seq("bin"), "left")
+      .join(binned(cur, "cur_cnt"), Seq("bin"), "left")
+      .select(col("bin"),
+        (lit(lo) + col("bin") * width).as("lo"),
+        (lit(lo) + (col("bin") + 1) * width).as("hi"),
+        coalesce(col("ref_cnt"), lit(0L)).as("ref_cnt"),
+        coalesce(col("cur_cnt"), lit(0L)).as("cur_cnt"))
+    // totals via a broadcast 1-row cross join, not an unpartitioned
+    // window — the nBins-row frame never needs a single-partition sort
+    val totals = broadcast(joined.agg(
+      sum(col("ref_cnt")).as("__ref_total"),
+      sum(col("cur_cnt")).as("__cur_total")))
+    // the empty-frame total guards below make 0/0 unreachable: ref is
+    // require'd non-empty, and an empty cur floors every cur_pct at eps
+    def pct(cnt: Column, total: Column) =
+      greatest(when(total > 0, cnt.cast("double") / total.cast("double"))
+        .otherwise(lit(0.0)), lit(eps))
+    joined.crossJoin(totals)
+      .withColumn("ref_pct", pct(col("ref_cnt"), col("__ref_total")))
+      .withColumn("cur_pct", pct(col("cur_cnt"), col("__cur_total")))
+      .drop("__ref_total", "__cur_total")
+      .withColumn("psi_term",
+        (col("cur_pct") - col("ref_pct")) * log(col("cur_pct") / col("ref_pct")))
+      .orderBy("bin")
+  }
 }

@@ -158,6 +158,47 @@ class CurationSpec extends SparkTestBase {
     assert(out.filter(col("keep")).count() + out.filter(!col("keep")).count() == 2)
   }
 
+  test("gopherRules: each rule fires on its own violation; NULL text all-false") {
+    import spark.implicits._
+    val good = "the quick brown fox and the lazy dog that have fun with all of it"
+    val df = Seq(
+      (1L, Some(good)),                                       // passes all
+      (2L, Some("short text here")),                          // word_count
+      (3L, Some(good + " ### ... ... ###")),                  // symbols (+alpha)
+      (4L, Some(good + "\n- alpha beta gamma" +
+        "\n- delta epsilon zeta\n* eta theta iota")),         // bullets
+      (5L, Some(good + "\ntrails off...\nalso this one...")), // ellipses
+      (6L, Some("a1 b2 c3 11 22 33 44 55 66 77 88 99 00 x1 the of")), // alpha
+      (7L, Some("zzz yyy xxx www vvv uuu ttt sss rrr qqq ppp ooo")),  // stopwords
+      (8L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(df, "text", "doc_id",
+      minWords = 10, maxWords = 100, minMeanLen = 1.0, maxMeanLen = 10.0,
+      maxSymbolRatio = 0.1, maxBulletRatio = 0.5, maxEllipsisRatio = 0.3,
+      minAlphaRatio = 0.8, minStopwords = 2)
+    val byId = out.collect().map(r => r.getAs[Long]("id") -> r).toMap
+    val flags = Seq("word_count_ok", "mean_word_len_ok", "symbol_ratio_ok",
+      "bullet_ratio_ok", "ellipsis_ratio_ok", "alpha_ratio_ok", "stopword_ok")
+    assert(byId(1L).getAs[Boolean]("keep"), "clean doc keeps")
+    def failsOnly(id: Long, bad: Set[String]) = flags.foreach { f =>
+      assert(byId(id).getAs[Boolean](f) == !bad(f), s"doc $id flag $f")
+    }
+    failsOnly(2L, Set("word_count_ok", "stopword_ok"))
+    failsOnly(3L, Set("symbol_ratio_ok", "alpha_ratio_ok"))
+    failsOnly(4L, Set("bullet_ratio_ok"))
+    failsOnly(5L, Set("ellipsis_ratio_ok"))
+    failsOnly(6L, Set("alpha_ratio_ok"))
+    failsOnly(7L, Set("stopword_ok"))
+    (flags :+ "keep").foreach { c =>
+      val r = byId(8L)
+      assert(!r.isNullAt(r.fieldIndex(c)) && !r.getAs[Boolean](c),
+        s"$c must be false (not NULL) on null text")
+    }
+    assert(out.filter(col("keep")).count() + out.filter(!col("keep")).count() == 8)
+    intercept[IllegalArgumentException](
+      TextAnalysis.gopherRules(df, "text", "doc_id", stopwords = Seq("it's")))
+  }
+
   test("temperatureResample: integer-exact quotas, deterministic selection") {
     import spark.implicits._
     val df = (1 to 90).map(i => (i.toLong, if (i <= 60) "en" else "fr")).toDF("doc_id", "lang")

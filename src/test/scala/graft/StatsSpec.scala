@@ -2,6 +2,7 @@ package graft
 
 import graft.core.DDFManager
 import graft.stats.Stats
+import org.apache.spark.sql.functions.col
 
 class StatsSpec extends SparkTestBase {
 
@@ -252,5 +253,38 @@ class StatsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Stats.corrMatrix(df, Seq("x", "x")))
     intercept[IllegalArgumentException]( // <2 complete rows
       Stats.corrMatrix(df.limit(1), Seq("x", "y")))
+  }
+
+  test("psiDrift: zero on identity, clamped excursions, spine completeness") {
+    import spark.implicits._
+    val ref = (0 until 100).map(_.toDouble).toDF("v")
+    // identical snapshots: every term is exactly (p-p)*ln(1) = 0
+    val same = Stats.psiDrift(ref, ref, "v", nBins = 5).collect()
+    assert(same.length == 5 && same.forall(_.getAs[Double]("psi_term") == 0.0))
+    assert(same.map(_.getAs[Long]("bin")).toSeq == (0L until 5L))
+    // out-of-range current values clamp into the EDGE bins, not dropped
+    val cur = Seq(-500.0, -500.0, 1e6, 1e6, 1e6).toDF("v")
+    val clamped = Stats.psiDrift(ref, cur, "v", nBins = 5)
+      .collect().map(r => r.getAs[Long]("bin") -> r.getAs[Long]("cur_cnt")).toMap
+    assert(clamped(0L) == 2L && clamped(4L) == 3L &&
+      clamped.values.sum == 5L, s"got $clamped")
+    // a genuine shift reads positive; all bins present even when empty
+    val shifted = Stats.psiDrift(ref, ref.select((col("v") + 60).as("v")), "v",
+      nBins = 5)
+    val rows = shifted.collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getAs[Double]("psi_term")).sum > 0.25, "major shift")
+    // NULLs excluded, not binned
+    val withNulls = (Seq.fill(3)(Option.empty[Double]) ++
+      (0 until 100).map(d => Some(d.toDouble))).toDF("v")
+    val nn = Stats.psiDrift(withNulls, withNulls, "v", nBins = 4).collect()
+    assert(nn.map(_.getAs[Long]("ref_cnt")).sum == 100L)
+    // degenerate reference (min == max): width 1, everything in bin 0
+    val const = Seq.fill(10)(7.0).toDF("v")
+    val deg = Stats.psiDrift(const, const, "v", nBins = 3).collect()
+    assert(deg.find(_.getAs[Long]("bin") == 0L).get.getAs[Long]("ref_cnt") == 10L)
+    intercept[IllegalArgumentException](
+      Stats.psiDrift(ref.limit(0), ref, "v", nBins = 5))
+    intercept[IllegalArgumentException](Stats.psiDrift(ref, ref, "v", nBins = 1))
   }
 }
