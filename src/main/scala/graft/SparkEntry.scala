@@ -2127,6 +2127,48 @@ object SparkEntry {
              |  round((cp - rp) * ln(cp / rp), 6) AS psi_term
              |FROM p ORDER BY bin""".stripMargin)),
 
+    Q("sk07_categorical_drift",
+      (s, d) => {
+        // sk06's categorical sibling: JS divergence of the source mix
+        // between the two corpus halves. Dropping src19 from cur makes
+        // the category sets genuinely differ (a one-sided category
+        // exercises the 0.5·p·ln2 max-signal branch), counts are exact
+        // ints, each pct one IEEE division, ln rounded per the t10 rule
+        val m = mgr(s, d)
+        val docs = m.getDDFByName("documents").df
+        Stats.categoricalDrift(
+            docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250)
+              .filter(col("source") =!= "src19"), "source")
+          .select(col("category"), col("ref_cnt"), col("cur_cnt"),
+            round(col("ref_pct"), 6).as("ref_pct"),
+            round(col("cur_pct"), 6).as("cur_pct"),
+            round(col("js_term"), 6).as("js_term"))
+          .orderBy("category")
+      },
+      Some("""WITH r AS (SELECT source AS category, count(*) AS ref_cnt
+             |    FROM documents WHERE doc_id < 250 AND source IS NOT NULL
+             |    GROUP BY 1),
+             |c AS (SELECT source AS category, count(*) AS cur_cnt
+             |    FROM documents
+             |    WHERE doc_id >= 250 AND source <> 'src19' AND source IS NOT NULL
+             |    GROUP BY 1),
+             |j AS (SELECT coalesce(r.category, c.category) AS category,
+             |    coalesce(ref_cnt, 0)::BIGINT AS ref_cnt,
+             |    coalesce(cur_cnt, 0)::BIGINT AS cur_cnt
+             |  FROM r FULL JOIN c ON r.category = c.category),
+             |t AS (SELECT sum(ref_cnt)::BIGINT AS rt, sum(cur_cnt)::BIGINT AS ct
+             |  FROM j),
+             |p AS (SELECT category, ref_cnt, cur_cnt,
+             |    CASE WHEN rt > 0 THEN ref_cnt::DOUBLE / rt::DOUBLE ELSE 0.0 END AS p,
+             |    CASE WHEN ct > 0 THEN cur_cnt::DOUBLE / ct::DOUBLE ELSE 0.0 END AS q
+             |  FROM j, t)
+             |SELECT category, ref_cnt, cur_cnt,
+             |  round(p, 6) AS ref_pct, round(q, 6) AS cur_pct,
+             |  round(0.5 * ((CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) ELSE 0.0 END)
+             |             + (CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2)) ELSE 0.0 END)),
+             |    6) AS js_term
+             |FROM p ORDER BY category""".stripMargin)),
+
     Q("sk04_skew_report",
       (s, d) => {
         // Exact key-skew diagnostic over join-key-shaped columns: the
@@ -4100,6 +4142,39 @@ object SparkEntry {
           .orderBy("doc_id")
       },
       None),
+
+    Q("t26_distinct_ngrams",
+      (s, d) => {
+        val m = mgr(s, d)
+        // per-source diversity: distinct-1/2/3 over the source slices.
+        // Counts are exact via the two-level aggregate; the ratio is one
+        // IEEE division of identical ints — unrounded, bit-exact
+        pipeline.TextAnalysis.distinctNgrams(
+            m.getDDFByName("documents").df, "text", "source", Seq(1, 2, 3))
+          .orderBy("source", "n")
+      },
+      Some(s"""WITH tok AS (SELECT source, ${duckToks("text")} AS tk
+              |  FROM documents WHERE text IS NOT NULL),
+              |g1 AS (SELECT source, unnest(tk) AS gram FROM tok),
+              |g2 AS (SELECT source, unnest(list_transform(range(1, len(tk)),
+              |    i -> tk[i] || ' ' || tk[i+1])) AS gram FROM tok),
+              |g3 AS (SELECT source, unnest(list_transform(range(1, len(tk) - 1),
+              |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS gram FROM tok),
+              |a1 AS (SELECT source, gram, count(*) AS c FROM g1 GROUP BY 1, 2),
+              |a2 AS (SELECT source, gram, count(*) AS c FROM g2 GROUP BY 1, 2),
+              |a3 AS (SELECT source, gram, count(*) AS c FROM g3 GROUP BY 1, 2),
+              |u AS (
+              |  SELECT source, 1 AS n, sum(c)::BIGINT AS total_ngrams,
+              |    count(*)::BIGINT AS distinct_ngrams FROM a1 GROUP BY source
+              |  UNION ALL
+              |  SELECT source, 2 AS n, sum(c)::BIGINT, count(*)::BIGINT
+              |    FROM a2 GROUP BY source
+              |  UNION ALL
+              |  SELECT source, 3 AS n, sum(c)::BIGINT, count(*)::BIGINT
+              |    FROM a3 GROUP BY source)
+              |SELECT source, n, total_ngrams, distinct_ngrams,
+              |  distinct_ngrams::DOUBLE / total_ngrams::DOUBLE AS distinct_ratio
+              |FROM u ORDER BY source, n""".stripMargin)),
 
     Q("t14_token_ids",
       (s, d) => {

@@ -1480,4 +1480,43 @@ object TextAnalysis {
         (coalesce(col("novel_shingles"), lit(0L)).cast("double") /
           col("n_shingles").cast("double")).as("novelty"))
   }
+
+  /** Distinct-n diversity per corpus slice (Li et al. 2016's distinct-1/2
+    * generalized to any grouping): for each group and each n in `ns`,
+    * the unique-vs-total n-gram counts and their ratio — low ratios mean
+    * a repetitive/templated slice, and tracking the ratio across corpus
+    * versions catches diversity collapse early. Output:
+    * (groupCol, n, total_ngrams, distinct_ngrams, distinct_ratio),
+    * ordered by nothing (caller sorts). A group whose documents are all
+    * shorter than n tokens has no n-gram rows and is absent for that n
+    * — absent, not zero, because a 0/0 ratio has no meaning.
+    *
+    * Scale shape per n: explode grams (native codegen'd [[ngramCol]]) →
+    * (group, gram) hash aggregate → (group) hash aggregate. Both aggs
+    * partial-aggregate map-side; nothing collects, nothing sorts, no
+    * distinct-expansion (the two-level agg IS the exact distinct count).
+    * The ns are independent jobs unioned lazily — each pays one scan;
+    * pass fewer ns if the scan dominates.
+    */
+  def distinctNgrams(df: DataFrame, textCol: String, groupCol: String,
+                     ns: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1),
+      s"distinctNgrams: ns must be non-empty positive widths, got $ns")
+    require(ns.distinct == ns, s"distinctNgrams: duplicate widths in $ns")
+    val base = df.na.drop(Seq(textCol))
+    ns.map { n =>
+      val toks = expr(tokensExpr(textCol))
+      val grams = if (n == 1) toks else ngramCol(toks, n)
+      base.select(col(groupCol), explode(grams).as("__gram"))
+        .groupBy(col(groupCol), col("__gram"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col(groupCol))
+        .agg(sum("__c").as("total_ngrams"),
+          count(lit(1)).as("distinct_ngrams"))
+        .select(col(groupCol), lit(n).as("n"),
+          col("total_ngrams"), col("distinct_ngrams"),
+          (col("distinct_ngrams").cast("double") /
+            col("total_ngrams").cast("double")).as("distinct_ratio"))
+    }.reduce(_ unionByName _)
+  }
 }

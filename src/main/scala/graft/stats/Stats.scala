@@ -539,4 +539,49 @@ object Stats {
         (col("cur_pct") - col("ref_pct")) * log(col("cur_pct") / col("ref_pct")))
       .orderBy("bin")
   }
+
+  /** Jensen–Shannon drift between two snapshots of a CATEGORICAL column
+    * — [[psiDrift]]'s sibling for string/low-cardinality columns
+    * (source, language, label, or a pre-exploded token column). One row
+    * per category seen on either side: (category, ref_cnt, cur_cnt,
+    * ref_pct, cur_pct, js_term); `sum(js_term)` is the JS divergence in
+    * nats, bounded in [0, ln 2] — no eps smoothing needed because JS's
+    * zero terms are genuinely zero (0·ln(0/m) = 0 by convention, guarded
+    * explicitly). A category present on only one side contributes
+    * 0.5·p·ln 2 — the max per-category signal.
+    *
+    * Scale shape: one category-keyed hash aggregate per side (map-side
+    * partial), a full outer join on category, and a broadcast 1-row
+    * totals join — cost is O(category cardinality) past the scans, no
+    * sort, no data-sized collect. NULL categories are excluded (they are
+    * [[Sketches.profileDrift]]'s null_rate job). An empty side yields
+    * the maximal 0.5·ln 2 per surviving category — by construction, not
+    * an error: a vanished snapshot IS maximal drift.
+    */
+  def categoricalDrift(ref: DataFrame, cur: DataFrame,
+                       valueCol: String): DataFrame = {
+    def freq(df: DataFrame, cnt: String) = df.na.drop(Seq(valueCol))
+      .groupBy(col(valueCol).as("category")).agg(count(lit(1)).as(cnt))
+    val joined = freq(ref, "ref_cnt")
+      .join(freq(cur, "cur_cnt"), Seq("category"), "full")
+      .select(col("category"),
+        coalesce(col("ref_cnt"), lit(0L)).as("ref_cnt"),
+        coalesce(col("cur_cnt"), lit(0L)).as("cur_cnt"))
+    val totals = broadcast(joined.agg(
+      sum(col("ref_cnt")).as("__ref_total"),
+      sum(col("cur_cnt")).as("__cur_total")))
+    def pct(cnt: Column, total: Column) =
+      when(total > 0, cnt.cast("double") / total.cast("double"))
+        .otherwise(lit(0.0))
+    def klTerm(p: Column, m: Column) =
+      when(p > 0.0, p * log(p / m)).otherwise(lit(0.0))
+    joined.crossJoin(totals)
+      .withColumn("ref_pct", pct(col("ref_cnt"), col("__ref_total")))
+      .withColumn("cur_pct", pct(col("cur_cnt"), col("__cur_total")))
+      .withColumn("js_term", {
+        val m = (col("ref_pct") + col("cur_pct")) / 2
+        (klTerm(col("ref_pct"), m) + klTerm(col("cur_pct"), m)) * 0.5
+      })
+      .drop("__ref_total", "__cur_total")
+  }
 }

@@ -199,6 +199,31 @@ class CurationSpec extends SparkTestBase {
       TextAnalysis.gopherRules(df, "text", "doc_id", stopwords = Seq("it's")))
   }
 
+  test("distinctNgrams: exact totals/distincts per width; short groups absent") {
+    import spark.implicits._
+    val df = Seq(
+      ("A", "a a a b"), ("B", "a b c d"), ("C", "x"))
+      .toDF("source", "text")
+    val out = TextAnalysis.distinctNgrams(df, "text", "source", Seq(1, 2))
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Int]("n")) ->
+        ((r.getAs[Long]("total_ngrams"), r.getAs[Long]("distinct_ngrams"),
+          r.getAs[Double]("distinct_ratio")))).toMap
+    assert(out(("A", 1)) == ((4L, 2L, 0.5)))
+    assert(out(("B", 1)) == ((4L, 4L, 1.0)))
+    assert(out(("C", 1)) == ((1L, 1L, 1.0)))
+    assert(out(("A", 2)) == ((3L, 2L, 2.0 / 3.0))) // "a a","a a","a b"
+    assert(out(("B", 2)) == ((3L, 3L, 1.0)))
+    // a group with no document long enough is ABSENT for that n, not 0/0
+    assert(!out.contains(("C", 2)) && out.size == 5)
+    intercept[IllegalArgumentException](
+      TextAnalysis.distinctNgrams(df, "text", "source", Seq.empty))
+    intercept[IllegalArgumentException](
+      TextAnalysis.distinctNgrams(df, "text", "source", Seq(1, 1)))
+    intercept[IllegalArgumentException](
+      TextAnalysis.distinctNgrams(df, "text", "source", Seq(0)))
+  }
+
   test("temperatureResample: integer-exact quotas, deterministic selection") {
     import spark.implicits._
     val df = (1 to 90).map(i => (i.toLong, if (i <= 60) "en" else "fr")).toDF("doc_id", "lang")

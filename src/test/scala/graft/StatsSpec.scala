@@ -287,4 +287,28 @@ class StatsSpec extends SparkTestBase {
       Stats.psiDrift(ref.limit(0), ref, "v", nBins = 5))
     intercept[IllegalArgumentException](Stats.psiDrift(ref, ref, "v", nBins = 1))
   }
+
+  test("categoricalDrift: identity zero, disjoint = ln 2, one-sided half") {
+    import spark.implicits._
+    val ref = Seq("a", "a", "b", "b", "c", "c").toDF("k")
+    // identical mixes: JS divergence is exactly zero
+    val same = Stats.categoricalDrift(ref, ref, "k").collect()
+    assert(same.length == 3 && same.forall(_.getAs[Double]("js_term") == 0.0))
+    // disjoint category sets: the theoretical maximum, ln 2
+    val cur = Seq("x", "y").toDF("k")
+    val dis = Stats.categoricalDrift(ref, cur, "k").collect()
+    assert(dis.length == 5)
+    assert(math.abs(dis.map(_.getAs[Double]("js_term")).sum - math.log(2)) < 1e-12)
+    // a category on one side only carries 0.5·p·ln2
+    val oneSided = Stats.categoricalDrift(ref, Seq("a", "b", "c", "c").toDF("k"), "k")
+      .collect().map(r => r.getAs[String]("category") -> r).toMap
+    assert(oneSided("a").getAs[Long]("cur_cnt") == 1L)
+    // an empty current side reads as maximal drift, not an error
+    val gone = Stats.categoricalDrift(ref, cur.limit(0), "k").collect()
+    assert(math.abs(gone.map(_.getAs[Double]("js_term")).sum - 0.5 * math.log(2)) < 1e-12)
+    assert(gone.forall(_.getAs[Double]("cur_pct") == 0.0))
+    // NULL categories excluded on both sides
+    val withNull = Seq(Some("a"), Some("b"), None).toDF("k")
+    assert(Stats.categoricalDrift(withNull, withNull, "k").count() == 2)
+  }
 }
