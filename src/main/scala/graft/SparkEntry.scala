@@ -5496,6 +5496,53 @@ object SparkEntry {
              |  FROM dv d CROSS JOIN cents c)
              |WHERE rn = 1 ORDER BY id""".stripMargin)),
 
+    Q("s10_stream_psi_monitor",
+      (s, d) => {
+        // serve-time drift alarm, batch==stream code path: freeze the
+        // reference histogram on the even-event slice, score every
+        // hourly window of the full feed. One windowed aggregation
+        // (per-bin conditional counts), PSI folds bins in ascending
+        // order — the oracle replicates the exact fold, so psi and the
+        // 0.25 alarm are bit-identical, with round(6) as belt+braces
+        val ev = loadEvents(s, d)
+        val spec = Stats.histogramSpec(
+          ev.filter(col("event_id") % 2 === 0), "value", nBins = 8)
+        streaming.EventStreams.psiMonitor(ev, "value", spec,
+            windowLen = "1 hour")
+          .select(unix_timestamp(col("window_start")).as("window_epoch"),
+            col("n_events"), round(col("psi"), 6).as("psi"), col("drifted"))
+          .orderBy("window_epoch")
+      },
+      Some("""WITH ev AS (SELECT cast(epoch(date_trunc('hour', ts)) AS bigint) AS wstart,
+             |    value::DOUBLE AS v FROM events WHERE value IS NOT NULL),
+             |ref AS (SELECT value::DOUBLE AS v FROM events
+             |  WHERE event_id % 2 = 0 AND value IS NOT NULL),
+             |b AS (SELECT min(v) AS lo,
+             |    CASE WHEN (max(v) - min(v)) / 8 > 0
+             |         THEN (max(v) - min(v)) / 8 ELSE 1.0 END AS w,
+             |    count(*)::DOUBLE AS rn FROM ref),
+             |rcnt AS (SELECT least(greatest(floor((v - lo) / w), 0), 7)::BIGINT AS bin,
+             |    count(*)::DOUBLE AS rc FROM ref, b GROUP BY 1),
+             |bins AS (SELECT unnest(range(8))::BIGINT AS bin),
+             |rall AS (SELECT bin,
+             |    greatest(coalesce(rc, 0.0) / (SELECT rn FROM b), 1e-6) AS r
+             |  FROM bins LEFT JOIN rcnt USING (bin)),
+             |wcnt AS (SELECT wstart, least(greatest(floor((v - lo) / w), 0), 7)::BIGINT AS bin,
+             |    count(*)::BIGINT AS c FROM ev, b GROUP BY 1, 2),
+             |wn AS (SELECT wstart, sum(c)::BIGINT AS n FROM wcnt GROUP BY 1),
+             |terms AS (SELECT wn.wstart, rall.bin, wn.n,
+             |    greatest(coalesce(wcnt.c, 0)::DOUBLE / wn.n::DOUBLE, 1e-6) AS p,
+             |    rall.r
+             |  FROM wn CROSS JOIN rall
+             |  LEFT JOIN wcnt ON wcnt.wstart = wn.wstart AND wcnt.bin = rall.bin)
+             |SELECT wstart AS window_epoch, n AS n_events,
+             |  round(list_reduce(list_prepend(0.0,
+             |      list((p - r) * ln(p / r) ORDER BY bin)), (a, x) -> a + x), 6) AS psi,
+             |  list_reduce(list_prepend(0.0,
+             |      list((p - r) * ln(p / r) ORDER BY bin)), (a, x) -> a + x) > 0.25
+             |    AS drifted
+             |FROM terms GROUP BY wstart, n ORDER BY window_epoch""".stripMargin)),
+
     Q("s07_stream_image_ingest",
       (s, d) => {
         val m = mgr(s, d)

@@ -494,6 +494,35 @@ object Stats {
     * no window, no data-sized collect. A degenerate reference (min ==
     * max) uses width 1 so everything lands in bin 0.
     */
+  /** Frozen equal-interval histogram of a reference corpus — the
+    * training-time artifact [[graft.streaming.EventStreams.psiMonitor]]
+    * scores live windows against. Two config-sized jobs: a min/max/count
+    * aggregate and an nBins-row count collect. `pct` sums to 1 over the
+    * non-null reference rows.
+    */
+  final case class HistogramSpec(lo: Double, width: Double, pct: Array[Double])
+
+  def histogramSpec(ref: DataFrame, valueCol: String, nBins: Int): HistogramSpec = {
+    require(nBins >= 2, s"histogramSpec: need at least 2 bins, got $nBins")
+    val bounds = ref.na.drop(Seq(valueCol))
+      .agg(min(col(valueCol).cast("double")).as("lo"),
+        max(col(valueCol).cast("double")).as("hi"),
+        count(lit(1)).as("n")).first()
+    require(bounds.getLong(2) > 0, "histogramSpec: reference is empty")
+    val lo = bounds.getDouble(0)
+    val n = bounds.getLong(2).toDouble
+    val width0 = (bounds.getDouble(1) - lo) / nBins
+    val width = if (width0 > 0.0) width0 else 1.0
+    val counts = ref.na.drop(Seq(valueCol))
+      .select(least(greatest(
+          floor((col(valueCol).cast("double") - lo) / width), lit(0L)),
+        lit(nBins - 1L)).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    HistogramSpec(lo, width,
+      Array.tabulate(nBins)(i => counts.getOrElse(i, 0L) / n))
+  }
+
   def psiDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
                nBins: Int = 10, eps: Double = 1e-6): DataFrame = {
     require(nBins >= 2, s"psiDrift: need at least 2 bins, got $nBins")

@@ -27,6 +27,56 @@ object EventStreams {
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
   }
 
+  /** Per-window PSI drift monitor: scores each event-time window of a
+    * live stream against a FROZEN reference histogram
+    * ([[graft.stats.Stats.histogramSpec]], computed once at train/publish
+    * time) — the standard serve-time input-drift alarm. Output one row
+    * per window: (window_start, n_events, psi, drifted).
+    *
+    * Batch == stream: the same code path serves both (the module
+    * contract). Streaming-safe by construction — the whole computation is
+    * ONE windowed aggregation (the per-bin counts are conditional
+    * aggregates, not a second groupBy), so it runs in append mode with a
+    * watermark and never needs chained stateful operators. State per
+    * window is nBins+1 longs — config-sized regardless of event volume.
+    *
+    * PSI convention matches [[graft.stats.Stats.psiDrift]]: eps-floored
+    * proportions, reference-derived bins, out-of-range values clamped
+    * into the edge bins (a range excursion reads as edge-bin drift, not
+    * dropped rows). NULL values are excluded. `drifted` applies the
+    * standard > 0.25 "major shift" alarm unless overridden.
+    */
+  def psiMonitor(events: DataFrame, valueCol: String,
+                 spec: graft.stats.Stats.HistogramSpec,
+                 windowLen: String = "1 hour", watermark: String = "2 hours",
+                 alertThreshold: Double = 0.25,
+                 eps: Double = 1e-6): DataFrame = {
+    require(eps > 0.0, s"psiMonitor: eps must be positive, got $eps")
+    val nBins = spec.pct.length
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    val bin = least(greatest(
+        floor((col(valueCol).cast("double") - spec.lo) / spec.width), lit(0L)),
+      lit(nBins - 1L))
+    val aggs = count(lit(1)).as("n_events") +:
+      (0 until nBins).map(i =>
+        sum(when(col("__bin") === i, 1L).otherwise(0L)).as(s"__b$i"))
+    val counted = src.na.drop(Seq(valueCol))
+      .select(col("ts"), bin.as("__bin"))
+      .groupBy(window(col("ts"), windowLen).as("w"))
+      .agg(aggs.head, aggs.tail: _*)
+    // reference proportions fold in as literals — the PSI is a flat,
+    // codegen'd projection over the nBins count columns
+    val psi = (0 until nBins).map { i =>
+      val r = lit(math.max(spec.pct(i), eps))
+      val p = greatest(
+        col(s"__b$i").cast("double") / col("n_events").cast("double"), lit(eps))
+      (p - r) * log(p / r)
+    }.reduce(_ + _)
+    counted.select(col("w.start").as("window_start"), col("n_events"),
+        psi.as("psi"))
+      .withColumn("drifted", col("psi") > alertThreshold)
+  }
+
   /** Sliding-window per-user activity rate. */
   def slidingUserActivity(events: DataFrame, windowLen: String = "1 hour",
                           slide: String = "15 minutes"): DataFrame =

@@ -41,6 +41,44 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("psiMonitor: streaming equals batch; identity window reads ~0; clamping") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // reference: uniform over [0, 10); window 10:00 repeats it (psi ~ 0),
+    // window 11:00 is shifted far right incl. out-of-range values
+    val ref = (0 until 100).map(i => (i % 10).toDouble).toDF("value")
+    val spec = graft.stats.Stats.histogramSpec(ref, "value", nBins = 5)
+    assert(spec.pct.toSeq == Seq.fill(5)(0.2))
+    def row(id: Long, hourTen: Boolean, v: Double) = EventStreams.EventRow(
+      id, if (hourTen) ts(id.toInt % 60) else Timestamp.valueOf("2024-01-01 11:05:00"),
+      10, "x", v)
+    val rows = (0 until 50).map(i => row(i, hourTen = true, (i % 10).toDouble)) ++
+      (50 until 60).map(i => row(i, hourTen = false, 999.0))
+    val batch = EventStreams.psiMonitor(rows.toDF(), "value", spec,
+      windowLen = "1 hour", alertThreshold = 0.25)
+    val byWindow = batch.collect()
+      .map(r => r.getTimestamp(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(byWindow.size == 2)
+    val (nTen, psiTen, driftTen) = byWindow(Timestamp.valueOf("2024-01-01 10:00:00"))
+    assert(nTen == 50L && psiTen < 1e-9 && !driftTen, s"identity window: $psiTen")
+    val (nEl, psiEl, driftEl) = byWindow(Timestamp.valueOf("2024-01-01 11:00:00"))
+    // 999.0 clamps into the top bin: all mass on one bin vs uniform ref
+    assert(nEl == 10L && psiEl > 0.25 && driftEl, s"shifted window: $psiEl")
+
+    val stream = MemoryStream[EventStreams.EventRow]
+    stream.addData(rows: _*)
+    val q = EventStreams.psiMonitor(stream.toDF(), "value", spec,
+        windowLen = "1 hour", alertThreshold = 0.25)
+      .writeStream.format("memory").queryName("psi_test")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("psi_test").collect()
+        .map(r => r.getTimestamp(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+      assert(got == byWindow, "stream must equal batch bit-for-bit")
+    } finally q.stop()
+  }
+
   test("sessionize: gap splits sessions per user") {
     import spark.implicits._
     val ev = sampleRows.toDS()
