@@ -249,6 +249,15 @@ object ScaleSmoke {
         // cost; the hashed-key path is the scale path (t23)
         "ngram_novelty(t22)" -> (() =>
           graft.pipeline.TextAnalysis.ngramNovelty(d, "text", "doc_id").count()),
+        // round 14: distinct-n diversity — the (group, gram) partial agg
+        // absorbs within-slice repetition map-side, so the shuffle
+        // carries near-distinct grams; expect the t22/t10 linear family
+        "distinct_ngrams(t26)" -> (() => {
+          val src = d.withColumn("source",
+            concat(lit("src"), pmod(col("doc_id"), lit(20L)).cast("string")))
+          graft.pipeline.TextAnalysis.distinctNgrams(src, "text", "source",
+            Seq(1, 2, 3)).count()
+        }),
         // round 14: the datacard aggregate (one corpus shuffle on
         // (source, fp)) and the hashed-NB classifier (one (id, bucket)
         // aggregate + broadcast weight join) — both should track the

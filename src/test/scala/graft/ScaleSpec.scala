@@ -1164,4 +1164,59 @@ class ScaleSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"),
       s"no corpus-vs-corpus sort-merge join in the scoring path:\n$plan")
   }
+
+  test("gopherRules: per-row projection only — zero exchanges in the plan") {
+    import spark.implicits._
+    val docs = spark.range(500L).select(col("id").as("doc_id"),
+      concat(lit("the quick brown fox and that dog have fun with it row "),
+        col("id").cast("string")).as("text"))
+    val out = graft.pipeline.TextAnalysis.gopherRules(docs, "text", "doc_id")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("Exchange"),
+      s"gopherRules must be scan-throughput (no shuffle):\n$plan")
+    assert(!plan.contains("Window"), s"no window:\n$plan")
+  }
+
+  test("distinctNgrams: two-level aggregate — no Expand, no Window, 2 shuffles") {
+    import spark.implicits._
+    val docs = spark.range(300L).select((col("id") % 4).cast("string").as("source"),
+      concat(lit("alpha beta gamma delta "), (col("id") % 7).cast("string")).as("text"))
+    val out = graft.pipeline.TextAnalysis.distinctNgrams(docs, "text", "source", Seq(2))
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("Expand"),
+      s"exact distinct must come from the two-level agg, not distinct-expansion:\n$plan")
+    assert(!plan.contains("Window"), s"no window:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2,
+      s"exactly the (group,gram) and (group) shuffles:\n$plan")
+  }
+
+  test("categoricalDrift: totals broadcast; no cartesian in the plan") {
+    import spark.implicits._
+    val ref = spark.range(1000L).select((col("id") % 7).cast("string").as("k"))
+    val cur = spark.range(800L).select((col("id") % 5).cast("string").as("k"))
+    val out = graft.stats.Stats.categoricalDrift(ref, cur, "k")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastExchange"),
+      s"the 1-row totals frame must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+  }
+
+  test("psiMonitor (batch): one windowed aggregation — single shuffle, no join") {
+    import spark.implicits._
+    val ev = spark.range(2000L).select(
+      (lit(java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime / 1000) +
+        col("id") % 7200).cast("timestamp").as("ts"),
+      (col("id") % 100).cast("double").as("value"))
+    val spec = graft.stats.Stats.histogramSpec(ev, "value", nBins = 8)
+    val out = graft.streaming.EventStreams.psiMonitor(ev, "value", spec)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"per-bin counts are conditional aggregates in ONE windowed agg:\n$plan")
+    assert(!plan.contains("Join"), s"reference folds in as literals, no join:\n$plan")
+    assert(!plan.contains("Window,"), s"no window operator (only time windows):\n$plan")
+  }
 }
