@@ -2328,6 +2328,34 @@ object SparkEntry {
              |SELECT l_returnflag, l_quantity AS mode, mode_count
              |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin)),
 
+    Q("q97_group_quantile_gate",
+      (s, d) => {
+        val m = mgr(s, d)
+        // per-group quantile gate: keep lineitem rows at/above their
+        // returnflag's q75 extendedprice. The boundary is a nearest-rank
+        // SELECTED decimal value, so the gate is engine-exact; at scale
+        // the approx=true twin swaps the within-group ranking window for
+        // one mergeable percentile_approx aggregate.
+        Stats.filterByGroupQuantile(
+            m.getDDFByName("lineitem").df
+              .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"),
+            "l_extendedprice", "l_returnflag", 0.75)
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""WITH f AS (SELECT l_returnflag, l_extendedprice FROM lineitem
+             |  WHERE l_extendedprice IS NOT NULL),
+             |r AS (SELECT l_returnflag, l_extendedprice,
+             |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+             |    count(*) OVER (PARTITION BY l_returnflag) AS n FROM f),
+             |b AS (SELECT l_returnflag,
+             |    max(CASE WHEN rn = greatest(ceil(round(0.75 * n, 9))::BIGINT, 1)
+             |        THEN l_extendedprice END) AS cut
+             |  FROM r GROUP BY l_returnflag)
+             |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_extendedprice
+             |FROM lineitem l JOIN b USING (l_returnflag)
+             |WHERE l.l_extendedprice >= b.cut
+             |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin)),
+
     Q("q53_drop_outliers",
       (s, d) => {
         val m = mgr(s, d)
@@ -6805,6 +6833,54 @@ object SparkEntry {
               |SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams, avg_logp2
               |FROM documents d LEFT JOIN sc USING (doc_id)
               |ORDER BY d.doc_id""".stripMargin)),
+
+    Q("t27_ccnet_buckets",
+      (s, d) => {
+        val m = mgr(s, d)
+        val docs = m.getDDFByName("documents").df
+        // CCNet head/middle/tail: t10's corpus-unigram LM score bucketed
+        // PER LANGUAGE at the 1/3 and 2/3 nearest-rank boundaries (higher
+        // avg_logp = more probable = head). Buckets are rank-determined —
+        // the boundary is a selected data value, and docs tied at it land
+        // together — so a sub-round-6 float wobble in the score cannot
+        // flip membership across engines.
+        val scored = pipeline.TextAnalysis.unigramLogProb(docs, "text", "doc_id")
+          .select(col("id").as("doc_id"), col("avg_logp"))
+          .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+        Stats.bucketByGroupQuantiles(scored, "avg_logp", "lang",
+            Seq(1.0 / 3, 2.0 / 3), Seq("tail", "middle", "head"))
+          .select(col("doc_id"), col("lang"),
+            round(col("avg_logp"), 6).as("avg_logp"), col("bucket"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(${duckToks("text")}) AS token
+              |  FROM documents),
+              |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+              |vocab AS (SELECT token, sum(tf) AS cnt FROM tf GROUP BY 1),
+              |nt AS (SELECT sum(cnt) AS n FROM vocab),
+              |lp AS (SELECT doc_id, token, tf,
+              |    tf * ln(cnt::DOUBLE / n::DOUBLE) AS lp
+              |  FROM tf JOIN vocab USING (token), nt),
+              |sc AS (SELECT doc_id,
+              |    list_reduce(list_prepend(0.0, list(lp ORDER BY token)),
+              |      (acc, x) -> acc + x) / sum(tf) AS avg_logp
+              |  FROM lp GROUP BY doc_id),
+              |j AS (SELECT s.doc_id, d.lang, s.avg_logp
+              |  FROM sc s JOIN documents d USING (doc_id)),
+              |r AS (SELECT doc_id, lang, avg_logp,
+              |    row_number() OVER (PARTITION BY lang ORDER BY avg_logp) AS rn,
+              |    count(*) OVER (PARTITION BY lang) AS n FROM j),
+              |b AS (SELECT lang,
+              |    max(CASE WHEN rn = greatest(ceil(round((1.0/3) * n, 9))::BIGINT, 1)
+              |        THEN avg_logp END) AS c1,
+              |    max(CASE WHEN rn = greatest(ceil(round((2.0/3) * n, 9))::BIGINT, 1)
+              |        THEN avg_logp END) AS c2
+              |  FROM r GROUP BY lang)
+              |SELECT j.doc_id, j.lang, round(j.avg_logp, 6) AS avg_logp,
+              |  CASE WHEN j.avg_logp <= b.c1 THEN 'tail'
+              |       WHEN j.avg_logp <= b.c2 THEN 'middle'
+              |       ELSE 'head' END AS bucket
+              |FROM j JOIN b USING (lang) ORDER BY j.doc_id""".stripMargin)),
 
     Q("t11_hashed_features",
       (s, d) => {

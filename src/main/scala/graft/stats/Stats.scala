@@ -278,6 +278,108 @@ object Stats {
     ranked.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-group quantile BOUNDARIES as one slim row per group with columns
+    * `__cut0 < __cut1 < …` (nearest-rank selection — actual data values).
+    * `approx = false` routes through [[groupQuantiles]] (one within-group
+    * window sort: the honest exact cost, and engine-independent because
+    * selection never interpolates); `approx = true` is the 100 TB path —
+    * a single `percentile_approx` aggregate (mergeable sketch, map-side
+    * partial, NO sort/window anywhere), which also returns actual data
+    * values so downstream `<=` comparisons stay consistent.
+    */
+  private def groupQuantileCuts(df: DataFrame, groupCol: String, valCol: String,
+                                cuts: Seq[Double], approx: Boolean,
+                                accuracy: Int): DataFrame = {
+    val cutCols = cuts.indices.map(i => s"__cut$i")
+    if (approx) {
+      val arr = array(cuts.map(lit): _*)
+      df.na.drop(Seq(valCol)).groupBy(groupCol)
+        .agg(percentile_approx(col(valCol), arr, lit(accuracy)).as("__cs"))
+        .select(col(groupCol) +:
+          cuts.indices.map(i => element_at(col("__cs"), i + 1).as(cutCols(i))): _*)
+    } else {
+      val q = groupQuantiles(df, groupCol, valCol, cuts)
+      val qCols = q.columns.filterNot(_ == groupCol) // in `cuts` order
+      q.select(col(groupCol) +:
+        qCols.zip(cutCols).map { case (a, b) => col(a).as(b) }: _*)
+    }
+  }
+
+  /** Per-group quantile bucketing — the CCNet pattern (Wenzek et al.
+    * 2020): bucket documents into head/middle/tail by an LM quality score
+    * PER LANGUAGE, so one dominant language's score distribution doesn't
+    * starve the others. Generic: any value column, any group column.
+    *
+    * `cuts` are strictly-increasing fractions in (0,1); `labels` has one
+    * more entry than `cuts`, in ascending value order — a row lands in
+    * `labels(i)` when its value is ≤ the group's `cuts(i)` boundary (first
+    * match), else in `labels.last`. Boundaries are nearest-rank selected
+    * data values (never interpolated), so with bit-identical inputs the
+    * bucketing is engine-independent. Rows with a NULL value get a NULL
+    * bucket (they carried no score — a gate must not silently promote
+    * them to the top bucket).
+    *
+    * Scale shape: the boundary frame is ONE row per group → broadcast
+    * join-back (no shuffle of the data side beyond what `approx = false`'s
+    * within-group ranking window already pays; `approx = true` pays only
+    * one mergeable-sketch aggregate — the 100 TB path). For group
+    * cardinalities beyond broadcast range (millions of domains), drop to
+    * [[graft.operators.Views.budgetSelectByGroup]]-style slim shapes; the
+    * CCNet regime (dozens of languages) is squarely broadcast-sized.
+    */
+  def bucketByGroupQuantiles(df: DataFrame, valCol: String, groupCol: String,
+                             cuts: Seq[Double], labels: Seq[String],
+                             bucketCol: String = "bucket",
+                             approx: Boolean = false,
+                             accuracy: Int = 10000): DataFrame = {
+    require(cuts.nonEmpty && cuts.forall(p => p > 0.0 && p < 1.0),
+      s"cut fractions must be in (0, 1), got $cuts")
+    require(cuts == cuts.sorted && cuts.distinct.size == cuts.size,
+      s"cut fractions must be strictly increasing, got $cuts")
+    require(labels.size == cuts.size + 1,
+      s"need ${cuts.size + 1} labels for ${cuts.size} cuts, got ${labels.size}: $labels")
+    require(labels.distinct.size == labels.size, s"duplicate bucket labels: $labels")
+    require(!df.columns.contains(bucketCol),
+      s"bucket column '$bucketCol' already exists in ${df.columns.toSeq}")
+    val bounds = groupQuantileCuts(df, groupCol, valCol, cuts, approx, accuracy)
+    val v = col(valCol)
+    // NULL-value rows first (NULL bucket), then ascending cut checks; a
+    // non-null value in a group present in `bounds` always has non-null
+    // cuts (every rank 1..n selects a value), so `otherwise` is the top
+    // bucket — and a group ABSENT from bounds had only NULL values, whose
+    // rows are all caught by the isNull arm, never mislabeled.
+    val bucket = cuts.indices
+      .foldLeft(when(v.isNull, lit(null).cast("string"))) { (acc, i) =>
+        acc.when(v <= col(s"__cut$i"), lit(labels(i)))
+      }
+      .otherwise(lit(labels.last))
+    df.join(broadcast(bounds), Seq(groupCol), "left")
+      .select(df.columns.map(col) :+ bucket.as(bucketCol): _*)
+  }
+
+  /** Per-group quantile GATE: keep rows at or above (`keepUpper = true`,
+    * the quality-filter direction — the boundary value itself survives)
+    * or at or below their group's nearest-rank `p`-quantile. The
+    * per-group twin of a global threshold filter: thresholding a quality
+    * score globally biases against whole groups (languages, sources)
+    * whose score distributions sit lower — gating at each group's own
+    * quantile keeps the same FRACTION everywhere. Rows with a NULL value
+    * never pass (no score ⇒ no evidence). Same exact/approx split and
+    * broadcast join-back shape as [[bucketByGroupQuantiles]].
+    */
+  def filterByGroupQuantile(df: DataFrame, valCol: String, groupCol: String,
+                            p: Double, keepUpper: Boolean = true,
+                            approx: Boolean = false,
+                            accuracy: Int = 10000): DataFrame = {
+    require(p > 0.0 && p < 1.0, s"quantile fraction must be in (0, 1), got $p")
+    val bounds = groupQuantileCuts(df, groupCol, valCol, Seq(p), approx, accuracy)
+    val keep = if (keepUpper) col(valCol) >= col("__cut0")
+               else col(valCol) <= col("__cut0")
+    df.join(broadcast(bounds), Seq(groupCol), "inner")
+      .filter(keep)
+      .select(df.columns.map(col): _*)
+  }
+
   /** Tukey IQR fence [q1 − k·iqr, q3 + k·iqr] from nearest-rank
     * quartiles. `exact = true` ranks the full column (single-partition
     * window sort — fine to ~10⁷ rows and required for oracle parity);

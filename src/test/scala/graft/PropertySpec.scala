@@ -749,6 +749,52 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("property: bucketByGroupQuantiles/filterByGroupQuantile ≡ serial nearest-rank reference") {
+    import spark.implicits._
+    val cuts = Seq(0.25, 0.5, 0.9)
+    val labels = Seq("b0", "b1", "b2", "b3")
+    def cutAt(vs: Seq[Double], p: Double): Double = {
+      // identical rank snap to Stats.groupQuantiles / the oracles
+      val snapped = BigDecimal(p * vs.size)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      vs(math.max(math.ceil(snapped).toInt, 1) - 1)
+    }
+    for (seed <- Seq(17L, 83L, 131L)) {
+      val rng = new scala.util.Random(seed)
+      val n = 60 + rng.nextInt(240)
+      // heavy ties + ~10% nulls (null score ⇒ null bucket / never gated in)
+      val rows = (0 until n).map { i =>
+        val v: java.lang.Double =
+          if (rng.nextInt(10) == 0) null else rng.nextInt(25).toDouble
+        (s"g${rng.nextInt(4)}", i.toLong, v)
+      }
+      val df = rows.toDF("g", "id", "v").repartition(1 + rng.nextInt(7))
+      val byGroup = rows.collect { case (g, _, v) if v != null => g -> v.toDouble }
+        .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).sorted }
+      val want = rows.map { case (g, id, v) =>
+        id -> (if (v == null) null
+               else {
+                 val cs = cuts.map(p => cutAt(byGroup(g), p))
+                 val i = cs.indexWhere(v.toDouble <= _)
+                 if (i < 0) labels.last else labels(i)
+               })
+      }.toMap
+      val got = graft.stats.Stats.bucketByGroupQuantiles(df, "v", "g", cuts, labels)
+        .collect()
+        .map(r => r.getLong(1) -> (if (r.isNullAt(3)) null else r.getString(3)))
+        .toMap
+      assert(got == want,
+        s"seed=$seed diff=${(got.toSet diff want.toSet) ++ (want.toSet diff got.toSet)}")
+      val p = 0.7
+      val kept = graft.stats.Stats.filterByGroupQuantile(df, "v", "g", p)
+        .collect().map(_.getLong(1)).toSet
+      val wantKept = rows.collect {
+        case (g, id, v) if v != null && v.toDouble >= cutAt(byGroup(g), p) => id
+      }.toSet
+      assert(kept == wantKept, s"seed=$seed gate diff=${kept diff wantKept} ${wantKept diff kept}")
+    }
+  }
+
   test("property: interpolate ≡ serial linear fill with edge clamp") {
     import spark.implicits._
     for (seed <- Seq(41L, 69L, 113L)) {

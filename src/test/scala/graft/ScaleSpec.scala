@@ -1004,6 +1004,32 @@ class ScaleSpec extends SparkTestBase {
       s"sketch must partial-aggregate map-side:\n$exec")
   }
 
+  test("group-quantile gate/buckets approx path: sketch aggregate, no window, broadcast join-back") {
+    val df = spark.range(10000L)
+      .select((col("id") % 7).as("g"), (col("id") % 997).cast("double").as("v"))
+    val gate = graft.stats.Stats.filterByGroupQuantile(df, "v", "g", 0.9, approx = true)
+    val opt = gate.queryExecution.optimizedPlan
+    assert(opt.toString.contains("percentile_approx"),
+      s"approx gate must use the mergeable sketch:\n$opt")
+    val windows = opt.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty, s"approx path must not plan a window:\n$opt")
+    assertNoDataScaleSort(gate)
+    // the boundary frame is one row per group — the join-back must be a
+    // broadcast, never a shuffle of the data side
+    val exec = gate.queryExecution.executedPlan.toString
+    assert(exec.contains("BroadcastHashJoin"),
+      s"cut join-back must broadcast:\n$exec")
+    // the bucket twin routes through the same cut machinery: same pins
+    val buck = graft.stats.Stats.bucketByGroupQuantiles(df, "v", "g",
+      Seq(1.0 / 3, 2.0 / 3), Seq("tail", "middle", "head"), approx = true)
+    val boptStr = buck.queryExecution.optimizedPlan.toString
+    assert(boptStr.contains("percentile_approx") && !boptStr.contains("Window"),
+      s"approx buckets must be window-free sketch:\n$boptStr")
+    assert(buck.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
   test("q41/q43 stat shapes: sorts only above the aggregation, never the data") {
     // q43's histogram: two jobs (min/max, bucket groupBy) — its orderBy
     // ranges over numBins aggregated rows, not lineitem

@@ -100,6 +100,85 @@ class StatsSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { Stats.groupQuantiles(df, "g", "v", Seq(0.0)) }
   }
 
+  test("bucketByGroupQuantiles: CCNet head/middle/tail per group; NULL score → NULL bucket") {
+    import spark.implicits._
+    val df = ((1 to 9).map(v => ("a", Option(v.toDouble))) ++
+      Seq(("b", Option(1.0)), ("b", Option(2.0)), ("b", Option(3.0)),
+        ("a", Option.empty[Double]))).toDF("g", "v")
+    val out = Stats.bucketByGroupQuantiles(df, "v", "g",
+      Seq(1.0 / 3, 2.0 / 3), Seq("tail", "middle", "head"))
+    assert(out.columns.toSeq == Seq("g", "v", "bucket"))
+    val got = out.collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getDouble(1)) ->
+        (if (r.isNullAt(2)) null else r.getString(2))).toMap
+    // a: n=9 → cut ranks ceil(3)=3, ceil(6)=6 → boundaries 3.0 and 6.0
+    assert(got(("a", 1.0)) == "tail" && got(("a", 3.0)) == "tail")
+    assert(got(("a", 4.0)) == "middle" && got(("a", 6.0)) == "middle")
+    assert(got(("a", 7.0)) == "head" && got(("a", 9.0)) == "head")
+    // b: n=3 → boundaries 1.0 and 2.0
+    assert(got(("b", 1.0)) == "tail" && got(("b", 2.0)) == "middle" &&
+      got(("b", 3.0)) == "head")
+    // a NULL score carries no evidence — never promoted to a bucket
+    assert(got(("a", null)) == null)
+    intercept[IllegalArgumentException] {
+      Stats.bucketByGroupQuantiles(df, "v", "g", Seq(2.0 / 3, 1.0 / 3),
+        Seq("t", "m", "h")) // cuts not increasing
+    }
+    intercept[IllegalArgumentException] {
+      Stats.bucketByGroupQuantiles(df, "v", "g", Seq(0.5), Seq("only")) // label arity
+    }
+    intercept[IllegalArgumentException] {
+      Stats.bucketByGroupQuantiles(df, "v", "g", Seq(0.5), Seq("x", "x")) // dup labels
+    }
+    intercept[IllegalArgumentException] {
+      Stats.bucketByGroupQuantiles(df, "v", "g", Seq(0.5), Seq("lo", "hi"),
+        bucketCol = "v") // collides with an input column
+    }
+  }
+
+  test("filterByGroupQuantile: per-group gate keeps the boundary value; NULLs never pass") {
+    import spark.implicits._
+    val df = ((1 to 8).map(v => ("a", Option(v.toDouble))) ++
+      (10 to 13).map(v => ("b", Option(v.toDouble))) ++
+      Seq(("a", Option.empty[Double]))).toDF("g", "v")
+    // p=0.5: a (n=8) → cut rank 4 → 4.0, keep ≥4 → 5 rows;
+    //        b (n=4) → cut rank 2 → 11.0, keep ≥11 → 3 rows
+    val up = Stats.filterByGroupQuantile(df, "v", "g", 0.5)
+    assert(up.columns.toSeq == Seq("g", "v"))
+    assert(up.count() == 8)
+    assert(up.filter(col("g") === "a").agg(org.apache.spark.sql.functions.min("v"))
+      .first().getDouble(0) == 4.0)
+    // lower tail: a ≤4 → 4 rows; b ≤11 → 2 rows; the NULL row passes neither
+    assert(Stats.filterByGroupQuantile(df, "v", "g", 0.5, keepUpper = false)
+      .count() == 6)
+    intercept[IllegalArgumentException] {
+      Stats.filterByGroupQuantile(df, "v", "g", 1.0)
+    }
+  }
+
+  test("bucketByGroupQuantiles approx path: same totals, order-consistent buckets") {
+    import spark.implicits._
+    val df = (1 to 300).map(v => (s"g${v % 3}", v.toDouble)).toDF("g", "v")
+    val labels = Seq("tail", "middle", "head")
+    val out = Stats.bucketByGroupQuantiles(df, "v", "g",
+      Seq(1.0 / 3, 2.0 / 3), labels, approx = true).collect()
+    assert(out.length == 300 && out.forall(r => !r.isNullAt(2)))
+    // within each group every tail value < every middle value < every head
+    // value (the sketch boundary is an actual data value, so the partition
+    // is clean even if its rank differs ±ε from nearest-rank)
+    val byG = out.groupBy(_.getString(0))
+    byG.values.foreach { rows =>
+      val byB = rows.groupBy(_.getString(2)).map { case (b, rs) =>
+        b -> (rs.map(_.getDouble(1)).min, rs.map(_.getDouble(1)).max)
+      }
+      assert(labels.forall(byB.contains), s"missing a bucket: ${byB.keySet}")
+      assert(byB("tail")._2 < byB("middle")._1 && byB("middle")._2 < byB("head")._1)
+      // 100 docs per group, uniform values → each bucket within ±2 of 33
+      val sizes = rows.groupBy(_.getString(2)).map(_._2.length)
+      assert(sizes.forall(s => s >= 31 && s <= 36), s"skewed buckets: $sizes")
+    }
+  }
+
   test("IQR outliers: drop removes fence violations, clip clamps them") {
     import spark.implicits._
     // q1 = 2, q3 = 4 (nearest-rank over 1..4 plus the outlier 100):
