@@ -3831,6 +3831,39 @@ object SparkEntry {
               |SELECT query_id, label AS pred_label, nv AS n_votes FROM r
               |WHERE rn = 1 ORDER BY query_id""".stripMargin)),
 
+    Q("a14_centroid_outliers",
+      (s, d) => {
+        val m = mgr(s, d)
+        // noisy/mislabeled-example detection: the 5 vectors farthest
+        // (cosine) from their OWN label's centroid. exact=true folds each
+        // centroid dimension in vec_id order (bit-identical to the
+        // oracle's ordered list_reduce); the default associative sum is
+        // the corpus-scale twin, spec-checked instead.
+        pipeline.Similarity.centroidOutliers(m.getDDFByName("embeddings").df,
+            "embedding", "vec_id", "label", k = 5, exact = true)
+          .select(col("label"), col("vec_id"),
+            round(col("dist"), 6).as("dist"), col("rk"))
+          .orderBy("label", "rk")
+      },
+      Some("""WITH dv AS (SELECT vec_id, label,
+             |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+             |ex AS (SELECT vec_id, label, i AS dim, v[i] AS val
+             |  FROM dv, unnest(range(1, len(v) + 1)) AS t(i)),
+             |cent AS (SELECT label, dim,
+             |    list_reduce(list_prepend(0.0, list(val ORDER BY vec_id)),
+             |      (acc, x) -> acc + x) / count(*) AS c
+             |  FROM ex GROUP BY 1, 2),
+             |cl AS (SELECT label, list(c ORDER BY dim) AS cv FROM cent GROUP BY 1),
+             |sc AS (SELECT dv.vec_id, dv.label,
+             |    1 - list_dot_product(dv.v, cl.cv)
+             |        / (sqrt(list_dot_product(dv.v, dv.v))
+             |           * sqrt(list_dot_product(cl.cv, cl.cv))) AS dist
+             |  FROM dv JOIN cl USING (label))
+             |SELECT label, vec_id, round(dist, 6) AS dist, rk FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY label
+             |    ORDER BY dist DESC, vec_id) AS rk FROM sc)
+             |WHERE rk <= 5 ORDER BY label, rk""".stripMargin)),
+
     Q("d16_soft_dedup_weights",
       (s, d) => {
         val m = mgr(s, d)

@@ -167,6 +167,66 @@ object Similarity {
   def dequantize(q: Column): Column =
     transform(q.getField("codes"), c => c.cast("double") * q.getField("scale"))
 
+  /** Per-group embedding centroid: the element-wise mean of each group's
+    * vectors, as (groupCol, centroid: array<double>) — one row per group.
+    *
+    * Shape: explode to (group, dim, val) → ONE (group, dim) aggregate
+    * (map-side combined; shuffled bytes are O(groups × dim), never
+    * O(rows × dim)) → reassemble each centroid from its dims. The
+    * default sums each dimension associatively — the 100 TB path.
+    * `exact = true` instead folds each dimension's values in `idCol`
+    * order (the t10/c02 ordered-fold discipline): bit-identical across
+    * engines and re-runs, at the cost of buffering one (id, val) list
+    * per (group, dim) — the oracle-parity path, fine to ~10⁶ rows per
+    * group, not the corpus default.
+    */
+  def groupCentroids(df: DataFrame, vecCol: String, idCol: String,
+                     groupCol: String, exact: Boolean = false): DataFrame = {
+    val ex = df
+      .select(col(groupCol), col(idCol).as("__id"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("__dim", "__val")))
+    val perDim =
+      if (exact)
+        ex.groupBy(col(groupCol), col("__dim")).agg(
+          (expr("""aggregate(
+                  |  transform(array_sort(collect_list(struct(__id, __val))), s -> s.__val),
+                  |  cast(0.0 as double), (acc, x) -> acc + x)""".stripMargin)
+            / count(lit(1))).as("__c"))
+      else
+        ex.groupBy(col(groupCol), col("__dim"))
+          .agg((sum(col("__val")) / count(lit(1))).as("__c"))
+    perDim.groupBy(col(groupCol)).agg(
+      expr("transform(array_sort(collect_list(struct(__dim, __c))), s -> s.__c)")
+        .as("centroid"))
+  }
+
+  /** Per-group centroid outliers: the `k` vectors FARTHEST (cosine
+    * distance) from their OWN group's centroid — the standard
+    * noisy/mislabeled-example signal over a labeled or source-tagged
+    * embedding table (a row far from everything sharing its tag is a
+    * labeling error, an off-topic document, or an embedding glitch).
+    * Output: (groupCol, idCol, dist, rk) with rk identical to
+    * `row_number over (partition by group order by dist DESC, id ASC)`.
+    *
+    * Scale shape: centroids are one row per group → broadcast join-back;
+    * distance is one codegen'd per-row expression; ranking is the
+    * bounded-heap top-k aggregate ([[graft.operators.Views.topKWithRank]])
+    * — map-side partial top-k, NO window, no sort of the corpus. The
+    * `exact` flag routes the centroid mean (see [[groupCentroids]]).
+    */
+  def centroidOutliers(df: DataFrame, vecCol: String, idCol: String,
+                       groupCol: String, k: Int,
+                       exact: Boolean = false): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val cents = groupCentroids(df, vecCol, idCol, groupCol, exact)
+    val scored = df
+      .select(col(groupCol), col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .join(broadcast(cents), Seq(groupCol))
+      .select(col(groupCol), col(idCol),
+        (lit(1.0) - cosine(col("__v"), col("centroid"))).as("dist"))
+    graft.operators.Views.topKWithRank(scored, groupCol, "dist", idCol, k)
+  }
+
   /** Matryoshka truncation: keep the first k dimensions of an
     * MRL-trained embedding (prefix dims carry the coarse structure) and
     * optionally renormalize to unit length — the standard cheap-ANN /

@@ -245,6 +245,36 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("centroidOutliers: planted outlier ranks first; exact/approx centroids agree; scale-shape pins") {
+    import spark.implicits._
+    // two labels, 8 tight vectors each + one planted far vector per label
+    def jitter(base: Array[Float], i: Int): Array[Float] =
+      base.zipWithIndex.map { case (x, d) => x + 0.01f * ((i + d) % 3) }
+    val a = Array(1.0f, 0.0f, 0.0f, 0.1f)
+    val b = Array(0.0f, 1.0f, 0.1f, 0.0f)
+    val rows =
+      (0 until 8).map(i => (i.toLong, "la", jitter(a, i))) ++
+        Seq((8L, "la", Array(-1.0f, 0.2f, 0.0f, 0.0f))) ++ // planted la outlier
+        (10 until 18).map(i => (i.toLong, "lb", jitter(b, i))) ++
+        Seq((18L, "lb", Array(0.1f, -1.0f, 0.0f, 0.0f)))   // planted lb outlier
+    val df = rows.toDF("id", "label", "v").repartition(5)
+    val out = Similarity.centroidOutliers(df, "v", "id", "label", k = 3, exact = true)
+    assert(out.columns.toSeq == Seq("label", "id", "dist", "rk"))
+    val top = out.filter(col("rk") === 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(top == Map("la" -> 8L, "lb" -> 18L), s"planted outliers must rank first: $top")
+    // approx (associative-sum) centroids: same ranking on well-separated data
+    val approx = Similarity.centroidOutliers(df, "v", "id", "label", k = 3)
+    assert(approx.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(3))).toSet ==
+      out.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(3))).toSet)
+    // scale pins: centroid join-back broadcasts; ranking is the bounded
+    // top-k aggregate, never a window; no data-scale sort
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"centroids must broadcast:\n$plan")
+    assert(plan.contains("bounded_top_k"), s"ranking must be the heap aggregate:\n$plan")
+    assert(!plan.contains("Window"), s"no window over the corpus:\n$plan")
+  }
+
   test("softDedupWeights: cluster members share one unit of weight; singletons keep 1.0") {
     import spark.implicits._
     val docs = (1L to 6L).toDF("doc_id")
