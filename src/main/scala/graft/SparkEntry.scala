@@ -3864,6 +3864,68 @@ object SparkEntry {
              |    ORDER BY dist DESC, vec_id) AS rk FROM sc)
              |WHERE rk <= 5 ORDER BY label, rk""".stripMargin)),
 
+    Q("a15_hard_negatives",
+      (s, d) => {
+        val m = mgr(s, d)
+        // contrastive hard negatives: per query, the 8 nearest vectors
+        // whose LABEL DIFFERS — label filter applied before ranking so
+        // every slot is a true negative
+        val all = m.getDDFByName("embeddings").df
+          .select(col("vec_id"), col("embedding"), col("label"))
+        val queries = all.filter(col("vec_id") < 5)
+          .withColumnRenamed("vec_id", "qid")
+        pipeline.Similarity.hardNegatives(all, queries, "embedding",
+            "vec_id", "qid", "label", k = 8)
+          .select(col("query_id"), col("id"),
+            round(col("cosine"), 6).as("cosine"), col("rk"))
+          .orderBy("query_id", "rk")
+      },
+      Some(s"""WITH dv AS (SELECT vec_id, label,
+              |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+              |scored AS (SELECT a.vec_id AS query_id, b.vec_id AS id, $duckCos AS c,
+              |    row_number() OVER (PARTITION BY a.vec_id
+              |      ORDER BY $duckCos DESC, b.vec_id) AS rk
+              |  FROM (SELECT * FROM dv WHERE vec_id < 5) a
+              |  JOIN dv b ON a.label != b.label)
+              |SELECT query_id, id, round(c, 6) AS cosine, rk FROM scored
+              |WHERE rk <= 8 ORDER BY query_id, rk""".stripMargin)),
+
+    Q("d17_source_overlap",
+      (s, d) => {
+        val m = mgr(s, d)
+        // source-admission analysis: a synthetic aggregator source
+        // ("crawl_dup", every 4th doc re-tagged) overlaps each real
+        // source — the matrix reports containment/jaccard per direction.
+        // The synthetic corpus has no natural cross-source dups (verified
+        // at sf0.01), so the aggregator is the deterministic fixture.
+        val docs = m.getDDFByName("documents").df
+        val aug = docs.select(col("source"), col("text"))
+          .unionByName(docs.filter(col("doc_id") % 4 === 0)
+            .select(lit("crawl_dup").as("source"), col("text")))
+        pipeline.Dedup.sourceOverlap(aug, "text", "source")
+          .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+            col("n_shared"), round(col("containment"), 6).as("containment"),
+            round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("source_a", "source_b")
+      },
+      Some(s"""WITH aug AS (SELECT source, text FROM documents
+              |    UNION ALL
+              |    SELECT 'crawl_dup' AS source, text FROM documents
+              |    WHERE doc_id % 4 = 0),
+              |sk AS (SELECT DISTINCT source, md5(${duckNorm("text")}) AS k FROM aug),
+              |t AS (SELECT source, count(*) AS n FROM sk GROUP BY 1),
+              |p AS (SELECT a.source AS source_a, b.source AS source_b,
+              |    count(*) AS n_shared
+              |  FROM sk a JOIN sk b ON a.k = b.k AND a.source != b.source
+              |  GROUP BY 1, 2)
+              |SELECT source_a, source_b, t1.n::BIGINT AS n_a, t2.n::BIGINT AS n_b,
+              |  n_shared::BIGINT AS n_shared,
+              |  round(n_shared::DOUBLE / t1.n, 6) AS containment,
+              |  round(n_shared::DOUBLE / (t1.n + t2.n - n_shared), 6) AS jaccard
+              |FROM p JOIN t t1 ON t1.source = p.source_a
+              |JOIN t t2 ON t2.source = p.source_b
+              |ORDER BY source_a, source_b""".stripMargin)),
+
     Q("d16_soft_dedup_weights",
       (s, d) => {
         val m = mgr(s, d)
@@ -6033,7 +6095,65 @@ object SparkEntry {
              |FROM customer
              |WHERE abs(2.0 * (c_custkey % 21) + 3.0 * ((c_custkey * 7) % 23)
              |          - 53.0) >= 8.0
-             |ORDER BY id""".stripMargin))
+             |ORDER BY id""".stripMargin)),
+
+    Q("ml08_calibration",
+      (s, d) => {
+        val m = mgr(s, d)
+        // reliability buckets + per-bin ECE gap for a pseudo-probability
+        // derived arithmetically from order keys (k/1024 — every score is
+        // an exact binary fraction, so avg() is bit-identical across
+        // engines); label = order fulfilled. 8 equal-width bins.
+        val scored = m.getDDFByName("orders").df.select(
+          (((col("o_orderkey") * lit(2654435761L)) % 1024) / lit(1024.0))
+            .as("score"),
+          when(col("o_orderstatus") === "F", 1.0).otherwise(0.0).as("label"))
+        ml.MLSupport.calibrationBuckets(scored, "score", "label", nBins = 8)
+          .select(col("bin"), col("n"),
+            round(col("confidence"), 6).as("confidence"),
+            round(col("accuracy"), 6).as("accuracy"),
+            round(col("gap"), 6).as("gap"))
+          .orderBy("bin")
+      },
+      Some("""WITH s AS (SELECT
+             |    ((o_orderkey * 2654435761) % 1024) / 1024.0 AS score,
+             |    CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS label
+             |  FROM orders)
+             |SELECT CAST(least(floor(score * 8), 7) AS BIGINT) AS bin,
+             |  count(*)::BIGINT AS n,
+             |  round(avg(score), 6) AS confidence,
+             |  round(avg(label), 6) AS accuracy,
+             |  round(abs(avg(score) - avg(label)), 6) AS gap
+             |FROM s GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("ml09_auc_by_group",
+      (s, d) => {
+        val m = mgr(s, d)
+        // per-group Mann-Whitney AUC of "does discount predict a return"
+        // sliced by linestatus. l_discount has 11 distinct values → heavy
+        // ties, exercising the 0.5-credit path; every contribution is an
+        // exact multiple of 0.5 so the sums are order-independent.
+        ml.MLSupport.aucByGroup(m.getDDFByName("lineitem").df
+            .select(col("l_linestatus"), col("l_discount"),
+              when(col("l_returnflag") === "R", 1).otherwise(0).as("label")),
+          "l_discount", "label", Seq("l_linestatus"))
+          .select(col("l_linestatus"), round(col("auc"), 6).as("auc"),
+            col("n_pos"), col("n_neg"))
+          .orderBy("l_linestatus")
+      },
+      Some("""WITH b AS (SELECT l_linestatus, l_discount AS s,
+             |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS np,
+             |    sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS nn
+             |  FROM lineitem GROUP BY 1, 2),
+             |c AS (SELECT l_linestatus, np, nn,
+             |    coalesce(sum(nn) OVER (PARTITION BY l_linestatus ORDER BY s
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+             |  FROM b)
+             |SELECT l_linestatus,
+             |  round(sum(np * (below + 0.5 * nn))
+             |        / (sum(np) * sum(nn)), 6) AS auc,
+             |  sum(np)::BIGINT AS n_pos, sum(nn)::BIGINT AS n_neg
+             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   // =====================================================================
@@ -6326,6 +6446,43 @@ object SparkEntry {
               |    AND bullet_ratio_ok AND ellipsis_ratio_ok AND alpha_ratio_ok
               |    AND stopword_ok AS keep
               |FROM f ORDER BY id""".stripMargin)),
+
+    Q("c15_snapshot_diff",
+      (s, d) => {
+        val m = mgr(s, d)
+        // release-over-release corpus diff: the "old" release drops every
+        // 7th doc, the "new" one drops every 5th and revises every 11th —
+        // snapshotDiff reports only the delta (added/removed/changed),
+        // both text versions riding along for audit
+        val docs = m.getDDFByName("documents").df
+        val old = docs.filter(col("doc_id") % 7 =!= 0)
+          .select("doc_id", "text", "source")
+        val nw = docs.filter(col("doc_id") % 5 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 11 === 0, concat(col("text"), lit(" [v2]")))
+              .otherwise(col("text")).as("text"),
+            col("source"))
+        operators.History.snapshotDiff(old, nw, Seq("doc_id"),
+            Seq("text", "source"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH old AS (SELECT doc_id, text, source FROM documents
+             |    WHERE doc_id % 7 != 0),
+             |nw AS (SELECT doc_id,
+             |    CASE WHEN doc_id % 11 = 0 THEN text || ' [v2]' ELSE text END
+             |      AS text, source
+             |  FROM documents WHERE doc_id % 5 != 0),
+             |j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+             |    CASE WHEN o.doc_id IS NULL THEN 'added'
+             |         WHEN n.doc_id IS NULL THEN 'removed'
+             |         WHEN (o.text IS DISTINCT FROM n.text)
+             |           OR (o.source IS DISTINCT FROM n.source) THEN 'changed'
+             |    END AS change,
+             |    o.text AS old_text, n.text AS text,
+             |    o.source AS old_source, n.source AS source
+             |  FROM old o FULL OUTER JOIN nw n ON o.doc_id = n.doc_id)
+             |SELECT doc_id, change, old_text, text, old_source, source
+             |FROM j WHERE change IS NOT NULL ORDER BY doc_id""".stripMargin)),
 
     Q("d10_incremental_minhash",
       (s, d) => {

@@ -296,4 +296,90 @@ object MLSupport {
   def rocAuc(scored: DataFrame, labelCol: String, rawCol: String): Double =
     new BinaryClassificationEvaluator().setLabelCol(labelCol).setRawPredictionCol(rawCol)
       .setMetricName("areaUnderROC").evaluate(scored)
+
+  /** Extension (training-data pipeline): distributed per-group ROC AUC as a
+    * DataFrame — the eval loop for a quality classifier sliced by source /
+    * language / snapshot ([[rocAuc]] returns one driver-side scalar and
+    * can't slice). Mann-Whitney formulation with standard tie handling
+    * (tied scores contribute 0.5): AUC = Σ_s npos(s)·(cumneg(<s) +
+    * ½·nneg(s)) ÷ (P·N) over the DISTINCT scores s of each group.
+    *
+    * Scale shape: pass 1 collapses rows to (group, score) with map-side
+    * combine, so the per-group window that orders scores runs over the
+    * distinct-score frame, not the corpus — for quantized classifier
+    * scores that is bounded regardless of corpus size. For continuous
+    * scores set `scoreBuckets` > 0 to floor scores onto a fixed grid
+    * first (the standard histogram-AUC trick: exact when the classifier
+    * emits ≤ that many distinct values, an ≤1/buckets-resolution
+    * approximation otherwise) — with it the cardinality entering the
+    * window is ≤ scoreBuckets per group, so even a single global group
+    * (groupCols = Nil) stays cheap. Labels must be exactly 0 or 1; any
+    * other value fails the job (raise_error) rather than silently
+    * skewing the statistic. Groups with no positives or no negatives get
+    * a NULL auc (undefined), with n_pos/n_neg still reported.
+    */
+  def aucByGroup(df: DataFrame, scoreCol: String, labelCol: String,
+                 groupCols: Seq[String], scoreBuckets: Int = 0): DataFrame = {
+    require(scoreBuckets >= 0, s"scoreBuckets must be >= 0, got $scoreBuckets")
+    val g = groupCols.map(col)
+    val s0 = col(scoreCol).cast("double")
+    val sc = if (scoreBuckets > 0) floor(s0 * scoreBuckets) / scoreBuckets else s0
+    val lab = col(labelCol).cast("bigint")
+    val byScore = df
+      .groupBy((g :+ sc.as("__s")): _*)
+      .agg(
+        sum(when(lab === 1L, 1L).otherwise(0L)).as("__np"),
+        sum(when(lab === 0L, 1L).otherwise(0L)).as("__nn"),
+        sum(when(lab === 0L || lab === 1L, 0L).otherwise(1L)).as("__bad"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(col("__s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val contrib = byScore.withColumn("__c",
+      col("__np").cast("double") *
+        (coalesce(sum(col("__nn")).over(w), lit(0L)).cast("double")
+          + lit(0.5) * col("__nn").cast("double")))
+    contrib.groupBy(g: _*)
+      .agg(sum("__c").as("__num"), sum("__np").as("__p"),
+        sum("__nn").as("__n"), sum("__bad").as("__b"))
+      .select(g ++ Seq(
+        when(col("__b") > 0L, raise_error(concat(lit(
+          s"aucByGroup: labelCol '$labelCol' must be 0/1; found "),
+          col("__b"), lit(" other-valued rows in a group"))))
+          .otherwise(when(col("__p") === 0L || col("__n") === 0L, lit(null))
+            .otherwise(col("__num") / (col("__p") * col("__n")).cast("double")))
+          .as("auc"),
+        col("__p").as("n_pos"), col("__n").as("n_neg")): _*)
+  }
+
+  /** Extension (training-data pipeline): reliability buckets for a
+    * probability-calibrated classifier — the per-bin (confidence,
+    * empirical accuracy, count) table behind a reliability diagram and
+    * the Expected Calibration Error (Naeini et al., AAAI'15 — equal-width
+    * binning). Scores must lie in [0,1] (out-of-range rows fail the job);
+    * bin i covers [i/nBins, (i+1)/nBins) with the final bin closed at 1.
+    * Empty bins are absent from the output (count is the weight, so they
+    * carry none). ECE = Σ_i n_i/N·|conf_i − acc_i| is one further
+    * aggregation over the returned frame — left to the caller so the
+    * per-bin table (the thing you plot and slice) stays the primary
+    * artifact.
+    *
+    * Scale shape: one groupBy over ≤ nBins+groups keys with map-side
+    * combine — no window, no sort, one shuffle of O(bins) rows.
+    */
+  def calibrationBuckets(df: DataFrame, scoreCol: String, labelCol: String,
+                         nBins: Int, groupCols: Seq[String] = Nil): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    val s0 = col(scoreCol).cast("double")
+    val lab = col(labelCol).cast("double")
+    val checked = when(s0 < 0.0 || s0 > 1.0, raise_error(concat(
+      lit(s"calibrationBuckets: scoreCol '$scoreCol' out of [0,1]: "),
+      s0.cast("string")))).otherwise(s0)
+    val bin = least(floor(checked * nBins), lit(nBins - 1L)).cast("bigint")
+    val g = groupCols.map(col)
+    df.groupBy((g :+ bin.as("bin")): _*)
+      .agg(count(lit(1)).as("n"),
+        avg(checked).as("confidence"),
+        avg(when(lab === 1.0, 1.0).otherwise(0.0)).as("accuracy"))
+      .withColumn("gap", abs(col("confidence") - col("accuracy")))
+  }
 }

@@ -120,4 +120,59 @@ object History {
       .filter(col("__rn") === 1 && col(opCol) =!= "D")
       .select(sel: _*)
   }
+
+  /** Diff two corpus/table snapshots into a changeset — the inverse of
+    * [[cdcApply]] (cdcApply(old, snapshotDiff(old, new), …) reproduces
+    * `new`): per key, `change` = 'added' (key only in `newDf`), 'removed'
+    * (only in `oldDf`), or 'changed' (present in both with any
+    * `compareCols` value differing, NULL-safe). Unchanged keys — the bulk
+    * of a release-over-release corpus diff — are dropped, so the output
+    * is delta-sized. Emits both sides of every compared column
+    * (`old_<c>` / `<c>`, new-side NULL on removals) so the changeset is
+    * auditable and directly feedable to incremental downstream stages
+    * (re-dedup only 'added'/'changed' docs, retract 'removed' ones from
+    * an index).
+    *
+    * Duplicate keys on either side fail the job (raise_error): a diff
+    * keyed on a non-key silently pairs arbitrary rows, so the guard rides
+    * the same aggregation that pairs the sides — no extra pass.
+    *
+    * Scale shape: ONE hash shuffle of old ∪ new on the keys into a
+    * grouped max-of-struct pair-up (no join, no window, no sort); with
+    * both snapshots bucketed by the key ([[graft.sources.Bucketing]])
+    * even that shuffle disappears.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCols: Seq[String],
+                   compareCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "snapshotDiff needs key columns")
+    require(compareCols.nonEmpty, "snapshotDiff needs compare columns")
+    val sel = (keyCols ++ compareCols).map(col)
+    val tagged = oldDf.select(sel: _*).withColumn("__side", lit(0))
+      .unionByName(newDf.select(sel: _*).withColumn("__side", lit(1)))
+    val side = (s: Int) => sum(when(col("__side") === s, 1L).otherwise(0L))
+    // max() over the side-filtered SINGLE-FIELD STRUCT both dodges
+    // max's null-skipping (a present side with a NULL value is a non-null
+    // struct, distinct from an absent side's NULL struct) and is
+    // deterministic because the guard enforces ≤1 row per (key, side)
+    val aggs = Seq(side(0).as("__no"), side(1).as("__nn")) ++
+      compareCols.flatMap(c => Seq(
+        max(when(col("__side") === 0, struct(col(c)))).as(s"__o_$c"),
+        max(when(col("__side") === 1, struct(col(c)))).as(s"__n_$c")))
+    val g = tagged.groupBy(keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val dupGuard = when(col("__no") > 1L || col("__nn") > 1L,
+      raise_error(concat(lit("snapshotDiff: duplicate key in "),
+        when(col("__no") > 1L, lit("old")).otherwise(lit("new")),
+        lit(" snapshot — keyCols must be unique per side"))))
+    val changed = compareCols.map(c =>
+      not(col(s"__o_$c.$c") <=> col(s"__n_$c.$c"))).reduce(_ || _)
+    val change = when(col("__no") === 0L, lit("added"))
+      .when(col("__nn") === 0L, lit("removed"))
+      .when(changed, lit("changed"))
+    g.withColumn("change", coalesce(dupGuard.cast("string"), change))
+      .filter(col("change").isNotNull)
+      .select(keyCols.map(col) ++ Seq(col("change")) ++
+        compareCols.flatMap(c => Seq(
+          col(s"__o_$c.$c").as(s"old_$c"), col(s"__n_$c.$c").as(c))): _*)
+  }
 }

@@ -1031,4 +1031,44 @@ object Dedup {
       .distinct()
       .filter(col("cosine") >= threshold)
   }
+
+  /** Extension (training-data pipeline): pairwise source-overlap matrix by
+    * exact (normalized) content — "how much of candidate source A is
+    * already inside source B" is the admission question before paying to
+    * curate A into the mixture (a CommonCrawl re-crawl is largely inside
+    * the previous one; a curated subset can be wholly inside the raw dump
+    * it came from). One row per ORDERED source pair (a, b), a ≠ b, that
+    * shares ≥ 1 distinct content key — zero-overlap pairs are absent, so
+    * the output is sparse, never a dense #sources² matrix:
+    * (source_a, source_b, n_a, n_b, n_shared, containment = n_shared/n_a,
+    * jaccard). Per-source totals count DISTINCT content (an internally
+    * duplicated source shouldn't inflate its own denominator).
+    *
+    * Scale shape: rows collapse to distinct (source, key) in one hash
+    * aggregate — `contentKey` defaults to the 16-byte md5 of the
+    * normalized text ([[exact]]'s fingerprint), so hashes shuffle, not
+    * bodies. The pair-up is a self-equi-join on the key whose per-key
+    * fanout is ≤ #sources (bounded and small — this is a per-SOURCE
+    * matrix, not a per-doc join), and the total frames broadcast back
+    * onto the pair counts.
+    */
+  def sourceOverlap(df: DataFrame, textCol: String, sourceCol: String,
+                    contentKey: Option[Column] = None): DataFrame = {
+    val key = contentKey.getOrElse(md5(normText(col(textCol))))
+    val sk = df.select(col(sourceCol).as("source"), key.as("__k")).distinct()
+    val totals = sk.groupBy("source").agg(count(lit(1)).as("n"))
+    val pairs = sk.alias("a")
+      .join(sk.alias("b"), col("a.__k") === col("b.__k") &&
+        col("a.source") =!= col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val ta = broadcast(totals.select(col("source").as("source_a"), col("n").as("n_a")))
+    val tb = broadcast(totals.select(col("source").as("source_b"), col("n").as("n_b")))
+    pairs.join(ta, "source_a").join(tb, "source_b")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_shared"),
+        (col("n_shared").cast("double") / col("n_a")).as("containment"),
+        (col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared"))).as("jaccard"))
+  }
 }

@@ -118,6 +118,31 @@ object Similarity {
         col("__w.__votes").as("n_votes"))
   }
 
+  /** Extension (contrastive-training data prep): hard-negative mining —
+    * for each query vector, the k most-cosine-similar corpus vectors with
+    * a DIFFERENT label (the negatives that sit near the decision
+    * boundary; random negatives are trivially separable and teach a
+    * contrastive/embedding model little). Same execution shape as
+    * [[bruteForceTopK]]: broadcast the query set, one corpus pass, native
+    * bounded-heap top-k — the label inequality filters candidates BEFORE
+    * ranking, so all k slots hold true negatives (no post-rank holes).
+    * Requires `labelCol` on BOTH frames; output (query_id, id, cosine,
+    * rk). At corpus scale feed an ANN shortlist ([[lshTopK]] /
+    * `IvfIndex.topK` with k inflated by the positive rate) through the
+    * same different-label filter + [[graft.operators.Views.topKWithRank]]
+    * — the mining contract is index-agnostic.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, vecCol: String,
+                    idCol: String, queryIdCol: String, labelCol: String,
+                    k: Int): DataFrame = {
+    val scored = corpus.alias("c")
+      .join(broadcast(queries.alias("q")),
+        col(s"q.$labelCol") =!= col(s"c.$labelCol"))
+      .select(col(s"q.$queryIdCol").as("query_id"), col(s"c.$idCol").as("id"),
+        cosine(col(s"q.$vecCol"), col(s"c.$vecCol")).as("cosine"))
+    graft.operators.Views.topKWithRank(scored, "query_id", "cosine", "id", k)
+  }
+
   /** Recall@k of an approximate ANN result against an exact baseline —
     * the evaluation loop for [[lshTopK]]/`IvfIndex.topK` parameter
     * tuning (planes, nprobe, quantization): per query,

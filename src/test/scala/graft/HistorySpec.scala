@@ -119,4 +119,39 @@ class HistorySpec extends SparkTestBase {
       looked.columns.contains("tier_asof"))
     assert(looked.select("tier_asof").first().getString(0) == "bronze")
   }
+
+  test("snapshotDiff: added/removed/changed, NULL-safety, cdcApply inverse, dup guard") {
+    import spark.implicits._
+    val old = Seq(
+      (1L, "a", 10), (2L, "b", 20), (3L, "c", 30), (4L, null.asInstanceOf[String], 40),
+      (5L, "e", 50)
+    ).toDF("id", "txt", "v")
+    val nw = Seq(
+      (1L, "a", 10),                          // unchanged -> dropped
+      (2L, "B", 20),                          // changed (txt)
+      (4L, null.asInstanceOf[String], 40),    // NULL == NULL -> unchanged
+      (5L, "e", 55),                          // changed (v)
+      (6L, "f", 60)                           // added
+    ).toDF("id", "txt", "v")                  // 3 removed
+    val d = History.snapshotDiff(old, nw, Seq("id"), Seq("txt", "v"))
+      .orderBy("id").collect()
+    val byId = d.map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId == Map(2L -> "changed", 3L -> "removed", 5L -> "changed", 6L -> "added"))
+    // both sides of compared columns ride along
+    val r2 = d.find(_.getLong(0) == 2L).get
+    assert(r2.getString(2) == "b" && r2.getString(3) == "B")
+    val r3 = d.find(_.getLong(0) == 3L).get
+    assert(r3.getString(2) == "c" && r3.isNullAt(3) && r3.isNullAt(5))
+    // inverse law: cdcApply(old, diff-as-changes) reproduces new exactly
+    val changes = History.snapshotDiff(old, nw, Seq("id"), Seq("txt", "v"))
+      .select(col("id"), col("txt"), col("v"), lit(1L).as("ts"),
+        when(col("change") === "removed", "D").otherwise("U").as("op"))
+    val rebuilt = History.cdcApply(old, changes, Seq("id"), Seq("txt", "v"), "ts", "op")
+    assert(rebuilt.exceptAll(nw).isEmpty && nw.exceptAll(rebuilt).isEmpty)
+    // duplicate key on a side fails the job
+    val err = intercept[Exception] {
+      History.snapshotDiff(old.union(old.limit(1)), nw, Seq("id"), Seq("txt", "v")).collect()
+    }
+    assert(err.getMessage != null)
+  }
 }

@@ -145,4 +145,77 @@ class MLSpec extends SparkTestBase {
     val bad = m.register(Seq("a", "b").toDF("id"))
     intercept[IllegalArgumentException] { MLSupport.cvKFold(bad, 2, "id", 1) }
   }
+
+  test("aucByGroup: hand-checked values, ties, degenerate and bad-label paths") {
+    import spark.implicits._
+    // perfect separation: pos scores all above neg → AUC 1
+    val perfect = Seq(("a", 0.9, 1), ("a", 0.8, 1), ("a", 0.2, 0), ("a", 0.1, 0),
+      // reversed group: AUC 0
+      ("b", 0.1, 1), ("b", 0.9, 0),
+      // all-tied group: AUC 0.5 by the tie rule
+      ("c", 0.5, 1), ("c", 0.5, 0), ("c", 0.5, 0))
+      .toDF("g", "score", "label")
+    val out = MLSupport.aucByGroup(perfect, "score", "label", Seq("g"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("a") == 1.0 && out("b") == 0.0 && out("c") == 0.5)
+    // matches MLlib's evaluator on a non-trivial mixed set (exact: every
+    // contribution is a multiple of 0.5, both sides compute rank-sums)
+    val mixed = (1 to 200).map { i =>
+      val label = if ((i * 13) % 7 < 3) 1.0 else 0.0
+      val score = ((i * 31) % 17) / 17.0 + label * 0.15
+      (score, label)
+    }.toDF("score", "label")
+    val ours = MLSupport.aucByGroup(mixed, "score", "label", Nil)
+      .collect()(0).getDouble(0)
+    val mllib = {
+      import org.apache.spark.ml.linalg.Vectors
+      val scored = mixed.select(col("label"),
+        org.apache.spark.ml.functions.array_to_vector(
+          array(lit(0.0) - col("score"), col("score"))).as("raw"))
+      MLSupport.rocAuc(scored, "label", "raw")
+    }
+    assert(math.abs(ours - mllib) < 1e-9, s"ours $ours vs mllib $mllib")
+    // single-class group → NULL auc, counts still reported
+    val deg = MLSupport.aucByGroup(
+      Seq(("d", 0.3, 1), ("d", 0.7, 1)).toDF("g", "score", "label"),
+      "score", "label", Seq("g")).collect()(0)
+    assert(deg.isNullAt(1) && deg.getLong(2) == 2 && deg.getLong(3) == 0)
+    // non-0/1 labels fail the job rather than skewing the statistic
+    val err = intercept[Exception] {
+      MLSupport.aucByGroup(Seq(("e", 0.5, 2)).toDF("g", "score", "label"),
+        "score", "label", Seq("g")).collect()
+    }
+    assert(err.getMessage != null)
+    // quantized path: bucketing at 1e4 on 1e-?-grid scores reproduces exact
+    val q = MLSupport.aucByGroup(mixed, "score", "label", Nil, scoreBuckets = 100000)
+      .collect()(0).getDouble(0)
+    assert(math.abs(q - ours) < 2e-3, s"bucketed $q vs exact $ours")
+  }
+
+  test("calibrationBuckets: bin math, perfect calibration, range guard") {
+    import spark.implicits._
+    // scores on an exact binary grid; label drawn so bin accuracy == bin
+    // confidence for a perfectly calibrated column of 0/1 at rate k/8
+    val rows = for (k <- 0 until 8; j <- 0 until 8) yield
+      ((k + 0.5) / 8.0, if (j < k) 1.0 else 0.0)
+    val df = rows.toDF("score", "label")
+    val b = MLSupport.calibrationBuckets(df, "score", "label", 8)
+      .orderBy("bin").collect()
+    assert(b.length == 8)
+    b.zipWithIndex.foreach { case (r, k) =>
+      assert(r.getLong(0) == k && r.getLong(1) == 8)
+      assert(math.abs(r.getDouble(2) - (k + 0.5) / 8.0) < 1e-12)
+      assert(math.abs(r.getDouble(3) - k / 8.0) < 1e-12)
+      assert(math.abs(r.getDouble(4) - 0.5 / 8.0) < 1e-12) // gap = 1/16
+    }
+    // score exactly 1.0 lands in the last (closed) bin
+    val top = MLSupport.calibrationBuckets(
+      Seq((1.0, 1.0)).toDF("score", "label"), "score", "label", 8).collect()(0)
+    assert(top.getLong(0) == 7)
+    // out-of-range score fails the job
+    intercept[Exception] {
+      MLSupport.calibrationBuckets(
+        Seq((1.5, 1.0)).toDF("score", "label"), "score", "label", 8).collect()
+    }
+  }
 }

@@ -1244,4 +1244,49 @@ class PipelineSpec extends SparkTestBase {
       TextAnalysis.encodeTokens(docs, "text", "doc_id", docs)
     }
   }
+
+  test("sourceOverlap: containment and jaccard per ordered pair, sparse zeros") {
+    import spark.implicits._
+    val corpus = Seq(
+      ("A", "doc one"), ("A", "doc two"), ("A", "doc three"), ("A", "doc four"),
+      ("B", "doc one"), ("B", "doc two"), ("B", "only in b"),
+      ("B", "DOC   one"),     // normalizes into "doc one" → distinct-counted once
+      ("C", "nothing shared") // zero-overlap source → absent from output
+    ).toDF("source", "text")
+    val out = Dedup.sourceOverlap(corpus, "text", "source")
+      .orderBy("source_a", "source_b").collect()
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("A", "B"), ("B", "A")))
+    val ab = out(0)
+    // A: 4 distinct, B: 3 distinct (the re-cased dup collapses), shared 2
+    assert(ab.getLong(2) == 4 && ab.getLong(3) == 3 && ab.getLong(4) == 2)
+    assert(math.abs(ab.getDouble(5) - 0.5) < 1e-12)        // 2/4 of A in B
+    assert(math.abs(ab.getDouble(6) - 2.0 / 5.0) < 1e-12)  // 2/(4+3-2)
+    val ba = out(1)
+    assert(math.abs(ba.getDouble(5) - 2.0 / 3.0) < 1e-12)  // 2/3 of B in A
+  }
+
+  test("hardNegatives: every slot a different label, ranked by cosine") {
+    import spark.implicits._
+    // axis-aligned vectors: label 0 along +x with decreasing purity,
+    // label 1 along +y — negatives of the x-query rank by x-component
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.9f, 0.4f), 1),   // hard negative (closest to +x)
+      (3L, Array(0.5f, 0.8f), 1),
+      (4L, Array(0.0f, 1.0f), 1),
+      (5L, Array(0.95f, 0.1f), 0)   // same label → never a negative
+    ).toDF("id", "vec", "label")
+    val queries = corpus.filter(col("id") === 1L)
+      .select(col("id").as("qid"), col("vec"), col("label"))
+    val out = Similarity.hardNegatives(corpus, queries, "vec", "id", "qid",
+        "label", k = 2)
+      .orderBy("rk").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(2L, 3L), "ranked hard→easy")
+    assert(out.map(_.getInt(3)).toSeq == Seq(1, 2))
+    // k larger than the negative pool returns the whole pool, no padding
+    val all = Similarity.hardNegatives(corpus, queries, "vec", "id", "qid",
+      "label", k = 10).collect()
+    assert(all.length == 3 && all.forall(_.getLong(1) != 5L))
+  }
 }
