@@ -3033,6 +3033,14 @@ object SparkEntry {
        |SELECT doc_id AS id, string_agg(piece, ' ' ORDER BY pos) AS bpe_text
        |FROM pieces GROUP BY doc_id ORDER BY id""".stripMargin
   }
+  /** a16's 16×64 ±1 JL matrix as a DuckDB list-of-lists literal —
+    * generated from the SAME signMatrix arithmetic the Spark side uses,
+    * so the oracle needs no hash functions, only the inlined values. */
+  private lazy val a16MatrixSql: String =
+    pipeline.Similarity.signMatrix(64, 16, 7L)
+      .map(_.map(v => if (v > 0) "1" else "-1").mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+
   /** DuckDB expression mirroring Dedup.normText. */
   private def duckNorm(t: String) =
     s"trim(regexp_replace(lower($t), '\\s+', ' ', 'g'))"
@@ -3889,6 +3897,27 @@ object SparkEntry {
               |  JOIN dv b ON a.label != b.label)
               |SELECT query_id, id, round(c, 6) AS cosine, rk FROM scored
               |WHERE rk <= 8 ORDER BY query_id, rk""".stripMargin)),
+
+    Q("a16_random_projection",
+      (s, d) => {
+        val m = mgr(s, d)
+        // JL sign projection 64→16: one codegen'd MatrixProject pass; the
+        // ±1 matrix is reproduced in the oracle as inlined literals from
+        // the same SplitMix64 arithmetic. Both engines fold i ascending.
+        val emb = m.getDDFByName("embeddings").df.filter(col("vec_id") < 50)
+        pipeline.Similarity.randomProject(emb, "embedding", "proj",
+            outDim = 16, seed = 7L)
+          .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "val")))
+          .select(col("vec_id"), col("j"), round(col("val"), 6).as("val"))
+          .orderBy("vec_id", "j")
+      },
+      Some(s"""WITH mt AS (SELECT $a16MatrixSql::DOUBLE[][] AS mat),
+              |m AS (SELECT j - 1 AS j, mat[j] AS mrow
+              |  FROM mt, unnest(range(1, 17)) AS t(j)),
+              |dv AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              |  FROM embeddings WHERE vec_id < 50)
+              |SELECT vec_id, j, round(0.25 * list_dot_product(v, mrow), 6) AS val
+              |FROM dv CROSS JOIN m ORDER BY vec_id, j""".stripMargin)),
 
     Q("d17_source_overlap",
       (s, d) => {

@@ -283,6 +283,113 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** Dense row-vector × literal-matrix projection — out[j] = scale ·
+  * Σ_i matrix(j)(i) · v[i], the execution kernel behind
+  * `Similarity.randomProject` (Johnson–Lindenstrauss sign projection)
+  * and any other fixed linear map small enough to ship as a plan
+  * constant (PCA components, a distilled linear adapter). Follows
+  * [[NearestCentroid]]'s design: the matrix rides the expression as ONE
+  * dim-major `double[]` reference object (no literal-per-row Column
+  * tree, no join), the inner loop is a single generated fused
+  * multiply-add pass. The i-fold is strictly ascending in both the
+  * interpreted and generated paths, so results are bit-identical across
+  * engines that fold ascending (the c02 contract). NULL vector or NULL
+  * element → NULL row.
+  */
+case class MatrixProject(child: Expression, matrix: Array[Array[Double]],
+                         scale: Double)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(matrix.nonEmpty, "matrix_project: need at least one output row")
+  require(matrix.forall(_.length == matrix.head.length),
+    "matrix_project: matrix rows must share one dimensionality")
+
+  override def prettyName: String = "matrix_project"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = child.nullable || childContainsNull
+
+  private def childIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  private def childContainsNull: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(t, _) if t == FloatType || t == DoubleType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects a float/double array, got ${other.simpleString}")
+    }
+
+  private val inDim: Int = matrix.head.length
+  private val outDim: Int = matrix.length
+  private lazy val flat: Array[Double] = {
+    val f = new Array[Double](outDim * inDim)
+    var j = 0
+    while (j < outDim) { System.arraycopy(matrix(j), 0, f, j * inDim, inDim); j += 1 }
+    f
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val isF = childIsFloat; val checkNulls = childContainsNull
+    val n = math.min(a.numElements(), inDim)
+    val out = new Array[Double](outDim)
+    var j = 0
+    while (j < outDim) {
+      var s = 0.0; var i = 0; val off = j * inDim
+      while (i < n) {
+        if (checkNulls && a.isNullAt(i)) return null
+        s += flat(off + i) * (if (isF) a.getFloat(i).toDouble else a.getDouble(i))
+        i += 1
+      }
+      out(j) = s * scale
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (childIsFloat) "getFloat" else "getDouble"
+    val fRef = ctx.addReferenceObj("mpFlat", flat, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val j = ctx.freshName("j"); val i = ctx.freshName("i")
+      val s = ctx.freshName("s"); val off = ctx.freshName("off")
+      val out = ctx.freshName("out")
+      val nullGuard =
+        if (childContainsNull)
+          s"if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
+      val outerBreak =
+        if (childContainsNull) s"if (${ev.isNull}) break;" else ""
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $inDim);
+         |double[] $out = new double[$outDim];
+         |for (int $j = 0; $j < $outDim; $j++) {
+         |  double $s = 0.0; int $off = $j * $inDim;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullGuard
+         |    $s += $fRef[$off + $i] * (double) $a.$get($i);
+         |  }
+         |  $outerBreak
+         |  $out[$j] = $s * $scale;
+         |}
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |    .fromPrimitiveArray($out);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MatrixProject =
+    copy(child = newChild)
+}
+
 /** Session registration so `expr("vector_dot(a,b)")` / SQL can use the
   * native expressions (idempotent per session).
   */

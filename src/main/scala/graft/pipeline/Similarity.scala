@@ -118,6 +118,55 @@ object Similarity {
         col("__w.__votes").as("n_votes"))
   }
 
+  /** Deterministic ±1 sign matrix for [[randomProject]] — SplitMix64 over
+    * (seed, j·inDim+i), pure integer arithmetic, so the SAME matrix is
+    * reproducible anywhere (another session, the DuckDB oracle via
+    * inlined literals) without shipping it.
+    */
+  def signMatrix(inDim: Int, outDim: Int, seed: Long): Array[Array[Double]] = {
+    require(inDim > 0 && outDim > 0, s"dims must be positive, got $inDim→$outDim")
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    Array.tabulate(outDim, inDim)((j, i) =>
+      if ((mix(seed * 0x100000001b3L + j.toLong * inDim + i) & 1L) == 0L) 1.0 else -1.0)
+  }
+
+  /** Extension (ANN scale path): Johnson–Lindenstrauss sign random
+    * projection — reduce an embedding column to `outDim` dims as
+    * out[j] = (1/√outDim) · Σ_i ±1 · v[i], the classic dense-JL map with
+    * Rademacher entries (Achlioptas 2001: ±1 entries preserve pairwise
+    * distances with the same JL guarantee as Gaussians, and the kernel
+    * is pure fused add/subtract). The point at 100 TB: cosine top-k,
+    * LSH bucketing and IVF assignment all cost O(dim) per pair — a
+    * 64→16 projection cuts every downstream similarity stage ~4× (and
+    * the shuffled bytes of the vectors themselves) for a bounded,
+    * measurable recall loss ([[annRecall]] is the eval loop;
+    * [[matryoshkaTruncate]] is the cheaper map when the embedding was
+    * TRAINED nested — this one needs no such training assumption).
+    *
+    * Execution: ONE codegen'd [[graft.functions.MatrixProject]] pass —
+    * the matrix rides the plan as a reference object (reproducible from
+    * (seed, dims) via [[signMatrix]], never persisted), no join, no
+    * shuffle, output built straight into an UnsafeArrayData. Ascending-i
+    * fold → bit-identical cross-engine (a16 oracle).
+    */
+  def randomProject(df: DataFrame, vecCol: String, outCol: String,
+                    outDim: Int, seed: Long = 42L): DataFrame = {
+    val inDim = dimOf(df, vecCol)
+    require(outDim > 0 && outDim <= inDim,
+      s"outDim must be in [1, $inDim], got $outDim")
+    val m = signMatrix(inDim, outDim, seed)
+    val proj = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.MatrixProject(
+        org.apache.spark.sql.graftbridge.Bridge.expression(col(vecCol)),
+        m, 1.0 / math.sqrt(outDim.toDouble)))
+    df.withColumn(outCol, proj)
+  }
+
   /** Extension (contrastive-training data prep): hard-negative mining —
     * for each query vector, the k most-cosine-similar corpus vectors with
     * a DIFFERENT label (the negatives that sit near the decision

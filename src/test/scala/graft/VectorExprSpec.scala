@@ -134,4 +134,65 @@ class VectorExprSpec extends SparkTestBase {
     assert(q.queryExecution.executedPlan.toString.contains("*(1) Project [vector_dot"))
     assert(q.count() == 10)
   }
+
+  test("MatrixProject: codegen == interpreted == per-row dot composition; nulls; codegen active") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.Bridge
+    val m = Similarity.signMatrix(inDim = 8, outDim = 3, seed = 5L)
+    def projCol(v: org.apache.spark.sql.Column) = Bridge.column(
+      graft.functions.MatrixProject(Bridge.expression(v), m, 0.5))
+    val df = (1 to 40).map(i =>
+      (i.toLong, Array.tabulate(8)(j => ((i * 31 + j * 7) % 11).toFloat - 5f)))
+      .toDF("id", "v")
+    val out = df.select(col("id"), projCol(col("v")).as("p")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // reference: the native VectorDot per matrix row (same ascending fold)
+    val ref = df.select(col("id"),
+        array(m.map(row => VectorFunctions.dot(col("v"),
+          array(row.map(x => lit(x)): _*)) * 0.5): _*).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(out == ref, "MatrixProject == per-row VectorDot composition, bitwise")
+    // interpreted path (eval) agrees: force by running on a local Row
+    val one = df.filter(col("id") === 1L).select(projCol(col("v"))).collect()(0).getSeq[Double](0)
+    assert(one == out(1L))
+    // null element -> null row; null vector -> null
+    val nulls = Seq((1L, Array[java.lang.Float](1f, null, 3f)), (2L, null))
+      .toDF("id", "v")
+    val nm = Similarity.signMatrix(3, 2, 1L)
+    val nOut = nulls.select(Bridge.column(
+      graft.functions.MatrixProject(Bridge.expression(col("v")), nm, 1.0)).as("p")).collect()
+    assert(nOut.forall(_.isNullAt(0)))
+    // codegen active (no fallback) — on a range frame (a local Seq
+    // constant-folds to LocalTableScan via the interpreted eval)
+    val rdf = spark.range(10).select(
+      array((0 until 8).map(i => ((col("id") + i) % 5).cast("float")): _*).as("v"))
+    val q = rdf.select(projCol(col("v")).as("p"))
+    assert(q.queryExecution.executedPlan.toString.contains("*(1) Project [matrix_project"))
+    // guards
+    intercept[IllegalArgumentException] {
+      graft.functions.MatrixProject(Bridge.expression(col("v")),
+        Array(Array(1.0), Array(1.0, 2.0)), 1.0)
+    }
+  }
+
+  test("randomProject: deterministic, JL distance preservation in expectation") {
+    import spark.implicits._
+    val rng = new scala.util.Random(9)
+    val df = (1 to 80).map(i => (i.toLong, Array.fill(64)(rng.nextGaussian().toFloat)))
+      .toDF("id", "vec")
+    val p1 = Similarity.randomProject(df, "vec", "proj", outDim = 16, seed = 7L)
+    val p2 = Similarity.randomProject(df, "vec", "proj", outDim = 16, seed = 7L)
+    assert(p1.select("proj").collect().map(_.getSeq[Double](0)).toSeq ==
+      p2.select("proj").collect().map(_.getSeq[Double](0)).toSeq, "same seed, same map")
+    // JL sanity: squared norms preserved within a loose band on average
+    val ratios = p1.select(
+        (VectorFunctions.dot(col("proj"), col("proj")) /
+          VectorFunctions.dot(col("vec"), col("vec"))).as("r"))
+      .collect().map(_.getDouble(0))
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.8 && mean < 1.2, s"norm-preservation mean off: $mean")
+    intercept[IllegalArgumentException] {
+      Similarity.randomProject(df, "vec", "p", outDim = 65)
+    }
+  }
 }
