@@ -231,6 +231,42 @@ object ScaleSmoke {
           "l_quantity", Map.empty, defBud, colossalThreshold = threshold)
           .agg(sum(length(col("payload")))).first().getLong(0)
       Seq(
+        // r14 batch-3: release diff, source admission, classifier eval,
+        // JL projection
+        "snapshot_diff(c15)" -> (() => {
+          // two releases derived from the same blown corpus (drop %5 /
+          // revise %11 on the new side) — output stays delta-sized
+          val old = d.filter(col("doc_id") % 7 =!= 0).select("doc_id", "text")
+          val nw = d.filter(col("doc_id") % 5 =!= 0).select(col("doc_id"),
+            when(col("doc_id") % 11 === 0, concat(col("text"), lit(" [v2]")))
+              .otherwise(col("text")).as("text"))
+          graft.operators.History.snapshotDiff(old, nw,
+            Seq("doc_id"), Seq("text")).count()
+        }),
+        "source_overlap(d17)" -> (() => {
+          // production shape: corpus grows with f, source count doesn't
+          // (20 + the aggregator that re-tags a quarter of every replica)
+          val base = d.select(
+            concat(lit("src"), pmod(col("doc_id"), lit(20)).cast("string"))
+              .as("source"), col("text"))
+          val aug = base.unionByName(d.filter(col("doc_id") % 4 === 0)
+            .select(lit("crawl_dup").as("source"), col("text")))
+          graft.pipeline.Dedup.sourceOverlap(aug, "text", "source").count()
+        }),
+        "auc_by_group(ml09)" -> (() => {
+          // 200k·f scored rows, 32 groups, 1000 distinct quantized scores:
+          // the ordering window runs over ≤1000 rows/group at ANY f
+          val scored = spark.range(200000L * f).select(
+            pmod(col("id"), lit(32)).as("g"),
+            (pmod(col("id") * 2654435761L, lit(1000)) / lit(1000.0)).as("score"),
+            pmod(col("id") * 31L, lit(2)).cast("int").as("label"))
+          graft.ml.MLSupport.aucByGroup(scored, "score", "label", Seq("g")).count()
+        }),
+        "random_project(a16)" -> (() => {
+          // the filter CONSUMES proj — a bare count would prune the kernel
+          graft.pipeline.Similarity.randomProject(e, "embedding", "proj", 16)
+            .filter(element_at(col("proj"), 1).isNotNull).count()
+        }),
         "minhash_dedup(d02)" -> (() =>
           graft.pipeline.Dedup.minhashDedup(d, "text", "doc_id", threshold = 0.5).count()),
         "incr_minhash(d11)" -> (() => {
