@@ -128,7 +128,11 @@ object Bench {
     // corpus-order n-gram novelty (t22's hashed-key twin: the postings
     // shuffle with 8-byte keys is the 100 TB path) and the int8-
     // shortlist IVF search (the memory-tiered ANN shape)
-    "t23_ngram_novelty_fast", "a11_ivf_int8_rerank")
+    "t23_ngram_novelty_fast", "a11_ivf_int8_rerank",
+    // round 14 (this session): one representative per new family — the
+    // release-over-release snapshot diff (union + max-of-struct, the
+    // cdcApply inverse) and the distinct-score-windowed per-group AUC
+    "c15_snapshot_diff", "ml09_auc_by_group")
 
   // the sf1 subset: the scan/join/agg spine (TPC-H) + the dedup family +
   // vocabulary ranking + brute ANN — the operators whose 100 TB story the
