@@ -1388,6 +1388,51 @@ object SparkEntry {
              |    count(*)::BIGINT FROM lineitem
              |) ORDER BY rule""".stripMargin)),
 
+    Q("v02_vector_validate",
+      (s, d) => {
+        val m = mgr(s, d)
+        // embedding publish gate: dimension drift / NaN poisoning /
+        // zero vectors, planted deterministically (every 97th vec gets a
+        // NaN head, every 89th is truncated to dim 3, every 83rd zeroed;
+        // the when-chain precedence mirrors the oracle's CASE)
+        import operators.Validate
+        val aug = m.getDDFByName("embeddings").df.select(col("vec_id"),
+          when(col("vec_id") % 97 === 0,
+            concat(array(lit(Float.NaN)), slice(col("embedding"), 2, 63)))
+            .when(col("vec_id") % 89 === 0, slice(col("embedding"), 1, 3))
+            .when(col("vec_id") % 83 === 0,
+              transform(col("embedding"), _ => lit(0.0f)))
+            .otherwise(col("embedding")).as("embedding"))
+        Validate.report(aug, Seq(
+          Validate.vectorDim("embedding", 64),
+          Validate.vectorFinite("embedding"),
+          Validate.vectorNonZero("embedding"))).orderBy("rule")
+      },
+      Some("""WITH aug AS (SELECT vec_id,
+             |    CASE WHEN vec_id % 97 = 0
+             |           THEN list_concat(['NaN'::FLOAT], embedding[2:64])
+             |         WHEN vec_id % 89 = 0 THEN embedding[1:3]
+             |         WHEN vec_id % 83 = 0
+             |           THEN list_transform(embedding, x -> 0.0::FLOAT)
+             |         ELSE embedding END AS embedding
+             |  FROM embeddings)
+             |SELECT * FROM (
+             |  SELECT 'vector_dim(embedding,64)' AS rule,
+             |    sum(CASE WHEN embedding IS NULL OR len(embedding) != 64
+             |             THEN 1 ELSE 0 END)::BIGINT AS violations,
+             |    count(*)::BIGINT AS checked FROM aug
+             |  UNION ALL
+             |  SELECT 'vector_finite(embedding)',
+             |    sum(CASE WHEN embedding IS NULL OR len(list_filter(embedding,
+             |             x -> isnan(x) OR isinf(x))) > 0 THEN 1 ELSE 0 END)::BIGINT,
+             |    count(*)::BIGINT FROM aug
+             |  UNION ALL
+             |  SELECT 'vector_nonzero(embedding)',
+             |    sum(CASE WHEN embedding IS NULL OR len(list_filter(embedding,
+             |             x -> x != 0)) = 0 THEN 1 ELSE 0 END)::BIGINT,
+             |    count(*)::BIGINT FROM aug
+             |) ORDER BY rule""".stripMargin)),
+
     Q("iv01_incremental_agg",
       (s, d) => {
         val m = mgr(s, d)
@@ -4660,6 +4705,32 @@ object SparkEntry {
              |             OR epoch_ms(ts) - epoch_ms(prev) > 1800000 THEN 1 END) AS n_sessions,
              |  count(*) AS total_events
              |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    Q("e06_temporal_split",
+      (s, d) => {
+        // entity-level purged temporal split: each USER lands wholly in
+        // train/embargo/test by their FIRST event vs the cutoff (noon
+        // Jan 1), 6 h embargo band dropped from both sides — the
+        // leakage-safe eval prep for serially-correlated events
+        operators.TimeSeries.entityTemporalSplit(loadEvents(s, d),
+            "user_id", "ts",
+            java.sql.Timestamp.valueOf("2024-01-01 12:00:00"),
+            embargoMs = 6L * 3600 * 1000)
+          .groupBy("split", "event_type")
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy("split", "event_type")
+      },
+      Some("""WITH f AS (SELECT user_id, min(ts) AS ft FROM events GROUP BY 1),
+             |lab AS (SELECT user_id,
+             |    CASE WHEN ft < TIMESTAMP '2024-01-01 06:00:00' THEN 'train'
+             |         WHEN ft < TIMESTAMP '2024-01-01 12:00:00' THEN 'embargo'
+             |         ELSE 'test' END AS split
+             |  FROM f)
+             |SELECT split, event_type, count(*)::BIGINT AS n,
+             |  count(DISTINCT e.user_id)::BIGINT AS n_users
+             |FROM events e JOIN lab USING (user_id)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     Q("u02_mapreduce",
       (s, d) => {

@@ -209,4 +209,38 @@ object TimeSeries {
         col(s"r$i").as("reached"))
     }: _*)).as("f")).select("f.step_idx", "f.step", "f.reached")
   }
+
+  /** Extension (leakage-safe eval prep): ENTITY-level temporal split with
+    * an embargo band — label every row 'train' / 'test' / 'embargo' by
+    * its ENTITY's FIRST event time vs the cutoff, so one entity's rows
+    * never straddle the boundary (a row-level `ts < cutoff` split leaks
+    * entity-level signal: the same user's later behavior sits in test
+    * while their earlier rows train the model). The embargo band
+    * (`embargoMs` before the cutoff) is dropped from BOTH sides — the
+    * purged-split discipline for serially-correlated data (de Prado,
+    * "Advances in Financial Machine Learning" ch. 7): entities whose
+    * history begins just before the cutoff have test-period-correlated
+    * training rows. Entities with a NULL first-ts (all-null timestamps)
+    * land in 'embargo' — excluded from both sides rather than silently
+    * trained on. The time twin of the cluster-aware content split
+    * (`Dedup.leakageSafeSplit`, c05).
+    *
+    * Scale shape: one map-side-combined min-ts aggregate (output =
+    * O(entities)) joined back on the entity key — broadcasts when
+    * entities fit, hash-partitions otherwise; no window, no sort.
+    */
+  def entityTemporalSplit(df: DataFrame, entityCol: String, tsCol: String,
+                          cutoff: java.sql.Timestamp,
+                          embargoMs: Long = 0L): DataFrame = {
+    require(embargoMs >= 0L, s"embargoMs must be >= 0, got $embargoMs")
+    val embargoStart = new java.sql.Timestamp(cutoff.getTime - embargoMs)
+    val firstTs = df.groupBy(col(entityCol))
+      .agg(min(col(tsCol)).as("__first_ts"))
+      .select(col(entityCol),
+        when(col("__first_ts").isNull, lit("embargo"))
+          .when(col("__first_ts") < lit(embargoStart), lit("train"))
+          .when(col("__first_ts") < lit(cutoff), lit("embargo"))
+          .otherwise(lit("test")).as("split"))
+    df.join(firstTs, Seq(entityCol))
+  }
 }

@@ -44,6 +44,27 @@ object Validate {
   def oneOf(c: String, values: Seq[String]): RowRule =
     RowRule(s"one_of($c)", col(c).isNull || !col(c).isInCollection(values))
 
+  /** Embedding-column gates (extension): the pre-index publish checks an
+    * embedding pipeline needs — dimension drift (a model/version switch
+    * upstream), non-finite elements (NaN/±Inf poison every dot product
+    * downstream, silently under IEEE), and all-zero vectors (cosine 0
+    * against everything; usually an upstream encode failure). RowRules,
+    * so they ride [[report]]'s single scan and [[flag]]'s zero-shuffle
+    * projection. NULL vectors violate each rule (the [[notNull]]
+    * convention of inRange/oneOf). The element predicates are HOF
+    * `exists` — interpreted, fine for a once-per-publish gate; the hot
+    * similarity math stays on the native codegen'd expressions.
+    */
+  def vectorDim(c: String, dim: Int): RowRule =
+    RowRule(s"vector_dim($c,$dim)",
+      col(c).isNull || size(col(c)) =!= dim)
+  def vectorFinite(c: String): RowRule =
+    RowRule(s"vector_finite($c)", col(c).isNull ||
+      exists(col(c), x => isnan(x) || abs(x) === lit(Float.PositiveInfinity)))
+  def vectorNonZero(c: String): RowRule =
+    RowRule(s"vector_nonzero($c)", col(c).isNull ||
+      !exists(col(c), x => x =!= 0.0))
+
   /** Per-rule violation counts: (rule, violations, checked). All row
     * rules share one aggregate job; each set rule adds one job.
     */

@@ -240,4 +240,35 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(none.map(r => (r.getInt(0), r.getLong(2))).toSeq ==
       Seq((1, 0L), (2, 0L)))
   }
+
+  test("entityTemporalSplit: whole entities per side, embargo band, null first-ts") {
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1 first appears well before the cutoff → ALL rows train,
+      // including the one after the cutoff (entity-level, not row-level)
+      (1L, t("2024-01-01 01:00:00")), (1L, t("2024-01-01 13:00:00")),
+      // user 2 first appears inside the 2 h embargo band [10:00, 12:00)
+      (2L, t("2024-01-01 11:00:00")), (2L, t("2024-01-01 14:00:00")),
+      // user 3 first appears after the cutoff → test
+      (3L, t("2024-01-01 12:00:00")),
+      // user 4: all-null timestamps → embargo (excluded, not trained on)
+      (4L, null.asInstanceOf[Timestamp])
+    ).toDF("user_id", "ts")
+    val out = TimeSeries.entityTemporalSplit(ev, "user_id", "ts",
+        t("2024-01-01 12:00:00"), embargoMs = 2L * 3600 * 1000)
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(out.count(_ == (1L, "train")) == 2, "user 1 wholly in train")
+    assert(out.count(_ == (2L, "embargo")) == 2)
+    assert(out.contains((3L, "test")) && out.contains((4L, "embargo")))
+    assert(out.length == 6, "every non-null-entity row labeled exactly once")
+    // zero embargo: boundary row (first ts == cutoff) is test, just-before is train
+    val z = TimeSeries.entityTemporalSplit(ev, "user_id", "ts",
+        t("2024-01-01 12:00:00"))
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(z.contains((2L, "train")) && z.contains((3L, "test")))
+    intercept[IllegalArgumentException](
+      TimeSeries.entityTemporalSplit(ev, "user_id", "ts",
+        t("2024-01-01 12:00:00"), embargoMs = -1))
+  }
 }

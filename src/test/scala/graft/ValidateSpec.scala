@@ -65,4 +65,28 @@ class ValidateSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(rep.values.forall(_ == 0L))
   }
+
+  test("vector rules: dim drift, NaN/Inf, zero and NULL vectors") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 2.0f)),                       // clean
+      (2L, Array(1.0f, 2.0f, 3.0f)),                 // wrong dim
+      (3L, Array(Float.NaN, 1.0f)),                  // NaN
+      (4L, Array(Float.NegativeInfinity, 1.0f)),     // -Inf (abs catches)
+      (5L, Array(0.0f, -0.0f)),                      // all-zero (±0)
+      (6L, null.asInstanceOf[Array[Float]])          // NULL violates all
+    ).toDF("id", "v")
+    val rep = Validate.report(vecs, Seq(
+      Validate.vectorDim("v", 2), Validate.vectorFinite("v"),
+      Validate.vectorNonZero("v")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep("vector_dim(v,2)") == 2, s"dim: $rep")        // rows 2, 6
+    assert(rep("vector_finite(v)") == 3, s"finite: $rep")    // rows 3, 4, 6
+    assert(rep("vector_nonzero(v)") == 2, s"nonzero: $rep")  // rows 5, 6
+    // flag routes the dirty rows without a shuffle
+    val flagged = Validate.flag(vecs, Seq(Validate.vectorFinite("v")))
+      .filter(size(col("failed_rules")) > 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(3L, 4L, 6L))
+  }
 }
