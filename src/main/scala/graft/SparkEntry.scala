@@ -1267,6 +1267,25 @@ object SparkEntry {
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY key""".stripMargin)),
 
+    Q("u04_index_encode",
+      (s, d) => {
+        val m = mgr(s, d)
+        // frequency-ranked categorical ids (StringIndexer's frequencyDesc
+        // contract, no fitted model): id 0 = most frequent, ties by value
+        operators.Transforms.indexEncode(m.getDDFByName("orders"),
+            "o_orderpriority", "prio_id").df
+          .groupBy("o_orderpriority", "prio_id")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("prio_id")
+      },
+      Some("""WITH c AS (SELECT o_orderpriority, count(*) AS n FROM orders
+             |  WHERE o_orderpriority IS NOT NULL GROUP BY 1)
+             |SELECT o_orderpriority,
+             |  (row_number() OVER (ORDER BY n DESC, o_orderpriority) - 1)::BIGINT
+             |    AS prio_id,
+             |  n::BIGINT AS n
+             |FROM c ORDER BY prio_id""".stripMargin)),
+
     Q("q88_window_distribution",
       (s, d) => {
         val m = mgr(s, d)
@@ -2400,6 +2419,65 @@ object SparkEntry {
              |FROM lineitem l JOIN b USING (l_returnflag)
              |WHERE l.l_extendedprice >= b.cut
              |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin)),
+
+    Q("q98_weighted_summary",
+      (s, d) => {
+        val m = mgr(s, d)
+        // post-soft-dedup stats: rows carry fractional multiplicities
+        // (here an arithmetic half-step weight — every w is an exact
+        // binary fraction, so the weighted sums are order-independent)
+        val li = m.getDDFByName("lineitem").df
+          .withColumn("w", ((col("l_orderkey") % 5) + 1) / lit(2.0))
+        Stats.weightedSummary(li, "w", Seq("l_quantity", "l_discount"))
+          .select(col("column"), col("n"),
+            round(col("w_total"), 6).as("w_total"),
+            round(col("w_mean"), 6).as("w_mean"),
+            round(col("w_var"), 6).as("w_var"),
+            round(col("min"), 6).as("min"), round(col("max"), 6).as("max"))
+          .orderBy("column")
+      },
+      Some("""WITH t AS (SELECT ((l_orderkey % 5) + 1) / 2.0 AS w,
+             |    l_quantity AS q, l_discount AS dc FROM lineitem)
+             |SELECT * FROM (
+             |  SELECT 'l_quantity' AS "column", count(q)::BIGINT AS n,
+             |    round(sum(w), 6) AS w_total,
+             |    round(sum(w * q) / sum(w), 6) AS w_mean,
+             |    round(sum(w * q * q) / sum(w)
+             |          - (sum(w * q) / sum(w)) * (sum(w * q) / sum(w)), 6) AS w_var,
+             |    round(min(q), 6) AS min, round(max(q), 6) AS max FROM t
+             |  UNION ALL
+             |  SELECT 'l_discount', count(dc)::BIGINT,
+             |    round(sum(w), 6),
+             |    round(sum(w * dc) / sum(w), 6),
+             |    round(sum(w * dc * dc) / sum(w)
+             |          - (sum(w * dc) / sum(w)) * (sum(w * dc) / sum(w)), 6),
+             |    round(min(dc), 6), round(max(dc), 6) FROM t
+             |) ORDER BY "column"""".stripMargin)),
+
+    Q("q99_robust_scale",
+      (s, d) => {
+        val m = mgr(s, d)
+        // median/IQR scaling (exact percentile path for oracle parity;
+        // the corpus default is the mergeable percentile_approx sketch).
+        // l_quantity's integral grid makes the interpolated quartiles
+        // exact in both engines.
+        val slim = m.getDDFByName("lineitem").derive(
+          m.getDDFByName("lineitem").df
+            .select("l_orderkey", "l_linenumber", "l_quantity"))
+        operators.Transforms.scaleRobust(slim,
+            Seq("l_quantity"), exact = true).df
+          .select(col("l_orderkey"), col("l_linenumber"),
+            round(col("l_quantity"), 6).as("l_quantity"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""WITH b AS (SELECT quantile_cont(l_quantity, 0.5) AS med,
+             |    quantile_cont(l_quantity, 0.75) - quantile_cont(l_quantity, 0.25)
+             |      AS iqr FROM lineitem)
+             |SELECT l_orderkey, l_linenumber,
+             |  round(CASE WHEN iqr = 0 THEN 0.0
+             |             ELSE (l_quantity - med) / iqr END, 6) AS l_quantity
+             |FROM lineitem, b
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
     Q("q53_drop_outliers",
       (s, d) => {

@@ -59,6 +59,57 @@ object Transforms {
       if (sd == 0.0 || sd.isNaN) lit(0.0) else (col(c).cast(DoubleType) - mu) / sd
     }(c => Seq(avg(col(c)).cast(DoubleType).as(s"${c}__a"), stddev_samp(col(c)).as(s"${c}__b")))
 
+  /** Robust (median/IQR) scale — the outlier-immune twin of
+    * [[scaleStandard]] (sklearn RobustScaler semantics: (x − median) ÷
+    * (q3 − q1)). Heavy tails and sentinel junk move mean/stddev
+    * arbitrarily far but barely move rank statistics, so this is the
+    * scaler for quality-signal columns feeding gates and classifiers.
+    * Default rides the mergeable `percentile_approx` t-digest — ONE
+    * partial-agg pass like the other scalers, the 100 TB path;
+    * `exact = true` uses exact `percentile` (small data / oracle
+    * parity). IQR 0 (constant-ish column) → 0.0, the scaleStandard
+    * convention.
+    */
+  def scaleRobust(ddf: DDF, cols: Seq[String] = Nil, exact: Boolean = false): DDF =
+    scaleWith(ddf, cols) { (c, stats) =>
+      val (med, iqr) = (stats(s"${c}__a"), stats(s"${c}__b"))
+      if (iqr == 0.0 || iqr.isNaN) lit(0.0)
+      else (col(c).cast(DoubleType) - med) / iqr
+    }(c => {
+      val pct = if (exact) "percentile" else "percentile_approx"
+      Seq(expr(s"$pct(`$c`, 0.5)").cast(DoubleType).as(s"${c}__a"),
+        (expr(s"$pct(`$c`, 0.75)") - expr(s"$pct(`$c`, 0.25)"))
+          .cast(DoubleType).as(s"${c}__b"))
+    })
+
+  /** Deterministic categorical index encoding — StringIndexer's
+    * frequencyDesc contract (id 0 = most frequent category) without the
+    * fitted-model object: id = rank by (count DESC, value ASC), assigned
+    * via distributed sort + zipWithIndex over the DISTINCT-category
+    * frame (never a single-task window — the t14 vocabulary-ranking
+    * mechanism; ranking cost is O(categories), not O(rows)). NULL
+    * categories keep a NULL id (compose notNull / fillNA upstream).
+    * The id map joins back onto the rows — broadcast when it fits.
+    */
+  def indexEncode(ddf: DDF, c: String, outCol: String): DDF = {
+    require(ddf.df.columns.contains(c), s"indexEncode: no column '$c'")
+    require(!ddf.df.columns.contains(outCol),
+      s"indexEncode: output column '$outCol' already exists")
+    val counts = ddf.df.filter(col(c).isNotNull)
+      .groupBy(col(c).as("__cat")).agg(count(lit(1)).as("__n"))
+    val catType = ddf.df.schema(c).dataType
+    val rdd = counts.sort(desc("__n"), asc("__cat")).select("__cat")
+      .rdd.zipWithIndex()
+      .map { case (r, i) => Row(r.get(0), i) }
+    val ids = ddf.spark.createDataFrame(rdd,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__cat", catType),
+        org.apache.spark.sql.types.StructField(outCol,
+          org.apache.spark.sql.types.LongType))))
+    val out = ddf.df.join(ids, ddf.df(c) === ids("__cat"), "left").drop("__cat")
+    ddf.updateOrDerive(out)
+  }
+
   private def scaleWith(ddf: DDF, cols: Seq[String])(
       rewrite: (String, Map[String, Double]) => org.apache.spark.sql.Column)(
       aggsFor: String => Seq[org.apache.spark.sql.Column]): DDF = {

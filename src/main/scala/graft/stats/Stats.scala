@@ -195,6 +195,51 @@ object Stats {
     SimpleSummary(ranges, levels)
   }
 
+  /** Extension (training-data pipeline): weighted column summary — the
+    * stats pass AFTER soft-dedup / importance weighting, where every row
+    * carries a fractional multiplicity (`Dedup.softDedupWeights`,
+    * `Dsir.importanceWeights`-derived sampling weights) and an unweighted
+    * mean would re-inflate exactly the duplication the weights removed.
+    * Frequency-weight semantics: w_mean = Σw·x/Σw, w_var = Σw·x²/Σw −
+    * w_mean² (population form — weights are fractional copies, not
+    * reliability weights). Rows with NULL x contribute nothing to that
+    * column (their weight is excluded from its Σw); min/max are
+    * unweighted by definition. Negative weights fail the job loudly —
+    * they'd silently poison every moment. One aggregate pass for ALL
+    * columns (the [[summaryOf]] shape); output one row per column:
+    * (column, n, w_total, w_mean, w_var, min, max).
+    */
+  def weightedSummary(df: DataFrame, weightCol: String,
+                      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "weightedSummary: need at least one column")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = col(weightCol).cast(DoubleType)
+    val aggs = coalesce(sum(when(w < 0.0, 1L).otherwise(0L)), lit(0L)).as("__neg") +:
+      cols.flatMap { c =>
+        val x = col(c).cast(DoubleType)
+        val wx = when(x.isNotNull, w)
+        Seq(count(x).as(s"${c}__n"),
+          coalesce(sum(wx), lit(0.0)).as(s"${c}__wt"),
+          sum(wx * x).as(s"${c}__wx"),
+          sum(wx * x * x).as(s"${c}__wxx"),
+          min(x).as(s"${c}__mn"), max(x).as(s"${c}__mx"))
+      }
+    val row = df.agg(aggs.head, aggs.tail: _*).first()
+    require(row.getLong(0) == 0L,
+      s"weightedSummary: ${row.getLong(0)} rows carry a negative '$weightCol'")
+    def d(i: Int): Option[Double] = if (row.isNullAt(i)) None else Some(row.getDouble(i))
+    val out = cols.zipWithIndex.map { case (c, j) =>
+      val b = 1 + j * 6
+      val wt = row.getDouble(b + 1)
+      val mean = if (wt == 0.0) None else d(b + 2).map(_ / wt)
+      val vr = for { m <- mean; sxx <- d(b + 3) }
+        yield math.max(0.0, sxx / wt - m * m)
+      (c, row.getLong(b), wt, mean, vr, d(b + 4), d(b + 5))
+    }
+    out.toDF("column", "n", "w_total", "w_mean", "w_var", "min", "max")
+  }
+
   /** Factor level counts for many columns in ONE pass (SURVEY T9;
     * reference: GetMultiFactor mapPartition+HashMap merge,
     * SchemaHandler.scala:90-185): explode (column, value) pairs then a

@@ -188,6 +188,47 @@ class OperatorsSpec extends SparkTestBase {
     assert(math.abs(st) < 1e-12)
   }
 
+  test("scaleRobust: median/IQR semantics, outlier immunity, constant column") {
+    import spark.implicits._
+    // 1..9 plus a wild outlier: median 5.5 shifts little, IQR stays put —
+    // unlike z-scoring, the outlier can't crush the inliers' spread
+    val vals = (1 to 9).map(_.toDouble) :+ 1.0e6
+    val out = Transforms.scaleRobust(m.register(vals.toDF("x")),
+        Seq("x"), exact = true)
+      .df.collect().map(_.getDouble(0)).sorted
+    // exact quartiles of the 10 values: q1=3.25, med=5.5, q3=7.75, iqr=4.5
+    assert(math.abs(out(0) - (1.0 - 5.5) / 4.5) < 1e-12)
+    assert(math.abs(out(8) - (9.0 - 5.5) / 4.5) < 1e-12)
+    // inliers stay O(1) even with the 1e6 outlier present
+    assert(out.take(9).forall(v => math.abs(v) < 2.0))
+    // constant column → 0.0 (the scaleStandard convention)
+    val const = Transforms.scaleRobust(m.register(Seq(7.0, 7.0, 7.0).toDF("x")),
+      Seq("x"), exact = true).df.collect().map(_.getDouble(0))
+    assert(const.forall(_ == 0.0))
+    // approx path lands within sketch tolerance of exact on smooth data
+    val big = m.register((1 to 10000).map(_.toDouble).toDF("x"))
+    val approx = Transforms.scaleRobust(big, Seq("x")).df
+      .agg(org.apache.spark.sql.functions.max("x")).first().getDouble(0)
+    assert(math.abs(approx - 1.0) < 0.05, s"approx max scaled: $approx")
+  }
+
+  test("indexEncode: frequencyDesc ids, value tie-break, NULL passthrough") {
+    import spark.implicits._
+    val ddf = m.register(Seq("b", "b", "b", "a", "a", "c", "a", null)
+      .toDF("cat"))
+    val out = Transforms.indexEncode(ddf, "cat", "cat_id").df
+      .collect().map(r => Option(r.getString(0)) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1)))
+    val byCat = out.toMap
+    assert(byCat(Some("a")) == 0L, "a (3 occurrences, ties b, wins by value)")
+    assert(byCat(Some("b")) == 1L && byCat(Some("c")) == 2L)
+    assert(byCat(None) == -1L, "NULL category keeps a NULL id")
+    assert(out.length == 8, "every row labeled exactly once")
+    intercept[IllegalArgumentException] {
+      Transforms.indexEncode(ddf, "cat", "cat") // output collides
+    }
+  }
+
   test("transformUDF adds computed column (reference P9)") {
     import spark.implicits._
     val ddf = m.register(Seq((2, 3)).toDF("a", "b"))

@@ -390,4 +390,34 @@ class StatsSpec extends SparkTestBase {
     val withNull = Seq(Some("a"), Some("b"), None).toDF("k")
     assert(Stats.categoricalDrift(withNull, withNull, "k").count() == 2)
   }
+
+  test("weightedSummary: frequency-weight moments, NULL exclusion, negative-weight guard") {
+    import spark.implicits._
+    // weights are integer multiplicities here, so the weighted stats must
+    // equal the UNweighted stats of the physically-replicated frame
+    val rows = Seq((2.0, 1.0), (4.0, 3.0), (10.0, 2.0))
+    val df = rows.toDF("x", "w")
+    val out = Stats.weightedSummary(df, "w", Seq("x")).collect()(0)
+    val expanded = rows.flatMap { case (x, w) => Seq.fill(w.toInt)(x) }
+    val em = expanded.sum / expanded.size
+    val ev = expanded.map(v => (v - em) * (v - em)).sum / expanded.size
+    assert(out.getString(0) == "x" && out.getLong(1) == 3)
+    assert(out.getDouble(2) == 6.0)                        // w_total
+    assert(math.abs(out.getDouble(3) - em) < 1e-12)        // w_mean
+    assert(math.abs(out.getDouble(4) - ev) < 1e-12)        // w_var (population)
+    assert(out.getDouble(5) == 2.0 && out.getDouble(6) == 10.0)
+    // a NULL x row contributes neither value nor weight to that column
+    val withNull = Seq((Some(2.0), 1.0), (None, 100.0), (Some(4.0), 1.0))
+      .toDF("x", "w")
+    val n = Stats.weightedSummary(withNull, "w", Seq("x")).collect()(0)
+    assert(n.getLong(1) == 2 && n.getDouble(2) == 2.0 && n.getDouble(3) == 3.0)
+    // all-null column: NULL moments, zero weight, no crash
+    val allNull = Seq((None: Option[Double], 1.0)).toDF("x", "w")
+    val an = Stats.weightedSummary(allNull, "w", Seq("x")).collect()(0)
+    assert(an.getLong(1) == 0 && an.getDouble(2) == 0.0 && an.isNullAt(3))
+    // negative weights fail the job loudly
+    intercept[IllegalArgumentException] {
+      Stats.weightedSummary(Seq((1.0, -0.5)).toDF("x", "w"), "w", Seq("x"))
+    }
+  }
 }
