@@ -2479,6 +2479,46 @@ object SparkEntry {
              |FROM lineitem, b
              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
+    Q("q100_percentile_blend",
+      (s, d) => {
+        val m = mgr(s, d)
+        // multi-signal quality ensembling: rank-normalize two signals to
+        // [0,1] percentile space (window-free midrank ECDF over distinct
+        // values) and average — every rank is an exact rational
+        val li = m.getDDFByName("lineitem").df
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        Stats.percentileRank(li, Seq("l_quantity", "l_extendedprice"))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            round(col("l_quantity_pr"), 7).as("q_pr"),
+            round(col("l_extendedprice_pr"), 7).as("p_pr"),
+            // round 7, not 6: at this table's rank denominators a
+            // 7-decimal tie is arithmetically impossible (10^7·x =
+            // n·(2m+1) has no integer solution for n = 2·|lineitem|),
+            // while a 6-decimal tie occurred and flipped engines
+            round((col("l_quantity_pr") + col("l_extendedprice_pr")) / 2, 7)
+              .as("blend"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""WITH q AS (SELECT l_quantity AS v, count(*) AS k FROM lineitem
+             |    WHERE l_quantity IS NOT NULL GROUP BY 1),
+             |qr AS (SELECT v,
+             |    (coalesce(sum(k) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+             |       PRECEDING AND 1 PRECEDING), 0) + 0.5 * k)
+             |      / (sum(k) OVER ()) AS pr FROM q),
+             |p AS (SELECT l_extendedprice AS v, count(*) AS k FROM lineitem
+             |    WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+             |pr2 AS (SELECT v,
+             |    (coalesce(sum(k) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+             |       PRECEDING AND 1 PRECEDING), 0) + 0.5 * k)
+             |      / (sum(k) OVER ()) AS pr FROM p)
+             |SELECT l.l_orderkey, l.l_linenumber,
+             |  round(qr.pr, 7) AS q_pr, round(pr2.pr, 7) AS p_pr,
+             |  round((qr.pr + pr2.pr) / 2, 7) AS blend
+             |FROM lineitem l
+             |JOIN qr ON l.l_quantity = qr.v
+             |JOIN pr2 ON l.l_extendedprice = pr2.v
+             |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin)),
+
     Q("q53_drop_outliers",
       (s, d) => {
         val m = mgr(s, d)
@@ -7249,6 +7289,29 @@ object SparkEntry {
               |       WHEN j.avg_logp <= b.c2 THEN 'middle'
               |       ELSE 'head' END AS bucket
               |FROM j JOIN b USING (lang) ORDER BY j.doc_id""".stripMargin)),
+
+    Q("t28_char_entropy",
+      (s, d) => {
+        val m = mgr(s, d)
+        // code-point Shannon entropy (bits) — the model-free gibberish/
+        // compressibility gate, as the native codegen'd char_entropy
+        // (registered SQL function). Term-fold order differs between the
+        // engines (ascending code point vs group order) — pure float
+        // association noise ~1e-15 on ~4-bit entropies, 9 orders under
+        // the round(6) grid.
+        m.getDDFByName("documents").df
+          .select(col("doc_id").as("id"),
+            expr("round(char_entropy(text), 6)").as("entropy"))
+          .orderBy("id")
+      },
+      Some("""WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+             |  FROM documents),
+             |cnt AS (SELECT doc_id, c, count(*)::DOUBLE AS k FROM ch GROUP BY 1, 2),
+             |tot AS (SELECT doc_id, sum(k) AS n FROM cnt GROUP BY 1)
+             |SELECT doc_id AS id,
+             |  round(-sum((k / n) * log2(k / n)), 6) AS entropy
+             |FROM cnt JOIN tot USING (doc_id)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     Q("t11_hashed_features",
       (s, d) => {

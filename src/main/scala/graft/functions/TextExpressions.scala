@@ -523,3 +523,59 @@ object UnicodeNormalize {
     else UTF8String.fromString(java.text.Normalizer.normalize(str, f))
   }
 }
+
+/** Shannon entropy (bits) of a string's code-POINT distribution — the
+  * classic compressibility/gibberish quality signal: repeated filler and
+  * binary-ish junk sit low, random noise high, natural language in a
+  * band between (a DataComp/CCNet-adjacent gate that needs no model).
+  * One pass over the string per row, no shuffle, no allocation beyond
+  * the per-row count map. Empty string → 0.0; surrogate pairs count as
+  * ONE symbol (code points, not UTF-16 units — engine-portable).
+  * Determinism: the per-symbol terms fold in ascending code-point order
+  * (TreeMap), so the float sum is bit-stable across layouts.
+  */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "char_entropy"
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string column, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    CharEntropy.compute(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CharEntropy.compute($c);")
+
+  override protected def withNewChildInternal(c: Expression): CharEntropy =
+    copy(child = c)
+}
+
+object CharEntropy {
+  private val LOG2 = math.log(2.0)
+
+  /** Also called from generated code. */
+  def compute(s: UTF8String): Double = {
+    val str = s.toString
+    if (str.isEmpty) return 0.0
+    val counts = new java.util.TreeMap[Integer, Long]()
+    var i = 0; var n = 0L
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      i += Character.charCount(cp); n += 1
+      val prev = counts.get(cp)
+      counts.put(cp, if (prev == null) 1L else prev + 1L)
+    }
+    var h = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val p = it.next().toDouble / n
+      h -= p * (math.log(p) / LOG2)
+    }
+    h
+  }
+}

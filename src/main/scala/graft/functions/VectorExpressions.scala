@@ -466,6 +466,13 @@ object GraftFunctions {
         })
       })
     reg.registerFunction(
+      FunctionIdentifier("char_entropy"),
+      new ExpressionInfo(classOf[CharEntropy].getName, "char_entropy"),
+      (exprs: Seq[Expression]) => {
+        arity(exprs, 1, "char_entropy", "text")
+        CharEntropy(exprs(0))
+      })
+    reg.registerFunction(
       FunctionIdentifier("bounded_top_k"),
       new ExpressionInfo(classOf[BoundedTopK].getName, "bounded_top_k"),
       (exprs: Seq[Expression]) => {

@@ -240,6 +240,42 @@ object Stats {
     out.toDF("column", "n", "w_total", "w_mean", "w_var", "min", "max")
   }
 
+  /** Extension (training-data pipeline): window-free midrank percentile
+    * normalization — pr = (#strictly-below + 0.5·#ties) ÷ #non-null per
+    * column, appended as `<col>_pr`. Puts heterogeneous quality signals
+    * (length, LM log-prob, classifier score, novelty…) on ONE [0,1]
+    * percentile scale so an ensemble can average/threshold them
+    * uniformly — rank blending is how multi-signal quality filters
+    * compose without unit gymnastics. NULL values keep a NULL rank.
+    *
+    * Shape per column (the ml09 distinct-value contract): one map-side-
+    * combined distinct-value count, a cumulative over DISTINCT values
+    * only (never the corpus), a broadcast 1-row total, and a value-keyed
+    * join-back (broadcasts when the distinct frame fits). Quantize a
+    * noisy continuous signal first if its distinct count is row-scale.
+    * Ranks are exact rationals (integer counts ÷ n) — engine-exact.
+    */
+  def percentileRank(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "percentileRank: need at least one column")
+    cols.foldLeft(df) { (acc, c) =>
+      val out = s"${c}_pr"
+      require(!acc.columns.contains(out),
+        s"percentileRank: output column '$out' already exists")
+      val cnt = acc.filter(col(c).isNotNull)
+        .groupBy(col(c).as("__v")).agg(count(lit(1)).as("__k"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("__v"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val tot = cnt.agg(coalesce(sum("__k"), lit(0L)).as("__n"))
+      val ranks = cnt
+        .withColumn("__below", coalesce(sum(col("__k")).over(w), lit(0L)))
+        .crossJoin(org.apache.spark.sql.functions.broadcast(tot))
+        .select(col("__v"),
+          ((col("__below").cast(DoubleType) + lit(0.5) * col("__k")) /
+            col("__n")).as(out))
+      acc.join(ranks, acc(c) === ranks("__v"), "left").drop("__v")
+    }
+  }
+
   /** Factor level counts for many columns in ONE pass (SURVEY T9;
     * reference: GetMultiFactor mapPartition+HashMap merge,
     * SchemaHandler.scala:90-185): explode (column, value) pairs then a

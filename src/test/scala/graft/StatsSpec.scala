@@ -420,4 +420,32 @@ class StatsSpec extends SparkTestBase {
       Stats.weightedSummary(Seq((1.0, -0.5)).toDF("x", "w"), "w", Seq("x"))
     }
   }
+
+  test("percentileRank: midrank ECDF, ties, NULLs, multi-column blend") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(10.0)), (2L, Some(20.0)), (3L, Some(20.0)),
+      (4L, Some(40.0)), (5L, None)
+    ).toDF("id", "x")
+    val out = Stats.percentileRank(df, Seq("x"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+    // n = 4 non-null; 10 → 0.5/4; the tied 20s share (1 + 0.5·2)/4; 40 → 3.5/4
+    assert(out(1L) == 0.125)
+    assert(out(2L) == 0.5 && out(3L) == 0.5, "tied values share a midrank")
+    assert(out(4L) == 0.875)
+    assert(out(5L).isNaN, "NULL keeps NULL rank")
+    // matches percent_rank's midrank cousin: mean pr over distinct ranks
+    // is 0.5 by construction on any column
+    val m2 = Stats.percentileRank(df.filter(col("x").isNotNull), Seq("x"))
+      .agg(org.apache.spark.sql.functions.avg("x_pr")).first().getDouble(0)
+    assert(math.abs(m2 - 0.5) < 1e-12)
+    // second column + existing-name guard
+    val two = Stats.percentileRank(
+      Seq((1.0, 5.0), (2.0, 6.0)).toDF("a", "b"), Seq("a", "b"))
+    assert(two.columns.toSet == Set("a", "b", "a_pr", "b_pr"))
+    intercept[IllegalArgumentException] {
+      Stats.percentileRank(two, Seq("a"))
+    }
+  }
 }

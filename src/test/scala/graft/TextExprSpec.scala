@@ -270,4 +270,34 @@ class TextExprSpec extends SparkTestBase {
       s"shingling Project not inside a codegen stage:\n$plan")
     assert(df.filter(size(col("sh")) === 2).count() == 50)
   }
+
+  test("char_entropy: hand values, code points, empty/null, SQL + codegen") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val rows = Seq(
+      (1L, "aaaa"),          // one symbol → 0 bits
+      (2L, "aabb"),          // two equiprobable → 1 bit
+      (3L, "abcd"),          // four equiprobable → 2 bits
+      (4L, ""),              // empty → 0.0 by contract
+      (5L, "😀😀aa"), // 😀😀aa: pair counts ONCE → 1 bit
+      (6L, null.asInstanceOf[String])
+    ).toDF("id", "t")
+    val out = rows.selectExpr("id", "char_entropy(t) AS h")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) Double.NaN else r.getDouble(1))).toMap
+    assert(out(1L) == 0.0 && out(4L) == 0.0)
+    assert(math.abs(out(2L) - 1.0) < 1e-12 && math.abs(out(3L) - 2.0) < 1e-12)
+    assert(math.abs(out(5L) - 1.0) < 1e-12, "surrogate pair = one code point")
+    assert(out(6L).isNaN, "null propagates")
+    // codegen active on a range frame
+    val big = spark.range(100).selectExpr(
+      "char_entropy(concat('x', cast(id as string))) AS h")
+    val plan = big.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("char_entropy") && l.contains("*(")),
+      s"char_entropy not inside a codegen stage:\n$plan")
+    assert(big.filter(col("h") > 0).count() == 100)
+    // wrong arity fails with the signature, not an index error
+    val err = intercept[Exception](spark.sql("SELECT char_entropy()").collect())
+    assert(err.getMessage.contains("char_entropy"), err.getMessage)
+  }
 }
