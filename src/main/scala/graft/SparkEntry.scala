@@ -4082,6 +4082,66 @@ object SparkEntry {
               |SELECT vec_id, j, round(0.25 * list_dot_product(v, mrow), 6) AS val
               |FROM dv CROSS JOIN m ORDER BY vec_id, j""".stripMargin)),
 
+    Q("a17_projected_recall",
+      (s, d) => {
+        val m = mgr(s, d)
+        // the JL projection's eval loop: recall@10 of brute-force top-k
+        // in PROJECTED (16-dim) space vs the full-dim exact baseline —
+        // the measurement that justifies (or rejects) a projection dim
+        // before the cheap space becomes the index key at corpus scale.
+        // On THIS corpus recall is ~0.1-0.2 BY CONSTRUCTION: the synthetic
+        // embeddings are isotropic noise (near-orthogonal, no low-dim
+        // structure), the provable worst case for any 4× reduction —
+        // which is exactly what the eval loop exists to catch before an
+        // index is built on the projected key. Real embedding manifolds
+        // (low intrinsic dim) are the case the projection serves.
+        val all = m.getDDFByName("embeddings").df
+          .select(col("vec_id"), col("embedding"))
+        val queries = all.filter(col("vec_id") < 5)
+          .withColumnRenamed("vec_id", "qid")
+        val exact = pipeline.Similarity.bruteForceTopK(
+          all, queries, "embedding", "vec_id", "qid", 10)
+        val pc = pipeline.Similarity.randomProject(all, "embedding",
+          "proj", outDim = 16, seed = 7L).select(col("vec_id"), col("proj"))
+        val pq = pipeline.Similarity.randomProject(queries, "embedding",
+          "proj", outDim = 16, seed = 7L).select(col("qid"), col("proj"))
+        val approx = pipeline.Similarity.bruteForceTopK(
+          pc, pq, "proj", "vec_id", "qid", 10)
+        pipeline.Similarity.annRecall(approx, exact, k = 10)
+          .orderBy("query_id")
+      },
+      Some {
+        val cosB = "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+        val cosP = "list_dot_product(a.p, b.p) / (sqrt(list_dot_product(a.p, a.p)) * sqrt(list_dot_product(b.p, b.p)))"
+        s"""WITH mt AS (SELECT $a16MatrixSql::DOUBLE[][] AS mat),
+           |m AS (SELECT j, mat[j] AS mrow FROM mt, unnest(range(1, 17)) AS t(j)),
+           |dv AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           |       FROM embeddings),
+           |brute AS (SELECT query_id, id FROM (
+           |    SELECT a.vec_id AS query_id, b.vec_id AS id,
+           |      row_number() OVER (PARTITION BY a.vec_id
+           |        ORDER BY $cosB DESC, b.vec_id) AS rk
+           |    FROM (SELECT * FROM dv WHERE vec_id < 5) a CROSS JOIN dv b)
+           |  WHERE rk <= 10),
+           |pv AS (SELECT dv.vec_id,
+           |    list(0.25 * list_dot_product(dv.v, m.mrow) ORDER BY m.j) AS p
+           |  FROM dv CROSS JOIN m GROUP BY dv.vec_id),
+           |pb AS (SELECT query_id, id FROM (
+           |    SELECT a.vec_id AS query_id, b.vec_id AS id,
+           |      row_number() OVER (PARTITION BY a.vec_id
+           |        ORDER BY $cosP DESC, b.vec_id) AS rk
+           |    FROM (SELECT * FROM pv WHERE vec_id < 5) a CROSS JOIN pv b)
+           |  WHERE rk <= 10),
+           |hits AS (SELECT b.query_id, count(l.id) AS n_hits FROM brute b
+           |    LEFT JOIN pb l ON b.query_id = l.query_id AND b.id = l.id
+           |  GROUP BY b.query_id),
+           |den AS (SELECT query_id, count(*) AS n_truth FROM brute GROUP BY query_id)
+           |SELECT d.query_id AS query_id, coalesce(h.n_hits, 0) AS n_hits,
+           |  d.n_truth, coalesce(h.n_hits, 0)::DOUBLE / d.n_truth AS recall
+           |FROM den d LEFT JOIN hits h ON d.query_id = h.query_id
+           |ORDER BY d.query_id""".stripMargin
+      }),
+
     Q("d17_source_overlap",
       (s, d) => {
         val m = mgr(s, d)
