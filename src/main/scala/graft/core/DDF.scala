@@ -443,4 +443,64 @@ final class DDF(
     */
   def intervalMerge(keyCols: Seq[String], startCol: String, endCol: String): DDF =
     derive(graft.operators.TimeSeries.intervalMerge(df, keyCols, startCol, endCol))
+
+  // ===== round-14 additions: release management, classifier eval,
+  // leakage-safe splits, signal normalization =====
+
+  /** Release-over-release changeset vs `newer` — this DDF is the OLD
+    * snapshot (see `operators/History.snapshotDiff`).
+    */
+  def snapshotDiff(newer: DDF, keyCols: Seq[String],
+                   compareCols: Seq[String]): DDF =
+    derive(graft.operators.History.snapshotDiff(df, newer.df, keyCols, compareCols))
+  /** Pairwise source containment/jaccard matrix (see
+    * `pipeline/Dedup.sourceOverlap`).
+    */
+  def sourceOverlap(textCol: String, sourceCol: String): DDF =
+    derive(graft.pipeline.Dedup.sourceOverlap(df, textCol, sourceCol))
+  /** Per-group Mann-Whitney AUC of a scored frame (see
+    * `ml/MLSupport.aucByGroup`).
+    */
+  def aucByGroup(scoreCol: String, labelCol: String, groupCols: Seq[String],
+                 scoreBuckets: Int = 0): DDF =
+    derive(graft.ml.MLSupport.aucByGroup(df, scoreCol, labelCol, groupCols, scoreBuckets))
+  /** Reliability buckets + per-bin ECE gap (see
+    * `ml/MLSupport.calibrationBuckets`).
+    */
+  def calibration(scoreCol: String, labelCol: String, nBins: Int,
+                  groupCols: Seq[String] = Nil): DDF =
+    derive(graft.ml.MLSupport.calibrationBuckets(df, scoreCol, labelCol, nBins, groupCols))
+  /** Entity-level purged temporal split (see
+    * `operators/TimeSeries.entityTemporalSplit`).
+    */
+  def temporalSplit(entityCol: String, tsCol: String,
+                    cutoff: java.sql.Timestamp, embargoMs: Long = 0L): DDF =
+    derive(graft.operators.TimeSeries.entityTemporalSplit(df, entityCol, tsCol, cutoff, embargoMs))
+  /** Midrank percentile normalization of signal columns (see
+    * `stats/Stats.percentileRank`).
+    */
+  def percentileRank(cols: Seq[String]): DDF =
+    derive(graft.stats.Stats.percentileRank(df, cols))
+  /** One-pass frequency-weighted moments (see `stats/Stats.weightedSummary`). */
+  def weightedSummary(weightCol: String, cols: Seq[String]): DDF =
+    derive(graft.stats.Stats.weightedSummary(df, weightCol, cols))
+  /** JL sign random projection of an embedding column (see
+    * `pipeline/Similarity.randomProject`).
+    */
+  def randomProject(vecCol: String, outCol: String, outDim: Int,
+                    seed: Long = 42L): DDF =
+    derive(graft.pipeline.Similarity.randomProject(df, vecCol, outCol, outDim, seed))
+  /** Contrastive hard negatives vs this DDF as the corpus (see
+    * `pipeline/Similarity.hardNegatives`).
+    */
+  def hardNegatives(queries: DDF, vecCol: String, idCol: String,
+                    queryIdCol: String, labelCol: String, k: Int): DDF =
+    derive(graft.pipeline.Similarity.hardNegatives(df, queries.df, vecCol,
+      idCol, queryIdCol, labelCol, k))
+  /** Robust median/IQR scaling (see `operators/Transforms.scaleRobust`). */
+  def transformScaleRobust(cols: Seq[String] = Nil, exact: Boolean = false): DDF =
+    graft.operators.Transforms.scaleRobust(this, cols, exact)
+  /** Frequency-ranked categorical ids (see `operators/Transforms.indexEncode`). */
+  def indexEncode(c: String, outCol: String): DDF =
+    graft.operators.Transforms.indexEncode(this, c, outCol)
 }

@@ -194,4 +194,46 @@ class DdfApiSpec extends SparkTestBase {
     assert(prof("v").getAs[Double]("max_num") == 4.0)
     assert(ddf.heavyHitters("g", k = 1).df.first().getString(0) == "x")
   }
+
+  test("round-14 facade: diff / overlap / eval / split / normalize chain") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // snapshotDiff + sourceOverlap
+    val old = m.register(Seq((1L, "a"), (2L, "b")).toDF("id", "txt"))
+    val nw = m.register(Seq((1L, "a"), (2L, "B"), (3L, "c")).toDF("id", "txt"))
+    val diff = old.snapshotDiff(nw, Seq("id"), Seq("txt"))
+    assert(diff.df.select("change").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("added", "changed"))
+    val corpus = m.register(Seq(("A", "x"), ("B", "x"), ("B", "y")).toDF("src", "text"))
+    assert(corpus.sourceOverlap("text", "src").numRows == 2)
+    // aucByGroup + calibration + percentileRank + weightedSummary
+    val scored = m.register(Seq(("g", 0.9, 1), ("g", 0.1, 0)).toDF("grp", "s", "l"))
+    assert(scored.aucByGroup("s", "l", Seq("grp")).df.first().getDouble(1) == 1.0)
+    assert(scored.calibration("s", "l", 4).numRows == 2)
+    val pr = scored.percentileRank(Seq("s")).df
+    assert(pr.columns.contains("s_pr"))
+    val ws = scored.weightedSummary("l", Seq("s")).df.first()
+    assert(ws.getDouble(2) == 1.0) // w_total = sum of labels
+    // temporalSplit
+    val ev = m.register(Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 01:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-01-02 01:00:00"))).toDF("uid", "ts"))
+    val split = ev.temporalSplit("uid", "ts",
+      java.sql.Timestamp.valueOf("2024-01-02 00:00:00"))
+    assert(split.df.select("split").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("test", "train"))
+    // randomProject + hardNegatives
+    val emb = m.register(Seq((1L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f), 1)).toDF("vid", "vec", "lab"))
+    assert(emb.randomProject("vec", "p", 2).df.columns.contains("p"))
+    val hn = emb.hardNegatives(
+      m.register(emb.df.filter(col("vid") === 1L).withColumnRenamed("vid", "qid")),
+      "vec", "vid", "qid", "lab", k = 1)
+    assert(hn.df.first().getLong(1) == 2L)
+    // transformScaleRobust + indexEncode
+    val sc = m.register((1 to 8).map(_.toDouble).toDF("v"))
+      .transformScaleRobust(Seq("v"), exact = true)
+    assert(math.abs(sc.df.agg(avg("v")).first().getDouble(0)) < 1e-9)
+    val enc = m.register(Seq("p", "p", "q").toDF("c")).indexEncode("c", "cid")
+    assert(enc.df.filter(col("c") === "p").first().getLong(1) == 0L)
+  }
 }
