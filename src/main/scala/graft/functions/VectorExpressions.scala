@@ -293,8 +293,9 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
   * tree, no join), the inner loop is a single generated fused
   * multiply-add pass. The i-fold is strictly ascending in both the
   * interpreted and generated paths, so results are bit-identical across
-  * engines that fold ascending (the c02 contract). NULL vector or NULL
-  * element → NULL row.
+  * engines that fold ascending (the c02 contract). NULL vector, NULL
+  * element, or a row whose length differs from the matrix dimension →
+  * NULL row (drift must surface, never silently truncate).
   */
 case class MatrixProject(child: Expression, matrix: Array[Array[Double]],
                          scale: Double)
@@ -305,7 +306,9 @@ case class MatrixProject(child: Expression, matrix: Array[Array[Double]],
 
   override def prettyName: String = "matrix_project"
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
-  override def nullable: Boolean = child.nullable || childContainsNull
+  // always nullable: a dimension-drifted row projects to NULL (see
+  // nullSafeEval) and drift is a data property the schema can't rule out
+  override def nullable: Boolean = true
 
   private def childIsFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
@@ -336,13 +339,17 @@ case class MatrixProject(child: Expression, matrix: Array[Array[Double]],
 
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
+    // dimension drift → NULL row, never a silent truncation: a vector
+    // shorter/longer than the matrix would get a plausible-looking but
+    // wrong projection that corrupts any index built on the projected
+    // key (r14 review). Gate with Validate.vectorDim to find the rows.
+    if (a.numElements() != inDim) return null
     val isF = childIsFloat; val checkNulls = childContainsNull
-    val n = math.min(a.numElements(), inDim)
     val out = new Array[Double](outDim)
     var j = 0
     while (j < outDim) {
       var s = 0.0; var i = 0; val off = j * inDim
-      while (i < n) {
+      while (i < inDim) {
         if (checkNulls && a.isNullAt(i)) return null
         s += flat(off + i) * (if (isF) a.getFloat(i).toDouble else a.getDouble(i))
         i += 1
@@ -357,7 +364,7 @@ case class MatrixProject(child: Expression, matrix: Array[Array[Double]],
     val get = if (childIsFloat) "getFloat" else "getDouble"
     val fRef = ctx.addReferenceObj("mpFlat", flat, "double[]")
     nullSafeCodeGen(ctx, ev, a => {
-      val n = ctx.freshName("n"); val j = ctx.freshName("j"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j"); val i = ctx.freshName("i")
       val s = ctx.freshName("s"); val off = ctx.freshName("off")
       val out = ctx.freshName("out")
       val nullGuard =
@@ -366,21 +373,25 @@ case class MatrixProject(child: Expression, matrix: Array[Array[Double]],
         else ""
       val outerBreak =
         if (childContainsNull) s"if (${ev.isNull}) break;" else ""
+      // dimension drift → NULL, never silent truncation (see eval)
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $inDim);
-         |double[] $out = new double[$outDim];
-         |for (int $j = 0; $j < $outDim; $j++) {
-         |  double $s = 0.0; int $off = $j * $inDim;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $nullGuard
-         |    $s += $fRef[$off + $i] * (double) $a.$get($i);
+         |if ($a.numElements() != $inDim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double[] $out = new double[$outDim];
+         |  for (int $j = 0; $j < $outDim; $j++) {
+         |    double $s = 0.0; int $off = $j * $inDim;
+         |    for (int $i = 0; $i < $inDim; $i++) {
+         |      $nullGuard
+         |      $s += $fRef[$off + $i] * (double) $a.$get($i);
+         |    }
+         |    $outerBreak
+         |    $out[$j] = $s * $scale;
          |  }
-         |  $outerBreak
-         |  $out[$j] = $s * $scale;
-         |}
-         |if (!${ev.isNull}) {
-         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-         |    .fromPrimitiveArray($out);
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |      .fromPrimitiveArray($out);
+         |  }
          |}
        """.stripMargin
     })

@@ -313,16 +313,22 @@ object MLSupport {
     * emits ≤ that many distinct values, an ≤1/buckets-resolution
     * approximation otherwise) — with it the cardinality entering the
     * window is ≤ scoreBuckets per group, so even a single global group
-    * (groupCols = Nil) stays cheap. Labels must be exactly 0 or 1; any
-    * other value fails the job (raise_error) rather than silently
-    * skewing the statistic. Groups with no positives or no negatives get
-    * a NULL auc (undefined), with n_pos/n_neg still reported.
+    * (groupCols = Nil) stays cheap. Labels must be exactly 0 or 1, and
+    * scores non-NULL/non-NaN; any other value fails the job
+    * (raise_error) rather than silently skewing the statistic — a NULL
+    * score (failed inference) would otherwise sort below every real
+    * score and bias the rank sum, a NaN above it. Groups with no
+    * positives or no negatives get a NULL auc (undefined), with
+    * n_pos/n_neg still reported.
     */
   def aucByGroup(df: DataFrame, scoreCol: String, labelCol: String,
                  groupCols: Seq[String], scoreBuckets: Int = 0): DataFrame = {
     require(scoreBuckets >= 0, s"scoreBuckets must be >= 0, got $scoreBuckets")
     val g = groupCols.map(col)
-    val s0 = col(scoreCol).cast("double")
+    val sRaw = col(scoreCol).cast("double")
+    val s0 = when(sRaw.isNull || isnan(sRaw), raise_error(lit(
+      s"aucByGroup: scoreCol '$scoreCol' has NULL/NaN scores — filter or " +
+        "impute failed-inference rows first"))).otherwise(sRaw)
     val sc = if (scoreBuckets > 0) floor(s0 * scoreBuckets) / scoreBuckets else s0
     val lab = col(labelCol).cast("bigint")
     val byScore = df
@@ -355,7 +361,8 @@ object MLSupport {
     * probability-calibrated classifier — the per-bin (confidence,
     * empirical accuracy, count) table behind a reliability diagram and
     * the Expected Calibration Error (Naeini et al., AAAI'15 — equal-width
-    * binning). Scores must lie in [0,1] (out-of-range rows fail the job);
+    * binning). Scores must lie in [0,1] and be non-NULL/non-NaN (anything
+    * else fails the job);
     * bin i covers [i/nBins, (i+1)/nBins) with the final bin closed at 1.
     * Empty bins are absent from the output (count is the weight, so they
     * carry none). ECE = Σ_i n_i/N·|conf_i − acc_i| is one further
@@ -371,9 +378,12 @@ object MLSupport {
     require(nBins >= 1, s"nBins must be >= 1, got $nBins")
     val s0 = col(scoreCol).cast("double")
     val lab = col(labelCol).cast("double")
-    val checked = when(s0 < 0.0 || s0 > 1.0, raise_error(concat(
-      lit(s"calibrationBuckets: scoreCol '$scoreCol' out of [0,1]: "),
-      s0.cast("string")))).otherwise(s0)
+    // NULL/NaN first: they'd pass the range guard under 3-valued logic
+    // and emit a junk NULL bin that NULLs any downstream ECE sum
+    val checked = when(s0.isNull || isnan(s0) || s0 < 0.0 || s0 > 1.0,
+      raise_error(concat(
+        lit(s"calibrationBuckets: scoreCol '$scoreCol' must be in [0,1], got "),
+        coalesce(s0.cast("string"), lit("NULL"))))).otherwise(s0)
     val bin = least(floor(checked * nBins), lit(nBins - 1L)).cast("bigint")
     val g = groupCols.map(col)
     df.groupBy((g :+ bin.as("bin")): _*)

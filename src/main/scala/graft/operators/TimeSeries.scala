@@ -222,7 +222,8 @@ object TimeSeries {
     * history begins just before the cutoff have test-period-correlated
     * training rows. Entities with a NULL first-ts (all-null timestamps)
     * land in 'embargo' — excluded from both sides rather than silently
-    * trained on. The time twin of the cluster-aware content split
+    * trained on — and so do rows with a NULL entity id (not an entity;
+    * every input row comes back labeled, none vanish). The time twin of the cluster-aware content split
     * (`Dedup.leakageSafeSplit`, c05).
     *
     * Scale shape: one map-side-combined min-ts aggregate (output =
@@ -236,11 +237,15 @@ object TimeSeries {
     val embargoStart = new java.sql.Timestamp(cutoff.getTime - embargoMs)
     val firstTs = df.groupBy(col(entityCol))
       .agg(min(col(tsCol)).as("__first_ts"))
-      .select(col(entityCol),
-        when(col("__first_ts").isNull, lit("embargo"))
+      .select(col(entityCol).as("__ent"),
+        when(col(entityCol).isNull || col("__first_ts").isNull, lit("embargo"))
           .when(col("__first_ts") < lit(embargoStart), lit("train"))
           .when(col("__first_ts") < lit(cutoff), lit("embargo"))
           .otherwise(lit("test")).as("split"))
-    df.join(firstTs, Seq(entityCol))
+    // null-safe join: rows with a NULL entity id must still come back
+    // labeled ('embargo' — not an entity, excluded from both sides), not
+    // silently vanish through an inner equi-join (r14 review); groupBy
+    // already pools NULL keys into one group, so <=> matches it back
+    df.join(firstTs, df(entityCol) <=> firstTs("__ent")).drop("__ent")
   }
 }

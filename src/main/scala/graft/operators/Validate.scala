@@ -58,12 +58,21 @@ object Validate {
   def vectorDim(c: String, dim: Int): RowRule =
     RowRule(s"vector_dim($c,$dim)",
       col(c).isNull || size(col(c)) =!= dim)
+  // NULL ELEMENTS violate finite: under 3-valued logic a bare
+  // exists(isnan||isinf) returns NULL for [null, 1.0f] and report()'s
+  // sum(when) would count it CLEAN — while every downstream dot product
+  // on it returns NULL, exactly the poisoning this gate exists to catch
+  // (r14 review).
   def vectorFinite(c: String): RowRule =
     RowRule(s"vector_finite($c)", col(c).isNull ||
-      exists(col(c), x => isnan(x) || abs(x) === lit(Float.PositiveInfinity)))
+      exists(col(c), x =>
+        x.isNull || isnan(x) || abs(x) === lit(Float.PositiveInfinity)))
+  // coalesce(…, true): exists returns NULL (not false) when the only
+  // non-false predicate results are NULL elements — a vector with no
+  // DEFINITE nonzero element is a violation, not a pass (r14 review).
   def vectorNonZero(c: String): RowRule =
     RowRule(s"vector_nonzero($c)", col(c).isNull ||
-      !exists(col(c), x => x =!= 0.0))
+      !coalesce(exists(col(c), x => x =!= 0.0), lit(false)))
 
   /** Per-rule violation counts: (rule, violations, checked). All row
     * rules share one aggregate job; each set rule adds one job.

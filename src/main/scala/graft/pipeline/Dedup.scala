@@ -1055,7 +1055,12 @@ object Dedup {
   def sourceOverlap(df: DataFrame, textCol: String, sourceCol: String,
                     contentKey: Option[Column] = None): DataFrame = {
     val key = contentKey.getOrElse(md5(normText(col(textCol))))
-    val sk = df.select(col(sourceCol).as("source"), key.as("__k")).distinct()
+    // NULL content keys (NULL-text docs) are excluded BEFORE the totals:
+    // they can never match in the self-join, so keeping them would
+    // inflate n_a/n_b and understate containment — an admission decision
+    // ("A is wholly inside B") must not flip on junk rows (r14 review)
+    val sk = df.select(col(sourceCol).as("source"), key.as("__k"))
+      .filter(col("__k").isNotNull).distinct()
     val totals = sk.groupBy("source").agg(count(lit(1)).as("n"))
     val pairs = sk.alias("a")
       .join(sk.alias("b"), col("a.__k") === col("b.__k") &&

@@ -175,7 +175,9 @@ object Similarity {
     * [[bruteForceTopK]]: broadcast the query set, one corpus pass, native
     * bounded-heap top-k — the label inequality filters candidates BEFORE
     * ranking, so all k slots hold true negatives (no post-rank holes).
-    * Requires `labelCol` on BOTH frames; output (query_id, id, cosine,
+    * Requires a NON-NULL `labelCol` on BOTH frames (NULL labels fail the
+    * job — they can't be "different" and would silently drop pairs);
+    * output (query_id, id, cosine,
     * rk). At corpus scale feed an ANN shortlist ([[lshTopK]] /
     * `IvfIndex.topK` with k inflated by the positive rate) through the
     * same different-label filter + [[graft.operators.Views.topKWithRank]]
@@ -184,9 +186,18 @@ object Similarity {
   def hardNegatives(corpus: DataFrame, queries: DataFrame, vecCol: String,
                     idCol: String, queryIdCol: String, labelCol: String,
                     k: Int): DataFrame = {
+    // a NULL label can't be "a different label": under 3-valued logic it
+    // would silently drop the pair — a NULL-labeled query would mine ZERO
+    // negatives and unlabeled corpus rows would never be candidates. Fail
+    // loudly instead (the aucByGroup convention); the guard rides the
+    // join condition, so it costs one when() per candidate pair.
+    val labelsOk = when(
+      col(s"q.$labelCol").isNull || col(s"c.$labelCol").isNull,
+      raise_error(lit(s"hardNegatives: labelCol '$labelCol' has NULL " +
+        "labels — filter or label those rows first")))
+      .otherwise(col(s"q.$labelCol") =!= col(s"c.$labelCol"))
     val scored = corpus.alias("c")
-      .join(broadcast(queries.alias("q")),
-        col(s"q.$labelCol") =!= col(s"c.$labelCol"))
+      .join(broadcast(queries.alias("q")), labelsOk)
       .select(col(s"q.$queryIdCol").as("query_id"), col(s"c.$idCol").as("id"),
         cosine(col(s"q.$vecCol"), col(s"c.$vecCol")).as("cosine"))
     graft.operators.Views.topKWithRank(scored, "query_id", "cosine", "id", k)

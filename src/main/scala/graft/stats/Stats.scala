@@ -215,7 +215,11 @@ object Stats {
     val spark = df.sparkSession
     import spark.implicits._
     val w = col(weightCol).cast(DoubleType)
-    val aggs = coalesce(sum(when(w < 0.0, 1L).otherwise(0L)), lit(0L)).as("__neg") +:
+    // NaN rides the guard too: 'w < 0' is false for NaN under Spark's
+    // NaN-is-greatest ordering, but a NaN weight would silently NaN
+    // every moment — exactly what this guard exists to reject loudly
+    val aggs = coalesce(sum(when(w < 0.0 || isnan(w), 1L).otherwise(0L)), lit(0L))
+      .as("__neg") +:
       cols.flatMap { c =>
         val x = col(c).cast(DoubleType)
         val wx = when(x.isNotNull, w)
@@ -227,7 +231,7 @@ object Stats {
       }
     val row = df.agg(aggs.head, aggs.tail: _*).first()
     require(row.getLong(0) == 0L,
-      s"weightedSummary: ${row.getLong(0)} rows carry a negative '$weightCol'")
+      s"weightedSummary: ${row.getLong(0)} rows carry a negative/NaN '$weightCol'")
     def d(i: Int): Option[Double] = if (row.isNullAt(i)) None else Some(row.getDouble(i))
     val out = cols.zipWithIndex.map { case (c, j) =>
       val b = 1 + j * 6

@@ -190,6 +190,17 @@ class MLSpec extends SparkTestBase {
     val q = MLSupport.aucByGroup(mixed, "score", "label", Nil, scoreBuckets = 100000)
       .collect()(0).getDouble(0)
     assert(math.abs(q - ours) < 2e-3, s"bucketed $q vs exact $ours")
+    // NULL/NaN scores fail loudly — they'd silently bias the rank sum
+    intercept[Exception] {
+      MLSupport.aucByGroup(
+        Seq((Some(0.5), 1), (None, 0)).toDF("score", "label"),
+        "score", "label", Nil).collect()
+    }
+    intercept[Exception] {
+      MLSupport.aucByGroup(
+        Seq((Double.NaN, 1), (0.5, 0)).toDF("score", "label"),
+        "score", "label", Nil).collect()
+    }
   }
 
   test("calibrationBuckets: bin math, perfect calibration, range guard") {
@@ -216,6 +227,13 @@ class MLSpec extends SparkTestBase {
     intercept[Exception] {
       MLSupport.calibrationBuckets(
         Seq((1.5, 1.0)).toDF("score", "label"), "score", "label", 8).collect()
+    }
+    // NULL score fails the job too — 3VL would slip it past the range
+    // guard into a junk NULL bin that NULLs any downstream ECE sum
+    intercept[Exception] {
+      MLSupport.calibrationBuckets(
+        Seq((Some(0.5), 1.0), (None, 0.0)).toDF("score", "label"),
+        "score", "label", 8).collect()
     }
   }
 }

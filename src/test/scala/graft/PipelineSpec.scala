@@ -1264,6 +1264,14 @@ class PipelineSpec extends SparkTestBase {
     assert(math.abs(ab.getDouble(6) - 2.0 / 5.0) < 1e-12)  // 2/(4+3-2)
     val ba = out(1)
     assert(math.abs(ba.getDouble(5) - 2.0 / 3.0) < 1e-12)  // 2/3 of B in A
+    // NULL-text docs are excluded from totals — they can never match, so
+    // counting them would understate containment (r14 review)
+    val withNull = corpus.union(Seq(("A", null.asInstanceOf[String]),
+      ("B", null.asInstanceOf[String])).toDF("source", "text"))
+    val out2 = Dedup.sourceOverlap(withNull, "text", "source")
+      .orderBy("source_a", "source_b").collect()
+    assert(out2(0).getLong(2) == 4 && out2(0).getLong(3) == 3,
+      "totals unchanged by NULL-text rows")
   }
 
   test("hardNegatives: every slot a different label, ranked by cosine") {
@@ -1288,5 +1296,13 @@ class PipelineSpec extends SparkTestBase {
     val all = Similarity.hardNegatives(corpus, queries, "vec", "id", "qid",
       "label", k = 10).collect()
     assert(all.length == 3 && all.forall(_.getLong(1) != 5L))
+    // NULL labels fail loudly — 3VL would silently drop those pairs and
+    // a NULL-labeled query would mine zero negatives (r14 review)
+    val nullLab = Seq((9L, Array(0.5f, 0.5f), null.asInstanceOf[Integer]))
+      .toDF("id", "vec", "label")
+    intercept[Exception] {
+      Similarity.hardNegatives(corpus.union(nullLab), queries,
+        "vec", "id", "qid", "label", k = 1).collect()
+    }
   }
 }

@@ -415,9 +415,14 @@ class StatsSpec extends SparkTestBase {
     val allNull = Seq((None: Option[Double], 1.0)).toDF("x", "w")
     val an = Stats.weightedSummary(allNull, "w", Seq("x")).collect()(0)
     assert(an.getLong(1) == 0 && an.getDouble(2) == 0.0 && an.isNullAt(3))
-    // negative weights fail the job loudly
+    // negative weights fail the job loudly — and so do NaN weights,
+    // which 'w < 0' alone would miss (NaN sorts greatest) while they
+    // silently NaN every moment (r14 review)
     intercept[IllegalArgumentException] {
       Stats.weightedSummary(Seq((1.0, -0.5)).toDF("x", "w"), "w", Seq("x"))
+    }
+    intercept[IllegalArgumentException] {
+      Stats.weightedSummary(Seq((1.0, Double.NaN)).toDF("x", "w"), "w", Seq("x"))
     }
   }
 

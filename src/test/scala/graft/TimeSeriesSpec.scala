@@ -255,17 +255,24 @@ class TimeSeriesSpec extends SparkTestBase {
       // user 4: all-null timestamps → embargo (excluded, not trained on)
       (4L, null.asInstanceOf[Timestamp])
     ).toDF("user_id", "ts")
+      // a NULL-entity row must come back labeled 'embargo', not vanish
+      // through an inner equi-join (r14 review)
+      .union(Seq((null.asInstanceOf[java.lang.Long],
+        t("2024-01-01 01:00:00"))).toDF("user_id", "ts"))
     val out = TimeSeries.entityTemporalSplit(ev, "user_id", "ts",
         t("2024-01-01 12:00:00"), embargoMs = 2L * 3600 * 1000)
-      .collect().map(r => (r.getLong(0), r.getString(2)))
+      .collect().map(r =>
+        ((if (r.isNullAt(0)) -1L else r.getLong(0)), r.getString(2)))
     assert(out.count(_ == (1L, "train")) == 2, "user 1 wholly in train")
     assert(out.count(_ == (2L, "embargo")) == 2)
     assert(out.contains((3L, "test")) && out.contains((4L, "embargo")))
-    assert(out.length == 6, "every non-null-entity row labeled exactly once")
+    assert(out.contains((-1L, "embargo")), "NULL entity labeled, not dropped")
+    assert(out.length == 7, "every input row labeled exactly once")
     // zero embargo: boundary row (first ts == cutoff) is test, just-before is train
     val z = TimeSeries.entityTemporalSplit(ev, "user_id", "ts",
         t("2024-01-01 12:00:00"))
-      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+      .collect().map(r =>
+        ((if (r.isNullAt(0)) -1L else r.getLong(0)), r.getString(2))).toSet
     assert(z.contains((2L, "train")) && z.contains((3L, "test")))
     intercept[IllegalArgumentException](
       TimeSeries.entityTemporalSplit(ev, "user_id", "ts",

@@ -88,5 +88,17 @@ class ValidateSpec extends SparkTestBase {
       .filter(size(col("failed_rules")) > 0)
       .collect().map(_.getLong(0)).toSet
     assert(flagged == Set(3L, 4L, 6L))
+    // NULL ELEMENTS violate: a bare exists() returns NULL under 3VL and
+    // report() would count the vector clean while every downstream dot
+    // product on it returns NULL (r14 review)
+    val withNullElems = Seq(
+      (1L, Array[java.lang.Float](null, 1.0f)),  // null elem, has nonzero
+      (2L, Array[java.lang.Float](null, 0.0f))   // null elem, no definite nonzero
+    ).toDF("id", "v")
+    val rep2 = Validate.report(withNullElems, Seq(
+      Validate.vectorFinite("v"), Validate.vectorNonZero("v")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep2("vector_finite(v)") == 2, s"null elements must fail finite: $rep2")
+    assert(rep2("vector_nonzero(v)") == 1, s"no-definite-nonzero must fail: $rep2")
   }
 }

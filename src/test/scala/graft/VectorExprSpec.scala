@@ -168,6 +168,13 @@ class VectorExprSpec extends SparkTestBase {
       array((0 until 8).map(i => ((col("id") + i) % 5).cast("float")): _*).as("v"))
     val q = rdf.select(projCol(col("v")).as("p"))
     assert(q.queryExecution.executedPlan.toString.contains("*(1) Project [matrix_project"))
+    // dimension drift → NULL row, never a silent truncation (r14 review):
+    // a 3-of-8 vector must not get a plausible-looking projection
+    val drift = Seq((1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array.fill(8)(1.0f)))
+      .toDF("id", "v")
+    val dOut = drift.select(col("id"), projCol(col("v")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(dOut(1L) && !dOut(2L), s"drifted row must be NULL: $dOut")
     // guards
     intercept[IllegalArgumentException] {
       graft.functions.MatrixProject(Bridge.expression(col("v")),
