@@ -889,4 +889,70 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("property: cdcApply ∘ snapshotDiff = identity on random releases") {
+    import spark.implicits._
+    import graft.operators.History
+    val rowGen = Gen.zip(Gen.chooseNum(0L, 40L),
+      Gen.option(Gen.alphaStr.map(_.take(5))), Gen.chooseNum(-3, 3))
+    for (seed <- 1L to 4L) {
+      // distinct keys per side (snapshotDiff's contract); overlapping key
+      // ranges so added/removed/changed/unchanged all occur, incl. NULL
+      // values exercising the null-safe compare
+      def snap(s: Long) = draw(Gen.listOfN(30, rowGen), s)
+        .groupBy(_._1).map(_._2.head).toSeq
+        .map { case (k, v, n) => (k, v.orNull, n) }
+      val old = snap(seed).toDF("k", "txt", "v")
+      val nw = snap(seed + 50).toDF("k", "txt", "v")
+      val diff = History.snapshotDiff(old, nw, Seq("k"), Seq("txt", "v"))
+      val changes = diff.select(col("k"), col("txt"), col("v"),
+        lit(1L).as("ts"),
+        when(col("change") === "removed", "D").otherwise("U").as("op"))
+      val rebuilt = History.cdcApply(old, changes, Seq("k"),
+        Seq("txt", "v"), "ts", "op")
+      assert(rebuilt.exceptAll(nw).isEmpty && nw.exceptAll(rebuilt).isEmpty,
+        s"seed=$seed: cdcApply(old, diff(old, new)) != new")
+    }
+  }
+
+  test("property: aucByGroup ≡ MLlib evaluator on random scored frames") {
+    import spark.implicits._
+    import org.apache.spark.ml.functions.array_to_vector
+    val rowGen = Gen.zip(Gen.chooseNum(0, 40), Gen.oneOf(0.0, 1.0))
+    for (seed <- 1L to 3L) {
+      // quantized scores (k/41) → heavy ties; both classes guaranteed
+      val rows = draw(Gen.listOfN(150, rowGen), seed)
+        .map { case (s, l) => (s / 41.0, l) } ++ Seq((0.9, 1.0), (0.1, 0.0))
+      val df = rows.toDF("score", "label")
+      val ours = graft.ml.MLSupport.aucByGroup(df, "score", "label", Nil)
+        .collect()(0).getDouble(0)
+      val mllib = graft.ml.MLSupport.rocAuc(
+        df.select(col("label"), array_to_vector(
+          array(lit(0.0) - col("score"), col("score"))).as("raw")),
+        "label", "raw")
+      assert(math.abs(ours - mllib) < 1e-9, s"seed=$seed: $ours vs $mllib")
+    }
+  }
+
+  test("property: percentileRank midranks average 0.5 and are isotone") {
+    import spark.implicits._
+    import graft.stats.Stats
+    for (seed <- 1L to 3L) {
+      val vals = draw(Gen.listOfN(80, Gen.chooseNum(-20, 20)), seed)
+        .map(_.toDouble)
+      val ranked = Stats.percentileRank(vals.toDF("x"), Seq("x"))
+        .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+      // midrank mean is exactly 0.5 on any non-empty column
+      val mean = ranked.map(_._2).sum / ranked.length
+      assert(math.abs(mean - 0.5) < 1e-9, s"seed=$seed mean=$mean")
+      // isotone: x1 < x2 ⇒ pr1 < pr2; x1 == x2 ⇒ pr1 == pr2
+      val sorted = ranked.sortBy(_._1)
+      sorted.sliding(2).foreach {
+        case Array((x1, p1), (x2, p2)) =>
+          if (x1 == x2) assert(p1 == p2, s"seed=$seed tie broke rank")
+          else assert(p1 < p2, s"seed=$seed not isotone at $x1 -> $x2")
+        case _ =>
+      }
+    }
+  }
 }
