@@ -1245,4 +1245,58 @@ class ScaleSpec extends SparkTestBase {
     assert(!plan.contains("Join"), s"reference folds in as literals, no join:\n$plan")
     assert(!plan.contains("Window,"), s"no window operator (only time windows):\n$plan")
   }
+
+  test("snapshotDiff: union + max-of-struct aggregate — no join in the plan") {
+    import spark.implicits._
+    val old = spark.range(5000L).select(col("id"),
+      concat(lit("t"), (col("id") % 97).cast("string")).as("txt"))
+    val nw = spark.range(4500L).select(col("id"),
+      concat(lit("t"), (col("id") % 89).cast("string")).as("txt"))
+    val out = graft.operators.History.snapshotDiff(old, nw, Seq("id"), Seq("txt"))
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("Join"),
+      s"snapshotDiff pairs the sides in ONE grouped aggregate, never a join:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"one key shuffle of old ∪ new:\n$plan")
+  }
+
+  test("aucByGroup / percentileRank: the ordering window runs over the aggregate, not the corpus") {
+    import spark.implicits._
+    val scored = spark.range(20000L).select(
+      (col("id") % 8).as("g"),
+      ((col("id") * 7) % 100).cast("double").as("score"),
+      (col("id") % 2).cast("int").as("label"))
+    val auc = graft.ml.MLSupport.aucByGroup(scored, "score", "label", Seq("g"))
+    auc.collect()
+    val aucPlan = auc.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the Window's child subtree must contain the distinct-score
+    // aggregate — a window directly over the scan would rank the corpus
+    val winIdx = aucPlan.indexOf("Window")
+    val aggIdx = aucPlan.indexOf("HashAggregate", winIdx)
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"aucByGroup window must sit ABOVE the distinct-score aggregate:\n$aucPlan")
+    val pr = graft.stats.Stats.percentileRank(
+      scored.select(col("score").as("x")), Seq("x"))
+    pr.collect()
+    val prPlan = pr.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val pw = prPlan.indexOf("Window")
+    val pa = prPlan.indexOf("HashAggregate", pw)
+    assert(pw >= 0 && pa > pw,
+      s"percentileRank window must sit ABOVE the distinct-value aggregate:\n$prPlan")
+    assert(prPlan.contains("BroadcastNestedLoopJoin") || prPlan.contains("BroadcastExchange"),
+      s"the 1-row total joins back broadcast:\n$prPlan")
+  }
+
+  test("sourceOverlap: per-source totals broadcast back onto the pair counts") {
+    import spark.implicits._
+    val corpus = spark.range(8000L).select(
+      concat(lit("s"), (col("id") % 12).cast("string")).as("source"),
+      concat(lit("doc"), (col("id") % 500).cast("string")).as("text"))
+    val out = graft.pipeline.Dedup.sourceOverlap(corpus, "text", "source")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert("BroadcastExchange".r.findAllIn(plan).size >= 2,
+      s"both total frames must broadcast (they are O(#sources) rows):\n$plan")
+  }
 }
