@@ -5748,6 +5748,41 @@ object SparkEntry {
               |FROM w JOIN fe ON w.f = fe.f AND w.epoch = fe.first_epoch
               |ORDER BY doc_id""".stripMargin)),
 
+    Q("s11_stream_agg_rollup",
+      (s, d) => {
+        val m = mgr(s, d); val _ = m
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        // continuous rollup maintenance through the gate: two MemoryStream
+        // epochs (epoch = event_id mod 2), each stores ONLY its O(groups)
+        // finished partial; the rollup read folds the partials — never
+        // the event history. Oracle: the direct aggregate over ALL events
+        // (the mergeAggregates identity, here exercised epoch-wise).
+        val spec = "event_type, n=count(*), sv=sum(value), mx=max(value)"
+        val ev = loadEvents(s, d)
+          .select(col("event_id"), col("event_type"), col("value"))
+          .as[(Long, String, Double)].collect()
+        withScratch("graft_s11") { tmp =>
+          val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Double)]
+          val q = streaming.CurationStreams.aggMaintain(
+              stream.toDF().toDF("event_id", "event_type", "value"),
+              spec, s"$tmp/rollup")
+            .start()
+          try (0L until 2L).foreach { e =>
+            stream.addData(ev.filter(_._1 % 2 == e).toIndexedSeq: _*)
+            q.processAllAvailable()
+          } finally q.stop()
+          collectAndClean(s,
+            streaming.CurationStreams.readRollup(s, s"$tmp/rollup", spec)
+              .select(col("event_type"), col("n"),
+                round(col("sv"), 6).as("sv"), round(col("mx"), 6).as("mx"))
+              .orderBy("event_type"), tmp)
+        }
+      },
+      Some("""SELECT event_type, count(*)::BIGINT AS n,
+             |  round(sum(value), 6) AS sv, round(max(value), 6) AS mx
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("s06_stream_neardup_ingest",
       (s, d) => {
         val m = mgr(s, d)

@@ -84,16 +84,21 @@ object Aggregations {
   /** `aggregate("a, b, sum(c), min(d)")` (SURVEY A2; reference:
     * AggregationHandler.scala:104-130).
     */
-  def aggregate(ddf: DDF, specs: String): DDF = {
+  def aggregate(ddf: DDF, specs: String): DDF =
+    ddf.derive(aggregateDf(ddf.df, specs))
+
+  /** DataFrame form of [[aggregate]] — same spec grammar and null-clean;
+    * the streaming rollup loop (`CurationStreams.aggMaintain`) aggregates
+    * raw micro-batches through this without a DDF handle.
+    */
+  def aggregateDf(df: DataFrame, specs: String): DataFrame = {
     val parsed = parseSpecs(specs)
     val groups = parsed.collect { case GroupCol(n) => n }
     val aggs = parsed.collect { case a: AggSpec => aggColumn(a) }
     require(aggs.nonEmpty, "aggregate() needs at least one aggregate function")
-    val clean = cleaned(ddf.df, parsed)
-    val out =
-      if (groups.isEmpty) clean.agg(aggs.head, aggs.tail: _*)
-      else clean.groupBy(groups.map(col): _*).agg(aggs.head, aggs.tail: _*)
-    ddf.derive(out)
+    val clean = cleaned(df, parsed)
+    if (groups.isEmpty) clean.agg(aggs.head, aggs.tail: _*)
+    else clean.groupBy(groups.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Driver-side map keyed by comma-joined group values (reference
@@ -200,7 +205,15 @@ object Aggregations {
     * sum→sum, min→min, max→max); mean/var need sufficient statistics
     * (keep count+sum and divide downstream) and are refused here.
     */
-  def mergeAggregates(a: DataFrame, b: DataFrame, specs: String): DataFrame = {
+  def mergeAggregates(a: DataFrame, b: DataFrame, specs: String): DataFrame =
+    mergeStacked(a.unionByName(b), specs)
+
+  /** [[mergeAggregates]] over ANY number of stacked finished-aggregate
+    * frames in one DataFrame (e.g. the epoch-partitioned partial store of
+    * `CurationStreams.aggMaintain` read back whole): same mergeable-only
+    * contract, O(partials) in → O(groups) out.
+    */
+  def mergeStacked(partials: DataFrame, specs: String): DataFrame = {
     val parsed = parseSpecs(specs)
     val groups = parsed.collect { case GroupCol(n) => n }
     val merged = parsed.collect { case AggSpec(fn, _, alias) =>
@@ -214,9 +227,8 @@ object Aggregations {
       }).as(alias)
     }
     require(merged.nonEmpty, "mergeAggregates() needs at least one aggregate")
-    val u = a.unionByName(b)
-    if (groups.isEmpty) u.agg(merged.head, merged.tail: _*)
-    else u.groupBy(groups.map(col): _*).agg(merged.head, merged.tail: _*)
+    if (groups.isEmpty) partials.agg(merged.head, merged.tail: _*)
+    else partials.groupBy(groups.map(col): _*).agg(merged.head, merged.tail: _*)
   }
 
   /** Parse agg-only spec strings (cube/groupingSets/resample grammar):

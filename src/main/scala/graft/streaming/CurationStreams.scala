@@ -327,4 +327,49 @@ object CurationStreams {
       !n.startsWith("_") && !n.startsWith(".")
     }
   }
+
+  /** Continuous rollup maintenance — the streaming IVM twin of
+    * [[graft.operators.Aggregations.mergeAggregates]]: each micro-batch
+    * aggregates ITSELF with `specs` (mergeable functions only: count /
+    * sum / min / max — the [[graft.operators.Aggregations.mergeStacked]]
+    * contract) and stores the O(groups)-row finished partial under its
+    * epoch partition; [[readRollup]] folds the stored partials into the
+    * current rollup whenever one is needed. Nothing ever re-aggregates
+    * event history: per epoch the work is one map-side-combined partial
+    * aggregate of the batch plus an O(groups) write — the nightly-rollup
+    * loop at streaming cadence.
+    *
+    * Same replay discipline as [[dedupedIngest]]: a replayed epoch
+    * dynamically OVERWRITES its own partition with bit-identical partials
+    * (the aggregate of the same batch), so at-least-once foreachBatch
+    * still yields an exactly-once rollup.
+    */
+  def aggMaintain(events: DataFrame, specs: String,
+                  rollupDir: String): DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(events.isStreaming, "aggMaintain expects a streaming frame; " +
+      "use Aggregations.aggregate for batch rollups")
+    // fail on unmergeable specs at WIRING time, not first epoch: run the
+    // merge parser once against an empty frame of the partial's shape
+    graft.operators.Aggregations.mergeStacked(
+      graft.operators.Aggregations.aggregateDf(events.sparkSession
+        .createDataFrame(events.sparkSession.sparkContext
+          .emptyRDD[org.apache.spark.sql.Row], events.schema), specs), specs)
+    events.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
+      graft.operators.Aggregations.aggregateDf(batch, specs)
+        .withColumn("epoch", lit(epoch))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch")
+        .parquet(rollupDir)
+    }
+  }
+
+  /** The current rollup of an [[aggMaintain]] store: one
+    * [[graft.operators.Aggregations.mergeStacked]] fold over the
+    * O(epochs × groups) partials — never the event history.
+    */
+  def readRollup(spark: org.apache.spark.sql.SparkSession, rollupDir: String,
+                 specs: String): DataFrame =
+    graft.operators.Aggregations.mergeStacked(
+      spark.read.parquet(rollupDir).drop("epoch"), specs)
 }

@@ -128,6 +128,45 @@ class StreamingSpec extends SparkTestBase {
     assert(idx.columns.contains("epoch"))
   }
 
+  test("aggMaintain: rollup equals the direct aggregate; replay overwrites its partial") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_rollup").toString + "/r"
+    val spec = "g, n=count(*), sv=sum(v), mx=max(v)"
+    val stream = MemoryStream[(String, Double)]
+    val q = graft.streaming.CurationStreams.aggMaintain(
+      stream.toDF().toDF("g", "v"), spec, dir).start()
+    val e0 = Seq(("a", 1.0), ("a", 2.0), ("b", 10.0))
+    val e1 = Seq(("a", 4.0), ("c", 7.0))
+    try {
+      stream.addData(e0: _*); q.processAllAvailable()
+      stream.addData(e1: _*); q.processAllAvailable()
+    } finally q.stop()
+    val roll = graft.streaming.CurationStreams.readRollup(spark, dir, spec)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(roll == Map("a" -> ((3L, 7.0, 4.0)), "b" -> ((1L, 10.0, 10.0)),
+      "c" -> ((1L, 7.0, 7.0))), s"got $roll")
+    // store is O(epochs × groups), not event-sized
+    val stored = spark.read.parquet(dir)
+    assert(stored.count() == 4, "two epochs x two groups of partials")
+    // replaying an epoch (same batch, same epoch id) overwrites its own
+    // partition bit-identically — the at-least-once foreachBatch contract
+    graft.operators.Aggregations.aggregateDf(e1.toDF("g", "v"), spec)
+      .withColumn("epoch", lit(1L))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("epoch").parquet(dir)
+    val roll2 = graft.streaming.CurationStreams.readRollup(spark, dir, spec)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(roll2 == roll, "replay must not change the rollup")
+    // unmergeable specs refuse at WIRING time, before any epoch runs
+    intercept[IllegalArgumentException] {
+      graft.streaming.CurationStreams.aggMaintain(
+        MemoryStream[(String, Double)].toDF().toDF("g", "v"),
+        "g, m=mean(v)", dir + "2")
+    }
+    graft.tools.Cleanup.deleteRecursively(dir)
+  }
+
   test("nearDupIngest: cross-batch NEAR-dup dedup against an epoch-partitioned band index") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
