@@ -5628,6 +5628,51 @@ object SparkEntry {
               |  ON t.source IS NOT DISTINCT FROM p.source AND t.rn = 1
               |ORDER BY p.source""".stripMargin)),
 
+    Q("p11_quality_ensemble_build",
+      (s, d) => {
+        val m = mgr(s, d)
+        // Round-14 composed quality ensemble: two heterogeneous signals
+        // (code-point entropy via the native char_entropy; doc length)
+        // rank-normalized to [0,1] percentile space (window-free midrank
+        // ECDF), averaged, and gated at the median blend — the
+        // multi-signal quality-filter shape where rank blending replaces
+        // unit gymnastics. Entropy is rounded to 6 BEFORE ranking so the
+        // distinct-value grouping sees grid-aligned values on both
+        // engines (cross-engine fold noise ~1e-15 vs the 1e-6 grid).
+        val docs = m.getDDFByName("documents").df
+        val sig = docs.select(col("doc_id"),
+          expr("round(char_entropy(text), 6)").as("ent"),
+          length(col("text")).cast("double").as("len"))
+        Stats.percentileRank(sig, Seq("ent", "len"))
+          .select(col("doc_id"),
+            round((col("ent_pr") + col("len_pr")) / 2, 7).as("blend"))
+          .filter(col("blend") >= 0.5)
+          .orderBy("doc_id")
+      },
+      Some("""WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+             |  FROM documents),
+             |cnt AS (SELECT doc_id, c, count(*)::DOUBLE AS k FROM ch GROUP BY 1, 2),
+             |tot AS (SELECT doc_id, sum(k) AS n FROM cnt GROUP BY 1),
+             |ent AS (SELECT doc_id,
+             |    round(-sum((k / n) * log2(k / n)), 6) AS ent
+             |  FROM cnt JOIN tot USING (doc_id) GROUP BY 1),
+             |sig AS (SELECT d.doc_id, e.ent, length(d.text)::DOUBLE AS len
+             |  FROM documents d JOIN ent e USING (doc_id)),
+             |ec AS (SELECT ent AS v, count(*) AS k FROM sig GROUP BY 1),
+             |er AS (SELECT v,
+             |    (coalesce(sum(k) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+             |       PRECEDING AND 1 PRECEDING), 0) + 0.5 * k)
+             |      / (sum(k) OVER ()) AS pr FROM ec),
+             |lc AS (SELECT len AS v, count(*) AS k FROM sig GROUP BY 1),
+             |lr AS (SELECT v,
+             |    (coalesce(sum(k) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+             |       PRECEDING AND 1 PRECEDING), 0) + 0.5 * k)
+             |      / (sum(k) OVER ()) AS pr FROM lc)
+             |SELECT s.doc_id, round((er.pr + lr.pr) / 2, 7) AS blend
+             |FROM sig s JOIN er ON s.ent = er.v JOIN lr ON s.len = lr.v
+             |WHERE round((er.pr + lr.pr) / 2, 7) >= 0.5
+             |ORDER BY s.doc_id""".stripMargin)),
+
     Q("p08_mixture_recipe_build",
       (s, d) => {
         val m = mgr(s, d)
