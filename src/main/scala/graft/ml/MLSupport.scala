@@ -385,11 +385,18 @@ object MLSupport {
         lit(s"calibrationBuckets: scoreCol '$scoreCol' must be in [0,1], got "),
         coalesce(s0.cast("string"), lit("NULL"))))).otherwise(s0)
     val bin = least(floor(checked * nBins), lit(nBins - 1L)).cast("bigint")
+    // labels get the same loud guard as scores (mirrors aucByGroup): a
+    // NULL or non-0/1 label silently counted as 'incorrect' would skew
+    // accuracy/ECE undetected — fail the job instead
+    val labChecked = when(lab.isNull || (lab =!= 0.0 && lab =!= 1.0),
+      raise_error(concat(
+        lit(s"calibrationBuckets: labelCol '$labelCol' must be 0 or 1, got "),
+        coalesce(lab.cast("string"), lit("NULL"))))).otherwise(lab)
     val g = groupCols.map(col)
     df.groupBy((g :+ bin.as("bin")): _*)
       .agg(count(lit(1)).as("n"),
         avg(checked).as("confidence"),
-        avg(when(lab === 1.0, 1.0).otherwise(0.0)).as("accuracy"))
+        avg(labChecked).as("accuracy"))
       .withColumn("gap", abs(col("confidence") - col("accuracy")))
   }
 }

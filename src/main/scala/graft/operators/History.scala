@@ -146,6 +146,11 @@ object History {
                    compareCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "snapshotDiff needs key columns")
     require(compareCols.nonEmpty, "snapshotDiff needs compare columns")
+    // an overlapping column would duplicate in the tagged select and
+    // surface as an opaque ambiguous-attribute analysis error downstream
+    require(keyCols.intersect(compareCols).isEmpty,
+      s"snapshotDiff: keyCols and compareCols must be disjoint, both contain " +
+        keyCols.intersect(compareCols).mkString("[", ", ", "]"))
     val sel = (keyCols ++ compareCols).map(col)
     val tagged = oldDf.select(sel: _*).withColumn("__side", lit(0))
       .unionByName(newDf.select(sel: _*).withColumn("__side", lit(1)))

@@ -204,8 +204,9 @@ object Stats {
     * w_mean² (population form — weights are fractional copies, not
     * reliability weights). Rows with NULL x contribute nothing to that
     * column (their weight is excluded from its Σw); min/max are
-    * unweighted by definition. Negative weights fail the job loudly —
-    * they'd silently poison every moment. One aggregate pass for ALL
+    * unweighted by definition. NULL, negative, or NaN weights fail the
+    * job loudly — each would silently poison every moment (a NULL weight
+    * leaves the row counted in n/min/max yet absent from Σw). One aggregate pass for ALL
     * columns (the [[summaryOf]] shape); output one row per column:
     * (column, n, w_total, w_mean, w_var, min, max).
     */
@@ -215,10 +216,13 @@ object Stats {
     val spark = df.sparkSession
     import spark.implicits._
     val w = col(weightCol).cast(DoubleType)
-    // NaN rides the guard too: 'w < 0' is false for NaN under Spark's
-    // NaN-is-greatest ordering, but a NaN weight would silently NaN
-    // every moment — exactly what this guard exists to reject loudly
-    val aggs = coalesce(sum(when(w < 0.0 || isnan(w), 1L).otherwise(0L)), lit(0L))
+    // NaN and NULL ride the guard too: 'w < 0' is false for NaN under
+    // Spark's NaN-is-greatest ordering, and a NULL weight (a failed
+    // weight-join) would leave the row counted in n/min/max while
+    // contributing nothing to the moments — both would silently poison
+    // the summary, so both fail the job loudly
+    val aggs = coalesce(
+      sum(when(w.isNull || w < 0.0 || isnan(w), 1L).otherwise(0L)), lit(0L))
       .as("__neg") +:
       cols.flatMap { c =>
         val x = col(c).cast(DoubleType)
@@ -231,7 +235,7 @@ object Stats {
       }
     val row = df.agg(aggs.head, aggs.tail: _*).first()
     require(row.getLong(0) == 0L,
-      s"weightedSummary: ${row.getLong(0)} rows carry a negative/NaN '$weightCol'")
+      s"weightedSummary: ${row.getLong(0)} rows carry a NULL/negative/NaN '$weightCol'")
     def d(i: Int): Option[Double] = if (row.isNullAt(i)) None else Some(row.getDouble(i))
     val out = cols.zipWithIndex.map { case (c, j) =>
       val b = 1 + j * 6

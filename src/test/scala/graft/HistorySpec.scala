@@ -153,5 +153,11 @@ class HistorySpec extends SparkTestBase {
       History.snapshotDiff(old.union(old.limit(1)), nw, Seq("id"), Seq("txt", "v")).collect()
     }
     assert(err.getMessage != null)
+    // overlapping key/compare columns are a contract violation, rejected
+    // up front (r14 review) instead of an ambiguous-attribute error
+    val overlap = intercept[IllegalArgumentException] {
+      History.snapshotDiff(old, nw, Seq("id"), Seq("id", "v"))
+    }
+    assert(overlap.getMessage.contains("disjoint"))
   }
 }

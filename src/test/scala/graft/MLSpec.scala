@@ -235,5 +235,16 @@ class MLSpec extends SparkTestBase {
         Seq((Some(0.5), 1.0), (None, 0.0)).toDF("score", "label"),
         "score", "label", 8).collect()
     }
+    // labels get the same loud guard (r14 review): a NULL or non-0/1
+    // label silently counted as 'incorrect' would skew accuracy/ECE
+    intercept[Exception] {
+      MLSupport.calibrationBuckets(
+        Seq((0.5, Some(1.0)), (0.5, None)).toDF("score", "label"),
+        "score", "label", 8).collect()
+    }
+    intercept[Exception] {
+      MLSupport.calibrationBuckets(
+        Seq((0.5, 2.0)).toDF("score", "label"), "score", "label", 8).collect()
+    }
   }
 }

@@ -424,6 +424,12 @@ class StatsSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Stats.weightedSummary(Seq((1.0, Double.NaN)).toDF("x", "w"), "w", Seq("x"))
     }
+    // NULL weights fail too (r14 review): a failed weight-join would
+    // leave rows counted in n/min/max yet absent from every Σw moment
+    intercept[IllegalArgumentException] {
+      Stats.weightedSummary(
+        Seq((1.0, Some(1.0)), (2.0, None)).toDF("x", "w"), "w", Seq("x"))
+    }
   }
 
   test("percentileRank: midrank ECDF, ties, NULLs, multi-column blend") {
