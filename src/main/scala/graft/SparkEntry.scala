@@ -7981,9 +7981,220 @@ object SparkEntry {
               |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
   )
 
+  // =====================================================================
+  // URL / domain curation (w-family; r15 — no reference counterpart, the
+  // CommonCrawl-style web-corpus operators). The documents table carries
+  // no URL column, so each query derives a deterministic MESSY url from
+  // doc_id (mixed-case scheme/host, default + explicit ports, tracking
+  // params, fragments, empty paths) identically on both engines, then
+  // the Spark side exercises pipeline.UrlCuration while the oracle
+  // transliterates the normalization contract step for step.
+  // =====================================================================
+
+  /** Synthetic messy URL from doc_id; `hostMod` controls domain
+    * cardinality (small → per-domain caps and URL dedup actually bind).
+    */
+  private def syntheticUrl(hostMod: Int): Column = {
+    val id = col("doc_id")
+    val scheme = when(id % 3 === 0, "HTTPS").when(id % 3 === 1, "http")
+      .otherwise("https")
+    val tld = when(id % 7 === 0, "Co.UK")
+      .when(id % 7 === 1 || id % 7 === 2, "example.COM")
+      .when(id % 7 === 3, "GitHub.IO")
+      .when(id % 7 === 4, "blogspot.com")
+      .when(id % 7 === 5, "org")
+      .otherwise("net.au")
+    val port = when(id % 5 === 0, ":443").when(id % 5 === 1, ":8080")
+      .otherwise("")
+    val path = when(id % 4 === 0, "").when(id % 4 === 1, "/")
+      .otherwise(concat(lit("/Articles/"), (id % 100).cast("string")))
+    val query = when(id % 6 === 0,
+        concat(lit("?utm_source=feed&id="), (id % 50).cast("string")))
+      .when(id % 6 === 1,
+        concat(lit("?id="), (id % 50).cast("string"), lit("&utm_campaign=x&ref=tw")))
+      .when(id % 6 === 2, "?gclid=abc123")
+      .when(id % 6 === 3, "?a=1&b=2")
+      .otherwise("")
+    val frag = when(id % 8 === 0, "#Section-2").otherwise("")
+    concat(scheme, lit("://Site-"), (id % hostMod).cast("string"), lit("."),
+      tld, port, path, query, frag)
+  }
+
+  /** DuckDB twin of [[syntheticUrl]]. NOTE: these helper strings are
+    * interpolated into oracle templates that apply .stripMargin to the
+    * WHOLE result, so no emitted line may start with whitespace + `|` —
+    * every `||` concat sits at a line END.
+    */
+  private def duckUrlRaw(hostMod: Int): String =
+    s"""CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' WHEN doc_id % 3 = 1 THEN 'http'
+       |       ELSE 'https' END ||
+       |  '://Site-' || (doc_id % $hostMod)::VARCHAR || '.' ||
+       |  CASE WHEN doc_id % 7 = 0 THEN 'Co.UK'
+       |       WHEN doc_id % 7 IN (1, 2) THEN 'example.COM'
+       |       WHEN doc_id % 7 = 3 THEN 'GitHub.IO'
+       |       WHEN doc_id % 7 = 4 THEN 'blogspot.com'
+       |       WHEN doc_id % 7 = 5 THEN 'org' ELSE 'net.au' END ||
+       |  CASE WHEN doc_id % 5 = 0 THEN ':443'
+       |       WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END ||
+       |  CASE WHEN doc_id % 4 = 0 THEN '' WHEN doc_id % 4 = 1 THEN '/'
+       |       ELSE '/Articles/' || (doc_id % 100)::VARCHAR END ||
+       |  CASE WHEN doc_id % 6 = 0 THEN '?utm_source=feed&id=' || (doc_id % 50)::VARCHAR
+       |       WHEN doc_id % 6 = 1 THEN '?id=' || (doc_id % 50)::VARCHAR || '&utm_campaign=x&ref=tw'
+       |       WHEN doc_id % 6 = 2 THEN '?gclid=abc123'
+       |       WHEN doc_id % 6 = 3 THEN '?a=1&b=2' ELSE '' END ||
+       |  CASE WHEN doc_id % 8 = 0 THEN '#Section-2' ELSE '' END""".stripMargin
+
+  /** DuckDB transliteration of UrlCuration.urlNormalizeCol as CTE steps:
+    * expects a relation `u(…, url)`, defines `p5(…, url_norm)`.
+    */
+  private val duckUrlNormCtes: String = {
+    val trackRe =
+      "^(utm_[^=&]*|gclid|fbclid|msclkid|yclid|mc_eid|igshid|ref|ref_src|_ga)(=|$)"
+    s"""p1 AS (SELECT *, trim(url) AS __src FROM u),
+       |p2 AS (SELECT *,
+       |  lower(regexp_extract(__src, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS __scheme,
+       |  regexp_replace(regexp_replace(__src, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+       |    '#.*', '') AS __nofrag FROM p1),
+       |p3 AS (SELECT *, regexp_extract(__nofrag, '^([^/?]*)', 1) AS __auth,
+       |  regexp_replace(__nofrag, '^[^/?]*', '') AS __pathq FROM p2),
+       |p4 AS (SELECT *, lower(regexp_extract(__auth, '^([^:]*)', 1)) AS __host,
+       |  regexp_extract(__auth, ':([0-9]+)$$', 1) AS __port,
+       |  regexp_extract(__pathq, '^([^?]*)', 1) AS __path,
+       |  coalesce(array_to_string(list_filter(
+       |    string_split(regexp_extract(__pathq, '\\?(.*)', 1), '&'),
+       |    x -> x <> '' AND NOT regexp_matches(x, '$trackRe')), '&'), '') AS __qn
+       |  FROM p3),
+       |p5 AS (SELECT *, CASE WHEN __scheme = '' OR __host = '' THEN NULL ELSE
+       |    __scheme || '://' || __host ||
+       |    CASE WHEN __port = '' OR (__scheme = 'http' AND __port = '80')
+       |         OR (__scheme = 'https' AND __port = '443') THEN ''
+       |         ELSE ':' || __port END ||
+       |    CASE WHEN __path = '' THEN '/' ELSE __path END ||
+       |    CASE WHEN __qn = '' THEN '' ELSE '?' || __qn END END AS url_norm
+       |  FROM p4)""".stripMargin
+  }
+
+  /** Suffix rules used by the w02/w03 queries (explicit so the oracle
+    * inlines them); depth-1 and depth-2 entries of
+    * [[pipeline.UrlCuration.defaultSuffixes]] that the synthetic hosts hit.
+    */
+  private val wSuffixes =
+    Seq("com", "org", "uk", "io", "au", "co.uk", "net.au", "github.io",
+      "blogspot.com")
+
+  /** DuckDB twin of UrlCuration.registeredDomain on relation `h(…, host)`:
+    * defines `d3(…, registered_domain, registered_domain_suffix)`.
+    */
+  private val duckRegDomainCtes: String = {
+    val d1 = wSuffixes.filter(!_.contains('.')).map(s => s"'$s'").mkString(", ")
+    val d2 = wSuffixes.filter(_.contains('.')).map(s => s"'$s'").mkString(", ")
+    s"""d1 AS (SELECT *, string_split(lower(host), '.') AS __l,
+       |  len(string_split(lower(host), '.')) AS __n FROM h),
+       |d2 AS (SELECT *, CASE
+       |    WHEN __n >= 2 AND array_to_string(__l[__n - 1:__n], '.') IN ($d2) THEN 2
+       |    WHEN __n >= 1 AND __l[__n] IN ($d1) THEN 1
+       |    WHEN __n >= 1 THEN 1 END AS __d FROM d1),
+       |d3 AS (SELECT *,
+       |  CASE WHEN __d IS NOT NULL
+       |    THEN array_to_string(__l[__n - __d + 1:__n], '.') END AS registered_domain_suffix,
+       |  CASE WHEN __n >= __d + 1
+       |    THEN array_to_string(__l[__n - __d:__n], '.') END AS registered_domain
+       |  FROM d2)""".stripMargin
+  }
+
+  private val urlQ: Seq[Q] = Seq(
+    Q("w01_url_normalize",
+      (s, d) => {
+        val m = mgr(s, d)
+        val docs = m.getDDFByName("documents").df
+          .select(col("doc_id"), syntheticUrl(40).as("url"))
+        pipeline.UrlCuration.urlNormalize(docs, "url")
+          .select("doc_id", "url", "url_norm")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH u AS (SELECT doc_id, ${duckUrlRaw(40)} AS url FROM documents),
+              |$duckUrlNormCtes
+              |SELECT doc_id, url, url_norm FROM p5 ORDER BY doc_id""".stripMargin)),
+
+    Q("w02_registered_domain",
+      (s, d) => {
+        val m = mgr(s, d)
+        val hosts = m.getDDFByName("documents").df
+          .select(col("doc_id"),
+            pipeline.UrlCuration.hostOf(syntheticUrl(40)).as("host"))
+        pipeline.UrlCuration.registeredDomain(hosts, "host", wSuffixes)
+          .select("doc_id", "host", "registered_domain", "registered_domain_suffix")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH u AS (SELECT doc_id, ${duckUrlRaw(40)} AS url FROM documents),
+              |h AS (SELECT doc_id, lower(regexp_extract(regexp_extract(
+              |    regexp_replace(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+              |    '^([^/?#]*)', 1), '^([^:]*)', 1)) AS host FROM u),
+              |$duckRegDomainCtes
+              |SELECT doc_id, host, registered_domain, registered_domain_suffix
+              |FROM d3 ORDER BY doc_id""".stripMargin)),
+
+    Q("w03_domain_cap_build",
+      (s, d) => {
+        val m = mgr(s, d)
+        // the composed crawl-curation shape: normalize → registered
+        // domain → broadcast blocklist anti-join → per-domain cap (5
+        // best-by-length docs per registrant) via budgetSelectByGroup —
+        // the payload never rides a window, the blocklist never shuffles
+        val spark = s
+        import spark.implicits._
+        val docs = m.getDDFByName("documents").df
+          .select(col("doc_id"), col("n_chars"), syntheticUrl(5).as("url"))
+        val withDom = pipeline.UrlCuration.registeredDomain(
+          docs.withColumn("host", pipeline.UrlCuration.hostOf(col("url"))),
+          "host", wSuffixes)
+        val block = Seq("example.com", "site-3.co.uk").toDF("blocked")
+        val allowed = withDom
+          .join(broadcast(block), col("registered_domain") === col("blocked"),
+            "left_anti")
+          .withColumn("__cost", lit(1L))
+        Views.budgetSelectByGroup(allowed, "registered_domain",
+            Seq(col("n_chars").desc, col("doc_id").asc), "__cost",
+            budgets = Map.empty, defaultBudget = 5L)
+          .select("doc_id", "registered_domain", "n_chars")
+          .orderBy("registered_domain", "doc_id")
+      },
+      Some(s"""WITH u AS (SELECT doc_id, n_chars, ${duckUrlRaw(5)} AS url
+              |  FROM documents),
+              |h AS (SELECT doc_id, n_chars, lower(regexp_extract(regexp_extract(
+              |    regexp_replace(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+              |    '^([^/?#]*)', 1), '^([^:]*)', 1)) AS host FROM u),
+              |$duckRegDomainCtes,
+              |r AS (SELECT doc_id, registered_domain, n_chars,
+              |    row_number() OVER (PARTITION BY registered_domain
+              |      ORDER BY n_chars DESC, doc_id) AS rn
+              |  FROM d3
+              |  WHERE registered_domain NOT IN ('example.com', 'site-3.co.uk'))
+              |SELECT doc_id, registered_domain, n_chars FROM r WHERE rn <= 5
+              |ORDER BY registered_domain, doc_id""".stripMargin)),
+
+    Q("w04_url_dedup",
+      (s, d) => {
+        val m = mgr(s, d)
+        // distinct raw spellings of one resource (tracking params, case,
+        // default ports, '' vs '/' paths, fragments) collapse to one
+        // canonical group; only the canonical key shuffles
+        val docs = m.getDDFByName("documents").df
+          .select(col("doc_id"), syntheticUrl(5).as("url"))
+        pipeline.UrlCuration.urlDedup(docs, "url", "doc_id")
+          .orderBy("url_norm")
+      },
+      Some(s"""WITH u AS (SELECT doc_id, ${duckUrlRaw(5)} AS url FROM documents),
+              |$duckUrlNormCtes
+              |SELECT url_norm, min(doc_id)::BIGINT AS keep_id,
+              |  count(*)::BIGINT AS n_dups
+              |FROM p5 WHERE url_norm IS NOT NULL
+              |GROUP BY url_norm ORDER BY url_norm""".stripMargin))
+  )
+
   private val allQueries: Seq[Q] =
     relational ++ sqlFrontend ++ joins ++ aggregation ++ statsQ ++
-      binningMissing ++ transforms ++ pipelineQ ++ curationQ ++ ingestQ
+      binningMissing ++ transforms ++ pipelineQ ++ curationQ ++ ingestQ ++ urlQ
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

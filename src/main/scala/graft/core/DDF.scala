@@ -503,4 +503,22 @@ final class DDF(
   /** Frequency-ranked categorical ids (see `operators/Transforms.indexEncode`). */
   def indexEncode(c: String, outCol: String): DDF =
     graft.operators.Transforms.indexEncode(this, c, outCol)
+
+  // ===== round-15 additions: URL / domain curation =====
+
+  /** Canonicalized URL column (see `pipeline/UrlCuration.urlNormalize`). */
+  def urlNormalize(urlCol: String, outCol: String = "url_norm"): DDF =
+    derive(graft.pipeline.UrlCuration.urlNormalize(df, urlCol, outCol))
+  /** Public-suffix registered domain of a host column (see
+    * `pipeline/UrlCuration.registeredDomain`).
+    */
+  def registeredDomain(hostCol: String,
+                       suffixes: Seq[String] =
+                         graft.pipeline.UrlCuration.defaultSuffixes): DDF =
+    derive(graft.pipeline.UrlCuration.registeredDomain(df, hostCol, suffixes))
+  /** Exact dedup groups on the canonical URL (see
+    * `pipeline/UrlCuration.urlDedup`).
+    */
+  def urlDedup(urlCol: String, idCol: String): DDF =
+    derive(graft.pipeline.UrlCuration.urlDedup(df, urlCol, idCol))
 }

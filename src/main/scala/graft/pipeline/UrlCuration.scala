@@ -1,0 +1,185 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL / domain curation — the CommonCrawl-style web-corpus operators:
+  * canonicalize URLs, extract registered domains against a
+  * public-suffix rule table, and dedup/cap/block at URL or domain
+  * granularity. The reference engine predates this use case entirely
+  * (no comparable surface in `/root/reference/flink`); the family is a
+  * first-class extension alongside the text/dedup pipeline operators.
+  *
+  * Scale design:
+  *  - [[urlNormalizeCol]] is a pure column expression — regexp
+  *    extraction + an array filter over the query string, evaluated
+  *    row-local inside the scan stage: zero shuffles, no UDF, no
+  *    driver involvement, safe to apply to 100 TB of crawl records.
+  *  - [[registeredDomain]] joins per-depth suffix candidates against a
+  *    BROADCAST suffix-rule table (never a regex over the host): the
+  *    rule table is config-sized (the full public-suffix list is ~10k
+  *    rows), so the whole lookup is N broadcast hash joins fused into
+  *    the scan stage — zero shuffle exchanges.
+  *  - [[urlDedup]] shuffles only the canonical-URL group key, the
+  *    [[Dedup.exact]] shape.
+  * Domain caps/budgets compose with
+  * [[graft.operators.Views.budgetSelectByGroup]] (per-domain budgets
+  * without putting the payload under a window) and blocklists are
+  * broadcast anti-joins — see the w03 driver query.
+  */
+object UrlCuration {
+
+  /** Query parameters stripped by [[urlNormalizeCol]]: the common
+    * click/campaign trackers. Each entry is a regex matched against the
+    * full parameter NAME (anchored internally). Public knowledge — the
+    * standard utm_* family plus the big ad-platform click ids.
+    */
+  val defaultTrackingParams: Seq[String] = Seq(
+    "utm_[^=&]*", "gclid", "fbclid", "msclkid", "yclid", "mc_eid",
+    "igshid", "ref", "ref_src", "_ga")
+
+  /** Canonicalize an absolute URL (pure expression — see object doc):
+    *
+    *  - scheme and host lowercased;
+    *  - fragment (`#…`) dropped;
+    *  - default ports stripped (`:80` for http, `:443` for https);
+    *  - tracking query parameters removed (name matching any
+    *    `trackingParams` regex), remaining parameters kept IN ORDER;
+    *  - empty path normalized to `/`; empty query (`?` alone or fully
+    *    stripped) dropped.
+    *
+    * Rows that are not absolute URLs (`scheme://…`) or have an empty
+    * host yield NULL — the caller decides whether that is a drop or a
+    * quarantine. Userinfo (`user@host`) is NOT parsed (kept verbatim in
+    * the host, and such hosts then fail suffix lookup downstream);
+    * percent-encoding is preserved as-is. Every step is a plain
+    * Catalyst expression with an exact DuckDB transliteration (the w01
+    * oracle), so the contract is pinned cross-engine.
+    */
+  def urlNormalizeCol(url: Column,
+                      trackingParams: Seq[String] = defaultTrackingParams): Column = {
+    val src = trim(url)
+    val scheme = lower(regexp_extract(src, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(src, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val nofrag = regexp_replace(rest, "#.*", "")
+    val authority = regexp_extract(nofrag, "^([^/?]*)", 1)
+    val pathq = regexp_replace(nofrag, "^[^/?]*", "")
+    val host = lower(regexp_extract(authority, "^([^:]*)", 1))
+    val port = regexp_extract(authority, ":([0-9]+)$", 1)
+    val portNorm = when(port === "" ||
+      (scheme === "http" && port === "80") ||
+      (scheme === "https" && port === "443"), "")
+      .otherwise(concat(lit(":"), port))
+    val path = regexp_extract(pathq, "^([^?]*)", 1)
+    val pathNorm = when(path === "", "/").otherwise(path)
+    val trackRe = trackingParams.mkString("^(", "|", ")(=|$)")
+    val params = filter(split(regexp_extract(pathq, "\\?(.*)", 1), "&"),
+      p => p =!= "" && !p.rlike(trackRe))
+    val queryNorm = array_join(params, "&")
+    when(scheme === "" || host === "", lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), host, portNorm, pathNorm,
+        when(queryNorm === "", "").otherwise(concat(lit("?"), queryNorm))))
+  }
+
+  /** [[urlNormalizeCol]] applied as a derived column. */
+  def urlNormalize(df: DataFrame, urlCol: String, outCol: String = "url_norm",
+                   trackingParams: Seq[String] = defaultTrackingParams): DataFrame =
+    df.withColumn(outCol, urlNormalizeCol(col(urlCol), trackingParams))
+
+  /** Lowercased host of an absolute URL (NULL when not `scheme://…` or
+    * the host is empty) — the [[urlNormalizeCol]] host contract as a
+    * standalone extractor, for feeding [[registeredDomain]] directly.
+    */
+  def hostOf(url: Column): Column = {
+    val src = trim(url)
+    val hasScheme = regexp_extract(src, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1) =!= ""
+    val authority = regexp_extract(
+      regexp_replace(src, "^[A-Za-z][A-Za-z0-9+.-]*://", ""), "^([^/?#]*)", 1)
+    val host = lower(regexp_extract(authority, "^([^:]*)", 1))
+    when(!hasScheme || host === "", lit(null).cast("string")).otherwise(host)
+  }
+
+  /** A representative public-suffix subset (public knowledge: the rule
+    * FORMAT of publicsuffix.org — exact rules only, evaluated with the
+    * standard implicit `*` default rule). Callers curating real crawl
+    * data pass the full list; queries pass explicit subsets so the
+    * oracle can inline them.
+    */
+  val defaultSuffixes: Seq[String] = Seq(
+    "com", "net", "org", "edu", "gov", "io", "ai", "dev", "app", "info",
+    "co", "me", "tv", "us", "uk", "de", "fr", "jp", "cn", "br", "au",
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp", "com.br", "com.cn", "co.in", "co.kr",
+    "co.za", "com.sg", "com.mx", "com.ar", "com.tr",
+    "github.io", "gitlab.io", "blogspot.com", "herokuapp.com",
+    "s3.amazonaws.com")
+
+  /** Registered-domain extraction per the public-suffix algorithm
+    * (exact rules + the implicit `*` default rule: an unmatched final
+    * label is its own suffix): the matching suffix is the LONGEST rule
+    * equal to a trailing label sequence of the host, and the
+    * registered domain is that suffix plus one preceding label.
+    * Appends `outCol` (NULL when the host IS a bare suffix or is
+    * empty/NULL) and `<outCol>_suffix` (the matched suffix).
+    *
+    * Scale shape (see object doc): one candidate string per rule depth
+    * (depths present in `suffixes`, ≤4 in the full PSL for all but
+    * exotic rules), each probed with a broadcast LEFT join against the
+    * deduplicated rule table — no explode, no groupBy, no shuffle; the
+    * host column never leaves its scan partition. Wildcard (`*.foo`)
+    * and exception (`!bar.foo`) PSL rules are out of scope (exact-rule
+    * subset), documented here rather than silently misread.
+    */
+  def registeredDomain(df: DataFrame, hostCol: String,
+                       suffixes: Seq[String] = defaultSuffixes,
+                       outCol: String = "registered_domain"): DataFrame = {
+    require(suffixes.nonEmpty, "registeredDomain: need at least one suffix rule")
+    require(suffixes.forall(s => s.nonEmpty && !s.startsWith("*") && !s.startsWith("!")),
+      "registeredDomain: only exact public-suffix rules are supported " +
+        "(no wildcard '*.' or exception '!' rules)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val byDepth = suffixes.distinct.map(_.toLowerCase(java.util.Locale.ROOT))
+      .groupBy(_.count(_ == '.') + 1)
+    val depths = byDepth.keys.toSeq.sorted
+    val labs = split(lower(col(hostCol)), "\\.")
+    val n = size(labs)
+    var out = df.withColumn("__labs", labs).withColumn("__n", n)
+    for (d <- depths) {
+      val sfx = byDepth(d).toDF(s"__m$d")
+      val cand = when(col("__n") >= d,
+        array_join(slice(col("__labs"), col("__n") - d + 1, lit(d)), "."))
+      out = out.join(broadcast(sfx), cand === col(s"__m$d"), "left")
+    }
+    // longest (deepest) matched rule wins; the default '*' rule makes an
+    // unmatched final label its own suffix (depth 1)
+    val depth = depths.sorted(Ordering.Int.reverse)
+      .foldRight(when(col("__n") >= 1, 1)) { (d, acc) =>
+        when(col(s"__m$d").isNotNull, d).otherwise(acc)
+      }
+    out.withColumn("__d", depth)
+      .withColumn(s"${outCol}_suffix",
+        when(col("__d").isNotNull,
+          array_join(slice(col("__labs"), col("__n") - col("__d") + 1, col("__d")), ".")))
+      .withColumn(outCol,
+        when(col("__n") >= col("__d") + 1,
+          array_join(slice(col("__labs"), col("__n") - col("__d"), col("__d") + 1), ".")))
+      .drop((Seq("__labs", "__n", "__d") ++ depths.map(d => s"__m$d")): _*)
+  }
+
+  /** Exact URL-level dedup on the CANONICAL url: one group per
+    * normalized URL with its representative (min id) and multiplicity.
+    * The [[Dedup.exact]] shape — only the canonical-URL key shuffles,
+    * never payloads; distinct raw spellings of the same resource
+    * (tracking params, default ports, case, fragments) collapse by
+    * construction of [[urlNormalizeCol]]. NULL-normalizing rows (non-URLs)
+    * are excluded — they are quarantine material, not one giant group.
+    */
+  def urlDedup(df: DataFrame, urlCol: String, idCol: String,
+               trackingParams: Seq[String] = defaultTrackingParams): DataFrame =
+    df.select(urlNormalizeCol(col(urlCol), trackingParams).as("url_norm"),
+        col(idCol))
+      .filter(col("url_norm").isNotNull)
+      .groupBy("url_norm")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+}

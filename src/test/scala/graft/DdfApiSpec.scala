@@ -236,4 +236,24 @@ class DdfApiSpec extends SparkTestBase {
     val enc = m.register(Seq("p", "p", "q").toDF("c")).indexEncode("c", "cid")
     assert(enc.df.filter(col("c") === "p").first().getLong(1) == 0L)
   }
+
+  test("round-15 facade: url normalize / registered domain / url dedup") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = m.register(Seq(
+      (1L, "HTTPS://Blog.Example.COM:443/a?utm_source=f&id=1"),
+      (2L, "https://blog.example.com/a?id=1#top"),
+      (3L, "https://Other.org/b")).toDF("id", "url"))
+    val normed = docs.urlNormalize("url")
+    assert(normed.df.filter(col("id") === 1L).first().getString(2) ==
+      "https://blog.example.com/a?id=1")
+    val dom = normed
+      .derive(normed.df.withColumn("host",
+        graft.pipeline.UrlCuration.hostOf(col("url"))))
+      .registeredDomain("host")
+    assert(dom.df.filter(col("id") === 1L).first()
+      .getAs[String]("registered_domain") == "example.com")
+    val dd = docs.urlDedup("url", "id")
+    assert(dd.numRows == 2, "ids 1 and 2 collapse to one canonical URL")
+  }
 }

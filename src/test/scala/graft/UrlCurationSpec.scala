@@ -1,0 +1,137 @@
+package graft
+
+import graft.pipeline.UrlCuration
+import org.apache.spark.sql.functions._
+
+class UrlCurationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def norm(urls: String*): Seq[Option[String]] =
+    urls.toDF("url")
+      .select(UrlCuration.urlNormalizeCol(col("url")).as("n"))
+      .collect().toSeq.map(r => Option(r.getString(0)))
+
+  test("urlNormalize: case, ports, fragments, tracking params, empty path") {
+    assert(norm("HTTPS://WWW.Example.COM:443/Path/A?x=1#frag") ==
+      Seq(Some("https://www.example.com/Path/A?x=1")),
+      "scheme+host lowercase, default port stripped, PATH CASE KEPT, fragment dropped")
+    assert(norm("http://a.org:8080") == Seq(Some("http://a.org:8080/")),
+      "non-default port kept; empty path becomes /")
+    assert(norm("http://a.org:80/x") == Seq(Some("http://a.org/x")),
+      "http default port 80 stripped")
+    assert(norm("https://a.org:80/x") == Seq(Some("https://a.org:80/x")),
+      "port 80 is NOT default for https — kept")
+    assert(norm("https://h.io?utm_source=f&id=3&utm_campaign=c&gclid=z&b=2") ==
+      Seq(Some("https://h.io/?id=3&b=2")),
+      "tracking params stripped, survivors keep their original order")
+    assert(norm("https://h.io/p?utm_source=x") == Seq(Some("https://h.io/p")),
+      "fully-stripped query drops the '?'")
+    assert(norm("https://h.io/p?ref") == Seq(Some("https://h.io/p")),
+      "valueless tracking param (name-only) is stripped too")
+    assert(norm("https://h.io/p?refresh=1") == Seq(Some("https://h.io/p?refresh=1")),
+      "'ref' matches the whole name only — 'refresh' survives")
+    assert(norm("  https://h.io/p  ") == Seq(Some("https://h.io/p")),
+      "surrounding whitespace trimmed")
+  }
+
+  test("urlNormalize: non-absolute and empty-host inputs yield NULL") {
+    assert(norm("not a url", "/relative/path", "example.com/no-scheme",
+      "http:///nohost") == Seq(None, None, None, None))
+    assert(Seq(Option.empty[String]).toDF("url")
+      .select(UrlCuration.urlNormalizeCol(col("url")).as("n"))
+      .collect()(0).isNullAt(0), "NULL in, NULL out")
+  }
+
+  test("hostOf mirrors the normalizer's host contract") {
+    val h = Seq("HTTPS://WWW.Ex.COM:443/p", "no-scheme.com/x", "http://h.io?q=1")
+      .toDF("url").select(UrlCuration.hostOf(col("url")).as("h"))
+      .collect().toSeq.map(r => Option(r.getString(0)))
+    assert(h == Seq(Some("www.ex.com"), None, Some("h.io")))
+  }
+
+  test("registeredDomain: longest suffix rule wins; default '*' rule; bare suffix -> NULL") {
+    val sfx = Seq("com", "uk", "co.uk", "github.io", "io")
+    val hosts = Seq(
+      "a.b.Example.COM",   // com -> example.com
+      "x.co.uk",           // co.uk beats uk -> x.co.uk (host == reg domain)
+      "deep.x.co.uk",      // -> x.co.uk
+      "user.github.io",    // github.io beats io -> user.github.io
+      "co.uk",             // bare suffix -> NULL
+      "single",            // default '*' rule, no preceding label -> NULL
+      "a.single",          // default '*' rule -> a.single
+      ""                   // empty host -> NULL
+    ).toDF("host")
+    val out = UrlCuration.registeredDomain(hosts, "host", sfx)
+      .select("host", "registered_domain", "registered_domain_suffix")
+      .collect().toSeq.map(r =>
+        (r.getString(0), Option(r.getString(1)), Option(r.getString(2))))
+    assert(out == Seq(
+      ("a.b.Example.COM", Some("example.com"), Some("com")),
+      ("x.co.uk", Some("x.co.uk"), Some("co.uk")),
+      ("deep.x.co.uk", Some("x.co.uk"), Some("co.uk")),
+      ("user.github.io", Some("user.github.io"), Some("github.io")),
+      ("co.uk", None, Some("co.uk")),
+      ("single", None, Some("single")),
+      ("a.single", Some("a.single"), Some("single")),
+      ("", None, Some(""))))
+  }
+
+  test("registeredDomain rejects wildcard/exception rules and empty rule lists") {
+    val df = Seq("a.com").toDF("host")
+    intercept[IllegalArgumentException] {
+      UrlCuration.registeredDomain(df, "host", Seq("*.ck"))
+    }
+    intercept[IllegalArgumentException] {
+      UrlCuration.registeredDomain(df, "host", Seq("!www.ck"))
+    }
+    intercept[IllegalArgumentException] {
+      UrlCuration.registeredDomain(df, "host", Nil)
+    }
+  }
+
+  test("urlDedup: raw spellings of one resource collapse; non-URLs excluded") {
+    val docs = Seq(
+      (1L, "https://A.com/x?utm_source=f"),
+      (2L, "HTTPS://a.COM:443/x#frag"),    // same resource as 1
+      (3L, "https://a.com/x?id=1"),        // different (query survives)
+      (4L, "garbage")                      // not a URL -> excluded
+    ).toDF("id", "url")
+    val out = UrlCuration.urlDedup(docs, "url", "id").orderBy("url_norm")
+      .collect().toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out == Seq(
+      ("https://a.com/x", 1L, 2L),
+      ("https://a.com/x?id=1", 3L, 1L)))
+  }
+
+  test("plan pins: normalize is shuffle-free; suffix lookup is broadcast-only; dedup is one key shuffle") {
+    val docs = spark.range(20000L).select(col("id"),
+      concat(lit("https://Sub."), (col("id") % 37).cast("string"),
+        lit(".Example.COM/p/"), (col("id") % 101).cast("string"),
+        lit("?utm_source=x&id="), (col("id") % 53).cast("string")).as("url"))
+
+    val normed = UrlCuration.urlNormalize(docs, "url")
+    normed.collect()
+    val nPlan = normed.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!nPlan.contains("Exchange"),
+      s"urlNormalize is a row-local expression — zero shuffles:\n$nPlan")
+
+    val dom = UrlCuration.registeredDomain(
+      normed.withColumn("host", UrlCuration.hostOf(col("url"))), "host")
+    dom.collect()
+    val dPlan = dom.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(dPlan.contains("BroadcastHashJoin"),
+      s"suffix rules probe as broadcast joins:\n$dPlan")
+    assert(!dPlan.contains("Exchange hashpartitioning") &&
+      !dPlan.contains("SortMergeJoin"),
+      s"the host column never shuffles for the suffix lookup:\n$dPlan")
+
+    val dd = UrlCuration.urlDedup(docs, "url", "id")
+    dd.collect()
+    val gPlan = dd.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning".r.findAllIn(gPlan).size == 1,
+      s"urlDedup shuffles ONLY the canonical-url group key, once:\n$gPlan")
+  }
+}
