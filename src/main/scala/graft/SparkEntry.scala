@@ -4142,6 +4142,120 @@ object SparkEntry {
            |ORDER BY d.query_id""".stripMargin
       }),
 
+    Q("a18_ivf_save_load",
+      (s, d) => {
+        val m = mgr(s, d)
+        // durability round trip (r15): the a03 search, but the index is
+        // SAVED (manifest-verified parquet: centroids + cell-partitioned
+        // corpus + int8 sidecar + raw float tier) and LOADED back before
+        // searching. The oracle is a03's search math untouched — storage
+        // must be invisible to results, which is exactly the
+        // search-after-load ≡ search-before-save contract.
+        val all = m.getDDFByName("embeddings").df
+        val queries = all.filter(col("vec_id") < 3).withColumnRenamed("vec_id", "qid")
+        val centroids = all.filter(col("vec_id") < 16).orderBy("vec_id")
+          .select("embedding").collect()
+          .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+        val idx = pipeline.IvfIndex.buildFromCentroids(all, "embedding", "vec_id", centroids)
+        withScratch("graft_a18") { tmp =>
+          pipeline.IvfIndex.save(idx, s"$tmp/ivf")
+          val loaded = pipeline.IvfIndex.load(s, s"$tmp/ivf", verify = true)
+          collectAndClean(s,
+            pipeline.IvfIndex.topK(loaded, queries, "embedding", "qid",
+                k = 10, nprobe = 4)
+              .select(col("query_id"), col("id"),
+                round(col("cosine"), 6).as("cosine"), col("rk"))
+              .orderBy("query_id", "rk"), tmp)
+        }
+      },
+      // identical to a03's oracle: persistence must not change one bit
+      Some {
+        val cos = (a: String, b: String) =>
+          s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+        s"""WITH dv AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           |            FROM embeddings),
+           |cents AS (SELECT vec_id AS cell, v AS cv FROM dv WHERE vec_id < 16),
+           |assigned AS (SELECT id, v, cell FROM (
+           |    SELECT d.vec_id AS id, d.v, c.cell,
+           |      row_number() OVER (PARTITION BY d.vec_id ORDER BY
+           |        list_dot_product(d.v, c.cv) - list_dot_product(c.cv, c.cv) / 2.0 DESC,
+           |        c.cell DESC) AS rn
+           |    FROM dv d CROSS JOIN cents c) WHERE rn = 1),
+           |probes AS (SELECT query_id, qv, cell FROM (
+           |    SELECT q.vec_id AS query_id, q.v AS qv, c.cell,
+           |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           |        list_dot_product(q.v, c.cv) - list_dot_product(c.cv, c.cv) / 2.0 DESC,
+           |        c.cell) AS crk
+           |    FROM (SELECT * FROM dv WHERE vec_id < 3) q CROSS JOIN cents c)
+           |  WHERE crk <= 4),
+           |scored AS (SELECT p.query_id, a.id, ${cos("p.qv", "a.v")} AS cs
+           |  FROM probes p JOIN assigned a ON a.cell = p.cell)
+           |SELECT query_id, id, round(cs, 6) AS cosine, rk FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |    ORDER BY cs DESC, id) AS rk FROM scored)
+           |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+      }),
+
+    Q("a19_projected_recall_clustered",
+      (s, d) => {
+        val m = mgr(s, d)
+        // a17's PASSING twin (r15): same eval loop, but the corpus is
+        // given genuine low intrinsic dimension (signal confined to the
+        // first 4 coordinates — the structure real embedding manifolds
+        // have) before the 64→16 JL projection. a17 demonstrates the
+        // gate REJECTING a projection (isotropic noise, recall ~0.15);
+        // this demonstrates it passing — together they show the eval
+        // measures the corpus, not the harness.
+        val all = m.getDDFByName("embeddings").df
+          .select(col("vec_id"),
+            transform(col("embedding"),
+              (x, i) => when(i < 4, x).otherwise(lit(0.0f))).as("embedding"))
+        val queries = all.filter(col("vec_id") < 5)
+          .withColumnRenamed("vec_id", "qid")
+        val exact = pipeline.Similarity.bruteForceTopK(
+          all, queries, "embedding", "vec_id", "qid", 10)
+        val pc = pipeline.Similarity.randomProject(all, "embedding",
+          "proj", outDim = 16, seed = 7L).select(col("vec_id"), col("proj"))
+        val pq = pipeline.Similarity.randomProject(queries, "embedding",
+          "proj", outDim = 16, seed = 7L).select(col("qid"), col("proj"))
+        val approx = pipeline.Similarity.bruteForceTopK(
+          pc, pq, "proj", "vec_id", "qid", 10)
+        pipeline.Similarity.annRecall(approx, exact, k = 10)
+          .orderBy("query_id")
+      },
+      Some {
+        val cosB = "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+        val cosP = "list_dot_product(a.p, b.p) / (sqrt(list_dot_product(a.p, a.p)) * sqrt(list_dot_product(b.p, b.p)))"
+        s"""WITH mt AS (SELECT $a16MatrixSql::DOUBLE[][] AS mat),
+           |m AS (SELECT j, mat[j] AS mrow FROM mt, unnest(range(1, 17)) AS t(j)),
+           |dv AS (SELECT vec_id, list_transform(embedding,
+           |         (x, i) -> CASE WHEN i <= 4 THEN x::DOUBLE ELSE 0.0 END) AS v
+           |       FROM embeddings),
+           |brute AS (SELECT query_id, id FROM (
+           |    SELECT a.vec_id AS query_id, b.vec_id AS id,
+           |      row_number() OVER (PARTITION BY a.vec_id
+           |        ORDER BY $cosB DESC, b.vec_id) AS rk
+           |    FROM (SELECT * FROM dv WHERE vec_id < 5) a CROSS JOIN dv b)
+           |  WHERE rk <= 10),
+           |pv AS (SELECT dv.vec_id,
+           |    list(0.25 * list_dot_product(dv.v, m.mrow) ORDER BY m.j) AS p
+           |  FROM dv CROSS JOIN m GROUP BY dv.vec_id),
+           |pb AS (SELECT query_id, id FROM (
+           |    SELECT a.vec_id AS query_id, b.vec_id AS id,
+           |      row_number() OVER (PARTITION BY a.vec_id
+           |        ORDER BY $cosP DESC, b.vec_id) AS rk
+           |    FROM (SELECT * FROM pv WHERE vec_id < 5) a CROSS JOIN pv b)
+           |  WHERE rk <= 10),
+           |hits AS (SELECT b.query_id, count(l.id) AS n_hits FROM brute b
+           |    LEFT JOIN pb l ON b.query_id = l.query_id AND b.id = l.id
+           |  GROUP BY b.query_id),
+           |den AS (SELECT query_id, count(*) AS n_truth FROM brute GROUP BY query_id)
+           |SELECT d.query_id AS query_id, coalesce(h.n_hits, 0) AS n_hits,
+           |  d.n_truth, coalesce(h.n_hits, 0)::DOUBLE / d.n_truth AS recall
+           |FROM den d LEFT JOIN hits h ON d.query_id = h.query_id
+           |ORDER BY d.query_id""".stripMargin
+      }),
+
     Q("d17_source_overlap",
       (s, d) => {
         val m = mgr(s, d)

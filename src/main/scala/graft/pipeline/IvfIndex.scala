@@ -293,6 +293,73 @@ object IvfIndex {
     index.corpus.select(col("id"), col("cell"),
       Similarity.quantizeInt8(col("v")).as("q8"))
 
+  /** Persist the index as a durable, manifest-verified parquet artifact
+    * (r14 verdict ask #5 — [[append]] and the s09 streaming ingest imply
+    * an index that outlives the session):
+    *
+    *   - `<path>/centroids/` — (cell, c): config-sized, one shard;
+    *   - `<path>/corpus/`    — (id, v, cell), hive-partitioned by cell;
+    *   - `<path>/quantized/` — (id, cell, q8) int8 sidecar, partitioned
+    *     by cell — the tier [[topKQuantized]] scores, stored instead of
+    *     re-derived per session;
+    *   - `<path>/raw/`       — (id, v) float tier for the exact re-rank
+    *     (omitted when the index carries no rawVecs).
+    *
+    * Every tier goes through [[graft.sources.Manifest.writeWithManifest]]
+    * (the p04 verified-publish pattern), so a copied/moved index is
+    * checkable shard by shard before it serves traffic. Partitioning the
+    * vector tiers by cell is the 100 TB read path: the probe join's
+    * broadcast side is a handful of cell ids, so dynamic partition
+    * pruning reads only the probed cells' directories — a loaded index
+    * scans nprobe/nCells of the corpus, same as the in-session shape.
+    */
+  def save(index: Index, path: String): Unit = {
+    val spark = index.corpus.sparkSession
+    import spark.implicits._
+    val cents = index.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+    graft.sources.Manifest.writeWithManifest(
+      cents.toDF("cell", "c").coalesce(1), s"$path/centroids")
+    graft.sources.Manifest.writeWithManifest(
+      index.corpus.select("id", "v", "cell"), s"$path/corpus", Seq("cell"))
+    graft.sources.Manifest.writeWithManifest(
+      quantizedSidecar(index), s"$path/quantized", Seq("cell"))
+    index.rawVecs.foreach(rv => graft.sources.Manifest.writeWithManifest(
+      rv.select("id", "v"), s"$path/raw"))
+  }
+
+  /** Load a [[save]]d index. With `verify = true` (default) every stored
+    * tier's manifest is re-checked shard by shard first and any
+    * rows/hash mismatch fails the load loudly — an index that silently
+    * lost a cell directory would return plausible-but-wrong neighbors,
+    * the worst failure mode a stored ANN artifact has. Centroids load
+    * to the driver (config-sized); the vector tiers stay as lazy scans,
+    * so loading is O(centroids), not O(corpus). Search-after-load is
+    * bit-identical to search-before-save (same centroids, same vectors,
+    * same tie-breaks — the a18 oracle pins it).
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String,
+           verify: Boolean = true): Index = {
+    val rawPath = new org.apache.hadoop.fs.Path(s"$path/raw")
+    val hasRaw = rawPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(rawPath)
+    val tiers = Seq("centroids", "corpus", "quantized") ++
+      (if (hasRaw) Seq("raw") else Nil)
+    if (verify) tiers.foreach { t =>
+      val bad = graft.sources.Manifest.verifyManifest(spark, s"$path/$t")
+        .filter(!col("ok")).count()
+      require(bad == 0L,
+        s"IvfIndex.load: tier '$t' fails manifest verification ($bad shards) — " +
+          "refusing to serve a corrupted index")
+    }
+    val cents = spark.read.parquet(s"$path/centroids").orderBy("cell").collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("c").toArray)
+    val corpus = spark.read.parquet(s"$path/corpus")
+    val raw = if (tiers.contains("raw"))
+      Some(spark.read.parquet(s"$path/raw")) else None
+    Index(cents, corpus, raw)
+  }
+
   /** Recall@k of an ANN result against the brute-force truth: fraction of
     * true top-k ids recovered PER QUERY, then averaged (macro — a query
     * with fewer than k truth rows weighs the same as any other).

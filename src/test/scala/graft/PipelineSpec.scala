@@ -221,6 +221,54 @@ class PipelineSpec extends SparkTestBase {
       "selection ranks by key hash, not raw id order")
   }
 
+  test("IvfIndex save/load: bit-identical search, tamper detection, raw-tier optionality") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    val vecs = (0 until 100).map(i =>
+      (i.toLong, Array.fill(8)(rng.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val cents = vecs.filter(col("vec_id") < 4).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val idx = IvfIndex.buildFromCentroids(vecs, "embedding", "vec_id", cents)
+    val queries = vecs.filter(col("vec_id") < 3).withColumnRenamed("vec_id", "qid")
+    def search(i: IvfIndex.Index) =
+      IvfIndex.topK(i, queries, "embedding", "qid", k = 5, nprobe = 2)
+        .select("query_id", "id", "cosine", "rk").orderBy("query_id", "rk")
+        .collect().toSeq
+    val before = search(idx)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_sl").toString
+    try {
+      IvfIndex.save(idx, s"$tmp/ivf")
+      val loaded = IvfIndex.load(spark, s"$tmp/ivf")
+      assert(loaded.centroids.map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq,
+        "centroids survive the round trip in cell order")
+      assert(loaded.rawVecs.nonEmpty, "float tier restored")
+      assert(search(loaded) == before, "search-after-load ≡ search-before-save")
+      // quantized sidecar is STORED, not re-derived
+      val q = spark.read.parquet(s"$tmp/ivf/quantized")
+      assert(q.columns.sorted.toSeq == Seq("cell", "id", "q8") && q.count() == 100)
+      // a silently corrupted shard must fail the load loudly
+      val corpusDir = new java.io.File(s"$tmp/ivf/corpus")
+      val shard = java.nio.file.Files.walk(corpusDir.toPath).iterator()
+      var victim: java.nio.file.Path = null
+      while (shard.hasNext) {
+        val p = shard.next()
+        if (p.toString.endsWith(".parquet")) victim = p
+      }
+      java.nio.file.Files.delete(victim)
+      val err = intercept[IllegalArgumentException] {
+        IvfIndex.load(spark, s"$tmp/ivf")
+      }
+      assert(err.getMessage.contains("manifest verification"))
+      // an index published without the float tier still loads (re-rank
+      // falls back to the corpus frame, as topKQuantized documents)
+      val bare = IvfIndex.Index(cents, idx.corpus, None)
+      IvfIndex.save(bare, s"$tmp/ivf2")
+      val loaded2 = IvfIndex.load(spark, s"$tmp/ivf2")
+      assert(loaded2.rawVecs.isEmpty)
+      assert(search(loaded2) == before, "corpus-tier search matches too")
+    } finally graft.tools.Cleanup.deleteRecursively(tmp)
+  }
+
   test("knnClassify: majority vote over ranked neighbors, ties to smallest label, k-bound respected") {
     import spark.implicits._
     // neighbor frame shaped like a topK result: (query_id, id, rk)
