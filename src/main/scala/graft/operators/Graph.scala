@@ -49,25 +49,34 @@ object Graph {
     val base = (100L - dampingPct) * scale / 100L
     var pr = nodes.withColumn("pr", lit(scale))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    for (_ <- 0 until iterations) {
-      val contribs = e
-        .join(pr.withColumnRenamed("node", "src"), "src")
-        .join(deg, "src")
-        .select(col("dst").as("node"), expr("pr div outdeg").as("c"))
-        .groupBy("node").agg(sum("c").as("contrib"))
-      val next = nodes
-        .join(contribs, Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) + expr(s"($dampingPct * coalesce(contrib, 0L)) div 100"))
-            .as("pr"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      next.count() // materialize before dropping the parent
-      pr.unpersist(blocking = false)
-      pr = next
+    // r15 persist audit: a mid-loop failure (lost executor, cancelled
+    // job) must not leak the round caches into the caller's session —
+    // e/nodes release on EVERY exit path; pr releases on the throw path
+    // only (on success it IS the returned materialization, caller-owned)
+    try {
+      for (_ <- 0 until iterations) {
+        val contribs = e
+          .join(pr.withColumnRenamed("node", "src"), "src")
+          .join(deg, "src")
+          .select(col("dst").as("node"), expr("pr div outdeg").as("c"))
+          .groupBy("node").agg(sum("c").as("contrib"))
+        val next = nodes
+          .join(contribs, Seq("node"), "left")
+          .select(col("node"),
+            (lit(base) + expr(s"($dampingPct * coalesce(contrib, 0L)) div 100"))
+              .as("pr"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count() // materialize before dropping the parent
+        pr.unpersist(blocking = false)
+        pr = next
+      }
+      pr
+    } catch {
+      case t: Throwable => pr.unpersist(blocking = false); throw t
+    } finally {
+      e.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
     }
-    e.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
-    pr
   }
 
   /** Weighted [[pageRank]]: each out-edge carries an integer weight and
@@ -97,25 +106,31 @@ object Graph {
     val base = (100L - dampingPct) * scale / 100L
     var pr = nodes.withColumn("pr", lit(scale))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    for (_ <- 0 until iterations) {
-      val contribs = e
-        .join(pr.withColumnRenamed("node", "src"), "src")
-        .join(deg, "src")
-        .select(col("dst").as("node"), expr("(pr * w) div sw").as("c"))
-        .groupBy("node").agg(sum("c").as("contrib"))
-      val next = nodes
-        .join(contribs, Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) + expr(s"($dampingPct * coalesce(contrib, 0L)) div 100"))
-            .as("pr"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      next.count()
-      pr.unpersist(blocking = false)
-      pr = next
+    // same exit-path release discipline as [[pageRank]] (r15 audit)
+    try {
+      for (_ <- 0 until iterations) {
+        val contribs = e
+          .join(pr.withColumnRenamed("node", "src"), "src")
+          .join(deg, "src")
+          .select(col("dst").as("node"), expr("(pr * w) div sw").as("c"))
+          .groupBy("node").agg(sum("c").as("contrib"))
+        val next = nodes
+          .join(contribs, Seq("node"), "left")
+          .select(col("node"),
+            (lit(base) + expr(s"($dampingPct * coalesce(contrib, 0L)) div 100"))
+              .as("pr"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        pr.unpersist(blocking = false)
+        pr = next
+      }
+      pr
+    } catch {
+      case t: Throwable => pr.unpersist(blocking = false); throw t
+    } finally {
+      e.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
     }
-    e.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
-    pr
   }
 
   /** Per-node triangle counts over the undirected graph induced by
@@ -180,12 +195,15 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("triangles"))
     if (!materialize) counts
     else {
-      val out = counts.localCheckpoint() // materialize BEFORE dropping the
-      // edge caches — dropping them under the lazy plan would silently
-      // recompute everything
-      canon.unpersist(blocking = false)
-      oriented.unpersist(blocking = false)
-      out
+      // materialize BEFORE dropping the edge caches — dropping them
+      // under the lazy plan would silently recompute everything; the
+      // finally also releases them when the checkpoint THROWS (r15
+      // persist audit)
+      try counts.localCheckpoint()
+      finally {
+        canon.unpersist(blocking = false)
+        oriented.unpersist(blocking = false)
+      }
     }
   }
 

@@ -82,6 +82,10 @@ object Dsir {
       if (materialize)
         rawTf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else rawTf0
+    // try/finally (r15 persist audit): the loud requires below are
+    // user-facing session-survivable errors — the tokenized cache must
+    // release on that path too, not only before the success return
+    try {
     val rawCnt = rawTf.groupBy("bucket").agg(sum("tf").as("cr"))
     // totals: two config-sized scalars (the bigramLogProb pattern)
     val tTot = tgt.select(coalesce(sum("cnt"), lit(0L))).first().getLong(0)
@@ -107,13 +111,11 @@ object Dsir {
         coalesce(col("n_feats"), lit(0L)).as("n_feats"),
         coalesce(col("weight"), lit(0.0)).as("weight"))
     if (!materialize) lazyOut
-    else {
-      // materialize the (one-row-per-raw-doc) result so the tokenized
-      // cache can be dropped before returning (the SetJoin pattern)
-      val out = lazyOut.localCheckpoint(eager = true)
-      rawTf.unpersist(blocking = false)
-      out
-    }
+    // materialize the (one-row-per-raw-doc) result inside the try so
+    // the finally drops the tokenized cache only after the checkpoint
+    // holds the data (the SetJoin pattern)
+    else lazyOut.localCheckpoint(eager = true)
+    } finally if (materialize) rawTf.unpersist(blocking = false)
   }
 
   /** Select `k` raw documents by importance. Default is the

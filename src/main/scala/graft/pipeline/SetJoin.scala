@@ -384,11 +384,13 @@ object SetJoin {
       .filter(col("str").isNotNull)
       .withColumn("len", length(col("str")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (_, stats) = gramStats(strs, q, stopGramFraction)
-    val pool = stats.filter(col("r") <= q * maxDist).count()
-    val total = strs.count()
-    strs.unpersist(blocking = false)
-    (pool, total)
+    // finally (r15 persist audit): release even when a count job throws
+    try {
+      val (_, stats) = gramStats(strs, q, stopGramFraction)
+      val pool = stats.filter(col("r") <= q * maxDist).count()
+      val total = strs.count()
+      (pool, total)
+    } finally strs.unpersist(blocking = false)
   }
 
   /** `concat(prefix before i, suffix after i)` — delete char `i` (1-based). */
@@ -423,7 +425,9 @@ object SetJoin {
     val eb = exploded.select(col("id").as("id_b"), col("len").as("lb"), col("v").as("vb"))
     val va = strs.select(col("id").as("id_a"), col("str").as("stra"))
     val vb = strs.select(col("id").as("id_b"), col("str").as("strb"))
-    val out = ea.join(eb,
+    // finally: the prep cache releases whether the checkpoint lands or
+    // the join throws (r15 persist audit)
+    try ea.join(eb,
         col("va") === col("vb") && col("id_a") < col("id_b") &&
           abs(col("la") - col("lb")) <= k)
       .select("id_a", "id_b").distinct()
@@ -432,8 +436,7 @@ object SetJoin {
       .filter(col("dist") <= k)
       .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
       .localCheckpoint(eager = true)
-    strs.unpersist(blocking = false)
-    out
+    finally strs.unpersist(blocking = false)
   }
 
   /** Sorted-neighborhood record linkage (Hernández–Stolfo SNM): rank

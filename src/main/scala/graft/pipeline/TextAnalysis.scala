@@ -1214,7 +1214,10 @@ object TextAnalysis {
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var rank = 0
     var done = false
-    while (rank < nMerges && !done) {
+    // the finally releases whichever round frame is live when the loop
+    // ends — normally the last round, but also the in-flight one when a
+    // mid-training action throws (r15 persist audit)
+    try while (rank < nMerges && !done) {
       val best = cur
         .select(explode(arrays_zip(
           slice(col("syms"), lit(1), size(col("syms")) - 1).as("l"),
@@ -1243,7 +1246,7 @@ object TextAnalysis {
         rank += 1
       }
     }
-    graft.core.Checkpoints.release(cur)
+    finally graft.core.Checkpoints.release(cur)
     import spark.implicits._
     out.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "pair_freq")
   }

@@ -88,4 +88,14 @@ class DsirSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Dsir.importanceWeights(raw, raw.filter($"doc_id" < 0), "text", "doc_id"))
   }
+
+  test("empty-corpus failure releases the tokenized cache (r15 persist audit)") {
+    // the loud require path is a session-survivable user error — the
+    // persisted (id, bucket, tf) frame must not leak past it
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    intercept[IllegalArgumentException](
+      Dsir.importanceWeights(raw, raw.filter($"doc_id" < 0), "text", "doc_id"))
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked cached RDDs: $leaked")
+  }
 }
