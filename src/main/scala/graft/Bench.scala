@@ -87,71 +87,62 @@ import org.apache.spark.sql.functions._
   * cap (default 12).
   */
 object Bench {
+  /** The sf0.1 headline tier, REBUILT in round 15 (r14 verdict ask #1):
+    * three same-day clean-flag r14 runs spread 1.12–1.23× geomean and
+    * sub-second rows jittered up to 2× on this host — 26 of 46 sf0.1
+    * rows sat under 0.5 s, below the signal floor. The sf0.1 tier now
+    * keeps ONLY rows that measured ≥ 1 s in BENCH_r14 (where 10% is
+    * above scheduler jitter); every other family's representative moved
+    * to the forked-JVM sf1 tier (below), where q10-class rows repeat
+    * within ±10%. Two documented exceptions ride along sub-second:
+    * m02/m05 exercise the REAL PNG decode chain over a fixed image set
+    * whose size is part of the oracle contract — their work cannot blow
+    * with the corpus, and dropping them would blind the bench to the
+    * most expensive per-row op in the repo. Read their ratios with the
+    * sub-second caveat.
+    */
   private[graft] val headline = Seq(
-    "q10_tpch_q1", "q12_tpch_q3", "q20_join_inner", "q21_join_multikey", "q27_union_all",
-    "q40_summary", "q43_histogram", "q62_window_rank", "q63_window_runsum",
-    "q64_events_hourly", "d01_dedup_exact", "d02_dedup_minhash",
-    "d11_incremental_minhash_fast", "a01_ann_brute", "t01_text_enrich",
-    "t03_repetition", "t04_decontaminate", "t09_span_dedup",
-    "c01_tfidf_topterms", "s01_sessionize", "j01_asof_join", "e02_interval_join",
-    "q67_tpch_q17", "q80_tpch_q9", "e03_json_extract", "t14_token_ids",
-    "q85_quantiles_sketch",
-    // round 10: the heavy non-benched families, so a regression between
-    // rounds is driver-visible (ScaleSmoke only runs when invoked) —
-    // image decode (the most expensive op in the repo), IVF-cell semantic
-    // dedup, and BM25 retrieval
-    "m02_image_roundtrip", "a05_semantic_dedup", "c06_bm25_retrieve",
-    // round 10 (this session): the new time-series densify+window chain,
-    // plus one representative per new family — DSIR importance weights,
-    // the multi-suite contamination matrix, and the FastSS edit-distance
-    // join — so their plans stay under driver-visible regression watch
-    "ts01_resample_gapfill", "ds01_dsir_weights", "t17_contamination_matrix",
-    "j03_edit_distance_join",
-    // round 11: the composed corpus build (p05 chains DSIR→dedup→
-    // decontaminate→curriculum→pack→publish — the product-shaped query)
-    // and the k≥3 q-gram edit join's positive-case corpus (j04)
-    "p05_curation_corpus_build", "j04_edit_distance_join_k3",
-    // round 11 (this session): one representative per new family — the
-    // degree-oriented triangle count and the perceptual-hash image dedup
-    // (its real PNG decode chain is the cost, like m02)
-    "g02_triangle_count", "m05_image_neardup",
-    // round 13 (r12 verdict ask): the post-r11-anchor operators join the
-    // regression watch — iterative k-core peeling and the window-free
-    // budget-constrained selection
-    "g05_kcore", "q92_budget_select",
-    // round 13 (this session): one representative per new family — the
-    // per-source budget selection (slim-window + cutoff join-back) and
-    // the composed mixture-recipe build (normalize → dedup → per-source
-    // budgets → distribution match, the round's product-shaped chain)
-    "q94_budget_select_by_group", "p08_mixture_recipe_build",
-    // round 15 (this session): the two new data-heavy operators — the
-    // corpus-order n-gram novelty (t22's hashed-key twin: the postings
-    // shuffle with 8-byte keys is the 100 TB path) and the int8-
-    // shortlist IVF search (the memory-tiered ANN shape)
-    "t23_ngram_novelty_fast", "a11_ivf_int8_rerank",
-    // round 14 (this session): one representative per new family — the
-    // release-over-release snapshot diff (union + max-of-struct, the
-    // cdcApply inverse) and the distinct-score-windowed per-group AUC
-    "c15_snapshot_diff", "ml09_auc_by_group")
+    // ≥1 s at sf0.1 (BENCH_r14): composed builds, edit-distance joins,
+    // graph, DSIR, dedup, and the heaviest TPC-H shape
+    "p05_curation_corpus_build", "j04_edit_distance_join_k3", "g05_kcore",
+    "ds01_dsir_weights", "j03_edit_distance_join", "p08_mixture_recipe_build",
+    "d11_incremental_minhash_fast", "g02_triangle_count", "d02_dedup_minhash",
+    "q80_tpch_q9",
+    // fixed-size image-codec micro rows (see scaladoc — sub-second by
+    // construction, kept for decode-path regression watch)
+    "m02_image_roundtrip", "m05_image_neardup")
 
-  // the sf1 subset: the scan/join/agg spine (TPC-H) + the dedup family +
-  // vocabulary ranking + brute ANN — the operators whose 100 TB story the
-  // judge reads, kept small enough for min-of-3 inside the round budget.
-  // Round 10 adds the E2E curation pipeline and span dedup: the two
-  // document-heavy chains where a code change actually moves the number.
+  /** The forked-JVM sf1 tier (10×-blown corpus): since r15 this is the
+    * PRIMARY regression record — one representative per engine family,
+    * each multi-second (or q10-class: ~0.2–0.9 s, which repeats within
+    * ±10% in the fresh JVM). The r15 promotion moved every family whose
+    * sf0.1 representative measured under 1 s in BENCH_r14 up here; the
+    * sf0.1 tier keeps only its ≥1 s rows. p05 stays sf0.1-only: at 10×
+    * the bench suite blankets the synthetic trigram space and its
+    * decontamination stage legitimately drains the selection to zero
+    * docs (r13 finding), so its composed-row slot at sf1 is p07.
+    */
   private[graft] val sf1Set = Seq(
+    // the pre-r15 spine: TPC-H scan/join/agg, dedup, tokens, ANN,
+    // sketches, the E2E pipeline, span dedup, the composed graph report
     "q10_tpch_q1", "q12_tpch_q3", "q80_tpch_q9", "d01_dedup_exact",
     "d02_dedup_minhash", "d11_incremental_minhash_fast", "t14_token_ids",
     "a01_ann_brute", "q85_quantiles_sketch", "p01_pipeline_e2e",
-    "t09_span_dedup",
-    // round 13 (r12 verdict ask): one COMPOSED row scale-tracked — the
-    // graph curation report (CC → component stats → distribution →
-    // skew), on a customer graph that BLOWS with the corpus. p05 was
-    // tried first and is the wrong composed row for a blown corpus: at
-    // 10× the %37 bench suite blankets the synthetic trigram space, its
-    // decontamination stage legitimately drains the selection to zero
-    // docs, and a 0-row publish tracks nothing.
-    "p07_graph_curation_report")
+    "t09_span_dedup", "p07_graph_curation_report",
+    // r15 promotions — one per family previously watched only at sf0.1:
+    // joins/windows/events spine
+    "q21_join_multikey", "q40_summary", "q63_window_runsum",
+    "q64_events_hourly", "e03_json_extract", "s01_sessionize", "j01_asof_join",
+    // text quality + relevance
+    "t01_text_enrich", "t04_decontaminate", "t17_contamination_matrix",
+    "t23_ngram_novelty_fast", "c01_tfidf_topterms", "c06_bm25_retrieve",
+    // ANN/semantic + selection/budgets + time series + release mgmt + eval
+    "a05_semantic_dedup", "a11_ivf_int8_rerank", "q92_budget_select",
+    "q94_budget_select_by_group", "ts01_resample_gapfill",
+    "c15_snapshot_diff", "ml09_auc_by_group",
+    // r15's new family: the composed URL-curation build (normalize →
+    // registered domain → blocklist → per-domain cap)
+    "w03_domain_cap_build")
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     .asInstanceOf[com.sun.management.OperatingSystemMXBean]
@@ -320,9 +311,18 @@ object Bench {
     * inflates both spins. Without this the all-core probe flagged its
     * own just-finished queries as contention.
     */
-  private def probeOnce(): Double = {
-    Thread.sleep(30)
-    math.min(spinAllCores(), spinAllCores())
+  private def probeOnce(): Double = settledProbe(() => spinAllCores())
+
+  /** The settle + min-of-2 rule as a pure(ish) function over an injected
+    * spin, so BenchVerdictSpec can pin the discrimination logic without
+    * burning cores (r14 verdict ask #8): self-noise decays between the
+    * two spins (min takes the settled second), neighbor contention
+    * inflates both (min stays high and the sample is correctly
+    * rejected).
+    */
+  private[graft] def settledProbe(spin: () => Double, settleMs: Long = 30): Double = {
+    Thread.sleep(settleMs)
+    math.min(spin(), spin())
   }
 
   /** A sample is starved when its probe ran ≥1.5× slower than the

@@ -100,6 +100,26 @@ class BenchVerdictSpec extends AnyFunSuite {
     assert(d2.get("converged_sf1").get("x_q").asBoolean() == false)
   }
 
+  test("settledProbe: min-of-2 discriminates self-noise from neighbor contention") {
+    // r15 (r14 verdict ask #8): the all-core probe's settle logic as a
+    // pure function. Self-noise (this JVM's own executor threads winding
+    // down) inflates only the FIRST spin — the settled second one wins:
+    val decaying = Iterator(0.080, 0.026)
+    assert(Bench.settledProbe(() => decaying.next(), settleMs = 0) == 0.026)
+    // neighbor contention inflates BOTH spins — the probe stays high and
+    // the sample is rejected against a 0.025 floor
+    val contended = Iterator(0.060, 0.055)
+    val p = Bench.settledProbe(() => contended.next(), settleMs = 0)
+    assert(p == 0.055 && Bench.isStarved(p, floor))
+    // quiet host: both spins at the floor, sample accepted
+    val q = Iterator(0.026, 0.025)
+    assert(!Bench.isStarved(Bench.settledProbe(() => q.next(), settleMs = 0), floor))
+    // exactly two spins per probe — no more, no fewer
+    var n = 0
+    Bench.settledProbe(() => { n += 1; 0.03 }, settleMs = 0)
+    assert(n == 2)
+  }
+
   test("verdict: clean samples follow the r8 convergence rule unchanged") {
     // strictly decreasing: last sample set a new min -> not converged
     val desc = Bench.verdict(Seq(quiet(5.0), quiet(4.0), quiet(3.0)), floor)
