@@ -59,6 +59,31 @@ object ScaleSmoke {
       emb.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"), rot.as("embedding"))
     }.reduce(_ unionAll _)
 
+    // r15: messy crawl URL from a doc id (the w-family's SparkEntry
+    // recipe with the registrant universe pinned at 5000 sites × 6
+    // suffixes — docs/domain grow with f, domains don't)
+    def syntheticCrawlUrl(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val scheme = when(id % 3 === 0, "HTTPS").when(id % 3 === 1, "http")
+        .otherwise("https")
+      val tld = when(id % 7 === 0, "Co.UK")
+        .when(id % 7 === 1 || id % 7 === 2, "example.COM")
+        .when(id % 7 === 3, "GitHub.IO").when(id % 7 === 4, "blogspot.com")
+        .when(id % 7 === 5, "org").otherwise("net.au")
+      val port = when(id % 5 === 0, ":443").when(id % 5 === 1, ":8080")
+        .otherwise("")
+      val path = when(id % 4 === 0, "").when(id % 4 === 1, "/")
+        .otherwise(concat(lit("/Articles/"), (id % 100000).cast("string")))
+      val query = when(id % 6 === 0,
+          concat(lit("?utm_source=feed&id="), (id % 50000).cast("string")))
+        .when(id % 6 === 1,
+          concat(lit("?id="), (id % 50000).cast("string"), lit("&utm_campaign=x&ref=tw")))
+        .when(id % 6 === 2, "?gclid=abc123")
+        .when(id % 6 === 3, "?a=1&b=2").otherwise("")
+      val frag = when(id % 8 === 0, "#Section-2").otherwise("")
+      concat(scheme, lit("://Site-"), (id % 5000).cast("string"), lit("."),
+        tld, port, path, query, frag).as("url")
+    }
+
     val queries = Seq((1L, "spark join"), (2L, "window stream"), (3L, "hash filter scan"))
       .toDF("qid", "qtext")
 
@@ -231,6 +256,29 @@ object ScaleSmoke {
           "l_quantity", Map.empty, defBud, colossalThreshold = threshold)
           .agg(sum(length(col("payload")))).first().getLong(0)
       Seq(
+        // r15: URL curation — normalize is a pure per-row expression
+        // chain (expect scan-bound/flat); the composed cap pays the
+        // registered-domain broadcast probes + the per-domain budget
+        // selection. Domain cardinality stays FIXED (5000·6 registrants)
+        // as the corpus blows — the production shape: docs/domain grow,
+        // the registrant universe doesn't.
+        "url_normalize(w01)" -> (() => {
+          val u = d.select(col("doc_id"), syntheticCrawlUrl(col("doc_id")))
+          // the filter CONSUMES url_norm — a bare count would prune it
+          graft.pipeline.UrlCuration.urlNormalize(u, "url")
+            .filter(col("url_norm").isNotNull).count()
+        }),
+        "url_domain_cap(w03)" -> (() => {
+          val u = d.select(col("doc_id"), length(col("text")).as("n_chars"),
+            syntheticCrawlUrl(col("doc_id")))
+          val dom = graft.pipeline.UrlCuration.registeredDomain(
+            u.withColumn("host", graft.pipeline.UrlCuration.hostOf(col("url"))),
+            "host")
+          graft.operators.Views.budgetSelectByGroup(
+            dom.withColumn("__cost", lit(1L)), "registered_domain",
+            Seq(col("n_chars").desc, col("doc_id").asc), "__cost",
+            budgets = Map.empty, defaultBudget = 5L).count()
+        }),
         // r14 batch-3: release diff, source admission, classifier eval,
         // JL projection
         "snapshot_diff(c15)" -> (() => {
