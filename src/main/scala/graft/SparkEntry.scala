@@ -8287,6 +8287,54 @@ object SparkEntry {
               |SELECT doc_id, registered_domain, n_chars FROM r WHERE rn <= 5
               |ORDER BY registered_domain, doc_id""".stripMargin)),
 
+    Q("w05_registered_domain_psl",
+      (s, d) => {
+        val m = mgr(s, d)
+        // the FULL public-suffix algorithm (r15): wildcard '*.ck' makes
+        // every <label>.ck its own suffix, exception '!www.ck' carves
+        // www.ck back out as a registrable domain, exacts and the
+        // implicit '*' default rule fill the rest — hosts synthesized to
+        // hit every rule class including the host-IS-suffix NULL case
+        val id = col("doc_id")
+        val host = when(id % 6 === 0,
+            concat(lit("www.Site-"), (id % 40).cast("string"), lit(".Co.UK")))
+          .when(id % 6 === 1,
+            concat(lit("a.b.Site-"), (id % 40).cast("string"), lit(".CK")))
+          .when(id % 6 === 2, lit("WWW.CK"))
+          .when(id % 6 === 3, lit("Sub.www.ck"))
+          .when(id % 6 === 4,
+            concat(lit("Site-"), (id % 40).cast("string"), lit(".ck")))
+          .otherwise(
+            concat(lit("x.Site-"), (id % 40).cast("string"), lit(".example.com")))
+        val hosts = m.getDDFByName("documents").df.select(id, host.as("host"))
+        pipeline.UrlCuration.registeredDomain(hosts, "host",
+            Seq("com", "uk", "co.uk", "ck", "*.ck", "!www.ck"))
+          .select("doc_id", "host", "registered_domain", "registered_domain_suffix")
+          .orderBy("doc_id")
+      },
+      Some("""WITH h AS (SELECT doc_id, CASE
+             |    WHEN doc_id % 6 = 0 THEN 'www.Site-' || (doc_id % 40)::VARCHAR || '.Co.UK'
+             |    WHEN doc_id % 6 = 1 THEN 'a.b.Site-' || (doc_id % 40)::VARCHAR || '.CK'
+             |    WHEN doc_id % 6 = 2 THEN 'WWW.CK'
+             |    WHEN doc_id % 6 = 3 THEN 'Sub.www.ck'
+             |    WHEN doc_id % 6 = 4 THEN 'Site-' || (doc_id % 40)::VARCHAR || '.ck'
+             |    ELSE 'x.Site-' || (doc_id % 40)::VARCHAR || '.example.com' END AS host
+             |  FROM documents),
+             |d1 AS (SELECT *, string_split(lower(host), '.') AS l,
+             |  len(string_split(lower(host), '.')) AS n FROM h),
+             |d2 AS (SELECT *, CASE
+             |    WHEN n >= 2 AND array_to_string(l[n - 1:n], '.') = 'www.ck' THEN 1
+             |    WHEN n >= 2 AND (array_to_string(l[n - 1:n], '.') = 'co.uk'
+             |                     OR l[n] = 'ck') THEN 2
+             |    WHEN n >= 1 AND l[n] IN ('com', 'uk', 'ck') THEN 1
+             |    WHEN n >= 1 THEN 1 END AS d FROM d1)
+             |SELECT doc_id, host,
+             |  CASE WHEN n >= d + 1 THEN array_to_string(l[n - d:n], '.') END
+             |    AS registered_domain,
+             |  CASE WHEN d IS NOT NULL THEN array_to_string(l[n - d + 1:n], '.') END
+             |    AS registered_domain_suffix
+             |FROM d2 ORDER BY doc_id""".stripMargin)),
+
     Q("w04_url_dedup",
       (s, d) => {
         val m = mgr(s, d)

@@ -112,51 +112,90 @@ object UrlCuration {
     "co.jp", "ne.jp", "or.jp", "com.br", "com.cn", "co.in", "co.kr",
     "co.za", "com.sg", "com.mx", "com.ar", "com.tr",
     "github.io", "gitlab.io", "blogspot.com", "herokuapp.com",
-    "s3.amazonaws.com")
+    "s3.amazonaws.com",
+    // wildcard + exception rules, the PSL's remaining rule classes
+    // (r15): '*.ck' makes every <label>.ck its own suffix EXCEPT the
+    // '!www.ck' carve-out, whose registered domain is www.ck itself
+    "ck", "*.ck", "!www.ck", "*.compute.amazonaws.com")
 
-  /** Registered-domain extraction per the public-suffix algorithm
-    * (exact rules + the implicit `*` default rule: an unmatched final
-    * label is its own suffix): the matching suffix is the LONGEST rule
-    * equal to a trailing label sequence of the host, and the
-    * registered domain is that suffix plus one preceding label.
-    * Appends `outCol` (NULL when the host IS a bare suffix or is
-    * empty/NULL) and `<outCol>_suffix` (the matched suffix).
+  /** Registered-domain extraction per the FULL public-suffix algorithm
+    * (r15: all three PSL rule classes):
+    *
+    *  - exact rules (`co.uk`) match their trailing label sequence;
+    *  - wildcard rules (`*.ck`) match any single label in the `*`
+    *    position, making every `<label>.ck` its own suffix;
+    *  - exception rules (`!www.ck`) PREVAIL over everything: the public
+    *    suffix is the exception minus its leftmost label, so the
+    *    exception's own labels become a registrable domain;
+    *  - the implicit `*` default rule: an unmatched final label is its
+    *    own suffix.
+    *
+    * The prevailing rule is the exception if one matches, else the
+    * longest match; the registered domain is the prevailing suffix plus
+    * one preceding label. Appends `outCol` (NULL when the host IS a
+    * bare suffix or is empty/NULL) and `<outCol>_suffix`.
     *
     * Scale shape (see object doc): one candidate string per rule depth
-    * (depths present in `suffixes`, ≤4 in the full PSL for all but
-    * exotic rules), each probed with a broadcast LEFT join against the
-    * deduplicated rule table — no explode, no groupBy, no shuffle; the
-    * host column never leaves its scan partition. Wildcard (`*.foo`)
-    * and exception (`!bar.foo`) PSL rules are out of scope (exact-rule
-    * subset), documented here rather than silently misread.
+    * (≤5 in the full PSL), each probed with a broadcast LEFT join
+    * against the deduplicated per-class rule tables — no explode, no
+    * groupBy, no shuffle; the host column never leaves its scan
+    * partition. A wildcard rule probes its BASE labels (the part after
+    * `*.`) and counts one deeper; an exception probes its full labels
+    * and prevails one shallower.
     */
   def registeredDomain(df: DataFrame, hostCol: String,
                        suffixes: Seq[String] = defaultSuffixes,
                        outCol: String = "registered_domain"): DataFrame = {
     require(suffixes.nonEmpty, "registeredDomain: need at least one suffix rule")
-    require(suffixes.forall(s => s.nonEmpty && !s.startsWith("*") && !s.startsWith("!")),
-      "registeredDomain: only exact public-suffix rules are supported " +
-        "(no wildcard '*.' or exception '!' rules)")
+    val parsed = suffixes.distinct.map(_.toLowerCase(java.util.Locale.ROOT))
+    val (excRaw, rest) = parsed.partition(_.startsWith("!"))
+    val (wildRaw, exact) = rest.partition(_.startsWith("*."))
+    val exc = excRaw.map(_.drop(1)).distinct
+    val wild = wildRaw.map(_.drop(2)).distinct
+    def labelsOk(s: String) = s.nonEmpty && !s.contains("*") && !s.contains("!") &&
+      s.split("\\.", -1).forall(_.nonEmpty)
+    require((exact ++ wild ++ exc).forall(labelsOk),
+      "registeredDomain: rules must be non-empty dotted labels; '*' only " +
+        "as a leading '*.'; '!' only as a leading exception marker")
+    require(exc.forall(_.contains('.')),
+      "registeredDomain: an exception rule needs >= 2 labels — a 1-label " +
+        "exception would negate the implicit '*' default rule itself")
+    def byDepth(rs: Seq[String]) = rs.groupBy(_.count(_ == '.') + 1)
+    val exactD = byDepth(exact); val wildD = byDepth(wild); val excD = byDepth(exc)
     val spark = df.sparkSession
     import spark.implicits._
-    val byDepth = suffixes.distinct.map(_.toLowerCase(java.util.Locale.ROOT))
-      .groupBy(_.count(_ == '.') + 1)
-    val depths = byDepth.keys.toSeq.sorted
     val labs = split(lower(col(hostCol)), "\\.")
-    val n = size(labs)
-    var out = df.withColumn("__labs", labs).withColumn("__n", n)
-    for (d <- depths) {
-      val sfx = byDepth(d).toDF(s"__m$d")
-      val cand = when(col("__n") >= d,
-        array_join(slice(col("__labs"), col("__n") - d + 1, lit(d)), "."))
-      out = out.join(broadcast(sfx), cand === col(s"__m$d"), "left")
-    }
-    // longest (deepest) matched rule wins; the default '*' rule makes an
-    // unmatched final label its own suffix (depth 1)
-    val depth = depths.sorted(Ordering.Int.reverse)
-      .foldRight(when(col("__n") >= 1, 1)) { (d, acc) =>
-        when(col(s"__m$d").isNotNull, d).otherwise(acc)
+    var out = df.withColumn("__labs", labs).withColumn("__n", size(labs))
+    def cand(d: Int) = when(col("__n") >= d,
+      array_join(slice(col("__labs"), col("__n") - d + 1, lit(d)), "."))
+    def probe(tbl: Map[Int, Seq[String]], mark: String): Unit =
+      for (d <- tbl.keys.toSeq.sorted) {
+        out = out.join(broadcast(tbl(d).toDF(s"$mark$d")),
+          cand(d) === col(s"$mark$d"), "left")
       }
+    probe(exactD, "__m"); probe(wildD, "__wb"); probe(excD, "__xc")
+    // when-chains descending: the OUTERMOST condition is the deepest
+    def deepest(conds: Seq[(Int, Column)], default: Column): Column =
+      conds.sortBy(-_._1).foldRight(default) { case ((d, c), acc) =>
+        when(c, d).otherwise(acc)
+      }
+    val excDepth = deepest(
+      excD.keys.toSeq.map(e => e -> col(s"__xc$e").isNotNull),
+      lit(null).cast("int"))
+    // exact at depth d (cand construction already enforces n >= d) OR a
+    // wildcard whose base matched at d-1 with a label left for the '*'
+    val matchDepths = (exactD.keys ++ wildD.keys.map(_ + 1)).toSeq.distinct
+    val matched = deepest(
+      matchDepths.map { d =>
+        val ex = if (exactD.contains(d)) col(s"__m$d").isNotNull else lit(false)
+        val wc = if (wildD.contains(d - 1))
+          col("__n") >= d && col(s"__wb${d - 1}").isNotNull else lit(false)
+        d -> (ex || wc)
+      },
+      when(col("__n") >= 1, 1)) // the implicit '*' default rule
+    val depth = when(excDepth.isNotNull, excDepth - 1).otherwise(matched)
+    val marks = exactD.keys.map(d => s"__m$d") ++
+      wildD.keys.map(b => s"__wb$b") ++ excD.keys.map(e => s"__xc$e")
     out.withColumn("__d", depth)
       .withColumn(s"${outCol}_suffix",
         when(col("__d").isNotNull,
@@ -164,7 +203,7 @@ object UrlCuration {
       .withColumn(outCol,
         when(col("__n") >= col("__d") + 1,
           array_join(slice(col("__labs"), col("__n") - col("__d"), col("__d") + 1), ".")))
-      .drop((Seq("__labs", "__n", "__d") ++ depths.map(d => s"__m$d")): _*)
+      .drop((Seq("__labs", "__n", "__d") ++ marks).toSeq: _*)
   }
 
   /** Exact URL-level dedup on the CANONICAL url: one group per

@@ -76,16 +76,42 @@ class UrlCurationSpec extends SparkTestBase {
       ("", None, Some(""))))
   }
 
-  test("registeredDomain rejects wildcard/exception rules and empty rule lists") {
+  test("registeredDomain: wildcard and exception rules (full PSL algorithm)") {
+    val rules = Seq("com", "uk", "co.uk", "ck", "*.ck", "!www.ck")
+    val hosts = Seq(
+      "a.b.Site-1.CK",   // *.ck -> suffix site-1.ck, registered b.site-1.ck
+      "Site-1.ck",       // wildcard consumes the whole host -> NULL
+      "WWW.CK",          // exception prevails over *.ck: suffix ck, registered www.ck
+      "sub.www.ck",      // trailing 'www.ck' matches the exception too
+      "x.co.uk",         // exact rules unaffected
+      "ck"               // bare suffix -> NULL
+    ).toDF("host")
+    val out = UrlCuration.registeredDomain(hosts, "host", rules)
+      .select("host", "registered_domain", "registered_domain_suffix")
+      .collect().toSeq.map(r =>
+        (r.getString(0), Option(r.getString(1)), Option(r.getString(2))))
+    assert(out == Seq(
+      ("a.b.Site-1.CK", Some("b.site-1.ck"), Some("site-1.ck")),
+      ("Site-1.ck", None, Some("site-1.ck")),
+      ("WWW.CK", Some("www.ck"), Some("ck")),
+      ("sub.www.ck", Some("www.ck"), Some("ck")),
+      ("x.co.uk", Some("x.co.uk"), Some("co.uk")),
+      ("ck", None, Some("ck"))))
+  }
+
+  test("registeredDomain rejects malformed rules and empty rule lists") {
     val df = Seq("a.com").toDF("host")
     intercept[IllegalArgumentException] {
-      UrlCuration.registeredDomain(df, "host", Seq("*.ck"))
-    }
-    intercept[IllegalArgumentException] {
-      UrlCuration.registeredDomain(df, "host", Seq("!www.ck"))
-    }
-    intercept[IllegalArgumentException] {
       UrlCuration.registeredDomain(df, "host", Nil)
+    }
+    intercept[IllegalArgumentException] { // '*' only as a leading '*.'
+      UrlCuration.registeredDomain(df, "host", Seq("a.*.b"))
+    }
+    intercept[IllegalArgumentException] { // 1-label exception would negate '*'
+      UrlCuration.registeredDomain(df, "host", Seq("!ck"))
+    }
+    intercept[IllegalArgumentException] { // empty label
+      UrlCuration.registeredDomain(df, "host", Seq("a..b"))
     }
   }
 
