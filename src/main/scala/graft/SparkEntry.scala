@@ -5907,6 +5907,49 @@ object SparkEntry {
               |FROM w JOIN fe ON w.f = fe.f AND w.epoch = fe.first_epoch
               |ORDER BY doc_id""".stripMargin)),
 
+    Q("s12_stream_url_ingest",
+      (s, d) => {
+        val m = mgr(s, d)
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        // the crawl-frontier loop through the gate (r15): three
+        // MemoryStream epochs of messy URLs (epoch = doc_id mod 3),
+        // canonical-URL-deduped ingest against the epoch-partitioned
+        // fingerprint index; final corpus = union of per-epoch sink
+        // deliveries. hostMod 5 makes raw spellings genuinely collide
+        // after normalization across AND within epochs.
+        val docs = m.getDDFByName("documents").df
+          .select(col("doc_id"), syntheticUrl(5).as("url"))
+          .as[(Long, String)].collect()
+        withScratch("graft_s12") { tmp =>
+          val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+          val q = streaming.CurationStreams.urlDedupIngest(
+              stream.toDF().toDF("doc_id", "url"), "url", "doc_id", s"$tmp/index",
+              (df, epoch) => df.select(col("doc_id"), lit(epoch).as("epoch"))
+                .write.mode("append").parquet(s"$tmp/out"))
+            .start()
+          try (0L until 3L).foreach { e =>
+            stream.addData(docs.filter(_._1 % 3 == e).toIndexedSeq: _*)
+            q.processAllAvailable()
+          } finally q.stop()
+          collectAndClean(s, s.read.parquet(s"$tmp/out").orderBy("doc_id"), tmp)
+        }
+      },
+      // a doc is delivered iff its epoch is the FIRST epoch its CANONICAL
+      // url appears in AND it is the min doc_id of that url within the
+      // epoch — the cross-batch index probe in SQL form over the same
+      // normalization chain as w01/w04
+      Some(s"""WITH u AS (SELECT doc_id, doc_id % 3 AS epoch,
+              |    ${duckUrlRaw(5)} AS url FROM documents),
+              |$duckUrlNormCtes,
+              |fp AS (SELECT doc_id, epoch, md5(url_norm) AS f FROM p5
+              |  WHERE url_norm IS NOT NULL),
+              |w AS (SELECT f, epoch, min(doc_id) AS keep FROM fp GROUP BY 1, 2),
+              |fe AS (SELECT f, min(epoch) AS first_epoch FROM fp GROUP BY 1)
+              |SELECT w.keep AS doc_id, w.epoch::BIGINT AS epoch
+              |FROM w JOIN fe ON w.f = fe.f AND w.epoch = fe.first_epoch
+              |ORDER BY doc_id""".stripMargin)),
+
     Q("s11_stream_agg_rollup",
       (s, d) => {
         val m = mgr(s, d); val _ = m
@@ -8161,7 +8204,7 @@ object SparkEntry {
   /** DuckDB transliteration of UrlCuration.urlNormalizeCol as CTE steps:
     * expects a relation `u(…, url)`, defines `p5(…, url_norm)`.
     */
-  private val duckUrlNormCtes: String = {
+  private lazy val duckUrlNormCtes: String = {
     val trackRe =
       "^(utm_[^=&]*|gclid|fbclid|msclkid|yclid|mc_eid|igshid|ref|ref_src|_ga)(=|$)"
     s"""p1 AS (SELECT *, trim(url) AS __src FROM u),
@@ -8192,14 +8235,14 @@ object SparkEntry {
     * inlines them); depth-1 and depth-2 entries of
     * [[pipeline.UrlCuration.defaultSuffixes]] that the synthetic hosts hit.
     */
-  private val wSuffixes =
+  private lazy val wSuffixes =
     Seq("com", "org", "uk", "io", "au", "co.uk", "net.au", "github.io",
       "blogspot.com")
 
   /** DuckDB twin of UrlCuration.registeredDomain on relation `h(…, host)`:
     * defines `d3(…, registered_domain, registered_domain_suffix)`.
     */
-  private val duckRegDomainCtes: String = {
+  private lazy val duckRegDomainCtes: String = {
     val d1 = wSuffixes.filter(!_.contains('.')).map(s => s"'$s'").mkString(", ")
     val d2 = wSuffixes.filter(_.contains('.')).map(s => s"'$s'").mkString(", ")
     s"""d1 AS (SELECT *, string_split(lower(host), '.') AS __l,

@@ -221,4 +221,32 @@ object UrlCuration {
       .filter(col("url_norm").isNotNull)
       .groupBy("url_norm")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Incremental canonical-URL dedup — the production ingest shape
+    * ([[graft.pipeline.Dedup.incrementalExact]]'s contract keyed on the
+    * CANONICAL URL): dedup a new batch against an existing fingerprint
+    * index WITHOUT rescanning the crawled corpus. Returns the batch's
+    * survivors: first occurrence (min id) of each canonical URL not in
+    * `knownFingerprints` (a single `fingerprint` column persisted from
+    * prior batches). Non-URL rows (NULL canonical) are EXCLUDED —
+    * quarantine material, never one giant group — so fingerprints are
+    * never NULL and the index probe is a plain equi anti-join.
+    *
+    * Scale shape per batch: the batch normalizes per-row (zero
+    * shuffles), collapses in-batch dups via one md5-key groupBy, and
+    * probes the index with one left-anti equi-join whose index side
+    * streams from its store — crawl payloads never rescan.
+    */
+  def incrementalUrlDedup(newDocs: DataFrame, knownFingerprints: DataFrame,
+                          urlCol: String, idCol: String,
+                          trackingParams: Seq[String] = defaultTrackingParams): DataFrame = {
+    val batch = newDocs
+      .select(col(idCol),
+        urlNormalizeCol(col(urlCol), trackingParams).as("url_norm"))
+      .filter(col("url_norm").isNotNull)
+      .select(col(idCol), md5(col("url_norm")).as("fingerprint"))
+      .groupBy("fingerprint").agg(min(col(idCol)).as("keep_id"))
+    batch.join(knownFingerprints.select(col("fingerprint").as("__kfp")),
+      col("fingerprint") === col("__kfp"), "left_anti")
+  }
 }

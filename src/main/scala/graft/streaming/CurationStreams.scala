@@ -61,6 +61,54 @@ object CurationStreams {
     }
   }
 
+  /** Continuous canonical-URL-deduped crawl ingest (r15): the streaming
+    * twin of [[graft.pipeline.UrlCuration.incrementalUrlDedup]] — every
+    * micro-batch canonicalizes its URLs per-row, drops non-URL rows
+    * (quarantine material), dedups in-batch and against the persisted
+    * canonical-fingerprint index, delivers first-seen resources to
+    * `sink`, and appends their fingerprints for the next batch. Distinct
+    * raw spellings of one resource (tracking params, case, default
+    * ports, fragments) collapse BEFORE the index probe, so a crawler
+    * re-fetching the same page under utm-decorated links delivers it
+    * once.
+    *
+    * Same replay discipline as [[dedupedIngest]]: the index is
+    * epoch-partitioned, a replayed epoch probes only epochs < N and
+    * dynamically overwrites its own partition — replays are
+    * bit-identical, so an (epoch, id)-idempotent sink gets exactly-once
+    * content delivery.
+    */
+  def urlDedupIngest(docs: DataFrame, urlCol: String, idCol: String,
+                     indexDir: String, sink: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(docs.isStreaming, "urlDedupIngest expects a streaming frame; " +
+      "use UrlCuration.incrementalUrlDedup for batch ingest")
+    docs.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
+      val spark = batch.sparkSession
+      val index =
+        if (indexExists(spark, indexDir))
+          spark.read.parquet(indexDir)
+            .filter(col("epoch") < epoch)
+            .select("fingerprint")
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("fingerprint",
+              org.apache.spark.sql.types.StringType))))
+      val survivors = graft.pipeline.UrlCuration
+        .incrementalUrlDedup(batch, index, urlCol, idCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        sink(batch.join(survivors.select(col("keep_id").as(idCol)), Seq(idCol), "left_semi"),
+          epoch)
+        survivors.select(col("fingerprint")).withColumn("epoch", lit(epoch))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("epoch")
+          .parquet(indexDir)
+      } finally survivors.unpersist(blocking = false)
+    }
+  }
+
   /** Continuous NEAR-dup-deduped ingest: the streaming twin of
     * [[Dedup.incrementalMinhash]] — every micro-batch removes its
     * in-batch near-dups (full exact-Jaccard verify; the batch's text is

@@ -128,6 +128,37 @@ class StreamingSpec extends SparkTestBase {
     assert(idx.columns.contains("epoch"))
   }
 
+  test("urlDedupIngest: canonical-URL dedup across batches; non-URLs never delivered") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_urlingest").toString + "/idx"
+    val stream = MemoryStream[(Long, String)]
+    val sunk = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = graft.streaming.CurationStreams.urlDedupIngest(
+        stream.toDF().toDF("doc_id", "url"), "url", "doc_id", dir,
+        (df, epoch) => sunk.synchronized {
+          sunk ++= df.select("doc_id").collect().map(r => epoch -> r.getLong(0))
+        })
+      .start()
+    try {
+      stream.addData(
+        (1L, "https://A.com/x?utm_source=f"),
+        (2L, "HTTPS://a.COM:443/x#frag"),   // same resource as 1 (in-batch)
+        (3L, "https://b.org/y"),
+        (4L, "not a url"))                  // excluded, never delivered
+      q.processAllAvailable()
+      stream.addData(
+        (5L, "https://a.com/x?fbclid=z"),   // same resource again (cross-batch)
+        (6L, "https://c.net/z"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(sunk.map(_._2).toSet == Set(1L, 3L, 6L), s"got $sunk")
+    // one fingerprint per canonical resource, epoch-partitioned
+    val idx = spark.read.parquet(dir)
+    assert(idx.select("fingerprint").distinct().count() == 3)
+    assert(idx.columns.contains("epoch"))
+  }
+
   test("aggMaintain: rollup equals the direct aggregate; replay overwrites its partial") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
