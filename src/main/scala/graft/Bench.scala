@@ -482,11 +482,12 @@ object Bench {
     // the REBUILT layout (12 sf0.1 rows ≥1 s or documented micro + 33
     // family representatives in the forked sf1 tier) — every sf1 row
     // converged, zero contended/gc-thrash flags, runs 2→3 geomean 0.90
-    // (run 3 the quieter). Known bimodal row: a05 at sf1 measured a
-    // tight ~4.0 s plateau in one JVM instance and ~1.6 s in the other
-    // two runs — the anchor carries the 2-of-3 fast mode; a future 2.5×
-    // a05 ratio with clean flags is that mode, not a regression (see
-    // SCALE.md round-15 notes).
+    // (run 3 the quieter). Known variable row: a05 at sf1 is a ~1.2
+    // G-pair cosine kernel whose wall is C2-JIT-quality-bound — probe
+    // JVMs with the identical plan shelf anywhere in 1.9–3.9 s
+    // (tools/ProbeA05, SCALE.md round-15 notes). The anchor carries the
+    // fast mode; a clean-flag a05 ratio up to ~2.5× is a slow-shelf
+    // JVM, not a regression.
     val anchorPath = sys.env.getOrElse("SPARK_GRAFT_ANCHOR", "BENCH_anchor_r15.json")
     // ratios are only meaningful at the anchor's own scale factor — a
     // quick sf0.001 iteration run must not flag "suspects" against sf0.1
