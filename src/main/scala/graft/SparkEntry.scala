@@ -8378,6 +8378,59 @@ object SparkEntry {
              |    AS registered_domain_suffix
              |FROM d2 ORDER BY doc_id""".stripMargin)),
 
+    Q("w06_domain_datacard",
+      (s, d) => {
+        val m = mgr(s, d)
+        // the crawl report card (r15): URL family composed with p10's
+        // datasheet — registered domain becomes the reporting key, so a
+        // corpus owner reads per-REGISTRANT volumes, dup rates, quality
+        // pass counts and language mix (the admission question at
+        // domain granularity, not source-tag granularity)
+        val docs = m.getDDFByName("documents").df
+          .select(col("doc_id"), col("text"), syntheticUrl(5).as("url"))
+        val withDom = pipeline.UrlCuration.registeredDomain(
+          docs.withColumn("host", pipeline.UrlCuration.hostOf(col("url"))),
+          "host", wSuffixes)
+        pipeline.TextAnalysis.datacard(withDom, "text", "doc_id",
+            "registered_domain")
+          .select(col("source").as("registered_domain"), col("n_docs"),
+            col("n_tokens"), col("n_dup_docs"), col("n_quality_hi"),
+            col("top_lang"), col("n_langs"))
+          .orderBy("registered_domain")
+      },
+      Some(s"""WITH u AS (SELECT doc_id, text, ${duckUrlRaw(5)} AS url
+              |  FROM documents),
+              |h AS (SELECT doc_id, text, lower(regexp_extract(regexp_extract(
+              |    regexp_replace(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+              |    '^([^/?#]*)', 1), '^([^:]*)', 1)) AS host FROM u),
+              |$duckRegDomainCtes,
+              |sc AS (SELECT doc_id, registered_domain AS source, text,
+              |    $duckLangScores
+              |  FROM d3),
+              |b AS (SELECT source, md5(${duckNorm("text")}) AS fp,
+              |    ${duckTokenCount("text")} AS tc,
+              |    $duckLangCase AS lang,
+              |    CASE WHEN ${duckQuality("text")} >= 0.5 THEN 1 ELSE 0 END AS hi
+              |  FROM sc),
+              |g AS (SELECT source, fp, count(*) AS n, sum(tc) AS tok,
+              |    sum(hi) AS hi, min(lang) AS lang
+              |  FROM b GROUP BY source, fp),
+              |per AS (SELECT source, sum(n)::BIGINT AS n_docs,
+              |    sum(tok)::BIGINT AS n_tokens,
+              |    (sum(n) - count(*))::BIGINT AS n_dup_docs,
+              |    sum(hi)::BIGINT AS n_quality_hi
+              |  FROM g GROUP BY source),
+              |lc AS (SELECT source, lang, sum(n) AS ln FROM g GROUP BY source, lang),
+              |top AS (SELECT source, lang,
+              |    row_number() OVER (PARTITION BY source ORDER BY ln DESC, lang) AS rn,
+              |    count(*) OVER (PARTITION BY source) AS nl FROM lc)
+              |SELECT p.source AS registered_domain, p.n_docs, p.n_tokens,
+              |  p.n_dup_docs, p.n_quality_hi, t.lang AS top_lang,
+              |  t.nl::BIGINT AS n_langs
+              |FROM per p JOIN top t
+              |  ON t.source IS NOT DISTINCT FROM p.source AND t.rn = 1
+              |ORDER BY registered_domain""".stripMargin)),
+
     Q("w04_url_dedup",
       (s, d) => {
         val m = mgr(s, d)
