@@ -86,35 +86,35 @@ object Dsir {
     // user-facing session-survivable errors — the tokenized cache must
     // release on that path too, not only before the success return
     try {
-    val rawCnt = rawTf.groupBy("bucket").agg(sum("tf").as("cr"))
-    // totals: two config-sized scalars (the bigramLogProb pattern)
-    val tTot = tgt.select(coalesce(sum("cnt"), lit(0L))).first().getLong(0)
-    val rTot = rawCnt.select(coalesce(sum("cr"), lit(0L))).first().getLong(0)
-    require(rTot > 0, "importanceWeights: raw corpus has no tokens")
-    require(tTot > 0, "importanceWeights: target corpus has no tokens")
-    val b = buckets.toDouble
-    // ratio over the raw corpus's observed buckets (a bucket no raw doc
-    // hits can never contribute to a raw doc's weight)
-    val ratio = rawCnt.join(tgt, Seq("bucket"), "left")
-      .select(col("bucket"),
-        (log((coalesce(col("cnt"), lit(0L)).cast("double") + alpha) / (tTot + alpha * b))
-          - log((col("cr").cast("double") + alpha) / (rTot + alpha * b))).as("lr"))
-    val scored = rawTf.join(broadcast(ratio), "bucket")
-      .withColumn("__lp", col("tf").cast("double") * col("lr"))
-      .groupBy("id")
-      .agg(sum("tf").as("n_feats"),
-        aggregate(
-          sort_array(collect_list(struct(col("bucket"), col("__lp")))),
-          lit(0.0), (acc, x) => acc + x.getField("__lp")).as("weight"))
-    val lazyOut = raw.select(col(idCol).as("id")).join(scored, Seq("id"), "left")
-      .select(col("id"),
-        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
-        coalesce(col("weight"), lit(0.0)).as("weight"))
-    if (!materialize) lazyOut
-    // materialize the (one-row-per-raw-doc) result inside the try so
-    // the finally drops the tokenized cache only after the checkpoint
-    // holds the data (the SetJoin pattern)
-    else lazyOut.localCheckpoint(eager = true)
+      val rawCnt = rawTf.groupBy("bucket").agg(sum("tf").as("cr"))
+      // totals: two config-sized scalars (the bigramLogProb pattern)
+      val tTot = tgt.select(coalesce(sum("cnt"), lit(0L))).first().getLong(0)
+      val rTot = rawCnt.select(coalesce(sum("cr"), lit(0L))).first().getLong(0)
+      require(rTot > 0, "importanceWeights: raw corpus has no tokens")
+      require(tTot > 0, "importanceWeights: target corpus has no tokens")
+      val b = buckets.toDouble
+      // ratio over the raw corpus's observed buckets (a bucket no raw doc
+      // hits can never contribute to a raw doc's weight)
+      val ratio = rawCnt.join(tgt, Seq("bucket"), "left")
+        .select(col("bucket"),
+          (log((coalesce(col("cnt"), lit(0L)).cast("double") + alpha) / (tTot + alpha * b))
+            - log((col("cr").cast("double") + alpha) / (rTot + alpha * b))).as("lr"))
+      val scored = rawTf.join(broadcast(ratio), "bucket")
+        .withColumn("__lp", col("tf").cast("double") * col("lr"))
+        .groupBy("id")
+        .agg(sum("tf").as("n_feats"),
+          aggregate(
+            sort_array(collect_list(struct(col("bucket"), col("__lp")))),
+            lit(0.0), (acc, x) => acc + x.getField("__lp")).as("weight"))
+      val lazyOut = raw.select(col(idCol).as("id")).join(scored, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+          coalesce(col("weight"), lit(0.0)).as("weight"))
+      if (!materialize) lazyOut
+      // materialize the (one-row-per-raw-doc) result inside the try so
+      // the finally drops the tokenized cache only after the checkpoint
+      // holds the data (the SetJoin pattern)
+      else lazyOut.localCheckpoint(eager = true)
     } finally if (materialize) rawTf.unpersist(blocking = false)
   }
 
