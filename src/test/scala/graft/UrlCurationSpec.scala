@@ -129,6 +129,26 @@ class UrlCurationSpec extends SparkTestBase {
       ("https://a.com/x?id=1", 3L, 1L)))
   }
 
+  test("incrementalUrlDedup: batch collapses in-batch, probes the index, excludes non-URLs") {
+    val index = Seq("https://a.com/x").toDF("url")
+      .select(org.apache.spark.sql.functions.md5(
+        UrlCuration.urlNormalizeCol(col("url"))).as("fingerprint"))
+    val batch = Seq(
+      (1L, "HTTPS://A.com/x#top"),        // already indexed -> dropped
+      (2L, "https://b.org/y?utm_source=f"),
+      (3L, "https://B.ORG/y"),            // in-batch dup of 2 -> collapses
+      (4L, "garbage")                     // non-URL -> excluded, not grouped
+    ).toDF("id", "url")
+    val out = UrlCuration.incrementalUrlDedup(batch, index, "url", "id")
+      .select("keep_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(2L))
+    // empty index: every canonical resource survives once
+    val empty = index.limit(0)
+    val all = UrlCuration.incrementalUrlDedup(batch, empty, "url", "id")
+      .select("keep_id").collect().map(_.getLong(0)).toSet
+    assert(all == Set(1L, 2L))
+  }
+
   test("plan pins: normalize is shuffle-free; suffix lookup is broadcast-only; dedup is one key shuffle") {
     val docs = spark.range(20000L).select(col("id"),
       concat(lit("https://Sub."), (col("id") % 37).cast("string"),
