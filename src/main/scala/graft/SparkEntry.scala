@@ -8221,7 +8221,8 @@ object SparkEntry {
        |    string_split(regexp_extract(__pathq, '\\?(.*)', 1), '&'),
        |    x -> x <> '' AND NOT regexp_matches(x, '$trackRe')), '&'), '') AS __qn
        |  FROM p3),
-       |p5 AS (SELECT *, CASE WHEN __scheme = '' OR __host = '' THEN NULL ELSE
+       |p5 AS (SELECT *, CASE WHEN __scheme = '' OR __host = ''
+       |    OR substr(__auth, 1, 1) = '[' THEN NULL ELSE
        |    __scheme || '://' || __host ||
        |    CASE WHEN __port = '' OR (__scheme = 'http' AND __port = '80')
        |         OR (__scheme = 'https' AND __port = '443') THEN ''

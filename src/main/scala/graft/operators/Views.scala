@@ -427,12 +427,18 @@ object Views {
     // colossal work it routes; a config/corpus-sample input (the q94/p08
     // regime) replaces the groupBy detection job with one cheap count.
     def provenNoColossal: Boolean = {
+      // r16 (advice): a defined rowCount is NOT exact under CBO — it is a
+      // selectivity estimate propagated through filters/joins, and an
+      // underestimate here would skip detection and put a corpus-scale
+      // group under the single-task window sort. Both stats tiers are
+      // therefore HINTS that gate whether the confirming narrow count()
+      // is worth running; only the exact count proves the skip.
       val st = slimAll.queryExecution.optimizedPlan.stats
-      st.rowCount match {
-        case Some(rows) => rows <= colossalThreshold // exact when defined: no job at all
-        case None => st.sizeInBytes <= BigInt(colossalThreshold) * 16 &&
-          slimAll.count() <= colossalThreshold
+      val plausiblySmall = st.rowCount match {
+        case Some(rows) => rows <= colossalThreshold
+        case None => st.sizeInBytes <= BigInt(colossalThreshold) * 16
       }
+      plausiblySmall && slimAll.count() <= colossalThreshold
     }
     val (colossal: Seq[Any], hasSmallGroups: Boolean) =
       if (colossalThreshold == Long.MaxValue ||

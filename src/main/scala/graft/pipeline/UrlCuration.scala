@@ -48,10 +48,16 @@ object UrlCuration {
     *  - empty path normalized to `/`; empty query (`?` alone or fully
     *    stripped) dropped.
     *
-    * Rows that are not absolute URLs (`scheme://…`) or have an empty
-    * host yield NULL — the caller decides whether that is a drop or a
-    * quarantine. Userinfo (`user@host`) is NOT parsed (kept verbatim in
-    * the host, and such hosts then fail suffix lookup downstream);
+    * Rows that are not absolute URLs (`scheme://…`), have an empty
+    * host, or carry a bracketed (IPv6-literal) authority yield NULL —
+    * the caller decides whether that is a drop or a quarantine. The
+    * bracket rule (r16, advice): `[::1]:8080` would otherwise extract
+    * host `[` via the `^([^:]*)` split, a non-NULL garbage canonical
+    * key that silently merges ALL IPv6-host URLs sharing a path/query
+    * into one dedup group — so bracketed authorities take the same
+    * NULL contract as non-URLs. Userinfo (`user@host`) is NOT parsed
+    * (kept verbatim in the host, and such hosts then fail suffix
+    * lookup downstream);
     * percent-encoding is preserved as-is. Every step is a plain
     * Catalyst expression with an exact DuckDB transliteration (the w01
     * oracle), so the contract is pinned cross-engine.
@@ -76,7 +82,8 @@ object UrlCuration {
     val params = filter(split(regexp_extract(pathq, "\\?(.*)", 1), "&"),
       p => p =!= "" && !p.rlike(trackRe))
     val queryNorm = array_join(params, "&")
-    when(scheme === "" || host === "", lit(null).cast("string"))
+    when(scheme === "" || host === "" || substring(authority, 1, 1) === "[",
+      lit(null).cast("string"))
       .otherwise(concat(scheme, lit("://"), host, portNorm, pathNorm,
         when(queryNorm === "", "").otherwise(concat(lit("?"), queryNorm))))
   }
@@ -86,9 +93,10 @@ object UrlCuration {
                    trackingParams: Seq[String] = defaultTrackingParams): DataFrame =
     df.withColumn(outCol, urlNormalizeCol(col(urlCol), trackingParams))
 
-  /** Lowercased host of an absolute URL (NULL when not `scheme://…` or
-    * the host is empty) — the [[urlNormalizeCol]] host contract as a
-    * standalone extractor, for feeding [[registeredDomain]] directly.
+  /** Lowercased host of an absolute URL (NULL when not `scheme://…`,
+    * the host is empty, or the authority is a bracketed IPv6 literal —
+    * the [[urlNormalizeCol]] host contract as a standalone extractor,
+    * for feeding [[registeredDomain]] directly).
     */
   def hostOf(url: Column): Column = {
     val src = trim(url)
@@ -96,7 +104,8 @@ object UrlCuration {
     val authority = regexp_extract(
       regexp_replace(src, "^[A-Za-z][A-Za-z0-9+.-]*://", ""), "^([^/?#]*)", 1)
     val host = lower(regexp_extract(authority, "^([^:]*)", 1))
-    when(!hasScheme || host === "", lit(null).cast("string")).otherwise(host)
+    when(!hasScheme || host === "" || substring(authority, 1, 1) === "[",
+      lit(null).cast("string")).otherwise(host)
   }
 
   /** A representative public-suffix subset (public knowledge: the rule

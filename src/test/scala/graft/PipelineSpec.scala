@@ -246,6 +246,19 @@ class PipelineSpec extends SparkTestBase {
       // quantized sidecar is STORED, not re-derived
       val q = spark.read.parquet(s"$tmp/ivf/quantized")
       assert(q.columns.sorted.toSeq == Seq("cell", "id", "q8") && q.count() == 100)
+      // r16 advice: the loaded index CARRIES the stored tier and
+      // topKQuantized serves it — a fresh build re-derives inline
+      assert(loaded.quantized.nonEmpty, "loaded index carries the int8 tier")
+      assert(idx.quantized.isEmpty, "fresh build derives the sidecar inline")
+      assert(loaded.quantized.get.inputFiles.exists(_.contains("/quantized/")),
+        "the sidecar the loaded index serves scans the stored artifact")
+      def qsearch(i: IvfIndex.Index) =
+        IvfIndex.topKQuantized(i, queries, "embedding", "qid",
+          k = 5, nprobe = 2, shortlist = 10)
+          .select("query_id", "id", "rk").orderBy("query_id", "rk")
+          .collect().toSeq
+      assert(qsearch(loaded) == qsearch(idx),
+        "quantized search over the stored tier ≡ the in-session derivation")
       // a silently corrupted shard must fail the load loudly
       val corpusDir = new java.io.File(s"$tmp/ivf/corpus")
       val shard = java.nio.file.Files.walk(corpusDir.toPath).iterator()

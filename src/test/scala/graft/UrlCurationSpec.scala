@@ -49,6 +49,19 @@ class UrlCurationSpec extends SparkTestBase {
     assert(h == Seq(Some("www.ex.com"), None, Some("h.io")))
   }
 
+  test("bracketed IPv6 authorities are quarantined to NULL, not host '['") {
+    // r16 advice fix: '^([^:]*)' over '[::1]:8080' would yield host '['
+    // — a non-NULL garbage key merging ALL IPv6-host URLs that share a
+    // path/query into one dedup group. Both extractors must NULL them.
+    val urls = Seq("https://[::1]:8080/x?a=1", "http://[2001:db8::1]/y",
+      "https://[fe80::1]", "https://ok.com/x")
+    assert(norm(urls: _*) ==
+      Seq(None, None, None, Some("https://ok.com/x")))
+    val h = urls.toDF("url").select(UrlCuration.hostOf(col("url")).as("h"))
+      .collect().toSeq.map(r => Option(r.getString(0)))
+    assert(h == Seq(None, None, None, Some("ok.com")))
+  }
+
   test("registeredDomain: longest suffix rule wins; default '*' rule; bare suffix -> NULL") {
     val sfx = Seq("com", "uk", "co.uk", "github.io", "io")
     val hosts = Seq(
