@@ -8173,8 +8173,13 @@ object SparkEntry {
       .when(id % 6 === 3, "?a=1&b=2")
       .otherwise("")
     val frag = when(id % 8 === 0, "#Section-2").otherwise("")
-    concat(scheme, lit("://Site-"), (id % hostMod).cast("string"), lit("."),
-      tld, port, path, query, frag)
+    // id % 13 == 9 rows are IPv6-literal URLs — they pin the r16
+    // bracketed-authority quarantine (NULL canonical key) in the oracle
+    when(id % 13 === 9,
+      concat(lit("https://[2001:db8::"), (id % 4).cast("string"),
+        lit("]:8080/v6/"), (id % 10).cast("string")))
+      .otherwise(concat(scheme, lit("://Site-"), (id % hostMod).cast("string"),
+        lit("."), tld, port, path, query, frag))
   }
 
   /** DuckDB twin of [[syntheticUrl]]. NOTE: these helper strings are
@@ -8183,7 +8188,10 @@ object SparkEntry {
     * every `||` concat sits at a line END.
     */
   private def duckUrlRaw(hostMod: Int): String =
-    s"""CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' WHEN doc_id % 3 = 1 THEN 'http'
+    s"""CASE WHEN doc_id % 13 = 9 THEN 'https://[2001:db8::' ||
+       |    (doc_id % 4)::VARCHAR || ']:8080/v6/' || (doc_id % 10)::VARCHAR
+       |  ELSE
+       |  CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' WHEN doc_id % 3 = 1 THEN 'http'
        |       ELSE 'https' END ||
        |  '://Site-' || (doc_id % $hostMod)::VARCHAR || '.' ||
        |  CASE WHEN doc_id % 7 = 0 THEN 'Co.UK'
@@ -8199,7 +8207,21 @@ object SparkEntry {
        |       WHEN doc_id % 6 = 1 THEN '?id=' || (doc_id % 50)::VARCHAR || '&utm_campaign=x&ref=tw'
        |       WHEN doc_id % 6 = 2 THEN '?gclid=abc123'
        |       WHEN doc_id % 6 = 3 THEN '?a=1&b=2' ELSE '' END ||
-       |  CASE WHEN doc_id % 8 = 0 THEN '#Section-2' ELSE '' END""".stripMargin
+       |  CASE WHEN doc_id % 8 = 0 THEN '#Section-2' ELSE '' END
+       |  END""".stripMargin
+
+  /** DuckDB twin of UrlCuration.hostOf on column `url` (assumes the
+    * input always carries a scheme, as the synthetic builders do).
+    * Bracketed IPv6 authorities quarantine to NULL (r16 advice fix) —
+    * mirrored from the Scala expression.
+    */
+  private lazy val duckHostExpr: String =
+    """CASE WHEN substr(regexp_extract(regexp_replace(trim(url),
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?#]*)', 1), 1, 1) = '['
+      |    THEN NULL
+      |    ELSE lower(regexp_extract(regexp_extract(
+      |      regexp_replace(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+      |      '^([^/?#]*)', 1), '^([^:]*)', 1)) END""".stripMargin
 
   /** DuckDB transliteration of UrlCuration.urlNormalizeCol as CTE steps:
     * expects a relation `u(…, url)`, defines `p5(…, url_norm)`.
@@ -8285,9 +8307,7 @@ object SparkEntry {
           .orderBy("doc_id")
       },
       Some(s"""WITH u AS (SELECT doc_id, ${duckUrlRaw(40)} AS url FROM documents),
-              |h AS (SELECT doc_id, lower(regexp_extract(regexp_extract(
-              |    regexp_replace(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
-              |    '^([^/?#]*)', 1), '^([^:]*)', 1)) AS host FROM u),
+              |h AS (SELECT doc_id, $duckHostExpr AS host FROM u),
               |$duckRegDomainCtes
               |SELECT doc_id, host, registered_domain, registered_domain_suffix
               |FROM d3 ORDER BY doc_id""".stripMargin)),
@@ -8319,15 +8339,14 @@ object SparkEntry {
       },
       Some(s"""WITH u AS (SELECT doc_id, n_chars, ${duckUrlRaw(5)} AS url
               |  FROM documents),
-              |h AS (SELECT doc_id, n_chars, lower(regexp_extract(regexp_extract(
-              |    regexp_replace(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
-              |    '^([^/?#]*)', 1), '^([^:]*)', 1)) AS host FROM u),
+              |h AS (SELECT doc_id, n_chars, $duckHostExpr AS host FROM u),
               |$duckRegDomainCtes,
               |r AS (SELECT doc_id, registered_domain, n_chars,
               |    row_number() OVER (PARTITION BY registered_domain
               |      ORDER BY n_chars DESC, doc_id) AS rn
               |  FROM d3
-              |  WHERE registered_domain NOT IN ('example.com', 'site-3.co.uk'))
+              |  WHERE registered_domain IS NULL
+              |     OR registered_domain NOT IN ('example.com', 'site-3.co.uk'))
               |SELECT doc_id, registered_domain, n_chars FROM r WHERE rn <= 5
               |ORDER BY registered_domain, doc_id""".stripMargin)),
 
@@ -8401,9 +8420,7 @@ object SparkEntry {
       },
       Some(s"""WITH u AS (SELECT doc_id, text, ${duckUrlRaw(5)} AS url
               |  FROM documents),
-              |h AS (SELECT doc_id, text, lower(regexp_extract(regexp_extract(
-              |    regexp_replace(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
-              |    '^([^/?#]*)', 1), '^([^:]*)', 1)) AS host FROM u),
+              |h AS (SELECT doc_id, text, $duckHostExpr AS host FROM u),
               |$duckRegDomainCtes,
               |sc AS (SELECT doc_id, registered_domain AS source, text,
               |    $duckLangScores
