@@ -8215,21 +8215,23 @@ object SparkEntry {
     * Bracketed IPv6 authorities quarantine to NULL (r16 advice fix) —
     * mirrored from the Scala expression.
     */
-  private lazy val duckHostExpr: String =
-    """CASE WHEN substr(regexp_extract(regexp_replace(trim(url),
-      |      '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?#]*)', 1), 1, 1) = '['
-      |    THEN NULL
-      |    ELSE lower(regexp_extract(regexp_extract(
-      |      regexp_replace(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
-      |      '^([^/?#]*)', 1), '^([^:]*)', 1)) END""".stripMargin
+  private def duckHostExprOf(urlCol: String): String =
+    s"""CASE WHEN substr(regexp_extract(regexp_replace(trim($urlCol),
+       |      '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?#]*)', 1), 1, 1) = '['
+       |    THEN NULL
+       |    ELSE lower(regexp_extract(regexp_extract(
+       |      regexp_replace(trim($urlCol), '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+       |      '^([^/?#]*)', 1), '^([^:]*)', 1)) END""".stripMargin
+
+  private lazy val duckHostExpr: String = duckHostExprOf("url")
 
   /** DuckDB transliteration of UrlCuration.urlNormalizeCol as CTE steps:
-    * expects a relation `u(…, url)`, defines `p5(…, url_norm)`.
+    * expects a relation `$rel(…, url)`, defines `p5(…, url_norm)`.
     */
-  private lazy val duckUrlNormCtes: String = {
+  private def duckUrlNormCtesFrom(rel: String): String = {
     val trackRe =
       "^(utm_[^=&]*|gclid|fbclid|msclkid|yclid|mc_eid|igshid|ref|ref_src|_ga)(=|$)"
-    s"""p1 AS (SELECT *, trim(url) AS __src FROM u),
+    s"""p1 AS (SELECT *, trim(url) AS __src FROM $rel),
        |p2 AS (SELECT *,
        |  lower(regexp_extract(__src, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS __scheme,
        |  regexp_replace(regexp_replace(__src, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
@@ -8253,6 +8255,8 @@ object SparkEntry {
        |    CASE WHEN __qn = '' THEN '' ELSE '?' || __qn END END AS url_norm
        |  FROM p4)""".stripMargin
   }
+
+  private lazy val duckUrlNormCtes: String = duckUrlNormCtesFrom("u")
 
   /** Suffix rules used by the w02/w03 queries (explicit so the oracle
     * inlines them); depth-1 and depth-2 entries of
@@ -8468,9 +8472,217 @@ object SparkEntry {
               |GROUP BY url_norm ORDER BY url_norm""".stripMargin))
   )
 
+  // ---------------------------------------------------------------
+  // HTML/markup extraction (h01-h03) — the front end of the crawl
+  // pipeline the w-family serves: raw markup → text + outlinks.
+  // ---------------------------------------------------------------
+
+  /** Synthetic HTML document from `documents` rows: entities (incl.
+    * double-escapes), a style block, a script subtree on 1/3 of docs, a
+    * comment, the doc's text, one messy absolute link ([[syntheticUrl]],
+    * so the IPv6 quarantine rides through h03), and per-residue
+    * root-relative / relative / fragment+mailto / protocol-relative
+    * links. Mirrored verbatim by [[duckHtmlRaw]].
+    */
+  private def syntheticHtml: Column = {
+    val id = col("doc_id")
+    concat(
+      lit("<!DOCTYPE html><html><head><title>Doc "), id.cast("string"),
+      lit(" &amp; friends</title><style>p{m:"), (id % 7).cast("string"),
+      lit("}</style>"),
+      when(id % 3 === 0,
+        concat(lit("<script>var p=\"<b>skip "), (id % 5).cast("string"),
+          lit("</b>\";</script>"))).otherwise(""),
+      lit("</head><body><!-- c "), (id % 5).cast("string"),
+      lit(" --><h1>Title&nbsp;"), (id % 9).cast("string"),
+      lit("</h1><p class=\"big\">"), substring(col("text"), 1, 60),
+      lit(" &lt;q&gt; &#38; x</p><a href=\""), syntheticUrl(12), lit("\">a1</a>"),
+      when(id % 4 === 1,
+        concat(lit("<a href='/rel/"), (id % 20).cast("string"), lit("'>a2</a>")))
+        .when(id % 4 === 2,
+          concat(lit("<a href=sub/p-"), (id % 10).cast("string"), lit(".html>a3</a>")))
+        .when(id % 4 === 3,
+          lit("<a href=\"#top\">f</a><a href=\"mailto:a@b.c\">m</a>"))
+        .otherwise(lit("<a href=\"//cdn.ex.com/l.js\">c</a>")),
+      lit("</body></html>"))
+  }
+
+  /** Base (document) URL for the h02/h03 resolution cases: pathless,
+    * file-with-query, and trailing-dir forms. Mirrored by the oracle.
+    */
+  private def syntheticBaseUrl: Column = {
+    val id = col("doc_id")
+    when(id % 3 === 0,
+      concat(lit("https://site-"), (id % 15).cast("string"), lit(".example.com")))
+      .when(id % 3 === 1,
+        concat(lit("https://site-"), (id % 15).cast("string"),
+          lit(".example.com/dir/page.html?s=1")))
+      .otherwise(concat(lit("http://site-"), (id % 15).cast("string"),
+        lit(".example.com:8080/a/b/")))
+  }
+
+  /** DuckDB twin of [[syntheticHtml]] (same stripMargin discipline as
+    * [[duckUrlRaw]]: every concat `||` sits at a line END).
+    */
+  private lazy val duckHtmlRaw: String =
+    s"""'<!DOCTYPE html><html><head><title>Doc ' || doc_id::VARCHAR ||
+       |  ' &amp; friends</title><style>p{m:' || (doc_id % 7)::VARCHAR ||
+       |  '}</style>' ||
+       |  CASE WHEN doc_id % 3 = 0 THEN '<script>var p="<b>skip ' ||
+       |    (doc_id % 5)::VARCHAR || '</b>";</script>' ELSE '' END ||
+       |  '</head><body><!-- c ' || (doc_id % 5)::VARCHAR ||
+       |  ' --><h1>Title&nbsp;' || (doc_id % 9)::VARCHAR ||
+       |  '</h1><p class="big">' || substr(text, 1, 60) ||
+       |  ' &lt;q&gt; &#38; x</p><a href="' || (${duckUrlRaw(12)}) || '">a1</a>' ||
+       |  CASE WHEN doc_id % 4 = 1 THEN '<a href=''/rel/' ||
+       |    (doc_id % 20)::VARCHAR || '''>a2</a>'
+       |  WHEN doc_id % 4 = 2 THEN '<a href=sub/p-' ||
+       |    (doc_id % 10)::VARCHAR || '.html>a3</a>'
+       |  WHEN doc_id % 4 = 3 THEN '<a href="#top">f</a><a href="mailto:a@b.c">m</a>'
+       |  ELSE '<a href="//cdn.ex.com/l.js">c</a>' END ||
+       |  '</body></html>'""".stripMargin
+
+  /** DuckDB twin of [[syntheticBaseUrl]]. */
+  private lazy val duckBaseUrlRaw: String =
+    """CASE WHEN doc_id % 3 = 0 THEN 'https://site-' ||
+      |    (doc_id % 15)::VARCHAR || '.example.com'
+      |  WHEN doc_id % 3 = 1 THEN 'https://site-' ||
+      |    (doc_id % 15)::VARCHAR || '.example.com/dir/page.html?s=1'
+      |  ELSE 'http://site-' ||
+      |    (doc_id % 15)::VARCHAR || '.example.com:8080/a/b/' END""".stripMargin
+
+  /** DuckDB transliteration of HtmlExtract.htmlToTextCol as CTE steps:
+    * expects a relation `u(…, html)`, defines `e(…, text_extracted)`.
+    */
+  private lazy val duckHtmlTextCtes: String =
+    """e0 AS (SELECT *, regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g') AS t0
+      |  FROM u),
+      |e1 AS (SELECT *, regexp_replace(regexp_replace(t0,
+      |    '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+      |    '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g') AS t1 FROM e0),
+      |e2 AS (SELECT *, regexp_replace(t1, '<[/!A-Za-z][^>]*>', ' ', 'g') AS t2
+      |  FROM e1),
+      |e3 AS (SELECT *,
+      |  replace(replace(replace(replace(replace(replace(replace(replace(
+      |    replace(replace(replace(replace(
+      |    t2, '&lt;', '<'), '&#60;', '<'), '&gt;', '>'), '&#62;', '>'),
+      |    '&quot;', '"'), '&#34;', '"'), '&apos;', ''''), '&#39;', ''''),
+      |    '&nbsp;', ' '), '&#160;', ' '), '&amp;', '&'), '&#38;', '&') AS t3
+      |  FROM e2),
+      |e AS (SELECT *, trim(regexp_replace(t3, '[\s\x{00A0}]+', ' ', 'g'))
+      |    AS text_extracted
+      |  FROM e3)""".stripMargin
+
+  /** DuckDB transliteration of HtmlExtract.hrefsCol + resolveHrefCol as
+    * CTE steps: expects `u(…, src_url, html)`, defines
+    * `r(…, href, resolved)` — one row per extracted href.
+    */
+  private lazy val duckLinkCtes: String =
+    """l AS (SELECT doc_id, src_url, unnest(regexp_extract_all(html,
+      |    '(?i)<a\b[^>]*\bhref\s*=\s*("[^"]*"|''[^'']*''|[^\s>]+)', 1)) AS h0
+      |  FROM u),
+      |hr AS (SELECT doc_id, src_url, replace(regexp_replace(regexp_replace(h0,
+      |    '^["'']', ''), '["'']$', ''), '&amp;', '&') AS href FROM l),
+      |rb AS (SELECT *, trim(href) AS th,
+      |    regexp_extract(src_url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)
+      |      AS origin,
+      |    lower(regexp_extract(src_url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+      |      AS bscheme,
+      |    regexp_replace(src_url, '[?#].*', '') AS bstripped
+      |  FROM hr),
+      |rc AS (SELECT *, CASE WHEN regexp_matches(bstripped,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*$') THEN bstripped || '/'
+      |    ELSE regexp_replace(bstripped, '/[^/]*$', '/') END AS bdir FROM rb),
+      |r AS (SELECT doc_id, src_url, href, CASE
+      |      WHEN th = '' OR substr(th, 1, 1) = '#' THEN NULL
+      |      WHEN regexp_matches(th, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN
+      |        CASE WHEN regexp_matches(th, '^(?i)https?://') THEN th END
+      |      WHEN origin = '' THEN NULL
+      |      WHEN substr(th, 1, 2) = '//' THEN bscheme || ':' || th
+      |      WHEN substr(th, 1, 1) = '/' THEN origin || th
+      |      ELSE bdir || th END AS resolved
+      |  FROM rc)""".stripMargin
+
+  private val htmlQ: Seq[Q] = Seq(
+    Q("h01_html_to_text",
+      (s, d) => {
+        val m = mgr(s, d)
+        val docs = m.getDDFByName("documents").df
+          .select(col("doc_id"), syntheticHtml.as("html"))
+        pipeline.HtmlExtract.htmlToText(docs, "html", "text_extracted")
+          .select("doc_id", "text_extracted")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH u AS (SELECT doc_id, $duckHtmlRaw AS html FROM documents),
+              |$duckHtmlTextCtes
+              |SELECT doc_id, text_extracted FROM e ORDER BY doc_id""".stripMargin)),
+
+    Q("h02_link_extract",
+      (s, d) => {
+        val m = mgr(s, d)
+        val docs = m.getDDFByName("documents").df
+          .select(col("doc_id"), syntheticBaseUrl.as("src_url"),
+            syntheticHtml.as("html"))
+        docs.select(col("doc_id"), col("src_url"),
+            explode(pipeline.HtmlExtract.hrefsCol(col("html"))).as("href"))
+          .withColumn("resolved",
+            pipeline.HtmlExtract.resolveHrefCol(col("src_url"), col("href")))
+          .orderBy("doc_id", "href")
+      },
+      Some(s"""WITH u AS (SELECT doc_id, $duckBaseUrlRaw AS src_url,
+              |    $duckHtmlRaw AS html FROM documents),
+              |$duckLinkCtes
+              |SELECT doc_id, src_url, href, resolved FROM r
+              |ORDER BY doc_id, href""".stripMargin)),
+
+    Q("h03_crawl_extract_build",
+      (s, d) => {
+        val m = mgr(s, d)
+        // the composed front-of-pipeline build extending w03: raw HTML →
+        // link extraction → resolution → canonical URL (IPv6/garbage
+        // quarantined to NULL and dropped) → one key-only dedup shuffle →
+        // registered domain (broadcast suffix probes) → per-domain cap of
+        // the 3 most-linked canonical URLs, payload never under a window
+        val docs = m.getDDFByName("documents").df
+          .select(col("doc_id"), syntheticBaseUrl.as("src_url"),
+            syntheticHtml.as("html"))
+        val links = pipeline.HtmlExtract.linkExtract(docs, "html", "src_url")
+        val canon = links
+          .select(pipeline.UrlCuration.urlNormalizeCol(col("resolved")).as("url_norm"))
+          .filter(col("url_norm").isNotNull)
+          .groupBy("url_norm").agg(count(lit(1)).as("n_links"))
+        val withDom = pipeline.UrlCuration.registeredDomain(
+          canon.withColumn("host", pipeline.UrlCuration.hostOf(col("url_norm"))),
+          "host", wSuffixes)
+        Views.budgetSelectByGroup(withDom.withColumn("__cost", lit(1L)),
+            "registered_domain",
+            Seq(col("n_links").desc, col("url_norm").asc), "__cost",
+            budgets = Map.empty, defaultBudget = 3L)
+          .select("url_norm", "registered_domain", "n_links")
+          .orderBy("registered_domain", "url_norm")
+      },
+      Some(s"""WITH u AS (SELECT doc_id, $duckBaseUrlRaw AS src_url,
+              |    $duckHtmlRaw AS html FROM documents),
+              |$duckLinkCtes,
+              |u2 AS (SELECT resolved AS url FROM r WHERE resolved IS NOT NULL),
+              |${duckUrlNormCtesFrom("u2")},
+              |g AS (SELECT url_norm, count(*)::BIGINT AS n_links FROM p5
+              |  WHERE url_norm IS NOT NULL GROUP BY url_norm),
+              |h AS (SELECT url_norm, n_links, ${duckHostExprOf("url_norm")} AS host
+              |  FROM g),
+              |$duckRegDomainCtes,
+              |cap AS (SELECT url_norm, registered_domain, n_links,
+              |    row_number() OVER (PARTITION BY registered_domain
+              |      ORDER BY n_links DESC, url_norm) AS rn
+              |  FROM d3)
+              |SELECT url_norm, registered_domain, n_links FROM cap WHERE rn <= 3
+              |ORDER BY registered_domain, url_norm""".stripMargin))
+  )
+
   private val allQueries: Seq[Q] =
     relational ++ sqlFrontend ++ joins ++ aggregation ++ statsQ ++
-      binningMissing ++ transforms ++ pipelineQ ++ curationQ ++ ingestQ ++ urlQ
+      binningMissing ++ transforms ++ pipelineQ ++ curationQ ++ ingestQ ++
+      urlQ ++ htmlQ
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,158 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HTML/markup text extraction — the front end of the crawl-curation
+  * pipeline: a corpus owner's raw input is markup, and everything
+  * downstream ([[TextAnalysis]] quality/language scoring, [[Dedup]],
+  * [[UrlCuration]] frontier maintenance) wants extracted text and
+  * outlinks. The reference engine predates this use case entirely (no
+  * comparable surface in `/root/reference/flink`); the family is a
+  * first-class extension beside [[UrlCuration]].
+  *
+  * Scale design: every operator here is a pure per-row Catalyst
+  * expression chain — regexp passes + literal `replace`s, evaluated
+  * row-local inside the scan stage under whole-stage codegen. Zero
+  * shuffles, zero UDFs, zero driver involvement: safe to run over
+  * 100 TB of crawl records, and the one explode ([[linkExtract]]) fans
+  * out rows WITHIN their scan partition. All patterns are RE2-safe (no
+  * backreferences, no lookaround), so every step has an exact DuckDB
+  * transliteration — the h01/h02/h03 oracles pin the contract
+  * cross-engine, the w01 pattern.
+  *
+  * This is deliberately a TEXT-EXTRACTION contract, not a DOM parser:
+  * regular expressions cannot parse HTML in general, but corpus
+  * curation needs a deterministic, streaming-friendly extraction whose
+  * failure mode on malformed markup is "some extra tag text survives",
+  * never a crash or quadratic blowup. Documented non-goals: CDATA
+  * sections, conditional comments, full numeric character references
+  * (only the core named/numeric entity set below decodes; exotic
+  * references pass through verbatim), and dot-segment (`../`)
+  * resolution in [[resolveHrefCol]].
+  */
+object HtmlExtract {
+
+  /** The entity set [[htmlToTextCol]] decodes: the HTML core named
+    * entities plus their decimal numeric twins. Ordering is load-bearing
+    * and applied as listed: `&amp;`/`&#38;` decode LAST so double-escaped
+    * text (`&amp;lt;`) decodes to the literal `&lt;` the author wrote,
+    * never to `<`.
+    */
+  val defaultEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&#60;" -> "<", "&gt;" -> ">", "&#62;" -> ">",
+    "&quot;" -> "\"", "&#34;" -> "\"", "&apos;" -> "'", "&#39;" -> "'",
+    "&nbsp;" -> " ", "&#160;" -> " ",
+    "&amp;" -> "&", "&#38;" -> "&")
+
+  /** Visible text of an HTML document (pure expression — see object
+    * doc). Passes, in order:
+    *
+    *  1. comments dropped (`<!-- … -->`, non-greedy, so a `>` inside a
+    *     comment cannot leak it);
+    *  2. `<script>`/`<style>` SUBTREES dropped (case-insensitive,
+    *     non-greedy to the matching close tag — an UNCLOSED script tag
+    *     falls through to tag-stripping, so its code survives as text:
+    *     the loud failure mode, never silent truncation of the rest of
+    *     the document);
+    *  3. all remaining tags stripped to a space (`<[/!A-Za-z][^>]*>` —
+    *     covers close tags, DOCTYPE, and unknown tags; the tag must
+    *     START like one, so a stray textual `<` — `1 < 2` — passes
+    *     through instead of swallowing everything to the next tag's
+    *     `>`);
+    *  4. [[defaultEntities]] decoded (ampersand last — see there);
+    *  5. whitespace (including U+00A0 from decoded `&nbsp;` or raw
+    *     non-breaking spaces) collapsed to single spaces and trimmed.
+    *
+    * NULL html yields NULL text.
+    */
+  def htmlToTextCol(html: Column): Column = {
+    val noComment = regexp_replace(html, "(?s)<!--.*?-->", " ")
+    val noScript = regexp_replace(noComment,
+      "(?is)<script\\b[^>]*>.*?</script\\s*>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
+    val noTags = regexp_replace(noStyle, "<[/!A-Za-z][^>]*>", " ")
+    val decoded = defaultEntities.foldLeft(noTags) {
+      case (c, (e, v)) => replace(c, lit(e), lit(v))
+    }
+    trim(regexp_replace(decoded, "[\\s\\x{00A0}]+", " "))
+  }
+
+  /** [[htmlToTextCol]] applied as a derived column. */
+  def htmlToText(df: DataFrame, htmlCol: String,
+                 outCol: String = "text"): DataFrame =
+    df.withColumn(outCol, htmlToTextCol(col(htmlCol)))
+
+  /** All `<a href=…>` targets of a document, in document order, as an
+    * array: double-quoted, single-quoted, and unquoted attribute forms;
+    * surrounding quotes stripped; `&amp;` decoded (the one entity that
+    * legally appears inside a URL attribute — `?a=1&amp;b=2`). Raw
+    * values otherwise — resolution against the document's URL is
+    * [[resolveHrefCol]]'s job.
+    */
+  def hrefsCol(html: Column): Column =
+    transform(
+      regexp_extract_all(html,
+        lit("(?i)<a\\b[^>]*\\bhref\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>]+)"),
+        lit(1)),
+      h => replace(
+        regexp_replace(regexp_replace(h, "^[\"']", ""), "[\"']$", ""),
+        lit("&amp;"), lit("&")))
+
+  /** Resolve an extracted href against its document's base URL into an
+    * absolute URL ready for [[UrlCuration.urlNormalizeCol]] — the
+    * RFC 3986 merge step as a pure expression, minus dot-segment
+    * removal (documented non-goal; `../` survives textually, which
+    * keeps keys CONSISTENT even if not minimal):
+    *
+    *  - empty or fragment-only (`#…`) hrefs → NULL (same-document);
+    *  - absolute http/https hrefs kept verbatim; any OTHER scheme
+    *    (`mailto:`, `javascript:`, `data:` …) → NULL — a crawl frontier
+    *    only follows web URLs;
+    *  - protocol-relative `//host/x` → the base's scheme;
+    *  - root-relative `/x` → the base's origin (scheme://authority,
+    *    port included);
+    *  - relative `x` → the base's directory (base minus query/fragment,
+    *    up to and including the last path slash; a base with no path
+    *    gets `/`).
+    *
+    * A base that is not an absolute URL resolves only absolute hrefs;
+    * everything else → NULL. NULL base/href → NULL.
+    */
+  def resolveHrefCol(base: Column, href: Column): Column = {
+    val h = trim(href)
+    val origin = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    val scheme = lower(regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val stripped = regexp_replace(base, "[?#].*", "")
+    val dir = when(stripped.rlike("^[A-Za-z][A-Za-z0-9+.-]*://[^/]*$"),
+      concat(stripped, lit("/")))
+      .otherwise(regexp_replace(stripped, "/[^/]*$", "/"))
+    val nullStr = lit(null).cast("string")
+    when(h === "" || substring(h, 1, 1) === "#", nullStr)
+      .when(h.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"),
+        when(h.rlike("^(?i)https?://"), h).otherwise(nullStr))
+      .when(origin === "", nullStr)
+      .when(substring(h, 1, 2) === "//", concat(scheme, lit(":"), h))
+      .when(substring(h, 1, 1) === "/", concat(origin, h))
+      .otherwise(concat(dir, h))
+  }
+
+  /** Document → outlink pairs: one row per extracted href with its
+    * source URL and the [[resolveHrefCol resolved]] absolute form —
+    * the frame that feeds [[UrlCuration.urlNormalize]] and the crawl
+    * frontier. Output: (src_url, href, resolved). Documents with no
+    * links contribute nothing (plain explode — a frontier has no use
+    * for link-less rows); unresolvable hrefs keep their row with
+    * `resolved` NULL so callers can audit the drop reasons.
+    *
+    * The explode fans out within the scan partition — no shuffle; at
+    * 100 TB the output is bounded by links-per-doc × corpus, and every
+    * downstream consumer ([[UrlCuration.urlDedup]], domain caps) keys
+    * on the canonical URL, never the payload.
+    */
+  def linkExtract(df: DataFrame, htmlCol: String, urlCol: String): DataFrame =
+    df.select(col(urlCol).as("src_url"),
+        explode(hrefsCol(col(htmlCol))).as("href"))
+      .withColumn("resolved", resolveHrefCol(col("src_url"), col("href")))
+}

@@ -1,0 +1,102 @@
+package graft
+
+import graft.pipeline.HtmlExtract
+import org.apache.spark.sql.functions._
+
+class HtmlExtractSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def toText(htmls: String*): Seq[Option[String]] =
+    htmls.toDF("html")
+      .select(HtmlExtract.htmlToTextCol(col("html")).as("t"))
+      .collect().toSeq.map(r => Option(r.getString(0)))
+
+  test("htmlToText: scripts/styles/comments dropped, tags stripped, entities decoded, ws collapsed") {
+    val html =
+      """<!DOCTYPE html><html><head><title>T &amp; Co</title>
+        |<style>body { color: red; }</style>
+        |<script type="text/javascript">var x = "<p>not text</p>";</script></head>
+        |<body><!-- a > comment --><h1>Hello&nbsp;World</h1>
+        |<p class="big">A &lt;tag&gt; &#38; more&#160;text &amp;lt; stays</p>
+        |</body></html>""".stripMargin
+    assert(toText(html) ==
+      Seq(Some("T & Co Hello World A <tag> & more text &lt; stays")))
+  }
+
+  test("htmlToText: loud failure modes — unclosed script survives as text; stray < passes through") {
+    assert(toText("<p>a</p><script>var x = 1;<p>b</p>") ==
+      Seq(Some("a var x = 1; b")),
+      "unclosed script falls through to tag stripping, code text survives")
+    assert(toText("<p>1 < 2 and done</p>") == Seq(Some("1 < 2 and done")),
+      "a stray '<' with no closing '>' is text, not a swallowed suffix")
+    assert(toText("<SCRIPT>x</SCRIPT  >k<STYLE a=b>y</style>z") == Seq(Some("k z")),
+      "case-insensitive close tags, trailing space in close tag ok")
+  }
+
+  test("htmlToText: double-escaped entities decode one level only; NULL in, NULL out") {
+    assert(toText("&amp;amp; &amp;#60; &#38;gt;") ==
+      Seq(Some("&amp; &#60; &gt;")),
+      "ampersand decodes LAST: double-escapes yield the literal entity text")
+    assert(Seq(Option.empty[String]).toDF("html")
+      .select(HtmlExtract.htmlToTextCol(col("html")).as("t"))
+      .collect()(0).isNullAt(0))
+  }
+
+  test("hrefsCol: quoted/unquoted forms, document order, &amp; decoded in attr") {
+    val html = """<a href="https://Ex.COM/a?x=1&amp;y=2">1</a>
+                 |<A HREF='/rel/path'>2</A> <a id=3 href=page.html>3</a>
+                 |<a href="#frag">4</a> <a name="no-href">skip</a>""".stripMargin
+    val hrefs = Seq(html).toDF("html")
+      .select(HtmlExtract.hrefsCol(col("html")).as("h"))
+      .collect()(0).getSeq[String](0)
+    assert(hrefs == Seq("https://Ex.COM/a?x=1&y=2", "/rel/path", "page.html", "#frag"))
+  }
+
+  test("resolveHref: the RFC 3986 merge cases") {
+    val cases = Seq(
+      // (base, href, expected)
+      ("https://h.com/dir/page?q=1#f", "https://other.org/x", Some("https://other.org/x")),
+      ("https://h.com/dir/page", "//cdn.com/x.js", Some("https://cdn.com/x.js")),
+      ("HTTP://h.com:8080/dir/page", "/root.html", Some("HTTP://h.com:8080/root.html")),
+      ("https://h.com/dir/page", "sub/x.html", Some("https://h.com/dir/sub/x.html")),
+      ("https://h.com", "a.html", Some("https://h.com/a.html")),
+      ("https://h.com/dir/page?drop=me", "rel", Some("https://h.com/dir/rel")),
+      ("https://h.com/d/", "x", Some("https://h.com/d/x")),
+      ("https://h.com/d/p", "", None),
+      ("https://h.com/d/p", "#top", None),
+      ("https://h.com/d/p", "mailto:a@b.c", None),
+      ("https://h.com/d/p", "javascript:void(0)", None),
+      ("not-a-url", "rel/x", None),
+      ("not-a-url", "https://abs.org/x", Some("https://abs.org/x")))
+    val got = cases.map { case (b, h, _) => (b, h) }.toDF("base", "href")
+      .select(HtmlExtract.resolveHrefCol(col("base"), col("href")).as("r"))
+      .collect().toSeq.map(r => Option(r.getString(0)))
+    assert(got == cases.map(_._3))
+  }
+
+  test("linkExtract: (src_url, href, resolved) rows; link-less docs drop; unresolvable rows keep NULL") {
+    val df = Seq(
+      (1L, "https://h.com/a/", """<a href="x.html">1</a><a href="mailto:z@q.r">m</a>"""),
+      (2L, "https://h.com/b", "<p>no links</p>")).toDF("id", "url", "html")
+    val out = HtmlExtract.linkExtract(df, "html", "url")
+      .orderBy("href").collect().toSeq
+      .map(r => (r.getString(0), r.getString(1), Option(r.getString(2))))
+    assert(out == Seq(
+      ("https://h.com/a/", "mailto:z@q.r", None),
+      ("https://h.com/a/", "x.html", Some("https://h.com/a/x.html"))))
+  }
+
+  test("plan pins: extraction is shuffle-free; linkExtract has no Exchange") {
+    val docs = spark.range(200).select(col("id"),
+      concat(lit("<html><body><p>t"), col("id"),
+        lit("</p><a href=\"/l/"), col("id") % 7,
+        lit("\">x</a></body></html>")).as("html"),
+      concat(lit("https://s"), col("id") % 5, lit(".com/d/p")).as("url"))
+    val p1 = HtmlExtract.htmlToText(docs, "html")
+      .queryExecution.executedPlan.toString
+    assert(!p1.contains("Exchange"), s"htmlToText must not shuffle:\n$p1")
+    val p2 = HtmlExtract.linkExtract(docs, "html", "url")
+      .queryExecution.executedPlan.toString
+    assert(!p2.contains("Exchange"), s"linkExtract must not shuffle:\n$p2")
+  }
+}
