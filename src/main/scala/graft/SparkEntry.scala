@@ -4547,18 +4547,30 @@ object SparkEntry {
     Q("t05_redact_pii",
       (s, d) => {
         val m = mgr(s, d)
-        // synthesize PII-bearing text from customer fields (a TPC-H-style
-        // phone, a derived email and IPv4), then redact all three
+        // synthesize PII-bearing text from customer fields — one planted
+        // instance per redaction class (r16 adds IBAN, payment card,
+        // IPv6 to the original phone/email/IPv4), then redact all six
         val phone = concat(
           lpad((col("c_nationkey") + 10).cast("string"), 2, "0"), lit("-"),
           lpad(pmod(col("c_custkey"), lit(1000)).cast("string"), 3, "0"), lit("-"),
           lpad(pmod(col("c_custkey") * 7, lit(1000)).cast("string"), 3, "0"), lit("-"),
           lpad(pmod(col("c_custkey") * 13, lit(10000)).cast("string"), 4, "0"))
+        val iban = concat(lit("GB"),
+          lpad((col("c_nationkey") + 10).cast("string"), 2, "0"),
+          lit("NWBK6016"),
+          lpad(pmod(col("c_custkey"), lit(100000000)).cast("string"), 8, "0"))
+        val card = concat(lit("4"),
+          lpad(pmod(col("c_custkey"), lit(1000)).cast("string"), 3, "0"), lit(" "),
+          lpad(pmod(col("c_custkey") * 3, lit(10000)).cast("string"), 4, "0"), lit(" "),
+          lpad(pmod(col("c_custkey") * 7, lit(10000)).cast("string"), 4, "0"), lit(" "),
+          lpad(pmod(col("c_custkey") * 11, lit(10000)).cast("string"), 4, "0"))
         val txt = concat(lit("contact "), col("c_name"), lit(" at "), phone,
           lit(" or mail "),
           lower(regexp_replace(col("c_name"), "[^A-Za-z0-9]", ".")),
           lit("@example.com from host 10.1."),
-          pmod(col("c_custkey"), lit(200)).cast("string"), lit(".7"))
+          pmod(col("c_custkey"), lit(200)).cast("string"), lit(".7"),
+          lit("; iban "), iban, lit(" card "), card,
+          lit(" via fe80::"), pmod(col("c_custkey"), lit(997)).cast("string"))
         m.getDDFByName("customer").df
           .select(col("c_custkey"), pipeline.TextAnalysis.redactPII(txt).as("redacted"))
           .orderBy("c_custkey")
@@ -4571,10 +4583,24 @@ object SparkEntry {
              |    || lpad((c_custkey * 13 % 10000)::VARCHAR, 4, '0') || ' or mail '
              |    || lower(regexp_replace(c_name, '[^A-Za-z0-9]', '.', 'g'))
              |    || '@example.com from host 10.1.'
-             |    || (c_custkey % 200)::VARCHAR || '.7' AS txt FROM customer)
-             |SELECT c_custkey, regexp_replace(regexp_replace(regexp_replace(txt,
+             |    || (c_custkey % 200)::VARCHAR || '.7'
+             |    || '; iban GB' || lpad((c_nationkey + 10)::VARCHAR, 2, '0')
+             |    || 'NWBK6016' || lpad((c_custkey % 100000000)::VARCHAR, 8, '0')
+             |    || ' card 4' || lpad((c_custkey % 1000)::VARCHAR, 3, '0') || ' '
+             |    || lpad((c_custkey * 3 % 10000)::VARCHAR, 4, '0') || ' '
+             |    || lpad((c_custkey * 7 % 10000)::VARCHAR, 4, '0') || ' '
+             |    || lpad((c_custkey * 11 % 10000)::VARCHAR, 4, '0')
+             |    || ' via fe80::' || (c_custkey % 997)::VARCHAR AS txt
+             |  FROM customer)
+             |SELECT c_custkey, regexp_replace(regexp_replace(regexp_replace(
+             |  regexp_replace(regexp_replace(regexp_replace(txt,
              |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |  '\b[A-Z]{2}[0-9]{2}( ?[A-Z0-9]{4}){2,7}( ?[A-Z0-9]{1,3})?\b',
+             |    '<IBAN>', 'g'),
+             |  '\b\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{1,4}\b', '<CARD>', 'g'),
              |  '\d{2,3}[-. ]\d{3}[-. ]\d{3,4}[-. ]\d{4}', '<PHONE>', 'g'),
+             |  '(?i)(\b([0-9a-f]{1,4}:){7}[0-9a-f]{1,4}\b|\b[0-9a-f]{1,4}(:[0-9a-f]{1,4})*::([0-9a-f]{1,4}(:[0-9a-f]{1,4})*\b)?|::[0-9a-f]{1,4}(:[0-9a-f]{1,4})*\b)',
+             |    '<IPV6>', 'g'),
              |  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
              |FROM t ORDER BY c_custkey""".stripMargin)),
 

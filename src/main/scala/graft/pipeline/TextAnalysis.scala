@@ -315,16 +315,41 @@ object TextAnalysis {
         .select(col("id").as("__cid")).distinct(),
       docs(idCol) === col("__cid"), "left_anti")
 
-  /** PII redaction: replace emails, phone-shaped numbers, and IPv4
-    * addresses with typed placeholders. Pure per-row regexp chain
-    * (codegen'd, shuffle-free); patterns are (regex, replacement) pairs
-    * applied in order, so callers can extend or re-order. The defaults
-    * use only RE2-compatible syntax — portable to engines whose regex is
-    * RE2 (no lookbehind).
+  /** PII redaction: replace emails, IBANs, payment-card numbers,
+    * phone-shaped numbers, and IPv6/IPv4 addresses with typed
+    * placeholders. Pure per-row regexp chain (codegen'd, shuffle-free);
+    * patterns are (regex, replacement) pairs applied in order, so
+    * callers can extend or re-order. The defaults use only
+    * RE2-compatible syntax — portable to engines whose regex is RE2
+    * (no lookbehind).
+    *
+    * Order is load-bearing (r16, crawl-text extension):
+    *  - `<CARD>` runs BEFORE `<PHONE>` — a 16-digit card with
+    *    separators contains a phone-shaped 3-4-4 substring, and the
+    *    phone pass would shred it;
+    *  - `<IPV6>` runs before `<IPV4>` so a mapped address like
+    *    `::ffff:…` is claimed by the IPv6 pass first.
+    * Shape contracts (redaction errs toward over-matching — these are
+    * FORMAT matchers, not validators):
+    *  - `<CARD>`: 13-16 digits as 4-4-4-(1..4) groups, separators
+    *    space/dash or absent — the Luhn-CHECKABLE format (the checksum
+    *    itself is not verified; a redactor must also catch mistyped
+    *    numbers);
+    *  - `<IBAN>`: country code + 2 check digits + 11-31 alphanumerics,
+    *    compact or space-grouped by 4;
+    *  - `<IPV6>`: the full 8-group form, or any `::`-compressed form
+    *    with a hex group on at least one side of the `::` (a bare `::`
+    *    is not an address in running text). Zone suffixes (`%eth0`)
+    *    are left behind.
     */
   val defaultPiiPatterns: Seq[(String, String)] = Seq(
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b[A-Z]{2}[0-9]{2}( ?[A-Z0-9]{4}){2,7}( ?[A-Z0-9]{1,3})?\\b" -> "<IBAN>",
+    "\\b\\d{4}[ -]?\\d{4}[ -]?\\d{4}[ -]?\\d{1,4}\\b" -> "<CARD>",
     "\\d{2,3}[-. ]\\d{3}[-. ]\\d{3,4}[-. ]\\d{4}" -> "<PHONE>",
+    ("(?i)(\\b([0-9a-f]{1,4}:){7}[0-9a-f]{1,4}\\b" +
+      "|\\b[0-9a-f]{1,4}(:[0-9a-f]{1,4})*::([0-9a-f]{1,4}(:[0-9a-f]{1,4})*\\b)?" +
+      "|::[0-9a-f]{1,4}(:[0-9a-f]{1,4})*\\b)") -> "<IPV6>",
     "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>")
 
   def redactPII(textCol: Column,

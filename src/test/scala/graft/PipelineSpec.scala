@@ -841,14 +841,18 @@ class PipelineSpec extends SparkTestBase {
       TextAnalysis.curriculumOrder(docs, "score", "doc_id", Seq(75.0, 35.0)))
   }
 
-  test("redactPII masks emails, phones, and IPv4; leaves clean text alone") {
+  test("redactPII masks emails, IBANs, cards, phones, IPv6 and IPv4; leaves clean text alone") {
     import spark.implicits._
     val df = Seq(
       (1L, "write to alice.smith+spam@sub.example.co.uk today"),
       (2L, "call 25-989-741-2988 or 123 456 7890 1234"),
       (3L, "server at 192.168.0.1 responded"),
       (4L, "no pii here, just 42 words and 3.14"),
-      (5L, "version 1.2.3.4.5 is not an ip boundary case")
+      (5L, "version 1.2.3.4.5 is not an ip boundary case"),
+      (6L, "iban GB29NWBK60161331926819 and GB29 NWBK 6016 1331 9268 19 listed"),
+      (7L, "pay 4111 1111 1111 1111 or 4012-8888-8888-188 now"),
+      (8L, "host 2001:0db8:85a3:0000:0000:8a2e:0370:7334 and fe80::1%eth0 and ::1 up"),
+      (9L, "std::vector stays; meeting at 12:30:45 stays; but face:: goes")
     ).toDF("id", "text")
     val out = df.select(col("id"), TextAnalysis.redactPII(col("text")).as("r"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -860,6 +864,16 @@ class PipelineSpec extends SparkTestBase {
     // boundary is between '4' and '.', so the match is allowed; pin the
     // actual behavior so a pattern change is a conscious decision
     assert(out(5L) == "version <IP>.5 is not an ip boundary case")
+    assert(out(6L) == "iban <IBAN> and <IBAN> listed",
+      "compact and space-grouped IBAN forms")
+    // CARD must run before PHONE: the phone pass would shred a
+    // separator-grouped card into '<digits><PHONE>' debris
+    assert(out(7L) == "pay <CARD> or <CARD> now", "16- and 15-digit cards")
+    assert(out(8L) == "host <IPV6> and <IPV6>%eth0 and <IPV6> up",
+      "full, compressed (zone left behind), and loopback forms")
+    // the documented over-match: a trailing 'hex::' token is claimed;
+    // '::' needs hex on a side, and colon-separated times are untouched
+    assert(out(9L) == "std::vector stays; meeting at 12:30:45 stays; but <IPV6> goes")
   }
 
   test("vocabulary: document and term frequencies with minDocFreq floor") {
