@@ -1249,6 +1249,35 @@ object SparkEntry {
              |                        ELSE 3000 END
              |ORDER BY doc_id""".stripMargin)),
 
+    Q("ds03_budget_colossal_path",
+      (s, d) => {
+        val m = mgr(s, d)
+        // q94's contract driven through the COLOSSAL branch (r15 verdict
+        // ask #4): every source group holds >= 25 rows at every SF, so
+        // colossalThreshold = 10 routes ALL groups off the window path
+        // onto the shared range-exchange prefix scan (the all-colossal
+        // regime — no Window anywhere in the plan; ScaleSpec pins the
+        // plan shape, this row pins the VALUES against the same
+        // per-group running-sum window oracle as q94). A zero budget
+        // must vanish its whole group on this branch too.
+        val docs = m.getDDFByName("documents").df
+        operators.Views.budgetSelectByGroup(docs, "source",
+            Seq(col("n_chars").desc, col("doc_id").asc), "n_chars",
+            budgets = Map("src2" -> 0L, "src5" -> 4000L),
+            defaultBudget = 2000L, colossalThreshold = 10L)
+          .select("doc_id", "source", "n_chars")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, source, n_chars FROM (
+             |  SELECT doc_id, source, n_chars,
+             |    sum(n_chars) OVER (PARTITION BY source
+             |      ORDER BY n_chars DESC, doc_id) AS rs
+             |  FROM documents)
+             |WHERE rs <= CASE source WHEN 'src2' THEN 0
+             |                        WHEN 'src5' THEN 4000
+             |                        ELSE 2000 END
+             |ORDER BY doc_id""".stripMargin)),
+
     Q("u03_mapreduce_r",
       (s, d) => {
         val m = mgr(s, d)
@@ -8630,7 +8659,7 @@ object SparkEntry {
       |  FROM rc)""".stripMargin
 
   private val htmlQ: Seq[Q] = Seq(
-    Q("h01_html_to_text",
+    Q("ht01_html_to_text",
       (s, d) => {
         val m = mgr(s, d)
         val docs = m.getDDFByName("documents").df
@@ -8643,7 +8672,7 @@ object SparkEntry {
               |$duckHtmlTextCtes
               |SELECT doc_id, text_extracted FROM e ORDER BY doc_id""".stripMargin)),
 
-    Q("h02_link_extract",
+    Q("ht02_link_extract",
       (s, d) => {
         val m = mgr(s, d)
         val docs = m.getDDFByName("documents").df
@@ -8661,7 +8690,7 @@ object SparkEntry {
               |SELECT doc_id, src_url, href, resolved FROM r
               |ORDER BY doc_id, href""".stripMargin)),
 
-    Q("h03_crawl_extract_build",
+    Q("ht03_crawl_extract_build",
       (s, d) => {
         val m = mgr(s, d)
         // the composed front-of-pipeline build extending w03: raw HTML →

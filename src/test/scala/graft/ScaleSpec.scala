@@ -498,6 +498,30 @@ class ScaleSpec extends SparkTestBase {
     assert(got.filter(col("g") === "big1").count() == 0)
   }
 
+  test("ds03 shape: every group colossal at threshold 10 -> window-free plan, window-path values") {
+    import spark.implicits._
+    // the driver row ds03_budget_colossal_path in miniature: 20 groups
+    // of 25 rows (the sf0.001 documents layout) under threshold 10 —
+    // ALL groups route off the window path, and the branch's output is
+    // bit-equal to the window path's on the same frame
+    val df = spark.range(500).toDF("doc_id")
+      .withColumn("source", concat(lit("src"), (col("doc_id") % 20).cast("string")))
+      .withColumn("n_chars", (col("doc_id") * 37) % 400 + 50)
+    val order = Seq(col("n_chars").desc, col("doc_id").asc)
+    val budgets: Map[Any, Long] = Map("src2" -> 0L, "src5" -> 4000L)
+    def run(threshold: Long) = operators.Views.budgetSelectByGroup(
+      df, "source", order, "n_chars", budgets, defaultBudget = 2000L,
+      colossalThreshold = threshold)
+    val colossal = run(10L)
+    assert(colossal.queryExecution.optimizedPlan.collect {
+      case wn: org.apache.spark.sql.catalyst.plans.logical.Window => wn
+    }.isEmpty, "threshold 10 over 25-row groups must leave no Window in the plan")
+    val want = run(Long.MaxValue).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(colossal.select("doc_id").collect().map(_.getLong(0)).toSet == want)
+    assert(colossal.filter(col("source") === "src2").count() == 0,
+      "zero-budget group vanishes on the colossal branch")
+  }
+
   test("writeBucketed in a non-default database never touches default's same-named table") {
     import spark.implicits._
     // the r11 guard computed <warehouse>/<table> — the DEFAULT db's
