@@ -100,14 +100,19 @@ object Bench {
     * with the corpus, and dropping them would blind the bench to the
     * most expensive per-row op in the repo. Read their ratios with the
     * sub-second caveat.
+    *
+    * r16 (r15 verdict ask #3): d02/d11 left this tier — their 1-1.7 s
+    * GC-heavy sf0.1 rows flapped `unconverged` across clean same-day
+    * runs all round while their sf1 twins (still in [[sf1Set]], where
+    * each runs multi-second in a fresh JVM) converged every time. The
+    * sf0.1 duplicates carried no signal the sf1 rows lack.
     */
   private[graft] val headline = Seq(
     // ≥1 s at sf0.1 (BENCH_r14): composed builds, edit-distance joins,
-    // graph, DSIR, dedup, and the heaviest TPC-H shape
+    // graph, DSIR, and the heaviest TPC-H shape
     "p05_curation_corpus_build", "j04_edit_distance_join_k3", "g05_kcore",
     "ds01_dsir_weights", "j03_edit_distance_join", "p08_mixture_recipe_build",
-    "d11_incremental_minhash_fast", "g02_triangle_count", "d02_dedup_minhash",
-    "q80_tpch_q9",
+    "g02_triangle_count", "q80_tpch_q9",
     // fixed-size image-codec micro rows (see scaladoc — sub-second by
     // construction, kept for decode-path regression watch)
     "m02_image_roundtrip", "m05_image_neardup")
@@ -136,8 +141,14 @@ object Bench {
     // text quality + relevance
     "t01_text_enrich", "t04_decontaminate", "t17_contamination_matrix",
     "t23_ngram_novelty_fast", "c01_tfidf_topterms", "c06_bm25_retrieve",
-    // ANN/semantic + selection/budgets + time series + release mgmt + eval
-    "a05_semantic_dedup", "a11_ivf_int8_rerank", "q92_budget_select",
+    // ANN/semantic + selection/budgets + time series + release mgmt + eval.
+    // r16 (r15 verdict ask #5): the semantic-dedup slot is the 16·f
+    // PRODUCTION contract (a20: cells grow with the corpus, broadcast-
+    // join assignment past 48 cells) — a05's fixed-16-centroid kernel
+    // at sf1 was a ~1.2 G-pair arithmetic microbench whose wall sat on
+    // per-JVM C2-JIT shelves (1.9–3.9 s, tools/ProbeA05), useless as a
+    // regression tripwire; it remains a probe, not a headline row.
+    "a20_semantic_dedup_scaled", "a11_ivf_int8_rerank", "q92_budget_select",
     "q94_budget_select_by_group", "ts01_resample_gapfill",
     "c15_snapshot_diff", "ml09_auc_by_group",
     // r15's new family: the composed URL-curation build (normalize →
@@ -505,6 +516,15 @@ object Bench {
     def gcQJson = intMap(gcQ.map { case (k, g) => k -> g.toInt })
     def vaJson = numMap2(vsAnchor)
     def suspectJson = nameList(suspects)
+    // r16 (verdict ask #2): every suspect headline row is re-run once
+    // right here — the artifact carries {value, vs_anchor, attribution}
+    // for each, so a noisy row no longer needs git archaeology. The
+    // official per-query numbers above stay the ORIGINAL measurements.
+    val headRetry =
+      if (!sfMatches) Seq.empty[(String, Double, Double)]
+      else retrySuspects(spark, sampler, sfDir, suspects, anchorQ,
+        runs, math.max(runs, maxRuns))
+    def headRetryJson = retryJson(headRetry)
     // compact-line variants use SHORT query keys ("q10" for
     // "q10_tpch_q1" — unique across the sets) to keep the line inside
     // the driver's 2000-char stdout tail window
@@ -516,7 +536,7 @@ object Bench {
     def gcThrashJson = boolMap(vs.map { case (k, v) => k -> v.gcThrash })
     def gcRejJson = intMap(vs.map { case (k, v) => k -> v.gcRejected })
     def assemble(extra: String): String =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","runs":$runs,"harness":"hash-materialized; r9: per-sample CPU calibration probe rejects starved samples; r14: per-sample GC delta rejects gc-thrash samples, sf1 tier runs in a forked fresh JVM (see Bench.scala scaladoc)","samples":$samplesJson,"probes":$probesJson,"probe_base":${sampler.probeFloor}%.3f,"best_run_cpu_util":$utilJson,"converged":$convJson,"contended":$contJson,"gc_thrash":$gcThrashJson,"rejected":$rejJson,"gc_rejected":$gcRejJson,"gc_ms":$gcHeadline,"gc_q_ms":$gcQJson,"anchor":"$anchorPath","vs_anchor":$vaJson,"suspect":$suspectJson$extra}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","runs":$runs,"harness":"hash-materialized; r9: per-sample CPU calibration probe rejects starved samples; r14: per-sample GC delta rejects gc-thrash samples, sf1 tier runs in a forked fresh JVM (see Bench.scala scaladoc)","samples":$samplesJson,"probes":$probesJson,"probe_base":${sampler.probeFloor}%.3f,"best_run_cpu_util":$utilJson,"converged":$convJson,"contended":$contJson,"gc_thrash":$gcThrashJson,"rejected":$rejJson,"gc_rejected":$gcRejJson,"gc_ms":$gcHeadline,"gc_q_ms":$gcQJson,"anchor":"$anchorPath","vs_anchor":$vaJson,"suspect":$suspectJson,"retry":$headRetryJson$extra}"""
 
     // the stdout line interleaves with sbt/Spark logging and has arrived
     // truncated in past rounds ("parsed": null) — ALSO write the JSON to
@@ -562,7 +582,9 @@ object Bench {
       try {
         val triples1 = sf1Measure(spark, sampler, qs, dir, sf1Runs, sf1Cap)
         sf1Render(triples1, sampler.probeFloor, anchorQ1, shortOf,
-          gcMs - gc1, forked = false)
+          gcMs - gc1, forked = false,
+          retryRun = sus => retrySuspects(spark, sampler, dir, sus, anchorQ1,
+            sf1Runs, math.max(sf1Runs, sf1Cap)))
       } finally graft.tools.Cleanup.deleteRecursively(dir) // ~10x sf0.1 on disk
     }
     val (sf1Json, sf1Compact) =
@@ -593,7 +615,7 @@ object Bench {
     def geomean(xs: Seq[Double]): Double =
       if (xs.isEmpty) 1.0 else math.exp(xs.map(math.log).sum / xs.size)
     def compactWith(va: String): String =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","runs":$runs,"contended":${nameList(vs.collect { case (k, v) if v.contended => shortOf(k) })},"gc_thrash":${nameList(vs.collect { case (k, v) if v.gcThrash => shortOf(k) })},"unconverged":${nameList(vs.collect { case (k, v) if !v.converged && !v.contended && !v.gcThrash => shortOf(k) })},"rejected_total":${vs.map(_._2.rejected).sum},$va"suspect":${nameList(suspects.map(shortOf))},"gc_hot":$gcHot$sf1Compact,"detail":"$outFile"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","runs":$runs,"contended":${nameList(vs.collect { case (k, v) if v.contended => shortOf(k) })},"gc_thrash":${nameList(vs.collect { case (k, v) if v.gcThrash => shortOf(k) })},"unconverged":${nameList(vs.collect { case (k, v) if !v.converged && !v.contended && !v.gcThrash => shortOf(k) })},"rejected_total":${vs.map(_._2.rejected).sum},$va"suspect":${nameList(suspects.map(shortOf))},"retry":${shortRatioMap(headRetry.map { case (k, _, r) => k -> r })},"gc_hot":$gcHot$sf1Compact,"detail":"$outFile"}"""
     // length guard: the tail window is a hard 2000 chars and the full
     // 38-row ratio map does not fit next to the sf1 tier — so the
     // compact line carries the geomean plus every row ≥1.2× anchor
@@ -641,6 +663,54 @@ object Bench {
     xs.map { case (k, ss) =>
       "\"" + k + "\":" + ss.map(s => f"${s.probe}%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+
+  // ---- suspect-row self-healing (r16, r15 verdict ask #2) ----
+  // BENCH_r15's official p05 row read 2.91× the anchor while an in-repo
+  // check run minutes earlier read 1.14× — the attribution lived in git
+  // archaeology instead of the artifact. Now every suspect row (>2×
+  // anchor or gc-thrash-only) is RE-RUN once after its tier, and the
+  // artifact records both numbers plus a mechanical attribution. The
+  // official row stays the ORIGINAL measurement (a retry is evidence
+  // about noise, not a license to keep the better number).
+
+  /** Mechanical read of a suspect row's retry ratio: a retry back at
+    * ≤1.5× names the original a transient host artifact; a retry still
+    * >2× says the slowdown reproduces — look at the code; between the
+    * two, the row stays ambiguous and needs a third look.
+    */
+  private[graft] def retryAttribution(ratio: Double): String =
+    if (ratio <= 1.5) "transient_host_noise"
+    else if (ratio > 2.0) "persistent_over_2x"
+    else "borderline"
+
+  /** `{"name":{"value":s,"vs_anchor":r,"attribution":"…"},…}` from
+    * (name, retryWall, retryRatio) rows.
+    */
+  private[graft] def retryJson(rows: Seq[(String, Double, Double)]): String =
+    rows.map { case (k, w, r) =>
+      "\"" + k + "\":{" + f""""value":$w%.3f,"vs_anchor":$r%.2f,""" +
+        "\"attribution\":\"" + retryAttribution(r) + "\"}"
+    }.mkString("{", ",", "}")
+
+  /** Re-run each anchored suspect once with the tier's own sample
+    * budget, heap drained around it (the retry must neither inherit the
+    * suite's residue nor leave its own). Suspects without an anchor row
+    * (nothing to ratio against) are skipped.
+    */
+  private[graft] def retrySuspects(spark: SparkSession, sampler: Sampler,
+                                   dir: String, suspects: Seq[String],
+                                   anchor: Map[String, Double], runs: Int,
+                                   cap: Int): Seq[(String, Double, Double)] =
+    suspects.flatMap { name =>
+      anchor.get(name).filter(_ > 0).map { a =>
+        drainHeap(spark)
+        sampler.warm(name, dir)
+        val ss = sampler.sampleQuery(name, dir, runs, cap)
+        drainHeap(spark)
+        val v = verdict(ss, sampler.probeFloor)
+        (name, v.best.wall, v.best.wall / a)
+      }
+    }
 
   /** Best-effort heap drain between queries/tiers, OUTSIDE every timed
     * region: drop cached/pinned blocks, then give the ContextCleaner's
@@ -742,13 +812,20 @@ object Bench {
   }
 
   /** Render the sf1 tier's (full, compact) JSON fragments — both start
-    * with "," and splice directly after the headline fields.
+    * with "," and splice directly after the headline fields. `retryRun`
+    * (r16, verdict ask #2) receives the tier's suspect names and
+    * returns (name, retryWall, retryRatio) rows — callers wire it to
+    * [[retrySuspects]] so suspect sf1 rows carry an in-record retry
+    * like the headline tier's; the default records none (unit tests,
+    * anchorless runs).
     */
   private[graft] def sf1Render(triples1: Seq[(String, Seq[Sample], Long)],
                                probeFloor: Double,
                                anchorQ1: Map[String, Double],
                                shortOf: String => String,
-                               gcTier: Long, forked: Boolean): (String, String) = {
+                               gcTier: Long, forked: Boolean,
+                               retryRun: Seq[String] => Seq[(String, Double, Double)] =
+                                 _ => Seq.empty): (String, String) = {
     val r1 = triples1.map { case (n, ss, _) => n -> ss }
     val gcQ1 = triples1.map { case (n, _, g) => n -> g.toInt }
     val v1 = r1.map { case (k, ss) => k -> verdict(ss, probeFloor) }
@@ -760,15 +837,17 @@ object Bench {
     // (or regressed) engine on its own
     val suspects1 = (vsAnchor1.collect { case (k, r) if r > 2.0 => k } ++
       v1.collect { case (k, v) if v.gcThrash => k }).distinct
+    val retried = retryRun(suspects1)
     val q1 = numMap(v1.map { case (k, v) => k -> v.best.wall })
     val t1 = v1.map(_._2.best.wall).sum
     val full =
-      f""","queries_sf1":$q1,"samples_sf1":${samplesMap(r1)},"probes_sf1":${probesMap(r1)},"converged_sf1":${boolMap(v1.map { case (k, v) => k -> v.converged })},"contended_sf1":${boolMap(v1.map { case (k, v) => k -> v.contended })},"gc_thrash_sf1":${boolMap(v1.map { case (k, v) => k -> v.gcThrash })},"rejected_sf1":${intMap(v1.map { case (k, v) => k -> v.rejected })},"gc_rejected_sf1":${intMap(v1.map { case (k, v) => k -> v.gcRejected })},"total_sf1":$t1%.3f,"gc_ms_sf1":$gcTier,"gc_q_ms_sf1":${intMap(gcQ1)},"vs_anchor_sf1":${numMap2(vsAnchor1)},"suspect_sf1":${nameList(suspects1)},"sf1_forked":$forked"""
+      f""","queries_sf1":$q1,"samples_sf1":${samplesMap(r1)},"probes_sf1":${probesMap(r1)},"converged_sf1":${boolMap(v1.map { case (k, v) => k -> v.converged })},"contended_sf1":${boolMap(v1.map { case (k, v) => k -> v.contended })},"gc_thrash_sf1":${boolMap(v1.map { case (k, v) => k -> v.gcThrash })},"rejected_sf1":${intMap(v1.map { case (k, v) => k -> v.rejected })},"gc_rejected_sf1":${intMap(v1.map { case (k, v) => k -> v.gcRejected })},"total_sf1":$t1%.3f,"gc_ms_sf1":$gcTier,"gc_q_ms_sf1":${intMap(gcQ1)},"vs_anchor_sf1":${numMap2(vsAnchor1)},"suspect_sf1":${nameList(suspects1)},"retry_sf1":${retryJson(retried)},"sf1_forked":$forked"""
     val compact = f""","queries_sf1":$q1,"total_sf1":$t1%.3f""" +
       s""","contended_sf1":${nameList(v1.collect { case (k, v) if v.contended => shortOf(k) })}""" +
       s""","gc_thrash_sf1":${nameList(v1.collect { case (k, v) if v.gcThrash => shortOf(k) })}""" +
       s""","unconverged_sf1":${nameList(v1.collect { case (k, v) if !v.converged && !v.contended && !v.gcThrash => shortOf(k) })}""" +
-      s""","vs_anchor_sf1":${numMap2(vsAnchor1.map { case (k, v) => shortOf(k) -> v })},"suspect_sf1":${nameList(suspects1.map(shortOf))}"""
+      s""","vs_anchor_sf1":${numMap2(vsAnchor1.map { case (k, v) => shortOf(k) -> v })},"suspect_sf1":${nameList(suspects1.map(shortOf))}""" +
+      s""","retry_sf1":${numMap2(retried.map { case (k, _, r) => shortOf(k) -> r })}"""
     (full, compact)
   }
 
@@ -867,7 +946,9 @@ object BenchSf1 {
         else Map.empty[String, Double]
       val short = Bench.shortNames((Bench.headline ++ Bench.sf1Set).distinct)
       val (full, compact) = Bench.sf1Render(triples1, sampler.probeFloor,
-        anchorQ1, n => short.getOrElse(n, n), Bench.gcMs - gc1, forked = true)
+        anchorQ1, n => short.getOrElse(n, n), Bench.gcMs - gc1, forked = true,
+        retryRun = sus => Bench.retrySuspects(spark, sampler, dir, sus,
+          anchorQ1, sf1Runs, math.max(sf1Runs, sf1Cap)))
       java.nio.file.Files.write(java.nio.file.Paths.get(fragOut),
         (full + "\n" + compact + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } finally {

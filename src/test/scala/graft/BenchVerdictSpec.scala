@@ -100,6 +100,53 @@ class BenchVerdictSpec extends AnyFunSuite {
     assert(d2.get("converged_sf1").get("x_q").asBoolean() == false)
   }
 
+  test("retryAttribution: the three mechanical verdicts at their thresholds") {
+    assert(Bench.retryAttribution(1.14) == "transient_host_noise")
+    assert(Bench.retryAttribution(1.5) == "transient_host_noise")
+    assert(Bench.retryAttribution(1.51) == "borderline")
+    assert(Bench.retryAttribution(2.0) == "borderline")
+    assert(Bench.retryAttribution(2.91) == "persistent_over_2x")
+  }
+
+  test("suspect rows carry an in-record retry: JSON shape, callback receives the suspects") {
+    // r16 (r15 verdict ask #2): BENCH_r15's p05 read 2.91x while a
+    // same-day check run read 1.14x, and the attribution lived in git
+    // archaeology. The renderer must (a) hand the tier's suspects to
+    // the retry callback, (b) splice the returned rows as
+    // {value, vs_anchor, attribution} — valid JSON either way.
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    assert(om.readTree(Bench.retryJson(Seq.empty)).size() == 0)
+    val j = om.readTree(Bench.retryJson(Seq(
+      ("p05_curation_corpus_build", 8.728, 1.14),
+      ("j04_edit_distance_join_k3", 9.1, 2.44))))
+    assert(j.get("p05_curation_corpus_build").get("value").asDouble() == 8.728)
+    assert(j.get("p05_curation_corpus_build").get("vs_anchor").asDouble() == 1.14)
+    assert(j.get("p05_curation_corpus_build").get("attribution").asText() ==
+      "transient_host_noise")
+    assert(j.get("j04_edit_distance_join_k3").get("attribution").asText() ==
+      "persistent_over_2x")
+    // renderer wiring: a >2x row reaches the callback; its answer lands
+    // in retry_sf1 in both fragments
+    val triples = Seq(
+      ("slow_q", Seq(quiet(9.0), quiet(9.1), quiet(9.2)), 100L),
+      ("fine_q", Seq(quiet(1.0), quiet(1.0)), 50L))
+    var asked: Seq[String] = null
+    val (full, compact) = Bench.sf1Render(triples, floor,
+      Map("slow_q" -> 3.0, "fine_q" -> 1.0), identity, 150L, forked = true,
+      retryRun = sus => { asked = sus; sus.map(n => (n, 3.3, 1.1)) })
+    assert(asked == Seq("slow_q"), s"callback must get exactly the suspects, got $asked")
+    val doc = om.readTree("""{"a":1""" + full + "}")
+    assert(doc.get("retry_sf1").get("slow_q").get("vs_anchor").asDouble() == 1.1)
+    assert(doc.get("retry_sf1").get("slow_q").get("attribution").asText() ==
+      "transient_host_noise")
+    val cdoc = om.readTree("""{"a":1""" + compact + "}")
+    assert(cdoc.get("retry_sf1").get("slow_q").asDouble() == 1.1)
+    // no suspects -> callback still consulted with the empty list, empty map
+    val (f3, _) = Bench.sf1Render(triples.filter(_._1 == "fine_q"), floor,
+      Map("fine_q" -> 1.0), identity, 50L, forked = false)
+    assert(om.readTree("""{"a":1""" + f3 + "}").get("retry_sf1").size() == 0)
+  }
+
   test("settledProbe: min-of-2 discriminates self-noise from neighbor contention") {
     // r15 (r14 verdict ask #8): the all-core probe's settle logic as a
     // pure function. Self-noise (this JVM's own executor threads winding
