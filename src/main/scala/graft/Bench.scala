@@ -900,7 +900,7 @@ object Bench {
         rot.as("embedding"), col("label"))
     }.reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
-    (0 until f).map(i => SparkEntry.loadEvents(spark, sfDir)
+    (0 until f).map(i => EntryShared.loadEvents(spark, sfDir)
         .select((col("event_id") + lit(i * 1000000000L)).as("event_id"),
           col("ts"), (col("user_id") + lit(i * 10000000L)).as("user_id"),
           col("event_type"), col("value"), col("props")))

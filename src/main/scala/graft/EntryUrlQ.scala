@@ -1,0 +1,202 @@
+package graft
+
+import graft.core.{DDF, DDFManager}
+import graft.operators._
+import graft.stats.{Sketches, Stats}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import EntryShared._
+
+/** SparkEntry query rows — URL/domain curation rows (w01-w06). Split from SparkEntry.scala by family
+  * (r15 verdict ask #7); composed into the pinned registry by
+  * [[SparkEntry.queries]].
+  */
+private[graft] object EntryUrlQ {
+
+  val qs: Seq[Q] = Seq(
+    Q("w01_url_normalize",
+      (s, d) => {
+        val m = mgr(s, d)
+        val docs = m.getDDFByName("documents").df
+          .select(col("doc_id"), syntheticUrl(40).as("url"))
+        pipeline.UrlCuration.urlNormalize(docs, "url")
+          .select("doc_id", "url", "url_norm")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH u AS (SELECT doc_id, ${duckUrlRaw(40)} AS url FROM documents),
+              |$duckUrlNormCtes
+              |SELECT doc_id, url, url_norm FROM p5 ORDER BY doc_id""".stripMargin)),
+
+    Q("w02_registered_domain",
+      (s, d) => {
+        val m = mgr(s, d)
+        val hosts = m.getDDFByName("documents").df
+          .select(col("doc_id"),
+            pipeline.UrlCuration.hostOf(syntheticUrl(40)).as("host"))
+        pipeline.UrlCuration.registeredDomain(hosts, "host", wSuffixes)
+          .select("doc_id", "host", "registered_domain", "registered_domain_suffix")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH u AS (SELECT doc_id, ${duckUrlRaw(40)} AS url FROM documents),
+              |h AS (SELECT doc_id, $duckHostExpr AS host FROM u),
+              |$duckRegDomainCtes
+              |SELECT doc_id, host, registered_domain, registered_domain_suffix
+              |FROM d3 ORDER BY doc_id""".stripMargin)),
+
+    Q("w03_domain_cap_build",
+      (s, d) => {
+        val m = mgr(s, d)
+        // the composed crawl-curation shape: normalize → registered
+        // domain → broadcast blocklist anti-join → per-domain cap (5
+        // best-by-length docs per registrant) via budgetSelectByGroup —
+        // the payload never rides a window, the blocklist never shuffles
+        val spark = s
+        import spark.implicits._
+        val docs = m.getDDFByName("documents").df
+          .select(col("doc_id"), col("n_chars"), syntheticUrl(5).as("url"))
+        val withDom = pipeline.UrlCuration.registeredDomain(
+          docs.withColumn("host", pipeline.UrlCuration.hostOf(col("url"))),
+          "host", wSuffixes)
+        val block = Seq("example.com", "site-3.co.uk").toDF("blocked")
+        val allowed = withDom
+          .join(broadcast(block), col("registered_domain") === col("blocked"),
+            "left_anti")
+          .withColumn("__cost", lit(1L))
+        Views.budgetSelectByGroup(allowed, "registered_domain",
+            Seq(col("n_chars").desc, col("doc_id").asc), "__cost",
+            budgets = Map.empty, defaultBudget = 5L)
+          .select("doc_id", "registered_domain", "n_chars")
+          .orderBy("registered_domain", "doc_id")
+      },
+      Some(s"""WITH u AS (SELECT doc_id, n_chars, ${duckUrlRaw(5)} AS url
+              |  FROM documents),
+              |h AS (SELECT doc_id, n_chars, $duckHostExpr AS host FROM u),
+              |$duckRegDomainCtes,
+              |r AS (SELECT doc_id, registered_domain, n_chars,
+              |    row_number() OVER (PARTITION BY registered_domain
+              |      ORDER BY n_chars DESC, doc_id) AS rn
+              |  FROM d3
+              |  WHERE registered_domain IS NULL
+              |     OR registered_domain NOT IN ('example.com', 'site-3.co.uk'))
+              |SELECT doc_id, registered_domain, n_chars FROM r WHERE rn <= 5
+              |ORDER BY registered_domain, doc_id""".stripMargin)),
+
+    Q("w05_registered_domain_psl",
+      (s, d) => {
+        val m = mgr(s, d)
+        // the FULL public-suffix algorithm (r15): wildcard '*.ck' makes
+        // every <label>.ck its own suffix, exception '!www.ck' carves
+        // www.ck back out as a registrable domain, exacts and the
+        // implicit '*' default rule fill the rest — hosts synthesized to
+        // hit every rule class including the host-IS-suffix NULL case
+        val id = col("doc_id")
+        val host = when(id % 6 === 0,
+            concat(lit("www.Site-"), (id % 40).cast("string"), lit(".Co.UK")))
+          .when(id % 6 === 1,
+            concat(lit("a.b.Site-"), (id % 40).cast("string"), lit(".CK")))
+          .when(id % 6 === 2, lit("WWW.CK"))
+          .when(id % 6 === 3, lit("Sub.www.ck"))
+          .when(id % 6 === 4,
+            concat(lit("Site-"), (id % 40).cast("string"), lit(".ck")))
+          .otherwise(
+            concat(lit("x.Site-"), (id % 40).cast("string"), lit(".example.com")))
+        val hosts = m.getDDFByName("documents").df.select(id, host.as("host"))
+        pipeline.UrlCuration.registeredDomain(hosts, "host",
+            Seq("com", "uk", "co.uk", "ck", "*.ck", "!www.ck"))
+          .select("doc_id", "host", "registered_domain", "registered_domain_suffix")
+          .orderBy("doc_id")
+      },
+      Some("""WITH h AS (SELECT doc_id, CASE
+             |    WHEN doc_id % 6 = 0 THEN 'www.Site-' || (doc_id % 40)::VARCHAR || '.Co.UK'
+             |    WHEN doc_id % 6 = 1 THEN 'a.b.Site-' || (doc_id % 40)::VARCHAR || '.CK'
+             |    WHEN doc_id % 6 = 2 THEN 'WWW.CK'
+             |    WHEN doc_id % 6 = 3 THEN 'Sub.www.ck'
+             |    WHEN doc_id % 6 = 4 THEN 'Site-' || (doc_id % 40)::VARCHAR || '.ck'
+             |    ELSE 'x.Site-' || (doc_id % 40)::VARCHAR || '.example.com' END AS host
+             |  FROM documents),
+             |d1 AS (SELECT *, string_split(lower(host), '.') AS l,
+             |  len(string_split(lower(host), '.')) AS n FROM h),
+             |d2 AS (SELECT *, CASE
+             |    WHEN n >= 2 AND array_to_string(l[n - 1:n], '.') = 'www.ck' THEN 1
+             |    WHEN n >= 2 AND (array_to_string(l[n - 1:n], '.') = 'co.uk'
+             |                     OR l[n] = 'ck') THEN 2
+             |    WHEN n >= 1 AND l[n] IN ('com', 'uk', 'ck') THEN 1
+             |    WHEN n >= 1 THEN 1 END AS d FROM d1)
+             |SELECT doc_id, host,
+             |  CASE WHEN n >= d + 1 THEN array_to_string(l[n - d:n], '.') END
+             |    AS registered_domain,
+             |  CASE WHEN d IS NOT NULL THEN array_to_string(l[n - d + 1:n], '.') END
+             |    AS registered_domain_suffix
+             |FROM d2 ORDER BY doc_id""".stripMargin)),
+
+    Q("w06_domain_datacard",
+      (s, d) => {
+        val m = mgr(s, d)
+        // the crawl report card (r15): URL family composed with p10's
+        // datasheet — registered domain becomes the reporting key, so a
+        // corpus owner reads per-REGISTRANT volumes, dup rates, quality
+        // pass counts and language mix (the admission question at
+        // domain granularity, not source-tag granularity)
+        val docs = m.getDDFByName("documents").df
+          .select(col("doc_id"), col("text"), syntheticUrl(5).as("url"))
+        val withDom = pipeline.UrlCuration.registeredDomain(
+          docs.withColumn("host", pipeline.UrlCuration.hostOf(col("url"))),
+          "host", wSuffixes)
+        pipeline.TextAnalysis.datacard(withDom, "text", "doc_id",
+            "registered_domain")
+          .select(col("source").as("registered_domain"), col("n_docs"),
+            col("n_tokens"), col("n_dup_docs"), col("n_quality_hi"),
+            col("top_lang"), col("n_langs"))
+          .orderBy("registered_domain")
+      },
+      Some(s"""WITH u AS (SELECT doc_id, text, ${duckUrlRaw(5)} AS url
+              |  FROM documents),
+              |h AS (SELECT doc_id, text, $duckHostExpr AS host FROM u),
+              |$duckRegDomainCtes,
+              |sc AS (SELECT doc_id, registered_domain AS source, text,
+              |    $duckLangScores
+              |  FROM d3),
+              |b AS (SELECT source, md5(${duckNorm("text")}) AS fp,
+              |    ${duckTokenCount("text")} AS tc,
+              |    $duckLangCase AS lang,
+              |    CASE WHEN ${duckQuality("text")} >= 0.5 THEN 1 ELSE 0 END AS hi
+              |  FROM sc),
+              |g AS (SELECT source, fp, count(*) AS n, sum(tc) AS tok,
+              |    sum(hi) AS hi, min(lang) AS lang
+              |  FROM b GROUP BY source, fp),
+              |per AS (SELECT source, sum(n)::BIGINT AS n_docs,
+              |    sum(tok)::BIGINT AS n_tokens,
+              |    (sum(n) - count(*))::BIGINT AS n_dup_docs,
+              |    sum(hi)::BIGINT AS n_quality_hi
+              |  FROM g GROUP BY source),
+              |lc AS (SELECT source, lang, sum(n) AS ln FROM g GROUP BY source, lang),
+              |top AS (SELECT source, lang,
+              |    row_number() OVER (PARTITION BY source ORDER BY ln DESC, lang) AS rn,
+              |    count(*) OVER (PARTITION BY source) AS nl FROM lc)
+              |SELECT p.source AS registered_domain, p.n_docs, p.n_tokens,
+              |  p.n_dup_docs, p.n_quality_hi, t.lang AS top_lang,
+              |  t.nl::BIGINT AS n_langs
+              |FROM per p JOIN top t
+              |  ON t.source IS NOT DISTINCT FROM p.source AND t.rn = 1
+              |ORDER BY registered_domain""".stripMargin)),
+
+    Q("w04_url_dedup",
+      (s, d) => {
+        val m = mgr(s, d)
+        // distinct raw spellings of one resource (tracking params, case,
+        // default ports, '' vs '/' paths, fragments) collapse to one
+        // canonical group; only the canonical key shuffles
+        val docs = m.getDDFByName("documents").df
+          .select(col("doc_id"), syntheticUrl(5).as("url"))
+        pipeline.UrlCuration.urlDedup(docs, "url", "doc_id")
+          .orderBy("url_norm")
+      },
+      Some(s"""WITH u AS (SELECT doc_id, ${duckUrlRaw(5)} AS url FROM documents),
+              |$duckUrlNormCtes
+              |SELECT url_norm, min(doc_id)::BIGINT AS keep_id,
+              |  count(*)::BIGINT AS n_dups
+              |FROM p5 WHERE url_norm IS NOT NULL
+              |GROUP BY url_norm ORDER BY url_norm""".stripMargin))
+  )
+}

@@ -412,13 +412,16 @@ object Views {
     }
     // r15 (verdict ask #4): the detection aggregate is only worth paying
     // when a colossal group is POSSIBLE. Two-tier short-circuit, exact
-    // either way (misrouting cannot happen — both tiers end in a proven
-    // row-count bound, and routing never changes results, only plans):
-    //  1. zero-job plan-stats gate — sizeInBytes ≤ 16 B/row × threshold
-    //     means the slim input plausibly holds ≤ threshold rows (16 B is
-    //     well under the real ≥20 B/row of group+keys+cost, so this
-    //     over-admits, never over-skips);
-    //  2. one narrow count() confirms it (its exchange moves one
+    // either way (misrouting cannot happen — the skip is only ever taken
+    // on a proven row-count bound, and routing never changes results,
+    // only plans):
+    //  1. zero-job plan-stats gate — a defined rowCount ≤ threshold, or
+    //     sizeInBytes ≤ 16 B/row × threshold (16 B is well under the
+    //     real ≥20 B/row of group+keys+cost, so this over-admits, never
+    //     over-skips). Both are HINTS only — rowCount can be a CBO
+    //     selectivity estimate (r16 advice fix), so neither skips
+    //     detection on its own;
+    //  2. one narrow count() proves it (its exchange moves one
     //     partial-count row per partition, vs detection's per-group
     //     keys): total ≤ threshold ⟹ NO group can exceed it ⟹ skip
     //     detection entirely.

@@ -427,7 +427,7 @@ object ScaleSmoke {
             d, "text", "doc_id", dim = 1 << 16)
           hf.agg(sum(size(col("indices")))).first().getLong(0)
         }),
-        "tpch_q9(q80)" -> (() => { tpchViews; spark.sql(graft.SparkEntry.tpchQ9Sql).count() }),
+        "tpch_q9(q80)" -> (() => { tpchViews; spark.sql(graft.EntryShared.tpchQ9Sql).count() }),
         "mixture_sample(c08)" -> (() => {
           // budget scales with the corpus so the kept fraction stays
           // constant — measures the two-pass machinery, not a shrinking

@@ -849,7 +849,7 @@ class ScaleSpec extends SparkTestBase {
   test("tpch q66 (Q14): shipdate range pushes to the lineitem scan; part broadcasts") {
     tpchPinDir
     withConf("spark.sql.adaptive.enabled" -> "false") {
-      val df = spark.sql(SparkEntry.tpchQ14Sql)
+      val df = spark.sql(EntryShared.tpchQ14Sql)
       val scans = lineitemScans(df)
       assert(scans.nonEmpty)
       assert(scans.forall(_.metadata("PushedFilters").contains("l_shipdate")),
@@ -863,7 +863,7 @@ class ScaleSpec extends SparkTestBase {
   test("tpch q67 (Q17): correlated scalar avg decorrelates to one aggregate join") {
     tpchPinDir
     withConf("spark.sql.adaptive.enabled" -> "false") {
-      val df = spark.sql(SparkEntry.tpchQ17Sql)
+      val df = spark.sql(EntryShared.tpchQ17Sql)
       val plan = df.queryExecution.executedPlan.toString
       // decorrelated = the per-part avg is ONE grouped aggregate joined
       // back, never a per-outer-row re-execution (nested loop) — so
@@ -879,7 +879,7 @@ class ScaleSpec extends SparkTestBase {
   test("tpch q68 (Q18): IN over the HAVING subquery stays a semi-join") {
     tpchPinDir
     withConf("spark.sql.adaptive.enabled" -> "false") {
-      val df = spark.sql(SparkEntry.tpchQ18Sql)
+      val df = spark.sql(EntryShared.tpchQ18Sql)
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("LeftSemi"), s"IN-subquery must plan as a semi-join:\n$plan")
       assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
@@ -890,7 +890,7 @@ class ScaleSpec extends SparkTestBase {
   test("tpch q72 (Q22): NOT EXISTS plans as an anti-join; scalar avg is one aggregate") {
     tpchPinDir
     withConf("spark.sql.adaptive.enabled" -> "false") {
-      val df = spark.sql(SparkEntry.tpchQ22Sql)
+      val df = spark.sql(EntryShared.tpchQ22Sql)
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("LeftAnti"), s"NOT EXISTS must plan as an anti-join:\n$plan")
       assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
@@ -901,7 +901,7 @@ class ScaleSpec extends SparkTestBase {
   test("tpch q73 (Q15): revenue CTE joins hash/broadcast, max subquery never nested-loops") {
     tpchPinDir
     withConf("spark.sql.adaptive.enabled" -> "false") {
-      val df = spark.sql(SparkEntry.tpchQ15Sql)
+      val df = spark.sql(EntryShared.tpchQ15Sql)
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
         s"scalar max must not nested-loop:\n$plan")
@@ -912,7 +912,7 @@ class ScaleSpec extends SparkTestBase {
   test("tpch q69 (Q19): OR-of-ANDs partially pushes to BOTH scans (CNF extraction)") {
     tpchPinDir
     withConf("spark.sql.adaptive.enabled" -> "false") {
-      val df = spark.sql(SparkEntry.tpchQ19Sql)
+      val df = spark.sql(EntryShared.tpchQ19Sql)
       val li = lineitemScans(df)
       assert(li.nonEmpty && li.forall(_.metadata("PushedFilters").contains("l_quantity")),
         s"the l_quantity-only disjunction must push below the join: " +
@@ -931,7 +931,7 @@ class ScaleSpec extends SparkTestBase {
   test("tpch q79 (Q2): correlated min-cost subquery decorrelates — no nested loop") {
     tpchPinDir
     withConf("spark.sql.adaptive.enabled" -> "false") {
-      val df = spark.sql(SparkEntry.tpchQ2Sql)
+      val df = spark.sql(EntryShared.tpchQ2Sql)
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
         s"correlated min must decorrelate to joins:\n$plan")
@@ -943,7 +943,7 @@ class ScaleSpec extends SparkTestBase {
   test("tpch q80 (Q9): p_name filter pushes to the part scan; profit joins never nested-loop") {
     tpchPinDir
     withConf("spark.sql.adaptive.enabled" -> "false") {
-      val df = spark.sql(SparkEntry.tpchQ9Sql)
+      val df = spark.sql(EntryShared.tpchQ9Sql)
       val partScans = df.queryExecution.executedPlan.collectLeaves().collect {
         case s: org.apache.spark.sql.execution.FileSourceScanExec
           if s.relation.location.rootPaths.exists(_.toString.contains("planpin/part")) => s
@@ -959,7 +959,7 @@ class ScaleSpec extends SparkTestBase {
   test("tpch q81 (Q11): grand-total threshold is ONE reused scalar aggregate, no nested loop") {
     tpchPinDir
     withConf("spark.sql.adaptive.enabled" -> "false") {
-      val df = spark.sql(SparkEntry.tpchQ11Sql)
+      val df = spark.sql(EntryShared.tpchQ11Sql)
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
         s"HAVING scalar subquery must stay a scalar broadcast:\n$plan")
@@ -970,7 +970,7 @@ class ScaleSpec extends SparkTestBase {
   test("tpch q82 (Q16): NOT IN on a null-free key plans as an anti-join, not a nested loop") {
     tpchPinDir
     withConf("spark.sql.adaptive.enabled" -> "false") {
-      val df = spark.sql(SparkEntry.tpchQ16Sql)
+      val df = spark.sql(EntryShared.tpchQ16Sql)
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("LeftAnti"), s"NOT IN must plan as an anti-join:\n$plan")
       assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
@@ -981,7 +981,7 @@ class ScaleSpec extends SparkTestBase {
   test("tpch q83 (Q20): the IN-chain plans as stacked semi-joins; correlated sum decorrelates") {
     tpchPinDir
     withConf("spark.sql.adaptive.enabled" -> "false") {
-      val df = spark.sql(SparkEntry.tpchQ20Sql)
+      val df = spark.sql(EntryShared.tpchQ20Sql)
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("LeftSemi"), s"IN must plan as semi-join:\n$plan")
       assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
