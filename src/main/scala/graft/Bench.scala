@@ -489,17 +489,20 @@ object Bench {
     // anchor at start and reports each query's ratio against it, plus a
     // `suspect` list of >2× rows and per-query GC deltas: a contaminated
     // run names itself in its own artifact.
-    // r15 anchor: cut from the quietest of three same-day full runs of
-    // the REBUILT layout (12 sf0.1 rows ≥1 s or documented micro + 33
-    // family representatives in the forked sf1 tier) — every sf1 row
-    // converged, zero contended/gc-thrash flags, runs 2→3 geomean 0.90
-    // (run 3 the quieter). Known variable row: a05 at sf1 is a ~1.2
-    // G-pair cosine kernel whose wall is C2-JIT-quality-bound — probe
-    // JVMs with the identical plan shelf anywhere in 1.9–3.9 s
-    // (tools/ProbeA05, SCALE.md round-15 notes). The anchor carries the
-    // fast mode; a clean-flag a05 ratio up to ~2.5× is a slow-shelf
-    // JVM, not a regression.
-    val anchorPath = sys.env.getOrElse("SPARK_GRAFT_ANCHOR", "BENCH_anchor_r15.json")
+    // r16 anchor: recut for the r16 layout (d02/d11 retired from the
+    // sf0.1 tier; a05's degenerate sf1 kernel replaced by a20's 16·f
+    // production contract — 10 sf0.1 rows incl. the two documented
+    // micros + 33 sf1 family representatives). Cut from the quietest of
+    // three same-day full runs: the anchor run carries ZERO
+    // contended/gc-thrash/suspect flags and every headline row
+    // converged; only two sub-second sf1 rows (a20 0.86 s, ts01 0.27 s)
+    // were unconverged, the documented sub-second-jitter class. The
+    // same day's third run hit a contended window (4 contended rows, 2
+    // suspects at 2.1-2.15×) and both suspects' in-record retries read
+    // 1.21-1.35× transient_host_noise — the self-heal working as
+    // designed. a05's JIT-shelf read-rule is retired with its bench
+    // row; a20 repeats at 0.72-0.86 s across all three runs.
+    val anchorPath = sys.env.getOrElse("SPARK_GRAFT_ANCHOR", "BENCH_anchor_r16.json")
     // ratios are only meaningful at the anchor's own scale factor — a
     // quick sf0.001 iteration run must not flag "suspects" against sf0.1
     // anchor numbers
