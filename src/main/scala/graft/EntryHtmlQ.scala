@@ -8,11 +8,58 @@ import org.apache.spark.sql.functions._
 
 import EntryShared._
 
-/** SparkEntry query rows — HTML/markup extraction rows (ht01-ht03). Split from SparkEntry.scala by family
+/** SparkEntry query rows — HTML/markup extraction rows (ht01-ht04). Split from SparkEntry.scala by family
   * (r15 verdict ask #7); composed into the pinned registry by
   * [[SparkEntry.queries]].
   */
 private[graft] object EntryHtmlQ {
+
+  /** Synthetic head-metadata HTML for ht04: per-residue variants cover
+    * both meta attribute orders, all three quoting forms, absolute /
+    * root-relative / relative canonical targets, entity-bearing values,
+    * and the no-title / no-canonical / no-meta absences. Mirrored
+    * verbatim by [[duckHtmlMetaRaw]].
+    */
+  private def syntheticHtmlMeta: Column = {
+    val id = col("doc_id")
+    val head = when(id % 4 === 0, concat(
+        lit("<title>Doc "), id.cast("string"), lit(" &amp; Co</title>"),
+        lit("<meta name=\"description\" content=\"d "), (id % 7).cast("string"),
+        lit(" &amp; x\"><link rel=\"canonical\" href=\"https://canon-"),
+        (id % 6).cast("string"), lit(".example.com/c/"), (id % 9).cast("string"),
+        lit("?id=1&amp;utm_source=f\">")))
+      .when(id % 4 === 1, concat(
+        lit("<title> Two  Words "), (id % 5).cast("string"), lit(" </title>"),
+        lit("<meta content='flip "), (id % 7).cast("string"),
+        lit("' name='description'><link href='/canon/"), (id % 9).cast("string"),
+        lit("' rel='canonical'>")))
+      .when(id % 4 === 2, concat(
+        lit("<link rel=canonical href=rel-"), (id % 9).cast("string"),
+        lit(".html>")))
+      .otherwise(concat(lit("<title>N&nbsp;"), (id % 5).cast("string"),
+        lit("</title>")))
+    concat(lit("<html><head>"), head, lit("</head><body><p>b</p></body></html>"))
+  }
+
+  /** DuckDB twin of [[syntheticHtmlMeta]] ([[duckUrlRaw]]'s stripMargin
+    * discipline: concat `||` at line ENDS only).
+    */
+  private lazy val duckHtmlMetaRaw: String =
+    """'<html><head>' ||
+      |  CASE WHEN doc_id % 4 = 0 THEN '<title>Doc ' || doc_id::VARCHAR ||
+      |    ' &amp; Co</title><meta name="description" content="d ' ||
+      |    (doc_id % 7)::VARCHAR ||
+      |    ' &amp; x"><link rel="canonical" href="https://canon-' ||
+      |    (doc_id % 6)::VARCHAR || '.example.com/c/' || (doc_id % 9)::VARCHAR ||
+      |    '?id=1&amp;utm_source=f">'
+      |  WHEN doc_id % 4 = 1 THEN '<title> Two  Words ' ||
+      |    (doc_id % 5)::VARCHAR || ' </title><meta content=''flip ' ||
+      |    (doc_id % 7)::VARCHAR || ''' name=''description''><link href=''/canon/' ||
+      |    (doc_id % 9)::VARCHAR || ''' rel=''canonical''>'
+      |  WHEN doc_id % 4 = 2 THEN '<link rel=canonical href=rel-' ||
+      |    (doc_id % 9)::VARCHAR || '.html>'
+      |  ELSE '<title>N&nbsp;' || (doc_id % 5)::VARCHAR || '</title>' END ||
+      |  '</head><body><p>b</p></body></html>'""".stripMargin
 
   val qs: Seq[Q] = Seq(
     Q("ht01_html_to_text",
@@ -87,6 +134,64 @@ private[graft] object EntryHtmlQ {
               |      ORDER BY n_links DESC, url_norm) AS rn
               |  FROM d3)
               |SELECT url_norm, registered_domain, n_links FROM cap WHERE rn <= 3
-              |ORDER BY registered_domain, url_norm""".stripMargin))
+              |ORDER BY registered_domain, url_norm""".stripMargin)),
+
+    Q("ht04_html_metadata",
+      (s, d) => {
+        val m = mgr(s, d)
+        // head-metadata extraction (r16): title, meta description, the
+        // page's self-declared canonical target, and the canonical-aware
+        // dedup key — rel=canonical resolved against the fetched URL
+        // (falling back to it), then canonicalized by urlNormalize. The
+        // key collapses session/tracking variants the URL normalizer
+        // alone cannot see; all four columns are pure expression chains.
+        val docs = m.getDDFByName("documents").df
+          .select(col("doc_id"), syntheticBaseUrl.as("src_url"),
+            syntheticHtmlMeta.as("html"))
+        docs.select(col("doc_id"),
+            pipeline.HtmlExtract.titleOf(col("html")).as("title"),
+            pipeline.HtmlExtract.metaContent(col("html"), "description")
+              .as("meta_description"),
+            pipeline.HtmlExtract.canonicalHref(col("html")).as("canonical_href"),
+            pipeline.UrlCuration.urlNormalizeCol(
+              pipeline.HtmlExtract.canonicalizedUrl(col("src_url"), col("html")))
+              .as("dedup_key"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH u0 AS (SELECT doc_id, $duckBaseUrlRaw AS src_url,
+              |    $duckHtmlMetaRaw AS html FROM documents),
+              |m AS (SELECT doc_id, src_url,
+              |    $duckTitleExpr AS title,
+              |    ${duckAttrExpr("meta", "name", "description", "content")}
+              |      AS meta_description,
+              |    ${duckAttrExpr("link", "rel", "canonical", "href")}
+              |      AS canonical_href
+              |  FROM u0),
+              |rb AS (SELECT *, trim(canonical_href) AS th,
+              |    regexp_extract(src_url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)
+              |      AS origin,
+              |    lower(regexp_extract(src_url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+              |      AS bscheme,
+              |    regexp_replace(src_url, '[?#].*', '') AS bstripped
+              |  FROM m),
+              |rc AS (SELECT *, CASE WHEN regexp_matches(bstripped,
+              |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*$$') THEN bstripped || '/'
+              |    ELSE regexp_replace(bstripped, '/[^/]*$$', '/') END AS bdir
+              |  FROM rb),
+              |r AS (SELECT *, CASE
+              |      WHEN th = '' OR substr(th, 1, 1) = '#' THEN NULL
+              |      WHEN regexp_matches(th, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN
+              |        CASE WHEN regexp_matches(th, '^(?i)https?://') THEN th END
+              |      WHEN origin = '' THEN NULL
+              |      WHEN substr(th, 1, 2) = '//' THEN bscheme || ':' || th
+              |      WHEN substr(th, 1, 1) = '/' THEN origin || th
+              |      ELSE bdir || th END AS resolved
+              |  FROM rc),
+              |u2 AS (SELECT doc_id, title, meta_description, canonical_href,
+              |    coalesce(resolved, src_url) AS url FROM r),
+              |${duckUrlNormCtesFrom("u2")}
+              |SELECT doc_id, title, meta_description, canonical_href,
+              |  url_norm AS dedup_key
+              |FROM p5 ORDER BY doc_id""".stripMargin))
   )
 }

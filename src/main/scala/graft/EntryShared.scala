@@ -1351,4 +1351,43 @@ private[graft] object EntryShared {
       |      WHEN substr(th, 1, 1) = '/' THEN origin || th
       |      ELSE bdir || th END AS resolved
       |  FROM rc)""".stripMargin
+
+  // ---- ht04 html-metadata oracle helpers (r16) ----
+
+  /** Nested-replace DuckDB transliteration of
+    * [[pipeline.HtmlExtract.defaultEntities]] over `expr` (same chain as
+    * the e3 step of [[duckHtmlTextCtes]], reusable on a single column).
+    */
+  private[graft] def duckDecodeEnt(expr: String): String = {
+    val ents = Seq(
+      "&lt;" -> "<", "&#60;" -> "<", "&gt;" -> ">", "&#62;" -> ">",
+      "&quot;" -> "\"", "&#34;" -> "\"", "&apos;" -> "''", "&#39;" -> "''",
+      "&nbsp;" -> " ", "&#160;" -> " ", "&amp;" -> "&", "&#38;" -> "&")
+    ents.foldLeft(expr) { case (e, (k, v)) => s"replace($e, '$k', '$v')" }
+  }
+
+  /** DuckDB twin of HtmlExtract.titleOf on column `html`. */
+  private[graft] lazy val duckTitleExpr: String = {
+    val t = s"trim(regexp_replace(${duckDecodeEnt(
+      "regexp_extract(html, '(?is)<title[^>]*>(.*?)</title', 1)")}, " +
+      "'[\\s\\x{00A0}]+', ' ', 'g'))"
+    s"nullif($t, '')"
+  }
+
+  /** DuckDB twin of HtmlExtract.attrOf(html, tag, keyAttr, keyVal,
+    * valAttr): first matching tag, both attribute orders, all three
+    * quoting forms, quotes stripped, &amp; decoded, '' -> NULL.
+    */
+  private[graft] def duckAttrExpr(tag: String, keyAttr: String,
+                                  keyVal: String, valAttr: String): String = {
+    val v = """("[^"]*"|''[^'']*''|[^\s>]+)"""
+    val kv = s"""["'']?$keyVal["'']?"""
+    // NOTE: the s-interpolator processes escapes even in triple quotes,
+    // so \\b here emits the single backslash the RE2 pattern needs
+    val kf = s"""regexp_extract(html, '(?is)<$tag\\b[^>]*\\b$keyAttr\\s*=\\s*$kv[^>]*\\b$valAttr\\s*=\\s*$v', 1)"""
+    val vf = s"""regexp_extract(html, '(?is)<$tag\\b[^>]*\\b$valAttr\\s*=\\s*$v[^>]*\\b$keyAttr\\s*=\\s*$kv', 1)"""
+    val raw = s"(CASE WHEN $kf <> '' THEN $kf ELSE $vf END)"
+    s"nullif(replace(regexp_replace(regexp_replace($raw, " +
+      """'^["'']', ''), '["'']$', ''), '&amp;', '&'), '')"""
+  }
 }

@@ -155,4 +155,63 @@ object HtmlExtract {
     df.select(col(urlCol).as("src_url"),
         explode(hrefsCol(col(htmlCol))).as("href"))
       .withColumn("resolved", resolveHrefCol(col("src_url"), col("href")))
+
+  private def decodeEntities(c: Column): Column =
+    defaultEntities.foldLeft(c) { case (x, (e, v)) => replace(x, lit(e), lit(v)) }
+
+  private def emptyToNull(c: Column): Column =
+    when(c === "", lit(null).cast("string")).otherwise(c)
+
+  /** First `<title>` text, entity-decoded and whitespace-collapsed;
+    * NULL when absent or empty. Same expression-chain discipline as
+    * [[htmlToTextCol]].
+    */
+  def titleOf(html: Column): Column =
+    emptyToNull(trim(regexp_replace(
+      decodeEntities(regexp_extract(html, "(?is)<title[^>]*>(.*?)</title", 1)),
+      "[\\s\\x{00A0}]+", " ")))
+
+  /** Shared attribute-pair extractor: the value of `valAttr` on the
+    * first tag `tag` whose `keyAttr` equals `keyVal`, accepting both
+    * attribute orders and all three quoting forms; quotes stripped,
+    * `&amp;` decoded; NULL when absent. `keyVal` must be a literal
+    * attribute word ([A-Za-z0-9_-]+) — it is interpolated into the
+    * pattern.
+    */
+  private def attrOf(html: Column, tag: String, keyAttr: String,
+                     keyVal: String, valAttr: String): Column = {
+    require(keyVal.matches("[A-Za-z0-9_-]+"),
+      s"attrOf: keyVal must be a plain attribute word, got '$keyVal'")
+    val v = "(\"[^\"]*\"|'[^']*'|[^\\s>]+)"
+    val keyFirst = regexp_extract(html,
+      s"(?is)<$tag\\b[^>]*\\b$keyAttr\\s*=\\s*[\"']?$keyVal[\"']?[^>]*\\b$valAttr\\s*=\\s*$v", 1)
+    val valFirst = regexp_extract(html,
+      s"(?is)<$tag\\b[^>]*\\b$valAttr\\s*=\\s*$v[^>]*\\b$keyAttr\\s*=\\s*[\"']?$keyVal[\"']?", 1)
+    val raw = when(keyFirst =!= "", keyFirst).otherwise(valFirst)
+    emptyToNull(replace(
+      regexp_replace(regexp_replace(raw, "^[\"']", ""), "[\"']$", ""),
+      lit("&amp;"), lit("&")))
+  }
+
+  /** `content` of the first `<meta name="<name>" …>` tag (either
+    * attribute order); NULL when absent.
+    */
+  def metaContent(html: Column, name: String): Column =
+    attrOf(html, "meta", "name", name, "content")
+
+  /** `href` of the first `<link rel="canonical" …>` tag — the page's
+    * self-declared canonical URL, possibly relative; NULL when absent.
+    */
+  def canonicalHref(html: Column): Column =
+    attrOf(html, "link", "rel", "canonical", "href")
+
+  /** The URL a crawl should DEDUP this page under: the rel=canonical
+    * target resolved against the fetched URL when the page declares one
+    * (and it resolves to a web URL), else the fetched URL itself. Feed
+    * the result to [[UrlCuration.urlNormalizeCol]] — canonical-aware
+    * dedup collapses mobile/print/session-variant spellings the pure
+    * URL normalizer cannot see.
+    */
+  def canonicalizedUrl(fetchedUrl: Column, html: Column): Column =
+    coalesce(resolveHrefCol(fetchedUrl, canonicalHref(html)), fetchedUrl)
 }

@@ -86,6 +86,47 @@ class HtmlExtractSpec extends SparkTestBase {
       ("https://h.com/a/", "x.html", Some("https://h.com/a/x.html"))))
   }
 
+  test("titleOf / metaContent / canonicalHref: both attr orders, quote forms, NULL when absent") {
+    val html =
+      """<html><head><title> Page &amp; Title  42 </title>
+        |<meta name="description" content="A &amp; B desc">
+        |<meta content='order-flipped' name='keywords'>
+        |<link rel=canonical href="https://Ex.COM/canon?a=1&amp;b=2">
+        |</head><body><title>second ignored</title></body></html>""".stripMargin
+    val r = Seq(html).toDF("html").select(
+      HtmlExtract.titleOf(col("html")).as("t"),
+      HtmlExtract.metaContent(col("html"), "description").as("d"),
+      HtmlExtract.metaContent(col("html"), "keywords").as("k"),
+      HtmlExtract.metaContent(col("html"), "absent").as("a"),
+      HtmlExtract.canonicalHref(col("html")).as("c")).collect()(0)
+    assert(r.getString(0) == "Page & Title 42")
+    assert(r.getString(1) == "A & B desc")
+    assert(r.getString(2) == "order-flipped", "content-before-name order")
+    assert(r.isNullAt(3))
+    assert(r.getString(4) == "https://Ex.COM/canon?a=1&b=2")
+    val none = Seq("<html><head></head></html>").toDF("html").select(
+      HtmlExtract.titleOf(col("html")).as("t"),
+      HtmlExtract.canonicalHref(col("html")).as("c")).collect()(0)
+    assert(none.isNullAt(0) && none.isNullAt(1))
+  }
+
+  test("canonicalizedUrl: declared canonical wins, relative resolves, junk falls back to fetched") {
+    val cases = Seq(
+      ("https://m.ex.com/p?sid=9", """<link rel="canonical" href="https://ex.com/p">""",
+        "https://ex.com/p"),
+      ("https://ex.com/dir/p", """<link rel="canonical" href="../p">""",
+        "https://ex.com/dir/../p"), // no dot-segment removal, documented
+      ("https://ex.com/a/b", """<link rel="canonical" href="/clean">""",
+        "https://ex.com/clean"),
+      ("https://ex.com/a", "<p>no canonical</p>", "https://ex.com/a"),
+      ("https://ex.com/a", """<link rel="canonical" href="#self">""",
+        "https://ex.com/a"))
+    val got = cases.map { case (u, h, _) => (u, h) }.toDF("url", "html")
+      .select(HtmlExtract.canonicalizedUrl(col("url"), col("html")).as("c"))
+      .collect().toSeq.map(_.getString(0))
+    assert(got == cases.map(_._3))
+  }
+
   test("plan pins: extraction is shuffle-free; linkExtract has no Exchange") {
     val docs = spark.range(200).select(col("id"),
       concat(lit("<html><body><p>t"), col("id"),
