@@ -192,6 +192,58 @@ private[graft] object EntryHtmlQ {
               |${duckUrlNormCtesFrom("u2")}
               |SELECT doc_id, title, meta_description, canonical_href,
               |  url_norm AS dedup_key
-              |FROM p5 ORDER BY doc_id""".stripMargin))
+              |FROM p5 ORDER BY doc_id""".stripMargin)),
+
+    Q("ht05_frontier_expand",
+      (s, d) => {
+        val m = mgr(s, d)
+        // the crawl loop's expansion step: extract outlinks from the
+        // crawled pages, canonicalize, and anti-join against the crawled
+        // set's canonical keys — only genuinely NEW urls enter the
+        // frontier. Each doc links one already-crawled page (doc id+1's
+        // base URL — provably crawled, the base is a function of id%15)
+        // and one novel URL, so the anti-join must remove exactly half
+        // the candidate volume. Scale shape: one key-only groupBy on
+        // the canonical URL + one anti-join on the same key; payloads
+        // never shuffle.
+        val id = col("doc_id")
+        val html = concat(
+          lit("<html><body><a href=\""), baseUrlOf(id + 1),
+          lit("\">k</a><a href=\"https://new-"), (id % 50).cast("string"),
+          lit(".example.org/n/"), (id % 7).cast("string"),
+          lit("?utm_source=x&id="), (id % 11).cast("string"),
+          lit("\">n</a></body></html>"))
+        val docs = m.getDDFByName("documents").df
+          .select(col("doc_id"), syntheticBaseUrl.as("src_url"), html.as("html"))
+        val links = pipeline.HtmlExtract.linkExtract(docs, "html", "src_url")
+        val cand = links
+          .select(pipeline.UrlCuration.urlNormalizeCol(col("resolved")).as("url_norm"))
+          .filter(col("url_norm").isNotNull)
+          .groupBy("url_norm").agg(count(lit(1)).as("n_refs"))
+        val crawled = docs
+          .select(pipeline.UrlCuration.urlNormalizeCol(col("src_url")).as("__ck"))
+          .filter(col("__ck").isNotNull).distinct()
+        cand.join(crawled, col("url_norm") === col("__ck"), "left_anti")
+          .orderBy("url_norm")
+      },
+      Some(s"""WITH u AS (SELECT doc_id, ${duckBaseUrlRawOf("doc_id")} AS src_url,
+              |    '<html><body><a href="' || (${duckBaseUrlRawOf("(doc_id + 1)")}) ||
+              |    '">k</a><a href="https://new-' || (doc_id % 50)::VARCHAR ||
+              |    '.example.org/n/' || (doc_id % 7)::VARCHAR ||
+              |    '?utm_source=x&id=' || (doc_id % 11)::VARCHAR ||
+              |    '">n</a></body></html>' AS html
+              |  FROM documents),
+              |$duckLinkCtes,
+              |u2 AS (SELECT resolved AS url FROM r WHERE resolved IS NOT NULL),
+              |${duckUrlNormCtesFrom("u2")},
+              |cand AS (SELECT url_norm, count(*)::BIGINT AS n_refs FROM p5
+              |  WHERE url_norm IS NOT NULL GROUP BY url_norm),
+              |cw AS (SELECT ${duckBaseUrlRawOf("doc_id")} AS url FROM documents),
+              |${duckUrlNormCtesFrom("cw", "k")},
+              |crawled AS (SELECT DISTINCT url_norm AS ck FROM k5
+              |  WHERE url_norm IS NOT NULL)
+              |SELECT url_norm, n_refs FROM cand
+              |WHERE url_norm NOT IN (SELECT ck FROM crawled)
+              |ORDER BY url_norm""".stripMargin))
   )
 }

@@ -1160,26 +1160,28 @@ private[graft] object EntryShared {
   private[graft] lazy val duckHostExpr: String = duckHostExprOf("url")
 
   /** DuckDB transliteration of UrlCuration.urlNormalizeCol as CTE steps:
-    * expects a relation `$rel(…, url)`, defines `p5(…, url_norm)`.
+    * expects a relation `$rel(…, url)`, defines `${px}5(…, url_norm)`.
+    * Pass a distinct `px` to use the chain twice in one WITH (ht05
+    * normalizes both the link targets and the crawled base URLs).
     */
-  private[graft] def duckUrlNormCtesFrom(rel: String): String = {
+  private[graft] def duckUrlNormCtesFrom(rel: String, px: String = "p"): String = {
     val trackRe =
       "^(utm_[^=&]*|gclid|fbclid|msclkid|yclid|mc_eid|igshid|ref|ref_src|_ga)(=|$)"
-    s"""p1 AS (SELECT *, trim(url) AS __src FROM $rel),
-       |p2 AS (SELECT *,
+    s"""${px}1 AS (SELECT *, trim(url) AS __src FROM $rel),
+       |${px}2 AS (SELECT *,
        |  lower(regexp_extract(__src, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS __scheme,
        |  regexp_replace(regexp_replace(__src, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
-       |    '#.*', '') AS __nofrag FROM p1),
-       |p3 AS (SELECT *, regexp_extract(__nofrag, '^([^/?]*)', 1) AS __auth,
-       |  regexp_replace(__nofrag, '^[^/?]*', '') AS __pathq FROM p2),
-       |p4 AS (SELECT *, lower(regexp_extract(__auth, '^([^:]*)', 1)) AS __host,
+       |    '#.*', '') AS __nofrag FROM ${px}1),
+       |${px}3 AS (SELECT *, regexp_extract(__nofrag, '^([^/?]*)', 1) AS __auth,
+       |  regexp_replace(__nofrag, '^[^/?]*', '') AS __pathq FROM ${px}2),
+       |${px}4 AS (SELECT *, lower(regexp_extract(__auth, '^([^:]*)', 1)) AS __host,
        |  regexp_extract(__auth, ':([0-9]+)$$', 1) AS __port,
        |  regexp_extract(__pathq, '^([^?]*)', 1) AS __path,
        |  coalesce(array_to_string(list_filter(
        |    string_split(regexp_extract(__pathq, '\\?(.*)', 1), '&'),
        |    x -> x <> '' AND NOT regexp_matches(x, '$trackRe')), '&'), '') AS __qn
-       |  FROM p3),
-       |p5 AS (SELECT *, CASE WHEN __scheme = '' OR __host = ''
+       |  FROM ${px}3),
+       |${px}5 AS (SELECT *, CASE WHEN __scheme = '' OR __host = ''
        |    OR substr(__auth, 1, 1) = '[' THEN NULL ELSE
        |    __scheme || '://' || __host ||
        |    CASE WHEN __port = '' OR (__scheme = 'http' AND __port = '80')
@@ -1187,7 +1189,7 @@ private[graft] object EntryShared {
        |         ELSE ':' || __port END ||
        |    CASE WHEN __path = '' THEN '/' ELSE __path END ||
        |    CASE WHEN __qn = '' THEN '' ELSE '?' || __qn END END AS url_norm
-       |  FROM p4)""".stripMargin
+       |  FROM ${px}4)""".stripMargin
   }
 
   private[graft] lazy val duckUrlNormCtes: String = duckUrlNormCtesFrom("u")
@@ -1259,8 +1261,13 @@ private[graft] object EntryShared {
   /** Base (document) URL for the h02/h03 resolution cases: pathless,
     * file-with-query, and trailing-dir forms. Mirrored by the oracle.
     */
-  private[graft] def syntheticBaseUrl: Column = {
-    val id = col("doc_id")
+  private[graft] def syntheticBaseUrl: Column = baseUrlOf(col("doc_id"))
+
+  /** [[syntheticBaseUrl]] parameterized by the id expression — ht05
+    * links doc k at doc k+1's base URL (the base is a pure function of
+    * id % 15, so every shifted target is a crawled page).
+    */
+  private[graft] def baseUrlOf(id: Column): Column =
     when(id % 3 === 0,
       concat(lit("https://site-"), (id % 15).cast("string"), lit(".example.com")))
       .when(id % 3 === 1,
@@ -1268,7 +1275,6 @@ private[graft] object EntryShared {
           lit(".example.com/dir/page.html?s=1")))
       .otherwise(concat(lit("http://site-"), (id % 15).cast("string"),
         lit(".example.com:8080/a/b/")))
-  }
 
   /** DuckDB twin of [[syntheticHtml]] (same stripMargin discipline as
     * [[duckUrlRaw]]: every concat `||` sits at a line END).
@@ -1292,13 +1298,18 @@ private[graft] object EntryShared {
        |  '</body></html>'""".stripMargin
 
   /** DuckDB twin of [[syntheticBaseUrl]]. */
-  private[graft] lazy val duckBaseUrlRaw: String =
-    """CASE WHEN doc_id % 3 = 0 THEN 'https://site-' ||
-      |    (doc_id % 15)::VARCHAR || '.example.com'
-      |  WHEN doc_id % 3 = 1 THEN 'https://site-' ||
-      |    (doc_id % 15)::VARCHAR || '.example.com/dir/page.html?s=1'
-      |  ELSE 'http://site-' ||
-      |    (doc_id % 15)::VARCHAR || '.example.com:8080/a/b/' END""".stripMargin
+  private[graft] lazy val duckBaseUrlRaw: String = duckBaseUrlRawOf("doc_id")
+
+  /** DuckDB twin of [[baseUrlOf]]; `idExpr` must be parenthesized if
+    * compound (e.g. `"(doc_id + 1)"`).
+    */
+  private[graft] def duckBaseUrlRawOf(idExpr: String): String =
+    s"""CASE WHEN $idExpr % 3 = 0 THEN 'https://site-' ||
+       |    ($idExpr % 15)::VARCHAR || '.example.com'
+       |  WHEN $idExpr % 3 = 1 THEN 'https://site-' ||
+       |    ($idExpr % 15)::VARCHAR || '.example.com/dir/page.html?s=1'
+       |  ELSE 'http://site-' ||
+       |    ($idExpr % 15)::VARCHAR || '.example.com:8080/a/b/' END""".stripMargin
 
   /** DuckDB transliteration of HtmlExtract.htmlToTextCol as CTE steps:
     * expects a relation `u(…, html)`, defines `e(…, text_extracted)`.
