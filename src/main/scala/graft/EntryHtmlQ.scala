@@ -8,58 +8,11 @@ import org.apache.spark.sql.functions._
 
 import EntryShared._
 
-/** SparkEntry query rows — HTML/markup extraction rows (ht01-ht04). Split from SparkEntry.scala by family
+/** SparkEntry query rows — HTML/markup extraction rows (ht01-ht05). Split from SparkEntry.scala by family
   * (r15 verdict ask #7); composed into the pinned registry by
   * [[SparkEntry.queries]].
   */
 private[graft] object EntryHtmlQ {
-
-  /** Synthetic head-metadata HTML for ht04: per-residue variants cover
-    * both meta attribute orders, all three quoting forms, absolute /
-    * root-relative / relative canonical targets, entity-bearing values,
-    * and the no-title / no-canonical / no-meta absences. Mirrored
-    * verbatim by [[duckHtmlMetaRaw]].
-    */
-  private def syntheticHtmlMeta: Column = {
-    val id = col("doc_id")
-    val head = when(id % 4 === 0, concat(
-        lit("<title>Doc "), id.cast("string"), lit(" &amp; Co</title>"),
-        lit("<meta name=\"description\" content=\"d "), (id % 7).cast("string"),
-        lit(" &amp; x\"><link rel=\"canonical\" href=\"https://canon-"),
-        (id % 6).cast("string"), lit(".example.com/c/"), (id % 9).cast("string"),
-        lit("?id=1&amp;utm_source=f\">")))
-      .when(id % 4 === 1, concat(
-        lit("<title> Two  Words "), (id % 5).cast("string"), lit(" </title>"),
-        lit("<meta content='flip "), (id % 7).cast("string"),
-        lit("' name='description'><link href='/canon/"), (id % 9).cast("string"),
-        lit("' rel='canonical'>")))
-      .when(id % 4 === 2, concat(
-        lit("<link rel=canonical href=rel-"), (id % 9).cast("string"),
-        lit(".html>")))
-      .otherwise(concat(lit("<title>N&nbsp;"), (id % 5).cast("string"),
-        lit("</title>")))
-    concat(lit("<html><head>"), head, lit("</head><body><p>b</p></body></html>"))
-  }
-
-  /** DuckDB twin of [[syntheticHtmlMeta]] ([[duckUrlRaw]]'s stripMargin
-    * discipline: concat `||` at line ENDS only).
-    */
-  private lazy val duckHtmlMetaRaw: String =
-    """'<html><head>' ||
-      |  CASE WHEN doc_id % 4 = 0 THEN '<title>Doc ' || doc_id::VARCHAR ||
-      |    ' &amp; Co</title><meta name="description" content="d ' ||
-      |    (doc_id % 7)::VARCHAR ||
-      |    ' &amp; x"><link rel="canonical" href="https://canon-' ||
-      |    (doc_id % 6)::VARCHAR || '.example.com/c/' || (doc_id % 9)::VARCHAR ||
-      |    '?id=1&amp;utm_source=f">'
-      |  WHEN doc_id % 4 = 1 THEN '<title> Two  Words ' ||
-      |    (doc_id % 5)::VARCHAR || ' </title><meta content=''flip ' ||
-      |    (doc_id % 7)::VARCHAR || ''' name=''description''><link href=''/canon/' ||
-      |    (doc_id % 9)::VARCHAR || ''' rel=''canonical''>'
-      |  WHEN doc_id % 4 = 2 THEN '<link rel=canonical href=rel-' ||
-      |    (doc_id % 9)::VARCHAR || '.html>'
-      |  ELSE '<title>N&nbsp;' || (doc_id % 5)::VARCHAR || '</title>' END ||
-      |  '</head><body><p>b</p></body></html>'""".stripMargin
 
   val qs: Seq[Q] = Seq(
     Q("ht01_html_to_text",

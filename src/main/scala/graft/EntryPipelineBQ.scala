@@ -924,6 +924,86 @@ private[graft] object EntryPipelineBQ {
               |FROM w JOIN fe ON w.f = fe.f AND w.epoch = fe.first_epoch
               |ORDER BY doc_id""".stripMargin)),
 
+    Q("s13_stream_html_ingest",
+      (s, d) => {
+        val m = mgr(s, d)
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        // the crawl pipeline's FRONT DOOR through the gate (r16): three
+        // MemoryStream epochs of raw markup (epoch = doc_id mod 3),
+        // canonical-AWARE deduped ingest — the dedup key is the page's
+        // declared rel=canonical resolved against the fetched URL, so
+        // docs sharing a canonical target collapse across epochs even
+        // when fetched under different URLs; survivors are delivered as
+        // extracted text. syntheticHtmlMeta's id%4==0 variant keys on
+        // (id%6, id%9) — 18 canonical targets over 125 docs — so the
+        // cross-epoch index probe genuinely fires.
+        val docs = m.getDDFByName("documents").df
+          .select(col("doc_id"), syntheticBaseUrl.as("url"),
+            syntheticHtmlMeta.as("html"))
+          .as[(Long, String, String)].collect()
+        withScratch("graft_s13") { tmp =>
+          val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
+          val q = streaming.CurationStreams.htmlIngest(
+              stream.toDF().toDF("doc_id", "url", "html"),
+              "html", "url", "doc_id", s"$tmp/index",
+              (df, epoch) => df.select(col("doc_id"), lit(epoch).as("epoch"),
+                  col("text"))
+                .write.mode("append").parquet(s"$tmp/out"))
+            .start()
+          try (0L until 3L).foreach { e =>
+            stream.addData(docs.filter(_._1 % 3 == e).toIndexedSeq: _*)
+            q.processAllAvailable()
+          } finally q.stop()
+          collectAndClean(s, s.read.parquet(s"$tmp/out").orderBy("doc_id"), tmp)
+        }
+      },
+      // a doc is delivered iff its epoch is the FIRST epoch its
+      // CANONICALIZED url (rel=canonical resolved against the fetched
+      // url, falling back to it) appears in AND it is the min doc_id of
+      // that key within the epoch; its payload is the extracted text
+      Some(s"""WITH u AS (SELECT doc_id, doc_id % 3 AS epoch,
+              |    ${duckBaseUrlRawOf("doc_id")} AS src_url,
+              |    $duckHtmlMetaRaw AS html FROM documents),
+              |$duckHtmlTextCtes,
+              |mm AS (SELECT doc_id, epoch, src_url, text_extracted,
+              |    ${duckAttrExpr("link", "rel", "canonical", "href")}
+              |      AS canonical_href
+              |  FROM e),
+              |rb AS (SELECT *, trim(canonical_href) AS th,
+              |    regexp_extract(src_url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)
+              |      AS origin,
+              |    lower(regexp_extract(src_url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+              |      AS bscheme,
+              |    regexp_replace(src_url, '[?#].*', '') AS bstripped
+              |  FROM mm),
+              |rc AS (SELECT *, CASE WHEN regexp_matches(bstripped,
+              |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*$$') THEN bstripped || '/'
+              |    ELSE regexp_replace(bstripped, '/[^/]*$$', '/') END AS bdir
+              |  FROM rb),
+              |r AS (SELECT *, CASE
+              |      WHEN th = '' OR substr(th, 1, 1) = '#' THEN NULL
+              |      WHEN regexp_matches(th, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN
+              |        CASE WHEN regexp_matches(th, '^(?i)https?://') THEN th END
+              |      WHEN origin = '' THEN NULL
+              |      WHEN substr(th, 1, 2) = '//' THEN bscheme || ':' || th
+              |      WHEN substr(th, 1, 1) = '/' THEN origin || th
+              |      ELSE bdir || th END AS resolved
+              |  FROM rc),
+              |u2 AS (SELECT doc_id, epoch, text_extracted,
+              |    coalesce(resolved, src_url) AS url FROM r),
+              |${duckUrlNormCtesFrom("u2")},
+              |fp AS (SELECT doc_id, epoch, text_extracted, md5(url_norm) AS f
+              |  FROM p5 WHERE url_norm IS NOT NULL),
+              |w AS (SELECT f, epoch, min(doc_id) AS keep FROM fp GROUP BY 1, 2),
+              |fe AS (SELECT f, min(epoch) AS first_epoch FROM fp GROUP BY 1)
+              |SELECT w.keep AS doc_id, w.epoch::BIGINT AS epoch,
+              |  t.text_extracted AS text
+              |FROM w
+              |JOIN fe ON w.f = fe.f AND w.epoch = fe.first_epoch
+              |JOIN fp t ON t.doc_id = w.keep AND t.epoch = w.epoch
+              |ORDER BY doc_id""".stripMargin)),
+
     Q("s11_stream_agg_rollup",
       (s, d) => {
         val m = mgr(s, d); val _ = m

@@ -83,30 +83,81 @@ object CurationStreams {
     require(docs.isStreaming, "urlDedupIngest expects a streaming frame; " +
       "use UrlCuration.incrementalUrlDedup for batch ingest")
     docs.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
-      val spark = batch.sparkSession
-      val index =
-        if (indexExists(spark, indexDir))
-          spark.read.parquet(indexDir)
-            .filter(col("epoch") < epoch)
-            .select("fingerprint")
-        else spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("fingerprint",
-              org.apache.spark.sql.types.StringType))))
-      val survivors = graft.pipeline.UrlCuration
-        .incrementalUrlDedup(batch, index, urlCol, idCol)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        sink(batch.join(survivors.select(col("keep_id").as(idCol)), Seq(idCol), "left_semi"),
-          epoch)
-        survivors.select(col("fingerprint")).withColumn("epoch", lit(epoch))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("epoch")
-          .parquet(indexDir)
-      } finally survivors.unpersist(blocking = false)
+      canonicalKeyedBatch(batch, batch, urlCol, idCol, indexDir, epoch, sink)
     }
+  }
+
+  /** Continuous raw-HTML ingest (r16) — the crawl pipeline's front door
+    * as a stream: every micro-batch of (id, fetched url, raw markup)
+    *
+    *  - derives each page's CANONICAL-AWARE dedup key — the declared
+    *    `rel=canonical` target resolved against the fetched URL
+    *    ([[graft.pipeline.HtmlExtract.canonicalizedUrl]]), falling back
+    *    to the fetched URL — then normalizes it, so session/tracking/
+    *    mobile-variant spellings of one page collapse BEFORE the index
+    *    probe;
+    *  - dedups in-batch and against the epoch-partitioned canonical
+    *    fingerprint index (the [[urlDedupIngest]] discipline: replays
+    *    probe only epochs < N and overwrite their own partition —
+    *    exactly-once content delivery to an (epoch, id)-idempotent
+    *    sink);
+    *  - delivers survivors to `sink` as (id, url, text) with the
+    *    visible text extracted by
+    *    [[graft.pipeline.HtmlExtract.htmlToTextCol]] — extraction runs
+    *    ONLY on first-seen pages, after the dedup filter.
+    *
+    * Scale shape per micro-batch: key derivation and text extraction
+    * are per-row expression chains inside the batch scan; the only
+    * shuffles are the 16-byte-fingerprint groupBy and the anti-join
+    * probe. Raw markup never enters the index and is never rescanned.
+    */
+  def htmlIngest(docs: DataFrame, htmlCol: String, urlCol: String,
+                 idCol: String, indexDir: String,
+                 sink: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(docs.isStreaming, "htmlIngest expects a streaming frame; " +
+      "compose HtmlExtract.canonicalizedUrl + UrlCuration.incrementalUrlDedup for batch ingest")
+    docs.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
+      val keyed = batch.withColumn("__curl",
+        graft.pipeline.HtmlExtract.canonicalizedUrl(col(urlCol), col(htmlCol)))
+      val out = batch.select(col(idCol), col(urlCol),
+        graft.pipeline.HtmlExtract.htmlToTextCol(col(htmlCol)).as("text"))
+      canonicalKeyedBatch(keyed, out, "__curl", idCol, indexDir, epoch, sink)
+    }
+  }
+
+  /** One micro-batch of canonical-URL-keyed dedup ingest, shared by
+    * [[urlDedupIngest]] and [[htmlIngest]]: probe the epoch-partitioned
+    * fingerprint index with `keyed`'s `urlCol`, deliver the surviving
+    * ids' rows of `payload` to `sink`, append the survivors'
+    * fingerprints under this epoch.
+    */
+  private def canonicalKeyedBatch(keyed: DataFrame, payload: DataFrame,
+                                  urlCol: String, idCol: String,
+                                  indexDir: String, epoch: Long,
+                                  sink: (DataFrame, Long) => Unit): Unit = {
+    val spark = keyed.sparkSession
+    val index =
+      if (indexExists(spark, indexDir))
+        spark.read.parquet(indexDir)
+          .filter(col("epoch") < epoch)
+          .select("fingerprint")
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("fingerprint",
+            org.apache.spark.sql.types.StringType))))
+    val survivors = graft.pipeline.UrlCuration
+      .incrementalUrlDedup(keyed, index, urlCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      sink(payload.join(survivors.select(col("keep_id").as(idCol)), Seq(idCol), "left_semi"),
+        epoch)
+      survivors.select(col("fingerprint")).withColumn("epoch", lit(epoch))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch")
+        .parquet(indexDir)
+    } finally survivors.unpersist(blocking = false)
   }
 
   /** Continuous NEAR-dup-deduped ingest: the streaming twin of

@@ -159,6 +159,43 @@ class StreamingSpec extends SparkTestBase {
     assert(idx.columns.contains("epoch"))
   }
 
+  test("htmlIngest: canonical-aware dedup keys on rel=canonical; survivors deliver extracted text") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_htmlingest").toString + "/idx"
+    val stream = MemoryStream[(Long, String, String)]
+    val sunk = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    val q = graft.streaming.CurationStreams.htmlIngest(
+        stream.toDF().toDF("doc_id", "url", "html"), "html", "url", "doc_id", dir,
+        (df, epoch) => sunk.synchronized {
+          sunk ++= df.select("doc_id", "text").collect()
+            .map(r => (epoch, r.getLong(0), r.getString(1)))
+        })
+      .start()
+    try {
+      stream.addData(
+        // 1 and 2 are DIFFERENT fetched urls declaring the SAME
+        // canonical — only the canonical-aware key collapses them
+        (1L, "https://m.ex.com/p?sid=9",
+          """<link rel="canonical" href="https://ex.com/p"><p>A &amp; B</p>"""),
+        (2L, "https://ex.com/p?utm_source=f",
+          """<link rel="canonical" href="https://ex.com/p"><p>dup</p>"""),
+        (3L, "https://other.org/q", "<p>no canonical</p>"))
+      q.processAllAvailable()
+      stream.addData(
+        // cross-batch: same canonical as 1/2 under yet another url
+        (4L, "https://ex.com/p/print", """<link rel=canonical href=/p><p>x</p>"""),
+        (5L, "https://new.net/r", "<p>fresh</p>"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(sunk.map(_._2).toSet == Set(1L, 3L, 5L), s"got $sunk")
+    // the delivered payload is EXTRACTED text, not markup
+    assert(sunk.find(_._2 == 1L).get._3 == "A & B")
+    val idx = spark.read.parquet(dir)
+    assert(idx.select("fingerprint").distinct().count() == 3)
+    assert(idx.columns.contains("epoch"))
+  }
+
   test("aggMaintain: rollup equals the direct aggregate; replay overwrites its partial") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
