@@ -197,6 +197,63 @@ private[graft] object EntryUrlQ {
               |SELECT url_norm, min(doc_id)::BIGINT AS keep_id,
               |  count(*)::BIGINT AS n_dups
               |FROM p5 WHERE url_norm IS NOT NULL
-              |GROUP BY url_norm ORDER BY url_norm""".stripMargin))
+              |GROUP BY url_norm ORDER BY url_norm""".stripMargin)),
+
+    Q("w07_robots_filter",
+      (s, d) => {
+        val m = mgr(s, d)
+        import s.implicits._
+        // crawl politeness through the gate (r16): RFC 9309 decisions
+        // over a per-host rule table — longest match wins, allow wins
+        // length ties, unmatched URLs ride defaultAllow, non-URLs
+        // (IPv6 quarantine rows) drop. The rule set exercises prefix
+        // rules, a longer-allow carve-out, a '*' wildcard over the
+        // query, a blanket '/' disallow with an allow carve-out, and
+        // trailing-'$' anchors that both fire and fail. The oracle
+        // inlines the COMPILED regexes (robotsRegexCol's outputs, which
+        // UrlCurationSpec pins) and the lexicographic (len, allow) max
+        // as max(2*len + allow).
+        val rules = Seq(
+          ("site-2.example.com", "disallow", "/Articles/"),
+          ("site-2.example.com", "allow", "/Articles/1"),
+          ("site-8.blogspot.com", "disallow", "*gclid*"),
+          ("site-7.org", "disallow", "/"),
+          ("site-7.org", "allow", "/Articles/2"),
+          ("site-4.co.uk", "disallow", "/$"),
+          ("site-10.example.com", "disallow", "/Articles/1$"))
+          .toDF("host", "rule", "pattern")
+        val docs = m.getDDFByName("documents").df
+          .select(col("doc_id"), syntheticUrl(12).as("url"))
+        pipeline.UrlCuration.robotsFilter(docs, "url", rules)
+          .select("doc_id", "url")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH u AS (SELECT doc_id, ${duckUrlRaw(12)} AS url FROM documents),
+              |u2 AS (SELECT doc_id, url, regexp_replace(regexp_replace(trim(url),
+              |    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''), '#.*', '') AS r0
+              |  FROM u),
+              |h AS (SELECT doc_id, url, $duckHostExpr AS host,
+              |    CASE WHEN regexp_extract(trim(url),
+              |        '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) = '' THEN NULL
+              |      WHEN r0 = '' THEN '/'
+              |      WHEN substr(r0, 1, 1) = '?' THEN '/' || r0
+              |      ELSE r0 END AS p
+              |  FROM u2),
+              |rr AS (SELECT * FROM (VALUES
+              |    ('site-2.example.com', 0, 10, '^/Articles/'),
+              |    ('site-2.example.com', 1, 11, '^/Articles/1'),
+              |    ('site-8.blogspot.com', 0, 7, '^.*gclid.*'),
+              |    ('site-7.org', 0, 1, '^/'),
+              |    ('site-7.org', 1, 11, '^/Articles/2'),
+              |    ('site-4.co.uk', 0, 2, '^/$$'),
+              |    ('site-10.example.com', 0, 12, '^/Articles/1$$'))
+              |  AS t(host, a, len, rx)),
+              |m AS (SELECT h.doc_id, r.len * 2 + r.a AS s FROM h JOIN rr r
+              |  ON h.host = r.host AND regexp_matches(h.p, r.rx)),
+              |best AS (SELECT doc_id, max(s) AS s FROM m GROUP BY doc_id)
+              |SELECT h.doc_id, h.url FROM h LEFT JOIN best b ON h.doc_id = b.doc_id
+              |WHERE h.host IS NOT NULL AND h.p IS NOT NULL
+              |  AND coalesce(b.s % 2 = 1, true)
+              |ORDER BY h.doc_id""".stripMargin))
   )
 }

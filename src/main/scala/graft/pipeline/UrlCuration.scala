@@ -246,6 +246,89 @@ object UrlCuration {
     * probes the index with one left-anti equi-join whose index side
     * streams from its store — crawl payloads never rescan.
     */
+  /** The robots-exclusion match target of a URL: path plus query (the
+    * REP matches both — RFC 9309 §2.2.2), fragment dropped, empty path
+    * normalized to `/` (so a bare-origin URL matches a `/` rule). NULL
+    * for non-absolute URLs, like [[hostOf]].
+    */
+  def robotsPathOf(url: Column): Column = {
+    val src = trim(url)
+    val hasScheme = regexp_extract(src, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1) =!= ""
+    val rest = regexp_replace(
+      regexp_replace(src, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", ""), "#.*", "")
+    when(!hasScheme, lit(null).cast("string"))
+      .when(rest === "", lit("/"))
+      .when(substring(rest, 1, 1) === "?", concat(lit("/"), rest))
+      .otherwise(rest)
+  }
+
+  /** Compile a robots.txt path pattern to the anchored regex that
+    * implements RFC 9309 matching: `*` matches any char sequence, `$`
+    * as the LAST character anchors the end (elsewhere `$` is literal,
+    * like every other regex metacharacter). Pure expression chain so it
+    * runs on the (config-sized) rule table inside the broadcast
+    * projection — and stays RE2-portable.
+    */
+  def robotsRegexCol(pattern: Column): Column = {
+    val ends = substring(pattern, -1, 1) === "$"
+    val body = when(ends, substring(pattern, lit(1), length(pattern) - 1))
+      .otherwise(pattern)
+    val esc = Seq("\\", ".", "^", "$", "+", "?", "(", ")", "[", "]", "{", "}", "|")
+      .foldLeft(body)((c, ch) => replace(c, lit(ch), lit("\\" + ch)))
+    val star = replace(esc, lit("*"), lit(".*"))
+    concat(lit("^"), star, when(ends, "$").otherwise(""))
+  }
+
+  /** Crawl-politeness filter per the Robots Exclusion Protocol
+    * (RFC 9309, public knowledge): keep the URLs the rule table allows.
+    * `rules` is the parsed per-host rule set — (host, rule, pattern)
+    * with rule ∈ {"allow", "disallow"} and pattern a robots path
+    * pattern (`*` wildcard, trailing `$` anchor) — i.e. the single
+    * user-agent group the caller selected when parsing robots.txt
+    * bodies (group selection is a per-crawler config decision, not a
+    * corpus operation). Decision per URL, RFC semantics:
+    *
+    *  - candidate rules are the URL's host's rules whose pattern
+    *    matches the URL's path+query ([[robotsPathOf]]);
+    *  - the MOST SPECIFIC (longest-pattern) match wins; a length tie
+    *    goes to `allow`;
+    *  - no matching rule — including a host with no rules at all —
+    *    falls back to `defaultAllow` (RFC default: allowed).
+    *
+    * Non-URL rows (NULL host/path) are dropped — quarantine material,
+    * same contract as [[urlDedup]].
+    *
+    * Scale shape: the rule table is config-sized and BROADCAST with its
+    * regexes precompiled in the projection; the corpus pays one
+    * broadcast join + a per-pair codegen'd regex probe and one
+    * row-id-keyed max aggregate over MATCHED pairs only (rules per host
+    * are few, so matched pairs ≈ corpus size, never |corpus|×|rules|).
+    * No full-width payload shuffles: the verdict frame carries (rid,
+    * keep) and semi-filters the original.
+    */
+  def robotsFilter(df: DataFrame, urlCol: String, rules: DataFrame,
+                   hostCol: String = "host", ruleCol: String = "rule",
+                   patternCol: String = "pattern",
+                   defaultAllow: Boolean = true): DataFrame = {
+    val withId = df.withColumn("__rid", monotonically_increasing_id())
+    val parts = withId.select(col("__rid"),
+        hostOf(col(urlCol)).as("__h"), robotsPathOf(col(urlCol)).as("__p"))
+      .filter(col("__h").isNotNull && col("__p").isNotNull)
+    val rx = broadcast(rules.select(lower(col(hostCol)).as("__h"),
+      (lower(col(ruleCol)) === "allow").cast("int").as("__a"),
+      length(col(patternCol)).as("__len"),
+      robotsRegexCol(col(patternCol)).as("__rx")))
+    val verdicts = parts.join(rx, Seq("__h"))
+      .filter(rlike(col("__p"), col("__rx")))
+      .groupBy("__rid")
+      .agg(max(struct(col("__len"), col("__a"))).as("__m"))
+      .select(col("__rid"), (col("__m").getField("__a") === 1).as("__keep"))
+    withId.join(verdicts, Seq("__rid"), "left")
+      .filter(hostOf(col(urlCol)).isNotNull &&
+        coalesce(col("__keep"), lit(defaultAllow)))
+      .drop("__rid", "__keep")
+  }
+
   def incrementalUrlDedup(newDocs: DataFrame, knownFingerprints: DataFrame,
                           urlCol: String, idCol: String,
                           trackingParams: Seq[String] = defaultTrackingParams): DataFrame = {

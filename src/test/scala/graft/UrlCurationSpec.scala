@@ -49,6 +49,59 @@ class UrlCurationSpec extends SparkTestBase {
     assert(h == Seq(Some("www.ex.com"), None, Some("h.io")))
   }
 
+  test("robotsRegexCol: wildcards, trailing-$ anchor, metacharacters literal") {
+    val rx = Seq("/dir/", "/*.html$", "/a+b(c)?", "/x$y", "/p$")
+      .toDF("p").select(UrlCuration.robotsRegexCol(col("p")).as("r"))
+      .collect().toSeq.map(_.getString(0))
+    assert(rx == Seq(
+      "^/dir/",
+      "^/.*\\.html$",
+      "^/a\\+b\\(c\\)\\?",
+      "^/x\\$y", // mid-pattern $ is literal
+      "^/p$"))
+  }
+
+  test("robotsPathOf: path+query target, fragment dropped, empty path -> /") {
+    val p = Seq("https://h.com/a/b?x=1#f", "https://h.com", "https://h.com?q=1",
+      "no-scheme/x").toDF("url")
+      .select(UrlCuration.robotsPathOf(col("url")).as("p"))
+      .collect().toSeq.map(r => Option(r.getString(0)))
+    assert(p == Seq(Some("/a/b?x=1"), Some("/"), Some("/?q=1"), None))
+  }
+
+  test("robotsFilter: longest match wins, allow wins ties, defaults, non-URLs dropped") {
+    val rules = Seq(
+      ("h.com", "disallow", "/private/"),
+      ("h.com", "allow", "/private/ok.html$"),
+      ("h.com", "disallow", "/*.tmp$"),
+      ("strict.org", "disallow", "/"),
+      ("strict.org", "allow", "/pub/")).toDF("host", "rule", "pattern")
+    val urls = Seq(
+      (1L, "https://h.com/private/secret"),      // disallowed by /private/
+      (2L, "https://h.com/private/ok.html"),     // longer allow wins
+      (3L, "https://h.com/private/ok.html?x=1"), // $ anchor fails -> /private/ applies
+      (4L, "https://h.com/open/a.tmp"),          // wildcard disallow
+      (5L, "https://h.com/open/page"),           // no match -> default allow
+      (6L, "https://H.COM/PRIVATE/x"),           // host case-folds; PATH is case-sensitive -> kept
+      (7L, "https://strict.org/anything"),       // blanket disallow
+      (8L, "https://strict.org/pub/x"),          // carve-out allow
+      (9L, "https://norules.net/x"),             // host without rules -> default
+      (10L, "not a url")                         // quarantined
+    ).toDF("id", "url")
+    val kept = UrlCuration.robotsFilter(urls, "url", rules)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 5L, 6L, 8L, 9L), s"got $kept")
+    // strict default: unmatched URLs drop instead
+    val strict = UrlCuration.robotsFilter(urls, "url", rules, defaultAllow = false)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(strict == Set(2L, 8L), s"got $strict")
+    // plan: the rule side broadcasts; no full-width shuffle of the corpus
+    val plan = UrlCuration.robotsFilter(urls, "url", rules)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      s"rules must broadcast:\n$plan")
+  }
+
   test("bracketed IPv6 authorities are quarantined to NULL, not host '['") {
     // r16 advice fix: '^([^:]*)' over '[::1]:8080' would yield host '['
     // — a non-NULL garbage key merging ALL IPv6-host URLs that share a
