@@ -197,6 +197,43 @@ private[graft] object EntryHtmlQ {
               |  WHERE url_norm IS NOT NULL)
               |SELECT url_norm, n_refs FROM cand
               |WHERE url_norm NOT IN (SELECT ck FROM crawled)
-              |ORDER BY url_norm""".stripMargin))
+              |ORDER BY url_norm""".stripMargin)),
+
+    Q("ht06_anchor_text",
+      (s, d) => {
+        val m = mgr(s, d)
+        // anchor-text extraction (r16): what linking pages CALL their
+        // targets — the link-graph signal for retrieval/quality scoring.
+        // hrefs and element bodies come from one pattern with two
+        // capture groups (arrays align), bodies get the htmlToText
+        // treatment scoped to the anchor. DuckDB zips via parallel
+        // unnest of the two capture arrays.
+        val docs = m.getDDFByName("documents").df
+          .select(col("doc_id"), syntheticHtml.as("html"))
+        docs.select(col("doc_id"),
+            explode(pipeline.HtmlExtract.anchorsCol(col("html"))).as("__a"))
+          .select(col("doc_id"), col("__a.href").as("href"),
+            col("__a.anchor_text").as("anchor_text"))
+          .orderBy("doc_id", "href")
+      },
+      Some(s"""WITH u AS (SELECT doc_id, $duckHtmlRaw AS html FROM documents),
+              |l AS (SELECT doc_id,
+              |    regexp_extract_all(html,
+              |      '(?is)<a\\b[^>]*\\bhref\\s*=\\s*("[^"]*"|''[^'']*''|[^\\s>]+)[^>]*>(.*?)</a',
+              |      1) AS hs,
+              |    regexp_extract_all(html,
+              |      '(?is)<a\\b[^>]*\\bhref\\s*=\\s*("[^"]*"|''[^'']*''|[^\\s>]+)[^>]*>(.*?)</a',
+              |      2) AS ts
+              |  FROM u),
+              |x AS (SELECT doc_id, unnest(hs) AS h0, unnest(ts) AS t0 FROM l),
+              |y AS (SELECT doc_id,
+              |    replace(regexp_replace(regexp_replace(h0, '^["'']', ''),
+              |      '["'']$$', ''), '&amp;', '&') AS href,
+              |    trim(regexp_replace(${duckDecodeEnt(
+                      "regexp_replace(t0, '<[/!A-Za-z][^>]*>', ' ', 'g')")},
+              |      '[\\s\\x{00A0}]+', ' ', 'g')) AS anchor_text
+              |  FROM x)
+              |SELECT doc_id, href, anchor_text FROM y
+              |ORDER BY doc_id, href""".stripMargin))
   )
 }

@@ -205,6 +205,50 @@ object HtmlExtract {
   def canonicalHref(html: Column): Column =
     attrOf(html, "link", "rel", "canonical", "href")
 
+  /** `(href, anchor text)` pairs of a document in document order — the
+    * anchor-text signal (what linking pages CALL a target) that feeds
+    * link-based retrieval/quality scoring. Hrefs get the [[hrefsCol]]
+    * cleanup (quotes stripped, `&amp;` decoded); anchor text gets the
+    * [[htmlToTextCol]] treatment scoped to the element body (inner tags
+    * stripped, entities decoded, whitespace collapsed — `<a>click
+    * <b>here</b></a>` yields `"click here"`). Anchors whose body spans
+    * a nested `<a>` are not valid HTML and split at the first close
+    * tag, the browser behavior.
+    *
+    * Implementation note: both columns come from the SAME pattern
+    * applied with two different capture groups, so the arrays align
+    * index-by-index and zip losslessly; still one scan-local expression
+    * chain, zero shuffles.
+    */
+  def anchorsCol(html: Column): Column = {
+    val pat = "(?is)<a\\b[^>]*\\bhref\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>]+)[^>]*>(.*?)</a"
+    val hrefs = transform(
+      regexp_extract_all(html, lit(pat), lit(1)),
+      h => replace(
+        regexp_replace(regexp_replace(h, "^[\"']", ""), "[\"']$", ""),
+        lit("&amp;"), lit("&")))
+    val texts = transform(
+      regexp_extract_all(html, lit(pat), lit(2)),
+      t => {
+        val noTags = regexp_replace(t, "<[/!A-Za-z][^>]*>", " ")
+        val decoded = defaultEntities.foldLeft(noTags) {
+          case (c, (e, v)) => replace(c, lit(e), lit(v))
+        }
+        trim(regexp_replace(decoded, "[\\s\\x{00A0}]+", " "))
+      })
+    zip_with(hrefs, texts, (h, t) => struct(h.as("href"), t.as("anchor_text")))
+  }
+
+  /** Document → (src_url, href, anchor_text) rows, the anchor-text twin
+    * of [[linkExtract]]. Same scale shape: in-partition explode, no
+    * shuffle.
+    */
+  def anchorExtract(df: DataFrame, htmlCol: String, urlCol: String): DataFrame =
+    df.select(col(urlCol).as("src_url"),
+        explode(anchorsCol(col(htmlCol))).as("__a"))
+      .select(col("src_url"), col("__a.href").as("href"),
+        col("__a.anchor_text").as("anchor_text"))
+
   /** The URL a crawl should DEDUP this page under: the rel=canonical
     * target resolved against the fetched URL when the page declares one
     * (and it resolves to a web URL), else the fetched URL itself. Feed

@@ -127,6 +127,23 @@ class HtmlExtractSpec extends SparkTestBase {
     assert(got == cases.map(_._3))
   }
 
+  test("anchorsCol: (href, text) pairs align; inner tags strip; unclosed anchors drop") {
+    val html = """<a href="/a">click <b>here</b></a>
+                 |<a id=2 href='/b'>B &amp; C</a>
+                 |<a href=/c>  spaced   text </a>
+                 |<a href="/unclosed">no close tag""".stripMargin
+    val rows = Seq(html).toDF("html")
+      .select(HtmlExtract.anchorsCol(col("html")).as("a")).collect()(0)
+      .getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(rows == Seq(("/a", "click here"), ("/b", "B & C"), ("/c", "spaced text")),
+      s"got $rows")
+    val ext = HtmlExtract.anchorExtract(
+      Seq(("https://h.com/", html)).toDF("url", "html"), "html", "url")
+    assert(ext.columns.toSeq == Seq("src_url", "href", "anchor_text"))
+    assert(ext.count() == 3)
+  }
+
   test("plan pins: extraction is shuffle-free; linkExtract has no Exchange") {
     val docs = spark.range(200).select(col("id"),
       concat(lit("<html><body><p>t"), col("id"),
