@@ -1085,8 +1085,14 @@ private[graft] object EntryShared {
   /** Synthetic messy URL from doc_id; `hostMod` controls domain
     * cardinality (small → per-domain caps and URL dedup actually bind).
     */
-  private[graft] def syntheticUrl(hostMod: Int): Column = {
-    val id = col("doc_id")
+  private[graft] def syntheticUrl(hostMod: Int): Column =
+    syntheticUrlOf(col("doc_id"), hostMod)
+
+  /** [[syntheticUrl]] parameterized by the id expression — w08 links
+    * doc k at the urls of docs (7k+3)%391 and (13k+5)%391 to get a
+    * deterministic cross-domain link graph.
+    */
+  private[graft] def syntheticUrlOf(id: Column, hostMod: Int): Column = {
     val scheme = when(id % 3 === 0, "HTTPS").when(id % 3 === 1, "http")
       .otherwise("https")
     val tld = when(id % 7 === 0, "Co.UK")
@@ -1122,26 +1128,32 @@ private[graft] object EntryShared {
     * every `||` concat sits at a line END.
     */
   private[graft] def duckUrlRaw(hostMod: Int): String =
-    s"""CASE WHEN doc_id % 13 = 9 THEN 'https://[2001:db8::' ||
-       |    (doc_id % 4)::VARCHAR || ']:8080/v6/' || (doc_id % 10)::VARCHAR
+    duckUrlRawOf("doc_id", hostMod)
+
+  /** DuckDB twin of [[syntheticUrlOf]]; `idExpr` must be parenthesized
+    * if compound.
+    */
+  private[graft] def duckUrlRawOf(idExpr: String, hostMod: Int): String =
+    s"""CASE WHEN $idExpr % 13 = 9 THEN 'https://[2001:db8::' ||
+       |    ($idExpr % 4)::VARCHAR || ']:8080/v6/' || ($idExpr % 10)::VARCHAR
        |  ELSE
-       |  CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' WHEN doc_id % 3 = 1 THEN 'http'
+       |  CASE WHEN $idExpr % 3 = 0 THEN 'HTTPS' WHEN $idExpr % 3 = 1 THEN 'http'
        |       ELSE 'https' END ||
-       |  '://Site-' || (doc_id % $hostMod)::VARCHAR || '.' ||
-       |  CASE WHEN doc_id % 7 = 0 THEN 'Co.UK'
-       |       WHEN doc_id % 7 IN (1, 2) THEN 'example.COM'
-       |       WHEN doc_id % 7 = 3 THEN 'GitHub.IO'
-       |       WHEN doc_id % 7 = 4 THEN 'blogspot.com'
-       |       WHEN doc_id % 7 = 5 THEN 'org' ELSE 'net.au' END ||
-       |  CASE WHEN doc_id % 5 = 0 THEN ':443'
-       |       WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END ||
-       |  CASE WHEN doc_id % 4 = 0 THEN '' WHEN doc_id % 4 = 1 THEN '/'
-       |       ELSE '/Articles/' || (doc_id % 100)::VARCHAR END ||
-       |  CASE WHEN doc_id % 6 = 0 THEN '?utm_source=feed&id=' || (doc_id % 50)::VARCHAR
-       |       WHEN doc_id % 6 = 1 THEN '?id=' || (doc_id % 50)::VARCHAR || '&utm_campaign=x&ref=tw'
-       |       WHEN doc_id % 6 = 2 THEN '?gclid=abc123'
-       |       WHEN doc_id % 6 = 3 THEN '?a=1&b=2' ELSE '' END ||
-       |  CASE WHEN doc_id % 8 = 0 THEN '#Section-2' ELSE '' END
+       |  '://Site-' || ($idExpr % $hostMod)::VARCHAR || '.' ||
+       |  CASE WHEN $idExpr % 7 = 0 THEN 'Co.UK'
+       |       WHEN $idExpr % 7 IN (1, 2) THEN 'example.COM'
+       |       WHEN $idExpr % 7 = 3 THEN 'GitHub.IO'
+       |       WHEN $idExpr % 7 = 4 THEN 'blogspot.com'
+       |       WHEN $idExpr % 7 = 5 THEN 'org' ELSE 'net.au' END ||
+       |  CASE WHEN $idExpr % 5 = 0 THEN ':443'
+       |       WHEN $idExpr % 5 = 1 THEN ':8080' ELSE '' END ||
+       |  CASE WHEN $idExpr % 4 = 0 THEN '' WHEN $idExpr % 4 = 1 THEN '/'
+       |       ELSE '/Articles/' || ($idExpr % 100)::VARCHAR END ||
+       |  CASE WHEN $idExpr % 6 = 0 THEN '?utm_source=feed&id=' || ($idExpr % 50)::VARCHAR
+       |       WHEN $idExpr % 6 = 1 THEN '?id=' || ($idExpr % 50)::VARCHAR || '&utm_campaign=x&ref=tw'
+       |       WHEN $idExpr % 6 = 2 THEN '?gclid=abc123'
+       |       WHEN $idExpr % 6 = 3 THEN '?a=1&b=2' ELSE '' END ||
+       |  CASE WHEN $idExpr % 8 = 0 THEN '#Section-2' ELSE '' END
        |  END""".stripMargin
 
   /** DuckDB twin of UrlCuration.hostOf on column `url` (assumes the
@@ -1205,21 +1217,27 @@ private[graft] object EntryShared {
   /** DuckDB twin of UrlCuration.registeredDomain on relation `h(…, host)`:
     * defines `d3(…, registered_domain, registered_domain_suffix)`.
     */
-  private[graft] lazy val duckRegDomainCtes: String = {
+  private[graft] lazy val duckRegDomainCtes: String = duckRegDomainCtesFrom("h")
+
+  /** [[duckRegDomainCtes]] parameterized by source relation and CTE
+    * prefix (defines `${px}3(…, registered_domain)`), so one WITH can
+    * derive domains for more than one host set (w08).
+    */
+  private[graft] def duckRegDomainCtesFrom(rel: String, px: String = "d"): String = {
     val d1 = wSuffixes.filter(!_.contains('.')).map(s => s"'$s'").mkString(", ")
     val d2 = wSuffixes.filter(_.contains('.')).map(s => s"'$s'").mkString(", ")
-    s"""d1 AS (SELECT *, string_split(lower(host), '.') AS __l,
-       |  len(string_split(lower(host), '.')) AS __n FROM h),
-       |d2 AS (SELECT *, CASE
+    s"""${px}1 AS (SELECT *, string_split(lower(host), '.') AS __l,
+       |  len(string_split(lower(host), '.')) AS __n FROM $rel),
+       |${px}2 AS (SELECT *, CASE
        |    WHEN __n >= 2 AND array_to_string(__l[__n - 1:__n], '.') IN ($d2) THEN 2
        |    WHEN __n >= 1 AND __l[__n] IN ($d1) THEN 1
-       |    WHEN __n >= 1 THEN 1 END AS __d FROM d1),
-       |d3 AS (SELECT *,
+       |    WHEN __n >= 1 THEN 1 END AS __d FROM ${px}1),
+       |${px}3 AS (SELECT *,
        |  CASE WHEN __d IS NOT NULL
        |    THEN array_to_string(__l[__n - __d + 1:__n], '.') END AS registered_domain_suffix,
        |  CASE WHEN __n >= __d + 1
        |    THEN array_to_string(__l[__n - __d:__n], '.') END AS registered_domain
-       |  FROM d2)""".stripMargin
+       |  FROM ${px}2)""".stripMargin
   }
 
 

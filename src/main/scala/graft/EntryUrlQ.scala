@@ -254,6 +254,86 @@ private[graft] object EntryUrlQ {
               |SELECT h.doc_id, h.url FROM h LEFT JOIN best b ON h.doc_id = b.doc_id
               |WHERE h.host IS NOT NULL AND h.p IS NOT NULL
               |  AND coalesce(b.s % 2 = 1, true)
-              |ORDER BY h.doc_id""".stripMargin))
+              |ORDER BY h.doc_id""".stripMargin)),
+
+    Q("w08_domain_authority",
+      (s, d) => {
+        val m = mgr(s, d)
+        // the web-graph capstone (r16): raw HTML → outlink extraction →
+        // registered-domain edges → 5 rounds of integer PageRank (g01's
+        // deterministic fixed-point kernel). Each doc links the pages of
+        // docs (7k+3)%391 and (13k+5)%391, so the domain graph is a
+        // deterministic cross-domain mesh; IPv6 rows quarantine out of
+        // BOTH endpoints via hostOf. The domain map is derived ONCE over
+        // the distinct hosts (config-sized) and broadcast back onto both
+        // edge endpoints — the corpus never pays the suffix probes
+        // per-link.
+        val docs = m.getDDFByName("documents").df
+          .select(col("doc_id"), syntheticUrl(12).as("src_url"),
+            concat(lit("<html><body><a href=\""),
+              syntheticUrlOf((col("doc_id") * 7 + 3) % 391, 12),
+              lit("\">x</a><a href=\""),
+              syntheticUrlOf((col("doc_id") * 13 + 5) % 391, 12),
+              lit("\">y</a></body></html>")).as("html"))
+        val links = pipeline.HtmlExtract.linkExtract(docs, "html", "src_url")
+          .filter(col("resolved").isNotNull)
+          .select(pipeline.UrlCuration.hostOf(col("src_url")).as("src_host"),
+            pipeline.UrlCuration.hostOf(col("resolved")).as("dst_host"))
+          .filter(col("src_host").isNotNull && col("dst_host").isNotNull)
+        val hosts = links.select(col("src_host").as("host"))
+          .union(links.select(col("dst_host").as("host"))).distinct()
+        val dom = pipeline.UrlCuration.registeredDomain(hosts, "host", wSuffixes)
+          .filter(col("registered_domain").isNotNull)
+          .select("host", "registered_domain")
+        val edges = links
+          .join(broadcast(dom.select(col("host").as("src_host"),
+            col("registered_domain").as("src"))), Seq("src_host"))
+          .join(broadcast(dom.select(col("host").as("dst_host"),
+            col("registered_domain").as("dst"))), Seq("dst_host"))
+          .select("src", "dst")
+        operators.Graph.pageRank(edges, "src", "dst", iterations = 5)
+          .orderBy(col("pr").desc, col("node"))
+      },
+      Some {
+        val base = s"""WITH u AS (SELECT doc_id,
+          |    ${duckUrlRawOf("doc_id", 12)} AS src_url,
+          |    '<html><body><a href="' ||
+          |    (${duckUrlRawOf("((doc_id * 7 + 3) % 391)", 12)}) ||
+          |    '">x</a><a href="' ||
+          |    (${duckUrlRawOf("((doc_id * 13 + 5) % 391)", 12)}) ||
+          |    '">y</a></body></html>' AS html
+          |  FROM documents),
+          |$duckLinkCtes,
+          |lh AS (SELECT ${duckHostExprOf("src_url")} AS src_host,
+          |    ${duckHostExprOf("resolved")} AS dst_host
+          |  FROM r WHERE resolved IS NOT NULL),
+          |lh2 AS (SELECT * FROM lh
+          |  WHERE src_host IS NOT NULL AND dst_host IS NOT NULL),
+          |hosts AS (SELECT DISTINCT src_host AS host FROM lh2
+          |          UNION SELECT DISTINCT dst_host FROM lh2),
+          |${duckRegDomainCtesFrom("hosts")},
+          |dm AS (SELECT host, registered_domain FROM d3
+          |  WHERE registered_domain IS NOT NULL),
+          |edges AS (SELECT DISTINCT a.registered_domain AS src,
+          |    b.registered_domain AS dst
+          |  FROM lh2 l JOIN dm a ON l.src_host = a.host
+          |  JOIN dm b ON l.dst_host = b.host),
+          |deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY src),
+          |nodes AS (SELECT DISTINCT src AS node FROM edges
+          |          UNION SELECT DISTINCT dst FROM edges),
+          |pr0 AS (SELECT node, 1000000::BIGINT AS pr FROM nodes)""".stripMargin
+        val iters = (0 until 5).map { k =>
+          s"""c$k AS (
+             |  SELECT e.dst AS node, sum(p.pr // d.outdeg)::BIGINT AS contrib
+             |  FROM edges e JOIN pr$k p ON e.src = p.node JOIN deg d ON e.src = d.src
+             |  GROUP BY e.dst),
+             |pr${k + 1} AS (
+             |  SELECT n.node,
+             |    (150000 + (85 * coalesce(c.contrib, 0)) // 100)::BIGINT AS pr
+             |  FROM nodes n LEFT JOIN c$k c ON n.node = c.node)""".stripMargin
+        }
+        s"${(base +: iters).mkString(",\n")}\n" +
+          "SELECT node, pr FROM pr5 ORDER BY pr DESC, node"
+      })
   )
 }
