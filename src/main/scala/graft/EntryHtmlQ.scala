@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 import EntryShared._
 
-/** SparkEntry query rows — HTML/markup extraction rows (ht01-ht05). Split from SparkEntry.scala by family
+/** SparkEntry query rows — HTML/markup extraction rows (ht01-ht08). Split from SparkEntry.scala by family
   * (r15 verdict ask #7); composed into the pinned registry by
   * [[SparkEntry.queries]].
   */
@@ -234,6 +234,95 @@ private[graft] object EntryHtmlQ {
               |      '[\\s\\x{00A0}]+', ' ', 'g')) AS anchor_text
               |  FROM x)
               |SELECT doc_id, href, anchor_text FROM y
-              |ORDER BY doc_id, href""".stripMargin))
+              |ORDER BY doc_id, href""".stripMargin)),
+
+    Q("ht07_crawl_admission",
+      (s, d) => {
+        val m = mgr(s, d)
+        // page-level admission signals (r16): the author-declared
+        // language and the meta-robots directives, with the standard
+        // admission predicate (noindex/none drops the page; policy
+        // lives in the query, the extractors stay mechanism). Variants
+        // cover both attribute orders, all quoting forms, messy
+        // spacing/case in the directive list, and full absence.
+        val id = col("doc_id")
+        val html = concat(lit("<html"),
+          when(id % 5 === 0, " lang=\"en\"><meta name=\"robots\" content=\"index, follow\">")
+            .when(id % 5 === 1, " lang='DE'><meta content='noindex' name='robots'>")
+            .when(id % 5 === 2, " lang=fr><meta name=robots content=\"NOINDEX , nofollow ,\">")
+            .when(id % 5 === 3, "><p>neither</p>")
+            .otherwise(" lang=\"en-US\"><meta name=\"robots\" content=\"none\">"),
+          lit("<body>b</body></html>"))
+        val docs = m.getDDFByName("documents").df
+          .select(col("doc_id"), html.as("html"))
+        val rb = pipeline.HtmlExtract.metaRobotsCol(col("html"))
+        docs.select(col("doc_id"),
+            pipeline.HtmlExtract.htmlLangCol(col("html")).as("lang"),
+            array_join(rb, ",").as("robots_csv"),
+            (!array_contains(rb, "noindex") && !array_contains(rb, "none"))
+              .as("admitted"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH u AS (SELECT doc_id, '<html' ||
+              |    CASE WHEN doc_id % 5 = 0
+              |      THEN ' lang="en"><meta name="robots" content="index, follow">'
+              |    WHEN doc_id % 5 = 1
+              |      THEN ' lang=''DE''><meta content=''noindex'' name=''robots''>'
+              |    WHEN doc_id % 5 = 2
+              |      THEN ' lang=fr><meta name=robots content="NOINDEX , nofollow ,">'
+              |    WHEN doc_id % 5 = 3 THEN '><p>neither</p>'
+              |    ELSE ' lang="en-US"><meta name="robots" content="none">' END ||
+              |    '<body>b</body></html>' AS html FROM documents),
+              |m AS (SELECT doc_id,
+              |    nullif(lower(regexp_replace(regexp_replace(regexp_extract(html,
+              |      '(?is)<html\\b[^>]*\\blang\\s*=\\s*("[^"]*"|''[^'']*''|[^\\s>]+)',
+              |      1), '^["'']', ''), '["'']$$', '')), '') AS lang,
+              |    list_filter(list_transform(string_split(coalesce(
+              |      ${duckAttrExpr("meta", "name", "robots", "content")}, ''), ','),
+              |      x -> trim(lower(x))), x -> x <> '') AS rb
+              |  FROM u)
+              |SELECT doc_id, lang,
+              |  coalesce(array_to_string(rb, ','), '') AS robots_csv,
+              |  NOT (list_contains(rb, 'noindex') OR list_contains(rb, 'none'))
+              |    AS admitted
+              |FROM m ORDER BY doc_id""".stripMargin)),
+
+    Q("ht08_sitemap_ingest",
+      (s, d) => {
+        val m = mgr(s, d)
+        // crawl seeding (r16): sitemap <loc> targets extracted (XML
+        // &amp; decoded — the synth escapes the query-string ampersands
+        // like a real sitemap must), canonicalized, and counted into
+        // seed groups — the same frontier shape link extraction feeds.
+        val id = col("doc_id")
+        def esc(u: Column) = replace(u, lit("&"), lit("&amp;"))
+        val xml = concat(lit("<urlset><url><loc> "),
+          esc(syntheticUrlOf((id * 11 + 2) % 391, 12)),
+          lit(" </loc></url><url><loc>"),
+          esc(syntheticUrlOf((id * 17 + 7) % 391, 12)),
+          lit("</loc></url></urlset>"))
+        val docs = m.getDDFByName("documents").df
+          .select(col("doc_id"), xml.as("xml"))
+        docs.select(explode(
+            pipeline.HtmlExtract.sitemapLocsCol(col("xml"))).as("loc"))
+          .select(pipeline.UrlCuration.urlNormalizeCol(col("loc")).as("url_norm"))
+          .filter(col("url_norm").isNotNull)
+          .groupBy("url_norm").agg(count(lit(1)).as("n_seeds"))
+          .orderBy("url_norm")
+      },
+      Some(s"""WITH u0 AS (SELECT doc_id, '<urlset><url><loc> ' ||
+              |    replace((${duckUrlRawOf("((doc_id * 11 + 2) % 391)", 12)}),
+              |      '&', '&amp;') ||
+              |    ' </loc></url><url><loc>' ||
+              |    replace((${duckUrlRawOf("((doc_id * 17 + 7) % 391)", 12)}),
+              |      '&', '&amp;') ||
+              |    '</loc></url></urlset>' AS xml FROM documents),
+              |l AS (SELECT unnest(regexp_extract_all(xml,
+              |    '(?is)<loc[^>]*>\\s*(.*?)\\s*</loc', 1)) AS u1 FROM u0),
+              |u2 AS (SELECT replace(u1, '&amp;', '&') AS url FROM l),
+              |${duckUrlNormCtesFrom("u2")}
+              |SELECT url_norm, count(*)::BIGINT AS n_seeds FROM p5
+              |WHERE url_norm IS NOT NULL GROUP BY url_norm
+              |ORDER BY url_norm""".stripMargin))
   )
 }

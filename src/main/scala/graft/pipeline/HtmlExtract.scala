@@ -249,6 +249,39 @@ object HtmlExtract {
       .select(col("src_url"), col("__a.href").as("href"),
         col("__a.anchor_text").as("anchor_text"))
 
+  /** `lang` attribute of the first `<html>` tag, lowercased (BCP 47
+    * tags are case-insensitive); NULL when absent — the author-declared
+    * language, the prior that language-ID scoring refines.
+    */
+  def htmlLangCol(html: Column): Column =
+    emptyToNull(lower(regexp_replace(regexp_replace(
+      regexp_extract(html,
+        "(?is)<html\\b[^>]*\\blang\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>]+)", 1),
+      "^[\"']", ""), "[\"']$", "")))
+
+  /** Page-level robots directives: the `<meta name="robots">` content
+    * split on commas, trimmed and lowercased, empty entries dropped —
+    * `["noindex", "nofollow"]`-style arrays ready for an admission
+    * predicate (the caller decides policy, e.g. `noindex`/`none` drops
+    * the page, `nofollow` drops its outlinks). Empty array when the
+    * tag is absent: REP default is index,follow.
+    */
+  def metaRobotsCol(html: Column): Column =
+    filter(
+      transform(split(coalesce(metaContent(html, "robots"), lit("")), ","),
+        d => trim(lower(d))),
+      d => d =!= "")
+
+  /** All `<loc>` targets of a sitemap document in document order —
+    * the crawl-seeding twin of [[hrefsCol]]: element text trimmed,
+    * `&amp;` decoded (XML requires escaped ampersands in URLs). Feeds
+    * [[UrlCuration.urlNormalize]] exactly like extracted links do.
+    */
+  def sitemapLocsCol(xml: Column): Column =
+    transform(
+      regexp_extract_all(xml, lit("(?is)<loc[^>]*>\\s*(.*?)\\s*</loc"), lit(1)),
+      u => replace(u, lit("&amp;"), lit("&")))
+
   /** The URL a crawl should DEDUP this page under: the rel=canonical
     * target resolved against the fetched URL when the page declares one
     * (and it resolves to a web URL), else the fetched URL itself. Feed

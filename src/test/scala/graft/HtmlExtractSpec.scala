@@ -144,6 +144,27 @@ class HtmlExtractSpec extends SparkTestBase {
     assert(ext.count() == 3)
   }
 
+  test("htmlLangCol / metaRobotsCol / sitemapLocsCol: declared lang, directives, loc targets") {
+    val r = Seq(
+      ("""<html LANG="en-US"><head><meta name="robots" content=" NOINDEX , nofollow ,">""", 0),
+      ("""<html lang=fr><meta content='none' name='robots'>""", 1),
+      ("""<html><p>neither</p>""", 2)).toDF("html", "i")
+      .select(col("i"), HtmlExtract.htmlLangCol(col("html")).as("l"),
+        HtmlExtract.metaRobotsCol(col("html")).as("rb"))
+      .collect().map(x => x.getInt(0) ->
+        (Option(x.getString(1)), x.getSeq[String](2))).toMap
+    assert(r(0) == (Some("en-us"), Seq("noindex", "nofollow")),
+      "case-folded lang; directives trimmed/lowercased, empties dropped")
+    assert(r(1) == (Some("fr"), Seq("none")), "both attr orders, unquoted lang")
+    assert(r(2) == (None, Seq()), "absent tag -> NULL lang, empty directives")
+    val locs = Seq(
+      """<urlset><url><loc> https://a.com/x?p=1&amp;q=2 </loc></url>
+        |<url><loc>https://b.org/y</loc></url></urlset>""".stripMargin)
+      .toDF("xml").select(HtmlExtract.sitemapLocsCol(col("xml")).as("l"))
+      .collect()(0).getSeq[String](0)
+    assert(locs == Seq("https://a.com/x?p=1&q=2", "https://b.org/y"))
+  }
+
   test("plan pins: extraction is shuffle-free; linkExtract has no Exchange") {
     val docs = spark.range(200).select(col("id"),
       concat(lit("<html><body><p>t"), col("id"),
