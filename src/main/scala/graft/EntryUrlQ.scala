@@ -314,20 +314,25 @@ private[graft] object EntryUrlQ {
           |${duckRegDomainCtesFrom("hosts")},
           |dm AS (SELECT host, registered_domain FROM d3
           |  WHERE registered_domain IS NOT NULL),
-          |edges AS (SELECT DISTINCT a.registered_domain AS src,
+          |edges AS MATERIALIZED (SELECT DISTINCT a.registered_domain AS src,
           |    b.registered_domain AS dst
           |  FROM lh2 l JOIN dm a ON l.src_host = a.host
           |  JOIN dm b ON l.dst_host = b.host),
-          |deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY src),
-          |nodes AS (SELECT DISTINCT src AS node FROM edges
+          |deg AS MATERIALIZED (SELECT src, count(*)::BIGINT AS outdeg
+          |  FROM edges GROUP BY src),
+          |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges
           |          UNION SELECT DISTINCT dst FROM edges),
-          |pr0 AS (SELECT node, 1000000::BIGINT AS pr FROM nodes)""".stripMargin
+          |pr0 AS MATERIALIZED (SELECT node, 1000000::BIGINT AS pr FROM nodes)""".stripMargin
+        // pr_k is referenced by BOTH c_k and pr_{k+1}: without AS
+        // MATERIALIZED DuckDB re-inlines the whole upstream regex
+        // pipeline 2^iterations times — measured 55 s / OOM-under-
+        // pressure at sf0.001 vs instant materialized
         val iters = (0 until 5).map { k =>
-          s"""c$k AS (
+          s"""c$k AS MATERIALIZED (
              |  SELECT e.dst AS node, sum(p.pr // d.outdeg)::BIGINT AS contrib
              |  FROM edges e JOIN pr$k p ON e.src = p.node JOIN deg d ON e.src = d.src
              |  GROUP BY e.dst),
-             |pr${k + 1} AS (
+             |pr${k + 1} AS MATERIALIZED (
              |  SELECT n.node,
              |    (150000 + (85 * coalesce(c.contrib, 0)) // 100)::BIGINT AS pr
              |  FROM nodes n LEFT JOIN c$k c ON n.node = c.node)""".stripMargin
