@@ -995,6 +995,53 @@ private[graft] object EntryCurationQ {
              |FROM cnt JOIN tot USING (doc_id)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    Q("t29_drop_common_lines",
+      (s, d) => {
+        val m = mgr(s, d)
+        // corpus-frequency LINE filtering (r16) — the CCNet-style
+        // boilerplate REWRITE t12 only scores: lines synthesized so a
+        // nav line and a footer (df = corpus) and a newsletter banner
+        // (df ≈ corpus/3) all exceed the threshold and vanish, while
+        // the body line and the 'para N' lines (df ≈ 7 per value at the
+        // gate scales) survive; the empty line is structure and is kept
+        // verbatim. Trimmed-form matching is exercised by the footer's
+        // padding.
+        val id = col("doc_id")
+        val txt = concat_ws("\n",
+          lit("NAV HOME ABOUT"),
+          concat(lit("body "), substring(col("text"), 1, 40)),
+          lit(""),
+          when(id % 3 === 0, "subscribe to our newsletter")
+            .otherwise(concat(lit("para "), (id % 50).cast("string"))),
+          lit("  (c) 2024 example corp  "))
+        val docs = m.getDDFByName("documents").df
+          .select(col("doc_id"), txt.as("text"))
+        pipeline.TextAnalysis.dropCommonLines(docs, "text", "doc_id",
+            dfThreshold = 20L)
+          .orderBy("id")
+      },
+      Some("""WITH t AS (SELECT doc_id, 'NAV HOME ABOUT' || chr(10) ||
+             |    'body ' || substr(text, 1, 40) || chr(10) || chr(10) ||
+             |    CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter'
+             |         ELSE 'para ' || (doc_id % 50)::VARCHAR END || chr(10) ||
+             |    '  (c) 2024 example corp  ' AS txt FROM documents),
+             |ln AS (SELECT doc_id, unnest(string_split(txt, chr(10))) AS line,
+             |    unnest(range(1, len(string_split(txt, chr(10))) + 1)) AS pos
+             |  FROM t),
+             |k AS (SELECT *, trim(line) AS kk FROM ln),
+             |dfc AS (SELECT kk, count(DISTINCT doc_id) AS c FROM k
+             |  WHERE kk <> '' GROUP BY kk),
+             |j AS (SELECT k.doc_id, k.pos, k.line, k.kk, coalesce(d.c, 0) AS c
+             |  FROM k LEFT JOIN dfc d ON k.kk = d.kk)
+             |SELECT doc_id AS id,
+             |  coalesce(array_to_string(list(line ORDER BY pos)
+             |    FILTER (WHERE NOT (kk <> '' AND c > 20)), chr(10)), '')
+             |    AS text_clean,
+             |  count(*)::BIGINT AS n_lines,
+             |  sum(CASE WHEN kk <> '' AND c > 20 THEN 1 ELSE 0 END)::BIGINT
+             |    AS n_dropped
+             |FROM j GROUP BY doc_id ORDER BY id""".stripMargin)),
+
     Q("t11_hashed_features",
       (s, d) => {
         val m = mgr(s, d)

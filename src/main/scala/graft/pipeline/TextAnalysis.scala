@@ -936,6 +936,43 @@ object TextAnalysis {
     * (COVER-the-corpus contract, same as c4Rules/hashedTokenFeatures).
     * Output: (id, n_shingles, n_common, boiler_ratio, keep).
     */
+  /** Corpus-frequency LINE filtering — the classic web-corpus cleanup
+    * that [[boilerplateScore]] only scores: a line whose trimmed form
+    * appears in more than `dfThreshold` distinct documents is
+    * boilerplate (nav bars, cookie banners, copyright footers) and is
+    * REMOVED from the text; the document survives with its remaining
+    * lines in original order. Empty/whitespace-only lines are kept
+    * verbatim and never counted (they are structure, not content).
+    * Output: (id, text_clean, n_lines, n_dropped).
+    *
+    * Scale shape: the line explode stays in its scan partition; the
+    * line-DF aggregate shuffles (id, trimmed-line) once with map-side
+    * distinct, and the rewrite regroups (id, pos, line) once — the one
+    * payload-sized shuffle a line-level REWRITE inherently needs (a
+    * production corpus bucketed by id pays only the DF exchange). The
+    * per-doc reassembly is an array_sort over that document's own
+    * lines, never a window over the corpus.
+    */
+  def dropCommonLines(df: DataFrame, textCol: String, idCol: String,
+                      dfThreshold: Long = 10L): DataFrame = {
+    require(dfThreshold >= 1, s"dfThreshold must be >= 1, got $dfThreshold")
+    val lines = df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("__k", trim(col("line")))
+    val lineDf = lines.filter(col("__k") =!= "")
+      .select("id", "__k").distinct()
+      .groupBy("__k").agg(count(lit(1)).as("__df"))
+    lines.join(lineDf, Seq("__k"), "left")
+      .withColumn("__drop", col("__k") =!= "" && col("__df") > dfThreshold)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("__drop"), 1L).otherwise(0L)).as("n_dropped"),
+        array_join(transform(array_sort(collect_list(
+            when(!col("__drop"), struct(col("pos"), col("line"))))),
+          s => s.getField("line")), "\n").as("text_clean"))
+      .select(col("id"), col("text_clean"), col("n_lines"), col("n_dropped"))
+  }
+
   def boilerplateScore(df: DataFrame, textCol: String, idCol: String,
                        dfThreshold: Long = 5L, maxRatio: Double = 0.5,
                        n: Int = 3): DataFrame = {

@@ -587,6 +587,35 @@ class CurationSpec extends SparkTestBase {
     assert(strict(7L), "unique doc survives any threshold")
   }
 
+  test("dropCommonLines: corpus-frequent lines removed in place, order kept, empties preserved") {
+    import spark.implicits._
+    val footer = "(c) example corp"
+    val docs = (1L to 5L).map(i =>
+      (i, s"NAV HOME\nbody text $i\n\n  $footer  \nunique tail $i")) ++
+      Seq((6L, "only original\nlines here"), (7L, footer))
+    val df = docs.toDF("doc_id", "text")
+    val out = TextAnalysis.dropCommonLines(df, "text", "doc_id", dfThreshold = 3L)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("text_clean"), r.getAs[Long]("n_lines"),
+          r.getAs[Long]("n_dropped")))).toMap
+    // NAV (df=5) and the footer (df=6, matched by TRIMMED form despite
+    // padding) drop; the empty line survives verbatim; order intact
+    assert(out(1L) == (("body text 1\n\nunique tail 1", 5L, 2L)), s"got ${out(1L)}")
+    assert(out(6L) == (("only original\nlines here", 2L, 0L)))
+    // a doc that was ONLY boilerplate rewrites to empty, not NULL
+    assert(out(7L) == (("", 1L, 1L)))
+    // threshold is strict >: at 5 the NAV line (df exactly 5) survives
+    val loose = TextAnalysis.dropCommonLines(df, "text", "doc_id", dfThreshold = 5L)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("n_dropped")).toMap
+    assert(loose(1L) == 1L, "only the df=6 footer drops at threshold 5")
+    // a repeated line WITHIN one doc counts that doc once for DF
+    val rep = TextAnalysis.dropCommonLines(
+      Seq((1L, "x\nx\nx"), (2L, "y")).toDF("doc_id", "text"),
+      "text", "doc_id", dfThreshold = 1L)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("n_dropped")).toMap
+    assert(rep(1L) == 0L, "within-doc repeats are not corpus frequency")
+  }
+
   test("ngramNovelty: first occurrence wins, exact shares, null text excluded") {
     import spark.implicits._
     val docs = Seq(
