@@ -231,11 +231,13 @@ object Bench {
     }
 
   /** One sample of one query: wall seconds, best-run CPU utilization,
-    * the calibration-probe seconds measured immediately before it, and
-    * the GC milliseconds this JVM collected DURING the sample (r14).
+    * the calibration-probe seconds measured immediately before it, the
+    * GC milliseconds this JVM collected DURING the sample (r14), and
+    * the memory-bandwidth probe seconds (r17; 0.0 = not measured, never
+    * rejects).
     */
   private[graft] case class Sample(wall: Double, util: Double, probe: Double,
-                                   gcMs: Long = 0L)
+                                   gcMs: Long = 0L, memProbe: Double = 0.0)
 
   /** A sample is GC-thrash when garbage collection ate more than 25% of
     * its wall time AND at least half a second absolute (routine young-gen
@@ -262,10 +264,24 @@ object Bench {
                                          gcRejected: Int, contended: Boolean,
                                          gcThrash: Boolean, converged: Boolean)
 
-  private[graft] def verdict(ss: Seq[Sample], probeFloor: Double): QueryVerdict = {
-    val starved = ss.count(s => isStarved(s.probe, probeFloor))
-    val thrash = ss.count(s => !isStarved(s.probe, probeFloor) && isGcThrash(s))
-    val clean = ss.filter(s => !isStarved(s.probe, probeFloor) && !isGcThrash(s))
+  /** A sample is rejected when EITHER calibration signal says the host
+    * was not quiet: the ALU spin (CPU starvation) or, since r17, the
+    * memory-bandwidth sweep (bus/LLC contention the ALU spin cannot
+    * see — the r16→r15 anchor-drift postmortem measured p08 swinging
+    * 1.9 s ↔ 6-10 s within one hour at IDENTICAL ALU-probe floors;
+    * see SCALE.md "r17 anchor-drift attribution"). memFloor defaults
+    * to infinity so Sample rows without a mem probe (unit tests, old
+    * artifacts) never reject on the new signal.
+    */
+  private[graft] def isRejected(s: Sample, probeFloor: Double,
+                                memFloor: Double = Double.PositiveInfinity): Boolean =
+    isStarved(s.probe, probeFloor) || isMemStarved(s.memProbe, memFloor)
+
+  private[graft] def verdict(ss: Seq[Sample], probeFloor: Double,
+                             memFloor: Double = Double.PositiveInfinity): QueryVerdict = {
+    val starved = ss.count(s => isRejected(s, probeFloor, memFloor))
+    val thrash = ss.count(s => !isRejected(s, probeFloor, memFloor) && isGcThrash(s))
+    val clean = ss.filter(s => !isRejected(s, probeFloor, memFloor) && !isGcThrash(s))
     if (clean.isEmpty)
       QueryVerdict(ss.minBy(_.wall), starved, thrash,
         contended = starved > 0, gcThrash = thrash > 0 || ss.exists(isGcThrash),
@@ -324,6 +340,61 @@ object Bench {
     */
   private def probeOnce(): Double = settledProbe(() => spinAllCores())
 
+  /** Memory-bandwidth calibration sweep (r17): every core streams its
+    * own slice of one shared 256 MiB long array (sequential sum — the
+    * slice exceeds any per-core cache share, so the sweep is DRAM-bound
+    * aggregate-bandwidth work, ~10-25 ms quiet on this host). This is
+    * the contention class the ALU spin is BLIND to: the r15→r16 anchor
+    * drift (p08 +44%, g05 +27% at identical ALU-probe floors) did not
+    * reproduce in same-host A/B runs, and the same binary later swung
+    * p08 1.9 s ↔ 6-10 s within an hour while ALU probes stayed clean on
+    * half the inflated rows — a neighbor saturating the memory bus slows
+    * every shuffle/scan-heavy query but not a register-resident LCG.
+    * The array is allocated and touched once per JVM (filling it also
+    * pages it in); contents are irrelevant to timing.
+    */
+  private val memProbeWords = 32 * 1024 * 1024 // 256 MiB of longs
+  private lazy val memProbeArr: Array[Long] = {
+    val a = new Array[Long](memProbeWords)
+    var i = 0
+    while (i < a.length) { a(i) = i.toLong; i += 1 }
+    a
+  }
+  private def memSweepAllCores(): Double = {
+    val arr = memProbeArr
+    val slice = arr.length / probeThreads
+    val t0 = System.nanoTime()
+    val ts = (0 until probeThreads).map { t =>
+      val th = new Thread(() => {
+        val from = t * slice
+        val until = if (t == probeThreads - 1) arr.length else from + slice
+        var s = 0L
+        var i = from
+        while (i < until) { s += arr(i); i += 1 }
+        probeSink = s
+      })
+      th.setDaemon(true)
+      th.start()
+      th
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+  /** min-of-2 like the ALU probe, but no extra settle sleep — it runs
+    * immediately after [[probeOnce]]'s settled pair, on a box that pair
+    * already settled.
+    */
+  private def memProbeOnce(): Double = math.min(memSweepAllCores(), memSweepAllCores())
+
+  /** Mem-probe rejection rule: same 1.5× ratio as the ALU probe but
+    * with a larger 10 ms absolute slack — DRAM bandwidth under this
+    * JVM's own page-cache churn jitters more than a register spin. A
+    * zero/absent memProbe (old Sample rows, unit tests) never rejects.
+    */
+  private[graft] def isMemStarved(memProbe: Double, floor: Double): Boolean =
+    memProbe > 0.0 && floor != Double.PositiveInfinity &&
+      memProbe > floor * 1.5 + 0.010
+
   /** The settle + min-of-2 rule as a pure(ish) function over an injected
     * spin, so BenchVerdictSpec can pin the discrimination logic without
     * burning cores (r14 verdict ask #8): self-noise decays between the
@@ -365,20 +436,24 @@ object Bench {
   private[graft] final class Sampler(
       spark: SparkSession,
       qs: Map[String, (SparkSession, String) => DataFrame]) {
-    // Seed the probe floor before any timed work; it only ever drops as
+    // Seed the probe floors before any timed work; they only ever drop as
     // quieter windows are observed (classification at the end uses the
-    // final global floor, so an inflated startup cannot hide contention).
+    // final global floors, so an inflated startup cannot hide contention).
     @volatile var probeFloor: Double = (1 to 5).map(_ => probeOnce()).min
+    @volatile var memFloor: Double = (1 to 5).map(_ => memProbeOnce()).min
 
     def warm(name: String, dir: String): Unit = materialize(qs(name)(spark, dir))
 
     /** One run → wall sec, cpu-utilization fraction of the whole box,
-      * the pre-sample calibration probe, and the GC ms collected inside
-      * the timed region (r14: a sample records its own heap pressure).
+      * the pre-sample calibration probes (ALU + memory bandwidth), and
+      * the GC ms collected inside the timed region (r14: a sample
+      * records its own heap pressure).
       */
     def timed(name: String, dir: String): Sample = {
       val p = probeOnce()
       probeFloor = math.min(probeFloor, p)
+      val mp = memProbeOnce()
+      memFloor = math.min(memFloor, mp)
       val cpu0 = osBean.getProcessCpuTime
       val g0 = gcMs
       val t0 = System.nanoTime()
@@ -392,7 +467,7 @@ object Bench {
       val wall = (System.nanoTime() - t0) / 1e9
       val cpuSec = (osBean.getProcessCpuTime - cpu0) / 1e9
       Sample(wall, cpuSec / (wall * Runtime.getRuntime.availableProcessors()),
-        p, gcMs - g0)
+        p, gcMs - g0, mp)
     }
 
     /** Sample `name` at least `base` times, extending to `cap` until the
@@ -404,7 +479,7 @@ object Bench {
       */
     def sampleQuery(name: String, dir: String, base: Int, cap: Int): Seq[Sample] = {
       var ss = Seq.fill(base)(timed(name, dir))
-      def clean = ss.filter(s => !isStarved(s.probe, probeFloor) && !isGcThrash(s))
+      def clean = ss.filter(s => !isRejected(s, probeFloor, memFloor) && !isGcThrash(s))
         .map(_.wall)
       while (base > 1 && !isConverged(clean) && ss.size < cap)
         ss = ss :+ timed(name, dir)
@@ -438,7 +513,8 @@ object Bench {
 
     val qs = SparkEntry.queries
     val sampler = new Sampler(spark, qs)
-    def verdict(ss: Seq[Sample]): QueryVerdict = Bench.verdict(ss, sampler.probeFloor)
+    def verdict(ss: Seq[Sample]): QueryVerdict =
+      Bench.verdict(ss, sampler.probeFloor, sampler.memFloor)
     // JVM/codegen warmup outside the timed region
     sampler.warm("q10_tpch_q1", sfDir)
 
@@ -502,20 +578,37 @@ object Bench {
     // 1.21-1.35× transient_host_noise — the self-heal working as
     // designed. a05's JIT-shelf read-rule is retired with its bench
     // row; a20 repeats at 0.72-0.86 s across all three runs.
-    val anchorPath = sys.env.getOrElse("SPARK_GRAFT_ANCHOR", "BENCH_anchor_r16.json")
+    val anchorPath = sys.env.getOrElse("SPARK_GRAFT_ANCHOR", "BENCH_anchor_r17.json")
+    // r17 (verdict ask #1): the PREVIOUS round's anchor rides along so a
+    // recut can never again absorb a cross-round drift — every run
+    // reports vs_prev_anchor beside vs_anchor, and a recut anchor whose
+    // own vs_prev_anchor geomean is off 1.0 carries its drift on its
+    // face instead of resetting the baseline silently.
+    val prevAnchorPath = sys.env.getOrElse("SPARK_GRAFT_PREV_ANCHOR",
+      "BENCH_anchor_r16.json")
     // ratios are only meaningful at the anchor's own scale factor — a
     // quick sf0.001 iteration run must not flag "suspects" against sf0.1
     // anchor numbers
     val anchorSf = anchorSfDir(anchorPath)
     val sfMatches = anchorSf.contains(sfDir)
+    val prevMatches = anchorSfDir(prevAnchorPath).contains(sfDir)
     val anchorQ = if (sfMatches) anchorMap(anchorPath, "queries") else Map.empty[String, Double]
     val anchorQ1 = if (sfMatches) anchorMap(anchorPath, "queries_sf1") else Map.empty[String, Double]
+    val prevQ = if (prevMatches) anchorMap(prevAnchorPath, "queries") else Map.empty[String, Double]
+    val prevQ1 = if (prevMatches) anchorMap(prevAnchorPath, "queries_sf1") else Map.empty[String, Double]
     def ratios(cur: Seq[(String, Double)], anchor: Map[String, Double]): Seq[(String, Double)] =
       cur.collect { case (k, v) if anchor.get(k).exists(_ > 0) => k -> v / anchor(k) }
     def vsAnchor = ratios(vs.map { case (k, v) => k -> v.best.wall }, anchorQ)
-    // suspect = over 2× anchor OR nothing but gc-thrash samples (r14)
+    def vsPrevAnchor = ratios(vs.map { case (k, v) => k -> v.best.wall }, prevQ)
+    // suspect = over 2× anchor, OR nothing but gc-thrash samples (r14),
+    // OR — r17, verdict ask #2: a11's 1.88× unconverged row escaped the
+    // net — unconverged/contended at ≥1.5× anchor. Every flag class now
+    // earns the in-record retry.
     def suspects = (vsAnchor.collect { case (k, r) if r > 2.0 => k } ++
-      vs.collect { case (k, v) if v.gcThrash => k }).distinct
+      vs.collect { case (k, v) if v.gcThrash => k } ++
+      vsAnchor.collect { case (k, r)
+        if r >= 1.5 && vs.exists { case (k2, v) =>
+          k2 == k && (!v.converged || v.contended) } => k }).distinct
     def gcQJson = intMap(gcQ.map { case (k, g) => k -> g.toInt })
     def vaJson = numMap2(vsAnchor)
     def suspectJson = nameList(suspects)
@@ -538,8 +631,9 @@ object Bench {
 
     def gcThrashJson = boolMap(vs.map { case (k, v) => k -> v.gcThrash })
     def gcRejJson = intMap(vs.map { case (k, v) => k -> v.gcRejected })
+    def vpaJson = numMap2(vsPrevAnchor)
     def assemble(extra: String): String =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","runs":$runs,"harness":"hash-materialized; r9: per-sample CPU calibration probe rejects starved samples; r14: per-sample GC delta rejects gc-thrash samples, sf1 tier runs in a forked fresh JVM (see Bench.scala scaladoc)","samples":$samplesJson,"probes":$probesJson,"probe_base":${sampler.probeFloor}%.3f,"best_run_cpu_util":$utilJson,"converged":$convJson,"contended":$contJson,"gc_thrash":$gcThrashJson,"rejected":$rejJson,"gc_rejected":$gcRejJson,"gc_ms":$gcHeadline,"gc_q_ms":$gcQJson,"anchor":"$anchorPath","vs_anchor":$vaJson,"suspect":$suspectJson,"retry":$headRetryJson$extra}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","runs":$runs,"harness":"hash-materialized; r9: per-sample CPU calibration probe rejects starved samples; r14: per-sample GC delta rejects gc-thrash samples, sf1 tier runs in a forked fresh JVM; r17: per-sample memory-bandwidth probe rejects bus-contended samples (see Bench.scala scaladoc)","samples":$samplesJson,"probes":$probesJson,"probe_base":${sampler.probeFloor}%.3f,"mem_probes":${memProbesMap(results)},"mem_probe_base":${sampler.memFloor}%.3f,"best_run_cpu_util":$utilJson,"converged":$convJson,"contended":$contJson,"gc_thrash":$gcThrashJson,"rejected":$rejJson,"gc_rejected":$gcRejJson,"gc_ms":$gcHeadline,"gc_q_ms":$gcQJson,"anchor":"$anchorPath","vs_anchor":$vaJson,"prev_anchor":"$prevAnchorPath","vs_prev_anchor":$vpaJson,"suspect":$suspectJson,"retry":$headRetryJson$extra}"""
 
     // the stdout line interleaves with sbt/Spark logging and has arrived
     // truncated in past rounds ("parsed": null) — ALSO write the JSON to
@@ -587,7 +681,8 @@ object Bench {
         sf1Render(triples1, sampler.probeFloor, anchorQ1, shortOf,
           gcMs - gc1, forked = false,
           retryRun = sus => retrySuspects(spark, sampler, dir, sus, anchorQ1,
-            sf1Runs, math.max(sf1Runs, sf1Cap)))
+            sf1Runs, math.max(sf1Runs, sf1Cap)),
+          memFloor = sampler.memFloor, prevAnchorQ1 = prevQ1)
       } finally graft.tools.Cleanup.deleteRecursively(dir) // ~10x sf0.1 on disk
     }
     val (sf1Json, sf1Compact) =
@@ -625,7 +720,8 @@ object Bench {
     // (near-empty on a clean run; names the victims with their ratios
     // on a contaminated one), degrading to full-map or geomean-only as
     // space allows. The complete map is always in the detail file.
-    val geo = f""""vs_anchor_geomean":${geomean(vsAnchor.map(_._2))}%.2f,"""
+    val geo = f""""vs_anchor_geomean":${geomean(vsAnchor.map(_._2))}%.2f,""" +
+      f""""vs_prev_anchor_geomean":${geomean(vsPrevAnchor.map(_._2))}%.2f,"""
     val withFullMap = compactWith(s""""vs_anchor":${shortRatioMap(vsAnchor)},""" + geo)
     val withHotMap = compactWith(
       s""""vs_anchor":${shortRatioMap(vsAnchor.filter(_._2 >= 1.2))},""" + geo)
@@ -665,6 +761,10 @@ object Bench {
   private[graft] def probesMap(xs: Seq[(String, Seq[Sample])]): String =
     xs.map { case (k, ss) =>
       "\"" + k + "\":" + ss.map(s => f"${s.probe}%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+  private[graft] def memProbesMap(xs: Seq[(String, Seq[Sample])]): String =
+    xs.map { case (k, ss) =>
+      "\"" + k + "\":" + ss.map(s => f"${s.memProbe}%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
 
   // ---- suspect-row self-healing (r16, r15 verdict ask #2) ----
@@ -710,7 +810,7 @@ object Bench {
         sampler.warm(name, dir)
         val ss = sampler.sampleQuery(name, dir, runs, cap)
         drainHeap(spark)
-        val v = verdict(ss, sampler.probeFloor)
+        val v = verdict(ss, sampler.probeFloor, sampler.memFloor)
         (name, v.best.wall, v.best.wall / a)
       }
     }
@@ -828,23 +928,31 @@ object Bench {
                                shortOf: String => String,
                                gcTier: Long, forked: Boolean,
                                retryRun: Seq[String] => Seq[(String, Double, Double)] =
-                                 _ => Seq.empty): (String, String) = {
+                                 _ => Seq.empty,
+                               memFloor: Double = Double.PositiveInfinity,
+                               prevAnchorQ1: Map[String, Double] = Map.empty): (String, String) = {
     val r1 = triples1.map { case (n, ss, _) => n -> ss }
     val gcQ1 = triples1.map { case (n, _, g) => n -> g.toInt }
-    val v1 = r1.map { case (k, ss) => k -> verdict(ss, probeFloor) }
+    val v1 = r1.map { case (k, ss) => k -> verdict(ss, probeFloor, memFloor) }
     def ratios(cur: Seq[(String, Double)], anchor: Map[String, Double]): Seq[(String, Double)] =
       cur.collect { case (k, v) if anchor.get(k).exists(_ > 0) => k -> v / anchor(k) }
     val vsAnchor1 = ratios(v1.map { case (k, v) => k -> v.best.wall }, anchorQ1)
-    // suspect = over 2× the committed anchor OR nothing but gc-thrash
-    // samples — either way the row is not evidence of a regression-free
-    // (or regressed) engine on its own
+    val vsPrev1 = ratios(v1.map { case (k, v) => k -> v.best.wall }, prevAnchorQ1)
+    // suspect = over 2× the committed anchor, OR nothing but gc-thrash
+    // samples, OR (r17, verdict ask #2) unconverged/contended at ≥1.5×
+    // anchor — a11's 1.88× unconverged row escaped the 2.0 net in r16.
+    // Either way the row is not evidence of a regression-free (or
+    // regressed) engine on its own.
     val suspects1 = (vsAnchor1.collect { case (k, r) if r > 2.0 => k } ++
-      v1.collect { case (k, v) if v.gcThrash => k }).distinct
+      v1.collect { case (k, v) if v.gcThrash => k } ++
+      vsAnchor1.collect { case (k, r)
+        if r >= 1.5 && v1.exists { case (k2, v) =>
+          k2 == k && (!v.converged || v.contended) } => k }).distinct
     val retried = retryRun(suspects1)
     val q1 = numMap(v1.map { case (k, v) => k -> v.best.wall })
     val t1 = v1.map(_._2.best.wall).sum
     val full =
-      f""","queries_sf1":$q1,"samples_sf1":${samplesMap(r1)},"probes_sf1":${probesMap(r1)},"converged_sf1":${boolMap(v1.map { case (k, v) => k -> v.converged })},"contended_sf1":${boolMap(v1.map { case (k, v) => k -> v.contended })},"gc_thrash_sf1":${boolMap(v1.map { case (k, v) => k -> v.gcThrash })},"rejected_sf1":${intMap(v1.map { case (k, v) => k -> v.rejected })},"gc_rejected_sf1":${intMap(v1.map { case (k, v) => k -> v.gcRejected })},"total_sf1":$t1%.3f,"gc_ms_sf1":$gcTier,"gc_q_ms_sf1":${intMap(gcQ1)},"vs_anchor_sf1":${numMap2(vsAnchor1)},"suspect_sf1":${nameList(suspects1)},"retry_sf1":${retryJson(retried)},"sf1_forked":$forked"""
+      f""","queries_sf1":$q1,"samples_sf1":${samplesMap(r1)},"probes_sf1":${probesMap(r1)},"mem_probes_sf1":${memProbesMap(r1)},"converged_sf1":${boolMap(v1.map { case (k, v) => k -> v.converged })},"contended_sf1":${boolMap(v1.map { case (k, v) => k -> v.contended })},"gc_thrash_sf1":${boolMap(v1.map { case (k, v) => k -> v.gcThrash })},"rejected_sf1":${intMap(v1.map { case (k, v) => k -> v.rejected })},"gc_rejected_sf1":${intMap(v1.map { case (k, v) => k -> v.gcRejected })},"total_sf1":$t1%.3f,"gc_ms_sf1":$gcTier,"gc_q_ms_sf1":${intMap(gcQ1)},"vs_anchor_sf1":${numMap2(vsAnchor1)},"vs_prev_anchor_sf1":${numMap2(vsPrev1)},"suspect_sf1":${nameList(suspects1)},"retry_sf1":${retryJson(retried)},"sf1_forked":$forked"""
     val compact = f""","queries_sf1":$q1,"total_sf1":$t1%.3f""" +
       s""","contended_sf1":${nameList(v1.collect { case (k, v) if v.contended => shortOf(k) })}""" +
       s""","gc_thrash_sf1":${nameList(v1.collect { case (k, v) if v.gcThrash => shortOf(k) })}""" +
@@ -947,11 +1055,20 @@ object BenchSf1 {
         if (Bench.anchorSfDir(anchorPath).contains(sfDir))
           Bench.anchorMap(anchorPath, "queries_sf1")
         else Map.empty[String, Double]
+      // the prev-anchor knob flows through the inherited environment,
+      // same default as the parent (r17)
+      val prevAnchorPath = sys.env.getOrElse("SPARK_GRAFT_PREV_ANCHOR",
+        "BENCH_anchor_r16.json")
+      val prevQ1 =
+        if (Bench.anchorSfDir(prevAnchorPath).contains(sfDir))
+          Bench.anchorMap(prevAnchorPath, "queries_sf1")
+        else Map.empty[String, Double]
       val short = Bench.shortNames((Bench.headline ++ Bench.sf1Set).distinct)
       val (full, compact) = Bench.sf1Render(triples1, sampler.probeFloor,
         anchorQ1, n => short.getOrElse(n, n), Bench.gcMs - gc1, forked = true,
         retryRun = sus => Bench.retrySuspects(spark, sampler, dir, sus,
-          anchorQ1, sf1Runs, math.max(sf1Runs, sf1Cap)))
+          anchorQ1, sf1Runs, math.max(sf1Runs, sf1Cap)),
+        memFloor = sampler.memFloor, prevAnchorQ1 = prevQ1)
       java.nio.file.Files.write(java.nio.file.Paths.get(fragOut),
         (full + "\n" + compact + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } finally {

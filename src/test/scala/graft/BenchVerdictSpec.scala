@@ -175,4 +175,66 @@ class BenchVerdictSpec extends AnyFunSuite {
     val flat = Bench.verdict(Seq(quiet(3.0), quiet(3.02), quiet(3.3)), floor)
     assert(flat.converged && flat.best.wall == 3.0)
   }
+
+  // ---- r17: memory-bandwidth probe + widened suspect net ----
+
+  private val memFloor = 0.015
+  private def memQuiet(wall: Double) =
+    Bench.Sample(wall, util = 0.5, probe = floor, gcMs = 0L, memProbe = memFloor)
+  private def memBusy(wall: Double) =
+    Bench.Sample(wall, util = 0.5, probe = floor, gcMs = 0L,
+      memProbe = memFloor * 3) // bus contended, ALU probe CLEAN
+
+  test("isMemStarved: 1.5x + 10ms slack; zero/absent probe never rejects") {
+    assert(!Bench.isMemStarved(0.0, memFloor)) // not measured
+    assert(!Bench.isMemStarved(memFloor, memFloor))
+    assert(!Bench.isMemStarved(memFloor * 1.5 + 0.009, memFloor))
+    assert(Bench.isMemStarved(memFloor * 1.5 + 0.011, memFloor))
+    // no floor observed (old artifacts/unit paths): never rejects
+    assert(!Bench.isMemStarved(9.9, Double.PositiveInfinity))
+  }
+
+  test("verdict: bus-contended samples rejected even when the ALU probe is clean") {
+    // the r16 anchor-drift shape: ALU probes at the floor while the
+    // memory bus is saturated — the inflated samples must not set the
+    // min or converge the row
+    val v = Bench.verdict(
+      Seq(memBusy(6.1), memQuiet(1.9), memBusy(9.3), memQuiet(1.95)),
+      floor, memFloor)
+    assert(v.best.wall == 1.9)
+    assert(v.rejected == 2)
+    assert(v.converged) // clean pair (1.9, 1.95) plateaus
+    // ALL samples bus-contended -> contended flag, never converged
+    val all = Bench.verdict(Seq(memBusy(6.0), memBusy(6.1)), floor, memFloor)
+    assert(all.contended && !all.converged && all.rejected == 2)
+    // default memFloor (absent) keeps pre-r17 behavior: memProbe ignored
+    val legacy = Bench.verdict(Seq(memBusy(6.0), memBusy(6.1)), floor)
+    assert(!legacy.contended && legacy.best.wall == 6.0)
+  }
+
+  test("sf1 suspect net: unconverged rows at >=1.5x anchor now retried (r17)") {
+    // a11's r16 escape: 1.88x anchor, unconverged, no retry. Descending
+    // samples (never converges) at 1.88x the anchor row must now reach
+    // the retry callback; a converged 1.88x row must NOT.
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val unconverged188 = ("a11_like", Seq(quiet(2.6), quiet(2.2), quiet(1.88)), 10L)
+    val converged188 = ("ok_188", Seq(quiet(1.88), quiet(1.9), quiet(1.92)), 10L)
+    val converged12 = ("ok_12", Seq(quiet(1.2), quiet(1.21), quiet(1.3)), 10L)
+    var asked: Seq[String] = null
+    val (full, _) = Bench.sf1Render(
+      Seq(unconverged188, converged188, converged12), floor,
+      Map("a11_like" -> 1.0, "ok_188" -> 1.0, "ok_12" -> 1.0), identity,
+      0L, forked = false,
+      retryRun = sus => { asked = sus; sus.map(n => (n, 1.9, 1.9)) })
+    assert(asked == Seq("a11_like"), s"expected only the unconverged 1.88x row, got $asked")
+    val doc = om.readTree("""{"a":1""" + full + "}")
+    assert(doc.get("retry_sf1").get("a11_like").get("attribution").asText() == "borderline")
+    // vs_prev_anchor_sf1 renders when a prev anchor is supplied
+    val (f2, _) = Bench.sf1Render(Seq(converged12), floor,
+      Map("ok_12" -> 1.0), identity, 0L, forked = false,
+      prevAnchorQ1 = Map("ok_12" -> 2.4))
+    val d2 = om.readTree("""{"a":1""" + f2 + "}")
+    assert(d2.get("vs_prev_anchor_sf1").get("ok_12").asDouble() == 0.5)
+    assert(d2.get("vs_anchor_sf1").get("ok_12").asDouble() == 1.2)
+  }
 }
