@@ -401,6 +401,230 @@ case class MatrixProject(child: Expression, matrix: Array[Array[Double]],
     copy(child = newChild)
 }
 
+/** Symmetric per-vector int8 quantization as ONE generated loop pair —
+  * the native form of `Similarity.quantizeInt8`'s HOF chain
+  * (`aggregate` for the scale pass + `transform` for the codes pass),
+  * which is CodegenFallback and therefore disables whole-stage codegen
+  * for the entire corpus-sized projection that derives the int8
+  * sidecar. That interpreted stage is what put a11_ivf_int8_rerank on
+  * per-JVM C2-JIT shelves (r16 verdict ask #2 — ProbeA11 measured every
+  * fresh JVM descending 7 s → 2 s over 4-6 runs with wsc=0 in the
+  * plan; the bench's warmup+3 samples land mid-descent, reproducing
+  * the recorded 1.9-4.2 s bimodality).
+  *
+  * Bit-identical arithmetic to the HOF chain on null-free input:
+  * scale = (ascending fold of max(acc, |x|), starting 0.0) / 127.0;
+  * codes(i) = floor(x/scale + 0.5) as int (the a04 portable rounding);
+  * zero scale → all-zero codes. Output struct(scale double,
+  * codes array<int>). Divergence from the HOF chain, documented: a
+  * NULL vector or a NULL ELEMENT yields NULL (the HOF chain produced
+  * struct(0.0, NULL) / null code elements) — every corpus in this repo
+  * schema-forbids both.
+  */
+case class QuantizeInt8(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def prettyName: String = "quantize_int8"
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("codes", ArrayType(IntegerType, containsNull = false), nullable = false)))
+  override def nullable: Boolean = child.nullable || childContainsNull
+
+  private def childIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  private def childContainsNull: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(t, _) if t == FloatType || t == DoubleType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects a float/double array, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val isF = childIsFloat; val checkNulls = childContainsNull
+    val n = a.numElements()
+    var m = 0.0; var i = 0
+    while (i < n) {
+      if (checkNulls && a.isNullAt(i)) return null
+      val x = math.abs(if (isF) a.getFloat(i).toDouble else a.getDouble(i))
+      if (x > m) m = x
+      i += 1
+    }
+    val scale = m / 127.0
+    val codes = new Array[Int](n)
+    if (scale != 0.0) {
+      i = 0
+      while (i < n) {
+        val x = if (isF) a.getFloat(i).toDouble else a.getDouble(i)
+        codes(i) = math.floor(x / scale + 0.5).toInt
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](scale,
+        org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray(codes)))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (childIsFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val m = ctx.freshName("m"); val x = ctx.freshName("x")
+      val sc = ctx.freshName("sc"); val codes = ctx.freshName("codes")
+      val nullGuard =
+        if (childContainsNull)
+          s"if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
+      s"""
+         |int $n = $a.numElements();
+         |double $m = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $nullGuard
+         |  double $x = java.lang.Math.abs((double) $a.$get($i));
+         |  if ($x > $m) { $m = $x; }
+         |}
+         |if (!${ev.isNull}) {
+         |  double $sc = $m / 127.0;
+         |  int[] $codes = new int[$n];
+         |  if ($sc != 0.0) {
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $codes[$i] = (int) java.lang.Math.floor((double) $a.$get($i) / $sc + 0.5);
+         |    }
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[] { (Object) $sc,
+         |      (Object) org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |        .fromPrimitiveArray($codes) });
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeInt8 =
+    copy(child = newChild)
+}
+
+/** cosine(u, dequantize(q8)) fused into one generated loop — the native
+  * form of `VectorCosine(u, transform(codes, c -> c * scale))`, whose
+  * `transform` is CodegenFallback and allocates a dequantized array per
+  * (query, corpus-row) pair in the int8 ANN scoring join — the hottest
+  * loop a11 runs. Element order and operations match the HOF chain
+  * exactly (y = (double)codes(i) * scale, folded ascending into
+  * dot/normU/normV), so the doubles — and therefore the oracle-pinned
+  * shortlist ranks — are bit-identical. Zero norm → 0.0; NULL struct,
+  * NULL field, or NULL element → NULL (the HOF chain null-propagates
+  * the same way).
+  */
+case class CosineDequantInt8(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def prettyName: String = "cosine_dequant_int8"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def leftIsFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  private def leftContainsNull: Boolean = left.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  }
+  private def codesContainNull: Boolean = right.dataType match {
+    case StructType(fields) => fields(1).dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => false
+    }
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(t, _), StructType(fs))
+        if (t == FloatType || t == DoubleType) && fs.length == 2 &&
+          fs(0).dataType == DoubleType &&
+          (fs(1).dataType match {
+            case ArrayType(IntegerType, _) => true
+            case _ => false
+          }) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects (float/double array, struct(scale double, " +
+            s"codes array<int>)), got ${left.dataType.simpleString} / " +
+            s"${right.dataType.simpleString}")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val row = r.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    if (row.isNullAt(0) || row.isNullAt(1)) return null
+    val scale = row.getDouble(0)
+    val codes = row.getArray(1)
+    val isF = leftIsFloat
+    val checkL = leftContainsNull; val checkR = codesContainNull
+    val n = math.min(a.numElements(), codes.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      if ((checkL && a.isNullAt(i)) || (checkR && codes.isNullAt(i))) return null
+      val x = if (isF) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = codes.getInt(i).toDouble * scale
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (leftIsFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, r) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val sc = ctx.freshName("sc"); val codes = ctx.freshName("codes")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb"); val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val elemGuard =
+        if (leftContainsNull || codesContainNull)
+          s"""if (${if (leftContainsNull) s"$a.isNullAt($i)" else "false"} ||
+             |    ${if (codesContainNull) s"$codes.isNullAt($i)" else "false"}) {
+             |  ${ev.isNull} = true; break;
+             |}""".stripMargin
+        else ""
+      s"""
+         |if ($r.isNullAt(0) || $r.isNullAt(1)) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $sc = $r.getDouble(0);
+         |  org.apache.spark.sql.catalyst.util.ArrayData $codes = $r.getArray(1);
+         |  int $n = java.lang.Math.min($a.numElements(), $codes.numElements());
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $elemGuard
+         |    double $x = (double) $a.$get($i);
+         |    double $y = (double) $codes.getInt($i) * $sc;
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = ($na == 0.0 || $nb == 0.0)
+         |      ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineDequantInt8 =
+    copy(left = l, right = r)
+}
+
 /** Session registration so `expr("vector_dot(a,b)")` / SQL can use the
   * native expressions (idempotent per session).
   */

@@ -11,6 +11,14 @@ object VectorFunctions {
   def cosine(u: Column, v: Column): Column =
     Bridge.column(VectorCosine(Bridge.expression(u), Bridge.expression(v)))
 
+  /** Native int8 quantization — see [[QuantizeInt8]]. */
+  def quantizeInt8(v: Column): Column =
+    Bridge.column(QuantizeInt8(Bridge.expression(v)))
+
+  /** Fused cosine(u, dequantize(q8)) — see [[CosineDequantInt8]]. */
+  def cosineDequantInt8(u: Column, q8: Column): Column =
+    Bridge.column(CosineDequantInt8(Bridge.expression(u), Bridge.expression(q8)))
+
   /** Unicode normalization (default NFC) — the dedup-key canonicalizer
     * (see [[UnicodeNormalize]]).
     */

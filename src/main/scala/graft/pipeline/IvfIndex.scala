@@ -271,10 +271,15 @@ object IvfIndex {
         "only re-rank what the quantized pass kept")
     val probes = broadcast(
       probeFrame(index, queries, vecCol, queryIdCol, nprobe))
+    // r17: fused native cosine∘dequantize — the per-pair `transform`
+    // dequantize was CodegenFallback, keeping the hottest loop of the
+    // int8 path (|probed cells| × corpus pairs) interpreted; the fused
+    // expression is bit-identical (same element order and operations)
+    // so the oracle-pinned shortlist ranks are unchanged
     val approx = quantizedSidecar(index).join(probes, "cell")
       .select(col("query_id"), col("id"),
-        graft.functions.VectorFunctions.cosine(
-          col("qv"), Similarity.dequantize(col("q8"))).as("cos8"))
+        graft.functions.VectorFunctions.cosineDequantInt8(
+          col("qv"), col("q8")).as("cos8"))
     val short = graft.operators.Views
       .topKWithRank(approx, "query_id", "cos8", "id", shortlist)
       .select("query_id", "id")

@@ -236,17 +236,15 @@ object Similarity {
     * "round" builtins disagree across engines on ties (half-up vs
     * half-away-from-zero), floor(+0.5) is the same everywhere. Zero
     * vectors get scale 0 and all-zero codes.
+    *
+    * r17: delegates to the native codegen expression
+    * [[graft.functions.QuantizeInt8]] (bit-identical arithmetic) — the
+    * previous `aggregate`+`transform` HOF chain was CodegenFallback and
+    * kept the corpus-sized sidecar projection out of whole-stage
+    * codegen (the a11 JIT-shelf attribution, see the expression's doc).
     */
-  def quantizeInt8(v: Column): Column = {
-    val scale = greatest(aggregate(v, lit(0.0d),
-      (acc, x) => greatest(acc, abs(x.cast("double")))), lit(0.0d)) / lit(127.0d)
-    struct(
-      scale.as("scale"),
-      when(scale === 0.0d, transform(v, _ => lit(0)))
-        .otherwise(transform(v,
-          x => floor(x.cast("double") / scale + lit(0.5d)).cast("int")))
-        .as("codes"))
-  }
+  def quantizeInt8(v: Column): Column =
+    graft.functions.VectorFunctions.quantizeInt8(v)
 
   /** Reconstruct the (lossy) double vector from a [[quantizeInt8]] struct. */
   def dequantize(q: Column): Column =

@@ -234,4 +234,65 @@ class VectorExprSpec extends SparkTestBase {
     assert(clustered > isotropic + 0.2,
       s"gate must separate the regimes: clustered=$clustered isotropic=$isotropic")
   }
+
+  // ---- r17: native int8 kernels (the a11 JIT-shelf fix) ----
+
+  test("QuantizeInt8: bit-parity with the HOF chain; zero vector; codegen active") {
+    import spark.implicits._
+    val rng = new scala.util.Random(17)
+    val df = ((1 to 60).map(i => (i, Array.fill(24)(rng.nextGaussian().toFloat))) :+
+      (61, Array.fill(24)(0.0f))).toDF("id", "v")
+    // the retired HOF formulation, inlined here as the parity oracle
+    val hofScale = expr("greatest(aggregate(v, 0.0d, (acc, x) -> " +
+      "greatest(acc, abs(cast(x as double)))), 0.0d) / 127.0d")
+    val rows = df.select(
+        VectorFunctions.quantizeInt8(col("v")).as("nq"),
+        struct(hofScale.as("scale"),
+          when(hofScale === 0.0d, expr("transform(v, x -> 0)"))
+            .otherwise(expr("transform(v, x -> cast(floor(cast(x as double) / " +
+              "(greatest(aggregate(v, 0.0d, (acc, x) -> greatest(acc, " +
+              "abs(cast(x as double)))), 0.0d) / 127.0d) + 0.5d) as int))"))
+            .as("codes")).as("hq"))
+      .collect()
+    rows.foreach { r =>
+      val n = r.getStruct(0); val h = r.getStruct(1)
+      assert(n.getDouble(0) == h.getDouble(0), "scale mismatch")
+      assert(n.getSeq[Int](1) == h.getSeq[Int](1), "codes mismatch")
+    }
+    // codegen active: the projection stays inside a WholeStageCodegen
+    // stage (range source — a LocalRelation would constant-fold away)
+    val rdf = spark.range(10).select(
+      array((0 to 3).map(i => (col("id") + i).cast("float")): _*).as("v"))
+    val q = rdf.select(VectorFunctions.quantizeInt8(col("v")).as("q8"))
+    assert(q.queryExecution.executedPlan.toString.contains("*(1) Project [quantize_int8"),
+      "quantize_int8 must not force a codegen fallback")
+    assert(q.count() == 10)
+    // null vector -> null struct (documented divergence from the HOF chain)
+    val nv = Seq((1, Option.empty[Array[Float]])).toDF("id", "v")
+      .select(VectorFunctions.quantizeInt8(col("v"))).collect()
+    assert(nv(0).isNullAt(0))
+  }
+
+  test("CosineDequantInt8: bit-parity with cosine(u, dequantize(q8)); codegen active") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    val df = (1 to 60).map(i => (i,
+        Array.fill(24)(rng.nextGaussian().toFloat),
+        Array.fill(24)(rng.nextGaussian().toFloat))).toDF("id", "q", "v")
+      .withColumn("q8", VectorFunctions.quantizeInt8(col("v")))
+    val rows = df.select(
+        VectorFunctions.cosineDequantInt8(col("q"), col("q8")).as("fused"),
+        VectorFunctions.cosine(col("q"), Similarity.dequantize(col("q8"))).as("chain"))
+      .collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+      s"fused/chain cosine mismatch: ${r.getDouble(0)} vs ${r.getDouble(1)}"))
+    val rdf = spark.range(10).select(
+      array((0 to 3).map(i => (col("id") + i).cast("float")): _*).as("qv"),
+      array((0 to 3).map(i => (col("id") * i).cast("float")): _*).as("v"))
+    val q = rdf.select(VectorFunctions.cosineDequantInt8(col("qv"),
+      VectorFunctions.quantizeInt8(col("v"))).as("c"))
+    assert(q.queryExecution.executedPlan.toString.contains("*(1) Project [cosine_dequant_int8"),
+      "cosine_dequant_int8 must not force a codegen fallback")
+    assert(q.count() == 10)
+  }
 }
