@@ -54,9 +54,28 @@ private[graft] object EntryHtmlQ {
         // quarantined to NULL and dropped) → one key-only dedup shuffle →
         // registered domain (broadcast suffix probes) → per-domain cap of
         // the 3 most-linked canonical URLs, payload never under a window
+        // r17 planted rows (verdict ask #3): eight docs exercising the
+        // RFC 3986 seams the organic corpus lacks — `../`/`./` hrefs,
+        // a RELATIVE `<base href>` that itself needs dot removal, a
+        // query-only href, an absolute href with dot segments, and a
+        // data-href decoy the [\s"'] boundary must NOT extract
+        val planted = m.getDDFByName("documents").df.filter(col("doc_id") < 8)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(lit("https://plant-"), (col("doc_id") % 4).cast("string"),
+              lit(".example.com/a/b/c.html?s=2")).as("src_url"),
+            concat(lit("<html><head>"),
+              when(col("doc_id") % 2 === 0, lit("<base href=\"../up/\">"))
+                .otherwise(lit("")),
+              lit("</head><body><a href=\"../x/"),
+              (col("doc_id") % 3).cast("string"),
+              lit("\">u</a><a href=\"./same/p\">s</a><a href=\"?only=1\">q</a>"),
+              lit("<a data-href=\"/decoy\">d</a><a href=\"/abs/../z\">z</a>"),
+              lit("<a href=\"https://ext.example.org/p/../q/./r\">e</a>"),
+              lit("</body></html>")).as("html"))
         val docs = m.getDDFByName("documents").df
           .select(col("doc_id"), syntheticBaseUrl.as("src_url"),
             syntheticHtml.as("html"))
+          .unionByName(planted)
         val links = pipeline.HtmlExtract.linkExtract(docs, "html", "src_url")
         val canon = links
           .select(pipeline.UrlCuration.urlNormalizeCol(col("resolved")).as("url_norm"))
@@ -73,7 +92,20 @@ private[graft] object EntryHtmlQ {
           .orderBy("registered_domain", "url_norm")
       },
       Some(s"""WITH u AS (SELECT doc_id, $duckBaseUrlRaw AS src_url,
-              |    $duckHtmlRaw AS html FROM documents),
+              |    $duckHtmlRaw AS html FROM documents
+              |  UNION ALL
+              |  SELECT doc_id + 2000000 AS doc_id,
+              |    'https://plant-' || (doc_id % 4)::VARCHAR ||
+              |      '.example.com/a/b/c.html?s=2' AS src_url,
+              |    '<html><head>' ||
+              |      CASE WHEN doc_id % 2 = 0 THEN '<base href="../up/">'
+              |        ELSE '' END ||
+              |      '</head><body><a href="../x/' || (doc_id % 3)::VARCHAR ||
+              |      '">u</a><a href="./same/p">s</a><a href="?only=1">q</a>' ||
+              |      '<a data-href="/decoy">d</a><a href="/abs/../z">z</a>' ||
+              |      '<a href="https://ext.example.org/p/../q/./r">e</a>' ||
+              |      '</body></html>' AS html
+              |  FROM documents WHERE doc_id < 8),
               |$duckLinkCtes,
               |u2 AS (SELECT resolved AS url FROM r WHERE resolved IS NOT NULL),
               |${duckUrlNormCtesFrom("u2")},
@@ -160,12 +192,22 @@ private[graft] object EntryHtmlQ {
         // the canonical URL + one anti-join on the same key; payloads
         // never shuffle.
         val id = col("doc_id")
+        // r17: id%7==3 docs declare a <base href> (their relative links
+        // re-root), id%5==2 docs emit a `../` link — both seams
+        // oracle-pinned through the same anti-join
         val html = concat(
-          lit("<html><body><a href=\""), baseUrlOf(id + 1),
+          lit("<html><head>"),
+          when(id % 7 === 3, concat(lit("<base href=\"https://rebase-"),
+            (id % 6).cast("string"), lit(".example.org/d/e/\">")))
+            .otherwise(lit("")),
+          lit("</head><body><a href=\""), baseUrlOf(id + 1),
           lit("\">k</a><a href=\"https://new-"), (id % 50).cast("string"),
           lit(".example.org/n/"), (id % 7).cast("string"),
           lit("?utm_source=x&id="), (id % 11).cast("string"),
-          lit("\">n</a></body></html>"))
+          lit("\">n</a>"),
+          when(id % 5 === 2, concat(lit("<a href=\"../up/"),
+            (id % 9).cast("string"), lit("\">r</a>"))).otherwise(lit("")),
+          lit("</body></html>"))
         val docs = m.getDDFByName("documents").df
           .select(col("doc_id"), syntheticBaseUrl.as("src_url"), html.as("html"))
         val links = pipeline.HtmlExtract.linkExtract(docs, "html", "src_url")
@@ -180,11 +222,19 @@ private[graft] object EntryHtmlQ {
           .orderBy("url_norm")
       },
       Some(s"""WITH u AS (SELECT doc_id, ${duckBaseUrlRawOf("doc_id")} AS src_url,
-              |    '<html><body><a href="' || (${duckBaseUrlRawOf("(doc_id + 1)")}) ||
+              |    '<html><head>' ||
+              |    CASE WHEN doc_id % 7 = 3 THEN '<base href="https://rebase-' ||
+              |      (doc_id % 6)::VARCHAR || '.example.org/d/e/">'
+              |      ELSE '' END ||
+              |    '</head><body><a href="' || (${duckBaseUrlRawOf("(doc_id + 1)")}) ||
               |    '">k</a><a href="https://new-' || (doc_id % 50)::VARCHAR ||
               |    '.example.org/n/' || (doc_id % 7)::VARCHAR ||
               |    '?utm_source=x&id=' || (doc_id % 11)::VARCHAR ||
-              |    '">n</a></body></html>' AS html
+              |    '">n</a>' ||
+              |    CASE WHEN doc_id % 5 = 2 THEN '<a href="../up/' ||
+              |      (doc_id % 9)::VARCHAR || '">r</a>'
+              |      ELSE '' END ||
+              |    '</body></html>' AS html
               |  FROM documents),
               |$duckLinkCtes,
               |u2 AS (SELECT resolved AS url FROM r WHERE resolved IS NOT NULL),
@@ -219,10 +269,10 @@ private[graft] object EntryHtmlQ {
       Some(s"""WITH u AS (SELECT doc_id, $duckHtmlRaw AS html FROM documents),
               |l AS (SELECT doc_id,
               |    regexp_extract_all(html,
-              |      '(?is)<a\\b[^>]*\\bhref\\s*=\\s*("[^"]*"|''[^'']*''|[^\\s>]+)[^>]*>(.*?)</a',
+              |      '(?is)<a\\b[^>]*[\\s"'']href\\s*=\\s*("[^"]*"|''[^'']*''|[^\\s>]+)[^>]*>(.*?)</a',
               |      1) AS hs,
               |    regexp_extract_all(html,
-              |      '(?is)<a\\b[^>]*\\bhref\\s*=\\s*("[^"]*"|''[^'']*''|[^\\s>]+)[^>]*>(.*?)</a',
+              |      '(?is)<a\\b[^>]*[\\s"'']href\\s*=\\s*("[^"]*"|''[^'']*''|[^\\s>]+)[^>]*>(.*?)</a',
               |      2) AS ts
               |  FROM u),
               |x AS (SELECT doc_id, unnest(hs) AS h0, unnest(ts) AS t0 FROM l),

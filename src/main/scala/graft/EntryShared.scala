@@ -1351,35 +1351,92 @@ private[graft] object EntryShared {
       |    AS text_extracted
       |  FROM e3)""".stripMargin
 
-  /** DuckDB transliteration of HtmlExtract.hrefsCol + resolveHrefCol as
-    * CTE steps: expects `u(…, src_url, html)`, defines
-    * `r(…, href, resolved)` — one row per extracted href.
+  /** RFC 3986 §5.3 reference-resolution CASE over column exprs
+    * `base`/`th` (th already trimmed): the exact DuckDB twin of the
+    * branch chain in `HtmlExtract.resolveHrefCol` BEFORE dot-segment
+    * removal. Emits one SQL expression; callers wrap the result column
+    * with [[duckRemoveDotsCtes]].
+    */
+  private[graft] def duckResolveCase(base: String, th: String): String =
+    s"""CASE
+       |      WHEN $th IS NULL OR $th = '' OR substr($th, 1, 1) = '#' THEN NULL
+       |      WHEN regexp_matches($th, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN
+       |        CASE WHEN regexp_matches($th, '^(?i)https?://') THEN $th END
+       |      WHEN regexp_extract($base,
+       |        '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) = '' THEN NULL
+       |      WHEN substr($th, 1, 2) = '//' THEN
+       |        lower(regexp_extract($base, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) ||
+       |        ':' || $th
+       |      WHEN substr($th, 1, 1) = '/' THEN
+       |        regexp_extract($base, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) ||
+       |        $th
+       |      WHEN substr($th, 1, 1) = '?' THEN
+       |        regexp_replace($base, '[?#].*', '') || $th
+       |      ELSE CASE WHEN regexp_matches(regexp_replace($base, '[?#].*', ''),
+       |          '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*$$')
+       |        THEN regexp_replace($base, '[?#].*', '') || '/'
+       |        ELSE regexp_replace(regexp_replace($base, '[?#].*', ''),
+       |          '/[^/]*$$', '/') END || $th END""".stripMargin
+
+  /** DuckDB twin of `HtmlExtract.removeDotSegmentsCol` as CTE steps over
+    * `$inRel.$urlCol`: defines `$outRel(…, $outCol)`. Same pass order
+    * (`./` runs → trailing `/.` → [[pipeline.HtmlExtract.dotSegmentBound]]
+    * parent-pair passes → leading `/..`), patterns transliterated 1:1
+    * (DuckDB needs the explicit 'g' flag where Spark replaces globally);
+    * query/fragment split off and re-attached verbatim.
+    */
+  private[graft] def duckRemoveDotsCtes(inRel: String, urlCol: String,
+                                        outRel: String, outCol: String,
+                                        px: String): String = {
+    val parent8 = (1 to pipeline.HtmlExtract.dotSegmentBound).foldLeft(s"${px}_p1")(
+      (e, _) => s"regexp_replace($e,\n      " +
+        s"'/(\\.\\.[^/]+|\\.[^./][^/]*|[^./][^/]*)/\\.\\.(/|$$)', '/', 'g')")
+    s"""${px}a AS (SELECT *, regexp_extract($urlCol,
+       |    '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) AS ${px}_o FROM $inRel),
+       |${px}b AS (SELECT *, substring($urlCol, length(${px}_o) + 1) AS ${px}_rest
+       |  FROM ${px}a),
+       |${px}c AS (SELECT *,
+       |    regexp_replace(regexp_replace(regexp_replace(${px}_rest,
+       |      '[?#].*', ''), '/(\\./)+', '/', 'g'), '/\\.$$', '/') AS ${px}_p1,
+       |    regexp_extract(${px}_rest, '([?#].*)', 1) AS ${px}_t FROM ${px}b),
+       |${px}d AS (SELECT *, $parent8 AS ${px}_p2 FROM ${px}c),
+       |$outRel AS (SELECT *, CASE WHEN $urlCol IS NULL THEN NULL
+       |      WHEN ${px}_o = '' THEN $urlCol
+       |      ELSE ${px}_o ||
+       |        regexp_replace(${px}_p2, '^(/\\.\\.)+(/|$$)', '/') ||
+       |        ${px}_t END AS $outCol
+       |  FROM ${px}d)""".stripMargin
+  }
+
+  /** DuckDB transliteration of HtmlExtract.linkExtract (hrefsCol +
+    * effectiveBaseUrl + resolveHrefCol) as CTE steps: expects
+    * `u(doc_id, src_url, html)`, defines `r(doc_id, src_url, href,
+    * resolved)` — one row per extracted href, resolved against the
+    * page's `<base href>` when declared (r17), dot-segments removed.
+    * The href boundary is `[\s"']` (r17 advice: `\b` also matched
+    * `data-href`/`xlink:href`).
     */
   private[graft] lazy val duckLinkCtes: String =
-    """l AS (SELECT doc_id, src_url, unnest(regexp_extract_all(html,
-      |    '(?i)<a\b[^>]*\bhref\s*=\s*("[^"]*"|''[^'']*''|[^\s>]+)', 1)) AS h0
-      |  FROM u),
-      |hr AS (SELECT doc_id, src_url, replace(regexp_replace(regexp_replace(h0,
-      |    '^["'']', ''), '["'']$', ''), '&amp;', '&') AS href FROM l),
-      |rb AS (SELECT *, trim(href) AS th,
-      |    regexp_extract(src_url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)
-      |      AS origin,
-      |    lower(regexp_extract(src_url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
-      |      AS bscheme,
-      |    regexp_replace(src_url, '[?#].*', '') AS bstripped
-      |  FROM hr),
-      |rc AS (SELECT *, CASE WHEN regexp_matches(bstripped,
-      |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*$') THEN bstripped || '/'
-      |    ELSE regexp_replace(bstripped, '/[^/]*$', '/') END AS bdir FROM rb),
-      |r AS (SELECT doc_id, src_url, href, CASE
-      |      WHEN th = '' OR substr(th, 1, 1) = '#' THEN NULL
-      |      WHEN regexp_matches(th, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN
-      |        CASE WHEN regexp_matches(th, '^(?i)https?://') THEN th END
-      |      WHEN origin = '' THEN NULL
-      |      WHEN substr(th, 1, 2) = '//' THEN bscheme || ':' || th
-      |      WHEN substr(th, 1, 1) = '/' THEN origin || th
-      |      ELSE bdir || th END AS resolved
-      |  FROM rc)""".stripMargin
+    s"""bh0 AS (SELECT doc_id, src_url, html,
+       |    trim(nullif(replace(regexp_replace(regexp_replace(
+       |      regexp_extract(html,
+       |        '(?is)<base\\b[^>]*[\\s"'']href\\s*=\\s*("[^"]*"|''[^'']*''|[^\\s>]+)',
+       |        1),
+       |      '^["'']', ''), '["'']$$', ''), '&amp;', '&'), '')) AS bth
+       |  FROM u),
+       |bh1 AS (SELECT *, ${duckResolveCase("src_url", "bth")} AS br0 FROM bh0),
+       |${duckRemoveDotsCtes("bh1", "br0", "bh2", "brr", "bz")},
+       |eb0 AS (SELECT doc_id, src_url, html,
+       |    coalesce(brr, src_url) AS eb FROM bh2),
+       |l AS (SELECT doc_id, src_url, eb, unnest(regexp_extract_all(html,
+       |    '(?i)<a\\b[^>]*[\\s"'']href\\s*=\\s*("[^"]*"|''[^'']*''|[^\\s>]+)', 1)) AS h0
+       |  FROM eb0),
+       |hr AS (SELECT doc_id, src_url, eb, replace(regexp_replace(regexp_replace(h0,
+       |    '^["'']', ''), '["'']$$', ''), '&amp;', '&') AS href FROM l),
+       |rb AS (SELECT doc_id, src_url, eb, href, trim(href) AS th FROM hr),
+       |rc AS (SELECT *, ${duckResolveCase("eb", "th")} AS r0 FROM rb),
+       |${duckRemoveDotsCtes("rc", "r0", "rz", "resolved0", "rz")},
+       |r AS (SELECT doc_id, src_url, href, resolved0 AS resolved FROM rz)""".stripMargin
 
   // ---- ht04 html-metadata oracle helpers (r16) ----
 

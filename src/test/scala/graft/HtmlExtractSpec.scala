@@ -74,6 +74,57 @@ class HtmlExtractSpec extends SparkTestBase {
     assert(got == cases.map(_._3))
   }
 
+  test("resolveHref r17: dot segments, query-only refs, <base href> chain") {
+    val cases = Seq(
+      // dot-segment removal (RFC 3986 §5.2.4) after the merge
+      ("https://h.com/a/b/c", "../x", Some("https://h.com/a/x")),
+      ("https://h.com/a/b/c", "./x", Some("https://h.com/a/b/x")),
+      ("https://h.com/a/b/", "../../x", Some("https://h.com/x")),
+      ("https://h.com/a/", "../../../x", Some("https://h.com/x")), // above root clamps
+      ("https://h.com/a/b/c", "..", Some("https://h.com/a/")),
+      ("https://h.com/a/b/c", ".", Some("https://h.com/a/b/")),
+      ("https://h.com/a/b/c", "d/./e/../f", Some("https://h.com/a/b/d/f")),
+      // dots in the query survive verbatim
+      ("https://h.com/a/b", "x?next=../up", Some("https://h.com/a/x?next=../up")),
+      // absolute hrefs get dot removal too
+      ("https://h.com/", "https://o.org/p/../q/./r", Some("https://o.org/q/r")),
+      // query-only ref keeps the FULL base path (r16 advice)
+      ("http://h/a/b?old=1", "?q=1", Some("http://h/a/b?q=1")),
+      ("https://h.com", "?q=1", Some("https://h.com?q=1")),
+      // dotted segments that are NOT dot segments survive
+      ("https://h.com/a/", "..x/.y/z", Some("https://h.com/a/..x/.y/z")))
+    val got = cases.map { case (b, h, _) => (b, h) }.toDF("base", "href")
+      .select(HtmlExtract.resolveHrefCol(col("base"), col("href")).as("r"))
+      .collect().toSeq.map(r => Option(r.getString(0)))
+    got.zip(cases).foreach { case (g, (b, h, e)) =>
+      assert(g == e, s"resolve($b, $h): got $g, want $e")
+    }
+  }
+
+  test("r17: base href re-roots relative links; data-href is not a link") {
+    val df = Seq(
+      (1L, "https://h.com/a/b/c.html",
+        """<html><head><base href="../up/"></head><body>""" +
+          """<a href="x">1</a><a data-href="/decoy">d</a>""" +
+          """<a href="?q=2">2</a></body></html>"""),
+      (2L, "https://h.com/a/", """<a xlink:href="/no">n</a><a href="y">2</a>""")
+    ).toDF("id", "url", "html")
+    val out = HtmlExtract.linkExtract(df, "html", "url")
+      .orderBy("href").collect().toSeq
+      .map(r => (r.getString(1), Option(r.getString(2))))
+    assert(out == Seq(
+      // base ../up/ resolves to https://h.com/a/up/; links hang off it
+      ("?q=2", Some("https://h.com/a/up/?q=2")),
+      ("x", Some("https://h.com/a/up/x")),
+      ("y", Some("https://h.com/a/y"))),
+      s"got $out")
+    // effectiveBaseUrl falls back to the fetched URL without a base tag
+    val eb = df.filter(col("id") === 2)
+      .select(HtmlExtract.effectiveBaseUrl(col("url"), col("html")))
+      .head().getString(0)
+    assert(eb == "https://h.com/a/")
+  }
+
   test("linkExtract: (src_url, href, resolved) rows; link-less docs drop; unresolvable rows keep NULL") {
     val df = Seq(
       (1L, "https://h.com/a/", """<a href="x.html">1</a><a href="mailto:z@q.r">m</a>"""),
@@ -115,7 +166,7 @@ class HtmlExtractSpec extends SparkTestBase {
       ("https://m.ex.com/p?sid=9", """<link rel="canonical" href="https://ex.com/p">""",
         "https://ex.com/p"),
       ("https://ex.com/dir/p", """<link rel="canonical" href="../p">""",
-        "https://ex.com/dir/../p"), // no dot-segment removal, documented
+        "https://ex.com/p"), // dot segments removed since r17
       ("https://ex.com/a/b", """<link rel="canonical" href="/clean">""",
         "https://ex.com/clean"),
       ("https://ex.com/a", "<p>no canonical</p>", "https://ex.com/a"),
