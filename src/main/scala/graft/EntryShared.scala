@@ -1378,6 +1378,22 @@ private[graft] object EntryShared {
        |        ELSE regexp_replace(regexp_replace($base, '[?#].*', ''),
        |          '/[^/]*$$', '/') END || $th END""".stripMargin
 
+  /** DuckDB twin of `UrlCuration.robotsRegexCol` over `$patternCol`:
+    * strip a trailing `$` anchor, escape the regex metacharacters in
+    * robotsRegexCol's exact fold order, turn `*` into `.*`, re-anchor.
+    * Generated (not hand-written) so the 14-deep replace nesting can
+    * never drop a paren.
+    */
+  private[graft] def duckRobotsRegexExpr(patternCol: String): String = {
+    val bodyE = s"CASE WHEN substr($patternCol, length($patternCol), 1) = '$$' " +
+      s"THEN substr($patternCol, 1, length($patternCol) - 1) ELSE $patternCol END"
+    val escaped = Seq("\\", ".", "^", "$", "+", "?", "(", ")", "[", "]", "{", "}", "|")
+      .foldLeft(bodyE)((e, ch) => s"replace($e, '$ch', '\\$ch')")
+    s"'^' || replace($escaped, '*', '.*') || " +
+      s"CASE WHEN substr($patternCol, length($patternCol), 1) = '$$' " +
+      s"THEN '$$' ELSE '' END"
+  }
+
   /** DuckDB twin of `HtmlExtract.removeDotSegmentsCol` as CTE steps over
     * `$inRel.$urlCol`: defines `$outRel(…, $outCol)`. Same pass order
     * (`./` runs → trailing `/.` → [[pipeline.HtmlExtract.dotSegmentBound]]

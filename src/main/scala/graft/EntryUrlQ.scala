@@ -256,6 +256,110 @@ private[graft] object EntryUrlQ {
               |  AND coalesce(b.s % 2 = 1, true)
               |ORDER BY h.doc_id""".stripMargin)),
 
+    Q("w09_robots_parse_filter",
+      (s, d) => {
+        val m = mgr(s, d)
+        // raw robots.txt bodies through the gate (r17, verdict ask #4):
+        // robotsParse turns fetched bodies into the (host, rule,
+        // pattern) table and robotsFilter applies it — the previously
+        // missing step between a robots corpus and the politeness
+        // filter. Twelve hosts exercise the three group-selection
+        // regimes for agent "graftbot-img": k%3==0 hosts carry an exact
+        // "graftbot-img" group (specificity 12, with an inline-comment
+        // carve-out rule), k%3==1 hosts a "graftbot" prefix group with
+        // TWO consecutive User-agent lines (8), everyone else falls to
+        // the "*" group (0); an always-present "other-bot" group must
+        // never win, Sitemap/noise lines carry no rules, and the first
+        // section uses CRLF line ends. The oracle replays the whole
+        // parse (line split, comment strip, lag-based group starts,
+        // specificity max, tie merge) plus robotsRegexCol's compilation
+        // and w07's decision replay, all in SQL.
+        val id = col("doc_id")
+        val body = concat(
+          lit("# managed robots\r\nUser-agent: other-bot\r\nDisallow: /\r\n\r\n"),
+          when(id % 3 === 0, lit("User-agent: graftbot-img\nDisallow: /Articles/\n" +
+            "Allow: /Articles/1 # carve\n")).otherwise(lit("")),
+          when(id % 3 === 1, lit("User-agent: graftbot\nUser-agent: extra-bot\n" +
+            "Disallow: *gclid*\n")).otherwise(lit("")),
+          lit("User-agent: *\nDisallow: /$\n" +
+            "Sitemap: https://sm.example.com/x.xml\nnoise line\n"))
+        val bodies = m.getDDFByName("documents").df.filter(id < 12)
+          .select(concat(lit("site-"), id.cast("string"),
+            lit(".example.com")).as("host"), body.as("body"))
+        val rules = pipeline.UrlCuration.robotsParse(
+          bodies, "host", "body", agent = "graftbot-img")
+        val docs = m.getDDFByName("documents").df
+          .select(col("doc_id"), syntheticUrl(12).as("url"))
+        pipeline.UrlCuration.robotsFilter(docs, "url", rules)
+          .select("doc_id", "url")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH bodies AS (SELECT 'site-' || doc_id::VARCHAR || '.example.com' AS host,
+              |    '# managed robots' || chr(13) || chr(10) ||
+              |    'User-agent: other-bot' || chr(13) || chr(10) ||
+              |    'Disallow: /' || chr(13) || chr(10) || chr(13) || chr(10) ||
+              |    CASE WHEN doc_id % 3 = 0 THEN 'User-agent: graftbot-img' ||
+              |      chr(10) || 'Disallow: /Articles/' || chr(10) ||
+              |      'Allow: /Articles/1 # carve' || chr(10) ELSE '' END ||
+              |    CASE WHEN doc_id % 3 = 1 THEN 'User-agent: graftbot' ||
+              |      chr(10) || 'User-agent: extra-bot' || chr(10) ||
+              |      'Disallow: *gclid*' || chr(10) ELSE '' END ||
+              |    'User-agent: *' || chr(10) || 'Disallow: /$$' || chr(10) ||
+              |    'Sitemap: https://sm.example.com/x.xml' || chr(10) ||
+              |    'noise line' || chr(10) AS body
+              |  FROM documents WHERE doc_id < 12),
+              |ln AS (SELECT host,
+              |    unnest(generate_series(1, len(string_split_regex(body, '\\r?\\n'))))
+              |      AS pos,
+              |    unnest(string_split_regex(body, '\\r?\\n')) AS line
+              |  FROM bodies),
+              |kv AS (SELECT host, pos,
+              |    lower(regexp_extract(trim(regexp_replace(line, '#.*', '')),
+              |      '^([A-Za-z-]+)\\s*:', 1)) AS k,
+              |    trim(regexp_replace(trim(regexp_replace(line, '#.*', '')),
+              |      '^[A-Za-z-]+\\s*:', '')) AS v
+              |  FROM ln),
+              |st AS (SELECT *, (k = 'user-agent') AS isua FROM kv),
+              |gs AS (SELECT *, CASE WHEN isua AND NOT coalesce(
+              |      lag(isua) OVER (PARTITION BY host ORDER BY pos), false)
+              |    THEN 1 ELSE 0 END AS gst FROM st),
+              |gg AS (SELECT *, sum(gst) OVER (PARTITION BY host ORDER BY pos)
+              |    AS gid FROM gs),
+              |g1 AS (SELECT * FROM gg WHERE gid > 0),
+              |spec AS (SELECT host, gid, max(CASE WHEN v = '*' THEN 0
+              |      WHEN starts_with('graftbot-img', lower(v)) THEN length(v)
+              |      ELSE -2147483648 END) AS sp
+              |  FROM g1 WHERE isua GROUP BY host, gid),
+              |spec2 AS (SELECT * FROM spec WHERE sp > -2147483648),
+              |best AS (SELECT host, max(sp) AS bs FROM spec2 GROUP BY host),
+              |sel AS (SELECT s2.host, s2.gid FROM spec2 s2
+              |  JOIN best ON s2.host = best.host AND s2.sp = best.bs),
+              |rules AS (SELECT g1.host, g1.k AS rule, g1.v AS pattern
+              |  FROM g1 JOIN sel ON g1.host = sel.host AND g1.gid = sel.gid
+              |  WHERE g1.k IN ('allow', 'disallow') AND g1.v <> ''),
+              |crx AS (SELECT host,
+              |    2 * length(pattern) + (rule = 'allow')::INT AS sc,
+              |    ${duckRobotsRegexExpr("pattern")} AS rx
+              |  FROM rules),
+              |u AS (SELECT doc_id, ${duckUrlRaw(12)} AS url FROM documents),
+              |u2 AS (SELECT doc_id, url, regexp_replace(regexp_replace(trim(url),
+              |    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''), '#.*', '') AS r0
+              |  FROM u),
+              |h AS (SELECT doc_id, url, $duckHostExpr AS host,
+              |    CASE WHEN regexp_extract(trim(url),
+              |        '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) = '' THEN NULL
+              |      WHEN r0 = '' THEN '/'
+              |      WHEN substr(r0, 1, 1) = '?' THEN '/' || r0
+              |      ELSE r0 END AS p
+              |  FROM u2),
+              |mm AS (SELECT h.doc_id, c.sc FROM h JOIN crx c
+              |  ON h.host = c.host AND regexp_matches(h.p, c.rx)),
+              |bst AS (SELECT doc_id, max(sc) AS sc FROM mm GROUP BY doc_id)
+              |SELECT h.doc_id, h.url FROM h LEFT JOIN bst b ON h.doc_id = b.doc_id
+              |WHERE h.host IS NOT NULL AND h.p IS NOT NULL
+              |  AND coalesce(b.sc % 2 = 1, true)
+              |ORDER BY h.doc_id""".stripMargin)),
+
     Q("w08_domain_authority",
       (s, d) => {
         val m = mgr(s, d)

@@ -310,23 +310,96 @@ object UrlCuration {
                    hostCol: String = "host", ruleCol: String = "rule",
                    patternCol: String = "pattern",
                    defaultAllow: Boolean = true): DataFrame = {
-    val withId = df.withColumn("__rid", monotonically_increasing_id())
-    val parts = withId.select(col("__rid"),
-        hostOf(col(urlCol)).as("__h"), robotsPathOf(col(urlCol)).as("__p"))
+    // r17 (advice): verdicts key on the VALUE pair (host, path) — a pure
+    // function of the URL — never on a generated row id.
+    // monotonically_increasing_id() is non-deterministic: consumed in
+    // two plan branches over a non-deterministic upstream (sample,
+    // repartition), the two recomputations could assign different ids
+    // to the same row and misalign verdicts. Value keys also dedup the
+    // probe: identical (host, path) pairs pay the regex sweep once.
+    val hp = df.select(hostOf(col(urlCol)).as("__h"),
+        robotsPathOf(col(urlCol)).as("__p"))
       .filter(col("__h").isNotNull && col("__p").isNotNull)
+      .distinct()
     val rx = broadcast(rules.select(lower(col(hostCol)).as("__h"),
       (lower(col(ruleCol)) === "allow").cast("int").as("__a"),
       length(col(patternCol)).as("__len"),
       robotsRegexCol(col(patternCol)).as("__rx")))
-    val verdicts = parts.join(rx, Seq("__h"))
+    val verdicts = hp.join(rx, Seq("__h"))
       .filter(rlike(col("__p"), col("__rx")))
-      .groupBy("__rid")
+      .groupBy("__h", "__p")
       .agg(max(struct(col("__len"), col("__a"))).as("__m"))
-      .select(col("__rid"), (col("__m").getField("__a") === 1).as("__keep"))
-    withId.join(verdicts, Seq("__rid"), "left")
-      .filter(hostOf(col(urlCol)).isNotNull &&
-        coalesce(col("__keep"), lit(defaultAllow)))
-      .drop("__rid", "__keep")
+      .select(col("__h"), col("__p"),
+        (col("__m").getField("__a") === 1).as("__keep"))
+    df.withColumn("__h", hostOf(col(urlCol)))
+      .withColumn("__p", robotsPathOf(col(urlCol)))
+      .filter(col("__h").isNotNull)
+      .join(verdicts, Seq("__h", "__p"), "left")
+      .filter(coalesce(col("__keep"), lit(defaultAllow)))
+      .drop("__h", "__p", "__keep")
+  }
+
+  /** Parse raw robots.txt BODIES into the (host, rule, pattern) table
+    * [[robotsFilter]] consumes — the missing step between a fetched
+    * `robots.txt` corpus and the politeness filter (r17, verdict ask
+    * #4). RFC 9309 group selection as a pure per-host computation:
+    *
+    *  - lines split on `\r?\n`; `#` comments stripped; blank and
+    *    unknown lines (Sitemap, Crawl-delay, junk) carry no rules and
+    *    do not break a group;
+    *  - a group = a run of consecutive `User-agent:` lines followed by
+    *    its rule lines; a `User-agent:` line whose predecessor is not
+    *    one STARTS a new group (rules before any group are dropped);
+    *  - a group MATCHES the crawler when one of its agent tokens is
+    *    `*` or a case-insensitive prefix of `agent`; its specificity
+    *    is the longest such token's length (`*` = 0);
+    *  - the host's selected groups are those tied at maximal
+    *    specificity (RFC: groups sharing the most specific match merge
+    *    — ties at the same LENGTH also merge here, the documented
+    *    approximation);
+    *  - their `Allow:` / `Disallow:` lines become (host, rule,
+    *    pattern); an EMPTY pattern means "no restriction" (RFC 9309
+    *    §2.2.2) and emits nothing.
+    *
+    * Scale shape: one in-partition line explode, then windows and
+    * aggregates all partitioned/keyed by host — robots bodies are
+    * KiB-sized per host and hosts are many, so per-host windows
+    * distribute evenly; nothing corpus-wide ever sits under one key.
+    */
+  def robotsParse(bodies: DataFrame, hostCol: String, bodyCol: String,
+                  agent: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = bodies
+      .select(lower(col(hostCol)).as("host"),
+        posexplode(split(coalesce(col(bodyCol), lit("")), "\r?\n"))
+          .as(Seq("pos", "line")))
+      .withColumn("__c", trim(regexp_replace(col("line"), "#.*", "")))
+      .withColumn("__k", lower(regexp_extract(col("__c"), "^([A-Za-z-]+)\\s*:", 1)))
+      .withColumn("__v", trim(regexp_replace(col("__c"), "^[A-Za-z-]+\\s*:", "")))
+    val byPos = Window.partitionBy("host").orderBy("pos")
+    val grouped = lines
+      .withColumn("__ua", col("__k") === "user-agent")
+      .withColumn("__start",
+        when(col("__ua") && !coalesce(lag(col("__ua"), 1).over(byPos), lit(false)),
+          1).otherwise(0))
+      .withColumn("__gid", sum(col("__start")).over(byPos))
+      .filter(col("__gid") > 0)
+    // group specificity: longest matching agent token, * = 0; groups
+    // with no matching token drop (MIN_VALUE sentinel)
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+    val tokSpec = when(col("__v") === "*", 0)
+      .when(lit(agentLc).startsWith(lower(col("__v"))), length(col("__v")))
+      .otherwise(Int.MinValue)
+    val groupSpec = grouped.filter(col("__ua"))
+      .groupBy("host", "__gid").agg(max(tokSpec).as("__spec"))
+      .filter(col("__spec") > Int.MinValue)
+    val bestSpec = groupSpec.groupBy("host").agg(max(col("__spec")).as("__best"))
+    val selected = groupSpec.join(bestSpec, "host")
+      .filter(col("__spec") === col("__best"))
+      .select("host", "__gid")
+    grouped.filter(col("__k").isin("allow", "disallow") && col("__v") =!= "")
+      .join(selected, Seq("host", "__gid"))
+      .select(col("host"), col("__k").as("rule"), col("__v").as("pattern"))
   }
 
   def incrementalUrlDedup(newDocs: DataFrame, knownFingerprints: DataFrame,

@@ -246,4 +246,74 @@ class UrlCurationSpec extends SparkTestBase {
     assert("Exchange hashpartitioning".r.findAllIn(gPlan).size == 1,
       s"urlDedup shuffles ONLY the canonical-url group key, once:\n$gPlan")
   }
+
+  test("robotsParse: RFC 9309 group selection — longest matching token wins, ties merge") {
+    import spark.implicits._
+    val body =
+      """# fleet policy
+        |User-agent: other-bot
+        |Disallow: /
+        |
+        |User-agent: graftbot-img
+        |Disallow: /raw/ # inline comment
+        |Allow: /raw/thumbs/
+        |
+        |User-agent: graftbot
+        |Disallow: /slow/
+        |
+        |User-agent: *
+        |Disallow: /$
+        |Sitemap: https://h/sm.xml
+        |noise without colon
+        |Disallow:
+        |""".stripMargin
+    def parsed(agent: String): Set[(String, String, String)] =
+      UrlCuration.robotsParse(Seq(("H.example.com", body)).toDF("host", "body"),
+        "host", "body", agent)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    // exact token beats the prefix group and the star group; host lowercases;
+    // the inline comment strips; the empty-pattern Disallow emits nothing
+    assert(parsed("graftbot-img") == Set(
+      ("h.example.com", "disallow", "/raw/"),
+      ("h.example.com", "allow", "/raw/thumbs/")))
+    // prefix match: agent "graftbot-img2" matches "graftbot-img" (12) over
+    // "graftbot" (8); agent "graftbot" matches only the 8-token group
+    assert(parsed("graftbot") == Set(("h.example.com", "disallow", "/slow/")))
+    // unknown agent falls to the * group; its empty Disallow drops
+    assert(parsed("unrelated-crawler") == Set(("h.example.com", "disallow", "/$")))
+    // two groups tied at max specificity MERGE (two User-agent: lines in
+    // a row already share a group; a split tie merges via the best-join)
+    val tied =
+      """User-agent: abcd
+        |Disallow: /one/
+        |User-agent: abcz
+        |Disallow: /two/
+        |""".stripMargin
+    assert(UrlCuration.robotsParse(Seq(("h", tied)).toDF("host", "body"),
+        "host", "body", agent = "abc-something-else").collect().isEmpty)
+    val merged = UrlCuration.robotsParse(Seq(("h", tied.replace("abcz", "abc-"))).toDF("host", "body"),
+      "host", "body", agent = "abcd-x")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSet
+    // "abcd" (4) and "abc-" (4) both match agent "abcd-x"? "abc-" is not a
+    // prefix of "abcd-x" — only "abcd" matches; no merge here
+    assert(merged == Set(("disallow", "/one/")))
+    // a genuine tie: tokens "abcd" and "abce" vs agent where both match is
+    // impossible for distinct same-length prefixes — pin the CONSECUTIVE
+    // UA-line merge instead (one group, two tokens)
+    val consec =
+      """User-agent: graftbot
+        |User-agent: extra-bot
+        |Disallow: /shared/
+        |""".stripMargin
+    assert(UrlCuration.robotsParse(Seq(("h", consec)).toDF("host", "body"),
+        "host", "body", agent = "extra-bot/2.1")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSet ==
+      Set(("disallow", "/shared/")))
+    // rules BEFORE any User-agent line attach to no group and drop
+    val orphan = "Disallow: /early/\nUser-agent: *\nAllow: /ok/\n"
+    assert(UrlCuration.robotsParse(Seq(("h", orphan)).toDF("host", "body"),
+        "host", "body", agent = "x")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSet ==
+      Set(("allow", "/ok/")))
+  }
 }
