@@ -942,28 +942,41 @@ object TextAnalysis {
     * boilerplate (nav bars, cookie banners, copyright footers) and is
     * REMOVED from the text; the document survives with its remaining
     * lines in original order. Empty/whitespace-only lines are kept
-    * verbatim and never counted (they are structure, not content).
+    * verbatim and never counted (they are structure, not content). A
+    * NULL text is treated as the empty string (r17, advice), so every
+    * input id yields an output row: (id, "", 1, 0) — previously a NULL
+    * text silently dropped its document, contradicting this contract.
     * Output: (id, text_clean, n_lines, n_dropped).
     *
-    * Scale shape: the line explode stays in its scan partition; the
-    * line-DF aggregate shuffles (id, trimmed-line) once with map-side
-    * distinct, and the rewrite regroups (id, pos, line) once — the one
-    * payload-sized shuffle a line-level REWRITE inherently needs (a
-    * production corpus bucketed by id pays only the DF exchange). The
-    * per-doc reassembly is an array_sort over that document's own
-    * lines, never a window over the corpus.
+    * Scale shape (r17, verdict ask #7): the line explode stays in its
+    * scan partition; the frequency aggregate exchanges only (id,
+    * xxhash64(trimmed)) pairs — 16 B rows, no string keys — and the
+    * over-threshold hash SET (one 8 B key per boilerplate line — by
+    * construction at most total-line-occurrences / dfThreshold
+    * distinct values, MBs even at corpus scale) broadcasts back onto
+    * the payload, which therefore NEVER shuffles by line text; the
+    * hottest keys are exactly the banner lines this operator targets,
+    * so a text-keyed join would skew onto single partitions (r16
+    * advice). The rewrite regroups (id, pos, line) once — the one
+    * payload-sized shuffle a line-level REWRITE inherently needs.
+    * Drop decisions compare 64-bit hashes: a collision between a rare
+    * line and a boilerplate line (P ≈ 2⁻⁶⁴ per pair) would drop the
+    * rare line — the standard CCNet-class tradeoff, accepted for the
+    * 8-byte exchange keys.
     */
   def dropCommonLines(df: DataFrame, textCol: String, idCol: String,
                       dfThreshold: Long = 10L): DataFrame = {
     require(dfThreshold >= 1, s"dfThreshold must be >= 1, got $dfThreshold")
     val lines = df.select(col(idCol).as("id"),
-        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
-      .withColumn("__k", trim(col("line")))
-    val lineDf = lines.filter(col("__k") =!= "")
-      .select("id", "__k").distinct()
+        posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+          .as(Seq("pos", "line")))
+      .withColumn("__t", trim(col("line")))
+    val freq = lines.filter(col("__t") =!= "")
+      .select(col("id"), xxhash64(col("__t")).as("__k")).distinct()
       .groupBy("__k").agg(count(lit(1)).as("__df"))
-    lines.join(lineDf, Seq("__k"), "left")
-      .withColumn("__drop", col("__k") =!= "" && col("__df") > dfThreshold)
+    val common = broadcast(freq.filter(col("__df") > dfThreshold).select("__k"))
+    lines.join(common, xxhash64(col("__t")) === col("__k"), "left")
+      .withColumn("__drop", col("__t") =!= "" && col("__k").isNotNull)
       .groupBy("id")
       .agg(count(lit(1)).as("n_lines"),
         sum(when(col("__drop"), 1L).otherwise(0L)).as("n_dropped"),

@@ -614,6 +614,35 @@ class CurationSpec extends SparkTestBase {
       "text", "doc_id", dfThreshold = 1L)
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("n_dropped")).toMap
     assert(rep(1L) == 0L, "within-doc repeats are not corpus frequency")
+    // r17 (advice): a NULL text keeps its row — empty rewrite, 1 line
+    val withNull = TextAnalysis.dropCommonLines(
+      Seq((1L, Some("x")), (2L, Option.empty[String])).toDF("doc_id", "text"),
+      "text", "doc_id", dfThreshold = 1L)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("text_clean"), r.getAs[Long]("n_lines"),
+          r.getAs[Long]("n_dropped")))).toMap
+    assert(withNull(2L) == (("", 1L, 0L)), s"NULL text must survive: $withNull")
+  }
+
+  test("dropCommonLines plan: 8-byte frequency keys, broadcast common set (r17)") {
+    import spark.implicits._
+    val df = (1L to 40L).map(i => (i, s"NAV\nbody $i")).toDF("doc_id", "text")
+    val out = TextAnalysis.dropCommonLines(df, "text", "doc_id", dfThreshold = 3L)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the over-threshold line set reaches the payload as a BROADCAST
+    // join — the payload never shuffles by line key (the hottest keys
+    // are exactly the banner lines, a text-keyed join would skew)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"common-line set must broadcast-join the payload:\n$plan")
+    // every hash exchange carries only id/hash/count — no string column
+    // may appear in an exchange schema (the r16-advice skew + width fix)
+    val exchanges = "Exchange hashpartitioning\\([^)]*\\)[^\\n]*".r
+      .findAllIn(plan).toList
+    val stringKeyed = exchanges.filter(_.contains("__t"))
+    assert(stringKeyed.isEmpty,
+      s"frequency exchanges must not carry the trimmed line text:\n$exchanges")
   }
 
   test("ngramNovelty: first occurrence wins, exact shares, null text excluded") {
