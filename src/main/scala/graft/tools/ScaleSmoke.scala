@@ -811,6 +811,105 @@ object ScaleSmoke {
             .select("pk", "pname")
           graft.pipeline.SetJoin.editDistanceLookup(probes, "pname", "pk",
             canon, "name", "k", maxDist = 3, q = 4).count()
+        }),
+        // ---- r17 (verdict ask #5): decades for the r16 families ----
+        // ht01: pure per-row expression chain — the sum(length) sink
+        // defeats column pruning (count() alone would skip the text)
+        "html_to_text(ht01)" -> (() => {
+          val html = d.select(concat(
+            lit("<html><head><title>T&amp;x</title><style>p{m:1}</style>" +
+              "<script>var q=\"<b>s</b>\";</script></head><body><!-- c -->" +
+              "<h1>H&nbsp;1</h1><p class=\"big\">"), col("text"),
+            lit(" &lt;q&gt; &#38;</p></body></html>")).as("html"))
+          graft.pipeline.HtmlExtract.htmlToText(html, "html")
+            .agg(sum(length(col("text")))).first().getLong(0)
+        }),
+        // ht06: dual-capture anchor extraction + scan-local explode
+        "anchor_extract(ht06)" -> (() => {
+          val pages = d.select(syntheticCrawlUrl(col("doc_id")).as("url"),
+            concat(lit("<html><body><a href=\""),
+              syntheticCrawlUrl(col("doc_id") * 7 + 3),
+              lit("\">click <b>here</b> now</a><a href='/rel/"),
+              (col("doc_id") % 97).cast("string"),
+              lit("'>two words</a><a href=unq>u</a></body></html>")).as("html"))
+          graft.pipeline.HtmlExtract.anchorExtract(pages, "html", "url").count()
+        }),
+        // w07: config-sized rule table broadcast onto a growing corpus —
+        // cost should track the URL count (per-pair regex probes against
+        // ~3 rules/host), never |corpus|x|rules|
+        "robots_filter(w07)" -> (() => {
+          val rules = spark.range(300L)
+            .select(concat(lit("site-"), (col("id") % 100).cast("string"),
+                lit(".example.com")).as("host"),
+              when(col("id") % 3 === 0, "allow").otherwise("disallow").as("rule"),
+              when(col("id") % 3 === 0,
+                  concat(lit("/Articles/"), (col("id") % 10).cast("string")))
+                .when(col("id") % 3 === 1, lit("/Articles/"))
+                .otherwise(lit("*gclid*")).as("pattern"))
+          val urls = d.select(col("doc_id"),
+            syntheticCrawlUrl(col("doc_id")).as("url"))
+          graft.pipeline.UrlCuration.robotsFilter(urls, "url", rules).count()
+        }),
+        // w08: the corpus-scaling half of the authority build — links →
+        // hosts → broadcast registered-domain map on both endpoints →
+        // distinct domain edges. (PageRank itself runs on the
+        // config-sized domain graph and is factor-invariant.)
+        "authority_edges(w08)" -> (() => {
+          val pages = d.select(syntheticCrawlUrl(col("doc_id")).as("src_url"),
+            concat(lit("<html><body><a href=\""),
+              syntheticCrawlUrl(col("doc_id") * 7 + 3),
+              lit("\">x</a><a href=\""),
+              syntheticCrawlUrl(col("doc_id") * 13 + 5),
+              lit("\">y</a></body></html>")).as("html"))
+          val links = graft.pipeline.HtmlExtract.linkExtract(pages, "html", "src_url")
+          val hosts = links.filter(col("resolved").isNotNull)
+            .select(graft.pipeline.UrlCuration.hostOf(col("src_url")).as("sh"),
+              graft.pipeline.UrlCuration.hostOf(col("resolved")).as("dh"))
+            .filter(col("sh").isNotNull && col("dh").isNotNull)
+          val hmap = graft.pipeline.UrlCuration.registeredDomain(
+              hosts.select(col("sh").as("host"))
+                .unionAll(hosts.select(col("dh").as("host"))).distinct(),
+              "host",
+              Seq("com", "org", "uk", "io", "au", "co.uk", "net.au",
+                "github.io", "blogspot.com"))
+            .select(col("host"), col("registered_domain"))
+          hosts
+            .join(broadcast(hmap.withColumnRenamed("host", "sh")
+              .withColumnRenamed("registered_domain", "sd")), Seq("sh"))
+            .join(broadcast(hmap.withColumnRenamed("host", "dh")
+              .withColumnRenamed("registered_domain", "dd")), Seq("dh"))
+            .select("sd", "dd").filter(col("sd") =!= col("dd"))
+            .distinct().count()
+        }),
+        // t29: line-frequency rewrite — 16-byte frequency exchange +
+        // broadcast common set + the one payload regroup by id
+        "drop_lines(t29)" -> (() => {
+          val docs2 = d.select(col("doc_id"), concat_ws("\n",
+            lit("NAV HOME ABOUT"),
+            concat(lit("body "), substring(col("text"), 1, 60)),
+            when(col("doc_id") % 3 === 0, "subscribe to our newsletter")
+              .otherwise(concat(lit("para "), (col("doc_id") % 5000).cast("string"))),
+            lit("  (c) 2024 example corp  ")).as("text"))
+          graft.pipeline.TextAnalysis.dropCommonLines(docs2, "text", "doc_id",
+              dfThreshold = 20L)
+            .agg(sum(col("n_dropped"))).first().getLong(0)
+        }),
+        // s13: the per-epoch batch core of the raw-HTML streaming ingest
+        // (canonical-aware key + index anti-probe); the MemoryStream
+        // harness itself is epoch bookkeeping, not corpus work
+        "html_ingest_core(s13)" -> (() => {
+          val pages = d.select(col("doc_id"),
+            syntheticCrawlUrl(col("doc_id")).as("url"),
+            concat(lit("<html><head><link rel=\"canonical\" href=\"https://canon-"),
+              (col("doc_id") % 1000).cast("string"), lit(".example.com/c/"),
+              (col("doc_id") % 97).cast("string"),
+              lit("\"></head><body>b</body></html>")).as("html"))
+          val keyed = pages.select(col("doc_id"),
+            graft.pipeline.HtmlExtract.canonicalizedUrl(col("url"), col("html"))
+              .as("curl"))
+          graft.pipeline.UrlCuration.incrementalUrlDedup(
+            keyed, spark.emptyDataFrame.select(lit("").as("fingerprint")).limit(0),
+            "curl", "doc_id").count()
         }))
     }
 
