@@ -152,28 +152,11 @@ private[graft] object EntryHtmlQ {
               |    ${duckAttrExpr("link", "rel", "canonical", "href")}
               |      AS canonical_href
               |  FROM u0),
-              |rb AS (SELECT *, trim(canonical_href) AS th,
-              |    regexp_extract(src_url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)
-              |      AS origin,
-              |    lower(regexp_extract(src_url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
-              |      AS bscheme,
-              |    regexp_replace(src_url, '[?#].*', '') AS bstripped
-              |  FROM m),
-              |rc AS (SELECT *, CASE WHEN regexp_matches(bstripped,
-              |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*$$') THEN bstripped || '/'
-              |    ELSE regexp_replace(bstripped, '/[^/]*$$', '/') END AS bdir
-              |  FROM rb),
-              |r AS (SELECT *, CASE
-              |      WHEN th = '' OR substr(th, 1, 1) = '#' THEN NULL
-              |      WHEN regexp_matches(th, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN
-              |        CASE WHEN regexp_matches(th, '^(?i)https?://') THEN th END
-              |      WHEN origin = '' THEN NULL
-              |      WHEN substr(th, 1, 2) = '//' THEN bscheme || ':' || th
-              |      WHEN substr(th, 1, 1) = '/' THEN origin || th
-              |      ELSE bdir || th END AS resolved
-              |  FROM rc),
+              |rb AS (SELECT *, trim(canonical_href) AS th FROM m),
+              |rc AS (SELECT *, ${duckResolveCase("src_url", "th")} AS r0 FROM rb),
+              |${duckRemoveDotsCtes("rc", "r0", "rr", "resolved", "cz")},
               |u2 AS (SELECT doc_id, title, meta_description, canonical_href,
-              |    coalesce(resolved, src_url) AS url FROM r),
+              |    coalesce(resolved, src_url) AS url FROM rr),
               |${duckUrlNormCtesFrom("u2")}
               |SELECT doc_id, title, meta_description, canonical_href,
               |  url_norm AS dedup_key

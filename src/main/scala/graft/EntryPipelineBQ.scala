@@ -970,28 +970,11 @@ private[graft] object EntryPipelineBQ {
               |    ${duckAttrExpr("link", "rel", "canonical", "href")}
               |      AS canonical_href
               |  FROM e),
-              |rb AS (SELECT *, trim(canonical_href) AS th,
-              |    regexp_extract(src_url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)
-              |      AS origin,
-              |    lower(regexp_extract(src_url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
-              |      AS bscheme,
-              |    regexp_replace(src_url, '[?#].*', '') AS bstripped
-              |  FROM mm),
-              |rc AS (SELECT *, CASE WHEN regexp_matches(bstripped,
-              |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*$$') THEN bstripped || '/'
-              |    ELSE regexp_replace(bstripped, '/[^/]*$$', '/') END AS bdir
-              |  FROM rb),
-              |r AS (SELECT *, CASE
-              |      WHEN th = '' OR substr(th, 1, 1) = '#' THEN NULL
-              |      WHEN regexp_matches(th, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN
-              |        CASE WHEN regexp_matches(th, '^(?i)https?://') THEN th END
-              |      WHEN origin = '' THEN NULL
-              |      WHEN substr(th, 1, 2) = '//' THEN bscheme || ':' || th
-              |      WHEN substr(th, 1, 1) = '/' THEN origin || th
-              |      ELSE bdir || th END AS resolved
-              |  FROM rc),
+              |rb AS (SELECT *, trim(canonical_href) AS th FROM mm),
+              |rc AS (SELECT *, ${duckResolveCase("src_url", "th")} AS r0 FROM rb),
+              |${duckRemoveDotsCtes("rc", "r0", "rr", "resolved", "cz")},
               |u2 AS (SELECT doc_id, epoch, text_extracted,
-              |    coalesce(resolved, src_url) AS url FROM r),
+              |    coalesce(resolved, src_url) AS url FROM rr),
               |${duckUrlNormCtesFrom("u2")},
               |fp AS (SELECT doc_id, epoch, text_extracted, md5(url_norm) AS f
               |  FROM p5 WHERE url_norm IS NOT NULL),

@@ -1513,7 +1513,10 @@ private[graft] object EntryShared {
         lit("' name='description'><link href='/canon/"), (id % 9).cast("string"),
         lit("' rel='canonical'>")))
       .when(id % 4 === 2, concat(
-        lit("<link rel=canonical href=rel-"), (id % 9).cast("string"),
+        // r17: a dot-segmented relative canonical — pins resolveHrefCol's
+        // RFC 3986 §5.2.4 removal through canonicalizedUrl in the ht04
+        // and s13 oracles (the organic corpus has no dotted canonicals)
+        lit("<link rel=canonical href=sub/../rel-"), (id % 9).cast("string"),
         lit(".html>")))
       .otherwise(concat(lit("<title>N&nbsp;"), (id % 5).cast("string"),
         lit("</title>")))
@@ -1535,7 +1538,7 @@ private[graft] object EntryShared {
       |    (doc_id % 5)::VARCHAR || ' </title><meta content=''flip ' ||
       |    (doc_id % 7)::VARCHAR || ''' name=''description''><link href=''/canon/' ||
       |    (doc_id % 9)::VARCHAR || ''' rel=''canonical''>'
-      |  WHEN doc_id % 4 = 2 THEN '<link rel=canonical href=rel-' ||
+      |  WHEN doc_id % 4 = 2 THEN '<link rel=canonical href=sub/../rel-' ||
       |    (doc_id % 9)::VARCHAR || '.html>'
       |  ELSE '<title>N&nbsp;' || (doc_id % 5)::VARCHAR || '</title>' END ||
       |  '</head><body><p>b</p></body></html>'""".stripMargin
