@@ -1431,6 +1431,13 @@ private[graft] object EntryShared {
     * page's `<base href>` when declared (r17), dot-segments removed.
     * The href boundary is `[\s"']` (r17 advice: `\b` also matched
     * `data-href`/`xlink:href`).
+    *
+    * `eb0` and `r` are AS MATERIALIZED (the w08 lesson, round 16,
+    * repeated here in r17): the resolve chain re-references its input
+    * column at several steps, and DuckDB's CTE inlining multiplies the
+    * upstream tree at each re-reference — un-materialized, w08's plan
+    * ballooned to 16 s standalone and OOM'd the shared one-process
+    * full-suite gate; materialized it is ~2 s with a flat plan.
     */
   private[graft] lazy val duckLinkCtes: String =
     s"""bh0 AS (SELECT doc_id, src_url, html,
@@ -1442,7 +1449,7 @@ private[graft] object EntryShared {
        |  FROM u),
        |bh1 AS (SELECT *, ${duckResolveCase("src_url", "bth")} AS br0 FROM bh0),
        |${duckRemoveDotsCtes("bh1", "br0", "bh2", "brr", "bz")},
-       |eb0 AS (SELECT doc_id, src_url, html,
+       |eb0 AS MATERIALIZED (SELECT doc_id, src_url, html,
        |    coalesce(brr, src_url) AS eb FROM bh2),
        |l AS (SELECT doc_id, src_url, eb, unnest(regexp_extract_all(html,
        |    '(?i)<a\\b[^>]*[\\s"'']href\\s*=\\s*("[^"]*"|''[^'']*''|[^\\s>]+)', 1)) AS h0
@@ -1452,7 +1459,8 @@ private[graft] object EntryShared {
        |rb AS (SELECT doc_id, src_url, eb, href, trim(href) AS th FROM hr),
        |rc AS (SELECT *, ${duckResolveCase("eb", "th")} AS r0 FROM rb),
        |${duckRemoveDotsCtes("rc", "r0", "rz", "resolved0", "rz")},
-       |r AS (SELECT doc_id, src_url, href, resolved0 AS resolved FROM rz)""".stripMargin
+       |r AS MATERIALIZED (SELECT doc_id, src_url, href, resolved0 AS resolved
+       |  FROM rz)""".stripMargin
 
   // ---- ht04 html-metadata oracle helpers (r16) ----
 
