@@ -360,6 +360,54 @@ private[graft] object EntryUrlQ {
               |  AND coalesce(b.sc % 2 = 1, true)
               |ORDER BY h.doc_id""".stripMargin)),
 
+    Q("w10_robots_sitemaps",
+      (s, d) => {
+        val m = mgr(s, d)
+        // the crawl-seeding companion of w09 (r17): Sitemap: pointers
+        // are HOST-wide per RFC 9309 §2.3 — extracted regardless of
+        // group position, field name case-folded, values (URLs)
+        // case-preserved, inline comments stripped, empty values drop,
+        // mixed-case hosts fold. Closes robots → sitemap → ht08 seed.
+        val id = col("doc_id")
+        val body = concat(
+          lit("# seeds\r\nUser-agent: *\r\nDisallow: /private/\r\n"),
+          lit("Sitemap: https://site-"), id.cast("string"),
+          lit(".example.com/sitemap.xml\n"),
+          when(id % 2 === 0, concat(
+            lit("sitemap: https://cdn.example.org/sm/"),
+            (id % 7).cast("string"), lit(".xml.gz # mirror\n")))
+            .otherwise(lit("")),
+          lit("Sitemap:\nnoise\n"))
+        val bodies = m.getDDFByName("documents").df.filter(id < 20)
+          .select(concat(lit("Site-"), id.cast("string"),
+            lit(".Example.com")).as("host"), body.as("body"))
+        pipeline.UrlCuration.robotsSitemaps(bodies, "host", "body")
+          .orderBy("host", "sitemap_url")
+      },
+      Some("""WITH b AS (SELECT doc_id,
+             |    lower('Site-' || doc_id::VARCHAR || '.Example.com') AS host,
+             |    '# seeds' || chr(13) || chr(10) ||
+             |    'User-agent: *' || chr(13) || chr(10) ||
+             |    'Disallow: /private/' || chr(13) || chr(10) ||
+             |    'Sitemap: https://site-' || doc_id::VARCHAR ||
+             |    '.example.com/sitemap.xml' || chr(10) ||
+             |    CASE WHEN doc_id % 2 = 0 THEN
+             |      'sitemap: https://cdn.example.org/sm/' ||
+             |      (doc_id % 7)::VARCHAR || '.xml.gz # mirror' || chr(10)
+             |      ELSE '' END ||
+             |    'Sitemap:' || chr(10) || 'noise' || chr(10) AS body
+             |  FROM documents WHERE doc_id < 20),
+             |ln AS (SELECT host, unnest(string_split_regex(body, '\r?\n')) AS line
+             |  FROM b),
+             |cl AS (SELECT host, trim(regexp_replace(line, '#.*', '')) AS c0
+             |  FROM ln),
+             |sm AS (SELECT host,
+             |    trim(regexp_replace(c0, '^[A-Za-z-]+\s*:', '')) AS sitemap_url
+             |  FROM cl
+             |  WHERE lower(regexp_extract(c0, '^([A-Za-z-]+)\s*:', 1)) = 'sitemap')
+             |SELECT host, sitemap_url FROM sm WHERE sitemap_url <> ''
+             |ORDER BY host, sitemap_url""".stripMargin)),
+
     Q("w08_domain_authority",
       (s, d) => {
         val m = mgr(s, d)

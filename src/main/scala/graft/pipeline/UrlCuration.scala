@@ -366,6 +366,27 @@ object UrlCuration {
     * KiB-sized per host and hosts are many, so per-host windows
     * distribute evenly; nothing corpus-wide ever sits under one key.
     */
+  /** The `Sitemap:` pointers of raw robots.txt bodies — (host,
+    * sitemap_url) rows, the crawl-seeding companion of [[robotsParse]]
+    * (r17). Per RFC 9309 §2.3 sitemap lines are HOST-wide, not
+    * group-scoped, so no group selection applies: every non-empty
+    * `Sitemap:` value survives comment stripping, regardless of where
+    * in the file it sits. Values are URLs and case-SENSITIVE — only the
+    * field name case-folds. Feeds `HtmlExtract.sitemapLocsCol` → the
+    * frontier, closing the robots → sitemap → seed loop. Same scale
+    * shape as the parser: one in-partition line explode, no windows.
+    */
+  def robotsSitemaps(bodies: DataFrame, hostCol: String,
+                     bodyCol: String): DataFrame =
+    bodies
+      .select(lower(col(hostCol)).as("host"),
+        explode(split(coalesce(col(bodyCol), lit("")), "\r?\n")).as("line"))
+      .withColumn("__c", trim(regexp_replace(col("line"), "#.*", "")))
+      .filter(lower(regexp_extract(col("__c"), "^([A-Za-z-]+)\\s*:", 1)) === "sitemap")
+      .select(col("host"),
+        trim(regexp_replace(col("__c"), "^[A-Za-z-]+\\s*:", "")).as("sitemap_url"))
+      .filter(col("sitemap_url") =!= "")
+
   def robotsParse(bodies: DataFrame, hostCol: String, bodyCol: String,
                   agent: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -316,4 +316,35 @@ class UrlCurationSpec extends SparkTestBase {
       .collect().map(r => (r.getString(1), r.getString(2))).toSet ==
       Set(("allow", "/ok/")))
   }
+
+  test("robotsSitemaps: host-wide extraction regardless of group position (r17)") {
+    import spark.implicits._
+    val body =
+      """Sitemap: https://H/before-any-group.xml
+        |User-agent: bot-a
+        |Disallow: /x/
+        |sitemap: https://H/Inside-A-Group.xml # mirror
+        |User-agent: *
+        |SITEMAP: https://H/upper.xml
+        |Sitemap:
+        |noise line
+        |""".stripMargin
+    val out = UrlCuration.robotsSitemaps(
+        Seq(("Crawl.Example.COM", body)).toDF("host", "body"), "host", "body")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // sitemap lines are NOT group-scoped; field name case-folds, the
+    // URL's case is preserved; inline comments strip; empty values drop
+    assert(out == Set(
+      ("crawl.example.com", "https://H/before-any-group.xml"),
+      ("crawl.example.com", "https://H/Inside-A-Group.xml"),
+      ("crawl.example.com", "https://H/upper.xml")), s"got $out")
+    // and robotsParse IGNORES sitemap lines entirely (no rule rows,
+    // no group breaks: the rule after the mid-group sitemap still
+    // belongs to bot-a's group)
+    val rules = UrlCuration.robotsParse(
+        Seq(("h", "User-agent: bot-a\nSitemap: https://h/s.xml\nDisallow: /y/\n"))
+          .toDF("host", "body"), "host", "body", agent = "bot-a")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSet
+    assert(rules == Set(("disallow", "/y/")))
+  }
 }
