@@ -356,6 +356,99 @@ private[graft] object EntryHtmlQ {
               |${duckUrlNormCtesFrom("u2")}
               |SELECT url_norm, count(*)::BIGINT AS n_seeds FROM p5
               |WHERE url_norm IS NOT NULL GROUP BY url_norm
-              |ORDER BY url_norm""".stripMargin))
+              |ORDER BY url_norm""".stripMargin)),
+
+    Q("ht09_warc_ingest",
+      (s, d) => {
+        val m = mgr(s, d)
+        // WARC front door (r17): each doc carries a 3-record WARC file
+        // (request + response + metadata); the response's HTTP body is
+        // the page. id%5==0 responses are text/plain and must NOT
+        // ingest; the response record's WARC-Type header is lowercase
+        // (field names case-fold); titles carry an entity. Pipeline:
+        // Warc.htmlResponses → titleOf + htmlToText — the same
+        // extraction every crawled page gets.
+        val id = col("doc_id")
+        val url = syntheticBaseUrl
+        val html = concat(lit("<html><head><title>W"), (id % 7).cast("string"),
+          lit(" &amp; co</title></head><body><p>doc "), id.cast("string"),
+          lit(" body</p></body></html>"))
+        val file = concat(
+          lit("WARC/1.0\r\nWARC-Type: request\r\nWARC-Target-URI: "), url,
+          lit("\r\nContent-Type: application/http;msgtype=request\r\n\r\n" +
+            "GET / HTTP/1.1\r\nHost: h\r\n\r\n\r\n\r\n"),
+          lit("WARC/1.0\r\nwarc-type: response\r\nWARC-Target-URI: "), url,
+          lit("\r\nContent-Type: application/http;msgtype=response\r\n\r\n" +
+            "HTTP/1.1 200 OK\r\n"),
+          when(id % 5 === 0, lit("Content-Type: text/plain\r\n"))
+            .otherwise(lit("Content-Type: text/html; charset=utf-8\r\n")),
+          lit("\r\n"), html, lit("\r\n\r\n"),
+          lit("WARC/1.0\r\nWARC-Type: metadata\r\n" +
+            "Content-Type: application/warc-fields\r\n\r\nfetchTimeMs: 12\r\n\r\n"))
+        val docs = m.getDDFByName("documents").df
+          .select(col("doc_id"), file.as("warc"))
+        val resp = pipeline.Warc.htmlResponses(docs, "warc", "doc_id")
+        resp.select(col("doc_id"), col("rec_no"), col("url"),
+            pipeline.HtmlExtract.titleOf(col("html")).as("title"),
+            pipeline.HtmlExtract.htmlToTextCol(col("html")).as("text_extracted"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH f AS (SELECT doc_id, $duckBaseUrlRaw AS url0,
+              |    '<html><head><title>W' || (doc_id % 7)::VARCHAR ||
+              |    ' &amp; co</title></head><body><p>doc ' || doc_id::VARCHAR ||
+              |    ' body</p></body></html>' AS html0 FROM documents),
+              |wf AS (SELECT doc_id,
+              |    'WARC/1.0' || chr(13) || chr(10) ||
+              |    'WARC-Type: request' || chr(13) || chr(10) ||
+              |    'WARC-Target-URI: ' || url0 || chr(13) || chr(10) ||
+              |    'Content-Type: application/http;msgtype=request' ||
+              |    chr(13) || chr(10) || chr(13) || chr(10) ||
+              |    'GET / HTTP/1.1' || chr(13) || chr(10) ||
+              |    'Host: h' || chr(13) || chr(10) || chr(13) || chr(10) ||
+              |    chr(13) || chr(10) || chr(13) || chr(10) ||
+              |    'WARC/1.0' || chr(13) || chr(10) ||
+              |    'warc-type: response' || chr(13) || chr(10) ||
+              |    'WARC-Target-URI: ' || url0 || chr(13) || chr(10) ||
+              |    'Content-Type: application/http;msgtype=response' ||
+              |    chr(13) || chr(10) || chr(13) || chr(10) ||
+              |    'HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+              |    CASE WHEN doc_id % 5 = 0 THEN 'Content-Type: text/plain'
+              |      ELSE 'Content-Type: text/html; charset=utf-8' END ||
+              |    chr(13) || chr(10) || chr(13) || chr(10) ||
+              |    html0 || chr(13) || chr(10) || chr(13) || chr(10) ||
+              |    'WARC/1.0' || chr(13) || chr(10) ||
+              |    'WARC-Type: metadata' || chr(13) || chr(10) ||
+              |    'Content-Type: application/warc-fields' ||
+              |    chr(13) || chr(10) || chr(13) || chr(10) ||
+              |    'fetchTimeMs: 12' || chr(13) || chr(10) || chr(13) || chr(10)
+              |      AS warc
+              |  FROM f),
+              |p AS (SELECT doc_id,
+              |    unnest(generate_series(1, len(string_split(warc,
+              |      'WARC/1.0' || chr(13) || chr(10))))) AS pp,
+              |    unnest(string_split(warc, 'WARC/1.0' || chr(13) || chr(10)))
+              |      AS rec
+              |  FROM wf),
+              |rr AS (SELECT doc_id, (pp - 2)::BIGINT AS rec_no, rec FROM p
+              |  WHERE pp >= 2),
+              |hx AS (SELECT doc_id, rec_no,
+              |    nullif(trim(regexp_extract(rec,
+              |      '(?im)^WARC-Type:[ \\t]*([^\\r\\n]*)', 1)), '') AS warc_type,
+              |    nullif(trim(regexp_extract(rec,
+              |      '(?im)^WARC-Target-URI:[ \\t]*([^\\r\\n]*)', 1)), '')
+              |      AS target_uri,
+              |    regexp_replace(regexp_replace(rec,
+              |      '(?s)^.*?\\r\\n\\r\\n', ''), '(\\r\\n)+$$', '') AS block
+              |  FROM rr),
+              |u AS (SELECT doc_id, rec_no, target_uri AS url,
+              |    regexp_replace(block, '(?s)^.*?\\r\\n\\r\\n', '') AS html
+              |  FROM hx WHERE lower(warc_type) = 'response'
+              |    AND regexp_matches(block, '(?is)^.*?\\r\\n\\r\\n')
+              |    AND regexp_matches(regexp_extract(block,
+              |      '(?im)^Content-Type:[ \\t]*([^\\r\\n;]*)', 1), '(?i)text/html')),
+              |$duckHtmlTextCtes
+              |SELECT doc_id, rec_no, url, $duckTitleExpr AS title,
+              |  text_extracted
+              |FROM e ORDER BY doc_id""".stripMargin))
   )
 }
