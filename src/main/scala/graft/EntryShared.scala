@@ -1399,7 +1399,12 @@ private[graft] object EntryShared {
     * (`./` runs → trailing `/.` → [[pipeline.HtmlExtract.dotSegmentBound]]
     * parent-pair passes → leading `/..`), patterns transliterated 1:1
     * (DuckDB needs the explicit 'g' flag where Spark replaces globally);
-    * query/fragment split off and re-attached verbatim.
+    * query/fragment split off and re-attached verbatim. `$outRel` is
+    * AS MATERIALIZED unconditionally: the chain re-references its input
+    * column at several steps, and un-materialized, DuckDB's CTE
+    * inlining multiplies the (often already-large) upstream tree — s13
+    * OOM'd the one-process 279-query gate through exactly this before
+    * the blanket materialization (the w08 lesson, third occurrence).
     */
   private[graft] def duckRemoveDotsCtes(inRel: String, urlCol: String,
                                         outRel: String, outCol: String,
@@ -1416,7 +1421,7 @@ private[graft] object EntryShared {
        |      '[?#].*', ''), '/(\\./)+', '/', 'g'), '/\\.$$', '/') AS ${px}_p1,
        |    regexp_extract(${px}_rest, '([?#].*)', 1) AS ${px}_t FROM ${px}b),
        |${px}d AS (SELECT *, $parent8 AS ${px}_p2 FROM ${px}c),
-       |$outRel AS (SELECT *, CASE WHEN $urlCol IS NULL THEN NULL
+       |$outRel AS MATERIALIZED (SELECT *, CASE WHEN $urlCol IS NULL THEN NULL
        |      WHEN ${px}_o = '' THEN $urlCol
        |      ELSE ${px}_o ||
        |        regexp_replace(${px}_p2, '^(/\\.\\.)+(/|$$)', '/') ||
