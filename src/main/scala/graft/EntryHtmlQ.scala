@@ -449,6 +449,111 @@ private[graft] object EntryHtmlQ {
               |$duckHtmlTextCtes
               |SELECT doc_id, rec_no, url, $duckTitleExpr AS title,
               |  text_extracted
-              |FROM e ORDER BY doc_id""".stripMargin))
+              |FROM e ORDER BY doc_id""".stripMargin)),
+
+    Q("ht10_wet_build",
+      (s, d) => {
+        val m = mgr(s, d)
+        // the WET cut (r17): WARC response records → the text-extract
+        // sidecar a crawl publishes — (url_norm, lang, text, n_tokens)
+        // for every 200 text/html response. Two planted exclusion
+        // regimes ride the same corpus: id%7==2 responses are 404s
+        // (status cut — redirect/error bodies are server boilerplate)
+        // and id%5==0 are text/plain (media routing); id%3 varies the
+        // lang declaration across both quote forms and absence. The
+        // whole path — record split, status extract, envelope strip,
+        // tag strip, entity decode, URL canonicalization, token count —
+        // is per-row expression work, scan-local at 100 TB.
+        val id = col("doc_id")
+        val url = syntheticBaseUrl
+        val html = concat(lit("<html"),
+          when(id % 3 === 0, lit(" lang=\"en\""))
+            .when(id % 3 === 1, lit(" lang='DE'")).otherwise(lit("")),
+          lit("><head><title>W"), (id % 9).cast("string"),
+          lit("</title></head><body><p>doc "), id.cast("string"),
+          lit(" body has words, words &amp; punctuation.</p></body></html>"))
+        val file = concat(
+          lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "), url,
+          lit("\r\nContent-Type: application/http;msgtype=response\r\n\r\n"),
+          when(id % 7 === 2, lit("HTTP/1.1 404 Not Found\r\n"))
+            .otherwise(lit("HTTP/1.1 200 OK\r\n")),
+          when(id % 5 === 0, lit("Content-Type: text/plain\r\n"))
+            .otherwise(lit("Content-Type: text/html; charset=utf-8\r\n")),
+          lit("\r\n"), html, lit("\r\n\r\n"),
+          lit("WARC/1.0\r\nWARC-Type: metadata\r\n" +
+            "Content-Type: application/warc-fields\r\n\r\nfetchTimeMs: 9\r\n\r\n"))
+        val docs = m.getDDFByName("documents").df
+          .select(col("doc_id"), file.as("warc"))
+        pipeline.Warc.htmlResponses(docs, "warc", "doc_id")
+          .filter(col("status") === 200)
+          .withColumn("text_extracted",
+            pipeline.HtmlExtract.htmlToTextCol(col("html")))
+          .select(col("doc_id"),
+            pipeline.UrlCuration.urlNormalizeCol(col("url")).as("url_norm"),
+            pipeline.HtmlExtract.htmlLangCol(col("html")).as("lang"),
+            col("text_extracted"),
+            pipeline.TextAnalysis.tokenCount("text_extracted").as("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH f AS (SELECT doc_id, $duckBaseUrlRaw AS url0,
+              |    '<html' ||
+              |    CASE WHEN doc_id % 3 = 0 THEN ' lang="en"'
+              |      WHEN doc_id % 3 = 1 THEN ' lang=''DE''' ELSE '' END ||
+              |    '><head><title>W' || (doc_id % 9)::VARCHAR ||
+              |    '</title></head><body><p>doc ' || doc_id::VARCHAR ||
+              |    ' body has words, words &amp; punctuation.</p></body></html>'
+              |      AS html0 FROM documents),
+              |wf AS (SELECT doc_id,
+              |    'WARC/1.0' || chr(13) || chr(10) ||
+              |    'WARC-Type: response' || chr(13) || chr(10) ||
+              |    'WARC-Target-URI: ' || url0 || chr(13) || chr(10) ||
+              |    'Content-Type: application/http;msgtype=response' ||
+              |    chr(13) || chr(10) || chr(13) || chr(10) ||
+              |    CASE WHEN doc_id % 7 = 2 THEN 'HTTP/1.1 404 Not Found'
+              |      ELSE 'HTTP/1.1 200 OK' END || chr(13) || chr(10) ||
+              |    CASE WHEN doc_id % 5 = 0 THEN 'Content-Type: text/plain'
+              |      ELSE 'Content-Type: text/html; charset=utf-8' END ||
+              |    chr(13) || chr(10) || chr(13) || chr(10) ||
+              |    html0 || chr(13) || chr(10) || chr(13) || chr(10) ||
+              |    'WARC/1.0' || chr(13) || chr(10) ||
+              |    'WARC-Type: metadata' || chr(13) || chr(10) ||
+              |    'Content-Type: application/warc-fields' ||
+              |    chr(13) || chr(10) || chr(13) || chr(10) ||
+              |    'fetchTimeMs: 9' || chr(13) || chr(10) || chr(13) || chr(10)
+              |      AS warc
+              |  FROM f),
+              |p AS (SELECT doc_id,
+              |    unnest(generate_series(1, len(string_split(warc,
+              |      'WARC/1.0' || chr(13) || chr(10))))) AS pp,
+              |    unnest(string_split(warc, 'WARC/1.0' || chr(13) || chr(10)))
+              |      AS rec
+              |  FROM wf),
+              |rr AS (SELECT doc_id, rec FROM p WHERE pp >= 2),
+              |hx AS (SELECT doc_id,
+              |    nullif(trim(regexp_extract(rec,
+              |      '(?im)^WARC-Type:[ \\t]*([^\\r\\n]*)', 1)), '') AS warc_type,
+              |    nullif(trim(regexp_extract(rec,
+              |      '(?im)^WARC-Target-URI:[ \\t]*([^\\r\\n]*)', 1)), '')
+              |      AS target_uri,
+              |    regexp_replace(regexp_replace(rec,
+              |      '(?s)^.*?\\r\\n\\r\\n', ''), '(\\r\\n)+$$', '') AS block
+              |  FROM rr),
+              |u AS (SELECT doc_id, target_uri AS url,
+              |    regexp_replace(block, '(?s)^.*?\\r\\n\\r\\n', '') AS html
+              |  FROM hx WHERE lower(warc_type) = 'response'
+              |    AND regexp_matches(block, '(?is)^.*?\\r\\n\\r\\n')
+              |    AND regexp_matches(regexp_extract(block,
+              |      '(?im)^Content-Type:[ \\t]*([^\\r\\n;]*)', 1), '(?i)text/html')
+              |    AND regexp_extract(block,
+              |      '^HTTP/[0-9.]+ ([0-9]{3})', 1) = '200'),
+              |$duckHtmlTextCtes,
+              |u2 AS (SELECT doc_id, html, text_extracted, url FROM e),
+              |${duckUrlNormCtesFrom("u2")}
+              |SELECT doc_id, url_norm,
+              |  nullif(lower(regexp_replace(regexp_replace(regexp_extract(html,
+              |    '(?is)<html\\b[^>]*\\blang\\s*=\\s*("[^"]*"|''[^'']*''|[^\\s>]+)',
+              |    1), '^["'']', ''), '["'']$$', '')), '') AS lang,
+              |  text_extracted, ${duckTokenCount("text_extracted")} AS n_tokens
+              |FROM p5 ORDER BY doc_id""".stripMargin))
   )
 }

@@ -408,6 +408,102 @@ private[graft] object EntryUrlQ {
              |SELECT host, sitemap_url FROM sm WHERE sitemap_url <> ''
              |ORDER BY host, sitemap_url""".stripMargin)),
 
+    Q("w11_frontier_schedule",
+      (s, d) => {
+        val m = mgr(s, d)
+        // politeness scheduling (r17): the frontier's per-host fetch
+        // plan — rank by priority (tie → url), cap at 5 per host per
+        // cycle, 500 ms between same-host fetches. The full synthetic
+        // URL mix rides through hostOf (84 host combos; IPv6 rows
+        // quarantine), and the oracle replays the rank as a plain
+        // row_number window — pinning that the bounded-heap aggregate
+        // is VALUE-identical to the window it replaces.
+        val frontier = m.getDDFByName("documents").df
+          .select(syntheticUrl(12).as("url"),
+            ((col("doc_id") * 37) % 100).cast("double").as("prio"))
+        pipeline.UrlCuration.frontierSchedule(frontier, "url", "prio",
+            crawlDelayMs = 500L, maxPerHost = 5)
+          .orderBy("host", "slot")
+      },
+      Some(s"""WITH u AS (SELECT doc_id, ${duckUrlRaw(12)} AS url,
+              |    ((doc_id * 37) % 100)::DOUBLE AS prio FROM documents),
+              |h AS (SELECT url, prio, ${duckHostExprOf("url")} AS host FROM u),
+              |h2 AS (SELECT * FROM h WHERE host IS NOT NULL AND host <> ''),
+              |r AS (SELECT host, url, prio,
+              |    row_number() OVER (PARTITION BY host
+              |      ORDER BY prio DESC, url) AS rn
+              |  FROM h2)
+              |SELECT host, url, prio AS priority, (rn - 1)::BIGINT AS slot,
+              |  ((rn - 1) * 500)::BIGINT AS scheduled_ms
+              |FROM r WHERE rn <= 5 ORDER BY host, slot""".stripMargin)),
+
+    Q("w12_redirect_resolve",
+      (s, d) => {
+        val m = mgr(s, d)
+        // redirect-chain resolution (r17): the fetch log's 3xx rows
+        // become edges (Location resolved against the redirecting URL —
+        // k%10==1 rows use a RELATIVE `../` Location to pin RFC 9110 +
+        // 3986 together), then every URL follows its chain ≤3 hops.
+        // Planted regimes: k%10==3 → two-hop chain (302 → 307 → 200),
+        // k%10==5 → one hop, k%10==1 → one relative hop, k%10==9 →
+        // self-loop (hops = bound, terminal = false), else terminal at
+        // hop 0. The oracle replays the resolution and all three join
+        // rounds.
+        val id = col("doc_id")
+        def urlOf(k: Column) = concat(lit("https://rd-"),
+          (k % 7).cast("string"), lit(".example.com/p/"), k.cast("string"))
+        val log = m.getDDFByName("documents").df.filter(id < 60)
+          .select(urlOf(id).as("url"),
+            when(id % 10 === 1, 301).when(id % 10 === 3, 302)
+              .when(id % 10 === 5, 307).when(id % 10 === 9, 308)
+              .otherwise(200).as("status"),
+            when(id % 10 === 1, concat(lit("../hop/"), id.cast("string")))
+              .when(id % 10 === 3, urlOf(id + 2))
+              .when(id % 10 === 5, urlOf(id + 2))
+              .when(id % 10 === 9, urlOf(id))
+              .otherwise(lit(null).cast("string")).as("location"))
+        pipeline.UrlCuration.resolveRedirects(log, "url", "status",
+            "location", maxHops = 3)
+          .orderBy("url")
+      },
+      Some(s"""WITH lg AS (SELECT
+              |    'https://rd-' || (doc_id % 7)::VARCHAR || '.example.com/p/' ||
+              |      doc_id::VARCHAR AS url,
+              |    CASE WHEN doc_id % 10 = 1 THEN 301
+              |      WHEN doc_id % 10 = 3 THEN 302
+              |      WHEN doc_id % 10 = 5 THEN 307
+              |      WHEN doc_id % 10 = 9 THEN 308 ELSE 200 END AS status,
+              |    CASE WHEN doc_id % 10 = 1 THEN '../hop/' || doc_id::VARCHAR
+              |      WHEN doc_id % 10 IN (3, 5) THEN 'https://rd-' ||
+              |        ((doc_id + 2) % 7)::VARCHAR || '.example.com/p/' ||
+              |        (doc_id + 2)::VARCHAR
+              |      WHEN doc_id % 10 = 9 THEN 'https://rd-' ||
+              |        (doc_id % 7)::VARCHAR || '.example.com/p/' ||
+              |        doc_id::VARCHAR END AS location
+              |  FROM documents WHERE doc_id < 60),
+              |e0 AS (SELECT url AS src, trim(location) AS th FROM lg
+              |  WHERE status IN (301, 302, 303, 307, 308)
+              |    AND location IS NOT NULL),
+              |rc AS (SELECT src, ${duckResolveCase("src", "th")} AS r0 FROM e0),
+              |${duckRemoveDotsCtes("rc", "r0", "rr", "dst", "wz")},
+              |eg AS MATERIALIZED (SELECT src, min(dst) AS dst FROM rr
+              |  WHERE dst IS NOT NULL GROUP BY src),
+              |s0 AS (SELECT DISTINCT url FROM lg WHERE url IS NOT NULL),
+              |s1 AS (SELECT s.url, coalesce(e.dst, s.url) AS f,
+              |    CASE WHEN e.dst IS NOT NULL THEN 1 ELSE 0 END AS hops
+              |  FROM s0 s LEFT JOIN eg e ON s.url = e.src),
+              |s2 AS (SELECT s.url, coalesce(e.dst, s.f) AS f,
+              |    CASE WHEN e.dst IS NOT NULL THEN 2 ELSE s.hops END AS hops
+              |  FROM s1 s LEFT JOIN eg e ON s.f = e.src),
+              |s3 AS (SELECT s.url, coalesce(e.dst, s.f) AS f,
+              |    CASE WHEN e.dst IS NOT NULL THEN 3 ELSE s.hops END AS hops
+              |  FROM s2 s LEFT JOIN eg e ON s.f = e.src)
+              |SELECT s.url, s.f AS final_url, s.hops::BIGINT AS hops,
+              |  (e.src IS NULL) AS terminal
+              |FROM s3 s LEFT JOIN (SELECT DISTINCT src FROM eg) e
+              |  ON s.f = e.src
+              |ORDER BY s.url""".stripMargin)),
+
     Q("w08_domain_authority",
       (s, d) => {
         val m = mgr(s, d)

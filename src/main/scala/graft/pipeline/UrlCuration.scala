@@ -423,6 +423,93 @@ object UrlCuration {
       .select(col("host"), col("__k").as("rule"), col("__v").as("pattern"))
   }
 
+  /** Politeness scheduling of a crawl frontier (r17): assign each URL a
+    * per-host fetch SLOT and its earliest fetch offset under a
+    * one-request-per-`crawlDelayMs` budget — the step between frontier
+    * expansion ([[graft.pipeline.HtmlExtract.linkExtract]] →
+    * [[urlDedup]]) and the fetcher fleet. Per host, URLs rank by
+    * (`priorityCol` DESC, url ASC — deterministic tie), the top
+    * `maxPerHost` survive (the crawl-cycle budget; the rest wait for
+    * the next cycle), slot = rank−1, `scheduled_ms` = slot ×
+    * `crawlDelayMs`. NULL priority schedules at 0.0; non-URL rows
+    * (NULL host) drop — quarantine material, the [[urlDedup]] contract.
+    *
+    * Scale shape: NO window over the frontier — ranking rides
+    * [[graft.operators.Views.topKWithRank]]'s bounded-heap aggregate,
+    * so each input partition ships at most `maxPerHost` rows per host
+    * (map-side combine) and a mega-host (a link farm with 100 M
+    * frontier entries) costs its scan, never a single-task sort. One
+    * key-only shuffle of (host, priority, url); payloads stay behind —
+    * callers re-join on url when the frontier carries more columns.
+    */
+  def frontierSchedule(df: DataFrame, urlCol: String, priorityCol: String,
+                       crawlDelayMs: Long, maxPerHost: Int): DataFrame = {
+    require(crawlDelayMs >= 0,
+      s"frontierSchedule: crawlDelayMs must be >= 0, got $crawlDelayMs")
+    require(maxPerHost >= 1,
+      s"frontierSchedule: maxPerHost must be >= 1, got $maxPerHost")
+    val slim = df.select(hostOf(col(urlCol)).as("host"),
+        coalesce(col(priorityCol).cast("double"), lit(0.0)).as("priority"),
+        col(urlCol).as("url"))
+      .filter(col("host").isNotNull && col("url").isNotNull)
+    graft.operators.Views.topKWithRank(slim, "host", "priority", "url",
+        maxPerHost)
+      .withColumn("slot", (col("rk") - 1).cast("long"))
+      .select(col("host"), col("url"), col("priority"), col("slot"),
+        (col("slot") * crawlDelayMs).as("scheduled_ms"))
+  }
+
+  /** Resolve HTTP redirect chains from crawl response metadata (r17):
+    * one row per distinct input URL with the URL it ultimately lands
+    * on after following up to `maxHops` redirects — the
+    * canonicalization signal BEFORE any page is parsed (a 301 is the
+    * server's own dedup key, stronger than rel=canonical). Input rows
+    * carry (`urlCol`, `statusCol`, `locationCol`) as fetched; a row is
+    * a redirect EDGE when status ∈ {301, 302, 303, 307, 308} and
+    * Location is present, the target resolved against the redirecting
+    * URL via [[graft.pipeline.HtmlExtract.resolveHrefCol]] (RFC 9110
+    * permits relative Location; RFC 3986 resolution applies, dot
+    * segments removed). A URL fetched more than once keeps its
+    * lexicographically-least resolved target (deterministic under
+    * re-crawls). Output: (url, final_url, hops, terminal) — `terminal`
+    * is false when the chain is still redirecting after `maxHops`
+    * (a loop, or deeper than the bound; real crawlers cap at ~5).
+    *
+    * Scale shape: `maxHops` + 1 equi-joins keyed on the URL — each hop
+    * shuffles only (url, final_url, hops) against the redirect-edge
+    * subset (the 3xx rows, a small fraction of a fetch log); no
+    * iteration-to-fixpoint, no driver loop over data, bound fixed at
+    * plan time. AQE broadcasts the edge side when a crawl's redirect
+    * set is small.
+    */
+  def resolveRedirects(df: DataFrame, urlCol: String, statusCol: String,
+                       locationCol: String, maxHops: Int = 3): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 8,
+      s"resolveRedirects: maxHops must be in [1, 8], got $maxHops")
+    val edges = df
+      .filter(col(statusCol).cast("int").isin(301, 302, 303, 307, 308) &&
+        col(locationCol).isNotNull)
+      .select(col(urlCol).as("__src"),
+        HtmlExtract.resolveHrefCol(col(urlCol), col(locationCol)).as("__d"))
+      .filter(col("__d").isNotNull)
+      .groupBy("__src").agg(min(col("__d")).as("__dst"))
+    var acc = df.select(col(urlCol).as("url"))
+      .filter(col("url").isNotNull).distinct()
+      .withColumn("final_url", col("url"))
+      .withColumn("hops", lit(0L))
+    for (i <- 1 to maxHops) {
+      acc = acc.join(edges, acc("final_url") === edges("__src"), "left")
+        .select(col("url"),
+          coalesce(col("__dst"), col("final_url")).as("final_url"),
+          when(col("__dst").isNotNull, lit(i.toLong)).otherwise(col("hops"))
+            .as("hops"))
+    }
+    acc.join(edges.select(col("__src")),
+        acc("final_url") === col("__src"), "left")
+      .select(col("url"), col("final_url"), col("hops"),
+        col("__src").isNull.as("terminal"))
+  }
+
   def incrementalUrlDedup(newDocs: DataFrame, knownFingerprints: DataFrame,
                           urlCol: String, idCol: String,
                           trackingParams: Seq[String] = defaultTrackingParams): DataFrame = {

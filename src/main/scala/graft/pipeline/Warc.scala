@@ -60,10 +60,29 @@ object Warc {
   def httpBodyCol(block: Column): Column =
     regexp_replace(block, "(?s)^.*?\\r\\n\\r\\n", "")
 
-  /** WARC files → (id, url, html) rows ready for [[HtmlExtract]]: the
-    * `response` records whose HTTP Content-Type is text/html, with the
-    * HTTP envelope stripped. The (id, rec_no) pair stays unique per
-    * input row even when a crawl revisits a URL.
+  /** The HTTP status code of a response record's block (the first
+    * line's `HTTP/x.y NNN`); NULL when the block is not an HTTP
+    * response. Feeds the 200-only WET cut and
+    * [[UrlCuration.resolveRedirects]] (3xx Location edges).
+    */
+  def httpStatusCol(block: Column): Column = {
+    val s = regexp_extract(block, "^HTTP/[0-9.]+[ \\t]+([0-9]{3})", 1)
+    when(s === "", lit(null).cast("int")).otherwise(s.cast("int"))
+  }
+
+  /** A named HTTP response header's value (case-insensitive field
+    * name, value trimmed, missing → NULL) — `Location` for redirect
+    * edges, `Content-Type` for media routing.
+    */
+  def httpHeaderCol(block: Column, name: String): Column = hdr(
+    regexp_extract(block, "(?s)^(.*?)\\r\\n\\r\\n", 1), name)
+
+  /** WARC files → (id, rec_no, url, status, html) rows ready for
+    * [[HtmlExtract]]: the `response` records whose HTTP Content-Type
+    * is text/html, with the HTTP envelope stripped and the status code
+    * kept (a WET cut filters to 200; redirect bodies are server
+    * boilerplate). The (id, rec_no) pair stays unique per input row
+    * even when a crawl revisits a URL.
     */
   def htmlResponses(df: DataFrame, fileCol: String, idCol: String): DataFrame =
     records(df, fileCol, idCol)
@@ -72,5 +91,6 @@ object Warc {
         regexp_extract(col("block"),
           "(?im)^Content-Type:[ \\t]*([^\\r\\n;]*)", 1).rlike("(?i)text/html"))
       .select(col(idCol), col("rec_no"), col("target_uri").as("url"),
+        httpStatusCol(col("block")).as("status"),
         httpBodyCol(col("block")).as("html"))
 }

@@ -317,6 +317,79 @@ class UrlCurationSpec extends SparkTestBase {
       Set(("allow", "/ok/")))
   }
 
+  test("frontierSchedule: per-host rank, cap, delay offsets, quarantine (r17)") {
+    val frontier = Seq(
+      ("https://a.com/p1", 5.0), ("https://a.com/p2", 9.0),
+      ("https://a.com/p3", 9.0), // priority tie → url ASC breaks it
+      ("https://a.com/p4", 1.0), // rank 4 > maxPerHost → next cycle
+      ("https://B.com/q", 2.0), // host case-folds
+      ("not a url", 99.0) // NULL host → quarantined
+    ).toDF("url", "prio")
+    val out = UrlCuration.frontierSchedule(frontier, "url", "prio",
+        crawlDelayMs = 500L, maxPerHost = 3)
+      .orderBy("host", "slot").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("a.com", "https://a.com/p2", 0L, 0L),
+      ("a.com", "https://a.com/p3", 1L, 500L),
+      ("a.com", "https://a.com/p1", 2L, 1000L),
+      ("b.com", "https://B.com/q", 0L, 0L)), s"got ${out.toSeq}")
+    // NULL priority schedules at 0.0 (not dropped)
+    val np = UrlCuration.frontierSchedule(
+        Seq(("https://c.com/x", Option.empty[Double]),
+          ("https://c.com/y", Some(1.0))).toDF("url", "prio"),
+        "url", "prio", 100L, 10).orderBy("slot").collect()
+    assert(np.length == 2 && np(1).getString(1) == "https://c.com/x" &&
+      np(1).getDouble(2) == 0.0)
+  }
+
+  test("frontierSchedule plan: bounded-heap aggregate, never a frontier-wide Window") {
+    val big = spark.range(2000).select(
+      concat(lit("https://h"), (col("id") % 7).cast("string"),
+        lit(".example.com/p/"), col("id").cast("string")).as("url"),
+      (col("id") % 13).cast("double").as("prio"))
+    val out = UrlCuration.frontierSchedule(big, "url", "prio", 250L, 5)
+    assert(out.count() == 35)
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Window"),
+      s"frontier ranking must ride the bounded-heap aggregate, not a window:\n$plan")
+    assert(plan.contains("partial_bounded_top_k"),
+      s"expected the BoundedTopK partial aggregate in:\n$plan")
+  }
+
+  test("resolveRedirects: chains, relative Location, loops, hop bound (r17)") {
+    val log = Seq(
+      // a -> b -> c (c terminal): one absolute edge, one 308
+      ("https://h.com/a", 301, "https://h.com/b"),
+      ("https://h.com/b", 308, "https://h.com/c"),
+      ("https://h.com/c", 200, null.asInstanceOf[String]),
+      // relative Location with dot segments resolves against the source
+      ("https://h.com/d/e", 302, "../up/x"),
+      // self-loop never terminates
+      ("https://h.com/loop", 307, "https://h.com/loop"),
+      // 200 with a Location-shaped header is NOT an edge
+      ("https://h.com/plain", 200, "https://h.com/elsewhere"))
+      .toDF("url", "status", "location")
+    val out = UrlCuration.resolveRedirects(log, "url", "status", "location",
+        maxHops = 3)
+      .collect().map(r =>
+        r.getString(0) -> ((r.getString(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(out("https://h.com/a") == (("https://h.com/c", 2L, true)))
+    assert(out("https://h.com/b") == (("https://h.com/c", 1L, true)))
+    assert(out("https://h.com/c") == (("https://h.com/c", 0L, true)))
+    assert(out("https://h.com/d/e") == (("https://h.com/up/x", 1L, true)))
+    assert(out("https://h.com/loop") == (("https://h.com/loop", 3L, false)))
+    assert(out("https://h.com/plain") == (("https://h.com/plain", 0L, true)))
+    // a re-crawled URL with diverging targets keeps the least target
+    val dup = Seq(("https://h.com/r", 301, "https://h.com/z2"),
+      ("https://h.com/r", 301, "https://h.com/z1")).toDF("url", "status", "location")
+    val d = UrlCuration.resolveRedirects(dup, "url", "status", "location", 2)
+      .collect()
+    assert(d.length == 1 && d(0).getString(1) == "https://h.com/z1")
+  }
+
   test("robotsSitemaps: host-wide extraction regardless of group position (r17)") {
     import spark.implicits._
     val body =

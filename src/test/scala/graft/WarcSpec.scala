@@ -59,6 +59,39 @@ class WarcSpec extends SparkTestBase {
     assert(out(0).getAs[String]("block").contains("no blank line here"))
   }
 
+  test("httpStatusCol/httpHeaderCol: status line, header values, non-HTTP NULLs (r17)") {
+    import spark.implicits._
+    val blocks = Seq(
+      s"HTTP/1.1 301 Moved Permanently${crlf}Location: /new${crlf}Content-Type: text/html$crlf$crlf<p>moved</p>",
+      s"HTTP/2 404 Not Found$crlf$crlf<p>nope</p>",
+      "software: test") // warcinfo block — not an HTTP response
+      .zipWithIndex.map { case (b, i) => (i.toLong, b) }.toDF("id", "block")
+    val out = blocks.select(col("id"),
+        Warc.httpStatusCol(col("block")).as("status"),
+        Warc.httpHeaderCol(col("block"), "location").as("loc"))
+      .orderBy("id").collect()
+    assert(out(0).getAs[Int]("status") == 301 &&
+      out(0).getAs[String]("loc") == "/new")
+    assert(out(1).getAs[Int]("status") == 404 &&
+      out(1).getAs[String]("loc") == null)
+    assert(out(2).isNullAt(1) && out(2).getAs[String]("loc") == null)
+  }
+
+  test("htmlResponses: carries the HTTP status (r17 — the WET 200-cut key)") {
+    import spark.implicits._
+    val file =
+      rec(Seq("WARC-Type" -> "response", "WARC-Target-URI" -> "https://h/ok"),
+        s"HTTP/1.1 200 OK${crlf}Content-Type: text/html$crlf$crlf<p>ok</p>") +
+      rec(Seq("WARC-Type" -> "response", "WARC-Target-URI" -> "https://h/gone"),
+        s"HTTP/1.1 404 Not Found${crlf}Content-Type: text/html$crlf$crlf<p>404 page</p>")
+    val out = Warc.htmlResponses(Seq((1L, file)).toDF("id", "warc"), "warc", "id")
+      .orderBy("rec_no").collect()
+    assert(out.length == 2) // content-type routing unchanged: both are html
+    assert(out(0).getAs[Int]("status") == 200 &&
+      out(1).getAs[Int]("status") == 404)
+    assert(out(0).getAs[String]("html") == "<p>ok</p>")
+  }
+
   test("plan: the explode is scan-local — no Exchange, no Window") {
     import spark.implicits._
     val df = spark.range(100).select(col("id"),
