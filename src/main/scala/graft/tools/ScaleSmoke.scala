@@ -910,6 +910,69 @@ object ScaleSmoke {
           graft.pipeline.UrlCuration.incrementalUrlDedup(
             keyed, spark.emptyDataFrame.select(lit("").as("fingerprint")).limit(0),
             "curl", "doc_id").count()
+        }),
+        // ---- r17 crawl-layer additions ----
+        // ht09/ht10: WARC record split -> status/content-type cut ->
+        // HTML-to-text — all per-row expression work; the sum(length)
+        // sink defeats pruning
+        "warc_wet(ht10)" -> (() => {
+          val files = d.select(col("doc_id"), concat(
+            lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+            syntheticCrawlUrl(col("doc_id")),
+            lit("\r\nContent-Type: application/http;msgtype=response\r\n\r\n"),
+            when(col("doc_id") % 7 === 2, lit("HTTP/1.1 404 Not Found\r\n"))
+              .otherwise(lit("HTTP/1.1 200 OK\r\n")),
+            lit("Content-Type: text/html; charset=utf-8\r\n\r\n" +
+              "<html><body><p>"), col("text"),
+            lit(" &amp; more</p></body></html>\r\n\r\n" +
+              "WARC/1.0\r\nWARC-Type: metadata\r\n" +
+              "Content-Type: application/warc-fields\r\n\r\n" +
+              "fetchTimeMs: 9\r\n\r\n")).as("warc"))
+          val resp = graft.pipeline.Warc.htmlResponses(files, "warc", "doc_id")
+            .filter(col("status") === 200)
+          resp.select(graft.pipeline.HtmlExtract.htmlToTextCol(col("html")).as("t"))
+            .agg(sum(length(col("t")))).first().getLong(0)
+        }),
+        // w09: robots.txt bodies -> rule table. Hosts grow with f
+        // (bodies stay KiB-sized — the production shape); the per-host
+        // line windows must distribute, never pile on one key
+        "robots_parse(w09)" -> (() => {
+          val bodies = spark.range(20000L * f).select(
+            concat(lit("h-"), col("id").cast("string"),
+              lit(".example.com")).as("host"),
+            concat(lit("User-agent: other-bot\nDisallow: /\n\n"),
+              when(col("id") % 3 === 0,
+                  lit("User-agent: graftbot\nDisallow: /tmp/\nAllow: /tmp/ok\n"))
+                .otherwise(lit("")),
+              lit("User-agent: *\nDisallow: /private/\n" +
+                "Sitemap: https://sm.example.com/x.xml\nnoise\n")).as("body"))
+          graft.pipeline.UrlCuration.robotsParse(
+            bodies, "host", "body", agent = "graftbot-img").count()
+        }),
+        // w11: frontier scheduling over the FIXED 5000-site universe —
+        // per-host load grows with f, the bounded-heap cap (100) holds
+        // the shuffle constant-per-host; cost must track the scan
+        "frontier_schedule(w11)" -> (() => {
+          val frontier = d.select(syntheticCrawlUrl(col("doc_id")).as("url"),
+            (col("doc_id") % 1000).cast("double").as("prio"))
+          graft.pipeline.UrlCuration.frontierSchedule(frontier, "url", "prio",
+            crawlDelayMs = 250L, maxPerHost = 100).count()
+        }),
+        // w12: redirect chains over a growing fetch log (30% 3xx) —
+        // maxHops+1 key joins, each bounded by the log and edge sizes
+        "redirect_resolve(w12)" -> (() => {
+          def rurl(k: org.apache.spark.sql.Column) =
+            concat(lit("https://rd-"), (k % 50000).cast("string"),
+              lit(".example.com/p/"), k.cast("string"))
+          val id = col("doc_id")
+          val log = d.select(rurl(id).as("url"),
+            when(id % 10 === 1, 301).when(id % 10 === 3, 302)
+              .when(id % 10 === 5, 307).otherwise(200).as("status"),
+            when(id % 10 === 1, concat(lit("../hop/"), id.cast("string")))
+              .when(id % 10 === 3 || id % 10 === 5, rurl(id + 2))
+              .otherwise(lit(null).cast("string")).as("location"))
+          graft.pipeline.UrlCuration.resolveRedirects(
+            log, "url", "status", "location", maxHops = 3).count()
         }))
     }
 
