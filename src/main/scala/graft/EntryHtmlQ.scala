@@ -554,6 +554,92 @@ private[graft] object EntryHtmlQ {
               |    '(?is)<html\\b[^>]*\\blang\\s*=\\s*("[^"]*"|''[^'']*''|[^\\s>]+)',
               |    1), '^["'']', ''), '["'']$$', '')), '') AS lang,
               |  text_extracted, ${duckTokenCount("text_extracted")} AS n_tokens
-              |FROM p5 ORDER BY doc_id""".stripMargin))
+              |FROM p5 ORDER BY doc_id""".stripMargin)),
+
+    Q("ht11_main_content",
+      (s, d) => {
+        val m = mgr(s, d)
+        // main-content extraction (r17): the Boilerpipe-class block +
+        // link-density cut over pages that carry the full chrome mix —
+        // nav link lists, a sub-threshold heading, the prose body, a
+        // "Tiny." fragment, per-regime extras (id%4==1 a low-density
+        // inline-anchor paragraph that must SURVIVE, id%4==2 a long
+        // related-articles link list that must DROP on density despite
+        // passing minChars), and a link-heavy footer. The oracle
+        // replays the whole lambda chain in DuckDB (NULL-vs-'' seam:
+        // DuckDB's array_to_string([]) is NULL where Spark's
+        // array_join is '' — coalesced at both spots).
+        val id = col("doc_id")
+        val html = concat(
+          lit("<html><head><title>T</title><style>p{m:1}</style></head>" +
+            "<body><nav><ul><li><a href=\"/\">Home</a></li>" +
+            "<li><a href=\"/about\">About section</a></li></ul></nav>" +
+            "<div class=\"content\"><h1>Head "), (id % 9).cast("string"),
+          lit("</h1><p>"), substring(col("text"), 1, 80),
+          lit(" tail words to pass the threshold.</p><p>Tiny.</p>"),
+          when(id % 4 === 1, lit("<p>See <a href=\"/ref\">the reference" +
+            "</a> for additional context and detail here.</p>"))
+            .otherwise(lit("")),
+          when(id % 4 === 2, lit("<div><a href=\"/r/1\">Related article " +
+            "one</a> · <a href=\"/r/2\">Related article two</a> · " +
+            "<a href=\"/r/3\">Related article three</a></div>"))
+            .otherwise(lit("")),
+          lit("</div><footer>© 2024 Example Corp · <a href=\"/tos\">Terms " +
+            "of Service</a> · <a href=\"/priv\">Privacy Policy and " +
+            "Cookies</a></footer></body></html>"))
+        val docs = m.getDDFByName("documents").df
+          .select(col("doc_id"), html.as("html"))
+        docs.select(col("doc_id"),
+            pipeline.HtmlExtract.mainContentCol(col("html")).as("main_text"))
+          .withColumn("n_chars", length(col("main_text")).cast("long"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH u0 AS (SELECT doc_id,
+              |    '<html><head><title>T</title><style>p{m:1}</style></head>' ||
+              |    '<body><nav><ul><li><a href="/">Home</a></li>' ||
+              |    '<li><a href="/about">About section</a></li></ul></nav>' ||
+              |    '<div class="content"><h1>Head ' || (doc_id % 9)::VARCHAR ||
+              |    '</h1><p>' || substr(text, 1, 80) ||
+              |    ' tail words to pass the threshold.</p><p>Tiny.</p>' ||
+              |    CASE WHEN doc_id % 4 = 1 THEN '<p>See <a href="/ref">the ' ||
+              |      'reference</a> for additional context and detail here.</p>'
+              |      ELSE '' END ||
+              |    CASE WHEN doc_id % 4 = 2 THEN '<div><a href="/r/1">Related ' ||
+              |      'article one</a> · <a href="/r/2">Related article two</a> ' ||
+              |      '· <a href="/r/3">Related article three</a></div>'
+              |      ELSE '' END ||
+              |    '</div><footer>© 2024 Example Corp · <a href="/tos">Terms ' ||
+              |    'of Service</a> · <a href="/priv">Privacy Policy and ' ||
+              |    'Cookies</a></footer></body></html>' AS html
+              |  FROM documents),
+              |c1 AS (SELECT doc_id, regexp_replace(regexp_replace(
+              |    regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g'),
+              |    '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g'),
+              |    '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g') AS ch
+              |  FROM u0),
+              |fr AS (SELECT doc_id, string_split_regex(ch,
+              |    '(?i)</?(?:div|p|h[1-6]|li|td|th|tr|table|ul|ol|dl|dt|dd|' ||
+              |    'article|section|header|footer|nav|aside|main|figure|' ||
+              |    'figcaption|blockquote|pre|form|fieldset|br|hr)\\b[^>]*>')
+              |      AS fl FROM c1),
+              |sc AS (SELECT doc_id, list_transform(fl, x -> struct_pack(
+              |    t := trim(regexp_replace(${duckDecodeEnt(
+                      "regexp_replace(x, '<[/!A-Za-z][^>]*>', ' ', 'g')")},
+              |      '[\\s\\x{00A0}]+', ' ', 'g')),
+              |    a := trim(regexp_replace(${duckDecodeEnt(
+                      "regexp_replace(coalesce(array_to_string(" +
+                        "regexp_extract_all(x, '(?is)<a\\b[^>]*>(.*?)</a', 1)," +
+                        " ' '), ''), '<[/!A-Za-z][^>]*>', ' ', 'g')")},
+              |      '[\\s\\x{00A0}]+', ' ', 'g')))) AS sl
+              |  FROM fr),
+              |kp AS (SELECT doc_id, list_filter(sl, s ->
+              |    length(s.t) >= 20 AND
+              |    length(s.a) <= 0.33 * length(s.t)) AS kl FROM sc)
+              |SELECT doc_id,
+              |  coalesce(array_to_string(list_transform(kl, s -> s.t), ' '),
+              |    '') AS main_text,
+              |  length(coalesce(array_to_string(list_transform(kl, s -> s.t),
+              |    ' '), ''))::BIGINT AS n_chars
+              |FROM kp ORDER BY doc_id""".stripMargin))
   )
 }

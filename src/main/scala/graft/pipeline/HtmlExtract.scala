@@ -85,6 +85,77 @@ object HtmlExtract {
                  outCol: String = "text"): DataFrame =
     df.withColumn(outCol, htmlToTextCol(col(htmlCol)))
 
+  /** The block-level tags [[mainContentCol]] splits a document at —
+    * the HTML flow-content set. Inline tags (`a`, `b`, `span`, …) stay
+    * inside their fragment so link density is measurable per block.
+    */
+  private val blockSplitPattern: String =
+    "(?i)</?(?:div|p|h[1-6]|li|td|th|tr|table|ul|ol|dl|dt|dd|article|" +
+      "section|header|footer|nav|aside|main|figure|figcaption|" +
+      "blockquote|pre|form|fieldset|br|hr)\\b[^>]*>"
+
+  private def fragTextOf(c: Column): Column = {
+    val noTags = regexp_replace(c, "<[/!A-Za-z][^>]*>", " ")
+    val decoded = defaultEntities.foldLeft(noTags) {
+      case (x, (e, v)) => replace(x, lit(e), lit(v))
+    }
+    trim(regexp_replace(decoded, "[\\s\\x{00A0}]+", " "))
+  }
+
+  /** MAIN-CONTENT text of an HTML document — the Boilerpipe-class
+    * heuristic (Kohlschütter et al., WSDM 2010; public knowledge) as a
+    * pure expression chain, sitting between [[htmlToTextCol]] (which
+    * keeps nav/footer chrome as text) and a real DOM-aware extractor:
+    *
+    *  1. comments and `<script>`/`<style>` subtrees dropped (the
+    *     [[htmlToTextCol]] passes);
+    *  2. the document splits into fragments at block-level tags
+    *     ([[blockSplitPattern]] — open and close; inline tags stay);
+    *  3. each fragment scores its visible-text length and its LINK
+    *     density (visible chars inside `<a>…</a` over total visible
+    *     chars — anchors are inline, so they remain within their
+    *     fragment);
+    *  4. fragments with < `minChars` visible chars (headings, nav
+    *     items, button labels) or link density > `maxLinkDensity`
+    *     (link lists, footers, related-article chrome) drop; survivors
+    *     join with single spaces in document order.
+    *
+    * An anchor cut by a block boundary contributes its pieces to both
+    * fragments' totals but only the open-tag side's link count — the
+    * documented approximation (same failure mode as all block-local
+    * density heuristics). NULL html → NULL.
+    *
+    * Scale shape: per-row expression work, scan-local like the rest of
+    * the family. The split/score/filter steps are HOFs
+    * (`transform`/`filter` are CodegenFallback — the a11 lesson), so
+    * the containing projection runs interpreted: fine for a curation
+    * pass whose cost is the regex work itself; a bench-headline use
+    * would warrant the native-expression twin
+    * ([[graft.functions.ResolveHref]] pattern).
+    */
+  def mainContentCol(html: Column, minChars: Int = 20,
+                     maxLinkDensity: Double = 0.33): Column = {
+    require(minChars >= 1, s"mainContentCol: minChars must be >= 1, got $minChars")
+    require(maxLinkDensity >= 0 && maxLinkDensity <= 1,
+      s"mainContentCol: maxLinkDensity must be in [0, 1], got $maxLinkDensity")
+    val noComment = regexp_replace(html, "(?s)<!--.*?-->", " ")
+    val noScript = regexp_replace(noComment,
+      "(?is)<script\\b[^>]*>.*?</script\\s*>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
+    val frags = split(noStyle, blockSplitPattern)
+    val scored = transform(frags, f =>
+      struct(fragTextOf(f).as("t"),
+        fragTextOf(array_join(
+          regexp_extract_all(f, lit("(?is)<a\\b[^>]*>(.*?)</a"), lit(1)),
+          " ")).as("a")))
+    val kept = filter(scored, s =>
+      length(s.getField("t")) >= minChars &&
+        length(s.getField("a")).cast("double") <=
+          lit(maxLinkDensity) * length(s.getField("t")).cast("double"))
+    array_join(transform(kept, s => s.getField("t")), " ")
+  }
+
   /** All `<a href=…>` targets of a document, in document order, as an
     * array: double-quoted, single-quoted, and unquoted attribute forms;
     * surrounding quotes stripped; `&amp;` decoded (the one entity that

@@ -216,6 +216,42 @@ class HtmlExtractSpec extends SparkTestBase {
     assert(locs == Seq("https://a.com/x?p=1&q=2", "https://b.org/y"))
   }
 
+  test("mainContentCol: nav/footer chrome drops, body prose survives (r17)") {
+    import spark.implicits._
+    val page =
+      "<html><head><title>T</title><style>p{color:red}</style></head><body>" +
+        "<nav><ul><li><a href=\"/\">Home</a></li>" +
+        "<li><a href=\"/about\">About us</a></li></ul></nav>" +
+        "<div class=\"content\"><h1>Short head</h1>" +
+        "<p>The first real paragraph carries enough visible characters to pass.</p>" +
+        "<p>Tiny.</p>" +
+        "<p>See <a href=\"/ref\">the reference</a> for more detail on this subject.</p>" +
+        "</div><footer>© 2024 Example Corp · " +
+        "<a href=\"/tos\">Terms of Service</a> · " +
+        "<a href=\"/priv\">Privacy Policy and Cookie Preferences</a></footer>" +
+        "</body></html>"
+    val out = Seq(page).toDF("html")
+      .select(HtmlExtract.mainContentCol(col("html")).as("m"))
+      .collect()(0).getString(0)
+    // kept: the two long low-density paragraphs. Dropped: nav items and
+    // "Short head"/"Tiny." (minChars), the footer (link density ~0.6)
+    assert(out ==
+      "The first real paragraph carries enough visible characters to pass. " +
+        "See the reference for more detail on this subject.", s"got: $out")
+    // a link LIST long enough to pass minChars still drops on density
+    val linkList = "<div>" + (1 to 8).map(i =>
+      s"""<a href="/s/$i">Related article number $i</a>""").mkString(" · ") +
+      "</div>"
+    val m2 = Seq(linkList).toDF("html")
+      .select(HtmlExtract.mainContentCol(col("html")).as("m"))
+      .collect()(0).getString(0)
+    assert(m2 == "", s"pure link list must drop on density, got: $m2")
+    // NULL html -> NULL
+    val m3 = Seq(Option.empty[String]).toDF("html")
+      .select(HtmlExtract.mainContentCol(col("html")).as("m")).collect()(0)
+    assert(m3.isNullAt(0))
+  }
+
   test("plan pins: extraction is shuffle-free; linkExtract has no Exchange") {
     val docs = spark.range(200).select(col("id"),
       concat(lit("<html><body><p>t"), col("id"),
