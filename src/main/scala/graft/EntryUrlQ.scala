@@ -504,6 +504,82 @@ private[graft] object EntryUrlQ {
               |  ON s.f = e.src
               |ORDER BY s.url""".stripMargin)),
 
+    Q("w13_revisit_schedule",
+      (s, d) => {
+        val m = mgr(s, d)
+        // freshness scheduling (r17): 40 URLs × 10 fetches an hour
+        // apart, content hash rolling over every 1-4 fetches by URL
+        // regime (uid%4), uid%5==0 URLs never change (max-interval
+        // clamp), plus 5 single-fetch URLs (no observations → max).
+        // The oracle replays the lag window, the change count, and the
+        // Cho–Garcia-Molina estimator including both clamps — ln() is
+        // hash-stable cross-engine (the t10/t13 precedent).
+        val id = col("doc_id")
+        val hist = m.getDDFByName("documents").df.filter(id < 400)
+          .select((id % 40).as("uid"), expr("doc_id div 40").as("seq"))
+          .select(
+            concat(lit("https://rev-"), col("uid").cast("string"),
+              lit(".example.com/p")).as("url"),
+            (lit(1700000000L) + col("seq") * 3600L + col("uid"))
+              .cast("double").as("ts"),
+            when(col("uid") % 5 === 0,
+                concat(lit("h"), col("uid").cast("string"), lit("-const")))
+              .otherwise(concat(lit("h"), col("uid").cast("string"), lit("-"),
+                floor(col("seq") / (lit(1) + col("uid") % 4))
+                  .cast("long").cast("string"))).as("hash"))
+        val singles = m.getDDFByName("documents").df
+          .filter(id >= 400 && id < 405)
+          .select(concat(lit("https://single-"), (id - 400).cast("string"),
+              lit(".example.com/")).as("url"),
+            lit(1700000000.0).as("ts"), lit("hs").as("hash"))
+        // ln() outputs round per the c01/t10 rule (cross-engine ln noise
+        // ~1e-16 relative): λ to 10 dp (≥6 sig figs at λ ~ 1e-4, all
+        // values ≥0.16e-10 from a rounding boundary), revisit to 6 dp;
+        // clamps compare the UNROUNDED λ on both sides
+        pipeline.UrlCuration.revisitSchedule(hist.unionByName(singles),
+            "url", "ts", "hash", minIntervalS = 600.0,
+            maxIntervalS = 2592000.0)
+          .select(col("url"), col("n_fetches"), col("n_changes"),
+            round(col("lambda"), 10).as("lambda"),
+            round(col("revisit_s"), 6).as("revisit_s"))
+          .orderBy("url")
+      },
+      Some("""WITH h0 AS (SELECT (doc_id % 40) AS uid, (doc_id // 40) AS seq
+             |  FROM documents WHERE doc_id < 400),
+             |h2 AS (SELECT 'https://rev-' || uid::VARCHAR || '.example.com/p'
+             |      AS url,
+             |    (1700000000 + seq * 3600 + uid)::DOUBLE AS ts,
+             |    CASE WHEN uid % 5 = 0 THEN 'h' || uid::VARCHAR || '-const'
+             |      ELSE 'h' || uid::VARCHAR || '-' ||
+             |        (floor(seq / (1 + uid % 4))::BIGINT)::VARCHAR END AS hash
+             |  FROM h0
+             |  UNION ALL
+             |  SELECT 'https://single-' || (doc_id - 400)::VARCHAR ||
+             |      '.example.com/' AS url,
+             |    1700000000.0 AS ts, 'hs' AS hash
+             |  FROM documents WHERE doc_id >= 400 AND doc_id < 405),
+             |fl AS (SELECT url, ts,
+             |    CASE WHEN lag(hash) OVER (PARTITION BY url ORDER BY ts)
+             |        IS NOT NULL
+             |      AND lag(hash) OVER (PARTITION BY url ORDER BY ts) <> hash
+             |      THEN 1 ELSE 0 END AS chg
+             |  FROM h2),
+             |ag AS (SELECT url, count(*) - 1 AS n, sum(chg)::BIGINT AS x,
+             |    max(ts) - min(ts) AS span
+             |  FROM fl GROUP BY url),
+             |lm AS (SELECT url, (n + 1)::BIGINT AS n_fetches,
+             |    x AS n_changes,
+             |    CASE WHEN n > 0 AND span > 0
+             |      THEN -ln((n - x + 0.5) / (n + 0.5)) / (span / n)
+             |      ELSE 0.0 END AS lambda
+             |  FROM ag)
+             |SELECT url, n_fetches, n_changes,
+             |  round(lambda, 10) AS lambda,
+             |  round(CASE WHEN lambda > 0
+             |    THEN least(greatest(1.0 / lambda, 600.0), 2592000.0)
+             |    ELSE 2592000.0 END, 6) AS revisit_s
+             |FROM lm ORDER BY url""".stripMargin)),
+
     Q("w08_domain_authority",
       (s, d) => {
         val m = mgr(s, d)

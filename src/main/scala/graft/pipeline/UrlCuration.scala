@@ -510,6 +510,61 @@ object UrlCuration {
         col("__src").isNull.as("terminal"))
   }
 
+  /** Revisit scheduling from fetch history (r17): estimate each URL's
+    * change rate and derive the next crawl interval — the freshness
+    * side of politeness ([[frontierSchedule]] decides WHEN within a
+    * cycle; this decides WHICH cycle). Input: one row per past fetch
+    * (`urlCol`, `tsCol` — epoch SECONDS, numeric — and `hashCol`, the
+    * fetched content's digest). Per URL, over fetches in time order:
+    *
+    *  - `n` = observation intervals (fetches − 1), `x` = intervals
+    *    whose content hash changed;
+    *  - the Cho–Garcia-Molina estimator (public knowledge: "Estimating
+    *    Frequency of Change", ACM TOIT 2003) for a Poisson change
+    *    process sampled at interval Ī = span/n:
+    *    λ̂ = −ln((n − x + 0.5) / (n + 0.5)) / Ī — consistent where the
+    *    naive x/(n·Ī) saturates when most probes see a change;
+    *  - `revisit_s` = 1/λ̂ clamped to [`minIntervalS`, `maxIntervalS`];
+    *    never-changed histories (x = 0 → λ̂ = 0) and single-fetch URLs
+    *    (n = 0) schedule at `maxIntervalS`.
+    *
+    * Output: (url, n_fetches, n_changes, lambda, revisit_s).
+    *
+    * Scale shape: one window partitioned by URL over a SLIM (url, ts,
+    * hash-changed flag) projection — per-URL history is fetch-log
+    * bounded (tens of rows), URLs are many, so partitions distribute;
+    * then one groupBy on the same key, no second shuffle (the window's
+    * partitioning is reused). Payloads never enter the window.
+    */
+  def revisitSchedule(history: DataFrame, urlCol: String, tsCol: String,
+                      hashCol: String, minIntervalS: Double,
+                      maxIntervalS: Double): DataFrame = {
+    require(minIntervalS > 0 && maxIntervalS >= minIntervalS,
+      s"revisitSchedule: need 0 < minIntervalS <= maxIntervalS, " +
+        s"got $minIntervalS, $maxIntervalS")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("url").orderBy("ts")
+    val slim = history.select(col(urlCol).as("url"),
+        col(tsCol).cast("double").as("ts"), col(hashCol).as("__h"))
+      .filter(col("url").isNotNull && col("ts").isNotNull)
+    val flagged = slim
+      .withColumn("__chg", when(lag(col("__h"), 1).over(w).isNotNull &&
+        lag(col("__h"), 1).over(w) =!= col("__h"), 1L).otherwise(0L))
+    val agg = flagged.groupBy("url")
+      .agg((count(lit(1)) - 1L).as("n"), sum(col("__chg")).as("x"),
+        (max(col("ts")) - min(col("ts"))).as("span"))
+    val lam = when(col("n") > 0 && col("span") > 0,
+      -log((col("n") - col("x") + 0.5) / (col("n") + 0.5)) /
+        (col("span") / col("n"))).otherwise(lit(0.0))
+    agg.select(col("url"), (col("n") + 1L).as("n_fetches"),
+        col("x").as("n_changes"), lam.as("lambda"))
+      .withColumn("revisit_s",
+        when(col("lambda") > 0,
+          least(greatest(lit(1.0) / col("lambda"), lit(minIntervalS)),
+            lit(maxIntervalS)))
+          .otherwise(lit(maxIntervalS)))
+  }
+
   def incrementalUrlDedup(newDocs: DataFrame, knownFingerprints: DataFrame,
                           urlCol: String, idCol: String,
                           trackingParams: Seq[String] = defaultTrackingParams): DataFrame = {

@@ -390,6 +390,41 @@ class UrlCurationSpec extends SparkTestBase {
     assert(d.length == 1 && d(0).getString(1) == "https://h.com/z1")
   }
 
+  test("revisitSchedule: CGM estimator, clamps, never-changed and single-fetch (r17)") {
+    val t0 = 1700000000.0
+    val hist = (
+      // changes every fetch: x = n = 4, interval 100 s
+      (0 to 4).map(i => ("https://h/fast", t0 + i * 100, s"f$i")) ++
+      // never changes: x = 0
+      (0 to 4).map(i => ("https://h/still", t0 + i * 100, "same")) ++
+      // one change in 4 intervals
+      (0 to 4).map(i => ("https://h/slow", t0 + i * 100, if (i < 3) "a" else "b")) ++
+      Seq(("https://h/once", t0, "x"))
+    ).toDF("url", "ts", "hash")
+    val out = UrlCuration.revisitSchedule(hist, "url", "ts", "hash",
+        minIntervalS = 40.0, maxIntervalS = 10000.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    def cgm(n: Int, x: Int, ibar: Double) =
+      -math.log((n - x + 0.5) / (n + 0.5)) / ibar
+    val fast = out("https://h/fast")
+    assert(fast._1 == 5L && fast._2 == 4L)
+    assert(math.abs(fast._3 - cgm(4, 4, 100.0)) < 1e-12)
+    // 1/λ ≈ 45.5 s, inside [40, 10000] — unclamped
+    assert(math.abs(fast._4 - 1.0 / cgm(4, 4, 100.0)) < 1e-9)
+    val slow = out("https://h/slow")
+    assert(slow._2 == 1L && math.abs(slow._3 - cgm(4, 1, 100.0)) < 1e-12)
+    // x=0 -> λ=0 -> max clamp; single fetch -> max clamp with n_fetches=1
+    assert(out("https://h/still") == ((5L, 0L, 0.0, 10000.0)))
+    assert(out("https://h/once") == ((1L, 0L, 0.0, 10000.0)))
+    // min clamp: sub-second intervals with constant change
+    val rapid = (0 to 4).map(i => ("https://h/rapid", t0 + i * 0.5, s"r$i"))
+      .toDF("url", "ts", "hash")
+    val rv = UrlCuration.revisitSchedule(rapid, "url", "ts", "hash", 40.0, 10000.0)
+      .collect()(0).getDouble(4)
+    assert(rv == 40.0, s"expected min clamp, got $rv")
+  }
+
   test("robotsSitemaps: host-wide extraction regardless of group position (r17)") {
     import spark.implicits._
     val body =
