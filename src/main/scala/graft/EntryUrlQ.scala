@@ -580,6 +580,50 @@ private[graft] object EntryUrlQ {
              |    ELSE 2592000.0 END, 6) AS revisit_s
              |FROM lm ORDER BY url""".stripMargin)),
 
+    Q("w14_crawl_quota",
+      (s, d) => {
+        val m = mgr(s, d)
+        // per-domain crawl-budget apportionment (r17): observed URL
+        // mass per registered domain → Hamilton largest-remainder
+        // split of 1000 fetch slots. Weights are exact longs (counts),
+        // so the whole quota derivation is basic IEEE ops and the
+        // oracle matches WITHOUT rounding; the remainder bump replays
+        // as a row_number over (rem DESC, domain) — pinning
+        // budgetSelect's range-exchange greedy value-identical to the
+        // window form, the ds03/q92 discipline on a second shape.
+        val docs = m.getDDFByName("documents").df
+          .select(syntheticUrl(5).as("url"))
+        val withDom = pipeline.UrlCuration.registeredDomain(
+          docs.withColumn("host", pipeline.UrlCuration.hostOf(col("url"))),
+          "host", wSuffixes)
+        val weights = withDom.filter(col("registered_domain").isNotNull)
+          .groupBy("registered_domain").agg(count(lit(1)).as("n_urls"))
+        Views.apportionBudget(weights, "registered_domain", "n_urls", 1000L)
+          .select(col("key").as("registered_domain"),
+            col("weight").as("n_urls"), col("quota"))
+          .orderBy("registered_domain")
+      },
+      Some(s"""WITH u AS (SELECT doc_id, ${duckUrlRaw(5)} AS url
+              |  FROM documents),
+              |h AS (SELECT doc_id, $duckHostExpr AS host FROM u),
+              |$duckRegDomainCtes,
+              |g AS (SELECT registered_domain, count(*)::BIGINT AS w FROM d3
+              |  WHERE registered_domain IS NOT NULL GROUP BY 1),
+              |tw AS (SELECT sum(w)::BIGINT AS tw FROM g),
+              |q AS (SELECT registered_domain, w,
+              |    (w::DOUBLE * 1000) / (tw.tw::DOUBLE) AS ex FROM g, tw),
+              |q2 AS (SELECT *, floor(ex)::BIGINT AS fl,
+              |    ex - floor(ex) AS rem FROM q),
+              |fs AS (SELECT sum(fl)::BIGINT AS fsum FROM q2),
+              |rk AS (SELECT registered_domain,
+              |    row_number() OVER (ORDER BY rem DESC, registered_domain)
+              |      AS rn FROM q2)
+              |SELECT q2.registered_domain, q2.w AS n_urls,
+              |  (q2.fl + CASE WHEN rk.rn <= (1000 - fs.fsum) THEN 1
+              |    ELSE 0 END)::BIGINT AS quota
+              |FROM q2 JOIN rk USING (registered_domain), fs
+              |ORDER BY registered_domain""".stripMargin)),
+
     Q("w08_domain_authority",
       (s, d) => {
         val m = mgr(s, d)

@@ -184,6 +184,57 @@ object Views {
     * materialized copy). Output: the original columns, no implied row
     * order.
     */
+  /** Largest-remainder apportionment (Hamilton's method — public
+    * knowledge) of an integer budget across keys proportional to
+    * integer weights: quota_k = ⌊B·w_k/W⌋ plus one extra unit for the
+    * (B − Σ⌊…⌋) largest fractional remainders (tie → key ASC) — the
+    * per-domain crawl/fetch budget split, mixture seat allocation, any
+    * "N slots proportional to observed mass" step. Non-positive or
+    * NULL weights drop (no quota row); Σquota = `totalBudget` whenever
+    * any positive weight exists.
+    *
+    * Weights are LONGS so both totals aggregate exactly (a double
+    * weight sum is partition-order dependent and would make the
+    * remainder ranks engine-varying — callers with float weights scale
+    * them); the exact quotas then derive from those exact totals with
+    * basic IEEE ops only, so the DuckDB oracle matches bit-for-bit
+    * with no rounding.
+    *
+    * Scale shape: the input is a per-KEY weight table (the output of a
+    * corpus aggregate, millions of rows at most). Two scalar aggregates
+    * reach the driver (W and Σfloor — single rows, the documented
+    * config-sized-collect class); the remainder bump rides
+    * [[budgetSelect]]'s range-exchange machinery, so even a
+    * millions-of-keys table never sorts under one unpartitioned
+    * window.
+    */
+  def apportionBudget(df: DataFrame, keyCol: String, weightCol: String,
+                      totalBudget: Long): DataFrame = {
+    require(totalBudget >= 0,
+      s"apportionBudget: totalBudget must be >= 0, got $totalBudget")
+    val w = df.select(col(keyCol).as("key"),
+        col(weightCol).cast("long").as("weight"))
+      .filter(col("key").isNotNull && col("weight") > 0)
+    val totW = w.agg(coalesce(sum(col("weight")), lit(0L)))
+      .first().getLong(0)
+    if (totW == 0L || totalBudget == 0L)
+      return w.select(col("key"), col("weight"), lit(0L).as("quota"))
+    val quota = w
+      .withColumn("__exact",
+        col("weight").cast("double") * totalBudget / lit(totW.toDouble))
+      .withColumn("__floor", floor(col("__exact")).cast("long"))
+      .withColumn("__rem", col("__exact") - floor(col("__exact")))
+    val floorSum = quota.agg(coalesce(sum(col("__floor")), lit(0L)))
+      .first().getLong(0)
+    val extra = math.max(0L, totalBudget - floorSum)
+    val bumped = budgetSelect(quota.withColumn("__cost", lit(1L)),
+        Seq(col("__rem").desc, col("key").asc), "__cost", extra)
+      .select(col("key").as("__bk"), lit(1L).as("__bump"))
+    quota.join(bumped, col("key") === col("__bk"), "left")
+      .select(col("key"), col("weight"),
+        (col("__floor") + coalesce(col("__bump"), lit(0L))).as("quota"))
+  }
+
   def budgetSelect(df: DataFrame, order: Seq[Column], costCol: String,
                    budget: Long): DataFrame = {
     require(order.nonEmpty, "budgetSelect: need at least one order column")

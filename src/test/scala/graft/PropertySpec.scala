@@ -277,6 +277,34 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("property: apportionBudget ≡ driver-side largest-remainder on random weights (r17)") {
+    import spark.implicits._
+    for (seed <- Seq(5L, 23L, 91L)) {
+      val rng = new scala.util.Random(seed)
+      val n = 5 + rng.nextInt(120)
+      val budget = rng.nextInt(5000).toLong
+      val rows = (0 until n).map(i =>
+        (f"k$i%03d", (rng.nextInt(1000) - 50).toLong)) // some <= 0 -> drop
+      val df = rows.toDF("key", "w")
+      val got = Views.apportionBudget(df, "key", "w", budget)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      // driver-side reference: floors + one unit to the largest remainders
+      val pos = rows.filter(_._2 > 0)
+      val tw = pos.map(_._2).sum
+      val exact = pos.map { case (k, w) => k -> (w.toDouble * budget / tw.toDouble) }
+      val floors = exact.map { case (k, e) => k -> e.floor.toLong }.toMap
+      val extra = budget - floors.values.sum
+      val bump = exact.map { case (k, e) => (k, e - e.floor) }
+        .sortBy { case (k, r) => (-r, k) }.take(extra.toInt).map(_._1).toSet
+      val want = floors.map { case (k, f) =>
+        k -> (f + (if (bump(k)) 1L else 0L)) }
+      assert(got == want, s"seed=$seed n=$n budget=$budget " +
+        s"diff=${(want.toSet -- got.toSet) ++ (got.toSet -- want.toSet)}")
+      if (tw > 0 && budget > 0)
+        assert(got.values.sum == budget, s"seed=$seed sum != budget")
+    }
+  }
+
   test("property: budgetSelectByGroup ≡ per-group running-sum window on random corpora") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
