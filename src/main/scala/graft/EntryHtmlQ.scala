@@ -640,6 +640,166 @@ private[graft] object EntryHtmlQ {
               |    '') AS main_text,
               |  length(coalesce(array_to_string(list_transform(kl, s -> s.t),
               |    ' '), ''))::BIGINT AS n_chars
-              |FROM kp ORDER BY doc_id""".stripMargin))
+              |FROM kp ORDER BY doc_id""".stripMargin)),
+
+    Q("ht12_crawl_cycle_build",
+      (s, d) => {
+        val m = mgr(s, d)
+        // the crawl-cycle capstone (r17): one full turn of the loop —
+        // WARC responses → 200/text-html cut → main-content QUALITY
+        // gate (pages whose extracted prose is under 40 chars
+        // contribute no links: id%6==4 thin pages and id%7==2 404s
+        // both drop) → link extraction from the survivors → canonical
+        // keys → anti-join against the crawled set (every page links
+        // one already-crawled neighbor that must vanish) → per-host
+        // politeness schedule, top 3 slots per host at 500 ms. Every
+        // stage reuses an oracle-pinned mechanism (ht10 record split,
+        // ht11 density gate, ht02/ht05 link chain, w11 schedule); the
+        // oracle stacks all of them in one WITH.
+        val id = col("doc_id")
+        val body = when(id % 6 === 4, lit("Too short."))
+          .otherwise(concat(lit("Paragraph for doc "), id.cast("string"),
+            lit(" with enough visible characters to clear the " +
+              "main-content gate easily.")))
+        val html = concat(
+          lit("<html><head><title>P</title></head><body>" +
+            "<nav><a href=\"/h\">Home</a></nav><p>"),
+          body,
+          lit("</p><a href=\""), syntheticUrlOf((id * 7 + 3) % 391, 12),
+          lit("\">x</a><a href=\""), baseUrlOf(id + 1),
+          lit("\">k</a><a href=\"/rel/"), (id % 20).cast("string"),
+          lit("\">r</a><footer><a href=\"/t\">Terms</a></footer>" +
+            "</body></html>"))
+        val warc = concat(
+          lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+          syntheticBaseUrl,
+          lit("\r\nContent-Type: application/http;msgtype=response\r\n\r\n"),
+          when(id % 7 === 2, lit("HTTP/1.1 404 Not Found\r\n"))
+            .otherwise(lit("HTTP/1.1 200 OK\r\n")),
+          lit("Content-Type: text/html; charset=utf-8\r\n\r\n"),
+          html, lit("\r\n\r\n"))
+        val docs = m.getDDFByName("documents").df
+          .select(col("doc_id"), warc.as("warc"))
+        val resp = pipeline.Warc.htmlResponses(docs, "warc", "doc_id")
+          .filter(col("status") === 200)
+        val kept = resp.filter(
+            length(pipeline.HtmlExtract.mainContentCol(col("html"))) >= 40)
+          .select(col("url").as("src_url"), col("html"))
+        val links = pipeline.HtmlExtract.linkExtract(kept, "html", "src_url")
+        val cand = links
+          .select(pipeline.UrlCuration.urlNormalizeCol(col("resolved"))
+            .as("url_norm"))
+          .filter(col("url_norm").isNotNull)
+          .groupBy("url_norm").agg(count(lit(1)).as("n_refs"))
+        val crawled = m.getDDFByName("documents").df
+          .select(pipeline.UrlCuration.urlNormalizeCol(syntheticBaseUrl)
+            .as("__ck"))
+          .filter(col("__ck").isNotNull).distinct()
+        val fresh = cand.join(crawled, col("url_norm") === col("__ck"),
+          "left_anti")
+        pipeline.UrlCuration.frontierSchedule(fresh, "url_norm", "n_refs",
+            crawlDelayMs = 500L, maxPerHost = 3)
+          .orderBy("host", "slot")
+      },
+      Some(s"""WITH f AS (SELECT doc_id, $duckBaseUrlRaw AS url0,
+              |    '<html><head><title>P</title></head><body>' ||
+              |    '<nav><a href="/h">Home</a></nav><p>' ||
+              |    CASE WHEN doc_id % 6 = 4 THEN 'Too short.'
+              |      ELSE 'Paragraph for doc ' || doc_id::VARCHAR ||
+              |        ' with enough visible characters to clear the ' ||
+              |        'main-content gate easily.' END ||
+              |    '</p><a href="' ||
+              |    (${duckUrlRawOf("((doc_id * 7 + 3) % 391)", 12)}) ||
+              |    '">x</a><a href="' ||
+              |    (${duckBaseUrlRawOf("(doc_id + 1)")}) ||
+              |    '">k</a><a href="/rel/' || (doc_id % 20)::VARCHAR ||
+              |    '">r</a><footer><a href="/t">Terms</a></footer>' ||
+              |    '</body></html>' AS html0
+              |  FROM documents),
+              |wf AS (SELECT doc_id,
+              |    'WARC/1.0' || chr(13) || chr(10) ||
+              |    'WARC-Type: response' || chr(13) || chr(10) ||
+              |    'WARC-Target-URI: ' || url0 || chr(13) || chr(10) ||
+              |    'Content-Type: application/http;msgtype=response' ||
+              |    chr(13) || chr(10) || chr(13) || chr(10) ||
+              |    CASE WHEN doc_id % 7 = 2 THEN 'HTTP/1.1 404 Not Found'
+              |      ELSE 'HTTP/1.1 200 OK' END || chr(13) || chr(10) ||
+              |    'Content-Type: text/html; charset=utf-8' ||
+              |    chr(13) || chr(10) || chr(13) || chr(10) ||
+              |    html0 || chr(13) || chr(10) || chr(13) || chr(10) AS warc
+              |  FROM f),
+              |sp AS (SELECT doc_id,
+              |    unnest(generate_series(1, len(string_split(warc,
+              |      'WARC/1.0' || chr(13) || chr(10))))) AS pp,
+              |    unnest(string_split(warc, 'WARC/1.0' || chr(13) || chr(10)))
+              |      AS rec
+              |  FROM wf),
+              |hx AS (SELECT doc_id,
+              |    nullif(trim(regexp_extract(rec,
+              |      '(?im)^WARC-Type:[ \\t]*([^\\r\\n]*)', 1)), '') AS warc_type,
+              |    nullif(trim(regexp_extract(rec,
+              |      '(?im)^WARC-Target-URI:[ \\t]*([^\\r\\n]*)', 1)), '')
+              |      AS target_uri,
+              |    regexp_replace(regexp_replace(rec,
+              |      '(?s)^.*?\\r\\n\\r\\n', ''), '(\\r\\n)+$$', '') AS block
+              |  FROM sp WHERE pp >= 2),
+              |rsp AS (SELECT doc_id, target_uri AS src_url,
+              |    regexp_replace(block, '(?s)^.*?\\r\\n\\r\\n', '') AS html
+              |  FROM hx WHERE lower(warc_type) = 'response'
+              |    AND regexp_matches(block, '(?is)^.*?\\r\\n\\r\\n')
+              |    AND regexp_matches(regexp_extract(block,
+              |      '(?im)^Content-Type:[ \\t]*([^\\r\\n;]*)', 1), '(?i)text/html')
+              |    AND regexp_extract(block,
+              |      '^HTTP/[0-9.]+ ([0-9]{3})', 1) = '200'),
+              |c1 AS (SELECT doc_id, src_url, html, regexp_replace(
+              |    regexp_replace(regexp_replace(html,
+              |    '(?s)<!--.*?-->', ' ', 'g'),
+              |    '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g'),
+              |    '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g') AS ch
+              |  FROM rsp),
+              |fr AS (SELECT doc_id, src_url, html, string_split_regex(ch,
+              |    '(?i)</?(?:div|p|h[1-6]|li|td|th|tr|table|ul|ol|dl|dt|dd|' ||
+              |    'article|section|header|footer|nav|aside|main|figure|' ||
+              |    'figcaption|blockquote|pre|form|fieldset|br|hr)\\b[^>]*>')
+              |      AS fl FROM c1),
+              |sc AS (SELECT doc_id, src_url, html, list_transform(fl,
+              |    x -> struct_pack(
+              |    t := trim(regexp_replace(${duckDecodeEnt(
+                      "regexp_replace(x, '<[/!A-Za-z][^>]*>', ' ', 'g')")},
+              |      '[\\s\\x{00A0}]+', ' ', 'g')),
+              |    a := trim(regexp_replace(${duckDecodeEnt(
+                      "regexp_replace(coalesce(array_to_string(" +
+                        "regexp_extract_all(x, '(?is)<a\\b[^>]*>(.*?)</a', 1)," +
+                        " ' '), ''), '<[/!A-Za-z][^>]*>', ' ', 'g')")},
+              |      '[\\s\\x{00A0}]+', ' ', 'g')))) AS sl
+              |  FROM fr),
+              |kp AS (SELECT doc_id, src_url, html, list_filter(sl, s ->
+              |    length(s.t) >= 20 AND
+              |    length(s.a) <= 0.33 * length(s.t)) AS kl FROM sc),
+              |u AS MATERIALIZED (SELECT doc_id, src_url, html FROM kp
+              |  WHERE length(coalesce(array_to_string(
+              |    list_transform(kl, s -> s.t), ' '), '')) >= 40),
+              |$duckLinkCtes,
+              |u3 AS (SELECT resolved AS url FROM r WHERE resolved IS NOT NULL),
+              |${duckUrlNormCtesFrom("u3", "n")},
+              |cand AS (SELECT url_norm, count(*)::BIGINT AS n_refs FROM n5
+              |  WHERE url_norm IS NOT NULL GROUP BY url_norm),
+              |cw AS (SELECT ${duckBaseUrlRawOf("doc_id")} AS url
+              |  FROM documents),
+              |${duckUrlNormCtesFrom("cw", "k")},
+              |crawled AS (SELECT DISTINCT url_norm AS ck FROM k5
+              |  WHERE url_norm IS NOT NULL),
+              |fresh AS (SELECT url_norm, n_refs FROM cand
+              |  WHERE url_norm NOT IN (SELECT ck FROM crawled)),
+              |h2 AS (SELECT url_norm, n_refs,
+              |    ${duckHostExprOf("url_norm")} AS host FROM fresh),
+              |rkq AS (SELECT host, url_norm, n_refs,
+              |    row_number() OVER (PARTITION BY host
+              |      ORDER BY n_refs DESC, url_norm) AS rn
+              |  FROM h2 WHERE host IS NOT NULL AND host <> '')
+              |SELECT host, url_norm AS url, n_refs::DOUBLE AS priority,
+              |  (rn - 1)::BIGINT AS slot,
+              |  ((rn - 1) * 500)::BIGINT AS scheduled_ms
+              |FROM rkq WHERE rn <= 3 ORDER BY host, slot""".stripMargin))
   )
 }
