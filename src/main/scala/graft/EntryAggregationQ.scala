@@ -192,6 +192,56 @@ private[graft] object EntryAggregationQ {
           "SELECT node, pr FROM pr5 ORDER BY pr DESC, node"
       }),
 
+    Q("g06_hits",
+      (s, d) => {
+        val m = mgr(s, d)
+        // HITS hubs/authorities over the DIRECTED part→supplier graph
+        // (r17): parts are pure hubs, suppliers pure authorities — the
+        // bipartite regime where every node zeroes one side, plus the
+        // max-of-each-column-equals-scale invariant. Deterministic by
+        // the g01 discipline (exact long sums; max normalization in
+        // fixed-operand-order DOUBLE), so the oracle replays all five
+        // iterations exactly, scalar maxes as single-row CTEs.
+        val li = m.getDDFByName("lineitem").df
+        val edges = li.select(concat(lit("p"), col("l_partkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        Graph.hits(edges, "src", "dst", iterations = 5)
+          .orderBy("node")
+      },
+      Some {
+        val base =
+          """edges AS MATERIALIZED (
+            |  SELECT DISTINCT 'p' || l_partkey AS src, 's' || l_suppkey AS dst
+            |  FROM lineitem),
+            |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges
+            |          UNION SELECT DISTINCT dst FROM edges),
+            |hb0 AS MATERIALIZED (SELECT node, 1000000::BIGINT AS hub FROM nodes)""".stripMargin
+        val iters = (0 until 5).map { k =>
+          s"""ar$k AS MATERIALIZED (SELECT e.dst AS node, sum(h.hub)::BIGINT AS ar
+             |  FROM edges e JOIN hb$k h ON e.src = h.node GROUP BY e.dst),
+             |am$k AS (SELECT max(ar) AS m FROM ar$k),
+             |au${k + 1} AS MATERIALIZED (SELECT n.node,
+             |    CASE WHEN am$k.m > 0
+             |      THEN floor((coalesce(a.ar, 0)::DOUBLE * 1000000)
+             |        / am$k.m::DOUBLE)::BIGINT
+             |      ELSE 0 END AS auth
+             |  FROM nodes n LEFT JOIN ar$k a ON n.node = a.node, am$k),
+             |hr$k AS MATERIALIZED (SELECT e.src AS node, sum(a.auth)::BIGINT AS hr
+             |  FROM edges e JOIN au${k + 1} a ON e.dst = a.node GROUP BY e.src),
+             |hm$k AS (SELECT max(hr) AS m FROM hr$k),
+             |hb${k + 1} AS MATERIALIZED (SELECT n.node,
+             |    CASE WHEN hm$k.m > 0
+             |      THEN floor((coalesce(h.hr, 0)::DOUBLE * 1000000)
+             |        / hm$k.m::DOUBLE)::BIGINT
+             |      ELSE 0 END AS hub
+             |  FROM nodes n LEFT JOIN hr$k h ON n.node = h.node, hm$k)""".stripMargin
+        }
+        s"WITH ${(base +: iters).mkString(",\n")}\n" +
+          "SELECT n.node, a.auth, h.hub FROM nodes n " +
+          "JOIN au5 a ON n.node = a.node JOIN hb5 h ON n.node = h.node " +
+          "ORDER BY n.node"
+      }),
+
     Q("g05_kcore",
       (s, d) => {
         val m = mgr(s, d)

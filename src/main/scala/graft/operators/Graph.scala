@@ -133,6 +133,87 @@ object Graph {
     }
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999, public knowledge) over
+    * the DIRECTED graph — the link-analysis companion of [[pageRank]]:
+    * per iteration, a node's authority is the sum of its in-neighbors'
+    * hub scores and its hub score the sum of its out-neighbors'
+    * authorities, each vector max-normalized back to `scale`. Same
+    * cross-engine-deterministic discipline as the PageRank pair:
+    * scores live in integer micro-units, the neighbor sums are exact
+    * long aggregates (order-independent), and the max normalization is
+    * `floor(raw · scale / max)` computed in DOUBLE with a fixed
+    * operand order — identical IEEE ops on any engine, no i64 overflow
+    * at any in-degree (exactness caveat: raw sums beyond 2^53 lose low
+    * bits, identically on both sides). Nodes outside an iteration's
+    * frontier score 0 (a source has authority 0, a sink hub 0).
+    * Output: (node, auth, hub) longs; max of each column = `scale`
+    * whenever any edge exists.
+    *
+    * Scale shape: per iteration two edge-keyed join+aggregate rounds
+    * plus two SINGLE-ROW max aggregates to the driver (the documented
+    * scalar-collect class — 2·iterations rows total, injected back as
+    * literals so the plan stays deterministic). Same per-round persist
+    * /release discipline as [[pageRank]] (r15 audit).
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iterations: Int, scale: Long = 1000000L): DataFrame = {
+    require(iterations >= 1, s"hits: iterations must be >= 1, got $iterations")
+    require(scale >= 1, s"hits: scale must be >= 1, got $scale")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def normalized(raw: DataFrame, rawCol: String, outCol: String): DataFrame = {
+      val mx = raw.agg(coalesce(max(col(rawCol)), lit(0L))).first().getLong(0)
+      val v = if (mx > 0L)
+        floor(coalesce(col(rawCol), lit(0L)).cast("double") * scale /
+          lit(mx.toDouble)).cast("long")
+      else lit(0L)
+      nodes.join(raw, Seq("node"), "left").select(col("node"), v.as(outCol))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    var hub = nodes.withColumn("hub", lit(scale))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var auth: DataFrame = null
+    try {
+      for (_ <- 0 until iterations) {
+        val araw = e.join(hub.withColumnRenamed("node", "src"), "src")
+          .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("ar"))
+        val nextAuth = normalized(araw, "ar", "auth")
+        nextAuth.count()
+        if (auth != null) auth.unpersist(blocking = false)
+        auth = nextAuth
+        val hraw = e.join(auth.withColumnRenamed("node", "dst"), "dst")
+          .groupBy(col("src").as("node")).agg(sum(col("auth")).as("hr"))
+        val nextHub = normalized(hraw, "hr", "hub")
+        nextHub.count()
+        hub.unpersist(blocking = false)
+        hub = nextHub
+      }
+      // materialize the result, then release the iteration frames — the
+      // returned frame is the caller-owned persisted materialization
+      // (the pageRank contract)
+      val out = nodes.join(auth, Seq("node"), "left")
+        .join(hub, Seq("node"), "left")
+        .select(col("node"), coalesce(col("auth"), lit(0L)).as("auth"),
+          coalesce(col("hub"), lit(0L)).as("hub"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      auth.unpersist(blocking = false)
+      hub.unpersist(blocking = false)
+      out
+    } catch {
+      case t: Throwable =>
+        if (auth != null) auth.unpersist(blocking = false)
+        hub.unpersist(blocking = false)
+        throw t
+    } finally {
+      e.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
+    }
+  }
+
   /** Per-node triangle counts over the undirected graph induced by
     * `edges` (direction and duplicates are erased; self-loops dropped).
     * Output: (node, triangles) for every node in ≥ 1 triangle.

@@ -72,6 +72,31 @@ class GraphSpec extends SparkTestBase {
     assert(pd == Map("a" -> 150000L, "b" -> 787500L, "c" -> 362500L), s"got $pd")
   }
 
+  test("hits: hand-computed two iterations; sources/sinks zero the right side (r17)") {
+    import spark.implicits._
+    // a->b, a->c, d->c: c is the authority (two in-links), a the hub
+    val e = Seq(("a", "b"), ("a", "c"), ("d", "c")).toDF("s", "t")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = graft.operators.Graph.hits(e, "s", "t", iterations = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // iter1: araw b=S c=2S -> auth b=S/2 c=S; hraw a=1.5S d=S ->
+    //   hub a=S d=floor(S/1.5)=666666
+    // iter2: araw b=S c=1666666 -> auth b=floor(1e12/1666666)=600000 c=S;
+    //   hraw a=1600000 d=1000000 -> hub a=S d=625000
+    assert(out("a") == ((0L, 1000000L)), s"got ${out("a")}")
+    assert(out("b") == ((600000L, 0L)))
+    assert(out("c") == ((1000000L, 0L)))
+    assert(out("d") == ((0L, 625000L)))
+    out.values.foreach { case (au, hb) =>
+      assert(au <= 1000000L && hb <= 1000000L) }
+    // released iteration caches: only the returned materialization may
+    // remain pinned beyond what was pinned before the call
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1,
+      s"hits must release its iteration frames, leaked ids: $leaked")
+  }
+
   test("triangleCount: K4 has 3 per node; direction/dups/self-loops erased") {
     // K4 = 4 triangles, each node in exactly 3
     val k4 = (for {
