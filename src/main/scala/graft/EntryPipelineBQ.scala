@@ -987,6 +987,120 @@ private[graft] object EntryPipelineBQ {
               |JOIN fp t ON t.doc_id = w.keep AND t.epoch = w.epoch
               |ORDER BY doc_id""".stripMargin)),
 
+    Q("s14_stream_warc_ingest",
+      (s, d) => {
+        val m = mgr(s, d)
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        // the crawl-ARCHIVE front door through the gate (r17): three
+        // MemoryStream epochs of raw WARC files (epoch = doc_id mod 3),
+        // record split + 200/text-html cut + normalized-URL dedup per
+        // batch against the epoch index. url = baseUrlOf(doc_id % 50) —
+        // 50 targets over 500 docs, so revisits collapse both in-batch
+        // and across epochs; id%7==2 responses are 404s and id%5==0
+        // text/plain — neither ingests nor claims a fingerprint.
+        val id = col("doc_id")
+        val html = concat(lit("<html><head><title>W"), (id % 9).cast("string"),
+          lit("</title></head><body><p>warc doc "), id.cast("string"),
+          lit(" payload &amp; text</p></body></html>"))
+        val warc = concat(
+          lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+          baseUrlOf(id % 50),
+          lit("\r\nContent-Type: application/http;msgtype=response\r\n\r\n"),
+          when(id % 7 === 2, lit("HTTP/1.1 404 Not Found\r\n"))
+            .otherwise(lit("HTTP/1.1 200 OK\r\n")),
+          when(id % 5 === 0, lit("Content-Type: text/plain\r\n"))
+            .otherwise(lit("Content-Type: text/html; charset=utf-8\r\n")),
+          lit("\r\n"), html, lit("\r\n\r\n"),
+          lit("WARC/1.0\r\nWARC-Type: metadata\r\n" +
+            "Content-Type: application/warc-fields\r\n\r\nt: 1\r\n\r\n"))
+        val files = m.getDDFByName("documents").df
+          .select(col("doc_id"), warc.as("warc"))
+          .as[(Long, String)].collect()
+        withScratch("graft_s14") { tmp =>
+          val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+          val q = streaming.CurationStreams.warcIngest(
+              stream.toDF().toDF("doc_id", "warc"),
+              "warc", "doc_id", s"$tmp/index",
+              (df, epoch) => df.select(col("doc_id"), col("rec_no"),
+                  lit(epoch).as("epoch"), col("url"), col("text"))
+                .write.mode("append").parquet(s"$tmp/out"))
+            .start()
+          try (0L until 3L).foreach { e =>
+            stream.addData(files.filter(_._1 % 3 == e).toIndexedSeq: _*)
+            q.processAllAvailable()
+          } finally q.stop()
+          collectAndClean(s, s.read.parquet(s"$tmp/out").orderBy("doc_id"), tmp)
+        }
+      },
+      // a response is delivered iff it is a 200 text/html record AND its
+      // epoch is the FIRST epoch its normalized URL appears in AND its
+      // `id#rec_no` key is the lexicographic min of that fingerprint
+      // within the epoch; payload is the extracted text
+      Some(s"""WITH f0 AS (SELECT doc_id, doc_id % 3 AS epoch,
+              |    ${duckBaseUrlRawOf("(doc_id % 50)")} AS url0,
+              |    '<html><head><title>W' || (doc_id % 9)::VARCHAR ||
+              |    '</title></head><body><p>warc doc ' || doc_id::VARCHAR ||
+              |    ' payload &amp; text</p></body></html>' AS html0
+              |  FROM documents),
+              |wf AS (SELECT doc_id, epoch,
+              |    'WARC/1.0' || chr(13) || chr(10) ||
+              |    'WARC-Type: response' || chr(13) || chr(10) ||
+              |    'WARC-Target-URI: ' || url0 || chr(13) || chr(10) ||
+              |    'Content-Type: application/http;msgtype=response' ||
+              |    chr(13) || chr(10) || chr(13) || chr(10) ||
+              |    CASE WHEN doc_id % 7 = 2 THEN 'HTTP/1.1 404 Not Found'
+              |      ELSE 'HTTP/1.1 200 OK' END || chr(13) || chr(10) ||
+              |    CASE WHEN doc_id % 5 = 0 THEN 'Content-Type: text/plain'
+              |      ELSE 'Content-Type: text/html; charset=utf-8' END ||
+              |    chr(13) || chr(10) || chr(13) || chr(10) ||
+              |    html0 || chr(13) || chr(10) || chr(13) || chr(10) ||
+              |    'WARC/1.0' || chr(13) || chr(10) ||
+              |    'WARC-Type: metadata' || chr(13) || chr(10) ||
+              |    'Content-Type: application/warc-fields' ||
+              |    chr(13) || chr(10) || chr(13) || chr(10) ||
+              |    't: 1' || chr(13) || chr(10) || chr(13) || chr(10) AS warc
+              |  FROM f0),
+              |sp AS (SELECT doc_id, epoch,
+              |    unnest(generate_series(1, len(string_split(warc,
+              |      'WARC/1.0' || chr(13) || chr(10))))) AS pp,
+              |    unnest(string_split(warc, 'WARC/1.0' || chr(13) || chr(10)))
+              |      AS rec
+              |  FROM wf),
+              |hx AS (SELECT doc_id, epoch, (pp - 2)::BIGINT AS rec_no,
+              |    nullif(trim(regexp_extract(rec,
+              |      '(?im)^WARC-Type:[ \\t]*([^\\r\\n]*)', 1)), '') AS warc_type,
+              |    nullif(trim(regexp_extract(rec,
+              |      '(?im)^WARC-Target-URI:[ \\t]*([^\\r\\n]*)', 1)), '')
+              |      AS target_uri,
+              |    regexp_replace(regexp_replace(rec,
+              |      '(?s)^.*?\\r\\n\\r\\n', ''), '(\\r\\n)+$$', '') AS block
+              |  FROM sp WHERE pp >= 2),
+              |u AS (SELECT doc_id, epoch, rec_no, target_uri AS rurl,
+              |    regexp_replace(block, '(?s)^.*?\\r\\n\\r\\n', '') AS html
+              |  FROM hx WHERE lower(warc_type) = 'response'
+              |    AND regexp_matches(block, '(?is)^.*?\\r\\n\\r\\n')
+              |    AND regexp_matches(regexp_extract(block,
+              |      '(?im)^Content-Type:[ \\t]*([^\\r\\n;]*)', 1), '(?i)text/html')
+              |    AND regexp_extract(block,
+              |      '^HTTP/[0-9.]+ ([0-9]{3})', 1) = '200'),
+              |$duckHtmlTextCtes,
+              |u2 AS (SELECT doc_id, epoch, rec_no, rurl, text_extracted,
+              |    rurl AS url FROM e),
+              |${duckUrlNormCtesFrom("u2")},
+              |fp AS (SELECT doc_id, epoch, rec_no, rurl, text_extracted,
+              |    doc_id::VARCHAR || '#' || rec_no::VARCHAR AS rid,
+              |    md5(url_norm) AS f
+              |  FROM p5 WHERE url_norm IS NOT NULL),
+              |w AS (SELECT f, epoch, min(rid) AS keep FROM fp GROUP BY 1, 2),
+              |fe AS (SELECT f, min(epoch) AS first_epoch FROM fp GROUP BY 1)
+              |SELECT t.doc_id, t.rec_no, w.epoch::BIGINT AS epoch,
+              |  t.rurl AS url, t.text_extracted AS text
+              |FROM w
+              |JOIN fe ON w.f = fe.f AND w.epoch = fe.first_epoch
+              |JOIN fp t ON t.rid = w.keep AND t.epoch = w.epoch
+              |ORDER BY doc_id""".stripMargin)),
+
     Q("s11_stream_agg_rollup",
       (s, d) => {
         val m = mgr(s, d); val _ = m

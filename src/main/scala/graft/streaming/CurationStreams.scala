@@ -125,6 +125,43 @@ object CurationStreams {
     }
   }
 
+  /** Continuous WARC-file ingest (r17): the crawl-archive front door as
+    * a stream — each micro-batch of raw WARC files splits into records
+    * ([[graft.pipeline.Warc.htmlResponses]]), keeps the 200 text/html
+    * responses, dedups them on the NORMALIZED response URL against the
+    * epoch-partitioned fingerprint index (the [[htmlIngest]]
+    * discipline: replays probe only epochs < N and overwrite their own
+    * partition — exactly-once delivery to an (epoch, id)-idempotent
+    * sink), and delivers survivors as (id, rec_no, url, text) with the
+    * visible text extracted after the dedup filter. In-batch record
+    * identity is `id#rec_no` (a crawl may revisit a URL within one
+    * file); the min-key winner per fingerprint is deterministic
+    * (lexicographic — an ordering, not a ranking).
+    *
+    * Scale shape per micro-batch: record split, status/content-type
+    * cut, and extraction are per-row expression chains in the batch
+    * scan; only 16-byte fingerprints and short keys shuffle; raw
+    * archive bytes never enter the index and are never rescanned.
+    */
+  def warcIngest(files: DataFrame, fileCol: String, idCol: String,
+                 indexDir: String,
+                 sink: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(files.isStreaming, "warcIngest expects a streaming frame; " +
+      "compose Warc.htmlResponses + UrlCuration.incrementalUrlDedup for batch ingest")
+    files.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
+      val resp = graft.pipeline.Warc.htmlResponses(batch, fileCol, idCol)
+        .filter(col("status") === 200)
+        .withColumn("__rid", concat(col(idCol).cast("string"), lit("#"),
+          col("rec_no").cast("string")))
+      val keyed = resp.select(col("__rid"), col("url"))
+      val out = resp.select(col("__rid"), col(idCol), col("rec_no"),
+        col("url"),
+        graft.pipeline.HtmlExtract.htmlToTextCol(col("html")).as("text"))
+      canonicalKeyedBatch(keyed, out, "url", "__rid", indexDir, epoch,
+        (df, e) => sink(df.drop("__rid"), e))
+    }
+  }
+
   /** One micro-batch of canonical-URL-keyed dedup ingest, shared by
     * [[urlDedupIngest]] and [[htmlIngest]]: probe the epoch-partitioned
     * fingerprint index with `keyed`'s `urlCol`, deliver the surviving
