@@ -973,6 +973,55 @@ object ScaleSmoke {
               .otherwise(lit(null).cast("string")).as("location"))
           graft.pipeline.UrlCuration.resolveRedirects(
             log, "url", "status", "location", maxHops = 3).count()
+        }),
+        // ht11: the HOF-based main-content chain (transform/filter are
+        // CodegenFallback — measure what the interpreted projection
+        // costs; the sum(length) sink defeats pruning)
+        "main_content(ht11)" -> (() => {
+          val pages = d.select(concat(
+            lit("<html><head><title>T</title></head><body>" +
+              "<nav><a href=\"/a\">Home</a> <a href=\"/b\">About</a></nav>" +
+              "<div><h1>H</h1><p>"), col("text"),
+            lit(" tail words for the gate.</p><p>Tiny.</p></div>" +
+              "<footer>© corp · <a href=\"/t\">Terms of Service</a> · " +
+              "<a href=\"/p\">Privacy Policy Pages</a></footer>" +
+              "</body></html>")).as("html"))
+          pages.select(graft.pipeline.HtmlExtract.mainContentCol(col("html"))
+              .as("m"))
+            .agg(sum(length(col("m")))).first().getLong(0)
+        }),
+        // g06: HITS over edges growing with f on the FIXED 5000-host
+        // universe (nodes bounded, edge joins grow) — 3 iterations
+        "hits(g06)" -> (() => {
+          val ed = d.select(
+            concat(lit("h"), (col("doc_id") % 5000).cast("string")).as("src"),
+            concat(lit("h"), ((col("doc_id") * 7 + 3) % 5000).cast("string"))
+              .as("dst"))
+          val out = graft.operators.Graph.hits(ed, "src", "dst", iterations = 3)
+          val n = out.count(); out.unpersist(blocking = false); n
+        }),
+        // w13: revisit estimation over a fetch log growing with f
+        // (10 fetches per URL — URLs grow, per-URL window stays tiny)
+        "revisit(w13)" -> (() => {
+          val h = d.select(
+            concat(lit("https://rv-"), expr("doc_id div 10").cast("string"),
+              lit(".example.com/p")).as("url"),
+            (lit(1700000000L) + (col("doc_id") % 10) * 3600L)
+              .cast("double").as("ts"),
+            concat(lit("h"), floor((col("doc_id") % 10) /
+              (lit(1) + pmod(expr("doc_id div 10"), lit(4))))
+              .cast("long").cast("string")).as("hash"))
+          graft.pipeline.UrlCuration.revisitSchedule(
+            h, "url", "ts", "hash", 600.0, 2592000.0).count()
+        }),
+        // w14: apportionment over a weight table growing with f — the
+        // remainder bump must ride the range exchange, never one sort
+        "crawl_quota(w14)" -> (() => {
+          val wts = d.select(
+            concat(lit("dom-"), col("doc_id").cast("string")).as("key"),
+            (pmod(col("doc_id") * 37L, lit(1000L)) + 1L).as("w"))
+          graft.operators.Views.apportionBudget(
+            wts, "key", "w", 1000000L).count()
         }))
     }
 
