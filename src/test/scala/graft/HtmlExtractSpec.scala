@@ -264,5 +264,11 @@ class HtmlExtractSpec extends SparkTestBase {
     val p2 = HtmlExtract.linkExtract(docs, "html", "url")
       .queryExecution.executedPlan.toString
     assert(!p2.contains("Exchange"), s"linkExtract must not shuffle:\n$p2")
+    // r17: main-content extraction is per-row too — interpreted HOFs,
+    // but still scan-local (no Exchange, no Window)
+    val p3 = docs.select(HtmlExtract.mainContentCol(col("html")).as("m"))
+      .queryExecution.executedPlan.toString
+    assert(!p3.contains("Exchange") && !p3.contains("Window"),
+      s"mainContentCol must stay in its scan partition:\n$p3")
   }
 }

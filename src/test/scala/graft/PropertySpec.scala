@@ -303,6 +303,16 @@ class PropertySpec extends SparkTestBase {
       if (tw > 0 && budget > 0)
         assert(got.values.sum == budget, s"seed=$seed sum != budget")
     }
+    // plan pin: the remainder bump rides budgetSelect's range-exchange
+    // machinery — a millions-of-keys weight table must never sort under
+    // one unpartitioned Window
+    val big = spark.range(5000).select(
+      concat(lit("k"), $"id").as("key"), (pmod($"id" * 37, lit(997)) + 1).as("w"))
+    val plan = Views.apportionBudget(big, "key", "w", 100000L)
+      .queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Window"),
+      s"apportionBudget must not use a global window:\n$plan")
   }
 
   test("property: budgetSelectByGroup ≡ per-group running-sum window on random corpora") {
