@@ -559,9 +559,10 @@ private[graft] object EntryUrlQ {
              |    1700000000.0 AS ts, 'hs' AS hash
              |  FROM documents WHERE doc_id >= 400 AND doc_id < 405),
              |fl AS (SELECT url, ts,
-             |    CASE WHEN lag(hash) OVER (PARTITION BY url ORDER BY ts)
+             |    CASE WHEN lag(hash) OVER (PARTITION BY url ORDER BY ts, hash)
              |        IS NOT NULL
-             |      AND lag(hash) OVER (PARTITION BY url ORDER BY ts) <> hash
+             |      AND lag(hash) OVER (PARTITION BY url ORDER BY ts, hash)
+             |        <> hash
              |      THEN 1 ELSE 0 END AS chg
              |  FROM h2),
              |ag AS (SELECT url, count(*) - 1 AS n, sum(chg)::BIGINT AS x,

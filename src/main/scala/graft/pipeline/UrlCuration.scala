@@ -543,7 +543,10 @@ object UrlCuration {
       s"revisitSchedule: need 0 < minIntervalS <= maxIntervalS, " +
         s"got $minIntervalS, $maxIntervalS")
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("url").orderBy("ts")
+    // ts ties break on the content hash: a lag over ts alone would make
+    // the change count depend on shuffle arrival order for same-second
+    // refetches (the robotsFilter determinism lesson)
+    val w = Window.partitionBy("url").orderBy(col("ts"), col("__h"))
     val slim = history.select(col(urlCol).as("url"),
         col(tsCol).cast("double").as("ts"), col(hashCol).as("__h"))
       .filter(col("url").isNotNull && col("ts").isNotNull)

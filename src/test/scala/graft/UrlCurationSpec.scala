@@ -423,6 +423,13 @@ class UrlCurationSpec extends SparkTestBase {
     val rv = UrlCuration.revisitSchedule(rapid, "url", "ts", "hash", 40.0, 10000.0)
       .collect()(0).getDouble(4)
     assert(rv == 40.0, s"expected min clamp, got $rv")
+    // tied timestamps order by hash, not shuffle arrival: (t0,"b"),
+    // (t0,"a"), (t0+100,"a") always reads a,b,a -> two changes
+    val tied = Seq(("https://h/tie", t0, "b"), ("https://h/tie", t0, "a"),
+      ("https://h/tie", t0 + 100, "a")).toDF("url", "ts", "hash")
+    val tr = UrlCuration.revisitSchedule(tied, "url", "ts", "hash", 40.0, 10000.0)
+      .collect()(0)
+    assert(tr.getLong(2) == 2L, s"tie order must be hash-deterministic, got $tr")
   }
 
   test("robotsSitemaps: host-wide extraction regardless of group position (r17)") {
