@@ -800,6 +800,81 @@ private[graft] object EntryHtmlQ {
               |SELECT host, url_norm AS url, n_refs::DOUBLE AS priority,
               |  (rn - 1)::BIGINT AS slot,
               |  ((rn - 1) * 500)::BIGINT AS scheduled_ms
-              |FROM rkq WHERE rn <= 3 ORDER BY host, slot""".stripMargin))
+              |FROM rkq WHERE rn <= 3 ORDER BY host, slot""".stripMargin)),
+
+    Q("ht13_anchor_index",
+      (s, d) => {
+        val m = mgr(s, d)
+        // the anchor-text index (r17): what the web CALLS each target —
+        // ht06's pairs resolved, canonicalized, and aggregated into the
+        // bag-of-anchors retrieval document. 97-way external targets +
+        // (host,path)-keyed relative targets give ~5-8 anchors per
+        // target, so the 7-pair cap BITES on some targets while the
+        // counts stay uncapped; fragment-only and empty-text anchors
+        // drop. The oracle replays extraction, resolution, the
+        // rank-capped doc (string_agg ORDER BY = the heap's sort), and
+        // both counts.
+        val id = col("doc_id")
+        val html = concat(
+          lit("<html><body><a href=\""),
+          syntheticUrlOf((id * 7 + 3) % 97, 12),
+          lit("\">anchor <b>one</b> "), (id % 13).cast("string"),
+          lit("</a><a href='/rel/"), (id % 20).cast("string"),
+          lit("'>second &amp; text "), (id % 11).cast("string"),
+          lit("</a><a href=\"#top\">skip</a><a href=\"/empty/"),
+          (id % 5).cast("string"), lit("\"></a></body></html>"))
+        val docs = m.getDDFByName("documents").df
+          .select(col("doc_id"), syntheticBaseUrl.as("src_url"),
+            html.as("html"))
+        pipeline.HtmlExtract.anchorTextIndex(docs, "html", "src_url",
+            maxAnchorsPerTarget = 7)
+          .orderBy("target")
+      },
+      Some(s"""WITH u AS (SELECT doc_id, $duckBaseUrlRaw AS src_url,
+              |    '<html><body><a href="' ||
+              |    (${duckUrlRawOf("((doc_id * 7 + 3) % 97)", 12)}) ||
+              |    '">anchor <b>one</b> ' || (doc_id % 13)::VARCHAR ||
+              |    '</a><a href=''/rel/' || (doc_id % 20)::VARCHAR ||
+              |    '''>second &amp; text ' || (doc_id % 11)::VARCHAR ||
+              |    '</a><a href="#top">skip</a><a href="/empty/' ||
+              |    (doc_id % 5)::VARCHAR || '"></a></body></html>' AS html
+              |  FROM documents),
+              |l AS (SELECT src_url,
+              |    regexp_extract_all(html,
+              |      '(?is)<a\\b[^>]*[\\s"'']href\\s*=\\s*("[^"]*"|''[^'']*''|[^\\s>]+)[^>]*>(.*?)</a',
+              |      1) AS hs,
+              |    regexp_extract_all(html,
+              |      '(?is)<a\\b[^>]*[\\s"'']href\\s*=\\s*("[^"]*"|''[^'']*''|[^\\s>]+)[^>]*>(.*?)</a',
+              |      2) AS ts
+              |  FROM u),
+              |x AS (SELECT src_url, unnest(hs) AS h0, unnest(ts) AS t0 FROM l),
+              |y AS (SELECT src_url,
+              |    replace(regexp_replace(regexp_replace(h0, '^["'']', ''),
+              |      '["'']$$', ''), '&amp;', '&') AS href,
+              |    trim(regexp_replace(${duckDecodeEnt(
+                      "regexp_replace(t0, '<[/!A-Za-z][^>]*>', ' ', 'g')")},
+              |      '[\\s\\x{00A0}]+', ' ', 'g')) AS anchor_text
+              |  FROM x),
+              |rb AS (SELECT src_url, anchor_text, trim(href) AS th FROM y),
+              |rc AS (SELECT *, ${duckResolveCase("src_url", "th")} AS r0
+              |  FROM rb),
+              |${duckRemoveDotsCtes("rc", "r0", "rz2", "resolved", "az")},
+              |u2 AS (SELECT src_url, anchor_text, resolved AS url FROM rz2
+              |  WHERE resolved IS NOT NULL),
+              |${duckUrlNormCtesFrom("u2")},
+              |pairs AS (SELECT url_norm AS target, src_url, anchor_text
+              |  FROM p5 WHERE url_norm IS NOT NULL AND anchor_text <> ''),
+              |st AS (SELECT target, count(*)::BIGINT AS n_anchors,
+              |    count(DISTINCT src_url)::BIGINT AS n_sources
+              |  FROM pairs GROUP BY 1),
+              |cp AS (SELECT target, src_url, anchor_text,
+              |    row_number() OVER (PARTITION BY target
+              |      ORDER BY src_url, anchor_text) AS rn
+              |  FROM pairs),
+              |dd AS (SELECT target, string_agg(anchor_text,
+              |    ' ' ORDER BY src_url, anchor_text) AS anchor_doc
+              |  FROM cp WHERE rn <= 7 GROUP BY 1)
+              |SELECT st.target, st.n_anchors, st.n_sources, dd.anchor_doc
+              |FROM st JOIN dd USING (target) ORDER BY st.target""".stripMargin))
   )
 }

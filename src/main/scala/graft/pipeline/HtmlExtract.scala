@@ -387,6 +387,47 @@ object HtmlExtract {
       .select(col("src_url"), col("__a.href").as("href"),
         col("__a.anchor_text").as("anchor_text"))
 
+  /** Target-keyed anchor-text index (r17): what the WEB calls each
+    * page — the classic retrieval signal (anchor text describes the
+    * target better than the target describes itself). Anchors extract
+    * per [[anchorExtract]], resolve against their source URL and
+    * canonicalize ([[UrlCuration.urlNormalizeCol]]); per target the
+    * index keeps `n_anchors` (all), `n_sources` (distinct linking
+    * URLs), and `anchor_doc` — the anchor texts of the
+    * `maxAnchorsPerTarget` lexicographically-least (src_url,
+    * anchor_text) pairs, sorted and space-joined: the bag-of-anchors
+    * document BM25/TF-IDF consumes. Unresolvable hrefs and empty
+    * anchor texts drop.
+    *
+    * Scale shape: the cap rides [[graft.operators.Views.topKByGroup]]'s
+    * bounded heap, so a mega-target (every page links the homepage)
+    * never funnels its full anchor set through one group — each input
+    * partition ships at most the cap per target; the uncapped counts
+    * come from a second count-only aggregate on the same key (no
+    * payload), joined back target-keyed.
+    */
+  def anchorTextIndex(df: DataFrame, htmlCol: String, urlCol: String,
+                      maxAnchorsPerTarget: Int = 256): DataFrame = {
+    require(maxAnchorsPerTarget >= 1,
+      s"anchorTextIndex: maxAnchorsPerTarget must be >= 1, got $maxAnchorsPerTarget")
+    val pairs = anchorExtract(df, htmlCol, urlCol)
+      .withColumn("target", UrlCuration.urlNormalizeCol(
+        resolveHrefCol(col("src_url"), col("href"))))
+      .filter(col("target").isNotNull && col("anchor_text") =!= "")
+      .select("target", "src_url", "anchor_text")
+    val stats = pairs.groupBy("target")
+      .agg(count(lit(1)).as("n_anchors"),
+        countDistinct(col("src_url")).as("n_sources"))
+    val capped = graft.operators.Views.topKByGroup(pairs, Seq("target"),
+        Seq("src_url", "anchor_text"), maxAnchorsPerTarget, ascending = true)
+      .groupBy("target")
+      .agg(array_join(transform(array_sort(collect_list(
+          struct(col("src_url"), col("anchor_text")))),
+        s => s.getField("anchor_text")), " ").as("anchor_doc"))
+    stats.join(capped, Seq("target"))
+      .select("target", "n_anchors", "n_sources", "anchor_doc")
+  }
+
   /** `lang` attribute of the first `<html>` tag, lowercased (BCP 47
     * tags are case-insensitive); NULL when absent — the author-declared
     * language, the prior that language-ID scoring refines.

@@ -252,6 +252,32 @@ class HtmlExtractSpec extends SparkTestBase {
     assert(m3.isNullAt(0))
   }
 
+  test("anchorTextIndex: target-keyed anchor docs, counts, cap, drops (r17)") {
+    import spark.implicits._
+    val pages = Seq(
+      ("https://a.com/1",
+        """<a href="https://t.com/x">Target <b>One</b></a><a href="#f">frag</a>"""),
+      ("https://b.com/2",
+        """<a href="https://t.com/x">great page</a><a href="https://t.com/x">again</a>"""),
+      ("https://c.com/3",
+        """<a href="/local">rel text</a><a href="https://t.com/x"></a>"""))
+      .toDF("url", "html")
+    val out = pipeline.HtmlExtract.anchorTextIndex(pages, "html", "url")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // fragment-only and empty-text anchors drop; counts cover all kept
+    // pairs; the doc is (src, text)-sorted
+    assert(out("https://t.com/x") ==
+      ((3L, 2L, "Target One again great page")), s"got ${out.get("https://t.com/x")}")
+    assert(out("https://c.com/local") == ((1L, 1L, "rel text")))
+    // the cap bounds the DOC but never the counts
+    val capped = pipeline.HtmlExtract.anchorTextIndex(pages, "html", "url",
+        maxAnchorsPerTarget = 2)
+      .filter(col("target") === "https://t.com/x").collect()(0)
+    assert(capped.getLong(1) == 3L && capped.getString(3) == "Target One again",
+      s"got $capped")
+  }
+
   test("plan pins: extraction is shuffle-free; linkExtract has no Exchange") {
     val docs = spark.range(200).select(col("id"),
       concat(lit("<html><body><p>t"), col("id"),
