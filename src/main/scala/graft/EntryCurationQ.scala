@@ -1042,6 +1042,61 @@ private[graft] object EntryCurationQ {
              |    AS n_dropped
              |FROM j GROUP BY doc_id ORDER BY id""".stripMargin)),
 
+    Q("t30_paragraph_dedup",
+      (s, d) => {
+        val m = mgr(s, d)
+        // corpus-wide first-occurrence paragraph dedup (r17, Lee et al.
+        // 2021 at paragraph granularity) — the KEEP-ONCE complement of
+        // t29's drop-everywhere: a 7-class intro paragraph and (on
+        // id%3==0 docs) a 5-class closing paragraph survive only at
+        // their lexicographically-first (id, pos) corpus position; the
+        // per-doc body paragraph is unique and always survives. The
+        // oracle elects winners by TRIMMED TEXT (value-identical to the
+        // engine's 8-byte xxhash64 keys modulo 2^-64 collisions, the
+        // t29 precedent) with the (id, pos) pair encoded as
+        // id*1000000+pos — same order as the engine's struct min for
+        // in-bound positions.
+        val id = col("doc_id")
+        val txt = concat(
+          lit("common intro "), (id % 7).cast("string"), lit(".\n\n"),
+          substring(col("text"), 1, 60), lit(" para "), id.cast("string"),
+          when(id % 3 === 0, concat(lit("\n\nshared closing "),
+            (id % 5).cast("string"), lit("."))).otherwise(lit("")))
+        val docs = m.getDDFByName("documents").df
+          .select(col("doc_id"), txt.as("text"))
+        pipeline.TextAnalysis.dropDuplicateParagraphs(docs, "text", "doc_id")
+          .orderBy("id")
+      },
+      Some("""WITH t AS (SELECT doc_id, 'common intro ' ||
+             |    (doc_id % 7)::VARCHAR || '.' || chr(10) || chr(10) ||
+             |    substr(text, 1, 60) || ' para ' || doc_id::VARCHAR ||
+             |    CASE WHEN doc_id % 3 = 0 THEN chr(10) || chr(10) ||
+             |      'shared closing ' || (doc_id % 5)::VARCHAR || '.'
+             |      ELSE '' END AS txt
+             |  FROM documents),
+             |pr AS (SELECT doc_id AS id,
+             |    unnest(generate_series(1, len(string_split_regex(txt,
+             |      '\n{2,}')))) - 1 AS pos,
+             |    unnest(string_split_regex(txt, '\n{2,}')) AS para
+             |  FROM t),
+             |k AS (SELECT id, pos, para, trim(para) AS kk FROM pr
+             |  WHERE trim(para) <> ''),
+             |win AS (SELECT kk, min(id * 1000000 + pos) AS w FROM k
+             |  GROUP BY kk),
+             |fl AS (SELECT k.id, k.pos, k.para,
+             |    (k.id * 1000000 + k.pos = win.w) AS keep
+             |  FROM k JOIN win ON k.kk = win.kk)
+             |SELECT d.doc_id AS id,
+             |  coalesce(array_to_string(list(fl.para ORDER BY fl.pos)
+             |    FILTER (WHERE fl.keep), chr(10) || chr(10)), '')
+             |    AS text_clean,
+             |  count(fl.pos)::BIGINT AS n_paras,
+             |  coalesce(sum(CASE WHEN NOT fl.keep THEN 1 ELSE 0 END),
+             |    0)::BIGINT AS n_dropped
+             |FROM (SELECT DISTINCT doc_id FROM documents) d
+             |LEFT JOIN fl ON fl.id = d.doc_id
+             |GROUP BY d.doc_id ORDER BY id""".stripMargin)),
+
     Q("t11_hashed_features",
       (s, d) => {
         val m = mgr(s, d)

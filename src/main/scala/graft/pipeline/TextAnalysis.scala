@@ -986,6 +986,55 @@ object TextAnalysis {
       .select(col("id"), col("text_clean"), col("n_lines"), col("n_dropped"))
   }
 
+  /** Corpus-wide FIRST-OCCURRENCE paragraph dedup (r17): every
+    * paragraph (blank-line-separated block) survives only in the
+    * lexicographically-first (id, pos) document position where it
+    * appears corpus-wide — the exact-substring dedup of Lee et al.
+    * 2021 ("Deduplicating Training Data Makes Language Models Better",
+    * public knowledge) at paragraph granularity. Complements
+    * [[dropCommonLines]] (which drops over-threshold lines EVERYWHERE):
+    * here the content is kept exactly once. Paragraphs that trim to ''
+    * never participate and never emit; a doc whose every paragraph is
+    * dropped still emits its row with empty `text_clean` (the
+    * dropCommonLines row-survival contract). Output: (id, text_clean,
+    * n_paras, n_dropped).
+    *
+    * Scale shape (the t29 discipline): winner election runs over a
+    * SLIM (id, pos, xxhash64) projection — the min-struct aggregate is
+    * map-side combinable and the winner join is slim-vs-slim, so a
+    * boilerplate paragraph in millions of docs costs 16-byte rows on
+    * its hash partition, never text; paragraph text rides only the
+    * (id, pos)-keyed flag attach and the per-doc rebuild — the one
+    * payload shuffle a rewrite inherently needs. Drop decisions
+    * compare 64-bit hashes (P ≈ 2⁻⁶⁴ collisions accepted, the t29
+    * trade).
+    */
+  def dropDuplicateParagraphs(df: DataFrame, textCol: String,
+                              idCol: String): DataFrame = {
+    val paras = df.select(col(idCol).as("id"),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n{2,}"))
+          .as(Seq("pos", "para")))
+      .withColumn("__t", trim(col("para")))
+    val slim = paras.filter(col("__t") =!= "")
+      .select(col("id"), col("pos"), xxhash64(col("__t")).as("__k"))
+    val winners = slim.groupBy("__k")
+      .agg(min(struct(col("id"), col("pos"))).as("__w"))
+    val flags = slim.join(winners, "__k")
+      .select(col("id"), col("pos"),
+        (struct(col("id"), col("pos")) === col("__w")).as("__keep"))
+    df.select(col(idCol).as("id")).distinct()
+      .join(paras.filter(col("__t") =!= "")
+        .join(flags, Seq("id", "pos")), Seq("id"), "left")
+      .groupBy("id")
+      .agg(
+        array_join(transform(array_sort(collect_list(
+            when(col("__keep"), struct(col("pos"), col("para"))))),
+          s => s.getField("para")), "\n\n").as("text_clean"),
+        coalesce(count(col("pos")), lit(0L)).as("n_paras"),
+        coalesce(sum(when(!col("__keep"), 1L).otherwise(0L)), lit(0L))
+          .as("n_dropped"))
+  }
+
   def boilerplateScore(df: DataFrame, textCol: String, idCol: String,
                        dfThreshold: Long = 5L, maxRatio: Double = 0.5,
                        n: Int = 3): DataFrame = {

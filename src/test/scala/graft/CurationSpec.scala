@@ -587,6 +587,44 @@ class CurationSpec extends SparkTestBase {
     assert(strict(7L), "unique doc survives any threshold")
   }
 
+  test("dropDuplicateParagraphs: first occurrence survives corpus-wide (r17)") {
+    import spark.implicits._
+    val intro = "Welcome to our site."
+    val docs = Seq(
+      (1L, s"$intro\n\nunique one\n\nshared tail"),
+      (2L, s"$intro\n\nunique two\n\nshared tail"),
+      (3L, s"  $intro  \n\nunique three"), // trimmed form matches
+      (4L, intro), // nothing original -> empty rewrite, row survives
+      (5L, "wholly original doc"))
+      .toDF("doc_id", "text")
+    val out = pipeline.TextAnalysis.dropDuplicateParagraphs(docs, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("text_clean"), r.getAs[Long]("n_paras"),
+          r.getAs[Long]("n_dropped")))).toMap
+    // doc 1 holds the first occurrence of intro AND shared tail
+    assert(out(1L) == ((s"$intro\n\nunique one\n\nshared tail", 3L, 0L)),
+      s"got ${out(1L)}")
+    assert(out(2L) == (("unique two", 3L, 2L)))
+    assert(out(3L) == (("unique three", 2L, 1L)))
+    assert(out(4L) == (("", 1L, 1L)))
+    assert(out(5L) == (("wholly original doc", 1L, 0L)))
+    // election never shuffles paragraph TEXT: the winner aggregate and
+    // its join carry only (id, pos, 8-byte hash)
+    val planLines = pipeline.TextAnalysis
+      .dropDuplicateParagraphs(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString.linesIterator.toIndexedSeq
+    val kExchanges = planLines.zipWithIndex
+      .filter(_._1.contains("Exchange hashpartitioning(__k"))
+    assert(kExchanges.nonEmpty,
+      s"expected hash-keyed slim exchanges in:\n${planLines.mkString("\n")}")
+    // the exchange's direct child (next plan line) is the shipped row —
+    // it must be the slim projection, never one carrying paragraph text
+    kExchanges.foreach { case (_, i) =>
+      assert(!planLines(i + 1).contains("para#"),
+        s"winner-election exchange ships text:\n${planLines(i + 1)}")
+    }
+  }
+
   test("dropCommonLines: corpus-frequent lines removed in place, order kept, empties preserved") {
     import spark.implicits._
     val footer = "(c) example corp"
