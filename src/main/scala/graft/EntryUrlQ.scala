@@ -625,6 +625,104 @@ private[graft] object EntryUrlQ {
               |FROM q2 JOIN rk USING (registered_domain), fs
               |ORDER BY registered_domain""".stripMargin)),
 
+    Q("w15_politeness_build",
+      (s, d) => {
+        val m = mgr(s, d)
+        // the politeness loop closed (r17): raw robots bodies →
+        // group-selected Crawl-delay per host → frontier scheduling
+        // spaced by each host's OWN budget. Twelve hosts exercise the
+        // three selection regimes (exact group delay 2, two-UA prefix
+        // group 1.5, star fallback 7 — other-bot's 99 must never win);
+        // k%3==2 star groups carry a junk 'Crawl-delay: fast' that
+        // must drop without killing the parse (try_cast); hosts
+        // outside the robots corpus ride defaultDelayMs.
+        val id = col("doc_id")
+        val body = concat(
+          lit("User-agent: other-bot\r\nCrawl-delay: 99\r\nDisallow: /\r\n\r\n"),
+          when(id % 3 === 0, lit("User-agent: graftbot-img\n" +
+            "Crawl-delay: 2\nDisallow: /Articles/\n")).otherwise(lit("")),
+          when(id % 3 === 1, lit("User-agent: graftbot\nUser-agent: extra-bot\n" +
+            "Crawl-delay: 1.5\nDisallow: *gclid*\n")).otherwise(lit("")),
+          lit("User-agent: *\n"),
+          when(id % 3 === 2, lit("Crawl-delay: fast\n")).otherwise(lit("")),
+          lit("Crawl-delay: 7\nDisallow: /$\n"))
+        val bodies = m.getDDFByName("documents").df.filter(id < 12)
+          .select(concat(lit("site-"), id.cast("string"),
+            lit(".example.com")).as("host"), body.as("body"))
+        val delays = pipeline.UrlCuration.robotsCrawlDelays(
+          bodies, "host", "body", agent = "graftbot-img")
+        val frontier = m.getDDFByName("documents").df
+          .select(syntheticUrl(12).as("url"),
+            ((col("doc_id") * 37) % 100).cast("double").as("prio"))
+        pipeline.UrlCuration.frontierSchedule(frontier, "url", "prio",
+            delays, defaultDelayMs = 500L, maxPerHost = 4)
+          .orderBy("host", "slot")
+      },
+      Some(s"""WITH bodies AS (SELECT 'site-' || doc_id::VARCHAR ||
+              |      '.example.com' AS host,
+              |    'User-agent: other-bot' || chr(13) || chr(10) ||
+              |    'Crawl-delay: 99' || chr(13) || chr(10) ||
+              |    'Disallow: /' || chr(13) || chr(10) || chr(13) || chr(10) ||
+              |    CASE WHEN doc_id % 3 = 0 THEN 'User-agent: graftbot-img' ||
+              |      chr(10) || 'Crawl-delay: 2' || chr(10) ||
+              |      'Disallow: /Articles/' || chr(10) ELSE '' END ||
+              |    CASE WHEN doc_id % 3 = 1 THEN 'User-agent: graftbot' ||
+              |      chr(10) || 'User-agent: extra-bot' || chr(10) ||
+              |      'Crawl-delay: 1.5' || chr(10) ||
+              |      'Disallow: *gclid*' || chr(10) ELSE '' END ||
+              |    'User-agent: *' || chr(10) ||
+              |    CASE WHEN doc_id % 3 = 2 THEN 'Crawl-delay: fast' || chr(10)
+              |      ELSE '' END ||
+              |    'Crawl-delay: 7' || chr(10) || 'Disallow: /$$' || chr(10)
+              |      AS body
+              |  FROM documents WHERE doc_id < 12),
+              |ln AS (SELECT host,
+              |    unnest(generate_series(1, len(string_split_regex(body, '\\r?\\n'))))
+              |      AS pos,
+              |    unnest(string_split_regex(body, '\\r?\\n')) AS line
+              |  FROM bodies),
+              |kv AS (SELECT host, pos,
+              |    lower(regexp_extract(trim(regexp_replace(line, '#.*', '')),
+              |      '^([A-Za-z-]+)\\s*:', 1)) AS k,
+              |    trim(regexp_replace(trim(regexp_replace(line, '#.*', '')),
+              |      '^[A-Za-z-]+\\s*:', '')) AS v
+              |  FROM ln),
+              |st AS (SELECT *, (k = 'user-agent') AS isua FROM kv),
+              |gs AS (SELECT *, CASE WHEN isua AND NOT coalesce(
+              |      lag(isua) OVER (PARTITION BY host ORDER BY pos), false)
+              |    THEN 1 ELSE 0 END AS gst FROM st),
+              |gg AS (SELECT *, sum(gst) OVER (PARTITION BY host ORDER BY pos)
+              |    AS gid FROM gs),
+              |g1 AS (SELECT * FROM gg WHERE gid > 0),
+              |spec AS (SELECT host, gid, max(CASE WHEN v = '*' THEN 0
+              |      WHEN starts_with('graftbot-img', lower(v)) THEN length(v)
+              |      ELSE -2147483648 END) AS sp
+              |  FROM g1 WHERE isua GROUP BY host, gid),
+              |spec2 AS (SELECT * FROM spec WHERE sp > -2147483648),
+              |best AS (SELECT host, max(sp) AS bs FROM spec2 GROUP BY host),
+              |sel AS (SELECT s2.host, s2.gid FROM spec2 s2
+              |  JOIN best ON s2.host = best.host AND s2.sp = best.bs),
+              |dl AS (SELECT g1.host, min(TRY_CAST(g1.v AS DOUBLE)) AS ds
+              |  FROM g1 JOIN sel ON g1.host = sel.host AND g1.gid = sel.gid
+              |  WHERE g1.k = 'crawl-delay'
+              |    AND TRY_CAST(g1.v AS DOUBLE) IS NOT NULL
+              |    AND TRY_CAST(g1.v AS DOUBLE) >= 0
+              |  GROUP BY g1.host),
+              |u AS (SELECT doc_id, ${duckUrlRaw(12)} AS url,
+              |    ((doc_id * 37) % 100)::DOUBLE AS prio FROM documents),
+              |h AS (SELECT url, prio, ${duckHostExprOf("url")} AS host FROM u),
+              |h2 AS (SELECT * FROM h WHERE host IS NOT NULL AND host <> ''),
+              |r AS (SELECT host, url, prio,
+              |    row_number() OVER (PARTITION BY host
+              |      ORDER BY prio DESC, url) AS rn
+              |  FROM h2)
+              |SELECT r.host, r.url, r.prio AS priority,
+              |  (r.rn - 1)::BIGINT AS slot,
+              |  ((r.rn - 1) * coalesce(floor(dl.ds * 1000)::BIGINT, 500))
+              |    AS scheduled_ms
+              |FROM r LEFT JOIN dl ON r.host = dl.host
+              |WHERE r.rn <= 4 ORDER BY r.host, slot""".stripMargin)),
+
     Q("w08_domain_authority",
       (s, d) => {
         val m = mgr(s, d)

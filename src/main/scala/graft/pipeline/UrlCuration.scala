@@ -387,8 +387,14 @@ object UrlCuration {
         trim(regexp_replace(col("__c"), "^[A-Za-z-]+\\s*:", "")).as("sitemap_url"))
       .filter(col("sitemap_url") =!= "")
 
-  def robotsParse(bodies: DataFrame, hostCol: String, bodyCol: String,
-                  agent: String): DataFrame = {
+  /** The (host, __k, __v) lines of each host's SELECTED robots.txt
+    * groups — the RFC 9309 group-selection machinery shared by
+    * [[robotsParse]] (allow/disallow rules) and [[robotsCrawlDelays]]
+    * (the politeness budget): see [[robotsParse]]'s scaladoc for the
+    * selection semantics.
+    */
+  private def selectedGroupLines(bodies: DataFrame, hostCol: String,
+                                 bodyCol: String, agent: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val lines = bodies
       .select(lower(col(hostCol)).as("host"),
@@ -418,9 +424,58 @@ object UrlCuration {
     val selected = groupSpec.join(bestSpec, "host")
       .filter(col("__spec") === col("__best"))
       .select("host", "__gid")
-    grouped.filter(col("__k").isin("allow", "disallow") && col("__v") =!= "")
-      .join(selected, Seq("host", "__gid"))
+    grouped.join(selected, Seq("host", "__gid"))
+  }
+
+  def robotsParse(bodies: DataFrame, hostCol: String, bodyCol: String,
+                  agent: String): DataFrame =
+    selectedGroupLines(bodies, hostCol, bodyCol, agent)
+      .filter(col("__k").isin("allow", "disallow") && col("__v") =!= "")
       .select(col("host"), col("__k").as("rule"), col("__v").as("pattern"))
+
+  /** Per-host `Crawl-delay` from the crawler's SELECTED robots.txt
+    * groups (r17) — the de-facto politeness extension (not in RFC 9309
+    * but honored by major crawlers; public knowledge). Same group
+    * selection as [[robotsParse]]: a delay in an unselected group (an
+    * other-crawler section) never applies. Values parse as
+    * non-negative seconds (fractional allowed); unparseable or
+    * negative values drop; merged tied groups take the MINIMUM delay
+    * (the least-restrictive merge is a policy choice — documented, not
+    * RFC-specified). Output: (host, crawl_delay_s DOUBLE) — the
+    * per-host budget [[frontierSchedule]]'s delay overload consumes.
+    */
+  def robotsCrawlDelays(bodies: DataFrame, hostCol: String, bodyCol: String,
+                        agent: String): DataFrame =
+    selectedGroupLines(bodies, hostCol, bodyCol, agent)
+      .filter(col("__k") === "crawl-delay")
+      // try_cast: a malformed delay value must DROP, not kill the job
+      // (ANSI cast throws on 'fast')
+      .withColumn("__d", expr("try_cast(__v AS double)"))
+      .filter(col("__d").isNotNull && col("__d") >= 0)
+      .groupBy("host").agg(min(col("__d")).as("crawl_delay_s"))
+
+  /** [[frontierSchedule]] with PER-HOST politeness budgets: `delays`
+    * is a (host, crawl_delay_s) table — [[robotsCrawlDelays]]' output —
+    * and each host's `scheduled_ms` spaces its slots at
+    * `floor(crawl_delay_s · 1000)` ms (hosts without a row use
+    * `defaultDelayMs`). The delay table is per-host (config-sized next
+    * to the frontier) and joins BROADCAST onto the already-capped
+    * ranking — the frontier never shuffles for it.
+    */
+  def frontierSchedule(df: DataFrame, urlCol: String, priorityCol: String,
+                       delays: DataFrame, defaultDelayMs: Long,
+                       maxPerHost: Int): DataFrame = {
+    require(defaultDelayMs >= 0,
+      s"frontierSchedule: defaultDelayMs must be >= 0, got $defaultDelayMs")
+    val ranked = frontierSchedule(df, urlCol, priorityCol,
+        crawlDelayMs = 0L, maxPerHost = maxPerHost)
+      .drop("scheduled_ms")
+    val dl = broadcast(delays.select(lower(col("host")).as("__dh"),
+      floor(col("crawl_delay_s") * 1000).cast("long").as("__dms")))
+    ranked.join(dl, ranked("host") === col("__dh"), "left")
+      .select(col("host"), col("url"), col("priority"), col("slot"),
+        (col("slot") * coalesce(col("__dms"), lit(defaultDelayMs)))
+          .as("scheduled_ms"))
   }
 
   /** Politeness scheduling of a crawl frontier (r17): assign each URL a

@@ -432,6 +432,40 @@ class UrlCurationSpec extends SparkTestBase {
     assert(tr.getLong(2) == 2L, s"tie order must be hash-deterministic, got $tr")
   }
 
+  test("robotsCrawlDelays + per-host frontier delays (r17)") {
+    val body =
+      """User-agent: other-bot
+        |Crawl-delay: 99
+        |Disallow: /
+        |
+        |User-agent: graftbot
+        |Crawl-delay: 1.5 # seconds
+        |Disallow: /tmp/
+        |
+        |User-agent: *
+        |Crawl-delay: 7
+        |""".stripMargin
+    val d = UrlCuration.robotsCrawlDelays(
+        Seq(("A.example.com", body), ("b.example.com", "User-agent: *\nCrawl-delay: fast\n"))
+          .toDF("host", "body"), "host", "body", agent = "graftbot-img")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // the selected (prefix) group's delay wins — never other-bot's 99
+    // or the star group's 7; unparseable values drop the host entirely
+    assert(d == Map("a.example.com" -> 1.5), s"got $d")
+    // the schedule overload spaces each host by ITS budget
+    val delays = Seq(("a.example.com", 2.0)).toDF("host", "crawl_delay_s")
+    val frontier = Seq(("https://a.example.com/1", 9.0),
+      ("https://a.example.com/2", 5.0), ("https://nodelay.com/x", 1.0))
+      .toDF("url", "prio")
+    val out = UrlCuration.frontierSchedule(frontier, "url", "prio",
+        delays, defaultDelayMs = 500L, maxPerHost = 10)
+      .orderBy("host", "slot").collect()
+      .map(r => (r.getString(1), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(("https://a.example.com/1", 0L, 0L),
+      ("https://a.example.com/2", 1L, 2000L),
+      ("https://nodelay.com/x", 0L, 0L)), s"got ${out.toSeq}")
+  }
+
   test("robotsSitemaps: host-wide extraction regardless of group position (r17)") {
     import spark.implicits._
     val body =
