@@ -229,6 +229,114 @@ object TextExpressions {
     }
     if (!any) null else new GenericArrayData(mins)
   }
+
+  /** Also called from generated code — see [[SortedStructSum]].
+    * keyTag: 0 = int, 1 = long, 2 = string. Returns a boxed Double
+    * (null when any element or value is NULL, poisoning the fold the
+    * way `acc + NULL` does).
+    */
+  def sortedStructSum(arr: ArrayData, keyTag: Int): java.lang.Double = {
+    val n = arr.numElements()
+    if (n == 0) return java.lang.Double.valueOf(0.0)
+    val idx = new Array[Integer](n)
+    val keyNull = new Array[Boolean](n)
+    val vals = new Array[Double](n)
+    val lkeys = if (keyTag <= 1) new Array[Long](n) else null
+    val skeys = if (keyTag == 2) new Array[UTF8String](n) else null
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null // null element ⇒ acc + NULL ⇒ NULL
+      val row = arr.getStruct(i, 2)
+      if (row.isNullAt(1)) return null // null value ⇒ NULL fold
+      idx(i) = Integer.valueOf(i)
+      vals(i) = row.getDouble(1)
+      keyNull(i) = row.isNullAt(0)
+      if (!keyNull(i)) {
+        if (keyTag == 0) lkeys(i) = row.getInt(0)
+        else if (keyTag == 1) lkeys(i) = row.getLong(0)
+        else skeys(i) = row.getUTF8String(0)
+      }
+      i += 1
+    }
+    java.util.Arrays.sort(idx, new java.util.Comparator[Integer] {
+      override def compare(a: Integer, b: Integer): Int = {
+        val x = a.intValue; val y = b.intValue
+        if (keyNull(x) || keyNull(y)) {
+          if (keyNull(x) && keyNull(y))
+            return java.lang.Double.compare(vals(x), vals(y))
+          return if (keyNull(x)) -1 else 1 // nulls first, ascending
+        }
+        val kc =
+          if (keyTag == 2) skeys(x).compareTo(skeys(y))
+          else java.lang.Long.compare(lkeys(x), lkeys(y))
+        if (kc != 0) kc else java.lang.Double.compare(vals(x), vals(y))
+      }
+    })
+    var s = 0.0
+    i = 0
+    while (i < n) { s += vals(idx(i).intValue); i += 1 }
+    java.lang.Double.valueOf(s)
+  }
+
+  /** Also called from generated code — see [[BucketTfPairs]]. One pass:
+    * unigram folds, bigram-window folds ([[computeNgrams]] semantics:
+    * NULL-containing windows skipped), counts per bucket, sorted output.
+    */
+  def bucketTfPairs(toks: ArrayData, buckets: Int, mult: Long,
+                    prime: Long): ArrayData = {
+    val n = toks.numElements()
+    val counts = new java.util.TreeMap[Integer, Long]()
+    def add(h: Long): Unit = {
+      val b = Integer.valueOf(java.lang.Math.floorMod(h, buckets.toLong).toInt)
+      val prev = counts.get(b)
+      counts.put(b, if (prev == null) 1L else prev.longValue() + 1L)
+    }
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i)) {
+        val t = toks.getUTF8String(i)
+        add(PolyHash.compute(t, mult, prime))
+        // bigram window (i, i+1) — skipped when either side is NULL
+        if (i + 1 < n && !toks.isNullAt(i + 1)) {
+          sb.setLength(0)
+          sb.append(t.toString).append(' ')
+            .append(toks.getUTF8String(i + 1).toString)
+          add(PolyHash.compute(UTF8String.fromString(sb.toString), mult, prime))
+        }
+      }
+      i += 1
+    }
+    val out = new Array[AnyRef](counts.size())
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = org.apache.spark.sql.catalyst.InternalRow(
+        e.getKey.intValue(), e.getValue.longValue())
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Also called from generated code — see [[BucketWeightSum]]. */
+  def bucketWeightSum(pairs: ArrayData, lr: Array[Double]): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = pairs.numElements()
+    var nf = 0L
+    var w = 0.0
+    var i = 0
+    while (i < n) {
+      val row = pairs.getStruct(i, 2)
+      val b = row.getInt(0)
+      if (b >= 0 && b < lr.length && !java.lang.Double.isNaN(lr(b))) {
+        val tf = row.getLong(1)
+        nf += tf
+        w += tf.toDouble * lr(b)
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(nf, w)
+  }
 }
 
 /** Distinct word n-gram shingles of a raw text column — the native,
@@ -578,4 +686,152 @@ object CharEntropy {
     }
     h
   }
+}
+
+/** Bit-stable ordered float fold, compiled: the sum of field 1 (double)
+  * of an array<struct<key, double>> in ascending (key, value) struct
+  * order — the native replacement for the interpreted
+  * `aggregate(sort_array(collect_list(struct(k, v))), 0.0, acc + v)`
+  * chain used by every "fold in key order so the float total is
+  * bit-stable" site (Dsir weights, BM25/TF-IDF per-doc totals, the
+  * unigram/bigram/NB log-prob scores). Both `sort_array` and a lambda
+  * `aggregate` are CodegenFallback in Spark 4 — the per-group fold ran
+  * INTERPRETED, megamorphic eval chain and all (the same expression
+  * class the r17 a11 probe attributed: see SCALE.md "the int8 kernel
+  * ran interpreted").
+  *
+  * Result-identical by construction:
+  *   - `sort_array` ascending orders structs field-lexicographically
+  *     with nulls first per field; summation only observes that order
+  *     through float non-associativity, and the one ordering difference
+  *     here (value ties broken by `Double.compare`, which splits ±0.0 /
+  *     NaN where Spark's nan-safe compare ties them) cannot change a
+  *     sum (x + ±0.0 and NaN-poisoning are order-blind).
+  *   - a NULL element or NULL value poisons the fold to NULL exactly
+  *     like `acc + NULL`.
+  *   - an empty array returns the fold's 0.0 zero literal.
+  */
+case class SortedStructSum(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "sorted_struct_sum"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private lazy val keyTag: Int = child.dataType match {
+    case ArrayType(st: StructType, _) => st.fields(0).dataType match {
+      case IntegerType => 0
+      case LongType => 1
+      case StringType => 2
+      case _ => -1
+    }
+    case _ => -1
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(st: StructType, _)
+        if st.fields.length == 2 && st.fields(1).dataType == DoubleType &&
+          (st.fields(0).dataType == IntegerType ||
+            st.fields(0).dataType == LongType ||
+            st.fields(0).dataType == StringType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<struct<int|bigint|string, double>>, " +
+        s"got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextExpressions.sortedStructSum(input.asInstanceOf[ArrayData], keyTag)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("ossResult")
+      s"""java.lang.Double $r = graft.functions.TextExpressions.sortedStructSum($c, $keyTag);
+         |${ev.isNull} = ($r == null);
+         |${ev.value} = ${ev.isNull} ? -1.0 : $r.doubleValue();""".stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): SortedStructSum =
+    copy(child = c)
+}
+
+/** Per-document hashed unigram+bigram bucket term frequencies, compiled
+  * — the native one-pass replacement for DSIR's
+  * `explode(concat(toks, ngrams)) → pmod(portableFold(f), B) →
+  * groupBy(id, bucket).count` shape: the per-(doc, bucket) aggregation
+  * happens INSIDE the row (one local hash map), so the corpus never
+  * shuffles token-level rows at all (guide §2.3/§2.4 — the per-doc tf
+  * is a per-row statistic, not a distributed aggregate). Output:
+  * array<struct<bucket int, tf bigint>> SORTED by bucket ascending —
+  * the fold order every weight consumer needs. Bucket assignment is
+  * bit-identical to the exploded shape: PolyHash (portableFold) of the
+  * token / "t1 t2" bigram window (NULL-window skip per TokenNgrams),
+  * floorMod into `buckets`. A NULL token array propagates NULL (the
+  * exploded shape emits no rows for it; consumers coalesce), an empty
+  * one yields the empty array.
+  */
+case class BucketTfPairs(child: Expression, buckets: Int,
+                         mult: Long = 31L, prime: Long = 1000000007L)
+    extends UnaryExpression {
+  require(buckets > 0 && buckets <= (1 << 24),
+    s"buckets must be in [1, 2^24], got $buckets")
+
+  override def prettyName: String = "bucket_tf_pairs"
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("bucket", IntegerType, nullable = false),
+      StructField("tf", LongType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects an array<string> column, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextExpressions.bucketTfPairs(input.asInstanceOf[ArrayData], buckets, mult, prime)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextExpressions.bucketTfPairs(" +
+        s"$c, $buckets, ${mult}L, ${prime}L);")
+
+  override protected def withNewChildInternal(c: Expression): BucketTfPairs =
+    copy(child = c)
+}
+
+/** Importance weight over a [[BucketTfPairs]] array, compiled: iterates
+  * the (bucket, tf) pairs in their bucket-ascending array order and
+  * returns struct(n_feats = Σ tf, weight = Σ tf · lr[bucket]) — the
+  * per-row replacement for DSIR's broadcast-join + groupBy(id) +
+  * ordered-fold stage. `lr` is the config-sized per-bucket log-ratio
+  * table injected as a reference array (NaN = bucket absent, replicating
+  * the inner join: absent buckets contribute to NEITHER sum — by
+  * construction every raw-corpus bucket is present). Empty pairs →
+  * (0, 0.0), the left-join + coalesce contract.
+  */
+case class BucketWeightSum(child: Expression, lr: Array[Double])
+    extends UnaryExpression {
+  override def prettyName: String = "bucket_weight_sum"
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_feats", LongType, nullable = false),
+    StructField("weight", DoubleType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(st: StructType, _)
+        if st.fields.length == 2 && st.fields(0).dataType == IntegerType &&
+          st.fields(1).dataType == LongType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<struct<int, bigint>>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextExpressions.bucketWeightSum(input.asInstanceOf[ArrayData], lr)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lrRef = ctx.addReferenceObj("lrArr", lr, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextExpressions.bucketWeightSum($c, $lrRef);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): BucketWeightSum =
+    copy(child = c)
 }

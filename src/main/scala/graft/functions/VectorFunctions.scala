@@ -24,4 +24,24 @@ object VectorFunctions {
     */
   def unicodeNormalize(c: Column, form: String = "NFC"): Column =
     Bridge.column(UnicodeNormalize(Bridge.expression(c), form))
+
+  /** Compiled bit-stable ordered fold over an array<struct<key, double>>
+    * — the drop-in replacement for
+    * `aggregate(sort_array(x), 0.0, (acc, e) => acc + e.getField(v))`
+    * (see [[SortedStructSum]] for the result-identity argument).
+    */
+  def orderedStructSum(c: Column): Column =
+    Bridge.column(SortedStructSum(Bridge.expression(c)))
+
+  /** Per-doc hashed unigram+bigram bucket tfs, sorted by bucket — see
+    * [[BucketTfPairs]].
+    */
+  def bucketTfPairs(toks: Column, buckets: Int): Column =
+    Bridge.column(BucketTfPairs(Bridge.expression(toks), buckets))
+
+  /** struct(n_feats, weight) from a [[bucketTfPairs]] array and a
+    * per-bucket log-ratio array (NaN = absent) — see [[BucketWeightSum]].
+    */
+  def bucketWeightSum(pairs: Column, lr: Array[Double]): Column =
+    Bridge.column(BucketWeightSum(Bridge.expression(pairs), lr))
 }

@@ -327,40 +327,75 @@ object Graph {
       .distinct()
     val sym = canon.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(canon.select(col("b").as("src"), col("a").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // r17 opt (guide §2.4): peel by SHRINKING THE EDGE FRAME instead of
+    // re-joining the full edge list against the alive node set. The old
+    // shape paid, EVERY round, two joins of the complete O(m) symmetric
+    // edge frame (each shuffling it) plus the degree aggregate; this
+    // shape pays the degree aggregate over the CURRENT (monotonically
+    // shrinking) edge frame — zero-exchange after the first round,
+    // because the frame is hash-partitioned by src once and both
+    // peel-out anti-joins preserve that partitioning when the dead set
+    // broadcasts — plus two anti-joins against the dead FRONTIER (the
+    // nodes peeled this round: frontier-sized, broadcast below the
+    // row bound; a pathological all-at-once peel falls back to a
+    // regular anti-join). Results identical: the frame maintains the
+    // both-endpoints-alive invariant, so groupBy(src) IS the in-core
+    // degree, and peeling is order-independent (the k-core is unique).
+    var alive = sym.repartition(col("src")).localCheckpoint()
+    var result: DataFrame = null
+    var iter = 0
     try {
-      def coreDeg(a: DataFrame): DataFrame = sym
-        .join(a.withColumnRenamed("node", "src"), "src")
-        .join(a.withColumnRenamed("node", "dst"), "dst")
-        .groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
-      var alive = sym.select(col("src").as("node")).distinct().localCheckpoint()
-      var n = alive.count()
-      var converged = false
-      var iter = 0
-      while (!converged && iter < maxIter) {
-        val next = coreDeg(alive).filter(col("core_deg") >= k)
-          .select("node").localCheckpoint()
-        val m = next.count()
-        converged = m == n // peeling is monotone — equal count = fixpoint
-        graft.core.Checkpoints.release(alive) // superseded round's blocks
-        alive = next
-        n = m
+      while (result == null && iter < maxIter) {
+        val deg = alive.groupBy("src").agg(count(lit(1)).as("core_deg"))
+          .localCheckpoint()
+        val dead = deg.filter(col("core_deg") < k).select(col("src").as("__dead"))
+        val nDead = dead.count()
+        if (nDead == 0L) {
+          // fixpoint: every remaining endpoint has in-core degree ≥ k —
+          // deg (already materialized) IS the answer
+          result = deg.select(col("src").as("node"), col("core_deg"))
+        } else {
+          // broadcast the frontier when it is clearly broadcast-sized;
+          // otherwise let the planner shuffle (only giant peel rounds)
+          val d = if (nDead <= 2000000L) broadcast(dead) else dead
+          val next = alive
+            .join(d, col("src") === col("__dead"), "left_anti")
+            .join(d, col("dst") === col("__dead"), "left_anti")
+            .localCheckpoint()
+          graft.core.Checkpoints.release(alive) // superseded round
+          graft.core.Checkpoints.release(deg)
+          alive = next
+        }
         iter += 1
       }
-      if (strict && !converged) throw new IllegalStateException(
+      if (result == null && strict) throw new IllegalStateException(
         s"kCore: not converged after $maxIter peel rounds; raise maxIter " +
           "(or pass strict = false to accept a partially peeled graph)")
-      // final degrees inside the core — one more alive-join pass over the
-      // checkpointed fixpoint (the loop keeps only the node set, so this
-      // recomputes the last round's degree frame once)
-      if (!materialize) coreDeg(alive)
-      else {
-        val out = coreDeg(alive).localCheckpoint()
-        graft.core.Checkpoints.release(alive) // out is materialized; the
-        // fixpoint node set has no remaining reader
+      if (!materialize) {
+        // lazy: the final degree pass as a LIVE aggregate over the final
+        // edge checkpoint (the per-round DAG shape, inspectable by plan
+        // pins). The edge checkpoint stays pinned for the caller's reads
+        // — the old lazy contract; the ContextCleaner reclaims it. The
+        // loop's own final deg checkpoint has no reader here: release it.
+        if (result != null) graft.core.Checkpoints.release(result)
+        alive.groupBy("src").agg(count(lit(1)).as("core_deg"))
+          .select(col("src").as("node"), col("core_deg"))
+      } else {
+        // eager: the (already materialized) final degree pass; the edge
+        // frame has no remaining reader
+        val out =
+          if (result != null) result
+          else alive.groupBy("src").agg(count(lit(1)).as("core_deg"))
+            .select(col("src").as("node"), col("core_deg"))
+            .localCheckpoint() // unconverged non-strict: one more pass
+        graft.core.Checkpoints.release(alive)
         out
       }
-    } finally sym.unpersist(blocking = false)
+    } catch {
+      case t: Throwable =>
+        graft.core.Checkpoints.release(alive)
+        throw t
+    }
   }
 
   /** Connected components of the undirected graph induced by `edges`:

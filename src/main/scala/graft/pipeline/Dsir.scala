@@ -31,21 +31,26 @@ import org.apache.spark.sql.functions._
   */
 object Dsir {
 
+  /** (id, __bp) per-doc bucket-tf PAIR ARRAYS (sorted by bucket) of
+    * `textCol` — r17 opt: the per-(doc, bucket) aggregation happens
+    * inside the row ([[graft.functions.BucketTfPairs]], one compiled
+    * pass over the token array), so the corpus never shuffles
+    * token-level rows; the old explode → groupBy(id, bucket) shape paid
+    * a full exchange of ~2·tokens rows per call. Bucket assignment and
+    * counts are bit-identical (same portableFold, same floorMod).
+    */
+  private def bucketPairs(df: DataFrame, textCol: String, idCol: String,
+                          buckets: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.VectorFunctions.bucketTfPairs(
+        expr(TextAnalysis.tokensExpr(textCol)), buckets).as("__bp"))
+
   /** (id, bucket, tf) hashed unigram+bigram occurrences of `textCol`. */
   private def bucketTf(df: DataFrame, textCol: String, idCol: String,
-                       buckets: Int): DataFrame = {
-    // project the token array ONCE: inlining the tokensExpr fragment as
-    // both concat args re-ran the interpreted regex tokenizer twice per
-    // row of the raw corpus — the exact pattern TextAnalysis measured
-    // and fixed in its own operators (r14 review)
-    df.select(col(idCol).as("id"),
-        expr(TextAnalysis.tokensExpr(textCol)).as("__toks"))
-      .select(col("id"),
-        explode(concat(col("__toks"), TextAnalysis.ngramCol(col("__toks"), 2))).as("__f"))
-      .select(col("id"),
-        pmod(Dedup.portableFold(col("__f")), lit(buckets.toLong)).cast("int").as("bucket"))
-      .groupBy("id", "bucket").agg(count(lit(1)).as("tf"))
-  }
+                       buckets: Int): DataFrame =
+    bucketPairs(df, textCol, idCol, buckets)
+      .select(col("id"), explode(col("__bp")).as("__p"))
+      .select(col("id"), col("__p.bucket").as("bucket"), col("__p.tf").as("tf"))
 
   /** Per-bucket feature counts of a corpus — the persistable, mergeable
     * LM form (counts are sums: merge shards by adding).
@@ -74,19 +79,32 @@ object Dsir {
       s"buckets must be in [1, 2^24], got $buckets")
     require(alpha > 0, s"alpha must be positive, got $alpha")
     val tgt = bucketCounts(target, textCol, idCol, buckets)
-    // the (id, bucket, tf) frame feeds the LM-count branch, the rTot
-    // action, and the scoring probe — persist so the raw corpus is
-    // tokenized ONCE, not three times (the SetJoin shared-frame pattern)
-    val rawTf0 = bucketTf(raw, textCol, idCol, buckets)
-    val rawTf =
+    // the per-doc pair frame feeds the LM-count branch and the scoring
+    // projection — persist so the raw corpus is tokenized ONCE (the
+    // SetJoin shared-frame pattern). r17 opt: pairs, not exploded rows —
+    // the per-(doc, bucket) tf aggregation happens inside the row
+    // (BucketTfPairs), so the LM-count branch shuffles only map-side
+    // partial per-bucket sums (≤ buckets rows per task) and the scoring
+    // stage shuffles NOTHING: the log-ratio table is config-sized
+    // (≤ buckets rows — the old shape broadcast the same table anyway),
+    // so it is collected once and each doc's weight is one compiled
+    // in-row pass (BucketWeightSum) over its sorted pairs — the same
+    // bucket-ascending float fold order, bit-identical weights. The old
+    // shape paid one exchange of ~2·tokens (id, bucket) rows into the
+    // per-doc groupBy plus a corpus-wide left join back to raw ids;
+    // both are gone (every raw doc has exactly one pair row).
+    val rawBp0 = bucketPairs(raw, textCol, idCol, buckets)
+    val rawBp =
       if (materialize)
-        rawTf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else rawTf0
+        rawBp0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else rawBp0
     // try/finally (r15 persist audit): the loud requires below are
     // user-facing session-survivable errors — the tokenized cache must
     // release on that path too, not only before the success return
     try {
-      val rawCnt = rawTf.groupBy("bucket").agg(sum("tf").as("cr"))
+      val rawCnt = rawBp.select(explode(col("__bp")).as("__p"))
+        .select(col("__p.bucket").as("bucket"), col("__p.tf").as("tf"))
+        .groupBy("bucket").agg(sum("tf").as("cr"))
       // totals: two config-sized scalars (the bigramLogProb pattern)
       val tTot = tgt.select(coalesce(sum("cnt"), lit(0L))).first().getLong(0)
       val rTot = rawCnt.select(coalesce(sum("cr"), lit(0L))).first().getLong(0)
@@ -99,23 +117,20 @@ object Dsir {
         .select(col("bucket"),
           (log((coalesce(col("cnt"), lit(0L)).cast("double") + alpha) / (tTot + alpha * b))
             - log((col("cr").cast("double") + alpha) / (rTot + alpha * b))).as("lr"))
-      val scored = rawTf.join(broadcast(ratio), "bucket")
-        .withColumn("__lp", col("tf").cast("double") * col("lr"))
-        .groupBy("id")
-        .agg(sum("tf").as("n_feats"),
-          aggregate(
-            sort_array(collect_list(struct(col("bucket"), col("__lp")))),
-            lit(0.0), (acc, x) => acc + x.getField("__lp")).as("weight"))
-      val lazyOut = raw.select(col(idCol).as("id")).join(scored, Seq("id"), "left")
+      val lrArr = Array.fill(buckets)(Double.NaN) // NaN = bucket unobserved
+      ratio.collect().foreach(r => lrArr(r.getInt(0)) = r.getDouble(1))
+      val lazyOut = rawBp
+        .select(col("id"), graft.functions.VectorFunctions
+          .bucketWeightSum(col("__bp"), lrArr).as("__s"))
         .select(col("id"),
-          coalesce(col("n_feats"), lit(0L)).as("n_feats"),
-          coalesce(col("weight"), lit(0.0)).as("weight"))
+          coalesce(col("__s").getField("n_feats"), lit(0L)).as("n_feats"),
+          coalesce(col("__s").getField("weight"), lit(0.0)).as("weight"))
       if (!materialize) lazyOut
       // materialize the (one-row-per-raw-doc) result inside the try so
       // the finally drops the tokenized cache only after the checkpoint
       // holds the data (the SetJoin pattern)
       else lazyOut.localCheckpoint(eager = true)
-    } finally if (materialize) rawTf.unpersist(blocking = false)
+    } finally if (materialize) rawBp.unpersist(blocking = false)
   }
 
   /** Select `k` raw documents by importance. Default is the

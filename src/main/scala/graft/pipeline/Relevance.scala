@@ -113,9 +113,10 @@ object Relevance {
           (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl))))
       .groupBy("query_id", "id")
       .agg(
-        aggregate(
-          sort_array(collect_list(struct(col("token"), col("__term_score")))),
-          lit(0.0), (acc, x) => acc + x.getField("__term_score")).as("bm25"),
+        // r17 opt: compiled ordered fold (see SortedStructSum) — same
+        // token-order bit-stable sum, no interpreted HOF chain
+        graft.functions.VectorFunctions.orderedStructSum(
+          collect_list(struct(col("token"), col("__term_score")))).as("bm25"),
         count(lit(1)).as("terms_hit"))
   }
 

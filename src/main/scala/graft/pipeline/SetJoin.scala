@@ -213,8 +213,12 @@ object SetJoin {
     val vb = strs.select(col("id").as("id_b"), col("str").as("strb"))
     val out = gramCands.unionAll(poolCands).distinct()
       .join(va, "id_a").join(vb, "id_b")
-      .withColumn("dist", levenshtein(col("stra"), col("strb")))
-      .filter(col("dist") <= k)
+      // r17 opt: THRESHOLDED levenshtein — banded O(len·k) DP with early
+      // exit instead of the full O(len²) matrix; returns −1 past the
+      // threshold, so `between 0 and k` keeps exactly the `<= k` rows
+      // with their exact distances
+      .withColumn("dist", levenshtein(col("stra"), col("strb"), k))
+      .filter(col("dist").between(0, k))
       .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
       .localCheckpoint(eager = true)
     out
@@ -358,8 +362,9 @@ object SetJoin {
     val vr = rs.select(col("id").as("id_r"), col("str").as("strr"))
     val joinedOut = cands
       .join(vl, "id_l").join(vr, "id_r")
-      .withColumn("dist", levenshtein(col("strl"), col("strr")))
-      .filter(col("dist") <= k)
+      // r17 opt: thresholded levenshtein (see editDistanceJoin)
+      .withColumn("dist", levenshtein(col("strl"), col("strr"), k))
+      .filter(col("dist").between(0, k))
       .select(col("id_l"), col("id_r"), col("dist").cast("long").as("dist"))
     // materialize=false keeps the lazy DAG inspectable for plan pins
     // (eager localCheckpoint would hide it); nothing was persisted in
@@ -432,8 +437,9 @@ object SetJoin {
           abs(col("la") - col("lb")) <= k)
       .select("id_a", "id_b").distinct()
       .join(va, "id_a").join(vb, "id_b")
-      .withColumn("dist", levenshtein(col("stra"), col("strb")))
-      .filter(col("dist") <= k)
+      // r17 opt: thresholded levenshtein (see editDistanceJoin)
+      .withColumn("dist", levenshtein(col("stra"), col("strb"), k))
+      .filter(col("dist").between(0, k))
       .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
       .localCheckpoint(eager = true)
     finally strs.unpersist(blocking = false)
@@ -500,8 +506,11 @@ object SetJoin {
         explode(array(expr(s"rnk div $w"), expr(s"rnk div $w - 1"))).as("b"))
     probe.join(build, "b")
       .filter(col("rb") > col("ra") && col("rb") - col("ra") <= w)
-      .withColumn("dist", levenshtein(col("ka"), col("kb")))
-      .filter(col("dist") <= maxDist)
+      // r17 opt: thresholded levenshtein (see editDistanceJoin); the
+      // max(1, ·) keeps the threshold form defined at maxDist = 0 — the
+      // between-filter still admits only dist ≤ maxDist
+      .withColumn("dist", levenshtein(col("ka"), col("kb"), math.max(1, maxDist)))
+      .filter(col("dist").between(0, maxDist))
       .select(least(col("id_x"), col("id_y")).as("id_a"),
         greatest(col("id_x"), col("id_y")).as("id_b"),
         col("dist").cast("long").as("dist"))

@@ -459,9 +459,9 @@ object TextAnalysis {
       .groupBy("id")
       .agg(
         sum(col("tf")).as("n_tokens"),
-        (aggregate(
-          sort_array(collect_list(struct(col("token"), col("__lp")))),
-          lit(0.0), (acc, x) => acc + x.getField("__lp"))
+        // r17 opt: compiled ordered fold (see SortedStructSum)
+        (graft.functions.VectorFunctions.orderedStructSum(
+          collect_list(struct(col("token"), col("__lp"))))
           / sum(col("tf"))).as("avg_logp"))
     df.select(col(idCol).as("id")).join(scored, Seq("id"), "left")
       .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
@@ -501,9 +501,9 @@ object TextAnalysis {
       .groupBy("id")
       .agg(
         sum(col("tf2")).as("n_bigrams"),
-        (aggregate(
-          sort_array(collect_list(struct(col("bg"), col("__lp")))),
-          lit(0.0), (acc, x) => acc + x.getField("__lp"))
+        // r17 opt: compiled ordered fold (see SortedStructSum)
+        (graft.functions.VectorFunctions.orderedStructSum(
+          collect_list(struct(col("bg"), col("__lp"))))
           / sum(col("tf2"))).as("avg_logp2"))
     df.select(col(idCol).as("id")).join(scored, Seq("id"), "left")
       .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
@@ -619,9 +619,9 @@ object TextAnalysis {
     val scored = docBucket.join(broadcast(weights), "__b")
       .groupBy("id")
       .agg(sum(col("__cnt")).as("n_tokens"),
-        (aggregate(
-          sort_array(collect_list(struct(col("__b"), (col("__cnt") * col("__lw")).as("__x")))),
-          lit(0.0d), (acc, x) => acc + x.getField("__x"))
+        // r17 opt: compiled ordered fold (see SortedStructSum)
+        (graft.functions.VectorFunctions.orderedStructSum(
+          collect_list(struct(col("__b"), (col("__cnt") * col("__lw")).as("__x"))))
           / sum(col("__cnt"))).as("logodds"))
     df.select(col(idCol).as("id")).join(scored, Seq("id"), "left")
       .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))

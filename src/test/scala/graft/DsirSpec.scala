@@ -68,14 +68,20 @@ class DsirSpec extends SparkTestBase {
     assert(whole == sharded)
   }
 
-  test("plan: ratio joins broadcast; no data-scale sort below the weight agg") {
+  test("plan: scoring is join-free and shuffle-free (r17 per-row weights)") {
     // materialize=false exposes the lazy plan (default eagerly
-    // checkpoints, which reduces the visible plan to an RDD scan)
-    val plan = Dsir.importanceWeights(raw, target, "text", "doc_id",
-        materialize = false)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), plan)
-    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+    // checkpoints, which reduces the visible plan to an RDD scan).
+    // r17 opt: the per-doc weight is one compiled in-row pass over the
+    // doc's bucket pairs with a config-sized log-ratio reference array —
+    // the scoring stage must carry NO join and NO exchange at all (the
+    // old shape broadcast-joined the ratio table and re-grouped by id).
+    val qe = Dsir.importanceWeights(raw, target, "text", "doc_id",
+        materialize = false).queryExecution
+    // the expression lives in the analyzed plan (ConvertToLocalRelation
+    // folds this local-relation fixture into a LocalTableScan physically)
+    assert(qe.analyzed.toString.contains("bucket_weight_sum"), qe.analyzed.toString)
+    val plan = qe.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"), plan)
   }
 
   test("guards: bad buckets/alpha/k, empty corpora") {

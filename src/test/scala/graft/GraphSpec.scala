@@ -167,10 +167,14 @@ class GraphSpec extends SparkTestBase {
       "lazy triangleCount should expose its wedge/closing joins")
     assert(!tcLazy.queryExecution.analyzed.exists(_.isInstanceOf[LogicalRDD]))
     assert(asMap(tcLazy) == asMap(Graph.triangleCount(edges, "src", "dst")))
-    // kCore: the final in-core degree pass stays a lazy join+agg plan
+    // kCore (r17 shrink-frame peel): the final in-core degree pass stays
+    // a LIVE aggregate over the final edge checkpoint — no join remains
+    // in the lazy plan because the peel now shrinks the edge frame
+    // itself (anti-joins happen inside the loop's checkpointed rounds)
     val kcLazy = Graph.kCore(edges, "src", "dst", k = 2, materialize = false)
-    assert(kcLazy.queryExecution.analyzed.collect { case j: Join => j }.nonEmpty,
-      "lazy kCore should expose the alive-join + degree aggregate")
+    assert(kcLazy.queryExecution.analyzed.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }.nonEmpty,
+      "lazy kCore should expose the degree aggregate")
     assert(asMap(kcLazy) == asMap(Graph.kCore(edges, "src", "dst", k = 2)))
     // connectedComponents: one identity-at-fixpoint propagation round,
     // lazy — per-round join/agg DAG visible, labels unchanged

@@ -300,4 +300,61 @@ class TextExprSpec extends SparkTestBase {
     val err = intercept[Exception](spark.sql("SELECT char_entropy()").collect())
     assert(err.getMessage.contains("char_entropy"), err.getMessage)
   }
+
+  test("sortedStructSum ≡ aggregate(sort_array(...)) on every key type (r17 opt)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // adversarial lists: duplicate keys with different values (tie order
+    // matters for float addition), null keys (sort first), negative and
+    // denormal-ish values whose sum order is observable, empty handled
+    // via the groupBy never emitting one (checked separately below)
+    val rows = Seq(
+      (1L, "b", 0.1), (1L, "a", 0.7), (1L, "a", -0.3), (1L, "c", 1e-17),
+      (1L, "c", 1.0), (2L, "z", 2.5), (3L, "k", -0.0), (3L, "k", 0.0)
+    ).toDF("id", "k", "v")
+    def hof(df: org.apache.spark.sql.DataFrame, key: Column, v: Column) = df
+      .groupBy("id")
+      .agg(aggregate(
+        sort_array(collect_list(struct(key.as("k"), v.as("v")))),
+        lit(0.0), (acc, x) => acc + x.getField("v")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def native(df: org.apache.spark.sql.DataFrame, key: Column, v: Column) = df
+      .groupBy("id")
+      .agg(graft.functions.VectorFunctions.orderedStructSum(
+        collect_list(struct(key.as("k"), v.as("v")))).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // string key
+    assert(native(rows, col("k"), col("v")) == hof(rows, col("k"), col("v")))
+    // int key (hash spreads the rows; exercises numeric ordering)
+    val ik = pmod(xxhash64(col("k")), lit(7)).cast("int")
+    assert(native(rows, ik, col("v")) == hof(rows, ik, col("v")))
+    // long key
+    val lk = xxhash64(col("k"), col("v"))
+    assert(native(rows, lk, col("v")) == hof(rows, lk, col("v")))
+    // null key sorts first; null value poisons the fold to NULL
+    val withNullKey = Seq((1L, Option("a"), 0.5), (1L, None, 0.25))
+      .toDF("id", "k", "v")
+    assert(native(withNullKey, col("k"), col("v"))
+      == hof(withNullKey, col("k"), col("v")))
+    val withNullVal = Seq((1L, "a", Option(0.5)), (1L, "b", Option.empty[Double]))
+      .toDF("id", "k", "v")
+    val nv = withNullVal.groupBy("id")
+      .agg(graft.functions.VectorFunctions.orderedStructSum(
+        collect_list(struct(col("k"), col("v")))).as("s"))
+      .collect()
+    assert(nv.length == 1 && nv(0).isNullAt(1), "null value must poison the fold")
+    // empty array returns the fold's 0.0 zero element
+    val empty = spark.sql(
+      "SELECT cast(array() AS array<struct<k: string, v: double>>) AS a")
+      .select(graft.functions.VectorFunctions.orderedStructSum(col("a")).as("s"))
+      .collect()
+    assert(empty(0).getDouble(0) == 0.0)
+    // codegen active (not CodegenFallback like the HOF chain it replaces)
+    val big = spark.range(50)
+      .selectExpr("id % 5 AS g", "cast(id AS int) AS k", "cast(id AS double) / 7 AS v")
+      .groupBy("g")
+      .agg(graft.functions.VectorFunctions.orderedStructSum(
+        collect_list(struct(col("k"), col("v")))).as("s"))
+    assert(big.collect().length == 5)
+  }
 }
