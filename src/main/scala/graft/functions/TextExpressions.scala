@@ -291,19 +291,33 @@ object TextExpressions {
       val prev = counts.get(b)
       counts.put(b, if (prev == null) 1L else prev.longValue() + 1L)
     }
-    val sb = new java.lang.StringBuilder
+    // The bigram feature's fold equals the unigram fold of token i−1
+    // extended by ' ' and token i's code points (PolyHash is a running
+    // fold), so each token is walked ONCE carrying two accumulators —
+    // no "t1 t2" string is ever built. prevHash = −1 marks "no valid
+    // left neighbor" (start of array, or a NULL element: NULL windows
+    // are skipped per TokenNgrams). Hash values are in [0, prime) so
+    // −1 is unreachable as a real fold value.
+    var prevHash = -1L
     var i = 0
     while (i < n) {
-      if (!toks.isNullAt(i)) {
-        val t = toks.getUTF8String(i)
-        add(PolyHash.compute(t, mult, prime))
-        // bigram window (i, i+1) — skipped when either side is NULL
-        if (i + 1 < n && !toks.isNullAt(i + 1)) {
-          sb.setLength(0)
-          sb.append(t.toString).append(' ')
-            .append(toks.getUTF8String(i + 1).toString)
-          add(PolyHash.compute(UTF8String.fromString(sb.toString), mult, prime))
+      if (toks.isNullAt(i)) prevHash = -1L
+      else {
+        val str = toks.getUTF8String(i).toString
+        var h = 0L
+        var bg = if (prevHash >= 0L)
+          java.lang.Math.floorMod(prevHash * mult + ' '.toInt, prime)
+        else -1L
+        var j = 0
+        while (j < str.length) {
+          val cp = str.codePointAt(j)
+          h = java.lang.Math.floorMod(h * mult + cp, prime)
+          if (bg >= 0L) bg = java.lang.Math.floorMod(bg * mult + cp, prime)
+          j += Character.charCount(cp)
         }
+        add(h)
+        if (bg >= 0L) add(bg)
+        prevHash = h
       }
       i += 1
     }
@@ -316,6 +330,63 @@ object TextExpressions {
         e.getKey.intValue(), e.getValue.longValue())
       j += 1
     }
+    new GenericArrayData(out)
+  }
+
+  /** Also called from generated code — see [[IntersectSize]]. Counts
+    * |distinct(a) ∩ distinct(b)|, a NULL element being one value.
+    */
+  def intersectSize(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val setA = new java.util.HashSet[UTF8String](Math.max(4, na * 2))
+    var aHasNull = false
+    var i = 0
+    while (i < na) {
+      if (a.isNullAt(i)) aHasNull = true else setA.add(a.getUTF8String(i))
+      i += 1
+    }
+    val seenB = new java.util.HashSet[UTF8String](Math.max(4, nb * 2))
+    var cnt = 0
+    var bNullCounted = false
+    i = 0
+    while (i < nb) {
+      if (b.isNullAt(i)) {
+        if (aHasNull && !bNullCounted) { cnt += 1; bNullCounted = true }
+      } else {
+        val v = b.getUTF8String(i)
+        if (setA.contains(v) && seenB.add(v)) cnt += 1
+      }
+      i += 1
+    }
+    cnt
+  }
+
+  /** Also called from generated code — see [[TokenTfPairs]]. */
+  def tokenTfPairs(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    val counts = new java.util.TreeMap[UTF8String, Long]()
+    var nullTf = 0L
+    var i = 0
+    while (i < n) {
+      if (toks.isNullAt(i)) nullTf += 1L
+      else {
+        val t = toks.getUTF8String(i)
+        val prev = counts.get(t)
+        counts.put(t, if (prev == null) 1L else prev.longValue() + 1L)
+      }
+      i += 1
+    }
+    val out = new Array[AnyRef](counts.size() + (if (nullTf > 0) 1 else 0))
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = org.apache.spark.sql.catalyst.InternalRow(e.getKey, e.getValue.longValue())
+      j += 1
+    }
+    if (nullTf > 0)
+      out(j) = org.apache.spark.sql.catalyst.InternalRow(null, nullTf)
     new GenericArrayData(out)
   }
 
@@ -833,5 +904,72 @@ case class BucketWeightSum(child: Expression, lr: Array[Double])
   }
 
   override protected def withNewChildInternal(c: Expression): BucketWeightSum =
+    copy(child = c)
+}
+
+/** |distinct(a) ∩ distinct(b)| without materializing the intersection —
+  * the native verify kernel for exact Jaccard over shingle sets
+  * (`size(array_intersect(a, b))` builds the intersection ARRAY and
+  * immediately discards everything but its length; the companion
+  * `size(array_union)` is redundant entirely: for the distinct arrays
+  * the shingler emits, |a ∪ b| = |a| + |b| − |a ∩ b|). One hash set
+  * build over `a`, one de-duplicated probe pass over `b` — matching
+  * array_intersect's distinct-result counting exactly, including a NULL
+  * element counting as one value present on both sides.
+  */
+case class IntersectSize(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def prettyName: String = "intersect_size"
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects two array<string> columns, got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextExpressions.intersectSize(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.TextExpressions.intersectSize($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): IntersectSize =
+    copy(left = l, right = r)
+}
+
+/** Per-row element multiplicities of an array<string>, compiled:
+  * array<struct<token string, tf bigint>> sorted by token (binary
+  * UTF8String order; a NULL element — impossible from tokensExpr, kept
+  * for exactness — counts into one trailing NULL-token pair). This is
+  * `explode(arr) → groupBy(row, element).count` computed INSIDE the row:
+  * the term-frequency stage's corpus-wide (id, token) exchange
+  * disappears — downstream consumers explode the (few) distinct-element
+  * pairs instead of shuffling every element occurrence (guide §2.3:
+  * aggregate before you shuffle, here before ANY shuffle).
+  */
+case class TokenTfPairs(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "token_tf_pairs"
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("token", StringType, nullable = true),
+      StructField("tf", LongType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects an array<string> column, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextExpressions.tokenTfPairs(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextExpressions.tokenTfPairs($c);")
+
+  override protected def withNewChildInternal(c: Expression): TokenTfPairs =
     copy(child = c)
 }

@@ -44,4 +44,16 @@ object VectorFunctions {
     */
   def bucketWeightSum(pairs: Column, lr: Array[Double]): Column =
     Bridge.column(BucketWeightSum(Bridge.expression(pairs), lr))
+
+  /** |distinct(a) ∩ distinct(b)| without building the intersection array
+    * — see [[IntersectSize]].
+    */
+  def intersectSize(a: Column, b: Column): Column =
+    Bridge.column(IntersectSize(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Per-row element multiplicities, sorted by element — see
+    * [[TokenTfPairs]].
+    */
+  def tokenTfPairs(toks: Column): Column =
+    Bridge.column(TokenTfPairs(Bridge.expression(toks)))
 }

@@ -40,7 +40,14 @@ object Graph {
                iterations: Int, dampingPct: Int = 85,
                scale: Long = 1000000L): DataFrame = {
     require(iterations >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    // r17 opt (guide §2.4): persist the edge frame HASH-PARTITIONED on
+    // the per-round join key — every iteration's e⋈pr and e⋈deg joins
+    // and the deg aggregate then reuse this one exchange, so the O(m)
+    // edge frame never reshuffles again; only the O(nodes) rank frame
+    // moves per round. (Previously each round re-exchanged the full
+    // edge frame for both joins.)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+      .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val nodes = e.select(col("src").as("node"))
@@ -94,10 +101,12 @@ object Graph {
                        weightCol: String, iterations: Int,
                        dampingPct: Int = 85, scale: Long = 1000000L): DataFrame = {
     require(iterations >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    // src-partitioned persist — the pageRank r17 shuffle-reuse shape
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
         col(weightCol).cast("long").as("w"))
       .filter(col("w") > 0)
       .groupBy("src", "dst").agg(sum("w").as("w"))
+      .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy("src").agg(sum("w").as("sw"))
     val nodes = e.select(col("src").as("node"))
@@ -267,10 +276,17 @@ object Graph {
         when(col("da") < col("db") ||
              (col("da") === col("db") && col("a") < col("b")), col("b"))
           .otherwise(col("a")).as("v")))
+    // r17 opt (guide §3.1): hint SHUFFLED HASH for the wedge and closing
+    // joins — sort-merge would SORT the O(m^1.5) wedge stream; hashing
+    // the O(m) oriented edge side instead streams the wedges unsorted.
+    // Build side per partition is m/shuffle-partitions oriented edges
+    // (two longs each), well inside execution memory at any scale where
+    // the partition count tracks the input (AQE skew-split still applies)
     val wedges = oriented.select(col("u").as("x"), col("v").as("y"))
-      .join(oriented.select(col("u").as("y"), col("v").as("z")), "y")
+      .join(oriented.select(col("u").as("y"), col("v").as("z")).hint("shuffle_hash"), "y")
     val triangles = wedges
-      .join(oriented.select(col("u").as("x"), col("v").as("z")), Seq("x", "z"))
+      .join(oriented.select(col("u").as("x"), col("v").as("z")).hint("shuffle_hash"),
+        Seq("x", "z"))
     val counts = triangles
       .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("triangles"))

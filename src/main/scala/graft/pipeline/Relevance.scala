@@ -22,11 +22,19 @@ import org.apache.spark.sql.functions._
   */
 object Relevance {
 
-  /** (id, token, tf): exact term frequencies, one row per document-term. */
+  /** (id, token, tf): exact term frequencies, one row per document-term.
+    *
+    * r17 opt (guide §2.3): the per-(doc, token) count happens INSIDE the
+    * row (TokenTfPairs — one compiled pass over the token array), so the
+    * stage carries NO exchange at all; the old explode → groupBy(id,
+    * token) shape shuffled every token occurrence of the corpus. Same
+    * rows out (order aside — every consumer aggregates or joins).
+    */
   def termFrequencies(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(col(idCol).as("id"),
-        explode(expr(TextAnalysis.tokensExpr(textCol))).as("token"))
-      .groupBy("id", "token").agg(count(lit(1)).as("tf"))
+        explode(graft.functions.VectorFunctions.tokenTfPairs(
+          expr(TextAnalysis.tokensExpr(textCol)))).as("__tt"))
+      .select(col("id"), col("__tt.token").as("token"), col("__tt.tf").as("tf"))
 
   /** Top-k TF-IDF terms per document with a smoothed IDF
     * (ln((N+1)/(df+1)) + 1 — the sklearn formulation: never negative,

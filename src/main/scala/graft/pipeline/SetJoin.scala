@@ -93,7 +93,10 @@ object SetJoin {
     val sb = sets.select(col("id").as("id_b"), col("s").as("sb"), col("n").as("nb"))
     val out = candidatesFromSets(sets, threshold)
       .join(sa, "id_a").join(sb, "id_b")
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("double"))
+      // r17 opt: native intersection count — no intersection array built
+      .withColumn("inter",
+        graft.functions.VectorFunctions.intersectSize(col("sa"), col("sb"))
+          .cast("double"))
       .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")

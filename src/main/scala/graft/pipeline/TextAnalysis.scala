@@ -482,9 +482,12 @@ object TextAnalysis {
   def bigramLogProb(df: DataFrame, textCol: String, idCol: String,
                     alpha: Double = 1.0): DataFrame = {
     require(alpha > 0, s"alpha must be positive, got $alpha")
-    val bg = df.select(col(idCol).as("id"),
-      explode(ngramCol(expr(tokensExpr(textCol)), 2)).as("bg"))
-    val tf2 = bg.groupBy("id", "bg").agg(count(lit(1)).as("tf2"))
+    // r17 opt: per-(doc, bigram) counts inside the row (TokenTfPairs) —
+    // no token-level exchange; same rows as explode → groupBy(id, bg)
+    val tf2 = df.select(col(idCol).as("id"),
+        explode(graft.functions.VectorFunctions.tokenTfPairs(
+          ngramCol(expr(tokensExpr(textCol)), 2))).as("__tt"))
+      .select(col("id"), col("__tt.token").as("bg"), col("__tt.tf").as("tf2"))
     val c2 = tf2.groupBy("bg").agg(sum("tf2").as("c2"))
     val tf1 = Relevance.termFrequencies(df, textCol, idCol)
     val c1 = tf1.groupBy("token").agg(sum("tf").as("c1"))

@@ -357,4 +357,86 @@ class TextExprSpec extends SparkTestBase {
         collect_list(struct(col("k"), col("v")))).as("s"))
     assert(big.collect().length == 5)
   }
+
+  test("bucketTfPairs ≡ explode(concat(toks, bigrams)) → fold → count (r17 opt)") {
+    import spark.implicits._
+    val texts = (nasty :+ null.asInstanceOf[String]).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    for (buckets <- Seq(7, 4096)) {
+      val toks = expr(TextAnalysis.tokensExpr("t"))
+      // reference: the pre-r17 exploded shape
+      val ref = texts.select(col("id"),
+          explode(concat(toks, TextAnalysis.ngramCol(toks, 2))).as("f"))
+        .select(col("id"),
+          pmod(Dedup.portableFold(col("f")), lit(buckets.toLong)).cast("int").as("b"))
+        .groupBy("id", "b").agg(count(lit(1)).as("tf"))
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val got = texts.select(col("id"),
+          explode(graft.functions.VectorFunctions.bucketTfPairs(toks, buckets)).as("p"))
+        .select(col("id"), col("p.bucket").as("b"), col("p.tf").as("tf"))
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+      assert(got == ref, s"buckets=$buckets")
+    }
+    // pairs arrive bucket-ascending (the weight fold's order contract)
+    val pairs = texts.filter(col("t").isNotNull).select(
+      graft.functions.VectorFunctions.bucketTfPairs(
+        expr(TextAnalysis.tokensExpr("t")), 16).as("p")).collect()
+    pairs.foreach { r =>
+      val bs = r.getSeq[org.apache.spark.sql.Row](0).map(_.getInt(0))
+      assert(bs == bs.sorted && bs.distinct == bs, s"unsorted/dup buckets: $bs")
+    }
+  }
+
+  test("intersectSize ≡ size(array_intersect) incl. dups and NULL elements (r17 opt)") {
+    import spark.implicits._
+    val cases = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq("a", "a", "b"), Seq("a", "b", "b")),        // dups on both sides
+      (Seq[String](), Seq("x")),
+      (Seq("x"), Seq[String]()),
+      (Seq("only"), Seq("only")),
+      (nasty.filter(_ != null), nasty.reverse.filter(_ != null)))
+    val df = cases.map { case (a, b) => (a, b) }.toDF("a", "b")
+    val rows = df.select(
+        size(array_intersect(col("a"), col("b"))).as("ref"),
+        graft.functions.VectorFunctions.intersectSize(col("a"), col("b")).as("got"))
+      .collect()
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+    // NULL element counts as one shared value (array_intersect semantics)
+    val withNulls = Seq(1).toDF("i").select(
+      array(lit("a"), lit(null).cast("string"), lit(null).cast("string")).as("a"),
+      array(lit(null).cast("string"), lit("b")).as("b"))
+    val r = withNulls.select(
+      size(array_intersect(col("a"), col("b"))).as("ref"),
+      graft.functions.VectorFunctions.intersectSize(col("a"), col("b")).as("got"))
+      .collect().head
+    assert(r.getInt(0) == r.getInt(1), r.toString)
+    // NULL array propagates
+    val nr = Seq(1).toDF("i").select(graft.functions.VectorFunctions.intersectSize(
+      lit(null).cast("array<string>"), array(lit("a"))).as("g")).collect().head
+    assert(nr.isNullAt(0))
+  }
+
+  test("tokenTfPairs ≡ explode → groupBy(id, token).count (r17 opt)") {
+    import spark.implicits._
+    val texts = (nasty :+ null.asInstanceOf[String]).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val toks = expr(TextAnalysis.tokensExpr("t"))
+    val ref = texts.select(col("id"), explode(toks).as("token"))
+      .groupBy("id", "token").agg(count(lit(1)).as("tf"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val got = texts.select(col("id"),
+        explode(graft.functions.VectorFunctions.tokenTfPairs(toks)).as("p"))
+      .select(col("id"), col("p.token"), col("p.tf"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == ref)
+    // NULL elements fold into one trailing (NULL, count) pair
+    val withNulls = Seq(1L).toDF("id").select(col("id"),
+      array(lit("a"), lit(null).cast("string"), lit("a"), lit(null).cast("string")).as("toks"))
+    val rows = withNulls.select(
+        explode(graft.functions.VectorFunctions.tokenTfPairs(col("toks"))).as("p"))
+      .select(col("p.token"), col("p.tf")).collect()
+    assert(rows.map(r => (if (r.isNullAt(0)) null else r.getString(0)) -> r.getLong(1)).toMap
+      == Map("a" -> 2L, (null: String) -> 2L))
+  }
 }
