@@ -532,16 +532,22 @@ private[graft] object EntryUrlQ {
           .select(concat(lit("https://single-"), (id - 400).cast("string"),
               lit(".example.com/")).as("url"),
             lit(1700000000.0).as("ts"), lit("hs").as("hash"))
-        // ln() outputs round per the c01/t10 rule (cross-engine ln noise
-        // ~1e-16 relative): λ to 10 dp (≥6 sig figs at λ ~ 1e-4, all
-        // values ≥0.16e-10 from a rounding boundary), revisit to 6 dp;
-        // clamps compare the UNROUNDED λ on both sides
+        // ln() outputs emit as SCALED LONGS (r18 gate fix): the r17
+        // round(λ,10) contract hash-failed in the driver because both
+        // engines compute λ = -ln(1.0)/3600 = -0.0 for never-changed
+        // URLs, and DuckDB's round() PRESERVES the -0.0 bit pattern
+        // while Spark's BigDecimal round normalizes it to +0.0 — an
+        // 8-row bit-level mismatch invisible to numeric compare.
+        // Integers have no signed zero; margins to the nearest .5
+        // rounding boundary are ≥0.0054 on λ·1e10 and ≥0.064 on
+        // revisit·1e3 vs cross-engine ln noise ≤1e-9 scaled units.
+        // Clamps compare the UNROUNDED λ on both sides.
         pipeline.UrlCuration.revisitSchedule(hist.unionByName(singles),
             "url", "ts", "hash", minIntervalS = 600.0,
             maxIntervalS = 2592000.0)
           .select(col("url"), col("n_fetches"), col("n_changes"),
-            round(col("lambda"), 10).as("lambda"),
-            round(col("revisit_s"), 6).as("revisit_s"))
+            round(col("lambda") * 1e10).cast("long").as("lambda_e10"),
+            round(col("revisit_s") * 1e3).cast("long").as("revisit_ms"))
           .orderBy("url")
       },
       Some("""WITH h0 AS (SELECT (doc_id % 40) AS uid, (doc_id // 40) AS seq
@@ -575,10 +581,10 @@ private[graft] object EntryUrlQ {
              |      ELSE 0.0 END AS lambda
              |  FROM ag)
              |SELECT url, n_fetches, n_changes,
-             |  round(lambda, 10) AS lambda,
-             |  round(CASE WHEN lambda > 0
+             |  CAST(round(lambda * 1e10) AS BIGINT) AS lambda_e10,
+             |  CAST(round((CASE WHEN lambda > 0
              |    THEN least(greatest(1.0 / lambda, 600.0), 2592000.0)
-             |    ELSE 2592000.0 END, 6) AS revisit_s
+             |    ELSE 2592000.0 END) * 1e3) AS BIGINT) AS revisit_ms
              |FROM lm ORDER BY url""".stripMargin)),
 
     Q("w14_crawl_quota",
