@@ -411,16 +411,20 @@ private[graft] object EntryPipelineBQ {
         // verify, then answer from the published corpus itself
         withScratch("graft_p05") { tmp =>
           val out = packed.withColumn("shard", shiftright(col("seq_id"), 33))
-          sources.Manifest.writeWithManifest(out, s"$tmp/corpus",
-            partitionCols = Seq("shard"))
-          sources.Manifest.writeProfileFor(s, s"$tmp/corpus")
+          // r18 opt (guide §6): manifest + column profile from ONE
+          // read-back scan of the published corpus; publishedDocs is
+          // answered from the returned merged profile (the same scan)
+          // instead of re-reading the stored profile parquet. The
+          // verify re-scan below stays — that is the manifest contract.
+          val (_, prof) = sources.Manifest.writeWithManifestAndProfile(
+            out, s"$tmp/corpus", partitionCols = Seq("shard"))
           // coalesce: a 0-shard verify frame (empty-but-valid corpus —
           // every doc filtered out upstream) sums to NULL, and verifying
           // vacuously true is the correct reading
           val allOk = sources.Manifest.verifyManifest(s, s"$tmp/corpus")
             .agg(coalesce(sum(when(col("ok"), 0L).otherwise(1L)), lit(0L)))
             .first().getLong(0) == 0L
-          val publishedDocs = sources.Manifest.mergedProfile(s, Seq(s"$tmp/corpus"))
+          val publishedDocs = prof
             .filter(col("col_name") === "doc_id")
             .select("row_count").first().getLong(0)
           collectAndClean(s, s.read.parquet(s"$tmp/corpus")

@@ -281,6 +281,13 @@ object TextExpressions {
   /** Also called from generated code — see [[BucketTfPairs]]. One pass:
     * unigram folds, bigram-window folds ([[computeNgrams]] semantics:
     * NULL-containing windows skipped), counts per bucket, sorted output.
+    *
+    * Precondition (ADVICE r17): token elements must be NON-NULL (the
+    * TokenTfPairs contract — tokensExpr never emits NULL elements).
+    * NULL elements are SKIPPED here, whereas the exploded reference
+    * shape (explode(concat(toks, ngrams)) → pmod(portableFold)) would
+    * emit a NULL-bucket count row; the two shapes are bit-identical
+    * only under the no-NULL-elements precondition.
     */
   def bucketTfPairs(toks: ArrayData, buckets: Int, mult: Long,
                     prime: Long): ArrayData = {
@@ -878,7 +885,8 @@ case class BucketTfPairs(child: Expression, buckets: Int,
   * construction every raw-corpus bucket is present). Empty pairs →
   * (0, 0.0), the left-join + coalesce contract.
   */
-case class BucketWeightSum(child: Expression, lr: Array[Double])
+case class BucketWeightSum(child: Expression,
+                           lr: org.apache.spark.broadcast.Broadcast[Array[Double]])
     extends UnaryExpression {
   override def prettyName: String = "bucket_weight_sum"
   override def dataType: DataType = StructType(Seq(
@@ -895,12 +903,17 @@ case class BucketWeightSum(child: Expression, lr: Array[Double])
   }
 
   override def nullSafeEval(input: Any): Any =
-    TextExpressions.bucketWeightSum(input.asInstanceOf[ArrayData], lr)
+    TextExpressions.bucketWeightSum(input.asInstanceOf[ArrayData], lr.value)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val lrRef = ctx.addReferenceObj("lrArr", lr, "double[]")
+    // r18 (ADVICE): the table rides a Broadcast handle — the reference
+    // object serialized with every task binary is now a few bytes; the
+    // buckets-sized double[] ships once per executor.
+    val bcRef = ctx.addReferenceObj("lrBc", lr,
+      "org.apache.spark.broadcast.Broadcast")
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.TextExpressions.bucketWeightSum($c, $lrRef);")
+      s"${ev.value} = graft.functions.TextExpressions.bucketWeightSum(" +
+        s"$c, (double[]) $bcRef.value());")
   }
 
   override protected def withNewChildInternal(c: Expression): BucketWeightSum =

@@ -40,9 +40,11 @@ object VectorFunctions {
     Bridge.column(BucketTfPairs(Bridge.expression(toks), buckets))
 
   /** struct(n_feats, weight) from a [[bucketTfPairs]] array and a
-    * per-bucket log-ratio array (NaN = absent) — see [[BucketWeightSum]].
+    * BROADCAST per-bucket log-ratio array (NaN = absent) — see
+    * [[BucketWeightSum]].
     */
-  def bucketWeightSum(pairs: Column, lr: Array[Double]): Column =
+  def bucketWeightSum(pairs: Column,
+                      lr: org.apache.spark.broadcast.Broadcast[Array[Double]]): Column =
     Bridge.column(BucketWeightSum(Bridge.expression(pairs), lr))
 
   /** |distinct(a) ∩ distinct(b)| without building the intersection array

@@ -64,6 +64,10 @@ object Dsir {
     * Documents with no features get weight 0. `buckets` bounds both LM
     * tables and the broadcast ratio table; `alpha` is add-α smoothing
     * (must be > 0 so unseen-in-target buckets stay finite).
+    *
+    * Precondition: `raw` ids are UNIQUE. Weighting is per ROW (each
+    * row's text scores independently); duplicate ids would each carry
+    * their own row's weight, not a combined per-document weight.
     */
   /** `materialize = true` (default) shares the tokenized raw frame
     * across its three consumers (persist) and returns an eagerly
@@ -105,23 +109,47 @@ object Dsir {
       val rawCnt = rawBp.select(explode(col("__bp")).as("__p"))
         .select(col("__p.bucket").as("bucket"), col("__p.tf").as("tf"))
         .groupBy("bucket").agg(sum("tf").as("cr"))
-      // totals: two config-sized scalars (the bigramLogProb pattern)
-      val tTot = tgt.select(coalesce(sum("cnt"), lit(0L))).first().getLong(0)
-      val rTot = rawCnt.select(coalesce(sum("cr"), lit(0L))).first().getLong(0)
+      // r18 opt: ONE collect drives totals AND the ratio table. The r17
+      // shape paid three jobs here (two scalar totals, then the ratio
+      // collect) and tokenized the target corpus twice; a full-outer
+      // join of the two config-sized LM tables carries both corpus
+      // totals and every observed bucket's counts in ≤ buckets rows.
+      // The log-ratios fold on the driver with StrictMath.log — the
+      // SAME function Spark's log() expression evaluates (verified
+      // against spark-catalyst: UnaryLogExpression binds
+      // java.lang.StrictMath.log), so lr values are bit-identical to
+      // the r17 in-plan formulation.
+      val lm = rawCnt.join(tgt, Seq("bucket"), "full_outer")
+        .select(col("bucket"), col("cr"), col("cnt")).collect()
+      var tTot = 0L; var rTot = 0L
+      lm.foreach { r =>
+        if (!r.isNullAt(1)) rTot += r.getLong(1)
+        if (!r.isNullAt(2)) tTot += r.getLong(2)
+      }
       require(rTot > 0, "importanceWeights: raw corpus has no tokens")
       require(tTot > 0, "importanceWeights: target corpus has no tokens")
       val b = buckets.toDouble
       // ratio over the raw corpus's observed buckets (a bucket no raw doc
       // hits can never contribute to a raw doc's weight)
-      val ratio = rawCnt.join(tgt, Seq("bucket"), "left")
-        .select(col("bucket"),
-          (log((coalesce(col("cnt"), lit(0L)).cast("double") + alpha) / (tTot + alpha * b))
-            - log((col("cr").cast("double") + alpha) / (rTot + alpha * b))).as("lr"))
       val lrArr = Array.fill(buckets)(Double.NaN) // NaN = bucket unobserved
-      ratio.collect().foreach(r => lrArr(r.getInt(0)) = r.getDouble(1))
+      lm.foreach { r =>
+        if (!r.isNullAt(1)) {
+          val cr = r.getLong(1).toDouble
+          val ct = if (r.isNullAt(2)) 0.0 else r.getLong(2).toDouble
+          lrArr(r.getInt(0)) =
+            StrictMath.log((ct + alpha) / (tTot + alpha * b)) -
+              StrictMath.log((cr + alpha) / (rTot + alpha * b))
+        }
+      }
+      // r18 (ADVICE): the ratio array rides a REAL broadcast instead of
+      // a plan reference object — a reference object is serialized with
+      // the task binary for every stage that contains the expression
+      // (128 MB per task at the 2^24 bucket bound); a broadcast ships
+      // once per executor via the block manager.
+      val lrBc = raw.sparkSession.sparkContext.broadcast(lrArr)
       val lazyOut = rawBp
         .select(col("id"), graft.functions.VectorFunctions
-          .bucketWeightSum(col("__bp"), lrArr).as("__s"))
+          .bucketWeightSum(col("__bp"), lrBc).as("__s"))
         .select(col("id"),
           coalesce(col("__s").getField("n_feats"), lit(0L)).as("n_feats"),
           coalesce(col("__s").getField("weight"), lit(0.0)).as("weight"))

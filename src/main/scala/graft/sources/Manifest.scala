@@ -115,6 +115,118 @@ object Manifest {
     summary
   }
 
+  /** [[writeWithManifest]] + stored column profile from ONE read-back
+    * scan (r18, guide §6 one-pass I/O): the manifest's per-file
+    * aggregation carries the per-column profile aggregates (HLL sketch,
+    * null count, min/max) alongside the content folds, so the published
+    * corpus is scanned once where write-then-profile scanned it twice.
+    * The profile parquet stores one row per (file, column) —
+    * [[mergedProfile]] merges per-file rows exactly as it merges
+    * per-corpus rows (HLL union + exact-field sums/min/max), so every
+    * profile consumer is unchanged. Returns (per-file shard summary,
+    * MERGED profile) — both built from the already-collected entries,
+    * so consuming them costs no further corpus scan.
+    */
+  def writeWithManifestAndProfile(df: DataFrame, path: String,
+                                  partitionCols: Seq[String] = Nil,
+                                  lgK: Int = 12): (DataFrame, DataFrame) = {
+    val spark = df.sparkSession
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listFiles(p, true)
+    var hasData = false
+    while (!hasData && files.hasNext) {
+      val n = files.next().getPath.getName
+      hasData = !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (!hasData) {
+      // the writeWithManifest empty-corpus contract: one explicit 0-row
+      // root shard so the dir stays readable; the per-file aggregation
+      // sees no rows, so the profile falls back to the global (0-row)
+      // shape writeProfileFor would store
+      spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
+        .coalesce(1).write.mode("append").parquet(path)
+      val summary = writeManifestFor(spark, path, 0)
+      val prof = writeProfileFor(spark, path, lgK = lgK)
+      return (summary, prof)
+    }
+    val depth = partitionCols.size
+    val back = spark.read.parquet(path)
+    val cs = back.columns.toSeq
+    val byName = back.schema.fields.map(f => f.name -> f.dataType).toMap
+    val segs = split(input_file_name(), "/")
+    val profAggs = cs.flatMap { c =>
+      val numeric = byName(c).isInstanceOf[org.apache.spark.sql.types.NumericType]
+      Seq(
+        hll_sketch_agg(col(c).cast("string"), lgK).as(s"__hll_$c"),
+        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(s"__nulls_$c"),
+        (if (numeric) min(col(c).cast("double")) else lit(null).cast("double")).as(s"__minn_$c"),
+        (if (numeric) max(col(c).cast("double")) else lit(null).cast("double")).as(s"__maxn_$c"),
+        (if (numeric) lit(null).cast("string") else min(col(c).cast("string"))).as(s"__mins_$c"),
+        (if (numeric) lit(null).cast("string") else max(col(c).cast("string"))).as(s"__maxs_$c"))
+    }
+    val entries = back
+      .withColumn("__file",
+        concat_ws("/", slice(segs, size(segs) - lit(depth), lit(depth + 1))))
+      .withColumn("__h", xxhash64(cs.map(col): _*))
+      .groupBy("__file")
+      .agg(count(lit(1)).as("rows"),
+        (Seq(expr("bit_xor(__h)").as("content_hash"),
+          sum(col("__h").cast("decimal(38,0)")).cast("string").as("content_sum")) ++
+          profAggs): _*)
+      .collect()
+    // manifest JSON from the same collected rows writeManifestFor builds
+    val totalRows = entries.map(_.getAs[Long]("rows")).sum
+    val corpusHash = entries.map(_.getAs[Long]("content_hash")).foldLeft(0L)(_ ^ _)
+    val corpusSum = entries.map(r => BigInt(r.getAs[String]("content_sum"))).sum
+    val json = entries.sortBy(_.getAs[String]("__file")).map { r =>
+      s"""{"file":"${r.getAs[String]("__file")}","rows":${r.getAs[Long]("rows")},""" +
+        s""""content_hash":${r.getAs[Long]("content_hash")},""" +
+        s""""content_sum":"${r.getAs[String]("content_sum")}"}"""
+    }.mkString(
+      s"""{"total_rows":$totalRows,"corpus_hash":$corpusHash,"corpus_sum":"$corpusSum",""" +
+        s""""partition_depth":$depth,"shards":[""",
+      ",", "]}\n")
+    val mp = new org.apache.hadoop.fs.Path(path, ManifestFile)
+    val out = fs.create(mp, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // per-(file, column) profile rows in Sketches.profile's exact schema
+    import org.apache.spark.sql.types._
+    val profSchema = StructType(Seq(
+      StructField("col_name", StringType), StructField("ndv_sketch", BinaryType),
+      StructField("null_count", LongType), StructField("row_count", LongType),
+      StructField("min_num", DoubleType), StructField("max_num", DoubleType),
+      StructField("min_str", StringType), StructField("max_str", StringType)))
+    val profRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    entries.foreach { r =>
+      cs.foreach { c =>
+        profRows.add(org.apache.spark.sql.Row(
+          c, r.getAs[Array[Byte]](s"__hll_$c"), r.getAs[Long](s"__nulls_$c"),
+          r.getAs[Long]("rows"),
+          r.getAs[java.lang.Double](s"__minn_$c"), r.getAs[java.lang.Double](s"__maxn_$c"),
+          r.getAs[String](s"__mins_$c"), r.getAs[String](s"__maxs_$c")))
+      }
+    }
+    val profile = spark.createDataFrame(profRows, profSchema)
+    profile.coalesce(1).write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(path, ProfileDir).toString)
+    val summary = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row]({
+        val l = new java.util.ArrayList[org.apache.spark.sql.Row]()
+        entries.foreach(r => l.add(org.apache.spark.sql.Row(
+          r.getAs[String]("__file"), r.getAs[Long]("rows"),
+          r.getAs[Long]("content_hash"), r.getAs[String]("content_sum"))))
+        l
+      }),
+      StructType(Seq(StructField("file", StringType), StructField("rows", LongType),
+        StructField("content_hash", LongType), StructField("content_sum", StringType))))
+    (summary, graft.stats.Sketches.mergeProfiles(Seq(profile)))
+  }
+
   val ProfileDir = "_graft_profile"
 
   /** Write the mergeable column-profile table (stats/Sketches) next to
@@ -169,25 +281,19 @@ object Manifest {
     val text =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    val root = spark.read.json(Seq(text).toDS())
-    // manifests written before partitioned publish existed lack the
-    // field — they are depth-0 by construction
-    val depth = if (root.columns.contains("partition_depth"))
-      root.select("partition_depth").head().getLong(0).toInt else 0
-    // an empty corpus stores "shards":[] — json inference types that as
-    // array<string>, so the struct-field extraction below would throw;
-    // an empty stored side is the correct reading
-    val shardsAreStructs = root.schema.fields.find(_.name == "shards").exists(_.dataType match {
-      case org.apache.spark.sql.types.ArrayType(_: org.apache.spark.sql.types.StructType, _) => true
-      case _ => false
-    })
-    val stored = if (shardsAreStructs) root
-      .select(explode(col("shards")).as("s"))
-      .select(col("s.file").as("file"), col("s.rows").as("manifest_rows"),
-        col("s.content_hash").as("manifest_hash"),
-        col("s.content_sum").as("manifest_sum"))
-    else Seq.empty[(String, Long, Long, String)]
-      .toDF("file", "manifest_rows", "manifest_hash", "manifest_sum")
+    // r18 opt: the manifest is THIS object's own driver-written format
+    // (flat fields, no escapes in the values we emit) — parse it on the
+    // driver instead of paying a spark.read.json job + schema inference
+    // per verify. Manifests written before partitioned publish lack
+    // partition_depth — depth-0 by construction.
+    val depth = """"partition_depth":(-?\d+)""".r
+      .findFirstMatchIn(text).map(_.group(1).toInt).getOrElse(0)
+    val shardRe =
+      (""""file":"([^"]*)","rows":(-?\d+),""" +
+        """"content_hash":(-?\d+),"content_sum":"(-?\d+)"""").r
+    val stored = shardRe.findAllMatchIn(text).map(m =>
+        (m.group(1), m.group(2).toLong, m.group(3).toLong, m.group(4)))
+      .toSeq.toDF("file", "manifest_rows", "manifest_hash", "manifest_sum")
     val actual = shardSummary(spark.read.parquet(path), depth)
       .withColumnRenamed("rows", "actual_rows")
       .withColumnRenamed("content_hash", "actual_hash")
