@@ -904,7 +904,12 @@ object Bench {
                                 sf1Cap: Int): Seq[(String, Seq[Sample], Long)] = {
     // warm the new dir's table registrations outside the timed region
     sampler.warm("q10_tpch_q1", dir)
-    sf1Set.filter(qs.contains).map { n =>
+    // SPARK_GRAFT_SF1_ONLY narrows the tier for local iteration (the
+    // SPARK_GRAFT_ONLY pattern); the driver never sets it, so the
+    // per-round bench always measures the full tier
+    val only1 = sys.env.get("SPARK_GRAFT_SF1_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    sf1Set.filter(qs.contains).filter(n => only1.forall(_.contains(n))).map { n =>
       sampler.warm(n, dir) // untimed per-query warmup
       val g0 = gcMs
       val ss = sampler.sampleQuery(n, dir, sf1Runs, math.max(sf1Runs, sf1Cap))

@@ -369,6 +369,28 @@ object TextExpressions {
     cnt
   }
 
+  /** Also called from generated code — see [[TokenDictIds]]. UTF8String
+    * keys probe without per-token String conversion; `getUTF8String`
+    * views share the array's bytes, and UTF8String hashes/compares by
+    * content.
+    */
+  def tokenDictIds(toks: ArrayData,
+                   dict: java.util.HashMap[UTF8String, Integer],
+                   oovId: Int): ArrayData = {
+    val n = toks.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (toks.isNullAt(i)) out(i) = oovId // tokensExpr never emits NULLs
+      else {
+        val t = dict.get(toks.getUTF8String(i))
+        out(i) = if (t == null) oovId else t.intValue()
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Also called from generated code — see [[TokenTfPairs]]. */
   def tokenTfPairs(toks: ArrayData): ArrayData = {
     val n = toks.numElements()
@@ -964,6 +986,41 @@ case class IntersectSize(left: Expression, right: Expression)
   * pairs instead of shuffling every element occurrence (guide §2.3:
   * aggregate before you shuffle, here before ANY shuffle).
   */
+/** Per-row vocabulary encoding: token array → int-id array via a
+  * BROADCAST token→id dictionary (OOV → `oovId`). The per-row
+  * replacement for encodeTokens' posexplode → vocab join →
+  * groupBy(id) reassembly: the dictionary ships once per executor and
+  * every document encodes inside its own row — the corpus never
+  * shuffles token-level rows (r18, guide §2.3). Output order is the
+  * document's own token order.
+  */
+case class TokenDictIds(child: Expression,
+    dict: org.apache.spark.broadcast.Broadcast[java.util.HashMap[UTF8String, Integer]],
+    oovId: Int) extends UnaryExpression {
+  override def prettyName: String = "token_dict_ids"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects an array<string> column, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextExpressions.tokenDictIds(input.asInstanceOf[ArrayData], dict.value, oovId)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("dictBc", dict,
+      "org.apache.spark.broadcast.Broadcast")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextExpressions.tokenDictIds(" +
+        s"$c, (java.util.HashMap) $bcRef.value(), $oovId);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): TokenDictIds =
+    copy(child = c)
+}
+
 case class TokenTfPairs(child: Expression) extends UnaryExpression {
   override def prettyName: String = "token_tf_pairs"
   override def dataType: DataType = ArrayType(

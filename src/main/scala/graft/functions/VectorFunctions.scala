@@ -47,6 +47,15 @@ object VectorFunctions {
                       lr: org.apache.spark.broadcast.Broadcast[Array[Double]]): Column =
     Bridge.column(BucketWeightSum(Bridge.expression(pairs), lr))
 
+  /** Token array → vocabulary-id array via a broadcast dictionary —
+    * see [[TokenDictIds]].
+    */
+  def tokenDictIds(toks: Column,
+      dict: org.apache.spark.broadcast.Broadcast[
+        java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer]],
+      oovId: Int): Column =
+    Bridge.column(TokenDictIds(Bridge.expression(toks), dict, oovId))
+
   /** |distinct(a) ∩ distinct(b)| without building the intersection array
     * — see [[IntersectSize]].
     */

@@ -914,22 +914,34 @@ object Dedup {
     */
   def spanSegments(df: DataFrame, textCol: String, idCol: String, w: Int): DataFrame = {
     require(w > 0, s"span width must be positive, got $w")
+    // n_total rides each row (r18): the per-doc segment count is in-row
+    // knowledge here — carrying it lets segmentDedup skip its whole
+    // totals aggregation + join (and with them the only second consumer
+    // of the segment frame, so the persist goes too)
     df.select(col(idCol).as("id"),
         expr(graft.pipeline.TextAnalysis.tokensExpr(textCol)).as("__tk"))
       .filter(size(col("__tk")) > 0)
-      .select(col("id"), posexplode(expr(
-        s"transform(sequence(0, cast(ceil(size(__tk) / ${w}.0) as int) - 1)," +
-          s" i -> array_join(slice(__tk, i * $w + 1, $w), ' '))")).as(Seq("idx", "seg")))
+      .select(col("id"),
+        ceil(size(col("__tk")) / lit(w.toDouble)).cast("long").as("n_total"),
+        posexplode(expr(
+          s"transform(sequence(0, cast(ceil(size(__tk) / ${w}.0) as int) - 1)," +
+            s" i -> array_join(slice(__tk, i * $w + 1, $w), ' '))")).as(Seq("idx", "seg")))
   }
 
   /** Segment rows from splitting on a separator (paragraphs on "\n\n",
     * lines on "\n"). Blank segments are dropped, positions kept.
     */
   def paragraphSegments(df: DataFrame, textCol: String, idCol: String,
-                        sep: String = "\n\n"): DataFrame =
+                        sep: String = "\n\n"): DataFrame = {
+    val q = java.util.regex.Pattern.quote(sep)
+    // n_total = the doc's NON-BLANK segment count, computed in-row (the
+    // spanSegments r18 contract — segmentDedup's totals stage replays it)
     df.select(col(idCol).as("id"),
-        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))).as(Seq("idx", "seg")))
+        size(filter(split(col(textCol), q), s => trim(s) =!= "")).cast("long")
+          .as("n_total"),
+        posexplode(split(col(textCol), q)).as(Seq("idx", "seg")))
       .filter(trim(col("seg")) =!= "")
+  }
 
   /** Sub-document exact dedup (the C4/Dolma move: duplicated PARAGRAPHS/
     * SPANS are removed corpus-wide even when whole documents differ).
@@ -947,24 +959,53 @@ object Dedup {
     * Output: (id, text, n_kept, n_total) — n_* count this doc's segments.
     */
   def segmentDedup(segments: DataFrame, sep: String = " "): DataFrame = {
-    val segs = segments
-      .withColumn("fp", md5(normText(col("seg"))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val winners = segs.groupBy("fp")
-        .agg(min(struct(col("id"), col("idx"))).as("w"))
-        .select(col("fp"), col("w.id").as("wid"), col("w.idx").as("widx"))
-      val totals = segs.groupBy("id").agg(count(lit(1)).as("n_total"))
-      segs.join(winners, Seq("fp"))
-        .filter(col("id") === col("wid") && col("idx") === col("widx"))
+    // r18 opt (guide §2.4/§8): the winner's OWN segment rides the
+    // min-struct — (id, idx) is unique per row, so the fp-group min
+    // picks exactly the first-occurrence row AND carries its text,
+    // replacing the old fp-keyed join of the full text-carrying segment
+    // frame against the winner table (one whole-corpus text shuffle).
+    // Map-side combine reduces the fp exchange to ~one candidate row
+    // per fp per task; reassembly then shuffles only the kept
+    // (deduplicated) segments. When the producer supplies an in-row
+    // `n_total` (spanSegments/paragraphSegments do), the whole totals
+    // aggregation + join vanish too and the segment frame has ONE
+    // consumer — a single scan, no persist.
+    val hasTotals = segments.columns.contains("n_total")
+    val fp = md5(normText(col("seg")))
+    if (hasTotals) {
+      segments.withColumn("fp", fp)
+        .groupBy("fp")
+        .agg(min(struct(col("id"), col("idx"), col("seg"), col("n_total"))).as("w"))
+        .select(col("w.id").as("id"), col("w.idx").as("idx"),
+          col("w.seg").as("seg"), col("w.n_total").as("n_total"))
         .groupBy("id")
         .agg(
           array_join(transform(array_sort(collect_list(struct(col("idx"), col("seg")))),
             x => x.getField("seg")), sep).as("text"),
-          count(lit(1)).as("n_kept"))
-        .join(totals, Seq("id"))
+          count(lit(1)).as("n_kept"),
+          // every row of a doc carries the same n_total; max is the
+          // deterministic pick
+          max(col("n_total")).as("n_total"))
         .localCheckpoint()
-    } finally segs.unpersist(blocking = false)
+    } else {
+      val segs = segments.withColumn("fp", fp)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val winners = segs.groupBy("fp")
+          .agg(min(struct(col("id"), col("idx"), col("seg"))).as("w"))
+          .select(col("w.id").as("id"), col("w.idx").as("idx"),
+            col("w.seg").as("seg"))
+        val totals = segs.groupBy("id").agg(count(lit(1)).as("n_total"))
+        winners
+          .groupBy("id")
+          .agg(
+            array_join(transform(array_sort(collect_list(struct(col("idx"), col("seg")))),
+              x => x.getField("seg")), sep).as("text"),
+            count(lit(1)).as("n_kept"))
+          .join(totals, Seq("id"))
+          .localCheckpoint()
+      } finally segs.unpersist(blocking = false)
+    }
   }
 
   /** [[segmentDedup]] over fixed token spans of `w`. */

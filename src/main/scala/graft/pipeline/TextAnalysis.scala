@@ -362,17 +362,24 @@ object TextAnalysis {
     * The building block for IDF weighting, stopword discovery, and
     * tokenizer-vocab induction.
     *
-    * Scale shape: explode → two map-side-combined groupBys ((id, token)
-    * then token) — doc_freq without a count-distinct expand. The final
+    * Scale shape (r18 opt, guide §2.3): per-(doc, token) counts happen
+    * INSIDE the row (TokenTfPairs via [[Relevance.termFrequencies]]),
+    * so the corpus never shuffles token-level rows; ONE map-side-
+    * combined groupBy(token) folds the per-doc pairs into doc_freq
+    * (pair-row count) and term_count (tf sum). The r17 shape shuffled
+    * every token occurrence into groupBy(id, token) first. The final
     * frame is vocabulary-sized, not corpus-sized. (IDF itself is left to
     * the caller: log() is the one step whose last-bit rounding differs
     * across engines, so the exact-count contract stops here.)
+    *
+    * Precondition: `idCol` is unique per row (the corpus contract) —
+    * doc_freq counts per-ROW pairs, matching the old per-(id, token)
+    * grouping exactly when ids are unique.
     */
   def vocabulary(df: DataFrame, textCol: String, idCol: String,
                  minDocFreq: Long = 1L): DataFrame =
-    df.select(col(idCol).as("id"), explode(expr(tokensExpr(textCol))).as("token"))
-      .groupBy("token", "id").agg(count(lit(1)).as("__c"))
-      .groupBy("token").agg(count(lit(1)).as("doc_freq"), sum("__c").as("term_count"))
+    Relevance.termFrequencies(df, textCol, idCol)
+      .groupBy("token").agg(count(lit(1)).as("doc_freq"), sum("tf").as("term_count"))
       .filter(col("doc_freq") >= minDocFreq)
 
   /** Assign frequency-ranked integer ids to a [[vocabulary]] frame:
@@ -406,25 +413,47 @@ object TextAnalysis {
     * ids in document token order); docs with zero tokens are absent
     * (explode semantics — mirror of the oracle's unnest).
     *
-    * Scale shape: one posexplode, one token-keyed LEFT join to the
-    * ranked vocab (vocab-sized side — AQE broadcasts when it fits), one
-    * per-doc reassembly groupBy; the sort back to document order is an
-    * `array_sort` over each doc's own (pos, tid) structs, never a
-    * global window.
+    * Scale shape (r18 opt, guide §2.3): when the ranked vocab fits the
+    * dictionary gate (`graft.encodeDictMaxRows` session conf, default
+    * 2 M entries — tens of MB broadcast), it is collected ONCE and each
+    * document encodes inside its own row ([[graft.functions.TokenDictIds]]
+    * over a broadcast hash map) — no posexplode, no join, no
+    * reassembly groupBy: the corpus never shuffles token-level rows.
+    * Above the gate (web-scale vocabularies), the r17 shape runs
+    * unchanged: one posexplode, one token-keyed LEFT join to the ranked
+    * vocab, one per-doc reassembly groupBy with an in-row `array_sort`
+    * back to document order (never a global window). Both paths emit
+    * identical rows — ids in document token order, OOV → `oovId`, docs
+    * with zero tokens absent.
     */
   def encodeTokens(df: DataFrame, textCol: String, idCol: String,
                    rankedVocab: DataFrame, oovId: Int = -1): DataFrame = {
     require(rankedVocab.columns.contains("token") && rankedVocab.columns.contains("tid"),
       s"rankedVocab needs (token, tid) — got ${rankedVocab.columns.mkString(",")}; " +
         "build it with rankVocabulary(vocabulary(...))")
-    df.select(col(idCol).as("id"),
-        posexplode(expr(tokensExpr(textCol))).as(Seq("pos", "token")))
-      .join(rankedVocab.select("token", "tid"), Seq("token"), "left")
-      .withColumn("tid", coalesce(col("tid"), lit(oovId)))
-      .groupBy("id")
-      .agg(count(lit(1)).as("n_tokens"),
-        expr("transform(array_sort(collect_list(struct(pos, tid))), x -> x.tid)")
-          .as("token_ids"))
+    val gate = df.sparkSession.conf.get("graft.encodeDictMaxRows", "2000000").toInt
+    val head = rankedVocab.select(col("token"), col("tid")).limit(gate + 1).collect()
+    if (head.length <= gate) {
+      val dict = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
+        Integer](math.max(16, head.length * 2))
+      head.foreach(r => dict.put(
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)),
+        Integer.valueOf(r.getInt(1))))
+      val bc = df.sparkSession.sparkContext.broadcast(dict)
+      df.select(col(idCol).as("id"), expr(tokensExpr(textCol)).as("__tk"))
+        .filter(size(col("__tk")) > 0)
+        .select(col("id"), size(col("__tk")).cast("long").as("n_tokens"),
+          graft.functions.VectorFunctions.tokenDictIds(col("__tk"), bc, oovId)
+            .as("token_ids"))
+    } else
+      df.select(col(idCol).as("id"),
+          posexplode(expr(tokensExpr(textCol))).as(Seq("pos", "token")))
+        .join(rankedVocab.select("token", "tid"), Seq("token"), "left")
+        .withColumn("tid", coalesce(col("tid"), lit(oovId)))
+        .groupBy("id")
+        .agg(count(lit(1)).as("n_tokens"),
+          expr("transform(array_sort(collect_list(struct(pos, tid))), x -> x.tid)")
+            .as("token_ids"))
   }
 
   /** Per-document mean unigram log-probability under the corpus's own

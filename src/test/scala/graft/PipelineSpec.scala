@@ -1320,6 +1320,30 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("encodeTokens: broadcast-dict path ≡ join path (r18 gate)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "b a a c b a"), (2L, "a b zzz"), (3L, "   "), (4L, "c c b"),
+      (5L, "zzz zzz"), (6L, (1 to 40).map(i => s"t$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val ranked = TextAnalysis.rankVocabulary(
+      TextAnalysis.vocabulary(docs, "text", "doc_id", minDocFreq = 2))
+    def run(): Map[Long, (Long, Seq[Int])] =
+      TextAnalysis.encodeTokens(docs, "text", "doc_id", ranked)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getAs[scala.collection.Seq[Int]]("token_ids").toSeq)).toMap
+    val dictPath = run() // default gate: dict path
+    val old = spark.conf.getOption("graft.encodeDictMaxRows")
+    spark.conf.set("graft.encodeDictMaxRows", "0") // force the join path
+    try {
+      val joinPath = run()
+      assert(dictPath == joinPath, s"dict=$dictPath join=$joinPath")
+    } finally old match {
+      case Some(v) => spark.conf.set("graft.encodeDictMaxRows", v)
+      case None => spark.conf.unset("graft.encodeDictMaxRows")
+    }
+  }
+
   test("sourceOverlap: containment and jaccard per ordered pair, sparse zeros") {
     import spark.implicits._
     val corpus = Seq(
