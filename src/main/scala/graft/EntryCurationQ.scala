@@ -358,7 +358,7 @@ private[graft] object EntryCurationQ {
           pipeline.Dedup.minhashSignaturesPortable(
             pipeline.Dedup.shingled(old, "text", "doc_id")),
           32, 8, cs => concat_ws(",", cs: _*))
-        val (kept, _) = pipeline.Dedup.incrementalMinhash(batch, index,
+        val kept = pipeline.Dedup.incrementalMinhashKept(batch, index,
           "text", "doc_id", threshold = 0.5, portable = true)
         kept.select(col("doc_id")).orderBy("doc_id")
       },
@@ -385,7 +385,7 @@ private[graft] object EntryCurationQ {
         val index = pipeline.Dedup.bandRows(
           pipeline.Dedup.minhashSignaturesFromShingles(
             pipeline.Dedup.shingled(old, "text", "doc_id")))
-        val (kept, _) = pipeline.Dedup.incrementalMinhash(batch, index,
+        val kept = pipeline.Dedup.incrementalMinhashKept(batch, index,
           "text", "doc_id", threshold = 0.5)
         kept.select(col("doc_id")).orderBy("doc_id")
       },

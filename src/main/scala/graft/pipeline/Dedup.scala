@@ -544,7 +544,29 @@ object Dedup {
                          textCol: String, idCol: String,
                          threshold: Double = 0.8, shingleN: Int = 3,
                          k: Int = 32, bands: Int = 8,
-                         portable: Boolean = false): (DataFrame, DataFrame) = {
+                         portable: Boolean = false): (DataFrame, DataFrame) =
+    incrementalMinhashImpl(newDocs, bandIndex, textCol, idCol, threshold,
+      shingleN, k, bands, portable, needRows = true)
+
+  /** [[incrementalMinhash]] for callers that only consume the survivor
+    * frame (r18 opt): the returned band rows cost a whole extra job
+    * (semi-join + eager checkpoint) that a `(kept, _)` destructure paid
+    * for nothing — batch-mode dedup (d10/d11) wants the survivors only;
+    * the index-append rows are the STREAMING ingest's contract.
+    */
+  def incrementalMinhashKept(newDocs: DataFrame, bandIndex: DataFrame,
+                             textCol: String, idCol: String,
+                             threshold: Double = 0.8, shingleN: Int = 3,
+                             k: Int = 32, bands: Int = 8,
+                             portable: Boolean = false): DataFrame =
+    incrementalMinhashImpl(newDocs, bandIndex, textCol, idCol, threshold,
+      shingleN, k, bands, portable, needRows = false)._1
+
+  private def incrementalMinhashImpl(newDocs: DataFrame, bandIndex: DataFrame,
+                         textCol: String, idCol: String,
+                         threshold: Double, shingleN: Int,
+                         k: Int, bands: Int,
+                         portable: Boolean, needRows: Boolean): (DataFrame, DataFrame) = {
     // the batch is shingled ONCE and banded ONCE: the same band-row frame
     // drives the in-batch candidate self-join AND the index probe
     // (composing minhashDedup + a second signature pass would shingle the
@@ -583,8 +605,10 @@ object Dedup {
         // kept (cand's last reader, via losers) is materialized — release
         // the candidate checkpoint instead of leaving it pinned until GC
         graft.core.Checkpoints.release(cand)
-        val keptRows = rows.join(kept.select(col(idCol).as("id")), Seq("id"), "left_semi")
-          .localCheckpoint()
+        val keptRows = if (needRows)
+          rows.join(kept.select(col(idCol).as("id")), Seq("id"), "left_semi")
+            .localCheckpoint()
+        else null
         (kept, keptRows)
       } finally rows.unpersist(blocking = false)
     } finally sh.unpersist(blocking = false)

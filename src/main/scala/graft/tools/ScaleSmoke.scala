@@ -323,7 +323,7 @@ object ScaleSmoke {
           val index = graft.pipeline.Dedup.bandRows(
             graft.pipeline.Dedup.minhashSignaturesFromShingles(
               graft.pipeline.Dedup.shingled(old, "text", "doc_id")))
-          val (kept, _) = graft.pipeline.Dedup.incrementalMinhash(batch, index,
+          val kept = graft.pipeline.Dedup.incrementalMinhashKept(batch, index,
             "text", "doc_id", threshold = 0.5)
           kept.count()
         }),

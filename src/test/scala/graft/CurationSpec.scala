@@ -449,6 +449,11 @@ class CurationSpec extends SparkTestBase {
     val rowIds = keptRows.select("id").distinct().collect().map(_.getLong(0)).toSet
     assert(rowIds == Set(11L, 13L))
     assert(keptRows.count() == 2 * 8, "bands rows per surviving doc")
+    // r18: the survivors-only entry point returns the identical kept set
+    // without materializing the band-row delta (one fewer checkpoint job)
+    val keptOnly = Dedup.incrementalMinhashKept(batch, index, "text", "doc_id",
+      threshold = 0.5)
+    assert(keptOnly.select("doc_id").collect().map(_.getLong(0)).toSet == ids)
   }
 
   test("review-fix guards: c4Rules empty blacklist, packChunks id type, sampleFrames everyK, dupClusters strict") {
