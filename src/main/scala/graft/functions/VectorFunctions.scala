@@ -47,6 +47,18 @@ object VectorFunctions {
                       lr: org.apache.spark.broadcast.Broadcast[Array[Double]]): Column =
     Bridge.column(BucketWeightSum(Bridge.expression(pairs), lr))
 
+  /** k+1-way segmentation rows (i, g) for the partition-filter edit
+    * join — see [[EdSegments]].
+    */
+  def edSegments(str: Column, k: Int): Column =
+    Bridge.column(EdSegments(Bridge.expression(str), k))
+
+  /** Candidate-segment probe rows (l, i, g) for the partition-filter
+    * edit join — see [[EdSegmentProbes]].
+    */
+  def edSegmentProbes(str: Column, k: Int): Column =
+    Bridge.column(EdSegmentProbes(Bridge.expression(str), k))
+
   /** Token array → vocabulary-id array via a broadcast dictionary —
     * see [[TokenDictIds]].
     */

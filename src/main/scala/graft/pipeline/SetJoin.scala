@@ -128,48 +128,30 @@ object SetJoin {
     * sized). Cost: the variant explode shuffles ~len^k × corpus rows —
     * proportional, not quadratic.
     *
-    * k ≥ 3 → positional q-gram count filter (below; neighborhood size
-    * C(len, 3) makes deletions unattractive there).
-    *
-    * Candidate filter for the q-gram path (all steps conservative;
-    * verification is exact):
-    *
-    *   1. Length: |len(a) − len(b)| ≤ k.
-    *   2. Positional q-gram count (Gravano et al.): if ed(a,b) ≤ k the
-    *      strings admit a positional q-gram matching (|Δpos| ≤ k) of
-    *      size ≥ max(nA,nB) − q·k, where n = len − q + 1 gram
-    *      occurrences. Our join counts matches loosely (count(*), may
-    *      double-count repeated grams) — over-counting only ADMITS
-    *      candidates.
-    *   3. Stop-gram compensation: grams present in more than
-    *      `stopGramFraction` of strings are dropped from the join index
-    *      (common-prefix corpora — "Customer#…" — would otherwise turn
-    *      the gram join quadratic). Dropped grams are ASSUMED to match:
-    *      a pair survives if rareMatches ≥ bound − min(dA, dB), where d
-    *      is each string's dropped-gram count. A true pair sharing
-    *      fewer rare grams than that is impossible; a pair whose
-    *      requirement is ≤ 0 could share NO rare gram, so…
-    *   4. …strings with ≤ q·k rare grams (which is a superset of every
-    *      string that can form a requirement-≤-0 pair, including all
-    *      strings shorter than q) fall back to an all-pairs pool joined
-    *      on the length filter alone. The pool is heavy-stop-gram
-    *      strings only — size it with `stopGramFraction` if a corpus
-    *      concentrates there.
+    * k ≥ 3 → PARTITION FILTER (r18; PassJoin pigeonhole — Li, Deng,
+    * Feng, public knowledge; kernels in
+    * [[graft.functions.EditDistanceExpressions]]): split the shorter
+    * string of a pair into k+1 contiguous segments — ≤ k edits cannot
+    * touch all of them, so one segment appears EXACTLY in the longer
+    * string within ±k of its home position. Candidates are the pairs
+    * hit by one equi-join of every string's own segments against every
+    * string's candidate-segment substrings (O(k³) short slices per
+    * string, generated in-row); strings shorter than k+1 code points
+    * (zero-length segments would match everywhere) pair only with
+    * lengths ≤ 2k via a bounded all-pairs pool. Complete at every
+    * step; no count bound, no gram-frequency pass, and — unlike the
+    * r17 positional q-gram count filter whose Σ gf² gram-collision
+    * join dominated j04 — the candidate join's output is
+    * near-true-pair-sized, and segment keys stay discriminative even
+    * on constant-region corpora ("Customer#000…": the varying tail
+    * still lands in its own segments).
     *
     * Survivors verify with codegen'd `levenshtein`. Output:
     * (id_a, id_b, dist), id_a < id_b, dist ≤ k.
     *
-    * SIZING `q` (k ≥ 3 path only): the gram vocabulary must out-scale
-    * the corpus or every gram goes frequent and strings drain into the
-    * fallback pool — pick q so alphabet^q ≫ corpus size / acceptable
-    * posting length. Natural text at q=2 (26² letter pairs × position
-    * spread) holds to large corpora. Know the filter's structural
-    * limit: strings dominated by a CONSTANT region (zero-padded ids —
-    * "Customer#000…") defeat the count filter at ANY q, because the
-    * dropped-gram compensation min(dA,dB) swallows the whole bound and
-    * the requirement collapses to 0 (measured in SCALE.md at both q=2
-    * and q=4 on a 150 k-ID corpus: everything pooled). That corpus
-    * shape is precisely what the k ≤ 2 deletion path exists for.
+    * `q` / `stopGramFraction` parameterize the q-gram machinery that
+    * [[editDistanceLookup]]'s k ≥ 3 path still runs; the self-join's
+    * partition filter needs no tuning and ignores them.
     */
   def editDistanceJoin(df: DataFrame, strCol: String, idCol: String,
                        maxDist: Int, q: Int = 2,
@@ -188,33 +170,48 @@ object SetJoin {
     // corpus-sized cache (the Dedup.scala persist discipline)
     try {
     if (k <= 2) return deletionJoin(strs, k)
-    val (rare, stats) = gramStats(strs, q, stopGramFraction)
-    val ra = rare.select(col("id").as("id_a"), col("len").as("la"),
-      col("pos").as("pa"), col("gram").as("ga"))
-    val rb = rare.select(col("id").as("id_b"), col("len").as("lb"),
-      col("pos").as("pb"), col("gram").as("gb"))
-    val joined = ra.join(rb,
-        col("ga") === col("gb") && col("id_a") < col("id_b") &&
-          abs(col("la") - col("lb")) <= k && abs(col("pa") - col("pb")) <= k)
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("matches"))
-    val sa = stats.select(col("id").as("id_a"), col("n").as("na"), col("d").as("da"))
-    val sb = stats.select(col("id").as("id_b"), col("n").as("nb"), col("d").as("db"))
-    val gramCands = joined.join(sa, "id_a").join(sb, "id_b")
-      .filter(col("matches") >=
-        greatest(greatest(col("na"), col("nb")) - (q * k) - least(col("da"), col("db")), lit(1L)))
-      .select("id_a", "id_b")
-    // fallback pool: strings whose rare-gram count can't carry the
-    // requirement (includes every string shorter than q)
-    val pool = stats.filter(col("r") <= q * k)
-      .join(strs.select(col("id"), col("len")), "id")
-      .select(col("id"), col("len"))
-    val poolCands = pool.as("pa").join(pool.as("pb"),
-        col("pa.id") < col("pb.id") &&
+    // r18: PARTITION FILTER (PassJoin pigeonhole — see
+    // functions/EditDistanceExpressions) replaces the positional q-gram
+    // count filter. The q-gram shape paid Σ_gram gf² joined rows (16 M
+    // on j04's sf0.1 corpus) into a pair-count aggregate plus two stats
+    // joins; segments are (k+1)-fraction-of-the-string exact keys, so
+    // the candidate join's output is near-true-pair-sized and there is
+    // no count bound, no stop-gram accounting, and no frequency pass.
+    // Candidates: some segment of the SHORTER string appears exactly in
+    // the longer within ±k of its home position — the equi-join below
+    // on (shorter-len, segment-index, content). Strings shorter than
+    // k+1 code points own zero-length segments; they pair only with
+    // lengths ≤ 2k (ed ≥ |len diff|), a bounded all-pairs pool.
+    // (q/stopGramFraction only parameterize the k ≤ 2-era gram filter,
+    // which editDistanceLookup still runs; they are unused here.)
+    val m = k + 1
+    val eligible = strs.filter(col("len") >= m)
+    val segs = eligible
+      .select(col("id").as("id_s"),
+        explode(graft.functions.VectorFunctions.edSegments(col("str"), k)).as("sg"),
+        col("len").as("l"))
+      .select(col("id_s"), col("l"), col("sg.i").as("i"), col("sg.g").as("g"))
+    val probes = eligible
+      .select(col("id").as("id_t"),
+        explode(graft.functions.VectorFunctions.edSegmentProbes(col("str"), k)).as("pb"))
+      .select(col("id_t"), col("pb.l").as("l"), col("pb.i").as("i"),
+        col("pb.g").as("g"))
+    val mainCands = probes.join(segs, Seq("l", "i", "g"))
+      .filter(col("id_s") =!= col("id_t"))
+      .select(
+        when(col("id_s") < col("id_t"), col("id_s")).otherwise(col("id_t")).as("id_a"),
+        when(col("id_s") < col("id_t"), col("id_t")).otherwise(col("id_s")).as("id_b"))
+    val shortPool = strs.filter(col("len") <= k).select(col("id"), col("len"))
+    val poolCands = shortPool.as("pa")
+      .join(strs.filter(col("len") <= 2 * k).select(col("id"), col("len")).as("pb"),
+        col("pa.id") =!= col("pb.id") &&
           abs(col("pa.len") - col("pb.len")) <= k)
-      .select(col("pa.id").as("id_a"), col("pb.id").as("id_b"))
+      .select(
+        when(col("pa.id") < col("pb.id"), col("pa.id")).otherwise(col("pb.id")).as("id_a"),
+        when(col("pa.id") < col("pb.id"), col("pb.id")).otherwise(col("pa.id")).as("id_b"))
     val va = strs.select(col("id").as("id_a"), col("str").as("stra"))
     val vb = strs.select(col("id").as("id_b"), col("str").as("strb"))
-    val out = gramCands.unionAll(poolCands).distinct()
+    val out = mainCands.unionAll(poolCands).distinct()
       .join(va, "id_a").join(vb, "id_b")
       // r17 opt: THRESHOLDED levenshtein — banded O(len·k) DP with early
       // exit instead of the full O(len²) matrix; returns −1 past the
