@@ -239,6 +239,314 @@ object Views {
                    budget: Long): DataFrame = {
     require(order.nonEmpty, "budgetSelect: need at least one order column")
     require(budget >= 0, s"budgetSelect: budget must be >= 0, got $budget")
+    val keys = sortKeysOf(order)
+    val keyed = budgetKeyedPlan(df, keys, costCol)
+    // r18 (guide §2.3): the cutoff KEY is a weighted-quantile — it does
+    // not need a range exchange at all. A sampled-split search finds it
+    // with map-only passes over the slim (keys, cost) projection:
+    // per-partition stats + a reservoir key sample, per-candidate-range
+    // cost totals tree-aggregated to the driver, then the boundary
+    // range's rows (sample-bounded, ~input/4096) collected and walked.
+    // Zero shuffles, zero sorts (the r17 shape paid the range
+    // partitioner's sample pass PLUS a full shuffle+sort of every slim
+    // row). Needs a driver-side total order on the key types; exotic
+    // key types (arrays, structs, maps) fall back to the range-exchange
+    // shape, as does a degenerate key distribution the sampler cannot
+    // split (a single key carrying millions of rows).
+    keyCmpsFor(keyed.schema, keys) match {
+      case Some(kc) => budgetSelectSampled(df, keyed, keys, kc, budget)
+        .getOrElse(budgetSelectRangeExchange(df, order, costCol, budget))
+      case None => budgetSelectRangeExchange(df, order, costCol, budget)
+    }
+  }
+
+  /** The slim (order keys, long cost) projection both budgetSelect
+    * shapes scan — no exchange, no payload.
+    */
+  private def budgetKeyedPlan(df: DataFrame, keys: Seq[(Column, Boolean, Boolean)],
+                              costCol: String): DataFrame =
+    df.select(
+      keys.zipWithIndex.map { case ((k, _, _), i) => k.as(s"__k$i") } :+
+        coalesce(col(costCol).cast("long"), lit(0L)).as("__cost"): _*)
+
+  /** The sampled path's per-key-field machinery over INTERNAL rows
+    * (guide §1.4: `.rdd` pays a catalyst→external decode per row; the
+    * sampled passes instead scan `queryExecution.toRdd` and compare
+    * primitives in place). `rowVsKey` compares a live InternalRow field
+    * against a RETAINED (boxed internal) key component without boxing
+    * the row side; `valCmp` orders retained key components on the
+    * driver; `extract` boxes (and copies — InternalRows are reused
+    * buffers) a field for retention. None when a key type has no safe
+    * driver comparison (nested types). Matches Spark's sort order:
+    * strings UTF8 binary, NaN largest, ±0.0 equal, internal date = int
+    * days / timestamp = long micros.
+    */
+  private case class KeyCmps(
+      rowVsKey: Array[(org.apache.spark.sql.catalyst.InternalRow, Any) => Int],
+      valCmp: Array[(Any, Any) => Int],
+      extract: Array[org.apache.spark.sql.catalyst.InternalRow => Any]) {
+    def compareRowKey(r: org.apache.spark.sql.catalyst.InternalRow,
+                      k: Array[Any]): Int = {
+      var i = 0
+      while (i < rowVsKey.length) {
+        val c = rowVsKey(i)(r, k(i))
+        if (c != 0) return c
+        i += 1
+      }
+      0
+    }
+    def keyOf(r: org.apache.spark.sql.catalyst.InternalRow): Array[Any] = {
+      val out = new Array[Any](extract.length)
+      var i = 0
+      while (i < extract.length) { out(i) = extract(i)(r); i += 1 }
+      out
+    }
+    val keyOrd: Ordering[Array[Any]] = new Ordering[Array[Any]] {
+      override def compare(x: Array[Any], y: Array[Any]): Int = {
+        var i = 0
+        while (i < valCmp.length) {
+          val c = valCmp(i)(x(i), y(i))
+          if (c != 0) return c
+          i += 1
+        }
+        0
+      }
+    }
+  }
+
+  private def keyCmpsFor(schema: org.apache.spark.sql.types.StructType,
+                         keys: Seq[(Column, Boolean, Boolean)]): Option[KeyCmps] = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    type RK = (InternalRow, Int, Any) => Int // non-null row field vs key value
+    type VV = (Any, Any) => Int              // non-null key value vs key value
+    type EX = (InternalRow, Int) => Any      // non-null boxed copy of row field
+    def base(dt: DataType): Option[(RK, VV, EX)] = dt match {
+      case ByteType => Some((
+        (r, i, k) => java.lang.Byte.compare(r.getByte(i), k.asInstanceOf[Byte]),
+        (a, b) => java.lang.Byte.compare(a.asInstanceOf[Byte], b.asInstanceOf[Byte]),
+        (r, i) => r.getByte(i)))
+      case ShortType => Some((
+        (r, i, k) => java.lang.Short.compare(r.getShort(i), k.asInstanceOf[Short]),
+        (a, b) => java.lang.Short.compare(a.asInstanceOf[Short], b.asInstanceOf[Short]),
+        (r, i) => r.getShort(i)))
+      case IntegerType | DateType => Some((
+        (r, i, k) => java.lang.Integer.compare(r.getInt(i), k.asInstanceOf[Int]),
+        (a, b) => java.lang.Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int]),
+        (r, i) => r.getInt(i)))
+      case LongType | TimestampType | TimestampNTZType => Some((
+        (r, i, k) => java.lang.Long.compare(r.getLong(i), k.asInstanceOf[Long]),
+        (a, b) => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long]),
+        (r, i) => r.getLong(i)))
+      case FloatType => Some((
+        (r, i, k) => {
+          val x = r.getFloat(i); val y = k.asInstanceOf[Float]
+          if (x == y) 0 else java.lang.Float.compare(x, y) // ±0.0 equal, NaN largest
+        },
+        (a, b) => {
+          val x = a.asInstanceOf[Float]; val y = b.asInstanceOf[Float]
+          if (x == y) 0 else java.lang.Float.compare(x, y)
+        },
+        (r, i) => r.getFloat(i)))
+      case DoubleType => Some((
+        (r, i, k) => {
+          val x = r.getDouble(i); val y = k.asInstanceOf[Double]
+          if (x == y) 0 else java.lang.Double.compare(x, y)
+        },
+        (a, b) => {
+          val x = a.asInstanceOf[Double]; val y = b.asInstanceOf[Double]
+          if (x == y) 0 else java.lang.Double.compare(x, y)
+        },
+        (r, i) => r.getDouble(i)))
+      case StringType => Some((
+        (r, i, k) => r.getUTF8String(i).compareTo(k.asInstanceOf[UTF8String]),
+        (a, b) => a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String]),
+        (r, i) => UTF8String.fromBytes(r.getUTF8String(i).getBytes)))
+      case BooleanType => Some((
+        (r, i, k) => java.lang.Boolean.compare(r.getBoolean(i), k.asInstanceOf[Boolean]),
+        (a, b) => java.lang.Boolean.compare(a.asInstanceOf[Boolean], b.asInstanceOf[Boolean]),
+        (r, i) => r.getBoolean(i)))
+      case d: DecimalType => Some((
+        (r, i, k) => r.getDecimal(i, d.precision, d.scale)
+          .compareTo(k.asInstanceOf[org.apache.spark.sql.types.Decimal]),
+        (a, b) => a.asInstanceOf[org.apache.spark.sql.types.Decimal]
+          .compareTo(b.asInstanceOf[org.apache.spark.sql.types.Decimal]),
+        (r, i) => r.getDecimal(i, d.precision, d.scale)))
+      case _ => None
+    }
+    val parts = schema.fields.take(keys.size).zipWithIndex.zip(keys).map {
+      case ((f, i), (_, asc, nf)) =>
+        base(f.dataType).map { case (rk, vv, ex) =>
+          val rowVsKey: (InternalRow, Any) => Int = { (r, k) =>
+            val rn = r.isNullAt(i); val kn = k == null
+            if (rn && kn) 0
+            else if (rn) { if (nf) -1 else 1 }
+            else if (kn) { if (nf) 1 else -1 }
+            else if (asc) rk(r, i, k) else -rk(r, i, k)
+          }
+          val valCmp: (Any, Any) => Int = { (a, b) =>
+            if (a == null && b == null) 0
+            else if (a == null) { if (nf) -1 else 1 }
+            else if (b == null) { if (nf) 1 else -1 }
+            else if (asc) vv(a, b) else -vv(a, b)
+          }
+          val extract: InternalRow => Any =
+            r => if (r.isNullAt(i)) null else ex(r, i)
+          (rowVsKey, valCmp, extract)
+        }
+    }
+    if (parts.exists(_.isEmpty)) None
+    else Some(KeyCmps(parts.map(_.get._1).toArray, parts.map(_.get._2).toArray,
+      parts.map(_.get._3).toArray))
+  }
+
+  /** The sampled-split cutoff search. Returns None when the key
+    * distribution defeats the sampler (boundary range will not shrink
+    * under the collect limit — a single key duplicated millions of
+    * times); the caller then falls back to the range-exchange shape.
+    */
+  private def budgetSelectSampled(df: DataFrame, keyed: DataFrame,
+                                  keys: Seq[(Column, Boolean, Boolean)],
+                                  kc: KeyCmps,
+                                  budget: Long): Option[DataFrame] = {
+    val m = keys.size
+    val rdd = org.apache.spark.sql.graftbridge.Bridge.internalRdd(keyed)
+    val ord = kc.keyOrd
+    val nParts = math.max(1, rdd.getNumPartitions)
+    val perPart = math.max(4, 4096 / nParts)
+    // PASS 1 (map-only): per-partition (sum, min, count) validation
+    // stats + a deterministic per-partition reservoir key sample
+    val stats = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L; var mn = Long.MaxValue; var c = 0L
+      val rng = new java.util.Random(0x9E3779B97F4A7C15L ^ pid)
+      val res = new Array[Array[Any]](perPart)
+      var filled = 0
+      it.foreach { r =>
+        val v = r.getLong(m); s += v; if (v < mn) mn = v; c += 1
+        if (filled < perPart) { res(filled) = kc.keyOf(r); filled += 1 }
+        else {
+          val j = (rng.nextDouble() * c).toLong
+          if (j < perPart) res(j.toInt) = kc.keyOf(r)
+        }
+      }
+      Iterator.single((s, mn, c, res.take(filled).toSeq))
+    }.collect()
+    val badMin = stats.collect { case (_, mn, c, _) if c > 0 && mn < 0 => mn }
+    require(badMin.isEmpty,
+      s"budgetSelect: negative cost ${badMin.min} — costs must be >= 0")
+    val total = stats.iterator.map(_._1).sum
+    if (total <= budget) return Some(df) // every row fits; no cutoff exists
+    def sortedDistinct(ks: Seq[Array[Any]]): IndexedSeq[Array[Any]] = {
+      val s = ks.sorted(ord)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
+      s.foreach(k => if (out.isEmpty || ord.compare(out.last, k) != 0) out += k)
+      out.toIndexedSeq
+    }
+    var cands = sortedDistinct(stats.iterator.flatMap(_._4).toSeq)
+    // cutoff range (lo, hi] — rows at-or-before lo are fully accounted
+    // in `off`; null bounds are open
+    var lo: Array[Any] = null
+    var hi: Array[Any] = null
+    var off = 0L
+    var rangeRows = stats.iterator.map(_._3).sum
+    val collectLimit = 1L << 18
+    var rounds = 0
+    while (rangeRows > collectLimit && cands.nonEmpty && rounds < 3) {
+      rounds += 1
+      val cs = cands
+      val B = cs.length
+      val loB = lo; val hiB = hi
+      // per-candidate-range (cost sum, row count), combined on executors
+      val (sums, cnts) = rdd.treeAggregate((new Array[Long](B + 1), new Array[Long](B + 1)))(
+        seqOp = { case (acc @ (s, c), r) =>
+          if ((loB == null || kc.compareRowKey(r, loB) > 0) &&
+              (hiB == null || kc.compareRowKey(r, hiB) <= 0)) {
+            // first index j with key <= cs(j), else B
+            var loI = 0; var hiI = B
+            while (loI < hiI) {
+              val mid = (loI + hiI) >>> 1
+              if (kc.compareRowKey(r, cs(mid)) <= 0) hiI = mid else loI = mid + 1
+            }
+            s(loI) += r.getLong(m); c(loI) += 1
+          }
+          acc
+        },
+        combOp = { case ((s1, c1), (s2, c2)) =>
+          var i = 0
+          while (i < s1.length) { s1(i) += s2(i); c1(i) += c2(i); i += 1 }
+          (s1, c1)
+        })
+      var j = 0; var acc = off
+      while (j <= B && acc + sums(j) <= budget) { acc += sums(j); j += 1 }
+      // j <= B: the in-range total exceeds budget − off by construction
+      off = acc
+      if (j > 0) lo = cs(j - 1)
+      if (j < B) hi = cs(j)
+      rangeRows = cnts(j)
+      if (rangeRows > collectLimit) {
+        // re-sample WITHIN the boundary range for the next split
+        val loS = lo; val hiS = hi; val round = rounds
+        val samples = rdd.mapPartitionsWithIndex { (pid, it) =>
+          val rng = new java.util.Random(0x51ED ^ (pid.toLong * 7919L + round))
+          val res = new Array[Array[Any]](perPart)
+          var filled = 0; var c = 0L
+          it.foreach { r =>
+            if ((loS == null || kc.compareRowKey(r, loS) > 0) &&
+                (hiS == null || kc.compareRowKey(r, hiS) <= 0)) {
+              c += 1
+              if (filled < perPart) { res(filled) = kc.keyOf(r); filled += 1 }
+              else {
+                val j2 = (rng.nextDouble() * c).toLong
+                if (j2 < perPart) res(j2.toInt) = kc.keyOf(r)
+              }
+            }
+          }
+          Iterator.single(res.take(filled).toSeq)
+        }.collect()
+        cands = sortedDistinct(samples.toSeq.flatten)
+          .filter(k => hi == null || ord.compare(k, hi) < 0) // interior splits only
+      }
+    }
+    if (rangeRows > 8L * collectLimit) return None // unsplittable; fall back
+    // FINAL: collect the boundary range's (key, cost) rows and walk the
+    // prefix from `off` on the driver
+    val loF = lo; val hiF = hi
+    val rows = rdd.mapPartitions(_.flatMap { r =>
+      if ((loF == null || kc.compareRowKey(r, loF) > 0) &&
+          (hiF == null || kc.compareRowKey(r, hiF) <= 0))
+        Iterator.single((kc.keyOf(r), r.getLong(m)))
+      else Iterator.empty
+    }).collect()
+    // non-empty: the boundary range's cost sum exceeds budget − off ≥ 0
+    val sortedRows = rows.sortBy(_._1)(ord)
+    var cum = off
+    var lastKept: Array[Any] = null
+    var i = 0
+    var stop = false
+    while (!stop && i < sortedRows.length) {
+      cum += sortedRows(i)._2
+      if (cum <= budget) lastKept = sortedRows(i)._1 else stop = true
+      i += 1
+    }
+    // retained keys are INTERNAL values — convert before literal injection
+    val toScala = keyed.schema.fields.take(m)
+      .map(f => org.apache.spark.sql.graftbridge.Bridge.toScala(f.dataType))
+    def ext(k: Array[Any]): Seq[Any] =
+      k.zip(toScala).map { case (v, conv) => conv(v) }.toSeq
+    Some(
+      if (lastKept != null) df.filter(lexAtOrBefore(keys, ext(lastKept), inclusive = true))
+      // nothing in the range fits: keep strictly before the range's first
+      // data key (rows at-or-before `lo` — no data keys lie in between)
+      else df.filter(lexAtOrBefore(keys, ext(sortedRows.head._1), inclusive = false)))
+  }
+
+  /** The r17 two-pass range-exchange shape — the fallback for key types
+    * without a driver-side ordering and for sampler-defeating key
+    * distributions.
+    */
+  private def budgetSelectRangeExchange(df: DataFrame, order: Seq[Column],
+                                        costCol: String, budget: Long): DataFrame = {
     val spark = df.sparkSession
     val keys = sortKeysOf(order)
     val m = keys.size

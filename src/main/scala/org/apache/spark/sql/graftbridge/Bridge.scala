@@ -31,4 +31,19 @@ object Bridge {
       case _ => (c, true, true)
     }
   }
+
+  /** The physical plan's RDD[InternalRow] — the no-external-decode scan
+    * the guide's noop-sink note warns `.rdd` silently pays for
+    * (catalyst → external Row conversion per row). Rows may be REUSED
+    * mutable buffers: copy anything retained across iterator steps.
+    */
+  def internalRdd(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
+    df.queryExecution.toRdd
+
+  /** Internal (Catalyst) value → external Scala value for `dt` — for
+    * re-injecting driver-collected internal values as Column literals.
+    */
+  def toScala(dt: org.apache.spark.sql.types.DataType): Any => Any =
+    org.apache.spark.sql.catalyst.CatalystTypeConverters.createToScalaConverter(dt)
 }
