@@ -359,11 +359,27 @@ object Graph {
     // degree, and peeling is order-independent (the k-core is unique).
     var alive = sym.repartition(col("src")).localCheckpoint()
     var result: DataFrame = null
+    // r18 (ADVICE): the forced-broadcast row bound derives from the
+    // session's autoBroadcastJoinThreshold (≈16 B per built hash-relation
+    // row, conservative) instead of a fixed 2 M rows — a small
+    // deployment's driver is protected by its own configured threshold,
+    // and auto-broadcast disabled (≤ 0) disables the forcing too.
+    val bcastRows = {
+      val thr = edges.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+      if (thr <= 0) 0L else thr / 16L
+    }
+    // r18 (ADVICE): the CURRENT round's checkpoints are tracked so the
+    // catch can release them — an exception between deg's checkpoint and
+    // its release (dead.count(), the anti-join checkpoint) previously
+    // leaked that round's blocks until GC
+    var roundDeg: DataFrame = null
+    var roundNext: DataFrame = null
     var iter = 0
     try {
       while (result == null && iter < maxIter) {
         val deg = alive.groupBy("src").agg(count(lit(1)).as("core_deg"))
           .localCheckpoint()
+        roundDeg = deg
         val dead = deg.filter(col("core_deg") < k).select(col("src").as("__dead"))
         val nDead = dead.count()
         if (nDead == 0L) {
@@ -373,14 +389,17 @@ object Graph {
         } else {
           // broadcast the frontier when it is clearly broadcast-sized;
           // otherwise let the planner shuffle (only giant peel rounds)
-          val d = if (nDead <= 2000000L) broadcast(dead) else dead
+          val d = if (nDead <= bcastRows) broadcast(dead) else dead
           val next = alive
             .join(d, col("src") === col("__dead"), "left_anti")
             .join(d, col("dst") === col("__dead"), "left_anti")
             .localCheckpoint()
+          roundNext = next
           graft.core.Checkpoints.release(alive) // superseded round
           graft.core.Checkpoints.release(deg)
+          roundDeg = null
           alive = next
+          roundNext = null
         }
         iter += 1
       }
@@ -410,6 +429,9 @@ object Graph {
     } catch {
       case t: Throwable =>
         graft.core.Checkpoints.release(alive)
+        if (roundDeg != null) graft.core.Checkpoints.release(roundDeg)
+        if (roundNext != null && (roundNext ne alive))
+          graft.core.Checkpoints.release(roundNext)
         throw t
     }
   }

@@ -70,21 +70,18 @@ object P05Time {
       val tmp = java.nio.file.Files.createTempDirectory("p05time").toString
       try {
         val out = packed.withColumn("shard", shiftright(col("seq_id"), 33))
-        time("7 write+manifest") {
-          graft.sources.Manifest.writeWithManifest(out, s"$tmp/corpus",
-            partitionCols = Seq("shard"))
-        }
-        time("8 write profile") {
-          graft.sources.Manifest.writeProfileFor(spark, s"$tmp/corpus")
+        // r18: the query's fused one-scan publish (manifest + profile)
+        val prof = time("7 write+manifest+profile") {
+          graft.sources.Manifest.writeWithManifestAndProfile(out, s"$tmp/corpus",
+            partitionCols = Seq("shard"))._2
         }
         time("9 verify manifest") {
           graft.sources.Manifest.verifyManifest(spark, s"$tmp/corpus")
             .agg(coalesce(sum(when(col("ok"), 0L).otherwise(1L)), lit(0L)))
             .first().getLong(0)
         }
-        time("10 merged profile read") {
-          graft.sources.Manifest.mergedProfile(spark, Seq(s"$tmp/corpus"))
-            .filter(col("col_name") === "doc_id")
+        time("10 published_docs from returned profile") {
+          prof.filter(col("col_name") === "doc_id")
             .select("row_count").first().getLong(0)
         }
         time("11 final groupBy readback") {

@@ -220,13 +220,17 @@ class BenchVerdictSpec extends AnyFunSuite {
     val unconverged188 = ("a11_like", Seq(quiet(2.6), quiet(2.2), quiet(1.88)), 10L)
     val converged188 = ("ok_188", Seq(quiet(1.88), quiet(1.9), quiet(1.92)), 10L)
     val converged12 = ("ok_12", Seq(quiet(1.2), quiet(1.21), quiet(1.3)), 10L)
+    // r18 (verdict ask #3): the unconverged bar dropped 1.5x -> 1.3x —
+    // j04's record rode unconverged two rounds without a retry
+    val unconverged135 = ("j04_like", Seq(quiet(1.8), quiet(1.5), quiet(1.35)), 10L)
     var asked: Seq[String] = null
     val (full, _) = Bench.sf1Render(
-      Seq(unconverged188, converged188, converged12), floor,
-      Map("a11_like" -> 1.0, "ok_188" -> 1.0, "ok_12" -> 1.0), identity,
-      0L, forked = false,
+      Seq(unconverged188, converged188, converged12, unconverged135), floor,
+      Map("a11_like" -> 1.0, "ok_188" -> 1.0, "ok_12" -> 1.0, "j04_like" -> 1.0),
+      identity, 0L, forked = false,
       retryRun = sus => { asked = sus; sus.map(n => (n, 1.9, 1.9)) })
-    assert(asked == Seq("a11_like"), s"expected only the unconverged 1.88x row, got $asked")
+    assert(asked == Seq("a11_like", "j04_like"),
+      s"expected the unconverged 1.88x and 1.35x rows, got $asked")
     val doc = om.readTree("""{"a":1""" + full + "}")
     assert(doc.get("retry_sf1").get("a11_like").get("attribution").asText() == "borderline")
     // vs_prev_anchor_sf1 renders when a prev anchor is supplied
@@ -236,5 +240,20 @@ class BenchVerdictSpec extends AnyFunSuite {
     val d2 = om.readTree("""{"a":1""" + f2 + "}")
     assert(d2.get("vs_prev_anchor_sf1").get("ok_12").asDouble() == 0.5)
     assert(d2.get("vs_anchor_sf1").get("ok_12").asDouble() == 1.2)
+  }
+
+  test("x10 scaling tier: render/parse roundtrip, flags classified (r18)") {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val triples = Seq(
+      ("g05_kcore", Seq(quiet(8.0), quiet(8.1), quiet(8.05)), 10L),
+      ("j04_like", Seq(quiet(12.0), quiet(10.0), quiet(9.0)), 10L)) // descending
+    val line = Bench.x10Render(triples, floor, Double.PositiveInfinity)
+    om.readTree(line) // valid standalone JSON object
+    val (pairs, unconv, cont) = Bench.parseX10(line)
+    assert(pairs.toMap == Map("x10_g05_kcore" -> 8.0, "x10_j04_like" -> 9.0))
+    assert(unconv == Seq("x10_j04_like") && cont.isEmpty)
+    // absent/empty fragment parses to empty (fork failure degrades clean)
+    assert(Bench.parseX10("{}") == ((Seq.empty, Seq.empty, Seq.empty)))
+    assert(Bench.parseX10("") == ((Seq.empty, Seq.empty, Seq.empty)))
   }
 }
